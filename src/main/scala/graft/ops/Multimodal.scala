@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media (image/audio/video) carried as opaque
+  * `binary` columns with typed metadata, processed by per-partition batch
+  * "decoders".
+  *
+  * The Spark-side plumbing is real and tested — schema, partition-parallel
+  * batch processing via `mapPartitions` on a typed Dataset, deterministic
+  * output shape. The actual codec is STUBBED (this container has no
+  * image/audio libraries): [[MediaDecoder.decodeStub]] derives deterministic
+  * fake features from the bytes. Swapping in a real decoder changes one
+  * function, not the pipeline.
+  *
+  * Scale: decode is a narrow map stage — no shuffle; partition count (i.e.
+  * `spark.sql.files.maxPartitionBytes` on the media store) is the
+  * parallelism knob; per-partition batching amortizes decoder init, the
+  * same shape `mapInPandas`/`mapInArrow` gives a Python decoder.
+  */
+object Multimodal {
+
+  /** A media asset: opaque payload + typed metadata. */
+  final case class MediaAsset(
+      asset_id: Long,
+      media_type: String,
+      payload: Array[Byte],
+      source: String,
+  )
+
+  /** Deterministic decoded features (what a real image decode would emit:
+    * dimensions, channel stats, a perceptual hash).
+    */
+  final case class MediaFeatures(
+      asset_id: Long,
+      media_type: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      phash: String,
+  )
+
+  object MediaDecoder {
+    /** STUB decoder: a real implementation would parse the codec here
+      * (JPEG/PNG/WAV …). The container ships no media libraries, so this
+      * derives deterministic pseudo-features from the payload bytes; the
+      * surrounding plumbing (batching, schema, parallelism) is exactly what
+      * a real decoder plugs into.
+      */
+    def decodeStub(a: MediaAsset): MediaFeatures = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(a.payload)
+      def b(i: Int): Int = md(i) & 0xff
+      MediaFeatures(
+        asset_id = a.asset_id,
+        media_type = a.media_type,
+        n_bytes = a.payload.length,
+        width = 16 * (b(0) + 1),  // fake dims, deterministic in content
+        height = 16 * (b(1) + 1),
+        phash = md.take(8).map("%02x".format(_)).mkString,
+      )
+    }
+  }
+
+  /** Manufacture a media table from `documents` (the container has no real
+    * media fixtures): payload = UTF-8 bytes of the text, media_type round-
+    * robins image/audio/video. Deterministic, so tests and the oracle can
+    * rely on it.
+    */
+  def assetsFromDocuments(documents: DataFrame): Dataset[MediaAsset] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(
+        col("doc_id").as("asset_id"),
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("payload"),
+        col("source"))
+      .as[MediaAsset]
+  }
+
+  /** The decode stage: per-partition batch map over the typed Dataset.
+    * This is the plumbing a real decoder drops into (decoder init once per
+    * partition, then streamed batches).
+    */
+  def decodeFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      // real decoders initialize codec state here, once per partition
+      it.map(MediaDecoder.decodeStub)
+    }
+  }
+
+  /** SQL-expressible metadata extraction over the binary payload (byte
+    * length, content hash, hex preview) — the part of the multimodal path
+    * the DuckDB oracle can replay exactly.
+    */
+  def binaryMeta(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_md5"),
+        lower(hex(substring(col("text").cast("binary"), 1, 8))).as("head_hex"))
+      .orderBy("doc_id")
+}

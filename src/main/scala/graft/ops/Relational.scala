@@ -1,0 +1,272 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generalized relational operator surface (SURVEY.md §2.2/§2.5).
+  *
+  * Every operator is a pure `DataFrame => DataFrame` built from declarative
+  * Spark constructs so Catalyst keeps full optimization freedom (pushdown,
+  * pruning, join selection, whole-stage codegen). Each returns a result with
+  * a deterministic total order (unique sort key) so the driver's DuckDB
+  * oracle hash-compare is stable.
+  *
+  * Scale notes are per-operator; the common themes:
+  *   - dimension tables are broadcast explicitly — never shuffled;
+  *   - aggregates rely on Spark's partial/final hash aggregation
+  *     (map-side combine before the single shuffle);
+  *   - top-k per group uses a rank-window, which AQE executes with
+  *     partial top-k pushdown (WindowGroupLimit) — no global sort.
+  */
+object Relational {
+
+  /** S1/S2/R2/R6/F16: scan → filter → projected rename/compute. The filter
+    * and the 5-column projection both reach the parquet scan (PushedFilters
+    * + ReadSchema pruning) — at 100 TB this is the difference between
+    * reading 5 columns of one flag's row-groups and reading everything.
+    */
+  def scanFilterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity"),
+        // price(2dp) × (1-disc)(2dp) has exactly 4 decimal digits: rounding
+        // AT 4dp is grid-aligned (engine-neutral); rounding at 2dp would sit
+        // on .xx5 boundaries where HALF_UP vs float-rounding engines differ
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F1/F2: cast pipeline (string→int parse, int→double widening). Uses
+    * try-semantics-compatible string parsing so dirty input nulls out
+    * instead of throwing under ANSI mode.
+    */
+  def castTypes(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).try_cast("int").as("prio"),
+        col("o_orderkey").cast("double").as("key_d"),
+        (col("o_totalprice") > 200000.0).as("is_large"))
+      .orderBy("o_orderkey")
+
+  /** R1 (exact full-row dedup): distinct over a projection — planned as a
+    * hash aggregate with map-side combine, single shuffle on the value.
+    */
+  def dedupRows(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** R1 (dedup by key, deterministic variant): keep the min-linenumber row
+    * per order. `dropDuplicates` keeps an *arbitrary* row — correct for the
+    * reference's byte-identical duplicate groups but not oracle-comparable;
+    * a rank-window with a total tiebreak is the deterministic equivalent
+    * and Spark executes it with WindowGroupLimit (partial top-1 per
+    * partition before the shuffle).
+    */
+  def dedupByKeyDeterministic(lineitem: DataFrame): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data — the
+    // ordering must be a total order or "keep first" is nondeterministic
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    lineitem
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey")
+  }
+
+  /** R4: left equi-join with explicit condition. The customer dimension is
+    * orders-of-magnitude smaller than the fact side — broadcast it so the
+    * fact table never shuffles.
+    */
+  def leftJoinExplicit(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"), "left")
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice"),
+        col("c_name"),
+        col("c_mktsegment"))
+      .orderBy("o_orderkey")
+
+  /** R5: name-based join USING(column) — single coalesced key column in the
+    * output. nation is renamed to share the key name, region (5 rows) is
+    * broadcast.
+    */
+  def leftJoinUsing(nation: DataFrame, region: DataFrame): DataFrame =
+    nation
+      .withColumnRenamed("n_regionkey", "r_regionkey")
+      .join(broadcast(region), Seq("r_regionkey"), "left")
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+
+  /** Semi join: customers having at least one order. Spark's left_semi
+    * short-circuits on first match and never materializes order columns.
+    */
+  def semiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Anti join: customers with no orders. */
+  def antiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** TPC-H Q1-shaped grouped aggregation: the canonical partial/final hash
+    * aggregate — combine happens map-side, only 4-group partials shuffle.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** COUNT(DISTINCT) alongside plain aggregates — Spark expands this to a
+    * two-phase aggregate automatically.
+    */
+  def aggDistinct(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct("o_custkey").as("uniq_cust"),
+        count(lit(1)).as("cnt"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+
+  /** ROLLUP grouping-sets aggregate; null group placeholders coalesced to
+    * 'ALL' (input group values are never null, so unambiguous).
+    */
+  def rollupAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"),
+        col("cnt"))
+      .orderBy("rf", "ls")
+
+  /** Top-k per group via rank window. Spark 3.5+ plans this as
+    * WindowGroupLimit: each partition keeps only its local top-k before the
+    * shuffle, so the exchange carries k·groups rows, not the table.
+    */
+  def windowTopKPerGroup(orders: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Lag window: per-customer order-to-order price delta. */
+  def windowLag(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        round(col("o_totalprice") - lag("o_totalprice", 1).over(w), 2).as("delta"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Global top-k: orderBy+limit plans as TakeOrderedAndProject — each
+    * partition keeps k rows, the driver merges k·partitions, never a full
+    * global sort.
+    */
+  def sortLimit(orders: DataFrame, k: Int = 100): DataFrame =
+    orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+      .select("o_orderkey", "o_totalprice")
+
+  /** Set op: UNION DISTINCT of two key sets. */
+  def unionDistinctKeys(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey").as("id"))
+      .union(orders.select(col("o_custkey").as("id")))
+      .distinct()
+      .orderBy("id")
+
+  /** Set op: EXCEPT — customers that never ordered, as a set difference. */
+  def exceptKeys(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey").as("id"))
+      .except(orders.select(col("o_custkey").as("id")))
+      .orderBy("id")
+
+  /** F3/F4/F5: chained when/otherwise bucketing + null predicate. */
+  def whenCaseBuckets(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000.0, "high")
+          .when(col("o_totalprice") > 100000.0, "mid")
+          .otherwise("low").as("bucket"),
+        col("o_orderdate").isNotNull.as("has_date"))
+      .orderBy("o_orderkey")
+
+  /** §2.4-style validation cascade generalized to lineitem: ordered
+    * exception-code accumulators (array_append), joined with ", "/"; ",
+    * `is_valid` = no codes — the same zero-UDF column-cascade pattern as
+    * the trade pipeline, exercised against the DuckDB oracle.
+    */
+  def validateChain(lineitem: DataFrame, qtyMax: Double = 45.0, discMax: Double = 0.05): DataFrame = {
+    val emptyArr = array().cast("array<string>")
+    val qtyOk = col("l_quantity") <= qtyMax
+    val discOk = col("l_discount") <= discMax
+    val taxOk = col("l_tax") < col("l_discount") + lit(0.06)
+    lineitem
+      .withColumn("codes", emptyArr)
+      .withColumn("msgs", emptyArr)
+      .withColumn("codes",
+        when(qtyOk, col("codes")).otherwise(array_append(col("codes"), lit("QTY_HIGH"))))
+      .withColumn("codes",
+        when(discOk, col("codes")).otherwise(array_append(col("codes"), lit("DISC_HIGH"))))
+      .withColumn("codes",
+        when(taxOk, col("codes")).otherwise(array_append(col("codes"), lit("TAX_ANOMALY"))))
+      .withColumn("msgs",
+        when(qtyOk, col("msgs"))
+          .otherwise(array_append(col("msgs"), lit("Quantity above limit"))))
+      .withColumn("msgs",
+        when(discOk, col("msgs"))
+          .otherwise(array_append(col("msgs"), lit("Discount above limit"))))
+      .withColumn("msgs",
+        when(taxOk, col("msgs"))
+          .otherwise(array_append(col("msgs"), lit("Tax out of band"))))
+      .withColumn("is_valid", size(col("codes")) === 0)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("is_valid"),
+        when(col("is_valid"), lit(null)).otherwise(array_join(col("codes"), ", ")).as("exception_type"),
+        when(col("is_valid"), lit(null)).otherwise(array_join(col("msgs"), "; ")).as("details"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** R7/F17: struct packing rendered as canonical JSON (struct columns
+    * round-trip poorly through heterogeneous engines; JSON text is the
+    * stable comparison surface).
+    */
+  def structPackJson(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_orderkey"),
+        to_json(struct(
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))).as("packed"))
+      .orderBy("o_orderkey")
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
+  *
+  * Two paths, per the standard ANN playbook:
+  *   - [[bruteForceTopK]]: exact cosine top-k of a small query set against
+  *     the corpus. The query side is broadcast (it is small by contract),
+  *     so the corpus never shuffles for the join; per-group top-k is a
+  *     rank-window executed with partial top-k pushdown. Exact but O(|Q|·n)
+  *     — the measuring stick.
+  *   - [[ivfTopK]]: IVF-style approximate path — assign every vector to its
+  *     nearest centroid (broadcast centroids), then search only within the
+  *     query's cell. Work drops to O(|Q|·n/cells) at the cost of recall;
+  *     this is the 100 TB shape (cells ≈ partitions, each probe touches one
+  *     cell).
+  *
+  * Dot products run over doubles with `zip_with` + `aggregate` — built-in
+  * higher-order functions, codegen-friendly, no UDFs.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision (sequential fold — deterministic). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k: query vectors (vec_id < numQueries) vs the whole
+    * corpus, self-matches excluded, ties broken by vec_id.
+    */
+  def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 20, k: Int = 5): DataFrame = {
+    val q = embeddings
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = embeddings.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val scored = q.hint("broadcast")
+      .join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Deterministic pseudo-centroids: every vector whose id ≡ 0 (mod
+    * `centroidStride`). Real IVF would k-means these; modulo selection
+    * keeps the algorithm exactly replayable by the SQL oracle while
+    * preserving the execution shape.
+    */
+  def centroids(embeddings: DataFrame, centroidStride: Int): DataFrame =
+    embeddings
+      .filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+
+  /** IVF cell assignment: nearest centroid by cosine (broadcast centroids,
+    * rank-window argmin). This is the "build the index" half.
+    */
+  def ivfAssign(embeddings: DataFrame, centroidStride: Int = 100): DataFrame = {
+    val cents = centroids(embeddings, centroidStride)
+    val scored = embeddings
+      .join(broadcast(cents))
+      .withColumn("cos", cosine(col("embedding"), col("cent_emb")))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("centroid_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell"), round(col("cos"), 6).as("cell_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF-style ANN top-k: search only candidates in the query's cell.
+    * Join keys on the cell id ⇒ equi-join shuffle bounded by cell sizes —
+    * the n²-free scale path (with the recall/latency knob being
+    * `centroidStride`).
+    */
+  def ivfTopK(embeddings: DataFrame, numQueries: Int = 20, k: Int = 5, centroidStride: Int = 100): DataFrame = {
+    val assign = ivfAssign(embeddings, centroidStride)
+    val withCell = embeddings.join(assign.select("vec_id", "cell"), Seq("vec_id"))
+    val q = withCell
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+    val c = withCell.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("cell"))
+    val scored = q.join(c, Seq("cell")).filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: symmetric pairs above a cosine
+    * threshold, generated through the IVF cells (docs only compared within
+    * a cell — no all-pairs). Used as the embedding leg of the dedup suite.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.35, centroidStride: Int = 50): DataFrame = {
+    val assign = ivfAssign(embeddings, centroidStride)
+    val withCell = embeddings.join(assign.select("vec_id", "cell"), Seq("vec_id"))
+    val a = withCell.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("cell"))
+    val b = withCell.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+}

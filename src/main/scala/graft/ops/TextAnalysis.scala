@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines, over the
+  * `documents` table: language ID (stopword heuristic), quality scoring,
+  * token counting (whitespace + BPE-ish regex), and document
+  * fingerprinting.
+  *
+  * Everything is a codegen'd built-in column expression — no UDFs — so each
+  * op is a single narrow map stage: embarrassingly parallel, no shuffle,
+  * scales linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Count non-overlapping occurrences of literal `w` in `c` via
+    * length-delta (exactly reproducible in any SQL engine).
+    */
+  private def litCount(c: Column, w: String): Column =
+    ((length(c) - length(replace(c, lit(w), lit("")))) / w.length).cast("long")
+
+  /** Language ID by stopword-count heuristic: score a handful of
+    * high-frequency function words per language over the lowercased,
+    * space-padded text; argmax wins, 'und' (undetermined) when all scores
+    * are zero. Ties break by fixed language order en>es>fr>de (stable,
+    * documented).
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val t = concat(lit(" "), lower(col("text")), lit(" "))
+    def score(words: Seq[String]): Column =
+      words.map(w => litCount(t, s" $w ")).reduce(_ + _)
+    val en = score(Seq("the", "and", "of", "is"))
+    val es = score(Seq("el", "la", "de", "que"))
+    val fr = score(Seq("le", "la", "et", "les"))
+    val de = score(Seq("der", "die", "und", "das"))
+    documents
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        en.as("score_en"), es.as("score_es"), fr.as("score_fr"), de.as("score_de"),
+        when(greatest(en, es, fr, de) === 0, "und")
+          .when(en >= es && en >= fr && en >= de, "en")
+          .when(es >= fr && es >= de, "es")
+          .when(fr >= de, "fr")
+          .otherwise("de").as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: char/word counts, punctuation ratio, stopword ratio,
+    * mean word length — combined into a [0,1] heuristic quality score of
+    * the kind used to filter web scrape for LLM pretraining.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val t = col("text")
+    val chars = length(t)
+    val words = regexp_count(t, lit("\\S+"))
+    val punct = regexp_count(t, lit("[\\.,;:!\\?]"))
+    val stop = litCount(concat(lit(" "), lower(t), lit(" ")), " the ") +
+      litCount(concat(lit(" "), lower(t), lit(" ")), " a ") +
+      litCount(concat(lit(" "), lower(t), lit(" ")), " and ")
+    val meanWordLen = when(words > 0, chars.cast("double") / words).otherwise(lit(0.0))
+    val score =
+      when(chars < 50, 0.0).otherwise(
+        least(lit(1.0),
+          lit(0.4) * least(lit(1.0), words.cast("double") / 50.0) +
+          lit(0.3) * least(lit(1.0), stop.cast("double") * 10.0 / greatest(words, lit(1)).cast("double")) +
+          lit(0.3) * when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)))
+    documents
+      .select(
+        col("doc_id"),
+        chars.cast("long").as("n_chars"),
+        words.cast("long").as("n_words"),
+        punct.cast("long").as("n_punct"),
+        stop.cast("long").as("n_stop"),
+        round(meanWordLen, 4).as("mean_word_len"),
+        round(score, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single non-space symbols), plus the
+    * chars-per-token ratio LLM data work keys on.
+    */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val ws = regexp_count(col("text"), lit("\\S+"))
+    val bpe = regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+    documents
+      .select(
+        col("doc_id"),
+        ws.cast("long").as("ws_tokens"),
+        bpe.cast("long").as("bpe_tokens"),
+        round(when(bpe > 0, length(col("text")).cast("double") / bpe).otherwise(0.0), 4)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: md5 of the whitespace-normalized lowercase
+    * text (exact-dup key), a 16-hex-char prefix fingerprint, and a prefix
+    * "rolling" fingerprint of the first 64 normalized chars (cheap
+    * clustering key for prefix-duplicates).
+    */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    documents
+      .select(
+        col("doc_id"),
+        md5(norm).as("fp_full"),
+        substring(md5(norm), 1, 16).as("fp_short"),
+        md5(substring(norm, 1, 64)).as("fp_prefix64"))
+      .orderBy("doc_id")
+  }
+}

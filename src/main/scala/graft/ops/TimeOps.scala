@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time/ordering operators: format rendering, the reference's 3-way
+  * timestamp-format dispatch exercised as a registered query, windowed
+  * event aggregation (the batch twin of the streaming path), sessionization,
+  * and an as-of join — all declarative, no UDFs.
+  */
+object TimeOps {
+
+  private val IsoFmt = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+  /** F15: render timestamps as ISO-8601 strings (UTC session). */
+  def dateFormatIso(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), IsoFmt).as("ts_iso"))
+      .orderBy("o_orderkey")
+
+  /** F11-F14 (generalized): the reference's regex-dispatch timestamp
+    * normalization (reference: etl_pipeline.py:299-315) driven against the
+    * events table. Step 1 *renders* each event time into one of three wire
+    * formats chosen by `event_id % 3` (ISO-millis / epoch-seconds /
+    * unpadded US); step 2 re-parses via the byte-identical 3-regex dispatch
+    * with try-semantics. Output is the recovered instant as ISO text —
+    * identical to the input instant truncated to the written precision.
+    */
+  def timestampDispatch(events: DataFrame): DataFrame = {
+    val m = col("event_id") % 3
+    val wire = when(m === 0, date_format(col("ts"), IsoFmt))
+      .when(m === 1, floor(unix_timestamp(col("ts"))).cast("string"))
+      .otherwise(date_format(col("ts"), "M/d/yyyy H:mm:ss"))
+    val parsed =
+      when(wire.rlike("^\\d{4}-\\d{2}-\\d{2}T"), try_to_timestamp(wire, lit(IsoFmt)))
+        .when(wire.rlike("^\\d{10}$"), timestamp_seconds(wire.try_cast("long")))
+        .when(wire.rlike("^\\d{1,2}/\\d{1,2}/\\d{4} \\d{1,2}:\\d{2}:\\d{2}"),
+          try_to_timestamp(wire, lit("M/d/yyyy H:mm:ss")))
+        .otherwise(try_to_timestamp(wire))
+    events
+      .select(
+        col("event_id"),
+        wire.as("wire_format"),
+        date_format(parsed, IsoFmt).as("recovered_iso"))
+      .orderBy("event_id")
+  }
+
+  /** Streaming-shaped batch aggregation: tumbling 1-hour windows per event
+    * type. This is the exact logical plan the Structured Streaming path
+    * (graft.streaming.EventStreams) runs incrementally; registered as a
+    * batch query so the oracle can check it.
+    */
+  def hourlyEventAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hr"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum("value"), 2).as("sum_val"))
+      .select(date_format(col("hr"), IsoFmt).as("hr_iso"), col("event_type"), col("cnt"), col("sum_val"))
+      .orderBy("hr_iso", "event_type")
+
+  /** Sessionization: a new session starts after a >30min silence per user.
+    * One shuffle on user_id, then two windows over the same partitioning
+    * (Catalyst reuses the exchange). The classic gaps-and-islands pattern —
+    * scales as wide as user cardinality.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn(
+        "new_session",
+        (col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds)).cast("int"))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("session_seq"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** As-of join (an operator Spark lacks natively): for every 'click' event,
+    * the most recent 'view' event at-or-before it for the same user.
+    *
+    * Implemented the scalable way — NOT a range cross-join: union both
+    * sides, one window per user ordered by time carrying the last view id
+    * forward (`last(..., ignoreNulls)`), then keep the click rows. One
+    * shuffle on user_id, linear work. DuckDB's native ASOF JOIN is the
+    * oracle.
+    */
+  def asofJoinClickToView(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn(
+        "view_marker",
+        when(col("event_type") === "view", col("event_id")))
+      .withColumn("last_view_id", last("view_marker", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("last_view_id"))
+      .orderBy("user_id", "click_id")
+  }
+}
