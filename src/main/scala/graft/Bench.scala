@@ -18,6 +18,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: absorb JVM/codegen/parquet-reader init so the first timed
+    // query isn't charged for session startup
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000)
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -127,19 +127,24 @@ object SparkEntry {
   }
 
   /** Shared CTEs for the MinHash suite — mirrors [[Dedup.minhashSignatures]]
-    * (shingle width 8, stride 4, 8 md5 hashes, 4 bands of 2).
+    * (shingle width 8, stride 4; one 32-bit md5-prefix base hash per
+    * shingle; 8 universal-hash mins (A_k·x + B_k mod P); 4 bands of 2).
     */
   private val minhashCtes: String = {
     val hashes = (0 until Dedup.NumHashes)
-      .map(k => s"list_min(list_transform(s, x -> md5('$k' || x))) AS h$k").mkString(",\n    ")
+      .map(k => s"min((${Dedup.hashA(k)} * hv + ${Dedup.hashB(k)}) % ${Dedup.HashPrime}) AS h$k")
+      .mkString(",\n    ")
     s"""sh AS (
        |  SELECT doc_id, list_transform(range(1, greatest(length(text) - 7, 1) + 1, 4),
        |                                i -> substr(text, i, 8)) AS s
        |  FROM documents),
+       |hv AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS hv
+       |  FROM (SELECT doc_id, unnest(s) AS s FROM sh)),
        |h AS (
        |  SELECT doc_id,
        |    $hashes
-       |  FROM sh),
+       |  FROM hv GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1)) AS band_hash FROM h
        |  UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h2, h3)) FROM h

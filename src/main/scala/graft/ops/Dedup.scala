@@ -41,53 +41,74 @@ object Dedup {
       sequence(lit(1), greatest(length(text) - (width - 1), lit(1)), lit(step)),
       i => substring(text, i, lit(width)))
 
-  /** One MinHash value: min over shingles of md5(seed || shingle).
-    * Fixed-width lowercase hex ⇒ string min == numeric min.
-    */
-  private def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(seed.toString), s))))
-
   val NumHashes = 8
   val NumBands = 4
   val ShingleWidth = 8
   val ShingleStep = 4
 
-  /** MinHash signatures: `NumHashes` md5-min values per doc, banded into
-    * `NumBands` band hashes (md5 of the concatenated band slice). One
-    * narrow map stage per doc.
+  /** Universal-hash family h_k(x) = (A_k·x + B_k) mod P over the 32-bit
+    * base hash of each shingle. One md5 per shingle (not per hash) — the
+    * k-way fan-out is integer arithmetic, which whole-stage codegen eats.
+    */
+  val HashPrime = 2147483647L // 2^31 - 1
+  def hashA(k: Int): Long = 1000003L + 2L * k // odd, < 2^20: A·x < 2^52, no overflow
+  def hashB(k: Int): Long = 12345L + 7L * k
+
+  /** MinHash signatures: `NumHashes` universal-hash mins per doc, banded
+    * into `NumBands` band hashes (md5 of the concatenated band slice).
+    *
+    * Execution shape (the 100 TB-relevant part): scan → generate(shingles)
+    * → md5 once per shingle → partial min-aggregate per doc map-side → one
+    * shuffle carrying `NumHashes` longs per doc → final agg + banding.
+    * Explode+hash-aggregate stays inside whole-stage codegen end to end;
+    * the earlier array-HOF formulation (`array_min(transform(...))`) fell
+    * back to interpreted eval and computed `NumHashes` md5s per shingle.
     */
   def minhashSignatures(documents: DataFrame): DataFrame = {
-    val sh = shingles(col("text"), ShingleWidth, ShingleStep)
-    val hashes = (0 until NumHashes).map(k => minhash(sh, k).as(s"h$k"))
+    val ex = documents.select(
+      col("doc_id"),
+      explode(shingles(col("text"), ShingleWidth, ShingleStep)).as("s"))
+    // 8 hex chars of md5 → 32-bit base hash (conv returns string; cast)
+    val hv = conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
+    val mins = (0 until NumHashes).map(k =>
+      min(pmod(lit(hashA(k)) * hv + lit(hashB(k)), lit(HashPrime))).as(s"h$k"))
+    val sigs = ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val perBand = NumHashes / NumBands
-    val withH = documents.select(col("doc_id") +: hashes: _*)
     val bands = (0 until NumBands).map { b =>
       val slice = (0 until perBand).map(j => col(s"h${b * perBand + j}"))
       md5(concat_ws("|", slice: _*)).as(s"band$b")
     }
-    withH.select(col("doc_id") +: (0 until NumHashes).map(k => col(s"h$k")) ++: bands: _*)
+    sigs.select(col("doc_id") +: (0 until NumHashes).map(k => col(s"h$k")) ++: bands: _*)
       .orderBy("doc_id")
   }
 
   /** LSH candidate pairs: docs sharing any band hash. Implemented as a
-    * band-bucket self-equi-join (shuffle on (band_idx, band_hash)), then
-    * distinct pairs — never an all-pairs comparison. At scale, add a
-    * bucket-size cap before the join to bound worst-case skew.
+    * band-bucket group-aggregate — signatures are computed ONCE, buckets
+    * form with a single shuffle on (band_idx, band_hash), and pairs are
+    * generated inside each bucket from the sorted id list (never an
+    * all-pairs comparison, never a self-join that recomputes the signature
+    * pipeline on both sides). `maxBucket` caps degenerate buckets (boiler-
+    * plate text at web scale) so worst-case skew is bounded: a capped
+    * bucket contributes at most maxBucket² pairs.
     */
-  def lshCandidatePairs(documents: DataFrame): DataFrame = {
+  def lshCandidatePairs(documents: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val sigs = minhashSignatures(documents)
     val bandCols = (0 until NumBands).map(b =>
       struct(lit(b).as("band_idx"), col(s"band$b").as("band_hash")))
     val exploded = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
-    val a = exploded.alias("a")
-    val b = exploded.alias("b")
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val buckets = exploded
+      .groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    // all ordered pairs (ids(i), ids(j)) with i < j from the sorted list
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+        struct(x.as("doc_a"), y.as("doc_b")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")
   }

@@ -85,7 +85,9 @@ object Similarity {
     * `centroidStride`).
     */
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 20, k: Int = 5, centroidStride: Int = 100): DataFrame = {
-    val assign = ivfAssign(embeddings, centroidStride)
+    // the assignment is the "index build" — persist it so the query and
+    // candidate sides of the cell join don't each recompute the argmin
+    val assign = ivfAssign(embeddings, centroidStride).persist()
     val withCell = embeddings.join(assign.select("vec_id", "cell"), Seq("vec_id"))
     val q = withCell
       .filter(col("vec_id") < numQueries)
@@ -106,7 +108,7 @@ object Similarity {
     * a cell — no all-pairs). Used as the embedding leg of the dedup suite.
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.35, centroidStride: Int = 50): DataFrame = {
-    val assign = ivfAssign(embeddings, centroidStride)
+    val assign = ivfAssign(embeddings, centroidStride).persist()
     val withCell = embeddings.join(assign.select("vec_id", "cell"), Seq("vec_id"))
     val a = withCell.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("cell"))
     val b = withCell.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("cell"))
