@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for embedding math.
+  *
+  * The built-in route (`zip_with` + `aggregate` higher-order functions) is
+  * semantically fine but falls out of whole-stage codegen — HOFs evaluate
+  * interpreted, with a boxed lambda call per element. For 64-dim float
+  * vectors compared O(candidates × queries) times, that per-element
+  * overhead dominates the whole similarity-search stage.
+  *
+  * These expressions keep the math in one tight primitive loop inside
+  * generated Java (`doGenCode`), with an interpreted `nullSafeEval` twin
+  * for completeness. Arithmetic (per-element double widening, sequential
+  * accumulation, `dot / (sqrt(na)·sqrt(nb))`) matches the HOF formulation
+  * bit-for-bit, so results are unchanged — only faster.
+  */
+object VectorExpressions {
+
+  /** Σ aᵢ·bᵢ over float vectors, accumulated in double. */
+  case class FloatVectorDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xa = a.asInstanceOf[ArrayData].toFloatArray()
+      val xb = b.asInstanceOf[ArrayData].toFloatArray()
+      var dot = 0.0
+      var i = 0
+      val n = math.min(xa.length, xb.length)
+      while (i < n) { dot += xa(i).toDouble * xb(i).toDouble; i += 1 }
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val xa = ctx.freshName("xa")
+        val xb = ctx.freshName("xb")
+        val dot = ctx.freshName("dot")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |float[] $xa = $a.toFloatArray();
+           |float[] $xb = $b.toFloatArray();
+           |double $dot = 0.0;
+           |int $n = Math.min($xa.length, $xb.length);
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += (double) $xa[$i] * (double) $xb[$i];
+           |}
+           |${ev.value} = $dot;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): FloatVectorDot =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Cosine similarity of two float vectors in a single pass: dot product
+    * and both norms accumulate in one loop, then `dot/(√na·√nb)` — one
+    * array traversal instead of the three a dot/norm/norm composition
+    * would take.
+    */
+  case class FloatVectorCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_cosine"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xa = a.asInstanceOf[ArrayData].toFloatArray()
+      val xb = b.asInstanceOf[ArrayData].toFloatArray()
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      val n = math.min(xa.length, xb.length)
+      while (i < n) {
+        val x = xa(i).toDouble
+        val y = xb(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val xa = ctx.freshName("xa")
+        val xb = ctx.freshName("xb")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |float[] $xa = $a.toFloatArray();
+           |float[] $xb = $b.toFloatArray();
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |int $n = Math.min($xa.length, $xb.length);
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = (double) $xa[$i];
+           |  double $y = (double) $xb[$i];
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |}
+           |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): FloatVectorCosine =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Column-API entry points. */
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatVectorDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def vecCosine(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatVectorCosine(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
