@@ -73,6 +73,33 @@ object SparkEntry {
     "q_sort_limit" -> ((s, d) => Relational.sortLimit(t(s, d, "orders"))),
     "q_set_union" -> ((s, d) => Relational.unionDistinctKeys(t(s, d, "customer"), t(s, d, "orders"))),
     "q_set_except" -> ((s, d) => Relational.exceptKeys(t(s, d, "customer"), t(s, d, "orders"))),
+    "q_agg_cube" -> ((s, d) => Relational.cubeAgg(t(s, d, "lineitem"))),
+    "q_agg_percentile" -> ((s, d) => Relational.percentiles(t(s, d, "lineitem"))),
+    "q_agg_approx" -> ((s, d) => Relational.approxAgg(t(s, d, "lineitem"))),
+    "q_agg_salted" -> ((s, d) => Relational.saltedAgg(t(s, d, "lineitem"))),
+    "q_pivot" -> ((s, d) => Relational.pivotAgg(t(s, d, "lineitem"))),
+    "q_join_full" -> ((s, d) => Relational.fullOuterJoin(t(s, d, "customer"), t(s, d, "orders"))),
+    "q_join_range" -> ((s, d) => Relational.rangeJoinBuckets(t(s, d, "events"))),
+    "q_events_json" -> ((s, d) => Relational.jsonExtract(t(s, d, "events"))),
+    "q_docs_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(t(s, d, "documents"))),
+    // SQL text interface: the same engine surface driven through spark.sql
+    // over registered views (TPC-H Q3-shaped).
+    "q_sql_revenue" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("v_customer")
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+               count(*) AS n_lines
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY o_orderkey
+      """)
+    }),
     "q_when_case" -> ((s, d) => Relational.whenCaseBuckets(t(s, d, "orders"))),
     "q_validate_chain" -> ((s, d) => Relational.validateChain(t(s, d, "lineitem"))),
     "q_struct_pack" -> ((s, d) => Relational.structPackJson(t(s, d, "orders"))),
@@ -246,6 +273,69 @@ object SparkEntry {
     "q_set_except" ->
       """SELECT c_custkey AS id FROM customer
         |EXCEPT SELECT o_custkey AS id FROM orders ORDER BY id""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q_agg_approx: approximate by design (HLL++); no engine-neutral oracle
+    "q_agg_salted" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS cnt, round(sum(l_quantity) / count(*), 6) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_join_full" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+    "q_join_range" ->
+      """SELECT b.bucket_id, count(*) AS cnt, round(sum(e.value), 2) AS sum_val
+        |FROM events e JOIN (
+        |  SELECT CAST(i AS BIGINT) AS bucket_id, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
+        |  FROM range(0, 10) t(i)) b
+        |  ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY b.bucket_id ORDER BY b.bucket_id""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_docs_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                         x -> length(x) >= 3)) AS tok
+        |    FROM documents)),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, df, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |      FROM scored)
+        |SELECT doc_id, rnk, term, tf, df, round(score, 6) AS tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q_sql_revenue" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "q_when_case" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 300000.0 THEN 'high'

@@ -269,4 +269,114 @@ object Relational {
           col("o_orderstatus").as("status"),
           col("o_orderpriority").as("priority"))).as("packed"))
       .orderBy("o_orderkey")
+
+  /** CUBE grouping sets — all four combinations of the two keys. */
+  def cubeAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"),
+        col("cnt"))
+      .orderBy("rf", "ls")
+
+  /** Exact interpolated percentiles (Spark `percentile` == SQL
+    * percentile_cont semantics) per group.
+    */
+  def percentiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+      .orderBy("l_returnflag")
+
+  /** Sketch aggregates: HyperLogLog++ distinct-count estimate next to the
+    * exact count. Approximate by design ⇒ registered rows-only (no
+    * engine-neutral oracle), but at 100 TB this is THE distinct-count —
+    * fixed-size sketch state, no distinct shuffle of the key universe.
+    */
+  def approxAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_partkey").as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** Pivot: linestatus values become columns. Values are enumerated
+    * explicitly — at scale an implicit pivot first runs a distinct over
+    * the pivot column; enumerating skips that job.
+    */
+  def pivotAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("l_quantity"), 2))
+      .orderBy("l_returnflag")
+
+  /** Full outer join — both unmatched sides survive with nulls. */
+  def fullOuterJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_orderkey"))
+
+  /** Skew-safe two-phase aggregation (salting): phase 1 aggregates on
+    * (key, salt) so a hot key spreads over `salts` reducers; phase 2
+    * merges the partials. Result is identical to a plain groupBy — the
+    * oracle IS the plain GROUP BY — but no single reducer ever sees a
+    * whole hot key. (AQE's skew handling covers joins; aggregation salting
+    * is still manual.) Salt derives from non-group columns, deterministic.
+    */
+  def saltedAgg(lineitem: DataFrame, salts: Int = 64): DataFrame = {
+    val salted = lineitem.withColumn(
+      "salt", pmod(col("l_orderkey") + col("l_linenumber"), lit(salts)))
+    salted
+      .groupBy("l_returnflag", "salt")
+      .agg(
+        sum("l_quantity").as("part_qty"),
+        count(lit(1)).as("part_cnt"))
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum("part_qty"), 2).as("sum_qty"),
+        sum("part_cnt").as("cnt"),
+        round(sum("part_qty") / sum("part_cnt"), 6).as("avg_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Range (theta) join: events bucketed by value against a small interval
+    * table. The interval side is tiny and broadcast ⇒ BroadcastNestedLoop
+    * with the range predicate evaluated streaming-side; the fact table
+    * never shuffles. For large×large range joins, bucket both sides on
+    * coarsened ranges first (turns θ into equi + residual).
+    */
+  def rangeJoinBuckets(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val buckets = (0 until 10)
+      .map(i => (i.toLong, i * 10.0, (i + 1) * 10.0))
+      .toDF("bucket_id", "lo", "hi")
+    events
+      .join(broadcast(buckets),
+        events("value") >= buckets("lo") && events("value") < buckets("hi"))
+      .groupBy("bucket_id")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+      .orderBy("bucket_id")
+  }
+
+  /** Semi-structured extraction: parse the JSON `props` string with an
+    * explicit schema (from_json) — schema-on-read over a string column.
+    */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .orderBy("event_id")
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines, over the
@@ -93,6 +94,37 @@ object TextAnalysis {
         round(when(bpe > 0, length(col("text")).cast("double") / bpe).otherwise(0.0), 4)
           .as("chars_per_token"))
       .orderBy("doc_id")
+  }
+
+  /** TF-IDF top terms: tokenize (lowercase alnum runs, len ≥ 3), term
+    * frequency per doc, document frequency across the corpus, score =
+    * tf · ln((N+1)/(df+1)), top `k` terms per doc by (score desc, term).
+    *
+    * Shape at scale: explode → two hash aggregates (tf on (doc, term), df
+    * on term) → broadcast-join the df side if the vocabulary is small,
+    * shuffle-join otherwise → per-doc top-k via WindowGroupLimit. No
+    * driver-side vocabulary.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    val n = documents.count() // corpus size: one cheap metadata-only job
+    val toks = documents.select(
+      col("doc_id"),
+      explode(filter(
+        split(lower(col("text")), "[^a-z0-9]+"),
+        t => length(t) >= 3)).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("term"))
+      .withColumn("score", col("tf") * log(lit(n + 1.0) / (col("df") + lit(1.0))))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("tfidf"))
+      .orderBy("doc_id", "rnk")
   }
 
   /** Document fingerprinting: md5 of the whitespace-normalized lowercase
