@@ -40,16 +40,23 @@ object EventStreams {
       session_value: Double, closed: Boolean)
 
   /** Custom sessionization state machine via mapGroupsWithState: per-user
-    * running session closed after `gapSeconds` of processing-time silence.
-    * Demonstrates the arbitrary-state API the windowed aggregates can't
-    * express.
+    * running session, closed when the event-time watermark passes
+    * `gapSeconds` after the session's last event. Event-time timeouts
+    * (not processing-time) keep the state machine deterministic and
+    * replayable — reprocessing the same input produces the same sessions,
+    * and the query quiesces when the source drains (a processing-time
+    * timeout keeps scheduling wall-clock batches forever).
     */
-  def sessionizeStream(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[SessionUpdate] = {
+  def sessionizeStream(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800L,
+      watermarkDelay: String = "2 hours"): Dataset[SessionUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -63,7 +70,8 @@ object EventStreams {
               prev.sum + evs.map(_.value).sum,
               math.max(prev.lastTs, evs.map(_.ts.getTime).maxOption.getOrElse(0L)))
             state.update(next)
-            state.setTimeoutDuration(gapSeconds * 1000L)
+            // session closes when the watermark passes last event + gap
+            state.setTimeoutTimestamp(next.lastTs + gapSeconds * 1000L)
             SessionUpdate(userId, next.count, next.sum, closed = false)
           }
       }

@@ -1,0 +1,123 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Structured Streaming specs: the incremental paths must agree with their
+  * batch twins ([[graft.ops.TimeOps]]) on the same data.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Event(1L, ts("2024-01-01 00:05:00"), 1L, "click", 2.0),
+    Event(2L, ts("2024-01-01 00:45:00"), 1L, "view", 3.0),
+    Event(3L, ts("2024-01-01 01:10:00"), 2L, "click", 5.0),
+    Event(4L, ts("2024-01-01 01:20:00"), 2L, "click", 7.0),
+    Event(5L, ts("2024-01-01 02:59:00"), 1L, "view", 11.0))
+
+  test("streaming hourlyAgg matches the batch twin on the same events") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.hourlyAgg(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("hourly_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(events)
+      query.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT window_start, event_type, cnt, sum_val FROM hourly_test")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = graft.ops.TimeOps.hourlyEventAgg(events.toDF())
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // batch renders ISO text; streamed gives timestamps — normalize
+      def isoToSqlTs(iso: String): String =
+        Timestamp.from(java.time.Instant.parse(iso)).toString
+      assert(streamed == batch.map { case (h, t, c, v) => (isoToSqlTs(h), t, c, v) })
+      assert(streamed.size == 4) // (00h click),(00h view),(01h click),(02h view)
+    } finally query.stop()
+  }
+
+  test("streaming sessionization accumulates state and closes on watermark") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // 0-second watermark delay: watermark = max event time of previous
+    // batches, so event-time timeouts fire deterministically per batch
+    val query = EventStreams.sessionizeStream(input.toDS(), watermarkDelay = "0 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("session_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(events.take(2)) // user 1 @ 00:05, 00:45
+      query.processAllAvailable()
+      input.addData(events.drop(2)) // user 2 @ 01:10, 01:20; user 1 @ 02:59
+      query.processAllAvailable()
+      // watermark is now 02:59; user 2's timeout (01:20 + 30min = 01:50)
+      // fires on the next batch
+      input.addData(Seq(Event(99L, ts("2024-01-01 09:00:00"), 3L, "view", 1.0)))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, events_in_session, session_value, closed FROM session_test")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      assert(rows.contains((1L, 3L, 16.0, false))) // 2.0 + 3.0 + 11.0 accumulated
+      // both sessions close once the watermark (09:00, via the no-data
+      // micro-batch) passes lastTs + gap
+      assert(rows.contains((1L, 3L, 16.0, true)))
+      assert(rows.contains((2L, 2L, 12.0, true)))
+      // user 3's session (09:00, timeout 09:30) stays open
+      assert(!rows.exists { case (u, _, _, c) => u == 3L && c })
+    } finally query.stop()
+  }
+
+  test("watermark evicts state: late data beyond 2h is dropped") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.hourlyAgg(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("wm_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(events)
+      query.processAllAvailable()
+      // advance the watermark decisively: 09:00 - 2h = 07:00, far past
+      // every window above → those windows finalize and emit
+      input.addData(Seq(Event(100L, ts("2024-01-01 09:00:00"), 3L, "view", 1.0)))
+      query.processAllAvailable()
+      // this event's window ([00:00,01:00), end 01:00 ≤ watermark 07:00)
+      // is already finalized → the row must be dropped, not re-aggregated
+      input.addData(Seq(Event(99L, ts("2024-01-01 00:05:30"), 3L, "click", 100.0)))
+      query.processAllAvailable()
+      val closed = spark.sql("SELECT window_start, event_type, cnt FROM wm_test")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      // the 00h click window finalized with exactly the one on-time event
+      assert(closed.contains(("2024-01-01 00:00:00.0", "click", 1L)))
+      assert(!closed.exists { case (w, t, c) => w.startsWith("2024-01-01 00:") && t == "click" && c > 1 })
+    } finally query.stop()
+  }
+}
