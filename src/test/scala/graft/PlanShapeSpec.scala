@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these operators hold
+  * up at 100 TB are plan shapes, not result values — filters reaching the
+  * parquet scan, dimensions broadcast instead of shuffled, per-group top-k
+  * pushed below the shuffle, global top-k never globally sorting, and the
+  * dedup/similarity suites never degenerating into cartesian products.
+  * Locking them in as tests means a refactor that silently regresses a
+  * plan fails CI, not the cluster.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def t(name: String) = spark.read.parquet(s"$dir/$name.parquet")
+
+  test("scanFilterProject pushes the filter and prunes columns at the scan") {
+    val p = Relational.scanFilterProject(t("lineitem"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      s"filter not pushed:\n$p")
+    // pruned read schema: the 5 needed columns only, not all 16
+    assert(p.contains("l_extendedprice") && !p.contains("l_shipmode"), s"columns not pruned:\n$p")
+  }
+
+  test("dimension joins broadcast the small side (no fact-table shuffle)") {
+    val p = plan(Relational.leftJoinExplicit(t("orders"), t("customer")))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side should not sort-merge:\n$p")
+  }
+
+  test("per-group top-k runs as WindowGroupLimit below the shuffle") {
+    val p = plan(Relational.windowTopKPerGroup(t("orders")))
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.sortLimit(t("orders")))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("grouped aggregation is two-phase (partial map-side combine)") {
+    val p = plan(Relational.pricingSummary(t("lineitem")))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final aggregate:\n$p")
+  }
+
+  test("LSH candidate generation contains no cartesian product or NL join") {
+    val p = plan(Dedup.lshCandidatePairs(t("documents")))
+    assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NL join in LSH plan:\n$p")
+  }
+
+  test("IVF cell search joins on the cell key — no cartesian product") {
+    val p = plan(Similarity.ivfTopK(t("embeddings")))
+    assert(!p.contains("CartesianProduct"), s"cartesian in IVF plan:\n$p")
+  }
+
+  test("flagship star query broadcasts the dimension chain") {
+    val p = plan(SparkEntry.entry(spark))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+  }
+
+  test("native vec_cosine stays inside whole-stage codegen") {
+    val df = Similarity.bruteForceTopK(t("embeddings"), numQueries = 2, k = 2)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    // the projection computing vec_cosine must appear inside a WSCG stage:
+    // find a generated-code section referencing the expression's value
+    assert(p.contains("WholeStageCodegen"), s"no codegen stages:\n${p.take(2000)}")
+    assert(plan(df).contains("vec_cosine"), "vec_cosine missing from plan")
+  }
+}
