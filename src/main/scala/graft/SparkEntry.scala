@@ -122,6 +122,7 @@ object SparkEntry {
     "q_docs_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     // ---- similarity search (LLM pipeline) ----
     "q_emb_topk" -> ((s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"))),
+    "q_emb_topk_agg" -> ((s, d) => Similarity.bruteForceTopKAgg(t(s, d, "embeddings"))),
     "q_emb_ivf_assign" -> ((s, d) => Similarity.ivfAssign(t(s, d, "embeddings"))),
     "q_emb_ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d, "embeddings"))),
     "q_emb_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"))),
@@ -508,6 +509,17 @@ object SparkEntry {
          |  FROM h GROUP BY doc_id)
          |SELECT doc_id, CAST($fp AS BIGINT) AS simhash16 FROM v ORDER BY doc_id""".stripMargin
     },
+    "q_emb_topk_agg" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+         |s AS (
+         |  SELECT query_id, cand_id, ${cosSql("q_emb", "c_emb")} AS cos
+         |  FROM q, c WHERE query_id <> cand_id),
+         |r AS (SELECT query_id, cand_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |      FROM s)
+         |SELECT query_id, rnk, cand_id, round(cos, 6) AS cos_sim
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_emb_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
          |c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),

@@ -50,6 +50,35 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** [[bruteForceTopK]] re-expressed through the typed
+    * [[graft.functions.TopKAggregator]] instead of a rank window: same
+    * result, but per-group state is a bounded k-list merged associatively
+    * (map-side partials shuffle k rows per query, never the candidate
+    * list). The UDAF/Aggregator leg of the operator surface.
+    */
+  def bruteForceTopKAgg(embeddings: DataFrame, numQueries: Int = 20, k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = embeddings.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val scored = q.hint("broadcast")
+      .join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), cosine(col("q_emb"), col("c_emb")).as("cos"))
+      .as[(Long, Long, Double)]
+    scored
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator[(Long, Long, Double)](k, _._2, _._3)
+        .toColumn.name("top"))
+      .flatMap { case (qid, tops) =>
+        tops.zipWithIndex.map { case ((cid, cos), i) => (qid, (i + 1).toLong, cid, cos) }
+      }
+      .toDF("query_id", "rnk", "cand_id", "cos")
+      .select(col("query_id"), col("rnk"), col("cand_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Deterministic pseudo-centroids: every vector whose id ≡ 0 (mod
     * `centroidStride`). Real IVF would k-means these; modulo selection
     * keeps the algorithm exactly replayable by the SQL oracle while

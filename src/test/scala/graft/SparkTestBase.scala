@@ -10,6 +10,7 @@ object SparkTestBase {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .appName("graft-tests")
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
