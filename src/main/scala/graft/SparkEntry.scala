@@ -120,6 +120,8 @@ object SparkEntry {
     "q_docs_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(t(s, d, "documents"))),
     "q_docs_neardup" -> ((s, d) => Dedup.ngramJaccardNearDup(t(s, d, "documents"))),
     "q_docs_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
+    "q_docs_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(t(s, d, "documents"))),
+    "q_docs_bigrams" -> ((s, d) => Dedup.wordBigrams(t(s, d, "documents"))),
     // ---- similarity search (LLM pipeline) ----
     "q_emb_topk" -> ((s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"))),
     "q_emb_topk_agg" -> ((s, d) => Similarity.bruteForceTopKAgg(t(s, d, "embeddings"))),
@@ -182,6 +184,28 @@ object SparkEntry {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Shared CTEs for the SimHash suite — mirrors [[Dedup.simhash]]
+    * (16-bit md5-prefix token hashes, majority vote per bit).
+    */
+  private val simhashCtes: String = {
+    val votes = (0 until Dedup.SimhashBits)
+      .map(b => s"CAST(sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
+      .mkString(",\n    ")
+    val fp = (0 until Dedup.SimhashBits)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                       x -> length(x) > 0)) AS tok
+       |  FROM documents),
+       |hh AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) AS hv FROM toks),
+       |vv AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM hh GROUP BY doc_id),
+       |sh16 AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash16 FROM vv)""".stripMargin
   }
 
   /** Stopword-count scoring fragment for langId: (len delta)/wordlen over
@@ -491,24 +515,33 @@ object SparkEntry {
          |  JOIN ds b ON p.doc_b = b.doc_id)
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
          |WHERE round(jac, 6) >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
-    "q_docs_simhash" -> {
-      val votes = (0 until Dedup.SimhashBits)
-        .map(b => s"CAST(sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
-        .mkString(",\n    ")
-      val fp = (0 until Dedup.SimhashBits)
-        .map(b => s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-         |                       x -> length(x) > 0)) AS tok
-         |  FROM documents),
-         |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) AS hv FROM toks),
-         |v AS (
-         |  SELECT doc_id,
-         |    $votes
-         |  FROM h GROUP BY doc_id)
-         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash16 FROM v ORDER BY doc_id""".stripMargin
-    },
+    "q_docs_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash16 FROM sh16 ORDER BY doc_id""".stripMargin,
+    "q_docs_simhash_pairs" ->
+      s"""WITH $simhashCtes,
+         |banded AS (
+         |  SELECT doc_id, simhash16, 0 AS band, simhash16 & 255 AS bv FROM sh16
+         |  UNION ALL
+         |  SELECT doc_id, simhash16, 1, simhash16 >> 8 FROM sh16)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_docs_bigrams" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ws), 1)),
+        |                          i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        |  FROM words)
+        |SELECT bigram, count(*) AS cnt, min(doc_id) AS first_doc
+        |FROM bg GROUP BY bigram HAVING count(*) >= 3 ORDER BY bigram""".stripMargin,
     "q_emb_topk_agg" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
          |c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),

@@ -138,6 +138,27 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Word bigrams per document via posexplode — the generator (UDTF-
+    * family) leg of the text suite. Position is kept so downstream
+    * consumers can reconstruct adjacency; one narrow generate stage, then
+    * a global bigram count.
+    */
+  def wordBigrams(documents: DataFrame, minCount: Long = 3L): DataFrame = {
+    val words = filter(
+      split(lower(col("text")), "[^a-z0-9]+"),
+      w => length(w) > 0)
+    val bigrams = zip_with(
+      slice(words, lit(1), greatest(size(words) - 1, lit(0))),
+      slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    documents
+      .select(col("doc_id"), posexplode(bigrams).as(Seq("pos", "bigram")))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("first_doc"))
+      .filter(col("cnt") >= minCount)
+      .orderBy("bigram")
+  }
+
   val SimhashBits = 16
 
   /** SimHash: 16-bit fingerprint from token-level md5 bits by majority
@@ -162,5 +183,32 @@ object Dedup {
       when(col(s"v$b") > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
     agg.select(col("doc_id"), fp.cast("long").as("simhash16")).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: candidates bucket on either byte-half of the
+    * 16-bit fingerprint (a pair within Hamming distance ≤ `maxHamming` ≤ 8
+    * must agree exactly on at least one half — pigeonhole), then the exact
+    * Hamming distance (bit_count of xor) filters. Same no-all-pairs shape
+    * as the MinHash LSH: equi-join on (band, value) buckets only.
+    */
+  def simhashNearDupPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(documents)
+    val banded = sigs.select(
+      col("doc_id"), col("simhash16"),
+      explode(array(
+        struct(lit(0).as("band"), col("simhash16").bitwiseAND(255).as("v")),
+        struct(lit(1).as("band"), shiftright(col("simhash16"), 8).as("v")))).as("b"))
+      .select(col("doc_id"), col("simhash16"), col("b.band"), col("b.v"))
+    val a = banded.select(col("band"), col("v"),
+      col("doc_id").as("id_a"), col("simhash16").as("fp_a"))
+    val b = banded.select(col("band"), col("v"),
+      col("doc_id").as("id_b"), col("simhash16").as("fp_b"))
+    a.join(b, Seq("band", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("id_a", "id_b")
   }
 }

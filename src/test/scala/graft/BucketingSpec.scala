@@ -16,7 +16,18 @@ class BucketingSpec extends AnyFunSuite {
 
   test("bucketed join on the bucket key plans without a shuffle exchange") {
     // tables land in the default warehouse dir (./spark-warehouse,
-    // gitignored); warehouse.dir is a static conf and can't move mid-session
+    // gitignored); warehouse.dir is a static conf and can't move
+    // mid-session. A fresh in-memory catalog doesn't know about dirs left
+    // by previous JVMs, so clear the physical locations too.
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    for (t <- Seq("orders_b", "lineitem_b")) {
+      val p = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
     spark.read.parquet(s"$dir/orders.parquet")

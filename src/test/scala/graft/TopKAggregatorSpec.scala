@@ -16,6 +16,30 @@ class TopKAggregatorSpec extends AnyFunSuite {
     window.zip(agg).foreach { case (w, a) => assert(w == a, s"window=$w agg=$a") }
   }
 
+  test("property: aggregator == sort-take-k under arbitrary partitioning") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalatest.prop.Configuration
+    val agg = new graft.functions.TopKAggregator[(Long, Double)](5, _._1, _._2)
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      items <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 30L), Gen.choose(-10.0, 10.0)))
+      cuts <- Gen.listOf(Gen.choose(0, math.max(n, 1)))
+    } yield (items, cuts.sorted.distinct)
+    val prop = Prop.forAll(gen) { case (items, cuts) =>
+      // split into arbitrary partitions, reduce each, merge in order
+      val bounds = (0 +: cuts :+ items.size).distinct.sorted
+      val parts = bounds.zip(bounds.tail).map { case (a, b) => items.slice(a, b) }
+      val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce)).foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged)
+      val want = items.map { case (id, s) => (s, id) }
+        .sortBy { case (s, id) => (-s, id) }.take(5).map { case (s, id) => (id, s) }
+      got == want
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("vec_cosine and vec_dot are callable from SQL via GraftExtensions") {
     val r = spark.sql(
       """SELECT round(vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
