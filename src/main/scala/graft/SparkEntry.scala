@@ -133,6 +133,9 @@ object SparkEntry {
     "q_multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFeatures(Multimodal.assetsFromDocuments(t(s, d, "documents")))
         .toDF().orderBy("asset_id")),
+    "q_multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.assetsFromDocuments(t(s, d, "documents")))
+        .toDF().orderBy("asset_id", "frame_idx")),
     // ---- reference reconciliation pipeline (golden-verified in tests;
     //      registered rows-only: its CSV inputs are not in the sf dirs) ----
     "q_etl_cleaned_trades" -> ((s, _) => {

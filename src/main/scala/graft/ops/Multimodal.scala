@@ -94,6 +94,59 @@ object Multimodal {
     }
   }
 
+  /** A resized media asset (stub: a real implementation decodes, scales,
+    * re-encodes; the stub derives a deterministic payload slice so the
+    * schema/partitioning contract is real and testable).
+    */
+  final case class ResizedAsset(
+      asset_id: Long,
+      media_type: String,
+      target_w: Int,
+      target_h: Int,
+      payload: Array[Byte],
+  )
+
+  /** Resize stage: same per-partition batch-map shape as [[decodeFeatures]].
+    * STUB codec — payload is truncated/cycled to a size proportional to the
+    * target area, deterministic in (content, target).
+    */
+  def resize(assets: Dataset[MediaAsset], targetW: Int, targetH: Int): Dataset[ResizedAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val outLen = math.max(1, math.min(a.payload.length, (targetW * targetH) / 64))
+        val out = Array.tabulate[Byte](outLen)(i => a.payload(i % math.max(a.payload.length, 1)))
+        ResizedAsset(a.asset_id, a.media_type, targetW, targetH, out)
+      }
+    }
+  }
+
+  /** One sampled frame of a video asset. */
+  final case class Frame(asset_id: Long, frame_idx: Int, frame_hash: String)
+
+  /** Frame sampling: every `stride`-th "frame" of video assets. STUB: a
+    * frame is a fixed-size window over the payload; a real decoder seeks
+    * keyframes. This is the one generator-shaped multimodal op (1 → N
+    * rows), so it uses flatMap on the typed Dataset — still a narrow map
+    * stage, no shuffle; downstream per-frame work parallelizes by
+    * repartitioning on (asset_id, frame_idx) if needed.
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], stride: Int = 4, frameBytes: Int = 256): Dataset[Frame] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(_.media_type == "video").flatMap { a =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val nFrames = math.max(1, a.payload.length / frameBytes)
+      (0 until nFrames by stride).map { f =>
+        val from = f * frameBytes
+        val slice = a.payload.slice(from, math.min(from + frameBytes, a.payload.length))
+        // MessageDigest.digest resets after each call — safe to reuse
+        Frame(a.asset_id, f, md.digest(slice).take(8).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
   /** SQL-expressible metadata extraction over the binary payload (byte
     * length, content hash, hex preview) — the part of the multimodal path
     * the DuckDB oracle can replay exactly.

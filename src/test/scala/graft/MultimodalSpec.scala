@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def assets = Multimodal.assetsFromDocuments(
+    spark.read.parquet(s"$dir/documents.parquet"))
+
+  test("decode emits deterministic features with the declared schema") {
+    val f = Multimodal.decodeFeatures(assets)
+    assert(f.columns.toSeq ==
+      Seq("asset_id", "media_type", "n_bytes", "width", "height", "phash"))
+    val rows = f.collect()
+    assert(rows.nonEmpty)
+    // deterministic: second run produces identical features
+    val again = Multimodal.decodeFeatures(assets).collect()
+    assert(rows.sortBy(_.asset_id).toSeq == again.sortBy(_.asset_id).toSeq)
+    rows.foreach { r =>
+      assert(r.width % 16 == 0 && r.width >= 16 && r.height % 16 == 0)
+      assert(r.phash.length == 16)
+    }
+  }
+
+  test("resize respects target dims and stays deterministic in content") {
+    val r = Multimodal.resize(assets, 64, 64).collect()
+    assert(r.nonEmpty)
+    r.foreach { a =>
+      assert(a.target_w == 64 && a.target_h == 64)
+      assert(a.payload.length <= 64 * 64 / 64)
+    }
+  }
+
+  test("frame sampling yields every stride-th frame of video assets only") {
+    val frames = Multimodal.sampleFrames(assets, stride = 2, frameBytes = 64).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    val videoIds = assets.filter(_.media_type == "video").collect().map(_.asset_id).toSet
+    assert(frames.map(_.asset_id).toSet.subsetOf(videoIds))
+    // frame count follows payload length
+    val byId = frames.groupBy(_.asset_id)
+    val lens = assets.collect().map(a => a.asset_id -> a.payload.length).toMap
+    byId.foreach { case (id, fs) =>
+      val expected = (0 until math.max(1, lens(id) / 64) by 2).size
+      assert(fs.length == expected, s"asset $id")
+    }
+  }
+}
