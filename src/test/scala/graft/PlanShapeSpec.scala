@@ -62,9 +62,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in IVF plan:\n$p")
   }
 
-  test("flagship star query broadcasts the dimension chain") {
-    val p = plan(SparkEntry.entry(spark))
+  test("flagship star query broadcasts the dimension chain and returns rows") {
+    val df = SparkEntry.entry(spark)
+    val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    assert(df.count() > 0) // the driver's smoke check
   }
 
   test("native vec_cosine stays inside whole-stage codegen") {
