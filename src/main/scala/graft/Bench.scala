@@ -32,10 +32,13 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Locale.ROOT: a comma-decimal default locale would render "1,234"
+    // and corrupt the JSON line
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results
-      .map { case (k, v) => s"${Json.quote(k)}:${"%.3f".format(v)}" }
+      .map { case (k, v) => s"${Json.quote(k)}:${f3(v)}" }
       .mkString("{", ",", "}")
-    val total = "%.3f".format(results.map(_._2).sum)
+    val total = f3(results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}}""")
     spark.stop()
   }

@@ -183,9 +183,14 @@ object SparkEntry {
        |  UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h2, h3)) FROM h
        |  UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h4, h5)) FROM h
        |  UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h6, h7)) FROM h),
+       |ok_buckets AS (
+       |  SELECT band_idx, band_hash FROM bands
+       |  GROUP BY band_idx, band_hash HAVING count(*) BETWEEN 2 AND 1000),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM bands a
+       |  JOIN ok_buckets k ON a.band_idx = k.band_idx AND a.band_hash = k.band_hash
+       |  JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)""".stripMargin
   }
 
@@ -524,9 +529,9 @@ object SparkEntry {
     "q_docs_simhash_pairs" ->
       s"""WITH $simhashCtes,
          |banded AS (
-         |  SELECT doc_id, simhash16, 0 AS band, simhash16 & 255 AS bv FROM sh16
-         |  UNION ALL
-         |  SELECT doc_id, simhash16, 1, simhash16 >> 8 FROM sh16)
+         |${(0 until Dedup.SimhashBands).map(b =>
+            s"  SELECT doc_id, simhash16, $b AS band, (simhash16 >> ${b * 4}) & 15 AS bv FROM sh16")
+            .mkString("\n  UNION ALL\n")})
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT) AS hamming
          |FROM banded a JOIN banded b

@@ -33,10 +33,17 @@ object JsonSink {
     *         (use [[writeJsonLines]] instead at scale).
     */
   def writeSingleJsonArray(df: DataFrame, path: String, maxRows: Long = DefaultMaxRows): Long = {
-    val rows: Array[String] = df.toJSON.collect()
-    require(
-      rows.length <= maxRows,
-      s"writeSingleJsonArray: ${rows.length} rows exceeds maxRows=$maxRows; use writeJsonLines for large outputs")
+    // stream partition-at-a-time so the guard trips BEFORE the driver
+    // holds more than maxRows rows (a post-collect check would OOM first)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = df.toJSON.toLocalIterator()
+    while (it.hasNext) {
+      require(
+        buf.length < maxRows,
+        s"writeSingleJsonArray: more than maxRows=$maxRows rows; use writeJsonLines for large outputs")
+      buf += it.next()
+    }
+    val rows: Seq[String] = buf.toSeq
     val mapper = new ObjectMapper()
     val arr: ArrayNode = mapper.createArrayNode()
     rows.foreach { r => arr.add(mapper.readTree(r): JsonNode) }

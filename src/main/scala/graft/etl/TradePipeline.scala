@@ -47,13 +47,17 @@ object TradePipeline {
     val symbols = TradeEtl.readCsv(spark, symbolsCsv)
 
     // Quality: metrics by count-subtraction (reference: etl_pipeline.py:105-140).
+    // The dedup aggregate (a full shuffle) only runs when the toggle asks
+    // for it — the reference computes its duplicate metric the same way,
+    // inside the same toggle (etl_pipeline.py:111-123).
     val processed = trades.count()
-    val deduped = TradeEtl.dedupByTradeId(trades)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterDedupCount = deduped.count()
-    val duplicateCount = processed - afterDedupCount
-    val afterDedup = if (cfg.dataQuality.filterDuplicates) deduped else trades
-    val baseCount = if (cfg.dataQuality.filterDuplicates) afterDedupCount else processed
+    val (afterDedup, baseCount, duplicateCount, dedupHandle) =
+      if (cfg.dataQuality.filterDuplicates) {
+        val deduped = TradeEtl.dedupByTradeId(trades)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val afterDedupCount = deduped.count()
+        (deduped, afterDedupCount, processed - afterDedupCount, Some(deduped))
+      } else (trades, processed, 0L, None)
 
     val withoutCancelled = TradeEtl.filterCancelled(afterDedup)
     val withoutCancelledCount = withoutCancelled.count()
@@ -77,7 +81,7 @@ object TradePipeline {
 
     val cleaned = TradeEtl.cleanValid(valid, cfg.validation.priceDecimalPlaces)
     val exceptions = TradeEtl.exceptionsReport(invalid)
-    deduped.unpersist(blocking = false)
+    dedupHandle.foreach(_.unpersist(blocking = false))
 
     Result(
       cleanedTrades = cleaned,

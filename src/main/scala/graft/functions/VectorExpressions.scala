@@ -20,7 +20,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * generated Java (`doGenCode`), with an interpreted `nullSafeEval` twin
   * for completeness. Arithmetic (per-element double widening, sequential
   * accumulation, `dot / (sqrt(na)·sqrt(nb))`) matches the HOF formulation
-  * bit-for-bit, so results are unchanged — only faster.
+  * bit-for-bit for non-degenerate inputs; the one deliberate divergence
+  * is the zero vector, where cosine returns 0.0 instead of the HOF's
+  * 0/0 = NaN (NaN sorts above every real double and would poison
+  * descending top-k rankings).
   */
 object VectorExpressions {
 
@@ -90,7 +93,11 @@ object VectorExpressions {
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+      // zero vector: similarity 0.0, not NaN — NaN sorts ABOVE every real
+      // double in Spark, so a NaN would rank a zero embedding as the top
+      // match of every descending top-k
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -114,7 +121,8 @@ object VectorExpressions {
            |  double $y = (double) $xb[$i];
            |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
            |}
-           |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+           |${ev.value} = ($na == 0.0 || $nb == 0.0)
+           |  ? 0.0 : $dot / (Math.sqrt($na) * Math.sqrt($nb));
            |""".stripMargin
       })
 

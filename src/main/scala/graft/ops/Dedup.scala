@@ -87,9 +87,12 @@ object Dedup {
     * form with a single shuffle on (band_idx, band_hash), and pairs are
     * generated inside each bucket from the sorted id list (never an
     * all-pairs comparison, never a self-join that recomputes the signature
-    * pipeline on both sides). `maxBucket` caps degenerate buckets (boiler-
-    * plate text at web scale) so worst-case skew is bounded: a capped
-    * bucket contributes at most maxBucket² pairs.
+    * pipeline on both sides). `maxBucket` bounds worst-case skew by
+    * DROPPING buckets larger than the cap entirely (degenerate boilerplate
+    * buckets at web scale would otherwise contribute O(bucket²) pairs);
+    * over-cap content should instead be routed to exact dedup, which
+    * catches identical text directly. The DuckDB oracle replicates the
+    * cap, so Spark and oracle agree on dropped buckets.
     */
   def lshCandidatePairs(documents: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val sigs = minhashSignatures(documents)
@@ -185,19 +188,26 @@ object Dedup {
     agg.select(col("doc_id"), fp.cast("long").as("simhash16")).orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs: candidates bucket on either byte-half of the
-    * 16-bit fingerprint (a pair within Hamming distance ≤ `maxHamming` ≤ 8
-    * must agree exactly on at least one half — pigeonhole), then the exact
-    * Hamming distance (bit_count of xor) filters. Same no-all-pairs shape
-    * as the MinHash LSH: equi-join on (band, value) buckets only.
+  /** SimHash near-dup pairs: candidates bucket on each of 4 nibble bands
+    * of the 16-bit fingerprint — a pair within Hamming distance ≤ 3 has
+    * at most 3 differing bits spread over 4 bands, so by pigeonhole at
+    * least one band matches exactly (full recall needs bands >
+    * maxHamming) — then the exact Hamming distance (bit_count of xor)
+    * filters. Same no-all-pairs shape as the MinHash LSH: equi-join on
+    * (band, value) buckets only.
     */
+  val SimhashBands = 4
+
   def simhashNearDupPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < SimhashBands, "pigeonhole recall needs bands > maxHamming")
     val sigs = simhash(documents)
+    val bandCols = (0 until SimhashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash16"), b * 4).bitwiseAND(15).as("v"))
+    }
     val banded = sigs.select(
       col("doc_id"), col("simhash16"),
-      explode(array(
-        struct(lit(0).as("band"), col("simhash16").bitwiseAND(255).as("v")),
-        struct(lit(1).as("band"), shiftright(col("simhash16"), 8).as("v")))).as("b"))
+      explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("simhash16"), col("b.band"), col("b.v"))
     val a = banded.select(col("band"), col("v"),
       col("doc_id").as("id_a"), col("simhash16").as("fp_a"))

@@ -115,8 +115,12 @@ object Multimodal {
     import spark.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        val outLen = math.max(1, math.min(a.payload.length, (targetW * targetH) / 64))
-        val out = Array.tabulate[Byte](outLen)(i => a.payload(i % math.max(a.payload.length, 1)))
+        val out =
+          if (a.payload.isEmpty) Array.empty[Byte] // nothing to scale
+          else {
+            val outLen = math.max(1, math.min(a.payload.length, (targetW * targetH) / 64))
+            Array.tabulate[Byte](outLen)(i => a.payload(i % a.payload.length))
+          }
         ResizedAsset(a.asset_id, a.media_type, targetW, targetH, out)
       }
     }

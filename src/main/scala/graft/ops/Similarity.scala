@@ -110,10 +110,18 @@ object Similarity {
     * the n²-free scale path (with the recall/latency knob being
     * `centroidStride`).
     */
-  def ivfTopK(embeddings: DataFrame, numQueries: Int = 20, k: Int = 5, centroidStride: Int = 100): DataFrame = {
+  def ivfTopK(
+      embeddings: DataFrame,
+      numQueries: Int = 20,
+      k: Int = 5,
+      centroidStride: Int = 100,
+      precomputedAssign: Option[DataFrame] = None): DataFrame = {
     // the assignment is the "index build" — persist it so the query and
-    // candidate sides of the cell join don't each recompute the argmin
-    val assign = ivfAssign(embeddings, centroidStride).persist()
+    // candidate sides of the cell join don't each recompute the argmin.
+    // Long-lived callers should build it once via ivfAssign, persist, pass
+    // it in, and own unpersist; the internal default is released by
+    // Spark's ContextCleaner once unreferenced.
+    val assign = precomputedAssign.getOrElse(ivfAssign(embeddings, centroidStride).persist())
     val withCell = embeddings.join(assign.select("vec_id", "cell"), Seq("vec_id"))
     val q = withCell
       .filter(col("vec_id") < numQueries)
@@ -133,8 +141,12 @@ object Similarity {
     * threshold, generated through the IVF cells (docs only compared within
     * a cell — no all-pairs). Used as the embedding leg of the dedup suite.
     */
-  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.35, centroidStride: Int = 50): DataFrame = {
-    val assign = ivfAssign(embeddings, centroidStride).persist()
+  def cosineNearDupPairs(
+      embeddings: DataFrame,
+      threshold: Double = 0.35,
+      centroidStride: Int = 50,
+      precomputedAssign: Option[DataFrame] = None): DataFrame = {
+    val assign = precomputedAssign.getOrElse(ivfAssign(embeddings, centroidStride).persist())
     val withCell = embeddings.join(assign.select("vec_id", "cell"), Seq("vec_id"))
     val a = withCell.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("cell"))
     val b = withCell.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("cell"))

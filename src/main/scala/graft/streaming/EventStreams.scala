@@ -39,13 +39,17 @@ object EventStreams {
   final case class SessionUpdate(user_id: Long, events_in_session: Long,
       session_value: Double, closed: Boolean)
 
-  /** Custom sessionization state machine via mapGroupsWithState: per-user
-    * running session, closed when the event-time watermark passes
-    * `gapSeconds` after the session's last event. Event-time timeouts
-    * (not processing-time) keep the state machine deterministic and
-    * replayable — reprocessing the same input produces the same sessions,
-    * and the query quiesces when the source drains (a processing-time
-    * timeout keeps scheduling wall-clock batches forever).
+  /** Custom sessionization state machine via flatMapGroupsWithState:
+    * per-user sessions split on a `gapSeconds` inactivity gap — the same
+    * rule as the batch twin [[graft.ops.TimeOps.sessionize]] — with the
+    * open session closed when the event-time watermark passes
+    * `gapSeconds` after its last event. Event-time timeouts (not
+    * processing-time) keep the machine deterministic and replayable:
+    * reprocessing the same input yields the same sessions regardless of
+    * micro-batch boundaries, and the query quiesces when the source
+    * drains. flatMap (not map) because one batch can close several
+    * sessions for a user (each gap crossing emits a closed session plus
+    * the new open one).
     */
   def sessionizeStream(
       events: Dataset[Event],
@@ -53,26 +57,38 @@ object EventStreams {
       watermarkDelay: String = "2 hours"): Dataset[SessionUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapMs = gapSeconds * 1000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.EventTimeTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionUpdate(userId, s.count, s.sum, closed = true)
+            Iterator(SessionUpdate(userId, s.count, s.sum, closed = true))
           } else {
-            val evs = batch.toSeq
-            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-            val next = SessionState(
-              prev.count + evs.size,
-              prev.sum + evs.map(_.value).sum,
-              math.max(prev.lastTs, evs.map(_.ts.getTime).maxOption.getOrElse(0L)))
-            state.update(next)
-            // session closes when the watermark passes last event + gap
-            state.setTimeoutTimestamp(next.lastTs + gapSeconds * 1000L)
-            SessionUpdate(userId, next.count, next.sum, closed = false)
+            // in-batch events in event-time order; gap > gapSeconds starts
+            // a new session (strict >, matching the batch twin)
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            val out = scala.collection.mutable.ListBuffer.empty[SessionUpdate]
+            var cur = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            evs.foreach { e =>
+              if (cur.count > 0L && e.ts.getTime - cur.lastTs > gapMs) {
+                out += SessionUpdate(userId, cur.count, cur.sum, closed = true)
+                cur = SessionState(0L, 0.0, 0L)
+              }
+              cur = SessionState(
+                cur.count + 1L,
+                cur.sum + e.value,
+                math.max(cur.lastTs, e.ts.getTime))
+            }
+            state.update(cur)
+            // the open session closes when the watermark passes its gap
+            state.setTimeoutTimestamp(cur.lastTs + gapMs)
+            out += SessionUpdate(userId, cur.count, cur.sum, closed = false)
+            out.iterator
           }
       }
   }

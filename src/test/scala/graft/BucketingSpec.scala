@@ -49,9 +49,9 @@ class BucketingSpec extends AnyFunSuite {
     try {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
-      // the join itself must consume bucketed scans directly — the only
-      // allowed exchange is the post-join aggregation shuffle
-      val joinPart = plan.substring(0, plan.indexOf("SortMergeJoin"))
+      // the join must consume bucketed scans directly: nothing below the
+      // SortMergeJoin may be an exchange (the aggregation shuffle above
+      // the join is expected and allowed)
       assert(!plan.substring(plan.indexOf("SortMergeJoin")).contains("Exchange"),
         s"join inputs shuffled despite bucketing:\n$plan")
       // and the result is still correct

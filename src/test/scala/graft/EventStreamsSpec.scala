@@ -81,10 +81,13 @@ class EventStreamsSpec extends AnyFunSuite {
         "SELECT user_id, events_in_session, session_value, closed FROM session_test")
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
-      assert(rows.contains((1L, 3L, 16.0, false))) // 2.0 + 3.0 + 11.0 accumulated
-      // both sessions close once the watermark (09:00, via the no-data
-      // micro-batch) passes lastTs + gap
-      assert(rows.contains((1L, 3L, 16.0, true)))
+      // user 1's gaps (40 min, 2h14m) both exceed the 30-min session gap,
+      // so each event is its own session — same as the batch twin
+      assert(rows.contains((1L, 1L, 2.0, true)))  // split within batch 1
+      assert(rows.contains((1L, 1L, 3.0, true)))  // split by batch 2's event
+      assert(rows.contains((1L, 1L, 11.0, true))) // closed by the watermark
+      assert(!rows.exists { case (u, n, _, _) => u == 1L && n > 1L })
+      // user 2's events are 10 min apart: one session, closed by watermark
       assert(rows.contains((2L, 2L, 12.0, true)))
       // user 3's session (09:00, timeout 09:30) stays open
       assert(!rows.exists { case (u, _, _, c) => u == 3L && c })

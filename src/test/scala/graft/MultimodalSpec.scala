@@ -35,6 +35,14 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize handles an empty payload without failing the stage") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val empty = Seq(Multimodal.MediaAsset(1L, "image", Array.empty[Byte], "t")).toDS()
+    val r = Multimodal.resize(empty, 64, 64).collect()
+    assert(r.length == 1 && r(0).payload.isEmpty)
+  }
+
   test("frame sampling yields every stride-th frame of video assets only") {
     val frames = Multimodal.sampleFrames(assets, stride = 2, frameBytes = 64).collect()
     assert(frames.nonEmpty)

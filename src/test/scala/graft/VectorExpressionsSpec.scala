@@ -52,6 +52,16 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(math.abs(byId(2).getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("vec_cosine of a zero vector is 0.0, not NaN (NaN would top every desc sort)") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)),
+      StructField("b", ArrayType(FloatType))))
+    val z = spark.createDataFrame(
+      java.util.Arrays.asList(Row(Array(0.0f, 0.0f), Array(1.0f, 2.0f))), schema)
+    val v = z.select(vecCosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(v == 0.0 && !v.isNaN)
+  }
+
   test("vec_cosine survives both codegen and interpreted paths") {
     val expected = df.filter(col("a").isNotNull)
       .select(vecCosine(col("a"), col("b"))).collect().map(_.getDouble(0)).sorted

@@ -76,5 +76,4 @@ for name, sql in sorted(oracle.items()):
         print(f"OK   {name} ({len(orows)} rows)")
 
 print(f"\n{len(oracle) - len(failures)}/{len(oracle)} oracle checks pass")
-rows_only = set(json.load(open(f"{out_dir}/oracle_sql.json")).keys())
 sys.exit(1 if failures else 0)
