@@ -73,6 +73,10 @@ object SparkEntry {
     "q_sort_limit" -> ((s, d) => Relational.sortLimit(t(s, d, "orders"))),
     "q_set_union" -> ((s, d) => Relational.unionDistinctKeys(t(s, d, "customer"), t(s, d, "orders"))),
     "q_set_except" -> ((s, d) => Relational.exceptKeys(t(s, d, "customer"), t(s, d, "orders"))),
+    "q_set_intersect" -> ((s, d) => Relational.intersectKeys(t(s, d, "customer"), t(s, d, "orders"))),
+    "q_agg_collect" -> ((s, d) => Relational.collectAgg(t(s, d, "orders"))),
+    "q_window_range" -> ((s, d) => Relational.windowRangeFrame(t(s, d, "orders"))),
+    "q_window_ntile" -> ((s, d) => Relational.windowNtile(t(s, d, "orders"))),
     "q_agg_cube" -> ((s, d) => Relational.cubeAgg(t(s, d, "lineitem"))),
     "q_agg_percentile" -> ((s, d) => Relational.percentiles(t(s, d, "lineitem"))),
     "q_agg_approx" -> ((s, d) => Relational.approxAgg(t(s, d, "lineitem"))),
@@ -306,6 +310,27 @@ object SparkEntry {
     "q_set_except" ->
       """SELECT c_custkey AS id FROM customer
         |EXCEPT SELECT o_custkey AS id FROM orders ORDER BY id""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT c_custkey AS id FROM customer
+        |INTERSECT SELECT o_custkey AS id FROM orders ORDER BY id""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT o_custkey,
+        |  list_sort(list(o_orderkey)) AS order_keys,
+        |  list_sort(list(DISTINCT o_orderstatus)) AS statuses
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS near_sum
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_agg_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt

@@ -208,6 +208,53 @@ object Relational {
       .except(orders.select(col("o_custkey").as("id")))
       .orderBy("id")
 
+  /** Set op: INTERSECT — customer keys that did order. */
+  def intersectKeys(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey").as("id"))
+      .intersect(orders.select(col("o_custkey").as("id")))
+      .orderBy("id")
+
+  /** Ordered collect_list per group — list-typed aggregation state. The
+    * sort_array makes the list deterministic regardless of partitioning
+    * (collect_list order is arrival order, which is not).
+    */
+  def collectAgg(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_custkey")
+      .agg(
+        sort_array(collect_list("o_orderkey")).as("order_keys"),
+        sort_array(collect_set("o_orderstatus")).as("statuses"))
+      .orderBy("o_custkey")
+
+  /** RANGE window frame: per-customer sum of all orders priced within
+    * 10000.0 below the current row's price — a value-range frame, not a
+    * row-count frame.
+    */
+  def windowRangeFrame(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+      .rangeBetween(-10000.0.toLong, Window.currentRow)
+    orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("near_sum"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Distribution windows: quartile bucket + percentile rank per customer's
+    * orders by price.
+    */
+  def windowNtile(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** F3/F4/F5: chained when/otherwise bucketing + null predicate. */
   def whenCaseBuckets(orders: DataFrame): DataFrame =
     orders
