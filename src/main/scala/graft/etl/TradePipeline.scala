@@ -59,11 +59,13 @@ object TradePipeline {
         (deduped, afterDedupCount, processed - afterDedupCount, Some(deduped))
       } else (trades, processed, 0L, None)
 
-    val withoutCancelled = TradeEtl.filterCancelled(afterDedup)
-    val withoutCancelledCount = withoutCancelled.count()
-    val cancelledCount = baseCount - withoutCancelledCount
-    val qualityDf =
-      if (cfg.dataQuality.filterCancelledTrades) withoutCancelled else afterDedup
+    // Same gating as the reference (etl_pipeline.py:126-138): toggle off
+    // means no filter scan and a 0 metric.
+    val (qualityDf, cancelledCount) =
+      if (cfg.dataQuality.filterCancelledTrades) {
+        val withoutCancelled = TradeEtl.filterCancelled(afterDedup)
+        (withoutCancelled, baseCount - withoutCancelled.count())
+      } else (afterDedup, 0L)
 
     // Enrich + validate, persisted once for the 3 downstream consumers
     // (valid branch, invalid branch, discrepancy count).
