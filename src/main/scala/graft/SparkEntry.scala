@@ -199,25 +199,25 @@ object SparkEntry {
   }
 
   /** Shared CTEs for the SimHash suite — mirrors [[Dedup.simhash]]
-    * (16-bit md5-prefix token hashes, majority vote per bit).
+    * (60-bit md5-prefix token hashes, majority vote per bit).
     */
   private val simhashCtes: String = {
     val votes = (0 until Dedup.SimhashBits)
       .map(b => s"CAST(sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
       .mkString(",\n    ")
     val fp = (0 until Dedup.SimhashBits)
-      .map(b => s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+      .map(b => s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
     s"""toks AS (
        |  SELECT doc_id,
        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        |                       x -> length(x) > 0)) AS tok
        |  FROM documents),
-       |hh AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) AS hv FROM toks),
+       |hh AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv FROM toks),
        |vv AS (
        |  SELECT doc_id,
        |    $votes
        |  FROM hh GROUP BY doc_id),
-       |sh16 AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash16 FROM vv)""".stripMargin
+       |sh16 AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM vv)""".stripMargin
   }
 
   /** Stopword-count scoring fragment for langId: (len delta)/wordlen over
@@ -550,18 +550,18 @@ object SparkEntry {
          |WHERE round(jac, 6) >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
     "q_docs_simhash" ->
       s"""WITH $simhashCtes
-         |SELECT doc_id, simhash16 FROM sh16 ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, simhash FROM sh16 ORDER BY doc_id""".stripMargin,
     "q_docs_simhash_pairs" ->
       s"""WITH $simhashCtes,
          |banded AS (
          |${(0 until Dedup.SimhashBands).map(b =>
-            s"  SELECT doc_id, simhash16, $b AS band, (simhash16 >> ${b * 4}) & 15 AS bv FROM sh16")
+            s"  SELECT doc_id, simhash, $b AS band, (simhash >> ${b * Dedup.SimhashBandBits}) & ${(1L << Dedup.SimhashBandBits) - 1L} AS bv FROM sh16")
             .mkString("\n  UNION ALL\n")})
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT) AS hamming
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     "q_docs_bigrams" ->
       """WITH words AS (

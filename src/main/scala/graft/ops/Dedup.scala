@@ -162,9 +162,15 @@ object Dedup {
       .orderBy("bigram")
   }
 
-  val SimhashBits = 16
+  // 60-bit fingerprint (15 hex chars of md5: stays positive in a signed
+  // 64-bit integer on every engine), banded as 4 × 15 bits. Wide bands
+  // are what make the candidate join selective: 2^15 values per band
+  // versus 16 for nibble bands — the difference between tiny buckets and
+  // n²-in-disguise at corpus scale.
+  val SimhashBits = 60
+  val SimhashBandBits = 15
 
-  /** SimHash: 16-bit fingerprint from token-level md5 bits by majority
+  /** SimHash: 60-bit fingerprint from token-level md5 bits by majority
     * vote. Tokens explode → per-doc aggregate of ±1 votes per bit →
     * fingerprint; one shuffle on doc_id (combine-heavy: partial sums
     * map-side). Near-dup docs differ in few bits (compare via Hamming
@@ -176,20 +182,20 @@ object Dedup {
       explode(filter(
         split(lower(col("text")), "[^a-z0-9]+"),
         t => length(t) > 0)).as("tok"))
-    // token hash: first 4 hex chars of md5 → 16-bit int
-    val h = conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int")
+    // token hash: first 15 hex chars of md5 → 60-bit long
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
     val votes = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+      sum(when(shiftright(h, b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v$b")
     }
     val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
     val fp = (0 until SimhashBits).map { b =>
-      when(col(s"v$b") > 0, lit(1 << b)).otherwise(lit(0))
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    agg.select(col("doc_id"), fp.cast("long").as("simhash16")).orderBy("doc_id")
+    agg.select(col("doc_id"), fp.cast("long").as("simhash")).orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs: candidates bucket on each of 4 nibble bands
-    * of the 16-bit fingerprint — a pair within Hamming distance ≤ 3 has
+  /** SimHash near-dup pairs: candidates bucket on each of 4 15-bit bands
+    * of the 60-bit fingerprint — a pair within Hamming distance ≤ 3 has
     * at most 3 differing bits spread over 4 bands, so by pigeonhole at
     * least one band matches exactly (full recall needs bands >
     * maxHamming) — then the exact Hamming distance (bit_count of xor)
@@ -200,19 +206,20 @@ object Dedup {
 
   def simhashNearDupPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < SimhashBands, "pigeonhole recall needs bands > maxHamming")
+    val bandMask = (1L << SimhashBandBits) - 1L
     val sigs = simhash(documents)
     val bandCols = (0 until SimhashBands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash16"), b * 4).bitwiseAND(15).as("v"))
+        shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(bandMask).as("v"))
     }
     val banded = sigs.select(
-      col("doc_id"), col("simhash16"),
+      col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("simhash16"), col("b.band"), col("b.v"))
+      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.v"))
     val a = banded.select(col("band"), col("v"),
-      col("doc_id").as("id_a"), col("simhash16").as("fp_a"))
+      col("doc_id").as("id_a"), col("simhash").as("fp_a"))
     val b = banded.select(col("band"), col("v"),
-      col("doc_id").as("id_b"), col("simhash16").as("fp_b"))
+      col("doc_id").as("id_b"), col("simhash").as("fp_b"))
     a.join(b, Seq("band", "v"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
