@@ -240,7 +240,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  round(l_extendedprice * (1.0 - l_discount), 4) AS net_price
         |FROM lineitem WHERE l_returnflag = 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, net_price""".stripMargin,
     "q_cast_types" ->
       """SELECT o_orderkey,
         |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio,
@@ -419,7 +419,8 @@ object SparkEntry {
         |    (l_quantity <= 45.0 AND l_discount <= 0.05
         |      AND l_tax < l_discount + 0.06) AS is_valid
         |  FROM lineitem)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, is_valid,
+        |  exception_type NULLS FIRST, details NULLS FIRST""".stripMargin,
     "q_struct_pack" ->
       """SELECT o_orderkey,
         |  '{"status":"' || o_orderstatus || '","priority":"' || o_orderpriority || '"}' AS packed

@@ -37,7 +37,10 @@ object Relational {
         // AT 4dp is grid-aligned (engine-neutral); rounding at 2dp would sit
         // on .xx5 boundaries where HALF_UP vs float-rounding engines differ
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("net_price"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // order by every output column so the row order is total up to
+      // fully-identical rows (engine-neutral under order-sensitive hashing)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "net_price")
 
   /** F1/F2: cast pipeline (string→int parse, int→double widening). Uses
     * try-semantics-compatible string parsing so dirty input nulls out
@@ -301,7 +304,9 @@ object Relational {
         col("is_valid"),
         when(col("is_valid"), lit(null)).otherwise(array_join(col("codes"), ", ")).as("exception_type"),
         when(col("is_valid"), lit(null)).otherwise(array_join(col("msgs"), "; ")).as("details"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // total order over all output columns — (l_orderkey, l_linenumber)
+      // alone has ties with differing validity in the synthetic data
+      .orderBy("l_orderkey", "l_linenumber", "is_valid", "exception_type", "details")
   }
 
   /** R7/F17: struct packing rendered as canonical JSON (struct columns

@@ -56,11 +56,14 @@ for name, sql in sorted(oracle.items()):
         failures.append((name, f"rows: oracle={len(orows)} spark={len(srows)}"))
         print(f"FAIL {name}: rows oracle={len(orows)} spark={len(srows)}")
         continue
-    # reorder columns by sorted name, then sort rows (driver hashes sorted cols)
+    # reorder columns by sorted name and compare rows IN RETURNED ORDER —
+    # stricter than a sorted compare: it catches queries whose ORDER BY is
+    # not a total order (engines may order ties differently, which breaks
+    # any order-sensitive hash the driver might use)
     operm = [ocols.index(c) for c in sorted(ocols)]
     sperm = [scols.index(c) for c in sorted(scols)]
-    okey = sorted([tuple(norm(r[i]) for i in operm) for r in orows], key=lambda r: tuple(str(x) for x in r))
-    skey = sorted([tuple(norm(r[i]) for i in sperm) for r in srows], key=lambda r: tuple(str(x) for x in r))
+    okey = [tuple(norm(r[i]) for i in operm) for r in orows]
+    skey = [tuple(norm(r[i]) for i in sperm) for r in srows]
     bad = None
     for i, (ra, rb) in enumerate(zip(okey, skey)):
         for a, b in zip(ra, rb):
