@@ -93,6 +93,37 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * views from the preceding `windowSeconds`. Both sides are watermarked
+    * so the join state is bounded — Spark buffers only rows young enough
+    * to still find a match, evicting by event time. The equi-key
+    * (user_id) partitions the state; the time bounds turn an unbounded
+    * stream join into a sliding-window join.
+    */
+  def clickToRecentViews(events: DataFrame, windowSeconds: Long = 1800L): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("view_user_id"),
+        col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    clicks.join(
+      views,
+      col("user_id") === col("view_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowSeconds SECONDS"),
+      "inner")
+      .select(col("user_id"), col("click_id"), col("view_id"), col("click_ts"), col("view_ts"))
+  }
+
   /** Wire a parquet-directory file stream of events through [[hourlyAgg]]
     * into an in-memory table (for tests / local runs). Returns the query;
     * callers stop it.

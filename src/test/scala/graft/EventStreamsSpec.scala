@@ -94,6 +94,31 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join pairs clicks with recent views only") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val joined = EventStreams.clickToRecentViews(input.toDF(), windowSeconds = 1800L)
+    val query = joined.writeStream
+      .format("memory")
+      .queryName("ssj_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(Seq(
+        Event(1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0),   // in window
+        Event(2L, ts("2024-01-01 10:20:00"), 7L, "view", 1.0),   // in window
+        Event(3L, ts("2024-01-01 09:00:00"), 7L, "view", 1.0),   // too old
+        Event(4L, ts("2024-01-01 10:25:00"), 8L, "view", 1.0),   // other user
+        Event(5L, ts("2024-01-01 10:30:00"), 7L, "click", 1.0)))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT click_id, view_id FROM ssj_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((5L, 1L), (5L, 2L)))
+    } finally query.stop()
+  }
+
   test("watermark evicts state: late data beyond 2h is dropped") {
     val sparkS = spark
     import sparkS.implicits._
