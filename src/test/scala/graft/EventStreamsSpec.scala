@@ -8,6 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.sql.Timestamp
 
+object EventStreamsSpec {
+  /** Driver-side sink buffer for the foreachBatch checkpoint test
+    * (object-level so the closure serializes cleanly). */
+  val CkptBuffer: java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)] =
+    new java.util.concurrent.ConcurrentLinkedQueue()
+}
+
 /** Structured Streaming specs: the incremental paths must agree with their
   * batch twins ([[graft.ops.TimeOps]]) on the same data.
   */
@@ -117,6 +124,48 @@ class EventStreamsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(rows == Set((5L, 1L), (5L, 2L)))
     } finally query.stop()
+  }
+
+  test("stateful query resumes from checkpoint without losing session state") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[Event]
+    // the memory sink can't recover from a checkpoint; foreachBatch can —
+    // collect each micro-batch's updates into a driver-side buffer
+    val seen = EventStreamsSpec.CkptBuffer
+
+    def start() = EventStreams
+      .sessionizeStream(input.toDS(), watermarkDelay = "0 seconds")
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStreams.SessionUpdate], _: Long) =>
+        batch.collect().foreach(u =>
+          seen.add((u.user_id, u.events_in_session, u.session_value)))
+      }
+      .start()
+
+    seen.clear()
+    val q1 = start()
+    try {
+      input.addData(Seq(
+        Event(1L, ts("2024-01-01 10:00:00"), 5L, "click", 2.0),
+        Event(2L, ts("2024-01-01 10:10:00"), 5L, "click", 3.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.contains((5L, 2L, 5.0)), s"pre-restart updates missing: $seen")
+
+    // restart from the same checkpoint: the open session (2 events, 5.0)
+    // must still be in state, so the next in-gap event extends it to 3
+    val q2 = start()
+    try {
+      input.addData(Seq(Event(3L, ts("2024-01-01 10:20:00"), 5L, "click", 7.0)))
+      q2.processAllAvailable()
+      assert(seen.contains((5L, 3L, 12.0)),
+        s"state lost across restart: $seen")
+    } finally q2.stop()
   }
 
   test("watermark evicts state: late data beyond 2h is dropped") {
