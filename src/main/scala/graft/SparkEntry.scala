@@ -132,6 +132,8 @@ object SparkEntry {
     "q_emb_ivf_assign" -> ((s, d) => Similarity.ivfAssign(t(s, d, "embeddings"))),
     "q_emb_ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d, "embeddings"))),
     "q_emb_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"))),
+    "q_emb_srp_buckets" -> ((s, d) => Similarity.srpBuckets(t(s, d, "embeddings"))),
+    "q_emb_srp_pairs" -> ((s, d) => Similarity.srpNearDupPairs(t(s, d, "embeddings"))),
     // ---- multimodal plumbing ----
     "q_multimodal_meta" -> ((s, d) => Multimodal.binaryMeta(t(s, d, "documents"))),
     "q_multimodal_decode" -> ((s, d) =>
@@ -218,6 +220,20 @@ object SparkEntry {
        |    $votes
        |  FROM hh GROUP BY doc_id),
        |sh16 AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM vv)""".stripMargin
+  }
+
+  /** SRP per-table bucket expression for DuckDB — the same literal
+    * hyperplane weights the Spark plan embeds
+    * ([[Similarity.srpWeights]]), so the bucketing replays bit-exactly.
+    */
+  private def srpTableBucketSql(t: Int): String = {
+    val bits = (0 until Similarity.SrpBitsPerTable).map { k =>
+      val wl = Similarity.srpWeights(t * Similarity.SrpBitsPerTable + k).mkString(", ")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${Similarity.SrpDim + 1}), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * ([$wl]::DOUBLE[])[i])) >= 0 " +
+        s"THEN ${1L << k} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"CAST($bits AS BIGINT)"
   }
 
   /** Stopword-count scoring fragment for langId: (len delta)/wordlen over
@@ -646,6 +662,31 @@ object SparkEntry {
          |  FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM p
          |WHERE cos > 0.35 ORDER BY id_a, id_b""".stripMargin,
+    "q_emb_srp_buckets" ->
+      s"""SELECT vec_id,
+         |${(0 until Similarity.SrpTables).map(t =>
+            s"  ${srpTableBucketSql(t)} AS srp_b$t").mkString(",\n")}
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_emb_srp_pairs" ->
+      s"""WITH wb AS (
+         |  SELECT vec_id, embedding,
+         |${(0 until Similarity.SrpTables).map(t =>
+            s"    ${srpTableBucketSql(t)} AS b$t").mkString(",\n")}
+         |  FROM embeddings),
+         |tb AS (
+         |${(0 until Similarity.SrpTables).map(t =>
+            s"  SELECT vec_id, $t AS t, b$t AS b FROM wb").mkString("\n  UNION ALL\n")}),
+         |p AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+         |  FROM tb a JOIN tb c ON a.t = c.t AND a.b = c.b AND a.vec_id < c.vec_id),
+         |s AS (
+         |  SELECT p.id_a, p.id_b,
+         |    round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos_sim
+         |  FROM p
+         |  JOIN embeddings x ON p.id_a = x.vec_id
+         |  JOIN embeddings y ON p.id_b = y.vec_id)
+         |SELECT id_a, id_b, cos_sim FROM s
+         |WHERE cos_sim > 0.35 ORDER BY id_a, id_b""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,

@@ -137,6 +137,72 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Signed-random-projection (SRP) LSH: the bucketed alternative to IVF.
+    * `SrpBits` fixed pseudo-random hyperplanes (integer weights, seeded —
+    * embedded as literals in both the Spark plan and the SQL oracle, so
+    * the bucketing replays exactly); each vector's bucket is the bit
+    * pattern of its dot-product signs. Cosine-similar vectors agree on
+    * most signs, so near-dups land in the same bucket with high
+    * probability. Candidate pairs come from bucket grouping — one shuffle
+    * on the bucket id, pair generation inside the bucket, exact cosine
+    * verify after. No distance computation against the whole corpus.
+    */
+  val SrpTables = 6
+  val SrpBitsPerTable = 8
+  val SrpDim = 64
+
+  /** Deterministic integer hyperplane weights (seeded):
+    * w(table·bits + k)(i) ∈ [-1000, 1000]. Collision probability per
+    * table for angle θ is (1 − θ/π)^bits, so multiple tables trade
+    * compute for recall — the standard SRP-LSH L-tables construction.
+    */
+  lazy val srpWeights: Array[Array[Int]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(SrpTables * SrpBitsPerTable, SrpDim)(rnd.nextInt(2001) - 1000)
+  }
+
+  /** Bucket id within table `t`: the sign-bit pattern of its hyperplanes. */
+  private def srpTableBucket(t: Int): Column = {
+    val bits = (0 until SrpBitsPerTable).map { k =>
+      val w = array(srpWeights(t * SrpBitsPerTable + k).map(x => lit(x.toFloat)): _*)
+      when(graft.functions.VectorExpressions.vecDot(col("embedding"), w) >= 0.0,
+        lit(1L << k)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucket assignment per table: (vec_id, srp_b0 … srp_b{L-1}). */
+  def srpBuckets(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id") +:
+        (0 until SrpTables).map(t => srpTableBucket(t).as(s"srp_b$t")): _*)
+      .orderBy("vec_id")
+
+  /** SRP near-dup pairs: candidates collide in ANY of the L tables
+    * (distinct-unioned, like MinHash bands), then exact-cosine verified.
+    * One shuffle on (table, bucket); no comparison against the whole
+    * corpus. (At web scale add a bucket-size cap as in
+    * Dedup.lshCandidatePairs.)
+    */
+  def srpNearDupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val withBuckets = embeddings.select(
+      col("vec_id"), col("embedding"),
+      explode(array((0 until SrpTables).map(t =>
+        struct(lit(t).as("t"), srpTableBucket(t).as("b"))): _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.b"))
+    val a = withBuckets.select(col("t"), col("b"),
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val c = withBuckets.select(col("t"), col("b"),
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(c, Seq("t", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .distinct()
+      .filter(col("cos_sim") > threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs: symmetric pairs above a cosine
     * threshold, generated through the IVF cells (docs only compared within
     * a cell — no all-pairs). Used as the embedding leg of the dedup suite.
