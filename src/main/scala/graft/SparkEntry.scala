@@ -118,6 +118,10 @@ object SparkEntry {
     "q_docs_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
     "q_docs_tokens" -> ((s, d) => TextAnalysis.tokenStats(t(s, d, "documents"))),
     "q_docs_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
+    "q_docs_topquality" -> ((s, d) => TextAnalysis.topQualityPerSource(t(s, d, "documents"))),
+    "q_docs_dedup_best" -> ((s, d) => TextAnalysis.dedupKeepBest(t(s, d, "documents"))),
+    "q_docs_contamination" -> ((s, d) => TextAnalysis.crossSourceContamination(t(s, d, "documents"))),
+    "q_docs_sample" -> ((s, d) => TextAnalysis.hashSample(t(s, d, "documents"))),
     // ---- dedup suite (LLM pipeline) ----
     "q_docs_exact_dedup" -> ((s, d) => Dedup.exactDedup(t(s, d, "documents"))),
     "q_docs_minhash" -> ((s, d) => Dedup.minhashSignatures(t(s, d, "documents"))),
@@ -234,6 +238,29 @@ object SparkEntry {
         s"THEN ${1L << k} ELSE 0 END)"
     }.mkString("\n    + ")
     s"CAST($bits AS BIGINT)"
+  }
+
+  /** Shared quality-score CTEs — mirrors [[TextAnalysis.qualityScore]]'s
+    * rounded `quality` column as `q(doc_id, quality)`.
+    */
+  private lazy val qualityCtes: String = {
+    val stop = stopScoreSql(Seq("the", "a", "and"))
+    s"""qbase AS (
+       |  SELECT doc_id, length(text) AS chars,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS words,
+       |    ' ' || lower(text) || ' ' AS t
+       |  FROM documents),
+       |qm AS (
+       |  SELECT doc_id, chars, words, $stop AS stop,
+       |    CASE WHEN words > 0 THEN CAST(chars AS DOUBLE) / words ELSE 0.0 END AS mwl
+       |  FROM qbase),
+       |q AS (
+       |  SELECT doc_id,
+       |    round(CASE WHEN chars < 50 THEN 0.0 ELSE least(1.0,
+       |      0.4 * least(1.0, CAST(words AS DOUBLE) / 50.0) +
+       |      0.3 * least(1.0, CAST(stop AS DOUBLE) * 10.0 / CAST(greatest(words, 1) AS DOUBLE)) +
+       |      0.3 * (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) END, 4) AS quality
+       |  FROM qm)""".stripMargin
   }
 
   /** Stopword-count scoring fragment for langId: (len delta)/wordlen over
@@ -538,6 +565,41 @@ object SparkEntry {
         |SELECT doc_id, md5(norm) AS fp_full, substr(md5(norm), 1, 16) AS fp_short,
         |  md5(substr(norm, 1, 64)) AS fp_prefix64
         |FROM n ORDER BY doc_id""".stripMargin,
+    "q_docs_topquality" ->
+      s"""WITH $qualityCtes,
+         |s AS (SELECT q.doc_id, d.source, q.quality
+         |      FROM q JOIN documents d USING (doc_id)),
+         |r AS (SELECT source, doc_id, quality,
+         |        row_number() OVER (PARTITION BY source
+         |                           ORDER BY quality DESC, doc_id) AS rnk
+         |      FROM s)
+         |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, quality
+         |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
+    "q_docs_dedup_best" ->
+      s"""WITH $qualityCtes,
+         |j AS (SELECT md5(d.text) AS content_hash, q.doc_id, q.quality
+         |      FROM q JOIN documents d USING (doc_id)),
+         |r AS (SELECT content_hash, doc_id, quality,
+         |        row_number() OVER (PARTITION BY content_hash
+         |                           ORDER BY quality DESC, doc_id) AS rn,
+         |        max(quality) OVER (PARTITION BY content_hash) AS best_quality,
+         |        count(*) OVER (PARTITION BY content_hash) AS copies
+         |      FROM j)
+         |SELECT content_hash, doc_id AS best_id, best_quality,
+         |  CAST(copies AS BIGINT) AS copies
+         |FROM r WHERE rn = 1 ORDER BY best_id""".stripMargin,
+    "q_docs_contamination" ->
+      """WITH n AS (
+        |  SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |         doc_id, source
+        |  FROM documents)
+        |SELECT fp, list_sort(list(DISTINCT source)) AS sources,
+        |  list_sort(list(doc_id)) AS doc_ids, count(*) AS n_docs
+        |FROM n GROUP BY fp HAVING count(DISTINCT source) > 1 ORDER BY fp""".stripMargin,
+    "q_docs_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
     "q_docs_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

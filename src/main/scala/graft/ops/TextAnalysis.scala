@@ -127,6 +127,71 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Corpus curation: keep the top `n` docs per source by quality score
+    * (ties by doc_id) — the "filter web scrape to the best N per domain"
+    * pipeline stage. Executes as WindowGroupLimit: each partition keeps
+    * its local top-n before the shuffle.
+    */
+  def topQualityPerSource(documents: DataFrame, n: Int = 10): DataFrame = {
+    val scored = qualityScore(documents)
+      .join(documents.select("doc_id", "source"), Seq("doc_id"))
+    val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= n)
+      .select(col("source"), col("rnk"), col("doc_id"), col("quality"))
+      .orderBy("source", "rnk")
+  }
+
+  /** Keep-best exact dedup: one doc per content hash, chosen by highest
+    * quality (ties by lowest doc_id) via max_by — the curation-grade
+    * variant of keep-min dedup. Single hash aggregate; the argmax state
+    * is one row per group.
+    */
+  def dedupKeepBest(documents: DataFrame): DataFrame = {
+    val scored = qualityScore(documents)
+      .join(documents.select(col("doc_id"), col("text")), Seq("doc_id"))
+    scored
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(
+        // max_by tie-breaks arbitrarily; (quality, -doc_id) makes the
+        // choice total and engine-replayable
+        max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("best_id"),
+        max("quality").as("best_quality"),
+        count(lit(1)).as("copies"))
+      .orderBy("best_id")
+  }
+
+  /** Train/test contamination detection: normalized-text fingerprints
+    * appearing in more than one source. The canonical pre-training check
+    * ("is any eval doc inside the training scrape?") — one aggregate on
+    * the fingerprint, no pairwise comparison.
+    */
+  def crossSourceContamination(documents: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    documents
+      .select(md5(norm).as("fp"), col("doc_id"), col("source"))
+      .groupBy("fp")
+      .agg(
+        sort_array(collect_set("source")).as("sources"),
+        sort_array(collect_list("doc_id")).as("doc_ids"),
+        count(lit(1)).as("n_docs"))
+      .filter(size(col("sources")) > 1)
+      .orderBy("fp")
+  }
+
+  /** Deterministic hash sampling: keep ~1/`rate` of docs by a stable hash
+    * of the id — reproducible downsampling with no RNG state, the same
+    * subset on every engine and every run (unlike `sample()`, whose
+    * output depends on partitioning).
+    */
+  def hashSample(documents: DataFrame, rate: Int = 10): DataFrame =
+    documents
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % rate === 0)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
   /** Document fingerprinting: md5 of the whitespace-normalized lowercase
     * text (exact-dup key), a 16-hex-char prefix fingerprint, and a prefix
     * "rolling" fingerprint of the first 64 normalized chars (cheap

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.{Dedup, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sf corpus contains no exact-duplicate text (500 docs, 500 distinct
+  * hashes), so the dedup/contamination queries pass vacuously against the
+  * oracle. This spec constructs real duplicates to pin the semantics.
+  */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def docs = {
+    val sparkS = spark
+    import sparkS.implicits._
+    Seq(
+      // doc 1 and 3: same text, different source (contamination + dup)
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home", "en", "web", 60L),
+      (2L, "completely different text about the weather and the sea and a storm", "en", "web", 60L),
+      (3L, "the quick brown fox jumps over the lazy dog and runs far away home", "en", "books", 60L),
+      // doc 4: same as 1/3 modulo whitespace — contaminated but not exact-dup
+      (4L, "the quick  brown fox jumps over the lazy dog and runs far away  home", "en", "wiki", 61L),
+      (5L, "short", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("exact dedup groups identical text and keeps the min id") {
+    val r = Dedup.exactDedup(docs).collect()
+    val byKeep = r.map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(byKeep(1L) == 2L) // docs 1 and 3 collapse, keep 1
+    assert(byKeep(2L) == 1L)
+    assert(byKeep(4L) == 1L) // whitespace variant is NOT an exact dup
+    assert(r.length == 4)
+  }
+
+  test("keep-best dedup selects the highest-quality copy") {
+    val r = TextAnalysis.dedupKeepBest(docs).collect()
+    val dup = r.filter(_.getLong(3) == 2L)
+    assert(dup.length == 1)
+    assert(dup(0).getLong(1) == 1L) // equal quality → lowest doc_id wins
+  }
+
+  test("contamination detects normalized-identical text across sources") {
+    val r = TextAnalysis.crossSourceContamination(docs).collect()
+    assert(r.length == 1)
+    val sources = r(0).getSeq[String](1)
+    val ids = r(0).getSeq[Long](2)
+    // whitespace-normalization folds doc 4 in with 1 and 3
+    assert(sources == Seq("books", "web", "wiki"))
+    assert(ids == Seq(1L, 3L, 4L))
+    assert(r(0).getLong(3) == 3L)
+  }
+
+  test("hash sampling is deterministic and id-stable") {
+    val a = TextAnalysis.hashSample(docs, rate = 2).collect().map(_.getLong(0))
+    val b = TextAnalysis.hashSample(docs, rate = 2).collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    // subset property: rate-2 sample of a doc set is contained in the full set
+    assert(a.toSet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+  }
+}
