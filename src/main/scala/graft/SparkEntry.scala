@@ -35,23 +35,9 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val lineitem = t(spark, dir, "lineitem")
-    val orders = t(spark, dir, "orders")
-    val customer = t(spark, dir, "customer")
-    val nation = t(spark, dir, "nation")
-    val region = t(spark, dir, "region")
-    val dims = customer
-      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
-      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
-      .select(col("c_custkey"), col("r_name"))
-    lineitem
-      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-      .join(broadcast(dims), orders("o_custkey") === dims("c_custkey"))
-      .groupBy("r_name", "l_returnflag")
-      .agg(
-        count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-      .orderBy("r_name", "l_returnflag")
+    Relational.starRevenue(
+      t(spark, dir, "lineitem"), t(spark, dir, "orders"), t(spark, dir, "customer"),
+      t(spark, dir, "nation"), t(spark, dir, "region"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
@@ -78,6 +64,9 @@ object SparkEntry {
     "q_window_range" -> ((s, d) => Relational.windowRangeFrame(t(s, d, "orders"))),
     "q_window_ntile" -> ((s, d) => Relational.windowNtile(t(s, d, "orders"))),
     "q_agg_cube" -> ((s, d) => Relational.cubeAgg(t(s, d, "lineitem"))),
+    "q_star_revenue" -> ((s, d) => Relational.starRevenue(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
+      t(s, d, "nation"), t(s, d, "region"))),
     "q_agg_percentile" -> ((s, d) => Relational.percentiles(t(s, d, "lineitem"))),
     "q_agg_approx" -> ((s, d) => Relational.approxAgg(t(s, d, "lineitem"))),
     "q_agg_salted" -> ((s, d) => Relational.saltedAgg(t(s, d, "lineitem"))),
@@ -374,6 +363,16 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_star_revenue" ->
+      """SELECT r_name, l_returnflag, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, l_returnflag
+        |ORDER BY r_name, l_returnflag""".stripMargin,
     "q_agg_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt

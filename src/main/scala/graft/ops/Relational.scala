@@ -322,6 +322,28 @@ object Relational {
           col("o_orderpriority").as("priority"))).as("packed"))
       .orderBy("o_orderkey")
 
+  /** TPC-H Q5-shaped star join: facts through orders to the broadcast
+    * customer→nation→region dimension chain, revenue per (region,
+    * returnflag). The flagship plan shape: scan pruning + broadcast
+    * dimension chain + partial aggregation, one fact-side shuffle total.
+    */
+  def starRevenue(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val dims = customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(dims), orders("o_custkey") === dims("c_custkey"))
+      .groupBy("r_name", "l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy("r_name", "l_returnflag")
+  }
+
   /** CUBE grouping sets — all four combinations of the two keys. */
   def cubeAgg(lineitem: DataFrame): DataFrame =
     lineitem
