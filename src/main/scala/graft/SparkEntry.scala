@@ -207,7 +207,7 @@ object SparkEntry {
        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        |                       x -> length(x) > 0)) AS tok
        |  FROM documents),
-       |hh AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv FROM toks),
+       |hh AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, ${Dedup.SimhashHexChars}) AS BIGINT) AS hv FROM toks),
        |vv AS (
        |  SELECT doc_id,
        |    $votes
@@ -237,10 +237,11 @@ object SparkEntry {
     s"""qbase AS (
        |  SELECT doc_id, length(text) AS chars,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS words,
+       |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS BIGINT) AS punct,
        |    ' ' || lower(text) || ' ' AS t
        |  FROM documents),
        |qm AS (
-       |  SELECT doc_id, chars, words, $stop AS stop,
+       |  SELECT doc_id, chars, words, punct, $stop AS stop,
        |    CASE WHEN words > 0 THEN CAST(chars AS DOUBLE) / words ELSE 0.0 END AS mwl
        |  FROM qbase),
        |q AS (
@@ -529,27 +530,14 @@ object SparkEntry {
          |       ELSE 'de' END AS predicted_lang
          |FROM scored ORDER BY doc_id""".stripMargin
     },
-    "q_docs_quality" -> {
-      val stop = stopScoreSql(Seq("the", "a", "and"))
-      s"""WITH base AS (
-         |  SELECT doc_id, length(text) AS chars,
-         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS words,
-         |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS BIGINT) AS punct,
-         |    ' ' || lower(text) || ' ' AS t
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id, chars, words, punct, $stop AS stop,
-         |    CASE WHEN words > 0 THEN CAST(chars AS DOUBLE) / words ELSE 0.0 END AS mwl
-         |  FROM base)
-         |SELECT doc_id, CAST(chars AS BIGINT) AS n_chars, words AS n_words,
-         |  punct AS n_punct, stop AS n_stop,
-         |  round(mwl, 4) AS mean_word_len,
-         |  round(CASE WHEN chars < 50 THEN 0.0 ELSE least(1.0,
-         |    0.4 * least(1.0, CAST(words AS DOUBLE) / 50.0) +
-         |    0.3 * least(1.0, CAST(stop AS DOUBLE) * 10.0 / CAST(greatest(words, 1) AS DOUBLE)) +
-         |    0.3 * (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) END, 4) AS quality
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
+    "q_docs_quality" ->
+      s"""WITH $qualityCtes
+         |SELECT qm.doc_id, CAST(qm.chars AS BIGINT) AS n_chars, qm.words AS n_words,
+         |  qm.punct AS n_punct, qm.stop AS n_stop,
+         |  round(qm.mwl, 4) AS mean_word_len,
+         |  q.quality
+         |FROM qm JOIN q ON qm.doc_id = q.doc_id
+         |ORDER BY qm.doc_id""".stripMargin,
     "q_docs_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,

@@ -169,6 +169,13 @@ object Dedup {
   // n²-in-disguise at corpus scale.
   val SimhashBits = 60
   val SimhashBandBits = 15
+  val SimhashBands = 4
+  /** md5-hex prefix length yielding exactly SimhashBits of hash. */
+  val SimhashHexChars: Int = SimhashBits / 4
+  require(SimhashBits == SimhashBands * SimhashBandBits,
+    "bands must tile the fingerprint exactly (pigeonhole recall)")
+  require(SimhashBits % 4 == 0 && SimhashBits < 63,
+    "fingerprint must be whole hex chars and sign-safe in a 64-bit long")
 
   /** SimHash: 60-bit fingerprint from token-level md5 bits by majority
     * vote. Tokens explode → per-doc aggregate of ±1 votes per bit →
@@ -182,8 +189,8 @@ object Dedup {
       explode(filter(
         split(lower(col("text")), "[^a-z0-9]+"),
         t => length(t) > 0)).as("tok"))
-    // token hash: first 15 hex chars of md5 → 60-bit long
-    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    // token hash: first SimhashHexChars hex chars of md5 → SimhashBits-bit long
+    val h = conv(substring(md5(col("tok")), 1, SimhashHexChars), 16, 10).cast("long")
     val votes = (0 until SimhashBits).map { b =>
       sum(when(shiftright(h, b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v$b")
     }
@@ -202,8 +209,6 @@ object Dedup {
     * filters. Same no-all-pairs shape as the MinHash LSH: equi-join on
     * (band, value) buckets only.
     */
-  val SimhashBands = 4
-
   def simhashNearDupPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < SimhashBands, "pigeonhole recall needs bands > maxHamming")
     val bandMask = (1L << SimhashBandBits) - 1L

@@ -101,20 +101,23 @@ object EventStreams {
     * stream join into a sliding-window join.
     */
   def clickToRecentViews(events: DataFrame, windowSeconds: Long = 1800L): DataFrame = {
+    // the watermark must cover the join lookback, or views that are late
+    // but still inside the business window get dropped before joining
+    val wmDelay = s"${math.max(windowSeconds * 2, 3600L)} seconds"
     val clicks = events
       .filter(col("event_type") === "click")
       .select(
         col("user_id"),
         col("event_id").as("click_id"),
         col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
+      .withWatermark("click_ts", wmDelay)
     val views = events
       .filter(col("event_type") === "view")
       .select(
         col("user_id").as("view_user_id"),
         col("event_id").as("view_id"),
         col("ts").as("view_ts"))
-      .withWatermark("view_ts", "1 hour")
+      .withWatermark("view_ts", wmDelay)
     clicks.join(
       views,
       col("user_id") === col("view_user_id") &&

@@ -52,11 +52,22 @@ class CurationSpec extends AnyFunSuite {
     assert(r(0).getLong(3) == 3L)
   }
 
-  test("hash sampling is deterministic and id-stable") {
+  test("hash sampling selects exactly the ids the md5 rule admits") {
+    // replicate the selection rule independently: first 8 hex chars of
+    // md5(id.toString) as a long, keep when divisible by rate
+    def expectedIds(ids: Seq[Long], rate: Int): Set[Long] = ids.filter { id =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % rate == 0
+    }.toSet
+    for (rate <- Seq(2, 3, 10)) {
+      val got = TextAnalysis.hashSample(docs, rate).collect().map(_.getLong(0)).toSet
+      assert(got == expectedIds(Seq(1L, 2L, 3L, 4L, 5L), rate), s"rate=$rate")
+    }
+    // and it is stable across invocations
     val a = TextAnalysis.hashSample(docs, rate = 2).collect().map(_.getLong(0))
     val b = TextAnalysis.hashSample(docs, rate = 2).collect().map(_.getLong(0))
     assert(a.sameElements(b))
-    // subset property: rate-2 sample of a doc set is contained in the full set
-    assert(a.toSet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
   }
 }

@@ -73,7 +73,7 @@ for name, sql in sorted(oracle.items()):
         if bad:
             break
     if bad:
-        failures.append((name, f"value mismatch at sorted-row {bad[0]}"))
+        failures.append((name, f"value mismatch at row {bad[0]} (returned order)"))
         print(f"FAIL {name}: value mismatch\n  oracle: {bad[1]}\n  spark : {bad[2]}")
     else:
         print(f"OK   {name} ({len(orows)} rows)")
