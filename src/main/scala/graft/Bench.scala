@@ -24,12 +24,12 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000)
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      Timeouts.run(spark, name, timeoutSec) {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      }.left.foreach(msg => System.err.println(s"[bench] $name failed: $msg"))
       name -> (System.nanoTime() - t0) / 1e9
     }
     // Locale.ROOT: a comma-decimal default locale would render "1,234"
