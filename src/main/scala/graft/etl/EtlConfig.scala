@@ -16,6 +16,11 @@ final case class ValidationConfig(
 final case class DataQualityConfig(
     filterCancelledTrades: Boolean,
     filterDuplicates: Boolean,
+    /** Parsed for config-surface parity but intentionally unused: the
+      * reference declares this key (config.yaml) and never reads it —
+      * timestamp normalization always runs (etl_pipeline.py:288-342, and
+      * no `normalize_timestamps` lookup anywhere in the file).
+      */
     normalizeTimestamps: Boolean,
 )
 
