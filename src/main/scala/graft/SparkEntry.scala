@@ -107,6 +107,7 @@ object SparkEntry {
     "q_docs_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
     "q_docs_tokens" -> ((s, d) => TextAnalysis.tokenStats(t(s, d, "documents"))),
     "q_docs_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))),
+    "q_docs_rollhash" -> ((s, d) => TextAnalysis.rollingFingerprint(t(s, d, "documents"))),
     "q_docs_topquality" -> ((s, d) => TextAnalysis.topQualityPerSource(t(s, d, "documents"))),
     "q_docs_dedup_best" -> ((s, d) => TextAnalysis.dedupKeepBest(t(s, d, "documents"))),
     "q_docs_contamination" -> ((s, d) => TextAnalysis.crossSourceContamination(t(s, d, "documents"))),
@@ -552,6 +553,29 @@ object SparkEntry {
         |SELECT doc_id, md5(norm) AS fp_full, substr(md5(norm), 1, 16) AS fp_short,
         |  md5(substr(norm, 1, 64)) AS fp_prefix64
         |FROM n ORDER BY doc_id""".stripMargin,
+    "q_docs_rollhash" -> {
+      val term = (0 until TextAnalysis.RkK).map { j =>
+        s"CAST(CASE WHEN i + $j <= length(text) THEN ord(substr(text, CAST(i + $j AS INTEGER), 1)) ELSE 0 END AS BIGINT) " +
+          s"* ${TextAnalysis.rkPowers(j)}"
+      }.mkString("(", "\n         + ", s") % ${TextAnalysis.RkP}")
+      val quarters = (0 until 4).map(m =>
+        s"list_min(hs[CAST($m * qlen + 1 AS BIGINT):CAST(($m + 1) * qlen AS BIGINT)]) AS q$m")
+        .mkString(",\n  ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    greatest(length(text) - ${TextAnalysis.RkK - 1}, 1) AS npos
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, npos,
+         |    list_transform(range(1, npos + 1), i ->
+         |      $term) AS hs
+         |  FROM base),
+         |wq AS (SELECT doc_id, npos, hs,
+         |         greatest(CAST(ceil(npos / 4.0) AS BIGINT), 1) AS qlen FROM h)
+         |SELECT doc_id, list_min(hs) AS rk_min,
+         |  $quarters
+         |FROM wq ORDER BY doc_id""".stripMargin
+    },
     "q_docs_topquality" ->
       s"""WITH $qualityCtes,
          |s AS (SELECT q.doc_id, d.source, q.quality

@@ -192,6 +192,37 @@ object TextAnalysis {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Rabin-Karp rolling-hash parameters: h(i) = Σ_j code(text[i+j])·B^j
+    * mod P over a k-char window. Powers are precomputed and embedded as
+    * literals on both engines so the arithmetic replays exactly.
+    */
+  val RkK = 8
+  val RkP = 1000000007L
+  val RkB = 257L
+  lazy val rkPowers: Array[Long] = Array.iterate(1L, RkK)(x => x * RkB % RkP)
+
+  /** Rolling-hash document fingerprint (winnowing-style): the Rabin-Karp
+    * hash at every window position, reduced to the global minimum plus
+    * per-quarter minima — a compact, alignment-robust sketch (shared
+    * substrings keep their window hashes wherever they move, so shifted
+    * copies still collide on the minima). One narrow map stage per doc.
+    */
+  def rollingFingerprint(documents: DataFrame): DataFrame = {
+    val chars = split(col("text"), "")
+    val npos = greatest(length(col("text")) - (RkK - 1), lit(1))
+    val hashes = transform(sequence(lit(1), npos), i =>
+      (0 until RkK).map { j =>
+        // try_element_at: position past the end (len < k) is code 0
+        coalesce(ascii(try_element_at(chars, i + lit(j))), lit(0)).cast("long") * lit(rkPowers(j))
+      }.reduce(_ + _) % lit(RkP))
+    val qlen = greatest(ceil(npos / lit(4.0)).cast("long"), lit(1L))
+    val quarters = (0 until 4).map(m =>
+      array_min(slice(hashes, (lit(m.toLong) * qlen + 1L).cast("int"), qlen.cast("int"))).as(s"q$m"))
+    documents
+      .select(col("doc_id") +: array_min(hashes).as("rk_min") +: quarters: _*)
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: md5 of the whitespace-normalized lowercase
     * text (exact-dup key), a 16-hex-char prefix fingerprint, and a prefix
     * "rolling" fingerprint of the first 64 normalized chars (cheap

@@ -52,6 +52,49 @@ class CurationSpec extends AnyFunSuite {
     assert(r(0).getLong(3) == 3L)
   }
 
+  test("rolling-hash fingerprint matches an independent Rabin-Karp implementation") {
+    import graft.ops.TextAnalysis.{RkK, RkP, rkPowers}
+    def hashes(text: String): Seq[Long] = {
+      val cs = text.toCharArray
+      val npos = math.max(cs.length - (RkK - 1), 1)
+      (0 until npos).map { i =>
+        (0 until RkK).map { j =>
+          val code = if (i + j < cs.length) cs(i + j).toLong else 0L
+          code * rkPowers(j)
+        }.sum % RkP
+      }
+    }
+    def expected(text: String): (Long, Seq[Option[Long]]) = {
+      val hs = hashes(text)
+      val qlen = math.max(math.ceil(hs.length / 4.0).toLong, 1L).toInt
+      val qs = (0 until 4).map { m =>
+        val s = hs.slice(m * qlen, (m + 1) * qlen)
+        if (s.isEmpty) None else Some(s.min)
+      }
+      (hs.min, qs)
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "naïve café résumé — unicode codepoints must agree across engines",
+      "short") // shorter than one full window
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = graft.ops.TextAnalysis.rollingFingerprint(df).collect()
+    rows.foreach { r =>
+      val (wantMin, wantQs) = expected(texts(r.getLong(0).toInt))
+      assert(r.getLong(1) == wantMin, s"rk_min for doc ${r.getLong(0)}")
+      (0 until 4).foreach { m =>
+        val got = if (r.isNullAt(2 + m)) None else Some(r.getLong(2 + m))
+        assert(got == wantQs(m), s"q$m for doc ${r.getLong(0)}")
+      }
+    }
+    // alignment robustness: a shifted copy's global min can only pick up
+    // new prefix windows — every original window hash is still present
+    val shifted = "PREFIX " + texts.head
+    assert(hashes(shifted).toSet.intersect(hashes(texts.head).toSet) == hashes(texts.head).toSet)
+  }
+
   test("hash sampling selects exactly the ids the md5 rule admits") {
     // replicate the selection rule independently: first 8 hex chars of
     // md5(id.toString) as a long, keep when divisible by rate
