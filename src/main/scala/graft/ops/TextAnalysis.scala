@@ -208,18 +208,34 @@ object TextAnalysis {
     * copies still collide on the minima). One narrow map stage per doc.
     */
   def rollingFingerprint(documents: DataFrame): DataFrame = {
-    val chars = split(col("text"), "")
-    val npos = greatest(length(col("text")) - (RkK - 1), lit(1))
+    // Materialize the per-char code array ONCE per row in its own
+    // projection. Inlining `split(text, "")` into the window lambda would
+    // duplicate the split into every one of the k term expressions — the
+    // interpreted HOF path has no common-subexpression elimination, so
+    // that re-splits the text k·positions times per row: O(len²·k).
+    // Referencing a materialized column keeps it O(len·k).
+    val withCodes = documents.select(
+      col("doc_id"),
+      length(col("text")).as("len"),
+      transform(split(col("text"), ""), c => coalesce(ascii(c), lit(0)).cast("long"))
+        .as("codes"))
+    val npos = greatest(col("len") - (RkK - 1), lit(1))
     val hashes = transform(sequence(lit(1), npos), i =>
       (0 until RkK).map { j =>
         // try_element_at: position past the end (len < k) is code 0
-        coalesce(ascii(try_element_at(chars, i + lit(j))), lit(0)).cast("long") * lit(rkPowers(j))
+        coalesce(try_element_at(col("codes"), i + lit(j)), lit(0L)) * lit(rkPowers(j))
       }.reduce(_ + _) % lit(RkP))
-    val qlen = greatest(ceil(npos / lit(4.0)).cast("long"), lit(1L))
+    // hs is consumed 5 times (global min + 4 quarter slices) — another
+    // materializing projection so the hash array computes once per row
+    val withHashes = withCodes.select(
+      col("doc_id"),
+      hashes.as("hs"),
+      greatest(ceil(npos / lit(4.0)).cast("long"), lit(1L)).as("qlen"))
     val quarters = (0 until 4).map(m =>
-      array_min(slice(hashes, (lit(m.toLong) * qlen + 1L).cast("int"), qlen.cast("int"))).as(s"q$m"))
-    documents
-      .select(col("doc_id") +: array_min(hashes).as("rk_min") +: quarters: _*)
+      array_min(slice(col("hs"), (lit(m.toLong) * col("qlen") + 1L).cast("int"),
+        col("qlen").cast("int"))).as(s"q$m"))
+    withHashes
+      .select(col("doc_id") +: array_min(col("hs")).as("rk_min") +: quarters: _*)
       .orderBy("doc_id")
   }
 
