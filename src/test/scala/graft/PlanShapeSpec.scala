@@ -69,6 +69,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.count() > 0) // the driver's smoke check
   }
 
+  test("SRP candidate generation joins on (table, bucket) — no cartesian") {
+    val p = plan(Similarity.srpNearDupPairs(t("embeddings")))
+    assert(!p.contains("CartesianProduct"), s"cartesian in SRP plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NL join in SRP plan:\n$p")
+  }
+
+  test("per-source quality top-N runs as WindowGroupLimit") {
+    val p = plan(TextAnalysis.topQualityPerSource(t("documents")))
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("keep-best dedup is a single two-phase aggregate, no join or window") {
+    val p = plan(TextAnalysis.dedupKeepBest(t("documents")))
+    assert("(Hash|ObjectHash|Sort)Aggregate".r.findAllIn(p).nonEmpty, s"no aggregate:\n$p")
+    assert(!p.contains("Window"), s"keep-best should not need a window:\n$p")
+  }
+
   test("native vec_cosine stays inside whole-stage codegen") {
     val df = Similarity.bruteForceTopK(t("embeddings"), numQueries = 2, k = 2)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
