@@ -357,7 +357,10 @@ object Relational {
       .orderBy("rf", "ls")
 
   /** Exact interpolated percentiles (Spark `percentile` == SQL
-    * percentile_cont semantics) per group.
+    * percentile_cont semantics) per group. Exact percentile buffers every
+    * group value — correct but inherently non-scalable; the 100 TB path
+    * is `approx_percentile` (t-digest sketch, fixed-size state), traded
+    * here for oracle-exact results.
     */
   def percentiles(lineitem: DataFrame): DataFrame =
     lineitem

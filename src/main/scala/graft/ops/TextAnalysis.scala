@@ -31,15 +31,22 @@ object TextAnalysis {
     val t = concat(lit(" "), lower(col("text")), lit(" "))
     def score(words: Seq[String]): Column =
       words.map(w => litCount(t, s" $w ")).reduce(_ + _)
-    val en = score(Seq("the", "and", "of", "is"))
-    val es = score(Seq("el", "la", "de", "que"))
-    val fr = score(Seq("le", "la", "et", "les"))
-    val de = score(Seq("der", "die", "und", "das"))
-    documents
+    // materialize the four scores in their own projection: the argmax
+    // when-chain references each score several times, and inlined score
+    // expressions would re-scan the text once per reference
+    val scored = documents.select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      score(Seq("the", "and", "of", "is")).as("score_en"),
+      score(Seq("el", "la", "de", "que")).as("score_es"),
+      score(Seq("le", "la", "et", "les")).as("score_fr"),
+      score(Seq("der", "die", "und", "das")).as("score_de"))
+    val (en, es, fr, de) =
+      (col("score_en"), col("score_es"), col("score_fr"), col("score_de"))
+    scored
       .select(
-        col("doc_id"),
-        col("lang").as("labeled_lang"),
-        en.as("score_en"), es.as("score_es"), fr.as("score_fr"), de.as("score_de"),
+        col("doc_id"), col("labeled_lang"),
+        en, es, fr, de,
         when(greatest(en, es, fr, de) === 0, "und")
           .when(en >= es && en >= fr && en >= de, "en")
           .when(es >= fr && es >= de, "es")
@@ -54,12 +61,19 @@ object TextAnalysis {
     */
   def qualityScore(documents: DataFrame): DataFrame = {
     val t = col("text")
-    val chars = length(t)
-    val words = regexp_count(t, lit("\\S+"))
-    val punct = regexp_count(t, lit("[\\.,;:!\\?]"))
-    val stop = litCount(concat(lit(" "), lower(t), lit(" ")), " the ") +
-      litCount(concat(lit(" "), lower(t), lit(" ")), " a ") +
-      litCount(concat(lit(" "), lower(t), lit(" ")), " and ")
+    // measure once per row in a materialized projection — the score
+    // formula references words/stop several times, and inlined they
+    // would re-run the regexp/replace scans once per reference
+    val measured = documents.select(
+      col("doc_id"),
+      length(t).as("chars"),
+      regexp_count(t, lit("\\S+")).as("words"),
+      regexp_count(t, lit("[\\.,;:!\\?]")).as("punct"),
+      (litCount(concat(lit(" "), lower(t), lit(" ")), " the ") +
+        litCount(concat(lit(" "), lower(t), lit(" ")), " a ") +
+        litCount(concat(lit(" "), lower(t), lit(" ")), " and ")).as("stop"))
+    val (chars, words, punct, stop) =
+      (col("chars"), col("words"), col("punct"), col("stop"))
     val meanWordLen = when(words > 0, chars.cast("double") / words).otherwise(lit(0.0))
     val score =
       when(chars < 50, 0.0).otherwise(
@@ -67,7 +81,7 @@ object TextAnalysis {
           lit(0.4) * least(lit(1.0), words.cast("double") / 50.0) +
           lit(0.3) * least(lit(1.0), stop.cast("double") * 10.0 / greatest(words, lit(1)).cast("double")) +
           lit(0.3) * when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)))
-    documents
+    measured
       .select(
         col("doc_id"),
         chars.cast("long").as("n_chars"),
