@@ -69,6 +69,7 @@ object SparkEntry {
       t(s, d, "nation"), t(s, d, "region"))),
     "q_agg_percentile" -> ((s, d) => Relational.percentiles(t(s, d, "lineitem"))),
     "q_agg_approx" -> ((s, d) => Relational.approxAgg(t(s, d, "lineitem"))),
+    "q_agg_exact_distinct" -> ((s, d) => Relational.exactDistinctAgg(t(s, d, "lineitem"))),
     "q_agg_salted" -> ((s, d) => Relational.saltedAgg(t(s, d, "lineitem"))),
     "q_pivot" -> ((s, d) => Relational.pivotAgg(t(s, d, "lineitem"))),
     "q_join_full" -> ((s, d) => Relational.fullOuterJoin(t(s, d, "customer"), t(s, d, "orders"))),
@@ -349,8 +350,8 @@ object SparkEntry {
         |INTERSECT SELECT o_custkey AS id FROM orders ORDER BY id""".stripMargin,
     "q_agg_collect" ->
       """SELECT o_custkey,
-        |  list_sort(list(o_orderkey)) AS order_keys,
-        |  list_sort(list(DISTINCT o_orderstatus)) AS statuses
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey,
@@ -386,7 +387,13 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
         |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // q_agg_approx: approximate by design (HLL++); no engine-neutral oracle
+    // q_agg_approx: approximate by design (HLL++); no engine-neutral oracle.
+    // Its deterministic neighbors are split into q_agg_exact_distinct below
+    // so only the sketch estimate itself goes ungraded.
+    "q_agg_exact_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_salted" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS cnt, round(sum(l_quantity) / count(*), 6) AS avg_qty
@@ -646,10 +653,15 @@ object SparkEntry {
          |banded AS (
          |${(0 until Dedup.SimhashBands).map(b =>
             s"  SELECT doc_id, simhash, $b AS band, (simhash >> ${b * Dedup.SimhashBandBits}) & ${(1L << Dedup.SimhashBandBits) - 1L} AS bv FROM sh16")
-            .mkString("\n  UNION ALL\n")})
+            .mkString("\n  UNION ALL\n")}),
+         |ok AS (
+         |  SELECT band, bv FROM banded
+         |  GROUP BY band, bv HAVING count(*) BETWEEN 2 AND 1000)
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM banded a JOIN banded b
+         |FROM banded a
+         |JOIN ok k ON a.band = k.band AND a.bv = k.bv
+         |JOIN banded b
          |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
@@ -729,10 +741,13 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rnk
          |    FROM s0) WHERE rnk = 1),
          |wc AS (SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN assign a USING (vec_id)),
+         |ok AS (SELECT cell FROM wc GROUP BY cell HAVING count(*) BETWEEN 2 AND 1000),
          |p AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ${cosSql("a.embedding", "b.embedding")} AS cos
-         |  FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |  FROM wc a
+         |  JOIN ok k ON a.cell = k.cell
+         |  JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM p
          |WHERE cos > 0.35 ORDER BY id_a, id_b""".stripMargin,
     "q_emb_srp_buckets" ->
@@ -749,9 +764,13 @@ object SparkEntry {
          |tb AS (
          |${(0 until Similarity.SrpTables).map(t =>
             s"  SELECT vec_id, $t AS t, b$t AS b FROM wb").mkString("\n  UNION ALL\n")}),
+         |ok AS (
+         |  SELECT t, b FROM tb GROUP BY t, b HAVING count(*) BETWEEN 2 AND 1000),
          |p AS (
          |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-         |  FROM tb a JOIN tb c ON a.t = c.t AND a.b = c.b AND a.vec_id < c.vec_id),
+         |  FROM tb a
+         |  JOIN ok k ON a.t = k.t AND a.b = k.b
+         |  JOIN tb c ON a.t = c.t AND a.b = c.b AND a.vec_id < c.vec_id),
          |s AS (
          |  SELECT p.id_a, p.id_b,
          |    round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos_sim

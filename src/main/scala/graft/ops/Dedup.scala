@@ -206,10 +206,18 @@ object Dedup {
     * at most 3 differing bits spread over 4 bands, so by pigeonhole at
     * least one band matches exactly (full recall needs bands >
     * maxHamming) — then the exact Hamming distance (bit_count of xor)
-    * filters. Same no-all-pairs shape as the MinHash LSH: equi-join on
-    * (band, value) buckets only.
+    * filters. Same bounded-bucket shape as [[lshCandidatePairs]]: the
+    * fingerprints are computed ONCE, buckets form with a single shuffle on
+    * (band, value), pairs are generated in-bucket from the sorted member
+    * list, and buckets above `maxBucket` are dropped entirely — one
+    * degenerate bucket (boilerplate text collapsing to the same band
+    * value) would otherwise contribute O(bucket²) pairs and a straggler
+    * reducer at web scale.
     */
-  def simhashNearDupPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDupPairs(
+      documents: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     require(maxHamming < SimhashBands, "pigeonhole recall needs bands > maxHamming")
     val bandMask = (1L << SimhashBandBits) - 1L
     val sigs = simhash(documents)
@@ -221,14 +229,19 @@ object Dedup {
       col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band"), col("b.v"))
-    val a = banded.select(col("band"), col("v"),
-      col("doc_id").as("id_a"), col("simhash").as("fp_a"))
-    val b = banded.select(col("band"), col("v"),
-      col("doc_id").as("id_b"), col("simhash").as("fp_b"))
-    a.join(b, Seq("band", "v"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+    val buckets = banded
+      .groupBy("band", "v")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairs = flatten(transform(col("members"), (x, i) =>
+      transform(slice(col("members"), i + lit(2), size(col("members"))), y =>
+        struct(
+          x.getField("doc_id").as("id_a"), x.getField("simhash").as("fp_a"),
+          y.getField("doc_id").as("id_b"), y.getField("simhash").as("fp_b")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        bit_count(col("p.fp_a").bitwiseXOR(col("p.fp_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy("id_a", "id_b")

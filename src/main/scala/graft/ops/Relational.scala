@@ -219,14 +219,21 @@ object Relational {
 
   /** Ordered collect_list per group — list-typed aggregation state. The
     * sort_array makes the list deterministic regardless of partitioning
-    * (collect_list order is arrival order, which is not).
+    * (collect_list order is arrival order, which is not). The list-typed
+    * state stays internal; the output edge renders each list as canonical
+    * comma-joined text so downstream hash comparison works on scalars
+    * (array-typed result columns are unhashable in the driver harness).
     */
   def collectAgg(orders: DataFrame): DataFrame =
     orders
       .groupBy("o_custkey")
       .agg(
-        sort_array(collect_list("o_orderkey")).as("order_keys"),
-        sort_array(collect_set("o_orderstatus")).as("statuses"))
+        sort_array(collect_list("o_orderkey")).as("key_list"),
+        sort_array(collect_set("o_orderstatus")).as("status_list"))
+      .select(
+        col("o_custkey"),
+        array_join(transform(col("key_list"), _.cast("string")), ",").as("order_keys"),
+        array_join(col("status_list"), ",").as("statuses"))
       .orderBy("o_custkey")
 
   /** RANGE window frame: per-customer sum of all orders priced within
@@ -379,8 +386,19 @@ object Relational {
   def approxAgg(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** Exact twin of [[approxAgg]]: the deterministic columns that used to ride
+    * along with the sketch, split out so they get a hard oracle check while
+    * only the HLL estimate itself stays rows-only (its value is
+    * engine-specific by design). At 100 TB the sketch is the one you run;
+    * the exact count is the comparator you run once to calibrate it.
+    */
+  def exactDistinctAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct("l_partkey").as("approx_parts"),
         countDistinct("l_partkey").as("exact_parts"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")

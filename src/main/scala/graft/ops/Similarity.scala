@@ -180,24 +180,35 @@ object Similarity {
 
   /** SRP near-dup pairs: candidates collide in ANY of the L tables
     * (distinct-unioned, like MinHash bands), then exact-cosine verified.
-    * One shuffle on (table, bucket); no comparison against the whole
-    * corpus. (At web scale add a bucket-size cap as in
-    * Dedup.lshCandidatePairs.)
+    * Bounded-bucket shape (as in [[graft.ops.Dedup.lshCandidatePairs]]):
+    * bucket assignments are computed ONCE, buckets form with one shuffle
+    * on (table, bucket), pairs are generated in-bucket from the sorted
+    * member list, and buckets above `maxBucket` are dropped — a
+    * degenerate bucket (e.g. many near-zero vectors landing on the same
+    * sign pattern) would otherwise emit O(bucket²) pairs at web scale.
     */
-  def srpNearDupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+  def srpNearDupPairs(
+      embeddings: DataFrame,
+      threshold: Double = 0.35,
+      maxBucket: Int = 1000): DataFrame = {
     val withBuckets = embeddings.select(
       col("vec_id"), col("embedding"),
       explode(array((0 until SrpTables).map(t =>
         struct(lit(t).as("t"), srpTableBucket(t).as("b"))): _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.b"))
-    val a = withBuckets.select(col("t"), col("b"),
-      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val c = withBuckets.select(col("t"), col("b"),
-      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(c, Seq("t", "b"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+    val buckets = withBuckets
+      .groupBy("t", "b")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairs = flatten(transform(col("members"), (x, i) =>
+      transform(slice(col("members"), i + lit(2), size(col("members"))), y =>
+        struct(
+          x.getField("vec_id").as("id_a"), x.getField("embedding").as("emb_a"),
+          y.getField("vec_id").as("id_b"), y.getField("embedding").as("emb_b")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        round(cosine(col("p.emb_a"), col("p.emb_b")), 6).as("cos_sim"))
       .distinct()
       .filter(col("cos_sim") > threshold)
       .orderBy("id_a", "id_b")
@@ -206,21 +217,35 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: symmetric pairs above a cosine
     * threshold, generated through the IVF cells (docs only compared within
     * a cell — no all-pairs). Used as the embedding leg of the dedup suite.
+    * Bounded-cell shape: members collect per cell with one shuffle, pairs
+    * generate in-cell from the sorted member list, and cells above
+    * `maxCell` are dropped — a degenerate cell (a centroid attracting a
+    * huge cluster) would otherwise emit O(cell²) pairs and a straggler
+    * reducer at web scale. (The production alternative is recursive cell
+    * splitting; dropping mirrors [[graft.ops.Dedup.lshCandidatePairs]].)
     */
   def cosineNearDupPairs(
       embeddings: DataFrame,
       threshold: Double = 0.35,
       centroidStride: Int = 50,
-      precomputedAssign: Option[DataFrame] = None): DataFrame = {
-    val assign = precomputedAssign.getOrElse(ivfAssign(embeddings, centroidStride).persist())
+      precomputedAssign: Option[DataFrame] = None,
+      maxCell: Int = 1000): DataFrame = {
+    val assign = precomputedAssign.getOrElse(ivfAssign(embeddings, centroidStride))
     val withCell = embeddings.join(assign.select("vec_id", "cell"), Seq("vec_id"))
-    val a = withCell.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("cell"))
-    val b = withCell.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("cell"))
-    a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+    val cells = withCell
+      .groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("members"))
+      .filter(size(col("members")).between(2, maxCell))
+    val pairs = flatten(transform(col("members"), (x, i) =>
+      transform(slice(col("members"), i + lit(2), size(col("members"))), y =>
+        struct(
+          x.getField("vec_id").as("id_a"), x.getField("embedding").as("emb_a"),
+          y.getField("vec_id").as("id_b"), y.getField("embedding").as("emb_b")))))
+    cells
+      .select(explode(pairs).as("p"))
+      .withColumn("cos", cosine(col("p.emb_a"), col("p.emb_b")))
       .filter(col("cos") > threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+      .select(col("p.id_a"), col("p.id_b"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("id_a", "id_b")
   }
 }
