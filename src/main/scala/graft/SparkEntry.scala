@@ -137,8 +137,9 @@ object SparkEntry {
     "q_multimodal_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.assetsFromDocuments(t(s, d, "documents")))
         .toDF().orderBy("asset_id", "frame_idx")),
-    // ---- reference reconciliation pipeline (golden-verified in tests;
-    //      registered rows-only: its CSV inputs are not in the sf dirs) ----
+    // ---- reference reconciliation pipeline (golden-verified in tests AND
+    //      driver-verified: the oracle replays the full validation /
+    //      normalization cascade via DuckDB read_csv over the same CSVs) ----
     "q_etl_cleaned_trades" -> ((s, _) => {
       val r = etl.TradePipeline.run(s,
         "/root/reference/trades.csv",
@@ -779,6 +780,13 @@ object SparkEntry {
          |  JOIN embeddings y ON p.id_b = y.vec_id)
          |SELECT id_a, id_b, cos_sim FROM s
          |WHERE cos_sim > 0.35 ORDER BY id_a, id_b""".stripMargin,
+    // Multimodal oracles replay the deterministic stub codecs. CAVEAT
+    // (documented, verified): the Spark side operates on payload BYTES;
+    // DuckDB has no BLOB substring/md5, so the SQL twins operate on
+    // CHARACTERS — equivalent only because the synthetic corpus is pure
+    // ASCII (checked: 0 docs at sf0.001/0.01/0.1 where octet_length(encode
+    // (text)) <> length(text)). A non-ASCII corpus would need a different
+    // oracle, not a different engine.
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
@@ -786,5 +794,81 @@ object SparkEntry {
         |  md5(text) AS content_md5,
         |  lower(hex(encode(substr(text, 1, 8)))) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+        |  CAST(length(text) AS INTEGER) AS n_bytes,
+        |  CAST(16 * (CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) + 1) AS INTEGER) AS width,
+        |  CAST(16 * (CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) + 1) AS INTEGER) AS height,
+        |  substr(md5(text), 1, 16) AS phash
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT asset_id, text,
+        |    unnest(range(0, greatest(length(text) // 256, 1), 4)) AS f
+        |  FROM v)
+        |SELECT asset_id, CAST(f AS INTEGER) AS frame_idx,
+        |  substr(md5(substr(text, CAST(f AS INTEGER) * 256 + 1, 256)), 1, 16) AS frame_hash
+        |FROM fr ORDER BY asset_id, frame_idx""".stripMargin,
+    // Full reconciliation pipeline replayed over the reference CSVs
+    // (reference: etl_pipeline.py:62-342): DISTINCT* dedup is exact because
+    // duplicate groups are full-row duplicates (verified 10,981 → 10,000
+    // unique trade_ids); the timestamp CASE mirrors TradeEtl.normalizeTimestamp
+    // including the deliberate null fallback for 1-digit-seconds US rows; the
+    // price rounds through DECIMAL to replay Spark's BigDecimal HALF_UP.
+    "q_etl_cleaned_trades" ->
+      """WITH raw AS (
+        |  SELECT DISTINCT * FROM read_csv('/root/reference/trades.csv', header=true, all_varchar=true)),
+        |tq AS (
+        |  SELECT * FROM raw WHERE trade_status <> 'CANCELLED'),
+        |f AS (
+        |  SELECT our_trade_id, symbol AS counterparty_symbol,
+        |    TRY_CAST(quantity AS INTEGER) AS cp_quantity_int,
+        |    TRY_CAST(price AS DOUBLE) AS cp_price_dec
+        |  FROM read_csv('/root/reference/counterparty_fills.csv', header=true, all_varchar=true)),
+        |sym AS (
+        |  SELECT symbol, company_name, is_active
+        |  FROM read_csv('/root/reference/symbols_reference.csv', header=true, all_varchar=true)),
+        |e AS (
+        |  SELECT t.*, f.counterparty_symbol, f.cp_quantity_int, f.cp_price_dec,
+        |    s.company_name, s.is_active,
+        |    TRY_CAST(t.quantity AS INTEGER) AS trade_quantity_int,
+        |    TRY_CAST(t.price AS DOUBLE) AS trade_price_dec
+        |  FROM tq t
+        |  LEFT JOIN f ON t.trade_id = f.our_trade_id
+        |  LEFT JOIN sym s ON t.symbol = s.symbol),
+        |v AS (
+        |  SELECT *,
+        |    (company_name IS NOT NULL AND is_active = 'true'
+        |     AND trade_quantity_int IS NOT NULL AND trade_quantity_int > 0
+        |     AND trade_price_dec IS NOT NULL AND trade_price_dec > 0) AS is_valid,
+        |    (cp_quantity_int IS NOT NULL OR cp_price_dec IS NOT NULL) AS counterparty_confirmed
+        |  FROM e),
+        |c AS (
+        |  SELECT *,
+        |    counterparty_confirmed AND (
+        |      (cp_quantity_int IS NOT NULL AND cp_quantity_int <> trade_quantity_int) OR
+        |      (cp_price_dec IS NOT NULL AND abs(cp_price_dec - trade_price_dec) > 0.01) OR
+        |      (counterparty_symbol IS NOT NULL AND counterparty_symbol <> symbol)) AS discrepancy_flag,
+        |    CASE
+        |      WHEN regexp_matches(timestamp, '^\d{4}-\d{2}-\d{2}T')
+        |        THEN try_strptime(timestamp, '%Y-%m-%dT%H:%M:%S.%gZ')
+        |      WHEN regexp_matches(timestamp, '^\d{10}$')
+        |        THEN to_timestamp(CAST(timestamp AS BIGINT)) AT TIME ZONE 'America/New_York'
+        |      WHEN regexp_matches(timestamp, '^\d{1,2}/\d{1,2}/\d{4} \d{1,2}:\d{2}:\d{2}')
+        |        THEN try_strptime(timestamp, '%-m/%-d/%Y %-H:%M:%S')
+        |      ELSE NULL
+        |    END AS ts_norm
+        |  FROM v)
+        |SELECT trade_id,
+        |  strftime(ts_norm, '%Y-%m-%dT%H:%M:%S.%gZ') AS timestamp_utc,
+        |  symbol,
+        |  trade_quantity_int AS quantity,
+        |  CAST(round(CAST(price AS DECIMAL(28,18)), 2) AS DOUBLE) AS price,
+        |  buyer_id, seller_id, counterparty_confirmed, discrepancy_flag
+        |FROM c WHERE is_valid
+        |ORDER BY trade_id""".stripMargin,
   )
 }

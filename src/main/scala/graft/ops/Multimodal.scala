@@ -153,7 +153,11 @@ object Multimodal {
 
   /** SQL-expressible metadata extraction over the binary payload (byte
     * length, content hash, hex preview) — the part of the multimodal path
-    * the DuckDB oracle can replay exactly.
+    * the DuckDB oracle can replay exactly. `head_hex` previews the first 8
+    * BYTES of the payload (the engine-correct semantics for opaque media);
+    * the oracle twin slices 8 CHARACTERS because DuckDB has no BLOB
+    * substring — equivalent only on the pure-ASCII synthetic corpus, and
+    * documented as such next to the oracle SQL.
     */
   def binaryMeta(documents: DataFrame): DataFrame =
     documents
