@@ -30,6 +30,12 @@ object TradePipeline {
       cleanedTrades: DataFrame,
       exceptions: DataFrame,
       metrics: Metrics,
+      /** Releases the pipeline's persisted intermediates. Call after the
+        * returned DataFrames have been written/consumed; until then the
+        * validated branch point stays cached so downstream actions do not
+        * re-execute the scan→dedup→join→validate chain.
+        */
+      unpersist: () => Unit,
   )
 
   /** Run extract → quality → enrich → validate → clean lazily, computing the
@@ -47,25 +53,29 @@ object TradePipeline {
     val symbols = TradeEtl.readCsv(spark, symbolsCsv)
 
     // Quality: metrics by count-subtraction (reference: etl_pipeline.py:105-140).
-    // The dedup aggregate (a full shuffle) only runs when the toggle asks
-    // for it — the reference computes its duplicate metric the same way,
-    // inside the same toggle (etl_pipeline.py:111-123).
+    // Both "identified" metrics are computed UNCONDITIONALLY — the reference
+    // always runs the dedup count and the cancelled count
+    // (etl_pipeline.py:110-117, 125-132) and gates only which DataFrame
+    // flows downstream (etl_pipeline.py:120-123, 135-138).
     val processed = trades.count()
-    val (afterDedup, baseCount, duplicateCount, dedupHandle) =
-      if (cfg.dataQuality.filterDuplicates) {
-        val deduped = TradeEtl.dedupByTradeId(trades)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val afterDedupCount = deduped.count()
-        (deduped, afterDedupCount, processed - afterDedupCount, Some(deduped))
-      } else (trades, processed, 0L, None)
+    val deduped = TradeEtl.dedupByTradeId(trades)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dedupCount = deduped.count()
+    val duplicateCount = processed - dedupCount
 
-    // Same gating as the reference (etl_pipeline.py:126-138): toggle off
-    // means no filter scan and a 0 metric.
-    val (qualityDf, cancelledCount) =
-      if (cfg.dataQuality.filterCancelledTrades) {
-        val withoutCancelled = TradeEtl.filterCancelled(afterDedup)
-        (withoutCancelled, baseCount - withoutCancelled.count())
-      } else (afterDedup, 0L)
+    val (afterDedup, baseCount, dedupHandle) =
+      if (cfg.dataQuality.filterDuplicates) (deduped, dedupCount, Some(deduped))
+      else {
+        deduped.unpersist(blocking = false) // counted, not flowing downstream
+        (trades, processed, None)
+      }
+
+    // Cancelled metric measured on the (possibly deduped) flow, as the
+    // reference does (its running current_count reflects the dedup gate).
+    val withoutCancelled = TradeEtl.filterCancelled(afterDedup)
+    val cancelledCount = baseCount - withoutCancelled.count()
+    val qualityDf =
+      if (cfg.dataQuality.filterCancelledTrades) withoutCancelled else afterDedup
 
     // Enrich + validate, persisted once for the 3 downstream consumers
     // (valid branch, invalid branch, discrepancy count).
@@ -83,6 +93,10 @@ object TradePipeline {
 
     val cleaned = TradeEtl.cleanValid(valid, cfg.validation.priceDecimalPlaces)
     val exceptions = TradeEtl.exceptionsReport(invalid)
+    // The counts above fully materialized `validated`'s cache, so the dedup
+    // cache upstream of it is no longer load-bearing and can go now; the
+    // validated cache itself stays until the caller's unpersist() — the
+    // returned DataFrames read from it.
     dedupHandle.foreach(_.unpersist(blocking = false))
 
     Result(
@@ -96,6 +110,7 @@ object TradePipeline {
         invalidTrades = invalidCount,
         discrepancyTrades = discrepancyCount,
       ),
+      unpersist = () => validated.unpersist(blocking = false),
     )
   }
 
@@ -135,6 +150,7 @@ object TradePipeline {
       s"$outDir/${cfg.output.exceptionsReportPath}")
 
     println(s"metrics=${result.metrics} written_valid=$nValid written_invalid=$nInvalid")
+    result.unpersist()
     spark.stop()
   }
 }

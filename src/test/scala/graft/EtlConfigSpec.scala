@@ -30,7 +30,7 @@ class EtlConfigSpec extends AnyFunSuite {
     assert(cfg.dataQuality.filterDuplicates) // default kept
   }
 
-  test("config gates actually change pipeline behavior (R2 semantics)") {
+  test("config gates change the flow but metrics are identified unconditionally") {
     val base = EtlConfig.default
     val noFilters = base.copy(dataQuality = base.dataQuality.copy(
       filterCancelledTrades = false, filterDuplicates = false))
@@ -40,12 +40,17 @@ class EtlConfigSpec extends AnyFunSuite {
       "/root/reference/counterparty_fills.csv",
       "/root/reference/symbols_reference.csv",
       noFilters)
-    // nothing removed: dedup and cancelled filters off
     assert(r.metrics.processedTrades == 10981L)
-    assert(r.metrics.duplicateTrades == 0L)
-    assert(r.metrics.cancelledTrades == 0L)
-    // all 10,981 rows flow into validation
+    // The reference IDENTIFIES both metrics regardless of the toggles
+    // (etl_pipeline.py:110-117, 125-132) and gates only the filtering:
+    // 981 duplicate rows are still reported, and the cancelled count is
+    // measured on the ungated (duplicate-bearing) flow — 2,202 rather
+    // than the post-dedup 2,004.
+    assert(r.metrics.duplicateTrades == 981L)
+    assert(r.metrics.cancelledTrades == 2202L)
+    // but nothing was removed: all 10,981 rows flow into validation
     assert(r.metrics.successfulTrades + r.metrics.invalidTrades == 10981L)
+    r.unpersist()
   }
 
   test("wider discrepancy threshold flags fewer trades") {
@@ -61,6 +66,7 @@ class EtlConfigSpec extends AnyFunSuite {
     // mismatches remain
     assert(r.metrics.discrepancyTrades < 4774L)
     assert(r.metrics.successfulTrades == 6935L) // validity unaffected
+    r.unpersist()
   }
 
   test("JsonSink maxRows guard trips before buffering past the limit") {
