@@ -25,12 +25,32 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
+    // n iterations per query, report the MEDIAN — single-run noise on this
+    // box is ±30%, which would otherwise swallow real regressions; a
+    // timed-out/failed iteration stops further iterations for that query
+    // (its timeout value stands as the median signal).
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      Timeouts.run(spark, name, timeoutSec) {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      }.left.foreach(msg => System.err.println(s"[bench] $name failed: $msg"))
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = Vector.newBuilder[Double]
+      var it = 0
+      var failed = false
+      while (it < iters && !failed) {
+        val t0 = System.nanoTime()
+        Timeouts.run(spark, name, timeoutSec) {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        } match {
+          case Left(msg) =>
+            System.err.println(s"[bench] $name failed: $msg"); failed = true
+          case Right(_) =>
+            times += (System.nanoTime() - t0) / 1e9
+        }
+        it += 1
+      }
+      val timed = times.result() match {
+        case v if v.isEmpty => Vector(timeoutSec.toDouble)
+        case v => v
+      }
+      name -> timed.sorted.apply((timed.size - 1) / 2)
     }
     // Locale.ROOT: a comma-decimal default locale would render "1,234"
     // and corrupt the JSON line

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the Rabin-Karp winnowed rolling-hash
+  * fingerprint ([[graft.ops.TextAnalysis.rollingFingerprint]]).
+  *
+  * The HOF formulation (`transform(sequence(...), window-sum)`) is correct
+  * and O(len·k), but evaluates interpreted — one boxed lambda call per
+  * window position plus a materialized hash array per row. This expression
+  * computes the same five minima (global + 4 quarters) in ONE primitive
+  * loop over the string inside whole-stage codegen, allocating nothing per
+  * row but the codepoint array.
+  *
+  * Arithmetic is replicated exactly from the HOF version (and the DuckDB
+  * oracle): h(i) = (Σ_{j<k} code(i+j)·(B^j mod P)) mod P, positions past
+  * the end contribute 0, npos = max(len-k+1, 1), quarter m = window
+  * positions [m·qlen, (m+1)·qlen) with qlen = max(ceil(npos/4), 1) — an
+  * empty quarter yields null, matching `array_min(slice(...))` on an empty
+  * slice. `code` is the Unicode codepoint, matching `ascii()` per
+  * single-char split.
+  */
+object TextExpressions {
+
+  case class RollingFingerprintExpr(child: Expression, k: Int, p: Long, b: Long)
+      extends UnaryExpression {
+
+    private val powers: Array[Long] = Array.iterate(1L, k)(x => x * b % p)
+
+    override def dataType: DataType = StructType(
+      StructField("rk_min", LongType, nullable = true) +:
+        (0 until 4).map(m => StructField(s"q$m", LongType, nullable = true)))
+
+    override def prettyName: String = "rolling_fingerprint"
+
+    override def nullSafeEval(input: Any): Any = {
+      val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+      val len = cps.length
+      val npos = math.max(len - (k - 1), 1)
+      val qlen = math.max(math.ceil(npos / 4.0).toLong, 1L)
+      var rkMin = Long.MaxValue
+      val qMin = Array.fill(4)(Long.MaxValue)
+      var i = 0
+      while (i < npos) {
+        var h = 0L
+        var j = 0
+        while (j < k) {
+          if (i + j < len) h += cps(i + j).toLong * powers(j)
+          j += 1
+        }
+        h %= p
+        if (h < rkMin) rkMin = h
+        val q = (i / qlen).toInt
+        if (h < qMin(q)) qMin(q) = h
+        i += 1
+      }
+      val out = new Array[Any](5)
+      out(0) = rkMin
+      var m = 0
+      while (m < 4) {
+        out(m + 1) = if (qMin(m) == Long.MaxValue) null else qMin(m)
+        m += 1
+      }
+      new GenericInternalRow(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val cps = ctx.freshName("cps")
+        val len = ctx.freshName("len")
+        val npos = ctx.freshName("npos")
+        val qlen = ctx.freshName("qlen")
+        val rkMin = ctx.freshName("rkMin")
+        val qMin = ctx.freshName("qMin")
+        val h = ctx.freshName("h")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val q = ctx.freshName("q")
+        val out = ctx.freshName("out")
+        val pows = ctx.freshName("pows")
+        val powsInit = powers.map(x => s"${x}L").mkString(", ")
+        s"""
+           |int[] $cps = $s.toString().codePoints().toArray();
+           |final long[] $pows = new long[] { $powsInit };
+           |int $len = $cps.length;
+           |int $npos = Math.max($len - ${k - 1}, 1);
+           |long $qlen = Math.max((long) Math.ceil($npos / 4.0), 1L);
+           |long $rkMin = Long.MAX_VALUE;
+           |long[] $qMin = new long[] {
+           |  Long.MAX_VALUE, Long.MAX_VALUE, Long.MAX_VALUE, Long.MAX_VALUE };
+           |for (int $i = 0; $i < $npos; $i++) {
+           |  long $h = 0L;
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    if ($i + $j < $len) $h += (long) $cps[$i + $j] * $pows[$j];
+           |  }
+           |  $h %= ${p}L;
+           |  if ($h < $rkMin) $rkMin = $h;
+           |  int $q = (int) ($i / $qlen);
+           |  if ($h < $qMin[$q]) $qMin[$q] = $h;
+           |}
+           |Object[] $out = new Object[5];
+           |$out[0] = java.lang.Long.valueOf($rkMin);
+           |for (int $j = 0; $j < 4; $j++) {
+           |  $out[$j + 1] = $qMin[$j] == Long.MAX_VALUE
+           |    ? null : java.lang.Long.valueOf($qMin[$j]);
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): RollingFingerprintExpr =
+      copy(child = newChild)
+  }
+
+  /** Column-API entry point with the engine's standard RK parameters. */
+  def rollingFingerprint(text: Column, k: Int, p: Long, b: Long): Column =
+    ColumnBridge.column(RollingFingerprintExpr(ColumnBridge.expression(text), k, p, b))
+}

@@ -80,9 +80,14 @@ object Similarity {
   }
 
   /** Deterministic pseudo-centroids: every vector whose id ≡ 0 (mod
-    * `centroidStride`). Real IVF would k-means these; modulo selection
-    * keeps the algorithm exactly replayable by the SQL oracle while
-    * preserving the execution shape.
+    * `centroidStride`). Decision (see IvfRecallSpec for the measured
+    * recall): modulo selection is RETAINED over k-means because (a) the
+    * DuckDB oracle replays the whole algorithm bit-exactly, which k-means
+    * iteration order/tie-breaking would break across engines, and (b) the
+    * execution shape — broadcast centroids, argmin assign, equi-join on
+    * cell — is identical either way, so nothing downstream changes when a
+    * k-means|| seeding job is swapped in here (the one-function upgrade
+    * path at 100 TB, where centroid quality starts to matter).
     */
   def centroids(embeddings: DataFrame, centroidStride: Int): DataFrame =
     embeddings

@@ -222,34 +222,24 @@ object TextAnalysis {
     * copies still collide on the minima). One narrow map stage per doc.
     */
   def rollingFingerprint(documents: DataFrame): DataFrame = {
-    // Materialize the per-char code array ONCE per row in its own
-    // projection. Inlining `split(text, "")` into the window lambda would
-    // duplicate the split into every one of the k term expressions — the
-    // interpreted HOF path has no common-subexpression elimination, so
-    // that re-splits the text k·positions times per row: O(len²·k).
-    // Referencing a materialized column keeps it O(len·k).
-    val withCodes = documents.select(
+    // Native codegen'd expression: all five minima in one primitive loop
+    // per row (graft.functions.TextExpressions.RollingFingerprintExpr).
+    // The previous HOF formulation (transform(sequence(...)) over a
+    // materialized code array) computed the same values but interpreted —
+    // one boxed lambda call per window position; the native loop is the
+    // same O(len·k) with zero per-position allocation. The struct is
+    // materialized in its own projection, then fields are extracted from
+    // the attribute — never re-evaluating the loop per output column.
+    val withFp = documents.select(
       col("doc_id"),
-      length(col("text")).as("len"),
-      transform(split(col("text"), ""), c => coalesce(ascii(c), lit(0)).cast("long"))
-        .as("codes"))
-    val npos = greatest(col("len") - (RkK - 1), lit(1))
-    val hashes = transform(sequence(lit(1), npos), i =>
-      (0 until RkK).map { j =>
-        // try_element_at: position past the end (len < k) is code 0
-        coalesce(try_element_at(col("codes"), i + lit(j)), lit(0L)) * lit(rkPowers(j))
-      }.reduce(_ + _) % lit(RkP))
-    // hs is consumed 5 times (global min + 4 quarter slices) — another
-    // materializing projection so the hash array computes once per row
-    val withHashes = withCodes.select(
-      col("doc_id"),
-      hashes.as("hs"),
-      greatest(ceil(npos / lit(4.0)).cast("long"), lit(1L)).as("qlen"))
-    val quarters = (0 until 4).map(m =>
-      array_min(slice(col("hs"), (lit(m.toLong) * col("qlen") + 1L).cast("int"),
-        col("qlen").cast("int"))).as(s"q$m"))
-    withHashes
-      .select(col("doc_id") +: array_min(col("hs")).as("rk_min") +: quarters: _*)
+      graft.functions.TextExpressions
+        .rollingFingerprint(col("text"), RkK, RkP, RkB).as("fp"))
+    withFp
+      .select(
+        col("doc_id"),
+        col("fp.rk_min").as("rk_min"),
+        col("fp.q0").as("q0"), col("fp.q1").as("q1"),
+        col("fp.q2").as("q2"), col("fp.q3").as("q3"))
       .orderBy("doc_id")
   }
 
