@@ -121,4 +121,63 @@ object TextExpressions {
   /** Column-API entry point with the engine's standard RK parameters. */
   def rollingFingerprint(text: Column, k: Int, p: Long, b: Long): Column =
     ColumnBridge.column(RollingFingerprintExpr(ColumnBridge.expression(text), k, p, b))
+
+  /** Character shingles: `substring(text, i, width)` for i = 1, 1+step, …
+    * ≤ max(len-width+1, 1) — the same values as the HOF formulation
+    * `transform(sequence(1, npos, step), i -> substring(text, i, width))`
+    * (and the DuckDB `list_transform(range(...))` oracle), but generated
+    * in one codegen loop instead of an interpreted lambda per position.
+    * Substring semantics are SQL's (codepoint-based, via
+    * `UTF8String.substringSQL`), so multibyte text shingles identically
+    * to the built-in.
+    */
+  case class ShinglesExpr(child: Expression, width: Int, step: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)
+
+    override def prettyName: String = "shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val len = s.numChars()
+      val npos = math.max(len - (width - 1), 1)
+      val n = (npos - 1) / step + 1
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = s.substringSQL(i * step + 1, width)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val len = ctx.freshName("len")
+        val npos = ctx.freshName("npos")
+        val n = ctx.freshName("n")
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        s"""
+           |int $len = $s.numChars();
+           |int $npos = Math.max($len - ${width - 1}, 1);
+           |int $n = ($npos - 1) / $step + 1;
+           |Object[] $out = new Object[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = $s.substringSQL($i * $step + 1, $width);
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+      copy(child = newChild)
+  }
+
+  def shingles(text: Column, width: Int, step: Int): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), width, step))
 }

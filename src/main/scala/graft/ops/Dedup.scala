@@ -34,12 +34,12 @@ object Dedup {
 
   /** Character shingles at stride `step`: substring(text, i, width) for
     * i = 1, 1+step, … ≤ max(len-width+1, 1). Computed as an array column —
-    * no explode.
+    * no explode — by a native codegen'd expression (the HOF
+    * `transform(sequence(...), substring)` formulation computed the same
+    * array but interpreted, one boxed lambda call per position).
     */
   private def shingles(text: Column, width: Int, step: Int): Column =
-    transform(
-      sequence(lit(1), greatest(length(text) - (width - 1), lit(1)), lit(step)),
-      i => substring(text, i, lit(width)))
+    graft.functions.TextExpressions.shingles(text, width, step)
 
   val NumHashes = 8
   val NumBands = 4
