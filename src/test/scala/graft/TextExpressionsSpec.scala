@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.TextExpressions
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the native text expressions against the HOF formulations they
+  * replaced — same values on the codegen AND interpreted paths, including
+  * the edge cases (short strings, empty strings, multibyte codepoints,
+  * nulls) where a hand-rolled loop most plausibly diverges.
+  */
+class TextExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def docs = {
+    val sparkS = spark
+    import sparkS.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "tiny"),   // shorter than one shingle/window
+      (3L, ""),       // empty
+      (4L, "abcdefgh"), // exactly one window
+      (5L, "héllo wörld multibyte ünïcode text here"), // non-ASCII codepoints
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+  }
+
+  private def hofShingles(width: Int, step: Int) =
+    transform(
+      sequence(lit(1), greatest(length(col("text")) - (width - 1), lit(1)), lit(step)),
+      i => substring(col("text"), i, lit(width)))
+
+  test("shingles matches the HOF formulation incl. multibyte and edge lengths") {
+    val rows = docs.filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        TextExpressions.shingles(col("text"), 8, 4).as("native"),
+        hofShingles(8, 4).as("hof"))
+      .orderBy("doc_id")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+    // Deliberate improvement over the HOF twin on NULL text: the native
+    // expression is null-intolerant (null in → null out), where the HOF
+    // produced the surprising [null] (sequence ignores the null length).
+    val nullRow = docs.filter(col("text").isNull)
+      .select(TextExpressions.shingles(col("text"), 8, 4)).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("shingles survives the interpreted path") {
+    val expected = docs.filter(col("text").isNotNull)
+      .select(TextExpressions.shingles(col("text"), 8, 4)).collect()
+      .map(_.getSeq[String](0))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+                "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interpreted = docs.filter(col("text").isNotNull)
+        .select(TextExpressions.shingles(col("text"), 8, 4)).collect()
+        .map(_.getSeq[String](0))
+      assert(interpreted.toSeq == expected.toSeq)
+    }
+  }
+
+  test("rolling fingerprint matches the HOF formulation on edge cases") {
+    import TextAnalysis.{RkB, RkK, RkP, rkPowers}
+    // the pre-native HOF formulation, inlined here as the independent twin
+    val withCodes = docs.filter(col("text").isNotNull).select(
+      col("doc_id"),
+      length(col("text")).as("len"),
+      transform(split(col("text"), ""), c => coalesce(ascii(c), lit(0)).cast("long"))
+        .as("codes"))
+    val npos = greatest(col("len") - (RkK - 1), lit(1))
+    val hashes = transform(sequence(lit(1), npos), i =>
+      (0 until RkK).map { j =>
+        coalesce(try_element_at(col("codes"), i + lit(j)), lit(0L)) * lit(rkPowers(j))
+      }.reduce(_ + _) % lit(RkP))
+    val withHashes = withCodes.select(
+      col("doc_id"),
+      hashes.as("hs"),
+      greatest(ceil(npos / lit(4.0)).cast("long"), lit(1L)).as("qlen"))
+    val quarters = (0 until 4).map(m =>
+      array_min(slice(col("hs"), (lit(m.toLong) * col("qlen") + 1L).cast("int"),
+        col("qlen").cast("int"))).as(s"q$m"))
+    val hof = withHashes
+      .select(col("doc_id") +: array_min(col("hs")).as("rk_min") +: quarters: _*)
+      .orderBy("doc_id").collect()
+
+    val native = TextAnalysis.rollingFingerprint(docs.filter(col("text").isNotNull))
+      .collect()
+    assert(native.length == hof.length)
+    native.zip(hof).foreach { case (n, h) =>
+      (0 until 6).foreach { i =>
+        assert(n.isNullAt(i) == h.isNullAt(i), s"null mismatch col $i doc ${n.getLong(0)}")
+        if (!n.isNullAt(i) && i > 0)
+          assert(n.getLong(i) == h.getLong(i), s"col $i doc ${n.getLong(0)}")
+      }
+    }
+  }
+
+  test("rolling fingerprint survives the interpreted path") {
+    val expected = TextAnalysis.rollingFingerprint(docs.filter(col("text").isNotNull))
+      .collect().map(_.toSeq)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+                "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interpreted = TextAnalysis.rollingFingerprint(docs.filter(col("text").isNotNull))
+        .collect().map(_.toSeq)
+      assert(interpreted.toSeq == expected.toSeq)
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
