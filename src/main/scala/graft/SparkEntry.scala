@@ -612,8 +612,10 @@ object SparkEntry {
         |  SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |         doc_id, source
         |  FROM documents)
-        |SELECT fp, list_sort(list(DISTINCT source)) AS sources,
-        |  list_sort(list(doc_id)) AS doc_ids, count(*) AS n_docs
+        |SELECT fp,
+        |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
+        |  count(*) AS n_docs
         |FROM n GROUP BY fp HAVING count(DISTINCT source) > 1 ORDER BY fp""".stripMargin,
     "q_docs_sample" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -187,10 +187,18 @@ object TextAnalysis {
       .select(md5(norm).as("fp"), col("doc_id"), col("source"))
       .groupBy("fp")
       .agg(
-        sort_array(collect_set("source")).as("sources"),
-        sort_array(collect_list("doc_id")).as("doc_ids"),
+        sort_array(collect_set("source")).as("source_set"),
+        sort_array(collect_list("doc_id")).as("id_list"),
         count(lit(1)).as("n_docs"))
-      .filter(size(col("sources")) > 1)
+      .filter(size(col("source_set")) > 1)
+      // list state stays internal; the output edge ships canonical
+      // comma-joined text (array-typed result columns are unhashable in
+      // the driver's comparator — same edge rule as Relational.collectAgg)
+      .select(
+        col("fp"),
+        array_join(col("source_set"), ",").as("sources"),
+        array_join(transform(col("id_list"), _.cast("string")), ",").as("doc_ids"),
+        col("n_docs"))
       .orderBy("fp")
   }
 

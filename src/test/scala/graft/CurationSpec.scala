@@ -44,11 +44,10 @@ class CurationSpec extends AnyFunSuite {
   test("contamination detects normalized-identical text across sources") {
     val r = TextAnalysis.crossSourceContamination(docs).collect()
     assert(r.length == 1)
-    val sources = r(0).getSeq[String](1)
-    val ids = r(0).getSeq[Long](2)
-    // whitespace-normalization folds doc 4 in with 1 and 3
-    assert(sources == Seq("books", "web", "wiki"))
-    assert(ids == Seq(1L, 3L, 4L))
+    // whitespace-normalization folds doc 4 in with 1 and 3; output edge
+    // ships canonical comma-joined text, not arrays (driver hashability)
+    assert(r(0).getString(1) == "books,web,wiki")
+    assert(r(0).getString(2) == "1,3,4")
     assert(r(0).getLong(3) == 3L)
   }
 
