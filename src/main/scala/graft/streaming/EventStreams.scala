@@ -31,6 +31,25 @@ object EventStreams {
         col("w.start").as("window_start"),
         col("event_type"), col("cnt"), col("sum_val"))
 
+  /** Streaming deduplication — the streaming leg of the dedup suite a
+    * training-data ingest pipeline needs: exactly-once-per-key emission
+    * under at-least-once delivery. `dropDuplicatesWithinWatermark` keys
+    * state on the dedup column(s) and — unlike plain `dropDuplicates`,
+    * whose key state grows forever on an unbounded stream — evicts each
+    * key once the event-time watermark guarantees no more duplicates for
+    * it can arrive. State is partitioned by key hash across
+    * `spark.sql.shuffle.partitions` stores, the same horizontal-scale
+    * story as the windowed aggregates. Batch twin:
+    * [[graft.ops.Relational.dedupRows]] / [[graft.ops.Dedup.exactDedup]].
+    */
+  def dedupStream(
+      events: DataFrame,
+      keys: Seq[String] = Seq("event_id"),
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

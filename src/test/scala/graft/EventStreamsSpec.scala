@@ -31,6 +31,32 @@ class EventStreamsSpec extends AnyFunSuite {
     Event(4L, ts("2024-01-01 01:20:00"), 2L, "click", 7.0),
     Event(5L, ts("2024-01-01 02:59:00"), 1L, "view", 11.0))
 
+  test("streaming dedup emits each key once across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.dedupStream(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("dedup_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // duplicate event_ids arrive both within one batch and re-delivered
+      // in a later batch (the at-least-once redelivery case)
+      input.addData(Seq(
+        events(0), events(0), events(1), events(2)))
+      query.processAllAvailable()
+      input.addData(Seq(
+        events(1), events(2), events(3), events(4)))
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_test")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 5L)) // each exactly once
+    } finally query.stop()
+  }
+
   test("streaming hourlyAgg matches the batch twin on the same events") {
     val sparkS = spark
     import sparkS.implicits._
