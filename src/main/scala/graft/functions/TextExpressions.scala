@@ -180,4 +180,82 @@ object TextExpressions {
 
   def shingles(text: Column, width: Int, step: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), width, step))
+
+  /** Lowercase alphanumeric tokens of at least `minLen` chars — the same
+    * values as `filter(split(lower(text), "[^a-z0-9]+"), t => length(t) >=
+    * minLen)` (and the DuckDB `list_filter(string_split_regex(lower(...)))`
+    * oracle), in one generated pass. Lowercasing goes through
+    * `UTF8String.toLowerCase` — identical to the `lower()` builtin — and
+    * the character class is pure ASCII `[a-z0-9]`, so runs never split a
+    * multibyte character (every non-ASCII unit is a separator on both
+    * formulations).
+    */
+  case class TokensExpr(child: Expression, minLen: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)
+
+    override def prettyName: String = "alnum_tokens"
+
+    override def nullSafeEval(input: Any): Any = {
+      val str = input.asInstanceOf[UTF8String].toLowerCase.toString
+      val out = new java.util.ArrayList[Object]()
+      var i = 0
+      val n = str.length
+      while (i < n) {
+        val c = str.charAt(i)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+          val start = i
+          while (i < n && {
+            val d = str.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+          }) i += 1
+          if (i - start >= minLen)
+            out.add(UTF8String.fromString(str.substring(start, i)))
+        } else i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val str = ctx.freshName("str")
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val c = ctx.freshName("c")
+        val d = ctx.freshName("d")
+        val start = ctx.freshName("start")
+        s"""
+           |String $str = $s.toLowerCase().toString();
+           |java.util.ArrayList<Object> $out = new java.util.ArrayList<Object>();
+           |int $n = $str.length();
+           |int $i = 0;
+           |while ($i < $n) {
+           |  char $c = $str.charAt($i);
+           |  if (($c >= 'a' && $c <= 'z') || ($c >= '0' && $c <= '9')) {
+           |    int $start = $i;
+           |    while ($i < $n) {
+           |      char $d = $str.charAt($i);
+           |      if (($d >= 'a' && $d <= 'z') || ($d >= '0' && $d <= '9')) $i++;
+           |      else break;
+           |    }
+           |    if ($i - $start >= $minLen) {
+           |      $out.add(org.apache.spark.unsafe.types.UTF8String.fromString(
+           |        $str.substring($start, $i)));
+           |    }
+           |  } else $i++;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  $out.toArray());
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): TokensExpr =
+      copy(child = newChild)
+  }
+
+  def alnumTokens(text: Column, minLen: Int = 1): Column =
+    ColumnBridge.column(TokensExpr(ColumnBridge.expression(text), minLen))
 }

@@ -147,9 +147,7 @@ object Dedup {
     * a global bigram count.
     */
   def wordBigrams(documents: DataFrame, minCount: Long = 3L): DataFrame = {
-    val words = filter(
-      split(lower(col("text")), "[^a-z0-9]+"),
-      w => length(w) > 0)
+    val words = graft.functions.TextExpressions.alnumTokens(col("text"))
     val bigrams = zip_with(
       slice(words, lit(1), greatest(size(words) - 1, lit(0))),
       slice(words, lit(2), greatest(size(words) - 1, lit(0))),
@@ -186,9 +184,7 @@ object Dedup {
   def simhash(documents: DataFrame): DataFrame = {
     val toks = documents.select(
       col("doc_id"),
-      explode(filter(
-        split(lower(col("text")), "[^a-z0-9]+"),
-        t => length(t) > 0)).as("tok"))
+      explode(graft.functions.TextExpressions.alnumTokens(col("text"))).as("tok"))
     // token hash: first SimhashHexChars hex chars of md5 → SimhashBits-bit long
     val h = conv(substring(md5(col("tok")), 1, SimhashHexChars), 16, 10).cast("long")
     val votes = (0 until SimhashBits).map { b =>

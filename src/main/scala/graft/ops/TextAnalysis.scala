@@ -124,9 +124,8 @@ object TextAnalysis {
     val n = documents.count() // corpus size: one cheap metadata-only job
     val toks = documents.select(
       col("doc_id"),
-      explode(filter(
-        split(lower(col("text")), "[^a-z0-9]+"),
-        t => length(t) >= 3)).as("term"))
+      explode(graft.functions.TextExpressions.alnumTokens(col("text"), minLen = 3))
+        .as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = toks.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))

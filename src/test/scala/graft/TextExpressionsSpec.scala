@@ -64,6 +64,27 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("alnumTokens matches the split/filter HOF formulation") {
+    for (minLen <- Seq(1, 3)) {
+      val rows = docs.filter(col("text").isNotNull)
+        .select(
+          col("doc_id"),
+          TextExpressions.alnumTokens(col("text"), minLen).as("native"),
+          filter(
+            split(lower(col("text")), "[^a-z0-9]+"),
+            t => length(t) >= minLen).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"minLen=$minLen doc ${r.getLong(0)}")
+      }
+    }
+    // multibyte separators: 'héllo' splits into 'h' and 'llo' on both sides
+    val m = docs.filter(col("doc_id") === 5)
+      .select(TextExpressions.alnumTokens(col("text"), 1)).collect()(0)
+    assert(m.getSeq[String](0).take(3) == Seq("h", "llo", "w"))
+  }
+
   test("rolling fingerprint matches the HOF formulation on edge cases") {
     import TextAnalysis.{RkB, RkK, RkP, rkPowers}
     // the pre-native HOF formulation, inlined here as the independent twin
