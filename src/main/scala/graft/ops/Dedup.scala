@@ -177,9 +177,12 @@ object Dedup {
 
   /** SimHash: 60-bit fingerprint from token-level md5 bits by majority
     * vote. Tokens explode → per-doc aggregate of ±1 votes per bit →
-    * fingerprint; one shuffle on doc_id (combine-heavy: partial sums
-    * map-side). Near-dup docs differ in few bits (compare via Hamming
-    * distance on the fingerprint).
+    * fingerprint; one shuffle on doc_id (combine-heavy: partial vote
+    * buffers merge map-side). The vote aggregation is a single
+    * [[graft.functions.SimhashAgg]] imperative aggregate (one `long[60]`
+    * buffer, one bit-loop per token) rather than 60 separate `sum(CASE)`
+    * columns — same values, same shuffle volume, one buffer. Near-dup
+    * docs differ in few bits (compare via Hamming distance).
     */
   def simhash(documents: DataFrame): DataFrame = {
     val toks = documents.select(
@@ -187,14 +190,9 @@ object Dedup {
       explode(graft.functions.TextExpressions.alnumTokens(col("text"))).as("tok"))
     // token hash: first SimhashHexChars hex chars of md5 → SimhashBits-bit long
     val h = conv(substring(md5(col("tok")), 1, SimhashHexChars), 16, 10).cast("long")
-    val votes = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(h, b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v$b")
-    }
-    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val fp = (0 until SimhashBits).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agg.select(col("doc_id"), fp.cast("long").as("simhash")).orderBy("doc_id")
+    toks.groupBy("doc_id")
+      .agg(graft.functions.SimhashAgg.simhashAgg(h, SimhashBits).as("simhash"))
+      .orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs: candidates bucket on each of 4 15-bit bands
