@@ -258,4 +258,71 @@ object TextExpressions {
 
   def alnumTokens(text: Column, minLen: Int = 1): Column =
     ColumnBridge.column(TokensExpr(ColumnBridge.expression(text), minLen))
+
+  /** Jaccard similarity |A∩B| / |A∪B| of two string arrays under DISTINCT
+    * semantics — the same value as
+    * `size(array_intersect(a,b)) / size(array_union(a,b))` but computed
+    * from two hash sets without materializing the intersection/union
+    * arrays (which that formulation builds only to take their sizes).
+    * Duplicate elements in either input are ignored, matching the
+    * distinct semantics of `array_intersect`/`array_union`. Both-empty
+    * inputs yield 0.0 (the built-in formulation's 0/0 would be
+    * null-after-division; callers threshold above zero anyway, and 0.0
+    * keeps the output non-null).
+    */
+  case class ArrayJaccardExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def prettyName: String = "array_jaccard"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val xb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val sa = new java.util.HashSet[Any]()
+      var i = 0
+      while (i < xa.numElements()) { sa.add(xa.getUTF8String(i)); i += 1 }
+      val sb = new java.util.HashSet[Any]()
+      i = 0
+      while (i < xb.numElements()) { sb.add(xb.getUTF8String(i)); i += 1 }
+      var inter = 0
+      val it = sb.iterator()
+      while (it.hasNext) { if (sa.contains(it.next())) inter += 1 }
+      val union = sa.size() + sb.size() - inter
+      if (union == 0) 0.0 else inter.toDouble / union.toDouble
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val sa = ctx.freshName("sa")
+        val sb = ctx.freshName("sb")
+        val i = ctx.freshName("i")
+        val it = ctx.freshName("it")
+        val inter = ctx.freshName("inter")
+        val union = ctx.freshName("union")
+        s"""
+           |java.util.HashSet<Object> $sa = new java.util.HashSet<Object>();
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  $sa.add($a.getUTF8String($i));
+           |}
+           |java.util.HashSet<Object> $sb = new java.util.HashSet<Object>();
+           |for (int $i = 0; $i < $b.numElements(); $i++) {
+           |  $sb.add($b.getUTF8String($i));
+           |}
+           |int $inter = 0;
+           |java.util.Iterator<Object> $it = $sb.iterator();
+           |while ($it.hasNext()) { if ($sa.contains($it.next())) $inter++; }
+           |int $union = $sa.size() + $sb.size() - $inter;
+           |${ev.value} = $union == 0 ? 0.0 : (double) $inter / (double) $union;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): ArrayJaccardExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def arrayJaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayJaccardExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -123,9 +123,12 @@ object Dedup {
     */
   def ngramJaccardNearDup(documents: DataFrame, minJaccard: Double = 0.2): DataFrame = {
     val pairs = lshCandidatePairs(documents)
+    // distinct semantics live inside arrayJaccard (hash-set based, no
+    // intersection/union arrays materialized), so the shingle arrays ship
+    // as-is — no array_distinct pass per doc
     val docShingles = documents.select(
       col("doc_id"),
-      array_distinct(shingles(col("text"), ShingleWidth, ShingleStep)).as("sh"))
+      shingles(col("text"), ShingleWidth, ShingleStep).as("sh"))
     val withSets = pairs
       .join(docShingles.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
       .join(docShingles.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))
@@ -134,8 +137,7 @@ object Dedup {
         col("doc_a"),
         col("doc_b"),
         round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"),
+          graft.functions.TextExpressions.arrayJaccard(col("sh_a"), col("sh_b")),
           6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy("doc_a", "doc_b")

@@ -85,6 +85,29 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(m.getSeq[String](0).take(3) == Seq("h", "llo", "w"))
   }
 
+  test("arrayJaccard matches the intersect/union formulation, dups ignored") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val pairs = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),        // 2/4
+      (Seq("a", "a", "b"), Seq("b", "b", "a")),        // dups: 2/2 = 1.0
+      (Seq("a"), Seq("b")),                            // 0/2
+      (Seq.empty[String], Seq.empty[String]),          // both empty -> 0.0
+      (Seq("a", "b"), Seq.empty[String]))              // 0/2
+      .toDF("a", "b")
+    val r = pairs.select(
+      TextExpressions.arrayJaccard(col("a"), col("b")).as("native"),
+      try_divide(size(array_intersect(col("a"), col("b"))).cast("double"),
+        size(array_union(col("a"), col("b"))).cast("double")).as("builtin"))
+      .collect()
+    r.foreach { row =>
+      // try_divide yields null on the both-empty 0/0 row; native yields 0.0
+      val builtin = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+      assert(row.getDouble(0) == builtin)
+    }
+    assert(r(1).getDouble(0) == 1.0)
+  }
+
   test("rolling fingerprint matches the HOF formulation on edge cases") {
     import TextAnalysis.{RkB, RkK, RkP, rkPowers}
     // the pre-native HOF formulation, inlined here as the independent twin
