@@ -121,6 +121,7 @@ object SparkEntry {
     "q_docs_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "q_docs_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(t(s, d, "documents"))),
     "q_docs_bigrams" -> ((s, d) => Dedup.wordBigrams(t(s, d, "documents"))),
+    "q_docs_clusters" -> ((s, d) => Dedup.nearDupClusters(t(s, d, "documents"))),
     // ---- similarity search (LLM pipeline) ----
     "q_emb_topk" -> ((s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"))),
     "q_emb_topk_agg" -> ((s, d) => Similarity.bruteForceTopKAgg(t(s, d, "embeddings"))),
@@ -635,6 +636,20 @@ object SparkEntry {
     "q_docs_lsh_pairs" ->
       s"""WITH $minhashCtes
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // Connected components as transitive reachability: bidirectional
+    // edges from the capped LSH pairs, recursive closure, min reachable
+    // id per vertex = the cluster label min-label propagation converges to.
+    "q_docs_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_docs_neardup" ->
       s"""WITH $minhashCtes,
          |ds AS (SELECT doc_id, list_distinct(s) AS shs FROM sh),

@@ -177,6 +177,74 @@ object Dedup {
   require(SimhashBits % 4 == 0 && SimhashBits < 63,
     "fingerprint must be whole hex chars and sign-safe in a 64-bit long")
 
+  /** Near-dup cluster collapse: connected components over the LSH
+    * candidate-pair graph, labels = min doc_id per component — the step
+    * that turns pairwise candidates into "keep one doc per cluster".
+    * Every document appears in the output; docs with no candidate partner
+    * are singleton clusters of themselves, and `keep` marks the cluster
+    * representative (the min id).
+    *
+    * Algorithm: min-label propagation to fixpoint — per iteration each
+    * vertex takes the min of its own label and its neighbors' labels (one
+    * shuffle per iteration: join edges⋈labels + min-aggregate). The
+    * driver-side loop condition is a scalar `count()` of changed labels —
+    * the standard shape for iterative algorithms; `localCheckpoint`
+    * truncates the growing lineage each iteration. Iterations needed =
+    * component diameter; LSH candidate clusters are short-diameter by
+    * construction (members share band buckets), so the loop converges in
+    * a handful of rounds. At adversarial scale the O(log n) upgrade is
+    * the large-star/small-star variant (Kiveris et al.) — same join
+    * shape, different edge rewiring.
+    */
+  def nearDupClusters(documents: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponents(
+      lshCandidatePairs(documents),
+      documents.select(col("doc_id")),
+      maxIter)
+
+  /** Min-label propagation over an undirected pair list. Exposed separately
+    * from [[nearDupClusters]] so the fixpoint logic is testable on a
+    * synthetic graph (transitive chains, singletons).
+    */
+  private[graft] def connectedComponents(
+      pairs: DataFrame,
+      vertices: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val pa = pairs.columns(0)
+    val pb = pairs.columns(1)
+    val edges = pairs.select(col(pa).as("src"), col(pb).as("dst"))
+      .union(pairs.select(col(pb).as("src"), col(pa).as("dst")))
+      .persist()
+    var labels = vertices.select(col(vertices.columns.head).as("id"))
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("dst_label").as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label"))
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+      .select(
+        col("id").as("doc_id"),
+        col("label").as("cluster_id"),
+        (col("id") === col("label")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash: 60-bit fingerprint from token-level md5 bits by majority
     * vote. Tokens explode → per-doc aggregate of ±1 votes per bit →
     * fingerprint; one shuffle on doc_id (combine-heavy: partial vote

@@ -51,6 +51,30 @@ class CurationSpec extends AnyFunSuite {
     assert(r(0).getLong(3) == 3L)
   }
 
+  test("connected components collapses transitive chains and keeps singletons") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // chain 1-2-3 (1 and 3 never share an edge), pair 10-11, singleton 5
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val verts = Seq(1L, 2L, 3L, 5L, 10L, 11L).toDF("doc_id")
+    val r = Dedup.connectedComponents(pairs, verts)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r(1L) == (1L, true))
+    assert(r(2L) == (1L, false)) // transitivity: 3 reaches 1 through 2
+    assert(r(3L) == (1L, false))
+    assert(r(5L) == (5L, true)) // singleton keeps itself
+    assert(r(10L) == (10L, true))
+    assert(r(11L) == (10L, false))
+  }
+
+  test("near-dup clusters over real LSH pairs fold exact duplicates together") {
+    val r = Dedup.nearDupClusters(docs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == 1L && r(3L) == 1L) // identical docs 1/3 share a cluster
+    assert(r(2L) == 2L)                // unrelated doc is its own cluster
+    assert(r.size == 5)                // every doc appears
+  }
+
   test("rolling-hash fingerprint matches an independent Rabin-Karp implementation") {
     import graft.ops.TextAnalysis.{RkK, RkP, rkPowers}
     def hashes(text: String): Seq[Long] = {
