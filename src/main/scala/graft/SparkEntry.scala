@@ -129,6 +129,8 @@ object SparkEntry {
     "q_emb_ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d, "embeddings"))),
     "q_emb_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"))),
     "q_emb_srp_buckets" -> ((s, d) => Similarity.srpBuckets(t(s, d, "embeddings"))),
+    "q_emb_quantize" -> ((s, d) => Similarity.quantizeAudit(t(s, d, "embeddings"))),
+    "q_docs_split" -> ((s, d) => TextAnalysis.trainValTestSplit(t(s, d, "documents"))),
     "q_emb_srp_pairs" -> ((s, d) => Similarity.srpNearDupPairs(t(s, d, "embeddings"))),
     // ---- multimodal plumbing ----
     "q_multimodal_meta" -> ((s, d) => Multimodal.binaryMeta(t(s, d, "documents"))),
@@ -797,6 +799,32 @@ object SparkEntry {
          |  JOIN embeddings y ON p.id_b = y.vec_id)
          |SELECT id_a, id_b, cos_sim FROM s
          |WHERE cos_sim > 0.35 ORDER BY id_a, id_b""".stripMargin,
+    "q_emb_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)
+        |                      * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END)
+        |                      + 0.5) AS BIGINT)) AS qs
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qs, v -> v * v)) AS BIGINT) AS q_norm2
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q_docs_split" ->
+      """SELECT doc_id, source,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
+        |  CASE
+        |    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'train'
+        |    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 95 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Multimodal oracles replay the deterministic stub codecs. CAVEAT
     // (documented, verified): the Spark side operates on payload BYTES;
     // DuckDB has no BLOB substring/md5, so the SQL twins operate on

@@ -131,10 +131,88 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Int8 quantization stats for one embedding: `scale = 127 / max|x|`
+    * (0.0 for the zero vector) and the quantized checksum/energy
+    * `q_sum = Σ qᵢ`, `q_norm2 = Σ qᵢ²` with `qᵢ = floor(xᵢ·scale + 0.5)`.
+    * This is the storage-compression step of an embedding pipeline
+    * (float32 → int8 is the standard 4× shrink before ANN serving); the
+    * stats are the scalar audit of the quantized vectors, computed without
+    * materializing them. `floor(x + 0.5)` is chosen over `round` because
+    * both engines agree on it exactly (Java `Math.round` and SQL `round`
+    * disagree on negative halves).
+    */
+  case class Int8QuantStats(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("scale", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "q_sum", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "q_norm2", org.apache.spark.sql.types.LongType, nullable = false)))
+
+    override def prettyName: String = "int8_quant_stats"
+
+    override def nullSafeEval(input: Any): Any = {
+      val xs = input.asInstanceOf[ArrayData].toFloatArray()
+      var mx = 0.0
+      var i = 0
+      while (i < xs.length) {
+        val a = math.abs(xs(i).toDouble); if (a > mx) mx = a; i += 1
+      }
+      val scale = if (mx == 0.0) 0.0 else 127.0 / mx
+      var qSum = 0L
+      var qNorm2 = 0L
+      i = 0
+      while (i < xs.length) {
+        val q = math.floor(xs(i).toDouble * scale + 0.5).toLong
+        qSum += q; qNorm2 += q * q; i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](scale, qSum, qNorm2))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val xs = ctx.freshName("xs")
+        val mx = ctx.freshName("mx")
+        val a = ctx.freshName("a")
+        val scale = ctx.freshName("scale")
+        val qSum = ctx.freshName("qSum")
+        val qNorm2 = ctx.freshName("qNorm2")
+        val q = ctx.freshName("q")
+        val i = ctx.freshName("i")
+        s"""
+           |float[] $xs = $s.toFloatArray();
+           |double $mx = 0.0;
+           |for (int $i = 0; $i < $xs.length; $i++) {
+           |  double $a = Math.abs((double) $xs[$i]);
+           |  if ($a > $mx) $mx = $a;
+           |}
+           |double $scale = $mx == 0.0 ? 0.0 : 127.0 / $mx;
+           |long $qSum = 0L; long $qNorm2 = 0L;
+           |for (int $i = 0; $i < $xs.length; $i++) {
+           |  long $q = (long) Math.floor((double) $xs[$i] * $scale + 0.5);
+           |  $qSum += $q; $qNorm2 += $q * $q;
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+           |    new Object[] { java.lang.Double.valueOf($scale),
+           |      java.lang.Long.valueOf($qSum), java.lang.Long.valueOf($qNorm2) });
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
+      copy(child = newChild)
+  }
+
   /** Column-API entry points. */
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVectorDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def int8QuantStats(a: Column): Column =
+    ColumnBridge.column(Int8QuantStats(ColumnBridge.expression(a)))
 
   def vecCosine(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVectorCosine(

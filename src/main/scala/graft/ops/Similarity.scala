@@ -142,6 +142,24 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Int8 quantization audit per embedding — the storage-compression step
+    * (float32 → int8, 4× smaller before ANN serving), reported as scalar
+    * stats (scale + quantized checksum/energy) computed in one codegen'd
+    * pass without materializing the quantized vectors
+    * ([[graft.functions.VectorExpressions.Int8QuantStats]]). A narrow map
+    * stage: no shuffle, scales with the scan.
+    */
+  def quantizeAudit(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.int8QuantStats(col("embedding")).as("q"))
+      .select(
+        col("vec_id"),
+        round(col("q.scale"), 6).as("scale"),
+        col("q.q_sum").as("q_sum"),
+        col("q.q_norm2").as("q_norm2"))
+      .orderBy("vec_id")
+
   /** Signed-random-projection (SRP) LSH: the bucketed alternative to IVF.
     * `SrpBits` fixed pseudo-random hyperplanes (integer weights, seeded —
     * embedded as literals in both the Spark plan and the SQL oracle, so

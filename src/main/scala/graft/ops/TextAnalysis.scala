@@ -201,6 +201,32 @@ object TextAnalysis {
       .orderBy("fp")
   }
 
+  /** Deterministic train/val/test split: assign each doc to a named split
+    * by a stable hash of its id — the reproducible, partition-independent
+    * way to carve a corpus (randomSplit changes membership with
+    * partitioning and seed plumbing; a hash split is a pure function of
+    * the id, so the same doc lands in the same split on every engine, at
+    * every scale, forever — which is what makes held-out sets trustworthy
+    * over pipeline reruns). Buckets: hash mod 100 → [0,90) train,
+    * [90,95) val, [95,100) test.
+    */
+  def trainValTestSplit(
+      documents: DataFrame,
+      trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    documents
+      .select(
+        col("doc_id"),
+        col("source"),
+        bucket.as("bucket"),
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic hash sampling: keep ~1/`rate` of docs by a stable hash
     * of the id — reproducible downsampling with no RNG state, the same
     * subset on every engine and every run (unlike `sample()`, whose

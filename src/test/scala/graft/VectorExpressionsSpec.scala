@@ -62,6 +62,36 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(v == 0.0 && !v.isNaN)
   }
 
+  test("int8 quant stats match hand computation, zero vector scales to 0") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("a", ArrayType(FloatType))))
+    val d = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Array(1.0f, -2.0f, 0.5f)), // mx=2, scale=63.5 → q=64,-127,32
+        Row(2L, Array(0.0f, 0.0f)),        // zero vector
+        Row(3L, Array(-1.5f))),            // single negative: q=-127
+      schema)
+    val r = d.select(col("id"), int8QuantStats(col("a")).as("q"))
+      .select(col("id"), col("q.scale"), col("q.q_sum"), col("q.q_norm2"))
+      .orderBy("id").collect()
+    assert(r(0).getDouble(1) == 63.5)
+    assert(r(0).getLong(2) == (64L - 127L + 32L))
+    assert(r(0).getLong(3) == (64L * 64 + 127L * 127 + 32L * 32))
+    assert(r(1).getDouble(1) == 0.0 && r(1).getLong(2) == 0L)
+    assert(r(2).getLong(2) == -127L)
+  }
+
+  test("int8 quant stats survive the interpreted path") {
+    val schema = StructType(Seq(StructField("a", ArrayType(FloatType))))
+    val d = spark.createDataFrame(
+      java.util.Arrays.asList(Row(Array(0.3f, -0.7f, 0.1f))), schema)
+    val expected = d.select(int8QuantStats(col("a"))).collect()(0).toString
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+                "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(d.select(int8QuantStats(col("a"))).collect()(0).toString == expected)
+    }
+  }
+
   test("vec_cosine survives both codegen and interpreted paths") {
     val expected = df.filter(col("a").isNotNull)
       .select(vecCosine(col("a"), col("b"))).collect().map(_.getDouble(0)).sorted
