@@ -33,10 +33,12 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("WARN")
 
     for (name <- names) {
+      val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       // execute THIS queryExecution (a write/count would plan a fresh one
       // and leave this AdaptiveSparkPlan unfinalized with zeroed metrics)
       df.queryExecution.toRdd.foreach(_ => ())
+      println(f"  wall: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       val executed = df.queryExecution.executedPlan
       val finalPlan = executed match {
         case a: AdaptiveSparkPlanExec => a.executedPlan

