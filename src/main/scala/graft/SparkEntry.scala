@@ -131,6 +131,9 @@ object SparkEntry {
     "q_emb_srp_buckets" -> ((s, d) => Similarity.srpBuckets(t(s, d, "embeddings"))),
     "q_emb_quantize" -> ((s, d) => Similarity.quantizeAudit(t(s, d, "embeddings"))),
     "q_docs_split" -> ((s, d) => TextAnalysis.trainValTestSplit(t(s, d, "documents"))),
+    "q_docs_pii" -> ((s, d) => TextAnalysis.redactPii(t(s, d, "documents"))),
+    "q_docs_ngram_contam" -> ((s, d) => TextAnalysis.ngramContamination(t(s, d, "documents"))),
+    "q_docs_repetition" -> ((s, d) => TextAnalysis.repetitionScore(t(s, d, "documents"))),
     "q_emb_srp_pairs" -> ((s, d) => Similarity.srpNearDupPairs(t(s, d, "embeddings"))),
     // ---- multimodal plumbing ----
     "q_multimodal_meta" -> ((s, d) => Multimodal.binaryMeta(t(s, d, "documents"))),
@@ -825,6 +828,50 @@ object SparkEntry {
         |    ELSE 'test'
         |  END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // PII patterns are deliberately RE2-compatible (no backreferences /
+    // lookaround) so Java regex and DuckDB RE2 agree byte-for-byte.
+    "q_docs_pii" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(text, '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
+         |          '${TextAnalysis.Ipv4Re}', '[IP]', 'g'),
+         |        '${TextAnalysis.PhoneRe}', '[PHONE]', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_docs_ngram_contam" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, greatest(len(words) - 12, 1) + 1),
+        |      i -> CAST('0x' || substr(md5(array_to_string(words[i:i+12], ' ')), 1, 15) AS BIGINT)))
+        |      AS gram
+        |  FROM w),
+        |leaky AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT source) > 1)
+        |SELECT g.doc_id, count(DISTINCT g.gram) AS leaked_grams
+        |FROM g JOIN leaky USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q_docs_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+        |      i -> array_to_string(words[i:i+2], ' ')) AS grams
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_grams,
+        |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     // Multimodal oracles replay the deterministic stub codecs. CAVEAT
     // (documented, verified): the Spark side operates on payload BYTES;
     // DuckDB has no BLOB substring/md5, so the SQL twins operate on

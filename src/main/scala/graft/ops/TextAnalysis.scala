@@ -110,6 +110,98 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII redaction audit: detect-and-redact emails, international-ish
+    * phone numbers, and IPv4 addresses — the safety scrub every
+    * training-data pipeline runs before anything else sees the text. The
+    * patterns stay in the RE2-compatible subset (no backreferences, no
+    * lookaround) so the DuckDB oracle replays them byte-for-byte. Output
+    * is the per-doc detection counts plus the md5 of the redacted text (a
+    * scalar proof of the exact redaction result — the full redacted text
+    * ships in production, but a hash is what a cross-engine gate can
+    * grade).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def redactPii(documents: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+          Ipv4Re, "[IP]"),
+        PhoneRe, "[PHONE]")
+    documents
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ips"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination at the n-gram level: word `n`-grams
+    * (hashed) that appear in more than one source mark their documents as
+    * cross-contaminated — the standard eval-leakage check (full-document
+    * hashing misses partial inclusion; 13-gram overlap is the
+    * conventional granularity). Shape: explode grams → aggregate gram →
+    * sources per gram → semi-join back to per-doc counts. Two shuffles,
+    * both on the gram hash / doc id — never a doc×doc comparison.
+    */
+  def ngramContamination(documents: DataFrame, n: Int = 13): DataFrame = {
+    // materialize the token array in its own projection: the gram lambda
+    // below references it per position, and the interpreted HOF path has
+    // no CSE — an inlined tokenizer would re-run once per gram
+    val withWords = documents.select(
+      col("doc_id"), col("source"),
+      graft.functions.TextExpressions.alnumTokens(col("text")).as("words"))
+    // gram i = words[i..i+n): hash the joined text to keep the shuffle
+    // rows narrow (64-bit md5 prefix, same scheme as the dedup suite)
+    val grams = transform(
+      sequence(lit(1), greatest(size(col("words")) - (n - 1), lit(1))),
+      i => conv(substring(md5(concat_ws(" ",
+        slice(col("words"), i, lit(n)))), 1, 15), 16, 10).cast("long"))
+    val exploded = withWords
+      .select(col("doc_id"), col("source"), explode(grams).as("gram"))
+    val leaky = exploded
+      .groupBy("gram")
+      .agg(countDistinct("source").as("n_sources"))
+      .filter(col("n_sources") > 1)
+      .select("gram")
+    exploded
+      .join(leaky, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").as("leaked_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Within-document repetition score: the fraction of duplicate word
+    * trigrams (1 − distinct/total), the Gopher-style quality signal that
+    * catches boilerplate and degenerate generation loops. Pure per-row
+    * array math — a narrow map stage, no shuffle.
+    */
+  def repetitionScore(documents: DataFrame): DataFrame = {
+    // same materialize-first discipline as ngramContamination
+    val withWords = documents.select(
+      col("doc_id"),
+      graft.functions.TextExpressions.alnumTokens(col("text")).as("words"))
+    val grams = transform(
+      sequence(lit(1), greatest(size(col("words")) - 2, lit(1))),
+      i => concat_ws(" ", slice(col("words"), i, lit(3))))
+    withWords
+      .select(col("doc_id"), grams.as("g"))
+      .select(
+        col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6)
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF top terms: tokenize (lowercase alnum runs, len ≥ 3), term
     * frequency per doc, document frequency across the corpus, score =
     * tf · ln((N+1)/(df+1)), top `k` terms per doc by (score desc, term).

@@ -75,6 +75,57 @@ class CurationSpec extends AnyFunSuite {
     assert(r.size == 5)                // every doc appears
   }
 
+  test("PII redaction detects and scrubs emails/IPs/phones (corpus has none — pin it here)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val pii = Seq(
+      (1L, "contact alice@example.com or bob.smith+x@mail.co.uk today"),
+      (2L, "server at 192.168.1.100 and 10.0.0.1 responded"),
+      (3L, "call +1-555-123-4567 now"),
+      (4L, "clean text with no identifiers at all"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(pii).collect()
+    assert(r(0).getLong(1) == 2L) // two emails
+    assert(r(1).getLong(2) == 2L) // two IPs
+    assert(r(3).getLong(1) == 0L && r(3).getLong(2) == 0L)
+    // the hash proves redaction actually rewrote the text (≠ hash of raw)
+    import org.apache.spark.sql.functions.{col, md5}
+    val raw = pii.select(md5(col("text"))).collect().map(_.getString(0))
+    assert(r(0).getString(3) != raw(0))
+    assert(r(2).getString(3) != raw(2)) // phone scrubbed even though uncounted
+    assert(r(3).getString(3) == raw(3)) // clean text untouched
+  }
+
+  test("n-gram contamination flags partial inclusion that whole-doc hashing misses") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val shared = (1 to 15).map(i => s"w$i").mkString(" ") // 15 shared words
+    val docs = Seq(
+      (1L, s"intro text then $shared and a tail", "web"),
+      (2L, s"$shared completely different ending here", "eval"),
+      (3L, "nothing in common with the others at all beyond tiny words", "web"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.ngramContamination(docs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // 15 shared words → 3 shared 13-grams; both docs flagged, doc 3 not
+    assert(r(1L) == 3L && r(2L) == 3L)
+    assert(!r.contains(3L))
+    // whole-doc fingerprinting sees nothing here (texts differ)
+    assert(TextAnalysis.crossSourceContamination(docs).count() == 0L)
+  }
+
+  test("repetition score catches degenerate loops") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = Seq(
+      (1L, Array.fill(20)("buy now limited offer").mkString(" ")), // loop
+      (2L, (1 to 80).map(i => s"unique$i").mkString(" ")))         // no repeats
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionScore(docs).collect()
+    assert(r(0).getDouble(2) > 0.9)
+    assert(r(1).getDouble(2) == 0.0)
+  }
+
   test("rolling-hash fingerprint matches an independent Rabin-Karp implementation") {
     import graft.ops.TextAnalysis.{RkK, RkP, rkPowers}
     def hashes(text: String): Seq[Long] = {
