@@ -259,6 +259,99 @@ object TextExpressions {
   def alnumTokens(text: Column, minLen: Int = 1): Column =
     ColumnBridge.column(TokensExpr(ColumnBridge.expression(text), minLen))
 
+  /** Hashed word n-grams: for token array `words`, emits
+    * `hash(words[i..i+n) joined by ' ')` for i = 0 … max(len-n, 0) — the
+    * same values as the HOF formulation
+    * `transform(sequence(1, greatest(size-n+1, 1)), i ->
+    * conv(substring(md5(concat_ws(' ', slice(words, i, n))), 1, 15), 16,
+    * 10))` (and its DuckDB twin), in one generated loop. The hash is the
+    * first 15 hex chars of md5 as a long (60 bits, sign-safe) — the
+    * engine's standard oracle-replayable hash scheme. A short array
+    * (fewer than n tokens) emits one gram over whatever is there,
+    * matching `greatest(..., 1)`.
+    */
+  case class HashedNgramsExpr(child: Expression, n: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)
+
+    override def prettyName: String = "hashed_ngrams"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val len = arr.numElements()
+      val out = new Array[Any](math.max(len - n + 1, 1))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i < out.length) {
+        val sb = new java.lang.StringBuilder()
+        var j = i
+        val end = math.min(i + n, len)
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(arr.getUTF8String(j).toString)
+          j += 1
+        }
+        out(i) = TextExpressions.md5Prefix60(md, sb.toString)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val len = ctx.freshName("len")
+        val out = ctx.freshName("out")
+        val md = ctx.freshName("md")
+        val sb = ctx.freshName("sb")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val end = ctx.freshName("end")
+        s"""
+           |int $len = $a.numElements();
+           |Object[] $out = new Object[Math.max($len - ${n - 1}, 1)];
+           |java.security.MessageDigest $md;
+           |try { $md = java.security.MessageDigest.getInstance("MD5"); }
+           |catch (java.security.NoSuchAlgorithmException e) {
+           |  throw new RuntimeException(e);
+           |}
+           |for (int $i = 0; $i < $out.length; $i++) {
+           |  StringBuilder $sb = new StringBuilder();
+           |  int $end = Math.min($i + $n, $len);
+           |  for (int $j = $i; $j < $end; $j++) {
+           |    if ($j > $i) $sb.append(' ');
+           |    $sb.append($a.getUTF8String($j).toString());
+           |  }
+           |  $out[$i] = java.lang.Long.valueOf(
+           |    graft.functions.TextExpressions.md5Prefix60($md, $sb.toString()));
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): HashedNgramsExpr =
+      copy(child = newChild)
+  }
+
+  /** First 60 bits (15 hex chars) of md5(s) as a long — shared by the
+    * interpreted and generated paths of [[HashedNgramsExpr]]. The digest
+    * instance is reset by `digest()` itself, so reuse across calls is safe.
+    */
+  def md5Prefix60(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // 15 hex chars = 7.5 bytes: top 7 bytes + high nibble of the 8th
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  def hashedNgrams(words: Column, n: Int): Column =
+    ColumnBridge.column(HashedNgramsExpr(ColumnBridge.expression(words), n))
+
   /** Jaccard similarity |A∩B| / |A∪B| of two string arrays under DISTINCT
     * semantics — the same value as
     * `size(array_intersect(a,b)) / size(array_union(a,b))` but computed

@@ -156,13 +156,12 @@ object TextAnalysis {
       col("doc_id"), col("source"),
       graft.functions.TextExpressions.alnumTokens(col("text")).as("words"))
     // gram i = words[i..i+n): hash the joined text to keep the shuffle
-    // rows narrow (64-bit md5 prefix, same scheme as the dedup suite)
-    val grams = transform(
-      sequence(lit(1), greatest(size(col("words")) - (n - 1), lit(1))),
-      i => conv(substring(md5(concat_ws(" ",
-        slice(col("words"), i, lit(n)))), 1, 15), 16, 10).cast("long"))
+    // rows narrow (60-bit md5 prefix, same scheme as the dedup suite),
+    // generated in one codegen loop per row
     val exploded = withWords
-      .select(col("doc_id"), col("source"), explode(grams).as("gram"))
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.TextExpressions.hashedNgrams(col("words"), n))
+          .as("gram"))
     val leaky = exploded
       .groupBy("gram")
       .agg(countDistinct("source").as("n_sources"))
