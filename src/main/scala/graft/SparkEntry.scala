@@ -132,6 +132,9 @@ object SparkEntry {
     "q_emb_quantize" -> ((s, d) => Similarity.quantizeAudit(t(s, d, "embeddings"))),
     "q_docs_split" -> ((s, d) => TextAnalysis.trainValTestSplit(t(s, d, "documents"))),
     "q_docs_pii" -> ((s, d) => TextAnalysis.redactPii(t(s, d, "documents"))),
+    // mixture: keep all of src0, 50% of src1, 25% of src2; drop the rest
+    "q_docs_mixture" -> ((s, d) => TextAnalysis.mixtureSample(
+      t(s, d, "documents"), Map("src0" -> 10000, "src1" -> 5000, "src2" -> 2500))),
     "q_docs_ngram_contam" -> ((s, d) => TextAnalysis.ngramContamination(t(s, d, "documents"))),
     "q_docs_repetition" -> ((s, d) => TextAnalysis.repetitionScore(t(s, d, "documents"))),
     "q_emb_srp_pairs" -> ((s, d) => Similarity.srpNearDupPairs(t(s, d, "embeddings"))),
@@ -828,6 +831,15 @@ object SparkEntry {
         |    ELSE 'test'
         |  END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_docs_mixture" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS BIGINT) % 10000 AS bucket,
+        |    CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+        |      WHEN 'src2' THEN 2500 ELSE 0 END AS rate_bps
+        |  FROM documents)
+        |SELECT doc_id, source, bucket, rate_bps FROM b
+        |WHERE bucket < rate_bps ORDER BY doc_id""".stripMargin,
     // PII patterns are deliberately RE2-compatible (no backreferences /
     // lookaround) so Java regex and DuckDB RE2 agree byte-for-byte.
     "q_docs_pii" ->

@@ -318,6 +318,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic mixture sampling: per-source keep rates (in basis
+    * points) applied by stable id-hash — the data-mixture step of a
+    * pretraining pipeline ("keep 100% of wiki, 25% of web, …") with no
+    * RNG state: membership is a pure function of doc_id, so the mixture
+    * is reproducible across engines, scales, and reruns, and downstream
+    * held-out splits stay disjoint. Unknown sources default to dropped
+    * (rate 0) — a mixture spec should be exhaustive on purpose.
+    */
+  def mixtureSample(
+      documents: DataFrame,
+      ratesBps: Map[String, Int]): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 9, 8), 16, 10)
+      .cast("long") % 10000
+    val rate = ratesBps.foldLeft(lit(0)) { case (acc, (src, bps)) =>
+      when(col("source") === src, lit(bps)).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("source"), bucket.as("bucket"), rate.as("rate_bps"))
+      .filter(col("bucket") < col("rate_bps"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic hash sampling: keep ~1/`rate` of docs by a stable hash
     * of the id — reproducible downsampling with no RNG state, the same
     * subset on every engine and every run (unlike `sample()`, whose

@@ -114,6 +114,24 @@ class CurationSpec extends AnyFunSuite {
     assert(TextAnalysis.crossSourceContamination(docs).count() == 0L)
   }
 
+  test("mixture sampling honors per-source rates and drops unknown sources") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val many = (1L to 400L).map(i =>
+      (i, "text", "en", if (i <= 200) "keep_all" else if (i <= 390) "keep_none" else "other", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.mixtureSample(many,
+      Map("keep_all" -> 10000, "keep_none" -> 0))
+      .collect()
+    assert(r.length == 200) // all of keep_all
+    assert(r.forall(_.getString(1) == "keep_all")) // keep_none + unknown dropped
+    // determinism: repartitioned input selects the identical subset
+    val r2 = TextAnalysis.mixtureSample(many.repartition(7),
+      Map("keep_all" -> 10000, "keep_none" -> 0))
+      .collect().map(_.getLong(0)).toSet
+    assert(r2 == r.map(_.getLong(0)).toSet)
+  }
+
   test("repetition score catches degenerate loops") {
     val sparkS = spark
     import sparkS.implicits._
