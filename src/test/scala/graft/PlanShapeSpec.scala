@@ -86,6 +86,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"keep-best should not need a window:\n$p")
   }
 
+  test("13-gram decontamination is two shuffle aggregates — no doc×doc comparison") {
+    val p = plan(TextAnalysis.ngramContamination(t("documents")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise comparison in decontamination plan:\n$p")
+    assert(p.contains("hashed_ngrams"), s"expected native gram expression:\n$p")
+  }
+
+  test("PII redaction and repetition score are single narrow map stages") {
+    for (df <- Seq(
+        TextAnalysis.redactPii(t("documents")),
+        TextAnalysis.repetitionScore(t("documents")))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in a per-row op (only the output sort may exchange):\n$p")
+    }
+  }
+
   test("native vec_cosine stays inside whole-stage codegen") {
     val df = Similarity.bruteForceTopK(t("embeddings"), numQueries = 2, k = 2)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
