@@ -46,11 +46,12 @@ object Bench {
         }
         it += 1
       }
-      val timed = times.result() match {
-        case v if v.isEmpty => Vector(timeoutSec.toDouble)
-        case v => v
-      }
-      name -> timed.sorted.apply((timed.size - 1) / 2)
+      // ANY failed/timed-out iteration reports the timeout value — a flaky
+      // query must not hide behind the median of its lucky runs
+      val median =
+        if (failed) timeoutSec.toDouble
+        else { val v = times.result(); v.sorted.apply((v.size - 1) / 2) }
+      name -> median
     }
     // Locale.ROOT: a comma-decimal default locale would render "1,234"
     // and corrupt the JSON line

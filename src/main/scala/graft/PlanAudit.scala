@@ -38,7 +38,7 @@ object PlanAudit {
       // execute THIS queryExecution (a write/count would plan a fresh one
       // and leave this AdaptiveSparkPlan unfinalized with zeroed metrics)
       df.queryExecution.toRdd.foreach(_ => ())
-      println(f"  wall: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val wall = (System.nanoTime() - t0) / 1e9
       val executed = df.queryExecution.executedPlan
       val finalPlan = executed match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
@@ -56,6 +56,7 @@ object PlanAudit {
       }
       val nodes = walk(finalPlan)
       println(s"== $name (shuffle.partitions=$parts, sf=$sfDir)")
+      println(f"  wall: $wall%.2f s")
       nodes.collect { case e: ShuffleExchangeLike => e }.zipWithIndex.foreach {
         case (e, i) =>
           val size = e.metrics.get("dataSize").map(_.value).getOrElse(-1L)

@@ -58,17 +58,19 @@ object TradePipeline {
     // (etl_pipeline.py:110-117, 125-132) and gates only which DataFrame
     // flows downstream (etl_pipeline.py:120-123, 135-138).
     val processed = trades.count()
-    val deduped = TradeEtl.dedupByTradeId(trades)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // persist only when the deduped frame flows downstream — with the
+    // toggle off it is consumed by exactly one count and a cache write
+    // would be pure overhead
+    val deduped =
+      if (cfg.dataQuality.filterDuplicates)
+        TradeEtl.dedupByTradeId(trades).persist(StorageLevel.MEMORY_AND_DISK)
+      else TradeEtl.dedupByTradeId(trades)
     val dedupCount = deduped.count()
     val duplicateCount = processed - dedupCount
 
     val (afterDedup, baseCount, dedupHandle) =
       if (cfg.dataQuality.filterDuplicates) (deduped, dedupCount, Some(deduped))
-      else {
-        deduped.unpersist(blocking = false) // counted, not flowing downstream
-        (trades, processed, None)
-      }
+      else (trades, processed, None)
 
     // Cancelled metric measured on the (possibly deduped) flow, as the
     // reference does (its running current_count reflects the dedup gate).

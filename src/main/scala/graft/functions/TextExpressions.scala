@@ -82,11 +82,13 @@ object TextExpressions {
         val j = ctx.freshName("j")
         val q = ctx.freshName("q")
         val out = ctx.freshName("out")
-        val pows = ctx.freshName("pows")
+        // the power table is constant for the expression — hoist it to a
+        // class field initialized once, not a per-row allocation
         val powsInit = powers.map(x => s"${x}L").mkString(", ")
+        val pows = ctx.addMutableState("long[]", "rkPows",
+          v => s"$v = new long[] { $powsInit };")
         s"""
            |int[] $cps = $s.toString().codePoints().toArray();
-           |final long[] $pows = new long[] { $powsInit };
            |int $len = $cps.length;
            |int $npos = Math.max($len - ${k - 1}, 1);
            |long $qlen = Math.max((long) Math.ceil($npos / 4.0), 1L);
@@ -304,19 +306,20 @@ object TextExpressions {
       nullSafeCodeGen(ctx, ev, a => {
         val len = ctx.freshName("len")
         val out = ctx.freshName("out")
-        val md = ctx.freshName("md")
         val sb = ctx.freshName("sb")
         val i = ctx.freshName("i")
         val j = ctx.freshName("j")
         val end = ctx.freshName("end")
+        // one digest instance per generated class, not per row (digest()
+        // resets it after each call, so reuse across rows is safe)
+        val md = ctx.addMutableState("java.security.MessageDigest", "ngramMd5",
+          v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+                  |catch (java.security.NoSuchAlgorithmException e) {
+                  |  throw new RuntimeException(e);
+                  |}""".stripMargin)
         s"""
            |int $len = $a.numElements();
            |Object[] $out = new Object[Math.max($len - ${n - 1}, 1)];
-           |java.security.MessageDigest $md;
-           |try { $md = java.security.MessageDigest.getInstance("MD5"); }
-           |catch (java.security.NoSuchAlgorithmException e) {
-           |  throw new RuntimeException(e);
-           |}
            |for (int $i = 0; $i < $out.length; $i++) {
            |  StringBuilder $sb = new StringBuilder();
            |  int $end = Math.min($i + $n, $len);

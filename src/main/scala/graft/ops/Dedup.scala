@@ -94,6 +94,17 @@ object Dedup {
     * catches identical text directly. The DuckDB oracle replicates the
     * cap, so Spark and oracle agree on dropped buckets.
     */
+  /** All ordered in-bucket pairs (members(i), members(j)) with i < j from
+    * a sorted member-list column — the pair-generation half of the
+    * bounded-bucket pattern, shared by every LSH/IVF pair generator so
+    * the slice arithmetic and cap semantics (which the oracles replicate)
+    * live in exactly one place. `mk` builds the output struct for one
+    * (a, b) member pair.
+    */
+  private[ops] def inBucketPairs(members: Column)(mk: (Column, Column) => Column): Column =
+    flatten(transform(members, (x, i) =>
+      transform(slice(members, i + lit(2), size(members)), y => mk(x, y))))
+
   def lshCandidatePairs(documents: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val sigs = minhashSignatures(documents)
     val bandCols = (0 until NumBands).map(b =>
@@ -105,10 +116,8 @@ object Dedup {
       .groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-    // all ordered pairs (ids(i), ids(j)) with i < j from the sorted list
-    val pairs = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-        struct(x.as("doc_a"), y.as("doc_b")))))
+    val pairs = inBucketPairs(col("ids"))((x, y) =>
+      struct(x.as("doc_a"), y.as("doc_b")))
     buckets
       .select(explode(pairs).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
@@ -246,11 +255,15 @@ object Dedup {
     while (changed > 0 && it < maxIter) {
       // supervertex min over the (already contracted) edge set, counting
       // both directions: m(L) = min(L, all quotient neighbors of L)
+      // eagerly checkpointed: consumed by BOTH the relabel job and the
+      // edge-contraction job — without the checkpoint the union+aggregate
+      // shuffle would execute twice per round
       val nbrMin = edges.select(col("u").as("l"), col("v").as("n"))
         .union(edges.select(col("v").as("l"), col("u").as("n")))
         .groupBy("l")
         .agg(min("n").as("nmin"))
         .select(col("l"), least(col("l"), col("nmin")).as("m"))
+        .localCheckpoint(true)
       // relabel every vertex through m (left join: labels whose
       // supervertex has no quotient neighbors keep their label)
       val updated = labels
@@ -346,11 +359,10 @@ object Dedup {
       .groupBy("band", "v")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
-    val pairs = flatten(transform(col("members"), (x, i) =>
-      transform(slice(col("members"), i + lit(2), size(col("members"))), y =>
-        struct(
-          x.getField("doc_id").as("id_a"), x.getField("simhash").as("fp_a"),
-          y.getField("doc_id").as("id_b"), y.getField("simhash").as("fp_b")))))
+    val pairs = inBucketPairs(col("members"))((x, y) =>
+      struct(
+        x.getField("doc_id").as("id_a"), x.getField("simhash").as("fp_a"),
+        y.getField("doc_id").as("id_b"), y.getField("simhash").as("fp_b")))
     buckets
       .select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"),

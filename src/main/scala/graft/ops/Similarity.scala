@@ -223,11 +223,10 @@ object Similarity {
       .groupBy("t", "b")
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
-    val pairs = flatten(transform(col("members"), (x, i) =>
-      transform(slice(col("members"), i + lit(2), size(col("members"))), y =>
-        struct(
-          x.getField("vec_id").as("id_a"), x.getField("embedding").as("emb_a"),
-          y.getField("vec_id").as("id_b"), y.getField("embedding").as("emb_b")))))
+    val pairs = Dedup.inBucketPairs(col("members"))((x, y) =>
+      struct(
+        x.getField("vec_id").as("id_a"), x.getField("embedding").as("emb_a"),
+        y.getField("vec_id").as("id_b"), y.getField("embedding").as("emb_b")))
     buckets
       .select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"),
@@ -259,11 +258,10 @@ object Similarity {
       .groupBy("cell")
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("members"))
       .filter(size(col("members")).between(2, maxCell))
-    val pairs = flatten(transform(col("members"), (x, i) =>
-      transform(slice(col("members"), i + lit(2), size(col("members"))), y =>
-        struct(
-          x.getField("vec_id").as("id_a"), x.getField("embedding").as("emb_a"),
-          y.getField("vec_id").as("id_b"), y.getField("embedding").as("emb_b")))))
+    val pairs = Dedup.inBucketPairs(col("members"))((x, y) =>
+      struct(
+        x.getField("vec_id").as("id_a"), x.getField("embedding").as("emb_a"),
+        y.getField("vec_id").as("id_b"), y.getField("embedding").as("emb_b")))
     cells
       .select(explode(pairs).as("p"))
       .withColumn("cos", cosine(col("p.emb_a"), col("p.emb_b")))
