@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.Dedup
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property check of the label-contraction connected-components algorithm
+  * against an independent union-find reference on random graphs — chains,
+  * stars, cliques, and disconnected noise all fall out of uniform random
+  * edge sampling at varying densities. The distributed algorithm's only
+  * contract is: same partition into components, labeled by component min.
+  *
+  * Uses raw ScalaCheck generators sampled with a fixed seed (the
+  * scalatestplus bridge is not in the offline artifact cache). Sample
+  * counts are small on purpose — every case runs a full iterative Spark
+  * fixpoint.
+  */
+class ConnectedComponentsPropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(1337L + i)))
+
+  /** Reference union-find with path compression. */
+  private def unionFindLabels(nVerts: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(nVerts)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // component label = min member = the root under min-union
+    (0 until nVerts).map(v => v.toLong -> find(v).toLong).toMap
+  }
+
+  test("labels match an independent union-find on random graphs") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val nVerts = 40
+    val edgeGen = for {
+      density <- Gen.chooseNum(1, 60)
+      edges <- Gen.listOfN(density, for {
+        a <- Gen.chooseNum(0, nVerts - 1)
+        b <- Gen.chooseNum(0, nVerts - 1)
+        if a != b
+      } yield (a.toLong, b.toLong))
+    } yield edges
+    for (edges <- samples(edgeGen, 6)) {
+      val expected = unionFindLabels(nVerts, edges)
+      val pairsDf = edges.toDF("doc_a", "doc_b")
+      val vertsDf = (0L until nVerts.toLong).toDF("doc_id")
+      val got = Dedup.connectedComponents(pairsDf, vertsDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"component labels diverge for edges=$edges\n expected=$expected\n got=$got")
+    }
+  }
+}
