@@ -35,5 +35,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, s"vec_cosine expects 2 arguments, got ${args.length}")
         VectorExpressions.FloatVectorCosine(args(0), args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("array_jaccard"),
+      info("array_jaccard",
+        "array_jaccard(a, b) - Jaccard similarity of two string arrays (distinct semantics)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"array_jaccard expects 2 arguments, got ${args.length}")
+        TextExpressions.ArrayJaccardExpr(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingles"),
+      info("shingles",
+        "shingles(text, width, step) - character shingle array (width/step must be int literals)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"shingles expects 3 arguments, got ${args.length}")
+        TextExpressions.ShinglesExpr(args(0), litInt(args(1), "width"), litInt(args(2), "step"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("alnum_tokens"),
+      info("alnum_tokens",
+        "alnum_tokens(text, minLen) - lowercase alphanumeric tokens (minLen must be an int literal)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"alnum_tokens expects 2 arguments, got ${args.length}")
+        TextExpressions.TokensExpr(args(0), litInt(args(1), "minLen"))
+      }))
+  }
+
+  /** SQL-side structural parameters arrive as literal expressions; these
+    * kernels specialize their generated code on them, so they must be
+    * compile-time constants, not data.
+    */
+  private def litInt(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"$name must be an integer literal, got: $other")
   }
 }

@@ -50,4 +50,21 @@ class TopKAggregatorSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 11.0)
   }
+
+  test("text kernels are callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT
+        |  array_jaccard(array('a','b','c'), array('b','c','d')) AS jac,
+        |  shingles('abcdefghijkl', 8, 4) AS sh,
+        |  alnum_tokens('Hello, World! 42', 1) AS toks""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getSeq[String](1) == Seq("abcdefgh", "efghijkl"))
+    assert(r.getSeq[String](2) == Seq("hello", "world", "42"))
+    // structural params must be literals — data-dependent width is rejected
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingles('abc', length('xy'), 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
 }
