@@ -51,6 +51,12 @@ object Bench {
       val median =
         if (failed) timeoutSec.toDouble
         else { val v = times.result(); v.sorted.apply((v.size - 1) / 2) }
+      // Per-query isolation: caches, memoized pipelines, and checkpoint
+      // RDDs may legitimately persist ACROSS a query's own iterations
+      // (that reuse is part of the measured design), but must not leak
+      // into the next query's timings — accumulated executor memory
+      // pressure otherwise skews later queries' medians.
+      SparkEntry.resetSessionState(spark)
       name -> median
     }
     // Locale.ROOT: a comma-decimal default locale would render "1,234"

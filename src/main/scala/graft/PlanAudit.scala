@@ -66,6 +66,10 @@ object PlanAudit {
         case (r, i) =>
           println(s"  aqeRead[$i]: ${r.partitionSpecs.length} partitions after coalesce")
       }
+      val bhj = nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+      val smj = nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+      if (bhj + smj > 0) println(s"  joins: broadcastHash=$bhj sortMerge=$smj")
+      SparkEntry.resetSessionState(spark)
     }
     spark.stop()
   }

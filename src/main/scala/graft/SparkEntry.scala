@@ -168,6 +168,23 @@ object SparkEntry {
   private val etlMemo =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
+  /** Drop all session-lifetime state a registered query may have left
+    * behind: the memoized ETL pipeline (and its persisted branch point),
+    * every cached Dataset, and every still-persisted RDD (including
+    * `localCheckpoint` snapshots from iterative queries, which otherwise
+    * wait on the ContextCleaner). Harnesses (Bench, Verify) call this
+    * BETWEEN queries so one query's working set never contaminates the
+    * next query's timing or memory headroom; it is deliberately not
+    * called between a single query's own iterations — intra-query cache
+    * reuse is part of the design being measured.
+    */
+  def resetSessionState(spark: SparkSession): Unit = {
+    etlMemo.remove(spark)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   /** DuckDB SQL fragment: cosine similarity between two 64-dim float-list

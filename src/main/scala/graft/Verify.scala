@@ -26,6 +26,9 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       }.left.foreach(msg => System.err.println(s"[verify] $name failed: $msg"))
+      // same between-query isolation as Bench: one query's caches /
+      // checkpoint RDDs must not squeeze the next query's memory
+      SparkEntry.resetSessionState(spark)
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${Json.quote(k)}: ${Json.quote(v)}" }

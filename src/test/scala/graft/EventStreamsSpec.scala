@@ -194,6 +194,77 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  /** The full events parquet read as [[Event]]s, with the TIMESTAMP(NANOS)
+    * column rebuilt the same way the batch queries do ([[SparkEntry]]). */
+  private def parquetEvents(): Seq[Event] = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val sparkS = spark
+    import sparkS.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+  }
+
+  test("streaming hourlyAgg drains the full events parquet to the batch answer") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two micro-batches split at the event-time median: groups straddling
+    // the split are updated in BOTH batches, so this exercises incremental
+    // state revision, watermark advance, and Update-mode re-emission — not
+    // just a single-batch replay of the batch plan
+    val all = parquetEvents().sortBy(_.ts.getTime)
+    val (b1, b2) = all.splitAt(all.size / 2)
+    val input = MemoryStream[Event]
+    val query = EventStreams.hourlyAgg(input.toDF())
+      .writeStream.format("memory").queryName("hourly_full_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      // Update mode emits a group once per batch it changed in; a group's
+      // count only grows, so its final state is its max-cnt emission
+      val streamed = spark.sql(
+        "SELECT window_start, event_type, cnt, sum_val FROM hourly_full_test")
+        .collect()
+        .map(r => ((r.getTimestamp(0).toInstant.toString, r.getString(1)), (r.getLong(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).maxBy(_._1)) }
+      val batch = graft.ops.TimeOps.hourlyEventAgg(all.toDF())
+        .collect()
+        .map(r => ((java.time.Instant.parse(r.getString(0)).toString, r.getString(1)), (r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(streamed.size == batch.size,
+        s"group count: streamed ${streamed.size} vs batch ${batch.size}")
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
+  test("streaming dedup under full-table redelivery equals batch dropDuplicates") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = parquetEvents()
+    val input = MemoryStream[Event]
+    val query = EventStreams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_full_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // at-least-once delivery: the source redelivers the ENTIRE table in a
+      // second batch; every redelivered row is either still keyed in the
+      // dedup state or already below the watermark — emitted exactly once
+      input.addData(all); query.processAllAvailable()
+      input.addData(all); query.processAllAvailable()
+      val streamedIds = spark.sql("SELECT event_id FROM dedup_full_test")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val batchIds = (all ++ all).toDF().dropDuplicates("event_id")
+        .collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+      assert(streamedIds == batchIds)
+      assert(streamedIds.distinct.size == streamedIds.size, "a key was emitted twice")
+    } finally query.stop()
+  }
+
   test("watermark evicts state: late data beyond 2h is dropped") {
     val sparkS = spark
     import sparkS.implicits._
