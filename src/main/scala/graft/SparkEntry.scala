@@ -126,7 +126,9 @@ object SparkEntry {
     "q_emb_topk" -> ((s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"))),
     "q_emb_topk_agg" -> ((s, d) => Similarity.bruteForceTopKAgg(t(s, d, "embeddings"))),
     "q_emb_ivf_assign" -> ((s, d) => Similarity.ivfAssign(t(s, d, "embeddings"))),
+    "q_emb_ivf_kmeans" -> ((s, d) => Similarity.ivfAssignKMeans(t(s, d, "embeddings"))),
     "q_emb_ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d, "embeddings"))),
+    "q_emb_ivf_mp" -> ((s, d) => Similarity.ivfTopKMultiProbe(t(s, d, "embeddings"))),
     "q_emb_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"))),
     "q_emb_srp_buckets" -> ((s, d) => Similarity.srpBuckets(t(s, d, "embeddings"))),
     "q_emb_quantize" -> ((s, d) => Similarity.quantizeAudit(t(s, d, "embeddings"))),
@@ -762,6 +764,69 @@ object SparkEntry {
          |      FROM s)
          |SELECT vec_id, centroid_id AS cell, round(cos, 6) AS cell_cos
          |FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    "q_emb_ivf_kmeans" -> {
+      // Unrolled distributed-Lloyd replay (Similarity.kmeansCentroids,
+      // 2 iterations from the stride-100 seeds). The per-cell mean is the
+      // only float-order-sensitive step of k-means; both sides quantize
+      // each member coordinate to a 1e-3 integer grid BEFORE the sum
+      // (floor(x·1000 + 0.5) — explicit floor so negative halves agree),
+      // making the aggregation exact integer math and therefore
+      // order-independent. Division and the float cast afterwards are
+      // deterministic double/IEEE ops on identical inputs.
+      val dim = Similarity.EmbDim
+      val sumCols = (1 to dim).map(i =>
+        s"sum(CAST(floor(CAST(e.embedding[$i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS s$i")
+        .mkString(", ")
+      val centList = (1 to dim).map(i =>
+        s"CAST(CAST(s$i AS DOUBLE) / n / 1000.0 AS REAL)").mkString("[", ", ", "]")
+      val iterCtes = (1 to 2).map { it =>
+        s"""si$it AS (SELECT e.vec_id, c.centroid_id, ${cosSql("e.embedding", "c.cent_emb")} AS cos
+           |          FROM embeddings e, c${it - 1} c),
+           |a$it AS (SELECT vec_id, centroid_id AS cell FROM (
+           |    SELECT vec_id, centroid_id,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rnk
+           |    FROM si$it) WHERE rnk = 1),
+           |m$it AS (SELECT cell, count(*) AS n, $sumCols
+           |         FROM embeddings e JOIN a$it USING (vec_id) GROUP BY cell),
+           |c$it AS (SELECT cell AS centroid_id, $centList AS cent_emb FROM m$it)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+         |            FROM embeddings WHERE vec_id % 100 = 0),
+         |$iterCtes,
+         |sf AS (SELECT e.vec_id, c.centroid_id, ${cosSql("e.embedding", "c.cent_emb")} AS cos
+         |       FROM embeddings e, c2 c)
+         |SELECT vec_id, centroid_id AS cell, round(cos, 6) AS cell_cos FROM (
+         |  SELECT vec_id, centroid_id, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rnk
+         |  FROM sf) WHERE rnk = 1 ORDER BY vec_id""".stripMargin
+    },
+    "q_emb_ivf_mp" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+         |               FROM embeddings WHERE vec_id % 100 = 0),
+         |s0 AS (SELECT e.vec_id, c.centroid_id, ${cosSql("e.embedding", "c.cent_emb")} AS cos
+         |       FROM embeddings e, cents c),
+         |assign AS (
+         |  SELECT vec_id, centroid_id AS cell FROM (
+         |    SELECT vec_id, centroid_id, cos,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rnk
+         |    FROM s0) WHERE rnk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, centroid_id AS cell FROM (
+         |    SELECT vec_id, centroid_id, cos,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rnk
+         |    FROM s0 WHERE vec_id < 20) WHERE rnk <= 3),
+         |q AS (SELECT p.query_id, e.embedding AS q_emb, p.cell
+         |      FROM probes p JOIN embeddings e ON e.vec_id = p.query_id),
+         |c AS (SELECT e.vec_id AS cand_id, e.embedding AS c_emb, a.cell
+         |      FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id),
+         |s AS (
+         |  SELECT q.query_id, c.cand_id, ${cosSql("q.q_emb", "c.c_emb")} AS cos
+         |  FROM q JOIN c ON q.cell = c.cell AND q.query_id <> c.cand_id),
+         |r AS (SELECT query_id, cand_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |      FROM s)
+         |SELECT query_id, rnk, cand_id, round(cos, 6) AS cos_sim
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_emb_ivf_topk" ->
       s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
          |               FROM embeddings WHERE vec_id % 100 = 0),

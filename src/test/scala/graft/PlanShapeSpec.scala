@@ -69,6 +69,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.count() > 0) // the driver's smoke check
   }
 
+  test("starRevenue's dimension chain stays broadcast in the FINAL adaptive plan") {
+    // Execute, then assert on what AQE actually ran — a static-plan check
+    // would miss a runtime demotion of the broadcasts. The dimension chain
+    // (customer→nation→region) must broadcast; at this scale orders fits
+    // under the broadcast threshold too, so no join may sort-merge — the
+    // single permitted shuffle is the fact-side aggregation exchange.
+    val df = Relational.starRevenue(
+      t("lineitem"), t("orders"), t("customer"), t("nation"), t("region"))
+    // run THIS queryExecution (a write would plan a fresh one and leave
+    // this AdaptiveSparkPlan unfinalized)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"), s"adaptive plan not finalized:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"dimension chain not fully broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a join fell back to sort-merge:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"revenue aggregate not two-phase:\n$p")
+  }
+
   test("SRP candidate generation joins on (table, bucket) — no cartesian") {
     val p = plan(Similarity.srpNearDupPairs(t("embeddings")))
     assert(!p.contains("CartesianProduct"), s"cartesian in SRP plan:\n$p")
