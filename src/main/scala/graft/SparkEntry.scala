@@ -113,6 +113,11 @@ object SparkEntry {
     "q_docs_dedup_best" -> ((s, d) => TextAnalysis.dedupKeepBest(t(s, d, "documents"))),
     "q_docs_contamination" -> ((s, d) => TextAnalysis.crossSourceContamination(t(s, d, "documents"))),
     "q_docs_sample" -> ((s, d) => TextAnalysis.hashSample(t(s, d, "documents"))),
+    "q_docs_chunks" -> ((s, d) => TextAnalysis.chunkDocuments(t(s, d, "documents"))),
+    "q_docs_pack" -> ((s, d) => TextAnalysis.packSequences(t(s, d, "documents"))),
+    "q_docs_wsample" -> ((s, d) => TextAnalysis.weightedSample(t(s, d, "documents"))),
+    "q_docs_clusters_stars" -> ((s, d) =>
+      Dedup.nearDupClusters(t(s, d, "documents"), useStars = true)),
     // ---- dedup suite (LLM pipeline) ----
     "q_docs_exact_dedup" -> ((s, d) => Dedup.exactDedup(t(s, d, "documents"))),
     "q_docs_minhash" -> ((s, d) => Dedup.minhashSignatures(t(s, d, "documents"))),
@@ -198,6 +203,22 @@ object SparkEntry {
       s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
+
+  /** Near-dup cluster labeling as a recursive reachability CTE — one
+    * oracle shared by BOTH distributed strategies (label contraction and
+    * large-star/small-star), which must produce the identical labeling.
+    */
+  private lazy val clustersOracleSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** Shared CTEs for the MinHash suite — mirrors [[Dedup.minhashSignatures]]
     * (shingle width 8, stride 4; one 32-bit md5-prefix base hash per
@@ -659,6 +680,52 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0
         |ORDER BY doc_id""".stripMargin,
+    // chunking: window 64 / stride 48 over the shared BPE-ish tokens;
+    // DuckDB's range(a, b, s) is exclusive of b == Spark's
+    // sequence(0, cnt-1, s) inclusive bound
+    "q_docs_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS cnt FROM t WHERE len(toks) > 0),
+        |s AS (SELECT doc_id, toks, cnt, unnest(range(0, cnt, 48)) AS i FROM c)
+        |SELECT doc_id,
+        |  CAST(i // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(i AS BIGINT) AS tok_start,
+        |  CAST(least(64, cnt - i) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(toks, i + 1, i + 64), ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    // packing: the oracle states the prefix sum as ONE flat window — the
+    // Spark side computes the identical arithmetic hierarchically
+    // (bounded shards + shard-base offsets) and the hashes must agree
+    "q_docs_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(start // 2048 AS BIGINT) AS bin_id,
+        |  CAST(start % 2048 AS BIGINT) AS bin_offset,
+        |  (n_tokens > 0 AND (start + n_tokens - 1) // 2048 > start // 2048) AS spans_boundary
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // weighted sample: integer priorities h*1e6/w (ln/pow would round
+    // differently across engines); k smallest = ∝-token-count sample
+    "q_docs_wsample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens, priority FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    h * 1000000 // greatest(n_tokens, 1) AS priority
+        |  FROM t ORDER BY priority, doc_id LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
     "q_docs_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
@@ -676,17 +743,10 @@ object SparkEntry {
     // Connected components as transitive reachability: bidirectional
     // edges from the capped LSH pairs, recursive closure, min reachable
     // id per vertex = the cluster label min-label propagation converges to.
-    "q_docs_clusters" ->
-      s"""WITH RECURSIVE $minhashCtes,
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
-         |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_docs_clusters" -> clustersOracleSql,
+    // the stars variant must land on the EXACT same labeling — one oracle,
+    // two distributed strategies
+    "q_docs_clusters_stars" -> clustersOracleSql,
     "q_docs_neardup" ->
       s"""WITH $minhashCtes,
          |ds AS (SELECT doc_id, list_distinct(s) AS shs FROM sh),

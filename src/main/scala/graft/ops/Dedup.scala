@@ -201,15 +201,19 @@ object Dedup {
     * truncates the growing lineage each iteration. Iterations needed =
     * component diameter; LSH candidate clusters are short-diameter by
     * construction (members share band buckets), so the loop converges in
-    * a handful of rounds. At adversarial scale the O(log n) upgrade is
-    * the large-star/small-star variant (Kiveris et al.) — same join
-    * shape, different edge rewiring.
+    * a handful of rounds. At adversarial scale (long chains, min at one
+    * end) pass `useStars = true` to run the provably O(log n)
+    * large-star/small-star variant ([[connectedComponentsStars]]) —
+    * identical labels, different edge rewiring; the property spec proves
+    * both against union-find and each other.
     */
-  def nearDupClusters(documents: DataFrame, maxIter: Int = 50): DataFrame =
-    connectedComponents(
-      lshCandidatePairs(documents),
-      documents.select(col("doc_id")),
-      maxIter)
+  def nearDupClusters(
+      documents: DataFrame,
+      maxIter: Int = 50,
+      useStars: Boolean = false): DataFrame = {
+    val cc = if (useStars) connectedComponentsStars _ else connectedComponents _
+    cc(lshCandidatePairs(documents), documents.select(col("doc_id")), maxIter)
+  }
 
   /** Connected components by label contraction. Exposed separately from
     * [[nearDupClusters]] so the fixpoint logic is testable on a synthetic
@@ -304,6 +308,114 @@ object Dedup {
         col("id").as("doc_id"),
         col("label").as("cluster_id"),
         (col("id") === col("label")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components by alternating large-star/small-star edge
+    * rewiring (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC '14) — the adversarial-diameter alternative to
+    * [[connectedComponents]]'s label contraction, behind the same
+    * contract (same input columns, same `(doc_id, cluster_id, keep)`
+    * output, labels = component min).
+    *
+    * Per round, two rewrites of the EDGE SET (no separate label table):
+    *   - large-star: for every vertex u with m = min(Γ(u) ∪ {u}),
+    *     connect each strictly LARGER neighbor directly to m. One
+    *     groupBy(min) + one equi-join on the bidirectional edge list.
+    *   - small-star: canonicalize edges downhill as (hi, lo); for every
+    *     hi with m = min of its smaller neighbors, connect hi and each
+    *     of its other smaller neighbors to m. One groupBy(min) + one
+    *     equi-join on the canonical edge list.
+    * Both operations preserve connectivity and strictly shrink the
+    * potential Σ depth; the fixpoint is a star per component centered at
+    * its min, from which labels read off with a single left join. Provably
+    * O(log n) rounds on ANY graph — label contraction's worst case
+    * (adversarial long chains where the min sits at one end) collapses
+    * here because large-star rewires every vertex's whole neighborhood to
+    * its local min in one shot, halving chain depth per operation pair.
+    * On short-diameter LSH candidate graphs both variants converge in a
+    * handful of rounds and contraction's per-round cost is lower (one
+    * aggregate vs two rewrites) — measured crossover on a 4,096-vertex
+    * path graph: stars 7 rounds vs contraction 13
+    * (`ConnectedComponentsPropertySpec`). Convergence detection is an
+    * (edge-count, xxhash64 checksum) pair per round — one tiny aggregate,
+    * no driver-side edge materialization.
+    */
+  private[graft] def connectedComponentsStars(
+      pairs: DataFrame,
+      vertices: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val pa = pairs.columns(0)
+    val pb = pairs.columns(1)
+    // canonical downhill orientation (hi > lo); self-loops dropped
+    var edges = pairs
+      .select(
+        greatest(col(pa), col(pb)).as("hi"),
+        least(col(pa), col(pb)).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      // bidirectional view: Γ(u) from both orientations
+      val bidir = e.select(col("hi").as("src"), col("lo").as("nbr"))
+        .union(e.select(col("lo").as("src"), col("hi").as("nbr")))
+      val mins = bidir.groupBy("src")
+        .agg(least(col("src"), min(col("nbr"))).as("m"))
+      // (nbr, m(src)) for every strictly larger neighbor; nbr > src ≥ m
+      // guarantees hi > lo, no self-loops
+      bidir.filter(col("nbr") > col("src"))
+        .join(mins, Seq("src"))
+        .select(col("nbr").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("hi").agg(min(col("lo")).as("m"))
+      // each (hi, lo) row emits (lo, m) — except the row carrying the min
+      // itself, which emits (hi, m) exactly once per hi
+      e.join(mins, Seq("hi"))
+        .select(
+          when(col("lo") === col("m"), col("hi")).otherwise(col("lo")).as("hi"),
+          col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+    }
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("hi"), col("lo"))), lit(0L)).as("chk"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var fp = fingerprint(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      edges = next
+      it += 1
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(s"[cc-stars] iter $it edges=${nfp._1}")
+    }
+    if (!converged)
+      // a truncated fixpoint would return WRONG labels silently — surface it
+      System.err.println(
+        s"[graft] connectedComponentsStars did NOT converge in $maxIter iterations")
+    // fixpoint is a star per component: every non-min vertex carries one
+    // (v, min) edge; min vertices and singletons label themselves
+    val labels = edges.groupBy("hi").agg(min(col("lo")).as("m"))
+    vertices.select(col(vertices.columns.head).as("id"))
+      .join(labels.select(col("hi").as("id"), col("m")), Seq("id"), "left")
+      .select(
+        col("id").as("doc_id"),
+        coalesce(col("m"), col("id")).as("cluster_id"),
+        (coalesce(col("m"), col("id")) === col("id")).as("keep"))
       .orderBy("doc_id")
   }
 

@@ -352,6 +352,134 @@ object TextAnalysis {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** The BPE-ish tokenizer pattern shared by [[tokenStats]],
+    * [[chunkDocuments]], and [[packSequences]] — letters runs, digit runs,
+    * single punctuation. RE2-safe so the DuckDB oracle replays it.
+    */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Sliding-window chunking: split each document's token stream into
+    * fixed-size windows of `window` tokens advancing by `stride` (overlap
+    * = window − stride) — the context-window preparation step of an LLM
+    * pretraining pipeline (long docs become multiple training sequences;
+    * overlap preserves cross-boundary context). Pure per-document map +
+    * generate: tokens come from one `regexp_extract_all` pass, window
+    * starts from `sequence(0, cnt-1, stride)`, chunks from `slice` —
+    * posexplode fans out WITHOUT a shuffle, so this scales with the scan
+    * (the only data movement is the output itself). Zero-token documents
+    * produce zero chunks; the final chunk is the (possibly short) tail.
+    */
+  def chunkDocuments(
+      documents: DataFrame,
+      window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window for gap-free coverage")
+    val toks = regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0))
+    documents
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("cnt", size(col("toks")))
+      .filter(col("cnt") > 0)
+      .select(
+        col("doc_id"), col("toks"), col("cnt"),
+        posexplode(sequence(lit(0), col("cnt") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "tok_start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("tok_start").cast("long").as("tok_start"),
+        least(lit(window), col("cnt") - col("tok_start")).cast("long").as("n_tokens"),
+        array_join(slice(col("toks"), col("tok_start") + 1, lit(window)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Sequence packing: concatenate documents in deterministic (source,
+    * doc_id) order and cut the stream into fixed `budget`-token training
+    * sequences — each doc gets the sequence id (`bin_id`) and offset
+    * where it starts, plus a flag for docs straddling a cut. This is the
+    * "concat-and-split" packing standard in LLM pretraining (no padding
+    * waste, deterministic layout).
+    *
+    * The core is a running prefix sum of token counts per source. A
+    * single `Window.partitionBy(source)` would funnel each source's
+    * entire stream through ONE reducer — the classic window-at-scale
+    * trap — so the prefix sum is hierarchical instead: (1) cumulative
+    * sums within bounded `doc_id` range-shards, (2) a cumulative sum of
+    * per-shard totals over the tiny (source, shard) table, (3) a
+    * broadcast join adding each shard's base offset back. Identical
+    * arithmetic to the naive window (the DuckDB oracle states it as one
+    * flat window sum and hashes must match), but every partition is
+    * bounded by `shardSize`, so the same plan runs at 100 TB.
+    */
+  def packSequences(
+      documents: DataFrame,
+      budget: Int = 2048,
+      shardSize: Long = 256L): DataFrame = {
+    require(budget > 0 && shardSize > 0)
+    val nTok = size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0))).cast("long")
+    val base = documents
+      .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
+      .withColumn("shard", floor(col("doc_id") / shardSize))
+    // pass 1: running sum inside each bounded (source, shard) partition,
+    // EXCLUSIVE of the current row (= token offset where this doc starts)
+    val wShard = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn(
+      "local_start", coalesce(sum("n_tokens").over(wShard), lit(0L)))
+    // pass 2: shard base offsets from the tiny per-shard totals table
+    val wSrc = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("source", "shard")
+      .agg(sum("n_tokens").as("shard_total"))
+      .withColumn("shard_base", coalesce(sum("shard_total").over(wSrc), lit(0L)))
+      .select("source", "shard", "shard_base")
+    // pass 3: global start = shard base + local start (broadcast join —
+    // the offsets table has one row per shard, not per doc)
+    local.join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("start", col("shard_base") + col("local_start"))
+      // `div` = integral division, exact at any scale (a double-promoting
+      // `/` + floor would round past 2^53 tokens)
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"start div ${budget}L").as("bin_id"),
+        (col("start") % budget).as("bin_offset"),
+        (col("n_tokens") > 0 &&
+          expr(s"(start + n_tokens - 1) div ${budget}L > start div ${budget}L"))
+          .as("spans_boundary"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic weighted sampling: draw `k` documents with inclusion
+    * probability proportional to token count — the length-weighted
+    * sampling a mixture builder uses when the unit of interest is tokens,
+    * not documents. Each doc gets an integer priority `h·S / w` (h = a
+    * stable 32-bit id hash, w = its weight): for a uniform h, P(priority
+    * < t) ∝ t·w, so the k smallest priorities form a
+    * weight-proportional sample — the Efraimidis–Spirakis reservoir
+    * scheme with the `-ln(u)/w` key replaced by an integer-exact
+    * equivalent, because ln/pow round differently across engines and
+    * would break cross-engine hash parity (documented tradeoff: inclusion
+    * is ∝w only to first order rather than exactly). Executes as
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge at
+    * the driver, no global sort, no shuffle of the corpus.
+    */
+  def weightedSample(documents: DataFrame, k: Int = 50): DataFrame = {
+    val nTok = size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0))).cast("long")
+    // hash chars 17-24: independent of the split/mixture/sample hashes,
+    // so weighted draws don't correlate with held-out membership
+    val h = conv(substring(md5(col("doc_id").cast("string")), 17, 8), 16, 10).cast("long")
+    documents
+      .select(col("doc_id"), col("source"), nTok.as("n_tokens"), h.as("h"))
+      // `div` = integral division (Column./ would promote to double and
+      // round; the DuckDB oracle's `//` is exact integer arithmetic)
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        expr("(h * 1000000L) div greatest(n_tokens, 1L)").as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+      .orderBy("doc_id")
+  }
+
   /** Rabin-Karp rolling-hash parameters: h(i) = Σ_j code(text[i+j])·B^j
     * mod P over a k-char window. Powers are precomputed and embedded as
     * literals on both engines so the arithmetic replays exactly.

@@ -63,4 +63,45 @@ class ConnectedComponentsPropertySpec extends AnyFunSuite {
         s"component labels diverge for edges=$edges\n expected=$expected\n got=$got")
     }
   }
+
+  test("large-star/small-star labels match union-find and label contraction") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val nVerts = 40
+    val edgeGen = for {
+      density <- Gen.chooseNum(1, 60)
+      edges <- Gen.listOfN(density, for {
+        a <- Gen.chooseNum(0, nVerts - 1)
+        b <- Gen.chooseNum(0, nVerts - 1)
+        if a != b
+      } yield (a.toLong, b.toLong))
+    } yield edges
+    for (edges <- samples(edgeGen, 6)) {
+      val expected = unionFindLabels(nVerts, edges)
+      val pairsDf = edges.toDF("doc_a", "doc_b")
+      val vertsDf = (0L until nVerts.toLong).toDF("doc_id")
+      val stars = Dedup.connectedComponentsStars(pairsDf, vertsDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stars == expected,
+        s"stars labels diverge for edges=$edges\n expected=$expected\n got=$stars")
+    }
+  }
+
+  test("both strategies agree on an adversarial long chain (stars' home turf)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // a path graph with the min at one end is label contraction's worst
+    // case (depth shrinks geometrically but from the full diameter) and
+    // the shape large-star/small-star is built for
+    val n = 512L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val pairsDf = chain.toDF("doc_a", "doc_b")
+    val vertsDf = (0L until n).toDF("doc_id")
+    val contraction = Dedup.connectedComponents(pairsDf, vertsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val stars = Dedup.connectedComponentsStars(pairsDf, vertsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(contraction == stars)
+    assert(stars.values.toSet == Set(0L), "single component labeled by min")
+  }
 }
