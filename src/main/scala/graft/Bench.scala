@@ -66,7 +66,15 @@ object Bench {
       .map { case (k, v) => s"${Json.quote(k)}:${f3(v)}" }
       .mkString("{", ",", "}")
     val total = f3(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}}""")
+    // convergence rounds of the iterative CC variants (from their last run
+    // above) — a regression in round count would otherwise hide inside the
+    // wall-clock number
+    val ccRounds = {
+      import scala.jdk.CollectionConverters._
+      graft.ops.Dedup.lastRounds.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${Json.quote(k)}:$v" }.mkString("{", ",", "}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cc_rounds":$ccRounds,"sf":${Json.quote(sfDir)}}""")
     spark.stop()
   }
 }

@@ -197,15 +197,16 @@ object Dedup {
     * vertex takes the min of its own label and its neighbors' labels (one
     * shuffle per iteration: join edges⋈labels + min-aggregate). The
     * driver-side loop condition is a scalar `count()` of changed labels —
-    * the standard shape for iterative algorithms; `localCheckpoint`
-    * truncates the growing lineage each iteration. Iterations needed =
-    * component diameter; LSH candidate clusters are short-diameter by
-    * construction (members share band buckets), so the loop converges in
-    * a handful of rounds. At adversarial scale (long chains, min at one
-    * end) pass `useStars = true` to run the provably O(log n)
-    * large-star/small-star variant ([[connectedComponentsStars]]) —
-    * identical labels, different edge rewiring; the property spec proves
-    * both against union-find and each other.
+    * the standard shape for iterative algorithms; `localCheckpoint` +
+    * leaf-stats reset truncates the growing lineage each iteration. LSH
+    * candidate clusters are short-diameter by construction (members share
+    * band buckets), so the loop converges in a handful of rounds; a graph
+    * that is still moving after [[EscalateAfter]] rounds auto-escalates to
+    * the provably O(log n) large-star/small-star variant on the contracted
+    * quotient. Pass `useStars = true` to run stars from the start
+    * ([[connectedComponentsStars]]) — identical labels, different edge
+    * rewiring; the property spec proves both against union-find and each
+    * other.
     */
   def nearDupClusters(
       documents: DataFrame,
@@ -214,6 +215,27 @@ object Dedup {
     val cc = if (useStars) connectedComponentsStars _ else connectedComponents _
     cc(lshCandidatePairs(documents), documents.select(col("doc_id")), maxIter)
   }
+
+  /** Iterations taken by the most recent CC run in this JVM, keyed by
+    * variant (`"cc_contraction"` / `"cc_stars"`) — surfaced in the bench
+    * JSON line so a regression in convergence rounds is visible without
+    * rerunning under GRAFT_CC_VERBOSE.
+    */
+  val lastRounds = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
+  /** localCheckpoint + leaf-stats reset — the iterative-fixpoint
+    * checkpoint. `localCheckpoint` alone truncates lineage but the
+    * `LogicalRDD` leaf inherits the origin plan's *statistics*; across
+    * rounds each join estimate is a product of the last round's, so the
+    * `sizeInBytes` BigInt doubles in digit count per round and planning
+    * itself livelocks on long-diameter graphs (~30+ rounds: minutes of
+    * driver CPU inside BigInteger.multiply; observed hanging a 512-chain
+    * for >20 min). Rebuilding the frame over the checkpointed
+    * `RDD[InternalRow]` resets the leaf to `defaultSizeInBytes` — constant
+    * per round, zero data movement ([[org.apache.spark.sql.GraftSqlInternals]]).
+    */
+  private def freshCheckpoint(df: DataFrame, eager: Boolean = true): DataFrame =
+    org.apache.spark.sql.GraftSqlInternals.resetLeafStats(df.localCheckpoint(eager))
 
   /** Connected components by label contraction. Exposed separately from
     * [[nearDupClusters]] so the fixpoint logic is testable on a synthetic
@@ -224,59 +246,78 @@ object Dedup {
     *      dropped — supervertex adjacency;
     *   2. supervertex min: m(L) = min(L, neighbors of L in edges');
     *   3. relabel every vertex through m: label(v) := m(label(v)).
-    * Because whole supervertices merge per round (not single hops), the
-    * quotient graph's diameter collapses geometrically — O(log d) rounds
-    * versus the d rounds plain neighbor-min propagation needs (measured
-    * on the sf0.1 candidate graph: 5 rounds versus 19 plain / 14 with
-    * pointer jumping). Each round is two shuffle joins + one aggregate on
-    * a SHRINKING edge set; quotient edges of a merged component disappear,
-    * so later rounds get cheaper. maxIter is a safety bound, not a tuning
-    * knob, and non-convergence is surfaced loudly (a truncated fixpoint
-    * would silently mislabel).
+    * On bushy graphs (LSH candidate clusters: overlapping bucket cliques)
+    * whole supervertices merge per round, so the quotient collapses in a
+    * handful of rounds (measured on the sf0.1 candidate graph: 5 rounds
+    * versus 19 plain neighbor-min / 14 with pointer jumping). Each round
+    * is two shuffle joins + one aggregate on a SHRINKING edge set;
+    * quotient edges of a merged component disappear, so later rounds get
+    * cheaper. BUT on a path graph the quotient chain shrinks by only ONE
+    * hop per round — m(L) = L−1 for every label on a chain — so worst-case
+    * rounds are O(diameter), not O(log d). (Round 5's planning hang masked
+    * this: the 512-chain test stalled in stats estimation before the
+    * O(d) behavior could surface; the stats fix exposed it.) Rather than
+    * pay d rounds, after [[EscalateAfter]] non-converged rounds the loop
+    * ESCALATES: it runs [[connectedComponentsStars]] — provably O(log n)
+    * on any graph — over the already-contracted quotient graph and
+    * composes the labels. Composition is sound because every label is a
+    * vertex id inside its own component and the component-min label maps
+    * to itself, so the quotient's component mins ARE the original
+    * component mins. Easy graphs never escalate; adversarial ones pay a
+    * few cheap contraction rounds, then the logarithmic path. maxIter is
+    * a safety bound for the escalated phase too, and non-convergence is
+    * still surfaced loudly (a truncated fixpoint would silently mislabel).
     */
+  /** Contraction rounds granted before [[connectedComponents]] escalates
+    * to the stars variant. Short-diameter LSH graphs converge well under
+    * this (sf0.1: 5 rounds); a graph still moving after this many rounds
+    * is in the O(diameter) regime where each further contraction round
+    * buys one quotient hop — switching to O(log n) stars is strictly
+    * cheaper from here.
+    */
+  val EscalateAfter = 12
+
   private[graft] def connectedComponents(
       pairs: DataFrame,
       vertices: DataFrame,
       maxIter: Int = 50): DataFrame = {
     val pa = pairs.columns(0)
     val pb = pairs.columns(1)
-    // localCheckpoint per iteration: checkpointing truncates the logical
+    // freshCheckpoint per iteration: checkpointing truncates the logical
     // plan to a LogicalRDD leaf, which keeps the iterated lineage from
-    // unrolling across rounds. (A persist+unpersist variant was measured
-    // catastrophically slower: unpersisting a superseded iteration
-    // cascades into the caches built on top of it and the recompute walks
-    // the fully unrolled lineage. Per-round broadcast hints also lose —
-    // driver collect + broadcast build each round.) Checkpointed RDDs are
-    // reaped by the ContextCleaner once unreferenced.
-    var edges = pairs
-      .select(col(pa).as("u"), col(pb).as("v"))
-      .localCheckpoint(true)
-    var labels = vertices.select(col(vertices.columns.head).as("id"))
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    // unrolling across rounds, and the stats reset keeps each round's
+    // planning cost constant (see freshCheckpoint). (A persist+unpersist
+    // variant was measured catastrophically slower: unpersisting a
+    // superseded iteration cascades into the caches built on top of it and
+    // the recompute walks the fully unrolled lineage. Per-round broadcast
+    // hints also lose — driver collect + broadcast build each round.)
+    // Checkpointed RDDs are reaped by the ContextCleaner once unreferenced.
+    var edges = freshCheckpoint(pairs
+      .select(col(pa).as("u"), col(pb).as("v")))
+    var labels = freshCheckpoint(vertices.select(col(vertices.columns.head).as("id"))
+      .withColumn("label", col("id")))
     var changed = 1L
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (changed > 0 && it < math.min(EscalateAfter, maxIter)) {
       // supervertex min over the (already contracted) edge set, counting
       // both directions: m(L) = min(L, all quotient neighbors of L)
       // eagerly checkpointed: consumed by BOTH the relabel job and the
       // edge-contraction job — without the checkpoint the union+aggregate
       // shuffle would execute twice per round
-      val nbrMin = edges.select(col("u").as("l"), col("v").as("n"))
+      val nbrMin = freshCheckpoint(edges.select(col("u").as("l"), col("v").as("n"))
         .union(edges.select(col("v").as("l"), col("u").as("n")))
         .groupBy("l")
         .agg(min("n").as("nmin"))
-        .select(col("l"), least(col("l"), col("nmin")).as("m"))
-        .localCheckpoint(true)
+        .select(col("l"), least(col("l"), col("nmin")).as("m")))
       // relabel every vertex through m (left join: labels whose
       // supervertex has no quotient neighbors keep their label)
-      val updated = labels
+      val updated = freshCheckpoint(labels
         .join(nbrMin.select(col("l").as("label"), col("m")), Seq("label"), "left")
         .select(
           col("id"),
           col("label"),
-          coalesce(col("m"), col("label")).as("new_label"))
-        .localCheckpoint(false) // lazy: the count below materializes it
+          coalesce(col("m"), col("label")).as("new_label")),
+        eager = false) // lazy: the count below materializes it
       changed = updated.filter(col("new_label") < col("label")).count()
       // plain projection over the checkpointed `updated` — lineage is
       // already truncated at its LogicalRDD leaf
@@ -285,24 +326,37 @@ object Dedup {
         // contract the edge set through the new supervertex mapping;
         // self-loops vanish, merged components stop costing anything
         val mapped = nbrMin.select(col("l"), col("m"))
-        edges = edges
+        edges = freshCheckpoint(edges
           .join(mapped.select(col("l").as("u"), col("m").as("mu")), Seq("u"), "left")
           .join(mapped.select(col("l").as("v"), col("m").as("mv")), Seq("v"), "left")
           .select(
             coalesce(col("mu"), col("u")).as("u"),
             coalesce(col("mv"), col("v")).as("v"))
           .filter(col("u") =!= col("v"))
-          .distinct()
-          .localCheckpoint(true)
+          .distinct())
       }
       it += 1
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
         System.err.println(s"[cc] iter $it changed=$changed")
     }
-    if (changed > 0)
-      // a truncated fixpoint would return WRONG labels silently — surface it
-      System.err.println(
-        s"[graft] connectedComponents did NOT converge in $maxIter iterations")
+    lastRounds.put("cc_contraction", it)
+    if (changed > 0) {
+      // still moving after EscalateAfter rounds ⇒ contraction's worst-case
+      // regime (long quotient paths: one hop per round, O(diameter) total).
+      // Finish on the provably O(log n) stars variant over the contracted
+      // QUOTIENT graph and compose the labelings — the quotient's
+      // component mins are the original component mins (the min label
+      // always maps to itself), so label(v) := stars(label(v)).
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(s"[cc] escalating to stars after $it rounds")
+      val quotient = connectedComponentsStars(
+        edges, labels.select(col("label")).distinct(), maxIter)
+      labels = labels
+        .join(
+          quotient.select(col("doc_id").as("label"), col("cluster_id")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("label")).as("label"))
+    }
     labels
       .select(
         col("id").as("doc_id"),
@@ -335,11 +389,16 @@ object Dedup {
     * its local min in one shot, halving chain depth per operation pair.
     * On short-diameter LSH candidate graphs both variants converge in a
     * handful of rounds and contraction's per-round cost is lower (one
-    * aggregate vs two rewrites) — measured crossover on a 4,096-vertex
-    * path graph: stars 7 rounds vs contraction 13
+    * aggregate vs two rewrites); on paths contraction degrades to one hop
+    * per round and escalates to THIS variant
     * (`ConnectedComponentsPropertySpec`). Convergence detection is an
-    * (edge-count, xxhash64 checksum) pair per round — one tiny aggregate,
-    * no driver-side edge materialization.
+    * (edge-count, bit_xor-of-xxhash64 checksum) pair per round — one tiny
+    * aggregate, no driver-side edge materialization. XOR, not SUM: the
+    * edge set is `distinct`, so xor-of-set is order-independent and sound,
+    * and unlike a sum of uniform 64-bit hashes it cannot overflow (Spark 4
+    * defaults ANSI mode, where a long-sum overflow *throws* — a sum
+    * checksum killed the whole query in round 5, almost surely, on any
+    * edge set beyond a few dozen rows).
     */
   private[graft] def connectedComponentsStars(
       pairs: DataFrame,
@@ -348,13 +407,12 @@ object Dedup {
     val pa = pairs.columns(0)
     val pb = pairs.columns(1)
     // canonical downhill orientation (hi > lo); self-loops dropped
-    var edges = pairs
+    var edges = freshCheckpoint(pairs
       .select(
         greatest(col(pa), col(pb)).as("hi"),
         least(col(pa), col(pb)).as("lo"))
       .filter(col("hi") =!= col("lo"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     def largeStar(e: DataFrame): DataFrame = {
       // bidirectional view: Γ(u) from both orientations
@@ -382,10 +440,17 @@ object Dedup {
         .distinct()
     }
 
+    // (count, bit_xor of per-edge xxhash64): order-independent over the
+    // distinct edge set and immune to ANSI long-overflow — xor never
+    // leaves the 64-bit domain, while sum over uniform 64-bit hashes
+    // overflows (and under Spark 4's default ANSI mode, THROWS) almost
+    // surely past a few dozen edges. The `.head()` is a 1-row scalar
+    // aggregate — the standard iterative-loop driver condition, not a
+    // data collect.
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(
         count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(col("hi"), col("lo"))), lit(0L)).as("chk"))
+        coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L)).as("chk"))
         .head()
       (r.getLong(0), r.getLong(1))
     }
@@ -394,7 +459,7 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = freshCheckpoint(smallStar(largeStar(edges)))
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp
@@ -403,6 +468,7 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
         System.err.println(s"[cc-stars] iter $it edges=${nfp._1}")
     }
+    lastRounds.put("cc_stars", it)
     if (!converged)
       // a truncated fixpoint would return WRONG labels silently — surface it
       System.err.println(

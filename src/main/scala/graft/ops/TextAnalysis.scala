@@ -99,7 +99,7 @@ object TextAnalysis {
     */
   def tokenStats(documents: DataFrame): DataFrame = {
     val ws = regexp_count(col("text"), lit("\\S+"))
-    val bpe = regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+    val bpe = regexp_count(col("text"), lit(BpeTokenRe))
     documents
       .select(
         col("doc_id"),
@@ -419,18 +419,27 @@ object TextAnalysis {
     val nTok = size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0))).cast("long")
     val base = documents
       .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
-      .withColumn("shard", floor(col("doc_id") / shardSize))
+      // `div` = integral division — a double-promoting `/` + floor would
+      // shift shard boundaries past 2^53 (labels stay monotone either
+      // way, but exactness is this file's stated rule)
+      .withColumn("shard", expr(s"doc_id div ${shardSize}L"))
     // pass 1: running sum inside each bounded (source, shard) partition,
     // EXCLUSIVE of the current row (= token offset where this doc starts)
     val wShard = Window.partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = base.withColumn(
       "local_start", coalesce(sum("n_tokens").over(wShard), lit(0L)))
-    // pass 2: shard base offsets from the tiny per-shard totals table
+    // pass 2: shard base offsets. Derived from `local`, not `base`: the
+    // last row of a shard has local_start + n_tokens == shard total (the
+    // exclusive cumsum is monotone, so max == total), and hanging both
+    // consumers off the SAME windowed child lets ReuseExchange serve the
+    // scan + tokenization once — aggregating `base` directly would plant a
+    // second full-corpus regexp pass (partial agg below its own exchange,
+    // so the subtrees never match).
     val wSrc = Window.partitionBy("source").orderBy("shard")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("source", "shard")
-      .agg(sum("n_tokens").as("shard_total"))
+    val offsets = local.groupBy("source", "shard")
+      .agg(max(col("local_start") + col("n_tokens")).as("shard_total"))
       .withColumn("shard_base", coalesce(sum("shard_total").over(wSrc), lit(0L)))
       .select("source", "shard", "shard_base")
     // pass 3: global start = shard base + local start (broadcast join —

@@ -1,0 +1,33 @@
+package org.apache.spark.sql
+
+/** Bridge to `private[sql]` Spark internals the public API cannot reach.
+  *
+  * Motivation (the 100 TB bug this exists to kill): `Dataset.localCheckpoint`
+  * truncates *lineage*, but the resulting `LogicalRDD` leaf deliberately
+  * carries the origin plan's `Statistics` forward. In an iterative fixpoint
+  * (connected components), each round's join estimate is a *product* of the
+  * previous round's leaf stats, so the estimated `sizeInBytes` BigInt doubles
+  * in digit count every round — after ~30 rounds the driver spends minutes
+  * inside `BigInteger.multiply` under `SizeInBytesOnlyStatsPlanVisitor` and
+  * planning livelocks (observed: a 512-vertex chain hung >20 min in stats
+  * estimation while executors sat idle). Rebuilding the frame over the
+  * already-checkpointed `RDD[InternalRow]` resets the leaf to
+  * `defaultSizeInBytes` — constant per round — without copying data and
+  * without the per-row deserialize/re-serialize map that the public
+  * `createDataFrame(df.rdd, df.schema)` detour would add.
+  */
+object GraftSqlInternals {
+
+  /** Rebuild `df` as a fresh `LogicalRDD` leaf over its physical
+    * `RDD[InternalRow]`, dropping inherited statistics. Call this on an
+    * already-checkpointed frame: `toRdd` then wraps the checkpointed scan,
+    * not a recomputation of the original lineage. (On a *lazily*
+    * checkpointed frame the contract is preserved too — the first action on
+    * the result materializes the checkpoint, exactly as it would have on
+    * the input.)
+    */
+  def resetLeafStats(df: Dataset[Row]): Dataset[Row] = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema)
+  }
+}

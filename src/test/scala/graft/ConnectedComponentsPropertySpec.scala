@@ -104,4 +104,25 @@ class ConnectedComponentsPropertySpec extends AnyFunSuite {
     assert(contraction == stars)
     assert(stars.values.toSet == Set(0L), "single component labeled by min")
   }
+
+  test("stars handles a 4096-vertex chain in O(log n) rounds (stats stay bounded)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 8× the chain above — the round count this drives (~7-8 star pairs,
+    // plus however many the fixpoint check needs) is exactly the regime
+    // where inherited localCheckpoint stats used to compound into a
+    // planning-time BigInt blowup that hung the driver (round-5 verdict);
+    // with per-round leaf-stats reset this completes in seconds
+    val n = 4096L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val pairsDf = chain.toDF("doc_a", "doc_b")
+    val vertsDf = (0L until n).toDF("doc_id")
+    val stars = Dedup.connectedComponentsStars(pairsDf, vertsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stars.size == n && stars.values.toSet == Set(0L),
+      "single component labeled by min")
+    val rounds = Dedup.lastRounds.get("cc_stars")
+    assert(rounds > 0 && rounds <= 20,
+      s"expected O(log n) convergence on a 4096-chain, took $rounds rounds")
+  }
 }
