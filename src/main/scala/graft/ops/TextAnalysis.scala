@@ -423,6 +423,11 @@ object TextAnalysis {
       // shift shard boundaries past 2^53 (labels stay monotone either
       // way, but exactness is this file's stated rule)
       .withColumn("shard", expr(s"doc_id div ${shardSize}L"))
+      // the inner join on (source, shard) below drops null keys anyway;
+      // filtering HERE keeps both consumers' exchange subtrees identical
+      // (otherwise the join infers IsNotNull on only one branch and
+      // ReuseExchange can't fire — asserted by PlanShapeSpec)
+      .filter(col("source").isNotNull && col("shard").isNotNull)
     // pass 1: running sum inside each bounded (source, shard) partition,
     // EXCLUSIVE of the current row (= token offset where this doc starts)
     val wShard = Window.partitionBy("source", "shard").orderBy("doc_id")

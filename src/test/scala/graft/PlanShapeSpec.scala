@@ -62,6 +62,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in IVF plan:\n$p")
   }
 
+  test("sequence packing tokenizes the corpus once (shard totals reuse the windowed exchange)") {
+    // Both the per-doc prefix sum and the per-shard totals consume the
+    // same exchange subtree (scan → tokenize → hash-partition); if the
+    // totals aggregated an unaligned frame, a second full scan + regexp
+    // tokenization would run. AQE reuses shuffle stages at RUNTIME, so
+    // execute first and assert on the final adaptive plan: one FileScan
+    // over documents + a ReusedExchange is the 100 TB contract.
+    val df = TextAnalysis.packSequences(t("documents"))
+    df.queryExecution.toRdd.foreach(_ => ())
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one documents scan, found $scans:\n$p")
+    assert(p.contains("ReusedExchange"), s"expected exchange reuse:\n$p")
+  }
+
   test("flagship star query broadcasts the dimension chain and returns rows") {
     val df = SparkEntry.entry(spark)
     val p = plan(df)
