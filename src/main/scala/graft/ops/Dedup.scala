@@ -105,25 +105,54 @@ object Dedup {
     flatten(transform(members, (x, i) =>
       transform(slice(members, i + lit(2), size(members)), y => mk(x, y))))
 
-  def lshCandidatePairs(documents: DataFrame, maxBucket: Int = 1000): DataFrame = {
+  /** Band buckets with their sorted member lists — the shared first half
+    * of every MinHash-LSH consumer: one shuffle on (band_idx, band_hash),
+    * buckets outside [2, maxBucket] dropped (singletons pair with nothing;
+    * over-cap degenerate buckets would contribute O(bucket²) work and
+    * belong to exact dedup instead).
+    */
+  private def lshBuckets(documents: DataFrame, maxBucket: Int): DataFrame = {
     val sigs = minhashSignatures(documents)
     val bandCols = (0 until NumBands).map(b =>
       struct(lit(b).as("band_idx"), col(s"band$b").as("band_hash")))
-    val exploded = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
-    val buckets = exploded
       .groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
+  }
+
+  def lshCandidatePairs(documents: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val pairs = inBucketPairs(col("ids"))((x, y) =>
       struct(x.as("doc_a"), y.as("doc_b")))
-    buckets
+    lshBuckets(documents, maxBucket)
       .select(explode(pairs).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
+
+  /** The near-dup EDGE SET in star form: each bucket contributes
+    * (member, bucket-min) instead of all member pairs. Connectivity is
+    * identical to the in-bucket all-pairs graph — every member reaches
+    * every other through the bucket min — but the edge count is Σ|bucket|
+    * rather than Σ|bucket|²/2. At a web-corpus boilerplate bucket near the
+    * cap that is 1000 edges versus ~500k; clustering never needs the
+    * explicit pairs, only the connectivity, so this is what
+    * [[nearDupClusters]] feeds to connected components. (The pairwise
+    * generator [[lshCandidatePairs]] remains the verify-stage input, where
+    * each candidate pair IS the unit of work.)
+    */
+  private[graft] def lshClusterEdges(
+      documents: DataFrame,
+      maxBucket: Int = 1000): DataFrame =
+    lshBuckets(documents, maxBucket)
+      .select(
+        explode(col("ids")).as("doc_a"),
+        element_at(col("ids"), 1).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
 
   /** Exact n-gram Jaccard similarity for the LSH candidate pairs (the
     * verify stage of near-dup detection): J(A,B) = |A∩B| / |A∪B| over
@@ -187,8 +216,10 @@ object Dedup {
     "fingerprint must be whole hex chars and sign-safe in a 64-bit long")
 
   /** Near-dup cluster collapse: connected components over the LSH
-    * candidate-pair graph, labels = min doc_id per component — the step
-    * that turns pairwise candidates into "keep one doc per cluster".
+    * candidate graph (in star-edge form, [[lshClusterEdges]] — same
+    * components as the pairwise graph with linearly many edges), labels =
+    * min doc_id per component — the step that turns banded candidates
+    * into "keep one doc per cluster".
     * Every document appears in the output; docs with no candidate partner
     * are singleton clusters of themselves, and `keep` marks the cluster
     * representative (the min id).
@@ -213,7 +244,10 @@ object Dedup {
       maxIter: Int = 50,
       useStars: Boolean = false): DataFrame = {
     val cc = if (useStars) connectedComponentsStars _ else connectedComponents _
-    cc(lshCandidatePairs(documents), documents.select(col("doc_id")), maxIter)
+    // star edges, not candidate pairs: identical connectivity (hence
+    // identical clusters — the oracle replays the pairwise graph and the
+    // hashes must match), linear instead of quadratic edges per bucket
+    cc(lshClusterEdges(documents), documents.select(col("doc_id")), maxIter)
   }
 
   /** Iterations taken by the most recent CC run in this JVM, keyed by

@@ -105,6 +105,21 @@ class ConnectedComponentsPropertySpec extends AnyFunSuite {
     assert(stars.values.toSet == Set(0L), "single component labeled by min")
   }
 
+  test("star-form cluster edges preserve the pairwise candidate graph's components") {
+    // nearDupClusters feeds CC the linear (member, bucket-min) edge set;
+    // its clusters must be IDENTICAL to components of the quadratic
+    // all-pairs candidate graph — that equivalence is what lets the edge
+    // count drop from Σ|bucket|² to Σ|bucket| at 100 TB (and what the
+    // DuckDB oracle, which replays the pairwise graph, hash-checks).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val verts = docs.select("doc_id")
+    val viaPairs = Dedup.connectedComponents(Dedup.lshCandidatePairs(docs), verts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaStarEdges = Dedup.nearDupClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaStarEdges == viaPairs)
+  }
+
   test("stars handles a 4096-vertex chain in O(log n) rounds (stats stay bounded)") {
     val sparkS = spark
     import sparkS.implicits._
