@@ -135,6 +135,7 @@ object SparkEntry {
     "q_emb_ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d, "embeddings"))),
     "q_emb_ivf_mp" -> ((s, d) => Similarity.ivfTopKMultiProbe(t(s, d, "embeddings"))),
     "q_emb_neardup" -> ((s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"))),
+    "q_emb_semdedup" -> ((s, d) => Similarity.semanticDedup(t(s, d, "embeddings"))),
     "q_emb_srp_buckets" -> ((s, d) => Similarity.srpBuckets(t(s, d, "embeddings"))),
     "q_emb_quantize" -> ((s, d) => Similarity.quantizeAudit(t(s, d, "embeddings"))),
     "q_docs_split" -> ((s, d) => TextAnalysis.trainValTestSplit(t(s, d, "documents"))),
@@ -208,6 +209,32 @@ object SparkEntry {
     * oracle shared by BOTH distributed strategies (label contraction and
     * large-star/small-star), which must produce the identical labeling.
     */
+  /** Shared CTEs for the embedding near-dup suite — mirrors
+    * [[Similarity.cosineNearDupPairs]] (stride-50 seed centroids, argmin
+    * cell assignment, [2,1000]-bounded cells, in-cell cosine pairs). Ends
+    * at `p` (id_a, id_b, cos — unfiltered); consumers apply their own
+    * threshold. Used by both `q_emb_neardup` (the pairs) and
+    * `q_emb_semdedup` (their transitive closure).
+    */
+  private lazy val embNeardupCtes: String =
+    s"""cents AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+       |          FROM embeddings WHERE vec_id % 50 = 0),
+       |s0 AS (SELECT e.vec_id, c.centroid_id, ${cosSql("e.embedding", "c.cent_emb")} AS cos
+       |       FROM embeddings e, cents c),
+       |assign AS (
+       |  SELECT vec_id, centroid_id AS cell FROM (
+       |    SELECT vec_id, centroid_id, cos,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rnk
+       |    FROM s0) WHERE rnk = 1),
+       |wc AS (SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN assign a USING (vec_id)),
+       |ok AS (SELECT cell FROM wc GROUP BY cell HAVING count(*) BETWEEN 2 AND 1000),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${cosSql("a.embedding", "b.embedding")} AS cos
+       |  FROM wc a
+       |  JOIN ok k ON a.cell = k.cell
+       |  JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id)""".stripMargin
+
   private lazy val clustersOracleSql: String =
     s"""WITH RECURSIVE $minhashCtes,
        |edges AS (
@@ -909,25 +936,24 @@ object SparkEntry {
          |SELECT query_id, rnk, cand_id, round(cos, 6) AS cos_sim
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_emb_neardup" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
-         |               FROM embeddings WHERE vec_id % 50 = 0),
-         |s0 AS (SELECT e.vec_id, c.centroid_id, ${cosSql("e.embedding", "c.cent_emb")} AS cos
-         |       FROM embeddings e, cents c),
-         |assign AS (
-         |  SELECT vec_id, centroid_id AS cell FROM (
-         |    SELECT vec_id, centroid_id, cos,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rnk
-         |    FROM s0) WHERE rnk = 1),
-         |wc AS (SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN assign a USING (vec_id)),
-         |ok AS (SELECT cell FROM wc GROUP BY cell HAVING count(*) BETWEEN 2 AND 1000),
-         |p AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    ${cosSql("a.embedding", "b.embedding")} AS cos
-         |  FROM wc a
-         |  JOIN ok k ON a.cell = k.cell
-         |  JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      s"""WITH $embNeardupCtes
          |SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM p
          |WHERE cos > 0.35 ORDER BY id_a, id_b""".stripMargin,
+    // SemDeDup: the cosine near-dup pairs above, closed transitively —
+    // same recursive-reachability shape as the docs clusters oracle, over
+    // the embeddings id space
+    "q_emb_semdedup" ->
+      s"""WITH RECURSIVE $embNeardupCtes,
+         |pt AS (SELECT id_a, id_b FROM p WHERE cos > 0.35),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pt
+         |  UNION ALL SELECT id_b, id_a FROM pt),
+         |reach(id, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS vec_id, min(r) AS cluster_id, (id = min(r)) AS keep
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "q_emb_srp_buckets" ->
       s"""SELECT vec_id,
          |${(0 until Similarity.SrpTables).map(t =>

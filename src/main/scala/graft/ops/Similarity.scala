@@ -398,4 +398,20 @@ object Similarity {
       .select(col("p.id_a"), col("p.id_b"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): collapse groups of embedding-space near-duplicates
+    * to one representative each — the embedding-side twin of
+    * [[graft.ops.Dedup.nearDupClusters]]. Pairs come from the bounded
+    * IVF-cell cosine generator ([[cosineNearDupPairs]] — never all-pairs),
+    * groups are connected components over them (the O(log n)
+    * large-star/small-star variant), and the representative (`keep`) is
+    * the min `vec_id` per group; every vector appears in the output,
+    * singletons as their own group. Output: (vec_id, cluster_id, keep).
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.35): DataFrame =
+    Dedup.connectedComponentsStars(
+      cosineNearDupPairs(embeddings, threshold).select("id_a", "id_b"),
+      embeddings.select(col("vec_id")))
+      .withColumnRenamed("doc_id", "vec_id")
 }

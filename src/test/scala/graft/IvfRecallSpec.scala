@@ -80,4 +80,22 @@ class IvfRecallSpec extends AnyFunSuite {
     val cells25 = Similarity.ivfAssign(embs, 25).select("cell").distinct().count()
     assert(cells25 > cells100)
   }
+
+  test("semantic dedup: total partition, one min-id representative per group, pairs co-clustered") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.semanticDedup(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == embs.count(), "every vector must appear exactly once")
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid not labeled by its min member")
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == cid,
+        s"cluster $cid must keep exactly its min id")
+    }
+    // every near-dup pair must land in the same cluster (edges respected)
+    val label = out.map(t => t._1 -> t._2).toMap
+    Similarity.cosineNearDupPairs(embs).select("id_a", "id_b").collect()
+      .foreach(r => assert(label(r.getLong(0)) == label(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters"))
+  }
 }
