@@ -30,7 +30,15 @@ object Bench {
     // timed-out/failed iteration stops further iterations for that query
     // (its timeout value stands as the median signal).
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration conveniences (absent in driver runs): ONLY restricts
+    // the query set (comma-separated names), VERBOSE prints each iteration's
+    // time to stderr so cold-vs-warm splits are visible behind the median
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val verbose = sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE")
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val times = Vector.newBuilder[Double]
       var it = 0
       var failed = false
@@ -42,7 +50,9 @@ object Bench {
           case Left(msg) =>
             System.err.println(s"[bench] $name failed: $msg"); failed = true
           case Right(_) =>
-            times += (System.nanoTime() - t0) / 1e9
+            val dt = (System.nanoTime() - t0) / 1e9
+            if (verbose) System.err.println(f"[bench] $name iter $it: $dt%.3f s")
+            times += dt
         }
         it += 1
       }

@@ -434,33 +434,63 @@ object Dedup {
     * checksum killed the whole query in round 5, almost surely, on any
     * edge set beyond a few dozen rows).
     */
-  private[graft] def connectedComponentsStars(
-      pairs: DataFrame,
-      vertices: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+  /** Canonical downhill edge orientation (hi > lo), self-loops dropped —
+    * the normal form every stars-family operation works on.
+    */
+  private def canonicalEdges(pairs: DataFrame): DataFrame = {
     val pa = pairs.columns(0)
     val pb = pairs.columns(1)
-    // canonical downhill orientation (hi > lo); self-loops dropped
-    var edges = freshCheckpoint(pairs
+    pairs
       .select(
         greatest(col(pa), col(pb)).as("hi"),
         least(col(pa), col(pb)).as("lo"))
       .filter(col("hi") =!= col("lo"))
-      .distinct())
+      .distinct()
+  }
 
-    def largeStar(e: DataFrame): DataFrame = {
-      // bidirectional view: Γ(u) from both orientations
-      val bidir = e.select(col("hi").as("src"), col("lo").as("nbr"))
-        .union(e.select(col("lo").as("src"), col("hi").as("nbr")))
-      val mins = bidir.groupBy("src")
-        .agg(least(col("src"), min(col("nbr"))).as("m"))
-      // (nbr, m(src)) for every strictly larger neighbor; nbr > src ≥ m
-      // guarantees hi > lo, no self-loops
-      bidir.filter(col("nbr") > col("src"))
-        .join(mins, Seq("src"))
-        .select(col("nbr").as("hi"), col("m").as("lo"))
-        .distinct()
-    }
+  /** One large-star rewiring pass over canonical (hi, lo) edges: for every
+    * vertex u with m = min(Γ(u) ∪ {u}), connect each strictly LARGER
+    * neighbor directly to m. One groupBy(min) + one equi-join on the
+    * bidirectional edge list. Connectivity-preserving on any graph
+    * (Kiveris et al. SoCC '14, Lemma 1) and never grows the edge set
+    * (each input edge maps to exactly one output edge before `distinct`).
+    */
+  private def largeStarPass(e: DataFrame): DataFrame = {
+    // bidirectional view: Γ(u) from both orientations
+    val bidir = e.select(col("hi").as("src"), col("lo").as("nbr"))
+      .union(e.select(col("lo").as("src"), col("hi").as("nbr")))
+    val mins = bidir.groupBy("src")
+      .agg(least(col("src"), min(col("nbr"))).as("m"))
+    // (nbr, m(src)) for every strictly larger neighbor; nbr > src ≥ m
+    // guarantees hi > lo, no self-loops
+    bidir.filter(col("nbr") > col("src"))
+      .join(mins, Seq("src"))
+      .select(col("nbr").as("hi"), col("m").as("lo"))
+      .distinct()
+  }
+
+  /** Star-reduce a pairwise edge list before clustering: one
+    * [[largeStarPass]], so components are IDENTICAL to the input graph's
+    * but cliquish neighborhoods (the shape similarity-verified in-cell
+    * pairs take — O(|cell|²) edges) collapse toward one (member, local-min)
+    * edge per member. This is the pair-graph analogue of
+    * [[lshClusterEdges]], for generators where membership alone does NOT
+    * imply an edge (IVF cells: only verified-similar pairs connect), so the
+    * reduction must run on the verified pairs themselves.
+    *
+    * NOTE the tempting cheaper form — one edge (v, min Γ(v)) per vertex —
+    * is NOT connectivity-preserving: on edges {(2,3),(3,4),(4,1)} it keeps
+    * {(2,3),(1,4)} and splits one component into two. The large-star pass
+    * is the correct linear-output reduction.
+    */
+  private[graft] def starReduceEdges(pairs: DataFrame): DataFrame =
+    largeStarPass(canonicalEdges(pairs))
+
+  private[graft] def connectedComponentsStars(
+      pairs: DataFrame,
+      vertices: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    var edges = freshCheckpoint(canonicalEdges(pairs))
 
     def smallStar(e: DataFrame): DataFrame = {
       val mins = e.groupBy("hi").agg(min(col("lo")).as("m"))
@@ -493,7 +523,7 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = freshCheckpoint(smallStar(largeStar(edges)))
+      val next = freshCheckpoint(smallStar(largeStarPass(edges)))
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp

@@ -380,6 +380,22 @@ object Similarity {
       threshold: Double = 0.35,
       centroidStride: Int = 50,
       precomputedAssign: Option[DataFrame] = None,
+      maxCell: Int = 1000): DataFrame =
+    cosinePairsRaw(embeddings, threshold, centroidStride, precomputedAssign, maxCell)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+
+  /** The unordered, unrounded core of [[cosineNearDupPairs]]: verified
+    * in-cell pairs above the threshold, no output-contract sort. Internal
+    * consumers that only need the edge SET ([[semanticDedup]]) read this —
+    * the public generator's global `orderBy` is a range-partition exchange
+    * that a clustering consumer would pay for nothing.
+    */
+  private def cosinePairsRaw(
+      embeddings: DataFrame,
+      threshold: Double,
+      centroidStride: Int = 50,
+      precomputedAssign: Option[DataFrame] = None,
       maxCell: Int = 1000): DataFrame = {
     val assign = precomputedAssign.getOrElse(ivfAssign(embeddings, centroidStride))
     val withCell = embeddings.join(assign.select("vec_id", "cell"), Seq("vec_id"))
@@ -395,8 +411,7 @@ object Similarity {
       .select(explode(pairs).as("p"))
       .withColumn("cos", cosine(col("p.emb_a"), col("p.emb_b")))
       .filter(col("cos") > threshold)
-      .select(col("p.id_a"), col("p.id_b"), round(col("cos"), 6).as("cos_sim"))
-      .orderBy("id_a", "id_b")
+      .select(col("p.id_a"), col("p.id_b"), col("cos"))
   }
 
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
@@ -408,10 +423,21 @@ object Similarity {
     * large-star/small-star variant), and the representative (`keep`) is
     * the min `vec_id` per group; every vector appears in the output,
     * singletons as their own group. Output: (vec_id, cluster_id, keep).
+    *
+    * CC does not consume the pairs directly: the verified pair graph is
+    * cliquish (mutually-similar in-cell groups, O(|cell|²) edges), so one
+    * [[graft.ops.Dedup.starReduceEdges]] pass collapses it toward linear
+    * (member, local-min) star edges first — identical components (the
+    * reduction is a connectivity-preserving large-star rewiring), far
+    * fewer edges for the iterated rounds to shuffle. Unlike the docs path
+    * ([[graft.ops.Dedup.lshClusterEdges]]), the reduction must run on the
+    * VERIFIED pairs: IVF-cell membership alone does not imply similarity,
+    * so there is no per-cell shortcut past the pairwise verification.
     */
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.35): DataFrame =
     Dedup.connectedComponentsStars(
-      cosineNearDupPairs(embeddings, threshold).select("id_a", "id_b"),
+      Dedup.starReduceEdges(
+        cosinePairsRaw(embeddings, threshold).select("id_a", "id_b")),
       embeddings.select(col("vec_id")))
       .withColumnRenamed("doc_id", "vec_id")
 }
