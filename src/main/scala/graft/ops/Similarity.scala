@@ -152,18 +152,29 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid argmin (broadcast centroids, rank window):
-    * (vec_id, cell, cos). Shared by the assignment paths. */
-  private def argminCell(embeddings: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = embeddings
+  /** Nearest-centroid argmin (broadcast centroids, argmax aggregate):
+    * (vec_id, cell, cos). Shared by the assignment paths.
+    *
+    * The argmin is `max(struct(cos, -centroid_id))` — lexicographic struct
+    * max picks the highest cosine, ties broken toward the LOWEST centroid
+    * id (identical selection to a `row_number` window ordered by
+    * `cos DESC, centroid_id ASC`, which the oracles replay). An aggregate
+    * beats the window formulation at scale: it partially aggregates
+    * map-side, so the shuffle carries one best-so-far row per (vec_id,
+    * partition) instead of ALL |vectors|·|centroids| scored rows sorted
+    * into window partitions — at a 100 TB corpus that is the difference
+    * between shuffling k× the corpus and shuffling ≈ the corpus.
+    */
+  private def argminCell(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    embeddings
       .join(broadcast(cents))
-      .withColumn("cos", cosine(col("embedding"), col("cent_emb")))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("centroid_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("centroid_id").as("cell"), col("cos"))
-  }
+      .select(col("vec_id"),
+        struct(
+          cosine(col("embedding"), col("cent_emb")).as("cos"),
+          (-col("centroid_id")).as("neg_id")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), (-col("best.neg_id")).as("cell"), col("best.cos").as("cos"))
 
   /** IVF cell assignment: nearest centroid by cosine (broadcast centroids,
     * rank-window argmin). This is the "build the index" half.
