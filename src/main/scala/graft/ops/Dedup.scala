@@ -243,19 +243,31 @@ object Dedup {
       documents: DataFrame,
       maxIter: Int = 50,
       useStars: Boolean = false): DataFrame = {
-    val cc = if (useStars) connectedComponentsStars _ else connectedComponents _
     // star edges, not candidate pairs: identical connectivity (hence
     // identical clusters — the oracle replays the pairwise graph and the
     // hashes must match), linear instead of quadratic edges per bucket
-    cc(lshClusterEdges(documents), documents.select(col("doc_id")), maxIter)
+    val edges = lshClusterEdges(documents)
+    val verts = documents.select(col("doc_id"))
+    if (useStars) connectedComponentsStars(edges, verts, maxIter)
+    else connectedComponents(edges, verts, maxIter)
   }
 
   /** Iterations taken by the most recent CC run in this JVM, keyed by
-    * variant (`"cc_contraction"` / `"cc_stars"`) — surfaced in the bench
+    * variant (`"cc_contraction"` / `"cc_stars"`, plus
+    * `"cc_contraction_escalated"` for a stars phase entered FROM the
+    * contraction loop — its own key, so an escalated run cannot overwrite
+    * the round count of a dedicated stars query) — surfaced in the bench
     * JSON line so a regression in convergence rounds is visible without
     * rerunning under GRAFT_CC_VERBOSE.
     */
   val lastRounds = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
+  /** Whether the most recent CC run under each [[lastRounds]] key reached
+    * its fixpoint — the programmatic non-convergence signal (the matching
+    * loud failure is the `strict` throw; this map serves callers that opt
+    * out of throwing but still must not trust truncated labels silently).
+    */
+  val lastConverged = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
   /** localCheckpoint + leaf-stats reset — the iterative-fixpoint
     * checkpoint. `localCheckpoint` alone truncates lineage but the
@@ -314,7 +326,8 @@ object Dedup {
   private[graft] def connectedComponents(
       pairs: DataFrame,
       vertices: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      strict: Boolean = true): DataFrame = {
     val pa = pairs.columns(0)
     val pb = pairs.columns(1)
     // freshCheckpoint per iteration: checkpointing truncates the logical
@@ -374,6 +387,7 @@ object Dedup {
         System.err.println(s"[cc] iter $it changed=$changed")
     }
     lastRounds.put("cc_contraction", it)
+    lastConverged.put("cc_contraction", changed == 0)
     if (changed > 0) {
       // still moving after EscalateAfter rounds ⇒ contraction's worst-case
       // regime (long quotient paths: one hop per round, O(diameter) total).
@@ -381,10 +395,15 @@ object Dedup {
       // QUOTIENT graph and compose the labelings — the quotient's
       // component mins are the original component mins (the min label
       // always maps to itself), so label(v) := stars(label(v)).
+      // The escalated phase gets the REMAINING budget (maxIter - it), so
+      // maxIter bounds total rounds across both phases, and records under
+      // its own key so it cannot overwrite a dedicated stars query's
+      // round count.
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
         System.err.println(s"[cc] escalating to stars after $it rounds")
       val quotient = connectedComponentsStars(
-        edges, labels.select(col("label")).distinct(), maxIter)
+        edges, labels.select(col("label")).distinct(), maxIter - it,
+        strict, roundsKey = "cc_contraction_escalated")
       labels = labels
         .join(
           quotient.select(col("doc_id").as("label"), col("cluster_id")),
@@ -489,7 +508,9 @@ object Dedup {
   private[graft] def connectedComponentsStars(
       pairs: DataFrame,
       vertices: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      strict: Boolean = true,
+      roundsKey: String = "cc_stars"): DataFrame = {
     var edges = freshCheckpoint(canonicalEdges(pairs))
 
     def smallStar(e: DataFrame): DataFrame = {
@@ -532,11 +553,17 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
         System.err.println(s"[cc-stars] iter $it edges=${nfp._1}")
     }
-    lastRounds.put("cc_stars", it)
-    if (!converged)
-      // a truncated fixpoint would return WRONG labels silently — surface it
-      System.err.println(
-        s"[graft] connectedComponentsStars did NOT converge in $maxIter iterations")
+    lastRounds.put(roundsKey, it)
+    lastConverged.put(roundsKey, converged)
+    if (!converged) {
+      // a truncated fixpoint would MISLABEL silently — the default
+      // contract is to fail the job; `strict = false` callers get the
+      // stderr warning plus the lastConverged flag and own the risk
+      val msg =
+        s"connectedComponentsStars ($roundsKey) did NOT converge in $maxIter iterations"
+      if (strict) throw new IllegalStateException(s"[graft] $msg")
+      System.err.println(s"[graft] $msg")
+    }
     // fixpoint is a star per component: every non-min vertex carries one
     // (v, min) edge; min vertices and singletons label themselves
     val labels = edges.groupBy("hi").agg(min(col("lo")).as("m"))

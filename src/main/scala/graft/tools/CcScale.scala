@@ -61,9 +61,9 @@ object CcScale {
 
     for ((gname, pairs) <- graphs) {
       val contraction = run(s"$gname/contraction",
-        graft.ops.Dedup.connectedComponents, pairs, "cc_contraction")
+        graft.ops.Dedup.connectedComponents(_, _, _), pairs, "cc_contraction")
       val stars = run(s"$gname/stars",
-        graft.ops.Dedup.connectedComponentsStars, pairs, "cc_stars")
+        graft.ops.Dedup.connectedComponentsStars(_, _, _), pairs, "cc_stars")
       val disagree = contraction.select("doc_id", "cluster_id")
         .except(stars.select("doc_id", "cluster_id")).count()
       val offMin = stars.filter(col("cluster_id") =!= 0L).count()

@@ -32,21 +32,29 @@ object MakeScaleDocs {
 
     val reps = explode(sequence(lit(0), lit(factor - 1))).as("rep")
 
-    val docs = spark.read.parquet(s"$src/documents.parquet")
+    // replica id offset derived from the actual max source id — a fixed
+    // 1M stride would silently collide replicas on a bigger source table
+    val srcDocs = spark.read.parquet(s"$src/documents.parquet")
+    val srcEmbs = spark.read.parquet(s"$src/embeddings.parquet")
+    val docStride = srcDocs.agg(max("doc_id")).head().getLong(0) + 1L
+    val embStride = srcEmbs.agg(max("vec_id")).head().getLong(0) + 1L
+
+    val docs = srcDocs
       .select(col("*"), reps)
       .select(
-        (col("doc_id") + col("rep") * lit(1000000L)).as("doc_id"),
+        (col("doc_id") + col("rep") * lit(docStride)).as("doc_id"),
         when(col("rep") === 0, col("text"))
           .otherwise(concat(col("text"), lit(" v"), col("rep"))).as("text"),
-        col("lang"), col("source"),
-        when(col("rep") === 0, col("n_chars"))
-          .otherwise(col("n_chars") + lit(3)).as("n_chars"))
+        col("lang"), col("source"))
+      // n_chars from the text actually built — the fixed "+3" form was
+      // only correct for single-digit replica suffixes
+      .withColumn("n_chars", length(col("text")).cast("long"))
     docs.repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    val embs = srcEmbs
       .select(col("*"), reps)
       .select(
-        (col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
+        (col("vec_id") + col("rep") * lit(embStride)).as("vec_id"),
         transform(col("embedding"),
           x => x + col("rep").cast("float") * lit(0.001f)).as("embedding"),
         col("label"))

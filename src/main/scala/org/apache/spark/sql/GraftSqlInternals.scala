@@ -25,9 +25,24 @@ object GraftSqlInternals {
     * checkpointed frame the contract is preserved too — the first action on
     * the result materializes the checkpoint, exactly as it would have on
     * the input.)
+    *
+    * Built via `LogicalRDD.fromDataset` so the leaf keeps the physical
+    * plan's output partitioning and ordering (what `localCheckpoint`'s own
+    * leaf preserves — losing it would force a re-shuffle of data whose
+    * layout Spark could reuse in the next fixpoint round); the rebuild
+    * then strips ONLY the inherited `originStats`/`originConstraints`,
+    * which are the per-round compounding source.
     */
   def resetLeafStats(df: Dataset[Row]): Dataset[Row] = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
-    ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema)
+    val withLayout = execution.LogicalRDD
+      .fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false)
+    val statsFree = execution.LogicalRDD(
+      withLayout.output,
+      withLayout.rdd,
+      withLayout.outputPartitioning,
+      withLayout.outputOrdering,
+      withLayout.isStreaming)(ds.sparkSession)
+    classic.Dataset.ofRows(ds.sparkSession, statsFree)
   }
 }

@@ -99,10 +99,41 @@ class ConnectedComponentsPropertySpec extends AnyFunSuite {
     val vertsDf = (0L until n).toDF("doc_id")
     val contraction = Dedup.connectedComponents(pairsDf, vertsDf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // a 511-hop quotient chain cannot converge inside the contraction
+    // budget, so this run must have taken the escalation path — and must
+    // record it under its OWN key (not clobber a dedicated stars query's
+    // cc_stars round count) and report the escalated fixpoint converged
+    assert(Dedup.lastRounds.get("cc_contraction") == Dedup.EscalateAfter)
+    assert(Dedup.lastConverged.get("cc_contraction_escalated"),
+      "escalated stars phase should reach its fixpoint")
     val stars = Dedup.connectedComponentsStars(pairsDf, vertsDf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(contraction == stars)
     assert(stars.values.toSet == Set(0L), "single component labeled by min")
+  }
+
+  test("a truncated fixpoint fails loudly instead of mislabeling") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val pairsDf = chain.toDF("doc_a", "doc_b")
+    val vertsDf = (0L until 64L).toDF("doc_id")
+    // strict (the default): maxIter exhaustion throws — a silently
+    // truncated fixpoint would hand wrong cluster labels downstream
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponentsStars(pairsDf, vertsDf, maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("did NOT converge"))
+    // opt-out callers still get a programmatic signal, not just stderr
+    Dedup.connectedComponentsStars(pairsDf, vertsDf, maxIter = 1, strict = false)
+      .collect()
+    assert(!Dedup.lastConverged.get("cc_stars"))
+    // the contraction entry point inherits the contract through the
+    // escalation path: a tiny total budget exhausts in the stars phase
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairsDf, vertsDf, maxIter = Dedup.EscalateAfter + 1)
+        .collect()
+    }
   }
 
   test("star-form cluster edges preserve the pairwise candidate graph's components") {
@@ -132,12 +163,20 @@ class ConnectedComponentsPropertySpec extends AnyFunSuite {
     val chain = (0L until n - 1).map(i => (i, i + 1))
     val pairsDf = chain.toDF("doc_a", "doc_b")
     val vertsDf = (0L until n).toDF("doc_id")
+    val t0 = System.nanoTime()
     val stars = Dedup.connectedComponentsStars(pairsDf, vertsDf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wallSec = (System.nanoTime() - t0) / 1e9
     assert(stars.size == n && stars.values.toSet == Set(0L),
       "single component labeled by min")
     val rounds = Dedup.lastRounds.get("cc_stars")
+    // 2*log2(4096) = 24 with slack for the fixpoint-detection round; and a
+    // wall budget (normally ~15 s here) that a per-round planning-cost
+    // regression — the round-5 stats-compounding failure took MINUTES on an
+    // 8x smaller chain — cannot sneak under
     assert(rounds > 0 && rounds <= 20,
       s"expected O(log n) convergence on a 4096-chain, took $rounds rounds")
+    assert(wallSec < 120.0,
+      f"4096-chain took $wallSec%.1f s — per-round planning or shuffle cost has regressed")
   }
 }
