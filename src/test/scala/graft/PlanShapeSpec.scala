@@ -81,6 +81,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), s"expected exchange reuse:\n$p")
   }
 
+  test("near-dup verify tokenizes the corpus once (all legs read the cached shingle frame)") {
+    // ngramJaccardNearDup needs the shingle arrays twice: hashed into
+    // MinHash signatures (candidate generation) and raw (Jaccard verify,
+    // joined on both pair sides). The operator persists ONE shingle frame;
+    // the executed plan must show exactly three InMemoryTableScan readers
+    // over it — signature pipeline + the two verify-join legs. Zero means
+    // the persist was dropped (the corpus would be shingled repeatedly, and
+    // at 100 TB tokenization is a full-corpus pass that must happen once).
+    val df = Dedup.ngramJaccardNearDup(t("documents"))
+    df.queryExecution.toRdd.foreach(_ => ())
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).size
+    assert(cacheReads == 3,
+      s"expected 3 cached-shingle readers (signatures + 2 verify legs), found $cacheReads:\n$p")
+  }
+
   test("flagship star query broadcasts the dimension chain and returns rows") {
     val df = SparkEntry.entry(spark)
     val p = plan(df)
