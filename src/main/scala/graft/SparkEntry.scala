@@ -94,6 +94,31 @@ object SparkEntry {
         ORDER BY o_orderkey
       """)
     }),
+    // TPC-H Q5-shaped: six-table star through the SQL surface — a
+    // region-gated dimension chain (region→nation→supplier broadcast down
+    // the tree) plus the local-supplier equi-constraint
+    // (c_nationkey = s_nationkey) that grafts a second selective edge onto
+    // the fact join. Deepens the SQL-interface leg beyond Q3's 3 tables.
+    "q_sql_local_revenue" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"v_$n"))
+      s.sql("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+               count(*) AS n_lines
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN v_nation ON s_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY n_name
+      """)
+    }),
     "q_when_case" -> ((s, d) => Relational.whenCaseBuckets(t(s, d, "orders"))),
     "q_validate_chain" -> ((s, d) => Relational.validateChain(t(s, d, "lineitem"))),
     "q_struct_pack" -> ((s, d) => Relational.structPackJson(t(s, d, "orders"))),
@@ -532,6 +557,20 @@ object SparkEntry {
         |JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q_sql_local_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_when_case" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 300000.0 THEN 'high'

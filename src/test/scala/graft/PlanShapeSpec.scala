@@ -101,6 +101,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected 3 cached-shingle readers (signatures + 2 verify legs), found $cacheReads:\n$p")
   }
 
+  test("Q5-shaped SQL query broadcasts its dimension chain — no cartesian") {
+    // the SQL surface must land the same physical shape the DataFrame
+    // queries get: small dims (region, nation, supplier, customer at this
+    // scale) broadcast; the only shuffle belongs to the fact-side
+    // aggregation. A cartesian or nested-loop join here would mean the
+    // local-supplier equi-constraint fell out of the join condition.
+    val df = SparkEntry.queries("q_sql_local_revenue")(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cartesian/NL join in Q5 plan:\n$p")
+  }
+
   test("flagship star query broadcasts the dimension chain and returns rows") {
     val df = SparkEntry.entry(spark)
     val p = plan(df)
