@@ -214,8 +214,13 @@ object SparkEntry {
   def resetSessionState(spark: SparkSession): Unit = {
     etlMemo.remove(spark)
     spark.catalog.clearCache()
+    // blocking: the isolation this method exists for is only real if the
+    // eviction work LANDS here, between queries — a fire-and-forget
+    // unpersist races the next query's first timed iteration and shows up
+    // as context-dependent noise in its median (observed: ivfTopK 2× slower
+    // mid-suite than standalone with async cleanup draining under it)
     spark.sparkContext.getPersistentRDDs.valuesIterator
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
   }
 
   // ------------------------------------------------------------ oracle SQL
