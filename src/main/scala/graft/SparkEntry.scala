@@ -163,6 +163,8 @@ object SparkEntry {
     "q_emb_semdedup" -> ((s, d) => Similarity.semanticDedup(t(s, d, "embeddings"))),
     "q_emb_srp_buckets" -> ((s, d) => Similarity.srpBuckets(t(s, d, "embeddings"))),
     "q_emb_quantize" -> ((s, d) => Similarity.quantizeAudit(t(s, d, "embeddings"))),
+    "q_emb_pq_encode" -> ((s, d) => Similarity.pqEncode(t(s, d, "embeddings"))),
+    "q_emb_pq_topk" -> ((s, d) => Similarity.pqTopK(t(s, d, "embeddings"))),
     "q_docs_split" -> ((s, d) => TextAnalysis.trainValTestSplit(t(s, d, "documents"))),
     "q_docs_pii" -> ((s, d) => TextAnalysis.redactPii(t(s, d, "documents"))),
     // mixture: keep all of src0, 50% of src1, 25% of src2; drop the rest
@@ -233,6 +235,49 @@ object SparkEntry {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** DuckDB: squared L2 distance between subvector `m` (a column from an
+    * unnested 0..PqM-1 range) of two float-list columns, as the SAME
+    * |a|²−2a·b+|b|² three-dot arithmetic the Spark side computes
+    * ([[Similarity.pqEncode]]) — term order matters for bit-exactness.
+    */
+  private def pqL2Sql(a: String, b: String, m: String = "u.m"): String = {
+    val w = Similarity.PqSubDim
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, ${w + 1}), " +
+        s"i -> CAST($x[$m * $w + i] AS DOUBLE) * CAST($y[$m * $w + i] AS DOUBLE)))"
+    s"${dot(a, a)} - 2.0 * ${dot(a, b)} + ${dot(b, b)}"
+  }
+
+  /** Shared CTEs for the PQ suite — mirrors [[Similarity.pqCodebooks]] /
+    * [[Similarity.pqEncode]]: stride-seeded codebooks, per-subvector
+    * argmin codes (ties to the lowest code), pivoted to one row of c0..c7
+    * per vector. Ends at `pq_codes`.
+    */
+  private lazy val pqCtes: String = {
+    val st = Similarity.PqSeedStride
+    val k = Similarity.PqK
+    val mM = Similarity.PqM
+    val pivots = (0 until mM)
+      .map(m => s"  max(CASE WHEN m = $m THEN code END) AS c$m")
+      .mkString(",\n")
+    s"""pq_cb AS (
+       |  SELECT vec_id // $st AS code, embedding AS seed_emb
+       |  FROM embeddings WHERE vec_id % $st = 0 AND vec_id < ${st.toLong * k}),
+       |pq_ms AS (SELECT unnest(range(0, $mM)) AS m),
+       |pq_sc AS (
+       |  SELECT e.vec_id, u.m, b.code,
+       |    ${pqL2Sql("e.embedding", "b.seed_emb")} AS d
+       |  FROM embeddings e, pq_cb b, pq_ms u),
+       |pq_arg AS (
+       |  SELECT vec_id, m, code,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rnk
+       |  FROM pq_sc),
+       |pq_codes AS (
+       |  SELECT vec_id,
+       |$pivots
+       |  FROM pq_arg WHERE rnk = 1 GROUP BY vec_id)""".stripMargin
   }
 
   /** Near-dup cluster labeling as a recursive reachability CTE — one
@@ -1044,6 +1089,41 @@ object SparkEntry {
         |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
         |  CAST(list_sum(list_transform(qs, v -> v * v)) AS BIGINT) AS q_norm2
         |FROM q ORDER BY vec_id""".stripMargin,
+    "q_emb_pq_encode" -> {
+      val packed = (0 until Similarity.PqM)
+        .map(m => s"c$m * ${1L << (4 * m)}")
+        .mkString(" + ")
+      s"""WITH $pqCtes
+         |SELECT vec_id, ${(0 until Similarity.PqM).map(m => s"c$m").mkString(", ")},
+         |  $packed AS pq_code
+         |FROM pq_codes ORDER BY vec_id""".stripMargin
+    },
+    // ADC: per-query PqM×PqK distance-table lookup over the codes — the
+    // approx distance sums its PqM lookups in the same left-to-right
+    // order as the Spark expression, so ranks compare without tolerance
+    "q_emb_pq_topk" -> {
+      val k16 = Similarity.PqK
+      val lookups = (0 until Similarity.PqM)
+        .map(m => s"t.td[c.c$m + ${m * k16 + 1}]")
+        .mkString(" + ")
+      s"""WITH $pqCtes,
+         |pq_td AS (
+         |  SELECT q.vec_id AS query_id, u.m * $k16 + b.code AS idx,
+         |    ${pqL2Sql("q.embedding", "b.seed_emb")} AS d
+         |  FROM embeddings q, pq_cb b, pq_ms u
+         |  WHERE q.vec_id < 20),
+         |pq_tables AS (
+         |  SELECT query_id, list(d ORDER BY idx) AS td FROM pq_td GROUP BY query_id),
+         |pq_scored AS (
+         |  SELECT t.query_id, c.vec_id AS cand_id, $lookups AS approx
+         |  FROM pq_tables t JOIN pq_codes c ON c.vec_id <> t.query_id),
+         |pq_rank AS (
+         |  SELECT query_id, cand_id, approx,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY approx, cand_id) AS rnk
+         |  FROM pq_scored)
+         |SELECT query_id, rnk, cand_id, round(approx, 6) AS adc_dist
+         |FROM pq_rank WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    },
     "q_docs_split" ->
       """SELECT doc_id, source,
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,

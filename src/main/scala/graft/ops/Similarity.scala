@@ -425,6 +425,133 @@ object Similarity {
       .select(col("p.id_a"), col("p.id_b"), col("cos"))
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** PQ geometry: 64-dim vectors split into [[PqM]] contiguous subvectors
+    * of [[PqSubDim]] dims, each quantized against its own [[PqK]]-entry
+    * codebook (Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search"). 8×4-bit codes pack a vector into 32 bits — an 8×
+    * compression over int8 and 64× over float32 — while ADC search scans
+    * codes with per-query lookup tables instead of touching float vectors.
+    */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqK = 16
+
+  /** Seed stride for the deterministic codebooks: codeword `j` of every
+    * subquantizer is the matching slice of seed vector `vec_id = j·stride`.
+    * Deterministic for the same reason [[centroids]] is — the DuckDB
+    * oracle replays codebook construction, encode, and ADC search
+    * bit-exactly, which k-means-trained codebooks (float mean ordering)
+    * would break. The execution shape — broadcast codebooks, per-sub
+    * argmin, table-lookup scan — is identical either way; swapping in
+    * Lloyd-refined codebooks via `precomputedCodebooks` is the production
+    * upgrade path (see [[kmeansCentroids]] for the bit-exact recipe).
+    */
+  val PqSeedStride = 25
+
+  /** The [[PqK]] seed vectors as (code, seed_emb), code ∈ [0, PqK). */
+  def pqCodebooks(embeddings: DataFrame): DataFrame =
+    embeddings
+      .filter(col("vec_id") % PqSeedStride === 0 &&
+        col("vec_id") < PqSeedStride.toLong * PqK)
+      .select(expr(s"vec_id div $PqSeedStride").as("code"),
+        col("embedding").as("seed_emb"))
+
+  /** Squared L2 distance via three codegen'd dot products —
+    * |a|² − 2a·b + |b|², the exact arithmetic the oracle replays (a
+    * term-by-term (a−b)² form would round differently). */
+  private def l2sq(a: Column, b: Column): Column = {
+    import graft.functions.VectorExpressions.vecDot
+    vecDot(a, a) - lit(2.0) * vecDot(a, b) + vecDot(b, b)
+  }
+
+  private def sub(v: Column, m: Int): Column =
+    slice(v, m * PqSubDim + 1, PqSubDim)
+
+  /** PQ encode: per subvector, the code of the L2-nearest codeword (ties
+    * to the lowest code), plus the 32-bit packed form. Execution shape:
+    * one broadcast of the PqK seed rows against the corpus, then ONE
+    * partial aggregate carrying PqM bounded `min(struct(dist, code))`
+    * states per vector — map-side combine leaves a shuffle of one row per
+    * vector, never |corpus|×PqK rows. A narrow scan-shaped job at 100 TB.
+    */
+  def pqEncode(
+      embeddings: DataFrame,
+      precomputedCodebooks: Option[DataFrame] = None): DataFrame =
+    pqEncodeRaw(embeddings, precomputedCodebooks).orderBy("vec_id")
+
+  /** [[pqEncode]] without the output-contract sort — internal consumers
+    * ([[pqTopK]]) join on the codes and would pay the range-partition
+    * exchange for nothing. */
+  private def pqEncodeRaw(
+      embeddings: DataFrame,
+      precomputedCodebooks: Option[DataFrame]): DataFrame = {
+    val cb = precomputedCodebooks.getOrElse(pqCodebooks(embeddings))
+    val scored = embeddings.join(broadcast(cb))
+    val aggs = (0 until PqM).map { m =>
+      val d = l2sq(sub(col("embedding"), m), sub(col("seed_emb"), m))
+      min(struct(d.as("d"), col("code").as("code"))).as(s"b$m")
+    }
+    val packed = (0 until PqM)
+      .map(m => col(s"c$m") * lit(1L << (4 * m)))
+      .reduce(_ + _)
+    scored
+      .groupBy("vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id") +:
+        (0 until PqM).map(m => col(s"b$m.code").as(s"c$m")): _*)
+      .withColumn("pq_code", packed)
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: each
+    * query precomputes a PqM×PqK lookup table of subvector distances to
+    * every codeword; a candidate's approximate distance is then PqM table
+    * lookups + adds on its CODES — the float corpus is never touched
+    * after encoding. The table build is |Q|·PqK broadcast work; the scan
+    * is one pass over the (32-bit!) code table with a bounded top-k
+    * window per query. This is the classic IVF-less PQ scan; composing it
+    * with [[ivfAssign]] cells (IVFADC) is a join-key change, not a new
+    * shape.
+    *
+    * Determinism for the oracle: the per-query table is assembled in
+    * fixed idx order (`sort_array(collect_list)` — collect order washes
+    * out), and the candidate distance sums its PqM lookups left-to-right,
+    * so both engines add identical doubles in identical order and the
+    * rank compare needs no rounding tolerance.
+    */
+  def pqTopK(embeddings: DataFrame, numQueries: Int = 20, k: Int = 5): DataFrame = {
+    val cb = pqCodebooks(embeddings)
+    val codes = pqEncodeRaw(embeddings, Some(cb))
+    val q = embeddings
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val entries = q.join(broadcast(cb))
+      .select(col("query_id"),
+        explode(array((0 until PqM).map(m => struct(
+          (lit(m * PqK) + col("code")).as("idx"),
+          l2sq(sub(col("q_emb"), m), sub(col("seed_emb"), m)).as("d"))): _*)).as("e"))
+      .select(col("query_id"), col("e.idx"), col("e.d"))
+    val tables = entries
+      .groupBy("query_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("idx"), col("d")))),
+        s => s.getField("d")).as("td"))
+    val approx = (0 until PqM)
+      .map(m => element_at(col("td"), (lit(m * PqK) + col(s"c$m") + 1).cast("int")))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("approx"), col("cand_id"))
+    codes
+      .withColumnRenamed("vec_id", "cand_id")
+      .join(broadcast(tables), col("query_id") =!= col("cand_id"))
+      .withColumn("approx", approx)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"),
+        round(col("approx"), 6).as("adc_dist"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): collapse groups of embedding-space near-duplicates
     * to one representative each — the embedding-side twin of
