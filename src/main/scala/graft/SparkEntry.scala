@@ -171,6 +171,7 @@ object SparkEntry {
     "q_docs_mixture" -> ((s, d) => TextAnalysis.mixtureSample(
       t(s, d, "documents"), Map("src0" -> 10000, "src1" -> 5000, "src2" -> 2500))),
     "q_docs_ngram_contam" -> ((s, d) => TextAnalysis.ngramContamination(t(s, d, "documents"))),
+    "q_docs_bloom_decontam" -> ((s, d) => TextAnalysis.bloomDecontaminate(t(s, d, "documents"))),
     "q_docs_repetition" -> ((s, d) => TextAnalysis.repetitionScore(t(s, d, "documents"))),
     "q_emb_srp_pairs" -> ((s, d) => Similarity.srpNearDupPairs(t(s, d, "embeddings"))),
     // ---- multimodal plumbing ----
@@ -1171,6 +1172,45 @@ object SparkEntry {
         |SELECT g.doc_id, count(DISTINCT g.gram) AS leaked_grams
         |FROM g JOIN leaky USING (gram)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // Bloom decontamination: same gram hashes as q_docs_ngram_contam,
+    // bit-sliced into 3 probe positions over a 2^18-bit filter of the
+    // src0 grams; a corpus gram "hits" iff all 3 bits are set
+    "q_docs_bloom_decontam" -> {
+      val probes = TextAnalysis.BloomProbeShifts
+        .map(s => s"(gram >> $s) & ${TextAnalysis.BloomBits - 1}")
+        .mkString("[", ", ", "]")
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                x -> length(x) > 0) AS words
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_transform(range(1, greatest(len(words) - 12, 1) + 1),
+         |      i -> CAST('0x' || substr(md5(array_to_string(words[i:i+12], ' ')), 1, 15) AS BIGINT)))
+         |      AS gram
+         |  FROM w),
+         |bp AS (SELECT DISTINCT unnest($probes) AS p FROM g WHERE source = 'src0'),
+         |bf AS (
+         |  SELECT p >> 5 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p & 31 AS INT)) AS bits
+         |  FROM bp GROUP BY p >> 5),
+         |cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0'),
+         |pr AS (SELECT doc_id, gram, unnest($probes) AS p FROM cg),
+         |hits AS (
+         |  SELECT pr.doc_id, pr.gram,
+         |    sum(CASE WHEN bf.bits IS NOT NULL
+         |             AND (bf.bits & (CAST(1 AS BIGINT) << CAST(pr.p & 31 AS INT))) <> 0
+         |        THEN 1 ELSE 0 END) AS n_set
+         |  FROM pr LEFT JOIN bf ON pr.p >> 5 = bf.w
+         |  GROUP BY pr.doc_id, pr.gram)
+         |SELECT doc_id,
+         |  count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN n_set = ${TextAnalysis.BloomProbeShifts.size}
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+         |  sum(CASE WHEN n_set = ${TextAnalysis.BloomProbeShifts.size}
+         |      THEN 1 ELSE 0 END) > 0 AS flagged
+         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_docs_repetition" ->
       """WITH w AS (
         |  SELECT doc_id,

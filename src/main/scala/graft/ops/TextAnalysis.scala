@@ -266,6 +266,73 @@ object TextAnalysis {
       .orderBy("best_id")
   }
 
+  /** Bloom filter geometry for [[bloomDecontaminate]]: 2^18 bits packed
+    * into 32-bit words (8192 words ≈ 32 KiB — broadcast-sized at ANY
+    * benchmark scale), probed at [[BloomProbeShifts]].size positions per
+    * gram. The probe positions are independent bit-slices of the 60-bit
+    * md5 gram hash — no second hash pass, and both engines slice the
+    * same integer identically.
+    */
+  val BloomBits = 1 << 18
+  val BloomProbeShifts = Seq(0, 18, 36)
+
+  /** Benchmark decontamination against a Bloom filter of the eval set's
+    * 13-grams — the fixed-memory scale path next to [[ngramContamination]]'s
+    * exact gram join. The exact join shuffles EVERY corpus gram against
+    * the benchmark gram set; the Bloom form compresses the benchmark side
+    * to a 32 KiB bitmap built with one aggregation, broadcasts it, and
+    * probes corpus grams map-side — at 100 TB the corpus-side shuffle
+    * drops to one (doc_id, gram)-distinct pass and the benchmark side
+    * never re-ships, at the price of a bounded false-positive rate
+    * (m=2^18, k=3 ⇒ ~1% at 10k benchmark grams; false NEGATIVES are
+    * impossible, the property `CurationSpec` pins). Output per non-bench
+    * doc with ≥1 gram: (doc_id, n_grams, bloom_hits, flagged).
+    */
+  def bloomDecontaminate(
+      documents: DataFrame,
+      benchSource: String = "src0",
+      n: Int = 13): DataFrame = {
+    val mask = lit((BloomBits - 1).toLong)
+    def positions(g: Column): Column =
+      array(BloomProbeShifts.map(s => shiftright(g, s).bitwiseAND(mask)): _*)
+    val withWords = documents.select(col("doc_id"), col("source"),
+      graft.functions.TextExpressions.alnumTokens(col("text")).as("words"))
+    val grams = withWords.select(col("doc_id"), col("source"),
+      explode(graft.functions.TextExpressions.hashedNgrams(col("words"), n))
+        .as("gram"))
+    // build: distinct bit positions of the benchmark grams → bit_or into
+    // 32-bit words (32 keeps 1<<bit far from BIGINT overflow on both
+    // engines); the whole filter is ≤ BloomBits/32 rows
+    val bloom = grams
+      .filter(col("source") === benchSource)
+      .select(explode(positions(col("gram"))).as("p"))
+      .distinct()
+      .select(shiftright(col("p"), 5).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))").as("m"))
+      .groupBy("w")
+      .agg(expr("bit_or(m)").as("bits"))
+    // probe: distinct corpus grams, 3 broadcast lookups each; a gram hits
+    // iff ALL probed bits are set (an absent word row = bit unset)
+    val probes = grams
+      .filter(col("source") =!= benchSource)
+      .select(col("doc_id"), col("gram")).distinct()
+      .select(col("doc_id"), col("gram"), explode(positions(col("gram"))).as("p"))
+      .select(col("doc_id"), col("gram"), shiftright(col("p"), 5).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))").as("m"))
+      .join(broadcast(bloom), Seq("w"), "left")
+      .groupBy("doc_id", "gram")
+      .agg(sum(when(col("bits").isNotNull &&
+        col("bits").bitwiseAND(col("m")) =!= 0, 1L).otherwise(0L)).as("n_set"))
+    probes
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("n_set") === BloomProbeShifts.size, 1L).otherwise(0L))
+          .as("bloom_hits"))
+      .withColumn("flagged", col("bloom_hits") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Train/test contamination detection: normalized-text fingerprints
     * appearing in more than one source. The canonical pre-training check
     * ("is any eval doc inside the training scrape?") — one aggregate on

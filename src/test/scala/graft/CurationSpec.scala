@@ -114,6 +114,45 @@ class CurationSpec extends AnyFunSuite {
     assert(TextAnalysis.crossSourceContamination(docs).count() == 0L)
   }
 
+  test("Bloom decontamination never misses a true overlap (no false negatives)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val shared = (1 to 15).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"benchmark passage containing $shared exactly once", "src0"),
+      (20L, s"corpus doc that copied $shared verbatim from the benchmark", "web"),
+      (30L, "an unrelated corpus document sharing nothing with the benchmark "
+        + "and padded out to well over thirteen distinct words total", "web"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.bloomDecontaminate(docs).collect()
+      .map(x => x.getLong(0) -> x.getAs[Boolean]("flagged")).toMap
+    assert(r(20L), "a verbatim 13-gram overlap MUST hit the filter")
+    assert(!r(30L), "clean doc false-positived (possible but ~0 at this load)")
+    assert(!r.contains(10L), "benchmark docs are the build side, not probed")
+  }
+
+  test("Bloom flags are a superset of exact n-gram contamination vs the same source") {
+    // the defining containment: every doc the EXACT gram join would flag
+    // against src0 must also be flagged by the Bloom probe — on the real
+    // corpus, not just synthetic rows
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bloom = TextAnalysis.bloomDecontaminate(real).collect()
+      .filter(_.getAs[Boolean]("flagged")).map(_.getLong(0)).toSet
+    // exact overlap vs src0, computed independently of the operator under
+    // test: hashed 13-grams, semi-join against the src0 gram set
+    import org.apache.spark.sql.functions._
+    val grams = real.select(col("doc_id"), col("source"),
+      explode(graft.functions.TextExpressions.hashedNgrams(
+        graft.functions.TextExpressions.alnumTokens(col("text")), 13)).as("gram"))
+    val benchGrams = grams.filter(col("source") === "src0").select("gram").distinct()
+    val exact = grams.filter(col("source") =!= "src0")
+      .join(benchGrams, Seq("gram")).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    info(s"exact overlaps: ${exact.size}, bloom-flagged: ${bloom.size}")
+    assert(exact.subsetOf(bloom),
+      s"false negatives: ${(exact -- bloom).take(5).mkString(", ")}")
+  }
+
   test("mixture sampling honors per-source rates and drops unknown sources") {
     val sparkS = spark
     import sparkS.implicits._
