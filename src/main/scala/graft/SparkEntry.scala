@@ -119,6 +119,45 @@ object SparkEntry {
         ORDER BY n_name
       """)
     }),
+    // TPC-H Q4-shaped: correlated EXISTS — Catalyst decorrelates the
+    // subquery into a left-semi hash join on l_orderkey with the
+    // correlated l_shipdate > o_orderdate predicate as the join condition;
+    // no per-row subquery execution survives in the physical plan.
+    "q_sql_exists" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM v_lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """)
+    }),
+    // TPC-H Q17-shaped: correlated SCALAR subquery (per-part average
+    // quantity threshold) — decorrelated into an aggregate-then-join:
+    // the inner avg computes once per l_partkey and joins back, not once
+    // per outer row.
+    "q_sql_scalar" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      t(s, d, "part").createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT p_brand,
+               round(sum(l_extendedprice), 2) AS below_avg_revenue,
+               count(*) AS n_lines
+        FROM v_lineitem
+        JOIN v_part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity) FROM v_lineitem l2
+          WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand
+      """)
+    }),
     "q_when_case" -> ((s, d) => Relational.whenCaseBuckets(t(s, d, "orders"))),
     "q_validate_chain" -> ((s, d) => Relational.validateChain(t(s, d, "lineitem"))),
     "q_struct_pack" -> ((s, d) => Relational.structPackJson(t(s, d, "orders"))),
@@ -622,6 +661,25 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_sql_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_scalar" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice), 2) AS below_avg_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (
+        |  SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_when_case" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 300000.0 THEN 'high'

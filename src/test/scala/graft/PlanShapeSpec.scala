@@ -119,6 +119,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cartesian/NL join in Q5 plan:\n$p")
   }
 
+  test("correlated EXISTS decorrelates to a semi join; scalar subquery to an agg-join") {
+    // the point of routing subqueries through Catalyst: neither shape may
+    // survive as a per-row subquery in the physical plan
+    val exists = SparkEntry.queries("q_sql_exists")(spark, dir)
+    val pe = plan(exists)
+    assert(pe.contains("LeftSemi"), s"EXISTS not decorrelated to a semi join:\n$pe")
+    assert(!pe.toLowerCase.contains("subquery"),
+      s"EXISTS survived as a per-row subquery:\n$pe")
+    val scalar = SparkEntry.queries("q_sql_scalar")(spark, dir)
+    val ps = plan(scalar)
+    // the per-part avg computes ONCE as an aggregate joined back to the
+    // fact rows — visible as an extra HashAggregate over l_partkey feeding
+    // a join, with no scalar-subquery node left
+    assert(!ps.toLowerCase.contains("scalarsubquery"),
+      s"scalar subquery not decorrelated:\n$ps")
+    assert("HashAggregate".r.findAllIn(ps).size >= 3,
+      s"expected decorrelated per-part aggregate + grouped output:\n$ps")
+  }
+
   test("flagship star query broadcasts the dimension chain and returns rows") {
     val df = SparkEntry.entry(spark)
     val p = plan(df)
