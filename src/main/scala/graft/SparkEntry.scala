@@ -204,6 +204,10 @@ object SparkEntry {
     "q_emb_quantize" -> ((s, d) => Similarity.quantizeAudit(t(s, d, "embeddings"))),
     "q_emb_pq_encode" -> ((s, d) => Similarity.pqEncode(t(s, d, "embeddings"))),
     "q_emb_pq_topk" -> ((s, d) => Similarity.pqTopK(t(s, d, "embeddings"))),
+    "q_emb_ivfadc" -> ((s, d) => Similarity.ivfAdcTopK(t(s, d, "embeddings"))),
+    "q_emb_rrf" -> ((s, d) => Similarity.rrfFusion(t(s, d, "embeddings"))),
+    "q_docs_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(t(s, d, "documents"))),
+    "q_docs_unigram_lp" -> ((s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents"))),
     "q_docs_split" -> ((s, d) => TextAnalysis.trainValTestSplit(t(s, d, "documents"))),
     "q_docs_pii" -> ((s, d) => TextAnalysis.redactPii(t(s, d, "documents"))),
     // mixture: keep all of src0, 50% of src1, 25% of src2; drop the rest
@@ -290,6 +294,29 @@ object SparkEntry {
     s"${dot(a, a)} - 2.0 * ${dot(a, b)} + ${dot(b, b)}"
   }
 
+  /** IVF top-k pipeline as CTEs ending at ranked `r` — the q_emb_ivf_topk
+    * oracle, shared with the RRF-fusion oracle (its cosine leg).
+    */
+  private lazy val ivfTopkCtes: String =
+    s"""cents AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+       |          FROM embeddings WHERE vec_id % 100 = 0),
+       |s0 AS (SELECT e.vec_id, c.centroid_id, ${cosSql("e.embedding", "c.cent_emb")} AS cos
+       |       FROM embeddings e, cents c),
+       |assign AS (
+       |  SELECT vec_id, centroid_id AS cell FROM (
+       |    SELECT vec_id, centroid_id, cos,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rnk
+       |    FROM s0) WHERE rnk = 1),
+       |wc AS (SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN assign a USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell FROM wc WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS cand_id, embedding AS c_emb, cell FROM wc),
+       |s AS (
+       |  SELECT q.query_id, c.cand_id, ${cosSql("q.q_emb", "c.c_emb")} AS cos
+       |  FROM q JOIN c ON q.cell = c.cell AND q.query_id <> c.cand_id),
+       |r AS (SELECT query_id, cand_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+       |      FROM s)""".stripMargin
+
   /** Shared CTEs for the PQ suite — mirrors [[Similarity.pqCodebooks]] /
     * [[Similarity.pqEncode]]: stride-seeded codebooks, per-subvector
     * argmin codes (ties to the lowest code), pivoted to one row of c0..c7
@@ -319,6 +346,34 @@ object SparkEntry {
        |$pivots
        |  FROM pq_arg WHERE rnk = 1 GROUP BY vec_id)""".stripMargin
   }
+
+  /** The ADC lookup-sum expression over `t.td` (a per-query distance list
+    * in idx order) and `cc`'s code columns — PqM element references added
+    * left-to-right, matching the Spark expression's evaluation order.
+    */
+  private lazy val pqAdcLookups: String = (0 until Similarity.PqM)
+    .map(m => s"t.td[cc.c$m + ${m * Similarity.PqK + 1}]")
+    .mkString(" + ")
+
+  /** [[pqCtes]] extended through the ADC top-k ranking (`pq_rank`) — the
+    * q_emb_pq_topk oracle, shared with the RRF-fusion oracle (its PQ leg).
+    */
+  private lazy val pqTopkCtes: String =
+    s"""$pqCtes,
+       |pq_td AS (
+       |  SELECT q.vec_id AS query_id, u.m * ${Similarity.PqK} + b.code AS idx,
+       |    ${pqL2Sql("q.embedding", "b.seed_emb")} AS d
+       |  FROM embeddings q, pq_cb b, pq_ms u
+       |  WHERE q.vec_id < 20),
+       |pq_tables AS (
+       |  SELECT query_id, list(d ORDER BY idx) AS td FROM pq_td GROUP BY query_id),
+       |pq_scored AS (
+       |  SELECT t.query_id, cc.vec_id AS cand_id, $pqAdcLookups AS approx
+       |  FROM pq_tables t JOIN pq_codes cc ON cc.vec_id <> t.query_id),
+       |pq_rank AS (
+       |  SELECT query_id, cand_id, approx,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY approx, cand_id) AS rnk
+       |  FROM pq_scored)""".stripMargin
 
   /** Near-dup cluster labeling as a recursive reachability CTE — one
     * oracle shared by BOTH distributed strategies (label contraction and
@@ -904,6 +959,37 @@ object SparkEntry {
     "q_docs_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // stratified: md5 chars 25-32 as the priority draw (disjoint from the
+    // split/mixture/weighted slices), exact perSource smallest per stratum
+    "q_docs_stratified" ->
+      """SELECT source, rnk, doc_id, priority FROM (
+        |  SELECT source, doc_id, priority,
+        |    row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rnk
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8) AS BIGINT) AS priority
+        |    FROM documents))
+        |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+    // unigram logprob: per-term ln quantized to a 1e-6 integer grid
+    // BEFORE the per-doc sum — exact integer arithmetic on both engines
+    "q_docs_unigram_lp" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                       x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |ct AS (SELECT term,
+        |         CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS q
+        |       FROM tk GROUP BY term),
+        |qn AS (SELECT CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS v
+        |       FROM tk),
+        |d AS (
+        |  SELECT tk.doc_id, count(*) AS n_tokens, CAST(sum(ct.q) AS BIGINT) AS sq
+        |  FROM tk JOIN ct USING (term) GROUP BY tk.doc_id)
+        |SELECT d.doc_id, d.n_tokens,
+        |  round(CAST(qn.v * d.n_tokens - d.sq AS DOUBLE) / 1000000.0 / d.n_tokens, 6)
+        |    AS avg_neg_logp
+        |FROM d, qn ORDER BY d.doc_id""".stripMargin,
     "q_docs_minhash" ->
       s"""WITH $minhashCtes
          |SELECT h.doc_id, h0, h1, h2, h3, h4, h5, h6, h7,
@@ -1063,24 +1149,7 @@ object SparkEntry {
          |SELECT query_id, rnk, cand_id, round(cos, 6) AS cos_sim
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_emb_ivf_topk" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
-         |               FROM embeddings WHERE vec_id % 100 = 0),
-         |s0 AS (SELECT e.vec_id, c.centroid_id, ${cosSql("e.embedding", "c.cent_emb")} AS cos
-         |       FROM embeddings e, cents c),
-         |assign AS (
-         |  SELECT vec_id, centroid_id AS cell FROM (
-         |    SELECT vec_id, centroid_id, cos,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rnk
-         |    FROM s0) WHERE rnk = 1),
-         |wc AS (SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN assign a USING (vec_id)),
-         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell FROM wc WHERE vec_id < 20),
-         |c AS (SELECT vec_id AS cand_id, embedding AS c_emb, cell FROM wc),
-         |s AS (
-         |  SELECT q.query_id, c.cand_id, ${cosSql("q.q_emb", "c.c_emb")} AS cos
-         |  FROM q JOIN c ON q.cell = c.cell AND q.query_id <> c.cand_id),
-         |r AS (SELECT query_id, cand_id, cos,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
-         |      FROM s)
+      s"""WITH $ivfTopkCtes
          |SELECT query_id, rnk, cand_id, round(cos, 6) AS cos_sim
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_emb_neardup" ->
@@ -1160,29 +1229,58 @@ object SparkEntry {
     // ADC: per-query PqM×PqK distance-table lookup over the codes — the
     // approx distance sums its PqM lookups in the same left-to-right
     // order as the Spark expression, so ranks compare without tolerance
-    "q_emb_pq_topk" -> {
-      val k16 = Similarity.PqK
-      val lookups = (0 until Similarity.PqM)
-        .map(m => s"t.td[c.c$m + ${m * k16 + 1}]")
-        .mkString(" + ")
-      s"""WITH $pqCtes,
-         |pq_td AS (
-         |  SELECT q.vec_id AS query_id, u.m * $k16 + b.code AS idx,
-         |    ${pqL2Sql("q.embedding", "b.seed_emb")} AS d
-         |  FROM embeddings q, pq_cb b, pq_ms u
-         |  WHERE q.vec_id < 20),
-         |pq_tables AS (
-         |  SELECT query_id, list(d ORDER BY idx) AS td FROM pq_td GROUP BY query_id),
-         |pq_scored AS (
-         |  SELECT t.query_id, c.vec_id AS cand_id, $lookups AS approx
-         |  FROM pq_tables t JOIN pq_codes c ON c.vec_id <> t.query_id),
-         |pq_rank AS (
+    "q_emb_pq_topk" ->
+      s"""WITH $pqTopkCtes
+         |SELECT query_id, rnk, cand_id, round(approx, 6) AS adc_dist
+         |FROM pq_rank WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // IVFADC: the cell restriction composed with the ADC scan — the
+    // lookup table is per (query, its cell), candidates join on cell
+    "q_emb_ivfadc" ->
+      s"""WITH $ivfTopkCtes,
+         |$pqCtes,
+         |ad_td AS (
+         |  SELECT qq.vec_id AS query_id, a.cell,
+         |    u.m * ${Similarity.PqK} + b.code AS idx,
+         |    ${pqL2Sql("qq.embedding", "b.seed_emb")} AS d
+         |  FROM embeddings qq
+         |  JOIN assign a ON a.vec_id = qq.vec_id
+         |  CROSS JOIN pq_cb b CROSS JOIN pq_ms u
+         |  WHERE qq.vec_id < 20),
+         |ad_tables AS (
+         |  SELECT query_id, cell, list(d ORDER BY idx) AS td
+         |  FROM ad_td GROUP BY query_id, cell),
+         |ad_scored AS (
+         |  SELECT t.query_id, cc.vec_id AS cand_id, $pqAdcLookups AS approx
+         |  FROM ad_tables t
+         |  JOIN assign a ON a.cell = t.cell
+         |  JOIN pq_codes cc ON cc.vec_id = a.vec_id
+         |  WHERE cc.vec_id <> t.query_id),
+         |ad_rank AS (
          |  SELECT query_id, cand_id, approx,
          |    row_number() OVER (PARTITION BY query_id ORDER BY approx, cand_id) AS rnk
-         |  FROM pq_scored)
+         |  FROM ad_scored)
          |SELECT query_id, rnk, cand_id, round(approx, 6) AS adc_dist
-         |FROM pq_rank WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
-    },
+         |FROM ad_rank WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // RRF: fuse the IVF-cosine and PQ-ADC top-5 lists; 1/(60+rank) per
+    // leg, full outer join on (query, candidate), re-rank on the sum
+    "q_emb_rrf" ->
+      s"""WITH $ivfTopkCtes,
+         |$pqTopkCtes,
+         |ra AS (SELECT query_id, cand_id, rnk FROM r WHERE rnk <= 5),
+         |rb AS (SELECT query_id, cand_id, rnk FROM pq_rank WHERE rnk <= 5),
+         |f AS (
+         |  SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
+         |         coalesce(ra.cand_id, rb.cand_id) AS cand_id,
+         |         coalesce(1.0 / (60.0 + CAST(ra.rnk AS DOUBLE)), 0.0)
+         |           + coalesce(1.0 / (60.0 + CAST(rb.rnk AS DOUBLE)), 0.0) AS rrf
+         |  FROM ra FULL JOIN rb
+         |    ON ra.query_id = rb.query_id AND ra.cand_id = rb.cand_id),
+         |fr AS (
+         |  SELECT query_id, cand_id, rrf,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, cand_id) AS rnk
+         |  FROM f)
+         |SELECT query_id, rnk, cand_id, round(rrf, 6) AS rrf_score
+         |FROM fr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_docs_split" ->
       """SELECT doc_id, source,
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,

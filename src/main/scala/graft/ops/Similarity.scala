@@ -552,6 +552,87 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVFADC: the IVF cell restriction composed with the PQ/ADC scan —
+    * the index structure of Jégou et al. 2011 §IV (sans residual
+    * encoding, which changes the table arithmetic but not the plan).
+    * Candidates are pruned to the query's cell BEFORE the code scan, so
+    * the per-query work drops from |corpus| table lookups to |cell|,
+    * and the join becomes an equi-join on the cell id — the same
+    * bounded-shuffle contract as [[ivfTopK]], now over 32-bit codes
+    * instead of float vectors. At 100 TB this is the serving shape:
+    * codes+cells are the (tiny) index, the float corpus is cold storage.
+    */
+  def ivfAdcTopK(
+      embeddings: DataFrame,
+      numQueries: Int = 20,
+      k: Int = 5,
+      centroidStride: Int = 100): DataFrame = {
+    val assign = argminCell(embeddings, centroids(embeddings, centroidStride))
+      .select("vec_id", "cell")
+    val cb = pqCodebooks(embeddings)
+    val codes = pqEncodeRaw(embeddings, Some(cb))
+      .join(assign, Seq("vec_id"))
+      .withColumnRenamed("vec_id", "cand_id")
+    val entries = embeddings
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .join(assign.withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
+      .join(broadcast(cb))
+      .select(col("query_id"), col("cell"),
+        explode(array((0 until PqM).map(m => struct(
+          (lit(m * PqK) + col("code")).as("idx"),
+          l2sq(sub(col("q_emb"), m), sub(col("seed_emb"), m)).as("d"))): _*)).as("e"))
+      .select(col("query_id"), col("cell"), col("e.idx"), col("e.d"))
+    val tables = entries
+      .groupBy("query_id", "cell")
+      .agg(transform(
+        sort_array(collect_list(struct(col("idx"), col("d")))),
+        s => s.getField("d")).as("td"))
+    val approx = (0 until PqM)
+      .map(m => element_at(col("td"), (lit(m * PqK) + col(s"c$m") + 1).cast("int")))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("approx"), col("cand_id"))
+    codes
+      .join(broadcast(tables), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("approx", approx)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"),
+        round(col("approx"), 6).as("adc_dist"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ANN rankings —
+    * the hybrid-retrieval primitive: each retriever contributes
+    * 1/(rrfK + rank) for candidates it returned, and the fused top-k is
+    * re-ranked on the sum. Here the two legs are [[ivfTopK]] (cosine,
+    * cell-pruned floats) and [[pqTopK]] (L2, compressed codes) — two
+    * genuinely different similarity signals over the same corpus. The
+    * fusion itself is a full outer join on (query, candidate) between two
+    * k-row-per-query frames — negligible data, executes broadcast.
+    */
+  def rrfFusion(
+      embeddings: DataFrame,
+      numQueries: Int = 20,
+      k: Int = 5,
+      rrfK: Int = 60): DataFrame = {
+    val a = ivfTopK(embeddings, numQueries, k)
+      .select(col("query_id"), col("cand_id"), col("rnk").as("rnk_a"))
+    val b = pqTopK(embeddings, numQueries, k)
+      .select(col("query_id"), col("cand_id"), col("rnk").as("rnk_b"))
+    def leg(r: Column): Column =
+      coalesce(lit(1.0) / (lit(rrfK.toDouble) + r.cast("double")), lit(0.0))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("cand_id"))
+    a.join(b, Seq("query_id", "cand_id"), "full")
+      .withColumn("rrf", leg(col("rnk_a")) + leg(col("rnk_b")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"),
+        round(col("rrf"), 6).as("rrf_score"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): collapse groups of embedding-space near-duplicates
     * to one representative each — the embedding-side twin of

@@ -419,6 +419,63 @@ object TextAnalysis {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Stratified sampling: exactly `perSource` docs from every source
+    * (fewer when a stratum is smaller), selected by an md5 draw — the
+    * "equal representation per domain" counterpart to [[mixtureSample]]'s
+    * rate-based thinning. Deterministic and partition-independent (the
+    * priority is a pure function of doc_id; md5 chars 25-32, disjoint
+    * from the split/mixture/weighted hash slices so strata draws don't
+    * correlate with held-out membership). Executes as WindowGroupLimit:
+    * each partition keeps its local `perSource` smallest priorities
+    * before the single shuffle on source — at 100 TB the exchange
+    * carries ≈ perSource·|sources| rows, not the corpus.
+    */
+  def stratifiedSample(documents: DataFrame, perSource: Int = 5): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 25, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("source").orderBy(col("priority"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), h.as("priority"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= perSource)
+      .select(col("source"), col("rnk"), col("doc_id"), col("priority"))
+      .orderBy("source", "rnk")
+  }
+
+  /** Model-based quality scoring: mean negative log-probability of each
+    * document's tokens under the corpus's own unigram distribution — the
+    * cheap first rung of perplexity filtering (a doc of globally-rare
+    * tokens scores high/surprising; boilerplate scores low). Two corpus
+    * passes: one aggregate for term counts, one broadcast-or-shuffle join
+    * back to score — the same shape as [[tfidfTopTerms]], no driver-side
+    * vocabulary.
+    *
+    * Bit-exact discipline: −ln p(t) = ln N − ln cnt(t) is computed on a
+    * 1e-6 integer grid per TERM before the per-doc summation
+    * (`floor(ln·1e6 + 0.5)` as long), so the cross-row sum is exact
+    * integer arithmetic — order-independent, immune to Spark/DuckDB
+    * float-summation-order divergence (the [[Similarity.kmeansCentroids]]
+    * trick applied to logs).
+    */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(graft.functions.TextExpressions.alnumTokens(col("text"))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    // corpus token total: one scalar aggregate job, embedded as a literal
+    // (ln N lands on the same grid in both engines)
+    val n = toks.count()
+    val qLnN = math.floor(math.log(n.toDouble) * 1e6 + 0.5).toLong
+    val qLnCnt = floor(log(col("cnt").cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    toks
+      .join(counts.withColumn("q", qLnCnt).select("term", "q"), Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("q").as("sq"))
+      .select(col("doc_id"), col("n_tokens"),
+        round((lit(qLnN) * col("n_tokens") - col("sq")).cast("double")
+          / lit(1e6) / col("n_tokens"), 6).as("avg_neg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** The BPE-ish tokenizer pattern shared by [[tokenStats]],
     * [[chunkDocuments]], and [[packSequences]] — letters runs, digit runs,
     * single punctuation. RE2-safe so the DuckDB oracle replays it.

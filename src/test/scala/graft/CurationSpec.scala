@@ -153,6 +153,32 @@ class CurationSpec extends AnyFunSuite {
       s"false negatives: ${(exact -- bloom).take(5).mkString(", ")}")
   }
 
+  test("stratified sampling takes exactly perSource docs per stratum, partition-independent") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = TextAnalysis.stratifiedSample(real, perSource = 3).collect()
+    val bySource = r.groupBy(_.getString(0))
+    assert(bySource.size == 20) // every source represented
+    bySource.values.foreach(rs => assert(rs.length == 3))
+    // determinism under repartitioning: the draw is a pure id function
+    val r2 = TextAnalysis.stratifiedSample(real.repartition(7), perSource = 3)
+      .collect().map(x => (x.getString(0), x.getLong(2))).toSet
+    assert(r2 == r.map(x => (x.getString(0), x.getLong(2))).toSet)
+  }
+
+  test("unigram logprob scores rare-token docs as more surprising") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val common = Seq.fill(30)("the cat sat on the mat with the hat")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "web") }
+    val docs = (common :+ (99L, "zygomorphic quasar phlogiston epistemology", "web"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.unigramLogProb(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // the all-rare-tokens doc must out-surprise every boilerplate copy
+    assert(r(99L) > r(0L) * 1.5,
+      s"rare-token doc ${r(99L)} not above boilerplate ${r(0L)}")
+  }
+
   test("mixture sampling honors per-source rates and drops unknown sources") {
     val sparkS = spark
     import sparkS.implicits._

@@ -72,4 +72,62 @@ class PqSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
     }
   }
+
+  test("IVFADC restricts the ADC scan to the query's cell") {
+    val full = Similarity.pqTopK(embs).count()
+    val r = Similarity.ivfAdcTopK(embs)
+    // every returned candidate must share the query's IVF cell — checked
+    // against an independently computed assignment
+    val assign = Similarity.ivfAssign(embs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val rows = r.collect()
+    rows.foreach { x =>
+      assert(assign(x.getLong(0)) == assign(x.getLong(2)),
+        s"candidate ${x.getLong(2)} outside query ${x.getLong(0)}'s cell")
+    }
+    assert(rows.nonEmpty && full > 0)
+    // the cell join must be an equi hash join, not a per-query NL scan
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"cell join not hash-shaped:\n$plan")
+  }
+
+  test("RRF ranks both-list candidates above equal-rank single-list ones") {
+    val fused = Similarity.rrfFusion(embs).collect()
+    // k rows per query, scores within (0, 2/(60+1)]
+    fused.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to 5L))
+    }
+    fused.foreach { r =>
+      val s = r.getDouble(3)
+      // + 1e-6: the output edge rounds to 6 decimals, which can tip the
+      // exact 2/(60+1) maximum up to the next grid point
+      assert(s > 0.0 && s <= 2.0 / 61.0 + 1e-6, s"rrf score $s out of range")
+    }
+    // a candidate in BOTH lists at ranks (ra, rb) beats any single-list
+    // candidate with min rank >= min(ra, rb): 1/(60+ra)+1/(60+rb) >
+    // 1/(60+min). Verify on the data: every double-leg candidate present
+    // outranks every single-leg candidate from the same query whose leg
+    // rank is not better than both its ranks.
+    val a = Similarity.ivfTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val b = Similarity.pqTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    var checked = 0
+    fused.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val withLegs = rs.map(r => (r.getLong(1), r.getLong(2),
+        a.get((q, r.getLong(2))), b.get((q, r.getLong(2)))))
+      for {
+        (rnkD, _, Some(ra), Some(rb)) <- withLegs
+        (rnkS, _, la, lb) <- withLegs
+        if la.isEmpty || lb.isEmpty
+        legRank = la.orElse(lb).get
+        if legRank >= math.min(ra, rb)
+      } {
+        assert(rnkD < rnkS, s"query $q: both-list candidate ranked below single-list")
+        checked += 1
+      }
+    }
+    info(s"verified $checked double-vs-single dominance pairs")
+  }
 }
