@@ -206,6 +206,44 @@ object SparkEntry {
     "q_emb_pq_topk" -> ((s, d) => Similarity.pqTopK(t(s, d, "embeddings"))),
     "q_emb_ivfadc" -> ((s, d) => Similarity.ivfAdcTopK(t(s, d, "embeddings"))),
     "q_emb_rrf" -> ((s, d) => Similarity.rrfFusion(t(s, d, "embeddings"))),
+    "q_emb_hardneg" -> ((s, d) => Similarity.hardNegatives(t(s, d, "embeddings"))),
+    "q_agg_stats" -> ((s, d) => Relational.statsAgg(t(s, d, "lineitem"))),
+    "q_agg_histogram" -> ((s, d) => Relational.histogramAgg(t(s, d, "lineitem"))),
+    "q_join_salted" -> ((s, d) =>
+      Relational.saltedJoin(t(s, d, "orders"), t(s, d, "customer"))),
+    "q_events_sliding" -> ((s, d) => Relational.slidingEventWindow(t(s, d, "events"))),
+    "q_docs_wordfreq" -> ((s, d) => TextAnalysis.wordFrequency(t(s, d, "documents"))),
+    // TPC-H Q8-shaped: market share — eight-table snowflake with TWO roles
+    // of the same nation dimension (customer's nation gates the region,
+    // supplier's nation is the measure dimension) and a conditional
+    // aggregate ratio per year. The double-role join is the shape Catalyst
+    // must NOT collapse; both nation sides broadcast.
+    "q_sql_market_share" -> ((s, d) => {
+      Seq("part", "supplier", "lineitem", "orders", "customer", "nation", "region")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"v_$n"))
+      s.sql("""
+        SELECT o_year,
+               round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END)
+                     / sum(volume), 6) AS mkt_share,
+               count(*) AS n_lines
+        FROM (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1.0 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM v_lineitem
+          JOIN v_part ON p_partkey = l_partkey
+          JOIN v_supplier ON s_suppkey = l_suppkey
+          JOIN v_orders ON o_orderkey = l_orderkey
+          JOIN v_customer ON c_custkey = o_custkey
+          JOIN v_nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN v_region ON n1.n_regionkey = r_regionkey
+          JOIN v_nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        ) shares
+        GROUP BY o_year
+        ORDER BY o_year
+      """)
+    }),
     "q_docs_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(t(s, d, "documents"))),
     "q_docs_unigram_lp" -> ((s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents"))),
     "q_docs_split" -> ((s, d) => TextAnalysis.trainValTestSplit(t(s, d, "documents"))),
@@ -735,6 +773,74 @@ object SparkEntry {
         |  SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
         |  WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_sql_market_share" ->
+      """SELECT o_year,
+        |  round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END)
+        |        / sum(volume), 6) AS mkt_share,
+        |  count(*) AS n_lines
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         l_extendedprice * (1.0 - l_discount) AS volume,
+        |         n2.n_name AS nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |) shares
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+        |  round(stddev_samp(l_discount), 6) AS sd_discount,
+        |  round(var_pop(l_tax), 6) AS var_tax,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+        |  count(*) AS cnt,
+        |  round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi,
+        |  round(avg(l_extendedprice), 4) AS mean
+        |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin,
+    // the salted join is result-identical to the plain join by construction
+    "q_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_events_sliding" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS cnt_1h,
+        |  round(sum(value) OVER w, 2) AS sum_1h
+        |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_docs_wordfreq" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                       x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+        |  FROM toks GROUP BY word),
+        |ranked AS (
+        |  SELECT word, cnt, n_docs,
+        |    row_number() OVER (ORDER BY cnt DESC, word) AS rank,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, word
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS total
+        |  FROM vocab)
+        |SELECT rank, word, cnt, n_docs,
+        |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+        |FROM ranked ORDER BY rank""".stripMargin,
     "q_when_case" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 300000.0 THEN 'high'
@@ -1074,6 +1180,19 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
          |      FROM s)
          |SELECT query_id, rnk, cand_id, round(cos, 6) AS cos_sim
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_emb_hardneg" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS cand_id, label AS c_label, embedding AS c_emb FROM embeddings),
+         |s AS (
+         |  SELECT query_id, q_label, cand_id, c_label, ${cosSql("q_emb", "c_emb")} AS cos
+         |  FROM q, c WHERE q_label <> c_label),
+         |r AS (SELECT query_id, q_label, cand_id, c_label, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |      FROM s)
+         |SELECT query_id, CAST(q_label AS INTEGER) AS query_label, rnk, cand_id,
+         |       CAST(c_label AS INTEGER) AS neg_label, round(cos, 6) AS cos_sim
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_emb_ivf_assign" ->
       s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent_emb

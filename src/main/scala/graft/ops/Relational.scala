@@ -403,6 +403,27 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
 
+  /** Second-moment statistical aggregates per group: Pearson correlation,
+    * sample covariance, sample stddev, population variance. All four are
+    * single-pass partial-aggregating moments (Welford-style merge state),
+    * so at 100 TB they cost the same shuffle as a `sum` — k rows of
+    * constant-size moment state per group, never the raw values. The
+    * definitions (and therefore the results) match the ANSI forms DuckDB
+    * implements, so the oracle is a direct hash check. Rounding at 4-6
+    * digits absorbs the benign float-summation-order difference between
+    * engines.
+    */
+  def statsAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_qty_price"),
+        round(stddev_samp("l_discount"), 6).as("sd_discount"),
+        round(var_pop("l_tax"), 6).as("var_tax"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
   /** Pivot: linestatus values become columns. Values are enumerated
     * explicitly — at scale an implicit pivot first runs a distinct over
     * the pivot column; enumerating skips that job.
@@ -442,6 +463,74 @@ object Relational {
         sum("part_cnt").as("cnt"),
         round(sum("part_qty") / sum("part_cnt"), 6).as("avg_qty"))
       .orderBy("l_returnflag")
+  }
+
+  /** Fixed-width histogram: one hash aggregate over the bin id — the
+    * deterministic distribution profile (as opposed to `approx_percentile`'s
+    * sketch). Bin id is integer floor arithmetic so both engines land every
+    * value in the same bin bit-exactly. At 100 TB this is a single
+    * map-side-combining aggregate with one row per BIN in the shuffle —
+    * the cheapest possible shape for a distribution scan.
+    */
+  def histogramAgg(lineitem: DataFrame, width: Double = 5000.0): DataFrame =
+    lineitem
+      .withColumn("bin", floor(col("l_extendedprice") / width).cast("long"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(min("l_extendedprice"), 2).as("lo"),
+        round(max("l_extendedprice"), 2).as("hi"),
+        round(avg("l_extendedprice"), 4).as("mean"))
+      .orderBy("bin")
+
+  /** Skew-safe salted JOIN (the join twin of [[saltedAgg]]): the fact side
+    * gets a deterministic salt in [0, salts); the dimension side is
+    * replicated `salts`× with an explode so every (key, salt) pair still
+    * matches. A hot key's rows now spread over `salts` join tasks instead
+    * of one straggler. The result is identical to the plain join — the
+    * oracle IS the plain join + GROUP BY. (AQE's skew-join split covers
+    * sort-merge joins after the fact; explicit salting is the portable
+    * form that also works under bucketed/broadcast layouts and in
+    * streaming.) The replicated dimension costs `salts × |dim|` rows,
+    * which is why the technique pairs with a SMALL-to-medium dimension —
+    * exactly the case where the skew hurts most.
+    */
+  def saltedJoin(orders: DataFrame, customer: DataFrame, salts: Int = 16): DataFrame = {
+    val factSalted = orders.withColumn(
+      "salt", pmod(col("o_orderkey"), lit(salts)))
+    val dimReplicated = customer
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    factSalted
+      .join(dimReplicated,
+        factSalted("o_custkey") === dimReplicated("c_custkey")
+          && factSalted("salt") === dimReplicated("salt"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Time-based sliding window: per user, the running 1-hour event count
+    * and value sum at every event — a RANGE frame over the physical event
+    * time (epoch micros), not a row frame, so simultaneous events are
+    * peers and the result is deterministic under any tie order. The
+    * partition key is the user, so at 100 TB this shuffles once on
+    * user_id and each partition sorts locally — the standard sessionized
+    * analytics shape (no global window, no driver state).
+    */
+  def slidingEventWindow(events: DataFrame): DataFrame = {
+    val hourMicros = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-hourMicros, Window.currentRow)
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        count(lit(1)).over(w).as("cnt_1h"),
+        round(sum("value").over(w), 2).as("sum_1h"))
+      .orderBy("event_id")
   }
 
   /** Range (theta) join: events bucketed by value against a small interval

@@ -633,6 +633,36 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch-negatives
+    * upgrade in dense-retrieval training, e.g. Karpukhin et al. 2020, DPR,
+    * arXiv:2004.04906 §3.2): for each query vector, the k nearest
+    * candidates by cosine that carry a DIFFERENT class label — maximally
+    * confusable negatives. Same execution shape as [[bruteForceTopK]]
+    * (broadcast query side, corpus never shuffles, rank-window with
+    * partial top-k pushdown); the label-mismatch predicate rides the join
+    * condition so mined positives are never scored. At 100 TB the query
+    * set is the small side by contract (a training batch / anchor sample),
+    * so this stays a map-side-only scan over the candidate corpus.
+    */
+  def hardNegatives(embeddings: DataFrame, numQueries: Int = 20, k: Int = 5): DataFrame = {
+    val q = embeddings
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val c = embeddings.select(col("vec_id").as("cand_id"), col("label").as("c_label"),
+      col("embedding").as("c_emb"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    q.hint("broadcast")
+      .join(c, col("q_label") =!= col("c_label"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("q_label").cast("int").as("query_label"),
+        col("rnk"), col("cand_id"), col("c_label").cast("int").as("neg_label"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): collapse groups of embedding-space near-duplicates
     * to one representative each — the embedding-side twin of

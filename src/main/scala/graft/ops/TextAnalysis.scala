@@ -476,6 +476,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary table with Zipf structure: per-word total count,
+    * document frequency, frequency rank, and the cumulative share of the
+    * corpus covered by the vocabulary up to that rank — the table a
+    * tokenizer-training / vocab-truncation step reads ("the top r words
+    * cover c% of all tokens"). One tokenize pass (codegen'd
+    * `alnumTokens`), one hash aggregate over (word) with a map-side
+    * combine — at 100 TB the shuffle carries one row per DISTINCT word,
+    * not per token, which is the whole trick: vocabulary cardinality is
+    * sublinear in corpus size (Heaps' law). The rank/cumulative window
+    * runs over that vocabulary-sized frame, so the single-partition
+    * global window is fine at any corpus scale.
+    */
+  def wordFrequency(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(graft.functions.TextExpressions.alnumTokens(col("text"))).as("word"))
+    val vocab = toks.groupBy("word")
+      .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("n_docs"))
+    val byFreq = Window.orderBy(col("cnt").desc, col("word"))
+    vocab
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("cum_share",
+        round(sum("cnt").over(byFreq.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double")
+          / sum("cnt").over(Window.partitionBy()), 6))
+      .select("rank", "word", "cnt", "n_docs", "cum_share")
+      .orderBy("rank")
+  }
+
   /** The BPE-ish tokenizer pattern shared by [[tokenStats]],
     * [[chunkDocuments]], and [[packSequences]] — letters runs, digit runs,
     * single punctuation. RE2-safe so the DuckDB oracle replays it.

@@ -1,0 +1,114 @@
+package graft
+
+import graft.ops.{Relational, Similarity, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit-level pins for the round-7 additions, beyond the DuckDB oracle's
+  * hash check: the statistical-aggregate definitions, the hard-negative
+  * label contract, and the Zipf-table invariants.
+  */
+class MiningSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("statsAgg matches closed-form moments on a deterministic frame") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // y = 2x exactly ⇒ corr = 1; x ∈ {1..4} ⇒ covar_samp(x, 2x) = 2·var_samp(x)
+    // var_samp(1,2,3,4) = 5/3, so covar = 10/3 ≈ 3.33
+    val df = Seq(
+      ("A", 1.0, 2.0, 0.1, 0.0), ("A", 2.0, 4.0, 0.1, 0.0),
+      ("A", 3.0, 6.0, 0.1, 0.0), ("A", 4.0, 8.0, 0.1, 0.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val r = Relational.statsAgg(df).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getDouble(row.fieldIndex("corr_qty_price")) == 1.0)
+    assert(row.getDouble(row.fieldIndex("covar_qty_price")) == 3.33)
+    assert(row.getDouble(row.fieldIndex("sd_discount")) == 0.0) // constant column
+    assert(row.getDouble(row.fieldIndex("var_tax")) == 0.0)
+    assert(row.getLong(row.fieldIndex("cnt")) == 4L)
+  }
+
+  test("hardNegatives never returns the query's own label and ranks by cosine") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 3 labels × orthogonal-ish axes; query 0 (label 0) must pick the
+    // different-label vector closest to it, not its same-label twin.
+    val vecs = Seq(
+      (0L, 0, Array(1f, 0f, 0f, 0f)),
+      (1L, 0, Array(0.99f, 0.1f, 0f, 0f)),  // same label — excluded
+      (2L, 1, Array(0.9f, 0.4f, 0f, 0f)),   // best cross-label match
+      (3L, 1, Array(0f, 1f, 0f, 0f)),
+      (4L, 2, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(vecs, numQueries = 1, k = 3).collect()
+    assert(out.forall(r => r.getInt(r.fieldIndex("neg_label")) != 0),
+      "a mined negative carried the query's own label")
+    val ranked = out.sortBy(_.getLong(out.head.fieldIndex("rnk")))
+    assert(ranked.head.getLong(ranked.head.fieldIndex("cand_id")) == 2L,
+      "top hard negative should be the closest different-label vector")
+    val sims = ranked.map(r => r.getDouble(r.fieldIndex("cos_sim")))
+    assert(sims.sameElements(sims.sortBy(-_)), "negatives not sorted by cosine")
+  }
+
+  test("histogramAgg bins by exact floor arithmetic") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq(0.0, 4999.99, 5000.0, 12000.0).map(p => Tuple1(p))
+      .toDF("l_extendedprice")
+    val r = Relational.histogramAgg(df).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("saltedJoin is result-identical to the plain join") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val orders = Seq((1L, 10L, 100.0), (2L, 10L, 50.0), (3L, 20L, 25.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Seq((10L, "SEG_A"), (20L, "SEG_B"), (30L, "SEG_C"))
+      .toDF("c_custkey", "c_mktsegment")
+    val salted = Relational.saltedJoin(orders, customer, salts = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSet == Set(("SEG_A", 2L, 150.0), ("SEG_B", 1L, 25.0)))
+  }
+
+  test("slidingEventWindow counts exactly the trailing hour per user") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(mins: Long) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    // user 1: events at t=0, 30, 61 min — the 61-min event's 1h window
+    // excludes t=0 (exactly 61 min earlier) but keeps t=30; user 2 is
+    // isolated (partitions don't leak)
+    val events = Seq(
+      (1L, 1L, at(0), 1.0), (2L, 1L, at(30), 2.0), (3L, 1L, at(61), 4.0),
+      (4L, 2L, at(30), 8.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val r = Relational.slidingEventWindow(events).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getDouble(3))).toMap
+    assert(r == Map(
+      1L -> (1L, 1.0), 2L -> (2L, 3.0), 3L -> (2L, 6.0), 4L -> (1L, 8.0)))
+  }
+
+  test("wordFrequency builds a consistent Zipf table (counts, ranks, coverage)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b d"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.wordFrequency(df).collect()
+    val byWord = rows.map(r => r.getString(r.fieldIndex("word")) ->
+      (r.getLong(r.fieldIndex("cnt")), r.getLong(r.fieldIndex("n_docs")))).toMap
+    assert(byWord == Map("a" -> (4L, 2L), "b" -> (3L, 2L), "c" -> (1L, 1L), "d" -> (1L, 1L)))
+    val ranks = rows.map(_.getLong(0))
+    assert(ranks.sameElements(1L to 4L), "ranks must be dense from 1")
+    val shares = rows.map(r => r.getDouble(r.fieldIndex("cum_share")))
+    assert(shares.sameElements(shares.sorted), "cumulative share must be monotone")
+    assert(math.abs(shares.last - 1.0) < 1e-9, "full vocabulary covers the corpus")
+    // ties (c vs d, both cnt=1) break alphabetically
+    assert(rows(2).getString(rows(2).fieldIndex("word")) == "c")
+  }
+}
