@@ -212,6 +212,12 @@ object SparkEntry {
     "q_join_salted" -> ((s, d) =>
       Relational.saltedJoin(t(s, d, "orders"), t(s, d, "customer"))),
     "q_events_sliding" -> ((s, d) => Relational.slidingEventWindow(t(s, d, "events"))),
+    "q_agg_gsets" -> ((s, d) => Relational.groupingSetsAgg(t(s, d, "lineitem"))),
+    "q_window_firstlast" -> ((s, d) => Relational.windowFirstLast(t(s, d, "orders"))),
+    "q_set_union_byname" -> ((s, d) => Relational.unionByNameMissing(t(s, d, "orders"))),
+    "q_events_funnel" -> ((s, d) => TimeOps.funnelStages(t(s, d, "events"))),
+    "q_events_retention" -> ((s, d) => TimeOps.retentionCohorts(t(s, d, "events"))),
+    "q_docs_typo_pairs" -> ((s, d) => TextAnalysis.typoPairs(t(s, d, "documents"))),
     "q_docs_wordfreq" -> ((s, d) => TextAnalysis.wordFrequency(t(s, d, "documents"))),
     // TPC-H Q8-shaped: market share — eight-table snowflake with TWO roles
     // of the same nation dimension (customer's nation gates the region,
@@ -801,6 +807,73 @@ object SparkEntry {
         |  round(var_pop(l_tax), 6) AS var_tax,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_gsets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER running AS first_price,
+        |  last_value(o_totalprice) OVER wfull AS last_price,
+        |  nth_value(o_totalprice, 2) OVER wfull AS second_price
+        |FROM orders
+        |WINDOW running AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_set_union_byname" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        |b AS (SELECT e.user_id, min(e.ts) AS t_buy
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  v.user_id IS NOT NULL AS reached_view,
+        |  c.user_id IS NOT NULL AS reached_click,
+        |  b.user_id IS NOT NULL AS reached_purchase
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN b ON u.user_id = b.user_id
+        |ORDER BY u.user_id""".stripMargin,
+    "q_events_retention" ->
+      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events)
+        |SELECT f.cohort_day,
+        |  date_diff('day', f.cohort_day, a.active_day) AS day_offset,
+        |  count(*) AS n_active
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY f.cohort_day, a.active_day
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    // oracle runs the straightforward all-pairs form; the Spark side is the
+    // blocked join — hash equality proves the blocking covers distance 1
+    "q_docs_typo_pairs" ->
+      """WITH vocab AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                              x -> length(x) > 0)) AS word
+        |    FROM documents)
+        |  GROUP BY word HAVING length(word) >= 2)
+        |SELECT a.word AS word_a, b.word AS word_b, a.cnt AS cnt_a, b.cnt AS cnt_b
+        |FROM vocab a, vocab b
+        |WHERE a.word < b.word
+        |  AND abs(length(a.word) - length(b.word)) <= 1
+        |  AND levenshtein(a.word, b.word) = 1
+        |ORDER BY word_a, word_b""".stripMargin,
     "q_agg_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
         |  count(*) AS cnt,

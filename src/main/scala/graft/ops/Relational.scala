@@ -435,6 +435,60 @@ object Relational {
       .agg(round(sum("l_quantity"), 2))
       .orderBy("l_returnflag")
 
+  /** Explicit GROUPING SETS — the general form behind rollup/cube: three
+    * hand-picked sets ((returnflag), (linestatus), ()) plus `grouping_id`
+    * to disambiguate the null-filled rows. Executes as ONE scan with an
+    * Expand (3× row multiplication before the aggregate), not three scans
+    * — the reason to prefer it over unioning three GROUP BYs at scale.
+    */
+  def groupingSetsAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** Frame-sensitive positional window functions: running first / overall
+    * last / second value of each customer's orders by date. `last_value`
+    * needs the FULL frame (unbounded both sides) — with the default
+    * running frame it degenerates to the current row, the classic window
+    * footgun this query pins against the oracle.
+    */
+  def windowFirstLast(orders: DataFrame): DataFrame = {
+    val order = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        first("o_totalprice").over(order).as("first_price"),
+        last("o_totalprice").over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Name-based union with schema reconciliation: the two inputs disagree
+    * on column ORDER and one side is missing a column entirely
+    * (null-filled). Positional `union` would silently mis-align — this is
+    * the append path any long-lived ingest pipeline needs when file
+    * schemas drift.
+    */
+  def unionByNameMissing(orders: DataFrame): DataFrame = {
+    val recent = orders
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val older = orders
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_totalprice"), col("o_orderkey")) // reordered + missing col
+    recent.unionByName(older, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
   /** Full outer join — both unmatched sides survive with nulls. */
   def fullOuterJoin(customer: DataFrame, orders: DataFrame): DataFrame =
     customer

@@ -504,6 +504,54 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Typo-pair detection over the corpus vocabulary: word pairs at edit
+    * distance exactly 1 — the spelling-normalization candidate list of a
+    * text-cleaning pipeline. The quadratic is tamed the standard
+    * blocked-similarity-join way: levenshtein(a,b)=1 requires the two
+    * lengths to differ by at most 1 AND (for these block keys) a shared
+    * first character OR one being a first-char deletion of the other —
+    * so candidates come from an EQUI-join on (first_char) between
+    * length-adjacent words, never an all-pairs cross. The vocabulary is
+    * Heaps'-law sublinear in corpus size, and within-block work is
+    * |block|², bounded by per-letter vocabulary — the same
+    * bounded-bucket contract as the LSH generators ([[graft.ops.Dedup]]).
+    * Pairs where the first char itself was edited are recovered by a
+    * second equi-join on the SUFFIX block (rest of word), so coverage is
+    * complete for distance-1 pairs.
+    */
+  def typoPairs(documents: DataFrame): DataFrame = {
+    val vocab = documents
+      .select(explode(graft.functions.TextExpressions.alnumTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(length(col("word")) >= 2)
+    val suffix: Column => Column = w => substring(w, 2, 1000000)
+    def leg(blockA: Column => Column, blockB: Column => Column): DataFrame = {
+      val a = vocab.select(col("word").as("wa"), col("cnt").as("ca"),
+        blockA(col("word")).as("blk"))
+      val b = vocab.select(col("word").as("wb"), col("cnt").as("cb"),
+        blockB(col("word")).as("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("wa") =!= col("wb"))
+        .filter(abs(length(col("wa")) - length(col("wb"))) <= 1)
+        .filter(levenshtein(col("wa"), col("wb")) === 1)
+        .select(
+          least(col("wa"), col("wb")).as("word_a"),
+          greatest(col("wa"), col("wb")).as("word_b"),
+          when(col("wa") < col("wb"), col("ca")).otherwise(col("cb")).as("cnt_a"),
+          when(col("wa") < col("wb"), col("cb")).otherwise(col("ca")).as("cnt_b"))
+    }
+    // Complete cover of distance-1 pairs by edit position:
+    //   edit at position >= 2 (sub/ins/del)  -> first chars equal (leg 1)
+    //   substitution at position 1           -> suffixes equal    (leg 2)
+    //   front insertion/deletion             -> one word IS the other's
+    //                                           suffix             (leg 3)
+    leg(w => substring(w, 1, 1), w => substring(w, 1, 1))
+      .union(leg(suffix, suffix))
+      .union(leg(suffix, w => w))
+      .distinct()
+      .orderBy("word_a", "word_b")
+  }
+
   /** The BPE-ish tokenizer pattern shared by [[tokenStats]],
     * [[chunkDocuments]], and [[packSequences]] — letters runs, digit runs,
     * single punctuation. RE2-safe so the DuckDB oracle replays it.

@@ -105,4 +105,62 @@ object TimeOps {
       .select(col("user_id"), col("event_id").as("click_id"), col("last_view_id"))
       .orderBy("user_id", "click_id")
   }
+
+  /** Ordered funnel per user: view → first click AFTER the first view →
+    * first purchase AFTER that click. ORDER matters (a click before any
+    * view does not advance the funnel), which is what separates this from
+    * three EXISTS flags. One conditional-aggregation pass per stage —
+    * stage n+1's cutoff is stage n's timestamp, carried by a join on
+    * user_id — so the whole funnel is three hash aggregates over one scan
+    * each, shuffling one row per user per stage. No window over the full
+    * event stream, no per-user event sorting: at 100 TB the state is
+    * user-cardinality-sized, never event-sized.
+    */
+  def funnelStages(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val clicks = events.filter(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val buys = events.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_buy"))
+    events.select("user_id").distinct()
+      .join(views, Seq("user_id"), "left")
+      .join(clicks, Seq("user_id"), "left")
+      .join(buys, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("t_view").isNotNull.as("reached_view"),
+        col("t_click").isNotNull.as("reached_click"),
+        col("t_buy").isNotNull.as("reached_purchase"))
+      .orderBy("user_id")
+  }
+
+  /** Retention cohorts: users bucketed by first-activity day, counted by
+    * distinct-active-user per (cohort_day, day_offset) — the daily
+    * retention triangle. Two aggregates: first-seen per user (one row per
+    * user), then distinct users per cohort cell (one row per cell). Both
+    * shuffles are user- or cell-cardinality, never event-cardinality; the
+    * classic shape that survives any event volume.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy("user_id")
+      .agg(to_date(min("ts")).as("cohort_day"))
+    events
+      .select(col("user_id"), to_date(col("ts")).as("active_day"))
+      .distinct()
+      .join(firstDay, Seq("user_id"))
+      // (user, day) pairs are already distinct ⇒ plain count IS the
+      // distinct-user count, without countDistinct's Expand
+      .groupBy(col("cohort_day"), col("active_day"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(
+        col("cohort_day"),
+        datediff(col("active_day"), col("cohort_day")).cast("long").as("day_offset"),
+        col("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Relational, Similarity, TextAnalysis}
+import graft.ops.{Relational, Similarity, TextAnalysis, TimeOps}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Unit-level pins for the round-7 additions, beyond the DuckDB oracle's
@@ -90,6 +90,54 @@ class MiningSpec extends AnyFunSuite {
       .map(x => x.getLong(0) -> (x.getLong(2), x.getDouble(3))).toMap
     assert(r == Map(
       1L -> (1L, 1.0), 2L -> (2L, 3.0), 3L -> (2L, 6.0), 4L -> (1L, 8.0)))
+  }
+
+  test("funnelStages requires stage ORDER, not mere presence") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(mins: Long) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    // user 1: view(0) click(10) purchase(20) — full funnel
+    // user 2: click(0) view(10) purchase(20) — click BEFORE view: funnel
+    //         stalls at view (purchase doesn't count without an ordered click)
+    // user 3: view only
+    val events = Seq(
+      (1L, 1L, at(0), "view"), (2L, 1L, at(10), "click"), (3L, 1L, at(20), "purchase"),
+      (4L, 2L, at(0), "click"), (5L, 2L, at(10), "view"), (6L, 2L, at(20), "purchase"),
+      (7L, 3L, at(0), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val r = TimeOps.funnelStages(events).collect()
+      .map(x => x.getLong(0) -> (x.getBoolean(1), x.getBoolean(2), x.getBoolean(3))).toMap
+    assert(r == Map(
+      1L -> (true, true, true),
+      2L -> (true, false, false),
+      3L -> (true, false, false)))
+  }
+
+  test("typoPairs blocking finds every distance-1 pair incl. front edits") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // crafted vocabulary: "cat"/"bat" (substitution at pos 1 — suffix leg),
+    // "cat"/"cut" (pos 2 — first-char leg), "art"/"cart" (front insertion —
+    // suffix-vs-full leg), "cat"/"dog" (no pair)
+    val docs = Seq((1L, "cat bat cut art cart dog")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.typoPairs(docs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // ("cart","cat") rides along: delete 'r' at position 3 is also distance 1
+    assert(pairs == Set(("bat", "cat"), ("cat", "cut"), ("art", "cart"), ("cart", "cat")))
+  }
+
+  test("groupingSetsAgg emits exactly the requested sets with grouping_id") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq(("A", "F", 1.0), ("A", "O", 2.0), ("B", "F", 4.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val rows = Relational.groupingSetsAgg(df).collect()
+    val byGid = rows.groupBy(_.getLong(rows.head.fieldIndex("gid")))
+    // gid 1 = by returnflag (2 rows), gid 2 = by linestatus (2), gid 3 = total (1)
+    assert(byGid.keySet == Set(1L, 2L, 3L))
+    assert(byGid(1L).length == 2 && byGid(2L).length == 2 && byGid(3L).length == 1)
+    assert(byGid(3L).head.getDouble(rows.head.fieldIndex("sum_qty")) == 7.0)
   }
 
   test("wordFrequency builds a consistent Zipf table (counts, ranks, coverage)") {
