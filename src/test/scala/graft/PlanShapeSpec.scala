@@ -199,6 +199,47 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("Q8-shaped SQL query broadcasts every dimension — exactly one fact shuffle for the agg") {
+    Seq("part", "supplier", "lineitem", "orders", "customer", "nation", "region")
+      .foreach(n => t(n).createOrReplaceTempView(s"v_$n"))
+    val df = SparkEntry.queries("q_sql_market_share")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q8 plan:\n$p")
+    // orders is fact-sized relative to sf and may legitimately SMJ with
+    // lineitem; the four true dimensions must broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"expected the dimension chain to broadcast:\n$p")
+  }
+
+  test("hard-negative mining broadcasts the query side — the corpus never shuffles for the join") {
+    val p = plan(Similarity.hardNegatives(t("embeddings"), numQueries = 2, k = 2))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    // the only exchanges allowed are the top-k window partitioning and
+    // the output sort — no shuffle below the join
+    assert(!p.contains("CartesianProduct"), s"cartesian in hardneg plan:\n$p")
+  }
+
+  test("salted join joins on (key, salt) — a hash join with the composite key, no cartesian") {
+    val p = plan(Relational.saltedJoin(t("orders"), t("customer"), salts = 4))
+    assert(p.contains("salt"), s"salt missing from join plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"salted join must stay an equi hash join:\n$p")
+  }
+
+  test("typo-pair legs are equi joins on block keys — never all-pairs") {
+    val p = plan(TextAnalysis.typoPairs(t("documents")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"typoPairs must block, not cross:\n$p")
+  }
+
+  test("funnel stages aggregate before joining — state is user-sized") {
+    // through the registered query: events needs SparkEntry's nanos shim
+    val p = plan(SparkEntry.queries("q_events_funnel")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in funnel plan:\n$p")
+    assert(!p.contains("Window"), s"funnel must not window over the event stream:\n$p")
+  }
+
   test("native vec_cosine stays inside whole-stage codegen") {
     val df = Similarity.bruteForceTopK(t("embeddings"), numQueries = 2, k = 2)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
