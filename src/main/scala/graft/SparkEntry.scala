@@ -218,6 +218,10 @@ object SparkEntry {
     "q_events_funnel" -> ((s, d) => TimeOps.funnelStages(t(s, d, "events"))),
     "q_events_retention" -> ((s, d) => TimeOps.retentionCohorts(t(s, d, "events"))),
     "q_docs_typo_pairs" -> ((s, d) => TextAnalysis.typoPairs(t(s, d, "documents"))),
+    "q_events_gapfill" -> ((s, d) => TimeOps.gapFillDaily(t(s, d, "events"))),
+    "q_events_zscore" -> ((s, d) => TimeOps.zscoreAnomalies(t(s, d, "events"))),
+    "q_docs_bigram_lm" -> ((s, d) => TextAnalysis.bigramConditional(t(s, d, "documents"))),
+    "q_docs_entropy" -> ((s, d) => TextAnalysis.unigramEntropy(t(s, d, "documents"))),
     "q_docs_wordfreq" -> ((s, d) => TextAnalysis.wordFrequency(t(s, d, "documents"))),
     // TPC-H Q8-shaped: market share — eight-table snowflake with TWO roles
     // of the same nation dimension (customer's nation gates the region,
@@ -859,6 +863,65 @@ object SparkEntry {
         |FROM a JOIN f ON a.user_id = f.user_id
         |GROUP BY f.cohort_day, a.active_day
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_events_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        |         FROM events),
+        |spine AS (
+        |  SELECT u.user_id,
+        |    CAST(unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+        |                                CAST(s.d1 AS TIMESTAMP),
+        |                                INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN span s)
+        |SELECT sp.user_id, sp.day, coalesce(d.n_events, 0) AS n_events
+        |FROM spine sp
+        |LEFT JOIN daily d ON sp.user_id = d.user_id AND sp.day = d.day
+        |ORDER BY sp.user_id, sp.day""".stripMargin,
+    "q_events_zscore" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, value,
+        |    avg(value) OVER (PARTITION BY user_id) AS mu,
+        |    stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+        |  FROM events)
+        |SELECT event_id, user_id, value, round((value - mu) / sd, 4) AS zscore
+        |FROM s WHERE abs(round((value - mu) / sd, 4)) > 2.0
+        |ORDER BY event_id""".stripMargin,
+    "q_docs_bigram_lm" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(ws), 1)),
+        |                               i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        |  FROM words),
+        |pairs AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+        |         count(*) AS c12
+        |  FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pairs GROUP BY w1)
+        |SELECT pr.w1, pr.w2, pr.c12, ctx.c1,
+        |  round(CAST(pr.c12 AS DOUBLE) / CAST(ctx.c1 AS DOUBLE), 6) AS p
+        |FROM pairs pr JOIN ctx ON pr.w1 = ctx.w1
+        |WHERE pr.c12 >= 3 ORDER BY pr.w1, pr.w2""".stripMargin,
+    "q_docs_entropy" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                       x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |tc AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY doc_id, term),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS sq
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |             * n_tokens - sq AS DOUBLE) / 1000000.0 / n_tokens, 6) AS entropy_nats
+        |FROM a ORDER BY doc_id""".stripMargin,
     // oracle runs the straightforward all-pairs form; the Spark side is the
     // blocked join — hash equality proves the blocking covers distance 1
     "q_docs_typo_pairs" ->

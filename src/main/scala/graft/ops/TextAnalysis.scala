@@ -504,6 +504,59 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Bigram conditional-probability table P(w2 | w1) — the 2-gram language
+    * model a perplexity filter or a next-token baseline reads. Bigram
+    * pairs come from the same zip-shift as [[graft.ops.Dedup.wordBigrams]];
+    * context counts c(w1) are derived FROM the pair frame (sum of c(w1,w2)
+    * over w2) rather than re-scanning the corpus, so the whole model is
+    * one tokenize pass + two hash aggregates, shuffling bigram-vocabulary
+    * rows only. The probability is a ratio of exact integer counts —
+    * deterministic double division on both engines.
+    */
+  def bigramConditional(documents: DataFrame, minPair: Long = 3L): DataFrame = {
+    val words = graft.functions.TextExpressions.alnumTokens(col("text"))
+    val bigrams = zip_with(
+      slice(words, lit(1), greatest(size(words) - 1, lit(0))),
+      slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val pairs = documents
+      .select(explode(bigrams).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val contexts = pairs.groupBy("w1").agg(sum("c12").as("c1"))
+    pairs
+      .join(contexts, Seq("w1"))
+      .filter(col("c12") >= minPair)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        round(col("c12").cast("double") / col("c1").cast("double"), 6).as("p"))
+      .orderBy("w1", "w2")
+  }
+
+  /** Per-document unigram entropy (nats): H = ln(n) − (Σ c·ln c)/n over
+    * the document's token counts — the token-diversity quality signal
+    * (boilerplate and keyword-stuffed spam score low). Uses the same
+    * integer-grid log trick as [[unigramLogProb]]: ln of each integer
+    * count is quantized to a 1e-6 grid BEFORE the weighted sum, making
+    * the aggregation exact integer math and the result bit-identical
+    * across engines regardless of summation order.
+    */
+  def unigramEntropy(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.alnumTokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val qLn = (x: Column) => floor(log(x.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    counts
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        sum(col("c") * qLn(col("c"))).as("sq"))
+      .select(col("doc_id"), col("n_tokens"),
+        round((qLn(col("n_tokens")) * col("n_tokens") - col("sq")).cast("double")
+          / lit(1e6) / col("n_tokens"), 6).as("entropy_nats"))
+      .orderBy("doc_id")
+  }
+
   /** Typo-pair detection over the corpus vocabulary: word pairs at edit
     * distance exactly 1 — the spelling-normalization candidate list of a
     * text-cleaning pipeline. The quadratic is tamed the standard

@@ -139,6 +139,49 @@ object TimeOps {
       .orderBy("user_id")
   }
 
+  /** Gap-filled daily activity: per-user daily event counts joined onto a
+    * dense calendar spine, absent days as explicit zeros — what any
+    * downstream time-series model needs (a missing row and a zero are
+    * different facts). The spine is built distributively: the corpus span
+    * is a 1-row aggregate CROSS-broadcast to the user list, then
+    * `sequence`+`explode` fans out per-user days with no driver collect
+    * and no shuffle beyond the daily aggregate itself. Spine size is
+    * users × days — orders of magnitude below event cardinality.
+    */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n_events"))
+    val span = events.agg(
+      to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+    val spine = events.select("user_id").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Per-user z-score outliers: events whose value sits more than `z`
+    * standard deviations from the user's mean. Mean/stddev come from an
+    * unordered partition window (one shuffle on user_id, no sort needed
+    * beyond the hash), so this is the two-pass-free form of the classic
+    * anomaly scan.
+    */
+  def zscoreAnomalies(events: DataFrame, z: Double = 2.0): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    events
+      .select(col("event_id"), col("user_id"), col("value"),
+        avg("value").over(byUser).as("mu"),
+        stddev_samp("value").over(byUser).as("sd"))
+      .withColumn("zscore", round((col("value") - col("mu")) / col("sd"), 4))
+      .filter(abs(col("zscore")) > z)
+      .select("event_id", "user_id", "value", "zscore")
+      .orderBy("event_id")
+  }
+
   /** Retention cohorts: users bucketed by first-activity day, counted by
     * distinct-active-user per (cohort_day, day_offset) — the daily
     * retention triangle. Two aggregates: first-seen per user (one row per

@@ -140,6 +140,42 @@ class MiningSpec extends AnyFunSuite {
     assert(byGid(3L).head.getDouble(rows.head.fieldIndex("sum_qty")) == 7.0)
   }
 
+  test("gapFillDaily emits explicit zero rows for silent days") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val events = Seq(
+      (1L, 1L, day(1)), (2L, 1L, day(1)), (3L, 1L, day(3)), // user 1 silent on day 2
+      (4L, 2L, day(2)))                                     // user 2 active only mid-span
+      .toDF("event_id", "user_id", "ts")
+    val r = TimeOps.gapFillDaily(events).collect()
+      .map(x => (x.getLong(0), x.getDate(1).toString, x.getLong(2)))
+    assert(r.toSet == Set(
+      (1L, "2024-01-01", 2L), (1L, "2024-01-02", 0L), (1L, "2024-01-03", 1L),
+      (2L, "2024-01-01", 0L), (2L, "2024-01-02", 1L), (2L, "2024-01-03", 0L)))
+  }
+
+  test("bigramConditional probabilities sum to 1 per context") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramConditional(docs, minPair = 1L).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+    assert(r.toSet == Set(
+      ("a", "b", 2L, 3L, 0.666667), ("a", "c", 1L, 3L, 0.333333),
+      ("b", "a", 2L, 2L, 1.0)))
+  }
+
+  test("unigramEntropy matches the closed form on a uniform 2-word doc") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = Seq((1L, "a a b b"), (2L, "x x x x")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramEntropy(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) == 0.693147, "uniform 2-symbol doc must score ln 2 nats")
+    assert(r(2L) == 0.0, "single-symbol doc has zero entropy")
+  }
+
   test("wordFrequency builds a consistent Zipf table (counts, ranks, coverage)") {
     val sparkS = spark
     import sparkS.implicits._
