@@ -519,10 +519,16 @@ object TextAnalysis {
       slice(words, lit(1), greatest(size(words) - 1, lit(0))),
       slice(words, lit(2), greatest(size(words) - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    val pairs = documents
+    // pairs feeds BOTH the context aggregate and the probability join —
+    // persist so the corpus tokenizes once (ngramJaccardNearDup idiom)
+    val pairsRaw = documents
       .select(explode(bigrams).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val pairs =
+      if (pairsRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        pairsRaw.persist()
+      else pairsRaw
     val contexts = pairs.groupBy("w1").agg(sum("c12").as("c1"))
     pairs
       .join(contexts, Seq("w1"))
@@ -573,10 +579,19 @@ object TextAnalysis {
     * complete for distance-1 pairs.
     */
   def typoPairs(documents: DataFrame): DataFrame = {
-    val vocab = documents
+    // ONE tokenization for all six join legs (3 blockings × 2 sides): the
+    // vocabulary is Heaps'-law small, so persisting it trades a tiny cache
+    // for five corpus re-scans. Same persist idiom as ngramJaccardNearDup:
+    // a repeated call finds the live entry via storageLevel;
+    // resetSessionState between queries releases it.
+    val vocabRaw = documents
       .select(explode(graft.functions.TextExpressions.alnumTokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .filter(length(col("word")) >= 2)
+    val vocab =
+      if (vocabRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        vocabRaw.persist()
+      else vocabRaw
     val suffix: Column => Column = w => substring(w, 2, 1000000)
     def leg(blockA: Column => Column, blockB: Column => Column): DataFrame = {
       val a = vocab.select(col("word").as("wa"), col("cnt").as("ca"),

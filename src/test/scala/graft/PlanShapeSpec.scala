@@ -231,6 +231,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(TextAnalysis.typoPairs(t("documents")))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"typoPairs must block, not cross:\n$p")
+    // all six join legs must read the persisted vocabulary, not re-tokenize
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 6,
+      s"typoPairs legs must share one tokenization via the cached vocab:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("bigram LM consumers share one tokenization via the cached pair frame") {
+    val p = plan(TextAnalysis.bigramConditional(t("documents")))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"context aggregate and probability join must both read the cache:\n$p")
+    spark.catalog.clearCache()
   }
 
   test("funnel stages aggregate before joining — state is user-sized") {
