@@ -222,6 +222,8 @@ object SparkEntry {
     "q_events_zscore" -> ((s, d) => TimeOps.zscoreAnomalies(t(s, d, "events"))),
     "q_docs_bigram_lm" -> ((s, d) => TextAnalysis.bigramConditional(t(s, d, "documents"))),
     "q_docs_entropy" -> ((s, d) => TextAnalysis.unigramEntropy(t(s, d, "documents"))),
+    "q_docs_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(t(s, d, "documents"))),
+    "q_docs_incr_dedup" -> ((s, d) => Dedup.incrementalDedup(t(s, d, "documents"))),
     "q_docs_wordfreq" -> ((s, d) => TextAnalysis.wordFrequency(t(s, d, "documents"))),
     // TPC-H Q8-shaped: market share — eight-table snowflake with TWO roles
     // of the same nation dimension (customer's nation gates the region,
@@ -906,6 +908,54 @@ object SparkEntry {
         |  round(CAST(pr.c12 AS DOUBLE) / CAST(ctx.c1 AS DOUBLE), 6) AS p
         |FROM pairs pr JOIN ctx ON pr.w1 = ctx.w1
         |WHERE pr.c12 >= 3 ORDER BY pr.w1, pr.w2""".stripMargin,
+    "q_docs_pmi" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |tk AS (SELECT unnest(ws) AS term FROM words),
+        |uni AS (SELECT term, count(*) AS c FROM tk GROUP BY term),
+        |n1 AS (SELECT CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS q
+        |       FROM tk),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(ws), 1)),
+        |                               i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        |  FROM words),
+        |pairs AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+        |         count(*) AS c12
+        |  FROM bg GROUP BY 1, 2),
+        |n2 AS (SELECT CAST(floor(ln(CAST(sum(c12) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS q
+        |       FROM pairs)
+        |SELECT pr.w1, pr.w2, pr.c12,
+        |  round(CAST(CAST(floor(ln(CAST(pr.c12 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |             + 2 * n1.q - n2.q
+        |             - CAST(floor(ln(CAST(a.c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |             - CAST(floor(ln(CAST(b.c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |        AS DOUBLE) / 1000000.0, 6) AS pmi
+        |FROM pairs pr
+        |JOIN uni a ON pr.w1 = a.term
+        |JOIN uni b ON pr.w2 = b.term
+        |CROSS JOIN n1 CROSS JOIN n2
+        |WHERE pr.c12 >= 5 ORDER BY pr.w1, pr.w2""".stripMargin,
+    "q_docs_incr_dedup" ->
+      s"""WITH $minhashCtes,
+         |delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |baseh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+         |ex AS (SELECT DISTINCT d.doc_id FROM delta d JOIN baseh b ON md5(d.text) = b.h),
+         |near AS (
+         |  SELECT DISTINCT x.doc_id FROM (
+         |    SELECT doc_a AS doc_id, doc_b AS other FROM pairs
+         |    UNION ALL SELECT doc_b, doc_a FROM pairs) x
+         |  WHERE x.doc_id % 10 = 0 AND x.other % 10 <> 0)
+         |SELECT d.doc_id,
+         |  CASE WHEN ex.doc_id IS NOT NULL THEN 'dup_exact'
+         |       WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'new' END AS status
+         |FROM delta d
+         |LEFT JOIN ex ON d.doc_id = ex.doc_id
+         |LEFT JOIN near ON d.doc_id = near.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q_docs_entropy" ->
       """WITH tk AS (
         |  SELECT doc_id,

@@ -32,6 +32,45 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
       .orderBy("keep_id")
 
+  /** Incremental (delta-vs-base) deduplication — the daily-ingest shape:
+    * classify each incoming document against the existing corpus without
+    * re-clustering everything. `doc_id % mod == 0` plays the delta batch:
+    *   - `dup_exact`: a base document has byte-identical text (left-semi
+    *     join on the content hash — the base side ships one hash per doc);
+    *   - `near_dup`: a capped LSH band bucket links it to a base document
+    *     (the same bounded candidate generator as [[lshCandidatePairs]],
+    *     filtered to delta↔base edges);
+    *   - `new`: neither.
+    * At 100 TB the base side's hashes/signatures would be a precomputed
+    * index the delta joins against; here both derive from one table so the
+    * oracle can replay the whole decision. Exactness note: `dup_exact`
+    * wins over `near_dup` (an exact dup is usually ALSO an LSH candidate).
+    */
+  def incrementalDedup(documents: DataFrame, mod: Int = 10): DataFrame = {
+    val isDelta = col("doc_id") % mod === 0
+    val delta = documents.filter(isDelta)
+    val base = documents.filter(!isDelta)
+    val exactIds = delta
+      .join(base.select(md5(col("text")).as("h")).distinct(),
+        md5(col("text")) === col("h"), "left_semi")
+      .select(col("doc_id")).withColumn("f_exact", lit(1))
+    val nearIds = lshCandidatePairs(documents)
+      .select(explode(array(
+        struct(col("doc_a").as("d"), col("doc_b").as("o")),
+        struct(col("doc_b").as("d"), col("doc_a").as("o")))).as("e"))
+      .filter(col("e.d") % mod === 0 && col("e.o") % mod =!= 0)
+      .select(col("e.d").as("doc_id")).distinct()
+      .withColumn("f_near", lit(1))
+    delta.select("doc_id")
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("f_exact") === 1, "dup_exact")
+          .when(col("f_near") === 1, "near_dup")
+          .otherwise("new").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** Character shingles at stride `step`: substring(text, i, width) for
     * i = 1, 1+step, … ≤ max(len-width+1, 1). Computed as an array column —
     * no explode — by a native codegen'd expression (the HOF

@@ -538,6 +538,43 @@ object TextAnalysis {
       .orderBy("w1", "w2")
   }
 
+  /** Pointwise mutual information for adjacent word pairs — collocation
+    * extraction (PMI = ln p(w1,w2) − ln p(w1) − ln p(w2); Church & Hanks
+    * 1990). All five log terms go through the same 1e-6 integer grid as
+    * [[unigramLogProb]] BEFORE the arithmetic, so the score is bit-exact
+    * across engines. The two corpus totals (tokens, bigrams) are scalar
+    * aggregates embedded as literals — the standard two-job shape; the
+    * rest is two hash aggregates plus two vocabulary-sized joins.
+    */
+  def pmiCollocations(documents: DataFrame, minPair: Long = 5L): DataFrame = {
+    val words = graft.functions.TextExpressions.alnumTokens(col("text"))
+    val toks = documents.select(explode(words).as("term"))
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val bigrams = zip_with(
+      slice(words, lit(1), greatest(size(words) - 1, lit(0))),
+      slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val pairs = documents
+      .select(explode(bigrams).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val qLn = (x: Column) => floor(log(x.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    def qOf(n: Long): Long = math.floor(math.log(n.toDouble) * 1e6 + 0.5).toLong
+    // max(_, 1): on an empty corpus both totals are degenerate; ln(1)=0
+    // keeps the (empty) result well-defined instead of NULL/-inf literals
+    val n1 = math.max(toks.count(), 1L)
+    val n2 = math.max(
+      Option(pairs.agg(sum("c12")).head().get(0)).fold(0L)(_.asInstanceOf[Long]), 1L)
+    pairs
+      .filter(col("c12") >= minPair)
+      .join(uni.select(col("term").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("c").as("c2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c12"),
+        round((qLn(col("c12")) + lit(2L * qOf(n1)) - lit(qOf(n2))
+          - qLn(col("c1")) - qLn(col("c2"))).cast("double") / lit(1e6), 6).as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
   /** Per-document unigram entropy (nats): H = ln(n) − (Σ c·ln c)/n over
     * the document's token counts — the token-diversity quality signal
     * (boilerplate and keyword-stuffed spam score low). Uses the same

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Relational, Similarity, TextAnalysis, TimeOps}
+import graft.ops.{Dedup, Relational, Similarity, TextAnalysis, TimeOps}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Unit-level pins for the round-7 additions, beyond the DuckDB oracle's
@@ -174,6 +174,38 @@ class MiningSpec extends AnyFunSuite {
       .map(x => x.getLong(0) -> x.getDouble(2)).toMap
     assert(r(1L) == 0.693147, "uniform 2-symbol doc must score ln 2 nats")
     assert(r(2L) == 0.0, "single-symbol doc has zero entropy")
+  }
+
+  test("pmiCollocations matches the closed form on a skewed corpus") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 8 docs of "x y" + 1 of "z w": PMI(x,y) = ln(c12·N1²/(N2·c1·c2))
+    //   = ln(8·18² / (9·8·8)) = ln 4.5 ≈ 1.504077
+    val docs = ((1 to 8).map(i => (i.toLong, "x y")) :+ (9L, "z w"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.pmiCollocations(docs, minPair = 5L).collect()
+    assert(r.length == 1)
+    assert((r.head.getString(0), r.head.getString(1)) == ("x", "y"))
+    assert(r.head.getDouble(r.head.fieldIndex("pmi")) == 1.504077)
+  }
+
+  test("incrementalDedup classifies exact, near, and new against the base") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val long1 = "the quick brown fox jumps over the lazy dog here" // 49 chars
+    val long2 = "pack my box with five dozen brown liquor jugs now" // 50 chars
+    // delta ids are multiples of 10: 0 = exact copy of base 1;
+    // 20 = base 2's text + one trailing char (same 8-gram stride-4 shingle
+    // set => identical MinHash => LSH near-dup, but different md5);
+    // 30 = unrelated => new
+    val docs = Seq(
+      (0L, long1), (1L, long1),
+      (20L, long2 + "x"), (2L, long2),
+      (30L, "completely different content with nothing shared at all"))
+      .toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(docs).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(0L -> "dup_exact", 20L -> "near_dup", 30L -> "new"))
   }
 
   test("wordFrequency builds a consistent Zipf table (counts, ranks, coverage)") {
