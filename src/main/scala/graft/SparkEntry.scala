@@ -224,6 +224,9 @@ object SparkEntry {
     "q_docs_entropy" -> ((s, d) => TextAnalysis.unigramEntropy(t(s, d, "documents"))),
     "q_docs_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(t(s, d, "documents"))),
     "q_docs_incr_dedup" -> ((s, d) => Dedup.incrementalDedup(t(s, d, "documents"))),
+    "q_docs_simhash_clusters" -> ((s, d) => Dedup.simhashClusters(t(s, d, "documents"))),
+    "q_docs_minhash_est" -> ((s, d) => Dedup.minhashEstJaccard(t(s, d, "documents"))),
+    "q_events_dow" -> ((s, d) => TimeOps.dowSeasonality(t(s, d, "events"))),
     "q_docs_wordfreq" -> ((s, d) => TextAnalysis.wordFrequency(t(s, d, "documents"))),
     // TPC-H Q8-shaped: market share — eight-table snowflake with TWO roles
     // of the same nation dimension (customer's nation gates the region,
@@ -523,6 +526,27 @@ object SparkEntry {
        |  FROM hh GROUP BY doc_id),
        |sh16 AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM vv)""".stripMargin
   }
+
+  /** Banded-bucket candidate pairs over the SimHash fingerprints (CTE
+    * `spairs(id_a, id_b, hamming)`); requires [[simhashCtes]] in scope.
+    * Shared by the pair query and the SimHash clustering oracle.
+    */
+  private lazy val simhashPairsCtes: String =
+    s"""banded AS (
+       |${(0 until Dedup.SimhashBands).map(b =>
+          s"  SELECT doc_id, simhash, $b AS band, (simhash >> ${b * Dedup.SimhashBandBits}) & ${(1L << Dedup.SimhashBandBits) - 1L} AS bv FROM sh16")
+          .mkString("\n  UNION ALL\n")}),
+       |ok AS (
+       |  SELECT band, bv FROM banded
+       |  GROUP BY band, bv HAVING count(*) BETWEEN 2 AND 1000),
+       |spairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM banded a
+       |  JOIN ok k ON a.band = k.band AND a.bv = k.bv
+       |  JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)""".stripMargin
 
   /** SRP per-table bucket expression for DuckDB — the same literal
     * hyperplane weights the Spark plan embeds
@@ -1318,21 +1342,43 @@ object SparkEntry {
          |SELECT doc_id, simhash FROM sh16 ORDER BY doc_id""".stripMargin,
     "q_docs_simhash_pairs" ->
       s"""WITH $simhashCtes,
-         |banded AS (
-         |${(0 until Dedup.SimhashBands).map(b =>
-            s"  SELECT doc_id, simhash, $b AS band, (simhash >> ${b * Dedup.SimhashBandBits}) & ${(1L << Dedup.SimhashBandBits) - 1L} AS bv FROM sh16")
-            .mkString("\n  UNION ALL\n")}),
-         |ok AS (
-         |  SELECT band, bv FROM banded
-         |  GROUP BY band, bv HAVING count(*) BETWEEN 2 AND 1000)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM banded a
-         |JOIN ok k ON a.band = k.band AND a.bv = k.bv
-         |JOIN banded b
-         |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin,
+         |$simhashPairsCtes
+         |SELECT id_a, id_b, hamming FROM spairs ORDER BY id_a, id_b""".stripMargin,
+    // SimHash-graph clustering: same recursive-closure oracle shape as
+    // q_docs_clusters, over the Hamming candidate pairs
+    "q_docs_simhash_clusters" ->
+      s"""WITH RECURSIVE $simhashCtes,
+         |$simhashPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM spairs
+         |  UNION ALL SELECT id_b, id_a FROM spairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_docs_minhash_est" ->
+      s"""WITH $minhashCtes,
+         |ds AS (SELECT doc_id, list_distinct(s) AS shs FROM sh)
+         |SELECT p.doc_a, p.doc_b,
+         |  round(CAST(${(0 until Dedup.NumHashes)
+              .map(k => s"(CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS DOUBLE) / ${Dedup.NumHashes}.0, 6) AS est_jaccard,
+         |  round(CAST(len(da.shs) + len(db.shs)
+         |             - len(list_distinct(list_concat(da.shs, db.shs))) AS DOUBLE)
+         |        / CAST(len(list_distinct(list_concat(da.shs, db.shs))) AS DOUBLE), 6)
+         |    AS jaccard
+         |FROM pairs p
+         |JOIN h a ON p.doc_a = a.doc_id
+         |JOIN h b ON p.doc_b = b.doc_id
+         |JOIN ds da ON p.doc_a = da.doc_id
+         |JOIN ds db ON p.doc_b = db.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_events_dow" ->
+      """SELECT CAST(isodow(ts) AS BIGINT) AS isodow, CAST(hour(ts) AS BIGINT) AS hh,
+        |  count(*) AS cnt, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY isodow, hh""".stripMargin,
     "q_docs_bigrams" ->
       """WITH words AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

@@ -32,6 +32,54 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
       .orderBy("keep_id")
 
+  /** MinHash-estimated Jaccard next to the exact value, per candidate
+    * pair — the calibration table for the LSH theory the dedup suite
+    * rests on (E[fraction of agreeing mins] = true Jaccard; Broder 1997).
+    * At 100 TB this is the cheap similarity you'd actually store: the
+    * estimate reads two 8-long signatures per pair, while the exact
+    * column (kept here to measure the estimator against) ships full
+    * shingle arrays. One tokenization feeds signatures AND exact sets via
+    * the persisted shingle frame.
+    */
+  def minhashEstJaccard(documents: DataFrame): DataFrame = {
+    val shRaw = shingleFrame(documents)
+    val docShingles =
+      if (shRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) shRaw.persist()
+      else shRaw
+    val sigs = minhashFromShingles(docShingles)
+    val pairs = bucketPairs(lshBucketsFromSigs(sigs, maxBucket = 1000))
+    val sa = sigs.select(
+      col("doc_id").as("doc_a") +: (0 until NumHashes).map(k => col(s"h$k").as(s"a$k")): _*)
+    val sb = sigs.select(
+      col("doc_id").as("doc_b") +: (0 until NumHashes).map(k => col(s"h$k").as(s"b$k")): _*)
+    val agree = (0 until NumHashes)
+      .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b"))
+      .join(docShingles.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
+      .join(docShingles.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(agree.cast("double") / lit(NumHashes.toDouble), 6).as("est_jaccard"),
+        round(graft.functions.TextExpressions.arrayJaccard(col("sh_a"), col("sh_b")), 6)
+          .as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Connected components over the SimHash near-dup graph — the
+    * Hamming-space twin of [[nearDupClusters]]: same O(log n)
+    * large-star/small-star engine, different candidate generator
+    * ([[simhashNearDupPairs]]' banded buckets + Hamming verify). Two
+    * independent fingerprint families reaching the same clustering
+    * machinery is the point: the CC core is generator-agnostic.
+    */
+  def simhashClusters(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    connectedComponentsStars(
+      simhashNearDupPairs(documents, maxHamming).select("id_a", "id_b"),
+      documents.select(col("doc_id")))
+
   /** Incremental (delta-vs-base) deduplication — the daily-ingest shape:
     * classify each incoming document against the existing corpus without
     * re-clustering everything. `doc_id % mod == 0` plays the delta batch:

@@ -139,6 +139,21 @@ object TimeOps {
       .orderBy("user_id")
   }
 
+  /** Weekday × hour seasonality heatmap: event counts and mean value per
+    * (ISO day-of-week, hour) cell — the load-profile aggregate behind
+    * capacity planning and anomaly baselines. One hash aggregate, 168
+    * output rows regardless of input size; the weekday is computed as
+    * `weekday(ts)+1` (ISO 1=Monday) because Spark's `dayofweek` counts
+    * from Sunday while the ANSI/DuckDB `isodow` counts from Monday.
+    */
+  def dowSeasonality(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        (weekday(col("ts")) + lit(1)).cast("long").as("isodow"),
+        hour(col("ts")).cast("long").as("hh"))
+      .agg(count(lit(1)).as("cnt"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("isodow", "hh")
+
   /** Gap-filled daily activity: per-user daily event counts joined onto a
     * dense calendar spine, absent days as explicit zeros — what any
     * downstream time-series model needs (a missing row and a zero are

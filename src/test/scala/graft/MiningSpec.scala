@@ -208,6 +208,48 @@ class MiningSpec extends AnyFunSuite {
     assert(r == Map(0L -> "dup_exact", 20L -> "near_dup", 30L -> "new"))
   }
 
+  test("minhashEstJaccard: identical docs estimate and measure exactly 1") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val text = "the quick brown fox jumps over the lazy dog here"
+    val docs = Seq((1L, text), (2L, text),
+      (3L, "totally unrelated content that shares no shingles at all"))
+      .toDF("doc_id", "text")
+    val r = Dedup.minhashEstJaccard(docs).collect()
+    assert(r.length == 1, "only the identical pair is an LSH candidate")
+    assert(r.head.getLong(0) == 1L && r.head.getLong(1) == 2L)
+    assert(r.head.getDouble(2) == 1.0 && r.head.getDouble(3) == 1.0)
+  }
+
+  test("simhashClusters groups identical token streams, isolates unrelated ones") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // identical text ⇒ identical fingerprint ⇒ Hamming 0 ⇒ one cluster.
+    // (A one-token diff is NOT a safe near-dup fixture at this doc length:
+    // with n tokens each 60-bit majority vote has margin O(√n), so a
+    // single extra token can flip ≫3 bits — tolerance behavior is pinned
+    // at corpus scale by the q_docs_simhash_pairs/clusters oracles.)
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((1L, a), (2L, a), (10L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val r = Dedup.simhashClusters(docs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == r(2L), "identical docs must share a cluster")
+    assert(r(10L) != r(1L), "unrelated doc stays its own cluster")
+  }
+
+  test("dowSeasonality maps Monday to isodow 1") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 2024-01-01 is a Monday
+    val events = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 13:30:00"), 5.0))
+      .toDF("event_id", "ts", "value")
+    val r = TimeOps.dowSeasonality(events).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 1L && r.head.getLong(1) == 13L)
+    assert(r.head.getLong(2) == 1L && r.head.getDouble(3) == 5.0)
+  }
+
   test("wordFrequency builds a consistent Zipf table (counts, ranks, coverage)") {
     val sparkS = spark
     import sparkS.implicits._
