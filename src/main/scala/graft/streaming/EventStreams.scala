@@ -50,6 +50,30 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Native session-window aggregation (`session_window`): per-user
+    * sessions that close after `gap` of inactivity, aggregated by the
+    * engine's built-in merging-window state — the declarative counterpart
+    * of [[sessionizeStream]]'s explicit `flatMapGroupsWithState` machine.
+    * Prefer this form when per-session AGGREGATES are all that's needed:
+    * the state store merges windows internally, the watermark closes and
+    * evicts sessions, and the same expression runs identically in batch
+    * (the equivalence the spec asserts). Reach for the state machine only
+    * when emission must happen mid-session or the state transition isn't
+    * expressible as an aggregate.
+    */
+  def sessionWindowAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .select(
+        col("user_id"),
+        col("sw.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -57,6 +57,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("native session_window agg: streaming equals batch on the same events") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionWindowAgg(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("swin_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(events)
+      query.processAllAvailable()
+      // advance the watermark far enough to close every session
+      input.addData(Seq(Event(99L, ts("2024-01-01 12:00:00"), 9L, "view", 0.0)))
+      query.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, session_start, n_events, session_value FROM swin_test")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .filter(_._1 != 9L).toSet
+      val batch = EventStreams.sessionWindowAgg(events.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch,
+        s"streaming sessions must equal the batch run:\n s=$streamed\n b=$batch")
+      // sanity: user 2's two clicks 10 min apart form ONE session of value 12
+      assert(batch.exists { case (u, _, n, v) => u == 2L && n == 2L && v == 12.0 })
+    } finally query.stop()
+  }
+
   test("streaming hourlyAgg matches the batch twin on the same events") {
     val sparkS = spark
     import sparkS.implicits._
