@@ -227,6 +227,8 @@ object SparkEntry {
     "q_docs_simhash_clusters" -> ((s, d) => Dedup.simhashClusters(t(s, d, "documents"))),
     "q_docs_minhash_est" -> ((s, d) => Dedup.minhashEstJaccard(t(s, d, "documents"))),
     "q_events_dow" -> ((s, d) => TimeOps.dowSeasonality(t(s, d, "events"))),
+    "q_events_hopping" -> ((s, d) => TimeOps.hoppingEventAgg(t(s, d, "events"))),
+    "q_docs_normalize" -> ((s, d) => TextAnalysis.normalizeText(t(s, d, "documents"))),
     "q_docs_wordfreq" -> ((s, d) => TextAnalysis.wordFrequency(t(s, d, "documents"))),
     // TPC-H Q8-shaped: market share — eight-table snowflake with TWO roles
     // of the same nation dimension (customer's nation gates the region,
@@ -1379,6 +1381,27 @@ object SparkEntry {
       """SELECT CAST(isodow(ts) AS BIGINT) AS isodow, CAST(hour(ts) AS BIGINT) AS hh,
         |  count(*) AS cnt, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY isodow, hh""".stripMargin,
+    // each event belongs to exactly window/slide = 4 hops; hop starts are
+    // the floor-to-15min boundary minus k*15min, k = 0..3 (epoch-aligned,
+    // matching Spark's window() alignment)
+    "q_events_hopping" ->
+      """WITH e AS (SELECT value, epoch_us(ts) AS us FROM events),
+        |h AS (
+        |  SELECT value,
+        |    (us // 900000000) * 900000000 - k.k * 900000000 AS start_us
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k)
+        |SELECT make_timestamp(start_us) AS hop_start, count(*) AS cnt,
+        |  round(sum(value), 2) AS sum_val
+        |FROM h GROUP BY 1 ORDER BY hop_start""".stripMargin,
+    "q_docs_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+        |                      ' +', ' ', 'g')) AS norm_text,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+        |                          ' +', ' ', 'g'))) AS norm_hash,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+        |                                  ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_docs_bigrams" ->
       """WITH words AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

@@ -538,6 +538,26 @@ object TextAnalysis {
       .orderBy("w1", "w2")
   }
 
+  /** Canonical text normalization — the preprocessing contract a dedup or
+    * tokenizer stage keys on: lowercase, strip everything but [a-z0-9 ],
+    * collapse whitespace runs, trim, then fingerprint the result. Pure
+    * per-row map stage (no shuffle but the output sort); the md5 of the
+    * NORMALIZED text is what exact-dedup at 100 TB actually hashes, so
+    * near-identical whitespace/punct variants collapse. RE2-safe patterns
+    * so the DuckDB oracle replays byte-for-byte.
+    */
+  def normalizeText(documents: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]+", " "),
+      " +", " "))
+    documents.select(
+      col("doc_id"),
+      norm.as("norm_text"),
+      md5(norm).as("norm_hash"),
+      length(norm).cast("long").as("norm_len"))
+      .orderBy("doc_id")
+  }
+
   /** Pointwise mutual information for adjacent word pairs — collocation
     * extraction (PMI = ln p(w1,w2) − ln p(w1) − ln p(w2); Church & Hanks
     * 1990). All five log terms go through the same 1e-6 integer grid as

@@ -139,6 +139,20 @@ object TimeOps {
       .orderBy("user_id")
   }
 
+  /** Hopping (sliding) window aggregation in batch: 1-hour windows every
+    * 15 minutes — each event lands in exactly 4 overlapping windows, so
+    * the plan is a 4× Expand feeding one hash aggregate (Spark's batch
+    * `window()` — same generator the streaming engine uses, epoch-aligned
+    * starts). The smoothing counterpart of [[hourlyEventAgg]]'s tumbling
+    * windows; at 100 TB the fan-out factor is window/slide, a constant.
+    */
+  def hoppingEventAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+      .select(col("w.start").as("hop_start"), col("cnt"), col("sum_val"))
+      .orderBy("hop_start")
+
   /** Weekday × hour seasonality heatmap: event counts and mean value per
     * (ISO day-of-week, hour) cell — the load-profile aggregate behind
     * capacity planning and anomaly baselines. One hash aggregate, 168

@@ -250,6 +250,35 @@ class MiningSpec extends AnyFunSuite {
     assert(r.head.getLong(2) == 1L && r.head.getDouble(3) == 5.0)
   }
 
+  test("hoppingEventAgg lands each event in exactly window/slide hops") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val events = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 01:07:00"), 10.0))
+      .toDF("event_id", "ts", "value")
+    val r = TimeOps.hoppingEventAgg(events).collect()
+      .map(x => (x.getTimestamp(0).toString, x.getLong(1), x.getDouble(2)))
+    // 4 hops: starts 00:15, 00:30, 00:45, 01:00 (each covers 01:07)
+    assert(r.length == 4)
+    assert(r.map(_._1).toSeq == Seq(
+      "2024-01-01 00:15:00.0", "2024-01-01 00:30:00.0",
+      "2024-01-01 00:45:00.0", "2024-01-01 01:00:00.0"))
+    assert(r.forall { case (_, c, v) => c == 1L && v == 10.0 })
+  }
+
+  test("normalizeText collapses punctuation and whitespace canonically") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = Seq(
+      (1L, "  Hello,   WORLD!! 42 "),
+      (2L, "hello world 42"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.normalizeText(docs).collect()
+    assert(r(0).getString(1) == "hello world 42")
+    // punct/space variants collapse to the same fingerprint
+    assert(r(0).getString(2) == r(1).getString(2))
+    assert(r(0).getLong(3) == 14L)
+  }
+
   test("wordFrequency builds a consistent Zipf table (counts, ranks, coverage)") {
     val sparkS = spark
     import sparkS.implicits._
