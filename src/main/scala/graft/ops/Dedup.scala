@@ -77,7 +77,11 @@ object Dedup {
     */
   def simhashClusters(documents: DataFrame, maxHamming: Int = 3): DataFrame =
     connectedComponentsStars(
-      simhashNearDupPairs(documents, maxHamming).select("id_a", "id_b"),
+      // banded buckets make the verified pair graph cliquish — one
+      // connectivity-preserving large-star pass collapses it toward
+      // (member, local-min) edges before the iterated rounds, same as
+      // semanticDedup's pair input (identical components, fewer edges)
+      starReduceEdges(simhashNearDupPairs(documents, maxHamming).select("id_a", "id_b")),
       documents.select(col("doc_id")))
 
   /** Incremental (delta-vs-base) deduplication — the daily-ingest shape:
