@@ -228,6 +228,7 @@ object SparkEntry {
     "q_docs_minhash_est" -> ((s, d) => Dedup.minhashEstJaccard(t(s, d, "documents"))),
     "q_events_dow" -> ((s, d) => TimeOps.dowSeasonality(t(s, d, "events"))),
     "q_events_hopping" -> ((s, d) => TimeOps.hoppingEventAgg(t(s, d, "events"))),
+    "q_events_dedup_consec" -> ((s, d) => TimeOps.dedupConsecutive(t(s, d, "events"))),
     "q_docs_normalize" -> ((s, d) => TextAnalysis.normalizeText(t(s, d, "documents"))),
     "q_docs_wordfreq" -> ((s, d) => TextAnalysis.wordFrequency(t(s, d, "documents"))),
     // TPC-H Q8-shaped: market share — eight-table snowflake with TWO roles
@@ -1381,6 +1382,14 @@ object SparkEntry {
       """SELECT CAST(isodow(ts) AS BIGINT) AS isodow, CAST(hour(ts) AS BIGINT) AS hh,
         |  count(*) AS cnt, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY isodow, hh""".stripMargin,
+    "q_events_dedup_consec" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |SELECT event_id, user_id, value FROM s
+        |WHERE prev_value IS NULL OR value <> prev_value
+        |ORDER BY event_id""".stripMargin,
     // each event belongs to exactly window/slide = 4 hops; hop starts are
     // the floor-to-15min boundary minus k*15min, k = 0..3 (epoch-aligned,
     // matching Spark's window() alignment)

@@ -139,6 +139,22 @@ object TimeOps {
       .orderBy("user_id")
   }
 
+  /** Consecutive-duplicate suppression (change compression): keep an event
+    * only when its value differs from the SAME user's previous event — the
+    * CDC/sensor-stream cleaning primitive (a stuck sensor or redelivered
+    * state update emits runs of identical values; only transitions carry
+    * information). One lag window per user; null-safe comparison keeps
+    * the first event of every user. Event-cardinality in, transitions out.
+    */
+  def dedupConsecutive(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_value", lag("value", 1).over(byUser))
+      .filter(col("prev_value").isNull || col("value") =!= col("prev_value"))
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** Hopping (sliding) window aggregation in batch: 1-hour windows every
     * 15 minutes — each event lands in exactly 4 overlapping windows, so
     * the plan is a 4× Expand feeding one hash aggregate (Spark's batch

@@ -279,6 +279,21 @@ class MiningSpec extends AnyFunSuite {
     assert(r(0).getLong(3) == 14L)
   }
 
+  test("dedupConsecutive keeps first events and transitions only") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def at(m: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + m * 60000L)
+    // user 1: 5, 5, 7, 7, 5 → keep events 1 (first), 3 (5→7), 5 (7→5)
+    val events = Seq(
+      (1L, 1L, at(0), 5.0), (2L, 1L, at(1), 5.0), (3L, 1L, at(2), 7.0),
+      (4L, 1L, at(3), 7.0), (5L, 1L, at(4), 5.0),
+      (6L, 2L, at(0), 5.0)) // other user: independent run
+      .toDF("event_id", "user_id", "ts", "value")
+    val kept = TimeOps.dedupConsecutive(events).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 3L, 5L, 6L))
+  }
+
   test("wordFrequency builds a consistent Zipf table (counts, ranks, coverage)") {
     val sparkS = spark
     import sparkS.implicits._
