@@ -72,9 +72,7 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would render "1,234"
     // and corrupt the JSON line
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results
-      .map { case (k, v) => s"${Json.quote(k)}:${f3(v)}" }
-      .mkString("{", ",", "}")
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val total = f3(results.map(_._2).sum)
     // convergence rounds of the iterative CC variants (from their last run
     // above) — a regression in round count would otherwise hide inside the
@@ -84,7 +82,36 @@ object Bench {
       graft.ops.Dedup.lastRounds.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${Json.quote(k)}:$v" }.mkString("{", ",", "}")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cc_rounds":$ccRounds,"sf":${Json.quote(sfDir)}}""")
+    // The COMPLETE per-query map (full names, seconds) goes to a file: the
+    // harness that records this run captures only the last ~2000 chars of
+    // the log, which a 116-query JSON object outgrew (rounds 6-7 lost the
+    // alphabetically-first ~37 timings entirely).
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+        results.map { case (k, v) => s"${Json.quote(k)}:${f3(v)}" }
+          .mkString("{", ",", "}")
+      },"cc_rounds":$ccRounds,"sf":${Json.quote(sfDir)}}"""
+    val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
+    java.nio.file.Files.createDirectories(fullPath.getParent)
+    java.nio.file.Files.write(fullPath,
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The stdout line must survive the tail capture: ≤ ~1900 chars after
+    // sbt's "[info] " prefix and trailing "[success] ..." line. Emit every
+    // timing as a centisecond array in sorted-name order ("qv", same order
+    // as the "queries" object in bench_full.json), plus a name->sec object
+    // for as many of the SLOWEST queries as fit the budget.
+    val qvArr = results.map { case (_, v) => math.round(v * 100).toString }
+      .mkString("[", ",", "]")
+    val slowest = results.sortBy(-_._2)
+    def line(k: Int): String = {
+      val qs = slowest.take(k)
+        .map { case (n, v) => s"${Json.quote(n)}:${f2(v)}" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_q":${results.size},"qv_cs":$qvArr,"qv_order":"sorted_name","cc_rounds":$ccRounds,"full":"target/bench_full.json","sf":${Json.quote(sfDir)}}"""
+    }
+    val budget = 1700
+    val k = (results.size to 0 by -1).find(line(_).length <= budget).getOrElse(0)
+    println(line(k))
     spark.stop()
   }
 }
