@@ -191,6 +191,7 @@ object SparkEntry {
     "q_docs_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(t(s, d, "documents"))),
     "q_docs_bigrams" -> ((s, d) => Dedup.wordBigrams(t(s, d, "documents"))),
     "q_docs_clusters" -> ((s, d) => Dedup.nearDupClusters(t(s, d, "documents"))),
+    "q_docs_substring_dedup" -> ((s, d) => Dedup.substringDedup(t(s, d, "documents"))),
     // ---- similarity search (LLM pipeline) ----
     "q_emb_topk" -> ((s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"))),
     "q_emb_topk_agg" -> ((s, d) => Similarity.bruteForceTopKAgg(t(s, d, "embeddings"))),
@@ -1278,6 +1279,36 @@ object SparkEntry {
     "q_docs_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // substring dedup: token 6-grams in >= 2 distinct docs; per-doc
+    // interval-union coverage via a lag window over the dup positions only
+    "q_docs_substring_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, u.p AS pos, u.g AS gh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, greatest(len(ws) - 5, 0) + 1),
+        |        i -> {'p': i, 'g': substr(md5(array_to_string(ws[i:i+5], ' ')), 1, 16)})) AS u
+        |    FROM words)),
+        |dup AS (SELECT gh FROM pos GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT doc_id, pos FROM pos WHERE gh IN (SELECT gh FROM dup)),
+        |cov AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lag(pos) OVER w IS NULL THEN 6
+        |         ELSE least(6, pos - lag(pos) OVER w) END AS inc
+        |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |agg AS (SELECT doc_id, count(*) AS dup_grams,
+        |        CAST(sum(inc) AS BIGINT) AS dup_tokens FROM cov GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+        |  coalesce(a.dup_grams, 0) AS dup_grams,
+        |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+        |  round(CASE WHEN len(w.ws) > 0
+        |    THEN CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / len(w.ws)
+        |    ELSE 0.0 END, 4) AS dup_frac
+        |FROM words w LEFT JOIN agg a USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
     // stratified: md5 chars 25-32 as the priority draw (disjoint from the
     // split/mixture/weighted slices), exact perSource smallest per stratum
     "q_docs_stratified" ->

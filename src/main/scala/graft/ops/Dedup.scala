@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines over the
@@ -762,5 +763,76 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy("id_a", "id_b")
+  }
+
+  /** Exact substring-level dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — the ExactSubstr recipe): flag
+    * token k-grams that occur in ≥ 2 DISTINCT documents, and report per
+    * document how many gram positions are corpus-duplicated and how many
+    * tokens the union of their k-wide windows covers. This is the dedup
+    * modality between document-level exact dedup ([[exactDedup]]) and
+    * near-dup sketching ([[minhashSignatures]]): it catches a boilerplate
+    * paragraph pasted into otherwise-distinct documents, which neither
+    * whole-document hashing nor document-level similarity thresholds will.
+    *
+    * Spark shape (the suffix-array of the paper re-expressed relationally,
+    * which is what distributes): one tokenize+hash map stage per doc; a
+    * gram-hash aggregate with map-side combine to find duplicated grams
+    * (shuffle bounded by DISTINCT gram cardinality, never doc×doc); a
+    * semi-join of positions against the duplicated-gram set; and a per-doc
+    * lag-window over ONLY the duplicated positions to union overlapping
+    * windows (interval-union coverage: each position contributes
+    * min(k, pos − prev_pos) tokens). Grams travel as 16-hex-char md5
+    * prefixes, not strings — at 100 TB the gram shuffle ships 16-byte
+    * keys. Both the token frame and the position frame are persisted
+    * (consumed by two legs each; exchange reuse does not fire across
+    * these shapes — see ngramJaccardNearDup).
+    */
+  def substringDedup(documents: DataFrame, k: Int = 6): DataFrame = {
+    val toksRaw = documents.select(col("doc_id"),
+      graft.functions.TextExpressions.alnumTokens(col("text")).as("ws"))
+    val toks =
+      if (toksRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        toksRaw.persist()
+      else toksRaw
+    val posRaw = toks
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("ws")) - lit(k - 1)),
+          i => substring(md5(concat_ws(" ", slice(col("ws"), i, lit(k)))), 1, 16))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gh"))
+    val pos =
+      if (posRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        posRaw.persist()
+      else posRaw
+    val dupGrams = pos
+      .groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("gh")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val cov = pos
+      .join(dupGrams, Seq("gh"), "left_semi")
+      .select("doc_id", "pos")
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("inc",
+        when(col("prev").isNull, lit(k))
+          .otherwise(least(lit(k), col("pos") - col("prev"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_grams"), sum(col("inc")).cast("long").as("dup_tokens"))
+    toks
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(
+          when(col("n_tokens") > 0,
+            coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+            .otherwise(lit(0.0)),
+          4).as("dup_frac"))
+      .orderBy("doc_id")
   }
 }

@@ -270,4 +270,50 @@ class CurationSpec extends AnyFunSuite {
     val b = TextAnalysis.hashSample(docs, rate = 2).collect().map(_.getLong(0))
     assert(a.sameElements(b))
   }
+
+  test("substring dedup finds a passage pasted into two documents") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // a 10-token passage shared verbatim by docs 1 and 2, surrounded by
+    // document-unique context; doc 3 shares nothing; doc 4 is shorter
+    // than one gram window (k=6)
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val planted = Seq(
+      (1L, s"one two three four five $passage red blue", "en", "web", 0L),
+      (2L, s"six seven eight nine ten eleven $passage green", "en", "wiki", 0L),
+      (3L, "totally unrelated words about storms at sea tonight again", "en", "web", 0L),
+      (4L, "tiny doc here", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.substringDedup(planted, k = 6).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))))
+      .toMap
+    // the 10-token passage yields 5 duplicated 6-gram positions per doc;
+    // their overlapping windows union to exactly the 10 passage tokens
+    // (interval coverage 6 + 4·1) — boundary grams mix in unique context
+    // tokens and must NOT be flagged
+    assert(r(1L) == ((17L, 5L, 10L, math.rint(10.0 / 17 * 10000) / 10000)))
+    assert(r(2L) == ((17L, 5L, 10L, math.rint(10.0 / 17 * 10000) / 10000)))
+    assert(r(3L) == ((9L, 0L, 0L, 0.0)))
+    assert(r(4L) == ((3L, 0L, 0L, 0.0)))
+  }
+
+  test("substring dedup coverage merges overlapping and disjoint spans") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // docs 1 and 2 share TWO disjoint 6-token passages with unique filler
+    // between them: 2 dup positions per passage is wrong (each passage is
+    // exactly one gram), and the two single-gram spans must not merge
+    val p1 = "p q r s t u"
+    val p2 = "v w x y z zz"
+    val planted = Seq(
+      (1L, s"a1 b1 $p1 c1 d1 e1 $p2 f1", "en", "web", 0L),
+      (2L, s"a2 $p1 b2 c2 d2 e2 f2 $p2 g2 h2", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.substringDedup(planted, k = 6).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3)))).toMap
+    // per doc: 2 duplicated gram positions, 12 covered tokens (6 + 6,
+    // spans separated by > k so no overlap credit)
+    assert(r(1L) == ((2L, 12L)))
+    assert(r(2L) == ((2L, 12L)))
+  }
 }

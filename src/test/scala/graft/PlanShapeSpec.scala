@@ -57,6 +57,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"NL join in LSH plan:\n$p")
   }
 
+  test("substring dedup joins positions to dup grams on the gram hash — no cartesian") {
+    val p = plan(Dedup.substringDedup(t("documents")))
+    assert(!p.contains("CartesianProduct"), s"cartesian in substring-dedup plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NL join in substring-dedup plan:\n$p")
+    // the dup-gram derivation must combine map-side before its shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate over gram hashes:\n$p")
+  }
+
   test("IVF cell search joins on the cell key — no cartesian product") {
     val p = plan(Similarity.ivfTopK(t("embeddings")))
     assert(!p.contains("CartesianProduct"), s"cartesian in IVF plan:\n$p")
