@@ -180,6 +180,7 @@ object SparkEntry {
     "q_docs_chunks" -> ((s, d) => TextAnalysis.chunkDocuments(t(s, d, "documents"))),
     "q_docs_pack" -> ((s, d) => TextAnalysis.packSequences(t(s, d, "documents"))),
     "q_docs_wsample" -> ((s, d) => TextAnalysis.weightedSample(t(s, d, "documents"))),
+    "q_docs_dsir" -> ((s, d) => TextAnalysis.dsirScores(t(s, d, "documents"))),
     "q_docs_clusters_stars" -> ((s, d) =>
       Dedup.nearDupClusters(t(s, d, "documents"), useStars = true)),
     // ---- dedup suite (LLM pipeline) ----
@@ -1275,6 +1276,45 @@ object SparkEntry {
         |  SELECT doc_id, source, n_tokens,
         |    h * 1000000 // greatest(n_tokens, 1) AS priority
         |  FROM t ORDER BY priority, doc_id LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
+    // DSIR importance scores: per-bucket ln Laplace ratios on the 1e-6
+    // integer grid BEFORE the per-doc sum (exact integer arithmetic);
+    // target = lang='en', B=256 hashed unigram+bigram buckets, top 100
+    "q_docs_dsir" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 256 AS b
+        |  FROM (
+        |    SELECT doc_id, lang, source, unnest(ws) AS f FROM words
+        |    UNION ALL
+        |    SELECT doc_id, lang, source,
+        |      unnest(list_transform(range(1, greatest(len(ws), 1)),
+        |                            i -> ws[i] || ' ' || ws[i + 1])) AS f
+        |    FROM words)),
+        |raw AS (SELECT b, count(*) AS cnt_r FROM feats GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS cnt_t FROM feats WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT (SELECT count(*) FROM feats) AS n_r,
+        |               (SELECT count(*) FROM feats WHERE lang = 'en') AS n_t),
+        |w AS (
+        |  SELECT r.b,
+        |    CAST(floor(ln(coalesce(t.cnt_t, 0) + 1) * 1000000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(r.cnt_r + 1) * 1000000 + 0.5) AS BIGINT)
+        |    + (SELECT CAST(floor(ln(n_r + 256) * 1000000 + 0.5) AS BIGINT)
+        |             - CAST(floor(ln(n_t + 256) * 1000000 + 0.5) AS BIGINT) FROM tot) AS wq
+        |  FROM raw r LEFT JOIN tgt t USING (b)),
+        |s AS (
+        |  SELECT f.doc_id, f.lang, f.source, count(*) AS n_feats,
+        |    CAST(sum(w.wq) AS BIGINT) AS score_q
+        |  FROM feats f JOIN w ON f.b = w.b
+        |  GROUP BY f.doc_id, f.lang, f.source)
+        |SELECT doc_id, lang, source, n_feats, score_q,
+        |  round(score_q / 1000000.0, 4) AS score
+        |FROM (SELECT * FROM s ORDER BY score_q DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
     "q_docs_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS copies

@@ -819,6 +819,81 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed-ngram bag is under a TARGET
+    * distribution than under the raw-corpus distribution, then keep the
+    * top-k — the mixture-reweighting step between quality scoring
+    * ([[qualityScore]]) and mixture sampling ([[mixtureSample]]). The
+    * target here is the corpus's `lang = targetLang` slice (the "trusted
+    * sample" a practitioner would supply); features are unigrams +
+    * bigrams hashed into `buckets` buckets, Laplace-smoothed on both
+    * sides, exactly the paper's recipe.
+    *
+    * score(doc) = Σ_occurrences [ln p_target(b) − ln p_raw(b)]
+    *            = Σ_occ [ln(cnt_t(b)+1) − ln(cnt_r(b)+1)] + n_feats·C,
+    * with C = ln(N_r+B) − ln(N_t+B) folded into each bucket weight. Every
+    * ln lands on the 1e-6 integer grid BEFORE the per-doc sum (the
+    * [[unigramLogProb]] discipline), so cross-row summation is exact
+    * integer arithmetic on both engines.
+    *
+    * Selection is the paper's deterministic top-k variant (rank by score);
+    * the Gumbel-kernel resampling alternative needs ln(−ln(u)) of a hash
+    * draw, which no integer grid makes bit-exact across engines — with a
+    * tolerance-based gate, swap the rank key for
+    * `score_q + gumbel(h)·1e6`. Executes as one feature explode (persisted;
+    * three consumers), two bucket aggregates with map-side combine (≤
+    * `buckets` rows each — the model tables are broadcast-sized by
+    * construction), a broadcast join back, and a TakeOrderedAndProject
+    * top-k: the corpus shuffles once, on the feature-bucket aggregate.
+    */
+  def dsirScores(
+      documents: DataFrame,
+      targetLang: String = "en",
+      buckets: Int = 256,
+      k: Int = 100): DataFrame = {
+    val ws = graft.functions.TextExpressions.alnumTokens(col("text"))
+    val bigrams = zip_with(
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val featsRaw = documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(concat(ws, bigrams)).as("f"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
+    val feats =
+      if (featsRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        featsRaw.persist()
+      else featsRaw
+    val rawCnt = feats.groupBy("b").agg(count(lit(1)).as("cnt_r"))
+    val tgtCnt = feats.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("cnt_t"))
+    // corpus/target totals: two scalar aggregate jobs over the persisted
+    // feature frame; ln(N+B) lands on the grid as a literal on both engines
+    val nR = feats.count()
+    val nT = feats.filter(col("lang") === targetLang).count()
+    def gridLit(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val c = gridLit(nR.toDouble + buckets) - gridLit(nT.toDouble + buckets)
+    def grid(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(log(x.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    // target buckets ⊆ raw buckets (same corpus), so a left join covers
+    // every bucket a document can hash into
+    val bucketW = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .select(col("b"),
+        (grid(coalesce(col("cnt_t"), lit(0L)) + 1) - grid(col("cnt_r") + 1) + lit(c))
+          .as("wq"))
+    feats
+      .join(broadcast(bucketW), Seq("b"))
+      .groupBy("doc_id", "lang", "source")
+      .agg(count(lit(1)).as("n_feats"), sum(col("wq")).cast("long").as("score_q"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_feats"),
+        col("score_q"), round(col("score_q") / lit(1e6), 4).as("score"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(k)
+      .orderBy("doc_id")
+  }
+
   /** Rabin-Karp rolling-hash parameters: h(i) = Σ_j code(text[i+j])·B^j
     * mod P over a k-char window. Powers are precomputed and embedded as
     * literals on both engines so the arithmetic replays exactly.

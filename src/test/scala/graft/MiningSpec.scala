@@ -313,4 +313,33 @@ class MiningSpec extends AnyFunSuite {
     // ties (c vs d, both cnt=1) break alphabetically
     assert(rows(2).getString(rows(2).fieldIndex("word")) == "c")
   }
+
+  test("DSIR importance ranks target-vocabulary docs above off-target ones") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // two disjoint vocabularies: the en (target) slice writes X-words, the
+    // zh slice writes Y-words. Docs 10/11 have no lang label weight of
+    // their own beyond their features — the X-vocabulary doc must outscore
+    // the Y-vocabulary doc purely through the hashed-ngram ratio model.
+    val x = "alpha beta gamma delta epsilon"
+    val y = "uno dos tres cuatro cinco"
+    val df = Seq(
+      (1L, s"$x $x", "en", "web", 0L),
+      (2L, s"$x alpha beta", "en", "web", 0L),
+      (3L, s"$y $y", "zh", "web", 0L),
+      (4L, s"$y uno dos", "zh", "web", 0L),
+      (10L, x, "xx", "probe", 0L),
+      (11L, y, "xx", "probe", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.dsirScores(df).collect()
+      .map(row => row.getLong(0) -> row.getLong(row.fieldIndex("score_q"))).toMap
+    assert(r(10L) > r(11L),
+      s"target-vocab probe must outscore off-target probe: $r")
+    // and the target slice itself scores above the off-target slice
+    assert(Seq(1L, 2L).map(r).min > Seq(3L, 4L).map(r).max, s"$r")
+    // the margin is per-occurrence and substantial: every Y-feature pays
+    // ln(1) − ln(cnt_r+1) while X-features pay ≈ ln(cnt_t+1) − ln(cnt_r+1),
+    // so the probes separate by more than one whole grid-ln unit
+    assert(r(10L) - r(11L) > 1000000L, s"$r")
+  }
 }
