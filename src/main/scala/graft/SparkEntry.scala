@@ -834,12 +834,14 @@ object SparkEntry {
         |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
         |) shares
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // moments rounded at 4 digits: engine merge order leaves ~1e-7
+    // residual that a 6-digit round exposed to the hash compare
     "q_agg_stats" ->
       """SELECT l_returnflag,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
         |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
-        |  round(stddev_samp(l_discount), 6) AS sd_discount,
-        |  round(var_pop(l_tax), 6) AS var_tax,
+        |  round(stddev_samp(l_discount), 4) AS sd_discount,
+        |  round(var_pop(l_tax), 4) AS var_tax,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_gsets" ->
@@ -910,6 +912,9 @@ object SparkEntry {
         |FROM spine sp
         |LEFT JOIN daily d ON sp.user_id = d.user_id AND sp.day = d.day
         |ORDER BY sp.user_id, sp.day""".stripMargin,
+    // sd IS NOT NULL AND sd != 0 mirrors the Spark-side degenerate-group
+    // guard (identical-value users would otherwise hit engine-dependent
+    // div-by-zero/NaN-comparison semantics)
     "q_events_zscore" ->
       """WITH s AS (
         |  SELECT event_id, user_id, value,
@@ -917,7 +922,8 @@ object SparkEntry {
         |    stddev_samp(value) OVER (PARTITION BY user_id) AS sd
         |  FROM events)
         |SELECT event_id, user_id, value, round((value - mu) / sd, 4) AS zscore
-        |FROM s WHERE abs(round((value - mu) / sd, 4)) > 2.0
+        |FROM s WHERE sd IS NOT NULL AND sd != 0
+        |  AND abs(round((value - mu) / sd, 4)) > 2.0
         |ORDER BY event_id""".stripMargin,
     "q_docs_bigram_lm" ->
       """WITH words AS (

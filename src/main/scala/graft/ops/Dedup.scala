@@ -405,7 +405,7 @@ object Dedup {
     * per round, zero data movement ([[org.apache.spark.sql.GraftSqlInternals]]).
     */
   private def freshCheckpoint(df: DataFrame, eager: Boolean = true): DataFrame =
-    org.apache.spark.sql.GraftSqlInternals.resetLeafStats(df.localCheckpoint(eager))
+    org.apache.spark.sql.GraftSqlInternals.localCheckpointStatsFree(df, eager)
 
   /** Connected components by label contraction. Exposed separately from
     * [[nearDupClusters]] so the fixpoint logic is testable on a synthetic

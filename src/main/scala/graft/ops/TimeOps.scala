@@ -221,6 +221,12 @@ object TimeOps {
       .select(col("event_id"), col("user_id"), col("value"),
         avg("value").over(byUser).as("mu"),
         stddev_samp("value").over(byUser).as("sd"))
+      // sd = 0 (a user whose values are all identical) or NULL (a single
+      // event) has no defined z-score; without the guard Spark yields
+      // NaN/Inf and treats NaN > z as true while other engines' div-by-
+      // zero semantics vary — filter the degenerate groups explicitly on
+      // BOTH engines (mirrored in the q_events_zscore oracle)
+      .filter(col("sd").isNotNull && col("sd") =!= 0.0)
       .withColumn("zscore", round((col("value") - col("mu")) / col("sd"), 4))
       .filter(abs(col("zscore")) > z)
       .select("event_id", "user_id", "value", "zscore")

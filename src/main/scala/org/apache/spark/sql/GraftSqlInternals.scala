@@ -45,4 +45,50 @@ object GraftSqlInternals {
       withLayout.isStreaming)(ds.sparkSession)
     classic.Dataset.ofRows(ds.sparkSession, statsFree)
   }
+
+  /** `localCheckpoint` + stats reset that also KEEPS the frame's physical
+    * layout. With AQE on (the default), `AdaptiveSparkPlanExec` advertises
+    * `UnknownPartitioning` — AQE may still re-plan — so Spark's own
+    * checkpoint leaf stores Unknown and every downstream consumer of the
+    * checkpointed frame re-shuffles data that is already correctly
+    * partitioned. After EXECUTION (eager checkpoint) the final physical
+    * plan is frozen, so its partitioning is real; this recovers it from
+    * `finalPhysicalPlan`, rewrites its attributes onto the checkpoint
+    * leaf's output ids, and rebuilds the leaf stats-free (see
+    * [[resetLeafStats]] for why the inherited stats must go).
+    *
+    * With `eager = false` the layout recovery is skipped (forcing
+    * `finalPhysicalPlan` would materialize the frame, defeating the lazy
+    * contract) and the behavior matches plain checkpoint + stats reset.
+    */
+  def localCheckpointStatsFree(df: Dataset[Row], eager: Boolean = true): Dataset[Row] = {
+    import catalyst.expressions.{Attribute, AttributeMap, Expression}
+    import catalyst.plans.physical.{Partitioning, PartitioningCollection, UnknownPartitioning}
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val cp = ds.localCheckpoint(eager).asInstanceOf[classic.Dataset[Row]]
+    val leaf = cp.queryExecution.optimizedPlan.asInstanceOf[execution.LogicalRDD]
+    @annotation.tailrec
+    def firstLeafPartitioning(p: Partitioning): Partitioning = p match {
+      case c: PartitioningCollection => firstLeafPartitioning(c.partitionings.head)
+      case other => other
+    }
+    val part: Partitioning =
+      if (!eager) leaf.outputPartitioning
+      else {
+        val physical = ds.queryExecution.executedPlan match {
+          case a: execution.adaptive.AdaptiveSparkPlanExec => a.finalPhysicalPlan
+          case p => p
+        }
+        val assoc = AttributeMap(physical.output.zip(leaf.output))
+        firstLeafPartitioning(physical.outputPartitioning) match {
+          case e: Expression with Partitioning if e.references.forall(assoc.contains) =>
+            e.transform { case a: Attribute => assoc(a) }.asInstanceOf[Partitioning]
+          case e: Expression with Partitioning => UnknownPartitioning(e.numPartitions)
+          case p => p // SinglePartition / RoundRobin / Unknown — attribute-free
+        }
+      }
+    val statsFree = execution.LogicalRDD(
+      leaf.output, leaf.rdd, part, leaf.outputOrdering, leaf.isStreaming)(ds.sparkSession)
+    classic.Dataset.ofRows(ds.sparkSession, statsFree)
+  }
 }

@@ -57,6 +57,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"NL join in LSH plan:\n$p")
   }
 
+  test("checkpoint stats-reset bridge preserves hash partitioning (no re-exchange)") {
+    // the iterative-CC fixpoint rests on this: localCheckpoint + leaf-stats
+    // reset must keep the frame's outputPartitioning, or every round would
+    // pay a fresh shuffle for a layout Spark already had
+    val reset = org.apache.spark.sql.GraftSqlInternals.localCheckpointStatsFree(
+      t("orders").repartition(org.apache.spark.sql.functions.col("o_custkey")))
+    val agg = reset.groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val p = plan(agg)
+    assert(!p.contains("Exchange"),
+      s"aggregate on the checkpointed partitioning key must not re-shuffle:\n$p")
+  }
+
   test("substring dedup joins positions to dup grams on the gram hash — no cartesian") {
     val p = plan(Dedup.substringDedup(t("documents")))
     assert(!p.contains("CartesianProduct"), s"cartesian in substring-dedup plan:\n$p")
