@@ -272,6 +272,7 @@ object SparkEntry {
     "q_docs_mixture" -> ((s, d) => TextAnalysis.mixtureSample(
       t(s, d, "documents"), Map("src0" -> 10000, "src1" -> 5000, "src2" -> 2500))),
     "q_docs_ngram_contam" -> ((s, d) => TextAnalysis.ngramContamination(t(s, d, "documents"))),
+    "q_docs_fuzzy_contam" -> ((s, d) => TextAnalysis.fuzzyContamination(t(s, d, "documents"))),
     "q_docs_bloom_decontam" -> ((s, d) => TextAnalysis.bloomDecontaminate(t(s, d, "documents"))),
     "q_docs_repetition" -> ((s, d) => TextAnalysis.repetitionScore(t(s, d, "documents"))),
     "q_emb_srp_pairs" -> ((s, d) => Similarity.srpNearDupPairs(t(s, d, "embeddings"))),
@@ -1771,6 +1772,42 @@ object SparkEntry {
          |          '${TextAnalysis.Ipv4Re}', '[IP]', 'g'),
          |        '${TextAnalysis.PhoneRe}', '[PHONE]', 'g')) AS redacted_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // fuzzy decontamination: per-gram deletion variants (mask index d,
+    // d = -1 unmasked); equi-join on (d, vh) covers token distance <= 1
+    "q_docs_fuzzy_contam" ->
+      """WITH words AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, source, u.i AS pos, u.d AS d, u.vh AS vh FROM (
+        |    SELECT doc_id, source,
+        |      unnest(flatten(list_transform(range(1, greatest(len(ws) - 4, 0) + 1), i ->
+        |        list_transform(range(-1, 5), d ->
+        |          {'i': i, 'd': d,
+        |           'vh': substr(md5(CASE WHEN d = -1
+        |                  THEN array_to_string(ws[i:i+4], ' ')
+        |                  ELSE array_to_string(ws[i:i+d-1] || ['#'] || ws[i+d+1:i+4], ' ')
+        |                  END), 1, 16)})))) AS u
+        |    FROM words)),
+        |bench AS (SELECT DISTINCT d, vh FROM v WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT c.doc_id, c.pos,
+        |    CAST(max(CASE WHEN c.d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS is_exact
+        |  FROM v c JOIN bench b ON c.d = b.d AND c.vh = b.vh
+        |  WHERE c.source <> 'src0'
+        |  GROUP BY c.doc_id, c.pos),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS fuzzy_grams,
+        |    CAST(sum(is_exact) AS BIGINT) AS exact_grams
+        |  FROM hits GROUP BY doc_id)
+        |SELECT w.doc_id, w.source,
+        |  CAST(greatest(len(w.ws) - 4, 0) AS BIGINT) AS n_grams,
+        |  p.fuzzy_grams, p.exact_grams
+        |FROM words w JOIN perdoc p USING (doc_id)
+        |WHERE w.source <> 'src0'
+        |ORDER BY w.doc_id""".stripMargin,
     "q_docs_ngram_contam" ->
       """WITH w AS (
         |  SELECT doc_id, source,

@@ -174,6 +174,77 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy benchmark decontamination: find corpus documents containing a
+    * token n-gram within TOKEN edit distance 1 of any benchmark n-gram
+    * (one word substituted) — the tolerance that catches the
+    * "Question: … Answer: …" eval leak a copy-editor touched, which
+    * exact 13-gram overlap ([[ngramContamination]]) and the Bloom
+    * pre-filter ([[bloomDecontamination]]) both miss.
+    *
+    * The trick is the [[typoPairs]] blocking argument lifted from
+    * characters-in-a-word to tokens-in-a-gram: two n-grams differing in
+    * exactly one position p share the "deletion variant" that masks p
+    * (and ONLY that variant — any other mask retains the differing
+    * token). So each gram emits n position-masked variant hashes plus one
+    * unmasked hash (mask index −1), and a plain equi-join on
+    * (mask index, variant hash) finds every distance-≤1 pair with zero
+    * similarity computation: matching at any mask ⟹ distance ≤ 1;
+    * matching at −1 ⟹ exact. No verify leg, no cartesian, provably
+    * complete for one substitution.
+    *
+    * Scale shape: the benchmark side is eval-set-sized, so its distinct
+    * (mask, hash) set broadcasts and THE CORPUS NEVER SHUFFLES for the
+    * join — the only aggregation shuffle carries matched positions. The
+    * (n+1)× variant fan-out is a map-stage cost, the price of fuzziness
+    * (cheap next to a suffix-automaton alternative that cannot
+    * distribute).
+    */
+  def fuzzyContamination(
+      documents: DataFrame,
+      benchSource: String = "src0",
+      n: Int = 5): DataFrame = {
+    val withWords = documents.select(
+      col("doc_id"), col("source"),
+      graft.functions.TextExpressions.alnumTokens(col("text")).as("ws"))
+    val variantsRaw = withWords
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(flatten(transform(
+          sequence(lit(1), size(col("ws")) - lit(n - 1)),
+          i => transform(sequence(lit(-1), lit(n - 1)), d =>
+            struct(
+              i.as("pos"), d.as("d"),
+              substring(md5(concat_ws(" ",
+                when(d === -1, slice(col("ws"), i, lit(n)))
+                  .otherwise(concat(
+                    slice(col("ws"), i, d),
+                    array(lit("#")),
+                    slice(col("ws"), i + d + 1, lit(n - 1) - d))))), 1, 16).as("vh"))))))
+          .as("u"))
+      .select(col("doc_id"), col("source"), col("u.pos"), col("u.d"), col("u.vh"))
+    // one variant computation feeds both the benchmark and corpus legs
+    val variants =
+      if (variantsRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        variantsRaw.persist()
+      else variantsRaw
+    val bench = variants.filter(col("source") === benchSource)
+      .select("d", "vh").distinct()
+    val hits = variants.filter(col("source") =!= benchSource)
+      .join(broadcast(bench), Seq("d", "vh"))
+      .groupBy("doc_id", "pos")
+      .agg(max((col("d") === -1).cast("long")).as("is_exact"))
+    withWords
+      .filter(col("source") =!= benchSource)
+      .select(col("doc_id"), col("source"),
+        greatest(size(col("ws")) - (n - 1), lit(0)).cast("long").as("n_grams"))
+      .join(
+        hits.groupBy("doc_id")
+          .agg(count(lit(1)).as("fuzzy_grams"),
+            sum("is_exact").cast("long").as("exact_grams")),
+        Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** Within-document repetition score: the fraction of duplicate word
     * trigrams (1 − distinct/total), the Gopher-style quality signal that
     * catches boilerplate and degenerate generation loops. Pure per-row

@@ -316,4 +316,25 @@ class CurationSpec extends AnyFunSuite {
     assert(r(1L) == ((2L, 12L)))
     assert(r(2L) == ((2L, 12L)))
   }
+
+  test("fuzzy contamination flags one-token-substituted benchmark grams") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // benchmark doc holds one 5-token passage. Corpus doc 2 copies it
+    // verbatim (exact ⊆ fuzzy); doc 3 substitutes ONE middle token (fuzzy
+    // only); doc 4 substitutes TWO tokens (beyond tolerance — no row).
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon", "bench", "src0", 0L),
+      (2L, "x1 y1 alpha beta gamma delta epsilon z1", "en", "web", 0L),
+      (3L, "x2 alpha beta CHANGED delta epsilon y2", "en", "web", 0L),
+      (4L, "alpha beta CHANGED delta WRONG", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.fuzzyContamination(planted).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(x.fieldIndex("fuzzy_grams")), x.getLong(x.fieldIndex("exact_grams")))))
+      .toMap
+    assert(r(2L) == ((1L, 1L)), s"verbatim copy must be exact+fuzzy: $r")
+    assert(r(3L) == ((1L, 0L)), s"one substitution must be fuzzy, not exact: $r")
+    assert(!r.contains(4L), s"two substitutions exceed distance 1: $r")
+  }
 }

@@ -71,6 +71,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"aggregate on the checkpointed partitioning key must not re-shuffle:\n$p")
   }
 
+  test("fuzzy contamination broadcasts the benchmark variant set — corpus never shuffles for the join") {
+    val p = plan(TextAnalysis.fuzzyContamination(t("documents")))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast variant join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cartesian/NL join in fuzzy-contam plan:\n$p")
+  }
+
   test("substring dedup joins positions to dup grams on the gram hash — no cartesian") {
     val p = plan(Dedup.substringDedup(t("documents")))
     assert(!p.contains("CartesianProduct"), s"cartesian in substring-dedup plan:\n$p")
