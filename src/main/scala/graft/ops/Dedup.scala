@@ -83,7 +83,10 @@ object Dedup {
       // (member, local-min) edges before the iterated rounds, same as
       // semanticDedup's pair input (identical components, fewer edges)
       starReduceEdges(simhashNearDupPairs(documents, maxHamming).select("id_a", "id_b")),
-      documents.select(col("doc_id")))
+      documents.select(col("doc_id")),
+      // per-consumer rounds key: three operators share the stars core, and
+      // a shared key would leave cc_rounds attributing only the LAST run
+      roundsKey = "cc_stars_simhash")
 
   /** Incremental (delta-vs-base) deduplication — the daily-ingest shape:
     * classify each incoming document against the existing corpus without
@@ -374,6 +377,7 @@ object Dedup {
     val verts = documents.select(col("doc_id"))
     if (useStars) connectedComponentsStars(edges, verts, maxIter)
     else connectedComponents(edges, verts, maxIter)
+    // (the LSH consumer keeps the historical "cc_stars" key)
   }
 
   /** Iterations taken by the most recent CC run in this JVM, keyed by

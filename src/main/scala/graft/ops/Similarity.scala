@@ -687,6 +687,7 @@ object Similarity {
     Dedup.connectedComponentsStars(
       Dedup.starReduceEdges(
         cosinePairsRaw(embeddings, threshold).select("id_a", "id_b")),
-      embeddings.select(col("vec_id")))
+      embeddings.select(col("vec_id")),
+      roundsKey = "cc_stars_semdedup")
       .withColumnRenamed("doc_id", "vec_id")
 }
