@@ -158,6 +158,33 @@ object SparkEntry {
         ORDER BY p_brand
       """)
     }),
+    // TPC-H Q21-shaped: EXISTS + NOT EXISTS over the same fact table with
+    // <> correlation — the decorrelation stress shape. Catalyst rewrites
+    // the pair into a left-semi and a left-anti hash join on l_orderkey
+    // (the <> predicates ride along as join conditions); nothing executes
+    // per-row.
+    "q_sql_multi_exists" -> ((s, d) => {
+      t(s, d, "supplier").createOrReplaceTempView("v_supplier")
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM v_supplier
+        JOIN v_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN v_orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM v_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM v_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+      """)
+    }),
     "q_when_case" -> ((s, d) => Relational.whenCaseBuckets(t(s, d, "orders"))),
     "q_validate_chain" -> ((s, d) => Relational.validateChain(t(s, d, "lineitem"))),
     "q_struct_pack" -> ((s, d) => Relational.structPackJson(t(s, d, "orders"))),
@@ -193,6 +220,7 @@ object SparkEntry {
     "q_docs_bigrams" -> ((s, d) => Dedup.wordBigrams(t(s, d, "documents"))),
     "q_docs_clusters" -> ((s, d) => Dedup.nearDupClusters(t(s, d, "documents"))),
     "q_docs_substring_dedup" -> ((s, d) => Dedup.substringDedup(t(s, d, "documents"))),
+    "q_docs_substring_spans" -> ((s, d) => Dedup.substringDedupSpans(t(s, d, "documents"))),
     // ---- similarity search (LLM pipeline) ----
     "q_emb_topk" -> ((s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"))),
     "q_emb_topk_agg" -> ((s, d) => Similarity.bruteForceTopKAgg(t(s, d, "embeddings"))),
@@ -805,6 +833,20 @@ object SparkEntry {
         |    SELECT 1 FROM lineitem
         |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_multi_exists" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
     "q_sql_scalar" ->
       """SELECT p_brand,
         |  round(sum(l_extendedprice), 2) AS below_avg_revenue,
@@ -1326,6 +1368,34 @@ object SparkEntry {
     "q_docs_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // substring spans: same dup-position set, segmented into merged
+    // removal intervals by a running-sum span id (gap > k starts a span)
+    "q_docs_substring_spans" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, u.p AS pos, u.g AS gh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, greatest(len(ws) - 5, 0) + 1),
+        |        i -> {'p': i, 'g': substr(md5(array_to_string(ws[i:i+5], ' ')), 1, 16)})) AS u
+        |    FROM words)),
+        |dup AS (SELECT gh FROM pos GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT doc_id, pos FROM pos WHERE gh IN (SELECT gh FROM dup)),
+        |m AS (
+        |  SELECT doc_id, pos, lag(pos) OVER w AS prev
+        |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos - prev > 6 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT doc_id, CAST(sid AS BIGINT) AS span_id,
+        |  CAST(min(pos) AS BIGINT) AS start_pos,
+        |  CAST(max(pos) + 5 AS BIGINT) AS end_pos,
+        |  CAST(max(pos) + 5 - min(pos) + 1 AS BIGINT) AS span_tokens
+        |FROM sp GROUP BY doc_id, sid ORDER BY doc_id, span_id""".stripMargin,
     // substring dedup: token 6-grams in >= 2 distinct docs; per-doc
     // interval-union coverage via a lag window over the dup positions only
     "q_docs_substring_dedup" ->

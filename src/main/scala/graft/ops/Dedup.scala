@@ -793,6 +793,37 @@ object Dedup {
     * these shapes — see ngramJaccardNearDup).
     */
   def substringDedup(documents: DataFrame, k: Int = 6): DataFrame = {
+    val (toks, dupPos) = tokensAndDupPositions(documents, k)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val cov = dupPos
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("inc",
+        when(col("prev").isNull, lit(k))
+          .otherwise(least(lit(k), col("pos") - col("prev"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_grams"), sum(col("inc")).cast("long").as("dup_tokens"))
+    toks
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(
+          when(col("n_tokens") > 0,
+            coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+            .otherwise(lit(0.0)),
+          4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** The shared front half of the ExactSubstr pipeline: the persisted
+    * token frame and the (doc_id, pos) set of gram positions whose k-gram
+    * occurs in ≥ 2 distinct documents. Both [[substringDedup]] (coverage
+    * stats) and [[substringDedupSpans]] (removal intervals) read this.
+    */
+  private def tokensAndDupPositions(
+      documents: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val toksRaw = documents.select(col("doc_id"),
       graft.functions.TextExpressions.alnumTokens(col("text")).as("ws"))
     val toks =
@@ -815,28 +846,34 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2)
       .select("gh")
+    (toks, pos.join(dupGrams, Seq("gh"), "left_semi").select("doc_id", "pos"))
+  }
+
+  /** The REMOVAL artifact of exact substring dedup: per document, the
+    * merged token intervals covered by corpus-duplicated k-grams — what a
+    * Lee et al. 2022 pipeline actually cuts out of the training text
+    * (where [[substringDedup]] reports how much, this reports where).
+    * Intervals merge when consecutive duplicated gram positions overlap
+    * or touch (gap ≤ k), so Σ span_tokens per doc equals
+    * [[substringDedup]]'s dup_tokens exactly — an invariant pinned in
+    * `CurationSpec`. One lag window plus a running-sum span id over ONLY
+    * the duplicated positions, then a per-span aggregate: the corpus
+    * never re-shuffles.
+    */
+  def substringDedupSpans(documents: DataFrame, k: Int = 6): DataFrame = {
+    val (_, dupPos) = tokensAndDupPositions(documents, k)
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val cov = pos
-      .join(dupGrams, Seq("gh"), "left_semi")
-      .select("doc_id", "pos")
+    dupPos
       .withColumn("prev", lag(col("pos"), 1).over(w))
-      .withColumn("inc",
-        when(col("prev").isNull, lit(k))
-          .otherwise(least(lit(k), col("pos") - col("prev"))))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("dup_grams"), sum(col("inc")).cast("long").as("dup_tokens"))
-    toks
-      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
-      .join(cov, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"), col("n_tokens"),
-        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        round(
-          when(col("n_tokens") > 0,
-            coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
-            .otherwise(lit(0.0)),
-          4).as("dup_frac"))
-      .orderBy("doc_id")
+      .withColumn("new_span",
+        (col("prev").isNull || (col("pos") - col("prev") > k)).cast("long"))
+      .withColumn("span_id",
+        sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(
+        min(col("pos")).cast("long").as("start_pos"),
+        (max(col("pos")) + lit(k - 1)).cast("long").as("end_pos"))
+      .withColumn("span_tokens", col("end_pos") - col("start_pos") + 1)
+      .orderBy("doc_id", "span_id")
   }
 }

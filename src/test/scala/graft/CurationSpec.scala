@@ -315,6 +315,17 @@ class CurationSpec extends AnyFunSuite {
     // spans separated by > k so no overlap credit)
     assert(r(1L) == ((2L, 12L)))
     assert(r(2L) == ((2L, 12L)))
+
+    // the removal intervals segment identically: two 6-token spans per
+    // doc, and Σ span_tokens per doc equals dup_tokens exactly
+    val spans = Dedup.substringDedupSpans(planted, k = 6).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(spans.count(_._1 == 1L) == 2 && spans.count(_._1 == 2L) == 2, s"${spans.toSeq}")
+    assert(spans.filter(_._1 == 1L).map(_._5).sum == 12L)
+    assert(spans.filter(_._1 == 2L).map(_._5).sum == 12L)
+    // doc 1: "a1 b1 [p1=3..8] c1 d1 e1 [p2=12..17] f1" — exact intervals
+    assert(spans.filter(_._1 == 1L).map(s => (s._3, s._4)).toSet == Set((3L, 8L), (12L, 17L)),
+      s"${spans.toSeq}")
   }
 
   test("fuzzy contamination flags one-token-substituted benchmark grams") {

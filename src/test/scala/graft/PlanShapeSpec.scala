@@ -168,6 +168,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected decorrelated per-part aggregate + grouped output:\n$ps")
   }
 
+  test("Q21-shaped EXISTS + NOT EXISTS decorrelate to semi + anti joins") {
+    val p = plan(SparkEntry.queries("q_sql_multi_exists")(spark, dir))
+    assert(p.contains("LeftSemi"), s"EXISTS not decorrelated to a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not decorrelated to an anti join:\n$p")
+    assert(!p.toLowerCase.contains("subquery"),
+      s"a subquery survived per-row:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q21 plan:\n$p")
+  }
+
   test("flagship star query broadcasts the dimension chain and returns rows") {
     val df = SparkEntry.entry(spark)
     val p = plan(df)
