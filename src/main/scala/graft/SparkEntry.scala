@@ -294,6 +294,7 @@ object SparkEntry {
     }),
     "q_docs_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(t(s, d, "documents"))),
     "q_docs_unigram_lp" -> ((s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents"))),
+    "q_docs_surprisal" -> ((s, d) => TextAnalysis.bigramSurprisal(t(s, d, "documents"))),
     "q_docs_split" -> ((s, d) => TextAnalysis.trainValTestSplit(t(s, d, "documents"))),
     "q_docs_pii" -> ((s, d) => TextAnalysis.redactPii(t(s, d, "documents"))),
     // mixture: keep all of src0, 50% of src1, 25% of src2; drop the rest
@@ -1457,6 +1458,30 @@ object SparkEntry {
         |  round(CAST(qn.v * d.n_tokens - d.sq AS DOUBLE) / 1000000.0 / d.n_tokens, 6)
         |    AS avg_neg_logp
         |FROM d, qn ORDER BY d.doc_id""".stripMargin,
+    // bigram surprisal: per-pair -ln P(w2|w1) = ln C(w1) - ln C(w1,w2)
+    // on the 1e-6 grid per MODEL row; per-doc sum is exact integers
+    "q_docs_surprisal" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, greatest(len(ws), 1)),
+        |                            i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS u
+        |    FROM words)),
+        |pc AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY w1, w2),
+        |cc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pc GROUP BY w1),
+        |model AS (
+        |  SELECT pc.w1, pc.w2,
+        |    CAST(floor(ln(CAST(cc.c1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(CAST(pc.c12 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nlp_q
+        |  FROM pc JOIN cc USING (w1))
+        |SELECT o.doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(m.nlp_q) AS DOUBLE) / count(*) / 1000000.0, 4) AS surprisal
+        |FROM occ o JOIN model m ON o.w1 = m.w1 AND o.w2 = m.w2
+        |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin,
     "q_docs_minhash" ->
       s"""WITH $minhashCtes
          |SELECT h.doc_id, h0, h1, h2, h3, h4, h5, h6, h7,

@@ -609,6 +609,54 @@ object TextAnalysis {
       .orderBy("w1", "w2")
   }
 
+  /** Bigram-LM surprisal per document — the CCNet-style LM quality filter
+    * one rung above [[unigramLogProb]]: score every document by its mean
+    * negative log-probability under the corpus's OWN bigram model,
+    * −(1/n)·Σ ln P(w2|w1) with P(w2|w1) = C(w1,w2)/C(w1·). Fluent,
+    * repetitive text scores low (its word transitions are corpus-typical);
+    * shuffled or noisy text scores high — the standard perplexity-bucket
+    * signal for pretraining curation. Self-scoring means every observed
+    * bigram has nonzero count, so no smoothing/backoff branch exists to
+    * diverge between engines.
+    *
+    * Bit-exact discipline: each pair's −ln P = ln C(w1·) − ln C(w1,w2)
+    * lands on the 1e-6 integer grid PER MODEL ROW (before the per-doc
+    * sum), so cross-row summation is exact integer arithmetic; the final
+    * mean divides two exact integers once. Shape: one persisted
+    * per-occurrence pair frame, the [[bigramConditional]] model aggregates
+    * (context counts derived from the pair counts — one corpus shuffle),
+    * and a model join back to occurrences that AQE broadcasts while the
+    * Heaps'-law vocabulary fits and hash-joins past it.
+    */
+  def bigramSurprisal(documents: DataFrame): DataFrame = {
+    val words = graft.functions.TextExpressions.alnumTokens(col("text"))
+    val bigrams = zip_with(
+      slice(words, lit(1), greatest(size(words) - 1, lit(0))),
+      slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val occRaw = documents
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val occ =
+      if (occRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        occRaw.persist()
+      else occRaw
+    val pairCnt = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctxCnt = pairCnt.groupBy("w1").agg(sum("c12").as("c1"))
+    def grid(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(log(x.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    val model = pairCnt.join(ctxCnt, Seq("w1"))
+      .select(col("w1"), col("w2"), (grid(col("c1")) - grid(col("c12"))).as("nlp_q"))
+    occ
+      .join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nlp_q").cast("long").as("sum_q"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_q").cast("double") / col("n_bigrams") / lit(1e6), 4)
+          .as("surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical text normalization — the preprocessing contract a dedup or
     * tokenizer stage keys on: lowercase, strip everything but [a-z0-9 ],
     * collapse whitespace runs, trim, then fingerprint the result. Pure

@@ -314,6 +314,26 @@ class MiningSpec extends AnyFunSuite {
     assert(rows(2).getString(rows(2).fieldIndex("word")) == "c")
   }
 
+  test("bigram surprisal scores rare transitions above corpus-typical ones") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // corpus bigram model: C(a,b)=3, C(b,a)=2, C(a,c)=1, C(a,d)=1 ⇒
+    // C(a·)=5, C(b·)=2. doc 1 repeats the dominant a↔b loop; docs 2/3
+    // each take an a→rare transition.
+    val df = Seq(
+      (1L, "a b a b a b"), (2L, "a c"), (3L, "a d"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'web' AS source", "0L AS n_chars")
+    val r = TextAnalysis.bigramSurprisal(df).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    // grid arithmetic, closed form: q(ln5)=1609438, q(ln3)=1098612,
+    // q(ln2)=693147 ⇒ doc1 = (3·(1609438−1098612) + 2·0)/5/1e6 = 0.3065;
+    // docs 2/3 = 1609438/1e6 = 1.6094
+    assert(r(1L) == ((5L, 0.3065)), s"$r")
+    assert(r(2L) == ((1L, 1.6094)) && r(3L) == ((1L, 1.6094)), s"$r")
+    assert(r(2L)._2 > r(1L)._2)
+  }
+
   test("DSIR importance ranks target-vocabulary docs above off-target ones") {
     val sparkS = spark
     import sparkS.implicits._
