@@ -780,17 +780,17 @@ object Dedup {
     * whole-document hashing nor document-level similarity thresholds will.
     *
     * Spark shape (the suffix-array of the paper re-expressed relationally,
-    * which is what distributes): one tokenize+hash map stage per doc; a
-    * gram-hash aggregate with map-side combine to find duplicated grams
-    * (shuffle bounded by DISTINCT gram cardinality, never doc×doc); a
-    * semi-join of positions against the duplicated-gram set; and a per-doc
-    * lag-window over ONLY the duplicated positions to union overlapping
-    * windows (interval-union coverage: each position contributes
-    * min(k, pos − prev_pos) tokens). Grams travel as 16-hex-char md5
-    * prefixes, not strings — at 100 TB the gram shuffle ships 16-byte
-    * keys. Both the token frame and the position frame are persisted
-    * (consumed by two legs each; exchange reuse does not fire across
-    * these shapes — see ngramJaccardNearDup).
+    * which is what distributes): one tokenize+hash map stage per doc; ONE
+    * unordered window shuffle on the gram hash marking positions whose
+    * gram spans ≥ 2 distinct docs (min ≠ max doc_id over the gram
+    * partition — constant per-group state, never doc×doc, never a
+    * collect); and a per-doc lag-window over ONLY the duplicated
+    * positions to union overlapping windows (interval-union coverage:
+    * each position contributes min(k, pos − prev_pos) tokens). Grams
+    * travel as 16-hex-char md5 prefixes, not strings — at 100 TB the
+    * gram shuffle ships 16-byte keys. The token frame is persisted (the
+    * position build and the n_tokens leg both read it; exchange reuse
+    * does not fire across these shapes — see ngramJaccardNearDup).
     */
   def substringDedup(documents: DataFrame, k: Int = 6): DataFrame = {
     val (toks, dupPos) = tokensAndDupPositions(documents, k)
@@ -837,16 +837,25 @@ object Dedup {
           sequence(lit(1), size(col("ws")) - lit(k - 1)),
           i => substring(md5(concat_ws(" ", slice(col("ws"), i, lit(k)))), 1, 16))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gh"))
-    val pos =
-      if (posRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        posRaw.persist()
-      else posRaw
-    val dupGrams = pos
-      .groupBy("gh")
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
-      .select("gh")
-    (toks, pos.join(dupGrams, Seq("gh"), "left_semi").select("doc_id", "pos"))
+    // "gram occurs in >= 2 distinct docs" ⟺ min(doc_id) != max(doc_id)
+    // over the gram's partition — ONE unordered window shuffle on the
+    // gram hash with constant per-group state, where the groupBy +
+    // semi-join-back formulation shipped the position frame through the
+    // gh exchange TWICE (10× stress: 57 + 97 MiB → 117 MiB once; the
+    // combine-compressed aggregate leg shrinks but the full-frame
+    // semi-join leg disappears, so total network strictly drops). The
+    // price is a LOCAL per-partition sort on the 16-byte hash inside
+    // WindowExec — spill-aware CPU traded for an entire corpus-sized
+    // exchange, the right trade at 100 TB. No collect_set: a boilerplate
+    // gram in millions of docs costs the same two longs of state as a
+    // rare one.
+    val byGram = Window.partitionBy("gh")
+    (toks,
+      posRaw
+        .withColumn("dup",
+          min(col("doc_id")).over(byGram) =!= max(col("doc_id")).over(byGram))
+        .filter(col("dup"))
+        .select("doc_id", "pos"))
   }
 
   /** The REMOVAL artifact of exact substring dedup: per document, the

@@ -78,13 +78,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cartesian/NL join in fuzzy-contam plan:\n$p")
   }
 
-  test("substring dedup joins positions to dup grams on the gram hash — no cartesian") {
+  test("substring dedup detects dup grams in one gram-hash window — no cartesian, no re-shuffle") {
     val p = plan(Dedup.substringDedup(t("documents")))
     assert(!p.contains("CartesianProduct"), s"cartesian in substring-dedup plan:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"NL join in substring-dedup plan:\n$p")
-    // the dup-gram derivation must combine map-side before its shuffle
-    assert("HashAggregate".r.findAllIn(p).size >= 2,
-      s"expected partial+final aggregate over gram hashes:\n$p")
+    // duplicated-gram detection is a single unordered window over the
+    // gram-hash partition (min != max doc_id) — the position frame must
+    // cross a gh exchange exactly ONCE (the groupBy + semi-join-back
+    // formulation paid that exchange twice)
+    assert("hashpartitioning\\(gh".r.findAllIn(p).size == 1,
+      s"expected exactly one gram-hash exchange:\n$p")
   }
 
   test("IVF cell search joins on the cell key — no cartesian product") {
