@@ -327,7 +327,7 @@ object Similarity {
   /** Bucket id within table `t`: the sign-bit pattern of its hyperplanes. */
   private def srpTableBucket(t: Int): Column = {
     val bits = (0 until SrpBitsPerTable).map { k =>
-      val w = array(srpWeights(t * SrpBitsPerTable + k).map(x => lit(x.toFloat)): _*)
+      val w = array(srpWeights(t * SrpBitsPerTable + k).toIndexedSeq.map(x => lit(x.toFloat)): _*)
       when(graft.functions.VectorExpressions.vecDot(col("embedding"), w) >= 0.0,
         lit(1L << k)).otherwise(lit(0L))
     }
