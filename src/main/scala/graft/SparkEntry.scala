@@ -221,6 +221,7 @@ object SparkEntry {
     "q_docs_clusters" -> ((s, d) => Dedup.nearDupClusters(t(s, d, "documents"))),
     "q_docs_substring_dedup" -> ((s, d) => Dedup.substringDedup(t(s, d, "documents"))),
     "q_docs_substring_spans" -> ((s, d) => Dedup.substringDedupSpans(t(s, d, "documents"))),
+    "q_docs_setsim_join" -> ((s, d) => Dedup.setSimilarityJoin(t(s, d, "documents"))),
     // ---- similarity search (LLM pipeline) ----
     "q_emb_topk" -> ((s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"))),
     "q_emb_topk_agg" -> ((s, d) => Similarity.bruteForceTopKAgg(t(s, d, "embeddings"))),
@@ -1369,6 +1370,25 @@ object SparkEntry {
     "q_docs_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // set-similarity join oracle = BRUTE-FORCE all pairs: hash equality
+    // against the prefix-filtered Spark plan proves the filter complete
+    "q_docs_setsim_join" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+        |      i -> substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 16)))) AS ts
+        |  FROM words WHERE len(ws) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |      / len(list_distinct(a.ts || b.ts)) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard
+        |FROM pairs WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin,
     // substring spans: same dup-position set, segmented into merged
     // removal intervals by a running-sum span id (gap > k starts a span)
     "q_docs_substring_spans" ->

@@ -817,6 +817,79 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact-threshold set-similarity join by prefix filtering (the
+    * AllPairs family — Bayardo, Ma & Srikant, WWW 2007; Chaudhuri et al.
+    * SSJoin): every document pair whose distinct word-3-shingle sets have
+    * Jaccard ≥ `t`, with NO false negatives — the exact counterpart to the
+    * probabilistic [[lshCandidatePairs]] recall (banded LSH can miss a
+    * qualifying pair; this provably cannot, which is why the DuckDB oracle
+    * is the brute-force all-pairs form — hash equality IS the
+    * completeness proof, the same pattern as typoPairs).
+    *
+    * Soundness of the filter: J(a,b) ≥ t ⟹ |a∩b| ≥ t·(|a|+|b|)/(1+t)
+    * ≥ t·|a| (symmetrically t·|b|). Order the universe globally by
+    * (document frequency asc, shingle) and take each set's first
+    * |s| − ⌈t·|s|⌉ + 1 shingles: the ≥ t·|s| common elements cannot all
+    * hide in the ⌈t·|s|⌉ − 1 tail positions (pigeonhole), so every
+    * qualifying pair collides on ≥ 1 PREFIX shingle of both sides, and an
+    * equi-join on prefix shingles is a complete candidate generator.
+    * Rarest-first ordering is what makes it selective: prefixes hold each
+    * document's most discriminative shingles, so boilerplate shingles
+    * with huge df only block candidates for documents made of nothing
+    * else. (No bucket cap here — a cap would break the completeness
+    * contract; the capped, approximate path at web scale is the LSH
+    * suite.)
+    *
+    * Shape: one shuffle for shingle df, one per-doc sort_array to order
+    * each set (state bounded by the document's own shingle count), one
+    * equi-join on prefix shingles, and an exact verify over the candidate
+    * pairs only (array_intersect/array_union on 16-hex md5 elements —
+    * collision-free set arithmetic on 16-byte keys, never the text).
+    */
+  def setSimilarityJoin(
+      documents: DataFrame,
+      t: Double = 0.6,
+      shingleK: Int = 3): DataFrame = {
+    val shingledRaw = documents
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.alnumTokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= shingleK)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("ws")) - lit(shingleK - 1)),
+          i => substring(md5(concat_ws(" ", slice(col("ws"), i, lit(shingleK)))), 1, 16)))
+          .as("ts"))
+    val shingled =
+      if (shingledRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        shingledRaw.persist()
+      else shingledRaw
+    val tokens = shingled.select(col("doc_id"), explode(col("ts")).as("tok"))
+    // set semantics upstream ⇒ count(*) is document frequency
+    val dfCnt = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefixes = tokens
+      .join(dfCnt, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("sorted"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(slice(sorted, 1, CAST(size(sorted) - ceil($t * size(sorted)) + 1 AS INT)), x -> x.tok)"))
+          .as("tok"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"), "tok")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(shingled.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
+      .join(shingled.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("ts_a"), col("ts_b"))).cast("double") /
+          size(array_union(col("ts_a"), col("ts_b")))).as("j"))
+      .filter(col("j") >= t)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** The shared front half of the ExactSubstr pipeline: the persisted
     * token frame and the (doc_id, pos) set of gram positions whose k-gram
     * occurs in ≥ 2 distinct documents. Both [[substringDedup]] (coverage

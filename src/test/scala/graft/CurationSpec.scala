@@ -328,6 +328,36 @@ class CurationSpec extends AnyFunSuite {
       s"${spans.toSeq}")
   }
 
+  test("set-similarity join matches naive all-pairs on random corpora (completeness)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // seeded pseudo-random docs over a small vocabulary — dense enough
+    // that qualifying pairs exist, adversarial for a buggy prefix length
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val base = Vector.fill(12)(Vector.fill(8 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))))
+    // append near-duplicates of a few docs (one token appended/changed)
+    val docs = (base ++ base.take(4).map(_ :+ "zz")).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'web' AS source", "0L AS n_chars")
+    val t = 0.6
+    def shingles(s: Vector[String]): Set[String] =
+      s.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, text) => id -> shingles(text.split(" ").toVector) }.toMap
+    val expected = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      sa = sets(a); sb = sets(b)
+      if sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= t
+    } yield (a, b)).toSet
+    val got = Dedup.setSimilarityJoin(df, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"prefix filter missed or invented pairs:\ngot $got\nexp $expected")
+    assert(expected.nonEmpty, "test corpus must contain qualifying pairs")
+  }
+
   test("fuzzy contamination flags one-token-substituted benchmark grams") {
     val sparkS = spark
     import sparkS.implicits._

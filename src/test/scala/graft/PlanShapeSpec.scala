@@ -71,6 +71,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"aggregate on the checkpointed partitioning key must not re-shuffle:\n$p")
   }
 
+  test("set-similarity join generates candidates by prefix-shingle equi-join — no cartesian") {
+    val p = plan(Dedup.setSimilarityJoin(t("documents")))
+    assert(!p.contains("CartesianProduct"), s"cartesian in setsim plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NL join in setsim plan:\n$p")
+  }
+
   test("fuzzy contamination broadcasts the benchmark variant set — corpus never shuffles for the join") {
     val p = plan(TextAnalysis.fuzzyContamination(t("documents")))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast variant join:\n$p")
