@@ -222,6 +222,8 @@ object SparkEntry {
     "q_docs_substring_dedup" -> ((s, d) => Dedup.substringDedup(t(s, d, "documents"))),
     "q_docs_substring_spans" -> ((s, d) => Dedup.substringDedupSpans(t(s, d, "documents"))),
     "q_docs_setsim_join" -> ((s, d) => Dedup.setSimilarityJoin(t(s, d, "documents"))),
+    "q_docs_winnow_pairs" -> ((s, d) => Dedup.winnowCandidatePairs(t(s, d, "documents"))),
+    "q_emb_rand_neg" -> ((s, d) => Similarity.randomNegatives(t(s, d, "embeddings"))),
     // ---- similarity search (LLM pipeline) ----
     "q_emb_topk" -> ((s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"))),
     "q_emb_topk_agg" -> ((s, d) => Similarity.bruteForceTopKAgg(t(s, d, "embeddings"))),
@@ -601,6 +603,35 @@ object SparkEntry {
   /** Shared quality-score CTEs — mirrors [[TextAnalysis.qualityScore]]'s
     * rounded `quality` column as `q(doc_id, quality)`.
     */
+  /** Shared CTE chain ending in `fp(doc_id, rk_min, q0..q3)` — the
+    * winnowed rolling-hash fingerprint, replayed with the same embedded
+    * power/modulus literals as the Spark expression. Consumed by
+    * `q_docs_rollhash` and `q_docs_winnow_pairs`.
+    */
+  private lazy val rollhashCtes: String = {
+    val term = (0 until TextAnalysis.RkK).map { j =>
+      s"CAST(CASE WHEN i + $j <= length(text) THEN ord(substr(text, CAST(i + $j AS INTEGER), 1)) ELSE 0 END AS BIGINT) " +
+        s"* ${TextAnalysis.rkPowers(j)}"
+    }.mkString("(", "\n         + ", s") % ${TextAnalysis.RkP}")
+    val quarters = (0 until 4).map(m =>
+      s"list_min(hs[CAST($m * qlen + 1 AS BIGINT):CAST(($m + 1) * qlen AS BIGINT)]) AS q$m")
+      .mkString(",\n  ")
+    s"""base AS (
+       |  SELECT doc_id, text,
+       |    greatest(length(text) - ${TextAnalysis.RkK - 1}, 1) AS npos
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, npos,
+       |    list_transform(range(1, npos + 1), i ->
+       |      $term) AS hs
+       |  FROM base),
+       |wq AS (SELECT doc_id, npos, hs,
+       |         greatest(CAST(ceil(npos / 4.0) AS BIGINT), 1) AS qlen FROM h),
+       |fp AS (SELECT doc_id, list_min(hs) AS rk_min,
+       |  $quarters
+       |FROM wq)""".stripMargin
+  }
+
   private lazy val qualityCtes: String = {
     val stop = stopScoreSql(Seq("the", "a", "and"))
     s"""qbase AS (
@@ -1222,29 +1253,27 @@ object SparkEntry {
         |SELECT doc_id, md5(norm) AS fp_full, substr(md5(norm), 1, 16) AS fp_short,
         |  md5(substr(norm, 1, 64)) AS fp_prefix64
         |FROM n ORDER BY doc_id""".stripMargin,
-    "q_docs_rollhash" -> {
-      val term = (0 until TextAnalysis.RkK).map { j =>
-        s"CAST(CASE WHEN i + $j <= length(text) THEN ord(substr(text, CAST(i + $j AS INTEGER), 1)) ELSE 0 END AS BIGINT) " +
-          s"* ${TextAnalysis.rkPowers(j)}"
-      }.mkString("(", "\n         + ", s") % ${TextAnalysis.RkP}")
-      val quarters = (0 until 4).map(m =>
-        s"list_min(hs[CAST($m * qlen + 1 AS BIGINT):CAST(($m + 1) * qlen AS BIGINT)]) AS q$m")
-        .mkString(",\n  ")
-      s"""WITH base AS (
-         |  SELECT doc_id, text,
-         |    greatest(length(text) - ${TextAnalysis.RkK - 1}, 1) AS npos
-         |  FROM documents),
-         |h AS (
-         |  SELECT doc_id, npos,
-         |    list_transform(range(1, npos + 1), i ->
-         |      $term) AS hs
-         |  FROM base),
-         |wq AS (SELECT doc_id, npos, hs,
-         |         greatest(CAST(ceil(npos / 4.0) AS BIGINT), 1) AS qlen FROM h)
-         |SELECT doc_id, list_min(hs) AS rk_min,
-         |  $quarters
-         |FROM wq ORDER BY doc_id""".stripMargin
-    },
+    "q_docs_rollhash" ->
+      s"""WITH $rollhashCtes
+         |SELECT doc_id, rk_min, q0, q1, q2, q3 FROM fp ORDER BY doc_id""".stripMargin,
+    // winnow pairs: docs sharing any of the five minima, banded by WHICH
+    // minimum; bucket cap 1000 replayed in the HAVING
+    "q_docs_winnow_pairs" ->
+      s"""WITH $rollhashCtes,
+         |b AS (
+         |  SELECT doc_id, u.band AS band, u.v AS v FROM (
+         |    SELECT doc_id, unnest([
+         |      {'band': 0, 'v': rk_min}, {'band': 1, 'v': q0},
+         |      {'band': 2, 'v': q1}, {'band': 3, 'v': q2},
+         |      {'band': 4, 'v': q3}]) AS u
+         |    FROM fp)),
+         |ok AS (SELECT band, v FROM b GROUP BY band, v
+         |       HAVING count(*) BETWEEN 2 AND 1000)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |FROM b x
+         |JOIN ok ON ok.band = x.band AND ok.v = x.v
+         |JOIN b y ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_docs_topquality" ->
       s"""WITH $qualityCtes,
          |s AS (SELECT q.doc_id, d.source, q.quality
@@ -1638,6 +1667,29 @@ object SparkEntry {
          |      FROM s)
          |SELECT query_id, rnk, cand_id, round(cos, 6) AS cos_sim
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // random negatives: stable md5("query:slot") % corpus-size draws,
+    // repeated draws deduped to their earliest slot, first 5 per query
+    "q_emb_rand_neg" ->
+      """WITH n AS (SELECT count(*) AS sz FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_label FROM embeddings WHERE vec_id < 20),
+        |drawn AS (
+        |  SELECT q.query_id, q.q_label, s.slot,
+        |    CAST('0x' || substr(md5(CAST(q.query_id AS VARCHAR) || ':' || CAST(s.slot AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % (SELECT sz FROM n) AS neg_id
+        |  FROM q, (SELECT unnest(range(0, 12)) AS slot) s),
+        |joined AS (
+        |  SELECT d.query_id, d.q_label, d.neg_id, e.label AS n_label,
+        |    min(d.slot) AS slot
+        |  FROM drawn d JOIN embeddings e ON e.vec_id = d.neg_id
+        |  WHERE e.label <> d.q_label AND d.neg_id <> d.query_id
+        |  GROUP BY d.query_id, d.q_label, d.neg_id, e.label),
+        |ranked AS (
+        |  SELECT query_id, CAST(q_label AS INTEGER) AS query_label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY slot, neg_id) AS rnk,
+        |    neg_id, CAST(n_label AS INTEGER) AS neg_label
+        |  FROM joined)
+        |SELECT query_id, query_label, rnk, neg_id, neg_label
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_emb_hardneg" ->
       s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
          |           FROM embeddings WHERE vec_id < 20),

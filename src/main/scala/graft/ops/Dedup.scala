@@ -817,6 +817,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Candidate pairs from the winnowing fingerprint: documents sharing
+    * any of the five rolling-hash minima ([[TextAnalysis.rollingFingerprint]]
+    * — global min + per-quarter minima), banded by WHICH minimum matched
+    * so a global-min collision never meets a quarter collision. This
+    * closes the sketch → candidate-pair loop for the third fingerprint
+    * family (MinHash bands, SimHash bands, and now winnowed Rabin-Karp
+    * minima): shared substrings keep their window hashes wherever they
+    * move, so shifted plagiarism collides on a minimum even when
+    * whole-document hashes and position-sensitive sketches miss. Same
+    * bounded-bucket shape as [[lshCandidatePairs]]/[[simhashNearDupPairs]]:
+    * one shuffle on (band, value), in-bucket pair generation from the
+    * sorted member list, buckets outside [2, maxBucket] dropped.
+    */
+  def winnowCandidatePairs(documents: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val fp = graft.ops.TextAnalysis.rollingFingerprint(documents)
+    val bands = Seq("rk_min", "q0", "q1", "q2", "q3").zipWithIndex.map {
+      case (c, i) => struct(lit(i).as("band"), col(c).as("v"))
+    }
+    val banded = fp
+      .select(col("doc_id"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.v"))
+    val buckets = banded
+      .groupBy("band", "v")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(inBucketPairs(col("ids"))((x, y) =>
+        struct(x.as("doc_a"), y.as("doc_b")))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact-threshold set-similarity join by prefix filtering (the
     * AllPairs family — Bayardo, Ma & Srikant, WWW 2007; Chaudhuri et al.
     * SSJoin): every document pair whose distinct word-3-shingle sets have

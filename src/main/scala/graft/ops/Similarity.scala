@@ -663,6 +663,48 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Deterministic random-negative sampling — the uniform-negatives half
+    * of a DPR-style contrastive training set ([[hardNegatives]] is the
+    * other half; Karpukhin et al. 2020 use both). Each query draws `slots`
+    * pseudo-random corpus ids by a stable hash (md5 of "query:slot" mod
+    * corpus size — reproducible across engines, runs, and partitionings,
+    * unlike `rand()`), keeps label-mismatched non-self draws, dedupes
+    * repeated draws to their EARLIEST slot (a deterministic tiebreak —
+    * dropDuplicates would keep an arbitrary row), and emits the first `k`
+    * by slot order. The drawn side is queries×slots rows and broadcasts;
+    * the corpus never shuffles — the same plan contract as hard-negative
+    * mining, pinned in PlanShapeSpec.
+    */
+  def randomNegatives(
+      embeddings: DataFrame,
+      numQueries: Int = 20,
+      k: Int = 5,
+      slots: Int = 12): DataFrame = {
+    // corpus size as a literal: the modulus must be identical on both
+    // engines, so it is read once here, not recomputed per row
+    val n = embeddings.count()
+    val drawn = embeddings
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+      .select(col("query_id"), col("q_label"),
+        explode(sequence(lit(0), lit(slots - 1))).as("slot"))
+      .withColumn("neg_id",
+        conv(substring(md5(concat_ws(":", col("query_id"), col("slot"))), 1, 8), 16, 10)
+          .cast("long") % n)
+    val c = embeddings.select(col("vec_id").as("neg_id"), col("label").as("n_label"))
+    val w = Window.partitionBy("query_id").orderBy(col("slot"), col("neg_id"))
+    drawn.hint("broadcast")
+      .join(c, Seq("neg_id"))
+      .filter(col("n_label") =!= col("q_label") && col("neg_id") =!= col("query_id"))
+      .groupBy("query_id", "q_label", "neg_id", "n_label")
+      .agg(min(col("slot")).as("slot"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("q_label").cast("int").as("query_label"),
+        col("rnk"), col("neg_id"), col("n_label").cast("int").as("neg_label"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): collapse groups of embedding-space near-duplicates
     * to one representative each — the embedding-side twin of

@@ -314,6 +314,24 @@ class MiningSpec extends AnyFunSuite {
     assert(rows(2).getString(rows(2).fieldIndex("word")) == "c")
   }
 
+  test("random negatives honor the label contract and are reproducible") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.randomNegatives(emb).collect()
+    assert(a.nonEmpty)
+    // every emitted negative is label-mismatched and never the query itself
+    assert(a.forall(r => r.getInt(r.fieldIndex("neg_label")) != r.getInt(r.fieldIndex("query_label"))))
+    assert(a.forall(r => r.getLong(r.fieldIndex("neg_id")) != r.getLong(0)))
+    // per query: at most k rows, ranks dense from 1, no repeated negative
+    a.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getLong(rows.head.fieldIndex("rnk"))).sorted.sameElements(1L to rows.length))
+      assert(rows.map(_.getLong(rows.head.fieldIndex("neg_id"))).distinct.length == rows.length)
+    }
+    // pure function of ids: a second invocation returns identical rows
+    val b = Similarity.randomNegatives(emb).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+
   test("bigram surprisal scores rare transitions above corpus-typical ones") {
     val sparkS = spark
     import sparkS.implicits._

@@ -71,6 +71,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"aggregate on the checkpointed partitioning key must not re-shuffle:\n$p")
   }
 
+  test("random-negative sampling broadcasts the drawn side — corpus never shuffles") {
+    val p = plan(Similarity.randomNegatives(t("embeddings")))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast of the query×slot side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in rand-neg plan:\n$p")
+  }
+
+  test("winnow candidate pairs bucket on (band, minimum) — no cartesian") {
+    val p = plan(Dedup.winnowCandidatePairs(t("documents")))
+    assert(!p.contains("CartesianProduct"), s"cartesian in winnow plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NL join in winnow plan:\n$p")
+  }
+
   test("set-similarity join generates candidates by prefix-shingle equi-join — no cartesian") {
     val p = plan(Dedup.setSimilarityJoin(t("documents")))
     assert(!p.contains("CartesianProduct"), s"cartesian in setsim plan:\n$p")
