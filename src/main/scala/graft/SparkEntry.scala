@@ -185,6 +185,73 @@ object SparkEntry {
         ORDER BY numwait DESC, s_name
       """)
     }),
+    // TPC-H Q7-shaped: directed nation-pair shipping volume — the fact
+    // table reaches TWO copies of the broadcast nation dim (via supplier
+    // and via customer) with an OR over the two directed pairs; grouped by
+    // (supp_nation, cust_nation, year). Exercises double-role dims through
+    // the SQL surface like q_sql_market_share does through the DataFrame
+    // one.
+    "q_sql_volume" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"v_$n"))
+      s.sql("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS volume,
+               count(*) AS n_lines
+        FROM v_supplier
+        JOIN v_lineitem ON s_suppkey = l_suppkey
+        JOIN v_orders ON o_orderkey = l_orderkey
+        JOIN v_customer ON c_custkey = o_custkey
+        JOIN v_nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN v_nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year
+      """)
+    }),
+    // TPC-H Q13-shaped: customer order-count distribution — a LEFT OUTER
+    // join with an extra join-side predicate (so the filter must stay in
+    // the join condition, not be pushed below it: pushing it would turn
+    // zero-order customers into dropped rows instead of count 0), then a
+    // second aggregation over the first's result. Two shuffles by design;
+    // the first groupBy reuses the join's c_custkey partitioning.
+    "q_sql_order_dist" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("v_customer")
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM v_customer
+          LEFT OUTER JOIN v_orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+      """)
+    }),
+    // TPC-H Q18-shaped: large-volume orders — IN over an aggregated
+    // subquery (sum(l_quantity) HAVING > threshold). Catalyst plans the
+    // HAVING subquery as an aggregate then a left-semi join on o_orderkey;
+    // the outer join tree re-aggregates per order.
+    "q_sql_big_orders" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"v_$n"))
+      s.sql("""
+        SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM v_lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+      """)
+    }),
     "q_when_case" -> ((s, d) => Relational.whenCaseBuckets(t(s, d, "orders"))),
     "q_validate_chain" -> ((s, d) => Relational.validateChain(t(s, d, "lineitem"))),
     "q_struct_pack" -> ((s, d) => Relational.structPackJson(t(s, d, "orders"))),
@@ -890,6 +957,42 @@ object SparkEntry {
         |  SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
         |  WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_sql_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS volume,
+        |  count(*) AS n_lines
+        |FROM supplier
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_sql_order_dist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_sql_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
     "q_sql_market_share" ->
       """SELECT o_year,
         |  round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END)
