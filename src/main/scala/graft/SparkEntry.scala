@@ -295,6 +295,7 @@ object SparkEntry {
     "q_emb_topk" -> ((s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"))),
     "q_emb_topk_agg" -> ((s, d) => Similarity.bruteForceTopKAgg(t(s, d, "embeddings"))),
     "q_emb_ivf_assign" -> ((s, d) => Similarity.ivfAssign(t(s, d, "embeddings"))),
+    "q_emb_cluster_balance" -> ((s, d) => Similarity.clusterBalancedSample(t(s, d, "embeddings"))),
     "q_emb_ivf_kmeans" -> ((s, d) => Similarity.ivfAssignKMeans(t(s, d, "embeddings"))),
     "q_emb_ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d, "embeddings"))),
     "q_emb_ivf_mp" -> ((s, d) => Similarity.ivfTopKMultiProbe(t(s, d, "embeddings"))),
@@ -317,6 +318,9 @@ object SparkEntry {
     "q_set_union_byname" -> ((s, d) => Relational.unionByNameMissing(t(s, d, "orders"))),
     "q_events_funnel" -> ((s, d) => TimeOps.funnelStages(t(s, d, "events"))),
     "q_events_retention" -> ((s, d) => TimeOps.retentionCohorts(t(s, d, "events"))),
+    "q_events_attribution" -> ((s, d) => TimeOps.lastTouchAttribution(t(s, d, "events"))),
+    "q_events_ttc" -> ((s, d) => TimeOps.timeToConvert(t(s, d, "events"))),
+    "q_events_rfm" -> ((s, d) => TimeOps.rfmSegments(t(s, d, "events"))),
     "q_docs_typo_pairs" -> ((s, d) => TextAnalysis.typoPairs(t(s, d, "documents"))),
     "q_events_gapfill" -> ((s, d) => TimeOps.gapFillDaily(t(s, d, "events"))),
     "q_events_zscore" -> ((s, d) => TimeOps.zscoreAnomalies(t(s, d, "events"))),
@@ -363,6 +367,7 @@ object SparkEntry {
       """)
     }),
     "q_docs_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(t(s, d, "documents"))),
+    "q_docs_temp_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(t(s, d, "documents"))),
     "q_docs_unigram_lp" -> ((s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents"))),
     "q_docs_surprisal" -> ((s, d) => TextAnalysis.bigramSurprisal(t(s, d, "documents"))),
     "q_docs_split" -> ((s, d) => TextAnalysis.trainValTestSplit(t(s, d, "documents"))),
@@ -1104,6 +1109,53 @@ object SparkEntry {
         |FROM s WHERE sd IS NOT NULL AND sd != 0
         |  AND abs(round((value - mu) / sd, 4)) > 2.0
         |ORDER BY event_id""".stripMargin,
+    "q_events_attribution" ->
+      """WITH c AS (
+        |  SELECT event_type, value,
+        |    coalesce(last_value(CASE WHEN event_type IN ('click', 'view')
+        |                             THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      'none') AS channel
+        |  FROM events)
+        |SELECT channel, count(*) AS n_purchases,
+        |  round(sum(value), 4) AS attributed_value
+        |FROM c WHERE event_type = 'purchase'
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+    "q_events_ttc" ->
+      """WITH f AS (
+        |  SELECT user_id, min(ts) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, f.signup_ts, min(e.ts) AS conv_ts
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= f.signup_ts
+        |  GROUP BY e.user_id, f.signup_ts)
+        |SELECT date_diff('day', CAST(signup_ts AS DATE), CAST(conv_ts AS DATE))
+        |         AS days_to_convert,
+        |       count(*) AS n_users
+        |FROM conv GROUP BY 1 ORDER BY days_to_convert""".stripMargin,
+    "q_events_rfm" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, CAST(max(ts) AS DATE) AS last_day,
+        |    count(*) AS frequency, round(sum(value), 4) AS monetary
+        |  FROM p GROUP BY user_id),
+        |g AS (SELECT CAST(max(ts) AS DATE) AS global_day FROM p),
+        |s AS (
+        |  SELECT user_id,
+        |    date_diff('day', last_day, global_day) AS recency_days,
+        |    frequency, monetary
+        |  FROM u CROSS JOIN g),
+        |r AS (
+        |  SELECT user_id, recency_days, frequency, monetary,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f,
+        |    CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m
+        |  FROM s)
+        |SELECT user_id, recency_days, frequency, monetary, r, f, m,
+        |  r * 100 + f * 10 + m AS segment
+        |FROM r ORDER BY user_id""".stripMargin,
     "q_docs_bigram_lm" ->
       """WITH words AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -1590,6 +1642,31 @@ object SparkEntry {
         |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8) AS BIGINT) AS priority
         |    FROM documents))
         |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+    // √n is one correctly-rounded IEEE op (identical across engines); the
+    // denominator Σ√n is quantized to a 1e-6 integer grid before summing so
+    // the only float-order-sensitive step becomes exact integer math
+    "q_docs_temp_mixture" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |q AS (SELECT lang, n_docs,
+        |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q
+        |      FROM counts),
+        |tot AS (SELECT sum(q) AS q_tot FROM q),
+        |targets AS (
+        |  SELECT lang, n_docs,
+        |    CAST(floor(CAST(q * 200 AS DOUBLE) / CAST(q_tot AS DOUBLE) + 0.5) AS BIGINT)
+        |      AS target
+        |  FROM q CROSS JOIN tot),
+        |p AS (SELECT doc_id, lang,
+        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8) AS BIGINT)
+        |          AS priority
+        |      FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rnk
+        |      FROM p)
+        |SELECT r.lang, r.rnk, r.doc_id, t.n_docs, t.target
+        |FROM r JOIN targets t ON r.lang = t.lang
+        |WHERE r.rnk <= t.target
+        |ORDER BY r.lang, r.rnk""".stripMargin,
     // unigram logprob: per-term ln quantized to a 1e-6 integer grid
     // BEFORE the per-doc sum — exact integer arithmetic on both engines
     "q_docs_unigram_lp" ->
@@ -1816,6 +1893,25 @@ object SparkEntry {
          |      FROM s)
          |SELECT vec_id, centroid_id AS cell, round(cos, 6) AS cell_cos
          |FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    "q_emb_cluster_balance" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent_emb
+         |               FROM embeddings WHERE vec_id % 100 = 0),
+         |s AS (SELECT e.vec_id, c.centroid_id, ${cosSql("e.embedding", "c.cent_emb")} AS cos
+         |      FROM embeddings e, cents c),
+         |a AS (SELECT vec_id, centroid_id AS cell FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rnk
+         |    FROM s) WHERE rnk = 1),
+         |p AS (SELECT cell, vec_id,
+         |        CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 25, 8) AS BIGINT)
+         |          AS priority
+         |      FROM a),
+         |r AS (SELECT cell, vec_id,
+         |        row_number() OVER (PARTITION BY cell ORDER BY priority, vec_id) AS rnk,
+         |        count(*) OVER (PARTITION BY cell) AS n_cell
+         |      FROM p)
+         |SELECT cell, rnk, vec_id, n_cell
+         |FROM r WHERE rnk <= 50 ORDER BY cell, rnk""".stripMargin,
     "q_emb_ivf_kmeans" -> {
       // Unrolled distributed-Lloyd replay (Similarity.kmeansCentroids,
       // 2 iterations from the stride-100 seeds). The per-cell mean is the

@@ -176,6 +176,34 @@ object Similarity {
       .agg(max(col("sc")).as("best"))
       .select(col("vec_id"), (-col("best.neg_id")).as("cell"), col("best.cos").as("cos"))
 
+  /** Cluster-balanced subsampling: cap each IVF cell at `cap` members,
+    * chosen by deterministic md5-hash rank within the cell — the diversity
+    * rebalance that keeps a dominant cluster from flooding a training
+    * draw (the embedding-space analogue of per-source quota sampling).
+    * Execution: one broadcast-centroid assignment pass, then a single
+    * cell-partitioned window exchange that serves BOTH the rank and the
+    * cell-size count (unordered twin over the same partitioning — no
+    * second scan, no join). Nothing here exceeds cell cardinality wide.
+    */
+  def clusterBalancedSample(
+      embeddings: DataFrame,
+      centroidStride: Int = 100,
+      cap: Int = 50): DataFrame = {
+    val assign = argminCell(embeddings, centroids(embeddings, centroidStride))
+      .select(col("vec_id"), col("cell"))
+    val h = conv(substring(md5(col("vec_id").cast("string")), 25, 8), 16, 10)
+      .cast("long")
+    val rankW = Window.partitionBy("cell").orderBy(col("priority"), col("vec_id"))
+    val cellW = Window.partitionBy("cell")
+    assign
+      .withColumn("priority", h)
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(cellW))
+      .filter(col("rnk") <= cap)
+      .select(col("cell"), col("rnk"), col("vec_id"), col("n_cell"))
+      .orderBy("cell", "rnk")
+  }
+
   /** IVF cell assignment: nearest centroid by cosine (broadcast centroids,
     * rank-window argmin). This is the "build the index" half.
     */

@@ -501,6 +501,40 @@ object TextAnalysis {
     * before the single shuffle on source — at 100 TB the exchange
     * carries ≈ perSource·|sources| rows, not the corpus.
     */
+  /** Temperature-scaled language mixture (the multilingual-pretraining
+    * rebalance, α = 0.5): each language's sampling share is
+    * `√n_l / Σ√n`, flattening the head-language skew, and the per-language
+    * target count for a `budget`-doc draw is filled by deterministic
+    * md5-hash rank. Cross-engine exactness: √n of an exact integer is a
+    * single correctly-rounded IEEE op, but the Σ in the denominator is
+    * float-order-sensitive — so each √n is quantized to a 1e-6 integer
+    * grid FIRST and the total is summed as exact integers (the same
+    * discipline as the k-means oracle). The groupBy is lang-cardinality;
+    * the rank window shuffles one (doc_id, lang, hash) row per doc — no
+    * full-text movement; targets broadcast.
+    */
+  def temperatureMixture(documents: DataFrame, budget: Int = 200): DataFrame = {
+    val counts = documents.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("q",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0) + lit(0.5)).cast("long"))
+    val tot = counts.agg(sum("q").as("q_tot"))
+    val targets = counts.crossJoin(broadcast(tot))
+      .withColumn("target",
+        floor((col("q") * lit(budget.toLong)).cast("double") / col("q_tot").cast("double")
+          + lit(0.5)).cast("long"))
+      .select("lang", "n_docs", "target")
+    val h = conv(substring(md5(col("doc_id").cast("string")), 25, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("lang").orderBy(col("priority"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("lang"), h.as("priority"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .join(broadcast(targets), Seq("lang"))
+      .filter(col("rnk") <= col("target"))
+      .select(col("lang"), col("rnk"), col("doc_id"), col("n_docs"), col("target"))
+      .orderBy("lang", "rnk")
+  }
+
   def stratifiedSample(documents: DataFrame, perSource: Int = 5): DataFrame = {
     val h = conv(substring(md5(col("doc_id").cast("string")), 25, 8), 16, 10)
       .cast("long")

@@ -257,4 +257,85 @@ object TimeOps {
         col("n_active"))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** Last-touch attribution: each purchase is credited to the most recent
+    * PRIOR touch event (click/view) by the same user, `'none'` when the
+    * purchase has no preceding touch. One carry-forward window per user
+    * (ignore-nulls `last` over rows-preceding — the same idiom as a
+    * forward-fill), then an aggregate over the channel-cardinality result.
+    * The single shuffle is the user-id window sort; no self-join of events
+    * against events, so the plan is linear in event volume and survives
+    * any per-user history length.
+    */
+  def lastTouchAttribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("channel",
+        last(when(col("event_type").isin("click", "view"), col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 4).as("attributed_value"))
+      .orderBy("channel")
+  }
+
+  /** Time-to-convert: calendar days between each user's first signup and
+    * their first purchase at-or-after it, bucketed into a histogram.
+    * Aggregate-first shape: min-signup per user (user-cardinality), then
+    * purchases join that (equi on user_id) and re-aggregate — never an
+    * event×event product. Day arithmetic is calendar-date `datediff` on
+    * both engines (epoch-seconds subtraction is truncation-order-sensitive
+    * across engines; date casts are not).
+    */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val firstSignup = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(firstSignup, Seq("user_id"))
+      .filter(col("ts") >= col("signup_ts"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min("ts").as("conv_ts"))
+      .select(datediff(to_date(col("conv_ts")), to_date(col("signup_ts")))
+        .cast("long").as("days_to_convert"))
+      .groupBy("days_to_convert")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("days_to_convert")
+  }
+
+  /** RFM segmentation over purchase events: per-user recency (days since
+    * last purchase, vs the global max purchase date), frequency (purchase
+    * count), monetary (value sum), each scored into quintiles, combined
+    * as the classic `r*100+f*10+m` segment code. The per-user aggregate is
+    * one user-cardinality shuffle; the three ntile windows then run over
+    * that aggregate (users, not events — fine into the hundreds of
+    * millions; at larger user counts the quintile cut-points would come
+    * from approx_percentile instead of an exact global sort). Monetary is
+    * rounded BEFORE ranking so the ntile order can't flip on a summation-
+    * order ulp; every ORDER BY carries user_id as total-order tiebreak.
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+    val perUser = purchases.groupBy("user_id").agg(
+      to_date(max("ts")).as("last_day"),
+      count(lit(1)).as("frequency"),
+      round(sum("value"), 4).as("monetary"))
+    val maxDay = purchases.agg(to_date(max("ts")).as("global_day"))
+    val scored = perUser.crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        datediff(col("global_day"), col("last_day")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val rW = Window.orderBy(col("recency_days"), col("user_id"))
+    val fW = Window.orderBy(col("frequency"), col("user_id"))
+    val mW = Window.orderBy(col("monetary"), col("user_id"))
+    scored
+      .withColumn("r", ntile(5).over(rW).cast("long"))
+      .withColumn("f", ntile(5).over(fW).cast("long"))
+      .withColumn("m", ntile(5).over(mW).cast("long"))
+      .withColumn("segment", col("r") * 100L + col("f") * 10L + col("m"))
+      .select("user_id", "recency_days", "frequency", "monetary", "r", "f", "m", "segment")
+      .orderBy("user_id")
+  }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import graft.ops.{Similarity, TextAnalysis, TimeOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Closed-form pins for the round-8 analytics additions, beyond the DuckDB
+  * oracle's hash check: attribution's carry-forward semantics, the
+  * time-to-convert filter direction, RFM quintile assignment, the
+  * temperature-mixture target arithmetic, and the cluster-balance cap.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def events(rows: Seq[(Long, Long, String, String, Double)]) = {
+    val sparkS = spark
+    import sparkS.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .drop("ts_s")
+  }
+
+  test("lastTouchAttribution credits the most recent prior touch, 'none' if absent") {
+    val df = events(Seq(
+      (1L, 1L, "click", "2024-01-01 10:00:00", 0.0),
+      (2L, 1L, "purchase", "2024-01-01 11:00:00", 10.0), // ← click
+      (3L, 1L, "view", "2024-01-01 12:00:00", 0.0),
+      (4L, 1L, "error", "2024-01-01 12:30:00", 0.0), // non-touch: must not steal credit
+      (5L, 1L, "purchase", "2024-01-01 13:00:00", 20.0), // ← view (through the error)
+      (6L, 2L, "purchase", "2024-01-01 09:00:00", 5.0))) // ← none
+    val out = TimeOps.lastTouchAttribution(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map("click" -> ((1L, 10.0)), "view" -> ((1L, 20.0)), "none" -> ((1L, 5.0))))
+  }
+
+  test("timeToConvert counts calendar days from first signup to first purchase at-or-after") {
+    val df = events(Seq(
+      (1L, 1L, "signup", "2024-01-01 23:00:00", 0.0),
+      (2L, 1L, "purchase", "2024-01-04 01:00:00", 1.0), // 3 calendar days
+      (3L, 1L, "purchase", "2024-01-09 01:00:00", 1.0), // later purchase ignored
+      (4L, 2L, "purchase", "2024-01-01 10:00:00", 1.0), // pre-signup purchase
+      (5L, 2L, "signup", "2024-01-02 10:00:00", 0.0),   // → no conversion row
+      (6L, 3L, "signup", "2024-01-05 10:00:00", 0.0),
+      (7L, 3L, "purchase", "2024-01-05 12:00:00", 1.0))) // same day → 0
+    val out = TimeOps.timeToConvert(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(0L -> 1L, 3L -> 1L))
+  }
+
+  test("rfmSegments ranks quintiles with deterministic tiebreaks") {
+    // 5 purchase-only users, strictly increasing frequency and monetary,
+    // strictly decreasing recency ⇒ every quintile has exactly one user.
+    val rows = (1 to 5).flatMap { u =>
+      (1 to u).map { i =>
+        ((u * 10 + i).toLong, u.toLong, "purchase", f"2024-01-${u}%02d 10:00:00", u * 100.0)
+      }
+    }
+    val out = TimeOps.rfmSegments(events(rows)).collect()
+    val byUser = out.map(r => r.getLong(0) -> r).toMap
+    // user 5 purchased last (recency 0) most often with the highest spend
+    val u5 = byUser(5L)
+    assert(u5.getLong(u5.fieldIndex("recency_days")) == 0L)
+    assert(u5.getLong(u5.fieldIndex("segment")) == 155L) // r=1 (most recent), f=5, m=5
+    val u1 = byUser(1L)
+    assert(u1.getLong(u1.fieldIndex("recency_days")) == 4L)
+    assert(u1.getLong(u1.fieldIndex("segment")) == 511L)
+    assert(out.map(r => r.getLong(r.fieldIndex("f"))).sorted.sameElements(1L to 5L))
+  }
+
+  test("temperatureMixture hits the √n-proportional targets exactly") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 97 docs: 81 'a' + 16 'b' ⇒ √-shares 9:4 ⇒ targets 27 and 12 of 39
+    val docs = ((1 to 81).map(i => (i.toLong, "a")) ++ (1 to 16).map(i => (100L + i, "b")))
+      .toDF("doc_id", "lang")
+    val out = TextAnalysis.temperatureMixture(docs, budget = 39)
+    val perLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang == Map("a" -> 27L, "b" -> 12L))
+    val targets = out.select("lang", "target").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(targets == Map("a" -> 27L, "b" -> 12L))
+    // every selected rank is within the target prefix
+    assert(out.filter(col("rnk") > col("target")).count() == 0)
+  }
+
+  test("clusterBalancedSample caps every cell and reports true cell sizes") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // Two tight clusters on orthogonal axes; seeds (stride 5) are vec 0 and 5,
+    // one per cluster. Cluster x has 7 members, cluster y has 3.
+    val vecs = ((0 to 6).map(i => (i.toLong, Array(1f, 0.01f * i, 0f, 0f))) ++
+      (7 to 9).map(i => (i.toLong, Array(0.01f * (i - 7), 1f, 0f, 0f)))).toSeq
+    // put the y-cluster seed at vec_id 5 by swapping ids 5 and 7
+    val swapped = vecs.map {
+      case (5L, _) => (5L, Array(0f, 1f, 0f, 0f))
+      case (7L, v) => (7L, Array(1f, 0.05f, 0f, 0f))
+      case other => other
+    }
+    val df = swapped.toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalancedSample(df, centroidStride = 5, cap = 4).collect()
+    val byCell = out.groupBy(_.getLong(0))
+    assert(byCell.keySet == Set(0L, 5L))
+    assert(byCell(0L).length == 4, "7-member cell must be capped at 4")
+    assert(byCell(5L).length == 3, "3-member cell keeps all members")
+    assert(byCell(0L).forall(_.getLong(3) == 7L), "n_cell reports the uncapped size")
+    assert(out.forall(_.getLong(1) <= 4L))
+  }
+}
