@@ -281,6 +281,8 @@ object SparkEntry {
     "q_docs_exact_dedup" -> ((s, d) => Dedup.exactDedup(t(s, d, "documents"))),
     "q_docs_minhash" -> ((s, d) => Dedup.minhashSignatures(t(s, d, "documents"))),
     "q_docs_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(t(s, d, "documents"))),
+    "q_docs_pagerank" -> ((s, d) => Dedup.nearDupPageRank(t(s, d, "documents"))),
+    "q_docs_bpe" -> ((s, d) => TextAnalysis.bpeMerges(t(s, d, "documents"))),
     "q_docs_neardup" -> ((s, d) => Dedup.ngramJaccardNearDup(t(s, d, "documents"))),
     "q_docs_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "q_docs_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(t(s, d, "documents"))),
@@ -1722,6 +1724,69 @@ object SparkEntry {
     "q_docs_lsh_pairs" ->
       s"""WITH $minhashCtes
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // fixed-point BIGINT PageRank (1e-9 rank units): every step is integer
+    // arithmetic, so there is no float summation order to diverge on
+    "q_docs_pagerank" -> {
+      val iterCtes = (1 to 3).map { k =>
+        s"""c$k AS (
+           |  SELECT e.dst, sum(r.r // e.outdeg) AS m
+           |  FROM edges e JOIN r${k - 1} r ON e.src = r.doc_id
+           |  GROUP BY e.dst),
+           |r$k AS (
+           |  SELECT d.doc_id,
+           |    CAST((150000000 // nn.n) + (85 * coalesce(c$k.m, 0)) // 100 AS BIGINT) AS r
+           |  FROM documents d CROSS JOIN nn LEFT JOIN c$k ON d.doc_id = c$k.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashCtes,
+         |edges0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges0 GROUP BY src),
+         |edges AS (SELECT e.src, e.dst, g.outdeg FROM edges0 e JOIN deg g ON e.src = g.src),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |r0 AS (SELECT doc_id, CAST(1000000000 // nn.n AS BIGINT) AS r
+         |       FROM documents CROSS JOIN nn),
+         |$iterCtes
+         |SELECT d.doc_id, coalesce(g.outdeg, 0) AS degree, r3.r AS rank_fp
+         |FROM documents d
+         |LEFT JOIN deg g ON d.doc_id = g.src
+         |JOIN r3 ON d.doc_id = r3.doc_id
+         |ORDER BY rank_fp DESC, d.doc_id""".stripMargin
+    },
+    // unrolled 3-round BPE: same literal space-bounded single-pass replace
+    // on both engines, so the evolving vocabulary representation is
+    // byte-identical round for round
+    "q_docs_bpe" -> {
+      val roundCtes = (1 to 3).map { k =>
+        s"""p$k AS (
+           |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+           |    SELECT n, unnest(list_transform(range(1, len(toks)),
+           |                                    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+           |    FROM (SELECT n, string_split(rep, ' ') AS toks FROM v${k - 1}))
+           |  GROUP BY pair),
+           |t$k AS (SELECT pair FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+           |v$k AS (
+           |  SELECT n, trim(replace(' ' || rep || ' ', ' ' || t$k.pair || ' ',
+           |                         ' ' || replace(t$k.pair, ' ', '') || ' ')) AS rep
+           |  FROM v${k - 1} CROSS JOIN t$k),
+           |o$k AS (
+           |  SELECT CAST($k AS BIGINT) AS iter, rnk, pair,
+           |         replace(pair, ' ', '') AS merged, cnt FROM (
+           |    SELECT pair, cnt,
+           |      row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+           |    FROM p$k) WHERE rnk <= 5)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (
+         |  SELECT w, count(*) AS n FROM (
+         |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                              x -> length(x) > 0)) AS w
+         |    FROM documents)
+         |  GROUP BY w),
+         |v0 AS (SELECT n, array_to_string(string_split(w, ''), ' ') AS rep FROM w),
+         |$roundCtes
+         |SELECT iter, rnk, pair, merged, cnt
+         |FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3)
+         |ORDER BY iter, rnk""".stripMargin
+    },
     // Connected components as transitive reachability: bidirectional
     // edges from the capped LSH pairs, recursive closure, min reachable
     // id per vertex = the cluster label min-label propagation converges to.

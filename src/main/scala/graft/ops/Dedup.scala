@@ -250,6 +250,55 @@ object Dedup {
     bucketPairs(lshBuckets(documents, maxBucket))
       .orderBy("doc_a", "doc_b")
 
+  /** PageRank over the near-dup candidate graph (LSH pairs, bidirected) —
+    * graph centrality as a dedup-priority signal: a document near the
+    * center of a big near-dup family outranks a peripheral one, so
+    * "keep the most central copy" becomes a ranking rule the cluster
+    * consumers can apply. Fixed iteration count and FIXED-POINT INTEGER
+    * arithmetic throughout (ranks live in 1e-9 units as BIGINT; every
+    * per-edge contribution is an integer division, every damping step an
+    * integer multiply-divide), so the result is bit-exact across engines —
+    * the same order-independence discipline as the k-means grid
+    * quantization, with no float sum anywhere. Dangling-vertex mass is
+    * dropped (the standard simplification); isolated docs settle at the
+    * damped base rate.
+    *
+    * Execution shape per iteration: ranks join the persisted
+    * (src, dst, outdeg) edge frame on src — both sides doc-cardinality —
+    * then one partial-aggregating groupBy(dst). Three iterations, constant
+    * per-round cost; the N scalar rides along as a broadcast 1-row frame
+    * (no driver collect).
+    */
+  def nearDupPageRank(
+      documents: DataFrame,
+      iters: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = bucketPairs(lshBuckets(documents, maxBucket))
+    val edgesRaw = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edgesRaw.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesD = edgesRaw.join(deg, Seq("src"))
+    val edges =
+      if (edgesD.storageLevel == org.apache.spark.storage.StorageLevel.NONE) edgesD.persist()
+      else edgesD
+    val nDf = documents.agg(count(lit(1)).as("n"))
+    val verts = documents.select(col("doc_id")).crossJoin(broadcast(nDf))
+    var ranks = verts.select(col("doc_id"), expr("1000000000 div n").as("r"))
+    for (_ <- 0 until iters) {
+      val contrib = edges.join(ranks, edges("src") === ranks("doc_id"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("m"))
+      ranks = verts.join(contrib, verts("doc_id") === contrib("dst"), "left")
+        .select(col("doc_id"),
+          (expr("150000000 div n") + expr("(85 * coalesce(m, 0)) div 100")).as("r"))
+    }
+    ranks
+      .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("outdeg"), lit(0L)).as("degree"),
+        col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("doc_id"))
+  }
+
   /** The near-dup EDGE SET in star form: each bucket contributes
     * (member, bucket-min) instead of all member pairs. Connectivity is
     * identical to the in-bucket all-pairs graph — every member reaches

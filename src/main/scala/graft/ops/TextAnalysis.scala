@@ -501,6 +501,61 @@ object TextAnalysis {
     * before the single shuffle on source — at 100 TB the exchange
     * carries ≈ perSource·|sources| rows, not the corpus.
     */
+  /** Distributed BPE merge learning (the tokenizer-training inner loop):
+    * `iters` rounds of count-adjacent-symbol-pairs → pick the most
+    * frequent → apply the merge, over the weighted word vocabulary.
+    * Returns the top-`topk` pair statistics of each round (rank 1 is the
+    * merge actually applied).
+    *
+    * Execution shape per round: pair counts are a map-side-combining
+    * groupBy over the vocabulary (Heaps-law cardinality, never corpus-
+    * sized); the winning pair is a 1-row broadcast that the merge
+    * application cross-joins in — selection stays fully declarative, no
+    * driver collect. Merge application is a literal single-pass
+    * left-to-right space-bounded `replace` (' a b ' → ' ab '), identical
+    * byte semantics on both engines — the one simplification vs classic
+    * BPE is that an odd-length run of the same symbol merges
+    * left-to-right in ONE pass (``a a a`` → ``aa a``), which is exactly
+    * what both engines' non-overlapping replace does, so the fixpoint is
+    * shared. The rank window runs over the aggregated pair vocabulary
+    * (thousands of rows), not the corpus.
+    */
+  def bpeMerges(documents: DataFrame, iters: Int = 3, topk: Int = 5): DataFrame = {
+    val vocabRaw = documents
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(col("n"), concat_ws(" ", split(col("w"), "")).as("rep"))
+    val vocab0 =
+      if (vocabRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) vocabRaw.persist()
+      else vocabRaw
+    var cur = vocab0
+    val w = Window.orderBy(col("cnt").desc, col("pair"))
+    val rounds = (1 to iters).map { it =>
+      val toks = split(col("rep"), " ")
+      val pairExpr = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val pairCounts = cur
+        .select(col("n"), explode(pairExpr).as("pair"))
+        .groupBy("pair").agg(sum("n").as("cnt"))
+      val top1 = pairCounts
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair").as("mp"))
+      cur = cur.crossJoin(broadcast(top1))
+        .select(col("n"),
+          expr("trim(replace(' ' || rep || ' ', ' ' || mp || ' ', " +
+            "' ' || replace(mp, ' ', '') || ' '))").as("rep"))
+      pairCounts
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= topk)
+        .select(lit(it.toLong).as("iter"), col("rnk"), col("pair"),
+          expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
+    }
+    rounds.reduce(_ union _).orderBy("iter", "rnk")
+  }
+
   /** Temperature-scaled language mixture (the multilingual-pretraining
     * rebalance, α = 0.5): each language's sampling share is
     * `√n_l / Σ√n`, flattening the head-language skew, and the per-language

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Similarity, TextAnalysis, TimeOps}
+import graft.ops.{Dedup, Similarity, TextAnalysis, TimeOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -106,5 +106,47 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(byCell(5L).length == 3, "3-member cell keeps all members")
     assert(byCell(0L).forall(_.getLong(3) == 7L), "n_cell reports the uncapped size")
     assert(out.forall(_.getLong(1) <= 4L))
+  }
+
+  test("nearDupPageRank: symmetric triangle is a fixed point, isolated docs get the damped base") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 3 identical docs form a fully-connected LSH cluster (same shingles ⇒
+    // same buckets); 2 distinct docs stay isolated. N=5 ⇒ r0 = 2e8; each
+    // triangle vertex has outdeg 2 and receives 2·(2e8 div 2) = 2e8, so
+    // r = 3e7 + (85·2e8) div 100 = 2e8 — a fixed point. Isolated: 3e7.
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup),
+      (4L, "completely unrelated text about spark execution engines"),
+      (5L, "another very different document discussing tokenizer training"))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupPageRank(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 200000000L)))
+    assert(out(2L) == ((2L, 200000000L)))
+    assert(out(3L) == ((2L, 200000000L)))
+    assert(out(4L) == ((0L, 30000000L)))
+    assert(out(5L) == ((0L, 30000000L)))
+  }
+
+  test("bpeMerges learns the expected merge sequence with deterministic ties") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // the×4, cat×2, sat×1, a×1 (single char: no pairs — exercises the
+    // sequence guard). Round 1: 't h'=4 ties 'h e'=4 → 'h e' wins (pair
+    // asc) → 'he'. Round 2: 't he'=4 → 'the'. Round 3: 'a t'=3 → 'at'.
+    val docs = Seq(
+      (1L, "the the the cat a"),
+      (2L, "the cat sat"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs).collect()
+    val winners = out.filter(_.getLong(1) == 1L)
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(3), r.getLong(4)))
+    assert(winners.toSeq == Seq(("he", 4L), ("the", 4L), ("at", 3L)))
+    // round-1 statistics: 't h' and 'h e' both 4, 'a t' 3 ('at' from cat+sat)
+    val r1 = out.filter(_.getLong(0) == 1L).map(r => r.getString(2) -> r.getLong(4)).toMap
+    assert(r1("h e") == 4L && r1("t h") == 4L && r1("a t") == 3L)
   }
 }
