@@ -252,6 +252,51 @@ object SparkEntry {
         ORDER BY o_totalprice DESC, o_orderkey
       """)
     }),
+    // TPC-H Q19-shaped: a disjunction of (brand, size-range, quantity-
+    // range) conjuncts. Catalyst factors the part-only legs of the OR and
+    // pushes their union below the join as a part-side scan filter, so the
+    // join build side shrinks before any fact row is touched — the
+    // disjunctive-pushdown shape.
+    "q_sql_disjunct" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      t(s, d, "part").createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+               count(*) AS n_lines
+        FROM v_lineitem
+        JOIN v_part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+      """)
+    }),
+    // TPC-H Q22-shaped: NOT EXISTS anti-join + a scalar-aggregate
+    // threshold. The "above average balance" compare is done as an exact
+    // integer cross-multiply (cents·count > Σcents) instead of comparing
+    // against a float avg — the avg of doubles is summation-order-
+    // sensitive, so a boundary row could flip between engines; integer
+    // cross-multiplication cannot.
+    "q_sql_no_urgent_orders" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("v_customer")
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c_nationkey, count(*) AS numcust,
+               round(sum(c_acctbal), 4) AS totacctbal
+        FROM v_customer
+        WHERE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+              * (SELECT count(*) FROM v_customer WHERE c_acctbal > 0.0)
+              > (SELECT sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                 FROM v_customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM v_orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+      """)
+    }),
     "q_when_case" -> ((s, d) => Relational.whenCaseBuckets(t(s, d, "orders"))),
     "q_validate_chain" -> ((s, d) => Relational.validateChain(t(s, d, "lineitem"))),
     "q_struct_pack" -> ((s, d) => Relational.structPackJson(t(s, d, "orders"))),
@@ -989,6 +1034,30 @@ object SparkEntry {
         |  GROUP BY c_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_sql_disjunct" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_sql_no_urgent_orders" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  round(sum(c_acctbal), 4) AS totacctbal
+        |FROM customer
+        |WHERE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+        |      * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+        |      > (SELECT sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+        |         FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q_sql_big_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
         |  round(sum(l_quantity), 2) AS total_qty
