@@ -198,6 +198,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in Q21 plan:\n$p")
   }
 
+  test("Q13-shaped left outer keeps the join-side predicate (zero-order customers survive)") {
+    val p = plan(SparkEntry.queries("q_sql_order_dist")(spark, dir))
+    assert(p.contains("LeftOuter"), s"left outer join lost:\n$p")
+    // the priority filter must NOT be pushed below the join as an orders
+    // scan filter would be fine, but it must never become an inner join
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q13 plan:\n$p")
+    // left-join totality: every customer lands in exactly one count bucket,
+    // so Σ custdist = |customer| — if the join-side predicate were pushed
+    // into an inner join, customers with only urgent orders would vanish
+    val rows = SparkEntry.queries("q_sql_order_dist")(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == t("customer").count(),
+      "a customer was dropped — the outer side collapsed")
+  }
+
+  test("Q18-shaped IN-over-HAVING decorrelates to a join on the aggregated subquery") {
+    val p = plan(SparkEntry.queries("q_sql_big_orders")(spark, dir))
+    assert(!p.toLowerCase.contains("subqueryexec"), s"per-row subquery survived:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q18 plan:\n$p")
+  }
+
+  test("Q19-shaped disjunction pushes the part-side OR legs into the part scan") {
+    val df = SparkEntry.queries("q_sql_disjunct")(spark, dir)
+    val p = plan(df)
+    // the factored part-only predicate (brand/size OR-union) must reach the
+    // part relation as a pushed filter, shrinking the join input
+    assert(p.contains("Brand#12") && p.contains("Brand#14"),
+      s"part-side OR legs not visible in the plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q19 plan:\n$p")
+  }
+
+  test("Q22-shaped NOT EXISTS decorrelates to an anti join; scalar thresholds hoist") {
+    val p = plan(SparkEntry.queries("q_sql_no_urgent_orders")(spark, dir))
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q22 plan:\n$p")
+  }
+
+  test("PageRank contribution join is a hash join on src — no cartesian, ranks stay doc-sized") {
+    val docs = t("documents")
+    val p = plan(Dedup.nearDupPageRank(docs))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastNestedLoopJoin"), // the 1-row N frame rides a BNLJ by design
+      s"unexpected join shape:\n$p")
+    // the only nested-loop joins permitted are the 1-row N-scalar cross
+    // joins; every data-sized join must be hash
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    val cart = "CartesianProduct".r.findAllIn(p).length
+    assert(cart == 0, s"cartesian product in PageRank plan:\n$p")
+    assert(bnlj <= 5, s"too many nested-loop joins ($bnlj) — a data-sized side leaked in:\n$p")
+  }
+
   test("flagship star query broadcasts the dimension chain and returns rows") {
     val df = SparkEntry.entry(spark)
     val p = plan(df)
