@@ -366,6 +366,7 @@ object SparkEntry {
     "q_events_funnel" -> ((s, d) => TimeOps.funnelStages(t(s, d, "events"))),
     "q_events_retention" -> ((s, d) => TimeOps.retentionCohorts(t(s, d, "events"))),
     "q_events_attribution" -> ((s, d) => TimeOps.lastTouchAttribution(t(s, d, "events"))),
+    "q_events_scd2" -> ((s, d) => TimeOps.scd2History(t(s, d, "events"))),
     "q_events_ttc" -> ((s, d) => TimeOps.timeToConvert(t(s, d, "events"))),
     "q_events_rfm" -> ((s, d) => TimeOps.rfmSegments(t(s, d, "events"))),
     "q_docs_typo_pairs" -> ((s, d) => TextAnalysis.typoPairs(t(s, d, "documents"))),
@@ -1193,6 +1194,22 @@ object SparkEntry {
         |  round(sum(value), 4) AS attributed_value
         |FROM c WHERE event_type = 'purchase'
         |GROUP BY channel ORDER BY channel""".stripMargin,
+    "q_events_scd2" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_type, ts, event_id FROM s
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+        |  event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    AS is_current
+        |FROM c ORDER BY user_id, version""".stripMargin,
     "q_events_ttc" ->
       """WITH f AS (
         |  SELECT user_id, min(ts) AS signup_ts

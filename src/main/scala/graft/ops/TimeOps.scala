@@ -258,6 +258,27 @@ object TimeOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Type-2 slowly-changing-dimension history: each user's event_type
+    * stream collapses to its CHANGE points (consecutive repeats drop),
+    * and every surviving state gets a `[valid_from, valid_to)` interval —
+    * `valid_to` null and `is_current` true on the latest. The standard
+    * warehouse versioning shape, built from two lag/lead passes over the
+    * SAME (user_id, ts, event_id) window sort — Catalyst reuses the one
+    * exchange+sort for both, so this is a single shuffle end to end.
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** Last-touch attribution: each purchase is credited to the most recent
     * PRIOR touch event (click/view) by the same user, `'none'` when the
     * purchase has no preceding touch. One carry-forward window per user

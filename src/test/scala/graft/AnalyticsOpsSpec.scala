@@ -108,6 +108,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) <= 4L))
   }
 
+  test("scd2History builds contiguous change intervals with one current row per user") {
+    val df = events(Seq(
+      (1L, 1L, "view", "2024-01-01 10:00:00", 0.0),
+      (2L, 1L, "view", "2024-01-01 11:00:00", 0.0), // repeat — collapses
+      (3L, 1L, "click", "2024-01-01 12:00:00", 0.0),
+      (4L, 1L, "view", "2024-01-01 13:00:00", 0.0), // back to view: NEW version
+      (5L, 2L, "signup", "2024-01-01 09:00:00", 0.0)))
+    val out = TimeOps.scd2History(df).collect()
+    val u1 = out.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(u1.map(_.getString(2)).toSeq == Seq("view", "click", "view"))
+    // intervals chain: version k's valid_to == version k+1's valid_from
+    u1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getTimestamp(4) == b.getTimestamp(3), "interval chain broken")
+    }
+    assert(u1.count(_.getBoolean(5)) == 1 && u1.last.getBoolean(5))
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2.head.getBoolean(5) && u2.head.get(4) == null)
+  }
+
   test("nearDupPageRank: symmetric triangle is a fixed point, isolated docs get the damped base") {
     val sparkS = spark
     import sparkS.implicits._
