@@ -136,6 +136,47 @@ object EventStreams {
       }
   }
 
+  final case class TouchState(channel: String, lastTs: Long, lastId: Long)
+  final case class Attribution(user_id: Long, purchase_id: Long, channel: String,
+      value: Double)
+
+  /** Streaming last-touch attribution — the incremental twin of
+    * [[graft.ops.TimeOps.lastTouchAttribution]]: per-user state carries
+    * the most recent touch (click/view); each purchase emits an
+    * attribution row against the touch standing at that moment, `'none'`
+    * before any touch. State is one tiny record per user (channel +
+    * last-touch time), partitioned by user_id across state stores; events
+    * inside a micro-batch are processed in (event-time, event_id) order so
+    * a batch replay of an in-order stream matches the batch window exactly.
+    */
+  def attributionStream(
+      events: Dataset[Event],
+      watermarkDelay: String = "2 hours"): Dataset[Attribution] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[TouchState]) =>
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption.getOrElse(TouchState("none", Long.MinValue, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[Attribution]
+          evs.foreach { e =>
+            e.event_type match {
+              case "purchase" =>
+                out += Attribution(userId, e.event_id, cur.channel, e.value)
+              case "click" | "view" =>
+                cur = TouchState(e.event_type, e.ts.getTime, e.event_id)
+              case _ => () // non-touch, non-purchase events carry no credit
+            }
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join: each click joined to the same user's
     * views from the preceding `windowSeconds`. Both sides are watermarked
     * so the join state is bounded — Spark buffers only rows young enough

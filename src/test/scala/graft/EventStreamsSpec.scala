@@ -327,4 +327,41 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(!closed.exists { case (w, t, c) => w.startsWith("2024-01-01 00:") && t == "click" && c > 1 })
     } finally query.stop()
   }
+
+  test("streaming last-touch attribution matches the batch twin across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val attrEvents = Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      Event(2L, ts("2024-01-01 11:00:00"), 1L, "purchase", 10.0), // ← click
+      Event(3L, ts("2024-01-01 12:00:00"), 1L, "view", 0.0),
+      Event(4L, ts("2024-01-01 12:30:00"), 1L, "error", 0.0), // must not steal credit
+      Event(5L, ts("2024-01-01 13:00:00"), 1L, "purchase", 20.0), // ← view
+      Event(6L, ts("2024-01-01 09:00:00"), 2L, "purchase", 5.0)) // ← none
+    val input = MemoryStream[Event]
+    val query = EventStreams.attributionStream(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("attr_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // split across micro-batches so state genuinely carries the touch
+      input.addData(attrEvents.take(3))
+      query.processAllAvailable()
+      input.addData(attrEvents.drop(3))
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT purchase_id, channel, value FROM attr_test")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(streamed == Set((2L, "click", 10.0), (5L, "view", 20.0), (6L, "none", 5.0)))
+      // aggregate equivalence with the batch window twin
+      val batch = graft.ops.TimeOps.lastTouchAttribution(attrEvents.toDF())
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val streamedAgg = streamed.groupBy(_._2).map { case (ch, rows) =>
+        (ch, rows.size.toLong, rows.map(_._3).sum)
+      }.toSet
+      assert(streamedAgg == batch)
+    } finally query.stop()
+  }
 }
