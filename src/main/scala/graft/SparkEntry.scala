@@ -416,6 +416,7 @@ object SparkEntry {
     }),
     "q_docs_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(t(s, d, "documents"))),
     "q_docs_temp_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(t(s, d, "documents"))),
+    "q_docs_curation" -> ((s, d) => TextAnalysis.curationPipeline(t(s, d, "documents"))),
     "q_docs_unigram_lp" -> ((s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents"))),
     "q_docs_surprisal" -> ((s, d) => TextAnalysis.bigramSurprisal(t(s, d, "documents"))),
     "q_docs_split" -> ((s, d) => TextAnalysis.trainValTestSplit(t(s, d, "documents"))),
@@ -1540,6 +1541,37 @@ object SparkEntry {
          |SELECT content_hash, doc_id AS best_id, best_quality,
          |  CAST(copies AS BIGINT) AS copies
          |FROM r WHERE rn = 1 ORDER BY best_id""".stripMargin,
+    // the composed pipeline: dedup-keep-best ∘ decontaminate ∘ quality
+    // floor, each stage reusing the exact CTE text of its standalone oracle
+    "q_docs_curation" ->
+      s"""WITH $qualityCtes,
+         |j AS (SELECT md5(d.text) AS content_hash, q.doc_id, q.quality
+         |      FROM q JOIN documents d USING (doc_id)),
+         |r AS (SELECT content_hash, doc_id, quality,
+         |        row_number() OVER (PARTITION BY content_hash
+         |                           ORDER BY quality DESC, doc_id) AS rn
+         |      FROM j),
+         |best AS (SELECT doc_id, quality FROM r WHERE rn = 1),
+         |w AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                x -> length(x) > 0) AS words
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_transform(range(1, greatest(len(words) - 12, 1) + 1),
+         |      i -> CAST('0x' || substr(md5(array_to_string(words[i:i+12], ' ')), 1, 15) AS BIGINT)))
+         |      AS gram
+         |  FROM w),
+         |leaky AS (
+         |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT source) > 1),
+         |flagged AS (SELECT DISTINCT g.doc_id FROM g JOIN leaky USING (gram))
+         |SELECT b.doc_id, d.lang, d.source, b.quality
+         |FROM best b
+         |JOIN documents d USING (doc_id)
+         |WHERE b.quality >= 0.6
+         |  AND b.doc_id NOT IN (SELECT doc_id FROM flagged)
+         |ORDER BY b.doc_id""".stripMargin,
     "q_docs_contamination" ->
       """WITH n AS (
         |  SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

@@ -501,6 +501,29 @@ object TextAnalysis {
     * before the single shuffle on source — at 100 TB the exchange
     * carries ≈ perSource·|sources| rows, not the corpus.
     */
+  /** The composed curation pipeline — the end-to-end "make a training
+    * corpus" flow run as ONE declarative plan: exact dedup keeping the
+    * best-quality copy ([[dedupKeepBest]]) → drop cross-source
+    * 13-gram-contaminated docs ([[ngramContamination]], as a left-anti
+    * join) → quality floor. Each stage is an operator verified on its own
+    * elsewhere; this query pins the COMPOSITION (Catalyst fuses the
+    * stages — one corpus scan feeds the quality/dedup leg and one the
+    * contamination leg; the anti join is doc-id-cardinality, never
+    * text-sized). The threshold compares the 4-digit-rounded score, so
+    * the cut is on bit-identical values in both engines.
+    */
+  def curationPipeline(documents: DataFrame, minQuality: Double = 0.6): DataFrame = {
+    val kept = dedupKeepBest(documents)
+      .select(col("best_id").as("doc_id"), col("best_quality").as("quality"))
+    val flagged = ngramContamination(documents).select(col("doc_id"))
+    kept
+      .join(documents.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   /** Distributed BPE merge learning (the tokenizer-training inner loop):
     * `iters` rounds of count-adjacent-symbol-pairs → pick the most
     * frequent → apply the merge, over the weighted word vocabulary.

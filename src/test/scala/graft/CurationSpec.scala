@@ -378,4 +378,20 @@ class CurationSpec extends AnyFunSuite {
     assert(r(3L) == ((1L, 0L)), s"one substitution must be fuzzy, not exact: $r")
     assert(!r.contains(4L), s"two substitutions exceed distance 1: $r")
   }
+
+  test("curation pipeline composes dedup, decontamination, and the quality floor") {
+    // docs 1/3 are exact dups across sources (13+ shared words ⇒ also
+    // 13-gram contaminated); doc 2 is clean; doc 5 fails the length floor
+    val out = TextAnalysis.curationPipeline(docs, minQuality = 0.3).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    // the dup pair 1/3 and the near-copy 4 share a cross-source 13-gram ⇒
+    // all contaminated out; 5 is below the 50-char quality floor (score 0)
+    assert(ids == Set(2L), s"expected only the clean doc to survive: $ids")
+    // survivors carry their keep-best quality, above the floor
+    assert(out.forall(_.getDouble(3) >= 0.3))
+    // composition subset-invariants vs the standalone stages
+    val bestIds = TextAnalysis.dedupKeepBest(docs).collect().map(_.getLong(1)).toSet
+    val flagged = TextAnalysis.ngramContamination(docs).collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(bestIds) && ids.intersect(flagged).isEmpty)
+  }
 }
