@@ -417,6 +417,7 @@ object SparkEntry {
     "q_docs_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(t(s, d, "documents"))),
     "q_docs_temp_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(t(s, d, "documents"))),
     "q_docs_curation" -> ((s, d) => TextAnalysis.curationPipeline(t(s, d, "documents"))),
+    "q_docs_accounting" -> ((s, d) => TextAnalysis.corpusAccounting(t(s, d, "documents"))),
     "q_docs_unigram_lp" -> ((s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents"))),
     "q_docs_surprisal" -> ((s, d) => TextAnalysis.bigramSurprisal(t(s, d, "documents"))),
     "q_docs_split" -> ((s, d) => TextAnalysis.trainValTestSplit(t(s, d, "documents"))),
@@ -1541,6 +1542,23 @@ object SparkEntry {
          |SELECT content_hash, doc_id AS best_id, best_quality,
          |  CAST(copies AS BIGINT) AS copies
          |FROM r WHERE rn = 1 ORDER BY best_id""".stripMargin,
+    // shares are exact integer bps (cell·10000 div total) — no float
+    // division whose rounding could drift between engines
+    "q_docs_accounting" ->
+      """WITH cells AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY source, lang),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+        |             CAST(sum(n_tokens) AS BIGINT) AS t_tokens,
+        |             CAST(sum(n_chars) AS BIGINT) AS t_chars
+        |      FROM cells)
+        |SELECT source, lang, n_docs, n_tokens, n_chars,
+        |  (n_docs * 10000) // t_docs AS doc_share_bps,
+        |  (n_tokens * 10000) // t_tokens AS token_share_bps
+        |FROM cells CROSS JOIN t
+        |ORDER BY source, lang""".stripMargin,
     // the composed pipeline: dedup-keep-best ∘ decontaminate ∘ quality
     // floor, each stage reusing the exact CTE text of its standalone oracle
     "q_docs_curation" ->

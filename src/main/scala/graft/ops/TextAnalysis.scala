@@ -501,6 +501,34 @@ object TextAnalysis {
     * before the single shuffle on source — at 100 TB the exchange
     * carries ≈ perSource·|sources| rows, not the corpus.
     */
+  /** Corpus accounting (the "data card" rollup): per (source, lang) doc /
+    * whitespace-token / char totals plus each cell's share of the corpus
+    * in basis points — the first table every dataset release publishes.
+    * One partial-aggregating groupBy at cell cardinality; the grand
+    * totals ride a broadcast 1-row frame. Shares are exact-integer
+    * arithmetic (bps = cell·10000 div total), so no float division order
+    * can flip a digit.
+    */
+  def corpusAccounting(documents: DataFrame): DataFrame = {
+    val cells = documents
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // \S+ runs (not a \s+ split) so stray leading/trailing whitespace
+        // can't mint empty tokens — and so the DuckDB replay is identical
+        sum(size(expr("regexp_extract_all(text, '\\\\S+', 0)"))).as("n_tokens"),
+        sum(length(col("text"))).as("n_chars"))
+    val totals = cells.agg(
+      sum("n_docs").as("t_docs"), sum("n_tokens").as("t_tokens"),
+      sum("n_chars").as("t_chars"))
+    cells.crossJoin(broadcast(totals))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        expr("(n_docs * 10000) div t_docs").as("doc_share_bps"),
+        expr("(n_tokens * 10000) div t_tokens").as("token_share_bps"))
+      .orderBy("source", "lang")
+  }
+
   /** The composed curation pipeline — the end-to-end "make a training
     * corpus" flow run as ONE declarative plan: exact dedup keeping the
     * best-quality copy ([[dedupKeepBest]]) → drop cross-source
