@@ -343,6 +343,7 @@ object SparkEntry {
     "q_emb_topk_agg" -> ((s, d) => Similarity.bruteForceTopKAgg(t(s, d, "embeddings"))),
     "q_emb_ivf_assign" -> ((s, d) => Similarity.ivfAssign(t(s, d, "embeddings"))),
     "q_emb_cluster_balance" -> ((s, d) => Similarity.clusterBalancedSample(t(s, d, "embeddings"))),
+    "q_emb_mmr" -> ((s, d) => Similarity.mmrRerank(t(s, d, "embeddings"))),
     "q_emb_ivf_kmeans" -> ((s, d) => Similarity.ivfAssignKMeans(t(s, d, "embeddings"))),
     "q_emb_ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d, "embeddings"))),
     "q_emb_ivf_mp" -> ((s, d) => Similarity.ivfTopKMultiProbe(t(s, d, "embeddings"))),
@@ -2113,6 +2114,57 @@ object SparkEntry {
          |      FROM p)
          |SELECT cell, rnk, vec_id, n_cell
          |FROM r WHERE rnk <= 50 ORDER BY cell, rnk""".stripMargin,
+    // MMR: unrolled greedy selection — round j's winner maximizes
+    // 0.5·cos_q − 0.5·max-sim-to-selected, ties to the lowest cand_id;
+    // identical double arithmetic both engines, so the greedy path replays
+    "q_emb_mmr" -> {
+      val rounds = (2 to 5).map { j =>
+        s"""su${j - 1} AS (${(1 until j).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")}),
+           |m$j AS (
+           |  SELECT p.query_id, p.ca AS cand_id, max(p.sim) AS msim
+           |  FROM psim p JOIN su${j - 1} s ON p.query_id = s.query_id AND p.cb = s.cand_id
+           |  GROUP BY p.query_id, p.ca),
+           |sel$j AS (
+           |  SELECT query_id, cand_id, cos_q, CAST($j AS BIGINT) AS sel_rank FROM (
+           |    SELECT c.query_id, c.cand_id, c.cos_q,
+           |      row_number() OVER (PARTITION BY c.query_id
+           |                         ORDER BY 0.5 * c.cos_q - 0.5 * m.msim DESC, c.cand_id) AS rn
+           |    FROM pool c
+           |    JOIN m$j m ON m.query_id = c.query_id AND m.cand_id = c.cand_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM su${j - 1} s
+           |                      WHERE s.query_id = c.query_id AND s.cand_id = c.cand_id))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 20),
+         |s0 AS (
+         |  SELECT q.query_id, e.vec_id AS cand_id, e.embedding AS c_emb,
+         |    ${cosSql("q.q_emb", "e.embedding")} AS cos_q
+         |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |pool AS (
+         |  SELECT query_id, cand_id, c_emb, cos_q FROM (
+         |    SELECT query_id, cand_id, c_emb, cos_q,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY cos_q DESC, cand_id) AS rnk
+         |    FROM s0) WHERE rnk <= 20),
+         |psim AS (
+         |  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+         |    ${cosSql("a.c_emb", "b.c_emb")} AS sim
+         |  FROM pool a JOIN pool b
+         |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+         |sel1 AS (
+         |  SELECT query_id, cand_id, cos_q, CAST(1 AS BIGINT) AS sel_rank FROM (
+         |    SELECT query_id, cand_id, cos_q,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY cos_q DESC, cand_id) AS rn
+         |    FROM pool) WHERE rn = 1),
+         |$rounds
+         |SELECT query_id, sel_rank, cand_id, round(cos_q, 6) AS cos_sim
+         |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL
+         |      SELECT * FROM sel3 UNION ALL SELECT * FROM sel4 UNION ALL
+         |      SELECT * FROM sel5)
+         |ORDER BY query_id, sel_rank""".stripMargin
+    },
     "q_emb_ivf_kmeans" -> {
       // Unrolled distributed-Lloyd replay (Similarity.kmeansCentroids,
       // 2 iterations from the stride-100 seeds). The per-cell mean is the

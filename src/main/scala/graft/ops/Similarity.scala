@@ -204,6 +204,84 @@ object Similarity {
       .orderBy("cell", "rnk")
   }
 
+  /** Maximal-marginal-relevance re-ranking — the diversity pass a serving
+    * stack runs AFTER recall (brute/IVF/PQ top-k all exist upstream):
+    * from each query's `poolSize`-candidate pool, select `k` results
+    * greedily, each round's winner maximizing
+    * `λ·cos(q,c) − (1−λ)·max_{s∈selected} cos(c,s)`.
+    *
+    * The greedy loop is UNROLLED into k declarative rounds (like the
+    * fixed-iteration k-means): each round is one bounded join — the
+    * persisted in-pool pairwise-cosine frame (≤ pool² rows per query)
+    * against the selected-so-far set — then a map-side-combining
+    * `max(struct)` argmax per query; no driver collect, no per-row
+    * recursion. Candidate pools come from the broadcast-query scoring
+    * pass (corpus never shuffles, same shape as [[hardNegatives]]).
+    * Determinism: cosines are the same sequential-sum doubles on both
+    * engines, λ = 0.5 is an exact binary fraction, and every argmax
+    * tiebreaks on candidate id — so selection replays bit-exactly.
+    */
+  def mmrRerank(
+      embeddings: DataFrame,
+      numQueries: Int = 20,
+      poolSize: Int = 20,
+      k: Int = 5): DataFrame = {
+    val lam = 0.5
+    val q = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scoredAll = embeddings
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      .join(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos_q", cosine(col("q_emb"), col("c_emb")))
+    val wq = Window.partitionBy("query_id").orderBy(col("cos_q").desc, col("cand_id"))
+    val poolRaw = scoredAll
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= poolSize)
+      .select(col("query_id"), col("cand_id"), col("c_emb"), col("cos_q"))
+    val pool =
+      if (poolRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) poolRaw.persist()
+      else poolRaw
+    val psimRaw = pool.select(col("query_id"), col("cand_id").as("ca"), col("c_emb").as("ea"))
+      .join(pool.select(col("query_id"), col("cand_id").as("cb"), col("c_emb").as("eb")),
+        Seq("query_id"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("query_id"), col("ca"), col("cb"), cosine(col("ea"), col("eb")).as("sim"))
+    val psim =
+      if (psimRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) psimRaw.persist()
+      else psimRaw
+    def argmax(df: DataFrame, score: Column, rank: Int): DataFrame = df
+      .select(col("query_id"),
+        struct(score.as("s"), (-col("cand_id")).as("neg_id"), col("cos_q").as("cq")).as("sc"))
+      .groupBy("query_id").agg(max(col("sc")).as("best"))
+      .select(col("query_id"), (-col("best.neg_id")).as("cand_id"),
+        col("best.cq").as("cos_q"), lit(rank.toLong).as("sel_rank"))
+    // each round references `selected` three times (anti-join, max-sim
+    // join, union); left unpersisted that re-evaluates every prior round's
+    // subtree ~3× per level — exponential plan blowup by round 5. The
+    // frame is ≤ numQueries·k rows, so persisting per round costs nothing
+    // and keeps each round's work constant.
+    var selected = argmax(pool, col("cos_q"), 1).persist()
+    for (j <- 2 to k) {
+      val remaining = pool.join(
+        selected.select(col("query_id"), col("cand_id")), Seq("query_id", "cand_id"),
+        "left_anti")
+      val msim = psim
+        .join(selected.select(col("query_id"), col("cand_id").as("cb")),
+          Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca").as("cand_id"))
+        .agg(max("sim").as("msim"))
+      val scored = remaining.join(msim, Seq("query_id", "cand_id"))
+      selected = selected.union(
+        argmax(scored, lit(lam) * col("cos_q") - lit(1.0 - lam) * col("msim"), j))
+        .persist()
+    }
+    selected
+      .select(col("query_id"), col("sel_rank"), col("cand_id"),
+        round(col("cos_q"), 6).as("cos_sim"))
+      .orderBy("query_id", "sel_rank")
+  }
+
   /** IVF cell assignment: nearest centroid by cosine (broadcast centroids,
     * rank-window argmin). This is the "build the index" half.
     */

@@ -85,6 +85,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.filter(col("rnk") > col("target")).count() == 0)
   }
 
+  test("mmrRerank trades relevance for diversity: near-duplicate loses to the diverse candidate") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // query 0 along e1; cands 1/2 nearly identical (2 slightly more
+    // relevant), cand 3 equally relevant but on the mirrored axis.
+    // Plain top-2 = {2, 1}; MMR round 2 penalizes 1 (sim≈1 to selected 2)
+    // and picks 3 (sim≈0.81).
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.95f, 0.309f, 0f, 0f)),
+      (2L, Array(0.951f, 0.309f, 0f, 0f)),
+      (3L, Array(0.951f, -0.309f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(vecs, numQueries = 1, poolSize = 3, k = 2).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(1L) == 2L, s"rank 1 must be the most relevant candidate: $out")
+    assert(out(2L) == 3L, s"rank 2 must be the diverse candidate, not the near-dup: $out")
+  }
+
   test("clusterBalancedSample caps every cell and reports true cell sizes") {
     val sparkS = spark
     import sparkS.implicits._
