@@ -252,6 +252,63 @@ object SparkEntry {
         ORDER BY o_totalprice DESC, o_orderkey
       """)
     }),
+    // TPC-H Q6-shaped: the pure scan-filter-aggregate revenue forecast —
+    // every predicate (date range, discount band, quantity cap) pushes to
+    // the parquet scan; the whole query is one codegen stage + one
+    // single-row aggregate. The "is pushdown actually free" canary.
+    "q_sql_forecast" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+               count(*) AS n_lines
+        FROM v_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.09
+          AND l_quantity < 24.0
+      """)
+    }),
+    // TPC-H Q10-shaped: returned-item reporting — customers ranked by the
+    // revenue they returned in a quarter, nation broadcast onto the
+    // grouped result. Fact filters (returnflag + date) push to the scans;
+    // the single wide shuffle is the customer-cardinality aggregate.
+    "q_sql_returns" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"v_$n"))
+      s.sql("""
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+               count(*) AS n_lines
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+      """)
+    }),
+    // TPC-H Q14-shaped: promo-revenue share — a conditional-aggregate
+    // ratio over one month of facts with the part dim broadcast. The
+    // ratio divides two sums of the same rounded grid, computed in ONE
+    // aggregate pass (no self-join).
+    "q_sql_promo" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      t(s, d, "part").createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+               / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_share,
+               count(*) AS n_lines
+        FROM v_lineitem
+        JOIN v_part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+      """)
+    }),
     // TPC-H Q19-shaped: a disjunction of (brand, size-range, quantity-
     // range) conjuncts. Catalyst factors the part-only legs of the OR and
     // pushes their union below the join as a part-side scan filter, so the
@@ -1038,6 +1095,37 @@ object SparkEntry {
         |  GROUP BY c_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_sql_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.09
+        |  AND l_quantity < 24.0""".stripMargin,
+    "q_sql_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q_sql_promo" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |         THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |       / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_share,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
     "q_sql_disjunct" ->
       """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
         |  count(*) AS n_lines
