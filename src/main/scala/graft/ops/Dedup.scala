@@ -952,13 +952,18 @@ object Dedup {
       .join(dfCnt, Seq("tok"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("sorted"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), size(col("sorted")).as("sz"),
         explode(expr(
           s"transform(slice(sorted, 1, CAST(size(sorted) - ceil($t * size(sorted)) + 1 AS INT)), x -> x.tok)"))
           .as("tok"))
+    // AllPairs length filter: J(A,B) ≥ t forces t·|B| ≤ |A| (and
+    // symmetrically), so size-mismatched pairs can NEVER pass the verify
+    // threshold — pruning them here changes candidate count only, never
+    // the result set (the brute-force oracle stays hash-identical).
     val cand = prefixes.as("a")
       .join(prefixes.as("b"), "tok")
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        col("a.sz") >= lit(t) * col("b.sz") && col("b.sz") >= lit(t) * col("a.sz"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cand
