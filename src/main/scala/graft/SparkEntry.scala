@@ -384,6 +384,7 @@ object SparkEntry {
     "q_docs_minhash" -> ((s, d) => Dedup.minhashSignatures(t(s, d, "documents"))),
     "q_docs_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(t(s, d, "documents"))),
     "q_docs_pagerank" -> ((s, d) => Dedup.nearDupPageRank(t(s, d, "documents"))),
+    "q_docs_central_keep" -> ((s, d) => Dedup.centralKeep(t(s, d, "documents"))),
     "q_docs_bpe" -> ((s, d) => TextAnalysis.bpeMerges(t(s, d, "documents"))),
     "q_docs_neardup" -> ((s, d) => Dedup.ngramJaccardNearDup(t(s, d, "documents"))),
     "q_docs_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
@@ -1976,6 +1977,42 @@ object SparkEntry {
          |LEFT JOIN deg g ON d.doc_id = g.src
          |JOIN r3 ON d.doc_id = r3.doc_id
          |ORDER BY rank_fp DESC, d.doc_id""".stripMargin
+    },
+    // clusters (recursive closure) × fixed-point PageRank, argmax per
+    // cluster — both legs reuse their standalone oracles' CTE text
+    "q_docs_central_keep" -> {
+      val iterCtes = (1 to 3).map { k =>
+        s"""c$k AS (
+           |  SELECT e.dst, sum(r.r // e.outdeg) AS m
+           |  FROM edgesd e JOIN r${k - 1} r ON e.src = r.doc_id
+           |  GROUP BY e.dst),
+           |r$k AS (
+           |  SELECT d.doc_id,
+           |    CAST((150000000 // nn.n) + (85 * coalesce(c$k.m, 0)) // 100 AS BIGINT) AS r
+           |  FROM documents d CROSS JOIN nn LEFT JOIN c$k ON d.doc_id = c$k.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |edgesd AS (SELECT e.src, e.dst, g.outdeg FROM edges e JOIN deg g ON e.src = g.src),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |r0 AS (SELECT doc_id, CAST(1000000000 // nn.n AS BIGINT) AS r
+         |       FROM documents CROSS JOIN nn),
+         |$iterCtes,
+         |ranked AS (
+         |  SELECT l.cluster_id, l.doc_id, r3.r AS rank_fp,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |                       ORDER BY r3.r DESC, l.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+         |  FROM labels l JOIN r3 ON l.doc_id = r3.doc_id)
+         |SELECT cluster_id, n_members, doc_id AS kept_id, rank_fp
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
     },
     // unrolled 3-round BPE: same literal space-bounded single-pass replace
     // on both engines, so the evolving vocabulary representation is

@@ -299,6 +299,29 @@ object Dedup {
       .orderBy(col("rank_fp").desc, col("doc_id"))
   }
 
+  /** Centrality-based keep rule: for every near-dup cluster, keep the
+    * member with the highest [[nearDupPageRank]] rank (ties to the lowest
+    * doc_id) — "keep the most central copy", the graph-native alternative
+    * to quality-based [[graft.ops.TextAnalysis.dedupKeepBest]]. Composes
+    * the two verified operators; the per-cluster argmax and size share
+    * one cluster-partitioned window exchange. (In production the LSH
+    * bucket frame would be persisted across the two legs; here each leg
+    * keeps its own verified plan.)
+    */
+  def centralKeep(documents: DataFrame): DataFrame = {
+    val labels = nearDupClusters(documents).select(col("doc_id"), col("cluster_id"))
+    val pr = nearDupPageRank(documents).select(col("doc_id"), col("rank_fp"))
+    val rankW = Window.partitionBy("cluster_id").orderBy(col("rank_fp").desc, col("doc_id"))
+    val sizeW = Window.partitionBy("cluster_id")
+    labels.join(pr, Seq("doc_id"))
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("n_members", count(lit(1)).over(sizeW))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("n_members"), col("doc_id").as("kept_id"),
+        col("rank_fp"))
+      .orderBy("cluster_id")
+  }
+
   /** The near-dup EDGE SET in star form: each bucket contributes
     * (member, bucket-min) instead of all member pairs. Connectivity is
     * identical to the in-bucket all-pairs graph — every member reaches

@@ -168,6 +168,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(5L) == ((0L, 30000000L)))
   }
 
+  test("centralKeep keeps the most central cluster member, ties to the lowest id") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup),
+      (4L, "completely unrelated text about spark execution engines"),
+      (5L, "another very different document discussing tokenizer training"))
+      .toDF("doc_id", "text")
+    val out = Dedup.centralKeep(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the symmetric triangle: all ranks equal (2e8) ⇒ tiebreak keeps doc 1
+    assert(out(1L) == ((3L, 1L, 200000000L)))
+    // singletons keep themselves at the damped base rank
+    assert(out(4L) == ((1L, 4L, 30000000L)))
+    assert(out(5L) == ((1L, 5L, 30000000L)))
+  }
+
   test("bpeMerges learns the expected merge sequence with deterministic ties") {
     val sparkS = spark
     import sparkS.implicits._
