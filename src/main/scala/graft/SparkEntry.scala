@@ -426,6 +426,7 @@ object SparkEntry {
     "q_events_retention" -> ((s, d) => TimeOps.retentionCohorts(t(s, d, "events"))),
     "q_events_attribution" -> ((s, d) => TimeOps.lastTouchAttribution(t(s, d, "events"))),
     "q_events_scd2" -> ((s, d) => TimeOps.scd2History(t(s, d, "events"))),
+    "q_events_transitions" -> ((s, d) => TimeOps.eventTransitions(t(s, d, "events"))),
     "q_events_ttc" -> ((s, d) => TimeOps.timeToConvert(t(s, d, "events"))),
     "q_events_rfm" -> ((s, d) => TimeOps.rfmSegments(t(s, d, "events"))),
     "q_docs_typo_pairs" -> ((s, d) => TextAnalysis.typoPairs(t(s, d, "documents"))),
@@ -1286,6 +1287,20 @@ object SparkEntry {
         |  round(sum(value), 4) AS attributed_value
         |FROM c WHERE event_type = 'purchase'
         |GROUP BY channel ORDER BY channel""".stripMargin,
+    "q_events_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT from_type, event_type AS to_type, count(*) AS cnt
+        |  FROM s WHERE from_type IS NOT NULL
+        |  GROUP BY from_type, event_type)
+        |SELECT from_type, to_type, cnt,
+        |  CAST((cnt * 10000) // sum(cnt) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS p_bps
+        |FROM pairs ORDER BY from_type, to_type""".stripMargin,
     "q_events_scd2" ->
       """WITH s AS (
         |  SELECT user_id, event_type, ts, event_id,

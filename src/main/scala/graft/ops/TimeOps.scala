@@ -258,6 +258,27 @@ object TimeOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Per-user event-transition (Markov) matrix: count every consecutive
+    * (from → to) event-type pair in each user's timeline, with the row-
+    * conditional probability as an exact integer-bps ratio. One window
+    * shuffle for the lag, one type²-cardinality aggregate — the path-
+    * analysis staple (what follows a view? where do errors lead?).
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val rowTotals = Window.partitionBy("from_type")
+    pairs
+      .withColumn("row_total", sum("cnt").over(rowTotals))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        expr("(cnt * 10000) div row_total").as("p_bps"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Type-2 slowly-changing-dimension history: each user's event_type
     * stream collapses to its CHANGE points (consecutive repeats drop),
     * and every surviving state gets a `[valid_from, valid_to)` interval —
