@@ -479,6 +479,7 @@ object SparkEntry {
     "q_docs_temp_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(t(s, d, "documents"))),
     "q_docs_curation" -> ((s, d) => TextAnalysis.curationPipeline(t(s, d, "documents"))),
     "q_docs_accounting" -> ((s, d) => TextAnalysis.corpusAccounting(t(s, d, "documents"))),
+    "q_docs_cms" -> ((s, d) => TextAnalysis.countMinSketch(t(s, d, "documents"))),
     "q_docs_unigram_lp" -> ((s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents"))),
     "q_docs_surprisal" -> ((s, d) => TextAnalysis.bigramSurprisal(t(s, d, "documents"))),
     "q_docs_split" -> ((s, d) => TextAnalysis.trainValTestSplit(t(s, d, "documents"))),
@@ -1648,6 +1649,34 @@ object SparkEntry {
          |SELECT content_hash, doc_id AS best_id, best_quality,
          |  CAST(copies AS BIGINT) AS copies
          |FROM r WHERE rn = 1 ORDER BY best_id""".stripMargin,
+    // count-min: the grid sums and min-of-cells are exact integer math on
+    // identical md5-derived cells, so estimate AND exact replay bit-equal
+    "q_docs_cms" -> {
+      val cellOf = (k: Int) =>
+        s"CAST('0x' || substr(md5('$k' || word), 1, 8) AS BIGINT) % 1024"
+      val cellUnion = (0 until 4)
+        .map(k => s"SELECT $k AS row, ${cellOf(k)} AS cell, n FROM vocab")
+        .mkString(" UNION ALL ")
+      val probeUnion = (0 until 4)
+        .map(k => s"SELECT word, n, $k AS row, ${cellOf(k)} AS cell FROM top")
+        .mkString(" UNION ALL ")
+      s"""WITH vocab AS (
+         |  SELECT word, count(*) AS n FROM (
+         |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                              x -> length(x) > 0)) AS word
+         |    FROM documents)
+         |  GROUP BY word),
+         |cells AS (
+         |  SELECT row, cell, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM ($cellUnion) GROUP BY row, cell),
+         |top AS (SELECT word, n FROM vocab ORDER BY n DESC, word LIMIT 20),
+         |probes AS ($probeUnion)
+         |SELECT p.word, CAST(max(p.n) AS BIGINT) AS exact_cnt,
+         |  CAST(min(c.cnt) AS BIGINT) AS cms_est
+         |FROM probes p JOIN cells c ON p.row = c.row AND p.cell = c.cell
+         |GROUP BY p.word
+         |ORDER BY exact_cnt DESC, p.word""".stripMargin
+    },
     // shares are exact integer bps (cell·10000 div total) — no float
     // division whose rounding could drift between engines
     "q_docs_accounting" ->

@@ -501,6 +501,48 @@ object TextAnalysis {
     * before the single shuffle on source — at 100 TB the exchange
     * carries ≈ perSource·|sources| rows, not the corpus.
     */
+  /** Count-min sketch over the word stream, audited against exact counts:
+    * `depth` hash rows × `width` counters, each word's estimate the MIN of
+    * its cells — reported for the top-`topk` exact words so the
+    * overestimate bias (est ≥ exact, collisions only inflate) is visible
+    * next to the truth. Completes the sketch family (MinHash, SimHash,
+    * Bloom, winnowing, HLL) with the frequency sketch. The counter grid is
+    * ONE depth·width-cell aggregate (map-side combined — the 100 TB shape:
+    * a 4×1024 grid merges associatively no matter how many executors
+    * feed it); hashes are the repo's md5-prefix idiom, so the DuckDB
+    * replay is bit-identical.
+    */
+  def countMinSketch(
+      documents: DataFrame,
+      depth: Int = 4,
+      width: Int = 1024,
+      topk: Int = 20): DataFrame = {
+    val vocabRaw = documents
+      .select(explode(graft.functions.TextExpressions.alnumTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val vocab =
+      if (vocabRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        vocabRaw.persist()
+      else vocabRaw
+    def cellOf(k: Int) =
+      conv(substring(md5(concat(lit(k.toString), col("word"))), 1, 8), 16, 10)
+        .cast("long") % width
+    val cells = (0 until depth).map { k =>
+      vocab.select(lit(k).as("row"), cellOf(k).as("cell"), col("n"))
+    }.reduce(_ union _)
+      .groupBy("row", "cell").agg(sum("n").as("cnt"))
+    val top = vocab.orderBy(col("n").desc, col("word")).limit(topk)
+    val probes = (0 until depth).map { k =>
+      top.select(col("word"), col("n"), lit(k).as("row"), cellOf(k).as("cell"))
+    }.reduce(_ union _)
+    probes
+      .join(cells, Seq("row", "cell"))
+      .groupBy("word")
+      .agg(max("n").as("exact_cnt"), min("cnt").as("cms_est"))
+      .select(col("word"), col("exact_cnt"), col("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("word"))
+  }
+
   /** Corpus accounting (the "data card" rollup): per (source, lang) doc /
     * whitespace-token / char totals plus each cell's share of the corpus
     * in basis points — the first table every dataset release publishes.

@@ -168,6 +168,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(5L) == ((0L, 30000000L)))
   }
 
+  test("countMinSketch never underestimates; collisions only inflate") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha alpha beta beta gamma lambda mu nu xi omicron pi rho"),
+      (3L, "alpha sigma tau upsilon phi chi psi omega beta gamma delta"))
+      .toDF("doc_id", "text")
+    // width 4 forces heavy collisions: estimates must still bound exact
+    // counts from above, in every row of the output
+    val tight = TextAnalysis.countMinSketch(docs, depth = 4, width = 4, topk = 30).collect()
+    assert(tight.nonEmpty)
+    tight.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS underestimated ${r.getString(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+    // exact ordering: alpha and beta tie at 4, alpha wins the word tiebreak
+    assert(tight.head.getString(0) == "alpha" && tight.head.getLong(1) == 4L)
+  }
+
   test("centralKeep keeps the most central cluster member, ties to the lowest id") {
     val sparkS = spark
     import sparkS.implicits._
