@@ -198,6 +198,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in Q21 plan:\n$p")
   }
 
+  test("Q6-shaped forecast pushes every predicate into the lineitem scan") {
+    val p = SparkEntry.queries("q_sql_forecast")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // all four predicates must reach the parquet reader as pushed filters
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity").foreach { f =>
+      assert(p.contains(f), s"predicate $f not pushed to the scan:\n$p")
+    }
+  }
+
   test("Q13-shaped left outer keeps the join-side predicate (zero-order customers survive)") {
     val p = plan(SparkEntry.queries("q_sql_order_dist")(spark, dir))
     assert(p.contains("LeftOuter"), s"left outer join lost:\n$p")
