@@ -309,6 +309,29 @@ object SparkEntry {
           AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
       """)
     }),
+    // TPC-H Q15-shaped: top supplier by quarterly revenue — an aggregate
+    // CTE consumed twice (join + scalar max), the view-reuse shape.
+    // Revenue is rounded at 4 digits BEFORE the max/equality compare, so
+    // the float equality is between bit-identical rounded values on both
+    // engines (raw sums would differ in the last ulp by merge order).
+    "q_sql_top_supplier" -> ((s, d) => {
+      t(s, d, "supplier").createOrReplaceTempView("v_supplier")
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+          FROM v_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM v_supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+      """)
+    }),
     // TPC-H Q19-shaped: a disjunction of (brand, size-range, quantity-
     // range) conjuncts. Catalyst factors the part-only legs of the OR and
     // pushes their union below the join as a part-side scan filter, so the
@@ -1130,6 +1153,19 @@ object SparkEntry {
         |JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
         |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    "q_sql_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier
+        |JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_sql_disjunct" ->
       """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
         |  count(*) AS n_lines
