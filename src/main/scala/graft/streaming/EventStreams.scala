@@ -177,6 +177,38 @@ object EventStreams {
       }
   }
 
+  final case class PrevState(event_type: String, lastTs: Long, lastId: Long)
+  final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming event-transition emission — the incremental twin of
+    * [[graft.ops.TimeOps.eventTransitions]]: per-user state carries the
+    * previous event type; each event emits its (from → to) pair. The
+    * downstream count/probability rollup is an ordinary streaming
+    * aggregation over this append stream; state is one record per user.
+    */
+  def transitionsStream(
+      events: Dataset[Event],
+      watermarkDelay: String = "2 hours"): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PrevState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[PrevState]) =>
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var prev = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[Transition]
+          evs.foreach { e =>
+            prev.foreach(p => out += Transition(userId, p.event_type, e.event_type))
+            prev = Some(PrevState(e.event_type, e.ts.getTime, e.event_id))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join: each click joined to the same user's
     * views from the preceding `windowSeconds`. Both sides are watermarked
     * so the join state is bounded — Spark buffers only rows young enough

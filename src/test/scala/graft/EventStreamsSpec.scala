@@ -328,6 +328,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming transitions match the batch Markov counts across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val trEvents = Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      Event(2L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0),
+      Event(3L, ts("2024-01-01 12:00:00"), 1L, "purchase", 0.0),
+      Event(4L, ts("2024-01-01 09:00:00"), 2L, "view", 0.0),
+      Event(5L, ts("2024-01-01 09:30:00"), 2L, "view", 0.0))
+    val input = MemoryStream[Event]
+    val query = EventStreams.transitionsStream(input.toDS())
+      .writeStream.format("memory").queryName("tr_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the cross-batch boundary cuts user 1's chain: state must bridge it
+      input.addData(trEvents.take(2))
+      query.processAllAvailable()
+      input.addData(trEvents.drop(2))
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT from_type, to_type FROM tr_test")
+        .groupBy("from_type", "to_type").count().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.ops.TimeOps.eventTransitions(trEvents.toDF())
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed == Set(("view", "click", 1L), ("click", "purchase", 1L),
+        ("view", "view", 1L)))
+    } finally query.stop()
+  }
+
   test("streaming last-touch attribution matches the batch twin across micro-batches") {
     val sparkS = spark
     import sparkS.implicits._
