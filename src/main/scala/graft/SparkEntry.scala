@@ -408,6 +408,7 @@ object SparkEntry {
     "q_docs_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(t(s, d, "documents"))),
     "q_docs_pagerank" -> ((s, d) => Dedup.nearDupPageRank(t(s, d, "documents"))),
     "q_docs_central_keep" -> ((s, d) => Dedup.centralKeep(t(s, d, "documents"))),
+    "q_docs_triangles" -> ((s, d) => Dedup.nearDupTriangles(t(s, d, "documents"))),
     "q_docs_bpe" -> ((s, d) => TextAnalysis.bpeMerges(t(s, d, "documents"))),
     "q_docs_neardup" -> ((s, d) => Dedup.ngramJaccardNearDup(t(s, d, "documents"))),
     "q_docs_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
@@ -2031,6 +2032,17 @@ object SparkEntry {
     "q_docs_lsh_pairs" ->
       s"""WITH $minhashCtes
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // triangles enumerated once each via a<b<c over the deduped pair set
+    "q_docs_triangles" ->
+      s"""WITH $minhashCtes,
+         |t AS (
+         |  SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+         |  FROM pairs ab
+         |  JOIN pairs bc ON ab.doc_b = bc.doc_a
+         |  JOIN pairs ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
+         |SELECT doc_id, count(*) AS n_triangles FROM (
+         |  SELECT unnest([a, b, c]) AS doc_id FROM t)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // fixed-point BIGINT PageRank (1e-9 rank units): every step is integer
     // arithmetic, so there is no float summation order to diverge on
     "q_docs_pagerank" -> {

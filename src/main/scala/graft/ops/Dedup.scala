@@ -299,6 +299,34 @@ object Dedup {
       .orderBy(col("rank_fp").desc, col("doc_id"))
   }
 
+  /** Per-document triangle counts over the near-dup candidate graph —
+    * the cohesion signal that separates a tight duplicate family (every
+    * copy pairwise-similar ⇒ triangle-dense) from a chain of borderline
+    * matches (connected but triangle-free), which is exactly the
+    * distinction a "split or merge this cluster?" heuristic needs.
+    * Triangles are enumerated once each via the a<b<c ordering of the
+    * deduped pair set, as two self-equi-joins on endpoints — bounded by
+    * the bucket caps (Σdeg² of a capped graph). At true web scale the
+    * refinement is degree-ordered orientation (join low-degree sources
+    * only); on a bucket-capped graph the plain ordered join is already
+    * bounded, so the simpler shape wins. All-integer output.
+    */
+  def nearDupTriangles(documents: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val pairsRaw = bucketPairs(lshBuckets(documents, maxBucket))
+    val pairs =
+      if (pairsRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        pairsRaw.persist()
+      else pairsRaw
+    val ab = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val bc = pairs.select(col("doc_a").as("b"), col("doc_b").as("c"))
+    val ac = pairs.select(col("doc_a").as("a"), col("doc_b").as("c"))
+    val tri = ab.join(bc, Seq("b")).join(ac, Seq("a", "c"))
+    tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   /** Centrality-based keep rule: for every near-dup cluster, keep the
     * member with the highest [[nearDupPageRank]] rank (ties to the lowest
     * doc_id) — "keep the most central copy", the graph-native alternative

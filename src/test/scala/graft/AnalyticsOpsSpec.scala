@@ -206,6 +206,20 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 5L, 30000000L)))
   }
 
+  test("nearDupTriangles counts each triangle once per member, none for isolated docs") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup), // K3: one triangle, 3 members
+      (4L, "completely unrelated text about spark execution engines"),
+      (5L, "another very different document discussing tokenizer training"))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupTriangles(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("bpeMerges learns the expected merge sequence with deterministic ties") {
     val sparkS = spark
     import sparkS.implicits._
