@@ -409,6 +409,7 @@ object SparkEntry {
     "q_docs_pagerank" -> ((s, d) => Dedup.nearDupPageRank(t(s, d, "documents"))),
     "q_docs_central_keep" -> ((s, d) => Dedup.centralKeep(t(s, d, "documents"))),
     "q_docs_triangles" -> ((s, d) => Dedup.nearDupTriangles(t(s, d, "documents"))),
+    "q_docs_lcc" -> ((s, d) => Dedup.clusteringCoefficient(t(s, d, "documents"))),
     "q_docs_bpe" -> ((s, d) => TextAnalysis.bpeMerges(t(s, d, "documents"))),
     "q_docs_neardup" -> ((s, d) => Dedup.ngramJaccardNearDup(t(s, d, "documents"))),
     "q_docs_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
@@ -2043,6 +2044,29 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_triangles FROM (
          |  SELECT unnest([a, b, c]) AS doc_id FROM t)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // lcc = 2·tri/(deg·(deg−1)) in exact integer bps — BIGINT throughout
+    "q_docs_lcc" ->
+      s"""WITH $minhashCtes,
+         |t AS (
+         |  SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+         |  FROM pairs ab
+         |  JOIN pairs bc ON ab.doc_b = bc.doc_a
+         |  JOIN pairs ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+         |tri AS (
+         |  SELECT doc_id, count(*) AS n_triangles FROM (
+         |    SELECT unnest([a, b, c]) AS doc_id FROM t)
+         |  GROUP BY doc_id),
+         |deg AS (
+         |  SELECT doc_id, count(*) AS degree FROM (
+         |    SELECT doc_a AS doc_id FROM pairs
+         |    UNION ALL SELECT doc_b FROM pairs)
+         |  GROUP BY doc_id)
+         |SELECT tri.doc_id, deg.degree, tri.n_triangles,
+         |  CAST((tri.n_triangles * 20000) // (deg.degree * (deg.degree - 1))
+         |       AS BIGINT) AS lcc_bps
+         |FROM tri JOIN deg ON tri.doc_id = deg.doc_id
+         |WHERE deg.degree >= 2
+         |ORDER BY tri.doc_id""".stripMargin,
     // fixed-point BIGINT PageRank (1e-9 rank units): every step is integer
     // arithmetic, so there is no float summation order to diverge on
     "q_docs_pagerank" -> {

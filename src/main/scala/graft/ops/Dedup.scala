@@ -327,6 +327,27 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Local clustering coefficient over the near-dup graph:
+    * `2·triangles / (deg·(deg−1))` per document, in exact integer basis
+    * points — 10000 means "all my neighbours are also similar to each
+    * other" (a solid duplicate family), near 0 means a hub stitching
+    * unrelated docs (the bucket-collision smell worth auditing). Composes
+    * [[nearDupTriangles]] with the bidirected degree count; the ratio is
+    * `(tri·20000) div (deg·(deg−1))` — all BIGINT, no float division.
+    */
+  def clusteringCoefficient(documents: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val pairs = bucketPairs(lshBuckets(documents, maxBucket))
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    nearDupTriangles(documents, maxBucket)
+      .join(deg, Seq("doc_id"))
+      .filter(col("degree") >= 2)
+      .select(col("doc_id"), col("degree"), col("n_triangles"),
+        expr("(n_triangles * 20000) div (degree * (degree - 1))").as("lcc_bps"))
+      .orderBy("doc_id")
+  }
+
   /** Centrality-based keep rule: for every near-dup cluster, keep the
     * member with the highest [[nearDupPageRank]] rank (ties to the lowest
     * doc_id) — "keep the most central copy", the graph-native alternative

@@ -220,6 +220,20 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("clusteringCoefficient is 10000 bps inside a complete dup family") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup),
+      (4L, "completely unrelated text about spark execution engines"))
+      .toDF("doc_id", "text")
+    val out = Dedup.clusteringCoefficient(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // K3: every member has degree 2, one triangle ⇒ 2·1/(2·1) = 1.0
+    assert(out == Map(1L -> ((2L, 10000L)), 2L -> ((2L, 10000L)), 3L -> ((2L, 10000L))))
+  }
+
   test("bpeMerges learns the expected merge sequence with deterministic ties") {
     val sparkS = spark
     import sparkS.implicits._
