@@ -453,6 +453,7 @@ object SparkEntry {
     "q_events_attribution" -> ((s, d) => TimeOps.lastTouchAttribution(t(s, d, "events"))),
     "q_events_scd2" -> ((s, d) => TimeOps.scd2History(t(s, d, "events"))),
     "q_events_transitions" -> ((s, d) => TimeOps.eventTransitions(t(s, d, "events"))),
+    "q_events_active" -> ((s, d) => TimeOps.activeUsers(t(s, d, "events"))),
     "q_events_ttc" -> ((s, d) => TimeOps.timeToConvert(t(s, d, "events"))),
     "q_events_rfm" -> ((s, d) => TimeOps.rfmSegments(t(s, d, "events"))),
     "q_docs_typo_pairs" -> ((s, d) => TextAnalysis.typoPairs(t(s, d, "documents"))),
@@ -1327,6 +1328,19 @@ object SparkEntry {
         |  round(sum(value), 4) AS attributed_value
         |FROM c WHERE event_type = 'purchase'
         |GROUP BY channel ORDER BY channel""".stripMargin,
+    "q_events_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |contrib AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |                                CAST(day + 6 AS TIMESTAMP),
+        |                                INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM ud),
+        |wau AS (SELECT day, count(*) AS wau FROM contrib GROUP BY day)
+        |SELECT dau.day, dau.dau, wau.wau
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin,
     "q_events_transitions" ->
       """WITH s AS (
         |  SELECT user_id, event_type,

@@ -258,6 +258,31 @@ object TimeOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Daily and 7-day rolling active users (DAU/WAU): the engagement
+    * pair every analytics stack reports. Aggregate-first: events collapse
+    * to distinct (user, day) — user·day cardinality, never events — then
+    * each activity day contributes to its 7-day forward window via a
+    * 7-element `sequence` explode and a second distinct (a user active
+    * twice in a week still counts once). No self-join of days against
+    * events, no window over the event stream; both counts are exact
+    * integers.
+    */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val udRaw = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val ud =
+      if (udRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) udRaw.persist()
+      else udRaw
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
   /** Per-user event-transition (Markov) matrix: count every consecutive
     * (from → to) event-type pair in each user's timeline, with the row-
     * conditional probability as an exact integer-bps ratio. One window

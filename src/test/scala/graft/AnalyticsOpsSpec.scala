@@ -48,6 +48,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out == Map(0L -> 1L, 3L -> 1L))
   }
 
+  test("activeUsers: WAU is the 7-day trailing distinct-user union, not a DAU sum") {
+    val df = events(Seq(
+      (1L, 1L, "view", "2024-01-01 10:00:00", 0.0),
+      (2L, 1L, "view", "2024-01-01 11:00:00", 0.0), // same user/day: one DAU
+      (3L, 1L, "view", "2024-01-03 10:00:00", 0.0), // same user again in-window
+      (4L, 2L, "view", "2024-01-03 10:00:00", 0.0),
+      (5L, 3L, "view", "2024-01-10 10:00:00", 0.0))) // outside day-3's window
+    val out = TimeOps.activeUsers(df).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("2024-01-01") == ((1L, 1L)))
+    // day 3: DAU 2 (users 1, 2); WAU 2 — user 1's two activity days dedup
+    assert(out("2024-01-03") == ((2L, 2L)))
+    // day 10: only user 3 remains in the trailing week
+    assert(out("2024-01-10") == ((1L, 1L)))
+  }
+
   test("rfmSegments ranks quintiles with deterministic tiebreaks") {
     // 5 purchase-only users, strictly increasing frequency and monetary,
     // strictly decreasing recency ⇒ every quintile has exactly one user.
