@@ -454,6 +454,7 @@ object SparkEntry {
     "q_events_scd2" -> ((s, d) => TimeOps.scd2History(t(s, d, "events"))),
     "q_events_transitions" -> ((s, d) => TimeOps.eventTransitions(t(s, d, "events"))),
     "q_events_active" -> ((s, d) => TimeOps.activeUsers(t(s, d, "events"))),
+    "q_events_wow" -> ((s, d) => TimeOps.weekOverWeek(t(s, d, "events"))),
     "q_events_ttc" -> ((s, d) => TimeOps.timeToConvert(t(s, d, "events"))),
     "q_events_rfm" -> ((s, d) => TimeOps.rfmSegments(t(s, d, "events"))),
     "q_docs_typo_pairs" -> ((s, d) => TextAnalysis.typoPairs(t(s, d, "documents"))),
@@ -1328,6 +1329,18 @@ object SparkEntry {
         |  round(sum(value), 4) AS attributed_value
         |FROM c WHERE event_type = 'purchase'
         |GROUP BY channel ORDER BY channel""".stripMargin,
+    "q_events_wow" ->
+      """WITH wk AS (
+        |  SELECT date_trunc('week', ts) AS week, event_type, count(*) AS cnt
+        |  FROM events GROUP BY date_trunc('week', ts), event_type),
+        |l AS (
+        |  SELECT week, event_type, cnt,
+        |    lag(cnt) OVER (PARTITION BY event_type ORDER BY week) AS prev_cnt
+        |  FROM wk)
+        |SELECT week, event_type, cnt, prev_cnt,
+        |  ((cnt - prev_cnt) * 10000) // prev_cnt AS delta_bps
+        |FROM l WHERE prev_cnt IS NOT NULL
+        |ORDER BY week, event_type""".stripMargin,
     "q_events_active" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),

@@ -258,6 +258,26 @@ object TimeOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Week-over-week trend per event type: weekly counts with the
+    * previous week's count and the change in exact integer basis points
+    * (`(Δ·10000) div prev` — both engines truncate integer division
+    * toward zero, so negative deltas agree too). Week-cardinality
+    * aggregate, one tiny lag window per type.
+    */
+  def weekOverWeek(events: DataFrame): DataFrame = {
+    // DATE, not the truncated TIMESTAMP: other engines (DuckDB) type
+    // week-or-coarser date_trunc as DATE, and the gate compares types
+    val wk = events
+      .groupBy(to_date(date_trunc("week", col("ts"))).as("week"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    wk.withColumn("prev_cnt", lag("cnt", 1).over(w))
+      .filter(col("prev_cnt").isNotNull)
+      .select(col("week"), col("event_type"), col("cnt"), col("prev_cnt"),
+        expr("((cnt - prev_cnt) * 10000) div prev_cnt").as("delta_bps"))
+      .orderBy("week", "event_type")
+  }
+
   /** Daily and 7-day rolling active users (DAU/WAU): the engagement
     * pair every analytics stack reports. Aggregate-first: events collapse
     * to distinct (user, day) — user·day cardinality, never events — then
