@@ -69,6 +69,19 @@ object PlanAudit {
       val bhj = nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
       val smj = nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
       if (bhj + smj > 0) println(s"  joins: broadcastHash=$bhj sortMerge=$smj")
+      // Scan inventory: FileSourceScan read schemas are the column-pruning
+      // evidence (a scan reading `text` twice means a pipeline was
+      // duplicated instead of shared); InMemoryTableScans show where a
+      // persisted frame is actually reused inside THIS plan.
+      nodes.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.zipWithIndex.foreach { case (s, i) =>
+        val cols = s.requiredSchema.fieldNames.mkString(",")
+        println(s"  fileScan[$i]: [$cols]")
+      }
+      val imts = nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+      if (imts > 0) println(s"  inMemoryScans: $imts")
       SparkEntry.resetSessionState(spark)
     }
     spark.stop()

@@ -272,8 +272,20 @@ object Dedup {
   def nearDupPageRank(
       documents: DataFrame,
       iters: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
-    val pairs = bucketPairs(lshBuckets(documents, maxBucket))
+      maxBucket: Int = 1000): DataFrame =
+    pageRankFromPairs(bucketPairs(lshBuckets(documents, maxBucket)), documents, iters)
+      .orderBy(col("rank_fp").desc, col("doc_id"))
+
+  /** [[nearDupPageRank]] minus candidate generation and the output-contract
+    * sort: takes a prebuilt (doc_a, doc_b) pair frame so a composed
+    * consumer ([[centralKeep]]) that already holds the LSH bucket frame
+    * runs the signature pipeline exactly once, and join consumers don't
+    * pay a global range exchange they immediately destroy.
+    */
+  private[graft] def pageRankFromPairs(
+      pairs: DataFrame,
+      documents: DataFrame,
+      iters: Int = 3): DataFrame = {
     val edgesRaw = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val deg = edgesRaw.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -296,7 +308,6 @@ object Dedup {
       .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("outdeg"), lit(0L)).as("degree"),
         col("r").as("rank_fp"))
-      .orderBy(col("rank_fp").desc, col("doc_id"))
   }
 
   /** Per-document triangle counts over the near-dup candidate graph —
@@ -358,11 +369,30 @@ object Dedup {
     * keeps its own verified plan.)
     */
   def centralKeep(documents: DataFrame): DataFrame = {
+    // ONE signature pipeline for both legs: tokenize → shingle → MinHash →
+    // band-bucket exactly once, persist the bucket frame, and derive both
+    // the clusters leg (star edges → stars CC) and the PageRank leg
+    // (in-bucket pairs → fixed-point ranks) from that shared frame —
+    // closes the round-8 "LSH computed twice" weakness (at 100× the
+    // second leg was a full extra pass over the corpus). Same
+    // persist-if-unpersisted idiom as ngramJaccardNearDup: a repeated
+    // call finds the live cache entry via storageLevel;
+    // resetSessionState between queries releases it.
+    val bRaw = lshBuckets(documents, maxBucket = 1000)
+    val buckets =
+      if (bRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) bRaw.persist()
+      else bRaw
+    val verts = documents.select(col("doc_id"))
     // stars CC: identical labels (one oracle pins both variants), ~25%
-    // faster here than label contraction at 11 rounds
-    val labels = nearDupClusters(documents, useStars = true)
+    // faster here than label contraction at 11 rounds; own rounds key so
+    // a bench run's "cc_stars" entry always belongs to the direct LSH
+    // consumer (q_docs_clusters_stars), never last-writer-wins with this
+    // composed one
+    val labels = connectedComponentsStars(
+        starEdges(buckets), verts, roundsKey = "cc_stars_central_keep")
       .select(col("doc_id"), col("cluster_id"))
-    val pr = nearDupPageRank(documents).select(col("doc_id"), col("rank_fp"))
+    val pr = pageRankFromPairs(bucketPairs(buckets), documents)
+      .select(col("doc_id"), col("rank_fp"))
     val rankW = Window.partitionBy("cluster_id").orderBy(col("rank_fp").desc, col("doc_id"))
     val sizeW = Window.partitionBy("cluster_id")
     labels.join(pr, Seq("doc_id"))
@@ -388,7 +418,13 @@ object Dedup {
   private[graft] def lshClusterEdges(
       documents: DataFrame,
       maxBucket: Int = 1000): DataFrame =
-    lshBuckets(documents, maxBucket)
+    starEdges(lshBuckets(documents, maxBucket))
+
+  /** Star-edge extraction from a prebuilt bucket frame — factored out so
+    * [[centralKeep]] can derive cluster edges from its shared persisted
+    * buckets without re-running the signature pipeline. */
+  private def starEdges(buckets: DataFrame): DataFrame =
+    buckets
       .select(
         explode(col("ids")).as("doc_a"),
         element_at(col("ids"), 1).as("doc_b"))
