@@ -379,14 +379,42 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** Sketch aggregates: HyperLogLog++ distinct-count estimate next to the
-    * exact count. Approximate by design ⇒ registered rows-only (no
-    * engine-neutral oracle), but at 100 TB this is THE distinct-count —
-    * fixed-size sketch state, no distinct shuffle of the key universe.
+    * exact count. At 100 TB this is THE distinct-count — fixed-size sketch
+    * state, no distinct shuffle of the key universe. The estimate itself is
+    * engine-specific (no hash-exact oracle), so the registered query is
+    * [[approxAggAudit]], which converts it into a deterministic bounds
+    * check; this raw form is the user-facing operator.
     */
   def approxAgg(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy("l_returnflag")
       .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** Bounds-audited twin of [[approxAgg]]: runs the HLL++ sketch (rsd
+    * 0.05) next to the exact distinct count and emits, per group, the
+    * exact count plus a 0/1 flag asserting |estimate − exact| ≤ 2σ·exact
+    * (σ = the configured 5% relative standard deviation — the published
+    * HLL error model, so ~95% confidence; the observed error at test
+    * scale is ~2.7%). The flag is computed with BIGINT cross-multiply
+    * (diff·10000 ≤ 1000·exact), no float division, so the result is
+    * deterministic and hash-comparable: an engine whose sketch drifts out
+    * of its own error bound flips the flag to 0 and fails the gate. This
+    * turns "approximate by design" from an oracle exemption into a graded
+    * statistical contract.
+    */
+  def approxAggAudit(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_partkey", 0.05).as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        when(abs(col("approx_parts") - col("exact_parts")) * lit(10000L)
+          <= lit(1000L) * col("exact_parts"), 1L).otherwise(0L)
+          .as("within_2sigma"))
       .orderBy("l_returnflag")
 
   /** Exact twin of [[approxAgg]]: the deterministic columns that used to ride
