@@ -17,15 +17,29 @@ import graft.ops._
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-      // default; read nanos as long, then integer-divide to micros (exact —
-      // a double division would lose precision at 1e18) and rebuild the
-      // timestamp. DuckDB's ns→us truncation matches.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") loadEvents(s, s"$dir/events.parquet")
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Events-table reader. `ts` has shipped under two physical encodings
+    * across testdata generations: TIMESTAMP(NANOS) (which Spark 4 rejects
+    * unless read as long) and plain timestamp[us] (read as TIMESTAMP_NTZ).
+    * Dispatch on the actual read schema so either works:
+    *  - LongType (nanosAsLong): integer-divide to micros (exact — double
+    *    division would lose precision at 1e18) and rebuild; DuckDB's
+    *    ns→us truncation matches.
+    *  - TIMESTAMP_NTZ: cast to session-zone TimestampType; the UTC session
+    *    makes that instant-preserving and DuckDB-consistent.
+    */
+  def loadEvents(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(path)
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A multi-join star query: lineitem facts joined through orders to the
@@ -1433,10 +1447,10 @@ object SparkEntry {
         |  FROM s),
         |r AS (
         |  SELECT user_id, recency_days, frequency, monetary,
-        |    CAST(1 + (CASE WHEN recency_days > rc1 THEN 1 ELSE 0 END)
-        |           + (CASE WHEN recency_days > rc2 THEN 1 ELSE 0 END)
-        |           + (CASE WHEN recency_days > rc3 THEN 1 ELSE 0 END)
-        |           + (CASE WHEN recency_days > rc4 THEN 1 ELSE 0 END) AS BIGINT) AS r,
+        |    CAST(5 - (CASE WHEN recency_days > rc1 THEN 1 ELSE 0 END)
+        |           - (CASE WHEN recency_days > rc2 THEN 1 ELSE 0 END)
+        |           - (CASE WHEN recency_days > rc3 THEN 1 ELSE 0 END)
+        |           - (CASE WHEN recency_days > rc4 THEN 1 ELSE 0 END) AS BIGINT) AS r,
         |    CAST(1 + (CASE WHEN frequency > fc1 THEN 1 ELSE 0 END)
         |           + (CASE WHEN frequency > fc2 THEN 1 ELSE 0 END)
         |           + (CASE WHEN frequency > fc3 THEN 1 ELSE 0 END)

@@ -364,9 +364,10 @@ object Dedup {
     * doc_id) — "keep the most central copy", the graph-native alternative
     * to quality-based [[graft.ops.TextAnalysis.dedupKeepBest]]. Composes
     * the two verified operators; the per-cluster argmax and size share
-    * one cluster-partitioned window exchange. (In production the LSH
-    * bucket frame would be persisted across the two legs; here each leg
-    * keeps its own verified plan.)
+    * one cluster-partitioned window exchange. Both legs derive from ONE
+    * persisted LSH bucket frame — the signature pipeline (tokenize →
+    * shingle → MinHash → band-bucket) runs exactly once; see the body
+    * comment and [[graft.PlanShapeSpec]]'s single-subtree pin.
     */
   def centralKeep(documents: DataFrame): DataFrame = {
     // ONE signature pipeline for both legs: tokenize → shingle → MinHash →

@@ -437,7 +437,8 @@ object TimeOps {
         .foldLeft(lit(1L))(_ + _)
     scored.crossJoin(broadcast(cuts))
       .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
-        score(col("recency_days"), "rc").as("r"),
+        // recency is inverted: fewer days since last purchase = better = 5
+        (lit(6L) - score(col("recency_days"), "rc")).as("r"),
         score(col("frequency"), "fc").as("f"),
         score(col("monetary_i"), "mc").as("m"))
       .withColumn("segment", col("r") * 100L + col("f") * 10L + col("m"))

@@ -74,13 +74,14 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
     val out = TimeOps.rfmSegments(events(rows)).collect()
     val byUser = out.map(r => r.getLong(0) -> r).toMap
-    // user 5 purchased last (recency 0) most often with the highest spend
+    // user 5 purchased last (recency 0) most often with the highest spend —
+    // the best customer on every axis: r=5 (recency inverted: recent=best)
     val u5 = byUser(5L)
     assert(u5.getLong(u5.fieldIndex("recency_days")) == 0L)
-    assert(u5.getLong(u5.fieldIndex("segment")) == 155L) // r=1 (most recent), f=5, m=5
+    assert(u5.getLong(u5.fieldIndex("segment")) == 555L)
     val u1 = byUser(1L)
     assert(u1.getLong(u1.fieldIndex("recency_days")) == 4L)
-    assert(u1.getLong(u1.fieldIndex("segment")) == 511L)
+    assert(u1.getLong(u1.fieldIndex("segment")) == 111L)
     assert(out.map(r => r.getLong(r.fieldIndex("f"))).sorted.sameElements(1L to 5L))
   }
 

@@ -19,8 +19,9 @@ class EmptyInputSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    // events.ts is TIMESTAMP(NANOS); read nanos-as-long so the empty twin
-    // keeps the raw long column SparkEntry's loader expects to convert
+    // events.ts physical type varies by testdata generation; read nanos-as-
+    // long so a NANOS file round-trips as the raw long column, and let
+    // SparkEntry.loadEvents dispatch on whichever type the twin ends up with
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tables.foreach { t =>
       spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")

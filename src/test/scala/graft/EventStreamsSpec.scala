@@ -227,15 +227,13 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
-  /** The full events parquet read as [[Event]]s, with the TIMESTAMP(NANOS)
-    * column rebuilt the same way the batch queries do ([[SparkEntry]]). */
+  /** The full events parquet read as [[Event]]s, through the same
+    * schema-dispatching loader the batch queries use ([[SparkEntry.loadEvents]]). */
   private def parquetEvents(): Seq[Event] = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.col
     val sparkS = spark
     import sparkS.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    SparkEntry.loadEvents(spark, "/root/testdata/sf0.001/events.parquet")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event].collect().toSeq
   }

@@ -15,11 +15,7 @@ class PartitionPruningSpec extends AnyFunSuite {
 
   test("date-partitioned write prunes non-matching partitions at read") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
-    // events.ts is TIMESTAMP(NANOS) parquet — read nanos as long and
-    // rebuild micros, as the engine's table reader does
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = SparkEntry.loadEvents(spark, "/root/testdata/sf0.001/events.parquet")
       .withColumn("day", to_date(col("ts")))
     events.write.mode("overwrite").partitionBy("day").parquet(out)
 

@@ -152,6 +152,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected 3 cached-shingle readers (signatures + 2 verify legs), found $cacheReads:\n$p")
   }
 
+  test("centralKeep shares ONE LSH signature pipeline across both legs") {
+    // The clusters leg (star edges → stars CC) and the PageRank leg
+    // (in-bucket pairs → ranks) must BOTH read the persisted bucket frame:
+    // the tokenize → shingle → MinHash → band-bucket subtree runs once.
+    // Assert on the final adaptive plan: every documents file scan reads
+    // only doc_id (the text pipeline lives behind the cache — a scan with
+    // `text` in its ReadSchema means a leg re-derived signatures, a full
+    // extra corpus pass at 100 TB), and at least two InMemoryTableScan
+    // readers consume the shared bucket frame.
+    val df = Dedup.centralKeep(t("documents"))
+    df.queryExecution.toRdd.foreach(_ => ())
+    // collect REAL file scans only — a string match would also hit the
+    // cached plan that InMemoryRelation nodes print inside themselves
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def realFileScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec    => Seq(f)
+      case a: AdaptiveSparkPlanExec => realFileScans(a.executedPlan)
+      case q: QueryStageExec        => realFileScans(q.plan)
+    }.flatten
+    val scans = realFileScans(df.queryExecution.executedPlan)
+    val textScans = scans.filter(_.schema.fieldNames.contains("text"))
+    assert(textScans.isEmpty,
+      s"a file scan still reads `text` — the signature pipeline escaped the cache:\n" +
+        textScans.map(_.toString).mkString("\n"))
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other                    => other.toString
+    }
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).size
+    assert(cacheReads >= 2,
+      s"expected both legs to read the cached bucket frame, found $cacheReads readers:\n$p")
+  }
+
   test("Q5-shaped SQL query broadcasts its dimension chain — no cartesian") {
     // the SQL surface must land the same physical shape the DataFrame
     // queries get: small dims (region, nation, supplier, customer at this
