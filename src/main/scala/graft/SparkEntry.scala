@@ -432,6 +432,7 @@ object SparkEntry {
     "q_docs_clusters" -> ((s, d) => Dedup.nearDupClusters(t(s, d, "documents"))),
     "q_docs_substring_dedup" -> ((s, d) => Dedup.substringDedup(t(s, d, "documents"))),
     "q_docs_substring_spans" -> ((s, d) => Dedup.substringDedupSpans(t(s, d, "documents"))),
+    "q_docs_substring_apply" -> ((s, d) => Dedup.substringDedupApply(t(s, d, "documents"))),
     "q_docs_setsim_join" -> ((s, d) => Dedup.setSimilarityJoin(t(s, d, "documents"))),
     "q_docs_winnow_pairs" -> ((s, d) => Dedup.winnowCandidatePairs(t(s, d, "documents"))),
     "q_emb_rand_neg" -> ((s, d) => Similarity.randomNegatives(t(s, d, "embeddings"))),
@@ -1984,6 +1985,51 @@ object SparkEntry {
         |  CAST(max(pos) + 5 AS BIGINT) AS end_pos,
         |  CAST(max(pos) + 5 - min(pos) + 1 AS BIGINT) AS span_tokens
         |FROM sp GROUP BY doc_id, sid ORDER BY doc_id, span_id""".stripMargin,
+    // substring APPLY: cut the merged removal spans out of the token
+    // stream; kept positions are the anti-join of 1..len(ws) against the
+    // span intervals, survivors re-join with single spaces
+    "q_docs_substring_apply" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, u.p AS pos, u.g AS gh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, greatest(len(ws) - 5, 0) + 1),
+        |        i -> {'p': i, 'g': substr(md5(array_to_string(ws[i:i+5], ' ')), 1, 16)})) AS u
+        |    FROM words)),
+        |dup AS (SELECT gh FROM pos GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT doc_id, pos FROM pos WHERE gh IN (SELECT gh FROM dup)),
+        |m AS (
+        |  SELECT doc_id, pos, lag(pos) OVER w AS prev
+        |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos - prev > 6 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+        |  FROM sp GROUP BY doc_id, sid),
+        |allpos AS (
+        |  SELECT w.doc_id, t.p, w.ws[t.p] AS tok
+        |  FROM words w, unnest(range(1, len(w.ws) + 1)) AS t(p)),
+        |kept AS (
+        |  SELECT a.doc_id, a.p, a.tok
+        |  FROM allpos a LEFT JOIN spans s
+        |    ON a.doc_id = s.doc_id AND a.p BETWEEN s.s AND s.e
+        |  WHERE s.doc_id IS NULL),
+        |ka AS (
+        |  SELECT doc_id, count(*) AS kept_tokens,
+        |    array_to_string(list(tok ORDER BY p), ' ') AS kept_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        |  CAST(len(w.ws) - coalesce(k.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+        |  coalesce(k.kept_text, '') AS kept_text
+        |FROM words w LEFT JOIN ka k USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
     // substring dedup: token 6-grams in >= 2 distinct docs; per-doc
     // interval-union coverage via a lag window over the dup positions only
     "q_docs_substring_dedup" ->

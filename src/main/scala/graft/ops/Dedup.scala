@@ -1141,8 +1141,14 @@ object Dedup {
     * the duplicated positions, then a per-span aggregate: the corpus
     * never re-shuffles.
     */
-  def substringDedupSpans(documents: DataFrame, k: Int = 6): DataFrame = {
-    val (_, dupPos) = tokensAndDupPositions(documents, k)
+  def substringDedupSpans(documents: DataFrame, k: Int = 6): DataFrame =
+    mergedSpans(tokensAndDupPositions(documents, k)._2, k)
+      .orderBy("doc_id", "span_id")
+
+  /** Merge the duplicated gram positions into removal intervals — the
+    * lag-window + running-sum span-id shape shared by the spans report and
+    * the apply operator. */
+  private def mergedSpans(dupPos: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     dupPos
       .withColumn("prev", lag(col("pos"), 1).over(w))
@@ -1155,6 +1161,43 @@ object Dedup {
         min(col("pos")).cast("long").as("start_pos"),
         (max(col("pos")) + lit(k - 1)).cast("long").as("end_pos"))
       .withColumn("span_tokens", col("end_pos") - col("start_pos") + 1)
-      .orderBy("doc_id", "span_id")
+  }
+
+  /** The EXECUTION step of exact substring dedup: apply
+    * [[substringDedupSpans]]'s removal intervals to the token stream and
+    * emit the cut text — the actual Lee et al. 2022 deliverable (the spans
+    * report says where to cut; this cuts). Per document: every token whose
+    * 1-based position falls inside any merged span is dropped, the
+    * survivors re-join with single spaces.
+    *
+    * Shape: the span frame aggregates to one row per document (a short
+    * interval array — spans are merged, so bounded by n_tokens/k), joins
+    * back to the persisted token frame on doc_id, and the cut itself is a
+    * per-row higher-order `filter` + `exists` — no explode of the corpus
+    * token stream, no second corpus shuffle. Invariant (pinned in
+    * `CurationSpec`): kept_tokens = n_tokens − Σ span_tokens, i.e. the cut
+    * text loses exactly what [[substringDedup]] reports as dup_tokens.
+    */
+  def substringDedupApply(documents: DataFrame, k: Int = 6): DataFrame = {
+    val (toks, dupPos) = tokensAndDupPositions(documents, k)
+    val perDoc = mergedSpans(dupPos, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("spans"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"),
+        coalesce(col("spans"),
+          expr("CAST(array() AS array<struct<start_pos:bigint,end_pos:bigint>>)"))
+          .as("spans"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        filter(col("ws"), (_, i) =>
+          !exists(col("spans"), s =>
+            (i + 1) >= s.getField("start_pos") && (i + 1) <= s.getField("end_pos")))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("removed_tokens"),
+        concat_ws(" ", col("kept")).as("kept_text"))
+      .orderBy("doc_id")
   }
 }

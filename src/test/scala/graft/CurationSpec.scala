@@ -328,6 +328,30 @@ class CurationSpec extends AnyFunSuite {
       s"${spans.toSeq}")
   }
 
+  test("substring apply cuts exactly the span tokens and keeps the rest in order") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val p1 = "p q r s t u"
+    val p2 = "v w x y z zz"
+    val planted = Seq(
+      (1L, s"a1 b1 $p1 c1 d1 e1 $p2 f1", "en", "web", 0L),
+      (2L, s"a2 $p1 b2 c2 d2 e2 f2 $p2 g2 h2", "en", "web", 0L),
+      (3L, "no shared passages anywhere in this one", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.substringDedupApply(planted, k = 6).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // doc 1: both 6-token spans cut, survivors keep original order
+    assert(out(1L) == ((18L, 6L, 12L, "a1 b1 c1 d1 e1 f1")))
+    assert(out(2L) == ((20L, 8L, 12L, "a2 b2 c2 d2 e2 f2 g2 h2")))
+    // doc 3 untouched: zero removed, text round-trips (lowercased tokens)
+    assert(out(3L) == ((7L, 7L, 0L, "no shared passages anywhere in this one")))
+    // invariant vs the stats operator: removed_tokens == dup_tokens per doc
+    val dup = Dedup.substringDedup(planted, k = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    out.foreach { case (id, (_, _, removed, _)) => assert(removed == dup(id), s"doc $id") }
+  }
+
   test("set-similarity join matches naive all-pairs on random corpora (completeness)") {
     val sparkS = spark
     import sparkS.implicits._
