@@ -148,6 +148,13 @@ object EventStreams {
     * last-touch time), partitioned by user_id across state stores; events
     * inside a micro-batch are processed in (event-time, event_id) order so
     * a batch replay of an in-order stream matches the batch window exactly.
+    *
+    * Out-of-order guard ACROSS micro-batches: a touch that arrives late —
+    * in a later batch but with an earlier (ts, event_id) than the carried
+    * touch — must NOT overwrite the standing (newer) touch, or every
+    * subsequent purchase would be credited to a channel the batch twin
+    * says was already superseded. The state's (lastTs, lastId) exists for
+    * exactly this comparison.
     */
   def attributionStream(
       events: Dataset[Event],
@@ -167,8 +174,11 @@ object EventStreams {
             e.event_type match {
               case "purchase" =>
                 out += Attribution(userId, e.event_id, cur.channel, e.value)
-              case "click" | "view" =>
+              case "click" | "view"
+                  if e.ts.getTime > cur.lastTs ||
+                    (e.ts.getTime == cur.lastTs && e.event_id > cur.lastId) =>
                 cur = TouchState(e.event_type, e.ts.getTime, e.event_id)
+              case "click" | "view" => () // late arrival: keep the newer touch
               case _ => () // non-touch, non-purchase events carry no credit
             }
           }
@@ -185,6 +195,12 @@ object EventStreams {
     * previous event type; each event emits its (from → to) pair. The
     * downstream count/probability rollup is an ordinary streaming
     * aggregation over this append stream; state is one record per user.
+    *
+    * Out-of-order guard ACROSS micro-batches: an event older than the
+    * carried (lastTs, lastId) is DROPPED — it can neither emit (its true
+    * predecessor is unrecoverable in Append mode) nor regress the state
+    * (which would corrupt every subsequent transition). The stream's
+    * suffix after a late arrival therefore still matches the batch twin.
     */
   def transitionsStream(
       events: Dataset[Event],
@@ -201,11 +217,116 @@ object EventStreams {
           var prev = state.getOption
           val out = scala.collection.mutable.ListBuffer.empty[Transition]
           evs.foreach { e =>
-            prev.foreach(p => out += Transition(userId, p.event_type, e.event_type))
-            prev = Some(PrevState(e.event_type, e.ts.getTime, e.event_id))
+            val late = prev.exists(p =>
+              e.ts.getTime < p.lastTs ||
+                (e.ts.getTime == p.lastTs && e.event_id < p.lastId))
+            if (!late) {
+              prev.foreach(p => out += Transition(userId, p.event_type, e.event_type))
+              prev = Some(PrevState(e.event_type, e.ts.getTime, e.event_id))
+            }
           }
           prev.foreach(state.update)
           out.iterator
+      }
+  }
+
+  final case class FunnelState(tView: Long, tClick: Long, tBuy: Long, lastTs: Long, lastId: Long)
+  final case class FunnelUpdate(user_id: Long, reached_view: Boolean,
+      reached_click: Boolean, reached_purchase: Boolean)
+
+  /** Streaming ordered funnel — the incremental twin of
+    * [[graft.ops.TimeOps.funnelStages]]: per-user state carries the three
+    * stage timestamps (first view, first click strictly after it, first
+    * purchase strictly after that); each batch re-emits the user's stage
+    * vector in Update mode. State is three longs per user regardless of
+    * event volume — the same user-cardinality bound as the batch shape's
+    * per-stage aggregates. Events are applied in (ts, event_id) order with
+    * the standard cross-batch monotonicity guard: an event older than the
+    * carried (lastTs, lastId) is dropped rather than allowed to rewrite a
+    * stage the batch twin says was reached earlier.
+    */
+  def funnelStream(events: Dataset[Event],
+      watermarkDelay: String = "2 hours"): Dataset[FunnelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val Unset = Long.MinValue
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(
+            FunnelState(Unset, Unset, Unset, Long.MinValue, Long.MinValue))
+          evs.foreach { e =>
+            val t = e.ts.getTime
+            val late = t < s.lastTs || (t == s.lastTs && e.event_id < s.lastId)
+            if (!late) {
+              e.event_type match {
+                case "view" if s.tView == Unset =>
+                  s = s.copy(tView = t)
+                case "click" if s.tClick == Unset && s.tView != Unset && t > s.tView =>
+                  s = s.copy(tClick = t)
+                case "purchase" if s.tBuy == Unset && s.tClick != Unset && t > s.tClick =>
+                  s = s.copy(tBuy = t)
+                case _ => ()
+              }
+              s = s.copy(lastTs = t, lastId = e.event_id)
+            }
+          }
+          state.update(s)
+          FunnelUpdate(userId, s.tView != Unset, s.tClick != Unset, s.tBuy != Unset)
+      }
+  }
+
+  final case class RetentionState(cohortEpochDay: Long, seenEpochDays: List[Long])
+  final case class RetentionTouch(user_id: Long, cohort_day: java.sql.Date,
+      day_offset: Long)
+
+  /** Streaming retention-cohort touches — the incremental twin of
+    * [[graft.ops.TimeOps.retentionCohorts]]: per-user state carries the
+    * cohort day (first-ever activity day) and the set of days already
+    * emitted; the FIRST event of each (user, day) appends one touch row
+    * with its offset from the cohort day. The daily retention triangle is
+    * then an ordinary streaming count over this append stream — same
+    * split as [[transitionsStream]] and its rollup. State per user is the
+    * day set, bounded by the retention horizon (days, not events); a
+    * production deployment caps it by dropping offsets beyond the
+    * triangle's width. In-order contract: the first-ever event fixes the
+    * cohort day (the same cross-batch monotonicity stance as the other
+    * machines — a late earlier-day event cannot re-cohort a user, which
+    * would require retracting emitted offsets).
+    */
+  def retentionStream(events: Dataset[Event],
+      watermarkDelay: String = "2 hours"): Dataset[RetentionTouch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionTouch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[RetentionState]) =>
+          def epochDay(e: Event): Long =
+            Math.floorDiv(e.ts.getTime, 86400000L)
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            var s = state.getOption.getOrElse(
+              RetentionState(epochDay(evs.head), Nil))
+            val out = scala.collection.mutable.ListBuffer.empty[RetentionTouch]
+            evs.foreach { e =>
+              val d = epochDay(e)
+              if (d >= s.cohortEpochDay && !s.seenEpochDays.contains(d)) {
+                s = s.copy(seenEpochDays = d :: s.seenEpochDays)
+                out += RetentionTouch(userId,
+                  java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(s.cohortEpochDay)),
+                  d - s.cohortEpochDay)
+              }
+            }
+            state.update(s)
+            out.iterator
+          }
       }
   }
 

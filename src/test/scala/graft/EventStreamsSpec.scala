@@ -393,4 +393,113 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamedAgg == batch)
     } finally query.stop()
   }
+
+  test("streaming funnel matches the batch stage vectors across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = parquetEvents().sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = all.splitAt(all.size / 2)
+    val input = MemoryStream[Event]
+    val query = EventStreams.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_full_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      // stage flags are monotone, so the final vector per user is the OR
+      // over the re-emitted Update rows
+      val streamed = spark.sql(
+        """SELECT user_id, max(reached_view), max(reached_click), max(reached_purchase)
+          |FROM funnel_full_test GROUP BY user_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+        .toSet
+      val batch = graft.ops.TimeOps.funnelStages(all.toDF())
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+        .toSet
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
+  test("streaming retention touches aggregate to the batch cohort triangle") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = parquetEvents().sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = all.splitAt(all.size / 2)
+    val input = MemoryStream[Event]
+    val query = EventStreams.retentionStream(input.toDS())
+      .writeStream.format("memory").queryName("retention_full_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT cohort_day, day_offset, count(*) FROM retention_full_test
+          |GROUP BY cohort_day, day_offset""".stripMargin)
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.ops.TimeOps.retentionCohorts(all.toDF())
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
+  test("attribution ignores a cross-batch late touch: credit stays with the newest touch") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.attributionStream(input.toDS())
+      .writeStream.format("memory").queryName("attr_late_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: view at 12:00 establishes the standing touch
+      input.addData(Seq(Event(1L, ts("2024-01-01 12:00:00"), 1L, "view", 0.0)))
+      query.processAllAvailable()
+      // batch 2: a LATE click (10:00 < carried 12:00) then a purchase —
+      // the purchase must credit the 12:00 view, exactly what the batch
+      // twin computes over the full in-order event set
+      input.addData(Seq(
+        Event(2L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+        Event(3L, ts("2024-01-01 13:00:00"), 1L, "purchase", 10.0)))
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT purchase_id, channel FROM attr_late_test")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == Set((3L, "view")))
+      val batch = graft.ops.TimeOps.lastTouchAttribution(Seq(
+        Event(1L, ts("2024-01-01 12:00:00"), 1L, "view", 0.0),
+        Event(2L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+        Event(3L, ts("2024-01-01 13:00:00"), 1L, "purchase", 10.0)).toDF())
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(batch == Map("view" -> 1L))
+    } finally query.stop()
+  }
+
+  test("transitions drop a cross-batch late event instead of regressing state") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.transitionsStream(input.toDS())
+      .writeStream.format("memory").queryName("trans_late_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(
+        Event(1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+        Event(2L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0)))
+      query.processAllAvailable()
+      // late signup (10:30) arrives after state already carries the 11:00
+      // click; then an in-order purchase. The late event must emit nothing
+      // and NOT regress state: the suffix transition is click→purchase
+      // (state regression would emit signup→purchase — a pair the batch
+      // twin never produces for this history's suffix)
+      input.addData(Seq(
+        Event(3L, ts("2024-01-01 10:30:00"), 1L, "signup", 0.0),
+        Event(4L, ts("2024-01-01 12:00:00"), 1L, "purchase", 5.0)))
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT from_type, to_type FROM trans_late_test")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(streamed == Seq(("click", "purchase"), ("view", "click")))
+    } finally query.stop()
+  }
 }
