@@ -288,8 +288,15 @@ object Similarity {
     // join, union); left unpersisted that re-evaluates every prior round's
     // subtree ~3× per level — exponential plan blowup by round 5. The
     // frame is ≤ numQueries·k rows, so persisting per round costs nothing
-    // and keeps each round's work constant.
+    // and keeps each round's work constant. Each round MATERIALIZES its
+    // frame (tiny — work that the final action would do anyway) and then
+    // releases the superseded previous round, so the operator never holds
+    // more than one round in cache; the pairwise pool/psim frames are
+    // released once the last round is cached. Only the FINAL round stays
+    // cached for the returned plan — the session-level release is the
+    // caller's (resetSessionState in the harnesses).
     var selected = argmax(pool, col("cos_q"), 1).persist()
+    selected.count()
     for (j <- 2 to k) {
       val remaining = pool.join(
         selected.select(col("query_id"), col("cand_id")), Seq("query_id", "cand_id"),
@@ -300,10 +307,15 @@ object Similarity {
         .groupBy(col("query_id"), col("ca").as("cand_id"))
         .agg(max("sim").as("msim"))
       val scored = remaining.join(msim, Seq("query_id", "cand_id"))
-      selected = selected.union(
+      val next = selected.union(
         argmax(scored, lit(lam) * col("cos_q") - lit(1.0 - lam) * col("msim"), j))
         .persist()
+      next.count() // land the round before dropping what it was built from
+      selected.unpersist(blocking = false)
+      selected = next
     }
+    psim.unpersist(blocking = false)
+    pool.unpersist(blocking = false)
     selected
       .select(col("query_id"), col("sel_rank"), col("cand_id"),
         round(col("cos_q"), 6).as("cos_sim"))

@@ -121,6 +121,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(2L) == 3L, s"rank 2 must be the diverse candidate, not the near-dup: $out")
   }
 
+  test("mmrRerank releases superseded rounds: at most one cache entry survives") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // library hygiene: the greedy loop persists per round, but each round
+    // must release its predecessor and the pairwise pool/psim frames —
+    // a long-lived session calling the operator repeatedly must not
+    // accumulate cache entries (only the FINAL round may stay cached for
+    // the returned plan; resetSessionState owns the session-level release)
+    SparkEntry.resetSessionState(spark)
+    val vecs = (0L to 30L).map(i =>
+      (i, Array.tabulate(4)(d => math.cos(i * 0.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    Similarity.mmrRerank(vecs, numQueries = 3, poolSize = 8, k = 5).collect()
+    val live = spark.sparkContext.getPersistentRDDs
+    assert(live.size <= 1,
+      s"expected at most the final round cached, found ${live.size}: " +
+        live.values.map(_.name).mkString("; "))
+    SparkEntry.resetSessionState(spark)
+  }
+
   test("clusterBalancedSample caps every cell and reports true cell sizes") {
     val sparkS = spark
     import sparkS.implicits._
