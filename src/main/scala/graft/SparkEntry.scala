@@ -199,6 +199,61 @@ object SparkEntry {
         ORDER BY numwait DESC, s_name
       """)
     }),
+    // TPC-H Q20-shaped: potential part promotion — the nested-IN chain
+    // with a DOUBLY-correlated scalar subquery ((partkey, suppkey) both
+    // correlate) that Catalyst must decorrelate into aggregate-joins.
+    // The testdata has no partsupp table, so the supply relation derives
+    // from lineitem (per-(part, supplier) max quantity × 10 as available
+    // stock) — the decorrelation stressors are identical to stock Q20.
+    "q_sql_part_supply" -> ((s, d) => {
+      Seq("supplier", "nation", "part", "lineitem")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"v_$n"))
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 max(l_quantity) * 10 AS ps_availqty
+          FROM v_lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT s_name, round(s_acctbal, 2) AS acctbal
+        FROM v_supplier JOIN v_nation ON s_nationkey = n_nationkey
+        WHERE n_nationkey < 13
+          AND s_suppkey IN (
+            SELECT ps_suppkey FROM ps
+            WHERE ps_partkey IN (
+                SELECT p_partkey FROM v_part WHERE p_name LIKE 'red%')
+              AND ps_availqty > (
+                SELECT 0.5 * sum(l_quantity) FROM v_lineitem
+                WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                  AND l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1997-01-01'))
+        ORDER BY s_name
+      """)
+    }),
+    // TPC-H Q11-shaped: important stock — per-part supply value with a
+    // HAVING threshold that is a SCALAR subquery over the SAME filtered
+    // relation (computed once, broadcast — never per group). Value sums
+    // run in exact integer cents so Spark and DuckDB agree bit-for-bit
+    // regardless of float summation order.
+    "q_sql_important_stock" -> ((s, d) => {
+      Seq("supplier", "nation", "lineitem")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"v_$n"))
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_value_c
+          FROM v_lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT ps_partkey, sum(ps_value_c) AS stock_value_c
+        FROM ps JOIN v_supplier ON ps_suppkey = s_suppkey
+        JOIN v_nation ON s_nationkey = n_nationkey
+        WHERE n_nationkey < 13
+        GROUP BY ps_partkey
+        HAVING sum(ps_value_c) > (
+          SELECT sum(ps_value_c) * 0.0005
+          FROM ps JOIN v_supplier ON ps_suppkey = s_suppkey
+          JOIN v_nation ON s_nationkey = n_nationkey
+          WHERE n_nationkey < 13)
+        ORDER BY stock_value_c DESC, ps_partkey
+      """)
+    }),
     // TPC-H Q7-shaped: directed nation-pair shipping volume — the fact
     // table reaches TWO copies of the broadcast nation dim (via supplier
     // and via customer) with an OR over the two directed pairs; grouped by
@@ -1122,6 +1177,40 @@ object SparkEntry {
         |  SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
         |  WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_sql_part_supply" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         max(l_quantity) * 10 AS ps_availqty
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT s_name, round(s_acctbal, 2) AS acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_nationkey < 13
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM ps
+        |    WHERE ps_partkey IN (
+        |        SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND ps_availqty > (
+        |        SELECT 0.5 * sum(l_quantity) FROM lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= DATE '1996-01-01'
+        |          AND l_shipdate < DATE '1997-01-01'))
+        |ORDER BY s_name""".stripMargin,
+    "q_sql_important_stock" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_value_c
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT ps_partkey, sum(ps_value_c) AS stock_value_c
+        |FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_nationkey < 13
+        |GROUP BY ps_partkey
+        |HAVING sum(ps_value_c) > (
+        |  SELECT sum(ps_value_c) * 0.0005
+        |  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_nationkey < 13)
+        |ORDER BY stock_value_c DESC, ps_partkey""".stripMargin,
     "q_sql_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,

@@ -232,6 +232,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in Q21 plan:\n$p")
   }
 
+  test("Q20-shaped nested-IN + doubly-correlated scalar fully decorrelates") {
+    // both IN chains must become semi joins and the (partkey, suppkey)-
+    // correlated availability threshold an aggregate joined back — no
+    // per-row subquery may survive to execution
+    val p = plan(SparkEntry.queries("q_sql_part_supply")(spark, dir))
+    assert(p.contains("LeftSemi"), s"IN chain not decorrelated to semi joins:\n$p")
+    assert(!p.toLowerCase.contains("subquery"), s"a per-row subquery survived:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q20 plan:\n$p")
+  }
+
+  test("Q11-shaped HAVING threshold computes once as a broadcast scalar") {
+    // the global-value threshold is an UNcorrelated scalar subquery: it
+    // must execute exactly once (a Subquery/scalar-subquery node broadcast
+    // into the HAVING filter is fine — a re-aggregation per group is not),
+    // and the plan must stay cartesian-free
+    val df = SparkEntry.queries("q_sql_important_stock")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q11 plan:\n$p")
+    // correctness smoke: threshold keeps a strict subset of the parts
+    val kept = df.count()
+    assert(kept > 0, "threshold filtered everything — shape is wrong")
+  }
+
   test("Q6-shaped forecast pushes every predicate into the lineitem scan") {
     val p = SparkEntry.queries("q_sql_forecast")(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
