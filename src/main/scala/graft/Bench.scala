@@ -6,6 +6,12 @@ import org.apache.spark.sql.SparkSession
   * row of every column is computed and shipped through the executors
   * (unlike `count()`, which lets Catalyst prune all columns and skip the
   * expression work), with no driver-side collection bottleneck.
+  *
+  * Failures are FIRST-CLASS, not folded into timings: a failed/timed-out
+  * query appears in the top-level `failed` list and `n_failed` count, its
+  * `qv_cs` slot is −1, and `value` (the suite total) sums ONLY successful
+  * queries — so cross-round trend tooling never reads timeout sentinels
+  * as real work.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,8 +33,7 @@ object Bench {
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     // n iterations per query, report the MEDIAN — single-run noise on this
     // box is ±30%, which would otherwise swallow real regressions; a
-    // timed-out/failed iteration stops further iterations for that query
-    // (its timeout value stands as the median signal).
+    // timed-out/failed iteration stops further iterations for that query.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // local-iteration conveniences (absent in driver runs): ONLY restricts
     // the query set (comma-separated names), VERBOSE prints each iteration's
@@ -38,17 +43,18 @@ object Bench {
     val verbose = sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    // per query: Right(median secs) on success, Left(error) on any failure
+    val results: Seq[(String, Either[String, Double])] = selected.map { case (name, fn) =>
       val times = Vector.newBuilder[Double]
       var it = 0
-      var failed = false
-      while (it < iters && !failed) {
+      var err: Option[String] = None
+      while (it < iters && err.isEmpty) {
         val t0 = System.nanoTime()
         Timeouts.run(spark, name, timeoutSec) {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         } match {
           case Left(msg) =>
-            System.err.println(s"[bench] $name failed: $msg"); failed = true
+            System.err.println(s"[bench] $name failed: $msg"); err = Some(msg)
           case Right(_) =>
             val dt = (System.nanoTime() - t0) / 1e9
             if (verbose) System.err.println(f"[bench] $name iter $it: $dt%.3f s")
@@ -56,24 +62,16 @@ object Bench {
         }
         it += 1
       }
-      // ANY failed/timed-out iteration reports the timeout value — a flaky
-      // query must not hide behind the median of its lucky runs
-      val median =
-        if (failed) timeoutSec.toDouble
-        else { val v = times.result(); v.sorted.apply((v.size - 1) / 2) }
       // Per-query isolation: caches, memoized pipelines, and checkpoint
       // RDDs may legitimately persist ACROSS a query's own iterations
       // (that reuse is part of the measured design), but must not leak
       // into the next query's timings — accumulated executor memory
       // pressure otherwise skews later queries' medians.
       SparkEntry.resetSessionState(spark)
-      name -> median
+      name -> err.toLeft {
+        val v = times.result(); v.sorted.apply((v.size - 1) / 2)
+      }
     }
-    // Locale.ROOT: a comma-decimal default locale would render "1,234"
-    // and corrupt the JSON line
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val total = f3(results.map(_._2).sum)
     // convergence rounds of the iterative CC variants (from their last run
     // above) — a regression in round count would otherwise hide inside the
     // wall-clock number
@@ -86,32 +84,67 @@ object Bench {
     // harness that records this run captures only the last ~2000 chars of
     // the log, which a 116-query JSON object outgrew (rounds 6-7 lost the
     // alphabetically-first ~37 timings entirely).
+    val ok = results.collect { case (n, Right(v)) => n -> v }
+    val failed = results.collect { case (n, Left(_)) => n }
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-        results.map { case (k, v) => s"${Json.quote(k)}:${f3(v)}" }
+      s"""{"metric":"total","value":${BenchFormat.f3(ok.map(_._2).sum)},"unit":"sec","queries":${
+        ok.map { case (k, v) => s"${Json.quote(k)}:${BenchFormat.f3(v)}" }
           .mkString("{", ",", "}")
+      },"n_failed":${failed.size},"failed":${
+        failed.map(Json.quote).mkString("[", ",", "]")
       },"cc_rounds":$ccRounds,"sf":${Json.quote(sfDir)}}"""
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath,
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // The stdout line must survive the tail capture: ≤ ~1900 chars after
-    // sbt's "[info] " prefix and trailing "[success] ..." line. Emit every
-    // timing as a centisecond array in sorted-name order ("qv", same order
-    // as the "queries" object in bench_full.json), plus a name->sec object
-    // for as many of the SLOWEST queries as fit the budget.
-    val qvArr = results.map { case (_, v) => math.round(v * 100).toString }
-      .mkString("[", ",", "]")
-    val slowest = results.sortBy(-_._2)
+    println(BenchFormat.stdoutLine(results, ccRounds, sfDir))
+    spark.stop()
+  }
+}
+
+/** The stdout-line construction, separated from the Spark run so the
+  * tail-capture budget logic (including the over-budget truncation marker)
+  * is unit-testable without a session.
+  */
+object BenchFormat {
+  // Locale.ROOT: a comma-decimal default locale would render "1,234"
+  // and corrupt the JSON line
+  def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+  def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** One JSON line that must survive the harness tail capture: ≤ `budget`
+    * chars. Every timing rides in `qv_cs` (centiseconds, sorted-name
+    * order, −1 = failed), plus a name→sec object for as many of the
+    * SLOWEST queries as fit. If even the no-names line overflows (≈280+
+    * queries), `qv_cs` is dropped and replaced by an explicit
+    * `"truncated":true` marker pointing at bench_full.json — never a
+    * silently half-written array.
+    */
+  def stdoutLine(
+      results: Seq[(String, Either[String, Double])],
+      ccRounds: String,
+      sfDir: String,
+      budget: Int = 1700): String = {
+    val ok = results.collect { case (n, Right(v)) => n -> v }
+    val failed = results.collect { case (n, Left(_)) => n }
+    val total = f3(ok.map(_._2).sum)
+    val failedArr = failed.map(Json.quote).mkString("[", ",", "]")
+    val qvArr = results.map {
+      case (_, Right(v)) => math.round(v * 100).toString
+      case (_, Left(_))  => "-1"
+    }.mkString("[", ",", "]")
+    val slowest = ok.sortBy(-_._2)
     def line(k: Int): String = {
       val qs = slowest.take(k)
         .map { case (n, v) => s"${Json.quote(n)}:${f2(v)}" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_q":${results.size},"qv_cs":$qvArr,"qv_order":"sorted_name","cc_rounds":$ccRounds,"full":"target/bench_full.json","sf":${Json.quote(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_q":${results.size},"n_failed":${failed.size},"failed":$failedArr,"qv_cs":$qvArr,"qv_order":"sorted_name","cc_rounds":$ccRounds,"full":"target/bench_full.json","sf":${Json.quote(sfDir)}}"""
     }
-    val budget = 1700
-    val k = (results.size to 0 by -1).find(line(_).length <= budget).getOrElse(0)
-    println(line(k))
-    spark.stop()
+    (results.size to 0 by -1).collectFirst {
+      case k if line(k).length <= budget => line(k)
+    }.getOrElse {
+      // qv_cs itself outgrew the tail budget: say so explicitly
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_q":${results.size},"n_failed":${failed.size},"truncated":true,"full":"target/bench_full.json","sf":${Json.quote(sfDir)}}"""
+    }
   }
 }
