@@ -480,6 +480,8 @@ object SparkEntry {
     "q_docs_triangles" -> ((s, d) => Dedup.nearDupTriangles(t(s, d, "documents"))),
     "q_docs_lcc" -> ((s, d) => Dedup.clusteringCoefficient(t(s, d, "documents"))),
     "q_docs_bpe" -> ((s, d) => TextAnalysis.bpeMerges(t(s, d, "documents"))),
+    "q_docs_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(t(s, d, "documents"))),
+    "q_docs_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(t(s, d, "documents"))),
     "q_docs_neardup" -> ((s, d) => Dedup.ngramJaccardNearDup(t(s, d, "documents"))),
     "q_docs_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "q_docs_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(t(s, d, "documents"))),
@@ -2373,6 +2375,81 @@ object SparkEntry {
          |FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3)
          |ORDER BY iter, rnk""".stripMargin
     },
+    // BPE application: the SAME learning CTE chain as q_docs_bpe, then the
+    // three winning merges applied to every document's word stream and the
+    // post-merge tokens counted per doc
+    "q_docs_bpe_encode" -> {
+      val roundCtes = (1 to 3).map { k =>
+        s"""p$k AS (
+           |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+           |    SELECT n, unnest(list_transform(range(1, len(toks)),
+           |                                    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+           |    FROM (SELECT n, string_split(rep, ' ') AS toks FROM v${k - 1}))
+           |  GROUP BY pair),
+           |t$k AS (SELECT pair FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+           |v$k AS (
+           |  SELECT n, trim(replace(' ' || rep || ' ', ' ' || t$k.pair || ' ',
+           |                         ' ' || replace(t$k.pair, ' ', '') || ' ')) AS rep
+           |  FROM v${k - 1} CROSS JOIN t$k),
+           |e$k AS (
+           |  SELECT doc_id, wc, trim(replace(' ' || rep || ' ', ' ' || t$k.pair || ' ',
+           |                         ' ' || replace(t$k.pair, ' ', '') || ' ')) AS rep
+           |  FROM e${k - 1} CROSS JOIN t$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (
+         |  SELECT w, count(*) AS n FROM (
+         |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                              x -> length(x) > 0)) AS w
+         |    FROM documents)
+         |  GROUP BY w),
+         |v0 AS (SELECT n, array_to_string(string_split(w, ''), ' ') AS rep FROM w),
+         |e0 AS (
+         |  SELECT doc_id, length(w) AS wc,
+         |         array_to_string(string_split(w, ''), ' ') AS rep FROM (
+         |    SELECT doc_id,
+         |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                         x -> length(x) > 0)) AS w
+         |    FROM documents)),
+         |$roundCtes
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(wc) AS BIGINT) AS n_chars,
+         |  CAST(sum(len(string_split(rep, ' '))) AS BIGINT) AS n_bpe_tokens
+         |FROM e3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // Gopher hard rules: integer centichar mean length, bps top-word
+    // dominance, tiny stop list — every metric exact, booleans shared
+    "q_docs_gopher_rules" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT)
+        |      AS n_chars,
+        |    CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'and', 'of', 'to')))
+        |      AS BIGINT) AS n_stop
+        |  FROM words),
+        |top AS (
+        |  SELECT doc_id, max(c) AS top_cnt FROM (
+        |    SELECT doc_id, w, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(ws) AS w FROM words) GROUP BY doc_id, w)
+        |  GROUP BY doc_id),
+        |m AS (
+        |  SELECT b.doc_id, b.n_words, b.n_stop,
+        |    CAST(CASE WHEN b.n_words > 0 THEN (b.n_chars * 100) // b.n_words
+        |         ELSE 0 END AS BIGINT) AS mean_len_c,
+        |    CAST(CASE WHEN b.n_words > 0
+        |         THEN (coalesce(t.top_cnt, 0) * 10000) // b.n_words
+        |         ELSE 0 END AS BIGINT) AS top_bps
+        |  FROM base b LEFT JOIN top t USING (doc_id))
+        |SELECT doc_id, n_words, n_stop, mean_len_c, top_bps,
+        |  (n_words BETWEEN 30 AND 100000) AS r_words,
+        |  (mean_len_c BETWEEN 300 AND 1000) AS r_mean,
+        |  (n_stop >= 1) AS r_stop,
+        |  (top_bps <= 2000) AS r_top,
+        |  ((n_words BETWEEN 30 AND 100000) AND (mean_len_c BETWEEN 300 AND 1000)
+        |    AND (n_stop >= 1) AND (top_bps <= 2000)) AS passes
+        |FROM m ORDER BY doc_id""".stripMargin,
     // Connected components as transitive reachability: bidirectional
     // edges from the capped LSH pairs, recursive closure, min reachable
     // id per vertex = the cluster label min-label propagation converges to.

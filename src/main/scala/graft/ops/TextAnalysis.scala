@@ -649,6 +649,93 @@ object TextAnalysis {
     rounds.reduce(_ union _).orderBy("iter", "rnk")
   }
 
+  /** BPE tokenizer APPLICATION — encode every document with the merges
+    * [[bpeMerges]] learns and report per-doc token accounting (words,
+    * chars, post-merge BPE tokens). This is the "what does the learned
+    * tokenizer cost per document" half of tokenizer training: compression
+    * below n_chars is exactly the merge coverage.
+    *
+    * Shape at scale: the learning loop runs over the Heaps-law vocabulary
+    * (never corpus-sized); its `iters` winning merges collapse to ONE
+    * broadcast row; encoding is then a narrow per-word map (literal
+    * non-overlapping replace per merge, identical byte semantics on both
+    * engines — see [[bpeMerges]]) followed by one doc-cardinality
+    * aggregate. No shuffle touches full text.
+    */
+  def bpeEncode(documents: DataFrame, iters: Int = 3): DataFrame = {
+    val m = bpeMerges(documents, iters, topk = 1)
+    val mergeAggs = (1 to iters).map(i =>
+      max(when(col("iter") === i, col("pair"))).as(s"mp$i"))
+    val mergeRow = m.groupBy().agg(mergeAggs.head, mergeAggs.tail: _*)
+    val words = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), length(col("w")).cast("long").as("wc"),
+        concat_ws(" ", split(col("w"), "")).as("rep"))
+    val applied = (1 to iters).foldLeft(words.crossJoin(broadcast(mergeRow))) {
+      (df, i) =>
+        df.withColumn("rep",
+          expr(s"trim(replace(' ' || rep || ' ', ' ' || mp$i || ' ', " +
+            s"' ' || replace(mp$i, ' ', '') || ' '))"))
+    }
+    applied
+      .select(col("doc_id"), col("wc"),
+        size(split(col("rep"), " ")).cast("long").as("tc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("wc").as("n_chars"),
+        sum("tc").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style quality RULE filter (Rae et al. 2021, the Appendix-A
+    * hard-rule subset expressible over this corpus): per document,
+    * pass/fail on word count in [minWords, maxWords], mean word length in
+    * [3, 10] chars, stopword presence (≥ `stopMin` hits of a tiny English
+    * stop list), and top-word dominance ≤ `maxTopBps` basis points of all
+    * tokens — the rule-based sibling of the weighted [[qualityScore]].
+    *
+    * Shapes: token stats are narrow per-row map work; the top-word share
+    * is explode → two map-side-combining aggregates → one doc-cardinality
+    * join back. Every emitted metric is an exact integer or boolean
+    * (mean length in centichars, dominance in bps) — engine-neutral by
+    * construction, no float boundary to disagree on.
+    */
+  def gopherRules(
+      documents: DataFrame,
+      minWords: Int = 30,
+      maxWords: Int = 100000,
+      stopMin: Int = 1,
+      maxTopBps: Int = 2000): DataFrame = {
+    val base = documents
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.alnumTokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("aggregate(ws, 0L, (a, x) -> a + length(x))").as("n_chars"),
+        size(expr("filter(ws, x -> x IN ('the', 'a', 'and', 'of', 'to'))"))
+          .cast("long").as("n_stop"))
+    val top = base
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_cnt"))
+    base.drop("ws")
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_stop"),
+        when(col("n_words") > 0, expr("(n_chars * 100) div n_words"))
+          .otherwise(0L).as("mean_len_c"),
+        when(col("n_words") > 0,
+          expr("(coalesce(top_cnt, 0L) * 10000) div n_words"))
+          .otherwise(0L).as("top_bps"))
+      .withColumn("r_words",
+        col("n_words").between(minWords.toLong, maxWords.toLong))
+      .withColumn("r_mean", col("mean_len_c").between(300L, 1000L))
+      .withColumn("r_stop", col("n_stop") >= stopMin.toLong)
+      .withColumn("r_top", col("top_bps") <= maxTopBps.toLong)
+      .withColumn("passes",
+        col("r_words") && col("r_mean") && col("r_stop") && col("r_top"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-scaled language mixture (the multilingual-pretraining
     * rebalance, α = 0.5): each language's sampling share is
     * `√n_l / Σ√n`, flattening the head-language skew, and the per-language

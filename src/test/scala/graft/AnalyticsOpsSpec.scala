@@ -141,6 +141,43 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     SparkEntry.resetSessionState(spark)
   }
 
+  test("bpeEncode applies the learned merges: hand-computed token counts") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // vocab {abc:3, abd:1} ⇒ merges learn 'a b' → 'ab c' → 'ab d' in
+    // exactly 3 deterministic rounds; every word then encodes to 1 token
+    val docs = Seq((1L, "abc abc"), (2L, "abc abd")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, iters = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 6L, 2L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((2L, 6L, 2L)), s"doc2: ${out(2L)}")
+  }
+
+  test("gopherRules: each rule fails for exactly the planted reason") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // doc1: 35 words (34 distinct 4-char + 'the') — every rule passes
+    val ok = ((1 to 34).map(i => f"w$i%03d") :+ "the").mkString(" ")
+    // doc2: long enough but no stopword and one dominant word
+    val dom = Seq.fill(40)("spam").mkString(" ")
+    // doc3: too short
+    val short = "tiny doc the end"
+    val out = TextAnalysis.gopherRules(
+      Seq((1L, ok), (2L, dom), (3L, short)).toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getBoolean(d1.fieldIndex("passes")), s"doc1 must pass: $d1")
+    assert(d1.getLong(d1.fieldIndex("mean_len_c")) == (34 * 4 + 3) * 100 / 35)
+    val d2 = out(2L)
+    assert(!d2.getBoolean(d2.fieldIndex("r_stop")) &&
+      !d2.getBoolean(d2.fieldIndex("r_top")) && !d2.getBoolean(d2.fieldIndex("passes")),
+      s"doc2 must fail stopword + dominance: $d2")
+    assert(d2.getLong(d2.fieldIndex("top_bps")) == 10000L)
+    val d3 = out(3L)
+    assert(!d3.getBoolean(d3.fieldIndex("r_words")) && !d3.getBoolean(d3.fieldIndex("passes")),
+      s"doc3 must fail word count: $d3")
+  }
+
   test("clusterBalancedSample caps every cell and reports true cell sizes") {
     val sparkS = spark
     import sparkS.implicits._
