@@ -254,6 +254,113 @@ object SparkEntry {
         ORDER BY stock_value_c DESC, ps_partkey
       """)
     }),
+    // TPC-H Q2-shaped: minimum-cost supplier — a correlated scalar MIN
+    // subquery over the same derived supply relation the outer query
+    // joins, re-filtered through the supplier→nation→region dim chain.
+    // Catalyst decorrelates the per-part min into an aggregate joined
+    // back on p_partkey; the dim chain broadcasts. Supply cost derives
+    // from lineitem (min line total in exact cents — no partsupp table
+    // in this testdata, same derivation precedent as the Q20 shape).
+    "q_sql_min_cost_supp" -> ((s, d) => {
+      Seq("supplier", "nation", "region", "part", "lineitem")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"v_$n"))
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost_c
+          FROM v_lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,
+               p_partkey, p_type, ps_cost_c
+        FROM v_part
+        JOIN ps ON p_partkey = ps_partkey
+        JOIN v_supplier ON s_suppkey = ps_suppkey
+        JOIN v_nation ON s_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND r_name = 'EUROPE'
+          AND ps_cost_c = (
+            SELECT min(ps2.ps_cost_c)
+            FROM ps ps2
+            JOIN v_supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+            JOIN v_nation n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN v_region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY acctbal DESC, n_name, s_name, p_partkey
+      """)
+    }),
+    // TPC-H Q9-shaped: product-type profit by (supplier nation, order
+    // year) — lineitem fans out to part/supplier/orders/nation plus the
+    // derived per-(part,supp) supply cost. Profit runs ENTIRELY in exact
+    // integer cents (revenue cents rounded per-row on the 2-decimal grid,
+    // cost = cents × integral quantity) so the big sum is associative and
+    // engine-order-independent — no float tolerance needed at any scale.
+    "q_sql_profit" -> ((s, d) => {
+      Seq("supplier", "nation", "part", "orders", "lineitem")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"v_$n"))
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost_c
+          FROM v_lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+                   - ps_cost_c * CAST(l_quantity AS BIGINT)) AS profit_c,
+               count(*) AS n_lines
+        FROM v_lineitem
+        JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        JOIN v_part ON p_partkey = l_partkey
+        JOIN v_supplier ON s_suppkey = l_suppkey
+        JOIN v_orders ON o_orderkey = l_orderkey
+        JOIN v_nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year
+      """)
+    }),
+    // TPC-H Q12-shaped: shipping-priority split — orders⋈lineitem with a
+    // ship-date window and DUAL conditional counts (high/low priority) in
+    // one pass. The testdata carries no l_shipmode, so l_returnflag
+    // stands in as the 3-value mode dimension; the shape (fact-fact
+    // equi-join + date pushdown + CASE aggregation) is unchanged.
+    "q_sql_ship_priority" -> ((s, d) => {
+      Seq("orders", "lineitem")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"v_$n"))
+      s.sql("""
+        SELECT l_returnflag AS ship_mode,
+          sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS high_line_count,
+          sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS low_line_count
+        FROM v_orders JOIN v_lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)
+    }),
+    // TPC-H Q16-shaped: supplier-part relationship count — distinct
+    // (part, supplier) pairs from lineitem, filtered by part attributes
+    // (<>, IN-list) and a NOT IN subquery over "complaint" suppliers
+    // (negative balance stands in for the comment scan). The NOT IN must
+    // decorrelate to a null-aware anti join; count(DISTINCT) per tiny
+    // group runs as a two-phase distinct aggregate.
+    "q_sql_supp_cnt" -> ((s, d) => {
+      Seq("supplier", "part", "lineitem")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"v_$n"))
+      s.sql("""
+        WITH ps AS (
+          SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM v_lineitem)
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM ps JOIN v_part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'MEDIUM'
+          AND p_size IN (1, 4, 7, 10, 15, 23, 38, 45)
+          AND ps_suppkey NOT IN (
+            SELECT s_suppkey FROM v_supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      """)
+    }),
     // TPC-H Q7-shaped: directed nation-pair shipping volume — the fact
     // table reaches TWO copies of the broadcast nation dim (via supplier
     // and via customer) with an OR over the two directed pairs; grouped by
@@ -1213,6 +1320,69 @@ object SparkEntry {
         |  JOIN nation ON s_nationkey = n_nationkey
         |  WHERE n_nationkey < 13)
         |ORDER BY stock_value_c DESC, ps_partkey""".stripMargin,
+    "q_sql_min_cost_supp" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost_c
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,
+        |       p_partkey, p_type, ps_cost_c
+        |FROM part
+        |JOIN ps ON p_partkey = ps_partkey
+        |JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size = 15 AND r_name = 'EUROPE'
+        |  AND ps_cost_c = (
+        |    SELECT min(ps2.ps_cost_c)
+        |    FROM ps ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+    "q_sql_profit" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost_c
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |           - ps_cost_c * CAST(l_quantity AS BIGINT)) AS profit_c,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year""".stripMargin,
+    "q_sql_ship_priority" ->
+      """SELECT l_returnflag AS ship_mode,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_sql_supp_cnt" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |  FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 4, 7, 10, 15, 23, 38, 45)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q_sql_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,

@@ -242,6 +242,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in Q20 plan:\n$p")
   }
 
+  test("Q2-shaped correlated MIN decorrelates; dim chain broadcasts") {
+    // the per-part min-cost subquery must become an aggregate joined back
+    // on p_partkey (never a per-row re-scan), and the nation/region dims
+    // must reach the plan as broadcast joins
+    val p = plan(SparkEntry.queries("q_sql_min_cost_supp")(spark, dir))
+    assert(!p.toLowerCase.contains("subquery"), s"per-row subquery survived:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q2 plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim chain not broadcast:\n$p")
+  }
+
+  test("Q16-shaped NOT IN decorrelates to an anti join") {
+    val p = plan(SparkEntry.queries("q_sql_supp_cnt")(spark, dir))
+    assert(p.contains("LeftAnti"), s"NOT IN not an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q16 plan:\n$p")
+  }
+
+  test("Q12-shaped date window pushes into the lineitem scan") {
+    val p = SparkEntry.queries("q_sql_ship_priority")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate").foreach { f =>
+      assert(p.contains(f), s"predicate $f not pushed to the scan:\n$p")
+    }
+  }
+
   test("Q11-shaped HAVING threshold computes once as a broadcast scalar") {
     // the global-value threshold is an UNcorrelated scalar subquery: it
     // must execute exactly once (a Subquery/scalar-subquery node broadcast
