@@ -87,6 +87,8 @@ object SparkEntry {
     "q_agg_salted" -> ((s, d) => Relational.saltedAgg(t(s, d, "lineitem"))),
     "q_pivot" -> ((s, d) => Relational.pivotAgg(t(s, d, "lineitem"))),
     "q_join_full" -> ((s, d) => Relational.fullOuterJoin(t(s, d, "customer"), t(s, d, "orders"))),
+    "q_join_bucketed" -> ((s, d) =>
+      Relational.bucketedJoin(t(s, d, "lineitem"), t(s, d, "orders"))),
     "q_join_range" -> ((s, d) => Relational.rangeJoinBuckets(t(s, d, "events"))),
     "q_events_json" -> ((s, d) => Relational.jsonExtract(t(s, d, "events"))),
     "q_docs_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(t(s, d, "documents"))),
@@ -1201,6 +1203,13 @@ object SparkEntry {
       """SELECT c_custkey, o_orderkey, o_totalprice
         |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
         |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+        |    AS revenue_c,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_range" ->
       """SELECT b.bucket_id, count(*) AS cnt, round(sum(e.value), 2) AS sum_val
         |FROM events e JOIN (

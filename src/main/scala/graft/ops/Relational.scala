@@ -648,4 +648,42 @@ object Relational {
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").as("k"))
       .orderBy("event_id")
+
+  /** Bucketed co-located join: both fact tables are written CLUSTERED BY
+    * the join key into the same bucket count, then joined WITHOUT any
+    * shuffle — the bucketed scans already satisfy the join's required
+    * hash distribution, so the only Exchange left in the plan is the
+    * final small aggregation. This is the 100 TB join strategy: pay the
+    * shuffle ONCE at ingest (the nightly bucketed write), then every
+    * downstream join of the two tables reads co-located buckets forever.
+    * `sortBy` within buckets additionally lets the SortMergeJoin skip
+    * its per-partition sorts. The merge hint pins SMJ so the demo holds
+    * even when one side would broadcast at test scale; revenue runs in
+    * exact integer cents (order-independent under any bucket layout).
+    * Pinned by `PlanShapeSpec`: zero Exchange below the join.
+    */
+  def bucketedJoin(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      buckets: Int = 8): DataFrame = {
+    val spark = lineitem.sparkSession
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    Seq("g_lineitem_b", "g_orders_b")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    lineitem.write.format("parquet")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem").saveAsTable("g_lineitem_b")
+    orders.write.format("parquet")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders").saveAsTable("g_orders_b")
+    spark.table("g_lineitem_b").hint("merge")
+      .join(spark.table("g_orders_b").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_c"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority")
+  }
 }

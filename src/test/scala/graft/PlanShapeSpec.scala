@@ -242,6 +242,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in Q20 plan:\n$p")
   }
 
+  test("bucketed join reads co-located buckets — zero Exchange below the join") {
+    // The whole point of the bucketed layout: the SortMergeJoin's
+    // distribution requirement is satisfied by the bucketed SCANS, so no
+    // shuffle (and, with sortBy, no per-partition sort of the bucketed
+    // key) may appear below the join. The only Exchange allowed in the
+    // final plan is the small aggregation after the join.
+    val df = Relational.bucketedJoin(t("lineitem"), t("orders"), buckets = 4)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"), s"adaptive plan not finalized:\n$p")
+    assert(p.contains("SortMergeJoin"), s"merge hint lost:\n$p")
+    assert(p.contains("Bucketed: true"), s"scans not bucketed:\n$p")
+    // the window below the join in the FINAL plan (everything the join
+    // subtree prints until AQE's echoed Initial Plan section) must be
+    // exchange-free — the agg/sort shuffles above the join are expected
+    val initialIdx = p.indexOf("== Initial Plan ==")
+    val below = p.substring(p.indexOf("SortMergeJoin"),
+      if (initialIdx >= 0) initialIdx else p.length)
+    assert(!below.contains("Exchange"),
+      s"a shuffle appeared below the bucketed join:\n$p")
+  }
+
   test("Q2-shaped correlated MIN decorrelates; dim chain broadcasts") {
     // the per-part min-cost subquery must become an aggregate joined back
     // on p_partkey (never a per-row re-scan), and the nation/region dims
