@@ -238,16 +238,22 @@ object Similarity {
     * greedily, each round's winner maximizing
     * `λ·cos(q,c) − (1−λ)·max_{s∈selected} cos(c,s)`.
     *
-    * The greedy loop is UNROLLED into k declarative rounds (like the
-    * fixed-iteration k-means): each round is one bounded join — the
-    * persisted in-pool pairwise-cosine frame (≤ pool² rows per query)
-    * against the selected-so-far set — then a map-side-combining
-    * `max(struct)` argmax per query; no driver collect, no per-row
-    * recursion. Candidate pools come from the broadcast-query scoring
-    * pass (corpus never shuffles, same shape as [[hardNegatives]]).
-    * Determinism: cosines are the same sequential-sum doubles on both
-    * engines, λ = 0.5 is an exact binary fraction, and every argmax
-    * tiebreaks on candidate id — so selection replays bit-exactly.
+    * Shape: the CORPUS-scale work — scoring every candidate against the
+    * broadcast queries and the in-pool pairwise cosines — stays fully
+    * declarative (corpus never shuffles, same shape as [[hardNegatives]]).
+    * The greedy selection itself then runs per query over grouped arrays
+    * in one `flatMap`: state is pool-bounded (≤ pool cands + pool² sims
+    * per query), so the k selection rounds are a local loop instead of k
+    * global scheduler barriers. (An earlier revision unrolled the loop
+    * into k declarative join rounds; correct, but ~8 s of pure job-launch
+    * overhead on ≤ numQueries·pool-row frames — per-group custom logic
+    * over bounded state is exactly the grouped-map contract.)
+    * Determinism: cosines are the same sequential-sum doubles as before
+    * (computed by the SAME Catalyst expression, pre-collapse), λ = 0.5 is
+    * an exact binary fraction, the local argmax replays the SQL
+    * `max(struct(score, -cand_id))` comparator (strict >, ties to the
+    * LOWER candidate id), and the final rounding is the same Spark
+    * `round(_, 6)` expression — so selection replays bit-exactly.
     */
   def mmrRerank(
       embeddings: DataFrame,
@@ -255,6 +261,8 @@ object Similarity {
       poolSize: Int = 20,
       k: Int = 5): DataFrame = {
     val lam = 0.5
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val q = embeddings.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scoredAll = embeddings
@@ -267,55 +275,58 @@ object Similarity {
       .withColumn("rnk", row_number().over(wq))
       .filter(col("rnk") <= poolSize)
       .select(col("query_id"), col("cand_id"), col("c_emb"), col("cos_q"))
+    // pool feeds two legs (the candidate list and the pairwise self-join);
+    // persisting it keeps the corpus-scoring pass single-execution. It is
+    // the ONE cache entry the operator may leave for its returned plan —
+    // session-level release belongs to the caller (resetSessionState).
     val pool =
       if (poolRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) poolRaw.persist()
       else poolRaw
-    val psimRaw = pool.select(col("query_id"), col("cand_id").as("ca"), col("c_emb").as("ea"))
+    val psim = pool.select(col("query_id"), col("cand_id").as("ca"), col("c_emb").as("ea"))
       .join(pool.select(col("query_id"), col("cand_id").as("cb"), col("c_emb").as("eb")),
         Seq("query_id"))
       .filter(col("ca") =!= col("cb"))
       .select(col("query_id"), col("ca"), col("cb"), cosine(col("ea"), col("eb")).as("sim"))
-    val psim =
-      if (psimRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) psimRaw.persist()
-      else psimRaw
-    def argmax(df: DataFrame, score: Column, rank: Int): DataFrame = df
-      .select(col("query_id"),
-        struct(score.as("s"), (-col("cand_id")).as("neg_id"), col("cos_q").as("cq")).as("sc"))
-      .groupBy("query_id").agg(max(col("sc")).as("best"))
-      .select(col("query_id"), (-col("best.neg_id")).as("cand_id"),
-        col("best.cq").as("cos_q"), lit(rank.toLong).as("sel_rank"))
-    // each round references `selected` three times (anti-join, max-sim
-    // join, union); left unpersisted that re-evaluates every prior round's
-    // subtree ~3× per level — exponential plan blowup by round 5. The
-    // frame is ≤ numQueries·k rows, so persisting per round costs nothing
-    // and keeps each round's work constant. Each round MATERIALIZES its
-    // frame (tiny — work that the final action would do anyway) and then
-    // releases the superseded previous round, so the operator never holds
-    // more than one round in cache; the pairwise pool/psim frames are
-    // released once the last round is cached. Only the FINAL round stays
-    // cached for the returned plan — the session-level release is the
-    // caller's (resetSessionState in the harnesses).
-    var selected = argmax(pool, col("cos_q"), 1).persist()
-    selected.count()
-    for (j <- 2 to k) {
-      val remaining = pool.join(
-        selected.select(col("query_id"), col("cand_id")), Seq("query_id", "cand_id"),
-        "left_anti")
-      val msim = psim
-        .join(selected.select(col("query_id"), col("cand_id").as("cb")),
-          Seq("query_id", "cb"))
-        .groupBy(col("query_id"), col("ca").as("cand_id"))
-        .agg(max("sim").as("msim"))
-      val scored = remaining.join(msim, Seq("query_id", "cand_id"))
-      val next = selected.union(
-        argmax(scored, lit(lam) * col("cos_q") - lit(1.0 - lam) * col("msim"), j))
-        .persist()
-      next.count() // land the round before dropping what it was built from
-      selected.unpersist(blocking = false)
-      selected = next
-    }
-    psim.unpersist(blocking = false)
-    pool.unpersist(blocking = false)
+    // _1/_2 struct names line the arrays up with the tuple encoders below
+    val cands = pool.groupBy("query_id")
+      .agg(collect_list(struct(col("cand_id").as("_1"), col("cos_q").as("_2"))).as("cands"))
+    val sims = psim.groupBy("query_id")
+      .agg(collect_list(struct(
+        col("ca").as("_1"), col("cb").as("_2"), col("sim").as("_3"))).as("sims"))
+    val selected = cands.join(sims, Seq("query_id"), "left")
+      .as[(Long, Seq[(Long, Double)], Seq[(Long, Long, Double)])]
+      .flatMap { case (qid, cands, simsOrNull) =>
+        val sims = Option(simsOrNull).getOrElse(Seq.empty)
+        val simMap = sims.map { case (a, b, s) => (a, b) -> s }.toMap
+        val remaining = scala.collection.mutable.LinkedHashMap(cands: _*)
+        val out = Seq.newBuilder[(Long, Long, Long, Double)]
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var j = 1L
+        while (j <= k && remaining.nonEmpty) {
+          var bestId = -1L; var bestCq = 0.0
+          var bestScore = Double.NegativeInfinity
+          remaining.foreach { case (cid, cq) =>
+            val s =
+              if (picked.isEmpty) cq
+              else {
+                var m = Double.NegativeInfinity
+                picked.foreach { sid =>
+                  val v = simMap((cid, sid)); if (v > m) m = v
+                }
+                lam * cq - (1.0 - lam) * m
+              }
+            if (s > bestScore || (s == bestScore && cid < bestId)) {
+              bestScore = s; bestId = cid; bestCq = cq
+            }
+          }
+          out += ((qid, j, bestId, bestCq))
+          picked += bestId
+          remaining.remove(bestId)
+          j += 1
+        }
+        out.result()
+      }
+      .toDF("query_id", "sel_rank", "cand_id", "cos_q")
     selected
       .select(col("query_id"), col("sel_rank"), col("cand_id"),
         round(col("cos_q"), 6).as("cos_sim"))
