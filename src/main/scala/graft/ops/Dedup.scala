@@ -175,14 +175,29 @@ object Dedup {
   /** [[minhashSignatures]] minus the tokenization and the output-contract
     * sort: internal consumers (bucket generators) neither re-tokenize nor
     * pay a global range exchange they immediately destroy with a groupBy.
+    *
+    * The signature is computed NARROW — per-row higher-order functions
+    * (`array_min(transform(...))`) over the shingle array — instead of
+    * the explode → groupBy("doc_id") shape: the per-doc min-aggregation
+    * state never leaves the row, so the whole signature stage is
+    * embarrassingly parallel with ZERO shuffle, for every MinHash
+    * consumer (pairs, clusters, centrality-keep, estimates). The base
+    * md5 hash is materialized once per shingle (`hvs`), then each of the
+    * `NumHashes` affine mins scans that array. The empty-shingle filter
+    * replicates the explode path's semantics exactly (explode emits no
+    * rows for an empty/null array, so such docs never had signatures).
     */
   private def minhashFromShingles(shFrame: DataFrame): DataFrame = {
-    val ex = shFrame.select(col("doc_id"), explode(col("sh")).as("s"))
     // 8 hex chars of md5 → 32-bit base hash (conv returns string; cast)
-    val hv = conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
+    val withH = shFrame
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        transform(col("sh"),
+          s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("hvs"))
     val mins = (0 until NumHashes).map(k =>
-      min(pmod(lit(hashA(k)) * hv + lit(hashB(k)), lit(HashPrime))).as(s"h$k"))
-    val sigs = ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      array_min(transform(col("hvs"),
+        h => pmod(lit(hashA(k)) * h + lit(hashB(k)), lit(HashPrime)))).as(s"h$k"))
+    val sigs = withH.select(col("doc_id") +: mins: _*)
     val perBand = NumHashes / NumBands
     val bands = (0 until NumBands).map { b =>
       val slice = (0 until perBand).map(j => col(s"h${b * perBand + j}"))
