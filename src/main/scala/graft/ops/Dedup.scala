@@ -238,6 +238,22 @@ object Dedup {
   private def lshBuckets(documents: DataFrame, maxBucket: Int): DataFrame =
     lshBucketsFromSigs(minhashFromShingles(shingleFrame(documents)), maxBucket)
 
+  /** (doc_id, band_idx, band_hash) — the banded signature rows every LSH
+    * consumer buckets on, computed fully NARROW (tokenize → per-row
+    * signature → band explode; no aggregation, no sort). Because no
+    * operator here carries cross-row state, the same pipeline runs
+    * unchanged over a STREAMING frame — the ingest-time near-dup path
+    * ([[graft.streaming.DocStreams.lshCandidateStream]]).
+    */
+  private[graft] def bandedSignatures(documents: DataFrame): DataFrame = {
+    val sigs = minhashFromShingles(shingleFrame(documents))
+    val bandCols = (0 until NumBands).map(b =>
+      struct(lit(b).as("band_idx"), col(s"band$b").as("band_hash")))
+    sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+  }
+
   private def lshBucketsFromSigs(sigs: DataFrame, maxBucket: Int): DataFrame = {
     val bandCols = (0 until NumBands).map(b =>
       struct(lit(b).as("band_idx"), col(s"band$b").as("band_hash")))

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.Dedup
+import graft.streaming.DocStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming LSH near-dup: the incremental candidate stream must agree
+  * with the batch generator on the same corpus (below cap), and must stop
+  * emitting for a bucket once the cap closes it.
+  */
+class DocStreamsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  // two long near-identical texts (every shingle equal ⇒ all bands
+  // collide), one unrelated text, one more twin arriving in a later batch
+  private val base =
+    "the quick brown fox jumps over the lazy dog again and again until dawn"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base),
+    (3L, "completely different content about spark physical plans and shuffles"),
+    (4L, base))
+
+  test("streaming LSH candidates equal the batch pairs across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = DocStreams.lshCandidateStream(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lsh_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.take(3))
+      query.processAllAvailable()
+      input.addData(docs.drop(3)) // the late twin must pair with BOTH priors
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_a, doc_b FROM lsh_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).distinct.sorted
+      val batch = Dedup.lshCandidatePairs(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(batch.nonEmpty, "batch generator found no pairs — corpus is wrong")
+      assert(streamed.toSeq == batch,
+        s"streaming $streamed != batch $batch")
+    } finally query.stop()
+  }
+
+  test("over-cap bucket closes: emission stops, earlier pairs stand") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = DocStreams.lshCandidateStream(
+        input.toDF().toDF("doc_id", "text"), maxBucket = 2)
+      .writeStream.format("memory").queryName("lsh_cap_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // four identical docs into a cap-2 bucket: (1,2) emits at size 2,
+      // doc 3 trips the cap and closes the bucket, doc 4 arrives closed
+      input.addData(Seq((1L, base), (2L, base), (3L, base)))
+      query.processAllAvailable()
+      input.addData(Seq((4L, base)))
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_a, doc_b FROM lsh_cap_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).distinct.sorted
+      assert(streamed.toSeq == Seq((1L, 2L)),
+        s"expected only the pre-cap pair, got $streamed")
+    } finally query.stop()
+  }
+}
