@@ -563,6 +563,7 @@ object SparkEntry {
     "q_ts_dispatch" -> ((s, d) => TimeOps.timestampDispatch(t(s, d, "events"))),
     "q_events_hourly" -> ((s, d) => TimeOps.hourlyEventAgg(t(s, d, "events"))),
     "q_sessionize" -> ((s, d) => TimeOps.sessionize(t(s, d, "events"))),
+    "q_events_paths" -> ((s, d) => TimeOps.sessionPaths(t(s, d, "events"))),
     "q_asof_join" -> ((s, d) => TimeOps.asofJoinClickToView(t(s, d, "events"))),
     // ---- text analysis (LLM pipeline) ----
     "q_docs_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
@@ -1938,6 +1939,31 @@ object SparkEntry {
         |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |        FROM events))
         |ORDER BY user_id, event_id""".stripMargin,
+    "q_events_paths" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    SUM(CASE WHEN prev_ts IS NULL
+        |             OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM lagged),
+        |ranked AS (
+        |  SELECT user_id, session_seq, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_seq
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM sess),
+        |paths AS (
+        |  SELECT user_id, session_seq,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM ranked WHERE rn <= 3 GROUP BY user_id, session_seq)
+        |SELECT path, count(*) AS n_sessions
+        |FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path""".stripMargin,
     "q_asof_join" ->
       """SELECT user_id, event_id AS click_id, last_view_id FROM (
         |  SELECT user_id, event_id, event_type,

@@ -83,6 +83,45 @@ object TimeOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Session path analysis: each session's ordered event-type journey,
+    * truncated to its first `pathLen` events, counted across sessions —
+    * "what are the most common entry journeys". Builds on [[sessionize]]'s
+    * gap-split assignment: one window shuffle on user_id covers BOTH the
+    * session split and the in-session rank (same partition key, Catalyst
+    * reuses the exchange), then the path forms per session via
+    * sort_array(collect_list(struct(rank, type))) — deterministic order
+    * without trusting collect_list — and one path-cardinality aggregate
+    * counts journeys. Per-session state is ≤ pathLen structs; nothing in
+    * the plan holds a whole user or day in memory, so the shape survives
+    * any fan-out of sessions.
+    */
+  def sessionPaths(
+      events: DataFrame,
+      gapSeconds: Long = 1800L,
+      pathLen: Int = 3): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val bySession = Window.partitionBy("user_id", "session_seq")
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn(
+        "new_session",
+        (col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds)).cast("int"))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(bySession))
+      .filter(col("rn") <= pathLen)
+      .groupBy("user_id", "session_seq")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+  }
+
   /** As-of join (an operator Spark lacks natively): for every 'click' event,
     * the most recent 'view' event at-or-before it for the same user.
     *

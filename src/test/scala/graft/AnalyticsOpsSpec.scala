@@ -64,6 +64,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out("2024-01-10") == ((1L, 1L)))
   }
 
+  test("sessionPaths truncates to the entry journey and splits on the gap") {
+    val df = events(Seq(
+      // user 1 session 1: view>click>purchase>view — 4th event truncated
+      (1L, 1L, "view", "2024-01-01 10:00:00", 0.0),
+      (2L, 1L, "click", "2024-01-01 10:05:00", 0.0),
+      (3L, 1L, "purchase", "2024-01-01 10:10:00", 0.0),
+      (4L, 1L, "view", "2024-01-01 10:15:00", 0.0),
+      // >30 min gap → user 1 session 2: view>click
+      (5L, 1L, "view", "2024-01-01 12:00:00", 0.0),
+      (6L, 1L, "click", "2024-01-01 12:01:00", 0.0),
+      // user 2: one two-event session with the same journey as session 2
+      (7L, 2L, "view", "2024-01-01 09:00:00", 0.0),
+      (8L, 2L, "click", "2024-01-01 09:02:00", 0.0)))
+    val out = TimeOps.sessionPaths(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("view>click" -> 2L, "view>click>purchase" -> 1L),
+      s"got $out")
+  }
+
   test("rfmSegments ranks quintiles with deterministic tiebreaks") {
     // 5 purchase-only users, strictly increasing frequency and monetary,
     // strictly decreasing recency ⇒ every quintile has exactly one user.
