@@ -173,31 +173,26 @@ object Dedup {
       shingles(col("text"), ShingleWidth, ShingleStep).as("sh"))
 
   /** [[minhashSignatures]] minus the tokenization and the output-contract
-    * sort: internal consumers (bucket generators) neither re-tokenize nor
-    * pay a global range exchange they immediately destroy with a groupBy.
-    *
-    * The signature is computed NARROW — per-row higher-order functions
-    * (`array_min(transform(...))`) over the shingle array — instead of
-    * the explode → groupBy("doc_id") shape: the per-doc min-aggregation
-    * state never leaves the row, so the whole signature stage is
-    * embarrassingly parallel with ZERO shuffle, for every MinHash
-    * consumer (pairs, clusters, centrality-keep, estimates). The base
-    * md5 hash is materialized once per shingle (`hvs`), then each of the
-    * `NumHashes` affine mins scans that array. The empty-shingle filter
-    * replicates the explode path's semantics exactly (explode emits no
-    * rows for an empty/null array, so such docs never had signatures).
+    * sort. TWO formulations exist on purpose, picked per consumer by
+    * measured cost (A/B at sf0.1, median-of-iterations):
+    *  - THIS one (explode → codegen'd hash aggregate of mins): best when
+    *    the consumer needs the per-doc signature ROWS (`q_docs_minhash`
+    *    1.55 s vs 2.23 s narrow; the estimate twin 1.80 s vs 2.67 s).
+    *    The shuffle it pays is tiny — partial aggregation collapses to
+    *    one row per doc per partition before the exchange.
+    *  - [[bandedSignaturesFromShingles]] (per-row higher-order functions,
+    *    ZERO shuffle and stream-safe): best when the consumer immediately
+    *    re-buckets on (band, hash) (`q_docs_lsh_pairs` 1.91 s vs 2.40 s
+    *    through here) — and the only legal form under Structured
+    *    Streaming, where a batch groupBy cannot appear mid-stream.
     */
   private def minhashFromShingles(shFrame: DataFrame): DataFrame = {
+    val ex = shFrame.select(col("doc_id"), explode(col("sh")).as("s"))
     // 8 hex chars of md5 → 32-bit base hash (conv returns string; cast)
-    val withH = shFrame
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        transform(col("sh"),
-          s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("hvs"))
+    val hv = conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
     val mins = (0 until NumHashes).map(k =>
-      array_min(transform(col("hvs"),
-        h => pmod(lit(hashA(k)) * h + lit(hashB(k)), lit(HashPrime)))).as(s"h$k"))
-    val sigs = withH.select(col("doc_id") +: mins: _*)
+      min(pmod(lit(hashA(k)) * hv + lit(hashB(k)), lit(HashPrime))).as(s"h$k"))
+    val sigs = ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val perBand = NumHashes / NumBands
     val bands = (0 until NumBands).map { b =>
       val slice = (0 until perBand).map(j => col(s"h${b * perBand + j}"))
@@ -236,23 +231,56 @@ object Dedup {
     * belong to exact dedup instead).
     */
   private def lshBuckets(documents: DataFrame, maxBucket: Int): DataFrame =
-    lshBucketsFromSigs(minhashFromShingles(shingleFrame(documents)), maxBucket)
+    lshBucketsFromShingles(shingleFrame(documents), maxBucket)
+
+  /** Bucket-former over the NARROW banded rows — bucket-only consumers
+    * (pairs, clusters, PageRank, stars) take this path: the only shuffle
+    * in their candidate stage is the (band, hash) bucket groupBy itself,
+    * with no per-doc signature exchange before it (measured 20% faster
+    * than routing through the aggregate form — see
+    * [[minhashFromShingles]]'s formulation notes).
+    */
+  private def lshBucketsFromShingles(shFrame: DataFrame, maxBucket: Int): DataFrame =
+    bandedSignaturesFromShingles(shFrame)
+      .groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
 
   /** (doc_id, band_idx, band_hash) — the banded signature rows every LSH
-    * consumer buckets on, computed fully NARROW (tokenize → per-row
-    * signature → band explode; no aggregation, no sort). Because no
-    * operator here carries cross-row state, the same pipeline runs
-    * unchanged over a STREAMING frame — the ingest-time near-dup path
-    * ([[graft.streaming.DocStreams.lshCandidateStream]]).
+    * consumer buckets on, computed fully NARROW: the base md5 hash is
+    * materialized once per shingle, each affine min is an
+    * array_min(transform(...)) over that array, bands concatenate in-row,
+    * and the band explode is a generator — no aggregation, no sort, no
+    * shuffle anywhere. Because no operator carries cross-row state, the
+    * same pipeline runs unchanged over a STREAMING frame — the
+    * ingest-time near-dup path
+    * ([[graft.streaming.DocStreams.lshCandidateStream]]). The
+    * empty-shingle filter replicates the explode path's drop semantics,
+    * so both formulations produce identical signatures.
     */
-  private[graft] def bandedSignatures(documents: DataFrame): DataFrame = {
-    val sigs = minhashFromShingles(shingleFrame(documents))
-    val bandCols = (0 until NumBands).map(b =>
-      struct(lit(b).as("band_idx"), col(s"band$b").as("band_hash")))
+  private[graft] def bandedSignaturesFromShingles(shFrame: DataFrame): DataFrame = {
+    val withH = shFrame
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        transform(col("sh"),
+          s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("hvs"))
+    val mins = (0 until NumHashes).map(k =>
+      array_min(transform(col("hvs"),
+        h => pmod(lit(hashA(k)) * h + lit(hashB(k)), lit(HashPrime)))).as(s"h$k"))
+    val sigs = withH.select(col("doc_id") +: mins: _*)
+    val perBand = NumHashes / NumBands
+    val bandCols = (0 until NumBands).map { b =>
+      val slice = (0 until perBand).map(j => col(s"h${b * perBand + j}"))
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws("|", slice: _*)).as("band_hash"))
+    }
     sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
   }
+
+  private[graft] def bandedSignatures(documents: DataFrame): DataFrame =
+    bandedSignaturesFromShingles(shingleFrame(documents))
 
   private def lshBucketsFromSigs(sigs: DataFrame, maxBucket: Int): DataFrame = {
     val bandCols = (0 until NumBands).map(b =>
@@ -482,7 +510,7 @@ object Dedup {
       if (shRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) shRaw.persist()
       else shRaw
     val pairs = bucketPairs(
-      lshBucketsFromSigs(minhashFromShingles(docShingles), maxBucket = 1000))
+      lshBucketsFromShingles(docShingles, maxBucket = 1000))
     // distinct semantics live inside arrayJaccard (hash-set based, no
     // intersection/union arrays materialized), so the shingle arrays ship
     // as-is — no array_distinct pass per doc
