@@ -1124,19 +1124,31 @@ object Dedup {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("sorted"))
       .select(col("doc_id"), size(col("sorted")).as("sz"),
-        explode(expr(
-          s"transform(slice(sorted, 1, CAST(size(sorted) - ceil($t * size(sorted)) + 1 AS INT)), x -> x.tok)"))
-          .as("tok"))
+        posexplode(expr(
+          s"transform(slice(sorted, 1, CAST(size(sorted) - ceil($t * size(sorted)) + 1 AS INT)), x -> x.tok)")))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"), col("col").as("tok"))
     // AllPairs length filter: J(A,B) ≥ t forces t·|B| ≤ |A| (and
     // symmetrically), so size-mismatched pairs can NEVER pass the verify
-    // threshold — pruning them here changes candidate count only, never
-    // the result set (the brute-force oracle stays hash-identical).
+    // threshold. PPJoin positional filter (Xiao et al. 2008) on top: a
+    // prefix match at (rarity-sorted) positions (i, j) bounds the overlap
+    // by 1 + min(|A|−i, |B|−j), and J ≥ t needs overlap ≥
+    // t/(1+t)·(|A|+|B|) — pairs whose BEST matching position can't reach
+    // that are dropped before the verify join ever ships their shingle
+    // arrays. Both filters prune candidates only, never results (the
+    // 1e-9 slack keeps a float-rounded threshold from ever pruning a
+    // boundary pair; the brute-force oracle stays hash-identical).
     val cand = prefixes.as("a")
       .join(prefixes.as("b"), "tok")
       .filter(col("a.doc_id") < col("b.doc_id") &&
         col("a.sz") >= lit(t) * col("b.sz") && col("b.sz") >= lit(t) * col("a.sz"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(
+        max(lit(1) + least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")))
+          .as("ub"),
+        first(col("a.sz")).as("sza"), first(col("b.sz")).as("szb"))
+      .filter(col("ub") >=
+        lit(t / (1.0 + t)) * (col("sza") + col("szb")) - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
     cand
       .join(shingled.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
       .join(shingled.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
