@@ -48,58 +48,87 @@ object TradePipeline {
       symbolsCsv: String,
       cfg: EtlConfig = EtlConfig.default,
   ): Result = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count => fcount, lit, sum, when}
+
     val trades = TradeEtl.readCsv(spark, tradesCsv)
     val fills = TradeEtl.readCounterpartyFills(spark, fillsCsv)
     val symbols = TradeEtl.readCsv(spark, symbolsCsv)
 
-    // Quality: metrics by count-subtraction (reference: etl_pipeline.py:105-140).
-    // Both "identified" metrics are computed UNCONDITIONALLY — the reference
-    // always runs the dedup count and the cancelled count
-    // (etl_pipeline.py:110-117, 125-132) and gates only which DataFrame
-    // flows downstream (etl_pipeline.py:120-123, 135-138).
-    val processed = trades.count()
-    // persist only when the deduped frame flows downstream — with the
-    // toggle off it is consumed by exactly one count and a cache write
-    // would be pure overhead
-    val deduped =
-      if (cfg.dataQuality.filterDuplicates)
-        TradeEtl.dedupByTradeId(trades).persist(StorageLevel.MEMORY_AND_DISK)
-      else TradeEtl.dedupByTradeId(trades)
-    val dedupCount = deduped.count()
-    val duplicateCount = processed - dedupCount
+    // Metrics ride the ONE materializing pass as `observe` checkpoints
+    // (CollectMetrics nodes) instead of per-stage count() actions: the
+    // reference re-executes its DAG ~6 times for its running counts
+    // (etl_pipeline.py:105-140, 275-281); the previous revision here ran
+    // 6 actions over two MEMORY_AND_DISK caches. Now every stage-count
+    // metric is an exact aggregate collected DURING the single action
+    // that materializes the validated branch point — at 100 TB that is
+    // the difference between caching a corpus-sized dedup intermediate
+    // and streaming through it once. Metric VALUES are identical
+    // (observe aggregates are exact, and the same count-subtraction
+    // arithmetic applies); only the execution count changes.
+    // Both "identified" metrics are still computed UNCONDITIONALLY —
+    // the reference always runs the dedup and cancelled counts and gates
+    // only which DataFrame flows downstream (etl_pipeline.py:120-123,
+    // 135-138) — so a toggled-off stage falls back to a side count()
+    // of its out-of-flow branch, exactly as the reference does.
+    val processedObs = Observation("processed")
+    val observedTrades = trades.observe(processedObs, fcount(lit(1)).as("n"))
 
-    val (afterDedup, baseCount, dedupHandle) =
-      if (cfg.dataQuality.filterDuplicates) (deduped, dedupCount, Some(deduped))
-      else (trades, processed, None)
+    val dedupInFlow = cfg.dataQuality.filterDuplicates
+    val dedupObs = Observation("deduped")
+    val afterDedup =
+      if (dedupInFlow)
+        TradeEtl.dedupByTradeId(observedTrades)
+          .observe(dedupObs, fcount(lit(1)).as("n"))
+      else observedTrades
 
-    // Cancelled metric measured on the (possibly deduped) flow, as the
-    // reference does (its running current_count reflects the dedup gate).
-    val withoutCancelled = TradeEtl.filterCancelled(afterDedup)
-    val cancelledCount = baseCount - withoutCancelled.count()
+    val cancelledInFlow = cfg.dataQuality.filterCancelledTrades
+    val cancelObs = Observation("after_cancelled")
     val qualityDf =
-      if (cfg.dataQuality.filterCancelledTrades) withoutCancelled else afterDedup
+      if (cancelledInFlow)
+        TradeEtl.filterCancelled(afterDedup)
+          .observe(cancelObs, fcount(lit(1)).as("n"))
+      else afterDedup
 
-    // Enrich + validate, persisted once for the 3 downstream consumers
-    // (valid branch, invalid branch, discrepancy count).
+    // Enrich + validate, persisted once as the single branch point for
+    // the two output writes; the validity/discrepancy metrics observe
+    // ABOVE the cache so the materializing count collects them too.
     val validated = TradeEtl
       .validate(
         TradeEtl.enrich(qualityDf, fills, symbols),
         cfg.validation.priceDiscrepancyThresholdExclusive)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val validityObs = Observation("validity")
+    validated
+      .observe(
+        validityObs,
+        sum(when(col("is_valid"), 1L).otherwise(0L)).as("valid"),
+        sum(when(!col("is_valid"), 1L).otherwise(0L)).as("invalid"),
+        sum(when(col("is_valid") && col("discrepancy_flag"), 1L).otherwise(0L))
+          .as("discrepant"))
+      .count() // THE materializing action: cache lands, all observations fire
+
+    def obsN(o: Observation, key: String = "n"): Long =
+      o.get(key).asInstanceOf[Long]
+    val processed = obsN(processedObs)
+    // out-of-flow branches: the reference still counts them — side action
+    val dedupCount =
+      if (dedupInFlow) obsN(dedupObs)
+      else TradeEtl.dedupByTradeId(trades).count()
+    val duplicateCount = processed - dedupCount
+    val baseCount = if (dedupInFlow) dedupCount else processed
+    val afterCancelCount =
+      if (cancelledInFlow) obsN(cancelObs)
+      else TradeEtl.filterCancelled(afterDedup).count()
+    val cancelledCount = baseCount - afterCancelCount
+    val validCount = obsN(validityObs, "valid")
+    val invalidCount = obsN(validityObs, "invalid")
+    val discrepancyCount = obsN(validityObs, "discrepant")
 
     val valid = validated.filter(col("is_valid"))
     val invalid = validated.filter(!col("is_valid"))
-    val validCount = valid.count()
-    val invalidCount = invalid.count()
-    val discrepancyCount = valid.filter(col("discrepancy_flag")).count()
-
     val cleaned = TradeEtl.cleanValid(valid, cfg.validation.priceDecimalPlaces)
     val exceptions = TradeEtl.exceptionsReport(invalid)
-    // The counts above fully materialized `validated`'s cache, so the dedup
-    // cache upstream of it is no longer load-bearing and can go now; the
-    // validated cache itself stays until the caller's unpersist() — the
-    // returned DataFrames read from it.
-    dedupHandle.foreach(_.unpersist(blocking = false))
 
     Result(
       cleanedTrades = cleaned,
