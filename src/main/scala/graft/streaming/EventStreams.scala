@@ -31,6 +31,25 @@ object EventStreams {
         col("w.start").as("window_start"),
         col("event_type"), col("cnt"), col("sum_val"))
 
+  /** Streaming DAU: exact distinct users per CLOSED event-time day — the
+    * streaming leg of [[graft.ops.TimeOps.activeUsers]]'s dau column (the
+    * 7-day WAU union stays a batch rollup over the emitted days). This is
+    * the CHAINED stateful-operator shape: a watermark-bounded
+    * per-(user, day) dedup feeds a tumbling 1-day count-distinct-free
+    * aggregate — both state stores keyed and evicted by the same
+    * event-time watermark, so per-day memory is bounded by distinct
+    * users, never events. Append mode emits each day exactly once, when
+    * the watermark closes it.
+    */
+  def dauStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("day", to_date(col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("w.start").cast("date").as("day"), col("dau"))
+
   /** Streaming deduplication — the streaming leg of the dedup suite a
     * training-data ingest pipeline needs: exactly-once-per-key emission
     * under at-least-once delivery. `dropDuplicatesWithinWatermark` keys

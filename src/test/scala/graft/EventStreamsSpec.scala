@@ -31,6 +31,39 @@ class EventStreamsSpec extends AnyFunSuite {
     Event(4L, ts("2024-01-01 01:20:00"), 2L, "click", 7.0),
     Event(5L, ts("2024-01-01 02:59:00"), 1L, "view", 11.0))
 
+  test("streaming DAU: closed days match the batch twin's dau column") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.dauStream(input.toDF())
+      .writeStream.format("memory").queryName("dau_test")
+      .outputMode(OutputMode.Append()).start()
+    val all = Seq(
+      Event(1L, ts("2024-01-01 09:00:00"), 1L, "view", 1.0),
+      Event(2L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0), // same user/day: 1 dau
+      Event(3L, ts("2024-01-01 11:00:00"), 2L, "view", 1.0),
+      Event(4L, ts("2024-01-02 10:00:00"), 3L, "view", 1.0),  // advances wm past day 1
+      Event(5L, ts("2024-01-03 10:00:00"), 9L, "view", 1.0))  // sentinel closes day 2
+    try {
+      input.addData(all.take(3))
+      query.processAllAvailable()
+      input.addData(all.drop(3))
+      query.processAllAvailable()
+      input.addData(Seq(all.last)) // re-deliver sentinel: watermark advances, no new rows
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT day, dau FROM dau_test")
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val batch = graft.ops.TimeOps.activeUsers(all.toDF())
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      // days 1 and 2 are closed by the watermark; day 3 is still open
+      assert(streamed.keySet == Set("2024-01-01", "2024-01-02"), s"got $streamed")
+      streamed.foreach { case (d, n) =>
+        assert(batch(d) == n, s"day $d: streaming $n != batch ${batch(d)}")
+      }
+    } finally query.stop()
+  }
+
   test("streaming dedup emits each key once across micro-batches") {
     val sparkS = spark
     import sparkS.implicits._
