@@ -23,6 +23,39 @@ object DocStreams {
 
   case class CandidatePair(doc_a: Long, doc_b: Long)
 
+  /** Streaming benchmark decontamination screen — the ingest-time "is
+    * this training document contaminated by an eval set" gate, and the
+    * STREAM-STATIC join mode (the third join shape next to
+    * [[EventStreams.clickToRecentViews]]'s stream-stream and the narrow
+    * broadcast lookups): the static benchmark's distinct hashed n-grams
+    * are planned per micro-batch and BROADCAST, so the document stream
+    * never shuffles to be screened. Emits one (doc_id, gram) row per
+    * matched benchmark gram (append-safe: each doc's grams arrive once;
+    * flag/count rollups are a downstream batch aggregate, same split as
+    * [[lshCandidateStream]]'s candidates → dedup). Gram scheme is
+    * identical to the batch [[graft.ops.TextAnalysis.ngramContamination]]
+    * (alnum tokens, 60-bit hashed n-grams), so batch and stream agree
+    * gram-for-gram.
+    */
+  def benchmarkScreenStream(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 13): DataFrame = {
+    import graft.functions.TextExpressions.{alnumTokens, hashedNgrams}
+    val benchGrams = benchmark
+      .select(explode(hashedNgrams(alnumTokens(col("text")), n)).as("gram"))
+      .distinct()
+    documents
+      .select(col("doc_id"),
+        // per-doc gram dedup stays NARROW (array_distinct before the
+        // explode) — a stateful dropDuplicates here would grow a
+        // watermark-less store forever on an unbounded stream
+        explode(array_distinct(hashedNgrams(alnumTokens(col("text")), n)))
+          .as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .select(col("doc_id"), col("gram"))
+  }
+
   /** Streaming MinHash-LSH near-dup candidates: each arriving document is
     * signed and banded narrow, then each of its `NumBands` band hashes
     * joins its bucket's state; a pair is emitted against every member
