@@ -697,6 +697,17 @@ object SparkEntry {
     "q_docs_mixture" -> ((s, d) => TextAnalysis.mixtureSample(
       t(s, d, "documents"), Map("src0" -> 10000, "src1" -> 5000, "src2" -> 2500))),
     "q_docs_ngram_contam" -> ((s, d) => TextAnalysis.ngramContamination(t(s, d, "documents"))),
+    // batch form of the streaming screen (same plan, static source):
+    // corpus docs vs the src0 benchmark, per-doc matched-gram counts
+    "q_docs_screen" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.streaming.DocStreams.benchmarkScreenStream(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("matched_grams"))
+        .orderBy("doc_id")
+    }),
     "q_docs_fuzzy_contam" -> ((s, d) => TextAnalysis.fuzzyContamination(t(s, d, "documents"))),
     "q_docs_bloom_decontam" -> ((s, d) => TextAnalysis.bloomDecontaminate(t(s, d, "documents"))),
     "q_docs_repetition" -> ((s, d) => TextAnalysis.repetitionScore(t(s, d, "documents"))),
@@ -3192,6 +3203,23 @@ object SparkEntry {
         |SELECT g.doc_id, count(DISTINCT g.gram) AS leaked_grams
         |FROM g JOIN leaky USING (gram)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q_docs_screen" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> length(x) > 0) AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, greatest(len(words) - 12, 1) + 1),
+        |      i -> CAST('0x' || substr(md5(array_to_string(words[i:i+12], ' ')), 1, 15) AS BIGINT)))
+        |      AS gram
+        |  FROM w),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |corpus AS (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0')
+        |SELECT doc_id, count(*) AS matched_grams
+        |FROM corpus JOIN bench USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Bloom decontamination: same gram hashes as q_docs_ngram_contam,
     // bit-sliced into 3 probe positions over a 2^18-bit filter of the
     // src0 grams; a corpus gram "hits" iff all 3 bits are set
