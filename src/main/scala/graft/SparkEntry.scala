@@ -730,17 +730,34 @@ object SparkEntry {
     // it; here the single cache lives for the session like the other
     // registered queries' state)
     "q_etl_cleaned_trades" -> ((s, _) =>
-      etlMemo.computeIfAbsent(s, s2 => {
-        val r = etl.TradePipeline.run(s2,
-          "/root/reference/trades.csv",
-          "/root/reference/counterparty_fills.csv",
-          "/root/reference/symbols_reference.csv")
-        r.cleanedTrades.orderBy("trade_id")
-      })),
+      etlResult(s).cleanedTrades.orderBy("trade_id")),
+    // Invalid-side exceptions report (reference: etl_pipeline.py:395-410):
+    // record_id / source_file / ", "-joined exception codes (fixed order
+    // SYMBOL→QUANTITY→PRICE) / "; "-joined details / raw_data struct.
+    // The struct is serialized with to_json for the oracle compare (the
+    // q_struct_pack precedent); to_json omits null fields, which the
+    // oracle mirrors with concat_ws's null-skipping.
+    "q_etl_exceptions" -> ((s, _) =>
+      etlResult(s).exceptions
+        .withColumn("raw_data",
+          org.apache.spark.sql.functions.to_json(
+            org.apache.spark.sql.functions.col("raw_data")))
+        .orderBy("record_id")),
   )
 
   private val etlMemo =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, etl.TradePipeline.Result]()
+
+  /** Memoized full pipeline run over the reference CSVs: both registered
+    * ETL queries (cleaned + exceptions) derive from ONE run, sharing its
+    * persisted branch point (see the memoization note above).
+    */
+  private def etlResult(s: SparkSession): etl.TradePipeline.Result =
+    etlMemo.computeIfAbsent(s, s2 =>
+      etl.TradePipeline.run(s2,
+        "/root/reference/trades.csv",
+        "/root/reference/counterparty_fills.csv",
+        "/root/reference/symbols_reference.csv"))
 
   /** Drop all session-lifetime state a registered query may have left
     * behind: the memoized ETL pipeline (and its persisted branch point),
@@ -753,7 +770,7 @@ object SparkEntry {
     * reuse is part of the design being measured.
     */
   def resetSessionState(spark: SparkSession): Unit = {
-    etlMemo.remove(spark)
+    Option(etlMemo.remove(spark)).foreach(_.unpersist())
     spark.catalog.clearCache()
     // blocking: the isolation this method exists for is only real if the
     // eviction work LANDS here, between queries — a fire-and-forget
@@ -1217,8 +1234,8 @@ object SparkEntry {
         |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
     "q_join_bucketed" ->
       """SELECT o_orderpriority,
-        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
-        |    AS revenue_c,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_c,
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -1330,7 +1347,7 @@ object SparkEntry {
         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
         |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_value_c
         |  FROM lineitem GROUP BY l_partkey, l_suppkey)
-        |SELECT ps_partkey, sum(ps_value_c) AS stock_value_c
+        |SELECT ps_partkey, CAST(sum(ps_value_c) AS BIGINT) AS stock_value_c
         |FROM ps JOIN supplier ON ps_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE n_nationkey < 13
@@ -1368,8 +1385,8 @@ object SparkEntry {
         |         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost_c
         |  FROM lineitem GROUP BY l_partkey, l_suppkey)
         |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
-        |           - ps_cost_c * CAST(l_quantity AS BIGINT)) AS profit_c,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |           - ps_cost_c * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_c,
         |       count(*) AS n_lines
         |FROM lineitem
         |JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
@@ -3376,5 +3393,68 @@ object SparkEntry {
         |  buyer_id, seller_id, counterparty_confirmed, discrepancy_flag
         |FROM c WHERE is_valid
         |ORDER BY trade_id""".stripMargin,
+    // Invalid-side exceptions report (reference: etl_pipeline.py:395-410),
+    // replaying the same dedup → cancel-filter → enrich → validate cascade
+    // as q_etl_cleaned_trades. Exception codes join in the FIXED append
+    // order SYMBOL→QUANTITY→PRICE via concat_ws over CASE fragments (NULL
+    // fragments are skipped); `IS NOT TRUE` mirrors Spark's
+    // when(ok, keep).otherwise(append), which appends on false AND null ok.
+    // raw_data re-renders Spark's to_json(struct(...)) — compact JSON in
+    // struct-field order with null fields OMITTED (concat_ws skips the
+    // NULL-valued '||' fragments); census: no quotes/backslashes in any
+    // raw field, so no escaping branch is needed.
+    "q_etl_exceptions" ->
+      """WITH raw AS (
+        |  SELECT DISTINCT * FROM read_csv('/root/reference/trades.csv', header=true, all_varchar=true)),
+        |tq AS (
+        |  SELECT * FROM raw WHERE trade_status <> 'CANCELLED'),
+        |f AS (
+        |  SELECT our_trade_id, symbol AS counterparty_symbol,
+        |    CASE WHEN regexp_matches(trim(quantity), '^[+-]?[0-9]+$')
+        |         THEN CAST(trim(quantity) AS INTEGER) END AS cp_quantity_int,
+        |    TRY_CAST(price AS DOUBLE) AS cp_price_dec
+        |  FROM read_csv('/root/reference/counterparty_fills.csv', header=true, all_varchar=true)),
+        |sym AS (
+        |  SELECT symbol, company_name, is_active
+        |  FROM read_csv('/root/reference/symbols_reference.csv', header=true, all_varchar=true)),
+        |e AS (
+        |  SELECT t.*, s.company_name, s.is_active,
+        |    CASE WHEN regexp_matches(trim(t.quantity), '^[+-]?[0-9]+$')
+        |         THEN CAST(trim(t.quantity) AS INTEGER) END AS trade_quantity_int,
+        |    TRY_CAST(t.price AS DOUBLE) AS trade_price_dec
+        |  FROM tq t
+        |  LEFT JOIN f ON t.trade_id = f.our_trade_id
+        |  LEFT JOIN sym s ON t.symbol = s.symbol),
+        |v AS (
+        |  SELECT *,
+        |    (company_name IS NOT NULL AND is_active = 'true') AS symbol_ok,
+        |    (trade_quantity_int IS NOT NULL AND trade_quantity_int > 0) AS quantity_ok,
+        |    (trade_price_dec IS NOT NULL AND trade_price_dec > 0) AS price_ok
+        |  FROM e)
+        |SELECT trade_id AS record_id,
+        |  'trades.csv' AS source_file,
+        |  concat_ws(', ',
+        |    CASE WHEN symbol_ok IS NOT TRUE THEN 'SYMBOL_INVALID' END,
+        |    CASE WHEN quantity_ok IS NOT TRUE THEN 'QUANTITY_INVALID' END,
+        |    CASE WHEN price_ok IS NOT TRUE THEN 'PRICE_INVALID' END) AS exception_type,
+        |  concat_ws('; ',
+        |    CASE WHEN company_name IS NULL THEN 'Symbol not found in reference data' END,
+        |    CASE WHEN is_active = 'false' THEN 'Symbol is not active' END,
+        |    CASE WHEN trade_quantity_int IS NULL OR trade_quantity_int <= 0
+        |         THEN 'Quantity is null or non-integer/non-positive' END,
+        |    CASE WHEN trade_price_dec IS NULL OR trade_price_dec <= 0
+        |         THEN 'Price is null or non-numeric/non-positive' END) AS details,
+        |  '{' || concat_ws(',',
+        |    '"trade_id":"' || trade_id || '"',
+        |    '"timestamp":"' || timestamp || '"',
+        |    '"symbol":"' || symbol || '"',
+        |    '"quantity":"' || quantity || '"',
+        |    '"price":"' || price || '"',
+        |    '"buyer_id":"' || buyer_id || '"',
+        |    '"seller_id":"' || seller_id || '"',
+        |    '"trade_status":"' || trade_status || '"') || '}' AS raw_data
+        |FROM v
+        |WHERE NOT (symbol_ok IS TRUE AND quantity_ok IS TRUE AND price_ok IS TRUE)
+        |ORDER BY record_id""".stripMargin,
   )
 }
