@@ -311,7 +311,13 @@ object Similarity {
               else {
                 var m = Double.NegativeInfinity
                 picked.foreach { sid =>
-                  val v = simMap((cid, sid)); if (v > m) m = v
+                  // fail descriptively: a missing pair means the pool/psim
+                  // construction broke its every-(candidate,selected)-pair
+                  // invariant, which must surface as this message rather
+                  // than a bare NoSuchElementException in an executor task
+                  val v = simMap.getOrElse((cid, sid), throw new IllegalStateException(
+                    s"mmrRerank: no pairwise sim for candidate $cid vs selected $sid (query $qid)"))
+                  if (v > m) m = v
                 }
                 lam * cq - (1.0 - lam) * m
               }

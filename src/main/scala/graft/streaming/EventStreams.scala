@@ -34,21 +34,26 @@ object EventStreams {
   /** Streaming DAU: exact distinct users per CLOSED event-time day — the
     * streaming leg of [[graft.ops.TimeOps.activeUsers]]'s dau column (the
     * 7-day WAU union stays a batch rollup over the emitted days). This is
-    * the CHAINED stateful-operator shape: a watermark-bounded
-    * per-(user, day) dedup feeds a tumbling 1-day count-distinct-free
-    * aggregate — both state stores keyed and evicted by the same
-    * event-time watermark, so per-day memory is bounded by distinct
-    * users, never events. Append mode emits each day exactly once, when
-    * the watermark closes it.
+    * the CHAINED streaming-aggregation shape: a per-(1-day window, user)
+    * aggregate collapses each user's activity to one row per day, and a
+    * second aggregate over the re-derived day window counts those rows.
+    * Keying the dedup state on the WINDOW (not a bare watermark-delay
+    * dedup à la `dropDuplicatesWithinWatermark`) is load-bearing: the
+    * (day, user) state lives until the watermark closes the DAY, so a
+    * user active at 01:00 and again at 23:00 still counts once even when
+    * the watermark delay is far shorter than a day. Both state stores are
+    * evicted by the same event-time watermark; per-day memory is bounded
+    * by distinct users, never events. Append mode emits each day exactly
+    * once, when the watermark closes it.
     */
   def dauStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .withColumn("day", to_date(col("ts")))
-      .dropDuplicatesWithinWatermark("user_id", "day")
-      .groupBy(window(col("ts"), "1 day").as("w"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(window(window_time(col("w")), "1 day").as("w2"))
       .agg(count(lit(1)).as("dau"))
-      .select(col("w.start").cast("date").as("day"), col("dau"))
+      .select(col("w2.start").cast("date").as("day"), col("dau"))
 
   /** Streaming deduplication — the streaming leg of the dedup suite a
     * training-data ingest pipeline needs: exactly-once-per-key emission
@@ -320,6 +325,12 @@ object EventStreams {
       watermarkDelay: String = "2 hours"): Dataset[RetentionTouch] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // Day boundaries must match the batch twin's to_date(ts), which cuts
+    // in the SESSION timezone — resolve it on the driver and close over
+    // it, rather than floorDiv on epoch millis (UTC boundaries), so the
+    // two twins agree under any session zone, not just the UTC this
+    // project pins in build.sbt.
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -327,7 +338,7 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[RetentionState]) =>
           def epochDay(e: Event): Long =
-            Math.floorDiv(e.ts.getTime, 86400000L)
+            e.ts.toInstant.atZone(zone).toLocalDate.toEpochDay
           val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           if (evs.isEmpty) Iterator.empty
           else {

@@ -64,6 +64,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming DAU dedups same-day activity farther apart than the watermark delay") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // 2h delay << the 22h gap between user 1's two same-day events: a
+    // bare watermark-delay dedup evicts (user 1, day 1) long before the
+    // second event arrives and overcounts day 1 as 3 — the window-keyed
+    // chained aggregation must still report 2
+    val query = EventStreams.dauStream(input.toDF(), watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("dau_gap_test")
+      .outputMode(OutputMode.Append()).start()
+    val all = Seq(
+      Event(1L, ts("2024-01-01 01:00:00"), 1L, "view", 1.0),
+      Event(2L, ts("2024-01-01 23:30:00"), 2L, "view", 1.0), // wm → 21:30
+      Event(3L, ts("2024-01-01 23:00:00"), 1L, "click", 1.0), // same user/day, not late
+      Event(4L, ts("2024-01-02 10:00:00"), 3L, "view", 1.0), // closes day 1
+      Event(5L, ts("2024-01-03 10:00:00"), 9L, "view", 1.0)) // closes day 2
+    try {
+      all.foreach { e =>
+        input.addData(Seq(e)); query.processAllAvailable()
+      }
+      input.addData(Seq(all.last)) // re-deliver sentinel to drain chained emission
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT day, dau FROM dau_gap_test")
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val batch = graft.ops.TimeOps.activeUsers(all.toDF())
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(streamed.get("2024-01-01").contains(2L),
+        s"day 1 must count user 1 once despite the 22h gap: $streamed")
+      streamed.foreach { case (d, n) =>
+        assert(batch(d) == n, s"day $d: streaming $n != batch ${batch(d)}")
+      }
+    } finally query.stop()
+  }
+
   test("streaming dedup emits each key once across micro-batches") {
     val sparkS = spark
     import sparkS.implicits._

@@ -10,10 +10,19 @@ file and pattern counts) so each round's "no hits" claim is
 independently re-checkable rather than a hand-editable constant.
 
 Usage: python3 tools/leakcheck.py [round_number]
+(With no argument, the round is inferred as 1 + the newest committed
+CORRECTNESS_r{N}.json — i.e. the round currently being built.)
 """
-import json, re, subprocess, sys, datetime
+import glob, json, re, subprocess, sys, datetime
 
-ROUND = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+
+def _inferred_round():
+    rounds = [int(m.group(1)) for f in glob.glob("CORRECTNESS_r*.json")
+              for m in [re.search(r"CORRECTNESS_r(\d+)\.json$", f)] if m]
+    return max(rounds) + 1 if rounds else 0
+
+
+ROUND = int(sys.argv[1]) if len(sys.argv) > 1 else _inferred_round()
 
 # public domains that legitimately appear in citations/Scaladoc
 PUBLIC_URL_ALLOW = re.compile(
