@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real and tested — schema, partition-parallel
   * batch processing via `mapPartitions` on a typed Dataset, deterministic
-  * output shape. The actual codec is STUBBED (this container has no
-  * image/audio libraries): [[MediaDecoder.decodeStub]] derives deterministic
-  * fake features from the bytes. Swapping in a real decoder changes one
+  * output shape. The IMAGE codec is real: [[MediaDecoder.decode]] parses
+  * PNG/JPEG/BMP/GIF via the JDK's built-in ImageIO (true dimensions + a
+  * 64-bit average-hash). Audio/video codecs — and image bytes no ImageIO
+  * reader accepts — fall back to [[MediaDecoder.decodeStub]]'s
+  * deterministic pseudo-features (this container ships no media
+  * libraries beyond the JDK); swapping in a richer decoder changes one
   * function, not the pipeline.
   *
   * Scale: decode is a narrow map stage — no shuffle; partition count (i.e.
@@ -42,11 +45,74 @@ object Multimodal {
   )
 
   object MediaDecoder {
-    /** STUB decoder: a real implementation would parse the codec here
-      * (JPEG/PNG/WAV …). The container ships no media libraries, so this
-      * derives deterministic pseudo-features from the payload bytes; the
-      * surrounding plumbing (batching, schema, parallelism) is exactly what
-      * a real decoder plugs into.
+
+    /** Image decode via the JDK's built-in ImageIO readers (PNG / JPEG /
+      * BMP / GIF — no external libraries, headless-safe): true pixel
+      * dimensions plus a real 64-bit average-hash perceptual hash
+      * ([[aHash]]). Total on any input: non-image media types, empty
+      * payloads, and bytes no ImageIO reader accepts (e.g. the synthetic
+      * text payloads this container's fixtures use) fall back to
+      * [[decodeStub]], so the stage never throws on dirty data.
+      */
+    def decode(a: MediaAsset): MediaFeatures = {
+      val img =
+        if (a.media_type != "image" || a.payload.isEmpty) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+          catch { case _: java.io.IOException => null }
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) decodeStub(a)
+      else MediaFeatures(
+        asset_id = a.asset_id,
+        media_type = a.media_type,
+        n_bytes = a.payload.length,
+        width = img.getWidth,
+        height = img.getHeight,
+        phash = aHash(img))
+    }
+
+    /** Classic average-hash: mean luminance (Rec. 601 weights) over an 8×8
+      * block downsample, one bit per cell (cell mean ≥ global mean), bit i
+      * = cell (row i/8, col i%8), rendered as 16 lowercase hex chars —
+      * same width as the stub's hash so the schema is codec-independent.
+      */
+    private def aHash(img: java.awt.image.BufferedImage): String = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val cells = new Array[Double](64)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val x0 = cx * w / 8; val x1 = math.min(w, math.max(x0 + 1, (cx + 1) * w / 8))
+          val y0 = cy * h / 8; val y1 = math.min(h, math.max(y0 + 1, (cy + 1) * h / 8))
+          var sum = 0.0; var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          cells(cy * 8 + cx) = if (n == 0) 0.0 else sum / n
+          cx += 1
+        }
+        cy += 1
+      }
+      val mean = cells.sum / 64
+      var bits = 0L
+      var i = 0
+      while (i < 64) { if (cells(i) >= mean) bits |= (1L << i); i += 1 }
+      f"$bits%016x"
+    }
+
+    /** STUB decoder — the fallback [[decode]] uses when no JDK ImageIO
+      * reader accepts the payload (and for the audio/video codecs this
+      * container cannot ship): derives deterministic pseudo-features from
+      * the payload bytes, so the surrounding plumbing (batching, schema,
+      * parallelism) exercises exactly what a real codec plugs into.
       */
     def decodeStub(a: MediaAsset): MediaFeatures = {
       val md = java.security.MessageDigest.getInstance("MD5").digest(a.payload)
@@ -89,8 +155,10 @@ object Multimodal {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { it =>
-      // real decoders initialize codec state here, once per partition
-      it.map(MediaDecoder.decodeStub)
+      // per-partition decoder init: ImageIO's stream cache would otherwise
+      // spill every payload to a temp file — decode from memory instead
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(MediaDecoder.decode)
     }
   }
 

@@ -81,6 +81,41 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("state-store rows stay bounded on a long over-cap stream") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = DocStreams.lshCandidateStream(
+        input.toDF().toDF("doc_id", "text"), maxBucket = 5)
+      .writeStream.format("memory").queryName("lsh_bound_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 6 micro-batches × 10 identical docs: every doc lands in the SAME
+      // band buckets, which close (cap 5) during batch 1 — members are
+      // released and only the tombstone flag is retained, so the store
+      // must hold exactly one row per bucket from the first batch on and
+      // NEVER grow with the 50 further docs. This is the 100 TB ingest
+      // claim: state ∝ buckets, not corpus.
+      val rowsPerBatch = (0 until 6).map { b =>
+        input.addData((1 to 10).map(i => ((b * 10 + i).toLong, base)))
+        query.processAllAvailable()
+        query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+      assert(rowsPerBatch.head > 0, s"no state rows at all: $rowsPerBatch")
+      assert(rowsPerBatch.distinct.size == 1,
+        s"state rows must not grow across batches: $rowsPerBatch")
+      // emission stopped at the cap: only batch-1's pre-close pairs exist
+      val nPairs = spark.sql("SELECT count(*) FROM lsh_bound_test")
+        .collect()(0).getLong(0)
+      val afterMore = {
+        input.addData(Seq((999L, base))); query.processAllAvailable()
+        spark.sql("SELECT count(*) FROM lsh_bound_test").collect()(0).getLong(0)
+      }
+      assert(afterMore == nPairs, "closed buckets must emit nothing further")
+    } finally query.stop()
+  }
+
   test("over-cap bucket closes: emission stops, earlier pairs stand") {
     val sparkS = spark
     import sparkS.implicits._

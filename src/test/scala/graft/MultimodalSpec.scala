@@ -26,6 +26,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIO decode: a real in-test PNG yields true dimensions and aHash") {
+    import java.awt.image.BufferedImage
+    // 20×10, left half black / right half white → aHash cells split
+    // cleanly at column 4: each row byte is 0b11110000 = 0xf0
+    val img = new BufferedImage(20, 10, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20)
+      img.setRGB(x, y, if (x < 10) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = Multimodal.MediaAsset(7L, "image", bos.toByteArray, "test")
+    val f = Multimodal.MediaDecoder.decode(png)
+    assert(f.width == 20 && f.height == 10, s"true pixel dims, got $f")
+    assert(f.phash == "f0f0f0f0f0f0f0f0", s"aHash of the half-split image, got ${f.phash}")
+    assert(f.n_bytes == bos.size)
+
+    // non-image bytes fall back to the deterministic stub — never throw
+    val junk = Multimodal.MediaAsset(8L, "image", "not an image".getBytes("UTF-8"), "test")
+    assert(Multimodal.MediaDecoder.decode(junk) == Multimodal.MediaDecoder.decodeStub(junk))
+
+    // and through the distributed stage: both paths in one partition map
+    val sparkS = spark
+    import sparkS.implicits._
+    val rows = Multimodal.decodeFeatures(Seq(png, junk).toDS())
+      .collect().sortBy(_.asset_id)
+    assert(rows(0) == f && rows(1) == Multimodal.MediaDecoder.decodeStub(junk))
+  }
+
   test("resize respects target dims and stays deterministic in content") {
     val r = Multimodal.resize(assets, 64, 64).collect()
     assert(r.nonEmpty)
