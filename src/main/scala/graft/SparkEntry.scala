@@ -712,6 +712,9 @@ object SparkEntry {
     "q_docs_bloom_decontam" -> ((s, d) => TextAnalysis.bloomDecontaminate(t(s, d, "documents"))),
     "q_docs_repetition" -> ((s, d) => TextAnalysis.repetitionScore(t(s, d, "documents"))),
     "q_emb_srp_pairs" -> ((s, d) => Similarity.srpNearDupPairs(t(s, d, "embeddings"))),
+    // candidate half only (no cosine verify) — the batch twin the
+    // streaming SRP ingest (EmbStreams.srpCandidateStream) pins against
+    "q_emb_srp_cands" -> ((s, d) => Similarity.srpCandidatePairs(t(s, d, "embeddings"))),
     // ---- multimodal plumbing ----
     "q_multimodal_meta" -> ((s, d) => Multimodal.binaryMeta(t(s, d, "documents"))),
     "q_multimodal_decode" -> ((s, d) =>
@@ -3039,6 +3042,22 @@ object SparkEntry {
          |  JOIN embeddings y ON p.id_b = y.vec_id)
          |SELECT id_a, id_b, cos_sim FROM s
          |WHERE cos_sim > 0.35 ORDER BY id_a, id_b""".stripMargin,
+    "q_emb_srp_cands" ->
+      s"""WITH wb AS (
+         |  SELECT vec_id,
+         |${(0 until Similarity.SrpTables).map(t =>
+            s"    ${srpTableBucketSql(t)} AS b$t").mkString(",\n")}
+         |  FROM embeddings),
+         |tb AS (
+         |${(0 until Similarity.SrpTables).map(t =>
+            s"  SELECT vec_id, $t AS t, b$t AS b FROM wb").mkString("\n  UNION ALL\n")}),
+         |ok AS (
+         |  SELECT t, b FROM tb GROUP BY t, b HAVING count(*) BETWEEN 2 AND 1000)
+         |SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+         |FROM tb a
+         |JOIN ok k ON a.t = k.t AND a.b = k.b
+         |JOIN tb c ON a.t = c.t AND a.b = c.b AND a.vec_id < c.vec_id
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_emb_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

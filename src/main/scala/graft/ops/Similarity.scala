@@ -513,15 +513,47 @@ object Similarity {
     * degenerate bucket (e.g. many near-zero vectors landing on the same
     * sign pattern) would otherwise emit O(bucket²) pairs at web scale.
     */
-  def srpNearDupPairs(
-      embeddings: DataFrame,
-      threshold: Double = 0.35,
-      maxBucket: Int = 1000): DataFrame = {
-    val withBuckets = embeddings.select(
+  /** Narrow per-table bucket assignment in long form: (vec_id, embedding,
+    * t, b) — one row per (vector, table), no aggregation and no ordering,
+    * so the exact same expression runs on an unbounded stream
+    * ([[graft.streaming.EmbStreams.srpCandidateStream]]) and inside the
+    * batch pair generators below.
+    */
+  private[graft] def srpBucketed(embeddings: DataFrame): DataFrame =
+    embeddings.select(
       col("vec_id"), col("embedding"),
       explode(array((0 until SrpTables).map(t =>
         struct(lit(t).as("t"), srpTableBucket(t).as("b"))): _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.t"), col("tb.b"))
+
+  /** SRP candidate pairs BEFORE the exact-cosine verify: every distinct
+    * id pair sharing a (table, bucket), capped buckets dropped — the
+    * candidate-generation half of [[srpNearDupPairs]], split out so the
+    * streaming ingest twin has a batch op to pin equivalence against
+    * (the same generate-candidates / verify-downstream split as
+    * [[graft.ops.Dedup.lshCandidatePairs]] vs the verified near-dup op).
+    */
+  def srpCandidatePairs(
+      embeddings: DataFrame,
+      maxBucket: Int = 1000): DataFrame = {
+    val buckets = srpBucketed(embeddings)
+      .groupBy("t", "b")
+      .agg(sort_array(collect_list(col("vec_id"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairs = Dedup.inBucketPairs(col("members"))((x, y) =>
+      struct(x.as("id_a"), y.as("id_b")))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  def srpNearDupPairs(
+      embeddings: DataFrame,
+      threshold: Double = 0.35,
+      maxBucket: Int = 1000): DataFrame = {
+    val withBuckets = srpBucketed(embeddings)
     val buckets = withBuckets
       .groupBy("t", "b")
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("members"))

@@ -80,10 +80,29 @@ object DocStreams {
       maxBucket: Int = 1000): Dataset[CandidatePair] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    graft.ops.Dedup.bandedSignatures(documents)
-      .select(col("doc_id").as("_1"), col("band_idx").as("_2"),
-        col("band_hash").as("_3"))
-      .as[(Long, Int, String)]
+    bucketedPairStream(
+      graft.ops.Dedup.bandedSignatures(documents)
+        .select(col("doc_id").as("_1"), col("band_idx").as("_2"),
+          col("band_hash").as("_3"))
+        .as[(Long, Int, String)],
+      maxBucket)
+  }
+
+  /** The shared capped-bucket pair state machine: rows are (member id,
+    * bucket table/band index, bucket hash); each new member pairs with
+    * every member already in its bucket, and a bucket crossing
+    * `maxBucket` CLOSES — members released, tombstone retained (state ∝
+    * buckets, pinned by `DocStreamsSpec`). [[lshCandidateStream]]
+    * (MinHash bands over documents) and
+    * [[EmbStreams.srpCandidateStream]] (SRP sign buckets over
+    * embeddings) are both this machine over different signatures.
+    */
+  private[streaming] def bucketedPairStream(
+      keyed: Dataset[(Long, Int, String)],
+      maxBucket: Int): Dataset[CandidatePair] = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed
       .groupByKey { case (_, band, hash) => (band, hash) }
       .flatMapGroupsWithState[BucketState, CandidatePair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
