@@ -565,6 +565,9 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => TimeOps.sessionize(t(s, d, "events"))),
     "q_events_paths" -> ((s, d) => TimeOps.sessionPaths(t(s, d, "events"))),
     "q_asof_join" -> ((s, d) => TimeOps.asofJoinClickToView(t(s, d, "events"))),
+    "q_asof_native" -> ((s, d) => TimeOps.asofJoinNative(t(s, d, "events"))),
+    "q_asof_tolerance" -> ((s, d) =>
+      TimeOps.asofJoinNative(t(s, d, "events"), Some(3600L * 1000000))),
     // ---- text analysis (LLM pipeline) ----
     "q_docs_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "q_docs_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
@@ -2003,6 +2006,44 @@ object SparkEntry {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_id
         |  FROM events)
         |WHERE event_type = 'click' ORDER BY user_id, click_id""".stripMargin,
+    // The native-operator as-of: the oracle picks, per click, the max view
+    // ts at-or-before it, then the max view_id at that ts (the operator's
+    // documented tiebreak) — deterministic without DuckDB's ASOF syntax.
+    "q_asof_native" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, event_id AS view_id, ts FROM events WHERE event_type = 'view'),
+        |best AS (
+        |  SELECT c.user_id, c.click_id, max(v.ts) AS vts
+        |  FROM clicks c LEFT JOIN views v
+        |    ON v.user_id = c.user_id AND v.ts <= c.ts
+        |  GROUP BY c.user_id, c.click_id),
+        |resolved AS (
+        |  SELECT b.user_id, b.click_id, max(v.view_id) AS view_id
+        |  FROM best b LEFT JOIN views v
+        |    ON v.user_id = b.user_id AND v.ts = b.vts
+        |  GROUP BY b.user_id, b.click_id)
+        |SELECT user_id, click_id, view_id FROM resolved
+        |ORDER BY user_id, click_id""".stripMargin,
+    "q_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, event_id AS view_id, ts FROM events WHERE event_type = 'view'),
+        |best AS (
+        |  SELECT c.user_id, c.click_id, max(v.ts) AS vts
+        |  FROM clicks c LEFT JOIN views v
+        |    ON v.user_id = c.user_id AND v.ts <= c.ts
+        |      AND v.ts >= c.ts - INTERVAL 1 HOUR
+        |  GROUP BY c.user_id, c.click_id),
+        |resolved AS (
+        |  SELECT b.user_id, b.click_id, max(v.view_id) AS view_id
+        |  FROM best b LEFT JOIN views v
+        |    ON v.user_id = b.user_id AND v.ts = b.vts
+        |  GROUP BY b.user_id, b.click_id)
+        |SELECT user_id, click_id, view_id FROM resolved
+        |ORDER BY user_id, click_id""".stripMargin,
     "q_docs_langid" -> {
       s"""WITH base AS (
          |  SELECT doc_id, lang AS labeled_lang, ' ' || lower(text) || ' ' AS t FROM documents),

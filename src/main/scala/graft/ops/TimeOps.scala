@@ -145,6 +145,27 @@ object TimeOps {
       .orderBy("user_id", "click_id")
   }
 
+  /** The same click→view as-of, through the NATIVE operator
+    * ([[graft.plans.AsOfJoin]] — custom logical node, planner strategy and
+    * sorted-merge physical plan) instead of the union+window composition
+    * above. Two genuinely separate tables enter the join (the general case
+    * the composition can't express without a padded union); with
+    * `toleranceMicros` set, matches older than the tolerance fall back to
+    * null — the "stale quote" guard of a trades-as-of-quotes join.
+    */
+  def asofJoinNative(events: DataFrame, toleranceMicros: Option[Long] = None): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    graft.plans.AsOfJoin.leftAsOf(
+        clicks, views,
+        on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "v_ts",
+        rightTieBreak = Some("view_id"), toleranceMicros = toleranceMicros)
+      .select(col("user_id"), col("click_id"), col("view_id"))
+      .orderBy("user_id", "click_id")
+  }
+
   /** Ordered funnel per user: view → first click AFTER the first view →
     * first purchase AFTER that click. ORDER matters (a click before any
     * view does not advance the funnel), which is what separates this from

@@ -18,6 +18,13 @@ package org.apache.spark.sql
   */
 object GraftSqlInternals {
 
+  /** Wrap an already-resolved logical plan as a DataFrame. The public API
+    * only builds plans through the DSL; a custom operator node (e.g.
+    * [[graft.plans.AsOfJoinNode]]) needs this door to enter a Dataset.
+    */
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): Dataset[Row] =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Rebuild `df` as a fresh `LogicalRDD` leaf over its physical
     * `RDD[InternalRow]`, dropping inherited statistics. Call this on an
     * already-checkpointed frame: `toRdd` then wraps the checkpointed scan,
