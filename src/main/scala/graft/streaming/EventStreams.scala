@@ -211,6 +211,66 @@ object EventStreams {
       }
   }
 
+  final case class ViewState(viewId: Long, viewTs: Long, any: Boolean)
+  final case class AsOfMatch(user_id: Long, click_id: Long, view_id: Option[Long])
+
+  /** Streaming as-of enrichment — the ingest-time twin of the native batch
+    * operator ([[graft.plans.AsOfJoin]], registered as `q_asof_native` /
+    * `q_asof_tolerance` via [[graft.ops.TimeOps.asofJoinNative]]): per-user
+    * state carries the most recent view; each click emits its as-of match
+    * (the standing view's id, or null before any view / when the standing
+    * view is older than `toleranceMicros`). Same O(1)-per-key state bound
+    * as the batch operator's per-task cursor, partitioned by user_id
+    * across state stores.
+    *
+    * Out-of-order guard ACROSS micro-batches, same contract as
+    * [[attributionStream]]: a view arriving late (earlier (ts, id) than
+    * the carried one) must not regress the state; a click is matched
+    * against whatever view was standing when it is processed — if its true
+    * match arrives even later, Append mode cannot retract the emitted row,
+    * which is the documented divergence window (bounded by the watermark
+    * delay) of any streaming as-of.
+    */
+  def asofStream(
+      events: Dataset[Event],
+      toleranceMicros: Option[Long] = None,
+      watermarkDelay: String = "2 hours"): Dataset[AsOfMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ViewState, AsOfMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[ViewState]) =>
+          // views sort BEFORE clicks at an equal timestamp: the batch
+          // operator's match condition is rt <= t, so a same-instant view
+          // is eligible no matter how the ids compare
+          val evs = batch.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.event_type == "view") 0 else 1, e.event_id))
+          var cur = state.getOption.getOrElse(ViewState(0L, Long.MinValue, any = false))
+          val out = scala.collection.mutable.ListBuffer.empty[AsOfMatch]
+          evs.foreach { e =>
+            e.event_type match {
+              case "click" =>
+                // ts is millis here; tolerance is micros to mirror the
+                // batch operator's signature
+                val inTol = toleranceMicros.forall(t =>
+                  (e.ts.getTime - cur.viewTs) * 1000L <= t)
+                out += AsOfMatch(userId, e.event_id,
+                  if (cur.any && inTol) Some(cur.viewId) else None)
+              case "view"
+                  if e.ts.getTime > cur.viewTs ||
+                    (e.ts.getTime == cur.viewTs && (!cur.any || e.event_id > cur.viewId)) =>
+                cur = ViewState(e.event_id, e.ts.getTime, any = true)
+              case _ => () // late view (keep the newer one) or other types
+            }
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
   final case class PrevState(event_type: String, lastTs: Long, lastId: Long)
   final case class Transition(user_id: Long, from_type: String, to_type: String)
 

@@ -571,4 +571,61 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamed == Seq(("click", "purchase"), ("view", "click")))
     } finally query.stop()
   }
+
+  test("streaming as-of: ties, tolerance, and pre-view clicks") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.asofStream(
+        input.toDF().as[Event], toleranceMicros = Some(45L * 60 * 1000000))
+      .writeStream.format("memory").queryName("asof_small_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(
+        Event(1L, ts("2024-01-01 09:00:00"), 1L, "click", 0.0), // before any view
+        Event(3L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),  // same-instant tie:
+        Event(2L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0), //   view wins (rt <= t)
+        Event(4L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),  //   and max id stands
+        Event(5L, ts("2024-01-01 10:30:00"), 1L, "click", 0.0), // in tolerance (30m)
+        Event(6L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0)))// OUT of tolerance (60m)
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT click_id, view_id FROM asof_small_test")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+      assert(streamed == Map(
+        1L -> None, 2L -> Some(4L), 5L -> Some(4L), 6L -> None))
+    } finally query.stop()
+  }
+
+  test("streaming as-of drains the full events parquet to the native batch answer") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // in-(event-time)-order delivery split into two micro-batches: per-user
+    // view state must bridge the batch boundary for clicks in batch 2 whose
+    // matching view arrived in batch 1
+    val all = parquetEvents().sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = all.splitAt(all.size / 2)
+    val input = MemoryStream[Event]
+    val query = EventStreams.asofStream(input.toDF().as[Event])
+      .writeStream.format("memory").queryName("asof_full_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      val streamed = spark.sql("SELECT user_id, click_id, view_id FROM asof_full_test")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .sortBy(t => (t._1, t._2))
+      val batch = graft.ops.TimeOps.asofJoinNative(
+          SparkEntry.loadEvents(spark, "/root/testdata/sf0.001/events.parquet"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .sortBy(t => (t._1, t._2))
+      assert(streamed.length == batch.length,
+        s"row count: streamed ${streamed.length} vs batch ${batch.length}")
+      assert(streamed.toSeq == batch.toSeq)
+    } finally query.stop()
+  }
 }
