@@ -58,6 +58,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources / core relational (SURVEY §2.1-2.2) ----
     "q_scan_filter_project" -> ((s, d) => Relational.scanFilterProject(t(s, d, "lineitem"))),
+    // DataSource V2 connector (generates its own input; dir unused)
+    "q_synth_source" -> ((s, _) => graft.sources.Synth.aggregateByKind(s, 50000L, 8)),
     "q_cast_types" -> ((s, d) => Relational.castTypes(t(s, d, "orders"))),
     "q_dedup_rows" -> ((s, d) => Relational.dedupRows(t(s, d, "lineitem"))),
     "q_dedup_key" -> ((s, d) => Relational.dedupByKeyDeterministic(t(s, d, "lineitem"))),
@@ -1101,6 +1103,27 @@ object SparkEntry {
         |  round(l_extendedprice * (1.0 - l_discount), 4) AS net_price
         |FROM lineitem WHERE l_returnflag = 'R'
         |ORDER BY l_orderkey, l_linenumber, l_quantity, net_price""".stripMargin,
+    // The DSv2 connector's oracle replays the 31-bit LCG chain (POSIX
+    // rand() constants; every product < 2^62, exact in BIGINT) over a
+    // plain range() scan — no table input at all.
+    "q_synth_source" ->
+      """WITH h AS (
+        |  SELECT i, (1103515245*(42 + i) + 12345) % 2147483648 AS h1
+        |  FROM range(50000) t(i)),
+        |hh AS (
+        |  SELECT i, h1, (1103515245*h1 + 12345) % 2147483648 AS h2 FROM h),
+        |hhh AS (
+        |  SELECT i, h1, h2, (1103515245*h2 + 12345) % 2147483648 AS h3 FROM hh),
+        |synth AS (
+        |  SELECT i AS id, h1 % 1000 AS user_id,
+        |    CASE h1 % 4 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+        |         WHEN 2 THEN 'purchase' ELSE 'signup' END AS kind,
+        |    h2 % 100000 AS value_cents,
+        |    1704067200 + h3 % 2592000 AS ts_sec
+        |  FROM hhh)
+        |SELECT kind, count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS cents,
+        |  min(user_id) AS u_min, max(ts_sec) AS t_max
+        |FROM synth GROUP BY kind ORDER BY kind""".stripMargin,
     "q_cast_types" ->
       """SELECT o_orderkey,
         |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio,

@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-synth`: a DataSource V2 batch connector generating deterministic
+  * synthetic event rows — the missing piece for scale experiments that
+  * need N× the shipped test data without writing N× the bytes to disk
+  * first (each task generates its own row range; nothing flows through
+  * the driver, nothing is read from storage).
+  *
+  * Row `i`'s columns are a chain of 31-bit LCG steps
+  * (`x -> (1103515245 x + 12345) mod 2^31` — the classic POSIX
+  * `rand()` constants) seeded by `seed + i`. Every intermediate product
+  * stays below 2^62, so the SAME arithmetic evaluates exactly in any
+  * 64-bit-integer engine: the DuckDB oracle for `q_synth_source` replays
+  * the generator with a plain `range(n)` scan and matches hash-exact.
+  *
+  * Demonstrated connector surface: `TableProvider` → `Table`
+  * (BATCH_READ) → `ScanBuilder` with column pruning
+  * (`SupportsPushDownRequiredColumns` — a `select(sum(value))` plans a
+  * scan that never materializes the other columns) → `Batch` planning
+  * one `InputPartition` per slice → per-task `PartitionReader`.
+  *
+  * Options: `rows` (total row count), `slices` (input partitions),
+  * `seed`.
+  */
+class SynthSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-synth"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Synth.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new SynthTable(
+      opts.getLong("rows", 1000L),
+      opts.getInt("slices", 4),
+      opts.getLong("seed", 42L))
+  }
+}
+
+object Synth {
+  /** Integer columns only (epoch seconds, value in cents): bit-exact
+    * across engines by construction, no float rendering drift.
+    */
+  val schema: StructType = new StructType()
+    .add("id", LongType, nullable = false)
+    .add("user_id", LongType, nullable = false)
+    .add("kind", StringType, nullable = false)
+    .add("value_cents", LongType, nullable = false)
+    .add("ts_sec", LongType, nullable = false)
+
+  val Kinds: Array[String] = Array("view", "click", "purchase", "signup")
+
+  final val Mod = 2147483648L // 2^31
+
+  @inline def lcg(x: Long): Long = (1103515245L * x + 12345L) % Mod
+
+  /** The full generator chain for row `i` — shared by the partition
+    * reader and the tests' reference implementation.
+    */
+  def row(seed: Long, i: Long): (Long, Long, String, Long, Long) = {
+    val h1 = lcg(seed + i)
+    val h2 = lcg(h1)
+    val h3 = lcg(h2)
+    (i, h1 % 1000L, Kinds((h1 % 4L).toInt), h2 % 100000L,
+      1704067200L + h3 % (86400L * 30L))
+  }
+
+  /** Reader-side entry point. */
+  def read(spark: SparkSession, rows: Long, slices: Int = 4, seed: Long = 42L): DataFrame =
+    spark.read.format("graft-synth")
+      .option("rows", rows).option("slices", slices).option("seed", seed)
+      .load()
+
+  /** The registered-query surface (`q_synth_source`): a grouped aggregate
+    * over the generated stream, exercising the connector end-to-end —
+    * distributed generation, column pruning (id is never generated),
+    * partial aggregation above the scan. The DuckDB oracle replays the
+    * LCG chain over `range(rows)`.
+    */
+  def aggregateByKind(spark: SparkSession, rows: Long, slices: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    read(spark, rows, slices)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), sum("value_cents").as("cents"),
+        min("user_id").as("u_min"), max("ts_sec").as("t_max"))
+      .orderBy("kind")
+  }
+}
+
+class SynthTable(rows: Long, slices: Int, seed: Long) extends Table with SupportsRead {
+  override def name(): String = s"graft_synth(rows=$rows, slices=$slices, seed=$seed)"
+  override def schema(): StructType = Synth.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(rows, slices, seed)
+}
+
+class SynthScanBuilder(rows: Long, slices: Int, seed: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = Synth.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new SynthScan(rows, slices, seed, required)
+}
+
+class SynthScan(rows: Long, slices: Int, seed: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth rows=$rows slices=$slices seed=$seed cols=${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    // contiguous ranges, remainder spread over the first partitions
+    val base = rows / slices
+    val rem = rows % slices
+    var start = 0L
+    (0 until slices).map { p =>
+      val len = base + (if (p < rem) 1L else 0L)
+      val part = SynthPartition(start, start + len)
+      start += len
+      part: InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(seed, required.fieldNames)
+}
+
+case class SynthPartition(start: Long, end: Long) extends InputPartition
+
+class SynthReaderFactory(seed: Long, cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SynthReader(partition.asInstanceOf[SynthPartition], seed, cols)
+}
+
+/** Generates its slice's rows on demand; emits ONLY the pruned columns,
+  * in the pruned order — the generator work for unprojected columns is
+  * skipped, which is what makes the pruning real rather than cosmetic.
+  */
+class SynthReader(part: SynthPartition, seed: Long, cols: Array[String])
+    extends PartitionReader[InternalRow] {
+  private var i = part.start - 1
+  private val kindUtf8 = Synth.Kinds.map(UTF8String.fromString)
+
+  override def next(): Boolean = { i += 1; i < part.end }
+
+  override def get(): InternalRow = {
+    // lazily step the chain only as far as the requested columns need
+    lazy val h1 = Synth.lcg(seed + i)
+    lazy val h2 = Synth.lcg(h1)
+    lazy val h3 = Synth.lcg(h2)
+    InternalRow.fromSeq(cols.toIndexedSeq.map {
+      case "id" => i
+      case "user_id" => h1 % 1000L
+      case "kind" => kindUtf8((h1 % 4L).toInt)
+      case "value_cents" => h2 % 100000L
+      case "ts_sec" => 1704067200L + h3 % (86400L * 30L)
+      case other => throw new IllegalArgumentException(s"unknown column: $other")
+    })
+  }
+
+  override def close(): Unit = ()
+}

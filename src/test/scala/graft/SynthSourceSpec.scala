@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Synth
+
+/** The `graft-synth` DataSource V2 connector: generated values must match
+  * the reference chain exactly, generation must be deterministic and
+  * sliced as requested, and column pruning must reach the scan.
+  */
+class SynthSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("rows match the reference LCG chain, both short name and class name") {
+    val viaShort = Synth.read(spark, 100L, slices = 3, seed = 7L)
+    val viaClass = spark.read.format("graft.sources.SynthSource")
+      .option("rows", 100L).option("slices", 3).option("seed", 7L).load()
+    val expected = (0L until 100L).map(Synth.row(7L, _))
+    for (df <- Seq(viaShort, viaClass)) {
+      val got = df.as[(Long, Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == expected)
+    }
+  }
+
+  test("deterministic across reads and sliced as requested") {
+    val a = Synth.read(spark, 5000L, slices = 8).collect().map(_.toString).sorted
+    val b = Synth.read(spark, 5000L, slices = 8).collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+    assert(Synth.read(spark, 5000L, slices = 8).rdd.getNumPartitions == 8)
+    // remainder rows are spread, not dropped: 10 rows over 4 slices
+    assert(Synth.read(spark, 10L, slices = 4).count() == 10L)
+  }
+
+  test("column pruning reaches the scan: only requested generator columns") {
+    val pruned = Synth.read(spark, 1000L).select(sum(col("value_cents")).as("s"))
+    pruned.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansIn(p: SparkPlan): Seq[BatchScanExec] = p.collect {
+      case b: BatchScanExec         => Seq(b)
+      case a: AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+      case q: QueryStageExec        => scansIn(q.plan)
+    }.flatten
+    val scans = scansIn(pruned.queryExecution.executedPlan)
+    assert(scans.nonEmpty, pruned.queryExecution.executedPlan.toString)
+    assert(scans.head.output.map(_.name) == Seq("value_cents"),
+      s"scan should read only value_cents, got ${scans.head.output.map(_.name)}")
+  }
+
+  test("aggregate over 50k generated rows matches a local replay") {
+    val agg = Synth.read(spark, 50000L, slices = 8)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), sum("value_cents").as("cents"),
+        min("user_id").as("u_min"), max("ts_sec").as("t_max"))
+      .orderBy("kind")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val local = (0L until 50000L).map(Synth.row(42L, _))
+      .groupBy(_._3).toSeq
+      .map { case (k, rs) =>
+        (k, rs.size.toLong, rs.map(_._4).sum, rs.map(_._2).min, rs.map(_._5).max)
+      }
+      .sortBy(_._1)
+    assert(agg == local)
+  }
+}
