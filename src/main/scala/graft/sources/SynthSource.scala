@@ -8,8 +8,10 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+  SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{
+  DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan,
+  LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -110,29 +112,72 @@ class SynthTable(rows: Long, slices: Int, seed: Long) extends Table with Support
     new SynthScanBuilder(rows, slices, seed)
 }
 
+/** Pushdown surface beyond pruning: `id` IS the row index, so range
+  * predicates on it narrow the generated interval EXACTLY — the rows
+  * outside the range are never produced, the source-level analogue of
+  * parquet row-group skipping. Absorbed filters are not re-evaluated
+  * above the scan (they are returned as fully-pushed, not residual).
+  * A pushed LIMIT caps the interval the same way.
+  */
 class SynthScanBuilder(rows: Long, slices: Int, seed: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = Synth.schema
+  private var lo = 0L // inclusive row-index bound
+  private var hi = rows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new SynthScan(rows, slices, seed, required)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (absorbed, residual) = filters.partition {
+      case EqualTo("id", _: Number) | GreaterThan("id", _: Number) |
+          GreaterThanOrEqual("id", _: Number) | LessThan("id", _: Number) |
+          LessThanOrEqual("id", _: Number) => true
+      case _ => false
+    }
+    absorbed.foreach {
+      case EqualTo("id", v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1)
+      case GreaterThan("id", v: Number) => lo = math.max(lo, v.longValue + 1)
+      case GreaterThanOrEqual("id", v: Number) => lo = math.max(lo, v.longValue)
+      case LessThan("id", v: Number) => hi = math.min(hi, v.longValue)
+      case LessThanOrEqual("id", v: Number) => hi = math.min(hi, v.longValue + 1)
+      case _ => ()
+    }
+    pushed = absorbed
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true // exact: the interval emits at most `limit` rows
+  }
+
+  override def build(): Scan =
+    new SynthScan(lo, math.max(lo, hi), slices, seed, required)
 }
 
-class SynthScan(rows: Long, slices: Int, seed: Long, required: StructType)
+class SynthScan(lo: Long, hi: Long, slices: Int, seed: Long, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-synth rows=$rows slices=$slices seed=$seed cols=${required.fieldNames.mkString(",")}"
+    s"graft-synth range=[$lo,$hi) slices=$slices seed=$seed " +
+      s"cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] = {
-    // contiguous ranges, remainder spread over the first partitions
-    val base = rows / slices
-    val rem = rows % slices
-    var start = 0L
-    (0 until slices).map { p =>
+    // contiguous ranges over [lo, hi), remainder spread over the first
+    // partitions; empty slices are not planned
+    val total = hi - lo
+    val base = total / slices
+    val rem = total % slices
+    var start = lo
+    (0 until slices).flatMap { p =>
       val len = base + (if (p < rem) 1L else 0L)
       val part = SynthPartition(start, start + len)
       start += len
-      part: InputPartition
+      if (len > 0) Some(part: InputPartition) else None
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

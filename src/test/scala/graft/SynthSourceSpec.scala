@@ -50,6 +50,30 @@ class SynthSourceSpec extends AnyFunSuite {
       s"scan should read only value_cents, got ${scans.head.output.map(_.name)}")
   }
 
+  test("id-range filters narrow the generated interval at the source") {
+    val df = Synth.read(spark, 100000L, slices = 8)
+      .filter(col("id") >= 99990L && col("id") < 99995L)
+    val got = df.as[(Long, Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == (99990L until 99995L).map(Synth.row(42L, _)))
+    // the scan itself must advertise the narrowed range — proof the rows
+    // outside it were never generated, not generated-then-filtered
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("range=[99990,99995)"), desc)
+    // with kind a residual (non-id) predicate, correctness still holds
+    val mixed = Synth.read(spark, 100000L, slices = 8)
+      .filter(col("id") < 100L && col("kind") === "view")
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(mixed == (0L until 100L).map(Synth.row(42L, _)).filter(_._3 == "view"))
+  }
+
+  test("a pushed limit caps generation") {
+    val df = Synth.read(spark, 1000000L, slices = 8).limit(7)
+    assert(df.as[(Long, Long, String, Long, Long)].collect().sortBy(_._1).toSeq ==
+      (0L until 7L).map(Synth.row(42L, _)))
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("range=[0,7)"), desc)
+  }
+
   test("aggregate over 50k generated rows matches a local replay") {
     val agg = Synth.read(spark, 50000L, slices = 8)
       .groupBy("kind")
