@@ -570,6 +570,7 @@ object SparkEntry {
     "q_asof_native" -> ((s, d) => TimeOps.asofJoinNative(t(s, d, "events"))),
     "q_asof_tolerance" -> ((s, d) =>
       TimeOps.asofJoinNative(t(s, d, "events"), Some(3600L * 1000000))),
+    "q_asof_broadcast" -> ((s, d) => TimeOps.asofJoinBroadcast(t(s, d, "events"))),
     // ---- text analysis (LLM pipeline) ----
     "q_docs_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "q_docs_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
@@ -2067,6 +2068,23 @@ object SparkEntry {
         |  GROUP BY b.user_id, b.click_id)
         |SELECT user_id, click_id, view_id FROM resolved
         |ORDER BY user_id, click_id""".stripMargin,
+    // Broadcast variant: the reference side is one first-signup row per
+    // user, so the as-of match is that row iff it is at-or-before the click.
+    "q_asof_broadcast" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+        |first_ts AS (
+        |  SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |fs AS (
+        |  SELECT f.user_id, f.s_ts, min(e.event_id) AS signup_id
+        |  FROM first_ts f JOIN events e
+        |    ON e.user_id = f.user_id AND e.event_type = 'signup' AND e.ts = f.s_ts
+        |  GROUP BY f.user_id, f.s_ts)
+        |SELECT c.user_id, c.click_id,
+        |  CASE WHEN fs.s_ts <= c.ts THEN fs.signup_id END AS signup_id
+        |FROM clicks c LEFT JOIN fs ON fs.user_id = c.user_id
+        |ORDER BY c.user_id, c.click_id""".stripMargin,
     "q_docs_langid" -> {
       s"""WITH base AS (
          |  SELECT doc_id, lang AS labeled_lang, ' ' || lower(text) || ' ' AS t FROM documents),

@@ -26,7 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // The native as-of join: logical node planned by a custom strategy,
     // with a pushdown rule Catalyst's own PushDownPredicates can't supply
     // for a node it doesn't know.
-    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(session => new graft.plans.AsOfJoinStrategy(session))
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),

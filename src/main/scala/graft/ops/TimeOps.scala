@@ -161,8 +161,34 @@ object TimeOps {
     graft.plans.AsOfJoin.leftAsOf(
         clicks, views,
         on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "v_ts",
-        rightTieBreak = Some("view_id"), toleranceMicros = toleranceMicros)
+        rightTieBreak = Some("view_id"), toleranceMicros = toleranceMicros,
+        // pin the sorted-merge plan: at 100 TB the view stream is
+        // fact-sized, and the small-SF size estimate must not flip the
+        // benched shape to broadcast
+        broadcastRight = Some(false))
       .select(col("user_id"), col("click_id"), col("view_id"))
+      .orderBy("user_id", "click_id")
+  }
+
+  /** The broadcast as-of variant on a genuinely dimension-sized reference:
+    * each click matched to the user's most recent signup at-or-before it.
+    * The signup frame is user-cardinality (one first-signup row per user)
+    * — the shape that broadcasts at any corpus scale — so the click stream
+    * is never shuffled for this join ([[graft.plans.BroadcastAsOfJoinExec]]).
+    */
+  def asofJoinBroadcast(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val signups = events.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("first"))
+      .select(col("user_id"), col("first.event_id").as("signup_id"),
+        col("first.ts").as("s_ts"))
+    graft.plans.AsOfJoin.leftAsOf(
+        clicks, signups,
+        on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "s_ts",
+        rightTieBreak = Some("signup_id"), broadcastRight = Some(true))
+      .select(col("user_id"), col("click_id"), col("signup_id"))
       .orderBy("user_id", "click_id")
   }
 

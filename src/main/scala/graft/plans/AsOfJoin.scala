@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{
   Alias, And, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
   PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode,
+  UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
@@ -43,7 +45,12 @@ case class AsOfJoinNode(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Option[Expression],
-    toleranceMicros: Option[Long]) extends BinaryNode {
+    toleranceMicros: Option[Long],
+    // Some(true) forces the broadcast plan, Some(false) forces sorted-merge
+    // (what a query pins when the small-SF size estimate would flip a plan
+    // meant to represent the at-scale shape), None lets the strategy decide
+    // from the right side's size estimate.
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching, non-empty key lists")
@@ -56,19 +63,34 @@ case class AsOfJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy: one physical choice. As-of is inherently merge-shaped
-  * (the match is an order statistic, not an equality probe), so there is no
-  * hash/broadcast variant to pick between — the strategy maps the logical
-  * node 1:1 onto [[AsOfJoinExec]] and lets EnsureRequirements place the
-  * exchanges/sorts.
+/** Planner strategy: the same duality Spark's own equi-join planner has.
+  * A small reference side (explicitly hinted, or estimated under
+  * `spark.sql.autoBroadcastJoinThreshold`) plans as
+  * [[BroadcastAsOfJoinExec]] — the big probe side is NEVER shuffled, its
+  * partitioning and ordering survive the join. Otherwise the sorted-merge
+  * [[AsOfJoinExec]] shuffles both sides on the keys, and
+  * EnsureRequirements places the exchanges/sorts.
   */
-object AsOfJoinStrategy extends SparkStrategy {
+class AsOfJoinStrategy(session: org.apache.spark.sql.SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
-      AsOfJoinExec(
-        n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
-        n.rightTieBreak, n.toleranceMicros,
-        planLater(n.left), planLater(n.right)) :: Nil
+      val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
+      val small = threshold >= 0 && n.right.stats.sizeInBytes <= threshold
+      // the broadcast variant reads the tiebreak positionally as a long;
+      // other tiebreak types fall back to the sorted-merge plan
+      val tieOk = n.rightTieBreak.forall(t =>
+        t.dataType == LongType || t.dataType == TimestampType ||
+          t.dataType == TimestampNTZType)
+      if (n.broadcastRight.getOrElse(small) && tieOk)
+        BroadcastAsOfJoinExec(
+          n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
+          n.rightTieBreak, n.toleranceMicros,
+          planLater(n.left), planLater(n.right)) :: Nil
+      else
+        AsOfJoinExec(
+          n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
+          n.rightTieBreak, n.toleranceMicros,
+          planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
 }
@@ -200,6 +222,118 @@ case class AsOfJoinExec(
   }
 }
 
+/** Broadcast as-of join: the small-reference physical variant.
+  *
+  * The right side arrives whole in every task (BroadcastDistribution with
+  * identity mode); each task groups it by key and sorts each group by
+  * (time, tiebreak) ONCE, then probes with a binary search per left row.
+  * The probe side needs NO distribution and NO ordering — at 100 TB the
+  * fact table is never shuffled or sorted for this join, and its existing
+  * partitioning/ordering survive for downstream operators (the same
+  * reason Spark prefers broadcast-hash over sort-merge when it can).
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Option[Expression],
+    toleranceMicros: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  // this variant reads time/tiebreak positionally as longs
+  rightTieBreak.foreach { t =>
+    require(t.dataType == LongType || t.dataType == TimestampType ||
+      t.dataType == TimestampNTZType,
+      s"broadcast as-of tiebreak must be long/timestamp, got ${t.dataType}")
+  }
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  // the probe side flows through untouched — advertise that
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val nKeys = leftKeys.length
+    val lOut = left.output
+    val rOut = right.output
+    val lExprs = leftKeys :+ leftTime
+    // tiebreak participates only through the sort order of each group
+    val rExprs = rightKeys ++ (rightTime +: rightTieBreak.toSeq)
+    val tol = toleranceMicros
+    val allOut = output
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions { lIter =>
+      val lProj = UnsafeProjection.create(lExprs, lOut)
+      val rProj = UnsafeProjection.create(rExprs, rOut)
+      val keyOnly = UnsafeProjection.create(
+        rightKeys.zipWithIndex.map { case (e, i) =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(i, e.dataType, e.nullable)
+        },
+        Nil)
+      // group the broadcast side by key, each group sorted by the
+      // projection's (time[, tiebreak]) — done once per task, over the
+      // SMALL side only
+      val index = new java.util.HashMap[UnsafeRow, Array[(Long, InternalRow)]]()
+      locally {
+        val tmp = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]()
+        broadcastRows.value.foreach { r =>
+          val kt = rProj(r)
+          val key = keyOnly(kt).copy()
+          val time = kt.getLong(nKeys)
+          val tie = if (rightTieBreak.isDefined) kt.getLong(nKeys + 1) else 0L
+          val buf = tmp.computeIfAbsent(key, _ => scala.collection.mutable.ArrayBuffer.empty)
+          buf += ((time, tie, r.copy()))
+        }
+        tmp.forEach { (k, buf) =>
+          index.put(k, buf.sortBy(t => (t._1, t._2)).map(t => (t._1, t._3)).toArray)
+        }
+      }
+      val lKeyOnly = UnsafeProjection.create(
+        leftKeys.zipWithIndex.map { case (e, i) =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(i, e.dataType, e.nullable)
+        },
+        Nil)
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(allOut, allOut)
+
+      lIter.map { lRow =>
+        val lkt = lProj(lRow)
+        val lTimeV = lkt.getLong(nKeys)
+        val group = index.get(lKeyOnly(lkt))
+        var hit: InternalRow = null
+        if (group != null) {
+          // greatest entry with time <= lTimeV: binary search upper bound
+          var lo = 0
+          var hi = group.length // exclusive
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (group(mid)._1 <= lTimeV) lo = mid + 1 else hi = mid
+          }
+          if (lo > 0) {
+            val (t, row) = group(lo - 1)
+            if (tol.forall(x => lTimeV - t <= x)) hit = row
+          }
+        }
+        resultProj(joined(lRow, if (hit != null) hit else nullRight))
+      }
+    }
+  }
+}
+
 /** DataFrame-level entry point. */
 object AsOfJoin {
 
@@ -222,7 +356,8 @@ object AsOfJoin {
       leftTimeCol: String,
       rightTimeCol: String,
       rightTieBreak: Option[String] = None,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      broadcastRight: Option[Boolean] = None): DataFrame = {
     val spark = left.sparkSession
     val lPlan = left.queryExecution.analyzed
     val rPlan0 = right.queryExecution.analyzed
@@ -240,7 +375,7 @@ object AsOfJoin {
       lPlan, rPlan,
       on.map(res(lPlan, _)), rightKeyAttrs,
       res(lPlan, leftTimeCol), res(rPlan, rightTimeCol),
-      rightTieBreak.map(res(rPlan, _)), toleranceMicros)
+      rightTieBreak.map(res(rPlan, _)), toleranceMicros, broadcastRight)
     val keyIds = rightKeyAttrs.map(_.exprId).toSet
     val visible = node.output.filterNot(a => keyIds.contains(a.exprId))
     GraftSqlInternals.ofRows(spark, Project(visible, node))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.{AsOfJoin, AsOfJoinExec, AsOfJoinNode}
+import graft.plans.{AsOfJoin, AsOfJoinExec, AsOfJoinNode, BroadcastAsOfJoinExec}
 
 /** The native as-of join: semantics on hand-built frames, equivalence with
   * the window-composition form on real events data, and plan shape (the
@@ -35,17 +35,21 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
   ).toDF("k", "t", "r_id")
 
   test("matches the most recent at-or-before row per key, null when none") {
-    val got = AsOfJoin.leftAsOf(
-        probe(),
-        ref().select(col("k"), col("t").as("rt"), col("r_id")),
-        on = Seq("k"), leftTimeCol = "t", rightTimeCol = "rt")
-    val rows = got.select("p_id", "r_id").as[(String, Option[String])]
-      .collect().toMap
-    assert(rows == Map(
-      "p1" -> Some("r1"), // 10:00 → 09:30
-      "p2" -> Some("r2"), // 12:00 → 11:00
-      "p3" -> None,       // only k=2 ref row is later
-      "p4" -> None))      // no k=3 ref rows at all
+    for (bcast <- Seq(Some(false), Some(true))) {
+      val got = AsOfJoin.leftAsOf(
+          probe(),
+          ref().select(col("k"), col("t").as("rt"), col("r_id")),
+          on = Seq("k"), leftTimeCol = "t", rightTimeCol = "rt",
+          broadcastRight = bcast)
+      val rows = got.select("p_id", "r_id").as[(String, Option[String])]
+        .collect().toMap
+      assert(rows == Map(
+        "p1" -> Some("r1"), // 10:00 → 09:30
+        "p2" -> Some("r2"), // 12:00 → 11:00
+        "p3" -> None,       // only k=2 ref row is later
+        "p4" -> None),      // no k=3 ref rows at all
+        s"variant broadcast=$bcast")
+    }
   }
 
   test("on `Seq(\"k\")` with shared column names, self-lineage dedups") {
@@ -71,24 +75,31 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
   }
 
   test("tolerance turns too-old matches into nulls") {
-    val out = AsOfJoin.leftAsOf(
-      probe(),
-      ref().select(col("k"), col("t").as("rt"), col("r_id")),
-      on = Seq("k"), leftTimeCol = "t", rightTimeCol = "rt",
-      toleranceMicros = Some(45L * 60 * 1000000)) // 45 min
-    val rows = out.select("p_id", "r_id").as[(String, Option[String])]
-      .collect().toMap
-    // p1 at 10:00 matched r1 at 09:30 (30 min — in tolerance);
-    // p2 at 12:00 matched r2 at 11:00 (60 min — OUT of tolerance).
-    assert(rows("p1") == Some("r1") && rows("p2") == None)
+    for (bcast <- Seq(Some(false), Some(true))) {
+      val out = AsOfJoin.leftAsOf(
+        probe(),
+        ref().select(col("k"), col("t").as("rt"), col("r_id")),
+        on = Seq("k"), leftTimeCol = "t", rightTimeCol = "rt",
+        toleranceMicros = Some(45L * 60 * 1000000), // 45 min
+        broadcastRight = bcast)
+      val rows = out.select("p_id", "r_id").as[(String, Option[String])]
+        .collect().toMap
+      // p1 at 10:00 matched r1 at 09:30 (30 min — in tolerance);
+      // p2 at 12:00 matched r2 at 11:00 (60 min — OUT of tolerance).
+      assert(rows("p1") == Some("r1") && rows("p2") == None, s"broadcast=$bcast")
+    }
   }
 
   test("empty right side yields all-null matches, not an error") {
-    val out = AsOfJoin.leftAsOf(
-      probe(),
-      ref().filter(lit(false)).select(col("k"), col("t").as("rt"), col("r_id")),
-      on = Seq("k"), leftTimeCol = "t", rightTimeCol = "rt")
-    assert(out.count() == 4 && out.filter(col("r_id").isNotNull).count() == 0)
+    for (bcast <- Seq(Some(false), Some(true))) {
+      val out = AsOfJoin.leftAsOf(
+        probe(),
+        ref().filter(lit(false)).select(col("k"), col("t").as("rt"), col("r_id")),
+        on = Seq("k"), leftTimeCol = "t", rightTimeCol = "rt",
+        broadcastRight = bcast)
+      assert(out.count() == 4 && out.filter(col("r_id").isNotNull).count() == 0,
+        s"broadcast=$bcast")
+    }
   }
 
   test("matches the window-composition as-of on real events data") {
@@ -107,11 +118,12 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
-  test("plan: AsOfJoinExec is planned with exactly two shuffles") {
+  test("plan: sorted-merge variant is planned with exactly two shuffles") {
     val out = AsOfJoin.leftAsOf(
       probe(),
       ref().select(col("k"), col("t").as("rt"), col("r_id")),
-      on = Seq("k"), leftTimeCol = "t", rightTimeCol = "rt")
+      on = Seq("k"), leftTimeCol = "t", rightTimeCol = "rt",
+      broadcastRight = Some(false))
     out.count() // finalize AQE
     val executed = out.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
@@ -121,6 +133,25 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
       s"expected AsOfJoinExec in:\n$executed")
     val shuffles = executed.collect { case s: ShuffleExchangeLike => s }
     assert(shuffles.size == 2, s"expected 2 shuffles, got ${shuffles.size}:\n$executed")
+  }
+
+  test("plan: broadcast variant never shuffles the probe side") {
+    val out = AsOfJoin.leftAsOf(
+      probe(),
+      ref().select(col("k"), col("t").as("rt"), col("r_id")),
+      on = Seq("k"), leftTimeCol = "t", rightTimeCol = "rt",
+      broadcastRight = Some(true))
+    out.count() // finalize AQE
+    val executed = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(executed.exists(_.isInstanceOf[BroadcastAsOfJoinExec]),
+      s"expected BroadcastAsOfJoinExec in:\n$executed")
+    val shuffles = executed.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty, s"expected 0 shuffles, got ${shuffles.size}:\n$executed")
+    assert(executed.toString.contains("BroadcastExchange"),
+      s"right side should arrive via a broadcast exchange:\n$executed")
   }
 
   test("randomized: native as-of matches a brute-force join oracle (multi-key)") {
@@ -136,10 +167,12 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
         (rnd.nextInt(5).toLong, rnd.nextInt(3).toLong, rnd.nextInt(1000).toLong, i.toLong)
       }.toDF("k1", "k2", "rt", "r_id")
       val tol = if (round % 2 == 0) Some(100L) else None
+      val bcast = Some(round % 2 == 1) // alternate physical variants
 
       val got = AsOfJoin.leftAsOf(l, r,
         on = Seq("k1", "k2"), leftTimeCol = "t", rightTimeCol = "rt",
-        rightTieBreak = Some("r_id"), toleranceMicros = tol)
+        rightTieBreak = Some("r_id"), toleranceMicros = tol,
+        broadcastRight = bcast)
         .select("l_id", "r_id")
 
       val eligible = l.join(r, Seq("k1", "k2"))
