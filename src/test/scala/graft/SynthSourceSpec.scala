@@ -74,6 +74,24 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(desc.contains("range=[0,7)"), desc)
   }
 
+  test("micro-batch stream drains to exactly the batch read, in batches") {
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", 5000L).option("slices", 4).option("batchRows", 1200L)
+      .load()
+      .writeStream.format("memory").queryName("synth_stream_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM synth_stream_test")
+        .as[(Long, Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(streamed == (0L until 5000L).map(Synth.row(42L, _)),
+        s"streamed ${streamed.size} rows")
+      // 5000 rows at 1200/batch → at least 5 triggers committed
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("aggregate over 50k generated rows matches a local replay") {
     val agg = Synth.read(spark, 50000L, slices = 8)
       .groupBy("kind")
