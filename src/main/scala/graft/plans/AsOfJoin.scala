@@ -197,26 +197,46 @@ case class AsOfJoinExec(
       var matchKey: UnsafeRow = null
       var matchTime = 0L
 
+      // SQL equi-join semantics: a null key never matches, not even
+      // another null — and a null TIME can't satisfy rt <= lt either
+      // (getLong on a null slot would read 0 and fabricate a match).
+      // Null-key/time right rows are discarded as the cursor passes them;
+      // null left rows emit right-nulls without touching the cursor.
+      def keyHasNull(row: InternalRow): Boolean = {
+        var i = 0
+        var found = false
+        while (i <= nKeys && !found) { found = row.isNullAt(i); i += 1 }
+        found
+      }
+
       lIter.map { lRow =>
         val lkt = lProj(lRow)
-        val lTimeV = lkt.getLong(nKeys)
-        var scanning = true
-        while (scanning && rBuf.hasNext) {
-          val rkt = rProj(rBuf.head)
-          val c = keyOrd.compare(rkt, lkt)
-          if (c < 0) {
-            rBuf.next() // right key behind every remaining left row's key
-          } else if (c == 0 && rkt.getLong(nKeys) <= lTimeV) {
-            matchTime = rkt.getLong(nKeys)
-            matchKey = rkt.copy()
-            matchRow = rBuf.next().copy()
-          } else {
-            scanning = false // right side is ahead; later left rows may need it
+        if (keyHasNull(lkt)) {
+          resultProj(joined(lRow, nullRight))
+        } else {
+          val lTimeV = lkt.getLong(nKeys)
+          var scanning = true
+          while (scanning && rBuf.hasNext) {
+            val rkt = rProj(rBuf.head)
+            if (keyHasNull(rkt)) {
+              rBuf.next() // unmatched by definition
+            } else {
+              val c = keyOrd.compare(rkt, lkt)
+              if (c < 0) {
+                rBuf.next() // right key behind every remaining left row's key
+              } else if (c == 0 && rkt.getLong(nKeys) <= lTimeV) {
+                matchTime = rkt.getLong(nKeys)
+                matchKey = rkt.copy()
+                matchRow = rBuf.next().copy()
+              } else {
+                scanning = false // right ahead; later left rows may need it
+              }
+            }
           }
+          val hit = matchRow != null && keyOrd.compare(matchKey, lkt) == 0 &&
+            tol.forall(t => lTimeV - matchTime <= t)
+          resultProj(joined(lRow, if (hit) matchRow else nullRight))
         }
-        val hit = matchRow != null && keyOrd.compare(matchKey, lkt) == 0 &&
-          tol.forall(t => lTimeV - matchTime <= t)
-        resultProj(joined(lRow, if (hit) matchRow else nullRight))
       }
     }
   }
@@ -291,11 +311,15 @@ case class BroadcastAsOfJoinExec(
         val tmp = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]()
         broadcastRows.value.foreach { r =>
           val kt = rProj(r)
-          val key = keyOnly(kt).copy()
-          val time = kt.getLong(nKeys)
-          val tie = if (rightTieBreak.isDefined) kt.getLong(nKeys + 1) else 0L
-          val buf = tmp.computeIfAbsent(key, _ => scala.collection.mutable.ArrayBuffer.empty)
-          buf += ((time, tie, r.copy()))
+          // SQL equi-join semantics: null keys never match, and a null
+          // time can't satisfy rt <= lt — leave both out of the index
+          if (!(0 to nKeys).exists(kt.isNullAt)) {
+            val key = keyOnly(kt).copy()
+            val time = kt.getLong(nKeys)
+            val tie = if (rightTieBreak.isDefined) kt.getLong(nKeys + 1) else 0L
+            val buf = tmp.computeIfAbsent(key, _ => scala.collection.mutable.ArrayBuffer.empty)
+            buf += ((time, tie, r.copy()))
+          }
         }
         tmp.forEach { (k, buf) =>
           index.put(k, buf.sortBy(t => (t._1, t._2)).map(t => (t._1, t._3)).toArray)
@@ -313,7 +337,9 @@ case class BroadcastAsOfJoinExec(
       lIter.map { lRow =>
         val lkt = lProj(lRow)
         val lTimeV = lkt.getLong(nKeys)
-        val group = index.get(lKeyOnly(lkt))
+        val group =
+          if ((0 to nKeys).exists(lkt.isNullAt)) null // null key/time: no match
+          else index.get(lKeyOnly(lkt))
         var hit: InternalRow = null
         if (group != null) {
           // greatest entry with time <= lTimeV: binary search upper bound

@@ -154,6 +154,32 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
       s"right side should arrive via a broadcast exchange:\n$executed")
   }
 
+  test("null keys and null times never match, in either physical variant") {
+    // SQL equi-join semantics: null keys don't match (not even null=null),
+    // and a null timestamp can't satisfy rt <= lt
+    val l = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), "ok"),
+      (None: Option[Long], Some(ts("2024-01-01 10:00:00")), "null_key"),
+      (Some(1L), None: Option[java.sql.Timestamp], "null_time")
+    ).toDF("k", "t", "p_id")
+    val r = Seq(
+      (Some(1L), Some(ts("2024-01-01 09:00:00")), "r_ok"),
+      (None: Option[Long], Some(ts("2024-01-01 09:00:00")), "r_null_key"),
+      (Some(1L), None: Option[java.sql.Timestamp], "r_null_time")
+    ).toDF("k", "rt", "r_id")
+    for (bcast <- Seq(Some(false), Some(true))) {
+      val rows = AsOfJoin.leftAsOf(l, r,
+          on = Seq("k"), leftTimeCol = "t", rightTimeCol = "rt",
+          broadcastRight = bcast)
+        .select("p_id", "r_id").as[(String, Option[String])].collect().toMap
+      assert(rows == Map(
+        "ok" -> Some("r_ok"),   // the only legal match
+        "null_key" -> None,     // null left key
+        "null_time" -> None),   // null left time
+        s"broadcast=$bcast")
+    }
+  }
+
   test("randomized: native as-of matches a brute-force join oracle (multi-key)") {
     // seeded generator → reproducible; the oracle is the O(n·m) definition
     // the operator must never be asked to run at scale: join every left row
