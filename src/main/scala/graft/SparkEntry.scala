@@ -60,6 +60,7 @@ object SparkEntry {
     "q_scan_filter_project" -> ((s, d) => Relational.scanFilterProject(t(s, d, "lineitem"))),
     // DataSource V2 connector (generates its own input; dir unused)
     "q_synth_source" -> ((s, _) => graft.sources.Synth.aggregateByKind(s, 50000L, 8)),
+    "q_layout_scan" -> ((s, d) => Relational.sortedLayoutScan(t(s, d, "documents"))),
     "q_cast_types" -> ((s, d) => Relational.castTypes(t(s, d, "orders"))),
     "q_dedup_rows" -> ((s, d) => Relational.dedupRows(t(s, d, "lineitem"))),
     "q_dedup_key" -> ((s, d) => Relational.dedupByKeyDeterministic(t(s, d, "lineitem"))),
@@ -1125,6 +1126,12 @@ object SparkEntry {
         |SELECT kind, count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS cents,
         |  min(user_id) AS u_min, max(ts_sec) AS t_max
         |FROM synth GROUP BY kind ORDER BY kind""".stripMargin,
+    // The layout round-trip: the rewritten sorted copy must contain
+    // exactly the raw table's rows for the same selective range.
+    "q_layout_scan" ->
+      """SELECT doc_id, n_chars, source FROM documents
+        |WHERE n_chars >= 480 AND n_chars < 600
+        |ORDER BY doc_id""".stripMargin,
     "q_cast_types" ->
       """SELECT o_orderkey,
         |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio,

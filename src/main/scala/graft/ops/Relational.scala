@@ -700,6 +700,47 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Sorted-data-layout scan — the data-layout half of scan efficiency.
+    *
+    * The ingest writes documents range-partitioned and sorted by
+    * (n_chars, doc_id) into many small files (one row group each), so
+    * every file's parquet footer carries a TIGHT n_chars min/max. A
+    * selective range filter then prunes at the row-group level: the
+    * pushed predicate disqualifies whole groups from their stats and the
+    * scan reads a result-proportional slice, not the corpus. At 100 TB
+    * this is the difference between "pushdown evaluates the filter per
+    * row" and "pushdown never deserializes the irrelevant 95%" — same
+    * idea as Z-ordering, in its 1-dimensional exact form. The ingest is
+    * pay-once per (session, inputs), like the bucketed join's; the
+    * returned frame is the filtered read-back, oracle-checkable against
+    * the raw table. `LayoutSpec` asserts the scan's numOutputRows drops
+    * with the sorted layout while an unsorted write reads everything.
+    */
+  def sortedLayoutScan(
+      documents: DataFrame, loChars: Long = 480L, hiChars: Long = 600L): DataFrame = {
+    val spark = documents.sparkSession
+    val inputKey = documents.inputFiles.sorted.mkString(",")
+    val path = sortedLayouts.computeIfAbsent((spark, inputKey), { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_layout")
+      deleteRecursivelyOnExit(dir)
+      documents
+        .repartitionByRange(4, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars", "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 64)
+        .parquet(s"$dir/docs_sorted")
+      s"$dir/docs_sorted"
+    })
+    spark.read.parquet(path)
+      .filter(col("n_chars") >= loChars && col("n_chars") < hiChars)
+      .select(col("doc_id"), col("n_chars"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  private val sortedLayouts =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+
   /** Session-lifetime registry of bucketed ingests already written:
     * (session, sorted input files, bucket count) → the two scoped table
     * names. Entries live until JVM exit, when their temp warehouses are
