@@ -61,6 +61,14 @@ object SparkEntry {
     // DataSource V2 connector (generates its own input; dir unused)
     "q_synth_source" -> ((s, _) => graft.sources.Synth.aggregateByKind(s, 50000L, 8)),
     "q_layout_scan" -> ((s, d) => Relational.sortedLayoutScan(t(s, d, "documents"))),
+    // Incremental data management (ops/Incremental.scala): CDC apply with
+    // last-writer-wins, snapshot diff (change data feed), incremental
+    // aggregate maintenance, compaction planning, versioned time travel.
+    "q_cdc_apply" -> ((s, d) => Incremental.ordersCdcApply(t(s, d, "orders"))),
+    "q_cdc_feed" -> ((s, d) => Incremental.ordersCdcFeed(t(s, d, "orders"))),
+    "q_incr_agg_merge" -> ((s, d) => Incremental.ordersIncrAggMerge(t(s, d, "orders"))),
+    "q_table_compaction" -> ((s, d) => Incremental.docsCompactionPlan(t(s, d, "documents"))),
+    "q_table_timetravel" -> ((s, d) => Incremental.ordersTimeTravel(t(s, d, "orders"))),
     "q_cast_types" -> ((s, d) => Relational.castTypes(t(s, d, "orders"))),
     "q_dedup_rows" -> ((s, d) => Relational.dedupRows(t(s, d, "lineitem"))),
     "q_dedup_key" -> ((s, d) => Relational.dedupByKeyDeterministic(t(s, d, "lineitem"))),
@@ -1132,6 +1140,156 @@ object SparkEntry {
       """SELECT doc_id, n_chars, source FROM documents
         |WHERE n_chars >= 480 AND n_chars < 600
         |ORDER BY doc_id""".stripMargin,
+    // CDC replay: base = 3/4 of orders; U(+500 cents, seq 1) on base keys
+    // ending 0/5; D(seq 2) on keys ≡ 5 (mod 20) — last-writer-wins over
+    // the update; I for the held-out quarter. Exact integer cents.
+    "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |ch AS (
+        |  SELECT o_orderkey, 'U' AS op, 1 AS seq, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS price_c
+        |  FROM orders
+        |  WHERE o_orderkey % 4 <> 3
+        |    AND (o_orderkey % 10 = 0 OR o_orderkey % 10 = 5)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 2, NULL, NULL FROM orders
+        |  WHERE o_orderkey % 4 <> 3 AND o_orderkey % 20 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey, 'I', 1, 'NEW',
+        |         CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 4 = 3),
+        |latest AS (
+        |  SELECT o_orderkey, op, status, price_c FROM (
+        |    SELECT ch.*,
+        |      row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN l.o_orderkey IS NOT NULL THEN l.status ELSE b.status END
+        |    AS status,
+        |  CASE WHEN l.o_orderkey IS NOT NULL THEN l.price_c ELSE b.price_c END
+        |    AS price_c,
+        |  CASE WHEN l.o_orderkey IS NOT NULL THEN 'cdc' ELSE 'base' END AS src
+        |FROM base b FULL JOIN latest l ON b.o_orderkey = l.o_orderkey
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    // Change data feed between the base snapshot and the CDC-applied one:
+    // the diff must reconstruct exactly the batch's inserts/updates/deletes.
+    "q_cdc_feed" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |ch AS (
+        |  SELECT o_orderkey, 'U' AS op, 1 AS seq, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS price_c
+        |  FROM orders
+        |  WHERE o_orderkey % 4 <> 3
+        |    AND (o_orderkey % 10 = 0 OR o_orderkey % 10 = 5)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 2, NULL, NULL FROM orders
+        |  WHERE o_orderkey % 4 <> 3 AND o_orderkey % 20 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey, 'I', 1, 'NEW',
+        |         CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 4 = 3),
+        |latest AS (
+        |  SELECT o_orderkey, op, status, price_c FROM (
+        |    SELECT ch.*,
+        |      row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |applied AS (
+        |  SELECT COALESCE(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN l.o_orderkey IS NOT NULL THEN l.status ELSE b.status END
+        |      AS status,
+        |    CASE WHEN l.o_orderkey IS NOT NULL THEN l.price_c ELSE b.price_c END
+        |      AS price_c
+        |  FROM base b FULL JOIN latest l ON b.o_orderkey = l.o_orderkey
+        |  WHERE l.op IS NULL OR l.op <> 'D')
+        |SELECT o_orderkey, change_type, old_status, new_status,
+        |       old_price_c, new_price_c
+        |FROM (
+        |  SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |         WHEN n.o_orderkey IS NULL THEN 'delete'
+        |         WHEN o.status IS DISTINCT FROM n.status
+        |           OR o.price_c IS DISTINCT FROM n.price_c THEN 'update'
+        |    END AS change_type,
+        |    o.status AS old_status, n.status AS new_status,
+        |    o.price_c AS old_price_c, n.price_c AS new_price_c
+        |  FROM base o FULL JOIN applied n ON o.o_orderkey = n.o_orderkey)
+        |WHERE change_type IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    // The merge contract, not a replay: Spark maintains the aggregate as
+    // state(first half) ⊕ delta(second half); the oracle is the ONE-SHOT
+    // aggregate over everything. Hash equality proves associativity.
+    "q_incr_agg_merge" ->
+      """SELECT o_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_c
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // Size-descending sequential packing of the file inventory into
+    // 64 kB bins: bin = floor(exclusive-prefix-sum / target).
+    "q_table_compaction" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars,
+        |    COALESCE(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS g_prefix
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(floor(g_prefix / 64000.0) AS BIGINT) AS bin_id
+        |  FROM f)
+        |SELECT bin_id, count(*) AS n_files,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_size,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM b GROUP BY bin_id ORDER BY bin_id""".stripMargin,
+    // Time travel: v1 = base snapshot, v2 = append of the held-out
+    // inserts (v2 is exactly every order), v3 = overwrite with the
+    // CDC-applied state. All three snapshots replayed after v3 exists.
+    "q_table_timetravel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |ch AS (
+        |  SELECT o_orderkey, 'U' AS op, 1 AS seq, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS price_c
+        |  FROM orders
+        |  WHERE o_orderkey % 4 <> 3
+        |    AND (o_orderkey % 10 = 0 OR o_orderkey % 10 = 5)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 2, NULL, NULL FROM orders
+        |  WHERE o_orderkey % 4 <> 3 AND o_orderkey % 20 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey, 'I', 1, 'NEW',
+        |         CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 4 = 3),
+        |latest AS (
+        |  SELECT o_orderkey, op, status, price_c FROM (
+        |    SELECT ch.*,
+        |      row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |applied AS (
+        |  SELECT COALESCE(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN l.o_orderkey IS NOT NULL THEN l.price_c ELSE b.price_c END
+        |      AS price_c
+        |  FROM base b FULL JOIN latest l ON b.o_orderkey = l.o_orderkey
+        |  WHERE l.op IS NULL OR l.op <> 'D')
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS total_c FROM base
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 3, count(*), CAST(sum(price_c) AS BIGINT) FROM applied
+        |ORDER BY version""".stripMargin,
     "q_cast_types" ->
       """SELECT o_orderkey,
         |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio,

@@ -1,0 +1,267 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental data management: the operator family a 100 TB pipeline
+  * needs once data stops being a one-shot batch — CDC application,
+  * keyed merge/upsert, incremental aggregate maintenance, snapshot
+  * diffing (change data feed), and small-file compaction planning.
+  *
+  * The reference pipeline (`/root/reference/etl_pipeline.py:62-421`) is a
+  * full-recompute batch; these ops are the generalization that lets the
+  * same engine keep a standing table current by processing only deltas.
+  * All of them are declarative DataFrame plans — the heavy lifting
+  * (last-writer-wins dedup, full-outer merge) is one key-hashed shuffle
+  * each, so every op scales horizontally with the KEY cardinality, never
+  * with history length.
+  */
+object Incremental {
+
+  /** Apply a CDC batch to a base snapshot with last-writer-wins
+    * semantics. `changes` carries (`opCol` ∈ I/U/D, `seqCol` monotone per
+    * key); only the key's highest-`seq` change is applied: D drops the
+    * row, I/U upsert the change's payload columns (an update for an
+    * absent key inserts — standard upsert semantics, what MERGE's
+    * WHEN NOT MATCHED clause does). Unchanged base rows pass through.
+    *
+    * Shape: ONE window shuffle on the change stream (delta-sized, not
+    * table-sized) + one full-outer join hashed on the key. The base
+    * snapshot is never sorted and never fans out, so applying a small
+    * delta to a 100 TB table moves the delta to the base's partitioning,
+    * not the reverse. Payload columns are taken from `changes` when a
+    * surviving change exists, else from `base`; `src` records which.
+    */
+  def cdcApply(
+      base: DataFrame,
+      changes: DataFrame,
+      key: String,
+      seqCol: String = "seq",
+      opCol: String = "op"): DataFrame = {
+    val payload = base.columns.filter(_ != key)
+    val w = Window.partitionBy(key).orderBy(col(seqCol).desc)
+    val latest = changes
+      .withColumn("g_rn", row_number().over(w))
+      .filter(col("g_rn") === 1)
+      .drop("g_rn", seqCol)
+    val b = base.select(col(key).as("g_bk") +: payload.map(c => col(c).as(s"g_b_$c")): _*)
+    val c = latest.select(
+      col(key).as("g_ck") +: col(opCol).as("g_op") +: payload.map(c0 => col(c0).as(s"g_c_$c0")): _*)
+    b.join(c, col("g_bk") === col("g_ck"), "full_outer")
+      .filter(col("g_op").isNull || col("g_op") =!= "D")
+      .select(
+        coalesce(col("g_ck"), col("g_bk")).as(key) +:
+          payload.map(c0 =>
+            when(col("g_ck").isNotNull, col(s"g_c_$c0"))
+              .otherwise(col(s"g_b_$c0")).as(c0)) :+
+          when(col("g_ck").isNotNull, lit("cdc")).otherwise(lit("base")).as("src"): _*)
+  }
+
+  /** Incremental aggregate maintenance: merge a delta's partial
+    * aggregates into a standing aggregate state. Both frames carry the
+    * same (key, count, sum…) shape; the merge is a full-outer join with
+    * null-as-zero addition — the associativity that lets a 100 TB
+    * aggregate be maintained by folding in each day's delta instead of
+    * recomputing the corpus. The oracle checks THE CONTRACT, not the
+    * replay: state(split A) ⊕ state(split B) must equal the one-shot
+    * aggregate over A ∪ B.
+    */
+  def aggMerge(state: DataFrame, delta: DataFrame, key: String): DataFrame = {
+    val vals = state.columns.filter(_ != key)
+    val s = state.select(col(key).as("g_sk") +: vals.map(c => col(c).as(s"g_s_$c")): _*)
+    val d = delta.select(col(key).as("g_dk") +: vals.map(c => col(c).as(s"g_d_$c")): _*)
+    s.join(d, col("g_sk") === col("g_dk"), "full_outer")
+      .select(
+        coalesce(col("g_sk"), col("g_dk")).as(key) +:
+          vals.map(c =>
+            (coalesce(col(s"g_s_$c"), lit(0L)) + coalesce(col(s"g_d_$c"), lit(0L))).as(c)): _*)
+  }
+
+  /** Change data feed: classify the row-level difference between two
+    * snapshots of a keyed table as insert / delete / update, emitting
+    * old and new payloads side by side. One full-outer join hashed on
+    * the key; the payload comparison is a null-safe column-wise check
+    * (`<=>` conjunction), so it never serializes whole rows or depends
+    * on column order. Unchanged rows are not emitted — the feed is
+    * delta-sized.
+    */
+  def changeDataFeed(oldDf: DataFrame, newDf: DataFrame, key: String): DataFrame = {
+    val payload = oldDf.columns.filter(c => c != key && newDf.columns.contains(c))
+    val o = oldDf.select(col(key).as("g_ok") +: payload.map(c => col(c).as(s"old_$c")): _*)
+    val n = newDf.select(col(key).as("g_nk") +: payload.map(c => col(c).as(s"new_$c")): _*)
+    val same = payload
+      .map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .reduce(_ && _)
+    o.join(n, col("g_ok") === col("g_nk"), "full_outer")
+      .withColumn("change_type",
+        when(col("g_ok").isNull, "insert")
+          .when(col("g_nk").isNull, "delete")
+          .when(!same, "update"))
+      .filter(col("change_type").isNotNull)
+      .select(
+        coalesce(col("g_nk"), col("g_ok")).as(key) +: col("change_type") +:
+          payload.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
+  /** Small-file compaction plan: given a file inventory (id, size),
+    * assign files to target-size output bins by size-descending
+    * sequential packing — floor(exclusive-prefix-sum / target), the
+    * bin-packing layout an OPTIMIZE/compaction job executes. The global
+    * sort is over the METADATA inventory (one row per file — ~800k rows
+    * for 100 TB at 128 MB files), never the data, so the single-partition
+    * window is a driver-scale frame by construction; the rewrite itself
+    * would be a per-bin distributed copy. Emits per-bin file counts and
+    * fill levels for the planner's skew audit.
+    */
+  def compactionPlan(
+      files: DataFrame,
+      idCol: String,
+      sizeCol: String,
+      targetSize: Long): DataFrame = {
+    val w = Window.orderBy(col(sizeCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .select(col(idCol), col(sizeCol))
+      .withColumn("g_prefix", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("bin_id", (col("g_prefix") / targetSize).cast("long"))
+      .groupBy("bin_id")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col(sizeCol)).cast("long").as("total_size"),
+        min(col(idCol)).as("first_id"),
+        max(col(idCol)).as("last_id"))
+      .orderBy("bin_id")
+  }
+
+  // ---- Deterministic CDC scenario over the `orders` table ----
+  //
+  // The registered queries need a change stream derivable from the fixed
+  // testdata so DuckDB can replay it: base = 3/4 of orders (key % 4 != 3),
+  // updates (+$5) on base keys ending in 0/5, a later delete on keys
+  // ≡ 5 (mod 20) — exercising last-writer-wins over the update — and
+  // inserts for the held-out quarter. Prices are exact integer cents
+  // throughout so the hash compare is engine-neutral.
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Base snapshot: (o_orderkey, status, price_c) for keys % 4 != 3. */
+  def ordersCdcBase(orders: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderkey") % 4 =!= 3)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        cents(col("o_totalprice")).as("price_c"))
+
+  /** Change batch: U(seq 1) on base keys % 10 ∈ {0,5}; D(seq 2) on base
+    * keys % 20 = 5; I(seq 1) for the held-out keys % 4 = 3.
+    */
+  def ordersCdcChanges(orders: DataFrame): DataFrame = {
+    val k = col("o_orderkey")
+    val updates = orders
+      .filter(k % 4 =!= 3 && (k % 10 === 0 || k % 10 === 5))
+      .select(k.as("o_orderkey"), lit("U").as("op"), lit(1L).as("seq"),
+        col("o_orderstatus").as("status"),
+        (cents(col("o_totalprice")) + 500L).as("price_c"))
+    val deletes = orders
+      .filter(k % 4 =!= 3 && k % 20 === 5)
+      .select(k.as("o_orderkey"), lit("D").as("op"), lit(2L).as("seq"),
+        lit(null).cast("string").as("status"),
+        lit(null).cast("long").as("price_c"))
+    val inserts = orders
+      .filter(k % 4 === 3)
+      .select(k.as("o_orderkey"), lit("I").as("op"), lit(1L).as("seq"),
+        lit("NEW").as("status"),
+        cents(col("o_totalprice")).as("price_c"))
+    updates.union(deletes).union(inserts)
+  }
+
+  /** Registered q_cdc_apply body: apply the derived change batch to the
+    * derived base snapshot.
+    */
+  def ordersCdcApply(orders: DataFrame): DataFrame =
+    cdcApply(ordersCdcBase(orders), ordersCdcChanges(orders), "o_orderkey")
+      .orderBy("o_orderkey")
+
+  /** Registered q_cdc_feed body: the change data feed between the base
+    * snapshot and the CDC-applied snapshot — reconstructing exactly the
+    * inserts/updates/deletes the batch performed (minus the `src`
+    * bookkeeping column, which is not payload).
+    */
+  def ordersCdcFeed(orders: DataFrame): DataFrame =
+    changeDataFeed(
+      ordersCdcBase(orders),
+      ordersCdcApply(orders).drop("src"),
+      "o_orderkey")
+      .orderBy("o_orderkey")
+
+  /** Registered q_incr_agg_merge body: per-customer (count, cents-sum)
+    * maintained incrementally — state from orders before 1996-07-01,
+    * delta from the rest, merged. The oracle is the ONE-SHOT aggregate
+    * over all orders: hash equality proves the merge is exactly the
+    * associative fold it claims to be.
+    */
+  def ordersIncrAggMerge(orders: DataFrame): DataFrame = {
+    val cut = lit("1996-07-01").cast("timestamp")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("total_c"))
+    aggMerge(
+      partial(orders.filter(col("o_orderdate") < cut)),
+      partial(orders.filter(col("o_orderdate") >= cut)),
+      "o_custkey")
+      .orderBy("o_custkey")
+  }
+
+  /** Registered q_table_compaction body: documents as a file inventory
+    * (doc_id, n_chars), packed into 64 kB bins.
+    */
+  def docsCompactionPlan(documents: DataFrame): DataFrame =
+    compactionPlan(documents, "doc_id", "n_chars", 64000L)
+
+  /** Registered q_table_timetravel body: build (pay-once per session and
+    * input, like the bucketed-join ingest) a [[graft.sources.VersionedTable]]
+    * with three commits — v1 = the base snapshot, v2 = metadata-only
+    * APPEND of the held-out inserts (so v2 is exactly every order), v3 =
+    * logical OVERWRITE with the CDC-applied state — then read all three
+    * snapshots back AFTER v3 exists and aggregate each. Time travel is
+    * the point: v1/v2 must still replay exactly even though the table's
+    * head has been overwritten twice.
+    */
+  def ordersTimeTravel(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val table = versionedTables.computeIfAbsent((spark, inputKey), { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_versioned")
+      deleteRecursivelyOnExit(d)
+      val t = s"$d/orders_v"
+      graft.sources.VersionedTable.commit(ordersCdcBase(orders), t, append = false)
+      val inserts = orders.filter(col("o_orderkey") % 4 === 3)
+        .select(col("o_orderkey"), lit("NEW").as("status"),
+          cents(col("o_totalprice")).as("price_c"))
+      graft.sources.VersionedTable.commit(inserts, t, append = true)
+      graft.sources.VersionedTable.commit(
+        ordersCdcApply(orders).drop("src"), t, append = false)
+      t
+    })
+    (1L to 3L).map { v =>
+      graft.sources.VersionedTable.read(spark, table, Some(v))
+        .agg(count(lit(1)).as("n_rows"), sum("price_c").cast("long").as("total_c"))
+        .select(lit(v).as("version"), col("n_rows"), col("total_c"))
+    }.reduce(_ union _).orderBy("version")
+  }
+
+  private val versionedTables =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }))
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.sources.VersionedTable
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Commit-protocol pins for the versioned-table layout: append is
+  * metadata-only, overwrite keeps old snapshots readable (time travel),
+  * reads pin one manifest (snapshot isolation), vacuum deletes exactly
+  * the unreferenced files while retained versions stay exact, and no
+  * partially-visible manifest can exist (staged + atomic rename).
+  */
+class VersionedTableSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def freshTable(): String = {
+    val d = Files.createTempDirectory("graft_vt_test")
+    d.toFile.deleteOnExit()
+    s"$d/t"
+  }
+
+  private def df(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("k", "v")
+  }
+  private def slurp(table: String, version: Option[Long] = None): Set[(Long, String)] =
+    VersionedTable.read(spark, table, version).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("commit/read round-trip; append unions; overwrite replaces the head") {
+    val t = freshTable()
+    assert(VersionedTable.versions(t).isEmpty)
+    assert(VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false) == 1L)
+    assert(VersionedTable.commit(df(3L -> "c"), t, append = true) == 2L)
+    assert(VersionedTable.commit(df(9L -> "z"), t, append = false) == 3L)
+    assert(VersionedTable.versions(t) == Seq(1L, 2L, 3L))
+    assert(slurp(t) == Set(9L -> "z"))
+  }
+
+  test("time travel: old snapshots replay exactly after later overwrites") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    VersionedTable.commit(df(3L -> "c"), t, append = true)
+    VersionedTable.commit(df(9L -> "z"), t, append = false)
+    assert(slurp(t, Some(1L)) == Set(1L -> "a", 2L -> "b"))
+    assert(slurp(t, Some(2L)) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(slurp(t, Some(3L)) == Set(9L -> "z"))
+  }
+
+  test("snapshot isolation: a plan built against version N ignores later commits") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    val pinned = VersionedTable.read(spark, t) // resolves to v1 now
+    VersionedTable.commit(df(2L -> "b"), t, append = true)
+    assert(pinned.collect().map(_.getLong(0)).toSet == Set(1L),
+      "a pinned snapshot must not see the concurrent append")
+  }
+
+  test("append is metadata-only: no prior data file is rewritten") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    val before = Files.walk(Path.of(t, "data")).iterator()
+    val filesBefore = new java.util.ArrayList[Path]()
+    before.forEachRemaining(p => if (Files.isRegularFile(p)) filesBefore.add(p))
+    val mtimes = filesBefore.toArray(Array.empty[Path])
+      .map(p => p -> Files.getLastModifiedTime(p)).toMap
+    VersionedTable.commit(df(2L -> "b"), t, append = true)
+    mtimes.foreach { case (p, t0) =>
+      assert(Files.getLastModifiedTime(p) == t0, s"append rewrote $p")
+    }
+  }
+
+  test("vacuum deletes only unreferenced files; retained versions stay exact") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    VersionedTable.commit(df(2L -> "b"), t, append = true) // v2 references v1's files
+    VersionedTable.commit(df(9L -> "z"), t, append = false) // v3 orphans them
+    val deleted = VersionedTable.vacuum(t, retain = 2)
+    assert(VersionedTable.versions(t) == Seq(2L, 3L))
+    // v1's files are still referenced by the retained v2 → nothing deletable
+    assert(deleted == 0)
+    assert(slurp(t, Some(2L)) == Set(1L -> "a", 2L -> "b"))
+    val deleted2 = VersionedTable.vacuum(t, retain = 1)
+    assert(deleted2 > 0, "expiring v2 must free the now-unreferenced files")
+    assert(VersionedTable.versions(t) == Seq(3L))
+    assert(slurp(t) == Set(9L -> "z"))
+    intercept[IllegalArgumentException](VersionedTable.read(spark, t, Some(2L)))
+  }
+
+  test("no partially-visible manifest: only fully-written .manifest files are listed") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    // simulate a crashed commit: a stale temp manifest must be invisible
+    Files.writeString(Path.of(t, "_manifest", "2.manifest.tmp"), "version=2")
+    assert(VersionedTable.versions(t) == Seq(1L))
+    assert(slurp(t) == Set(1L -> "a"))
+  }
+}
