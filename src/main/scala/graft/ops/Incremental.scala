@@ -26,12 +26,16 @@ object Incremental {
     * absent key inserts — standard upsert semantics, what MERGE's
     * WHEN NOT MATCHED clause does). Unchanged base rows pass through.
     *
-    * Shape: ONE window shuffle on the change stream (delta-sized, not
-    * table-sized) + one full-outer join hashed on the key. The base
-    * snapshot is never sorted and never fans out, so applying a small
-    * delta to a 100 TB table moves the delta to the base's partitioning,
-    * not the reverse. Payload columns are taken from `changes` when a
-    * surviving change exists, else from `base`; `src` records which.
+    * Shape (audited with PlanAudit at sf0.01: 3 exchanges, 1 SMJ, no
+    * broadcast/cartesian): one window shuffle on the change stream
+    * (delta-sized, not table-sized), then a full-outer sort-merge join
+    * with BOTH sides hashed on the key — linear, skew-free (primary
+    * keys), horizontally scalable. At 100 TB the base-side exchange is
+    * the dominant cost; the standing escape is the same pay-once layout
+    * as [[Relational.bucketedJoin]]: keep the base bucketed by the key
+    * and the nightly CDC apply shuffles only the delta. Payload columns
+    * are taken from `changes` when a surviving change exists, else from
+    * `base`; `src` records which.
     */
   def cdcApply(
       base: DataFrame,

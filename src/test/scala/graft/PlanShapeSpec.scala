@@ -483,4 +483,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WholeStageCodegen"), s"no codegen stages:\n${p.take(2000)}")
     assert(plan(df).contains("vec_cosine"), "vec_cosine missing from plan")
   }
+
+  test("CDC apply is one key-hashed merge join — no cartesian, no NL, one SMJ") {
+    val p = plan(Incremental.ordersCdcApply(t("orders")))
+    assert(!p.contains("CartesianProduct"), s"cartesian in CDC plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NL join in CDC plan:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).size == 1,
+      s"expected exactly one merge join (base ⟗ latest-changes):\n$p")
+    // LWW dedup must be a windowed rank over the DELTA, not a self-join
+    assert(p.contains("row_number"), s"LWW window missing:\n$p")
+  }
+
+  test("change data feed diffs with key-hashed joins only — no cartesian") {
+    val p = plan(Incremental.ordersCdcFeed(t("orders")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in CDF plan:\n$p")
+  }
+
+  test("versioned read scans exactly the pinned manifest's files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val sparkS = spark; import sparkS.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_vt_plan")
+    d.toFile.deleteOnExit()
+    val table = s"$d/t"
+    graft.sources.VersionedTable.commit(
+      Seq((1L, "a")).toDF("k", "v"), table, append = false)
+    val pinned = graft.sources.VersionedTable.read(spark, table, Some(1L))
+    graft.sources.VersionedTable.commit(
+      Seq((2L, "b")).toDF("k", "v"), table, append = true)
+    val scans = pinned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in versioned read plan")
+    val scanned = scans.flatMap(_.relation.location.inputFiles).toSet
+    assert(scanned.forall(_.contains("/data/c1/")),
+      s"pinned v1 read must touch only commit-1 files, saw: $scanned")
+  }
 }
