@@ -61,10 +61,12 @@ object SparkEntry {
     // DataSource V2 connector (generates its own input; dir unused)
     "q_synth_source" -> ((s, _) => graft.sources.Synth.aggregateByKind(s, 50000L, 8)),
     "q_layout_scan" -> ((s, d) => Relational.sortedLayoutScan(t(s, d, "documents"))),
+    "q_layout_zorder" -> ((s, d) => Relational.zorderLayoutScan(t(s, d, "documents"))),
     // Incremental data management (ops/Incremental.scala): CDC apply with
     // last-writer-wins, snapshot diff (change data feed), incremental
     // aggregate maintenance, compaction planning, versioned time travel.
     "q_cdc_apply" -> ((s, d) => Incremental.ordersCdcApply(t(s, d, "orders"))),
+    "q_cdc_apply_bc" -> ((s, d) => Incremental.ordersCdcApplyBroadcast(t(s, d, "orders"))),
     "q_cdc_feed" -> ((s, d) => Incremental.ordersCdcFeed(t(s, d, "orders"))),
     "q_incr_agg_merge" -> ((s, d) => Incremental.ordersIncrAggMerge(t(s, d, "orders"))),
     "q_table_compaction" -> ((s, d) => Incremental.docsCompactionPlan(t(s, d, "documents"))),
@@ -1140,10 +1142,51 @@ object SparkEntry {
       """SELECT doc_id, n_chars, source FROM documents
         |WHERE n_chars >= 480 AND n_chars < 600
         |ORDER BY doc_id""".stripMargin,
+    // The z-ordered rewrite must round-trip exactly the raw table's rows
+    // for the same two-dimensional rectangle.
+    "q_layout_zorder" ->
+      """SELECT doc_id, n_chars, source FROM documents
+        |WHERE n_chars >= 480 AND n_chars < 600
+        |  AND doc_id >= 0 AND doc_id < 100
+        |ORDER BY doc_id""".stripMargin,
     // CDC replay: base = 3/4 of orders; U(+500 cents, seq 1) on base keys
     // ending 0/5; D(seq 2) on keys ≡ 5 (mod 20) — last-writer-wins over
     // the update; I for the held-out quarter. Exact integer cents.
     "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |ch AS (
+        |  SELECT o_orderkey, 'U' AS op, 1 AS seq, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS price_c
+        |  FROM orders
+        |  WHERE o_orderkey % 4 <> 3
+        |    AND (o_orderkey % 10 = 0 OR o_orderkey % 10 = 5)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 2, NULL, NULL FROM orders
+        |  WHERE o_orderkey % 4 <> 3 AND o_orderkey % 20 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey, 'I', 1, 'NEW',
+        |         CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 4 = 3),
+        |latest AS (
+        |  SELECT o_orderkey, op, status, price_c FROM (
+        |    SELECT ch.*,
+        |      row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN l.o_orderkey IS NOT NULL THEN l.status ELSE b.status END
+        |    AS status,
+        |  CASE WHEN l.o_orderkey IS NOT NULL THEN l.price_c ELSE b.price_c END
+        |    AS price_c,
+        |  CASE WHEN l.o_orderkey IS NOT NULL THEN 'cdc' ELSE 'base' END AS src
+        |FROM base b FULL JOIN latest l ON b.o_orderkey = l.o_orderkey
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    // The broadcast form must produce the identical standing table — the
+    // oracle is byte-for-byte the merge form's.
+    "q_cdc_apply_bc" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus AS status,
         |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c

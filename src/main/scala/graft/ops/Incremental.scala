@@ -62,6 +62,60 @@ object Incremental {
           when(col("g_ck").isNotNull, lit("cdc")).otherwise(lit("base")).as("src"): _*)
   }
 
+  /** Broadcast variant of [[cdcApply]], identical results: for the
+    * steady-state 100 TB case — a day's delta applied to a huge base —
+    * the base must not shuffle at all. Full-outer joins can't broadcast,
+    * so the plan is decomposed into broadcast-able legs:
+    *
+    *   1. updates/deletes: base LEFT-BROADCAST-JOIN latest — the base
+    *      side streams straight off its scan, matched rows take the
+    *      change payload or drop on D;
+    *   2. inserts: keys of the base touched by the delta come from a
+    *      base ⋉ broadcast(latest) semi join (delta-sized OUTPUT, the
+    *      base again only streamed), and latest anti-joins that small
+    *      frame — a broadcast anti join — to find the change keys with
+    *      no base row.
+    *
+    * Cost model vs [[cdcApply]]: two streaming scans of the base and
+    * ZERO base-side exchanges (pinned by PlanShapeSpec: every join
+    * broadcasts, no SortMergeJoin) against one scan plus one full
+    * key-hash shuffle+sort. A scan is bandwidth; a 100 TB shuffle is the
+    * cluster's whole network — use this form whenever the deduped delta
+    * fits the broadcast threshold, the merge form when it doesn't. Same
+    * tradeoff boundary as the as-of join's broadcast/merge strategy pair.
+    */
+  def cdcApplyBroadcast(
+      base: DataFrame,
+      changes: DataFrame,
+      key: String,
+      seqCol: String = "seq",
+      opCol: String = "op"): DataFrame = {
+    val payload = base.columns.filter(_ != key)
+    val w = Window.partitionBy(key).orderBy(col(seqCol).desc)
+    val latest = changes
+      .withColumn("g_rn", row_number().over(w))
+      .filter(col("g_rn") === 1)
+      .drop("g_rn", seqCol)
+    val c = latest.select(
+      col(key).as("g_ck") +: col(opCol).as("g_op") +: payload.map(c0 => col(c0).as(s"g_c_$c0")): _*)
+    val updated = base
+      .join(broadcast(c), col(key) === col("g_ck"), "left")
+      .filter(col("g_op").isNull || col("g_op") =!= "D")
+      .select(
+        col(key) +:
+          payload.map(c0 =>
+            when(col("g_ck").isNotNull, col(s"g_c_$c0")).otherwise(col(c0)).as(c0)) :+
+          when(col("g_ck").isNotNull, lit("cdc")).otherwise(lit("base")).as("src"): _*)
+    val touchedKeys = base.select(col(key))
+      .join(broadcast(latest.select(col(key))), Seq(key), "left_semi")
+    val inserts = latest
+      .filter(col(opCol) =!= "D")
+      .join(broadcast(touchedKeys), Seq(key), "left_anti")
+      .select(
+        col(key) +: payload.map(col) :+ lit("cdc").as("src"): _*)
+    updated.union(inserts)
+  }
+
   /** Incremental aggregate maintenance: merge a delta's partial
     * aggregates into a standing aggregate state. Both frames carry the
     * same (key, count, sum…) shape; the merge is a full-outer join with
@@ -184,6 +238,13 @@ object Incremental {
     */
   def ordersCdcApply(orders: DataFrame): DataFrame =
     cdcApply(ordersCdcBase(orders), ordersCdcChanges(orders), "o_orderkey")
+      .orderBy("o_orderkey")
+
+  /** Registered q_cdc_apply_bc body: the broadcast form on the same
+    * scenario — results must hash-match the merge form's oracle exactly.
+    */
+  def ordersCdcApplyBroadcast(orders: DataFrame): DataFrame =
+    cdcApplyBroadcast(ordersCdcBase(orders), ordersCdcChanges(orders), "o_orderkey")
       .orderBy("o_orderkey")
 
   /** Registered q_cdc_feed body: the change data feed between the base

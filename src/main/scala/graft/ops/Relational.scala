@@ -737,6 +737,63 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** Z-ordered (Morton-interleaved) data layout — the MULTI-dimensional
+    * extension of [[sortedLayoutScan]]. A 1-D sort gives tight row-group
+    * stats on ONE column; a rectangle predicate over two columns then
+    * prunes only on that column and reads every matching-slice file
+    * regardless of the second dimension. Z-ordering interleaves the bits
+    * of both columns' range-bucketed values into one sort key, so each
+    * written file covers a small RECTANGLE of the (n_chars, doc_id)
+    * plane and carries tight min/max on BOTH columns — the pushed
+    * conjunctive filter then disqualifies whole row groups in either
+    * dimension (parquet prunes per-column stats independently, which is
+    * exactly what a Morton cell's bounded extent in every dimension
+    * feeds). Same idea as Delta/Iceberg OPTIMIZE ZORDER; the ingest is
+    * pay-once per (session, inputs), and the min/max bucketing stats
+    * come from one cheap aggregate at ingest (catalog stats at scale).
+    * `LayoutSpec` measures the skip against the 1-D layout on the same
+    * rectangle.
+    */
+  def zorderLayoutScan(
+      documents: DataFrame,
+      loChars: Long = 480L, hiChars: Long = 600L,
+      loId: Long = 0L, hiId: Long = 100L): DataFrame = {
+    val spark = documents.sparkSession
+    val inputKey = documents.inputFiles.sorted.mkString(",")
+    val path = zorderLayouts.computeIfAbsent((spark, inputKey), { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
+      deleteRecursivelyOnExit(dir)
+      val Array(minC, maxC, minI, maxI) = documents
+        .agg(min("n_chars"), max("n_chars"), min("doc_id"), max("doc_id"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      def bucket(c: Column, lo: Long, hi: Long): Column =
+        ((c - lit(lo)) * 256L / lit(math.max(hi - lo + 1, 1L))).cast("int")
+      val bx = bucket(col("n_chars"), minC, maxC)
+      val by = bucket(col("doc_id"), minI, maxI)
+      val morton = (0 until 8).map { i =>
+        shiftleft(shiftright(bx, i).bitwiseAND(lit(1)), 2 * i + 1)
+          .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1)), 2 * i))
+      }.reduce(_ bitwiseOR _)
+      documents
+        .withColumn("g_z", morton)
+        .repartitionByRange(8, col("g_z"), col("doc_id"))
+        .sortWithinPartitions("g_z", "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 64)
+        .parquet(s"$dir/docs_z")
+      s"$dir/docs_z"
+    })
+    spark.read.parquet(path)
+      .filter(col("n_chars") >= loChars && col("n_chars") < hiChars &&
+        col("doc_id") >= loId && col("doc_id") < hiId)
+      .select(col("doc_id"), col("n_chars"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  private val zorderLayouts =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+
   private val sortedLayouts =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), String]()

@@ -50,6 +50,18 @@ class IncrementalSpec extends AnyFunSuite {
     assert(out == Map(1L -> ((null, 110L, "cdc"))))
   }
 
+  test("cdcApplyBroadcast equals cdcApply on every LWW/upsert/delete case") {
+    val b = base((1L, "A", 100L), (2L, "B", 200L), (3L, "C", 300L))
+    val c = changes(
+      (1L, "U", 1L, "A", 150L), (1L, "U", 2L, "A2", 160L),
+      (2L, "U", 1L, "B", 250L), (2L, "D", 2L, null, null),
+      (7L, "D", 1L, null, null), // delete of absent key: no-op in both forms
+      (9L, "U", 1L, "NEW", 900L))
+    val merge = state(Incremental.cdcApply(b, c, "k"))
+    val bcast = state(Incremental.cdcApplyBroadcast(b, c, "k"))
+    assert(bcast == merge, s"broadcast form diverged:\n$bcast\nvs\n$merge")
+  }
+
   test("changeDataFeed classifies insert/delete/update and skips unchanged rows") {
     val oldDf = base((1L, "A", 100L), (2L, "B", 200L), (3L, "C", 300L))
     val newDf = base((1L, "A", 100L), (2L, "B", 250L), (4L, "D", 400L))

@@ -494,6 +494,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("row_number"), s"LWW window missing:\n$p")
   }
 
+  test("broadcast CDC apply never shuffles the base — every join broadcasts") {
+    val p = plan(Incremental.ordersCdcApplyBroadcast(t("orders")))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"base-side shuffle join in broadcast CDC plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in broadcast CDC plan:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3,
+      s"expected the left + semi + anti legs all broadcast:\n$p")
+  }
+
   test("change data feed diffs with key-hashed joins only — no cartesian") {
     val p = plan(Incremental.ordersCdcFeed(t("orders")))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
