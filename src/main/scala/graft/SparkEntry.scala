@@ -71,6 +71,7 @@ object SparkEntry {
     "q_incr_agg_merge" -> ((s, d) => Incremental.ordersIncrAggMerge(t(s, d, "orders"))),
     "q_table_compaction" -> ((s, d) => Incremental.docsCompactionPlan(t(s, d, "documents"))),
     "q_table_timetravel" -> ((s, d) => Incremental.ordersTimeTravel(t(s, d, "orders"))),
+    "q_table_mor" -> ((s, d) => Incremental.ordersMergeOnRead(t(s, d, "orders"))),
     "q_cast_types" -> ((s, d) => Relational.castTypes(t(s, d, "orders"))),
     "q_dedup_rows" -> ((s, d) => Relational.dedupRows(t(s, d, "lineitem"))),
     "q_dedup_key" -> ((s, d) => Relational.dedupByKeyDeterministic(t(s, d, "lineitem"))),
@@ -1332,6 +1333,30 @@ object SparkEntry {
         |FROM orders
         |UNION ALL
         |SELECT 3, count(*), CAST(sum(price_c) AS BIGINT) FROM applied
+        |ORDER BY version""".stripMargin,
+    // Merge-on-read lifecycle: v1 = base; v2 = tombstone delete of keys
+    // ≡ 5 (mod 20); v3 = append re-inserting keys ≡ 5 (mod 40) — the
+    // commit-bounded tombstone must not swallow them; v4 = compact ≡ v3.
+    "q_table_mor" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |v2 AS (SELECT * FROM base WHERE o_orderkey % 20 <> 5),
+        |re AS (
+        |  SELECT o_orderkey, 'REINS' AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) + 1000 AS price_c
+        |  FROM orders WHERE o_orderkey % 4 <> 3 AND o_orderkey % 40 = 5),
+        |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM re)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS total_c FROM base
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(price_c) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 3, count(*), CAST(sum(price_c) AS BIGINT) FROM v3
+        |UNION ALL
+        |SELECT 4, count(*), CAST(sum(price_c) AS BIGINT) FROM v3
         |ORDER BY version""".stripMargin,
     "q_cast_types" ->
       """SELECT o_orderkey,

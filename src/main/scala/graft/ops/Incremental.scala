@@ -295,7 +295,7 @@ object Incremental {
   def ordersTimeTravel(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
     val inputKey = orders.inputFiles.sorted.mkString(",")
-    val table = versionedTables.computeIfAbsent((spark, inputKey), { _ =>
+    val table = versionedTables.computeIfAbsent((spark, s"tt:$inputKey"), { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft_versioned")
       deleteRecursivelyOnExit(d)
       val t = s"$d/orders_v"
@@ -308,12 +308,46 @@ object Incremental {
         ordersCdcApply(orders).drop("src"), t, append = false)
       t
     })
-    (1L to 3L).map { v =>
+    versionAggregates(spark, table, 3L)
+  }
+
+  /** Registered q_table_mor body: the merge-on-read lifecycle on one
+    * table (pay-once build) — v1 = base snapshot, v2 = `deleteWhere`
+    * (keys ≡ 5 mod 20: a tombstone commit, no data rewritten), v3 =
+    * APPEND re-inserting a subset of the deleted keys (≡ 5 mod 40,
+    * status REINS, +1000 cents) — the commit-bounded tombstone must NOT
+    * swallow them — v4 = `compact` (tombstones applied once, dropped
+    * from the manifest). v3 and v4 must aggregate identically; v1 must
+    * still show the pre-delete rows.
+    */
+  def ordersMergeOnRead(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val table = versionedTables.computeIfAbsent((spark, s"mor:$inputKey"), { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_versioned")
+      deleteRecursivelyOnExit(d)
+      val t = s"$d/orders_mor"
+      graft.sources.VersionedTable.commit(ordersCdcBase(orders), t, append = false)
+      graft.sources.VersionedTable.deleteWhere(
+        spark, t, col("o_orderkey") % 20 === 5, "o_orderkey")
+      val reinserts = orders
+        .filter(col("o_orderkey") % 4 =!= 3 && col("o_orderkey") % 40 === 5)
+        .select(col("o_orderkey"), lit("REINS").as("status"),
+          (cents(col("o_totalprice")) + 1000L).as("price_c"))
+      graft.sources.VersionedTable.commit(reinserts, t, append = true)
+      graft.sources.VersionedTable.compact(spark, t)
+      t
+    })
+    versionAggregates(spark, table, 4L)
+  }
+
+  private def versionAggregates(
+      spark: org.apache.spark.sql.SparkSession, table: String, upTo: Long): DataFrame =
+    (1L to upTo).map { v =>
       graft.sources.VersionedTable.read(spark, table, Some(v))
         .agg(count(lit(1)).as("n_rows"), sum("price_c").cast("long").as("total_c"))
         .select(lit(v).as("version"), col("n_rows"), col("total_c"))
     }.reduce(_ union _).orderBy("version")
-  }
 
   private val versionedTables =
     new java.util.concurrent.ConcurrentHashMap[

@@ -1,26 +1,36 @@
 package graft.sources
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
 
 /** Minimal versioned-table layout: immutable parquet data files plus a
   * per-version manifest listing exactly the files visible in that
   * snapshot — the metadata-layer pattern (Delta/Iceberg-style) that
-  * gives a 100 TB table atomic commits, snapshot isolation, and time
-  * travel WITHOUT ever rewriting data for an append:
+  * gives a 100 TB table atomic commits, snapshot isolation, time
+  * travel, merge-on-read deletes, and exactly-once streaming ingest
+  * WITHOUT ever rewriting data for an append or a delete:
   *
   *   - every commit writes its rows to a fresh `data/c<N>/` directory
   *     (files are immutable once written, so concurrent readers of older
   *     snapshots are never disturbed);
-  *   - the manifest (`_manifest/<N>.manifest`: version line + one
-  *     relative file path per line) is staged to a temp name and
-  *     ATOMIC_MOVE-renamed — a reader either sees version N fully or
-  *     not at all, which is the entire commit protocol;
+  *   - the manifest (`_manifest/<N>.manifest`: `version=` line, optional
+  *     `txn=` line, then one entry per line) is staged to a temp name
+  *     and ATOMIC_MOVE-renamed — a reader either sees version N fully
+  *     or not at all, which is the entire commit protocol;
+  *   - a data entry is a relative path; a DELETE entry is
+  *     `D:<bound>:<path>` — a parquet file of doomed keys that applies
+  *     only to data commits ≤ `bound`, so a later re-insert of a
+  *     deleted key is NOT swallowed by the old tombstone (the same
+  *     commit-scoping that file-scoped deletion vectors provide);
   *   - a read pins ONE manifest, so long queries are isolated from
   *     later commits (snapshot isolation);
-  *   - `vacuum` deletes data files referenced only by expired manifests,
-  *     keeping the newest `retain` versions readable.
+  *   - `vacuum` deletes files referenced only by expired manifests,
+  *     keeping the newest `retain` versions readable;
+  *   - `commitIfAbsent` makes a commit idempotent under a caller
+  *     transaction id (recorded inside the atomically-renamed
+  *     manifest), which is exactly what a foreachBatch streaming sink
+  *     needs for exactly-once ingest across batch replays.
   *
   * Scale note: the manifest grows with FILE count, not row count —
   * ~800k lines for 100 TB at 128 MB files — and is only read on plan
@@ -30,6 +40,12 @@ import scala.jdk.CollectionConverters._
 object VersionedTable {
 
   private def manifestDir(table: String): Path = Paths.get(table, "_manifest")
+
+  private def isDeleteEntry(e: String): Boolean = e.startsWith("D:")
+  private def entryPath(e: String): String =
+    if (isDeleteEntry(e)) e.split(":", 3)(2) else e
+  private def dataCommitOf(path: String): Long =
+    path.split("/")(1).stripPrefix("c").toLong
 
   /** Committed versions, ascending (empty for a nonexistent table). */
   def versions(table: String): Seq[Long] = {
@@ -41,66 +57,157 @@ object VersionedTable {
       .toSeq.sorted
   }
 
-  private def manifestFiles(table: String, version: Long): Seq[String] = {
-    val lines = Files.readAllLines(
-      manifestDir(table).resolve(s"$version.manifest")).asScala
+  private def manifestLines(table: String, version: Long): Seq[String] =
+    Files.readAllLines(manifestDir(table).resolve(s"$version.manifest"))
+      .asScala.toSeq
+
+  /** Entries (data + delete) of a version's manifest, prefix intact. */
+  private def manifestEntries(table: String, version: Long): Seq[String] = {
+    val lines = manifestLines(table, version)
     require(lines.nonEmpty && lines.head == s"version=$version",
       s"corrupt manifest for version $version")
-    lines.tail.toSeq
+    lines.tail.dropWhile(_.startsWith("txn="))
   }
 
-  /** Atomically commit `df` as the next version. `append=true` carries
-    * the previous snapshot's file list forward (pure-metadata append —
-    * no existing data is read or rewritten); `append=false` makes the
-    * new files the entire snapshot (logical overwrite — old files stay
-    * on disk for time travel until vacuumed). Returns the new version.
-    */
-  def commit(df: DataFrame, table: String, append: Boolean): Long = {
-    val prev = versions(table)
-    val next = prev.lastOption.getOrElse(0L) + 1L
-    val dataDir = Paths.get(table, "data", s"c$next")
-    df.write.mode("errorifexists").parquet(dataDir.toString)
-    val fresh = Files.list(dataDir).iterator.asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-      .toSeq.sorted
-      .map(n => s"data/c$next/$n")
-    val carried =
-      if (append && prev.nonEmpty) manifestFiles(table, prev.last) else Seq.empty
+  private def txnOf(table: String, version: Long): Option[String] =
+    manifestLines(table, version).tail.headOption
+      .filter(_.startsWith("txn=")).map(_.stripPrefix("txn="))
+
+  /** A committed txn id → its version, for idempotent-ingest lookups. */
+  def txnVersion(table: String, txnId: String): Option[Long] =
+    versions(table).find(v => txnOf(table, v).contains(txnId))
+
+  private def writeManifest(
+      table: String, next: Long, entries: Seq[String], txnId: Option[String]): Long = {
     val mdir = manifestDir(table)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(s"$next.manifest.tmp")
-    Files.write(tmp, (s"version=$next" +: (carried ++ fresh)).asJava)
+    val header = s"version=$next" +: txnId.map(t => s"txn=$t").toSeq
+    Files.write(tmp, (header ++ entries).asJava)
     Files.move(tmp, mdir.resolve(s"$next.manifest"),
       StandardCopyOption.ATOMIC_MOVE)
     next
   }
 
+  private def writeFiles(df: DataFrame, table: String, next: Long): Seq[String] = {
+    val dataDir = Paths.get(table, "data", s"c$next")
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    Files.list(dataDir).iterator.asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .toSeq.sorted
+      .map(n => s"data/c$next/$n")
+  }
+
+  /** Atomically commit `df` as the next version. `append=true` carries
+    * the previous snapshot's entries forward (pure-metadata append —
+    * no existing data is read or rewritten); `append=false` makes the
+    * new files the entire snapshot (logical overwrite — old files stay
+    * on disk for time travel until vacuumed). Returns the new version.
+    */
+  def commit(df: DataFrame, table: String, append: Boolean): Long =
+    commitTxn(df, table, append, txnId = None)
+
+  /** [[commit]] stamped with a transaction id inside the same atomic
+    * manifest rename — the building block for [[commitIfAbsent]].
+    */
+  def commitTxn(
+      df: DataFrame, table: String, append: Boolean, txnId: Option[String]): Long = {
+    val prev = versions(table)
+    val next = prev.lastOption.getOrElse(0L) + 1L
+    val fresh = writeFiles(df, table, next)
+    val carried =
+      if (append && prev.nonEmpty) manifestEntries(table, prev.last) else Seq.empty
+    writeManifest(table, next, carried ++ fresh, txnId)
+  }
+
+  /** Idempotent commit: if a version carrying `txnId` already exists,
+    * do nothing and return None; else commit and return the version.
+    * Because the txn id rides inside the atomically-renamed manifest,
+    * a crashed-and-replayed writer can never double-apply — this is the
+    * exactly-once contract a streaming foreachBatch sink keys on its
+    * batchId (see `CdcStreamsSpec`'s ingest test).
+    */
+  def commitIfAbsent(
+      df: DataFrame, table: String, append: Boolean, txnId: String): Option[Long] =
+    txnVersion(table, txnId) match {
+      case Some(_) => None
+      case None    => Some(commitTxn(df, table, append, Some(txnId)))
+    }
+
+  /** Merge-on-read delete: write the doomed KEYS as a tombstone file and
+    * commit a manifest referencing it — no data file is rewritten. The
+    * tombstone is bounded to the data commits existing NOW, so rows for
+    * the same key appended by a LATER commit are visible again (delete
+    * means "delete the rows present at delete time", not "ban the key").
+    * Returns the new version.
+    */
+  def deleteWhere(
+      spark: SparkSession, table: String, predicate: Column, keyCol: String): Long = {
+    val prev = versions(table)
+    require(prev.nonEmpty, s"no committed versions at $table")
+    val lastV = prev.last
+    val next = lastV + 1L
+    val doomed = read(spark, table, Some(lastV))
+      .filter(predicate).select(keyCol).distinct()
+    val fresh = writeFiles(doomed, table, next)
+    val bound = next - 1L
+    writeManifest(table, next,
+      manifestEntries(table, lastV) ++ fresh.map(p => s"D:$bound:$p"), None)
+  }
+
+  /** Rewrite the current merge-on-read view as a plain overwrite commit:
+    * tombstones are applied once and dropped from the new manifest —
+    * the OPTIMIZE step that turns read-time anti-joins back into pure
+    * scans. Returns the new version.
+    */
+  def compact(spark: SparkSession, table: String): Long =
+    commit(read(spark, table), table, append = false)
+
   /** Read a snapshot (latest when `version` is None). The returned plan
-    * scans exactly the manifest's file list — later commits are
-    * invisible (snapshot isolation), earlier versions stay readable
-    * (time travel).
+    * scans exactly the manifest's data files; any tombstone entries are
+    * applied as an anti-join of doomed keys against the data commits
+    * they are bounded to (delete frames are key-only and typically
+    * broadcast). Later commits are invisible (snapshot isolation),
+    * earlier versions stay readable (time travel).
     */
   def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed versions at $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val paths = manifestFiles(table, v).map(f => Paths.get(table, f).toString)
-    spark.read.parquet(paths: _*)
+    val entries = manifestEntries(table, v)
+    def abs(rel: String) = Paths.get(table, rel).toString
+    val dataE = entries.filterNot(isDeleteEntry)
+    val delE = entries.filter(isDeleteEntry).map { e =>
+      val Array(_, b, p) = e.split(":", 3); (b.toLong, p)
+    }
+    if (delE.isEmpty) spark.read.parquet(dataE.map(abs): _*)
+    else
+      dataE.groupBy(dataCommitOf).toSeq.sortBy(_._1).map { case (c, files) =>
+        val applicable = delE.collect { case (b, p) if b >= c => p }
+        val df = spark.read.parquet(files.map(abs): _*)
+        if (applicable.isEmpty) df
+        else {
+          val del = spark.read.parquet(applicable.map(abs): _*)
+          df.join(del.select(del.columns.head).distinct(),
+            Seq(del.columns.head), "left_anti")
+        }
+      }.reduce(_ unionByName _)
   }
 
   /** Expire all but the newest `retain` versions: delete their manifests
-    * and any data file no retained manifest references. Returns the
-    * number of data files deleted. Retained snapshots remain exactly
-    * readable — vacuum never touches a referenced file.
+    * and any data/tombstone file no retained manifest references.
+    * Returns the number of files deleted. Retained snapshots remain
+    * exactly readable — vacuum never touches a referenced file.
     */
   def vacuum(table: String, retain: Int): Int = {
     require(retain >= 1, "must retain at least one version")
     val vs = versions(table)
     val (expired, kept) = vs.splitAt(math.max(0, vs.length - retain))
-    val keep = kept.flatMap(manifestFiles(table, _)).toSet
-    val doomed = expired.flatMap(manifestFiles(table, _)).toSet -- keep
+    val keep = kept.flatMap(manifestEntries(table, _)).map(entryPath).toSet
+    val doomed =
+      expired.flatMap(manifestEntries(table, _)).map(entryPath).toSet -- keep
     doomed.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
     expired.foreach(v =>
       Files.deleteIfExists(manifestDir(table).resolve(s"$v.manifest")))

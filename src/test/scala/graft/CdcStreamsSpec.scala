@@ -66,6 +66,37 @@ class CdcStreamsSpec extends AnyFunSuite {
     assert(live == batchView)
   }
 
+  test("foreachBatch ingest into a versioned table is exactly-once across batch replays") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = java.nio.file.Files.createTempDirectory("graft_vt_ingest")
+    d.toFile.deleteOnExit()
+    val table = s"$d/t"
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the sink's whole exactly-once contract: key the commit on the
+        // batch id; a replayed batch becomes a metadata no-op
+        graft.sources.VersionedTable.commitIfAbsent(
+          df, table, append = true, txnId = s"batch-$batchId")
+        ()
+      }
+      .start()
+    try {
+      input.addData(Seq(1L -> "a", 2L -> "b")); query.processAllAvailable()
+      input.addData(Seq(3L -> "c")); query.processAllAvailable()
+      // simulate the crash-replay: re-offer batch 0's data under its id
+      val replayed = graft.sources.VersionedTable.commitIfAbsent(
+        Seq(1L -> "a", 2L -> "b").toDF("k", "v"), table, append = true, txnId = "batch-0")
+      assert(replayed.isEmpty, "replayed batch must not commit twice")
+      val rows = graft.sources.VersionedTable.read(spark, table)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+      assert(graft.sources.VersionedTable.versions(table).size == 2)
+    } finally query.stop()
+  }
+
   test("a late lower-seq change emits nothing and leaves the standing row intact") {
     val fin = runStream(
       Seq(log.filter(_.seq != 4L), Seq(Change(3L, "U", 4L, Some("STALE"), Some(999L)))),

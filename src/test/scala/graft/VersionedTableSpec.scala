@@ -2,7 +2,9 @@ package graft
 
 import graft.sources.VersionedTable
 import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** Commit-protocol pins for the versioned-table layout: append is
   * metadata-only, overwrite keeps old snapshots readable (time travel),
@@ -86,6 +88,43 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.versions(t) == Seq(3L))
     assert(slurp(t) == Set(9L -> "z"))
     intercept[IllegalArgumentException](VersionedTable.read(spark, t, Some(2L)))
+  }
+
+  test("merge-on-read delete rewrites nothing; re-inserted keys escape the old tombstone") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a", 2L -> "b", 3L -> "c"), t, append = false)
+    val mtimes = java.nio.file.Files.walk(Path.of(t, "data")).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(p => p -> Files.getLastModifiedTime(p)).toMap
+    VersionedTable.deleteWhere(spark, t, col("k") === 2L, "k")
+    mtimes.foreach { case (p, t0) =>
+      assert(Files.getLastModifiedTime(p) == t0, s"delete rewrote $p")
+    }
+    assert(slurp(t) == Set(1L -> "a", 3L -> "c"))
+    assert(slurp(t, Some(1L)) == Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      "time travel must still see the pre-delete snapshot")
+    // re-insert key 2 in a LATER commit: the bounded tombstone must not eat it
+    VersionedTable.commit(df(2L -> "b2"), t, append = true)
+    assert(slurp(t) == Set(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // compact applies tombstones once and drops them
+    val v = VersionedTable.compact(spark, t)
+    assert(slurp(t, Some(v)) == Set(1L -> "a", 2L -> "b2", 3L -> "c"))
+    VersionedTable.vacuum(t, retain = 1)
+    assert(slurp(t) == Set(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("commitIfAbsent is idempotent under a transaction id") {
+    val t = freshTable()
+    assert(VersionedTable.commitIfAbsent(df(1L -> "a"), t, append = false,
+      txnId = "batch-0").contains(1L))
+    // a replayed writer re-offers the same batch: must be a no-op
+    assert(VersionedTable.commitIfAbsent(df(1L -> "a"), t, append = false,
+      txnId = "batch-0").isEmpty)
+    assert(VersionedTable.commitIfAbsent(df(2L -> "b"), t, append = true,
+      txnId = "batch-1").contains(2L))
+    assert(VersionedTable.versions(t) == Seq(1L, 2L))
+    assert(slurp(t) == Set(1L -> "a", 2L -> "b"))
+    assert(VersionedTable.txnVersion(t, "batch-1").contains(2L))
   }
 
   test("no partially-visible manifest: only fully-written .manifest files are listed") {
