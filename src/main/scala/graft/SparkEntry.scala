@@ -69,6 +69,7 @@ object SparkEntry {
     "q_cdc_apply_bc" -> ((s, d) => Incremental.ordersCdcApplyBroadcast(t(s, d, "orders"))),
     "q_cdc_feed" -> ((s, d) => Incremental.ordersCdcFeed(t(s, d, "orders"))),
     "q_incr_agg_merge" -> ((s, d) => Incremental.ordersIncrAggMerge(t(s, d, "orders"))),
+    "q_incr_view_refresh" -> ((s, d) => Incremental.ordersViewRefresh(t(s, d, "orders"))),
     "q_table_compaction" -> ((s, d) => Incremental.docsCompactionPlan(t(s, d, "documents"))),
     "q_table_timetravel" -> ((s, d) => Incremental.ordersTimeTravel(t(s, d, "orders"))),
     "q_table_mor" -> ((s, d) => Incremental.ordersMergeOnRead(t(s, d, "orders"))),
@@ -1275,6 +1276,43 @@ object SparkEntry {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS total_c
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // Incremental view maintenance through the CDF: the oracle is the
+    // one-shot per-status aggregate over the APPLIED snapshot — hash
+    // equality proves (state ⊕ signed CDF deltas) == agg(new snapshot).
+    "q_incr_view_refresh" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |ch AS (
+        |  SELECT o_orderkey, 'U' AS op, 1 AS seq, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS price_c
+        |  FROM orders
+        |  WHERE o_orderkey % 4 <> 3
+        |    AND (o_orderkey % 10 = 0 OR o_orderkey % 10 = 5)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 2, NULL, NULL FROM orders
+        |  WHERE o_orderkey % 4 <> 3 AND o_orderkey % 20 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey, 'I', 1, 'NEW',
+        |         CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 4 = 3),
+        |latest AS (
+        |  SELECT o_orderkey, op, status, price_c FROM (
+        |    SELECT ch.*,
+        |      row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |applied AS (
+        |  SELECT COALESCE(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN l.o_orderkey IS NOT NULL THEN l.status ELSE b.status END
+        |      AS status,
+        |    CASE WHEN l.o_orderkey IS NOT NULL THEN l.price_c ELSE b.price_c END
+        |      AS price_c
+        |  FROM base b FULL JOIN latest l ON b.o_orderkey = l.o_orderkey
+        |  WHERE l.op IS NULL OR l.op <> 'D')
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS total_c
+        |FROM applied GROUP BY status ORDER BY status""".stripMargin,
     // Size-descending sequential packing of the file inventory into
     // 64 kB bins: bin = floor(exclusive-prefix-sum / target).
     "q_table_compaction" ->

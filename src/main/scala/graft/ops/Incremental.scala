@@ -162,6 +162,40 @@ object Incremental {
           payload.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 
+  /** Incremental materialized-view maintenance: refresh a grouped
+    * (count, sum) view using ONLY a change data feed — never rescanning
+    * the table. Each CDF row contributes signed deltas: a delete (or an
+    * update's pre-image) subtracts (1, old value) from its OLD group, an
+    * insert (or an update's post-image) adds (1, new value) to its NEW
+    * group — so updates that MOVE a row between groups are handled, not
+    * just in-place value changes. The signed deltas aggregate to
+    * group-cardinality and fold into the standing view via [[aggMerge]];
+    * groups whose count reaches zero are dropped. At 100 TB this is the
+    * difference between re-aggregating the corpus nightly and touching
+    * only the day's delta — the oracle is the ONE-SHOT aggregate over
+    * the new snapshot, so hash equality proves the maintenance algebra.
+    */
+  def viewRefreshFromCdf(
+      state: DataFrame,
+      cdf: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      countCol: String = "n_rows",
+      sumCol: String = "total_c"): DataFrame = {
+    val neg = cdf
+      .filter(col("change_type").isin("delete", "update"))
+      .select(col(s"old_$groupCol").as(groupCol),
+        lit(-1L).as("g_n"), (-col(s"old_$valueCol")).as("g_v"))
+    val pos = cdf
+      .filter(col("change_type").isin("insert", "update"))
+      .select(col(s"new_$groupCol").as(groupCol),
+        lit(1L).as("g_n"), col(s"new_$valueCol").as("g_v"))
+    val delta = neg.union(pos)
+      .groupBy(groupCol)
+      .agg(sum("g_n").as(countCol), sum("g_v").as(sumCol))
+    aggMerge(state, delta, groupCol).filter(col(countCol) =!= 0L)
+  }
+
   /** Small-file compaction plan: given a file inventory (id, size),
     * assign files to target-size output bins by size-descending
     * sequential packing — floor(exclusive-prefix-sum / target), the
@@ -275,6 +309,20 @@ object Incremental {
       partial(orders.filter(col("o_orderdate") >= cut)),
       "o_custkey")
       .orderBy("o_custkey")
+  }
+
+  /** Registered q_incr_view_refresh body: the per-status (count, cents)
+    * view over the CDC base, refreshed through the change data feed —
+    * the result must hash-match the one-shot aggregate over the APPLIED
+    * snapshot (which is what the oracle computes). Status moves are
+    * exercised for real: inserts arrive in a brand-new 'NEW' group.
+    */
+  def ordersViewRefresh(orders: DataFrame): DataFrame = {
+    val state = ordersCdcBase(orders)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"), sum("price_c").as("total_c"))
+    viewRefreshFromCdf(state, ordersCdcFeed(orders), "status", "price_c")
+      .orderBy("status")
   }
 
   /** Registered q_table_compaction body: documents as a file inventory

@@ -97,6 +97,36 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("viewRefreshFromCdf handles group moves, emptied groups, and new groups") {
+    val s = spark; import s.implicits._
+    // old table: g=a {1,2}, g=b {3}; new table: 1 moves a→b with value
+    // change, 3 deleted (b emptied... but 1 arrives), 4 inserted in c
+    val state = Seq(("a", 2L, 30L), ("b", 1L, 300L)).toDF("g", "n_rows", "total_c")
+    val cdf = Seq(
+      (1L, "update", "a", "b", 10L, 15L),
+      (3L, "delete", "b", null, 300L, 0L),
+      (4L, "insert", null, "c", 0L, 400L))
+      .toDF("k", "change_type", "old_g", "new_g", "old_v", "new_v")
+      // delete rows carry null new-side, insert rows null old-side
+      .withColumn("old_g", when(col("change_type") === "insert", lit(null)).otherwise(col("old_g")))
+      .withColumn("new_g", when(col("change_type") === "delete", lit(null)).otherwise(col("new_g")))
+      .withColumn("old_v", when(col("change_type") === "insert", lit(null)).otherwise(col("old_v")))
+      .withColumn("new_v", when(col("change_type") === "delete", lit(null)).otherwise(col("new_v")))
+    val out = Incremental.viewRefreshFromCdf(state, cdf, "g", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // a: {2} → (1, 20); b: 3 gone, 1 arrives → (1, 15); c: new → (1, 400)
+    assert(out == Map("a" -> ((1L, 20L)), "b" -> ((1L, 15L)), "c" -> ((1L, 400L))))
+  }
+
+  test("viewRefreshFromCdf drops a group whose count reaches zero") {
+    val s = spark; import s.implicits._
+    val state = Seq(("a", 1L, 10L)).toDF("g", "n_rows", "total_c")
+    val cdf = Seq((1L, "delete", "a", null: String, 10L, 0L))
+      .toDF("k", "change_type", "old_g", "new_g", "old_v", "new_v")
+    val out = Incremental.viewRefreshFromCdf(state, cdf, "g", "v")
+    assert(out.count() == 0L)
+  }
+
   test("compactionPlan: every bin except possibly the head stays under target + largest file") {
     val s = spark; import s.implicits._
     val files = (1L to 100L).map(i => (i, (i * 37) % 900 + 100)).toDF("id", "sz")
