@@ -171,29 +171,43 @@ object VersionedTable {
     * broadcast). Later commits are invisible (snapshot isolation),
     * earlier versions stay readable (time travel).
     */
-  def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
+  def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame =
+    read(spark, table, version, mergeSchema = false)
+
+  /** As [[read]], with opt-in SCHEMA EVOLUTION: `mergeSchema = true`
+    * unions the column sets of every data commit in the snapshot, so a
+    * later append that ADDED a column reads back with nulls for the
+    * older files (additive evolution, the parquet mergeSchema
+    * semantics). Off by default — schema merging footers costs a
+    * metadata pass, and a fixed-schema table shouldn't pay it.
+    */
+  def read(
+      spark: SparkSession, table: String, version: Option[Long],
+      mergeSchema: Boolean): DataFrame = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed versions at $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val entries = manifestEntries(table, v)
     def abs(rel: String) = Paths.get(table, rel).toString
+    def readData(files: Seq[String]) =
+      spark.read.option("mergeSchema", mergeSchema).parquet(files.map(abs): _*)
     val dataE = entries.filterNot(isDeleteEntry)
     val delE = entries.filter(isDeleteEntry).map { e =>
       val Array(_, b, p) = e.split(":", 3); (b.toLong, p)
     }
-    if (delE.isEmpty) spark.read.parquet(dataE.map(abs): _*)
+    if (delE.isEmpty) readData(dataE)
     else
       dataE.groupBy(dataCommitOf).toSeq.sortBy(_._1).map { case (c, files) =>
         val applicable = delE.collect { case (b, p) if b >= c => p }
-        val df = spark.read.parquet(files.map(abs): _*)
+        val df = readData(files)
         if (applicable.isEmpty) df
         else {
           val del = spark.read.parquet(applicable.map(abs): _*)
           df.join(del.select(del.columns.head).distinct(),
             Seq(del.columns.head), "left_anti")
         }
-      }.reduce(_ unionByName _)
+      }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   /** Expire all but the newest `retain` versions: delete their manifests

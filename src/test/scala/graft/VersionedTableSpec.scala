@@ -127,6 +127,22 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.txnVersion(t, "batch-1").contains(2L))
   }
 
+  test("additive schema evolution: mergeSchema read nulls the new column for old files") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    VersionedTable.commit(
+      Seq((2L, "b", 7L)).toDF("k", "v", "extra"), t, append = true)
+    val evolved = VersionedTable.read(spark, t, None, mergeSchema = true)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+    assert(evolved.toSeq == Seq(
+      (1L, "a", None),        // old file: evolved column reads as null
+      (2L, "b", Some(7L))))
+    // the default fixed-schema read keeps working on the original columns
+    assert(slurp(t, Some(1L)) == Set(1L -> "a"))
+  }
+
   test("no partially-visible manifest: only fully-written .manifest files are listed") {
     val t = freshTable()
     VersionedTable.commit(df(1L -> "a"), t, append = false)
