@@ -60,6 +60,7 @@ object SparkEntry {
     "q_scan_filter_project" -> ((s, d) => Relational.scanFilterProject(t(s, d, "lineitem"))),
     // DataSource V2 connector (generates its own input; dir unused)
     "q_synth_source" -> ((s, _) => graft.sources.Synth.aggregateByKind(s, 50000L, 8)),
+    "q_synth_agg_pushdown" -> ((s, _) => graft.sources.Synth.aggPushdown(s)),
     "q_layout_scan" -> ((s, d) => Relational.sortedLayoutScan(t(s, d, "documents"))),
     "q_layout_zorder" -> ((s, d) => Relational.zorderLayoutScan(t(s, d, "documents"))),
     // Incremental data management (ops/Incremental.scala): CDC apply with
@@ -1138,6 +1139,14 @@ object SparkEntry {
         |SELECT kind, count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS cents,
         |  min(user_id) AS u_min, max(ts_sec) AS t_max
         |FROM synth GROUP BY kind ORDER BY kind""".stripMargin,
+    // Complete aggregate pushdown over the synthetic source: the scan
+    // answers from interval arithmetic; DuckDB computes the same over a
+    // lazy range() of only the filtered interval.
+    "q_synth_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(i) AS BIGINT) AS id_min,
+        |  CAST(max(i) AS BIGINT) AS id_max
+        |FROM range(1000000000, 1000500000) t(i)""".stripMargin,
     // The layout round-trip: the rewritten sorted copy must contain
     // exactly the raw table's rows for the same selective range.
     "q_layout_scan" ->

@@ -6,9 +6,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{
+  Aggregation, CountStar, Count => VCount, Max => VMax, Min => VMin}
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{
   DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan,
@@ -102,6 +106,21 @@ object Synth {
         min("user_id").as("u_min"), max("ts_sec").as("t_max"))
       .orderBy("kind")
   }
+
+  /** The registered-query surface (`q_synth_agg_pushdown`): an ungrouped
+    * COUNT/MIN/MAX over a 2^40-row synthetic table, narrowed by a pushed
+    * id-range filter — answered COMPLETELY inside the source from
+    * interval arithmetic (`SynthAggScan`), generating zero rows. The
+    * oracle computes the same aggregates over a DuckDB `range()` of just
+    * the filtered interval.
+    */
+  def aggPushdown(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    read(spark, rows = 1L << 40, slices = 4)
+      .filter(col("id") >= 1000000000L && col("id") < 1000500000L)
+      .agg(count(col("id")).as("n_rows"), min("id").as("id_min"),
+        max("id").as("id_max"))
+  }
 }
 
 class SynthTable(rows: Long, slices: Int, seed: Long) extends Table with SupportsRead {
@@ -123,11 +142,13 @@ class SynthTable(rows: Long, slices: Int, seed: Long) extends Table with Support
   */
 class SynthScanBuilder(rows: Long, slices: Int, seed: Long, batchRows: Long = 1000L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType = Synth.schema
   private var lo = 0L // inclusive row-index bound
   private var hi = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var aggTags: Option[Seq[String]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -157,8 +178,90 @@ class SynthScanBuilder(rows: Long, slices: Int, seed: Long, batchRows: Long = 10
     true // exact: the interval emits at most `limit` rows
   }
 
-  override def build(): Scan =
-    new SynthScan(lo, math.max(lo, hi), slices, seed, required, batchRows)
+  /** COMPLETE aggregate pushdown for ungrouped COUNT / MIN(id) /
+    * MAX(id): after the id-range filters have narrowed [lo, hi), these
+    * are pure interval arithmetic — count = hi−lo, min = lo,
+    * max = hi−1 — so the "scan" answers without generating a single
+    * row. A count over a 2^40-row synthetic table is O(1); this is the
+    * source-level analogue of answering COUNT(*) from parquet footer
+    * statistics, taken to its limit. Anything else (grouping, other
+    * columns, count-distinct) declines, and Spark aggregates above the
+    * row scan as usual.
+    */
+  private def classify(agg: Aggregation): Option[Seq[String]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val tags = agg.aggregateExpressions.map {
+      case _: CountStar => "count"
+      case c: VCount if !c.isDistinct => c.column match {
+        case f: NamedReference if f.fieldNames.sameElements(Array("id")) => "count"
+        case _ => return None
+      }
+      case m: VMin => m.column match {
+        case f: NamedReference if f.fieldNames.sameElements(Array("id")) => "min_id"
+        case _ => return None
+      }
+      case m: VMax => m.column match {
+        case f: NamedReference if f.fieldNames.sameElements(Array("id")) => "max_id"
+        case _ => return None
+      }
+      case _ => return None
+    }
+    Some(tags.toSeq)
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    classify(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    classify(agg) match {
+      case Some(tags) => aggTags = Some(tags); true
+      case None       => false
+    }
+
+  override def build(): Scan = aggTags match {
+    case Some(tags) => new SynthAggScan(lo, math.max(lo, hi), tags)
+    case None => new SynthScan(lo, math.max(lo, hi), slices, seed, required, batchRows)
+  }
+}
+
+/** One-row, one-partition scan answering a completely-pushed ungrouped
+  * aggregate from interval arithmetic (no rows generated). An empty
+  * interval answers count = 0 with null min/max — global-aggregate
+  * semantics.
+  */
+class SynthAggScan(lo: Long, hi: Long, tags: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    tags.zipWithIndex.foldLeft(new StructType()) { case (s, (t, i)) =>
+      s.add(s"agg_${i}_$t", LongType, nullable = t != "count")
+    }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth-agg range=[$lo,$hi) aggs=${tags.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthPartition(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthAggReaderFactory(lo, hi, tags.toArray)
+}
+
+class SynthAggReaderFactory(lo: Long, hi: Long, tags: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        val empty = hi <= lo
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(tags.length)
+        tags.zipWithIndex.foreach { case (t, i) =>
+          t match {
+            case "count"           => row.setLong(i, math.max(0L, hi - lo))
+            case _ if empty        => row.setNullAt(i)
+            case "min_id"          => row.setLong(i, lo)
+            case "max_id"          => row.setLong(i, hi - 1)
+          }
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
 }
 
 class SynthScan(lo: Long, hi: Long, slices: Int, seed: Long, required: StructType,

@@ -92,6 +92,33 @@ class SynthSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("complete aggregate pushdown answers from interval arithmetic — no rows generated") {
+    // a 2^40-row table: any plan that actually generates rows cannot
+    // finish; completing at all proves the aggregate never left the scan
+    val t0 = System.nanoTime()
+    val row = Synth.aggPushdown(spark).collect()(0)
+    val dtMs = (System.nanoTime() - t0) / 1e6
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      ((500000L, 1000000000L, 1000499999L)))
+    assert(dtMs < 30000, s"pushdown query took ${dtMs}ms — did it generate rows?")
+    val p = Synth.aggPushdown(spark).queryExecution.executedPlan.toString
+    assert(p.contains("graft-synth-agg"), s"agg scan not planned:\n$p")
+  }
+
+  test("aggregate pushdown declines grouping and non-id columns — row scan still correct") {
+    // grouped aggregate must NOT be claimed by the pushdown (it would be
+    // wrong); the plan falls back to the row-generating scan + hash agg
+    val p = Synth.read(spark, 1000L, slices = 2)
+      .groupBy("kind").count()
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("graft-synth-agg"), s"grouped agg wrongly pushed:\n$p")
+    // min over a DERIVED column also declines
+    val p2 = Synth.read(spark, 1000L, slices = 2)
+      .agg(min("value_cents"))
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("graft-synth-agg"), s"non-id min wrongly pushed:\n$p2")
+  }
+
   test("aggregate over 50k generated rows matches a local replay") {
     val agg = Synth.read(spark, 50000L, slices = 8)
       .groupBy("kind")
