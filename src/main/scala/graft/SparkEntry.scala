@@ -74,6 +74,7 @@ object SparkEntry {
     "q_table_compaction" -> ((s, d) => Incremental.docsCompactionPlan(t(s, d, "documents"))),
     "q_table_timetravel" -> ((s, d) => Incremental.ordersTimeTravel(t(s, d, "orders"))),
     "q_table_mor" -> ((s, d) => Incremental.ordersMergeOnRead(t(s, d, "orders"))),
+    "q_table_changes" -> ((s, d) => Incremental.ordersTableChanges(t(s, d, "orders"))),
     "q_cast_types" -> ((s, d) => Relational.castTypes(t(s, d, "orders"))),
     "q_dedup_rows" -> ((s, d) => Relational.dedupRows(t(s, d, "lineitem"))),
     "q_dedup_key" -> ((s, d) => Relational.dedupByKeyDeterministic(t(s, d, "lineitem"))),
@@ -1381,6 +1382,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, count(*), CAST(sum(price_c) AS BIGINT) FROM applied
         |ORDER BY version""".stripMargin,
+    // Incremental consumption of the MOR table over its additive range
+    // (1, 3]: v3's appended re-inserts plus v2's tombstoned keys, each
+    // stamped with its commit version.
+    "q_table_changes" ->
+      """WITH del AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey % 4 <> 3 AND o_orderkey % 20 = 5),
+        |re AS (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) + 1000 AS price_c
+        |  FROM orders WHERE o_orderkey % 4 <> 3 AND o_orderkey % 40 = 5)
+        |SELECT o_orderkey, 'insert' AS change_type, price_c,
+        |       CAST(3 AS BIGINT) AS version
+        |FROM re
+        |UNION ALL
+        |SELECT o_orderkey, 'delete', NULL, 2 FROM del
+        |ORDER BY o_orderkey, version""".stripMargin,
     // Merge-on-read lifecycle: v1 = base; v2 = tombstone delete of keys
     // ≡ 5 (mod 20); v3 = append re-inserting keys ≡ 5 (mod 40) — the
     // commit-bounded tombstone must not swallow them; v4 = compact ≡ v3.

@@ -368,10 +368,17 @@ object Incremental {
     * from the manifest). v3 and v4 must aggregate identically; v1 must
     * still show the pre-delete rows.
     */
-  def ordersMergeOnRead(orders: DataFrame): DataFrame = {
+  def ordersMergeOnRead(orders: DataFrame): DataFrame =
+    versionAggregates(orders.sparkSession, ordersMorTable(orders), 4L)
+
+  /** Pay-once builder of the merge-on-read demo table (v1 base, v2
+    * tombstone delete, v3 re-insert append, v4 compact) — shared by
+    * `q_table_mor` and `q_table_changes`.
+    */
+  private def ordersMorTable(orders: DataFrame): String = {
     val spark = orders.sparkSession
     val inputKey = orders.inputFiles.sorted.mkString(",")
-    val table = versionedTables.computeIfAbsent((spark, s"mor:$inputKey"), { _ =>
+    versionedTables.computeIfAbsent((spark, s"mor:$inputKey"), { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft_versioned")
       deleteRecursivelyOnExit(d)
       val t = s"$d/orders_mor"
@@ -386,7 +393,27 @@ object Incremental {
       graft.sources.VersionedTable.compact(spark, t)
       t
     })
-    versionAggregates(spark, table, 4L)
+  }
+
+  /** Registered q_table_changes body: incremental consumption of the
+    * merge-on-read table over the additive range (1, 3] — the appended
+    * rows (the v3 re-inserts; the v2 delete commit adds none) and the
+    * tombstoned keys (v2), each stamped with its commit version. This
+    * is what a downstream consumer with a version cursor reads instead
+    * of rescanning snapshots; the range deliberately stops before v4,
+    * whose overwrite makes incremental consumption undefined (and
+    * `appendsBetween` fails loudly there — pinned in the spec).
+    */
+  def ordersTableChanges(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val t = ordersMorTable(orders)
+    val app = graft.sources.VersionedTable.appendsBetween(spark, t, 1L, 3L)
+      .select(col("o_orderkey"), lit("insert").as("change_type"),
+        col("price_c"), col("_commit_version").as("version"))
+    val del = graft.sources.VersionedTable.deletesBetween(spark, t, 1L, 3L)
+      .select(col("o_orderkey"), lit("delete").as("change_type"),
+        lit(null).cast("long").as("price_c"), col("_commit_version").as("version"))
+    app.union(del).orderBy("o_orderkey", "version")
   }
 
   private def versionAggregates(

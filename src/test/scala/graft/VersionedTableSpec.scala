@@ -127,6 +127,27 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.txnVersion(t, "batch-1").contains(2L))
   }
 
+  test("incremental consumption: appends/deletes between versions; overwrite fails loudly") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false) // v1
+    VersionedTable.commit(df(3L -> "c"), t, append = true) // v2
+    VersionedTable.deleteWhere(spark, t, col("k") === 1L, "k") // v3
+    VersionedTable.commit(df(4L -> "d"), t, append = true) // v4
+    val app = VersionedTable.appendsBetween(spark, t, 1L, 4L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(app == Set((3L, "c", 2L), (4L, "d", 4L)),
+      "appends = fresh rows of v2 and v4, stamped with their commit")
+    val del = VersionedTable.deletesBetween(spark, t, 1L, 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(del == Set((1L, 3L)), "deletes = v3's tombstoned key")
+    // a consumer whose cursor range crosses an overwrite must fail, not
+    // silently re-emit the world
+    VersionedTable.commit(df(9L -> "z"), t, append = false) // v5 overwrite
+    intercept[IllegalArgumentException](
+      VersionedTable.appendsBetween(spark, t, 4L, 5L))
+  }
+
   test("additive schema evolution: mergeSchema read nulls the new column for old files") {
     val s = spark; import s.implicits._
     val t = freshTable()
