@@ -109,6 +109,7 @@ object SparkEntry {
     "q_join_range" -> ((s, d) => Relational.rangeJoinBuckets(t(s, d, "events"))),
     "q_events_json" -> ((s, d) => Relational.jsonExtract(t(s, d, "events"))),
     "q_docs_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(t(s, d, "documents"))),
+    "q_docs_bm25" -> ((s, d) => TextAnalysis.bm25TopK(t(s, d, "documents"))),
     // SQL text interface: the same engine surface driven through spark.sql
     // over registered views (TPC-H Q3-shaped).
     "q_sql_revenue" -> ((s, d) => {
@@ -2805,6 +2806,53 @@ object SparkEntry {
         |ORDER BY r.lang, r.rnk""".stripMargin,
     // unigram logprob: per-term ln quantized to a 1e-6 integer grid
     // BEFORE the per-doc sum — exact integer arithmetic on both engines
+    // BM25 with rational k1/b: the tf-saturation weight is exact integer
+    // arithmetic (×10T), only the idf takes the 1e-6 grid ln snap, each
+    // contribution is an exact integer floor-division — ranks can't flap.
+    "q_docs_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                       x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |q AS (SELECT * FROM (VALUES
+        |  (1, 'spark shuffle join fast'),
+        |  (2, 'window agg merge table'),
+        |  (3, 'customer data scan')) AS v(query_id, qtext)),
+        |qt AS (
+        |  SELECT DISTINCT query_id,
+        |    unnest(list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'),
+        |                       x -> length(x) > 0)) AS term
+        |  FROM q),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |tt AS (SELECT count(*) AS t FROM tk),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(floor(ln((nn.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |         * 1000000 + 0.5) AS BIGINT) AS q_idf
+        |  FROM dfq, nn),
+        |c AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    (idf.q_idf * 22 * tf.tf * tt.t)
+        |      // (10 * tt.t * tf.tf + 3 * tt.t + 9 * nn.n * dl.dl) AS contrib
+        |  FROM qt
+        |  JOIN tf USING (term)
+        |  JOIN dl USING (doc_id)
+        |  JOIN idf USING (term), nn, tt),
+        |s AS (
+        |  SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score_grid,
+        |         count(*) AS n_terms
+        |  FROM c GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score_grid DESC, doc_id) AS rank
+        |  FROM s)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+        |       doc_id, score_grid, n_terms
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_docs_unigram_lp" ->
       """WITH tk AS (
         |  SELECT doc_id,

@@ -1334,4 +1334,68 @@ object TextAnalysis {
         md5(substring(norm, 1, 64)).as("fp_prefix64"))
       .orderBy("doc_id")
   }
+
+  /** Fixed query set for [[bm25TopK]]'s registered form — terms drawn
+    * from the synthetic corpus vocabulary so every query matches.
+    */
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "spark shuffle join fast"),
+    (2L, "window agg merge table"),
+    (3L, "customer data scan"))
+
+  /** BM25 lexical top-k retrieval (Robertson/Spärck Jones; k1 = 1.2,
+    * b = 0.75) — the LEXICAL leg of hybrid retrieval, complementing the
+    * dense ANN suite ([[Similarity.rrfFusion]] fuses rankings of this
+    * shape). Plan: one tokenize pass; tf/df/dl aggregates (the shuffles
+    * carry (doc, term)- and vocabulary-cardinality rows, never the
+    * corpus text); query terms join the postings (query set is tiny →
+    * broadcast); per-query top-k is a WindowGroupLimit-able rank.
+    *
+    * Bit-exact discipline: k1 and b are rationals (6/5, 3/4), so the
+    * whole tf-saturation weight is EXACT integer arithmetic after
+    * multiplying through by 10·T (T = corpus token total):
+    * w = 22·tf·T / (10·T·tf + 3·T + 9·N·dl). Only the idf takes the
+    * 1e-6 integer-grid ln snap (the [[unigramLogProb]] trick), and each
+    * (term, doc) contribution is an exact integer floor-division on
+    * that grid — so scores, and therefore RANKS, are engine-identical;
+    * top-k never flaps on float ties. Magnitude bound: idf·22·tf·T
+    * ≤ 7e6·22·dl·T stays under 2^63 for corpora to ~10^7 tokens per
+    * this scoring grid; rescale the grid before the 100 TB corpus.
+    */
+  def bm25TopK(documents: DataFrame, k: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = documents.select(col("doc_id"),
+      explode(graft.functions.TextExpressions.alnumTokens(col("text"))).as("term"))
+    val n = documents.count()
+    val t = toks.count()
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qidf = dfreq.select(col("term"),
+      floor(log((lit(n.toDouble) - col("df") + lit(0.5))
+        / (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6) + lit(0.5))
+        .cast("long").as("q_idf"))
+    val qterms = Bm25Queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(graft.functions.TextExpressions.alnumTokens(col("qtext"))).as("term"))
+      .distinct()
+    val contrib = expr(
+      s"(q_idf * 22 * tf * $t) div (10 * $t * tf + 3 * $t + 9 * $n * dl)")
+    val scores = broadcast(qterms)
+      .join(tf, "term")
+      .join(dl, "doc_id")
+      .join(qidf, "term")
+      .select(col("query_id"), col("doc_id"), contrib.as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c").as("score_grid"), count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_grid").desc, col("doc_id"))
+    scores
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_grid"), col("n_terms"))
+      .orderBy("query_id", "rank")
+  }
 }

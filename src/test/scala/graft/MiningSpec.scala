@@ -11,6 +11,31 @@ class MiningSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestBase.spark
 
+  test("bm25TopK: tf saturation, idf weighting, and length normalization order as BM25 must") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // corpus built so the fixed query 'spark shuffle join fast' separates:
+    // doc 1: the query term twice in a SHORT doc (high tf, low dl → top)
+    // doc 2: the term once in a LONG doc (length-normalized below doc 1)
+    // doc 3: only corpus-common filler (no query term → absent)
+    val docs = Seq(
+      (1L, "spark spark table"),
+      (2L, "spark table table table table table table table table table"),
+      (3L, "table table table"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val q1 = out.filter(_._1 == 1L)
+    assert(q1.map(_._3).toSeq == Seq(1L, 2L), s"expected doc 1 over doc 2, got ${q1.toSeq}")
+    assert(q1(0)._4 > q1(1)._4, "doc 1's score must strictly exceed doc 2's")
+    assert(!q1.exists(_._3 == 3L),
+      "doc without any query-1 term must not appear under query 1")
+    // ranks are contiguous from 1 within each query
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
   test("statsAgg matches closed-form moments on a deterministic frame") {
     val sparkS = spark
     import sparkS.implicits._
