@@ -75,6 +75,8 @@ object SparkEntry {
     "q_table_timetravel" -> ((s, d) => Incremental.ordersTimeTravel(t(s, d, "orders"))),
     "q_table_mor" -> ((s, d) => Incremental.ordersMergeOnRead(t(s, d, "orders"))),
     "q_table_changes" -> ((s, d) => Incremental.ordersTableChanges(t(s, d, "orders"))),
+    "q_quality_report" -> ((s, d) =>
+      Relational.qualityReport(t(s, d, "orders"), t(s, d, "customer"))),
     "q_cast_types" -> ((s, d) => Relational.castTypes(t(s, d, "orders"))),
     "q_dedup_rows" -> ((s, d) => Relational.dedupRows(t(s, d, "lineitem"))),
     "q_dedup_key" -> ((s, d) => Relational.dedupByKeyDeterministic(t(s, d, "lineitem"))),
@@ -1424,6 +1426,39 @@ object SparkEntry {
         |UNION ALL
         |SELECT 4, count(*), CAST(sum(price_c) AS BIGINT) FROM v3
         |ORDER BY version""".stripMargin,
+    // Deequ-style expectation report: completeness / uniqueness /
+    // bounds / referential checks as exact integers, one row each.
+    "q_quality_report" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(o_orderkey) AS nn_key,
+        |    count(o_custkey) AS nn_cust,
+        |    count(o_totalprice) AS nn_price,
+        |    count(DISTINCT o_orderkey) AS n_distinct_key,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_nonpositive,
+        |    CAST(max(round(o_totalprice * 100)) AS BIGINT) AS max_cents
+        |  FROM orders),
+        |o AS (
+        |  SELECT count(*) AS n_orphans FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |m AS (
+        |  SELECT 'completeness_key' AS check_name, n_rows - nn_key AS metric FROM a
+        |  UNION ALL
+        |  SELECT 'completeness_custkey', n_rows - nn_cust FROM a
+        |  UNION ALL
+        |  SELECT 'completeness_price', n_rows - nn_price FROM a
+        |  UNION ALL
+        |  SELECT 'uniqueness_key_dups', n_rows - n_distinct_key FROM a
+        |  UNION ALL
+        |  SELECT 'bounds_nonpositive_price', n_nonpositive FROM a
+        |  UNION ALL
+        |  SELECT 'bounds_max_price_cents', max_cents FROM a
+        |  UNION ALL
+        |  SELECT 'referential_orphan_custkey', n_orphans FROM o)
+        |SELECT check_name AS "check", CAST(metric AS BIGINT) AS metric,
+        |  metric = 0 OR check_name = 'bounds_max_price_cents' AS ok
+        |FROM m ORDER BY check_name""".stripMargin,
     "q_cast_types" ->
       """SELECT o_orderkey,
         |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio,

@@ -737,6 +737,57 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** Data-quality expectation report (Deequ-style), generalizing the
+    * reference pipeline's validation stage into a reusable audit: one
+    * pass over the fact table computes completeness (null counts),
+    * uniqueness (key duplication), and value-bound checks as exact
+    * integers; a broadcast anti-join counts referential orphans against
+    * the dimension. Output is one row per constraint —
+    * (check, metric, ok) — the table a pipeline gate reads before
+    * promoting a snapshot. Scale shape: the single aggregate is a
+    * map-side-combined scan; the FK check broadcasts the dimension's
+    * keys; nothing is row-cardinality except the scans themselves.
+    */
+  def qualityReport(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val agg = orders.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("o_orderkey")).as("nn_key"),
+      count(col("o_custkey")).as("nn_cust"),
+      count(col("o_totalprice")).as("nn_price"),
+      countDistinct(col("o_orderkey")).as("n_distinct_key"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("n_nonpositive"),
+      max(round(col("o_totalprice") * 100).cast("long")).as("max_cents"))
+    val orphans = orders
+      .join(broadcast(customer.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val checks = agg.crossJoin(orphans).select(
+      struct(lit("completeness_key").as("check"),
+        (col("n_rows") - col("nn_key")).as("metric")).as("c1"),
+      struct(lit("completeness_custkey").as("check"),
+        (col("n_rows") - col("nn_cust")).as("metric")).as("c2"),
+      struct(lit("completeness_price").as("check"),
+        (col("n_rows") - col("nn_price")).as("metric")).as("c3"),
+      struct(lit("uniqueness_key_dups").as("check"),
+        (col("n_rows") - col("n_distinct_key")).as("metric")).as("c4"),
+      struct(lit("bounds_nonpositive_price").as("check"),
+        col("n_nonpositive").as("metric")).as("c5"),
+      struct(lit("bounds_max_price_cents").as("check"),
+        col("max_cents").as("metric")).as("c6"),
+      struct(lit("referential_orphan_custkey").as("check"),
+        col("n_orphans").as("metric")).as("c7"))
+    checks
+      .select(explode(array(col("c1"), col("c2"), col("c3"), col("c4"),
+        col("c5"), col("c6"), col("c7"))).as("c"))
+      .select(col("c.check").as("check"), col("c.metric").as("metric"),
+        // every check except the informational max-bound passes at 0
+        (col("c.metric") === 0L || col("c.check") === "bounds_max_price_cents")
+          .as("ok"))
+      .orderBy("check")
+  }
+
   /** Z-ordered (Morton-interleaved) data layout — the MULTI-dimensional
     * extension of [[sortedLayoutScan]]. A 1-D sort gives tight row-group
     * stats on ONE column; a rectangle predicate over two columns then

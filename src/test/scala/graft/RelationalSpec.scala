@@ -48,4 +48,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(Relational.collectAgg(orders).schema.fields.forall(
       f => !f.dataType.typeName.startsWith("array")))
   }
+
+  test("qualityReport flags injected nulls, duplicate keys, bounds, and FK orphans") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val orders = Seq(
+      (Some(1L), Some(10L), Some(100.0)),  // clean
+      (Some(1L), Some(10L), Some(50.0)),   // duplicate o_orderkey
+      (Some(2L), None, Some(-5.0)),        // null custkey + nonpositive price
+      (Some(3L), Some(99L), None))         // null price + FK orphan (99 ∉ dim)
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Seq(10L).toDF("c_custkey")
+    val out = Relational.qualityReport(orders, customer).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out("completeness_key") == ((0L, true)))
+    assert(out("completeness_custkey") == ((1L, false)))
+    assert(out("completeness_price") == ((1L, false)))
+    assert(out("uniqueness_key_dups") == ((1L, false)))
+    assert(out("bounds_nonpositive_price") == ((1L, false)))
+    assert(out("bounds_max_price_cents") == ((10000L, true))) // informational
+    // orphans: custkey 99 has no dim row; NULL custkey is a completeness
+    // failure, not an orphan (anti-join null semantics keep it, so it
+    // counts here too — both rows lack a dimension match)
+    assert(out("referential_orphan_custkey")._2 == false)
+  }
 }
