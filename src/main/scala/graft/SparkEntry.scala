@@ -71,6 +71,7 @@ object SparkEntry {
     "q_cdc_feed" -> ((s, d) => Incremental.ordersCdcFeed(t(s, d, "orders"))),
     "q_incr_agg_merge" -> ((s, d) => Incremental.ordersIncrAggMerge(t(s, d, "orders"))),
     "q_incr_view_refresh" -> ((s, d) => Incremental.ordersViewRefresh(t(s, d, "orders"))),
+    "q_agg_sketch_merge" -> ((s, d) => Incremental.ordersSketchMerge(t(s, d, "orders"))),
     "q_table_compaction" -> ((s, d) => Incremental.docsCompactionPlan(t(s, d, "documents"))),
     "q_table_timetravel" -> ((s, d) => Incremental.ordersTimeTravel(t(s, d, "orders"))),
     "q_table_mor" -> ((s, d) => Incremental.ordersMergeOnRead(t(s, d, "orders"))),
@@ -1289,6 +1290,14 @@ object SparkEntry {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS total_c
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // Mergeable-sketch distinct state: the exact count is replayed, the
+    // estimate columns are CONTRACT booleans (within 2% of exact) — an
+    // estimator drift would flip them and redden the hash.
+    "q_agg_sketch_merge" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+        |  true AS merged_ok, true AS direct_ok
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
     // Incremental view maintenance through the CDF: the oracle is the
     // one-shot per-status aggregate over the APPLIED snapshot — hash
     // equality proves (state ⊕ signed CDF deltas) == agg(new snapshot).

@@ -325,6 +325,44 @@ object Incremental {
       .orderBy("status")
   }
 
+  /** Registered q_agg_sketch_merge body: distinct-count STATE maintained
+    * as mergeable DataSketches HLL sketches — the sketch twin of
+    * [[aggMerge]]. Per-status sketches are built over the first half of
+    * orders (the standing state) and the second half (the delta), then
+    * merged with `hll_union` and estimated — never rescanning the first
+    * half. At 100 TB this is how distinct-users-per-X stays maintainable:
+    * persist per-day sketches (bytes each), fold new days in, estimate
+    * on demand. The registered output carries the EXACT distinct count
+    * (DuckDB-replayable) plus contract booleans pinning both the merged
+    * and the direct estimate within 2% of exact — if an estimate ever
+    * drifted out of contract, the hash compare goes red.
+    */
+  def ordersSketchMerge(orders: DataFrame): DataFrame = {
+    val cut = lit("1996-07-01").cast("timestamp")
+    val st = orders.filter(col("o_orderdate") < cut)
+      .groupBy("o_orderstatus")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk_a"))
+    val dl = orders.filter(col("o_orderdate") >= cut)
+      .groupBy("o_orderstatus")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk_b"))
+    val direct = orders.groupBy("o_orderstatus")
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("direct_est"),
+        countDistinct(col("o_custkey")).as("n_exact"))
+    st.join(dl, "o_orderstatus")
+      .select(col("o_orderstatus"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("merged_est"))
+      .join(direct, "o_orderstatus")
+      .select(
+        col("o_orderstatus").as("status"),
+        col("n_exact"),
+        (abs(col("merged_est") - col("n_exact")) * 50L <= col("n_exact"))
+          .as("merged_ok"),
+        (abs(col("direct_est") - col("n_exact")) * 50L <= col("n_exact"))
+          .as("direct_ok"))
+      .orderBy("status")
+  }
+
   /** Registered q_table_compaction body: documents as a file inventory
     * (doc_id, n_chars), packed into 64 kB bins.
     */

@@ -135,6 +135,22 @@ object VersionedTable {
       case None    => Some(commitTxn(df, table, append, Some(txnId)))
     }
 
+  /** Quality-gated idempotent commit: run the caller's expectation
+    * check over the batch first; a failing batch is NOT committed and
+    * the failure reason is returned, so a streaming foreachBatch sink
+    * composes exactly-once ingest with a data-quality gate — bad
+    * batches are quarantined (the caller decides where), never
+    * poisoning the standing table. The check runs BEFORE any file is
+    * written, so a rejected batch leaves no orphan data either.
+    */
+  def commitIfAbsentGated(
+      df: DataFrame, table: String, append: Boolean, txnId: String)(
+      check: DataFrame => Either[String, Unit]): Either[String, Option[Long]] =
+    check(df) match {
+      case Left(reason) => Left(reason)
+      case Right(())    => Right(commitIfAbsent(df, table, append, txnId))
+    }
+
   /** Merge-on-read delete: write the doomed KEYS as a tombstone file and
     * commit a manifest referencing it — no data file is rewritten. The
     * tombstone is bounded to the data commits existing NOW, so rows for

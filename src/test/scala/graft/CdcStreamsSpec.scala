@@ -97,6 +97,34 @@ class CdcStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("quality-gated ingest quarantines a failing batch; clean batches commit once") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_vt_gated")
+    d.toFile.deleteOnExit()
+    val table = s"$d/t"
+    // gate: no null values allowed in v
+    def gate(df: org.apache.spark.sql.DataFrame): Either[String, Unit] = {
+      val bad = df.filter(df.col("v").isNull).count()
+      if (bad > 0) Left(s"$bad null v rows") else Right(())
+    }
+    val clean = Seq((1L, Option("a")), (2L, Option("b"))).toDF("k", "v")
+    val dirty = Seq((3L, Option.empty[String])).toDF("k", "v")
+    assert(graft.sources.VersionedTable
+      .commitIfAbsentGated(clean, table, append = true, "b0")(gate)
+      .exists(_.contains(1L)))
+    val rejected = graft.sources.VersionedTable
+      .commitIfAbsentGated(dirty, table, append = true, "b1")(gate)
+    assert(rejected == Left("1 null v rows"))
+    // the rejected batch committed nothing and left no orphan files
+    assert(graft.sources.VersionedTable.versions(table) == Seq(1L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(table, "data", "c2")),
+      "rejected batch must not write data files")
+    // a replay of the CLEAN batch stays idempotent through the gate
+    assert(graft.sources.VersionedTable
+      .commitIfAbsentGated(clean, table, append = true, "b0")(gate) == Right(None))
+  }
+
   test("a late lower-seq change emits nothing and leaves the standing row intact") {
     val fin = runStream(
       Seq(log.filter(_.seq != 4L), Seq(Change(3L, "U", 4L, Some("STALE"), Some(999L)))),

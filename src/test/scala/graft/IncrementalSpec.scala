@@ -127,6 +127,24 @@ class IncrementalSpec extends AnyFunSuite {
     assert(out.count() == 0L)
   }
 
+  test("HLL sketch state: merge is commutative and the estimate honors its error contract") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, hll_union}
+    // 2000 distinct keys split unevenly; sketches must merge either way
+    val a = (1L to 1500L).map(k => ("g", k)).toDF("g", "k")
+      .groupBy("g").agg(hll_sketch_agg(col("k")).as("sk"))
+    val b = (1200L to 2000L).map(k => ("g", k)).toDF("g", "k")
+      .groupBy("g").agg(hll_sketch_agg(col("k")).as("sk2"))
+    val j = a.join(b, "g")
+    val ab = j.select(hll_sketch_estimate(hll_union(col("sk"), col("sk2"))))
+      .collect()(0).getLong(0)
+    val ba = j.select(hll_sketch_estimate(hll_union(col("sk2"), col("sk"))))
+      .collect()(0).getLong(0)
+    assert(ab == ba, "HLL union must be commutative")
+    assert(math.abs(ab - 2000L) * 50L <= 2000L,
+      s"estimate $ab breaches the 2% contract for 2000 exact")
+  }
+
   test("compactionPlan: every bin except possibly the head stays under target + largest file") {
     val s = spark; import s.implicits._
     val files = (1L to 100L).map(i => (i, (i * 37) % 900 + 100)).toDF("id", "sz")
