@@ -667,6 +667,7 @@ object SparkEntry {
     "q_docs_typo_pairs" -> ((s, d) => TextAnalysis.typoPairs(t(s, d, "documents"))),
     "q_events_gapfill" -> ((s, d) => TimeOps.gapFillDaily(t(s, d, "events"))),
     "q_events_zscore" -> ((s, d) => TimeOps.zscoreAnomalies(t(s, d, "events"))),
+    "q_events_ewma" -> ((s, d) => TimeOps.ewmaHourly(t(s, d, "events"))),
     "q_docs_bigram_lm" -> ((s, d) => TextAnalysis.bigramConditional(t(s, d, "documents"))),
     "q_docs_entropy" -> ((s, d) => TextAnalysis.unigramEntropy(t(s, d, "documents"))),
     "q_docs_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(t(s, d, "documents"))),
@@ -2324,6 +2325,29 @@ object SparkEntry {
         |      WHEN 1 THEN CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)
         |      ELSE strftime(ts, '%-m/%-d/%Y %-H:%M:%S') END AS wire_format
         |  FROM events) ORDER BY event_id""".stripMargin,
+    // Sequential EWMA recurrence replayed by a recursive CTE: both
+    // engines run the identical IEEE mult-mult-add fold (α = 1/4 is an
+    // exact binary fraction), so the 1e-6 grid snap agrees bit-exactly.
+    "q_events_ewma" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |hr AS (
+        |  SELECT event_type, hour_s, cnt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hour_s) AS rn
+        |  FROM h),
+        |r AS (
+        |  SELECT event_type, rn, hour_s, cnt, CAST(cnt AS DOUBLE) AS s
+        |  FROM hr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT hr.event_type, hr.rn, hr.hour_s, hr.cnt,
+        |         r.s * 0.75 + CAST(hr.cnt AS DOUBLE) * 0.25
+        |  FROM hr JOIN r ON hr.event_type = r.event_type AND hr.rn = r.rn + 1)
+        |SELECT event_type, hour_s, cnt,
+        |  CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS ewma_grid
+        |FROM r ORDER BY event_type, hour_s""".stripMargin,
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S.%gZ') AS hr_iso,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_val

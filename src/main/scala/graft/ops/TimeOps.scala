@@ -531,4 +531,45 @@ object TimeOps {
       .select("user_id", "recency_days", "frequency", "monetary", "r", "f", "m", "segment")
       .orderBy("user_id")
   }
+
+  final case class HourCount(event_type: String, hour_s: Long, cnt: Long)
+
+  /** EWMA smoothing of the per-type hourly event-count series — the
+    * sequential-recurrence family (s_t = ¾·s_{t−1} + ¼·x_t, s_1 = x_1)
+    * that window frames cannot express (each value depends on the whole
+    * smoothed prefix, not a bounded frame). The recurrence runs as a
+    * per-key sorted fold in `flatMapGroups`: keys are event types (tiny
+    * cardinality) and each group holds one bounded series — the same
+    * shape scales to per-user smoothing at 100 TB because state is one
+    * group's series, keys hash-partition, and nothing is global.
+    *
+    * Bit-exact discipline: α = ¼ and 1−α = ¾ are exactly representable
+    * binary fractions and the fold performs the identical IEEE-754
+    * mult-mult-add sequence DuckDB's recursive CTE performs, so the
+    * doubles agree to the last bit and the 1e-6 grid snap renders them
+    * engine-identically — a sequential float recurrence made
+    * hash-comparable.
+    */
+  def ewmaHourly(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast("long").as("hour_s"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[HourCount]
+      .groupByKey(_.event_type)
+      .flatMapGroups { (et: String, it: Iterator[HourCount]) =>
+        val rows = it.toSeq.sortBy(_.hour_s)
+        var s = 0.0
+        var first = true
+        rows.iterator.map { r =>
+          s = if (first) { first = false; r.cnt.toDouble }
+              else s * 0.75 + r.cnt.toDouble * 0.25
+          (et, r.hour_s, r.cnt, math.floor(s * 1e6 + 0.5).toLong)
+        }
+      }
+      .toDF("event_type", "hour_s", "cnt", "ewma_grid")
+      .orderBy("event_type", "hour_s")
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.{Dedup, Relational, Similarity, TextAnalysis, TimeOps}
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Unit-level pins for the round-7 additions, beyond the DuckDB oracle's
@@ -34,6 +35,28 @@ class MiningSpec extends AnyFunSuite {
     out.groupBy(_._1).foreach { case (_, rs) =>
       assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
     }
+  }
+
+  test("ewmaHourly: s1 = x1 then s = 0.75s + 0.25x, on the 1e-6 grid") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // hours 0,1,2 of one type with counts 4, 0, 0 → s = 4, 3, 2.25
+    val base = 1700000000L
+    val events = Seq(
+      (1L, base, 7L, "view", 0.0), (2L, base + 60L, 7L, "view", 0.0),
+      (3L, base + 120L, 7L, "view", 0.0), (4L, base + 180L, 8L, "view", 0.0))
+      .map { case (id, ts, u, et, v) => (id, new java.sql.Timestamp(ts * 1000L), u, et, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // counts per hour: hour0 = 4 events... make three hours: shift two events
+    val ev3 = events
+      .withColumn("ts", expr(
+        "CASE WHEN event_id = 3 THEN ts + INTERVAL 1 HOUR " +
+          "WHEN event_id = 4 THEN ts + INTERVAL 2 HOUR ELSE ts END"))
+    val out = TimeOps.ewmaHourly(ev3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // counts: 2, 1, 1 → s: 2, 1.75, 1.5625 → grid 2e6, 1.75e6, 1.5625e6
+    assert(out.map(_._2).toSeq == Seq(2L, 1L, 1L))
+    assert(out.map(_._3).toSeq == Seq(2000000L, 1750000L, 1562500L))
   }
 
   test("statsAgg matches closed-form moments on a deterministic frame") {
