@@ -42,10 +42,16 @@ object VersionedTable {
   private def manifestDir(table: String): Path = Paths.get(table, "_manifest")
 
   private def isDeleteEntry(e: String): Boolean = e.startsWith("D:")
-  private def entryPath(e: String): String =
+  // entry grammar: ["D:<bound>:"] <path> ["#" <rows>]
+  private def entryBody(e: String): String =
     if (isDeleteEntry(e)) e.split(":", 3)(2) else e
-  private def dataCommitOf(path: String): Long =
-    path.split("/")(1).stripPrefix("c").toLong
+  private def entryPath(e: String): String = {
+    val b = entryBody(e)
+    val i = b.lastIndexOf('#')
+    if (i < 0) b else b.substring(0, i)
+  }
+  private def dataCommitOf(e: String): Long =
+    entryPath(e).split("/")(1).stripPrefix("c").toLong
 
   /** Committed versions, ascending (empty for a nonexistent table). */
   def versions(table: String): Seq[Long] = {
@@ -92,11 +98,44 @@ object VersionedTable {
   private def writeFiles(df: DataFrame, table: String, next: Long): Seq[String] = {
     val dataDir = Paths.get(table, "data", s"c$next")
     df.write.mode("errorifexists").parquet(dataDir.toString)
-    Files.list(dataDir).iterator.asScala
+    val files = Files.list(dataDir).iterator.asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
       .toSeq.sorted
-      .map(n => s"data/c$next/$n")
+    // per-file row counts from the parquet FOOTERS (a count() over a bare
+    // parquet scan reads only row-group metadata), recorded in the entry
+    // as `path#rows` so snapshot counts become manifest arithmetic
+    val counts = files.map { n =>
+      df.sparkSession.read.parquet(s"$dataDir/$n").count()
+    }
+    files.zip(counts).map { case (n, c) => s"data/c$next/$n#$c" }
+  }
+
+  private def entryRows(e: String): Option[Long] = {
+    val b = entryBody(e)
+    val i = b.lastIndexOf('#')
+    if (i < 0) None else Some(b.substring(i + 1).toLong)
+  }
+
+  /** Metadata-only row count of a snapshot: pure manifest arithmetic
+    * over the per-entry footer counts recorded at commit time — no file
+    * is opened, which at 100 TB is the difference between answering
+    * `count(*)` from the transaction log and a full scan. Defined only
+    * when every data entry carries a count and the snapshot has no
+    * tombstones (a merge-on-read delete makes the physical row count an
+    * overcount) — `None` in either case, and the caller falls back to
+    * `read(...).count()`.
+    */
+  def fastCount(table: String, version: Option[Long] = None): Option[Long] = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions at $table")
+    val v = version.getOrElse(vs.last)
+    val entries = manifestEntries(table, v)
+    if (entries.exists(isDeleteEntry)) None
+    else {
+      val counts = entries.map(entryRows)
+      if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    }
   }
 
   /** Atomically commit `df` as the next version. `append=true` carries
@@ -208,9 +247,9 @@ object VersionedTable {
     def abs(rel: String) = Paths.get(table, rel).toString
     def readData(files: Seq[String]) =
       spark.read.option("mergeSchema", mergeSchema).parquet(files.map(abs): _*)
-    val dataE = entries.filterNot(isDeleteEntry)
+    val dataE = entries.filterNot(isDeleteEntry).map(entryPath)
     val delE = entries.filter(isDeleteEntry).map { e =>
-      val Array(_, b, p) = e.split(":", 3); (b.toLong, p)
+      (e.split(":", 3)(1).toLong, entryPath(e))
     }
     if (delE.isEmpty) readData(dataE)
     else
@@ -241,7 +280,7 @@ object VersionedTable {
     def abs(rel: String) = Paths.get(table, rel).toString
     val frames = rangeCommits(table, fromVersion, toVersion).flatMap {
       case (w, fresh) =>
-        val data = fresh.filterNot(isDeleteEntry)
+        val data = fresh.filterNot(isDeleteEntry).map(entryPath)
         if (data.isEmpty) None
         else Some(spark.read.parquet(data.map(abs): _*)
           .withColumn("_commit_version",

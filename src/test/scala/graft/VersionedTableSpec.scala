@@ -127,6 +127,24 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.txnVersion(t, "batch-1").contains(2L))
   }
 
+  test("fastCount answers from manifest arithmetic; tombstones disable it") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    VersionedTable.commit(df(3L -> "c"), t, append = true)
+    assert(VersionedTable.fastCount(t) == Some(3L))
+    assert(VersionedTable.fastCount(t, Some(1L)) == Some(2L))
+    assert(VersionedTable.fastCount(t).get ==
+      VersionedTable.read(spark, t).count())
+    VersionedTable.commit(df(9L -> "z"), t, append = false)
+    assert(VersionedTable.fastCount(t) == Some(1L))
+    // a merge-on-read tombstone makes the physical count an overcount →
+    // the metadata answer must decline, not lie
+    VersionedTable.deleteWhere(spark, t, col("k") === 9L, "k")
+    assert(VersionedTable.fastCount(t).isEmpty)
+    assert(VersionedTable.read(spark, t).count() == 0L)
+  }
+
   test("incremental consumption: appends/deletes between versions; overwrite fails loudly") {
     val s = spark; import s.implicits._
     val t = freshTable()
