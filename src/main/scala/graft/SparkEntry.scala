@@ -622,6 +622,7 @@ object SparkEntry {
     "q_docs_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(t(s, d, "documents"))),
     "q_docs_bigrams" -> ((s, d) => Dedup.wordBigrams(t(s, d, "documents"))),
     "q_docs_clusters" -> ((s, d) => Dedup.nearDupClusters(t(s, d, "documents"))),
+    "q_docs_lp_communities" -> ((s, d) => Dedup.labelPropagation(t(s, d, "documents"))),
     "q_docs_substring_dedup" -> ((s, d) => Dedup.substringDedup(t(s, d, "documents"))),
     "q_docs_substring_spans" -> ((s, d) => Dedup.substringDedupSpans(t(s, d, "documents"))),
     "q_docs_substring_apply" -> ((s, d) => Dedup.substringDedupApply(t(s, d, "documents"))),
@@ -945,6 +946,34 @@ object SparkEntry {
        |  FROM wc a
        |  JOIN ok k ON a.cell = k.cell
        |  JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** Three unrolled label-propagation rounds over the replayed LSH pair
+    * graph — same vote order as [[graft.ops.Dedup.labelPropagation]]:
+    * (count DESC, label ASC), isolated vertices keep their own label.
+    */
+  private lazy val lpOracleSql: String = {
+    def round(prev: String, i: Int): String =
+      s"""n$i AS (
+         |  SELECT e.src AS v, l.lab, count(*) AS c FROM edges e
+         |  JOIN $prev l ON e.dst = l.v GROUP BY e.src, l.lab),
+         |b$i AS (
+         |  SELECT v, lab FROM (
+         |    SELECT v, lab,
+         |      row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+         |    FROM n$i) WHERE rn = 1),
+         |l$i AS (
+         |  SELECT p.v, COALESCE(b$i.lab, p.lab) AS lab
+         |  FROM $prev p LEFT JOIN b$i ON p.v = b$i.v)"""
+    s"""WITH $minhashCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents),
+       |${round("l0", 1)},
+       |${round("l1", 2)},
+       |${round("l2", 3)}
+       |SELECT v AS doc_id, lab AS community FROM l3 ORDER BY doc_id""".stripMargin
+  }
 
   private lazy val clustersOracleSql: String =
     s"""WITH RECURSIVE $minhashCtes,
@@ -3186,6 +3215,7 @@ object SparkEntry {
     // edges from the capped LSH pairs, recursive closure, min reachable
     // id per vertex = the cluster label min-label propagation converges to.
     "q_docs_clusters" -> clustersOracleSql,
+    "q_docs_lp_communities" -> lpOracleSql,
     // the stars variant must land on the EXACT same labeling — one oracle,
     // two distributed strategies
     "q_docs_clusters_stars" -> clustersOracleSql,

@@ -309,6 +309,64 @@ object Dedup {
     bucketPairs(lshBuckets(documents, maxBucket))
       .orderBy("doc_a", "doc_b")
 
+  /** Label-propagation communities over the near-dup candidate graph
+    * (Raghavan et al. 2007) — the BOUNDED-ROUND community detector
+    * complementing the exact connected components: each vertex adopts
+    * the most frequent label among its neighbors (ties → smallest
+    * label), semi-synchronously, for a FIXED number of rounds. Where CC
+    * answers "which docs are transitively linked at all", r-round LP
+    * answers "which docs sit within r hops of a community core" — on a
+    * graph polluted by bucket-collision bridges the fixed horizon stops
+    * two genuine families from merging across one spurious edge chain,
+    * which is exactly the failure mode of closure-based dedup.
+    *
+    * Determinism: the (count DESC, label ASC) vote order is a total
+    * order, updates are synchronous from the previous round's frame,
+    * and the round count is fixed — so the labeling is replayable row
+    * for row, and the oracle unrolls the same three rounds in SQL. Per
+    * round: one edge-sized join + one (vertex, label)-cardinality
+    * aggregate + one vertex-sized window — all hash-partitioned, no
+    * fixpoint loop, cost = rounds × edge scan.
+    */
+  def labelPropagation(documents: DataFrame, rounds: Int = 3): DataFrame =
+    labelPropagationOnPairs(
+      lshCandidatePairs(documents).select(col("doc_a"), col("doc_b")),
+      documents.select(col("doc_id")), rounds)
+
+  /** The propagation core over an explicit undirected pair list —
+    * unit-testable on planted graphs independent of the LSH front end.
+    */
+  private[graft] def labelPropagationOnPairs(
+      pairs: DataFrame, verts: DataFrame, rounds: Int): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist()
+    try {
+      var labels = verts.select(col("doc_id").as("v"), col("doc_id").as("lab"))
+      for (_ <- 1 to rounds) {
+        val counts = edges
+          .join(labels, edges("dst") === labels("v"))
+          .groupBy(col("src"), col("lab"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("src").orderBy(col("c").desc, col("lab"))
+        val best = counts
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("src"), col("lab").as("blab"))
+        labels = labels
+          .join(best, labels("v") === best("src"), "left")
+          .select(col("v"), coalesce(col("blab"), col("lab")).as("lab"))
+      }
+      // materialize before releasing the edge frame the lineage reads;
+      // the final sort runs on the checkpointed result
+      val done = labels.localCheckpoint(eager = true)
+      done
+        .select(col("v").as("doc_id"), col("lab").as("community"))
+        .orderBy("doc_id")
+    } finally edges.unpersist()
+  }
+
   /** PageRank over the near-dup candidate graph (LSH pairs, bidirected) —
     * graph centrality as a dedup-priority signal: a document near the
     * center of a big near-dup family outranks a peripheral one, so
