@@ -510,6 +510,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"non-equi join in CDF plan:\n$p")
   }
 
+  test("label propagation is joins on vertex keys — no cartesian, bounded rounds") {
+    val p = plan(Dedup.labelPropagation(t("documents")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in LP plan:\n$p")
+  }
+
   test("versioned read scans exactly the pinned manifest's files") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val sparkS = spark; import sparkS.implicits._
