@@ -70,8 +70,7 @@ class CdcStreamsSpec extends AnyFunSuite {
     val sparkS = spark
     import sparkS.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val d = java.nio.file.Files.createTempDirectory("graft_vt_ingest")
-    d.toFile.deleteOnExit()
+    val d = SparkTestBase.tempDir("graft_vt_ingest")
     val table = s"$d/t"
     val input = MemoryStream[(Long, String)]
     val query = input.toDF().toDF("k", "v").writeStream
@@ -100,8 +99,7 @@ class CdcStreamsSpec extends AnyFunSuite {
   test("quality-gated ingest quarantines a failing batch; clean batches commit once") {
     val sparkS = spark
     import sparkS.implicits._
-    val d = java.nio.file.Files.createTempDirectory("graft_vt_gated")
-    d.toFile.deleteOnExit()
+    val d = SparkTestBase.tempDir("graft_vt_gated")
     val table = s"$d/t"
     // gate: no null values allowed in v
     def gate(df: org.apache.spark.sql.DataFrame): Either[String, Unit] = {

@@ -16,7 +16,7 @@ class EmptyInputSpec extends AnyFunSuite {
 
   /** One-time empty twin of the sf tables: same schemas, zero rows. */
   private lazy val emptyDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val dir = SparkTestBase.tempDir("graft-empty").toString
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     // events.ts physical type varies by testdata generation; read nanos-as-

@@ -258,7 +258,7 @@ class EventStreamsSpec extends AnyFunSuite {
     val sparkS = spark
     import sparkS.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = SparkTestBase.tempDir("graft_ckpt").toString
     val input = MemoryStream[Event]
     // the memory sink can't recover from a checkpoint; foreachBatch can —
     // collect each micro-batch's updates into a driver-side buffer

@@ -15,7 +15,7 @@ class FormatRoundTripSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def tmp(prefix: String) =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    SparkTestBase.tempDir(prefix).toString
 
   test("ORC round-trip preserves schema and values") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")

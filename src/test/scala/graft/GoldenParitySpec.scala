@@ -67,7 +67,7 @@ class GoldenParitySpec extends AnyFunSuite {
   }
 
   test("single-file JSON array sink round-trips with null omission") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val tmp = SparkTestBase.tempDir("graft-sink").toString
     val n = JsonSink.writeSingleJsonArray(
       result.cleanedTrades.orderBy("trade_id"), s"$tmp/cleaned.json")
     assert(n == 6935L)

@@ -14,7 +14,7 @@ class PartitionPruningSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
   test("date-partitioned write prunes non-matching partitions at read") {
-    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val out = SparkTestBase.tempDir("graft_part").toString
     val events = SparkEntry.loadEvents(spark, "/root/testdata/sf0.001/events.parquet")
       .withColumn("day", to_date(col("ts")))
     events.write.mode("overwrite").partitionBy("day").parquet(out)

@@ -519,8 +519,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("versioned read scans exactly the pinned manifest's files") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val sparkS = spark; import sparkS.implicits._
-    val d = java.nio.file.Files.createTempDirectory("graft_vt_plan")
-    d.toFile.deleteOnExit()
+    val d = SparkTestBase.tempDir("graft_vt_plan")
     val table = s"$d/t"
     graft.sources.VersionedTable.commit(
       Seq((1L, "a")).toDF("k", "v"), table, append = false)

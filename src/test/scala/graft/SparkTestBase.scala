@@ -7,6 +7,26 @@ import org.apache.spark.sql.SparkSession
   * partitions keep tests deterministic and fast.
   */
 object SparkTestBase {
+
+  /** Temp directory for a test, deleted RECURSIVELY at JVM exit —
+    * `File.deleteOnExit` only removes empty directories, which silently
+    * leaks every populated fixture dir (the bucketedJoin leak class,
+    * test edition: 125 stale /tmp/graft_* dirs found from prior runs).
+    */
+  def tempDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      if (Files.exists(d)) {
+        val walk = Files.walk(d)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }))
+    d
+  }
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .appName("graft-tests")

@@ -17,9 +17,7 @@ class VersionedTableSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
   private def freshTable(): String = {
-    val d = Files.createTempDirectory("graft_vt_test")
-    d.toFile.deleteOnExit()
-    s"$d/t"
+    s"${SparkTestBase.tempDir("graft_vt_test")}/t"
   }
 
   private def df(rows: (Long, String)*) = {
