@@ -173,9 +173,21 @@ class SynthScanBuilder(rows: Long, slices: Int, seed: Long, batchRows: Long = 10
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  private var limitPushed = false
+
   override def pushLimit(limit: Int): Boolean = {
-    hi = math.min(hi, lo + limit)
-    true // exact: the interval emits at most `limit` rows
+    // Spark's V2ScanRelationPushDown pushes LIMIT *after* aggregates, so
+    // a pushed limit at that point applies to the (1-row) aggregate
+    // OUTPUT, not the data interval — narrowing [lo, hi) here would turn
+    // `...agg(count).limit(1)` into count=1. Decline once an aggregate
+    // has been absorbed; the interval arithmetic must only ever reflect
+    // row-level predicates.
+    if (aggTags.isDefined) false
+    else {
+      hi = math.min(hi, lo + limit)
+      limitPushed = true
+      true // exact: the interval emits at most `limit` rows
+    }
   }
 
   /** COMPLETE aggregate pushdown for ungrouped COUNT / MIN(id) /
@@ -208,10 +220,15 @@ class SynthScanBuilder(rows: Long, slices: Int, seed: Long, batchRows: Long = 10
     }
     Some(tags.toSeq)
   }
+  // The mirror-image guard of pushLimit: an interval already truncated
+  // by a pushed LIMIT is no longer the predicate-defined row set, so an
+  // aggregate over it would be wrong — decline and let Spark aggregate
+  // above the (limited) row scan.
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    classify(agg).isDefined
+    !limitPushed && classify(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean =
-    classify(agg) match {
+    if (limitPushed) false
+    else classify(agg) match {
       case Some(tags) => aggTags = Some(tags); true
       case None       => false
     }

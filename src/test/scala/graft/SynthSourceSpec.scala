@@ -119,6 +119,21 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(!p2.contains("graft-synth-agg"), s"non-id min wrongly pushed:\n$p2")
   }
 
+  test("limit above a pushed aggregate does not narrow the interval") {
+    // V2ScanRelationPushDown pushes LIMIT *after* aggregates: .limit(1)
+    // over a 1-row aggregate must not truncate [lo, hi) to a single row.
+    val df = Synth.read(spark, 1000000L, slices = 8)
+      .filter(col("id") >= 100L && col("id") < 2100L)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+      .limit(1)
+    val row = df.collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((2000L, 100L, 2099L)))
+    // and the aggregate still completed at the scan (the decline is the
+    // LIMIT's, not the aggregate's)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft-synth-agg"), s"agg scan not planned:\n$p")
+  }
+
   test("aggregate over 50k generated rows matches a local replay") {
     val agg = Synth.read(spark, 50000L, slices = 8)
       .groupBy("kind")
