@@ -25,6 +25,10 @@ object Incremental {
     * row, I/U upsert the change's payload columns (an update for an
     * absent key inserts — standard upsert semantics, what MERGE's
     * WHEN NOT MATCHED clause does). Unchanged base rows pass through.
+    * Determinism: a `seq` tie within one key is broken by `op`
+    * (descending), so replaying the same batch always picks the same
+    * winner; callers wanting a total replay contract should keep
+    * (key, seq, op) unique.
     *
     * Shape (audited with PlanAudit at sf0.01: 3 exchanges, 1 SMJ, no
     * broadcast/cartesian): one window shuffle on the change stream
@@ -44,7 +48,10 @@ object Incremental {
       seqCol: String = "seq",
       opCol: String = "op"): DataFrame = {
     val payload = base.columns.filter(_ != key)
-    val w = Window.partitionBy(key).orderBy(col(seqCol).desc)
+    // seq ties break on op (descending: U > I > D — a same-seq update
+    // beats a delete) so replay is deterministic; two changes sharing
+    // BOTH seq and op on one key remain the caller's contract to avoid
+    val w = Window.partitionBy(key).orderBy(col(seqCol).desc, col(opCol).desc)
     val latest = changes
       .withColumn("g_rn", row_number().over(w))
       .filter(col("g_rn") === 1)
@@ -91,7 +98,10 @@ object Incremental {
       seqCol: String = "seq",
       opCol: String = "op"): DataFrame = {
     val payload = base.columns.filter(_ != key)
-    val w = Window.partitionBy(key).orderBy(col(seqCol).desc)
+    // seq ties break on op (descending: U > I > D — a same-seq update
+    // beats a delete) so replay is deterministic; two changes sharing
+    // BOTH seq and op on one key remain the caller's contract to avoid
+    val w = Window.partitionBy(key).orderBy(col(seqCol).desc, col(opCol).desc)
     val latest = changes
       .withColumn("g_rn", row_number().over(w))
       .filter(col("g_rn") === 1)
@@ -148,9 +158,13 @@ object Incremental {
     val payload = oldDf.columns.filter(c => c != key && newDf.columns.contains(c))
     val o = oldDf.select(col(key).as("g_ok") +: payload.map(c => col(c).as(s"old_$c")): _*)
     val n = newDf.select(col(key).as("g_nk") +: payload.map(c => col(c).as(s"new_$c")): _*)
+    // foldLeft with a `true` base: a key-only table (no shared payload
+    // columns) must still classify pure inserts/deletes instead of
+    // throwing on an empty reduce; with no payload nothing can differ,
+    // so `same` is vacuously true and only insert/delete rows emit
     val same = payload
       .map(c => col(s"old_$c") <=> col(s"new_$c"))
-      .reduce(_ && _)
+      .foldLeft(lit(true))(_ && _)
     o.join(n, col("g_ok") === col("g_nk"), "full_outer")
       .withColumn("change_type",
         when(col("g_ok").isNull, "insert")
@@ -349,10 +363,17 @@ object Incremental {
       .agg(
         hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("direct_est"),
         countDistinct(col("o_custkey")).as("n_exact"))
-    st.join(dl, "o_orderstatus")
+    // full_outer + null-as-empty-sketch: a status whose orders fall
+    // entirely on one side of the cut must still be reported (the
+    // oracle emits every status; an absent delta group is an EMPTY
+    // delta, not a dropped group — the same algebra as [[aggMerge]])
+    st.join(dl, Seq("o_orderstatus"), "full_outer")
       .select(col("o_orderstatus"),
-        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("merged_est"))
-      .join(direct, "o_orderstatus")
+        when(col("sk_a").isNull, hll_sketch_estimate(col("sk_b")))
+          .when(col("sk_b").isNull, hll_sketch_estimate(col("sk_a")))
+          .otherwise(hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+          .as("merged_est"))
+      .join(direct, Seq("o_orderstatus"), "left")
       .select(
         col("o_orderstatus").as("status"),
         col("n_exact"),

@@ -81,6 +81,30 @@ class IncrementalSpec extends AnyFunSuite {
     assert(out == Map(1L -> "update", 2L -> "update")) // 3: null==null, unchanged
   }
 
+  test("changeDataFeed on a key-only table still classifies inserts and deletes") {
+    val s = spark; import s.implicits._
+    // no shared payload columns: `same` must fold to vacuously-true, not
+    // throw on an empty reduce — only membership changes emit
+    val oldDf = Seq(1L, 2L, 3L).toDF("k")
+    val newDf = Seq(2L, 3L, 4L).toDF("k")
+    val out = Incremental.changeDataFeed(oldDf, newDf, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "delete", 4L -> "insert"))
+  }
+
+  test("cdcApply: a seq tie is broken deterministically by op, same in both forms") {
+    val b = base((1L, "A", 100L), (2L, "B", 200L))
+    val c = changes(
+      (1L, "D", 5L, null, null), (1L, "U", 5L, "A2", 150L), // tie: U beats D
+      (2L, "D", 7L, null, null), (2L, "I", 7L, "B2", 260L)) // tie: I beats D
+    val merge = state(Incremental.cdcApply(b, c, "k"))
+    val bcast = state(Incremental.cdcApplyBroadcast(b, c, "k"))
+    assert(merge == Map(
+      1L -> (("A2", 150L, "cdc")),
+      2L -> (("B2", 260L, "cdc"))), s"tie not broken op-desc: $merge")
+    assert(bcast == merge, s"broadcast form diverged on ties:\n$bcast\nvs\n$merge")
+  }
+
   test("aggMerge: state ⊕ delta equals the one-shot aggregate for any split point") {
     val s = spark; import s.implicits._
     val rows = (1L to 200L).map(i => (i % 7, 1L, i))
@@ -143,6 +167,26 @@ class IncrementalSpec extends AnyFunSuite {
     assert(ab == ba, "HLL union must be commutative")
     assert(math.abs(ab - 2000L) * 50L <= 2000L,
       s"estimate $ab breaches the 2% contract for 2000 exact")
+  }
+
+  test("ordersSketchMerge reports statuses whose orders fall entirely on one side of the cut") {
+    val s = spark; import s.implicits._
+    val before = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val after = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    // X: only pre-cut orders; Y: only post-cut; Z: both sides
+    val orders = (
+      (1L to 40L).map(k => (k, "X", before)) ++
+      (41L to 80L).map(k => (k, "Y", after)) ++
+      (81L to 100L).map(k => (k, "Z", before)) ++
+      (101L to 120L).map(k => (k, "Z", after))
+    ).toDF("o_custkey", "o_orderstatus", "o_orderdate")
+    val out = Incremental.ordersSketchMerge(orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set("X", "Y", "Z"), s"one-sided status dropped: ${out.keySet}")
+    assert(out("X")._1 == 40L && out("Y")._1 == 40L && out("Z")._1 == 40L)
+    out.foreach { case (st, (_, mOk, dOk)) =>
+      assert(mOk && dOk, s"estimate contract breached for one-sided status $st")
+    }
   }
 
   test("compactionPlan: every bin except possibly the head stays under target + largest file") {
