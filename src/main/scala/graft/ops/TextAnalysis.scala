@@ -1367,13 +1367,22 @@ object TextAnalysis {
     import spark.implicits._
     val toks = documents.select(col("doc_id"),
       explode(graft.functions.TextExpressions.alnumTokens(col("text"))).as("term"))
-    val n = documents.count()
-    val t = toks.count()
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // tf is the single tokenize pass; dl, df, and the corpus-total scalar
+    // all derive FROM it (persisted — 4 readers), so the corpus text is
+    // scanned once per materialization and the op stays fully lazy: N
+    // and T are 1-row broadcast aggregate frames cross-joined into the
+    // plan (the pageRankFromPairs scalar idiom), not driver-side actions
+    // executed at plan-construction time.
+    val tfRaw = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf =
+      if (tfRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) tfRaw.persist()
+      else tfRaw
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val nRow = documents.agg(count(lit(1)).as("g_n"))
+    val tRow = tf.agg(sum("tf").as("g_t"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val qidf = dfreq.select(col("term"),
-      floor(log((lit(n.toDouble) - col("df") + lit(0.5))
+    val qidf = dfreq.crossJoin(broadcast(nRow)).select(col("term"),
+      floor(log((col("g_n").cast("double") - col("df") + lit(0.5))
         / (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6) + lit(0.5))
         .cast("long").as("q_idf"))
     val qterms = Bm25Queries.toDF("query_id", "qtext")
@@ -1381,11 +1390,13 @@ object TextAnalysis {
         explode(graft.functions.TextExpressions.alnumTokens(col("qtext"))).as("term"))
       .distinct()
     val contrib = expr(
-      s"(q_idf * 22 * tf * $t) div (10 * $t * tf + 3 * $t + 9 * $n * dl)")
+      "(q_idf * 22 * tf * g_t) div (10 * g_t * tf + 3 * g_t + 9 * g_n * dl)")
     val scores = broadcast(qterms)
       .join(tf, "term")
       .join(dl, "doc_id")
       .join(qidf, "term")
+      .crossJoin(broadcast(tRow))
+      .crossJoin(broadcast(nRow))
       .select(col("query_id"), col("doc_id"), contrib.as("c"))
       .groupBy("query_id", "doc_id")
       .agg(sum("c").as("score_grid"), count(lit(1)).as("n_terms"))

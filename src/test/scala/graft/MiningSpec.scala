@@ -12,6 +12,26 @@ class MiningSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestBase.spark
 
+  test("bm25TopK is lazy: constructing the plan runs no Spark job") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val docs = Seq((1L, "spark join"), (2L, "table scan")).toDF("doc_id", "text")
+      val plan = TextAnalysis.bm25TopK(docs, k = 3)
+      Thread.sleep(500) // listener events are async; give a stray job time to surface
+      assert(jobs.get() == 0,
+        s"bm25TopK construction submitted ${jobs.get()} job(s) — N/T must be in-plan scalars")
+      assert(plan.columns.toSeq ==
+        Seq("query_id", "rank", "doc_id", "score_grid", "n_terms"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bm25TopK: tf saturation, idf weighting, and length normalization order as BM25 must") {
     val sparkS = spark
     import sparkS.implicits._
