@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
 
@@ -11,13 +11,28 @@ import scala.jdk.CollectionConverters._
   * travel, merge-on-read deletes, and exactly-once streaming ingest
   * WITHOUT ever rewriting data for an append or a delete:
   *
-  *   - every commit writes its rows to a fresh `data/c<N>/` directory
-  *     (files are immutable once written, so concurrent readers of older
-  *     snapshots are never disturbed);
+  *   - every commit writes its rows to a fresh uniquely-named
+  *     `data/c<N>_<token>/` directory (files are immutable once written,
+  *     so concurrent readers of older snapshots are never disturbed, and
+  *     two in-flight writers can never collide on a data path);
   *   - the manifest (`_manifest/<N>.manifest`: `version=` line, optional
   *     `txn=` line, then one entry per line) is staged to a temp name
-  *     and ATOMIC_MOVE-renamed — a reader either sees version N fully
-  *     or not at all, which is the entire commit protocol;
+  *     and published with a CREATE-NEW hard link — a reader either sees
+  *     version N fully or not at all, AND a version number can be won by
+  *     exactly one writer (`Files.createLink` fails with
+  *     `FileAlreadyExistsException` if the slot is taken), which is the
+  *     entire commit protocol: optimistic concurrency with the manifest
+  *     link as the compare-and-swap;
+  *   - a writer that loses the race re-seats its (already-written) data
+  *     directory onto the next free version and retries — safe for
+  *     appends (the carried snapshot is re-read from the new head) and
+  *     for caller-supplied overwrites (the caller's frame IS the
+  *     intended snapshot regardless of interleaving); commits whose
+  *     CONTENT was derived from a snapshot ([[deleteWhere]],
+  *     [[compact]]) instead validate that the head they read is still
+  *     the head they replace, and fail loudly with
+  *     `ConcurrentModificationException` on conflict — blind retry
+  *     there would resurrect rows a concurrent commit removed;
   *   - a data entry is a relative path; a DELETE entry is
   *     `D:<bound>:<path>` — a parquet file of doomed keys that applies
   *     only to data commits ≤ `bound`, so a later re-insert of a
@@ -28,7 +43,7 @@ import scala.jdk.CollectionConverters._
   *   - `vacuum` deletes files referenced only by expired manifests,
   *     keeping the newest `retain` versions readable;
   *   - `commitIfAbsent` makes a commit idempotent under a caller
-  *     transaction id (recorded inside the atomically-renamed
+  *     transaction id (recorded inside the atomically-published
   *     manifest), which is exactly what a foreachBatch streaming sink
   *     needs for exactly-once ingest across batch replays.
   *
@@ -50,8 +65,10 @@ object VersionedTable {
     val i = b.lastIndexOf('#')
     if (i < 0) b else b.substring(0, i)
   }
+  // dir grammar: c<N> (pre-token layouts) or c<N>_<token>; N is the
+  // commit the data belongs to, which scopes tombstone bounds
   private def dataCommitOf(e: String): Long =
-    entryPath(e).split("/")(1).stripPrefix("c").toLong
+    entryPath(e).split("/")(1).stripPrefix("c").takeWhile(_.isDigit).toLong
 
   /** Committed versions, ascending (empty for a nonexistent table). */
   def versions(table: String): Seq[Long] = {
@@ -83,32 +100,63 @@ object VersionedTable {
   def txnVersion(table: String, txnId: String): Option[Long] =
     versions(table).find(v => txnOf(table, v).contains(txnId))
 
-  private def writeManifest(
-      table: String, next: Long, entries: Seq[String], txnId: Option[String]): Long = {
+  /** Publish version `next` with CREATE-NEW semantics: stage the full
+    * manifest to a writer-unique temp name, then hard-link it to
+    * `<next>.manifest`. The link either creates the target (this writer
+    * won the version) or throws `FileAlreadyExistsException` (a
+    * concurrent writer got there first) — POSIX `rename` would silently
+    * REPLACE an existing target, losing the other writer's commit, so
+    * link-as-CAS is the only primitive here. Content atomicity is kept
+    * by the staging step: the target name never exists half-written.
+    */
+  private def tryPublish(
+      table: String, next: Long, entries: Seq[String], txnId: Option[String]): Boolean = {
     val mdir = manifestDir(table)
     Files.createDirectories(mdir)
-    val tmp = mdir.resolve(s"$next.manifest.tmp")
+    val tmp = mdir.resolve(
+      s"$next.manifest.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     val header = s"version=$next" +: txnId.map(t => s"txn=$t").toSeq
     Files.write(tmp, (header ++ entries).asJava)
-    Files.move(tmp, mdir.resolve(s"$next.manifest"),
-      StandardCopyOption.ATOMIC_MOVE)
-    next
+    try {
+      Files.createLink(mdir.resolve(s"$next.manifest"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
   }
 
-  private def writeFiles(df: DataFrame, table: String, next: Long): Seq[String] = {
-    val dataDir = Paths.get(table, "data", s"c$next")
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator.asScala.toSeq.foreach(deleteRecursively)
+      Files.deleteIfExists(p)
+      ()
+    }
+
+  /** Write `df` under `data/<dirName>/` and return each parquet file
+    * with its row count. The counts come from ONE Spark job over the
+    * whole commit directory (zero columns projected → the scan answers
+    * from row-group metadata), grouped by `input_file_name` — never a
+    * job per file, which at an 800k-file commit would be 800k
+    * sequentially-scheduled driver round-trips.
+    */
+  private def writeFiles(
+      df: DataFrame, table: String, dirName: String): Seq[(String, Long)] = {
+    val dataDir = Paths.get(table, "data", dirName)
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val files = Files.list(dataDir).iterator.asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
       .toSeq.sorted
-    // per-file row counts from the parquet FOOTERS (a count() over a bare
-    // parquet scan reads only row-group metadata), recorded in the entry
-    // as `path#rows` so snapshot counts become manifest arithmetic
-    val counts = files.map { n =>
-      df.sparkSession.read.parquet(s"$dataDir/$n").count()
-    }
-    files.zip(counts).map { case (n, c) => s"data/c$next/$n#$c" }
+    val counts: Map[String, Long] =
+      if (files.isEmpty) Map.empty
+      else df.sparkSession.read.parquet(dataDir.toString)
+        .groupBy(org.apache.spark.sql.functions.input_file_name().as("g_f"))
+        .count()
+        .collect()
+        .map(r => r.getString(0).split('/').last -> r.getLong(1))
+        .toMap
+    files.map(n => n -> counts.getOrElse(n, 0L)) // a file absent from the job wrote 0 rows
   }
 
   private def entryRows(e: String): Option[Long] = {
@@ -148,30 +196,83 @@ object VersionedTable {
     commitTxn(df, table, append, txnId = None)
 
   /** [[commit]] stamped with a transaction id inside the same atomic
-    * manifest rename — the building block for [[commitIfAbsent]].
+    * manifest publish — the building block for [[commitIfAbsent]].
     */
   def commitTxn(
-      df: DataFrame, table: String, append: Boolean, txnId: Option[String]): Long = {
-    val prev = versions(table)
-    val next = prev.lastOption.getOrElse(0L) + 1L
-    val fresh = writeFiles(df, table, next)
-    val carried =
-      if (append && prev.nonEmpty) manifestEntries(table, prev.last) else Seq.empty
-    writeManifest(table, next, carried ++ fresh, txnId)
+      df: DataFrame, table: String, append: Boolean, txnId: Option[String]): Long =
+    commitCore(df, table, append, txnId, expectedLatest = None)
+      .fold(identity, identity)
+
+  /** The optimistic-concurrency commit loop. Data files are written
+    * once to a writer-unique directory; the version number is then won
+    * by [[tryPublish]]'s create-new link. On losing the race:
+    *   - `expectedLatest = Some(v)` (snapshot-derived commits): the
+    *     basis this commit was computed from is no longer the head —
+    *     clean up the orphaned data directory and throw
+    *     `ConcurrentModificationException`;
+    *   - otherwise: re-seat the data directory onto the next free
+    *     version (a cheap dir rename — entries embed the commit number
+    *     for tombstone scoping), re-read the carried snapshot from the
+    *     NEW head (an append must carry the winner's rows, not the
+    *     stale ones), re-check the txn id (two replayed writers sharing
+    *     one txn id must not double-apply), and retry.
+    *
+    * Returns Right(new version), or Left(existing version) when `txnId`
+    * was found already committed.
+    */
+  private def commitCore(
+      df: DataFrame, table: String, append: Boolean,
+      txnId: Option[String], expectedLatest: Option[Long]): Either[Long, Long] = {
+    txnId.flatMap(txnVersion(table, _)).foreach(v => return Left(v))
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    var next = expectedLatest.getOrElse(versions(table).lastOption.getOrElse(0L)) + 1L
+    var dirName = s"c${next}_$token"
+    val fileCounts = writeFiles(df, table, dirName)
+    def abandon(): Unit = deleteRecursively(Paths.get(table, "data", dirName))
+    while (true) {
+      val latest = expectedLatest.orElse(versions(table).lastOption)
+      // the txn check must SEE every commit up to `latest` before we
+      // claim latest+1: a same-txn racer that committed while our data
+      // files were being written would otherwise be double-applied at a
+      // later version number (the entry check alone cannot catch it).
+      // If that racer instead commits AFTER this check, it necessarily
+      // holds version latest+1 and our publish below loses the link
+      // race, looping back here to find its txn.
+      txnId.flatMap(txnVersion(table, _)).foreach { v => abandon(); return Left(v) }
+      val target = latest.getOrElse(0L) + 1L
+      if (target != next) {
+        val newDir = s"c${target}_$token"
+        Files.move(Paths.get(table, "data", dirName), Paths.get(table, "data", newDir))
+        dirName = newDir
+        next = target
+      }
+      val carried =
+        if (append) latest.map(manifestEntries(table, _)).getOrElse(Seq.empty)
+        else Seq.empty
+      val fresh = fileCounts.map { case (n, c) => s"data/$dirName/$n#$c" }
+      if (tryPublish(table, next, carried ++ fresh, txnId)) return Right(next)
+      if (expectedLatest.isDefined) {
+        abandon()
+        throw new java.util.ConcurrentModificationException(
+          s"commit to $table lost the race for version $next and its content " +
+            "was derived from the previous head — recompute against the new head")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Idempotent commit: if a version carrying `txnId` already exists,
     * do nothing and return None; else commit and return the version.
-    * Because the txn id rides inside the atomically-renamed manifest,
+    * Because the txn id rides inside the atomically-published manifest,
     * a crashed-and-replayed writer can never double-apply — this is the
     * exactly-once contract a streaming foreachBatch sink keys on its
     * batchId (see `CdcStreamsSpec`'s ingest test).
     */
   def commitIfAbsent(
       df: DataFrame, table: String, append: Boolean, txnId: String): Option[Long] =
-    txnVersion(table, txnId) match {
-      case Some(_) => None
-      case None    => Some(commitTxn(df, table, append, Some(txnId)))
+    commitCore(df, table, append, Some(txnId), expectedLatest = None) match {
+      case Left(_)  => None // this txn already committed (possibly by a racer)
+      case Right(v) => Some(v)
     }
 
   /** Quality-gated idempotent commit: run the caller's expectation
@@ -205,19 +306,41 @@ object VersionedTable {
     val next = lastV + 1L
     val doomed = read(spark, table, Some(lastV))
       .filter(predicate).select(keyCol).distinct()
-    val fresh = writeFiles(doomed, table, next)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"c${next}_$token"
+    val fileCounts = writeFiles(doomed, table, dirName)
     val bound = next - 1L
-    writeManifest(table, next,
-      manifestEntries(table, lastV) ++ fresh.map(p => s"D:$bound:$p"), None)
+    val fresh = fileCounts.map { case (n, c) => s"D:$bound:data/$dirName/$n#$c" }
+    // the doomed-key set was computed FROM snapshot lastV — if another
+    // writer took version `next`, applying this tombstone over their
+    // head could delete rows they just (re-)inserted; fail loudly
+    // instead of retrying (the caller re-runs against the new head)
+    if (!tryPublish(table, next, manifestEntries(table, lastV) ++ fresh, None)) {
+      deleteRecursively(Paths.get(table, "data", dirName))
+      throw new java.util.ConcurrentModificationException(
+        s"deleteWhere on $table computed its tombstones from version $lastV " +
+          s"but version $next was committed concurrently — re-run against the new head")
+    }
+    next
   }
 
   /** Rewrite the current merge-on-read view as a plain overwrite commit:
     * tombstones are applied once and dropped from the new manifest —
     * the OPTIMIZE step that turns read-time anti-joins back into pure
-    * scans. Returns the new version.
+    * scans. The rewritten view is pinned to the head version it was
+    * read from: a concurrent commit in the meantime makes this
+    * compaction stale, so it throws `ConcurrentModificationException`
+    * rather than silently replacing the newer head with old data.
+    * Returns the new version.
     */
-  def compact(spark: SparkSession, table: String): Long =
-    commit(read(spark, table), table, append = false)
+  def compact(spark: SparkSession, table: String): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions at $table")
+    val basis = vs.last
+    commitCore(read(spark, table, Some(basis)), table, append = false,
+      txnId = None, expectedLatest = Some(basis))
+      .fold(identity, identity)
+  }
 
   /** Read a snapshot (latest when `version` is None). The returned plan
     * scans exactly the manifest's data files; any tombstone entries are
@@ -322,7 +445,17 @@ object VersionedTable {
       s"bad version range ($from, $to] for versions $vs")
     vs.filter(w => w > from && w <= to).map { w =>
       val cur = manifestEntries(table, w)
-      val prev = if (vs.contains(w - 1)) manifestEntries(table, w - 1) else Seq.empty
+      // versions are allocated consecutively from 1, so the only commit
+      // with no predecessor is 1 itself. A missing w-1 manifest for
+      // w > 1 means it was VACUUMED — treating it as empty would
+      // classify the whole carried snapshot as fresh and silently
+      // re-emit it; fail loudly instead (the loud-failure contract
+      // below is only as good as this check).
+      require(w == 1L || vs.contains(w - 1),
+        s"cannot compute the fresh entries of commit $w of $table: its " +
+          s"predecessor manifest ${w - 1} has been vacuumed — start the " +
+          "range at a retained version")
+      val prev = if (w == 1L) Seq.empty else manifestEntries(table, w - 1)
       require(prev.forall(cur.contains),
         s"commit $w of $table is an overwrite — incremental consumption " +
           "is only defined over append/delete commits")
@@ -334,6 +467,15 @@ object VersionedTable {
     * and any data/tombstone file no retained manifest references.
     * Returns the number of files deleted. Retained snapshots remain
     * exactly readable — vacuum never touches a referenced file.
+    *
+    * Concurrent-reader contract: a DataFrame already pinned to an
+    * expired snapshot fails LOUDLY at execution time
+    * (`FileNotFoundException` from the parquet scan) once its files are
+    * reclaimed — never a silently partial result — because a missing
+    * input is an error under `spark.sql.files.ignoreMissingFiles=false`
+    * (the Spark default; do not enable that flag for versioned-table
+    * paths). Re-planning the expired version fails immediately at
+    * manifest lookup. Pinned after-vacuum behavior is spec-tested.
     */
   def vacuum(table: String, retain: Int): Int = {
     require(retain >= 1, "must retain at least one version")
