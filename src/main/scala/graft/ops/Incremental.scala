@@ -213,24 +213,27 @@ object Incremental {
   /** Small-file compaction plan: given a file inventory (id, size),
     * assign files to target-size output bins by size-descending
     * sequential packing — floor(exclusive-prefix-sum / target), the
-    * bin-packing layout an OPTIMIZE/compaction job executes. The global
-    * sort is over the METADATA inventory (one row per file — ~800k rows
-    * for 100 TB at 128 MB files), never the data, so the single-partition
-    * window is a driver-scale frame by construction; the rewrite itself
-    * would be a per-bin distributed copy. Emits per-bin file counts and
-    * fill levels for the planner's skew audit.
+    * bin-packing layout an OPTIMIZE/compaction job executes. The sort
+    * is over the METADATA inventory (one row per file — ~800k rows for
+    * 100 TB at 128 MB files), never the data; the prefix sum comes from
+    * [[Relational.rankedPrefix]]'s two-pass distributed rank, so even
+    * the metadata frame never funnels through a single-partition
+    * window. The rewrite itself would be a per-bin distributed copy.
+    * Emits per-bin file counts and fill levels for the planner's skew
+    * audit.
     */
   def compactionPlan(
       files: DataFrame,
       idCol: String,
       sizeCol: String,
       targetSize: Long): DataFrame = {
-    val w = Window.orderBy(col(sizeCol).desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    files
-      .select(col(idCol), col(sizeCol))
-      .withColumn("g_prefix", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
-      .withColumn("bin_id", (col("g_prefix") / targetSize).cast("long"))
+    Relational
+      .rankedPrefix(files.select(col(idCol), col(sizeCol)),
+        Seq(col(sizeCol).desc, col(idCol)), col(sizeCol))
+      // the bin boundary uses the EXCLUSIVE prefix (a file opens a new
+      // bin only if the files before it already filled the target)
+      .withColumn("bin_id",
+        ((col("g_prefix") - col(sizeCol)) / targetSize).cast("long"))
       .groupBy("bin_id")
       .agg(
         count(lit(1)).as("n_files"),

@@ -198,6 +198,58 @@ object Relational {
       .limit(k)
       .select("o_orderkey", "o_totalprice")
 
+  /** Distributed global row-number + inclusive running sum over a total
+    * order, with NO single-partition window: the classic two-pass rank.
+    *
+    *   1. range-partition the frame on the order keys (`parts` ways);
+    *   2. rank + prefix-sum WITHIN each partition (a window partitioned
+    *      by `spark_partition_id()` — every partition works in
+    *      parallel);
+    *   3. per-partition row/sum totals (a `parts`-row metadata frame)
+    *      turn into cross-partition offsets via a broadcast non-equi
+    *      self-join (`parts²` pairs — trivial), added back per row.
+    *
+    * All three legs hang off the SAME range exchange, which Spark's
+    * exchange/stage reuse executes once — so the partition ids the
+    * offsets were computed for are exactly the ids the rows carry (a
+    * spec pins this against skewed inputs). At 10⁸ rows the largest
+    * sequential frame anywhere in the plan is one range partition, vs
+    * the whole frame for `Window.orderBy` — which is the difference
+    * between a straggler-free rank and a single-task sort at 100 TB.
+    *
+    * `order` must be a TOTAL order (include a tiebreaker column) or
+    * ranks are nondeterministic. Adds `g_rank` (1-based, long),
+    * `g_prefix` (inclusive running sum of `sumCol`, long), and
+    * `g_total` (the frame-wide sum — derived from the same reused
+    * exchange, so callers needing a share denominator don't pay a
+    * second scan of `df`'s lineage).
+    */
+  def rankedPrefix(df: DataFrame, order: Seq[Column], sumCol: Column): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("g_pid", spark_partition_id())
+    val pw = Window.partitionBy("g_pid").orderBy(order: _*)
+    val local = ranged
+      .withColumn("g_lr", row_number().over(pw).cast("long"))
+      .withColumn("g_lc",
+        sum(sumCol).over(pw.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+    val stats = ranged.groupBy("g_pid")
+      .agg(count(lit(1)).as("g_pn"), sum(sumCol).cast("long").as("g_ps"))
+    val offs = stats.as("g_a")
+      .join(broadcast(stats.as("g_b")), col("g_b.g_pid") < col("g_a.g_pid"), "left")
+      .groupBy(col("g_a.g_pid"))
+      .agg(
+        coalesce(sum(col("g_b.g_pn")), lit(0L)).as("g_or"),
+        coalesce(sum(col("g_b.g_ps")), lit(0L)).as("g_os"))
+    val tot = stats.agg(sum("g_ps").cast("long").as("g_total"))
+    local.join(broadcast(offs), "g_pid")
+      .crossJoin(broadcast(tot))
+      .withColumn("g_rank", col("g_lr") + col("g_or"))
+      .withColumn("g_prefix", col("g_lc") + col("g_os"))
+      .drop("g_pid", "g_lr", "g_lc", "g_or", "g_os")
+  }
+
   /** Set op: UNION DISTINCT of two key sets. */
   def unionDistinctKeys(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.select(col("c_custkey").as("id"))

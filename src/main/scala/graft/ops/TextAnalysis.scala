@@ -610,8 +610,10 @@ object TextAnalysis {
     * BPE is that an odd-length run of the same symbol merges
     * left-to-right in ONE pass (``a a a`` → ``aa a``), which is exactly
     * what both engines' non-overlapping replace does, so the fixpoint is
-    * shared. The rank window runs over the aggregated pair vocabulary
-    * (thousands of rows), not the corpus.
+    * shared. The per-round report takes the global top-`topk` pairs with
+    * TakeOrderedAndProject and ranks them by a broadcast self-join over
+    * those ≤`topk` rows — no single-partition window anywhere, even
+    * though the pair vocabulary itself is only Heaps-law-sized.
     */
   def bpeMerges(documents: DataFrame, iters: Int = 3, topk: Int = 5): DataFrame = {
     val vocabRaw = documents
@@ -623,7 +625,6 @@ object TextAnalysis {
       if (vocabRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) vocabRaw.persist()
       else vocabRaw
     var cur = vocab0
-    val w = Window.orderBy(col("cnt").desc, col("pair"))
     val rounds = (1 to iters).map { it =>
       val toks = split(col("rep"), " ")
       val pairExpr = when(size(toks) >= 2,
@@ -640,9 +641,18 @@ object TextAnalysis {
         .select(col("n"),
           expr("trim(replace(' ' || rep || ' ', ' ' || mp || ' ', " +
             "' ' || replace(mp, ' ', '') || ' '))").as("rep"))
-      pairCounts
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= topk)
+      // global top-k via TakeOrderedAndProject (distributed, no window);
+      // ranks within the ≤topk survivors come from a broadcast self-join
+      // (topk² pairs) — the report stage never funnels the pair
+      // vocabulary through a single-partition window
+      val top = pairCounts.orderBy(col("cnt").desc, col("pair")).limit(topk)
+      top.as("g_a")
+        .join(broadcast(top.as("g_b")),
+          col("g_b.cnt") > col("g_a.cnt") ||
+            (col("g_b.cnt") === col("g_a.cnt") && col("g_b.pair") < col("g_a.pair")),
+          "left")
+        .groupBy(col("g_a.pair"), col("g_a.cnt"))
+        .agg((count(col("g_b.pair")) + lit(1L)).as("rnk"))
         .select(lit(it.toLong).as("iter"), col("rnk"), col("pair"),
           expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
     }
@@ -824,23 +834,23 @@ object TextAnalysis {
     * `alnumTokens`), one hash aggregate over (word) with a map-side
     * combine — at 100 TB the shuffle carries one row per DISTINCT word,
     * not per token, which is the whole trick: vocabulary cardinality is
-    * sublinear in corpus size (Heaps' law). The rank/cumulative window
-    * runs over that vocabulary-sized frame, so the single-partition
-    * global window is fine at any corpus scale.
+    * sublinear in corpus size (Heaps' law). Even so, a vocabulary is
+    * ~10⁸ rows at extreme corpus scale — large enough that a global
+    * `Window.orderBy` (one partition, one task) would straggle — so the
+    * rank and running share come from [[Relational.rankedPrefix]]'s
+    * two-pass distributed rank, and the corpus total is a 1-row
+    * broadcast aggregate: no data-derived frame passes through a
+    * single-partition window.
     */
   def wordFrequency(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"),
       explode(graft.functions.TextExpressions.alnumTokens(col("text"))).as("word"))
     val vocab = toks.groupBy("word")
       .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("n_docs"))
-    val byFreq = Window.orderBy(col("cnt").desc, col("word"))
-    vocab
-      .withColumn("rank", row_number().over(byFreq).cast("long"))
-      .withColumn("cum_share",
-        round(sum("cnt").over(byFreq.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)).cast("double")
-          / sum("cnt").over(Window.partitionBy()), 6))
-      .select("rank", "word", "cnt", "n_docs", "cum_share")
+    graft.ops.Relational
+      .rankedPrefix(vocab, Seq(col("cnt").desc, col("word")), col("cnt"))
+      .select(col("g_rank").as("rank"), col("word"), col("cnt"), col("n_docs"),
+        round(col("g_prefix").cast("double") / col("g_total"), 6).as("cum_share"))
       .orderBy("rank")
   }
 

@@ -72,4 +72,43 @@ class RelationalSpec extends AnyFunSuite {
     // counts here too — both rows lack a dimension match)
     assert(out("referential_orphan_custkey")._2 == false)
   }
+
+  test("rankedPrefix equals a sequential rank/prefix model on skewed input, with no global window") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    // Zipf-ish skew: half the keys share the minimum weight (one giant
+    // tie range), a few dominate — the shape that breaks naive bucketing
+    val rows = (1 to 4000).map { i =>
+      val wgt = if (i % 2 == 0) 1L else (4000L / i) * 7L
+      (f"k$i%05d", wgt)
+    }
+    val df = rows.toDF("key", "wgt").repartition(13) // scrambled input layout
+    val ranked = Relational
+      .rankedPrefix(df, Seq(col("wgt").desc, col("key")), col("wgt"))
+      .select("key", "wgt", "g_rank", "g_prefix", "g_total")
+    val out = ranked.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._3)
+    val model = rows.sortBy { case (k, w) => (-w, k) }
+      .scanLeft(("", 0L, 0L, 0L)) { case ((_, _, rk, pfx), (k, w)) => (k, w, rk + 1, pfx + w) }
+      .tail
+    val grand = rows.map(_._2).sum
+    assert(out.length == model.length)
+    out.zip(model).foreach { case (got, (k, w, rk, pfx)) =>
+      assert(got == ((k, w, rk, pfx, grand)), s"rank $rk: got $got, want ($k,$w,$rk,$pfx,$grand)")
+    }
+    // and the executed plan must contain no partition-less window — the
+    // whole point of the two-pass form
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def globalWindows(p: SparkPlan): Seq[WindowExec] = p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+      case a: AdaptiveSparkPlanExec                 => globalWindows(a.executedPlan)
+      case q: QueryStageExec                        => globalWindows(q.plan)
+    }.flatten
+    val globals = globalWindows(ranked.queryExecution.executedPlan)
+    assert(globals.isEmpty, s"global (partition-less) window in rankedPrefix plan: $globals")
+  }
 }
