@@ -76,6 +76,7 @@ object SparkEntry {
     "q_table_timetravel" -> ((s, d) => Incremental.ordersTimeTravel(t(s, d, "orders"))),
     "q_table_mor" -> ((s, d) => Incremental.ordersMergeOnRead(t(s, d, "orders"))),
     "q_table_changes" -> ((s, d) => Incremental.ordersTableChanges(t(s, d, "orders"))),
+    "q_asof_versioned" -> ((s, d) => Incremental.eventsAsofVersioned(t(s, d, "events"))),
     "q_quality_report" -> ((s, d) =>
       Relational.qualityReport(t(s, d, "orders"), t(s, d, "customer"))),
     "q_cast_types" -> ((s, d) => Relational.castTypes(t(s, d, "orders"))),
@@ -750,6 +751,7 @@ object SparkEntry {
     "q_multimodal_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.assetsFromDocuments(t(s, d, "documents")))
         .toDF().orderBy("asset_id", "frame_idx")),
+    "q_media_audio" -> ((s, d) => Multimodal.audioFeatures(t(s, d, "documents"))),
     // ---- reference reconciliation pipeline (golden-verified in tests AND
     //      driver-verified: the oracle replays the full validation /
     //      normalization cascade via DuckDB read_csv over the same CSVs) ----
@@ -1441,6 +1443,43 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, 'delete', NULL, 2 FROM del
         |ORDER BY o_orderkey, version""".stripMargin,
+    // Versioned table + native as-of composed: clicks enriched with the
+    // most recent view at-or-before, once against the time-traveled v1
+    // snapshot (every view) and once against the v2 head (views with
+    // view_id % 3 = 0 retracted via merge-on-read tombstones). The
+    // oracle replays both legs with the retraction as a WHERE clause;
+    // the operator's tiebreak (max view_id at the winning ts) matches
+    // the max() emulation below.
+    "q_asof_versioned" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+        |views1 AS (
+        |  SELECT user_id, event_id AS view_id, ts FROM events WHERE event_type = 'view'),
+        |views2 AS (
+        |  SELECT * FROM views1 WHERE view_id % 3 <> 0),
+        |best1 AS (
+        |  SELECT c.user_id, c.click_id, max(v.ts) AS vts
+        |  FROM clicks c LEFT JOIN views1 v
+        |    ON v.user_id = c.user_id AND v.ts <= c.ts
+        |  GROUP BY c.user_id, c.click_id),
+        |r1 AS (
+        |  SELECT b.user_id, b.click_id, max(v.view_id) AS view_id_v1
+        |  FROM best1 b LEFT JOIN views1 v
+        |    ON v.user_id = b.user_id AND v.ts = b.vts
+        |  GROUP BY b.user_id, b.click_id),
+        |best2 AS (
+        |  SELECT c.user_id, c.click_id, max(v.ts) AS vts
+        |  FROM clicks c LEFT JOIN views2 v
+        |    ON v.user_id = c.user_id AND v.ts <= c.ts
+        |  GROUP BY c.user_id, c.click_id),
+        |r2 AS (
+        |  SELECT b.user_id, b.click_id, max(v.view_id) AS view_id_v2
+        |  FROM best2 b LEFT JOIN views2 v
+        |    ON v.user_id = b.user_id AND v.ts = b.vts
+        |  GROUP BY b.user_id, b.click_id)
+        |SELECT r1.user_id, r1.click_id, r1.view_id_v1, r2.view_id_v2
+        |FROM r1 JOIN r2 ON r1.user_id = r2.user_id AND r1.click_id = r2.click_id
+        |ORDER BY r1.user_id, r1.click_id""".stripMargin,
     // Merge-on-read lifecycle: v1 = base; v2 = tombstone delete of keys
     // ≡ 5 (mod 20); v3 = append re-inserting keys ≡ 5 (mod 40) — the
     // commit-bounded tombstone must not swallow them; v4 = compact ≡ v3.
@@ -3868,6 +3907,25 @@ object SparkEntry {
         |SELECT asset_id, CAST(f AS INTEGER) AS frame_idx,
         |  substr(md5(substr(text, CAST(f AS INTEGER) * 256 + 1, 256)), 1, 16) AS frame_hash
         |FROM fr ORDER BY asset_id, frame_idx""".stripMargin,
+    // Real RIFF/WAVE decode: the engine wraps each document's bytes as
+    // 8 kHz mono unsigned-8-bit PCM and parses it back through the real
+    // header walk + sample fold (Multimodal.WavCodec). The oracle replays
+    // the decoded features with per-character arithmetic — valid because
+    // the corpus is pure ASCII (see the q_multimodal_meta note), so
+    // ascii(c) IS the PCM byte. duration_us = n * 1e6 / 8000 = n * 125
+    // exactly; peak/energy are exact integers over centered samples.
+    "q_media_audio" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS n_channels,
+        |  CAST(8 AS INTEGER) AS bits_per_sample,
+        |  CAST(length(text) AS BIGINT) AS n_samples,
+        |  CAST(length(text) AS BIGINT) * 125 AS duration_us,
+        |  CAST(coalesce(list_max(list_transform(string_split(text, ''),
+        |    c -> abs(ascii(c) - 128))), 0) AS INTEGER) AS peak,
+        |  CAST(coalesce(list_sum(list_transform(string_split(text, ''),
+        |    c -> (ascii(c) - 128) * (ascii(c) - 128))), 0) AS BIGINT) AS energy
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Full reconciliation pipeline replayed over the reference CSVs
     // (reference: etl_pipeline.py:62-342): DISTINCT* dedup is exact because
     // duplicate groups are full-row duplicates (verified 10,981 → 10,000

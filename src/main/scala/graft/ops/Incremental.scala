@@ -478,6 +478,58 @@ object Incremental {
     app.union(del).orderBy("o_orderkey", "version")
   }
 
+  /** Registered q_asof_versioned body: the round-11 components composed
+    * under ONE oracle check instead of passing only in isolation — a
+    * [[graft.sources.VersionedTable]] of view events (v1 = every view,
+    * v2 = merge-on-read retraction of every third view: tombstones only,
+    * no data rewritten) read at BOTH versions through the NATIVE as-of
+    * join ([[graft.plans.AsOfJoin]]). Each click is enriched with its
+    * most-recent-view-at-or-before twice: against the time-traveled v1
+    * snapshot (read after the head has moved — the pre-retraction answer
+    * an auditor replays) and against the v2 head (tombstones applied on
+    * read, so a retracted view falls through to the next-older surviving
+    * view or null). Exercises versioned commit + MOR delete + time
+    * travel + snapshot isolation + the custom sorted-merge physical
+    * operator in one plan; DuckDB replays both legs from the raw events
+    * table with the retraction as a WHERE clause.
+    *
+    * Scale shape: the two as-of legs each ask for hash-clustering on
+    * user_id, and the final leg-join is on (user_id, click_id) — AQE/
+    * EnsureRequirements reuses the click-side clustering, so cost is two
+    * sorted merges plus one key-hashed join, all linear and skew-free.
+    */
+  def eventsAsofVersioned(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val inputKey = events.inputFiles.sorted.mkString(",")
+    val table = versionedTables.computeIfAbsent((spark, s"av:$inputKey"), { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_versioned")
+      deleteRecursivelyOnExit(d)
+      val t = s"$d/views_v"
+      val views = events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+      graft.sources.VersionedTable.commit(views, t, append = false)
+      graft.sources.VersionedTable.deleteWhere(
+        spark, t, col("view_id") % 3 === 0, "view_id")
+      t
+    })
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    def enrich(version: Long, outCol: String) =
+      graft.plans.AsOfJoin.leftAsOf(
+          clicks,
+          graft.sources.VersionedTable.read(spark, table, Some(version)),
+          on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "v_ts",
+          rightTieBreak = Some("view_id"),
+          // the view stream is fact-sized at scale; pin the sorted-merge
+          // plan so the small-SF estimate can't flip it to broadcast
+          broadcastRight = Some(false))
+        .select(col("user_id"), col("click_id"), col("view_id").as(outCol))
+    enrich(1L, "view_id_v1")
+      .join(enrich(2L, "view_id_v2"), Seq("user_id", "click_id"))
+      .orderBy("user_id", "click_id")
+  }
+
   private def versionAggregates(
       spark: org.apache.spark.sql.SparkSession, table: String, upTo: Long): DataFrame =
     (1L to upTo).map { v =>

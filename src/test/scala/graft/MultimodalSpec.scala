@@ -70,6 +70,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).payload.isEmpty)
   }
 
+  test("WavCodec decodes an in-test generated 16-bit sine WAV exactly") {
+    // hand-build a 16-bit mono WAV: a square "sine" alternating ±1000 at
+    // 44100 Hz — peak and energy are known in closed form
+    val n = 1000
+    val buf = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(44100).putInt(88200).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(2 * n)
+    for (i <- 0 until n) buf.putShort(if (i % 2 == 0) 1000 else -1000)
+    val f = Multimodal.WavCodec.decode(5L, buf.array()).get
+    assert(f.sample_rate == 44100 && f.n_channels == 1 && f.bits_per_sample == 16)
+    assert(f.n_samples == 1000L)
+    assert(f.duration_us == 1000L * 1000000L / 44100L)
+    assert(f.peak == 1000 && f.energy == 1000L * 1000L * 1000L)
+  }
+
+  test("WavCodec 8-bit round-trip matches per-byte arithmetic; junk is total") {
+    val samples = Array.tabulate[Byte](256)(i => i.toByte) // bytes 0..255
+    val wav = Multimodal.WavCodec.encodePcm8Mono(samples, 8000)
+    val f = Multimodal.WavCodec.decode(1L, wav).get
+    assert(f.sample_rate == 8000 && f.bits_per_sample == 8 && f.n_samples == 256L)
+    assert(f.duration_us == 256L * 125L)
+    val centered = samples.map(b => (b & 0xff) - 128)
+    assert(f.peak == centered.map(math.abs).max)
+    assert(f.energy == centered.map(s => s.toLong * s).sum)
+
+    // unparseable payloads: None from the codec, all-zero row from the stage
+    assert(Multimodal.WavCodec.decode(2L, "not audio at all".getBytes).isEmpty)
+    assert(Multimodal.WavCodec.decode(3L, wav.take(30)).isEmpty) // truncated
+    val lying = wav.clone() // data chunk claims more bytes than exist
+    java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 100000)
+    assert(Multimodal.WavCodec.decode(4L, lying).isEmpty)
+
+    val sparkS = spark
+    import sparkS.implicits._
+    val ds = Seq(
+      Multimodal.MediaAsset(1L, "audio", wav, "t"),
+      Multimodal.MediaAsset(2L, "audio", "junk".getBytes, "t")).toDS()
+    val rows = Multimodal.decodeAudio(ds).collect().sortBy(_.asset_id)
+    assert(rows(0) == f)
+    assert(rows(1) == Multimodal.AudioFeatures(2L, 0, 0, 0, 0L, 0L, 0, 0L))
+  }
+
+  test("audioFeatures wraps documents as real WAV and decodes them back") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.audioFeatures(docs).collect()
+    assert(rows.length == docs.count())
+    val lens = docs.selectExpr("doc_id", "length(text) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.foreach { r =>
+      assert(r.getInt(1) == 8000 && r.getInt(2) == 1 && r.getInt(3) == 8)
+      assert(r.getLong(4) == lens(r.getLong(0)), s"n_samples of ${r.getLong(0)}")
+      assert(r.getLong(5) == lens(r.getLong(0)) * 125L)
+    }
+  }
+
   test("frame sampling yields every stride-th frame of video assets only") {
     val frames = Multimodal.sampleFrames(assets, stride = 2, frameBytes = 64).collect()
     assert(frames.nonEmpty)
