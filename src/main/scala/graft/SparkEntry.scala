@@ -77,6 +77,7 @@ object SparkEntry {
     "q_table_mor" -> ((s, d) => Incremental.ordersMergeOnRead(t(s, d, "orders"))),
     "q_table_changes" -> ((s, d) => Incremental.ordersTableChanges(t(s, d, "orders"))),
     "q_asof_versioned" -> ((s, d) => Incremental.eventsAsofVersioned(t(s, d, "events"))),
+    "q_table_pruned" -> ((s, d) => Incremental.ordersPrunedRead(t(s, d, "orders"))),
     "q_quality_report" -> ((s, d) =>
       Relational.qualityReport(t(s, d, "orders"), t(s, d, "customer"))),
     "q_cast_types" -> ((s, d) => Relational.castTypes(t(s, d, "orders"))),
@@ -1443,6 +1444,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, 'delete', NULL, 2 FROM del
         |ORDER BY o_orderkey, version""".stripMargin,
+    // Zone-map pruned range read: the versioned table commits orders
+    // range-clustered with per-file key min/max in the manifest, and the
+    // read prunes files by those stats before scanning. The oracle is
+    // the plain range filter — equality proves pruning loses nothing.
+    "q_table_pruned" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders WHERE o_orderkey BETWEEN 10000 AND 20000
+        |ORDER BY o_orderkey""".stripMargin,
     // Versioned table + native as-of composed: clicks enriched with the
     // most recent view at-or-before, once against the time-traveled v1
     // snapshot (every view) and once against the v2 head (views with

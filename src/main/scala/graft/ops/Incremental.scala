@@ -478,6 +478,36 @@ object Incremental {
     app.union(del).orderBy("o_orderkey", "version")
   }
 
+  /** Registered q_table_pruned body: zone-map data skipping on the
+    * versioned table. The pay-once build commits orders range-clustered
+    * on the key (`repartitionByRange(8)`) with `statsCols` recording
+    * each file's key min/max in the manifest; the read then asks for a
+    * narrow key range through [[graft.sources.VersionedTable.readWhere]],
+    * which drops files excluded by their zone map BEFORE Spark lists or
+    * opens them — manifest-only planning, the Iceberg data-skipping
+    * shape. The oracle is the plain range filter over raw orders: hash
+    * equality proves pruning loses nothing; `VersionedTableSpec` pins
+    * that the scan actually skips (pruneCount and inputFiles).
+    */
+  def ordersPrunedRead(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val table = versionedTables.computeIfAbsent((spark, s"pr:$inputKey"), { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_versioned")
+      deleteRecursivelyOnExit(d)
+      val t = s"$d/orders_pr"
+      graft.sources.VersionedTable.commit(
+        orders.select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            cents(col("o_totalprice")).as("price_c"))
+          .repartitionByRange(8, col("o_orderkey")),
+        t, append = false, statsCols = Seq("o_orderkey"))
+      t
+    })
+    graft.sources.VersionedTable
+      .readWhere(spark, table, None, "o_orderkey", 10000L, 20000L)
+      .orderBy("o_orderkey")
+  }
+
   /** Registered q_asof_versioned body: the round-11 components composed
     * under ONE oracle check instead of passing only in isolation — a
     * [[graft.sources.VersionedTable]] of view events (v1 = every view,

@@ -42,6 +42,10 @@ import scala.jdk.CollectionConverters._
   *     later commits (snapshot isolation);
   *   - `vacuum` deletes files referenced only by expired manifests,
   *     keeping the newest `retain` versions readable;
+  *   - commits may record per-file column zone maps (`statsCols`), and
+  *     [[readWhere]] prunes files from the manifest alone — a range
+  *     read over range-clustered data plans over a handful of files
+  *     without opening a single parquet footer;
   *   - `commitIfAbsent` makes a commit idempotent under a caller
   *     transaction id (recorded inside the atomically-published
   *     manifest), which is exactly what a foreachBatch streaming sink
@@ -57,12 +61,16 @@ object VersionedTable {
   private def manifestDir(table: String): Path = Paths.get(table, "_manifest")
 
   private def isDeleteEntry(e: String): Boolean = e.startsWith("D:")
-  // entry grammar: ["D:<bound>:"] <path> ["#" <rows>]
+  // entry grammar:
+  //   ["D:<bound>:"] <path> ["#" <rows> ["#" <col>=<min>..<max> {";" ...}]]
+  // rows is the commit-time footer count; the optional third field is
+  // per-file column min/max stats (integral columns only) — the zone-map
+  // that lets a range read prune files from the manifest alone.
   private def entryBody(e: String): String =
     if (isDeleteEntry(e)) e.split(":", 3)(2) else e
   private def entryPath(e: String): String = {
     val b = entryBody(e)
-    val i = b.lastIndexOf('#')
+    val i = b.indexOf('#')
     if (i < 0) b else b.substring(0, i)
   }
   // dir grammar: c<N> (pre-token layouts) or c<N>_<token>; N is the
@@ -133,36 +141,73 @@ object VersionedTable {
       ()
     }
 
-  /** Write `df` under `data/<dirName>/` and return each parquet file
-    * with its row count. The counts come from ONE Spark job over the
-    * whole commit directory (zero columns projected → the scan answers
-    * from row-group metadata), grouped by `input_file_name` — never a
-    * job per file, which at an 800k-file commit would be 800k
-    * sequentially-scheduled driver round-trips.
+  /** Write `df` under `data/<dirName>/` and return each parquet file as
+    * a full manifest-entry suffix: `<name>#<rows>` plus, when
+    * `statsCols` is non-empty, the per-file zone map `#col=min..max;…`.
+    * Counts AND stats come from ONE Spark job over the whole commit
+    * directory grouped by `input_file_name` — never a job per file,
+    * which at an 800k-file commit would be 800k sequentially-scheduled
+    * driver round-trips. Stats are recorded only for columns that cast
+    * cleanly to long (keys, epochs); a column that doesn't — or an
+    * all-null file — simply records no stats and is never pruned.
     */
   private def writeFiles(
-      df: DataFrame, table: String, dirName: String): Seq[(String, Long)] = {
+      df: DataFrame, table: String, dirName: String,
+      statsCols: Seq[String] = Nil): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val dataDir = Paths.get(table, "data", dirName)
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val files = Files.list(dataDir).iterator.asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
       .toSeq.sorted
-    val counts: Map[String, Long] =
+    val suffixes: Map[String, String] =
       if (files.isEmpty) Map.empty
-      else df.sparkSession.read.parquet(dataDir.toString)
-        .groupBy(org.apache.spark.sql.functions.input_file_name().as("g_f"))
-        .count()
-        .collect()
-        .map(r => r.getString(0).split('/').last -> r.getLong(1))
-        .toMap
-    files.map(n => n -> counts.getOrElse(n, 0L)) // a file absent from the job wrote 0 rows
+      else {
+        val aggs = count(lit(1)).as("g_n") +: statsCols.flatMap(c => Seq(
+          min(col(c)).cast("long").as(s"g_mn_$c"),
+          max(col(c)).cast("long").as(s"g_mx_$c")))
+        df.sparkSession.read.parquet(dataDir.toString)
+          .groupBy(input_file_name().as("g_f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val stats = statsCols.flatMap { c =>
+              val (mn, mx) = (r.getAs[Any](s"g_mn_$c"), r.getAs[Any](s"g_mx_$c"))
+              (mn, mx) match {
+                case (a: Long, b: Long) => Some(s"$c=$a..$b")
+                case _                  => None
+              }
+            }.mkString(";")
+            val suffix = s"#${r.getAs[Long]("g_n")}" +
+              (if (stats.isEmpty) "" else s"#$stats")
+            r.getString(0).split('/').last -> suffix
+          }.toMap
+      }
+    files.map(n => n + suffixes.getOrElse(n, "#0")) // absent from the job = wrote 0 rows
   }
 
   private def entryRows(e: String): Option[Long] = {
-    val b = entryBody(e)
-    val i = b.lastIndexOf('#')
-    if (i < 0) None else Some(b.substring(i + 1).toLong)
+    val parts = entryBody(e).split("#", -1)
+    if (parts.length < 2) None else parts(1).toLongOption
+  }
+
+  /** Per-file column zone map recorded at commit: col → (min, max).
+    * Empty for entries committed without `statsCols` — those files are
+    * never pruned, only files that POSITIVELY exclude the range are.
+    */
+  private def entryStats(e: String): Map[String, (Long, Long)] = {
+    val parts = entryBody(e).split("#", -1)
+    if (parts.length < 3 || parts(2).isEmpty) Map.empty
+    else parts(2).split(';').iterator.flatMap { kv =>
+      val eq = kv.indexOf('=')
+      val dots = kv.indexOf("..", eq + 1)
+      if (eq <= 0 || dots <= eq) None
+      else for {
+        mn <- kv.substring(eq + 1, dots).toLongOption
+        mx <- kv.substring(dots + 2).toLongOption
+      } yield kv.substring(0, eq) -> (mn, mx)
+    }.toMap
   }
 
   /** Metadata-only row count of a snapshot: pure manifest arithmetic
@@ -192,15 +237,17 @@ object VersionedTable {
     * new files the entire snapshot (logical overwrite — old files stay
     * on disk for time travel until vacuumed). Returns the new version.
     */
-  def commit(df: DataFrame, table: String, append: Boolean): Long =
-    commitTxn(df, table, append, txnId = None)
+  def commit(df: DataFrame, table: String, append: Boolean,
+      statsCols: Seq[String] = Nil): Long =
+    commitTxn(df, table, append, txnId = None, statsCols = statsCols)
 
   /** [[commit]] stamped with a transaction id inside the same atomic
     * manifest publish — the building block for [[commitIfAbsent]].
     */
   def commitTxn(
-      df: DataFrame, table: String, append: Boolean, txnId: Option[String]): Long =
-    commitCore(df, table, append, txnId, expectedLatest = None)
+      df: DataFrame, table: String, append: Boolean, txnId: Option[String],
+      statsCols: Seq[String] = Nil): Long =
+    commitCore(df, table, append, txnId, expectedLatest = None, statsCols)
       .fold(identity, identity)
 
   /** The optimistic-concurrency commit loop. Data files are written
@@ -222,12 +269,13 @@ object VersionedTable {
     */
   private def commitCore(
       df: DataFrame, table: String, append: Boolean,
-      txnId: Option[String], expectedLatest: Option[Long]): Either[Long, Long] = {
+      txnId: Option[String], expectedLatest: Option[Long],
+      statsCols: Seq[String] = Nil): Either[Long, Long] = {
     txnId.flatMap(txnVersion(table, _)).foreach(v => return Left(v))
     val token = java.util.UUID.randomUUID().toString.take(8)
     var next = expectedLatest.getOrElse(versions(table).lastOption.getOrElse(0L)) + 1L
     var dirName = s"c${next}_$token"
-    val fileCounts = writeFiles(df, table, dirName)
+    val fileEntries = writeFiles(df, table, dirName, statsCols)
     def abandon(): Unit = deleteRecursively(Paths.get(table, "data", dirName))
     while (true) {
       val latest = expectedLatest.orElse(versions(table).lastOption)
@@ -249,7 +297,7 @@ object VersionedTable {
       val carried =
         if (append) latest.map(manifestEntries(table, _)).getOrElse(Seq.empty)
         else Seq.empty
-      val fresh = fileCounts.map { case (n, c) => s"data/$dirName/$n#$c" }
+      val fresh = fileEntries.map(n => s"data/$dirName/$n")
       if (tryPublish(table, next, carried ++ fresh, txnId)) return Right(next)
       if (expectedLatest.isDefined) {
         abandon()
@@ -308,9 +356,9 @@ object VersionedTable {
       .filter(predicate).select(keyCol).distinct()
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dirName = s"c${next}_$token"
-    val fileCounts = writeFiles(doomed, table, dirName)
+    val fileEntries = writeFiles(doomed, table, dirName)
     val bound = next - 1L
-    val fresh = fileCounts.map { case (n, c) => s"D:$bound:data/$dirName/$n#$c" }
+    val fresh = fileEntries.map(n => s"D:$bound:data/$dirName/$n")
     // the doomed-key set was computed FROM snapshot lastV — if another
     // writer took version `next`, applying this tombstone over their
     // head could delete rows they just (re-)inserted; fail loudly
@@ -361,12 +409,24 @@ object VersionedTable {
     */
   def read(
       spark: SparkSession, table: String, version: Option[Long],
-      mergeSchema: Boolean): DataFrame = {
+      mergeSchema: Boolean): DataFrame =
+    snapshotFrame(spark, table, pinnedEntries(table, version), mergeSchema)
+
+  private def pinnedEntries(table: String, version: Option[Long]): Seq[String] = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed versions at $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val entries = manifestEntries(table, v)
+    manifestEntries(table, v)
+  }
+
+  /** The scan of a pinned entry set: the manifest's data files, with any
+    * tombstone entries applied as an anti-join of doomed keys against
+    * the data commits they are bounded to.
+    */
+  private def snapshotFrame(
+      spark: SparkSession, table: String, entries: Seq[String],
+      mergeSchema: Boolean): DataFrame = {
     def abs(rel: String) = Paths.get(table, rel).toString
     def readData(files: Seq[String]) =
       spark.read.option("mergeSchema", mergeSchema).parquet(files.map(abs): _*)
@@ -386,6 +446,53 @@ object VersionedTable {
             Seq(del.columns.head), "left_anti")
         }
       }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Manifest-level file skipping: of a snapshot's data entries, how many
+    * survive the zone-map prune for `lo <= column <= hi` — (kept, total).
+    * Exposed so callers (and the spec) can assert that a range read is
+    * metadata-pruned without touching `df.inputFiles`.
+    */
+  def pruneCount(
+      table: String, version: Option[Long], column: String,
+      lo: Long, hi: Long): (Int, Int) = {
+    val dataE = pinnedEntries(table, version).filterNot(isDeleteEntry)
+    val kept = dataE.count(e => entryStats(e).get(column)
+      .forall { case (mn, mx) => mx >= lo && mn <= hi })
+    (kept, dataE.size)
+  }
+
+  /** Data-skipping range read: `read` restricted to `lo <= column <= hi`,
+    * with files PRUNED FROM THE MANIFEST ALONE — a data file whose
+    * commit-time zone map ([[commit]]'s `statsCols`) positively excludes
+    * the range never reaches the scan, before Spark lists, opens, or
+    * schedules it. This is the Iceberg/Delta data-skipping pattern one
+    * level above parquet row-group stats (which still require opening
+    * every footer): at 100 TB with range-clustered commits, a narrow
+    * range read plans over a handful of files instead of 800k. Files
+    * without stats for `column` are kept (never pruned), and the real
+    * filter is still applied after the scan, so the result equals
+    * `read(...).filter(...)` exactly regardless of how data is laid out.
+    * Tombstones keep their normal semantics: a pruned data file cannot
+    * contribute rows, and kept files still anti-join their applicable
+    * delete entries.
+    */
+  def readWhere(
+      spark: SparkSession, table: String, version: Option[Long],
+      column: String, lo: Long, hi: Long,
+      mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val entries = pinnedEntries(table, version)
+    val pruned = entries.filter(e =>
+      isDeleteEntry(e) || entryStats(e).get(column)
+        .forall { case (mn, mx) => mx >= lo && mn <= hi })
+    // all data files excluded: scan the unpruned snapshot (the filter
+    // still yields zero rows) rather than special-casing an empty scan's
+    // schema — correct, and the zero-match case is not the hot path
+    val base =
+      if (pruned.forall(isDeleteEntry)) snapshotFrame(spark, table, entries, mergeSchema)
+      else snapshotFrame(spark, table, pruned, mergeSchema)
+    base.filter(col(column) >= lo && col(column) <= hi)
   }
 
   /** Incremental consumption, additive side: the data rows added by the

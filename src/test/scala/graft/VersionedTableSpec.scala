@@ -318,6 +318,48 @@ class VersionedTableSpec extends AnyFunSuite {
     // and the counts it recorded are exact (manifest arithmetic replays them)
     assert(VersionedTable.fastCount(t).contains(64L))
   }
+
+  test("zone-map stats prune a range read from the manifest alone") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    // range-clustered commit: 8 files, each a contiguous slice of 1..800
+    val rows = (1L to 800L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(8, col("k"))
+    VersionedTable.commit(rows, t, append = false, statsCols = Seq("k"))
+    val (kept, total) = VersionedTable.pruneCount(t, None, "k", 100L, 150L)
+    assert(total == 8 && kept < total,
+      s"a 50-key range over 8 range-clustered files must prune, kept=$kept")
+    val pruned = VersionedTable.readWhere(spark, t, None, "k", 100L, 150L)
+    // the pruned scan touches exactly the kept files...
+    assert(pruned.inputFiles.length == kept)
+    // ...and equals the unpruned filter exactly
+    val expect = VersionedTable.read(spark, t)
+      .filter(col("k") >= 100L && col("k") <= 150L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pruned.collect().map(r => (r.getLong(0), r.getString(1))).toSet == expect)
+  }
+
+  test("pruned reads stay exact under tombstones and stat-less files") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    VersionedTable.commit(
+      (1L to 400L).map(k => (k, "lo")).toDF("k", "v").repartitionByRange(4, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    // append WITHOUT stats: its files must never be pruned
+    VersionedTable.commit(
+      (401L to 500L).map(k => (k, "hi")).toDF("k", "v"), t, append = true)
+    // MOR tombstone over part of the queried range
+    VersionedTable.deleteWhere(spark, t, col("k") % 10L === 0L, "k")
+    val got = VersionedTable.readWhere(spark, t, None, "k", 90L, 420L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = VersionedTable.read(spark, t)
+      .filter(col("k") >= 90L && col("k") <= 420L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expect)
+    assert(got.exists(_._2 == "hi") && !got.exists(_._1 % 10L == 0L))
+    // a range fully outside every zone map still answers (empty) correctly
+    assert(VersionedTable.readWhere(spark, t, None, "k", 5000L, 6000L).count() == 0L)
+  }
 }
 
 /** Static gate for the deleteWhere conflict test: lives outside the spec
