@@ -78,6 +78,9 @@ object SparkEntry {
     "q_table_changes" -> ((s, d) => Incremental.ordersTableChanges(t(s, d, "orders"))),
     "q_asof_versioned" -> ((s, d) => Incremental.eventsAsofVersioned(t(s, d, "events"))),
     "q_table_pruned" -> ((s, d) => Incremental.ordersPrunedRead(t(s, d, "orders"))),
+    "q_table_merge" -> ((s, d) => Incremental.ordersTableMerge(t(s, d, "orders"))),
+    "q_table_optimize" -> ((s, d) => Incremental.ordersTableOptimize(t(s, d, "orders"))),
+    "q_table_history" -> ((s, d) => Incremental.ordersTableHistory(t(s, d, "orders"))),
     "q_quality_report" -> ((s, d) =>
       Relational.qualityReport(t(s, d, "orders"), t(s, d, "customer"))),
     "q_cast_types" -> ((s, d) => Relational.castTypes(t(s, d, "orders"))),
@@ -1453,6 +1456,72 @@ object SparkEntry {
         |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
         |FROM orders WHERE o_orderkey BETWEEN 10000 AND 20000
         |ORDER BY o_orderkey""".stripMargin,
+    // MERGE INTO: the CDC change batch applied to the committed base
+    // table and the HEAD read back — same last-writer-wins replay as
+    // q_cdc_apply, minus the provenance column (the table stores state,
+    // not lineage).
+    "q_table_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |ch AS (
+        |  SELECT o_orderkey, 'U' AS op, 1 AS seq, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS price_c
+        |  FROM orders
+        |  WHERE o_orderkey % 4 <> 3
+        |    AND (o_orderkey % 10 = 0 OR o_orderkey % 10 = 5)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 2, NULL, NULL FROM orders
+        |  WHERE o_orderkey % 4 <> 3 AND o_orderkey % 20 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey, 'I', 1, 'NEW',
+        |         CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 4 = 3),
+        |latest AS (
+        |  SELECT o_orderkey, op, status, price_c FROM (
+        |    SELECT ch.*,
+        |      row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN l.o_orderkey IS NOT NULL THEN l.status ELSE b.status END
+        |    AS status,
+        |  CASE WHEN l.o_orderkey IS NOT NULL THEN l.price_c ELSE b.price_c END
+        |    AS price_c
+        |FROM base b FULL JOIN latest l ON b.o_orderkey = l.o_orderkey
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    // OPTIMIZE: three unclustered appends + a tombstone delete, then the
+    // head rewritten range-clustered. Content must be layout-invariant:
+    // the oracle aggregates the surviving rows' range from raw orders.
+    "q_table_optimize" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 20 <> 5
+        |  AND o_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+    // Manifest-derived commit log of the MOR lifecycle table: create
+    // (base), delete (tombstoned keys ≡ 5 mod 20), append (re-inserts
+    // ≡ 5 mod 40), overwrite (the compacted head). Fresh-row counts are
+    // derivable from raw orders; operations are structural.
+    "q_table_history" ->
+      """WITH base AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 4 <> 3),
+        |del AS (SELECT o_orderkey FROM base WHERE o_orderkey % 20 = 5),
+        |re AS (SELECT o_orderkey FROM base WHERE o_orderkey % 40 = 5)
+        |SELECT CAST(1 AS BIGINT) AS version, 'create' AS operation,
+        |  CAST((SELECT count(*) FROM base) AS BIGINT) AS n_fresh_rows
+        |UNION ALL
+        |SELECT 2, 'delete', (SELECT count(*) FROM del)
+        |UNION ALL
+        |SELECT 3, 'append', (SELECT count(*) FROM re)
+        |UNION ALL
+        |SELECT 4, 'overwrite',
+        |  (SELECT count(*) FROM base) - (SELECT count(*) FROM del)
+        |    + (SELECT count(*) FROM re)
+        |ORDER BY version""".stripMargin,
     // Versioned table + native as-of composed: clicks enriched with the
     // most recent view at-or-before, once against the time-traveled v1
     // snapshot (every view) and once against the v2 head (views with

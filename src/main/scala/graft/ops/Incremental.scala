@@ -508,6 +508,72 @@ object Incremental {
       .orderBy("o_orderkey")
   }
 
+  /** Registered q_table_merge body: MERGE INTO on the versioned table —
+    * the CDC scenario's change batch applied through
+    * [[graft.sources.VersionedTable.mergeInto]] (cdcApply + conflict-safe
+    * overwrite commit) and the HEAD read back. The oracle replays the
+    * same last-writer-wins merge in SQL: hash equality proves the
+    * committed table state, not just the in-flight frame.
+    */
+  def ordersTableMerge(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val table = versionedTables.computeIfAbsent((spark, s"mg:$inputKey"), { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_versioned")
+      deleteRecursivelyOnExit(d)
+      val t = s"$d/orders_mg"
+      graft.sources.VersionedTable.commit(ordersCdcBase(orders), t, append = false)
+      graft.sources.VersionedTable.mergeInto(
+        spark, t, ordersCdcChanges(orders), "o_orderkey")
+      t
+    })
+    graft.sources.VersionedTable.read(spark, table).orderBy("o_orderkey")
+  }
+
+  /** Registered q_table_optimize body: the OPTIMIZE lifecycle — three
+    * unclustered appends, a MOR tombstone delete, then
+    * [[graft.sources.VersionedTable.optimize]] (tombstones applied once,
+    * head rewritten range-clustered on the key with fresh zone maps) —
+    * and a pruned range aggregate over the optimized head. The oracle
+    * replays the surviving rows' range aggregate from raw orders:
+    * equality proves optimize changed LAYOUT, not content.
+    */
+  def ordersTableOptimize(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val table = versionedTables.computeIfAbsent((spark, s"opt:$inputKey"), { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_versioned")
+      deleteRecursivelyOnExit(d)
+      val t = s"$d/orders_opt"
+      val base = ordersCdcBase(orders)
+      (0L to 2L).foreach { m =>
+        graft.sources.VersionedTable.commit(
+          base.filter(col("o_orderkey") % 3 === m), t, append = m > 0L)
+      }
+      graft.sources.VersionedTable.deleteWhere(
+        spark, t, col("o_orderkey") % 20 === 5, "o_orderkey")
+      graft.sources.VersionedTable.optimize(
+        spark, t, "o_orderkey", targetRowsPerFile = 20000L)
+      t
+    })
+    graft.sources.VersionedTable
+      .readWhere(spark, table, None, "o_orderkey", 1000L, 3000L)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"), sum("price_c").cast("long").as("total_c"))
+      .orderBy("status")
+  }
+
+  /** Registered q_table_history body: the manifest-derived commit log of
+    * the merge-on-read lifecycle table — version, inferred operation,
+    * and the commit's recorded fresh-row count (for the delete commit:
+    * the tombstoned key count). Metadata-only on the engine side; the
+    * oracle derives the same four rows from raw orders.
+    */
+  def ordersTableHistory(orders: DataFrame): DataFrame =
+    graft.sources.VersionedTable.history(orders.sparkSession, ordersMorTable(orders))
+      .select(col("version"), col("operation"), col("n_fresh_rows"))
+      .orderBy("version")
+
   /** Registered q_asof_versioned body: the round-11 components composed
     * under ONE oracle check instead of passing only in isolation — a
     * [[graft.sources.VersionedTable]] of view events (v1 = every view,

@@ -390,6 +390,86 @@ object VersionedTable {
       .fold(identity, identity)
   }
 
+  /** MERGE INTO (row-level upsert): apply a keyed I/U/D change batch to
+    * the table head with last-writer-wins semantics and commit the
+    * result as a logical overwrite — the table-level form of MERGE WHEN
+    * MATCHED / NOT MATCHED. The merge plan is
+    * [[graft.ops.Incremental.cdcApply]]'s delta-sized window + key-hashed
+    * full-outer join (linear, skew-free on a primary key); the commit is
+    * snapshot-derived, so it rides `expectedLatest` — a concurrent
+    * commit between the snapshot read and the publish throws
+    * `ConcurrentModificationException` instead of silently basing the
+    * merge on a stale head (the write-skew hole MERGE must not have).
+    * `statsCols` re-records zone maps for the rewritten files.
+    */
+  def mergeInto(
+      spark: SparkSession, table: String, changes: DataFrame, key: String,
+      seqCol: String = "seq", opCol: String = "op",
+      statsCols: Seq[String] = Nil): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions at $table")
+    val basis = vs.last
+    val merged = graft.ops.Incremental
+      .cdcApply(read(spark, table, Some(basis)), changes, key, seqCol, opCol)
+      .drop("src")
+    commitCore(merged, table, append = false, txnId = None,
+      expectedLatest = Some(basis), statsCols).fold(identity, identity)
+  }
+
+  /** Table history — one row per committed version, inferred from the
+    * manifests alone (no data file is opened): the operation shape
+    * (`create` / `append` / `delete` / `overwrite` — compaction and
+    * merge are overwrites of the head, which is what they are to a
+    * reader), the commit's fresh file/tombstone counts, the recorded
+    * fresh-row count (null for pre-stats manifests), and the txn id.
+    * Driver-built: history is version-cardinality, metadata by nature.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    versions(table).map { v =>
+      val entries = manifestEntries(table, v)
+      val (fresh, carried) = entries.partition(dataCommitOf(_) == v)
+      val freshDel = fresh.filter(isDeleteEntry)
+      val freshData = fresh.filterNot(isDeleteEntry)
+      val op =
+        if (freshDel.nonEmpty) "delete"
+        else if (carried.isEmpty) if (v == versions(table).min) "create" else "overwrite"
+        else "append"
+      val rowsOf = (es: Seq[String]) => {
+        val cs = es.map(entryRows)
+        if (cs.exists(_.isEmpty)) None else Some(cs.flatten.sum)
+      }
+      (v, op, freshData.size, freshDel.size,
+        rowsOf(if (op == "delete") freshDel else freshData),
+        txnOf(table, v))
+    }.toDF("version", "operation", "n_fresh_files", "n_tombstone_files",
+      "n_fresh_rows", "txn_id")
+  }
+
+  /** OPTIMIZE: rewrite the head snapshot range-clustered on `clusterBy`
+    * into ~`targetRowsPerFile`-row files, recording fresh zone maps — the
+    * small-file compaction + clustering pass that turns a drift of tiny
+    * unordered commits (and any standing tombstones, applied once here)
+    * back into a layout where [[readWhere]] prunes and scans are few,
+    * fat, and sequential. Snapshot-derived like [[compact]]: a
+    * concurrent commit makes this optimize stale and it fails loudly
+    * rather than replacing the newer head. Returns the new version.
+    */
+  def optimize(
+      spark: SparkSession, table: String, clusterBy: String,
+      targetRowsPerFile: Long = 1L << 20): Long = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions at $table")
+    val basis = vs.last
+    val snap = read(spark, table, Some(basis))
+    val n = fastCount(table, Some(basis)).getOrElse(snap.count())
+    val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    commitCore(snap.repartitionByRange(parts, col(clusterBy)), table,
+      append = false, txnId = None, expectedLatest = Some(basis),
+      statsCols = Seq(clusterBy)).fold(identity, identity)
+  }
+
   /** Read a snapshot (latest when `version` is None). The returned plan
     * scans exactly the manifest's data files; any tombstone entries are
     * applied as an anti-join of doomed keys against the data commits

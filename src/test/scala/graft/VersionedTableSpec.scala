@@ -360,6 +360,56 @@ class VersionedTableSpec extends AnyFunSuite {
     // a range fully outside every zone map still answers (empty) correctly
     assert(VersionedTable.readWhere(spark, t, None, "k", 5000L, 6000L).count() == 0L)
   }
+
+  test("mergeInto commits the cdcApply state; history classifies every commit") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a", 2L -> "b", 3L -> "c"), t, append = false)
+    val changes = Seq(
+      (2L, "U", 1L, "b2"), (3L, "D", 1L, null: String), (9L, "I", 1L, "z"))
+      .toDF("k", "op", "seq", "v")
+    val v = VersionedTable.mergeInto(spark, t, changes, "k")
+    assert(v == 2L)
+    assert(slurp(t) == Set(1L -> "a", 2L -> "b2", 9L -> "z"))
+    // and the pre-merge snapshot still time-travels
+    assert(slurp(t, Some(1L)) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    VersionedTable.commit(df(4L -> "d"), t, append = true)
+    VersionedTable.deleteWhere(spark, t, col("k") === 9L, "k")
+    val h = VersionedTable.history(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.get(4))).toSeq
+    assert(h == Seq(
+      (1L, "create", 3L), (2L, "overwrite", 3L),
+      (3L, "append", 1L), (4L, "delete", 1L)))
+  }
+
+  test("optimize compacts small commits, applies tombstones, restores pruning") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    // 3 unclustered commits of interleaved keys + a tombstone
+    (0L to 2L).foreach { m =>
+      VersionedTable.commit(
+        (1L to 300L).filter(_ % 3 == m).map(k => (k, s"v$k")).toDF("k", "v")
+          .repartition(4),
+        t, append = m > 0)
+    }
+    VersionedTable.deleteWhere(spark, t, col("k") % 10L === 0L, "k")
+    val before = VersionedTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val filesBefore = VersionedTable.read(spark, t).inputFiles.length
+    VersionedTable.optimize(spark, t, "k", targetRowsPerFile = 100L)
+    val after = VersionedTable.read(spark, t)
+    assert(after.collect().map(r => (r.getLong(0), r.getString(1))).toSet == before,
+      "optimize must change layout, never content")
+    assert(after.inputFiles.length < filesBefore,
+      s"expected fewer files than $filesBefore after optimize")
+    // tombstones were applied once and dropped: the head is data-only
+    assert(VersionedTable.fastCount(t).contains(before.size.toLong),
+      "fastCount must be defined again (no tombstones) and exact")
+    // fresh zone maps: a narrow range prunes the clustered layout
+    val (kept, total) = VersionedTable.pruneCount(t, None, "k", 10L, 40L)
+    assert(total >= 2 && kept < total, s"kept=$kept of $total")
+  }
 }
 
 /** Static gate for the deleteWhere conflict test: lives outside the spec
