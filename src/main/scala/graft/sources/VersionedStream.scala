@@ -1,0 +1,181 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Structured-Streaming source over a [[VersionedTable]]: COMMIT VERSIONS
+  * ARE THE OFFSETS. Each micro-batch reads exactly the data files made
+  * fresh by the commits in `(startVersion, endVersion]`, stamped with
+  * `_commit_version` — the streaming form of
+  * [[VersionedTable.appendsBetween]], and the same surface Delta's
+  * streaming source exposes over its transaction log.
+  *
+  * Why version-offsets give exactly-once for free: manifests are
+  * immutable once published (create-new link), so `planInputPartitions
+  * (start, end)` is a pure function of the offsets — a restarted query
+  * replans an uncommitted batch IDENTICALLY from the checkpoint, and a
+  * committed batch is never re-read. No file-listing diffs, no
+  * modification-time heuristics: the commit protocol is the offset log.
+  *
+  * Semantics on non-additive commits, mirroring `appendsBetween` (and
+  * Delta's behavior): an OVERWRITE inside the offset range fails the
+  * stream loudly — incremental consumption across a replaced snapshot is
+  * undefined; a DELETE (merge-on-read tombstone) commit fails loudly
+  * unless `ignoreDeletes=true`, which skips it (the downstream consumer
+  * has already seen the rows; retraction is the CDF's job, not the
+  * append stream's).
+  *
+  * Usage: `spark.readStream.format("graft-table").load(tablePath)`.
+  * Reader scope: files are decoded with parquet's Group API over the
+  * snapshot schema's primitive fields (long / int / double / float /
+  * string / boolean — the types this engine's tables use); richer
+  * logical types would extend [[VersionedFileReader.valueOf]].
+  */
+class VersionedStreamSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-table"
+
+  private def tablePath(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-table requires .load(<table path>)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dataSchema =
+      VersionedTable.read(SparkSession.active, tablePath(options)).schema
+    dataSchema.add("_commit_version", LongType, nullable = false)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new VersionedStreamTable(tablePath(opts), schema,
+      opts.getBoolean("ignoreDeletes", false))
+  }
+}
+
+class VersionedStreamTable(table: String, schema0: StructType, ignoreDeletes: Boolean)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_table($table)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema0
+        override def description(): String = s"graft-table stream over $table"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new VersionedMicroBatchStream(table, schema0, ignoreDeletes)
+      }
+    }
+}
+
+/** The stream position: the highest commit version fully emitted. */
+case class VersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+class VersionedMicroBatchStream(
+    table: String, schema: StructType, ignoreDeletes: Boolean)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = VersionOffset(0L)
+  override def latestOffset(): Offset =
+    VersionOffset(VersionedTable.versions(table).lastOption.getOrElse(0L))
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val e = end.asInstanceOf[VersionOffset].v
+    VersionedTable.versions(table).filter(v => v > s && v <= e).flatMap { v =>
+      val (freshData, hasDelete, isOverwrite) = VersionedTable.commitClass(table, v)
+      if (isOverwrite)
+        throw new IllegalStateException(
+          s"streaming read of $table hit OVERWRITE commit $v — incremental " +
+            "consumption across a replaced snapshot is undefined; restart " +
+            "the stream from the overwrite as a fresh initial load")
+      if (hasDelete && !ignoreDeletes)
+        throw new IllegalStateException(
+          s"streaming read of $table hit DELETE commit $v; set " +
+            "ignoreDeletes=true to skip tombstone commits")
+      freshData.map(rel =>
+        VersionedFilePartition(
+          java.nio.file.Paths.get(table, rel).toString, v): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VersionedFileReaderFactory(schema)
+
+  override def toString: String = s"graft-table-stream($table)"
+}
+
+case class VersionedFilePartition(file: String, commitVersion: Long)
+    extends InputPartition
+
+class VersionedFileReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new VersionedFileReader(
+      partition.asInstanceOf[VersionedFilePartition], schema)
+}
+
+/** Reads one immutable data file with parquet's Group API, projecting the
+  * snapshot schema's fields by NAME (so the file's physical column order
+  * never matters) and appending the partition's `_commit_version`.
+  */
+class VersionedFileReader(part: VersionedFilePartition, schema: StructType)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.example.data.Group
+
+  private val dataFields = schema.fields.filter(_.name != "_commit_version")
+  private val reader = org.apache.parquet.hadoop.ParquetReader
+    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(part.file))
+    .build()
+  private var current: Group = _
+
+  override def next(): Boolean = { current = reader.read(); current != null }
+
+  private def valueOf(g: Group, f: StructField): Any = {
+    if (g.getFieldRepetitionCount(f.name) == 0) null
+    else f.dataType match {
+      case LongType    => g.getLong(f.name, 0)
+      case IntegerType => g.getInteger(f.name, 0)
+      case DoubleType  => g.getDouble(f.name, 0)
+      case FloatType   => g.getFloat(f.name, 0)
+      case BooleanType => g.getBoolean(f.name, 0)
+      case StringType  => UTF8String.fromString(g.getString(f.name, 0))
+      case dt => throw new UnsupportedOperationException(
+        s"graft-table stream reader does not decode $dt (column ${f.name})")
+    }
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](dataFields.length + 1)
+    var i = 0
+    while (i < dataFields.length) {
+      vals(i) = valueOf(current, dataFields(i)); i += 1
+    }
+    vals(i) = part.commitVersion
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -390,6 +390,20 @@ object VersionedTable {
       .fold(identity, identity)
   }
 
+  /** Commit classification for the streaming source: the paths of the
+    * data files made fresh by version `v`, whether the commit carries
+    * fresh tombstones, and whether it is an overwrite (no carried
+    * entries on a non-first version).
+    */
+  private[sources] def commitClass(
+      table: String, v: Long): (Seq[String], Boolean, Boolean) = {
+    val entries = manifestEntries(table, v)
+    val (fresh, carried) = entries.partition(dataCommitOf(_) == v)
+    (fresh.filterNot(isDeleteEntry).map(entryPath),
+      fresh.exists(isDeleteEntry),
+      carried.isEmpty && v != versions(table).min)
+  }
+
   /** MERGE INTO (row-level upsert): apply a keyed I/U/D change batch to
     * the table head with last-writer-wins semantics and commit the
     * result as a logical overwrite — the table-level form of MERGE WHEN

@@ -1,0 +1,115 @@
+package graft
+
+import graft.sources.VersionedTable
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The versioned table as a Structured-Streaming SOURCE (`graft-table`):
+  * commit versions are the offsets, so micro-batch planning is a pure
+  * function of the checkpointed offset range — exactly-once without
+  * file-listing heuristics. Pins: initial load + incremental appends
+  * equal the batch twin (`appendsBetween`), checkpoint recovery resumes
+  * at the committed version (no replay, no loss), and the
+  * overwrite/delete commits fail the stream loudly (delete skippable by
+  * option), mirroring the batch contract.
+  */
+class VersionedStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def freshDir(): String = SparkTestBase.tempDir("graft_vstream").toString
+
+  private def df(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("k", "v")
+  }
+
+  private def drainTo(table: String, sink: String, checkpoint: String): Unit = {
+    val q = spark.readStream.format("graft-table").load(table)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  private def slurpSink(sink: String): Set[(Long, String, Long)] =
+    spark.sql(s"SELECT * FROM $sink").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("streamed micro-batches equal the batch twin, stamped per commit") {
+    val d = freshDir()
+    val t = s"$d/t"
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    VersionedTable.commit(df(3L -> "c"), t, append = true)
+    drainTo(t, "vstream_eq", s"$d/cp")
+    val streamed = slurpSink("vstream_eq")
+    assert(streamed == Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L)))
+    // batch twin: same rows, same stamps
+    val twin = VersionedTable.appendsBetween(spark, t, 0L, 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == twin)
+  }
+
+  test("checkpoint recovery resumes at the committed version: no replay, no loss") {
+    val d = freshDir()
+    val t = s"$d/t"
+    // memory sinks can't recover a checkpoint; a parquet sink can — and
+    // it makes replay visible as duplicate rows, which is the assertion
+    def drainToFiles(): Unit = {
+      val q = spark.readStream.format("graft-table").load(t)
+        .writeStream.format("parquet")
+        .option("path", s"$d/sink")
+        .option("checkpointLocation", s"$d/cp")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    drainToFiles()
+    // two appends while the stream is DOWN; restart from the checkpoint
+    VersionedTable.commit(df(2L -> "b"), t, append = true)
+    VersionedTable.commit(df(3L -> "c"), t, append = true)
+    drainToFiles()
+    val rows = spark.read.parquet(s"$d/sink").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(rows == Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)),
+      s"recovered stream must emit exactly the unseen commits once, got $rows")
+  }
+
+  test("overwrite fails the stream; delete fails unless ignoreDeletes") {
+    val d = freshDir()
+    val t = s"$d/t"
+    VersionedTable.commit(df(1L -> "a", 10L -> "x"), t, append = false)
+    VersionedTable.deleteWhere(spark, t, col("k") === 10L, "k")
+    VersionedTable.commit(df(2L -> "b"), t, append = true)
+
+    val failing = spark.readStream.format("graft-table").load(t)
+      .writeStream.format("memory").queryName("vstream_del_fail")
+      .option("checkpointLocation", s"$d/cp_fail").start()
+    val ex = intercept[StreamingQueryException] {
+      try failing.processAllAvailable() finally failing.stop()
+    }
+    assert(ex.getMessage.contains("DELETE") || ex.getCause.getMessage.contains("DELETE"))
+
+    val q = spark.readStream.format("graft-table")
+      .option("ignoreDeletes", "true").load(t)
+      .writeStream.format("memory").queryName("vstream_del_ok")
+      .option("checkpointLocation", s"$d/cp_ok").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(slurpSink("vstream_del_ok") ==
+      Set((1L, "a", 1L), (10L, "x", 1L), (2L, "b", 3L)),
+      "ignoreDeletes skips the tombstone commit, keeps the appends")
+
+    VersionedTable.commit(df(9L -> "z"), t, append = false) // overwrite
+    val q2 = spark.readStream.format("graft-table")
+      .option("ignoreDeletes", "true").load(t)
+      .writeStream.format("memory").queryName("vstream_ow")
+      .option("checkpointLocation", s"$d/cp_ow").start()
+    val ex2 = intercept[StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(ex2.getMessage.contains("OVERWRITE") ||
+      ex2.getCause.getMessage.contains("OVERWRITE"))
+  }
+}
