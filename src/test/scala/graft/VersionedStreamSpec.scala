@@ -77,6 +77,41 @@ class VersionedStreamSpec extends AnyFunSuite {
       s"recovered stream must emit exactly the unseen commits once, got $rows")
   }
 
+  test("bronze→silver: streaming table-to-table pipeline is exactly-once end to end") {
+    val d = freshDir()
+    val bronze = s"$d/bronze"
+    val silver = s"$d/silver"
+    // the medallion shape: a raw table consumed incrementally, transformed,
+    // and committed into a refined table — exactly-once on BOTH ends
+    // (version offsets on the read, txn-id idempotent commits on the write)
+    def refine(): Unit = {
+      val q = spark.readStream.format("graft-table").load(bronze)
+        .filter(col("v") =!= "junk")
+        .writeStream
+        .option("checkpointLocation", s"$d/cp")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          VersionedTable.commitIfAbsent(
+            batch.select("k", "v"), silver, append = true, txnId = s"b$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    VersionedTable.commit(df(1L -> "a", 2L -> "junk"), bronze, append = false)
+    refine()
+    VersionedTable.commit(df(3L -> "c"), bronze, append = true)
+    refine() // restart from checkpoint: only the new bronze commit flows
+    val got = VersionedTable.read(spark, silver).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq(1L -> "a", 3L -> "c"),
+      s"silver must hold each refined row exactly once, got $got")
+    // and the silver history shows one append per non-empty micro-batch,
+    // each carrying its batch txn id
+    val ops = VersionedTable.history(spark, silver).collect()
+      .map(r => (r.getString(1), r.getString(5) != null)).toSeq
+    assert(ops.forall { case (op, hasTxn) => (op == "create" || op == "append") && hasTxn })
+  }
+
   test("overwrite fails the stream; delete fails unless ignoreDeletes") {
     val d = freshDir()
     val t = s"$d/t"
