@@ -81,6 +81,7 @@ object SparkEntry {
     "q_table_merge" -> ((s, d) => Incremental.ordersTableMerge(t(s, d, "orders"))),
     "q_table_optimize" -> ((s, d) => Incremental.ordersTableOptimize(t(s, d, "orders"))),
     "q_table_history" -> ((s, d) => Incremental.ordersTableHistory(t(s, d, "orders"))),
+    "q_table_constraints" -> ((s, d) => Incremental.ordersTableConstraints(t(s, d, "orders"))),
     "q_quality_report" -> ((s, d) =>
       Relational.qualityReport(t(s, d, "orders"), t(s, d, "customer"))),
     "q_cast_types" -> ((s, d) => Relational.castTypes(t(s, d, "orders"))),
@@ -1455,6 +1456,15 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus AS status,
         |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
         |FROM orders WHERE o_orderkey BETWEEN 10000 AND 20000
+        |ORDER BY o_orderkey""".stripMargin,
+    // CHECK constraints: the poisoned append (negated prices on keys
+    // ≡ 3 mod 8) was rejected atomically, the cleaned retry landed — the
+    // final state is base plus only the clean half of the insert batch.
+    "q_table_constraints" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 OR o_orderkey % 8 = 7
         |ORDER BY o_orderkey""".stripMargin,
     // MERGE INTO: the CDC change batch applied to the committed base
     // table and the HEAD read back — same last-writer-wins replay as

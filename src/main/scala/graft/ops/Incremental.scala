@@ -574,6 +574,43 @@ object Incremental {
       .select(col("version"), col("operation"), col("n_fresh_rows"))
       .orderBy("version")
 
+  /** Registered q_table_constraints body: CHECK-constraint enforcement as
+    * an end-state the oracle can hash. The pay-once build commits the
+    * clean base, declares `price_c >= 0` and `status IS NOT NULL`, then
+    * attempts an append whose poisoned half (keys ≡ 3 mod 8 carry
+    * negated prices) must be REJECTED ATOMICALLY — after which the
+    * cleaned batch commits. The final table therefore holds base plus
+    * only the clean half of the insert batch: if enforcement leaked even
+    * one poisoned row, or atomically lost the clean retry, the hash
+    * diverges from the oracle's replay.
+    */
+  def ordersTableConstraints(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val table = versionedTables.computeIfAbsent((spark, s"ck:$inputKey"), { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_versioned")
+      deleteRecursivelyOnExit(d)
+      val t = s"$d/orders_ck"
+      graft.sources.VersionedTable.commit(ordersCdcBase(orders), t, append = false)
+      graft.sources.VersionedTable.addCheckConstraint(
+        spark, t, "price_nonneg", "price_c >= 0")
+      graft.sources.VersionedTable.addCheckConstraint(
+        spark, t, "status_set", "status IS NOT NULL")
+      val dirty = orders.filter(col("o_orderkey") % 4 === 3)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          when(col("o_orderkey") % 8 === 3, -cents(col("o_totalprice")) - 1L)
+            .otherwise(cents(col("o_totalprice"))).as("price_c"))
+      try {
+        graft.sources.VersionedTable.commit(dirty, t, append = true)
+        throw new IllegalStateException("poisoned batch must be rejected")
+      } catch { case _: IllegalArgumentException => () }
+      graft.sources.VersionedTable.commit(
+        dirty.filter(col("price_c") >= 0), t, append = true)
+      t
+    })
+    graft.sources.VersionedTable.read(spark, table).orderBy("o_orderkey")
+  }
+
   /** Registered q_asof_versioned body: the round-11 components composed
     * under ONE oracle check instead of passing only in isolation — a
     * [[graft.sources.VersionedTable]] of view events (v1 = every view,

@@ -153,8 +153,9 @@ object VersionedTable {
     */
   private def writeFiles(
       df: DataFrame, table: String, dirName: String,
-      statsCols: Seq[String] = Nil): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+      statsCols: Seq[String] = Nil,
+      checks: Seq[(String, String)] = Nil): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit, max, min, not, sum, when}
     val dataDir = Paths.get(table, "data", dirName)
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val files = Files.list(dataDir).iterator.asScala
@@ -164,27 +165,122 @@ object VersionedTable {
     val suffixes: Map[String, String] =
       if (files.isEmpty) Map.empty
       else {
-        val aggs = count(lit(1)).as("g_n") +: statsCols.flatMap(c => Seq(
+        val aggs = (count(lit(1)).as("g_n") +: statsCols.flatMap(c => Seq(
           min(col(c)).cast("long").as(s"g_mn_$c"),
-          max(col(c)).cast("long").as(s"g_mx_$c")))
-        df.sparkSession.read.parquet(dataDir.toString)
+          max(col(c)).cast("long").as(s"g_mx_$c")))) ++
+          checks.zipWithIndex.map { case ((_, sql), i) =>
+            // NULL check results count as violations: a CHECK must be TRUE
+            sum(when(not(expr(sql)) || expr(sql).isNull, 1L).otherwise(0L))
+              .as(s"g_ck_$i")
+          }
+        val rows = df.sparkSession.read.parquet(dataDir.toString)
           .groupBy(input_file_name().as("g_f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .map { r =>
-            val stats = statsCols.flatMap { c =>
-              val (mn, mx) = (r.getAs[Any](s"g_mn_$c"), r.getAs[Any](s"g_mx_$c"))
-              (mn, mx) match {
-                case (a: Long, b: Long) => Some(s"$c=$a..$b")
-                case _                  => None
-              }
-            }.mkString(";")
-            val suffix = s"#${r.getAs[Long]("g_n")}" +
-              (if (stats.isEmpty) "" else s"#$stats")
-            r.getString(0).split('/').last -> suffix
-          }.toMap
+        // constraint enforcement rides the SAME job as counts and stats:
+        // any violation abandons the whole staged commit atomically
+        checks.zipWithIndex.foreach { case ((name, sql), i) =>
+          val viol = rows.map(r => Option(r.getAs[Any](s"g_ck_$i"))
+            .fold(0L)(_.asInstanceOf[Long])).sum
+          if (viol > 0) {
+            deleteRecursively(dataDir)
+            throw new IllegalArgumentException(
+              s"commit to $table violates CHECK constraint '$name' ($sql) " +
+                s"on $viol row(s) — nothing was committed")
+          }
+        }
+        rows.map { r =>
+          val stats = statsCols.flatMap { c =>
+            val (mn, mx) = (r.getAs[Any](s"g_mn_$c"), r.getAs[Any](s"g_mx_$c"))
+            (mn, mx) match {
+              case (a: Long, b: Long) => Some(s"$c=$a..$b")
+              case _                  => None
+            }
+          }.mkString(";")
+          val suffix = s"#${r.getAs[Long]("g_n")}" +
+            (if (stats.isEmpty) "" else s"#$stats")
+          r.getString(0).split('/').last -> suffix
+        }.toMap
       }
     files.map(n => n + suffixes.getOrElse(n, "#0")) // absent from the job = wrote 0 rows
+  }
+
+  // ---- Declarative CHECK constraints (Delta-style) ----
+  //
+  // Stored one per line as "<name>\t<boolean SQL expr>" in
+  // _manifest/constraints.txt (atomically replaced on DDL; constraint
+  // DDL is an administrative operation and is not protected against
+  // concurrent DDL). Every caller-supplied commit that starts after the
+  // DDL validates the staged files inside the commit's single metadata
+  // job and is rejected ATOMICALLY on violation (staged data deleted,
+  // no manifest published). Snapshot-derived rewrites (compact /
+  // optimize / mergeInto results) pass through the same gate — their
+  // content is re-checked at zero extra job cost.
+
+  private def constraintsFile(table: String): Path =
+    manifestDir(table).resolve("constraints.txt")
+
+  /** The table's CHECK constraints, as (name, boolean SQL expr). */
+  def constraints(table: String): Seq[(String, String)] = {
+    val f = constraintsFile(table)
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f).asScala.toSeq.flatMap { l =>
+      l.split("\t", 2) match {
+        case Array(n, e) if n.nonEmpty => Some(n -> e)
+        case _                         => None
+      }
+    }
+  }
+
+  /** Add a CHECK constraint. The CURRENT head (if any data exists) is
+    * validated first in one aggregate job — a constraint the standing
+    * table already violates is rejected, so a recorded constraint is
+    * always an invariant of every subsequent snapshot, never an
+    * aspiration. Commits already in flight when the DDL lands may
+    * publish pre-constraint data (snapshot semantics, as in Delta);
+    * every commit STARTED after the DDL is gated.
+    */
+  def addCheckConstraint(
+      spark: SparkSession, table: String, name: String, exprSql: String): Unit = {
+    import org.apache.spark.sql.functions.{expr, lit, not, sum, when}
+    require(!name.contains("\t") && !name.contains("\n") && !exprSql.contains("\n"),
+      "constraint name/expr must be single-line, tab-free")
+    require(!constraints(table).exists(_._1 == name),
+      s"constraint '$name' already exists on $table")
+    if (versions(table).nonEmpty) {
+      val bad = read(spark, table)
+        .agg(sum(when(not(expr(exprSql)) || expr(exprSql).isNull, 1L)
+          .otherwise(0L)).as("v"))
+        .collect()(0).getAs[Any]("v") match {
+        case null    => 0L
+        case v: Long => v
+      }
+      require(bad == 0L,
+        s"cannot add CHECK '$name' ($exprSql): the current head violates it on $bad row(s)")
+    }
+    val mdir = manifestDir(table)
+    Files.createDirectories(mdir)
+    val tmp = mdir.resolve(
+      s"constraints.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, (constraints(table) :+ (name -> exprSql))
+      .map { case (n, e) => s"$n\t$e" }.asJava)
+    Files.move(tmp, constraintsFile(table),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Drop a CHECK constraint by name (no-op if absent). */
+  def dropConstraint(table: String, name: String): Unit = {
+    val remaining = constraints(table).filterNot(_._1 == name)
+    val mdir = manifestDir(table)
+    if (Files.exists(constraintsFile(table))) {
+      val tmp = mdir.resolve(
+        s"constraints.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, remaining.map { case (n, e) => s"$n\t$e" }.asJava)
+      Files.move(tmp, constraintsFile(table),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   private def entryRows(e: String): Option[Long] = {
@@ -275,7 +371,7 @@ object VersionedTable {
     val token = java.util.UUID.randomUUID().toString.take(8)
     var next = expectedLatest.getOrElse(versions(table).lastOption.getOrElse(0L)) + 1L
     var dirName = s"c${next}_$token"
-    val fileEntries = writeFiles(df, table, dirName, statsCols)
+    val fileEntries = writeFiles(df, table, dirName, statsCols, constraints(table))
     def abandon(): Unit = deleteRecursively(Paths.get(table, "data", dirName))
     while (true) {
       val latest = expectedLatest.orElse(versions(table).lastOption)

@@ -383,6 +383,56 @@ class VersionedTableSpec extends AnyFunSuite {
       (3L, "append", 1L), (4L, "delete", 1L)))
   }
 
+  test("CHECK constraints gate commits atomically; head-violating DDL is rejected") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    VersionedTable.addCheckConstraint(spark, t, "pos_key", "k > 0")
+    VersionedTable.addCheckConstraint(spark, t, "v_set", "v IS NOT NULL")
+
+    // a violating append is rejected with NO version bump and NO orphan data
+    val dirsBefore = java.nio.file.Files.list(java.nio.file.Paths.get(t, "data"))
+      .iterator().asScala.size
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.commit(df(-5L -> "x", 3L -> "c"), t, append = true)
+    }
+    assert(ex.getMessage.contains("pos_key") && ex.getMessage.contains("1 row"))
+    assert(VersionedTable.versions(t) == Seq(1L), "rejected commit must not version")
+    val dirsAfter = java.nio.file.Files.list(java.nio.file.Paths.get(t, "data"))
+      .iterator().asScala.size
+    assert(dirsAfter == dirsBefore, "rejected commit must leave no orphan files")
+
+    // a NULL check result is a violation too (CHECK must be TRUE)
+    val exNull = intercept[IllegalArgumentException] {
+      VersionedTable.commit(
+        Seq((4L, null: String)).toDF("k", "v"), t, append = true)
+    }
+    assert(exNull.getMessage.contains("v_set"))
+
+    // a clean commit passes; so does a mergeInto whose result satisfies
+    VersionedTable.commit(df(3L -> "c"), t, append = true)
+    VersionedTable.mergeInto(spark, t,
+      Seq((2L, "U", 1L, "b2")).toDF("k", "op", "seq", "v"), "k")
+    assert(slurp(t) == Set(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // ...and a merge producing a violating state is rejected atomically
+    val exMerge = intercept[IllegalArgumentException] {
+      VersionedTable.mergeInto(spark, t,
+        Seq((-9L, "I", 1L, "bad")).toDF("k", "op", "seq", "v"), "k")
+    }
+    assert(exMerge.getMessage.contains("pos_key"))
+    assert(slurp(t) == Set(1L -> "a", 2L -> "b2", 3L -> "c"))
+
+    // adding a constraint the standing head violates is refused
+    val exDdl = intercept[IllegalArgumentException] {
+      VersionedTable.addCheckConstraint(spark, t, "tiny", "k < 3")
+    }
+    assert(exDdl.getMessage.contains("current head violates"))
+    // dropped constraint stops gating
+    VersionedTable.dropConstraint(t, "pos_key")
+    VersionedTable.commit(df(-7L -> "ok"), t, append = true)
+    assert(slurp(t).contains(-7L -> "ok"))
+  }
+
   test("optimize compacts small commits, applies tombstones, restores pruning") {
     val s = spark; import s.implicits._
     val t = freshTable()
