@@ -535,4 +535,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scanned.forall(_.matches(".*/data/c1(_[0-9a-f]{8})?/.*")),
       s"pinned v1 read must touch only commit-1 files, saw: $scanned")
   }
+
+  test("versioned as-of composition plans BOTH legs on the native sorted-merge operator") {
+    val p = plan(Incremental.eventsAsofVersioned(t("events")))
+    // the merge exec prints as "AsOfJoin ["; the broadcast variant as
+    // "BroadcastAsOfJoin" — both legs must be the sorted-merge form
+    val asofs = "(?<!Broadcast)AsOfJoin \\[".r.findAllIn(p).length
+    assert(asofs == 2,
+      s"expected two native as-of merges (v1 + v2 legs), got $asofs:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in versioned as-of plan:\n$p")
+  }
+
+  test("WAV decode is a narrow map pipeline — no exchange before the presentation sort") {
+    val df = Multimodal.audioFeatures(t("documents"))
+    val p = plan(df)
+    // exactly the one range-partitioning exchange the final orderBy needs
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the sort's exchange, got $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
