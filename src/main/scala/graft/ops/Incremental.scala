@@ -600,12 +600,15 @@ object Incremental {
         .select(col("o_orderkey"), col("o_orderstatus").as("status"),
           when(col("o_orderkey") % 8 === 3, -cents(col("o_totalprice")) - 1L)
             .otherwise(cents(col("o_totalprice"))).as("price_c"))
-      try {
-        graft.sources.VersionedTable.commit(dirty, t, append = true)
-        throw new IllegalStateException("poisoned batch must be rejected")
-      } catch { case _: IllegalArgumentException => () }
-      graft.sources.VersionedTable.commit(
-        dirty.filter(col("price_c") >= 0), t, append = true)
+      // on the real corpus the poisoned half guarantees rejection; on an
+      // EMPTY input the batch has no violating rows and commits cleanly —
+      // the quarantine retry then must not double-append
+      val rejected =
+        try { graft.sources.VersionedTable.commit(dirty, t, append = true); false }
+        catch { case _: IllegalArgumentException => true }
+      if (rejected)
+        graft.sources.VersionedTable.commit(
+          dirty.filter(col("price_c") >= 0), t, append = true)
       t
     })
     graft.sources.VersionedTable.read(spark, table).orderBy("o_orderkey")

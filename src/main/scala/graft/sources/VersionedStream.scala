@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
-  InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+  InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -63,23 +65,32 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new VersionedStreamTable(tablePath(opts), schema,
-      opts.getBoolean("ignoreDeletes", false))
+      opts.getBoolean("ignoreDeletes", false),
+      Option(opts.get("maxVersionsPerTrigger")).map(_.toLong))
   }
 }
 
-class VersionedStreamTable(table: String, schema0: StructType, ignoreDeletes: Boolean)
+class VersionedStreamTable(
+    table: String, schema0: StructType, ignoreDeletes: Boolean,
+    maxVersionsPerTrigger: Option[Long])
     extends Table with SupportsRead {
   override def name(): String = s"graft_table($table)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema0
+      // column pruning reaches the file reader: unprojected fields are
+      // never decoded from the parquet groups
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema0
+        override def readSchema(): StructType = required
         override def description(): String = s"graft-table stream over $table"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new VersionedMicroBatchStream(table, schema0, ignoreDeletes)
+          new VersionedMicroBatchStream(table, required, ignoreDeletes,
+            maxVersionsPerTrigger)
       }
     }
 }
@@ -90,12 +101,23 @@ case class VersionOffset(v: Long) extends Offset {
 }
 
 class VersionedMicroBatchStream(
-    table: String, schema: StructType, ignoreDeletes: Boolean)
-    extends MicroBatchStream {
+    table: String, schema: StructType, ignoreDeletes: Boolean,
+    maxVersionsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionOffset(0L)
   override def latestOffset(): Offset =
     VersionOffset(VersionedTable.versions(table).lastOption.getOrElse(0L))
+  // admission control: `maxVersionsPerTrigger` bounds each micro-batch to
+  // a fixed number of commits, so a stream starting against a long table
+  // history (or catching up after downtime) ingests in bounded units
+  // instead of one giant initial batch — Delta's maxFilesPerTrigger shape
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val head = VersionedTable.versions(table).lastOption.getOrElse(0L)
+    VersionOffset(maxVersionsPerTrigger.fold(head)(k => math.min(head, s + k)))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -144,7 +166,7 @@ class VersionedFileReader(part: VersionedFilePartition, schema: StructType)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
 
-  private val dataFields = schema.fields.filter(_.name != "_commit_version")
+  private val fields = schema.fields // the PRUNED projection, in its order
   private val reader = org.apache.parquet.hadoop.ParquetReader
     .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
       new org.apache.hadoop.fs.Path(part.file))
@@ -168,12 +190,14 @@ class VersionedFileReader(part: VersionedFilePartition, schema: StructType)
   }
 
   override def get(): InternalRow = {
-    val vals = new Array[Any](dataFields.length + 1)
+    val vals = new Array[Any](fields.length)
     var i = 0
-    while (i < dataFields.length) {
-      vals(i) = valueOf(current, dataFields(i)); i += 1
+    while (i < fields.length) {
+      vals(i) =
+        if (fields(i).name == "_commit_version") part.commitVersion
+        else valueOf(current, fields(i))
+      i += 1
     }
-    vals(i) = part.commitVersion
     new GenericInternalRow(vals)
   }
 

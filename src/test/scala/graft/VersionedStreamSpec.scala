@@ -77,6 +77,29 @@ class VersionedStreamSpec extends AnyFunSuite {
       s"recovered stream must emit exactly the unseen commits once, got $rows")
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch; pruned projection still correct") {
+    val d = freshDir()
+    val t = s"$d/t"
+    (1L to 5L).foreach(i =>
+      VersionedTable.commit(df(i -> s"v$i"), t, append = i > 1L))
+    // one commit per trigger: catching up over 5 commits takes ≥5 batches —
+    // and a pruned, reordered projection (no _commit_version, v before k)
+    // must decode only what it emits
+    val q = spark.readStream.format("graft-table")
+      .option("maxVersionsPerTrigger", "1").load(t)
+      .select(col("v"), col("k"))
+      .writeStream.format("memory").queryName("vstream_rate")
+      .option("checkpointLocation", s"$d/cp")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.sql("SELECT * FROM vstream_rate").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == (1L to 5L).map(i => (s"v$i", i)).toSet)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+      s"expected ≥5 rate-limited batches, saw " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
   test("bronze→silver: streaming table-to-table pipeline is exactly-once end to end") {
     val d = freshDir()
     val bronze = s"$d/bronze"
