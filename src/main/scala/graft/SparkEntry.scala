@@ -68,6 +68,7 @@ object SparkEntry {
     // aggregate maintenance, compaction planning, versioned time travel.
     "q_cdc_apply" -> ((s, d) => Incremental.ordersCdcApply(t(s, d, "orders"))),
     "q_cdc_apply_bc" -> ((s, d) => Incremental.ordersCdcApplyBroadcast(t(s, d, "orders"))),
+    "q_cdc_apply_bucketed" -> ((s, d) => Incremental.ordersCdcApplyBucketed(t(s, d, "orders"))),
     "q_cdc_feed" -> ((s, d) => Incremental.ordersCdcFeed(t(s, d, "orders"))),
     "q_incr_agg_merge" -> ((s, d) => Incremental.ordersIncrAggMerge(t(s, d, "orders"))),
     "q_incr_view_refresh" -> ((s, d) => Incremental.ordersViewRefresh(t(s, d, "orders"))),
@@ -1206,6 +1207,41 @@ object SparkEntry {
     // ending 0/5; D(seq 2) on keys ≡ 5 (mod 20) — last-writer-wins over
     // the update; I for the held-out quarter. Exact integer cents.
     "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |ch AS (
+        |  SELECT o_orderkey, 'U' AS op, 1 AS seq, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS price_c
+        |  FROM orders
+        |  WHERE o_orderkey % 4 <> 3
+        |    AND (o_orderkey % 10 = 0 OR o_orderkey % 10 = 5)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 2, NULL, NULL FROM orders
+        |  WHERE o_orderkey % 4 <> 3 AND o_orderkey % 20 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey, 'I', 1, 'NEW',
+        |         CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 4 = 3),
+        |latest AS (
+        |  SELECT o_orderkey, op, status, price_c FROM (
+        |    SELECT ch.*,
+        |      row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN l.o_orderkey IS NOT NULL THEN l.status ELSE b.status END
+        |    AS status,
+        |  CASE WHEN l.o_orderkey IS NOT NULL THEN l.price_c ELSE b.price_c END
+        |    AS price_c,
+        |  CASE WHEN l.o_orderkey IS NOT NULL THEN 'cdc' ELSE 'base' END AS src
+        |FROM base b FULL JOIN latest l ON b.o_orderkey = l.o_orderkey
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    // The bucketed-base form must also produce the identical standing
+    // table — same oracle again; the difference is the PLAN (base never
+    // shuffles), pinned by PlanShapeSpec.
+    "q_cdc_apply_bucketed" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus AS status,
         |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c

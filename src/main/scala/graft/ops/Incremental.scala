@@ -56,16 +56,20 @@ object Incremental {
       .withColumn("g_rn", row_number().over(w))
       .filter(col("g_rn") === 1)
       .drop("g_rn", seqCol)
-    val b = base.select(col(key).as("g_bk") +: payload.map(c => col(c).as(s"g_b_$c")): _*)
+    // the base side keeps its ORIGINAL column names (only the change side
+    // is g_-renamed): a rename projection over the base would break
+    // alias-propagation of a bucketed/pre-clustered base's partitioning,
+    // re-introducing exactly the base-side exchange the bucketed layout
+    // exists to avoid (pinned by PlanShapeSpec's bucketed-CDC test)
     val c = latest.select(
       col(key).as("g_ck") +: col(opCol).as("g_op") +: payload.map(c0 => col(c0).as(s"g_c_$c0")): _*)
-    b.join(c, col("g_bk") === col("g_ck"), "full_outer")
+    base.join(c, col(key) === col("g_ck"), "full_outer")
       .filter(col("g_op").isNull || col("g_op") =!= "D")
       .select(
-        coalesce(col("g_ck"), col("g_bk")).as(key) +:
+        coalesce(col("g_ck"), col(key)).as(key) +:
           payload.map(c0 =>
             when(col("g_ck").isNotNull, col(s"g_c_$c0"))
-              .otherwise(col(s"g_b_$c0")).as(c0)) :+
+              .otherwise(col(c0)).as(c0)) :+
           when(col("g_ck").isNotNull, lit("cdc")).otherwise(lit("base")).as("src"): _*)
   }
 
@@ -477,6 +481,45 @@ object Incremental {
         lit(null).cast("long").as("price_c"), col("_commit_version").as("version"))
     app.union(del).orderBy("o_orderkey", "version")
   }
+
+  /** Registered q_cdc_apply_bucketed body: the steady-state 100 TB CDC
+    * form made concrete — the base snapshot lives BUCKETED (and sorted)
+    * on the key, paid once at ingest, so the nightly CDC apply's
+    * full-outer sort-merge join consumes the base's bucketed scan
+    * directly: ONLY THE DELTA SHUFFLES, the standing table never does.
+    * This is the escape hatch the `cdcApply` Scaladoc promises; here it
+    * is registered, hash-checked against the same oracle as the merge
+    * form (all three CDC forms must produce the identical standing
+    * table), and plan-pinned (`PlanShapeSpec`: zero Exchange in the
+    * base-side subtree of the join).
+    */
+  def ordersCdcApplyBucketed(orders: DataFrame, bucketsOpt: Option[Int] = None): DataFrame = {
+    val spark = orders.sparkSession
+    // the bucket count must MATCH the session's shuffle parallelism:
+    // when only one join child satisfies the clustering, EnsureRequirements
+    // re-shuffles everything to spark.sql.shuffle.partitions unless the
+    // satisfied child already has that partition count — a bucketed layout
+    // that ignores the cluster's partitioning buys nothing
+    val buckets = bucketsOpt.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val base = bucketedBases.computeIfAbsent((spark, s"cb:$inputKey:$buckets"), { _ =>
+      val wh = java.nio.file.Files.createTempDirectory("graft_bucketed_cdc")
+      deleteRecursivelyOnExit(wh)
+      val t = s"g_orders_cdcb_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      ordersCdcBase(orders).write.format("parquet")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/base").saveAsTable(t)
+      t
+    })
+    cdcApply(spark.table(base).hint("merge"), ordersCdcChanges(orders), "o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
+  private val bucketedBases =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+  private val bucketedBaseSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Registered q_table_pruned body: zone-map data skipping on the
     * versioned table. The pay-once build commits orders range-clustered

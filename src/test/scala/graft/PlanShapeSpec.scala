@@ -536,6 +536,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pinned v1 read must touch only commit-1 files, saw: $scanned")
   }
 
+  test("bucketed CDC apply: only the delta shuffles — base subtree exchange-free") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // AQE wraps children in query stages mid-plan; disable it so the
+    // static plan exposes the join's two subtrees directly
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val df = Incremental.ordersCdcApplyBucketed(t("orders"))
+      val smj = df.queryExecution.executedPlan.collectFirst {
+        case j: SortMergeJoinExec => j
+      }.getOrElse(fail(s"no SMJ in:\n${plan(df)}"))
+      def hasBucketedScan(p: SparkPlan): Boolean = p.collectFirst {
+        case f: FileSourceScanExec if f.bucketedScan => f
+      }.nonEmpty
+      val baseSide = Seq(smj.left, smj.right).find(hasBucketedScan)
+        .getOrElse(fail(s"no bucketed scan under the join:\n${plan(df)}"))
+      assert(baseSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"the standing base shuffled despite bucketing:\n${plan(df)}")
+      // the delta side legitimately exchanges (window + re-cluster) —
+      // that is the ONLY data movement the nightly apply pays
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+    }
+  }
+
   test("versioned as-of composition plans BOTH legs on the native sorted-merge operator") {
     val p = plan(Incremental.eventsAsofVersioned(t("events")))
     // the merge exec prints as "AsOfJoin ["; the broadcast variant as
