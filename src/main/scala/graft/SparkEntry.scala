@@ -83,6 +83,8 @@ object SparkEntry {
     "q_table_optimize" -> ((s, d) => Incremental.ordersTableOptimize(t(s, d, "orders"))),
     "q_table_history" -> ((s, d) => Incremental.ordersTableHistory(t(s, d, "orders"))),
     "q_table_constraints" -> ((s, d) => Incremental.ordersTableConstraints(t(s, d, "orders"))),
+    "q_sql_timetravel" -> ((s, d) => Incremental.ordersSqlTimetravel(t(s, d, "orders"))),
+    "q_sql_pruned" -> ((s, d) => Incremental.ordersSqlPruned(t(s, d, "orders"))),
     "q_quality_report" -> ((s, d) =>
       Relational.qualityReport(t(s, d, "orders"), t(s, d, "customer"))),
     "q_cast_types" -> ((s, d) => Relational.castTypes(t(s, d, "orders"))),
@@ -1492,6 +1494,55 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus AS status,
         |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
         |FROM orders WHERE o_orderkey BETWEEN 10000 AND 20000
+        |ORDER BY o_orderkey""".stripMargin,
+    // SQL-catalog time travel: VERSION AS OF through the gtab catalog
+    // must replay exactly what the programmatic snapshot reads replay —
+    // same oracle as q_table_timetravel.
+    "q_sql_timetravel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |ch AS (
+        |  SELECT o_orderkey, 'U' AS op, 1 AS seq, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS price_c
+        |  FROM orders
+        |  WHERE o_orderkey % 4 <> 3
+        |    AND (o_orderkey % 10 = 0 OR o_orderkey % 10 = 5)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 2, NULL, NULL FROM orders
+        |  WHERE o_orderkey % 4 <> 3 AND o_orderkey % 20 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey, 'I', 1, 'NEW',
+        |         CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 4 = 3),
+        |latest AS (
+        |  SELECT o_orderkey, op, status, price_c FROM (
+        |    SELECT ch.*,
+        |      row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |applied AS (
+        |  SELECT COALESCE(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN l.o_orderkey IS NOT NULL THEN l.price_c ELSE b.price_c END
+        |      AS price_c
+        |  FROM base b FULL JOIN latest l ON b.o_orderkey = l.o_orderkey
+        |  WHERE l.op IS NULL OR l.op <> 'D')
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS total_c FROM base
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 3, count(*), CAST(sum(price_c) AS BIGINT) FROM applied
+        |ORDER BY version""".stripMargin,
+    // SQL-catalog pruned range read: planning-time zone-map skipping
+    // through the SQL front door; oracle is the plain range filter.
+    "q_sql_pruned" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders WHERE o_orderkey BETWEEN 5000 AND 8000
         |ORDER BY o_orderkey""".stripMargin,
     // CHECK constraints: the poisoned append (negated prices on keys
     // ≡ 3 mod 8) was rejected atomically, the cleaned retry landed — the

@@ -657,6 +657,79 @@ object Incremental {
     graft.sources.VersionedTable.read(spark, table).orderBy("o_orderkey")
   }
 
+  private val catalogRoots =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, String]()
+
+  /** Per-session catalog root: registers the `gtab` SQL catalog
+    * ([[graft.sources.GraftCatalog]]) over a temp directory once, so
+    * every catalog-backed query shares one namespace. Table names carry
+    * a per-input suffix (two input sets never collide).
+    */
+  private def catalogRoot(spark: org.apache.spark.sql.SparkSession): String =
+    catalogRoots.computeIfAbsent(spark, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_catalog")
+      deleteRecursivelyOnExit(d)
+      spark.conf.set("spark.sql.catalog.gtab", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gtab.root", d.toString)
+      d.toString
+    })
+
+  /** Registered q_sql_timetravel body: the versioned table consumed
+    * through the SQL CATALOG with Spark's native time-travel syntax —
+    * `FROM gtab.default.<t> VERSION AS OF n` — over the same
+    * base/append/CDC-overwrite lifecycle as `q_table_timetravel`. Same
+    * oracle: the SQL front door must replay exactly what the
+    * programmatic reads replay.
+    */
+  def ordersSqlTimetravel(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqltt:$inputKey"), { _ =>
+      val n = s"orders_tt_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      val t = s"$root/default/$n"
+      graft.sources.VersionedTable.commit(ordersCdcBase(orders), t, append = false)
+      val inserts = orders.filter(col("o_orderkey") % 4 === 3)
+        .select(col("o_orderkey"), lit("NEW").as("status"),
+          cents(col("o_totalprice")).as("price_c"))
+      graft.sources.VersionedTable.commit(inserts, t, append = true)
+      graft.sources.VersionedTable.commit(
+        ordersCdcApply(orders).drop("src"), t, append = false)
+      n
+    })
+    def leg(v: Long) =
+      s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows,
+         |CAST(sum(price_c) AS BIGINT) AS total_c
+         |FROM gtab.default.$name VERSION AS OF $v""".stripMargin
+    spark.sql(s"${leg(1)} UNION ALL ${leg(2)} UNION ALL ${leg(3)} ORDER BY version")
+  }
+
+  /** Registered q_sql_pruned body: a range predicate through the SQL
+    * catalog over a range-clustered table — the pushed filter's bounds
+    * prune files against the manifest zone maps at planning time
+    * (`GraftCatalogSpec` pins the kept/total count); the oracle is the
+    * plain range filter, so equality proves planning-time skipping
+    * loses nothing through the SQL path either.
+    */
+  def ordersSqlPruned(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlpr:$inputKey"), { _ =>
+      val n = s"orders_pr_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      graft.sources.VersionedTable.commit(
+        orders.select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            cents(col("o_totalprice")).as("price_c"))
+          .repartitionByRange(8, col("o_orderkey")),
+        s"$root/default/$n", append = false, statsCols = Seq("o_orderkey"))
+      n
+    })
+    spark.sql(
+      s"""SELECT o_orderkey, status, price_c FROM gtab.default.$name
+         |WHERE o_orderkey BETWEEN 5000 AND 8000
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Registered q_asof_versioned body: the round-11 components composed
     * under ONE oracle check instead of passing only in isolation — a
     * [[graft.sources.VersionedTable]] of view events (v1 = every view,

@@ -1,0 +1,278 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{
+  Identifier, SupportsRead, Table, TableCatalog, TableCapability, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+  ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{
+  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A DataSource V2 TABLE CATALOG over [[VersionedTable]] directories — the
+  * SQL front door to the table format:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.gtab", "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.gtab.root", "/data/tables")
+  *   spark.sql("SELECT * FROM gtab.default.orders VERSION AS OF 2")
+  * }}}
+  *
+  * Identifiers map to directories (`root/<namespace…>/<name>`); a table is
+  * any directory with a `_manifest`. `VERSION AS OF n` rides Spark's
+  * native time-travel syntax into [[VersionedTable]]'s pinned manifests.
+  * The read path is complete table-format semantics, not a toy:
+  * merge-on-read tombstones are applied IN the partition readers (each
+  * data file pairs with exactly the tombstone files bounded to its
+  * commit), column pruning reaches the decoder, and range/equality
+  * filters on zone-mapped columns prune data files at PLANNING time from
+  * the manifest alone (filters stay residual above the scan, so results
+  * are exact whatever the layout). Read-only by design: writes go through
+  * [[VersionedTable]]'s commit protocol (link-as-CAS, constraints, txn
+  * ids), which a SQL INSERT path would have to re-wrap without adding
+  * anything — rejected loudly rather than half-supported.
+  */
+class GraftCatalog extends TableCatalog {
+  private var catName: String = _
+  private var root: String = _
+
+  override def name(): String = catName
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"catalog $name requires spark.sql.catalog.$name.root")
+  }
+
+  private def dirOf(ident: Identifier): java.nio.file.Path =
+    java.nio.file.Paths.get(root, ident.namespace() :+ ident.name(): _*)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = java.nio.file.Paths.get(root, namespace: _*)
+    if (!java.nio.file.Files.isDirectory(ns)) Array.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(ns).iterator.asScala
+        .filter(p => java.nio.file.Files.isDirectory(p.resolve("_manifest")))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    java.nio.file.Files.isDirectory(dirOf(ident).resolve("_manifest"))
+
+  override def loadTable(ident: Identifier): Table = loadVersion(ident, None)
+
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadVersion(ident, Some(version.toLong))
+
+  private def loadVersion(ident: Identifier, version: Option[Long]): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftCatalogTable(dirOf(ident).toString, version,
+      s"$catName.${(ident.namespace() :+ ident.name()).mkString(".")}")
+  }
+
+  private def readOnly: Nothing = throw new UnsupportedOperationException(
+    s"catalog $catName is read-only: write through graft.sources.VersionedTable " +
+      "(commit/mergeInto/deleteWhere), whose commit protocol carries the " +
+      "concurrency, constraint, and exactly-once semantics")
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = readOnly
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly
+  override def dropTable(ident: Identifier): Boolean = readOnly
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly
+}
+
+class GraftCatalogTable(table: String, version: Option[Long], ident: String)
+    extends Table with SupportsRead {
+  override def name(): String =
+    version.fold(ident)(v => s"$ident@v$v")
+  override def schema(): StructType =
+    VersionedTable.read(SparkSession.active, table, version).schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftTableScanBuilder(table, version, schema())
+}
+
+class GraftTableScanBuilder(table: String, version: Option[Long], full: StructType)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = full
+  private var bounds: Map[String, (Long, Long)] = Map.empty
+  private var used: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Range/equality predicates on long-typed columns tighten per-column
+    * [lo, hi] bounds used against the manifest's zone maps at planning
+    * time. EVERY filter is also returned as residual — Spark re-applies
+    * them above the scan, so file skipping can only remove files that
+    * cannot match, never change results.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def tighten(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      bounds = bounds.updated(c, (math.max(l0, lo), math.min(h0, hi)))
+    }
+    val consumed = filters.filter {
+      case EqualTo(c, v: Number)            => tighten(c, v.longValue, v.longValue); true
+      case GreaterThan(c, v: Number)        => tighten(c, v.longValue + 1, Long.MaxValue); true
+      case GreaterThanOrEqual(c, v: Number) => tighten(c, v.longValue, Long.MaxValue); true
+      case LessThan(c, v: Number)           => tighten(c, Long.MinValue, v.longValue - 1); true
+      case LessThanOrEqual(c, v: Number)    => tighten(c, Long.MinValue, v.longValue); true
+      case _                                => false
+    }
+    used = consumed
+    filters // all residual: exactness never depends on the zone maps
+  }
+  override def pushedFilters(): Array[Filter] = used
+
+  override def build(): Scan = new GraftTableScan(table, version, required, bounds)
+}
+
+class GraftTableScan(
+    table: String, version: Option[Long], required: StructType,
+    bounds: Map[String, (Long, Long)]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private lazy val layout = VersionedTable.snapshotLayout(table, version)
+  private lazy val kept = layout.filter { case (_, _, _, stats) =>
+    bounds.forall { case (c, (lo, hi)) =>
+      stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+  }
+
+  override def description(): String =
+    s"graft-catalog $table${version.fold("")(v => s"@v$v")} " +
+      s"files=${kept.size}/${layout.size} " +
+      s"bounds=${bounds.map { case (c, (l, h)) => s"$c∈[$l,$h]" }.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
+    kept.map { case (file, _, tombs, _) =>
+      GraftCatalogPartition(abs(file), tombs.map(abs)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCatalogReaderFactory(required)
+}
+
+case class GraftCatalogPartition(file: String, tombstones: Seq[String])
+    extends InputPartition
+
+class GraftCatalogReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftCatalogReader(partition.asInstanceOf[GraftCatalogPartition], required)
+}
+
+/** Reads one data file with parquet's Group API, applying merge-on-read
+  * tombstones inline: the partition's tombstone files (key-only, small by
+  * construction — they hold doomed KEYS, not rows) load into a hash set
+  * once per partition, and each decoded row is dropped when its key is a
+  * member. This is the per-file form of the anti-join
+  * [[VersionedTable.read]] plans — same semantics, no join, because the
+  * tombstone side is already commit-scoped to exactly this file.
+  */
+class GraftCatalogReader(part: GraftCatalogPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+
+  private def open(f: String) = ParquetReader
+    .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f)).build()
+
+  // (key column name, doomed key values) per tombstone file — key type is
+  // whatever deleteWhere keyed on; compare on the decoded primitive
+  private val doomed: Seq[(String, java.util.HashSet[Any])] =
+    part.tombstones.map { tf =>
+      val r = open(tf)
+      val set = new java.util.HashSet[Any]()
+      var name: String = null
+      var g: Group = r.read()
+      while (g != null) {
+        if (name == null) name = g.getType.getFieldName(0)
+        if (g.getFieldRepetitionCount(0) > 0)
+          set.add(primitive(g, name, g.getType.getType(0)))
+        g = r.read()
+      }
+      r.close()
+      (name, set)
+    }.filter(_._1 != null)
+
+  private def primitive(
+      g: Group, name: String, t: org.apache.parquet.schema.Type): Any = {
+    val p = t.asPrimitiveType().getPrimitiveTypeName
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    p match {
+      case INT64   => g.getLong(name, 0)
+      case INT32   => g.getInteger(name, 0)
+      case DOUBLE  => g.getDouble(name, 0)
+      case FLOAT   => g.getFloat(name, 0)
+      case BOOLEAN => g.getBoolean(name, 0)
+      case BINARY  => g.getString(name, 0)
+      case other   => throw new UnsupportedOperationException(
+        s"graft-catalog reader does not decode $other (column $name)")
+    }
+  }
+
+  private val reader = open(part.file)
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    while (current != null && isDoomed(current)) current = reader.read()
+    current != null
+  }
+
+  private def isDoomed(g: Group): Boolean = doomed.exists { case (name, set) =>
+    g.getType.containsField(name) && {
+      val i = g.getType.getFieldIndex(name)
+      g.getFieldRepetitionCount(i) > 0 &&
+        set.contains(primitive(g, name, g.getType.getType(i)))
+    }
+  }
+
+  private def valueOf(g: Group, f: StructField): Any = {
+    if (!g.getType.containsField(f.name) ||
+      g.getFieldRepetitionCount(f.name) == 0) null
+    else f.dataType match {
+      case LongType    => g.getLong(f.name, 0)
+      case IntegerType => g.getInteger(f.name, 0)
+      case DoubleType  => g.getDouble(f.name, 0)
+      case FloatType   => g.getFloat(f.name, 0)
+      case BooleanType => g.getBoolean(f.name, 0)
+      case StringType  => UTF8String.fromString(g.getString(f.name, 0))
+      case dt => throw new UnsupportedOperationException(
+        s"graft-catalog reader does not decode $dt (column ${f.name})")
+    }
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](required.fields.length)
+    var i = 0
+    while (i < required.fields.length) {
+      vals(i) = valueOf(current, required.fields(i)); i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -500,6 +500,21 @@ object VersionedTable {
       carried.isEmpty && v != versions(table).min)
   }
 
+  /** Physical layout of a pinned snapshot, for external readers (the SQL
+    * catalog): each data file with its commit number, the tombstone files
+    * applicable to it (bound ≥ its commit), and its zone map.
+    */
+  private[sources] def snapshotLayout(table: String, version: Option[Long])
+      : Seq[(String, Long, Seq[String], Map[String, (Long, Long)])] = {
+    val entries = pinnedEntries(table, version)
+    val delE = entries.filter(isDeleteEntry)
+      .map(e => (e.split(":", 3)(1).toLong, entryPath(e)))
+    entries.filterNot(isDeleteEntry).map { e =>
+      val c = dataCommitOf(e)
+      (entryPath(e), c, delE.collect { case (b, p) if b >= c => p }, entryStats(e))
+    }
+  }
+
   /** MERGE INTO (row-level upsert): apply a keyed I/U/D change batch to
     * the table head with last-writer-wins semantics and commit the
     * result as a logical overwrite — the table-level form of MERGE WHEN

@@ -1,0 +1,84 @@
+package graft
+
+import graft.sources.VersionedTable
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL catalog over versioned tables: identifier→directory mapping,
+  * VERSION AS OF time travel through Spark's native syntax, merge-on-read
+  * tombstones applied inside the partition readers, zone-map file pruning
+  * driven by pushed range filters (always residual ⇒ always exact), and
+  * the read-only write contract.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private lazy val root = {
+    val d = SparkTestBase.tempDir("graft_catalog_root")
+    spark.conf.set("spark.sql.catalog.gtest", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtest.root", d.toString)
+    d.toString
+  }
+
+  private def df(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("k", "v")
+  }
+
+  test("SQL reads the head; VERSION AS OF replays an overwritten snapshot") {
+    val t = s"$root/default/tt"
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    VersionedTable.commit(df(9L -> "z"), t, append = false) // overwrite
+    val head = spark.sql("SELECT k, v FROM gtest.default.tt ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(head == Seq(9L -> "z"))
+    val v1 = spark.sql("SELECT k, v FROM gtest.default.tt VERSION AS OF 1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v1 == Seq(1L -> "a", 2L -> "b"),
+      "time travel through SQL must replay the pre-overwrite snapshot")
+  }
+
+  test("merge-on-read tombstones are applied in the readers; re-inserts escape") {
+    val t = s"$root/default/mor"
+    VersionedTable.commit(df((1L to 10L).map(k => k -> s"v$k"): _*), t, append = false)
+    VersionedTable.deleteWhere(spark, t, col("k") % 2L === 0L, "k")
+    VersionedTable.commit(df(4L -> "back"), t, append = true) // escapes the old tombstone
+    val got = spark.sql("SELECT k, v FROM gtest.default.mor")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = VersionedTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expect)
+    assert(got.contains(4L -> "back") && !got.contains(4L -> "v4") &&
+      !got.exists(p => p._1 % 2 == 0 && p._2.startsWith("v")))
+  }
+
+  test("pushed range filters prune files from the zone maps; results stay exact") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/zm"
+    VersionedTable.commit(
+      (1L to 800L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(8, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    val q = spark.sql("SELECT k, v FROM gtest.default.zm WHERE k >= 100 AND k <= 150")
+    val rows = q.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == (100L to 150L).map(k => (k, s"v$k")).toSet)
+    // the scan's own description records kept/total files
+    val desc = q.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+      .getOrElse(fail(s"no graft-catalog scan in:\n$desc"))
+    assert(m.group(2).toInt == 8 && m.group(1).toInt < 8,
+      s"expected pruned scan, got files=${m.group(1)}/${m.group(2)}")
+  }
+
+  test("the catalog lists manifest directories and refuses writes loudly") {
+    val ids = spark.sql("SHOW TABLES IN gtest.default").collect()
+      .map(_.getString(1)).toSet
+    assert(Set("tt", "mor", "zm").subsetOf(ids), s"listed: $ids")
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO gtest.default.tt VALUES (5, 'x')")
+    }
+    assert(ex.getMessage.toLowerCase.contains("read-only") ||
+      ex.getMessage.toLowerCase.contains("does not support"),
+      s"unexpected write error: ${ex.getMessage}")
+  }
+}
