@@ -75,6 +75,16 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     loadVersion(ident, Some(version.toLong))
 
+  /** TIMESTAMP AS OF: Spark hands the literal as epoch MICROseconds;
+    * resolution happens against the monotonized commit wall-times the
+    * manifests record.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    loadVersion(ident, Some(VersionedTable.versionAsOfTimestamp(
+      dirOf(ident).toString, timestampMicros / 1000L)))
+  }
+
   private def loadVersion(ident: Identifier, version: Option[Long]): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftCatalogTable(dirOf(ident).toString, version,

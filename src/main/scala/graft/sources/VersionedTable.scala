@@ -97,12 +97,45 @@ object VersionedTable {
     val lines = manifestLines(table, version)
     require(lines.nonEmpty && lines.head == s"version=$version",
       s"corrupt manifest for version $version")
-    lines.tail.dropWhile(_.startsWith("txn="))
+    lines.tail.dropWhile(l => l.startsWith("txn=") || l.startsWith("ts="))
   }
 
   private def txnOf(table: String, version: Long): Option[String] =
-    manifestLines(table, version).tail.headOption
-      .filter(_.startsWith("txn=")).map(_.stripPrefix("txn="))
+    manifestLines(table, version).tail
+      .takeWhile(l => l.startsWith("txn=") || l.startsWith("ts="))
+      .find(_.startsWith("txn=")).map(_.stripPrefix("txn="))
+
+  /** Commit wall-clock (epoch millis), recorded in the manifest header —
+    * None for manifests written before timestamps existed.
+    */
+  def commitTimestamp(table: String, version: Long): Option[Long] =
+    manifestLines(table, version).tail
+      .takeWhile(l => l.startsWith("txn=") || l.startsWith("ts="))
+      .find(_.startsWith("ts=")).map(_.stripPrefix("ts=").toLong)
+
+  /** TIMESTAMP AS OF resolution: the newest version committed at or
+    * before `epochMillis`. Timestamps are MONOTONIZED first (each
+    * version's effective time is the running max, the same adjustment
+    * Delta applies), so a clock step backwards between commits cannot
+    * make a later version resolve before an earlier one. Fails loudly
+    * when the table's first commit is later than the asked time (there
+    * was no table yet) or when a manifest predates timestamps.
+    */
+  def versionAsOfTimestamp(table: String, epochMillis: Long): Long = {
+    val stamped = versions(table).map { v =>
+      v -> commitTimestamp(table, v).getOrElse(throw new IllegalStateException(
+        s"version $v of $table has no commit timestamp — written by a " +
+          "pre-timestamp layout; use VERSION AS OF"))
+    }
+    var runningMax = Long.MinValue
+    val monotone = stamped.map { case (v, ts) =>
+      runningMax = math.max(runningMax, ts); (v, runningMax)
+    }
+    monotone.takeWhile(_._2 <= epochMillis).lastOption.map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot of $table exists at or before epoch-millis $epochMillis " +
+          s"(first commit at ${monotone.headOption.map(_._2)})"))
+  }
 
   /** A committed txn id → its version, for idempotent-ingest lookups. */
   def txnVersion(table: String, txnId: String): Option[Long] =
@@ -123,7 +156,8 @@ object VersionedTable {
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(
       s"$next.manifest.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-    val header = s"version=$next" +: txnId.map(t => s"txn=$t").toSeq
+    val header = (s"version=$next" +: txnId.map(t => s"txn=$t").toSeq) :+
+      s"ts=${System.currentTimeMillis()}"
     Files.write(tmp, (header ++ entries).asJava)
     try {
       Files.createLink(mdir.resolve(s"$next.manifest"), tmp)

@@ -70,6 +70,27 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"expected pruned scan, got files=${m.group(1)}/${m.group(2)}")
   }
 
+  test("TIMESTAMP AS OF resolves through monotonized commit wall-times") {
+    val t = s"$root/default/ts"
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15) // ensure v2's wall-time is strictly later
+    VersionedTable.commit(df(2L -> "b"), t, append = true)
+    // programmatic resolution
+    assert(VersionedTable.versionAsOfTimestamp(t, between) == 1L)
+    assert(VersionedTable.versionAsOfTimestamp(t, System.currentTimeMillis()) == 2L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.versionAsOfTimestamp(t, 1000L) // before the table existed
+    }
+    // SQL syntax: epoch millis → a TIMESTAMP literal in UTC (session TZ)
+    val lit = java.time.Instant.ofEpochMilli(between).toString
+      .replace("T", " ").stripSuffix("Z")
+    val rows = spark.sql(
+      s"SELECT k FROM gtest.default.ts TIMESTAMP AS OF '$lit'")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L), s"TIMESTAMP AS OF '$lit' must see only v1, got $rows")
+  }
+
   test("the catalog lists manifest directories and refuses writes loudly") {
     val ids = spark.sql("SHOW TABLES IN gtest.default").collect()
       .map(_.getString(1)).toSet
