@@ -85,6 +85,7 @@ object SparkEntry {
     "q_table_constraints" -> ((s, d) => Incremental.ordersTableConstraints(t(s, d, "orders"))),
     "q_sql_timetravel" -> ((s, d) => Incremental.ordersSqlTimetravel(t(s, d, "orders"))),
     "q_sql_pruned" -> ((s, d) => Incremental.ordersSqlPruned(t(s, d, "orders"))),
+    "q_sql_insert" -> ((s, d) => Incremental.ordersSqlInsert(t(s, d, "orders"))),
     "q_quality_report" -> ((s, d) =>
       Relational.qualityReport(t(s, d, "orders"), t(s, d, "customer"))),
     "q_cast_types" -> ((s, d) => Relational.castTypes(t(s, d, "orders"))),
@@ -1537,6 +1538,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, count(*), CAST(sum(price_c) AS BIGINT) FROM applied
         |ORDER BY version""".stripMargin,
+    // SQL INSERT INTO ... SELECT through the catalog: base plus the
+    // inserted held-out quarter (status NEW), read back through the
+    // catalog reader — write path and read path verified together.
+    "q_sql_insert" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders WHERE o_orderkey % 4 <> 3
+        |UNION ALL
+        |SELECT o_orderkey, 'NEW',
+        |       CAST(round(o_totalprice * 100) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 4 = 3
+        |ORDER BY o_orderkey""".stripMargin,
     // SQL-catalog pruned range read: planning-time zone-map skipping
     // through the SQL front door; oracle is the plain range filter.
     "q_sql_pruned" ->

@@ -730,6 +730,34 @@ object Incremental {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Registered q_sql_insert body: the SQL WRITE path end-to-end —
+    * INSERT INTO ... SELECT through the catalog appends a commit whose
+    * files are staged by executors and published through the same
+    * link-as-CAS protocol as programmatic commits (constraints and
+    * snapshot isolation included). The oracle replays base ∪ inserted
+    * quarter; hash equality proves the SQL-written files decode back
+    * bit-exactly through the catalog reader.
+    */
+  def ordersSqlInsert(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlins:$inputKey"), { _ =>
+      val n = s"orders_ins_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      graft.sources.VersionedTable.commit(
+        ordersCdcBase(orders), s"$root/default/$n", append = false)
+      orders.createOrReplaceTempView(s"g_src_$n")
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT o_orderkey, 'NEW' AS status,
+           |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+           |FROM g_src_$n WHERE o_orderkey % 4 = 3""".stripMargin)
+      n
+    })
+    spark.sql(
+      s"SELECT o_orderkey, status, price_c FROM gtab.default.$name ORDER BY o_orderkey")
+  }
+
   /** Registered q_asof_versioned body: the round-11 components composed
     * under ONE oracle check instead of passing only in isolation — a
     * [[graft.sources.VersionedTable]] of view events (v1 = every view,

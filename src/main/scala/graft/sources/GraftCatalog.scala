@@ -6,11 +6,15 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, SupportsRead, Table, TableCatalog, TableCapability, TableChange}
+  Identifier, SupportsRead, SupportsWrite, Table, TableCatalog, TableCapability,
+  TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
   ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
+  PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{
   EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -91,28 +95,166 @@ class GraftCatalog extends TableCatalog {
       s"$catName.${(ident.namespace() :+ ident.name()).mkString(".")}")
   }
 
-  private def readOnly: Nothing = throw new UnsupportedOperationException(
-    s"catalog $catName is read-only: write through graft.sources.VersionedTable " +
-      "(commit/mergeInto/deleteWhere), whose commit protocol carries the " +
-      "concurrency, constraint, and exactly-once semantics")
+  private def noDdl: Nothing = throw new UnsupportedOperationException(
+    s"catalog $catName does not support DDL: create tables through " +
+      "graft.sources.VersionedTable.commit (tables are manifest directories); " +
+      "INSERT INTO / INSERT OVERWRITE on existing tables IS supported and " +
+      "routes through the commit protocol")
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = readOnly
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly
-  override def dropTable(ident: Identifier): Boolean = readOnly
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly
+      properties: util.Map[String, String]): Table = noDdl
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = noDdl
+  override def dropTable(ident: Identifier): Boolean = noDdl
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = noDdl
 }
 
 class GraftCatalogTable(table: String, version: Option[Long], ident: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     version.fold(ident)(v => s"$ident@v$v")
   override def schema(): StructType =
     VersionedTable.read(SparkSession.active, table, version).schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTableScanBuilder(table, version, schema())
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty,
+      s"cannot write to a time-traveled snapshot of $ident — write to the head")
+    new GraftWriteBuilder(table, info.schema())
+  }
+}
+
+/** SQL INSERT path: INSERT INTO appends, INSERT OVERWRITE (Spark plans it
+  * as truncate + write) commits a logical overwrite — BOTH through the
+  * same commit protocol as the programmatic API: executors stage parquet
+  * into a writer-unique directory, then the driver runs the ONE metadata
+  * job (footer counts + zone-map stats are skipped for SQL writes, but
+  * CHECK constraints ARE enforced — a violating INSERT aborts atomically
+  * with the staged files deleted) and publishes via the link-as-CAS
+  * retry loop, so SQL writers obey the same concurrency rules as
+  * everyone else.
+  */
+class GraftWriteBuilder(table: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftBatchWrite(table, schema, overwrite)
+  }
+}
+
+class GraftBatchWrite(table: String, schema: StructType, overwrite: Boolean)
+    extends BatchWrite {
+  private val token = java.util.UUID.randomUUID().toString.take(8)
+  private val stagingName = s"_stg_$token"
+  private val stagingAbs =
+    java.nio.file.Paths.get(table, "data", stagingName).toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingAbs))
+    new GraftDataWriterFactory(stagingAbs, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val next = VersionedTable.versions(table).lastOption.getOrElse(0L) + 1L
+    val dirName = s"c${next}_$token"
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(stagingAbs),
+      java.nio.file.Paths.get(table, "data", dirName))
+    val entries = VersionedTable.dirMetadata(
+      spark, table, dirName, Nil, VersionedTable.constraints(table))
+    VersionedTable.publishStaged(table, token, next, dirName, entries,
+      append = !overwrite, txnId = None, expectedLatest = None)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    def del(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        if (java.nio.file.Files.isDirectory(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(p).iterator.asScala.toSeq.foreach(del)
+        }
+        java.nio.file.Files.deleteIfExists(p)
+        ()
+      }
+    del(java.nio.file.Paths.get(stagingAbs))
+  }
+}
+
+case class GraftWriteDone(file: String) extends WriterCommitMessage
+
+class GraftDataWriterFactory(stagingAbs: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(
+      s"$stagingAbs/part-$partitionId-$taskId.parquet", schema)
+}
+
+/** Executor-side parquet writer over the example Group API — the write
+  * twin of the catalog's reader. Task identity is in the file name, so
+  * speculative attempts never collide; abort deletes the attempt's file.
+  */
+class GraftDataWriter(file: String, schema: StructType)
+    extends DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  private val msgType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val prim = f.dataType match {
+        case LongType    => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case DoubleType  => Types.optional(DOUBLE)
+        case FloatType   => Types.optional(FLOAT)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType  => Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case dt => throw new UnsupportedOperationException(
+          s"graft-catalog writer does not encode $dt (column ${f.name})")
+      }
+      b.addField(prim.named(f.name))
+    }
+    b.named("spark_schema")
+  }
+  private val factory = new SimpleGroupFactory(msgType)
+  private val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+    .builder(new org.apache.hadoop.fs.Path(file))
+    .withType(msgType)
+    .build()
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.fields.length) {
+      if (!row.isNullAt(i)) {
+        val f = schema.fields(i)
+        f.dataType match {
+          case LongType    => g.add(f.name, row.getLong(i))
+          case IntegerType => g.add(f.name, row.getInt(i))
+          case DoubleType  => g.add(f.name, row.getDouble(i))
+          case FloatType   => g.add(f.name, row.getFloat(i))
+          case BooleanType => g.add(f.name, row.getBoolean(i))
+          case StringType  => g.add(f.name, row.getUTF8String(i).toString)
+          case _           => ()
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = { writer.close(); GraftWriteDone(file) }
+  override def abort(): Unit = {
+    writer.close()
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(file))
+    ()
+  }
+  override def close(): Unit = ()
 }
 
 class GraftTableScanBuilder(table: String, version: Option[Long], full: StructType)

@@ -189,9 +189,22 @@ object VersionedTable {
       df: DataFrame, table: String, dirName: String,
       statsCols: Seq[String] = Nil,
       checks: Seq[(String, String)] = Nil): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit, max, min, not, sum, when}
     val dataDir = Paths.get(table, "data", dirName)
     df.write.mode("errorifexists").parquet(dataDir.toString)
+    dirMetadata(df.sparkSession, table, dirName, statsCols, checks)
+  }
+
+  /** The single metadata job over an already-populated commit directory:
+    * per-file footer counts, zone maps, and CHECK-constraint violations —
+    * shared by [[writeFiles]] and the SQL catalog's INSERT path (whose
+    * files are staged by executors before the commit is assembled). A
+    * violation deletes the directory and throws: nothing is committed.
+    */
+  private[sources] def dirMetadata(
+      spark: SparkSession, table: String, dirName: String,
+      statsCols: Seq[String], checks: Seq[(String, String)]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit, max, min, not, sum, when}
+    val dataDir = Paths.get(table, "data", dirName)
     val files = Files.list(dataDir).iterator.asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
@@ -207,7 +220,7 @@ object VersionedTable {
             sum(when(not(expr(sql)) || expr(sql).isNull, 1L).otherwise(0L))
               .as(s"g_ck_$i")
           }
-        val rows = df.sparkSession.read.parquet(dataDir.toString)
+        val rows = spark.read.parquet(dataDir.toString)
           .groupBy(input_file_name().as("g_f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
@@ -403,9 +416,23 @@ object VersionedTable {
       statsCols: Seq[String] = Nil): Either[Long, Long] = {
     txnId.flatMap(txnVersion(table, _)).foreach(v => return Left(v))
     val token = java.util.UUID.randomUUID().toString.take(8)
-    var next = expectedLatest.getOrElse(versions(table).lastOption.getOrElse(0L)) + 1L
-    var dirName = s"c${next}_$token"
+    val next = expectedLatest.getOrElse(versions(table).lastOption.getOrElse(0L)) + 1L
+    val dirName = s"c${next}_$token"
     val fileEntries = writeFiles(df, table, dirName, statsCols, constraints(table))
+    publishStaged(table, token, next, dirName, fileEntries, append, txnId, expectedLatest)
+  }
+
+  /** The optimistic publish loop over an ALREADY-STAGED commit directory
+    * (`data/<dirName0>` with `fileEntries` as its manifest suffixes) —
+    * shared by [[commitCore]] and the SQL catalog's INSERT path, whose
+    * data files are written by executors before the commit is assembled.
+    */
+  private[sources] def publishStaged(
+      table: String, token: String, next0: Long, dirName0: String,
+      fileEntries: Seq[String], append: Boolean,
+      txnId: Option[String], expectedLatest: Option[Long]): Either[Long, Long] = {
+    var next = next0
+    var dirName = dirName0
     def abandon(): Unit = deleteRecursively(Paths.get(table, "data", dirName))
     while (true) {
       val latest = expectedLatest.orElse(versions(table).lastOption)

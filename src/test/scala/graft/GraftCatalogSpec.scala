@@ -91,15 +91,51 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(rows == Set(1L), s"TIMESTAMP AS OF '$lit' must see only v1, got $rows")
   }
 
-  test("the catalog lists manifest directories and refuses writes loudly") {
+  test("the catalog lists manifest directories and refuses DDL loudly") {
     val ids = spark.sql("SHOW TABLES IN gtest.default").collect()
       .map(_.getString(1)).toSet
     assert(Set("tt", "mor", "zm").subsetOf(ids), s"listed: $ids")
     val ex = intercept[Exception] {
-      spark.sql("INSERT INTO gtest.default.tt VALUES (5, 'x')")
+      spark.sql("CREATE TABLE gtest.default.brand_new (k BIGINT) USING parquet")
     }
-    assert(ex.getMessage.toLowerCase.contains("read-only") ||
+    assert(ex.getMessage.toLowerCase.contains("ddl") ||
       ex.getMessage.toLowerCase.contains("does not support"),
-      s"unexpected write error: ${ex.getMessage}")
+      s"unexpected DDL error: ${ex.getMessage}")
+  }
+
+  test("INSERT INTO appends a commit; INSERT OVERWRITE replaces the head; both time-travelable") {
+    val t = s"$root/default/ins"
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    spark.sql("INSERT INTO gtest.default.ins VALUES (2, 'b'), (3, 'c')")
+    assert(VersionedTable.versions(t) == Seq(1L, 2L),
+      "INSERT INTO must publish exactly one new version")
+    val head = spark.sql("SELECT k, v FROM gtest.default.ins ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(head == Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    spark.sql("INSERT OVERWRITE gtest.default.ins VALUES (9, 'z')")
+    assert(spark.sql("SELECT k FROM gtest.default.ins").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+    // previous snapshots still replay: SQL writes are ordinary commits
+    assert(spark.sql("SELECT k FROM gtest.default.ins VERSION AS OF 2 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // and no staging residue is left behind
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(t, "data"))
+      .iterator.asScala.map(_.getFileName.toString).toSeq
+    assert(!dirs.exists(_.startsWith("_stg_")), s"staging residue: $dirs")
+  }
+
+  test("SQL INSERT is gated by CHECK constraints, atomically") {
+    val t = s"$root/default/ck"
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    VersionedTable.addCheckConstraint(spark, t, "pos", "k > 0")
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO gtest.default.ck VALUES (-4, 'bad'), (5, 'ok')")
+    }
+    assert(ex.getMessage.contains("pos") ||
+      Option(ex.getCause).exists(_.getMessage.contains("pos")),
+      s"constraint not surfaced: ${ex.getMessage}")
+    assert(VersionedTable.versions(t) == Seq(1L), "rejected INSERT must not version")
+    assert(spark.sql("SELECT count(*) FROM gtest.default.ck").collect()(0).getLong(0) == 1L)
   }
 }
