@@ -90,6 +90,17 @@ class GraftCatalog extends TableCatalog {
   }
 
   private def loadVersion(ident: Identifier, version: Option[Long]): Table = {
+    // Iceberg-style metadata table: `SELECT * FROM gtab.ns.t$history`
+    // serves the commit log (version / operation / file and row counts /
+    // txn id / wall-time) as a driver-local scan — metadata stays
+    // metadata, no executor work
+    if (ident.name().endsWith("$history")) {
+      val base = Identifier.of(ident.namespace(), ident.name().stripSuffix("$history"))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      require(version.isEmpty, "metadata tables do not support time travel")
+      return new GraftHistoryTable(dirOf(base).toString,
+        s"$catName.${(ident.namespace() :+ ident.name()).mkString(".")}")
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftCatalogTable(dirOf(ident).toString, version,
       s"$catName.${(ident.namespace() :+ ident.name()).mkString(".")}")
@@ -124,6 +135,47 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
       s"cannot write to a time-traveled snapshot of $ident — write to the head")
     new GraftWriteBuilder(table, info.schema())
   }
+}
+
+/** The `$history` metadata table: one row per committed version, built on
+  * the DRIVER from the manifests alone ([[VersionedTable.history]]'s
+  * columns plus the commit wall-time) and served as a `LocalScan` — a
+  * query over the commit log never schedules an executor task.
+  */
+class GraftHistoryTable(table: String, ident: String)
+    extends Table with SupportsRead {
+  private val historySchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("n_fresh_files", IntegerType, nullable = false),
+    StructField("n_tombstone_files", IntegerType, nullable = false),
+    StructField("n_fresh_rows", LongType, nullable = true),
+    StructField("txn_id", StringType, nullable = true),
+    StructField("commit_ts_millis", LongType, nullable = true)))
+  override def name(): String = ident
+  override def schema(): StructType = historySchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = historySchema
+          override def description(): String = s"graft-history $table"
+          override def rows(): Array[InternalRow] = {
+            val spark = SparkSession.active
+            VersionedTable.history(spark, table).collect().map { r =>
+              new GenericInternalRow(Array[Any](
+                r.getLong(0), UTF8String.fromString(r.getString(1)),
+                r.getInt(2), r.getInt(3),
+                if (r.isNullAt(4)) null else r.getLong(4),
+                if (r.isNullAt(5)) null else UTF8String.fromString(r.getString(5)),
+                VersionedTable.commitTimestamp(table, r.getLong(0)).orNull
+              )): InternalRow
+            }
+          }
+        }
+    }
 }
 
 /** SQL INSERT path: INSERT INTO appends, INSERT OVERWRITE (Spark plans it
@@ -341,6 +393,14 @@ class GraftCatalogReaderFactory(required: StructType)
   * member. This is the per-file form of the anti-join
   * [[VersionedTable.read]] plans — same semantics, no join, because the
   * tombstone side is already commit-scoped to exactly this file.
+  *
+  * Performance note, stated honestly: this decoder is ROW-based (one
+  * Group per record), not Spark's vectorized columnar reader — fine for
+  * the interactive SQL front door, but a full-corpus scan should use the
+  * programmatic [[VersionedTable.read]]/[[VersionedTable.readWhere]]
+  * path, which plans ordinary vectorized parquet scans. The catalog's
+  * planning-time wins (zone-map file pruning, manifest-pinned snapshots)
+  * apply to both paths; only the per-row decode differs.
   */
 class GraftCatalogReader(part: GraftCatalogPartition, required: StructType)
     extends PartitionReader[InternalRow] {

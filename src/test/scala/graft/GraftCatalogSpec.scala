@@ -125,6 +125,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!dirs.exists(_.startsWith("_stg_")), s"staging residue: $dirs")
   }
 
+  test("$history metadata table serves the commit log as a driver-local scan") {
+    val t = s"$root/default/hist"
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    spark.sql("INSERT INTO gtest.default.hist VALUES (2, 'b')")
+    val h = spark.sql(
+      "SELECT version, operation, n_fresh_rows FROM gtest.default.`hist$history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(h == Seq((1L, "create", 1L), (2L, "append", 1L)), s"history: $h")
+    // commit wall-times are present and non-decreasing
+    val ts = spark.sql(
+      "SELECT commit_ts_millis FROM gtest.default.`hist$history` ORDER BY version")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ts.forall(_ > 0L) && ts == ts.sorted)
+    // the scan is driver-local: no exchange, no file scan in the plan
+    val p = spark.sql("SELECT * FROM gtest.default.`hist$history`")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan") || p.contains("graft-history"), p)
+  }
+
   test("SQL INSERT is gated by CHECK constraints, atomically") {
     val t = s"$root/default/ck"
     VersionedTable.commit(df(1L -> "a"), t, append = false)
