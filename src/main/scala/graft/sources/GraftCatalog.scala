@@ -39,10 +39,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * commit), column pruning reaches the decoder, and range/equality
   * filters on zone-mapped columns prune data files at PLANNING time from
   * the manifest alone (filters stay residual above the scan, so results
-  * are exact whatever the layout). Read-only by design: writes go through
-  * [[VersionedTable]]'s commit protocol (link-as-CAS, constraints, txn
-  * ids), which a SQL INSERT path would have to re-wrap without adding
-  * anything — rejected loudly rather than half-supported.
+  * are exact whatever the layout). DML is first-class: INSERT INTO /
+  * INSERT OVERWRITE stage executor-written parquet and publish through
+  * the SAME commit protocol (link-as-CAS, CHECK constraints, snapshot
+  * isolation) as the programmatic API, so SQL writes are ordinary
+  * time-travelable commits; only DDL (CREATE/DROP/ALTER) is refused —
+  * tables ARE manifest directories, created by the first commit.
   */
 class GraftCatalog extends TableCatalog {
   private var catName: String = _
@@ -266,6 +268,11 @@ class GraftDataWriter(file: String, schema: StructType)
         case FloatType   => Types.optional(FLOAT)
         case BooleanType => Types.optional(BOOLEAN)
         case StringType  => Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case TimestampType => Types.optional(INT64).as(
+          LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
+        case TimestampNTZType => Types.optional(INT64).as(
+          LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.MICROS))
+        case DateType => Types.optional(INT32).as(LogicalTypeAnnotation.dateType())
         case dt => throw new UnsupportedOperationException(
           s"graft-catalog writer does not encode $dt (column ${f.name})")
       }
@@ -292,6 +299,8 @@ class GraftDataWriter(file: String, schema: StructType)
           case FloatType   => g.add(f.name, row.getFloat(i))
           case BooleanType => g.add(f.name, row.getBoolean(i))
           case StringType  => g.add(f.name, row.getUTF8String(i).toString)
+          case TimestampType | TimestampNTZType => g.add(f.name, row.getLong(i))
+          case DateType    => g.add(f.name, row.getInt(i))
           case _           => ()
         }
       }
@@ -386,6 +395,66 @@ class GraftCatalogReaderFactory(required: StructType)
     new GraftCatalogReader(partition.asInstanceOf[GraftCatalogPartition], required)
 }
 
+/** Shared Group-API field decoding for the catalog and streaming readers:
+  * primitives plus the three temporal encodings Spark emits — INT64
+  * timestamps (MICROS or MILLIS annotation, adjusted or NTZ: Spark's
+  * internal value is epoch-micros either way), legacy INT96 timestamps
+  * (Julian day + nanos-of-day), and INT32 dates (epoch days).
+  */
+private[sources] object ParquetGroups {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.schema.LogicalTypeAnnotation
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  private def int96ToMicros(b: org.apache.parquet.io.api.Binary): Long = {
+    val bytes = b.getBytes // 12 bytes LE: nanos-of-day (8) + Julian day (4)
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanos = buf.getLong
+    val julian = buf.getInt
+    (julian - 2440588).toLong * 86400000000L + nanos / 1000L
+  }
+
+  private def timestampMicros(g: Group, name: String): Long = {
+    val t = g.getType.getType(name).asPrimitiveType()
+    t.getPrimitiveTypeName match {
+      case INT96 => int96ToMicros(g.getInt96(name, 0))
+      case INT64 =>
+        val v = g.getLong(name, 0)
+        t.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => v / 1000L
+          case _ => v // MICROS (Spark's default) or unannotated
+        }
+      case other => throw new UnsupportedOperationException(
+        s"timestamp column $name stored as $other")
+    }
+  }
+
+  /** Decode field `f` of `g` to Spark's internal representation; null
+    * when absent. Throws (loudly, with the column name) on types outside
+    * the supported set.
+    */
+  def valueOf(g: Group, f: StructField): Any = {
+    if (!g.getType.containsField(f.name) ||
+      g.getFieldRepetitionCount(f.name) == 0) null
+    else f.dataType match {
+      case LongType         => g.getLong(f.name, 0)
+      case IntegerType      => g.getInteger(f.name, 0)
+      case DoubleType       => g.getDouble(f.name, 0)
+      case FloatType        => g.getFloat(f.name, 0)
+      case BooleanType      => g.getBoolean(f.name, 0)
+      case StringType       => UTF8String.fromString(g.getString(f.name, 0))
+      case TimestampType    => timestampMicros(g, f.name)
+      case TimestampNTZType => timestampMicros(g, f.name)
+      case DateType         => g.getInteger(f.name, 0)
+      case dt => throw new UnsupportedOperationException(
+        s"graft Group reader does not decode $dt (column ${f.name})")
+    }
+  }
+}
+
 /** Reads one data file with parquet's Group API, applying merge-on-read
   * tombstones inline: the partition's tombstone files (key-only, small by
   * construction — they hold doomed KEYS, not rows) load into a hash set
@@ -462,26 +531,11 @@ class GraftCatalogReader(part: GraftCatalogPartition, required: StructType)
     }
   }
 
-  private def valueOf(g: Group, f: StructField): Any = {
-    if (!g.getType.containsField(f.name) ||
-      g.getFieldRepetitionCount(f.name) == 0) null
-    else f.dataType match {
-      case LongType    => g.getLong(f.name, 0)
-      case IntegerType => g.getInteger(f.name, 0)
-      case DoubleType  => g.getDouble(f.name, 0)
-      case FloatType   => g.getFloat(f.name, 0)
-      case BooleanType => g.getBoolean(f.name, 0)
-      case StringType  => UTF8String.fromString(g.getString(f.name, 0))
-      case dt => throw new UnsupportedOperationException(
-        s"graft-catalog reader does not decode $dt (column ${f.name})")
-    }
-  }
-
   override def get(): InternalRow = {
     val vals = new Array[Any](required.fields.length)
     var i = 0
     while (i < required.fields.length) {
-      vals(i) = valueOf(current, required.fields(i)); i += 1
+      vals(i) = ParquetGroups.valueOf(current, required.fields(i)); i += 1
     }
     new GenericInternalRow(vals)
   }

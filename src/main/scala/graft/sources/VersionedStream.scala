@@ -39,10 +39,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * append stream's).
   *
   * Usage: `spark.readStream.format("graft-table").load(tablePath)`.
-  * Reader scope: files are decoded with parquet's Group API over the
-  * snapshot schema's primitive fields (long / int / double / float /
-  * string / boolean — the types this engine's tables use); richer
-  * logical types would extend [[VersionedFileReader.valueOf]].
+  * Reader scope: files are decoded with parquet's Group API via the
+  * shared [[ParquetGroups]] decoder — primitives plus timestamps
+  * (INT64 micros/millis and legacy INT96) and dates.
   */
 class VersionedStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
@@ -175,27 +174,13 @@ class VersionedFileReader(part: VersionedFilePartition, schema: StructType)
 
   override def next(): Boolean = { current = reader.read(); current != null }
 
-  private def valueOf(g: Group, f: StructField): Any = {
-    if (g.getFieldRepetitionCount(f.name) == 0) null
-    else f.dataType match {
-      case LongType    => g.getLong(f.name, 0)
-      case IntegerType => g.getInteger(f.name, 0)
-      case DoubleType  => g.getDouble(f.name, 0)
-      case FloatType   => g.getFloat(f.name, 0)
-      case BooleanType => g.getBoolean(f.name, 0)
-      case StringType  => UTF8String.fromString(g.getString(f.name, 0))
-      case dt => throw new UnsupportedOperationException(
-        s"graft-table stream reader does not decode $dt (column ${f.name})")
-    }
-  }
-
   override def get(): InternalRow = {
     val vals = new Array[Any](fields.length)
     var i = 0
     while (i < fields.length) {
       vals(i) =
         if (fields(i).name == "_commit_version") part.commitVersion
-        else valueOf(current, fields(i))
+        else ParquetGroups.valueOf(current, fields(i))
       i += 1
     }
     new GenericInternalRow(vals)

@@ -144,6 +144,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(p.contains("LocalTableScan") || p.contains("graft-history"), p)
   }
 
+  test("timestamp columns round-trip: Spark-written, SQL-inserted, and streamed") {
+    val t = s"$root/default/tev"
+    // v1: committed by Spark's own parquet writer (whatever encoding the
+    // session default produces — the decoder must take it as-is)
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type").limit(50)
+    VersionedTable.commit(events, t, append = false)
+    // v2: appended through SQL — the Group-API writer's INT64-micros form
+    spark.sql(
+      """INSERT INTO gtest.default.tev
+        |VALUES (CAST(-1 AS BIGINT), TIMESTAMP_NTZ'2024-03-01 12:30:00',
+        |        CAST(7 AS BIGINT), 'synthetic')""".stripMargin)
+    val viaCatalog = spark.sql("SELECT event_id, ts FROM gtest.default.tev")
+      .collect().map(r => (r.getLong(0), r.get(1).toString)).toSet
+    val viaRead = VersionedTable.read(spark, t)
+      .selectExpr("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).toSet
+    assert(viaCatalog == viaRead,
+      "catalog Group decoder must agree with the vectorized read path")
+    assert(viaCatalog.exists(_._1 == -1L))
+    // and through the streaming source (same shared decoder)
+    val q = spark.readStream.format("graft-table").load(t)
+      .writeStream.format("memory").queryName("tev_stream")
+      .option("checkpointLocation", s"$root/../tev_cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql("SELECT event_id, ts FROM tev_stream")
+      .collect().map(r => (r.getLong(0), r.get(1).toString)).toSet
+    assert(streamed == viaRead)
+  }
+
   test("SQL INSERT is gated by CHECK constraints, atomically") {
     val t = s"$root/default/ck"
     VersionedTable.commit(df(1L -> "a"), t, append = false)
