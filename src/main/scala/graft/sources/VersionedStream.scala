@@ -55,7 +55,10 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dataSchema =
       VersionedTable.read(SparkSession.active, tablePath(options)).schema
-    dataSchema.add("_commit_version", LongType, nullable = false)
+    val base = dataSchema.add("_commit_version", LongType, nullable = false)
+    if (options.getBoolean("readChangeFeed", false))
+      base.add("_change_type", StringType, nullable = false)
+    else base
   }
 
   override def getTable(
@@ -65,13 +68,14 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new VersionedStreamTable(tablePath(opts), schema,
       opts.getBoolean("ignoreDeletes", false),
-      Option(opts.get("maxVersionsPerTrigger")).map(_.toLong))
+      Option(opts.get("maxVersionsPerTrigger")).map(_.toLong),
+      opts.getBoolean("readChangeFeed", false))
   }
 }
 
 class VersionedStreamTable(
     table: String, schema0: StructType, ignoreDeletes: Boolean,
-    maxVersionsPerTrigger: Option[Long])
+    maxVersionsPerTrigger: Option[Long], changeFeed: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_table($table)"
   override def schema(): StructType = schema0
@@ -89,7 +93,7 @@ class VersionedStreamTable(
         override def description(): String = s"graft-table stream over $table"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new VersionedMicroBatchStream(table, required, ignoreDeletes,
-            maxVersionsPerTrigger)
+            maxVersionsPerTrigger, changeFeed)
       }
     }
 }
@@ -101,7 +105,7 @@ case class VersionOffset(v: Long) extends Offset {
 
 class VersionedMicroBatchStream(
     table: String, schema: StructType, ignoreDeletes: Boolean,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None, changeFeed: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionOffset(0L)
@@ -124,20 +128,30 @@ class VersionedMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VersionOffset].v
     val e = end.asInstanceOf[VersionOffset].v
+    def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
     VersionedTable.versions(table).filter(v => v > s && v <= e).flatMap { v =>
-      val (freshData, hasDelete, isOverwrite) = VersionedTable.commitClass(table, v)
+      val (freshData, freshDeletes, isOverwrite) =
+        VersionedTable.commitClassFiles(table, v)
       if (isOverwrite)
         throw new IllegalStateException(
           s"streaming read of $table hit OVERWRITE commit $v — incremental " +
             "consumption across a replaced snapshot is undefined; restart " +
             "the stream from the overwrite as a fresh initial load")
-      if (hasDelete && !ignoreDeletes)
+      if (freshDeletes.nonEmpty && !ignoreDeletes && !changeFeed)
         throw new IllegalStateException(
           s"streaming read of $table hit DELETE commit $v; set " +
-            "ignoreDeletes=true to skip tombstone commits")
-      freshData.map(rel =>
-        VersionedFilePartition(
-          java.nio.file.Paths.get(table, rel).toString, v): InputPartition)
+            "ignoreDeletes=true to skip tombstone commits, or " +
+            "readChangeFeed=true to consume them as delete rows")
+      val inserts = freshData.map(rel =>
+        VersionedFilePartition(abs(rel), v, "insert"): InputPartition)
+      // change-feed mode: tombstone files become key-only DELETE rows —
+      // the reader nulls every column a tombstone file doesn't carry
+      val deletes =
+        if (changeFeed)
+          freshDeletes.map(rel =>
+            VersionedFilePartition(abs(rel), v, "delete"): InputPartition)
+        else Seq.empty
+      inserts ++ deletes
     }.toArray
   }
 
@@ -147,7 +161,8 @@ class VersionedMicroBatchStream(
   override def toString: String = s"graft-table-stream($table)"
 }
 
-case class VersionedFilePartition(file: String, commitVersion: Long)
+case class VersionedFilePartition(
+    file: String, commitVersion: Long, changeType: String = "insert")
     extends InputPartition
 
 class VersionedFileReaderFactory(schema: StructType)
@@ -178,9 +193,11 @@ class VersionedFileReader(part: VersionedFilePartition, schema: StructType)
     val vals = new Array[Any](fields.length)
     var i = 0
     while (i < fields.length) {
-      vals(i) =
-        if (fields(i).name == "_commit_version") part.commitVersion
-        else ParquetGroups.valueOf(current, fields(i))
+      vals(i) = fields(i).name match {
+        case "_commit_version" => part.commitVersion
+        case "_change_type"    => UTF8String.fromString(part.changeType)
+        case _                 => ParquetGroups.valueOf(current, fields(i))
+      }
       i += 1
     }
     new GenericInternalRow(vals)

@@ -554,10 +554,19 @@ object VersionedTable {
     */
   private[sources] def commitClass(
       table: String, v: Long): (Seq[String], Boolean, Boolean) = {
+    val (data, deletes, ow) = commitClassFiles(table, v)
+    (data, deletes.nonEmpty, ow)
+  }
+
+  /** As [[commitClass]], but with the fresh TOMBSTONE file paths too —
+    * the change-feed stream plans them as delete-row partitions.
+    */
+  private[sources] def commitClassFiles(
+      table: String, v: Long): (Seq[String], Seq[String], Boolean) = {
     val entries = manifestEntries(table, v)
     val (fresh, carried) = entries.partition(dataCommitOf(_) == v)
     (fresh.filterNot(isDeleteEntry).map(entryPath),
-      fresh.exists(isDeleteEntry),
+      fresh.filter(isDeleteEntry).map(entryPath),
       carried.isEmpty && v != versions(table).min)
   }
 

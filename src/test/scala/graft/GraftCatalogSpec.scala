@@ -167,7 +167,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     // and through the streaming source (same shared decoder)
     val q = spark.readStream.format("graft-table").load(t)
       .writeStream.format("memory").queryName("tev_stream")
-      .option("checkpointLocation", s"$root/../tev_cp").start()
+      .option("checkpointLocation", s"$root/tev_cp").start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.sql("SELECT event_id, ts FROM tev_stream")
       .collect().map(r => (r.getLong(0), r.get(1).toString)).toSet

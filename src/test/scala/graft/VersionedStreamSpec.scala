@@ -135,6 +135,33 @@ class VersionedStreamSpec extends AnyFunSuite {
     assert(ops.forall { case (op, hasTxn) => (op == "create" || op == "append") && hasTxn })
   }
 
+  test("change-feed mode streams tombstone commits as delete rows — equals the batch CDF twin") {
+    val d = freshDir()
+    val t = s"$d/t"
+    VersionedTable.commit(df(1L -> "a", 2L -> "b", 3L -> "c"), t, append = false)
+    VersionedTable.deleteWhere(spark, t, col("k") === 2L, "k")
+    VersionedTable.commit(df(4L -> "d"), t, append = true)
+    val q = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").load(t)
+      .writeStream.format("memory").queryName("vstream_cdf")
+      .option("checkpointLocation", s"$d/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql(
+      "SELECT k, _commit_version, _change_type FROM vstream_cdf")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == Set(
+      (1L, 1L, "insert"), (2L, 1L, "insert"), (3L, 1L, "insert"),
+      (2L, 2L, "delete"), (4L, 3L, "insert")))
+    // batch twin: appendsBetween + deletesBetween over the same range
+    val app = VersionedTable.appendsBetween(spark, t, 0L, 3L)
+      .selectExpr("k", "_commit_version", "'insert' AS ct")
+    val del = VersionedTable.deletesBetween(spark, t, 0L, 3L)
+      .selectExpr("k", "_commit_version", "'delete' AS ct")
+    val twin = app.union(del).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == twin, "CDF stream must equal the batch table_changes twin")
+  }
+
   test("overwrite fails the stream; delete fails unless ignoreDeletes") {
     val d = freshDir()
     val t = s"$d/t"
