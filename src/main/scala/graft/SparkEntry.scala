@@ -81,6 +81,7 @@ object SparkEntry {
     "q_table_pruned" -> ((s, d) => Incremental.ordersPrunedRead(t(s, d, "orders"))),
     "q_table_merge" -> ((s, d) => Incremental.ordersTableMerge(t(s, d, "orders"))),
     "q_table_optimize" -> ((s, d) => Incremental.ordersTableOptimize(t(s, d, "orders"))),
+    "q_table_zorder" -> ((s, d) => Incremental.ordersTableZorder(t(s, d, "orders"))),
     "q_table_history" -> ((s, d) => Incremental.ordersTableHistory(t(s, d, "orders"))),
     "q_table_constraints" -> ((s, d) => Incremental.ordersTableConstraints(t(s, d, "orders"))),
     "q_sql_timetravel" -> ((s, d) => Incremental.ordersSqlTimetravel(t(s, d, "orders"))),
@@ -1612,6 +1613,15 @@ object SparkEntry {
         |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 20 <> 5
         |  AND o_orderkey BETWEEN 1000 AND 3000
         |GROUP BY 1 ORDER BY status""".stripMargin,
+    // OPTIMIZE ZORDER: rectangle read over the Morton-clustered head —
+    // content must equal the plain conjunctive filter.
+    "q_table_zorder" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus AS status,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300
+        |  AND o_orderkey BETWEEN 2000 AND 6000
+        |ORDER BY o_orderkey""".stripMargin,
     // Manifest-derived commit log of the MOR lifecycle table: create
     // (base), delete (tombstoned keys ≡ 5 mod 20), append (re-inserts
     // ≡ 5 mod 40), overwrite (the compacted head). Fresh-row counts are

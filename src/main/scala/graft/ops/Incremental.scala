@@ -758,6 +758,35 @@ object Incremental {
       s"SELECT o_orderkey, status, price_c FROM gtab.default.$name ORDER BY o_orderkey")
   }
 
+  /** Registered q_table_zorder body: OPTIMIZE ZORDER on the versioned
+    * table — the head rewritten clustered on the Morton interleave of
+    * (o_custkey, o_orderkey) with zone maps on BOTH, then a rectangle
+    * read through [[graft.sources.VersionedTable.readWhereBounds]] that
+    * prunes files in both dimensions from the manifest alone. Oracle is
+    * the plain conjunctive filter; `VersionedTableSpec` pins that the
+    * rectangle prune actually skips.
+    */
+  def ordersTableZorder(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val table = versionedTables.computeIfAbsent((spark, s"zo:$inputKey"), { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_versioned")
+      deleteRecursivelyOnExit(d)
+      val t = s"$d/orders_zo"
+      graft.sources.VersionedTable.commit(
+        orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus").as("status"), cents(col("o_totalprice")).as("price_c")),
+        t, append = false)
+      graft.sources.VersionedTable.optimizeZorder(
+        spark, t, Seq("o_custkey", "o_orderkey"), targetRowsPerFile = 1000L)
+      t
+    })
+    graft.sources.VersionedTable
+      .readWhereBounds(spark, table, None,
+        Seq(("o_custkey", 100L, 300L), ("o_orderkey", 2000L, 6000L)))
+      .orderBy("o_orderkey")
+  }
+
   /** Registered q_asof_versioned body: the round-11 components composed
     * under ONE oracle check instead of passing only in isolation — a
     * [[graft.sources.VersionedTable]] of view events (v1 = every view,

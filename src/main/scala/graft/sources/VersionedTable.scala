@@ -665,6 +665,90 @@ object VersionedTable {
       statsCols = Seq(clusterBy)).fold(identity, identity)
   }
 
+  /** OPTIMIZE ZORDER: rewrite the head clustered on the MORTON
+    * interleaving of several columns' range-bucketed values, so every
+    * written file covers a small hyper-rectangle of the clustering space
+    * and carries a tight zone map on EVERY clustering column — a
+    * conjunctive multi-column range predicate ([[readWhereBounds]], or a
+    * SQL WHERE through the catalog's pushed-filter bounds) then prunes
+    * files in any dimension. The 1-D [[optimize]] gives perfect pruning
+    * on one column and none on others; this is the Delta/Iceberg
+    * OPTIMIZE ZORDER trade: slightly looser per-column ranges, bounded
+    * extent in all of them. Columns must cast to long (the zone-map
+    * constraint). Snapshot-derived: fails loudly if the head moves.
+    */
+  def optimizeZorder(
+      spark: SparkSession, table: String, clusterBy: Seq[String],
+      targetRowsPerFile: Long = 1L << 20): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max, min, shiftleft, shiftright}
+    require(clusterBy.nonEmpty, "optimizeZorder needs at least one column")
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions at $table")
+    val basis = vs.last
+    val snap = read(spark, table, Some(basis))
+    val aggs = clusterBy.flatMap(c =>
+      Seq(min(col(c)).cast("long").as(s"g_mn_$c"), max(col(c)).cast("long").as(s"g_mx_$c")))
+    val r = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def bucket(c: String): org.apache.spark.sql.Column = {
+      val (lo, hi) = (r.getAs[Long](s"g_mn_$c"), r.getAs[Long](s"g_mx_$c"))
+      ((col(c) - lit(lo)) * 256L / lit(math.max(hi - lo + 1, 1L))).cast("int")
+    }
+    val k = clusterBy.size
+    // bit i of column j lands at position i*k + j — the k-ary Morton code
+    val morton = (for (i <- 0 until 8; (c, j) <- clusterBy.zipWithIndex) yield
+      shiftleft(shiftright(bucket(c), i).bitwiseAND(lit(1)), i * k + j))
+      .reduce(_ bitwiseOR _)
+    val n = fastCount(table, Some(basis)).getOrElse(snap.count())
+    val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val clustered = snap.withColumn("g_z", morton)
+      .repartitionByRange(parts, col("g_z"))
+      .sortWithinPartitions("g_z")
+      .drop("g_z")
+    commitCore(clustered, table, append = false, txnId = None,
+      expectedLatest = Some(basis), statsCols = clusterBy).fold(identity, identity)
+  }
+
+  /** Multi-column zone-map read: [[readWhere]] generalized to a
+    * conjunction of range bounds — a file survives only if EVERY bounded
+    * column's zone map intersects its range (stat-less columns never
+    * prune). The filter is applied after the scan, so the result equals
+    * the unpruned conjunctive filter exactly.
+    */
+  def readWhereBounds(
+      spark: SparkSession, table: String, version: Option[Long],
+      bounds: Seq[(String, Long, Long)],
+      mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val entries = pinnedEntries(table, version)
+    val pruned = entries.filter(e =>
+      isDeleteEntry(e) || {
+        val stats = entryStats(e)
+        bounds.forall { case (c, lo, hi) =>
+          stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+        }
+      })
+    val base =
+      if (pruned.forall(isDeleteEntry)) snapshotFrame(spark, table, entries, mergeSchema)
+      else snapshotFrame(spark, table, pruned, mergeSchema)
+    bounds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
+
+  /** As [[pruneCount]] for a conjunction of bounds. */
+  def pruneCountBounds(
+      table: String, version: Option[Long],
+      bounds: Seq[(String, Long, Long)]): (Int, Int) = {
+    val dataE = pinnedEntries(table, version).filterNot(isDeleteEntry)
+    val kept = dataE.count { e =>
+      val stats = entryStats(e)
+      bounds.forall { case (c, lo, hi) =>
+        stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+    }
+    (kept, dataE.size)
+  }
+
   /** Read a snapshot (latest when `version` is None). The returned plan
     * scans exactly the manifest's data files; any tombstone entries are
     * applied as an anti-join of doomed keys against the data commits

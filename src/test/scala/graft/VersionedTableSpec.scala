@@ -361,6 +361,30 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readWhere(spark, t, None, "k", 5000L, 6000L).count() == 0L)
   }
 
+  test("optimizeZorder: rectangle reads prune in BOTH dimensions") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    // a 64×64 grid: x and y independently uniform, so a 1-D sort on x
+    // gives NO pruning power over y
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, x * 64 + y))
+      .toDF("x", "y", "payload")
+    VersionedTable.commit(grid, t, append = false)
+    VersionedTable.optimizeZorder(spark, t, Seq("x", "y"), targetRowsPerFile = 256L)
+    val bounds = Seq(("x", 10L, 20L), ("y", 30L, 40L))
+    val (kept, total) = VersionedTable.pruneCountBounds(t, None, bounds)
+    assert(total >= 8 && kept < total,
+      s"rectangle must prune the z-ordered layout, kept=$kept/$total")
+    // and the rectangle prune beats either single-dimension prune: the
+    // z-cells bound BOTH coordinates
+    val (keptX, _) = VersionedTable.pruneCountBounds(t, None, bounds.take(1))
+    val (keptY, _) = VersionedTable.pruneCountBounds(t, None, bounds.drop(1))
+    assert(kept <= keptX && kept <= keptY,
+      s"2-D prune ($kept) must not exceed 1-D prunes ($keptX, $keptY)")
+    val got = VersionedTable.readWhereBounds(spark, t, None, bounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (for (x <- 10L to 20L; y <- 30L to 40L) yield (x, y)).toSet)
+  }
+
   test("mergeInto commits the cdcApply state; history classifies every commit") {
     val s = spark; import s.implicits._
     val t = freshTable()
