@@ -53,8 +53,12 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val dataSchema =
-      VersionedTable.read(SparkSession.active, tablePath(options)).schema
+    val table = tablePath(options)
+    // a SINK table may not exist yet (its first epoch creates it): infer
+    // empty and let the write take its schema from the query; the READ
+    // path rejects an empty schema loudly in newScanBuilder instead
+    if (VersionedTable.versions(table).isEmpty) return new StructType()
+    val dataSchema = VersionedTable.read(SparkSession.active, table).schema
     val base = dataSchema.add("_commit_version", LongType, nullable = false)
     if (options.getBoolean("readChangeFeed", false))
       base.add("_change_type", StringType, nullable = false)
@@ -76,12 +80,40 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
 class VersionedStreamTable(
     table: String, schema0: StructType, ignoreDeletes: Boolean,
     maxVersionsPerTrigger: Option[Long], changeFeed: Boolean = false)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_table($table)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
+
+  /** Native exactly-once STREAMING SINK: each epoch's executor-staged
+    * files are published as ONE table commit whose txn id is the epoch
+    * number — Spark may replay an epoch after a crash, and the txn check
+    * inside the publish loop makes the replay a no-op, the same
+    * idempotence contract `commitIfAbsent` gives a foreachBatch sink but
+    * with zero caller boilerplate:
+    * `df.writeStream.format("graft-table").option("path", t).start()`.
+    * CHECK constraints gate every epoch (a violating micro-batch aborts
+    * that epoch loudly rather than poisoning the table).
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new VersionedStreamingWrite(table, info.schema(),
+              info.queryId())
+        }
+    }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(schema0.nonEmpty,
+      s"cannot stream-read $table: it has no committed versions yet — " +
+        "commit (or stream-write) to it first so a schema exists")
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var required: StructType = schema0
       // column pruning reaches the file reader: unprojected fields are
@@ -96,11 +128,70 @@ class VersionedStreamTable(
             maxVersionsPerTrigger, changeFeed)
       }
     }
+  }
 }
 
 /** The stream position: the highest commit version fully emitted. */
 case class VersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
+}
+
+/** Epoch-committing streaming sink over the versioned table. Per epoch:
+  * executors stage parquet into `data/_stg_<query>_e<epoch>/` (reusing
+  * the catalog's [[GraftDataWriter]]), and `commit(epoch, _)` seats the
+  * directory onto the next free version and publishes it with
+  * txn id `stream:<queryId>:e<epoch>` — so a crash-replayed epoch is
+  * recognized inside the publish loop and applied exactly once.
+  */
+class VersionedStreamingWrite(table: String, schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+
+  private def stagingName(epochId: Long) = s"_stg_${queryId.take(8)}_e$epochId"
+  private def stagingAbs(epochId: Long) =
+    java.nio.file.Paths.get(table, "data", stagingName(epochId)).toString
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new VersionedStreamingWriterFactory(table, queryId.take(8), schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val txn = s"stream:$queryId:e$epochId"
+    // a replayed epoch whose previous attempt already published: no-op
+    if (VersionedTable.txnVersion(table, txn).isDefined) { abort(epochId, messages); return }
+    val staging = java.nio.file.Paths.get(stagingAbs(epochId))
+    if (!java.nio.file.Files.isDirectory(staging))
+      java.nio.file.Files.createDirectories(staging) // empty epoch
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val next = VersionedTable.versions(table).lastOption.getOrElse(0L) + 1L
+    val dirName = s"c${next}_$token"
+    java.nio.file.Files.move(staging, java.nio.file.Paths.get(table, "data", dirName))
+    val entries = VersionedTable.dirMetadata(
+      spark, table, dirName, Nil, VersionedTable.constraints(table))
+    VersionedTable.publishStaged(table, token, next, dirName, entries,
+      append = true, txnId = Some(txn), expectedLatest = None)
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val p = java.nio.file.Paths.get(stagingAbs(epochId))
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}
+
+class VersionedStreamingWriterFactory(table: String, qTag: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    val dir = java.nio.file.Paths.get(table, "data", s"_stg_${qTag}_e$epochId")
+    java.nio.file.Files.createDirectories(dir)
+    new GraftDataWriter(s"$dir/part-$partitionId-$taskId.parquet", schema)
+  }
 }
 
 class VersionedMicroBatchStream(

@@ -621,14 +621,15 @@ object VersionedTable {
     */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    versions(table).map { v =>
+    val vs = versions(table) // one directory listing for the whole log
+    vs.map { v =>
       val entries = manifestEntries(table, v)
       val (fresh, carried) = entries.partition(dataCommitOf(_) == v)
       val freshDel = fresh.filter(isDeleteEntry)
       val freshData = fresh.filterNot(isDeleteEntry)
       val op =
         if (freshDel.nonEmpty) "delete"
-        else if (carried.isEmpty) if (v == versions(table).min) "create" else "overwrite"
+        else if (carried.isEmpty) if (v == vs.min) "create" else "overwrite"
         else "append"
       val rowsOf = (es: Seq[String]) => {
         val cs = es.map(entryRows)

@@ -135,6 +135,40 @@ class VersionedStreamSpec extends AnyFunSuite {
     assert(ops.forall { case (op, hasTxn) => (op == "create" || op == "append") && hasTxn })
   }
 
+  test("native streaming sink: table-to-table pipeline with epoch-txn exactly-once") {
+    val d = freshDir()
+    val bronze = s"$d/bronze"
+    val silver = s"$d/silver"
+    // the medallion pipeline with ZERO foreachBatch boilerplate:
+    // graft-table source → transform → graft-table sink
+    def refine(): Unit = {
+      val q = spark.readStream.format("graft-table").load(bronze)
+        .filter(col("v") =!= "junk")
+        .select("k", "v")
+        .writeStream.format("graft-table")
+        .option("path", silver)
+        .option("checkpointLocation", s"$d/cp")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    VersionedTable.commit(df(1L -> "a", 2L -> "junk"), bronze, append = false)
+    refine()
+    VersionedTable.commit(df(3L -> "c"), bronze, append = true)
+    refine() // restart from checkpoint: only the new bronze commit flows
+    val got = VersionedTable.read(spark, silver).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq(1L -> "a", 3L -> "c"),
+      s"silver must hold each refined row exactly once, got $got")
+    // every silver commit carries its epoch txn id; no staging residue
+    val h = VersionedTable.history(spark, silver).collect()
+    assert(h.forall(r => Option(r.getString(5)).exists(_.startsWith("stream:"))),
+      "silver commits must be epoch-txn stamped")
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(silver, "data"))
+      .iterator.asScala.map(_.getFileName.toString).toSeq
+    assert(!dirs.exists(_.startsWith("_stg_")), s"staging residue: $dirs")
+  }
+
   test("change-feed mode streams tombstone commits as delete rows — equals the batch CDF twin") {
     val d = freshDir()
     val t = s"$d/t"
