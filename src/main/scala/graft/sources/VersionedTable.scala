@@ -51,10 +51,17 @@ import scala.jdk.CollectionConverters._
   *     manifest), which is exactly what a foreachBatch streaming sink
   *     needs for exactly-once ingest across batch replays.
   *
-  * Scale note: the manifest grows with FILE count, not row count —
-  * ~800k lines for 100 TB at 128 MB files — and is only read on plan
-  * construction. Production formats shard it (Iceberg manifest lists);
-  * the single-file form keeps the commit protocol identical and obvious.
+  * Scale note: snapshot metadata grows with FILE count, not row count —
+  * ~800k entries for 100 TB at 128 MB files — and is only read on plan
+  * construction. Append and delete manifests record a `carry=<prev>`
+  * POINTER plus their fresh entries, so the per-commit metadata write is
+  * O(fresh files), never a table-sized rewrite; chains resolve with
+  * per-version memoization, and vacuum MATERIALIZES any retained
+  * manifest whose chain crosses the expiry cut (the Delta-checkpoint
+  * step, folded into retention) before deleting predecessors.
+  * Production formats shard the resolved lists further (Iceberg
+  * manifest lists); this layout keeps the protocol obvious while
+  * keeping commit cost delta-sized.
   */
 object VersionedTable {
 
@@ -92,25 +99,72 @@ object VersionedTable {
     Files.readAllLines(manifestDir(table).resolve(s"$version.manifest"))
       .asScala.toSeq
 
-  /** Entries (data + delete) of a version's manifest, prefix intact. */
-  private def manifestEntries(table: String, version: Long): Seq[String] = {
-    val lines = manifestLines(table, version)
+  private def isHeader(l: String): Boolean =
+    l.startsWith("txn=") || l.startsWith("ts=") || l.startsWith("carry=")
+
+  /** The version this manifest carries its predecessor's entries from —
+    * append/delete commits record `carry=<prev>` instead of rewriting
+    * the full (at 100 TB: ~800k-line) file list, so APPEND METADATA COST
+    * IS O(fresh files), not O(table files). Overwrites (and vacuum's
+    * materialization) write self-contained manifests, resetting chains.
+    */
+  private def carryOf(table: String, version: Long): Option[Long] =
+    manifestLines(table, version).tail.takeWhile(isHeader)
+      .find(_.startsWith("carry=")).map(_.stripPrefix("carry=").toLong)
+
+  private def ownEntries(lines: Seq[String], version: Long): Seq[String] = {
     require(lines.nonEmpty && lines.head == s"version=$version",
       s"corrupt manifest for version $version")
-    lines.tail.dropWhile(l => l.startsWith("txn=") || l.startsWith("ts="))
+    lines.tail.dropWhile(isHeader)
+  }
+
+  // resolved-entry cache: manifests are immutable once published (and
+  // vacuum's materialization rewrites byte-different but ENTRY-identical
+  // content), so a resolved list never changes for a (table, version)
+  private val resolvedEntries =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
+
+  /** Entries (data + delete) of a version's SNAPSHOT, carry chain
+    * resolved, prefix intact. Iterative walk + per-version memoization:
+    * a k-append chain costs k manifest reads once, then O(1).
+    */
+  private def manifestEntries(table: String, version: Long): Seq[String] = {
+    val cached = resolvedEntries.get((table, version))
+    if (cached != null) return cached
+    // walk down to the first cached or self-contained manifest
+    var chain = List.empty[(Long, Seq[String])] // (version, own fresh entries)
+    var v = version
+    var base: Seq[String] = Seq.empty
+    var resolving = true
+    while (resolving) {
+      val hit = resolvedEntries.get((table, v))
+      if (hit != null) { base = hit; resolving = false }
+      else {
+        val lines = manifestLines(table, v)
+        chain = (v, ownEntries(lines, v)) :: chain
+        carryOf(table, v) match {
+          case Some(prev) => v = prev
+          case None       => resolving = false
+        }
+      }
+    }
+    var acc = base
+    chain.foreach { case (w, own) =>
+      acc = acc ++ own
+      resolvedEntries.put((table, w), acc)
+    }
+    acc
   }
 
   private def txnOf(table: String, version: Long): Option[String] =
-    manifestLines(table, version).tail
-      .takeWhile(l => l.startsWith("txn=") || l.startsWith("ts="))
+    manifestLines(table, version).tail.takeWhile(isHeader)
       .find(_.startsWith("txn=")).map(_.stripPrefix("txn="))
 
   /** Commit wall-clock (epoch millis), recorded in the manifest header —
     * None for manifests written before timestamps existed.
     */
   def commitTimestamp(table: String, version: Long): Option[Long] =
-    manifestLines(table, version).tail
-      .takeWhile(l => l.startsWith("txn=") || l.startsWith("ts="))
+    manifestLines(table, version).tail.takeWhile(isHeader)
       .find(_.startsWith("ts=")).map(_.stripPrefix("ts=").toLong)
 
   /** TIMESTAMP AS OF resolution: the newest version committed at or
@@ -151,13 +205,14 @@ object VersionedTable {
     * by the staging step: the target name never exists half-written.
     */
   private def tryPublish(
-      table: String, next: Long, entries: Seq[String], txnId: Option[String]): Boolean = {
+      table: String, next: Long, entries: Seq[String], txnId: Option[String],
+      carry: Option[Long] = None): Boolean = {
     val mdir = manifestDir(table)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(
       s"$next.manifest.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-    val header = (s"version=$next" +: txnId.map(t => s"txn=$t").toSeq) :+
-      s"ts=${System.currentTimeMillis()}"
+    val header = (s"version=$next" +: txnId.map(t => s"txn=$t").toSeq) ++
+      Seq(s"ts=${System.currentTimeMillis()}") ++ carry.map(c => s"carry=$c")
     Files.write(tmp, (header ++ entries).asJava)
     try {
       Files.createLink(mdir.resolve(s"$next.manifest"), tmp)
@@ -451,11 +506,11 @@ object VersionedTable {
         dirName = newDir
         next = target
       }
-      val carried =
-        if (append) latest.map(manifestEntries(table, _)).getOrElse(Seq.empty)
-        else Seq.empty
+      // append = a carry POINTER to the previous head, never a rewrite
+      // of its (table-sized) entry list: append metadata is O(fresh)
+      val carry = if (append) latest else None
       val fresh = fileEntries.map(n => s"data/$dirName/$n")
-      if (tryPublish(table, next, carried ++ fresh, txnId)) return Right(next)
+      if (tryPublish(table, next, fresh, txnId, carry)) return Right(next)
       if (expectedLatest.isDefined) {
         abandon()
         throw new java.util.ConcurrentModificationException(
@@ -520,7 +575,7 @@ object VersionedTable {
     // writer took version `next`, applying this tombstone over their
     // head could delete rows they just (re-)inserted; fail loudly
     // instead of retrying (the caller re-runs against the new head)
-    if (!tryPublish(table, next, manifestEntries(table, lastV) ++ fresh, None)) {
+    if (!tryPublish(table, next, fresh, None, carry = Some(lastV))) {
       deleteRecursively(Paths.get(table, "data", dirName))
       throw new java.util.ConcurrentModificationException(
         s"deleteWhere on $table computed its tombstones from version $lastV " +
@@ -948,6 +1003,32 @@ object VersionedTable {
     require(retain >= 1, "must retain at least one version")
     val vs = versions(table)
     val (expired, kept) = vs.splitAt(math.max(0, vs.length - retain))
+    // MATERIALIZE first: a retained manifest whose carry chain reaches an
+    // expired version must become self-contained before that predecessor
+    // manifest is deleted, or the chain would dangle. The rewrite is
+    // entry-identical (same resolved list, headers preserved minus the
+    // carry pointer) and atomically replaced, so pinned readers and the
+    // resolved-entry cache stay valid — this is the checkpointing step
+    // Delta's log checkpoints perform, folded into vacuum.
+    val expiredSet = expired.toSet
+    kept.foreach { v =>
+      def chainCrosses(w: Long): Boolean = carryOf(table, w) match {
+        case Some(prev) => expiredSet.contains(prev) || chainCrosses(prev)
+        case None       => false
+      }
+      if (chainCrosses(v)) {
+        val resolved = manifestEntries(table, v)
+        val headers = manifestLines(table, v).tail.takeWhile(isHeader)
+          .filterNot(_.startsWith("carry="))
+        val mdir = manifestDir(table)
+        val tmp = mdir.resolve(
+          s"$v.manifest.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+        Files.write(tmp, ((s"version=$v" +: headers) ++ resolved).asJava)
+        Files.move(tmp, mdir.resolve(s"$v.manifest"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     val keep = kept.flatMap(manifestEntries(table, _)).map(entryPath).toSet
     val doomed =
       expired.flatMap(manifestEntries(table, _)).map(entryPath).toSet -- keep

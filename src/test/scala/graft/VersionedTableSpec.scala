@@ -361,6 +361,47 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readWhere(spark, t, None, "k", 5000L, 6000L).count() == 0L)
   }
 
+  test("append manifests are O(fresh): a carry pointer, not a table-sized rewrite") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    VersionedTable.commit(
+      (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v").repartition(8),
+      t, append = false)
+    VersionedTable.commit(df(201L -> "x"), t, append = true)
+    VersionedTable.commit(df(202L -> "y"), t, append = true)
+    def manifestLineCount(v: Long): Int =
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(t, "_manifest", s"$v.manifest")).size
+    // v1 lists its 8 files; v2/v3 are header + carry + ONE fresh entry
+    assert(manifestLineCount(1L) >= 9)
+    assert(manifestLineCount(2L) <= 5 && manifestLineCount(3L) <= 5,
+      s"append manifests must be O(fresh): v2=${manifestLineCount(2L)} " +
+        s"v3=${manifestLineCount(3L)} lines")
+    // the resolved snapshot is still the whole table
+    assert(slurp(t).size == 202)
+    assert(VersionedTable.fastCount(t).contains(202L))
+  }
+
+  test("vacuum materializes carry chains before deleting their predecessors") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    VersionedTable.commit(df(2L -> "b"), t, append = true)
+    VersionedTable.commit(df(3L -> "c"), t, append = true)
+    VersionedTable.commit(df(4L -> "d"), t, append = true)
+    assert(VersionedTable.vacuum(t, retain = 2) == 0,
+      "carried entries are still referenced: no data file may be deleted")
+    assert(VersionedTable.versions(t) == Seq(3L, 4L))
+    // both retained snapshots replay exactly after their predecessors'
+    // manifests are gone — the chains were materialized
+    assert(slurp(t, Some(3L)) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(slurp(t, Some(4L)) == Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    val v3 = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(t, "_manifest", "3.manifest")).asScala
+    assert(!v3.exists(_.startsWith("carry=")),
+      s"materialized manifest must be self-contained: $v3")
+  }
+
   test("optimizeZorder: rectangle reads prune in BOTH dimensions") {
     val s = spark; import s.implicits._
     val t = freshTable()
