@@ -329,24 +329,47 @@ class GraftTableScanBuilder(table: String, version: Option[Long], full: StructTy
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Range/equality predicates on long-typed columns tighten per-column
+  /** Range/equality predicates on INTEGRAL columns tighten per-column
     * [lo, hi] bounds used against the manifest's zone maps at planning
     * time. EVERY filter is also returned as residual — Spark re-applies
     * them above the scan, so file skipping can only remove files that
     * cannot match, never change results.
+    *
+    * Only integral columns (and integral literals) participate: zone-map
+    * stats are recorded via `cast(long)`, which TRUNCATES fractional
+    * values toward zero, and the `±1` open-bound adjustments below assume
+    * integer arithmetic — consuming `price > 10.5` on a DOUBLE column
+    * would compute lo=11 and wrongly prune a file holding 10.9 (stats
+    * [10,10]). Non-integral predicates are simply not pruned on.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    def tighten(c: String, lo: Long, hi: Long): Unit = {
-      val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
-      bounds = bounds.updated(c, (math.max(l0, lo), math.min(h0, hi)))
+    val integralCols: Set[String] = full.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType || f.dataType == ByteType => f.name
+    }.toSet
+    def integral(v: Number): Boolean = v match {
+      case _: java.lang.Long | _: java.lang.Integer |
+           _: java.lang.Short | _: java.lang.Byte => true
+      case _ => false
     }
+    def tighten(c: String, lo: Long, hi: Long): Boolean =
+      integralCols.contains(c) && {
+        val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+        bounds = bounds.updated(c, (math.max(l0, lo), math.min(h0, hi)))
+        true
+      }
     val consumed = filters.filter {
-      case EqualTo(c, v: Number)            => tighten(c, v.longValue, v.longValue); true
-      case GreaterThan(c, v: Number)        => tighten(c, v.longValue + 1, Long.MaxValue); true
-      case GreaterThanOrEqual(c, v: Number) => tighten(c, v.longValue, Long.MaxValue); true
-      case LessThan(c, v: Number)           => tighten(c, Long.MinValue, v.longValue - 1); true
-      case LessThanOrEqual(c, v: Number)    => tighten(c, Long.MinValue, v.longValue); true
-      case _                                => false
+      case EqualTo(c, v: Number) if integral(v) =>
+        tighten(c, v.longValue, v.longValue)
+      case GreaterThan(c, v: Number) if integral(v) && v.longValue < Long.MaxValue =>
+        tighten(c, v.longValue + 1, Long.MaxValue)
+      case GreaterThanOrEqual(c, v: Number) if integral(v) =>
+        tighten(c, v.longValue, Long.MaxValue)
+      case LessThan(c, v: Number) if integral(v) && v.longValue > Long.MinValue =>
+        tighten(c, Long.MinValue, v.longValue - 1)
+      case LessThanOrEqual(c, v: Number) if integral(v) =>
+        tighten(c, Long.MinValue, v.longValue)
+      case _ => false
     }
     used = consumed
     filters // all residual: exactness never depends on the zone maps

@@ -187,4 +187,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(VersionedTable.versions(t) == Seq(1L), "rejected INSERT must not version")
     assert(spark.sql("SELECT count(*) FROM gtest.default.ck").collect()(0).getLong(0) == 1L)
   }
+
+  test("fractional predicates on a double column never prune (and stay exact)") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/dz"
+    // zone maps on a DOUBLE column: cast(long) stats truncate toward zero,
+    // so e.g. a file holding only 10.9 records [10, 10]
+    VersionedTable.commit(
+      (1L to 400L).map(k => (k, k + 0.9)).toDF("k", "price")
+        .repartitionByRange(4, col("k")),
+      t, append = false, statsCols = Seq("k", "price"))
+    // the old longValue+1 pushdown would turn price > 10.5 into lo=11 and
+    // prune the file whose truncated stats top out at 10 — losing 10.9
+    val got = spark.sql(
+      "SELECT k FROM gtest.default.dz WHERE price > 10.5 AND price < 12.5")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L, 11L), s"expected rows for prices 10.9 and 11.9, got $got")
+    // integral predicates on the long column still prune
+    val q = spark.sql("SELECT k FROM gtest.default.dz WHERE k >= 50 AND k <= 60")
+    assert(q.collect().map(_.getLong(0)).toSet == (50L to 60L).toSet)
+    val m = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no graft-catalog scan"))
+    assert(m.group(2).toInt == 4 && m.group(1).toInt < 4,
+      s"integral pruning regressed: files=${m.group(1)}/${m.group(2)}")
+  }
 }
