@@ -87,6 +87,7 @@ object SparkEntry {
     "q_sql_timetravel" -> ((s, d) => Incremental.ordersSqlTimetravel(t(s, d, "orders"))),
     "q_sql_pruned" -> ((s, d) => Incremental.ordersSqlPruned(t(s, d, "orders"))),
     "q_sql_insert" -> ((s, d) => Incremental.ordersSqlInsert(t(s, d, "orders"))),
+    "q_sql_delete" -> ((s, d) => Incremental.ordersSqlDelete(t(s, d, "orders"))),
     "q_quality_report" -> ((s, d) =>
       Relational.qualityReport(t(s, d, "orders"), t(s, d, "customer"))),
     "q_cast_types" -> ((s, d) => Relational.castTypes(t(s, d, "orders"))),
@@ -1550,6 +1551,14 @@ object SparkEntry {
         |SELECT o_orderkey, 'NEW',
         |       CAST(round(o_totalprice * 100) AS BIGINT)
         |FROM orders WHERE o_orderkey % 4 = 3
+        |ORDER BY o_orderkey""".stripMargin,
+    // SQL DELETE FROM through the catalog (copy-on-write replace
+    // commit): the oracle keeps the complement of the deleted range, so
+    // hash equality proves carried + rewritten files read back exactly.
+    "q_sql_delete" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders WHERE NOT (o_orderkey BETWEEN 5000 AND 8000)
         |ORDER BY o_orderkey""".stripMargin,
     // SQL-catalog pruned range read: planning-time zone-map skipping
     // through the SQL front door; oracle is the plain range filter.

@@ -758,6 +758,34 @@ object Incremental {
       s"SELECT o_orderkey, status, price_c FROM gtab.default.$name ORDER BY o_orderkey")
   }
 
+  /** Registered q_sql_delete body: SQL `DELETE FROM` through the catalog —
+    * executed as a file-granular copy-on-write replace commit: the pushed
+    * range filter both prunes candidate files from the zone maps and,
+    * after the touched-file probe, bounds the rewrite to the files that
+    * actually hold matching rows (the rest ride the carry pointer; see
+    * `VersionedTableSpec`'s carried-file pin). The oracle keeps the
+    * complement of the deleted range, so hash equality proves the
+    * surviving rows — carried AND rewritten — read back exactly.
+    */
+  def ordersSqlDelete(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqldel:$inputKey"), { _ =>
+      val n = s"orders_del_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      graft.sources.VersionedTable.commit(
+        orders.select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            cents(col("o_totalprice")).as("price_c"))
+          .repartitionByRange(8, col("o_orderkey")),
+        s"$root/default/$n", append = false, statsCols = Seq("o_orderkey"))
+      spark.sql(
+        s"DELETE FROM gtab.default.$n WHERE o_orderkey >= 5000 AND o_orderkey <= 8000")
+      n
+    })
+    spark.sql(
+      s"SELECT o_orderkey, status, price_c FROM gtab.default.$name ORDER BY o_orderkey")
+  }
+
   /** Registered q_table_zorder body: OPTIMIZE ZORDER on the versioned
     * table — the head rewritten clustered on the Morton interleave of
     * (o_custkey, o_orderkey) with zone maps on BOTH, then a rectangle

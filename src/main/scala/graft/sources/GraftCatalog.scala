@@ -15,8 +15,7 @@ import org.apache.spark.sql.connector.read.{
 import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
   PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{
-  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -122,7 +121,8 @@ class GraftCatalog extends TableCatalog {
 }
 
 class GraftCatalogTable(table: String, version: Option[Long], ident: String)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     version.fold(ident)(v => s"$ident@v$v")
   override def schema(): StructType =
@@ -136,6 +136,111 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
     require(version.isEmpty,
       s"cannot write to a time-traveled snapshot of $ident — write to the head")
     new GraftWriteBuilder(table, info.schema())
+  }
+
+  /** SQL `DELETE FROM`: executed as [[VersionedTable.deleteWhereCow]] —
+    * file-granular copy-on-write. The same pushed filters both become
+    * the delete predicate and derive the zone-map candidate bounds, so
+    * only files that can (and, after the touched-file probe, actually
+    * do) contain matching rows are rewritten; everything else is carried
+    * by the replace commit's manifest pointer. Declined (loudly, at
+    * analysis) when any filter has no Column translation — the caller
+    * falls back to the programmatic API rather than a silent partial
+    * delete.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version.isEmpty && filters.forall(f => GraftFilters.toColumn(f).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version.isEmpty,
+      s"cannot DELETE from a time-traveled snapshot of $ident")
+    val pred = filters.toSeq.flatMap(GraftFilters.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val (bounds, _) = GraftFilters.integralBounds(filters, schema())
+    VersionedTable.deleteWhereCow(SparkSession.active, table, pred, bounds)
+    ()
+  }
+}
+
+/** Shared translation of Spark's V1 `Filter` pushdown forms: to a
+  * `Column` predicate (for DELETE), and to per-column integral [lo, hi]
+  * bounds usable against commit-time zone maps (for planning-time file
+  * pruning). Bounds are derived ONLY from integral columns with integral
+  * literals — zone-map stats are `cast(long)`-truncated and the ±1
+  * open-bound adjustments assume integer arithmetic, so fractional
+  * predicates never participate (they'd wrongly prune; see the scan
+  * builder's Scaladoc for the concrete failure).
+  */
+private[sources] object GraftFilters {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not => fnot}
+  import org.apache.spark.sql.sources._
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(c, v)            => Some(col(c) === lit(v))
+    case EqualNullSafe(c, v)      => Some(col(c) <=> lit(v))
+    case GreaterThan(c, v)        => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v)           => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v)    => Some(col(c) <= lit(v))
+    case IsNull(c)                => Some(col(c).isNull)
+    case IsNotNull(c)             => Some(col(c).isNotNull)
+    case In(c, vs)                => Some(col(c).isin(vs.toIndexedSeq: _*))
+    case StringStartsWith(c, v)   => Some(col(c).startsWith(v))
+    case StringEndsWith(c, v)     => Some(col(c).endsWith(v))
+    case StringContains(c, v)     => Some(col(c).contains(v))
+    case Not(ch)                  => toColumn(ch).map(fnot)
+    case And(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case Or(l, r)  => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case _: AlwaysTrue            => Some(lit(true))
+    case _: AlwaysFalse           => Some(lit(false))
+    case _                        => None
+  }
+
+  private def integralLit(v: Any): Option[Long] = v match {
+    case l: java.lang.Long    => Some(l)
+    case i: java.lang.Integer => Some(i.toLong)
+    case s: java.lang.Short   => Some(s.toLong)
+    case b: java.lang.Byte    => Some(b.toLong)
+    case _                    => None
+  }
+
+  /** Per-column [lo, hi] bounds implied by the (implicitly ANDed)
+    * top-level filters, plus the filters that contributed. Sound for
+    * pruning AND for [[VersionedTable.deleteWhereCow]]'s candidate
+    * pre-prune: every row matching the conjunction lies within the
+    * bounds; filters that don't translate simply contribute nothing.
+    */
+  def integralBounds(filters: Array[Filter], schema: StructType)
+      : (Seq[(String, Long, Long)], Array[Filter]) = {
+    val integralCols: Set[String] = schema.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType || f.dataType == ByteType => f.name
+    }.toSet
+    var bounds = Map.empty[String, (Long, Long)]
+    def tighten(c: String, lo: Long, hi: Long): Boolean =
+      integralCols.contains(c) && {
+        val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+        bounds = bounds.updated(c, (math.max(l0, lo), math.min(h0, hi)))
+        true
+      }
+    val consumed = filters.filter {
+      case EqualTo(c, v) =>
+        integralLit(v).exists(x => tighten(c, x, x))
+      case GreaterThan(c, v) =>
+        integralLit(v).exists(x => x < Long.MaxValue && tighten(c, x + 1, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) =>
+        integralLit(v).exists(x => tighten(c, x, Long.MaxValue))
+      case LessThan(c, v) =>
+        integralLit(v).exists(x => x > Long.MinValue && tighten(c, Long.MinValue, x - 1))
+      case LessThanOrEqual(c, v) =>
+        integralLit(v).exists(x => tighten(c, Long.MinValue, x))
+      case In(c, vs) if vs.nonEmpty =>
+        val xs = vs.toSeq.map(integralLit)
+        xs.forall(_.isDefined) && tighten(c, xs.flatten.min, xs.flatten.max)
+      case _ => false
+    }
+    (bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }, consumed)
   }
 }
 
@@ -343,34 +448,8 @@ class GraftTableScanBuilder(table: String, version: Option[Long], full: StructTy
     * [10,10]). Non-integral predicates are simply not pruned on.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val integralCols: Set[String] = full.fields.collect {
-      case f if f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == ShortType || f.dataType == ByteType => f.name
-    }.toSet
-    def integral(v: Number): Boolean = v match {
-      case _: java.lang.Long | _: java.lang.Integer |
-           _: java.lang.Short | _: java.lang.Byte => true
-      case _ => false
-    }
-    def tighten(c: String, lo: Long, hi: Long): Boolean =
-      integralCols.contains(c) && {
-        val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
-        bounds = bounds.updated(c, (math.max(l0, lo), math.min(h0, hi)))
-        true
-      }
-    val consumed = filters.filter {
-      case EqualTo(c, v: Number) if integral(v) =>
-        tighten(c, v.longValue, v.longValue)
-      case GreaterThan(c, v: Number) if integral(v) && v.longValue < Long.MaxValue =>
-        tighten(c, v.longValue + 1, Long.MaxValue)
-      case GreaterThanOrEqual(c, v: Number) if integral(v) =>
-        tighten(c, v.longValue, Long.MaxValue)
-      case LessThan(c, v: Number) if integral(v) && v.longValue > Long.MinValue =>
-        tighten(c, Long.MinValue, v.longValue - 1)
-      case LessThanOrEqual(c, v: Number) if integral(v) =>
-        tighten(c, Long.MinValue, v.longValue)
-      case _ => false
-    }
+    val (b, consumed) = GraftFilters.integralBounds(filters, full)
+    bounds = b.map { case (c, lo, hi) => c -> (lo, hi) }.toMap
     used = consumed
     filters // all residual: exactness never depends on the zone maps
   }

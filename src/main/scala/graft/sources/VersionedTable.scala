@@ -68,8 +68,15 @@ object VersionedTable {
   private def manifestDir(table: String): Path = Paths.get(table, "_manifest")
 
   private def isDeleteEntry(e: String): Boolean = e.startsWith("D:")
+  // a replace commit's removal line: `R:<path>` drops the carried entry
+  // with that path during chain resolution — the manifest form of
+  // file-granular copy-on-write (DELETE rewrites only touched files).
+  // R: lines exist only in raw manifests; resolved entry lists never
+  // contain them (resolution consumes removals before memoizing).
+  private def isRemoveEntry(e: String): Boolean = e.startsWith("R:")
   // entry grammar:
   //   ["D:<bound>:"] <path> ["#" <rows> ["#" <col>=<min>..<max> {";" ...}]]
+  //   | "R:" <path>
   // rows is the commit-time footer count; the optional third field is
   // per-file column min/max stats (integral columns only) — the zone-map
   // that lets a range read prune files from the manifest alone.
@@ -150,7 +157,12 @@ object VersionedTable {
     }
     var acc = base
     chain.foreach { case (w, own) =>
-      acc = acc ++ own
+      val (removes, adds) = own.partition(isRemoveEntry)
+      if (removes.nonEmpty) {
+        val gone = removes.map(_.stripPrefix("R:")).toSet
+        acc = acc.filterNot(e => gone.contains(entryPath(e)))
+      }
+      acc = acc ++ adds
       resolvedEntries.put((table, w), acc)
     }
     acc
@@ -584,6 +596,73 @@ object VersionedTable {
     next
   }
 
+  /** Copy-on-write DELETE: remove the rows matching `predicate` by
+    * rewriting ONLY the files that contain at least one matching row,
+    * recording a REPLACE commit — `R:` lines drop the touched files from
+    * the carried snapshot, fresh entries add their rewrites, and every
+    * untouched file rides the carry pointer. At 100 TB a selective
+    * DELETE rewrites a handful of files and its manifest is O(touched),
+    * never a table rewrite. Contrast [[deleteWhere]] (merge-on-read:
+    * zero rewrite at delete time, an anti-join at every read until
+    * compaction) — this is the Delta-style COW alternative that keeps
+    * the read path a pure scan, and it is what the SQL catalog's
+    * `DELETE FROM` executes.
+    *
+    * `bounds` pre-prunes candidates from the manifest zone maps and MUST
+    * be implied by the predicate (every matching row lies within them) —
+    * the SQL path guarantees that by deriving both from the same pushed
+    * filters. A touched-file probe (one aggregate job over the
+    * candidates, column-pruned to the predicate's inputs) then narrows
+    * the rewrite to files that actually contain matches. Rows whose
+    * predicate evaluates NULL are KEPT (SQL DELETE semantics).
+    * Snapshot-derived: losing the publish race throws
+    * `ConcurrentModificationException`. Returns the new version, or the
+    * basis version unchanged when nothing matches.
+    */
+  def deleteWhereCow(
+      spark: SparkSession, table: String, predicate: Column,
+      bounds: Seq[(String, Long, Long)] = Nil,
+      statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, count, input_file_name, lit, not}
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions at $table")
+    val basis = vs.last
+    val entries = manifestEntries(table, basis)
+    val delE = entries.filter(isDeleteEntry)
+    val candidates = entries.filterNot(isDeleteEntry).filter { e =>
+      val stats = entryStats(e)
+      bounds.forall { case (c, lo, hi) =>
+        stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+    }
+    if (candidates.isEmpty) return basis
+    val hit = coalesce(predicate, lit(false))
+    val touchedAbs = snapshotFrame(spark, table, candidates ++ delE, mergeSchema = false)
+      .filter(hit)
+      .groupBy(input_file_name().as("g_f")).agg(count(lit(1)).as("g_n"))
+      .collect().map(_.getString(0)).toSet
+    // input_file_name is a URI; manifest paths are unique suffixes
+    // (every commit directory carries a random token)
+    val touched = candidates.filter(e =>
+      touchedAbs.exists(_.endsWith("/" + entryPath(e))))
+    if (touched.isEmpty) return basis
+    val keep = snapshotFrame(spark, table, touched ++ delE, mergeSchema = false)
+      .filter(not(hit))
+    val next = basis + 1L
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"c${next}_$token"
+    val fileEntries = writeFiles(keep, table, dirName, statsCols, constraints(table))
+    val removals = touched.map(e => s"R:${entryPath(e)}")
+    val fresh = fileEntries.map(n => s"data/$dirName/$n")
+    if (!tryPublish(table, next, removals ++ fresh, None, carry = Some(basis))) {
+      deleteRecursively(Paths.get(table, "data", dirName))
+      throw new java.util.ConcurrentModificationException(
+        s"deleteWhereCow on $table computed its rewrite from version $basis " +
+          s"but version $next was committed concurrently — re-run against the new head")
+    }
+    next
+  }
+
   /** Rewrite the current merge-on-read view as a plain overwrite commit:
     * tombstones are applied once and dropped from the new manifest —
     * the OPTIMIZE step that turns read-time anti-joins back into pure
@@ -620,10 +699,19 @@ object VersionedTable {
       table: String, v: Long): (Seq[String], Seq[String], Boolean) = {
     val entries = manifestEntries(table, v)
     val (fresh, carried) = entries.partition(dataCommitOf(_) == v)
+    // a replace commit (copy-on-write delete) removed carried rows — to a
+    // version-offset stream its rewritten files are NOT pure inserts, so
+    // it is non-additive exactly like an overwrite
+    val replaced = ownRemovals(table, v).nonEmpty
     (fresh.filterNot(isDeleteEntry).map(entryPath),
       fresh.filter(isDeleteEntry).map(entryPath),
-      carried.isEmpty && v != versions(table).min)
+      replaced || (carried.isEmpty && v != versions(table).min))
   }
+
+  /** The `R:`-removed entry paths recorded by version `v` itself. */
+  private def ownRemovals(table: String, v: Long): Seq[String] =
+    ownEntries(manifestLines(table, v), v)
+      .filter(isRemoveEntry).map(_.stripPrefix("R:"))
 
   /** Physical layout of a pinned snapshot, for external readers (the SQL
     * catalog): each data file with its commit number, the tombstone files
@@ -684,6 +772,7 @@ object VersionedTable {
       val freshData = fresh.filterNot(isDeleteEntry)
       val op =
         if (freshDel.nonEmpty) "delete"
+        else if (ownRemovals(table, v).nonEmpty) "replace"
         else if (carried.isEmpty) if (v == vs.min) "create" else "overwrite"
         else "append"
       val rowsOf = (es: Seq[String]) => {
@@ -979,10 +1068,25 @@ object VersionedTable {
           "range at a retained version")
       val prev = if (w == 1L) Seq.empty else manifestEntries(table, w - 1)
       require(prev.forall(cur.contains),
-        s"commit $w of $table is an overwrite — incremental consumption " +
-          "is only defined over append/delete commits")
+        s"commit $w of $table is non-additive (overwrite or copy-on-write " +
+          "replace) — incremental consumption is only defined over " +
+          "append/delete commits")
       w -> cur.filterNot(prev.toSet)
     }
+  }
+
+  /** Drop the table: delete its directory tree AND invalidate this JVM's
+    * resolved-entry cache for the path. The cache assumes a published
+    * `(table, version)` manifest is immutable forever — true under the
+    * commit protocol, but NOT under out-of-band recreation at the same
+    * path, where a recreated table's version N could silently read the
+    * dropped table's cached entries. Dropping through this method (not
+    * a bare directory delete) is what keeps that invariant.
+    */
+  def dropTable(table: String): Unit = {
+    deleteRecursively(Paths.get(table))
+    resolvedEntries.keySet.removeIf(_._1 == table)
+    ()
   }
 
   /** Expire all but the newest `retain` versions: delete their manifests

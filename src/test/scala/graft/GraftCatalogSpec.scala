@@ -188,6 +188,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gtest.default.ck").collect()(0).getLong(0) == 1L)
   }
 
+  test("SQL DELETE FROM rewrites only touched files through a replace commit") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/del"
+    VersionedTable.commit(
+      (1L to 800L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(8, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    val filesBefore = VersionedTable.read(spark, t).inputFiles.toSet
+    spark.sql("DELETE FROM gtest.default.del WHERE k >= 100 AND k <= 150")
+    val got = spark.sql("SELECT k FROM gtest.default.del")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == ((1L to 99L) ++ (151L to 800L)).toSet)
+    // the pushed range bounds pre-pruned candidates: most files carried
+    val filesAfter = VersionedTable.read(spark, t).inputFiles.toSet
+    assert(filesAfter.intersect(filesBefore).size >= 6,
+      "SQL DELETE must not rewrite files outside the predicate's range")
+    val ops = VersionedTable.history(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(2L) == "replace")
+    // pre-delete snapshot stays time-travelable
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM gtest.default.del VERSION AS OF 1")
+      .collect()(0).getLong(0) == 800L)
+  }
+
   test("fractional predicates on a double column never prune (and stay exact)") {
     val s = spark; import s.implicits._
     val t = s"$root/default/dz"

@@ -525,6 +525,72 @@ class VersionedTableSpec extends AnyFunSuite {
     val (kept, total) = VersionedTable.pruneCount(t, None, "k", 10L, 40L)
     assert(total >= 2 && kept < total, s"kept=$kept of $total")
   }
+
+  test("copy-on-write delete rewrites only touched files; manifest is O(touched)") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    // 8 range-clustered files with zone maps on k
+    VersionedTable.commit(
+      (1L to 800L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(8, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    val filesBefore = VersionedTable.read(spark, t).inputFiles.sorted
+    // delete a narrow range: bounds prune candidates to ~1 file of 8
+    val v2 = VersionedTable.deleteWhereCow(
+      spark, t, col("k") >= 100L && col("k") <= 150L,
+      bounds = Seq(("k", 100L, 150L)), statsCols = Seq("k"))
+    assert(v2 == 2L)
+    val after = VersionedTable.read(spark, t)
+    assert(after.collect().map(_.getLong(0)).toSet ==
+      ((1L to 99L) ++ (151L to 800L)).toSet)
+    // untouched files are carried byte-identically, not rewritten
+    val filesAfter = after.inputFiles.sorted
+    val carriedOver = filesAfter.toSet.intersect(filesBefore.toSet)
+    assert(carriedOver.size >= 6,
+      s"expected >=6 of 8 files carried, got ${carriedOver.size}")
+    assert(filesBefore.toSet -- filesAfter.toSet != Set.empty,
+      "the touched file(s) must be replaced")
+    // history classifies it; time travel still replays the pre-delete head
+    val ops = VersionedTable.history(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(2L) == "replace")
+    assert(VersionedTable.read(spark, t, Some(1L)).count() == 800L)
+    // fastCount stays manifest-answerable (no tombstones involved)
+    assert(VersionedTable.fastCount(t).contains(800L - 51L))
+    // a no-match delete is a no-op, not an empty commit
+    assert(VersionedTable.deleteWhereCow(spark, t, col("k") > 10000L) == 2L)
+    // NULL predicate rows are KEPT (SQL DELETE semantics)
+    val t2 = freshTable()
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, null), (3L, "b")).toDF("k", "v"), t2, append = false)
+    VersionedTable.deleteWhereCow(spark, t2, col("v") === "a")
+    assert(VersionedTable.read(spark, t2).collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L), "rows whose predicate is NULL must survive a delete")
+  }
+
+  test("a version-offset stream fails loudly on a replace commit") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    VersionedTable.deleteWhereCow(spark, t, col("k") === 1L)
+    val ex = intercept[Exception] {
+      VersionedTable.appendsBetween(spark, t, 0L, 2L).collect()
+    }
+    assert(ex.getMessage.contains("non-additive"),
+      s"replace must break incremental consumption loudly: ${ex.getMessage}")
+  }
+
+  test("dropTable invalidates the resolved-entry cache for the path") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "old"), t, append = false)
+    assert(slurp(t) == Set(1L -> "old")) // populates the cache for (t, 1)
+    VersionedTable.dropTable(t)
+    assert(VersionedTable.versions(t).isEmpty, "dropped table has no versions")
+    // recreate AT THE SAME PATH with different content — version 1 again;
+    // a stale cache would silently replay the dropped table's entries
+    VersionedTable.commit(df(2L -> "new"), t, append = false)
+    assert(slurp(t) == Set(2L -> "new"),
+      "a recreated table must never read the dropped table's cached entries")
+  }
 }
 
 /** Static gate for the deleteWhere conflict test: lives outside the spec
