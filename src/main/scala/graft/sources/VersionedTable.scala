@@ -1075,6 +1075,34 @@ object VersionedTable {
     }
   }
 
+  /** Reclaim ORPHANED commit directories: `data/` children referenced by
+    * NO manifest and older than the grace period — the debris a writer
+    * leaves when it crashes between staging its files and publishing its
+    * manifest (crashed `c<N>_<token>` attempts, dead `_stg_*` streaming
+    * epochs). Published data is never touched: the referenced set is
+    * taken across ALL retained manifests. The grace period is the
+    * correctness knob — it must exceed the longest conceivable
+    * stage-to-publish window, because a still-alive writer's directory
+    * is distinguishable from a crashed one's only by age (the same
+    * retention contract as Delta's VACUUM on unreferenced files).
+    * Returns the number of directories removed. Complements [[vacuum]],
+    * which reclaims EXPIRED-version files; this reclaims NEVER-committed
+    * ones.
+    */
+  def vacuumOrphans(table: String, olderThanMillis: Long): Int = {
+    val dataRoot = Paths.get(table, "data")
+    if (!Files.isDirectory(dataRoot)) return 0
+    val referenced: Set[String] = versions(table)
+      .flatMap(manifestEntries(table, _)).map(entryPath(_).split("/")(1)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val doomed = Files.list(dataRoot).iterator.asScala.filter { p =>
+      !referenced.contains(p.getFileName.toString) &&
+        Files.getLastModifiedTime(p).toMillis < cutoff
+    }.toSeq
+    doomed.foreach(deleteRecursively)
+    doomed.size
+  }
+
   /** Drop the table: delete its directory tree AND invalidate this JVM's
     * resolved-entry cache for the path. The cache assumes a published
     * `(table, version)` manifest is immutable forever — true under the

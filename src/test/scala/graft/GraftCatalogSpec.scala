@@ -213,6 +213,21 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 800L)
   }
 
+  test("TRUNCATE TABLE empties the head; history and time travel survive") {
+    val t = s"$root/default/tr"
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    spark.sql("TRUNCATE TABLE gtest.default.tr")
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.default.tr")
+      .collect()(0).getLong(0) == 0L, "truncated head must read as empty")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM gtest.default.tr VERSION AS OF 1")
+      .collect()(0).getLong(0) == 2L, "pre-truncate snapshot must survive")
+    // a truncated table accepts new commits and reads them back
+    VersionedTable.commit(df(9L -> "z"), t, append = true)
+    assert(spark.sql("SELECT k FROM gtest.default.tr")
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("fractional predicates on a double column never prune (and stay exact)") {
     val s = spark; import s.implicits._
     val t = s"$root/default/dz"

@@ -271,6 +271,32 @@ class VersionedTableSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("deleteWhereCow whose basis is overtaken by a concurrent commit fails loudly") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    VtConflictGate.reset()
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      // the gated predicate blocks inside the touched-file probe — after
+      // deleteWhereCow has read version 1 as its basis, before publish
+      val f = pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long =
+          VersionedTable.deleteWhereCow(spark, t, VtConflictGate.slowTrue(col("k")))
+      })
+      assert(VtConflictGate.entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "predicate never evaluated — deleteWhereCow did not reach its probe")
+      VersionedTable.commit(df(3L -> "c"), t, append = true) // steals version 2
+      VtConflictGate.release.countDown()
+      val err = intercept[java.util.concurrent.ExecutionException] {
+        f.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      assert(err.getCause.isInstanceOf[java.util.ConcurrentModificationException],
+        s"expected a loud conflict, got ${err.getCause}")
+      // the winner's commit is intact and nothing was deleted
+      assert(slurp(t) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    } finally pool.shutdown()
+  }
+
   test("a reader pinned to a vacuumed snapshot fails loudly, never partially") {
     val t = freshTable()
     VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
@@ -577,6 +603,33 @@ class VersionedTableSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("non-additive"),
       s"replace must break incremental consumption loudly: ${ex.getMessage}")
+  }
+
+  test("vacuumOrphans reclaims crashed-writer debris, never published data") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    val dataRoot = java.nio.file.Paths.get(t, "data")
+    // a crashed commit attempt and a dead streaming epoch, both stale
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600_000L)
+    Seq("c99_deadbeef", "_stg_dead_e7").foreach { n =>
+      val d = dataRoot.resolve(n)
+      Files.createDirectories(d)
+      Files.write(d.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+      Files.setLastModifiedTime(d.resolve("part-junk.parquet"), old)
+      Files.setLastModifiedTime(d, old)
+    }
+    // a FRESH unreferenced dir (an in-flight writer) must survive
+    Files.createDirectories(dataRoot.resolve("c98_inflight"))
+    assert(VersionedTable.vacuumOrphans(t, olderThanMillis = 60_000L) == 2)
+    assert(!Files.exists(dataRoot.resolve("c99_deadbeef")))
+    assert(!Files.exists(dataRoot.resolve("_stg_dead_e7")))
+    assert(Files.exists(dataRoot.resolve("c98_inflight")),
+      "a dir inside the grace period must not be reclaimed")
+    assert(slurp(t) == Set(1L -> "a", 2L -> "b"),
+      "published data must be untouched")
+    // idempotent: nothing left to reclaim
+    assert(VersionedTable.vacuumOrphans(t, olderThanMillis = 60_000L) == 0)
   }
 
   test("dropTable invalidates the resolved-entry cache for the path") {
