@@ -45,7 +45,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * time-travelable commits; only DDL (CREATE/DROP/ALTER) is refused —
   * tables ARE manifest directories, created by the first commit.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = _
   private var root: String = _
 
@@ -59,6 +60,27 @@ class GraftCatalog extends TableCatalog {
 
   private def dirOf(ident: Identifier): java.nio.file.Path =
     java.nio.file.Paths.get(root, ident.namespace() :+ ident.name(): _*)
+
+  /** Table MAINTENANCE as SQL procedures (`CALL gtab.system.vacuum(...)`)
+    * — the DSv2 procedure surface (Spark 4.x) over the programmatic
+    * maintenance API, so operators never need the JVM API for routine
+    * care: vacuum / vacuum_orphans / compact / optimize / zorder. Table
+    * arguments are catalog-relative identifiers (`'default.orders'`).
+    */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")) &&
+      GraftProcedures.names.contains(ident.name()),
+      s"unknown procedure $ident — known: system.{${GraftProcedures.names.mkString(", ")}}")
+    GraftProcedures.load(
+      tableId => java.nio.file.Paths.get(
+        root, tableId.split('.').toIndexedSeq: _*).toString,
+      ident.name())
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = java.nio.file.Paths.get(root, namespace: _*)
@@ -160,6 +182,86 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
     VersionedTable.deleteWhereCow(SparkSession.active, table, pred, bounds)
     ()
   }
+}
+
+/** The maintenance procedures behind `CALL <cat>.system.<name>(...)`.
+  * Each runs on the driver against the programmatic API and returns its
+  * result as a one-row LocalScan (no executor task for the metadata-only
+  * ones; compact/optimize/zorder launch ordinary rewrite jobs through
+  * the active session). All are snapshot-safe by construction: they
+  * delegate to operations that either only touch unreferenced/expired
+  * files or fail loudly when the head moves underneath them.
+  */
+private[sources] object GraftProcedures {
+  import org.apache.spark.sql.connector.catalog.procedures.{
+    BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.LocalScan
+
+  val names = Seq("vacuum", "vacuum_orphans", "compact", "optimize", "zorder")
+
+  def load(resolve: String => String, name: String): UnboundProcedure =
+    name match {
+      case "vacuum" => proc(name,
+        Seq("table" -> StringType, "retain" -> IntegerType),
+        StructType(Seq(StructField("files_deleted", IntegerType, nullable = false)))) {
+        in => Array[Any](VersionedTable.vacuum(
+          resolve(in.getUTF8String(0).toString), in.getInt(1)))
+      }
+      case "vacuum_orphans" => proc(name,
+        Seq("table" -> StringType, "older_than_ms" -> LongType),
+        StructType(Seq(StructField("dirs_deleted", IntegerType, nullable = false)))) {
+        in => Array[Any](VersionedTable.vacuumOrphans(
+          resolve(in.getUTF8String(0).toString), in.getLong(1)))
+      }
+      case "compact" => proc(name,
+        Seq("table" -> StringType),
+        StructType(Seq(StructField("new_version", LongType, nullable = false)))) {
+        in => Array[Any](VersionedTable.compact(
+          SparkSession.active, resolve(in.getUTF8String(0).toString)))
+      }
+      case "optimize" => proc(name,
+        Seq("table" -> StringType, "cluster_by" -> StringType,
+          "target_rows" -> LongType),
+        StructType(Seq(StructField("new_version", LongType, nullable = false)))) {
+        in => Array[Any](VersionedTable.optimize(
+          SparkSession.active, resolve(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString, in.getLong(2)))
+      }
+      case "zorder" => proc(name,
+        Seq("table" -> StringType, "cluster_by" -> StringType, // comma-separated
+          "target_rows" -> LongType),
+        StructType(Seq(StructField("new_version", LongType, nullable = false)))) {
+        in => Array[Any](VersionedTable.optimizeZorder(
+          SparkSession.active, resolve(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString.split(',').toSeq.map(_.trim), in.getLong(2)))
+      }
+    }
+
+  private def proc(
+      nm: String, params: Seq[(String, DataType)], out: StructType)(
+      body: InternalRow => Array[Any]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = nm
+      override def description(): String = s"graft table maintenance: $nm"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = nm
+          override def description(): String = s"graft table maintenance: $nm"
+          override def parameters(): Array[ProcedureParameter] =
+            params.map { case (n, dt) => ProcedureParameter.in(n, dt).build() }.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val row: InternalRow = new GenericInternalRow(body(input))
+            java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+              new LocalScan {
+                override def readSchema(): StructType = out
+                override def rows(): Array[InternalRow] = Array(row)
+                override def description(): String = s"graft-procedure $nm"
+              }).iterator()
+          }
+        }
+    }
 }
 
 /** Shared translation of Spark's V1 `Filter` pushdown forms: to a

@@ -213,6 +213,48 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 800L)
   }
 
+  test("CALL system procedures run table maintenance through SQL") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/mt"
+    // three small unclustered commits + a tombstone: the OPTIMIZE scenario
+    (0L to 2L).foreach { m =>
+      VersionedTable.commit(
+        (1L to 300L).filter(_ % 3 == m).map(k => (k, s"v$k")).toDF("k", "v")
+          .repartition(4),
+        t, append = m > 0)
+    }
+    VersionedTable.deleteWhere(spark, t, col("k") % 10L === 0L, "k")
+    val before = VersionedTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val newV = spark.sql(
+      "CALL gtest.system.optimize('default.mt', 'k', 100)")
+      .collect()(0).getLong(0)
+    assert(newV == 5L)
+    assert(VersionedTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == before,
+      "optimize through CALL must change layout, never content")
+    // vacuum the pre-optimize versions; the head stays exact
+    val deleted = spark.sql("CALL gtest.system.vacuum('default.mt', 1)")
+      .collect()(0).getInt(0)
+    assert(deleted > 0)
+    assert(VersionedTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == before)
+    // orphan reclamation: a stale crashed-writer dir goes, data stays
+    val junk = java.nio.file.Paths.get(t, "data", "c77_dead")
+    java.nio.file.Files.createDirectories(junk)
+    java.nio.file.Files.setLastModifiedTime(junk,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600_000L))
+    assert(spark.sql(
+      "CALL gtest.system.vacuum_orphans('default.mt', 60000)")
+      .collect()(0).getInt(0) == 1)
+    assert(!java.nio.file.Files.exists(junk))
+    // unknown procedures fail loudly
+    val ex = intercept[Exception](spark.sql("CALL gtest.system.nope()"))
+    assert(ex.getMessage.contains("nope") ||
+      Option(ex.getCause).exists(_.getMessage.contains("nope")))
+  }
+
   test("TRUNCATE TABLE empties the head; history and time travel survive") {
     val t = s"$root/default/tr"
     VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
