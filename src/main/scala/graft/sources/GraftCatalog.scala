@@ -120,8 +120,17 @@ class GraftCatalog extends TableCatalog
     if (ident.name().endsWith("$history")) {
       val base = Identifier.of(ident.namespace(), ident.name().stripSuffix("$history"))
       if (!tableExists(base)) throw new NoSuchTableException(base)
-      require(version.isEmpty, "metadata tables do not support time travel")
+      require(version.isEmpty, "the $history metadata table spans all versions")
       return new GraftHistoryTable(dirOf(base).toString,
+        s"$catName.${(ident.namespace() :+ ident.name()).mkString(".")}")
+    }
+    // `t$files`: one row per data file of a snapshot (path, commit,
+    // footer row count, applicable tombstone count, zone map) — supports
+    // VERSION AS OF, so layout drift across commits is SQL-inspectable
+    if (ident.name().endsWith("$files")) {
+      val base = Identifier.of(ident.namespace(), ident.name().stripSuffix("$files"))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new GraftFilesTable(dirOf(base).toString, version,
         s"$catName.${(ident.namespace() :+ ident.name()).mkString(".")}")
     }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -383,6 +392,45 @@ class GraftHistoryTable(table: String, ident: String)
               )): InternalRow
             }
           }
+        }
+    }
+}
+
+/** The `$files` metadata table: one row per data file of the pinned
+  * snapshot — path, owning commit, commit-time footer row count (null
+  * for pre-stats manifests), how many tombstone files apply to it, and
+  * its zone map rendered as `col=lo..hi;…` (empty when none). Built on
+  * the driver from [[VersionedTable.snapshotLayout]] and served as a
+  * LocalScan; honors `VERSION AS OF`, so layout drift across commits
+  * (small-file buildup, clustering decay, tombstone debt) is
+  * SQL-inspectable per snapshot without opening a single data file.
+  */
+class GraftFilesTable(table: String, version: Option[Long], ident: String)
+    extends Table with SupportsRead {
+  private val filesSchema = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("commit_version", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
+    StructField("n_applicable_tombstones", IntegerType, nullable = false),
+    StructField("zone_map", StringType, nullable = false)))
+  override def name(): String = version.fold(ident)(v => s"$ident@v$v")
+  override def schema(): StructType = filesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = filesSchema
+          override def description(): String = s"graft-files $table"
+          override def rows(): Array[InternalRow] =
+            VersionedTable.snapshotFiles(table, version).map {
+              case (path, commit, rows, tombs, zones) =>
+                new GenericInternalRow(Array[Any](
+                  UTF8String.fromString(path), commit,
+                  rows.map(Long.box).orNull, tombs,
+                  UTF8String.fromString(zones))): InternalRow
+            }.toArray
         }
     }
 }

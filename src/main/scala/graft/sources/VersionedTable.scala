@@ -728,6 +728,24 @@ object VersionedTable {
     }
   }
 
+  /** Per-file metadata of a pinned snapshot for the catalog's `$files`
+    * table: (path, owning commit, footer row count if recorded,
+    * applicable-tombstone count, zone map rendered `col=lo..hi;…`).
+    * Pure manifest arithmetic — no data file is opened.
+    */
+  private[sources] def snapshotFiles(table: String, version: Option[Long])
+      : Seq[(String, Long, Option[Long], Int, String)] = {
+    val entries = pinnedEntries(table, version)
+    val delE = entries.filter(isDeleteEntry)
+      .map(e => (e.split(":", 3)(1).toLong, entryPath(e)))
+    entries.filterNot(isDeleteEntry).map { e =>
+      val c = dataCommitOf(e)
+      val zones = entryStats(e).toSeq.sortBy(_._1)
+        .map { case (col, (mn, mx)) => s"$col=$mn..$mx" }.mkString(";")
+      (entryPath(e), c, entryRows(e), delE.count(_._1 >= c), zones)
+    }
+  }
+
   /** MERGE INTO (row-level upsert): apply a keyed I/U/D change batch to
     * the table head with last-writer-wins semantics and commit the
     * result as a logical overwrite — the table-level form of MERGE WHEN

@@ -213,6 +213,30 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 800L)
   }
 
+  test("$files metadata table inspects layout per snapshot, time-travelable") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/fl"
+    VersionedTable.commit(
+      (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(4, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    VersionedTable.deleteWhere(spark, t, col("k") <= 10L, "k")
+    val rows = spark.sql(
+      """SELECT path, commit_version, n_rows, n_applicable_tombstones, zone_map
+        |FROM gtest.default.`fl$files` ORDER BY path""".stripMargin).collect()
+    assert(rows.length == 4, s"expected 4 data files, got ${rows.length}")
+    assert(rows.forall(_.getLong(1) == 1L))
+    assert(rows.map(_.getLong(2)).sum == 400L, "footer counts must sum to rows")
+    assert(rows.forall(_.getInt(3) == 1), "the v2 tombstone applies to every v1 file")
+    assert(rows.forall(_.getString(4).matches("k=\\d+\\.\\.\\d+")),
+      s"zone maps must render: ${rows.map(_.getString(4)).mkString(",")}")
+    // VERSION AS OF 1: pre-delete layout has no applicable tombstones
+    val v1 = spark.sql(
+      "SELECT n_applicable_tombstones FROM gtest.default.`fl$files` VERSION AS OF 1")
+      .collect()
+    assert(v1.length == 4 && v1.forall(_.getInt(0) == 0))
+  }
+
   test("CALL system procedures run table maintenance through SQL") {
     val s = spark; import s.implicits._
     val t = s"$root/default/mt"
