@@ -73,13 +73,15 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
     new VersionedStreamTable(tablePath(opts), schema,
       opts.getBoolean("ignoreDeletes", false),
       Option(opts.get("maxVersionsPerTrigger")).map(_.toLong),
-      opts.getBoolean("readChangeFeed", false))
+      opts.getBoolean("readChangeFeed", false),
+      Option(opts.get("maxRowsPerTrigger")).map(_.toLong))
   }
 }
 
 class VersionedStreamTable(
     table: String, schema0: StructType, ignoreDeletes: Boolean,
-    maxVersionsPerTrigger: Option[Long], changeFeed: Boolean = false)
+    maxVersionsPerTrigger: Option[Long], changeFeed: Boolean = false,
+    maxRowsPerTrigger: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_table($table)"
@@ -125,7 +127,7 @@ class VersionedStreamTable(
         override def description(): String = s"graft-table stream over $table"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new VersionedMicroBatchStream(table, required, ignoreDeletes,
-            maxVersionsPerTrigger, changeFeed)
+            maxVersionsPerTrigger, changeFeed, maxRowsPerTrigger)
       }
     }
   }
@@ -196,7 +198,8 @@ class VersionedStreamingWriterFactory(table: String, qTag: String, schema: Struc
 
 class VersionedMicroBatchStream(
     table: String, schema: StructType, ignoreDeletes: Boolean,
-    maxVersionsPerTrigger: Option[Long] = None, changeFeed: Boolean = false)
+    maxVersionsPerTrigger: Option[Long] = None, changeFeed: Boolean = false,
+    maxRowsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionOffset(0L)
@@ -205,11 +208,35 @@ class VersionedMicroBatchStream(
   // admission control: `maxVersionsPerTrigger` bounds each micro-batch to
   // a fixed number of commits, so a stream starting against a long table
   // history (or catching up after downtime) ingests in bounded units
-  // instead of one giant initial batch — Delta's maxFilesPerTrigger shape
+  // instead of one giant initial batch — Delta's maxFilesPerTrigger
+  // shape. `maxRowsPerTrigger` bounds the batch by ROWS instead, from
+  // the footer counts the manifests already record — admission is pure
+  // manifest arithmetic, no file opened. Commits are never split (a
+  // version is the atomic offset unit), so one oversized commit is
+  // admitted alone rather than stalling the stream; a pre-stats commit
+  // (unknown rows) is treated the same way.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[VersionOffset].v
     val head = VersionedTable.versions(table).lastOption.getOrElse(0L)
-    VersionOffset(maxVersionsPerTrigger.fold(head)(k => math.min(head, s + k)))
+    val vCap = maxVersionsPerTrigger.fold(head)(k => math.min(head, s + k))
+    val end = maxRowsPerTrigger match {
+      case None => vCap
+      case Some(maxRows) =>
+        val vs = VersionedTable.versions(table).filter(v => v > s && v <= vCap)
+        var acc = 0L
+        var e = s
+        var stop = false
+        vs.foreach { v =>
+          if (!stop) {
+            val rows = VersionedTable.freshRows(table, v)
+              .getOrElse(Long.MaxValue / 4) // unknown size: admit alone
+            if (e > s && acc + rows > maxRows) stop = true
+            else { acc += rows; e = v }
+          }
+        }
+        e
+    }
+    VersionOffset(end)
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)

@@ -708,6 +708,17 @@ object VersionedTable {
       replaced || (carried.isEmpty && v != versions(table).min))
   }
 
+  /** Footer-row total of the data files made FRESH by version `v`, from
+    * manifest arithmetic alone — None when any entry predates recorded
+    * counts. Drives the stream's rows-based admission control.
+    */
+  private[sources] def freshRows(table: String, v: Long): Option[Long] = {
+    val fresh = manifestEntries(table, v)
+      .filter(e => !isDeleteEntry(e) && dataCommitOf(e) == v)
+    val cs = fresh.map(entryRows)
+    if (cs.exists(_.isEmpty)) None else Some(cs.flatten.sum)
+  }
+
   /** The `R:`-removed entry paths recorded by version `v` itself. */
   private def ownRemovals(table: String, v: Long): Seq[String] =
     ownEntries(manifestLines(table, v), v)

@@ -100,6 +100,32 @@ class VersionedStreamSpec extends AnyFunSuite {
         q.recentProgress.map(_.numInputRows).mkString(","))
   }
 
+  test("maxRowsPerTrigger bounds batches by manifest row counts, never splits a commit") {
+    val d = freshDir()
+    val t = s"$d/t"
+    // commits of 3, 3, 3, 10, 3 rows: with maxRows=6 expect batches of
+    // [v1,v2]=6, [v3]=3 (v4 won't fit), [v4]=10 (oversized, admitted
+    // alone rather than stalling), [v5]=3
+    VersionedTable.commit(df(1L -> "a", 2L -> "a", 3L -> "a"), t, append = false)
+    VersionedTable.commit(df(4L -> "b", 5L -> "b", 6L -> "b"), t, append = true)
+    VersionedTable.commit(df(7L -> "c", 8L -> "c", 9L -> "c"), t, append = true)
+    VersionedTable.commit(
+      df((10L to 19L).map(k => k -> "d"): _*), t, append = true)
+    VersionedTable.commit(df(20L -> "e", 21L -> "e", 22L -> "e"), t, append = true)
+    val q = spark.readStream.format("graft-table")
+      .option("maxRowsPerTrigger", "6").load(t)
+      .writeStream.format("memory").queryName("vstream_rows")
+      .option("checkpointLocation", s"$d/cp")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.sql("SELECT count(*) FROM vstream_rows")
+      .collect()(0).getLong(0) == 22L, "no loss, no replay")
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+      .map(_.numInputRows).toSeq
+    assert(batches == Seq(6L, 3L, 10L, 3L),
+      s"expected row-bounded batches 6,3,10,3 — got ${batches.mkString(",")}")
+  }
+
   test("bronze→silver: streaming table-to-table pipeline is exactly-once end to end") {
     val d = freshDir()
     val bronze = s"$d/bronze"
