@@ -88,6 +88,8 @@ object SparkEntry {
     "q_sql_pruned" -> ((s, d) => Incremental.ordersSqlPruned(t(s, d, "orders"))),
     "q_sql_insert" -> ((s, d) => Incremental.ordersSqlInsert(t(s, d, "orders"))),
     "q_sql_delete" -> ((s, d) => Incremental.ordersSqlDelete(t(s, d, "orders"))),
+    "q_sql_update" -> ((s, d) => Incremental.ordersSqlUpdate(t(s, d, "orders"))),
+    "q_sql_merge" -> ((s, d) => Incremental.ordersSqlMerge(t(s, d, "orders"))),
     "q_quality_report" -> ((s, d) =>
       Relational.qualityReport(t(s, d, "orders"), t(s, d, "customer"))),
     "q_cast_types" -> ((s, d) => Relational.castTypes(t(s, d, "orders"))),
@@ -1560,6 +1562,24 @@ object SparkEntry {
         |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
         |FROM orders WHERE NOT (o_orderkey BETWEEN 5000 AND 8000)
         |ORDER BY o_orderkey""".stripMargin,
+    // SQL UPDATE through the catalog (group-based row-level op → replace
+    // commit; zone-map bounds keep out-of-range files carried): oracle
+    // applies the same conditional increment in SQL.
+    "q_sql_update" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) +
+        |         CASE WHEN o_orderkey BETWEEN 5000 AND 8000 THEN 5 ELSE 0 END
+        |         AS price_c
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // SQL MERGE INTO through the catalog: base keys ≢3 (mod 4), updates
+    // on ≡0 (mod 10), inserts of the held-out quarter — the oracle
+    // reconstructs the merged state from raw orders.
+    "q_sql_merge" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 10 = 0 OR o_orderkey % 4 = 3
+        |            THEN 'MRG' ELSE o_orderstatus END AS status,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // SQL-catalog pruned range read: planning-time zone-map skipping
     // through the SQL front door; oracle is the plain range filter.
     "q_sql_pruned" ->

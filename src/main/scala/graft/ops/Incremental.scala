@@ -786,6 +786,68 @@ object Incremental {
       s"SELECT o_orderkey, status, price_c FROM gtab.default.$name ORDER BY o_orderkey")
   }
 
+  /** Registered q_sql_update body: SQL `UPDATE` through the catalog —
+    * executed as a group-based row-level operation whose groups are
+    * FILES and whose write is a replace commit: the pushed range
+    * condition derives zone-map bounds that keep files outside the range
+    * out of the rewrite entirely (`GraftCatalogSpec` pins the
+    * carried-file count). The oracle applies the same conditional
+    * increment in SQL, so hash equality proves both the rewritten and
+    * the carried files read back exactly.
+    */
+  def ordersSqlUpdate(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlupd:$inputKey"), { _ =>
+      val n = s"orders_upd_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      graft.sources.VersionedTable.commit(
+        orders.select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            cents(col("o_totalprice")).as("price_c"))
+          .repartitionByRange(8, col("o_orderkey")),
+        s"$root/default/$n", append = false, statsCols = Seq("o_orderkey"))
+      spark.sql(
+        s"""UPDATE gtab.default.$n SET price_c = price_c + 5
+           |WHERE o_orderkey >= 5000 AND o_orderkey <= 8000""".stripMargin)
+      n
+    })
+    spark.sql(
+      s"SELECT o_orderkey, status, price_c FROM gtab.default.$name ORDER BY o_orderkey")
+  }
+
+  /** Registered q_sql_merge body: SQL `MERGE INTO` through the catalog,
+    * the row-level upsert twin of the programmatic [[q_table_merge]]
+    * scenario: base holds keys ≢3 (mod 4); the change source updates
+    * every key ≡0 (mod 10) and inserts the held-out ≡3 (mod 4) quarter,
+    * all through one replace commit. The oracle reconstructs the merged
+    * state directly from raw orders.
+    */
+  def ordersSqlMerge(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlmrg:$inputKey"), { _ =>
+      val n = s"orders_mrg_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      graft.sources.VersionedTable.commit(
+        ordersCdcBase(orders).repartitionByRange(8, col("o_orderkey")),
+        s"$root/default/$n", append = false, statsCols = Seq("o_orderkey"))
+      orders.createOrReplaceTempView(s"g_mrg_$n")
+      spark.sql(
+        s"""MERGE INTO gtab.default.$n t
+           |USING (SELECT o_orderkey, 'MRG' AS status,
+           |              CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+           |       FROM g_mrg_$n
+           |       WHERE o_orderkey % 10 = 0 OR o_orderkey % 4 = 3) c
+           |ON t.o_orderkey = c.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET status = c.status, price_c = c.price_c
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, status, price_c)
+           |  VALUES (c.o_orderkey, c.status, c.price_c)""".stripMargin)
+      n
+    })
+    spark.sql(
+      s"SELECT o_orderkey, status, price_c FROM gtab.default.$name ORDER BY o_orderkey")
+  }
+
   /** Registered q_table_zorder body: OPTIMIZE ZORDER on the versioned
     * table — the head rewritten clustered on the Morton interleave of
     * (o_custkey, o_orderkey) with zone maps on BOTH, then a rectangle

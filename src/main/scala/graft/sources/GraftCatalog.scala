@@ -153,7 +153,31 @@ class GraftCatalog extends TableCatalog
 
 class GraftCatalogTable(table: String, version: Option[Long], ident: String)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` and `MERGE INTO` (and DELETEs whose condition can't
+    * become source filters): GROUP-BASED row-level operations where the
+    * group is the FILE and the replacement is a replace commit. Spark's
+    * rewrite reads every row of the candidate files (zone-map bounds
+    * from the pushed condition narrow candidates at planning time),
+    * computes the new content, and the write publishes `R:` lines for
+    * exactly the scanned files plus their rewrites — carried files are
+    * untouched, and a commit that lands between the scan and the publish
+    * fails with `ConcurrentModificationException` (the scanned basis is
+    * the expected head), closing MERGE's write-skew hole. Candidates are
+    * a zone-map over-approximation of the truly-touched files — an
+    * unmatched candidate file is rewritten byte-equivalently rather than
+    * skipped; exact-touched narrowing is the runtime-group-filtering
+    * refinement, deliberately not taken here.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      s"cannot run ${info.command} on a time-traveled snapshot of $ident")
+    () => new GraftRowLevelOperation(table, info.command)
+  }
   override def name(): String =
     version.fold(ident)(v => s"$ident@v$v")
   override def schema(): StructType =
@@ -190,6 +214,131 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
     val (bounds, _) = GraftFilters.integralBounds(filters, schema())
     VersionedTable.deleteWhereCow(SparkSession.active, table, pred, bounds)
     ()
+  }
+}
+
+/** One group-based row-level operation (UPDATE / MERGE / fallback
+  * DELETE): couples the candidate-file scan with the replacing write.
+  * The SAME instance builds both, which is how the write learns what
+  * the scan planned — `basis` (the head version the candidates came
+  * from, later the expected head at publish) and `planned` (the entry
+  * paths the rewrite replaces).
+  */
+class GraftRowLevelOperation(
+    table: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  @volatile private[sources] var basis: Long = -1L
+  @volatile private[sources] var planned: Seq[String] = Nil // entry paths
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-rowlevel $cmd on $table"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder
+        with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+      private val full = VersionedTable.read(SparkSession.active, table).schema
+      private var required: StructType = full
+      private var bounds: Seq[(String, Long, Long)] = Nil
+      private var used: Array[Filter] = Array.empty
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (b, consumed) = GraftFilters.integralBounds(filters, full)
+        bounds = b
+        used = consumed
+        filters // residual: the rewrite plan re-applies the condition
+      }
+      override def pushedFilters(): Array[Filter] = used
+      override def build(): Scan = {
+        // pin the basis and the candidate (= replaced) files EAGERLY:
+        // the write's publish must replace exactly what this scan reads
+        val vs = VersionedTable.versions(table)
+        require(vs.nonEmpty, s"no committed versions at $table")
+        basis = vs.last
+        val layout = VersionedTable.snapshotLayout(table, Some(basis))
+        val kept = layout.filter { case (_, _, _, stats) =>
+          bounds.forall { case (c, lo, hi) =>
+            stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+          }
+        }
+        planned = kept.map(_._1)
+        new Scan with Batch {
+          override def readSchema(): StructType = required
+          override def toBatch: Batch = this
+          override def description(): String =
+            s"graft-rowlevel-scan $table@v$basis files=${kept.size}/${layout.size}"
+          override def planInputPartitions(): Array[InputPartition] = {
+            def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
+            kept.map { case (file, _, tombs, _) =>
+              GraftCatalogPartition(abs(file), tombs.map(abs)): InputPartition
+            }.toArray
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            new GraftCatalogReaderFactory(required)
+        }
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftReplaceBatchWrite(table, info.schema(), GraftRowLevelOperation.this)
+      }
+    }
+}
+
+/** The replacing write of a row-level operation: executors stage the new
+  * content of the scanned files (plus any MERGE-inserted rows); commit
+  * publishes ONE replace commit — `R:` lines for the scanned entries,
+  * fresh entries for the staged files — with the scanned basis as the
+  * expected head (a concurrent commit in between fails loudly rather
+  * than basing the rewrite on a stale snapshot).
+  */
+class GraftReplaceBatchWrite(
+    table: String, schema: StructType, op: GraftRowLevelOperation)
+    extends BatchWrite {
+  private val token = java.util.UUID.randomUUID().toString.take(8)
+  private val stagingAbs =
+    java.nio.file.Paths.get(table, "data", s"_stg_$token").toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingAbs))
+    new GraftDataWriterFactory(stagingAbs, schema, rowLevel = true)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    require(op.basis >= 0L, "row-level write committed before its scan planned")
+    val next = op.basis + 1L
+    val dirName = s"c${next}_$token"
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(stagingAbs),
+      java.nio.file.Paths.get(table, "data", dirName))
+    val entries = VersionedTable.dirMetadata(
+      spark, table, dirName, Nil, VersionedTable.constraints(table))
+    val removals = op.planned.map(p => s"R:$p")
+    val fresh = entries.map(n => s"data/$dirName/$n")
+    if (!VersionedTable.tryPublishStaged(
+        table, next, removals ++ fresh, carry = Some(op.basis))) {
+      abort(messages)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(table, "data", dirName))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      throw new java.util.ConcurrentModificationException(
+        s"row-level ${op.command} on $table scanned version ${op.basis} but " +
+          s"version $next was committed concurrently — re-run the statement")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = java.nio.file.Paths.get(stagingAbs)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+    }
   }
 }
 
@@ -496,19 +645,27 @@ class GraftBatchWrite(table: String, schema: StructType, overwrite: Boolean)
 
 case class GraftWriteDone(file: String) extends WriterCommitMessage
 
-class GraftDataWriterFactory(stagingAbs: String, schema: StructType)
+class GraftDataWriterFactory(
+    stagingAbs: String, schema: StructType, rowLevel: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
-      s"$stagingAbs/part-$partitionId-$taskId.parquet", schema)
+      s"$stagingAbs/part-$partitionId-$taskId.parquet", schema, rowLevel)
 }
 
 /** Executor-side parquet writer over the example Group API — the write
   * twin of the catalog's reader. Task identity is in the file name, so
   * speculative attempts never collide; abort deletes the attempt's file.
   */
-class GraftDataWriter(file: String, schema: StructType)
+class GraftDataWriter(
+    file: String, schema: StructType, rowLevel: Boolean = false)
     extends DataWriter[InternalRow] {
+  // Row-level (ReplaceData) writes: Spark 4 prepends a `__row_operation`
+  // INT column to the replacement rows but only strips it (via the
+  // projecting write task) when the operation declares metadata
+  // attributes — a plain connector receives the RAW rows. Detect the
+  // extra leading column from the first row's arity and skip it.
+  private var fieldOffset = -1
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -542,20 +699,28 @@ class GraftDataWriter(file: String, schema: StructType)
     .build()
 
   override def write(row: InternalRow): Unit = {
+    if (fieldOffset < 0) {
+      fieldOffset =
+        if (rowLevel) row.numFields - schema.fields.length else 0
+      require(fieldOffset == 0 || fieldOffset == 1,
+        s"row arity ${row.numFields} does not match write schema " +
+          s"(${schema.fields.length} fields) for $file")
+    }
     val g = factory.newGroup()
     var i = 0
     while (i < schema.fields.length) {
-      if (!row.isNullAt(i)) {
+      val j = i + fieldOffset
+      if (!row.isNullAt(j)) {
         val f = schema.fields(i)
         f.dataType match {
-          case LongType    => g.add(f.name, row.getLong(i))
-          case IntegerType => g.add(f.name, row.getInt(i))
-          case DoubleType  => g.add(f.name, row.getDouble(i))
-          case FloatType   => g.add(f.name, row.getFloat(i))
-          case BooleanType => g.add(f.name, row.getBoolean(i))
-          case StringType  => g.add(f.name, row.getUTF8String(i).toString)
-          case TimestampType | TimestampNTZType => g.add(f.name, row.getLong(i))
-          case DateType    => g.add(f.name, row.getInt(i))
+          case LongType    => g.add(f.name, row.getLong(j))
+          case IntegerType => g.add(f.name, row.getInt(j))
+          case DoubleType  => g.add(f.name, row.getDouble(j))
+          case FloatType   => g.add(f.name, row.getFloat(j))
+          case BooleanType => g.add(f.name, row.getBoolean(j))
+          case StringType  => g.add(f.name, row.getUTF8String(j).toString)
+          case TimestampType | TimestampNTZType => g.add(f.name, row.getLong(j))
+          case DateType    => g.add(f.name, row.getInt(j))
           case _           => ()
         }
       }

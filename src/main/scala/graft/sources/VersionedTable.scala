@@ -234,6 +234,15 @@ object VersionedTable {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** [[tryPublish]] for the catalog's row-level replacing write, which
+    * assembles its own entry list (removals + fresh). Same CAS contract:
+    * true iff this writer won version `next`.
+    */
+  private[sources] def tryPublishStaged(
+      table: String, next: Long, entries: Seq[String],
+      carry: Option[Long]): Boolean =
+    tryPublish(table, next, entries, None, carry)
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       if (Files.isDirectory(p))

@@ -213,6 +213,58 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 800L)
   }
 
+  test("SQL UPDATE rewrites only candidate files through a replace commit") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/up"
+    VersionedTable.commit(
+      (1L to 800L).map(k => (k, k * 10L)).toDF("k", "amt")
+        .repartitionByRange(8, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    val filesBefore = VersionedTable.read(spark, t).inputFiles.toSet
+    spark.sql(
+      "UPDATE gtest.default.up SET amt = amt + 1 WHERE k >= 100 AND k <= 150")
+    val got = spark.sql("SELECT k, amt FROM gtest.default.up")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (1L to 800L).map(k =>
+      (k, if (k >= 100L && k <= 150L) k * 10L + 1L else k * 10L)).toSet
+    assert(got == expect)
+    // zone-map bounds kept most files out of the rewrite
+    val filesAfter = VersionedTable.read(spark, t).inputFiles.toSet
+    assert(filesAfter.intersect(filesBefore).size >= 6,
+      "UPDATE must not rewrite files outside the condition's range")
+    val ops = VersionedTable.history(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(2L) == "replace")
+    assert(spark.sql(
+      "SELECT sum(amt) AS s FROM gtest.default.up VERSION AS OF 1")
+      .collect()(0).getLong(0) == (1L to 800L).map(_ * 10L).sum,
+      "pre-update snapshot must survive")
+  }
+
+  test("SQL MERGE INTO upserts through the row-level replace write") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/mg"
+    VersionedTable.commit(
+      (1L to 400L).map(k => (k, k * 10L)).toDF("k", "amt")
+        .repartitionByRange(4, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    // updates for 10 existing keys, inserts for 3 new ones
+    ((391L to 400L).map(k => (k, -1L)) ++ Seq((401L, 7L), (402L, 7L), (403L, 7L)))
+      .toDF("k", "amt").createOrReplaceTempView("mg_changes")
+    spark.sql(
+      """MERGE INTO gtest.default.mg t USING mg_changes c ON t.k = c.k
+        |WHEN MATCHED THEN UPDATE SET amt = c.amt
+        |WHEN NOT MATCHED THEN INSERT (k, amt) VALUES (c.k, c.amt)""".stripMargin)
+    val got = spark.sql("SELECT k, amt FROM gtest.default.mg")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = ((1L to 390L).map(k => (k, k * 10L)) ++
+      (391L to 400L).map(k => (k, -1L)) ++
+      Seq((401L, 7L), (402L, 7L), (403L, 7L))).toSet
+    assert(got == expect)
+    assert(spark.sql("SELECT count(*) FROM gtest.default.mg VERSION AS OF 1")
+      .collect()(0).getLong(0) == 400L)
+  }
+
   test("$files metadata table inspects layout per snapshot, time-travelable") {
     val s = spark; import s.implicits._
     val t = s"$root/default/fl"
