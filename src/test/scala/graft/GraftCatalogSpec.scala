@@ -241,6 +241,20 @@ class GraftCatalogSpec extends AnyFunSuite {
       "pre-update snapshot must survive")
   }
 
+  test("DELETE with an untranslatable condition falls back to the row-level rewrite") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/dm"
+    VersionedTable.commit(
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"), t, append = false)
+    // `k % 2 = 0` has no source-filter form: SupportsDelete declines and
+    // Spark reroutes through the group-based row-level operation
+    spark.sql("DELETE FROM gtest.default.dm WHERE k % 2 = 0")
+    assert(spark.sql("SELECT k FROM gtest.default.dm")
+      .collect().map(_.getLong(0)).toSet == (1L to 99L by 2).toSet)
+    assert(spark.sql("SELECT count(*) FROM gtest.default.dm VERSION AS OF 1")
+      .collect()(0).getLong(0) == 100L)
+  }
+
   test("SQL MERGE INTO upserts through the row-level replace write") {
     val s = spark; import s.implicits._
     val t = s"$root/default/mg"
