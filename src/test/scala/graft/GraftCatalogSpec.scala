@@ -343,6 +343,10 @@ class GraftCatalogSpec extends AnyFunSuite {
     val ex = intercept[Exception](spark.sql("CALL gtest.system.nope()"))
     assert(ex.getMessage.contains("nope") ||
       Option(ex.getCause).exists(_.getMessage.contains("nope")))
+    // and the full set is SQL-discoverable
+    assert(spark.sql("SHOW PROCEDURES IN gtest.system")
+      .collect().map(_.getString(3)).toSet ==
+      Set("vacuum", "vacuum_orphans", "compact", "optimize", "zorder"))
   }
 
   test("TRUNCATE TABLE empties the head; history and time travel survive") {
