@@ -202,7 +202,16 @@ class VersionedMicroBatchStream(
     maxRowsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def initialOffset(): Offset = VersionOffset(0L)
+  // a fresh stream starts just below the OLDEST RETAINED version, not at
+  // 0: on a vacuumed table the expired commits' rows survive only as
+  // carried entries of the materialized oldest manifest, so the first
+  // batch must serve that version as a full resolved snapshot (Delta's
+  // initial-snapshot shape) — planInputPartitions does exactly that for
+  // a range opening at the minimum version, and fails loudly for a
+  // checkpointed offset that points below it (replay determinism for
+  // the vacuumed range is unrecoverable).
+  override def initialOffset(): Offset =
+    VersionOffset(VersionedTable.versions(table).headOption.fold(0L)(_ - 1L))
   override def latestOffset(): Offset =
     VersionOffset(VersionedTable.versions(table).lastOption.getOrElse(0L))
   // admission control: `maxVersionsPerTrigger` bounds each micro-batch to
@@ -247,30 +256,65 @@ class VersionedMicroBatchStream(
     val s = start.asInstanceOf[VersionOffset].v
     val e = end.asInstanceOf[VersionOffset].v
     def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
-    VersionedTable.versions(table).filter(v => v > s && v <= e).flatMap { v =>
-      val (freshData, freshDeletes, isOverwrite) =
-        VersionedTable.commitClassFiles(table, v)
-      if (isOverwrite)
-        throw new IllegalStateException(
-          s"streaming read of $table hit OVERWRITE commit $v — incremental " +
-            "consumption across a replaced snapshot is undefined; restart " +
-            "the stream from the overwrite as a fresh initial load")
-      if (freshDeletes.nonEmpty && !ignoreDeletes && !changeFeed)
-        throw new IllegalStateException(
-          s"streaming read of $table hit DELETE commit $v; set " +
-            "ignoreDeletes=true to skip tombstone commits, or " +
-            "readChangeFeed=true to consume them as delete rows")
-      val inserts = freshData.map(rel =>
-        VersionedFilePartition(abs(rel), v, "insert"): InputPartition)
-      // change-feed mode: tombstone files become key-only DELETE rows —
-      // the reader nulls every column a tombstone file doesn't carry
-      val deletes =
-        if (changeFeed)
-          freshDeletes.map(rel =>
-            VersionedFilePartition(abs(rel), v, "delete"): InputPartition)
-        else Seq.empty
-      inserts ++ deletes
+    val vs = VersionedTable.versions(table)
+    if (vs.isEmpty) return Array.empty
+    val minV = vs.head
+    // offsets below the retained history are unservable: versions s+1..min-1
+    // were vacuumed, and their rows live only as carried entries of the
+    // materialized oldest manifest — planning only fresh files would
+    // SILENTLY DROP them from the stream. The fresh-start offset (min-1)
+    // is served as a full snapshot below; anything older fails loudly.
+    if (s < minV - 1L)
+      throw new IllegalStateException(
+        s"streaming read of $table: checkpointed offset $s predates the oldest " +
+          s"retained version $minV — versions ${s + 1}..${minV - 1} were vacuumed " +
+          "and cannot be replayed. Restart the stream with a fresh checkpoint " +
+          "(the initial batch then serves the oldest retained snapshot in full)")
+    vs.filter(v => v > s && v <= e).flatMap { v =>
+      // range opens at the table's oldest retained version: serve its FULL
+      // resolved snapshot (carried entries included), not just its fresh
+      // files — after vacuum the expired commits' surviving rows ride the
+      // materialized manifest's carried entries. Rows are stamped with
+      // this snapshot version (Delta's initial-snapshot convention).
+      if (v == minV && s == minV - 1L) {
+        val layout = VersionedTable.snapshotLayout(table, Some(v))
+        val tombstoned = layout.filter(_._3.nonEmpty)
+        if (tombstoned.nonEmpty)
+          throw new IllegalStateException(
+            s"streaming read of $table: the oldest retained snapshot $v carries " +
+              s"unapplied tombstones over ${tombstoned.size} data file(s); a " +
+              "file-level initial load would resurrect deleted rows — run " +
+              "compact()/CALL system.compact first, then restart the stream")
+        layout.map { case (rel, _, _, _) =>
+          VersionedFilePartition(abs(rel), v, "insert"): InputPartition
+        }
+      } else planCommit(v, abs)
     }.toArray
+  }
+
+  private def planCommit(v: Long, abs: String => String): Seq[InputPartition] = {
+    val (freshData, freshDeletes, isOverwrite) =
+      VersionedTable.commitClassFiles(table, v)
+    if (isOverwrite)
+      throw new IllegalStateException(
+        s"streaming read of $table hit OVERWRITE commit $v — incremental " +
+          "consumption across a replaced snapshot is undefined; restart " +
+          "the stream from the overwrite as a fresh initial load")
+    if (freshDeletes.nonEmpty && !ignoreDeletes && !changeFeed)
+      throw new IllegalStateException(
+        s"streaming read of $table hit DELETE commit $v; set " +
+          "ignoreDeletes=true to skip tombstone commits, or " +
+          "readChangeFeed=true to consume them as delete rows")
+    val inserts = freshData.map(rel =>
+      VersionedFilePartition(abs(rel), v, "insert"): InputPartition)
+    // change-feed mode: tombstone files become key-only DELETE rows —
+    // the reader nulls every column a tombstone file doesn't carry
+    val deletes =
+      if (changeFeed)
+        freshDeletes.map(rel =>
+          VersionedFilePartition(abs(rel), v, "delete"): InputPartition)
+      else Seq.empty
+    inserts ++ deletes
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

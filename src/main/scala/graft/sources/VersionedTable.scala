@@ -165,7 +165,23 @@ object VersionedTable {
       acc = acc ++ adds
       resolvedEntries.put((table, w), acc)
     }
+    boundCache(table)
     acc
+  }
+
+  // cache ceiling: each resolved list is O(snapshot files) (~800k entries
+  // at the 100 TB design point), so an unbounded memo across a long
+  // append history is O(versions × files) of driver heap. Keep only the
+  // newest versions per table — older snapshots re-resolve on demand
+  // (one manifest walk), which is the right trade for time-travel reads.
+  private val maxCachedVersionsPerTable = 64
+
+  private def boundCache(table: String): Unit = {
+    val cached = resolvedEntries.keySet.asScala
+      .collect { case (t, v) if t == table => v }.toSeq
+    if (cached.size > maxCachedVersionsPerTable)
+      cached.sorted.dropRight(maxCachedVersionsPerTable)
+        .foreach(v => resolvedEntries.remove((table, v)))
   }
 
   private def txnOf(table: String, version: Long): Option[String] =
@@ -632,7 +648,7 @@ object VersionedTable {
       spark: SparkSession, table: String, predicate: Column,
       bounds: Seq[(String, Long, Long)] = Nil,
       statsCols: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{coalesce, count, input_file_name, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed versions at $table")
     val basis = vs.last
@@ -646,10 +662,19 @@ object VersionedTable {
     }
     if (candidates.isEmpty) return basis
     val hit = coalesce(predicate, lit(false))
-    val touchedAbs = snapshotFrame(spark, table, candidates ++ delE, mergeSchema = false)
+    // the source-file tag is projected INSIDE the per-commit scan (before
+    // the tombstone anti-join): input_file_name() evaluated above a
+    // shuffled join returns "", which would silently empty the touched
+    // set and turn the DELETE into a no-op whenever the doomed-key side
+    // is not broadcast
+    val touchedAbs = snapshotFrame(spark, table, candidates ++ delE,
+        mergeSchema = false, fileTag = Some("__graft_src_file"))
       .filter(hit)
-      .groupBy(input_file_name().as("g_f")).agg(count(lit(1)).as("g_n"))
+      .groupBy(col("__graft_src_file").as("g_f")).agg(count(lit(1)).as("g_n"))
       .collect().map(_.getString(0)).toSet
+    require(!touchedAbs.contains(""),
+      s"deleteWhereCow on $table: a matching row lost its source-file tag — " +
+        "refusing to compute a possibly-partial rewrite")
     // input_file_name is a URI; manifest paths are unique suffixes
     // (every commit directory carries a random token)
     val touched = candidates.filter(e =>
@@ -707,14 +732,19 @@ object VersionedTable {
   private[sources] def commitClassFiles(
       table: String, v: Long): (Seq[String], Seq[String], Boolean) = {
     val entries = manifestEntries(table, v)
-    val (fresh, carried) = entries.partition(dataCommitOf(_) == v)
+    val fresh = entries.filter(dataCommitOf(_) == v)
     // a replace commit (copy-on-write delete) removed carried rows — to a
     // version-offset stream its rewritten files are NOT pure inserts, so
-    // it is non-additive exactly like an overwrite
+    // it is non-additive exactly like an overwrite. Overwrite-ness is
+    // read from the commit's OWN header (append/delete/replace commits
+    // record `carry=<prev>`; overwrites write self-contained manifests):
+    // classifying by whether the RESOLVED carried list happens to be
+    // empty would brand a legitimate append onto an empty predecessor
+    // (v1 committed zero rows, v2 appends) as an overwrite.
     val replaced = ownRemovals(table, v).nonEmpty
     (fresh.filterNot(isDeleteEntry).map(entryPath),
       fresh.filter(isDeleteEntry).map(entryPath),
-      replaced || (carried.isEmpty && v != versions(table).min))
+      replaced || (carryOf(table, v).isEmpty && v != versions(table).min))
   }
 
   /** Footer-row total of the data files made FRESH by version `v`, from
@@ -805,13 +835,15 @@ object VersionedTable {
     val vs = versions(table) // one directory listing for the whole log
     vs.map { v =>
       val entries = manifestEntries(table, v)
-      val (fresh, carried) = entries.partition(dataCommitOf(_) == v)
+      val fresh = entries.filter(dataCommitOf(_) == v)
       val freshDel = fresh.filter(isDeleteEntry)
       val freshData = fresh.filterNot(isDeleteEntry)
+      // classified from the commit's own header, as in [[commitClassFiles]]:
+      // `carry=` present ⇒ append-family, self-contained ⇒ create/overwrite
       val op =
         if (freshDel.nonEmpty) "delete"
         else if (ownRemovals(table, v).nonEmpty) "replace"
-        else if (carried.isEmpty) if (v == vs.min) "create" else "overwrite"
+        else if (carryOf(table, v).isEmpty) if (v == vs.min) "create" else "overwrite"
         else "append"
       val rowsOf = (es: Seq[String]) => {
         val cs = es.map(entryRows)
@@ -872,6 +904,16 @@ object VersionedTable {
     val aggs = clusterBy.flatMap(c =>
       Seq(min(col(c)).cast("long").as(s"g_mn_$c"), max(col(c)).cast("long").as(s"g_mx_$c")))
     val r = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // an empty table min/maxes to null in EVERY column: nothing to
+    // cluster, return the basis unchanged (CALL system.zorder on a fresh
+    // table is a no-op, not an NPE). A NON-empty table with an all-null
+    // (or non-long-castable) clustering column is a caller error.
+    if (clusterBy.forall(c => r.getAs[Any](s"g_mn_$c") == null) &&
+        fastCount(table, Some(basis)).map(_ == 0L).getOrElse(snap.isEmpty))
+      return basis
+    clusterBy.foreach(c => require(r.getAs[Any](s"g_mn_$c") != null,
+      s"optimizeZorder: clustering column $c of $table has no " +
+        "long-castable values (all null?) — cannot range-bucket it"))
     def bucket(c: String): org.apache.spark.sql.Column = {
       val (lo, hi) = (r.getAs[Long](s"g_mn_$c"), r.getAs[Long](s"g_mx_$c"))
       ((col(c) - lit(lo)) * 256L / lit(math.max(hi - lo + 1, 1L))).cast("int")
@@ -964,14 +1006,21 @@ object VersionedTable {
 
   /** The scan of a pinned entry set: the manifest's data files, with any
     * tombstone entries applied as an anti-join of doomed keys against
-    * the data commits they are bounded to.
+    * the data commits they are bounded to. `fileTag` optionally names an
+    * extra column holding each row's source-file URI, projected DIRECTLY
+    * on the scan — evaluating `input_file_name()` above a shuffled
+    * anti-join yields "" (the row no longer lives in a scan task), so
+    * callers that need file provenance must tag here, below any join.
     */
   private def snapshotFrame(
       spark: SparkSession, table: String, entries: Seq[String],
-      mergeSchema: Boolean): DataFrame = {
+      mergeSchema: Boolean, fileTag: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.input_file_name
     def abs(rel: String) = Paths.get(table, rel).toString
-    def readData(files: Seq[String]) =
-      spark.read.option("mergeSchema", mergeSchema).parquet(files.map(abs): _*)
+    def readData(files: Seq[String]) = {
+      val df = spark.read.option("mergeSchema", mergeSchema).parquet(files.map(abs): _*)
+      fileTag.fold(df)(t => df.withColumn(t, input_file_name()))
+    }
     val dataE = entries.filterNot(isDeleteEntry).map(entryPath)
     val delE = entries.filter(isDeleteEntry).map { e =>
       (e.split(":", 3)(1).toLong, entryPath(e))
@@ -1205,6 +1254,10 @@ object VersionedTable {
     doomed.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
     expired.foreach(v =>
       Files.deleteIfExists(manifestDir(table).resolve(s"$v.manifest")))
+    // expired versions can never be resolved again — release their cached
+    // entry lists (each is O(snapshot files); a long-lived driver that
+    // vacuums on a schedule must not accumulate O(versions × files))
+    expired.foreach(v => resolvedEntries.remove((table, v)))
     doomed.size
   }
 }

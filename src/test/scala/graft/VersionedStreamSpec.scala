@@ -257,4 +257,45 @@ class VersionedStreamSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("OVERWRITE") ||
       ex2.getCause.getMessage.contains("OVERWRITE"))
   }
+
+  test("fresh stream on a vacuumed table serves the oldest retained snapshot in full") {
+    val d = freshDir()
+    val t = s"$d/t"
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    VersionedTable.commit(df(3L -> "c"), t, append = true)
+    VersionedTable.commit(df(4L -> "d"), t, append = true)
+    VersionedTable.vacuum(t, retain = 2) // keeps v2 (materialized), v3
+    assert(VersionedTable.versions(t) == Seq(2L, 3L))
+    // v1's rows survive only as carried entries of the materialized v2
+    // manifest — a fresh-files-only plan would silently drop them; the
+    // initial batch must serve snapshot v2 in full (stamped v2), then v3
+    drainTo(t, "vstream_vac", s"$d/cp")
+    assert(slurpSink("vstream_vac") ==
+      Set((1L, "a", 2L), (2L, "b", 2L), (3L, "c", 2L), (4L, "d", 3L)),
+      "initial load after vacuum must include the carried rows")
+  }
+
+  test("checkpointed offset below the retained history fails loudly, never drops rows") {
+    val d = freshDir()
+    val t = s"$d/t"
+    def drainToFiles(): Unit = {
+      val q = spark.readStream.format("graft-table").load(t)
+        .writeStream.format("parquet")
+        .option("path", s"$d/sink")
+        .option("checkpointLocation", s"$d/cp")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    drainToFiles() // checkpoint now holds offset 1
+    VersionedTable.commit(df(2L -> "b"), t, append = true)
+    VersionedTable.commit(df(3L -> "c"), t, append = true)
+    VersionedTable.vacuum(t, retain = 1) // min version is now 3; offset 1 < 2
+    val ex = intercept[StreamingQueryException] {
+      drainToFiles()
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("vacuumed") || msg.contains("predates"),
+      s"a stale checkpoint over a vacuumed range must fail loudly: $msg")
+  }
 }

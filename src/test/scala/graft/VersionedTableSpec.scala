@@ -644,6 +644,59 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(slurp(t) == Set(2L -> "new"),
       "a recreated table must never read the dropped table's cached entries")
   }
+
+  test("COW delete over standing tombstones deletes under a shuffled anti-join") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    VersionedTable.commit(
+      (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v"), t, append = false)
+    // standing MOR tombstones: the COW probe's snapshot scan now carries
+    // a left_anti join, and with broadcast disabled that join SHUFFLES —
+    // input_file_name() evaluated above it returns "", which used to
+    // silently turn the DELETE into a no-op
+    VersionedTable.deleteWhere(spark, t, col("k") <= 10L, "k")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val v = VersionedTable.deleteWhereCow(spark, t, col("k") > 390L)
+      assert(v == 3L,
+        "COW delete must commit a new version, not silently no-op, when " +
+          "the tombstone anti-join is not broadcast")
+      assert(VersionedTable.read(spark, t).collect().map(_.getLong(0)).toSet ==
+        (11L to 390L).toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("append onto an empty first commit is an append, not an overwrite") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    VersionedTable.commit(Seq.empty[(Long, String)].toDF("k", "v"), t, append = false)
+    VersionedTable.commit(df(1L -> "a"), t, append = true)
+    // classification comes from the commit's own header (carry=), not
+    // from whether the resolved predecessor entry list happens to be
+    // empty — the latter branded this legitimate append an overwrite
+    val ops = VersionedTable.history(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(2L) == "append", s"history labels: $ops")
+    val app = VersionedTable.appendsBetween(spark, t, 1L, 2L)
+    assert(app.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("zorder on an empty table is a no-op; an all-null cluster column fails loudly") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    VersionedTable.commit(Seq.empty[(Long, String)].toDF("k", "v"), t, append = false)
+    assert(VersionedTable.optimizeZorder(spark, t, Seq("k")) == 1L,
+      "zorder on an empty table must return the basis version unchanged")
+    val t2 = freshTable()
+    VersionedTable.commit(
+      Seq((Option.empty[Long], "a"), (Option.empty[Long], "b")).toDF("k", "v"),
+      t2, append = false)
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.optimizeZorder(spark, t2, Seq("k"))
+    }
+    assert(ex.getMessage.contains("long-castable"), ex.getMessage)
+  }
 }
 
 /** Static gate for the deleteWhere conflict test: lives outside the spec
