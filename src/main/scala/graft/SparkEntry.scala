@@ -3200,8 +3200,9 @@ object SparkEntry {
         |  FROM dfq, nn),
         |c AS (
         |  SELECT qt.query_id, tf.doc_id,
-        |    (idf.q_idf * 22 * tf.tf * tt.t)
-        |      // (10 * tt.t * tf.tf + 3 * tt.t + 9 * nn.n * dl.dl) AS contrib
+        |    (CAST(idf.q_idf AS HUGEINT) * 22 * tf.tf * tt.t)
+        |      // (CAST(10 AS HUGEINT) * tt.t * tf.tf + CAST(3 AS HUGEINT) * tt.t
+        |          + CAST(9 AS HUGEINT) * nn.n * dl.dl) AS contrib
         |  FROM qt
         |  JOIN tf USING (term)
         |  JOIN dl USING (doc_id)

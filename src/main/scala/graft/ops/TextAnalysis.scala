@@ -282,8 +282,10 @@ object TextAnalysis {
     * driver-side vocabulary.
     */
   def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
-    val spark = documents.sparkSession
-    val n = documents.count() // corpus size: one cheap metadata-only job
+    // corpus size N rides the plan as a 1-row broadcast aggregate frame
+    // (the bm25TopK scalar idiom) — no driver-side action at
+    // plan-construction time
+    val nRow = documents.agg(count(lit(1)).as("g_n"))
     val toks = documents.select(
       col("doc_id"),
       explode(graft.functions.TextExpressions.alnumTokens(col("text"), minLen = 3))
@@ -292,7 +294,9 @@ object TextAnalysis {
     val df = toks.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, Seq("term"))
-      .withColumn("score", col("tf") * log(lit(n + 1.0) / (col("df") + lit(1.0))))
+      .crossJoin(broadcast(nRow))
+      .withColumn("score",
+        col("tf") * log((col("g_n") + lit(1.0)) / (col("df") + lit(1.0))))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -810,18 +814,28 @@ object TextAnalysis {
   def unigramLogProb(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"),
       explode(graft.functions.TextExpressions.alnumTokens(col("text"))).as("term"))
-    val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-    // corpus token total: one scalar aggregate job, embedded as a literal
-    // (ln N lands on the same grid in both engines)
-    val n = toks.count()
-    val qLnN = math.floor(math.log(n.toDouble) * 1e6 + 0.5).toLong
+    // counts feeds BOTH the total and the scoring join — persist the
+    // vocabulary-sized aggregate so the corpus tokenizes twice, not 3×
+    val countsRaw = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val counts =
+      if (countsRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        countsRaw.persist()
+      else countsRaw
+    // corpus token total derived FROM the term counts — a vocabulary-sized
+    // aggregate riding the plan as a 1-row broadcast frame, so ln N lands
+    // on the same grid in both engines WITHOUT a driver action (the old
+    // toks.count() here was a second full tokenize pass of the corpus at
+    // plan-construction time)
+    val tRow = counts.agg(sum("cnt").as("g_t"))
+    val qLnN = floor(log(col("g_t").cast("double")) * lit(1e6) + lit(0.5)).cast("long")
     val qLnCnt = floor(log(col("cnt").cast("double")) * lit(1e6) + lit(0.5)).cast("long")
     toks
       .join(counts.withColumn("q", qLnCnt).select("term", "q"), Seq("term"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("q").as("sq"))
+      .crossJoin(broadcast(tRow))
       .select(col("doc_id"), col("n_tokens"),
-        round((lit(qLnN) * col("n_tokens") - col("sq")).cast("double")
+        round((qLnN * col("n_tokens") - col("sq")).cast("double")
           / lit(1e6) / col("n_tokens"), 6).as("avg_neg_logp"))
       .orderBy("doc_id")
   }
@@ -960,35 +974,46 @@ object TextAnalysis {
     * extraction (PMI = ln p(w1,w2) − ln p(w1) − ln p(w2); Church & Hanks
     * 1990). All five log terms go through the same 1e-6 integer grid as
     * [[unigramLogProb]] BEFORE the arithmetic, so the score is bit-exact
-    * across engines. The two corpus totals (tokens, bigrams) are scalar
-    * aggregates embedded as literals — the standard two-job shape; the
-    * rest is two hash aggregates plus two vocabulary-sized joins.
+    * across engines. The two corpus totals (tokens, bigrams) ride the
+    * plan as 1-row broadcast aggregate frames over the persisted
+    * vocabulary aggregates — fully lazy; the rest is two hash aggregates
+    * plus two vocabulary-sized joins.
     */
   def pmiCollocations(documents: DataFrame, minPair: Long = 5L): DataFrame = {
+    def cached(df: DataFrame): DataFrame =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+      else df
     val words = graft.functions.TextExpressions.alnumTokens(col("text"))
     val toks = documents.select(explode(words).as("term"))
-    val uni = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    // both vocabulary aggregates feed a corpus total AND the scoring
+    // joins — persist them so each corpus tokenize pass runs once
+    val uni = cached(toks.groupBy("term").agg(count(lit(1)).as("c")))
     val bigrams = zip_with(
       slice(words, lit(1), greatest(size(words) - 1, lit(0))),
       slice(words, lit(2), greatest(size(words) - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    val pairs = documents
+    val pairs = cached(documents
       .select(explode(bigrams).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     val qLn = (x: Column) => floor(log(x.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
-    def qOf(n: Long): Long = math.floor(math.log(n.toDouble) * 1e6 + 0.5).toLong
-    // max(_, 1): on an empty corpus both totals are degenerate; ln(1)=0
-    // keeps the (empty) result well-defined instead of NULL/-inf literals
-    val n1 = math.max(toks.count(), 1L)
-    val n2 = math.max(
-      Option(pairs.agg(sum("c12")).head().get(0)).fold(0L)(_.asInstanceOf[Long]), 1L)
+    // the corpus totals (tokens, bigrams) are 1-row broadcast aggregate
+    // frames over the persisted vocabulary aggregates, cross-joined into
+    // the plan — fully lazy, no driver action at plan-construction time.
+    // greatest(_, 1): on an empty corpus both totals are degenerate;
+    // ln(1)=0 keeps the (empty) result well-defined instead of NULL/-inf
+    val n1Row = uni.agg(
+      greatest(coalesce(sum("c"), lit(0L)), lit(1L)).as("g_n1"))
+    val n2Row = pairs.agg(
+      greatest(coalesce(sum("c12"), lit(0L)), lit(1L)).as("g_n2"))
     pairs
       .filter(col("c12") >= minPair)
       .join(uni.select(col("term").as("w1"), col("c").as("c1")), Seq("w1"))
       .join(uni.select(col("term").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n1Row))
+      .crossJoin(broadcast(n2Row))
       .select(col("w1"), col("w2"), col("c12"),
-        round((qLn(col("c12")) + lit(2L * qOf(n1)) - lit(qOf(n2))
+        round((qLn(col("c12")) + lit(2L) * qLn(col("g_n1")) - qLn(col("g_n2"))
           - qLn(col("c1")) - qLn(col("c2"))).cast("double") / lit(1e6), 6).as("pmi"))
       .orderBy("w1", "w2")
   }
@@ -1267,19 +1292,23 @@ object TextAnalysis {
     val rawCnt = feats.groupBy("b").agg(count(lit(1)).as("cnt_r"))
     val tgtCnt = feats.filter(col("lang") === targetLang)
       .groupBy("b").agg(count(lit(1)).as("cnt_t"))
-    // corpus/target totals: two scalar aggregate jobs over the persisted
-    // feature frame; ln(N+B) lands on the grid as a literal on both engines
-    val nR = feats.count()
-    val nT = feats.filter(col("lang") === targetLang).count()
-    def gridLit(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
-    val c = gridLit(nR.toDouble + buckets) - gridLit(nT.toDouble + buckets)
+    // corpus/target totals derived FROM the ≤`buckets`-row model
+    // aggregates, riding the plan as 1-row broadcast frames — ln(N+B)
+    // lands on the grid in-plan on both engines, with no driver-side
+    // count jobs at plan-construction time
+    val nRow = rawCnt.agg(coalesce(sum("cnt_r"), lit(0L)).as("g_nr"))
+    val tRow = tgtCnt.agg(coalesce(sum("cnt_t"), lit(0L)).as("g_nt"))
     def grid(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       floor(log(x.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    val c = grid(col("g_nr") + lit(buckets.toLong)) -
+      grid(col("g_nt") + lit(buckets.toLong))
     // target buckets ⊆ raw buckets (same corpus), so a left join covers
     // every bucket a document can hash into
     val bucketW = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .crossJoin(broadcast(nRow))
+      .crossJoin(broadcast(tRow))
       .select(col("b"),
-        (grid(coalesce(col("cnt_t"), lit(0L)) + 1) - grid(col("cnt_r") + 1) + lit(c))
+        (grid(coalesce(col("cnt_t"), lit(0L)) + 1) - grid(col("cnt_r") + 1) + c)
           .as("wq"))
     feats
       .join(broadcast(bucketW), Seq("b"))
@@ -1368,10 +1397,26 @@ object TextAnalysis {
     * 1e-6 integer-grid ln snap (the [[unigramLogProb]] trick), and each
     * (term, doc) contribution is an exact integer floor-division on
     * that grid — so scores, and therefore RANKS, are engine-identical;
-    * top-k never flaps on float ties. Magnitude bound: idf·22·tf·T
-    * ≤ 7e6·22·dl·T stays under 2^63 for corpora to ~10^7 tokens per
-    * this scoring grid; rescale the grid before the 100 TB corpus.
+    * top-k never flaps on float ties. Magnitude bound: the products run
+    * in DECIMAL(38,0) (DuckDB: HUGEINT — both exact 128-bit-class
+    * integer arithmetic), so the numerator idf·22·tf·T ≤ 3e7·22·tf·T
+    * must stay under 1e38: with per-doc tf ≤ 1e6 that holds to corpora
+    * of ~1e24 tokens — comfortably past the 100 TB (~2e13-token) design
+    * point, and far past the old all-BIGINT form's ~1e7-token bound.
+    * Each contribution after the division is ≤ 2.2·idf_grid < 2^63, so
+    * the per-(query, doc) SUM is back in exact BIGINT. Overflow beyond
+    * the decimal cap fails loudly under ANSI mode, never wraps.
     */
+  /** The exact (term, doc) BM25 contribution over columns `q_idf`, `tf`,
+    * `g_t`, `g_n`, `dl` — DECIMAL(38,0) products (exact to 1e38, loud
+    * ANSI failure beyond) floor-divided back to BIGINT. Factored out so
+    * the overflow-boundary spec drives it with 100 TB-scale magnitudes.
+    */
+  private[graft] def bm25Contrib: Column = expr(
+    "(cast(q_idf as decimal(38,0)) * 22 * tf * g_t) div " +
+      "(cast(10 as decimal(38,0)) * g_t * tf + " +
+      "cast(3 as decimal(38,0)) * g_t + cast(9 as decimal(38,0)) * g_n * dl)")
+
   def bm25TopK(documents: DataFrame, k: Int = 10): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -1399,8 +1444,7 @@ object TextAnalysis {
       .select(col("query_id"),
         explode(graft.functions.TextExpressions.alnumTokens(col("qtext"))).as("term"))
       .distinct()
-    val contrib = expr(
-      "(q_idf * 22 * tf * g_t) div (10 * g_t * tf + 3 * g_t + 9 * g_n * dl)")
+    val contrib = bm25Contrib
     val scores = broadcast(qterms)
       .join(tf, "term")
       .join(dl, "doc_id")

@@ -57,6 +57,31 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 contribution stays exact far past the old BIGINT overflow bound") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // magnitudes at and beyond the 100 TB design point: T up to 2e16
+    // corpus tokens, N up to 2e13 docs, saturated tf on long docs —
+    // every case here overflows the old all-BIGINT numerator (> 2^63)
+    val cases = Seq(
+      // (q_idf,     tf,     g_t,                g_n,            dl)
+      (23700000L, 10000L, 20000000000000L, 20000000000L, 50000L),
+      (30000000L, 1000000L, 20000000000000000L, 20000000000000L, 1000000L),
+      (1000000L, 500L, 10000000000000L, 1000000000L, 2000L),
+      (7000000L, 1L, 20000000000000L, 20000000000L, 1L))
+    val got = cases.toDF("q_idf", "tf", "g_t", "g_n", "dl")
+      .select(graft.ops.TextAnalysis.bm25Contrib.as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = cases.map { case (qi0, tf0, t0, n0, dl0) =>
+      val (qi, tf, t, n, dl) =
+        (BigInt(qi0), BigInt(tf0), BigInt(t0), BigInt(n0), BigInt(dl0))
+      assert(qi * 22 * tf * t > BigInt(Long.MaxValue),
+        "boundary case must exceed the old BIGINT numerator bound")
+      ((qi * 22 * tf * t) / (BigInt(10) * t * tf + BigInt(3) * t + BigInt(9) * n * dl)).toLong
+    }
+    assert(got == want, s"decimal(38,0) contribution must equal BigInt-exact: $got vs $want")
+  }
+
   test("ewmaHourly: s1 = x1 then s = 0.75s + 0.25x, on the 1e-6 grid") {
     val sparkS = spark
     import sparkS.implicits._
