@@ -87,6 +87,7 @@ object SparkEntry {
     "q_sql_timetravel" -> ((s, d) => Incremental.ordersSqlTimetravel(t(s, d, "orders"))),
     "q_sql_pruned" -> ((s, d) => Incremental.ordersSqlPruned(t(s, d, "orders"))),
     "q_sql_insert" -> ((s, d) => Incremental.ordersSqlInsert(t(s, d, "orders"))),
+    "q_sql_ctas" -> ((s, d) => Incremental.ordersSqlCtas(t(s, d, "orders"))),
     "q_sql_delete" -> ((s, d) => Incremental.ordersSqlDelete(t(s, d, "orders"))),
     "q_sql_update" -> ((s, d) => Incremental.ordersSqlUpdate(t(s, d, "orders"))),
     "q_sql_merge" -> ((s, d) => Incremental.ordersSqlMerge(t(s, d, "orders"))),
@@ -1553,6 +1554,20 @@ object SparkEntry {
         |SELECT o_orderkey, 'NEW',
         |       CAST(round(o_totalprice * 100) AS BIGINT)
         |FROM orders WHERE o_orderkey % 4 = 3
+        |ORDER BY o_orderkey""".stripMargin,
+    // SQL DDL end-to-end: CREATE TABLE AS SELECT, ALTER TABLE ADD
+    // COLUMN, then INSERT through the widened schema — pre-evolution
+    // rows null-fill the added column, post-evolution rows carry it.
+    "q_sql_ctas" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |       CAST(NULL AS BIGINT) AS tier
+        |FROM orders WHERE o_orderkey % 4 = 1
+        |UNION ALL
+        |SELECT o_orderkey, 'EVO',
+        |       CAST(round(o_totalprice * 100) AS BIGINT),
+        |       CAST(1 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 4 = 2
         |ORDER BY o_orderkey""".stripMargin,
     // SQL DELETE FROM through the catalog (copy-on-write replace
     // commit): the oracle keeps the complement of the deleted range, so

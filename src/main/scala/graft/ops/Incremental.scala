@@ -758,6 +758,42 @@ object Incremental {
       s"SELECT o_orderkey, status, price_c FROM gtab.default.$name ORDER BY o_orderkey")
   }
 
+  /** Registered q_sql_ctas body: the SQL DDL surface end-to-end —
+    * CREATE TABLE AS SELECT (a schema-only v1 plus the data as v2,
+    * both ordinary commits), ALTER TABLE ADD COLUMN (a schema-only
+    * append the snapshot-schema union picks up), then an INSERT through
+    * the WIDENED schema. The read exercises evolution in both
+    * directions at once: pre-evolution rows null-fill the added column,
+    * post-evolution rows carry it — and the oracle replays the same
+    * union in DuckDB, so hash equality proves the evolved table decodes
+    * back exactly.
+    */
+  def ordersSqlCtas(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlctas:$inputKey"), { _ =>
+      val n = s"orders_ctas_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      orders.createOrReplaceTempView(s"g_ctas_src_$n")
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n AS
+           |SELECT o_orderkey, o_orderstatus AS status,
+           |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+           |FROM g_ctas_src_$n WHERE o_orderkey % 4 = 1""".stripMargin)
+      spark.sql(s"ALTER TABLE gtab.default.$n ADD COLUMN tier BIGINT")
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT o_orderkey, 'EVO' AS status,
+           |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+           |       CAST(1 AS BIGINT) AS tier
+           |FROM g_ctas_src_$n WHERE o_orderkey % 4 = 2""".stripMargin)
+      n
+    })
+    spark.sql(
+      s"""SELECT o_orderkey, status, price_c, tier
+         |FROM gtab.default.$name ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Registered q_sql_delete body: SQL `DELETE FROM` through the catalog —
     * executed as a file-granular copy-on-write replace commit: the pushed
     * range filter both prunes candidate files from the zone maps and,

@@ -42,8 +42,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * INSERT OVERWRITE stage executor-written parquet and publish through
   * the SAME commit protocol (link-as-CAS, CHECK constraints, snapshot
   * isolation) as the programmatic API, so SQL writes are ordinary
-  * time-travelable commits; only DDL (CREATE/DROP/ALTER) is refused —
-  * tables ARE manifest directories, created by the first commit.
+  * time-travelable commits. DDL: CREATE TABLE (+ CTAS) commits a
+  * schema-only version 1 (tables ARE manifest directories, created by
+  * their first commit), ALTER TABLE ADD COLUMN appends a schema-only
+  * commit the snapshot-schema union picks up (old files null-fill, old
+  * snapshots keep their narrower schema), DROP TABLE deletes through
+  * the cache-invalidating [[VersionedTable.dropTable]]; only RENAME is
+  * refused (readers pin tables by path).
   */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
@@ -138,17 +143,70 @@ class GraftCatalog extends TableCatalog
       s"$catName.${(ident.namespace() :+ ident.name()).mkString(".")}")
   }
 
-  private def noDdl: Nothing = throw new UnsupportedOperationException(
-    s"catalog $catName does not support DDL: create tables through " +
-      "graft.sources.VersionedTable.commit (tables are manifest directories); " +
-      "INSERT INTO / INSERT OVERWRITE on existing tables IS supported and " +
-      "routes through the commit protocol")
+  /** CREATE TABLE (and the create half of CTAS): commit a schema-only
+    * version 1 — tables ARE manifest directories, created by their first
+    * commit, so DDL is just a commit whose single data file is an empty
+    * parquet carrying the declared schema. CTAS's subsequent write then
+    * appends version 2 through the ordinary INSERT path; on write
+    * failure Spark rolls back via [[dropTable]].
+    */
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = noDdl
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = noDdl
-  override def dropTable(ident: Identifier): Boolean = noDdl
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = noDdl
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"graft tables take no partition transforms — cluster data with " +
+        s"CALL $catName.system.optimize/zorder instead")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    VersionedTable.commitSchemaOnly(dirOf(ident).toString, schema, append = false)
+    loadTable(ident)
+  }
+
+  /** ALTER TABLE ADD COLUMN(S): append a schema-only commit whose empty
+    * file carries the widened schema — [[VersionedTable.snapshotSchema]]
+    * unions it in, existing files are untouched, old snapshots keep
+    * their narrower schema, and the readers null-fill the new column
+    * for pre-evolution rows. New columns must be nullable (existing
+    * rows have no value for them); every other change kind is refused
+    * loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident).toString
+    val spark = SparkSession.active
+    val cur = VersionedTable.snapshotSchema(spark, dir, None)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"nested ADD COLUMN ${a.fieldNames().mkString(".")} is not supported")
+        require(a.isNullable,
+          s"ADD COLUMN ${a.fieldNames()(0)}: new columns must be nullable — " +
+            "existing rows carry no value for them")
+        StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"catalog $catName supports only ALTER TABLE ADD COLUMN(S); got $other")
+    }
+    adds.foreach(f => require(!cur.fieldNames.contains(f.name),
+      s"column ${f.name} already exists in $ident"))
+    VersionedTable.commitSchemaOnly(dir, StructType(cur.fields ++ adds), append = true)
+    loadTable(ident)
+  }
+
+  /** DROP TABLE: delete the directory tree through
+    * [[VersionedTable.dropTable]] (which also invalidates the JVM's
+    * resolved-entry cache — the invariant that makes recreate-at-same-
+    * path safe).
+    */
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && {
+      VersionedTable.dropTable(dirOf(ident).toString)
+      true
+    }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog $catName does not support RENAME: readers pin tables by " +
+        "path, and a rename would silently break their snapshots")
 }
 
 class GraftCatalogTable(table: String, version: Option[Long], ident: String)
@@ -180,8 +238,10 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
   }
   override def name(): String =
     version.fold(ident)(v => s"$ident@v$v")
+  // the O(commits) footer union, not a full-scan inference: picks up
+  // ADD COLUMN evolution (old files null-fill) and stays metadata-cheap
   override def schema(): StructType =
-    VersionedTable.read(SparkSession.active, table, version).schema
+    VersionedTable.snapshotSchema(SparkSession.active, table, version)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -238,7 +298,7 @@ class GraftRowLevelOperation(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
         with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
-      private val full = VersionedTable.read(SparkSession.active, table).schema
+      private val full = VersionedTable.snapshotSchema(SparkSession.active, table, None)
       private var required: StructType = full
       private var bounds: Seq[(String, Long, Long)] = Nil
       private var used: Array[Filter] = Array.empty

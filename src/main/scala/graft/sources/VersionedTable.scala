@@ -558,6 +558,57 @@ object VersionedTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Snapshot schema in O(commit directories) footer reads, not
+    * O(files): every file of a commit directory is written from one
+    * frame with one schema, so merging ONE representative footer per
+    * directory yields the same column-set union `mergeSchema = true`
+    * computes over every footer. Field order is first-commit-first
+    * (later commits append their new columns); a same-name type
+    * conflict fails loudly rather than guessing. This is what the SQL
+    * catalog serves as the table schema — ADD COLUMN appends an empty
+    * schema-carrying file ([[commitSchemaOnly]]), which this union picks
+    * up while old snapshots keep their narrower schema.
+    */
+  private[sources] def snapshotSchema(
+      spark: SparkSession, table: String, version: Option[Long])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val dataE = pinnedEntries(table, version).filterNot(isDeleteEntry).map(entryPath)
+    require(dataE.nonEmpty, s"no data files in the snapshot of $table")
+    val reps = dataE.groupBy(dataCommitOf).toSeq.sortBy(_._1).map(_._2.min)
+    reps.map(p => spark.read.parquet(Paths.get(table, p).toString).schema)
+      .reduce { (a, b) =>
+        val byName = a.fields.map(f => f.name -> f).toMap
+        b.fields.foreach(f => byName.get(f.name).foreach(g =>
+          require(g.dataType == f.dataType,
+            s"schema evolution conflict in $table: column ${f.name} is " +
+              s"${g.dataType} in one commit and ${f.dataType} in another")))
+        StructType(a.fields ++ b.fields.filterNot(f => byName.contains(f.name)))
+      }
+  }
+
+  /** Publish a commit whose single data file is an EMPTY parquet carrying
+    * `schema` — the SQL DDL primitive: CREATE TABLE commits schema-only
+    * version 1 (tables ARE manifest directories, created by their first
+    * commit), and ALTER TABLE ADD COLUMN appends a schema-only version
+    * whose widened footer rides the [[snapshotSchema]] union while every
+    * existing file (and pinned snapshot) stays untouched. Zero rows, one
+    * footer, O(1) metadata — schema changes never rewrite data.
+    */
+  private[sources] def commitSchemaOnly(
+      table: String, schema: org.apache.spark.sql.types.StructType,
+      append: Boolean): Long = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val next = versions(table).lastOption.getOrElse(0L) + 1L
+    val dirName = s"c${next}_$token"
+    val dir = Paths.get(table, "data", dirName)
+    Files.createDirectories(dir)
+    val fileName = "part-schema-0.parquet"
+    new GraftDataWriter(dir.resolve(fileName).toString, schema).commit()
+    publishStaged(table, token, next, dirName, Seq(s"$fileName#0"),
+      append, txnId = None, expectedLatest = None).fold(identity, identity)
+  }
+
   /** Idempotent commit: if a version carrying `txnId` already exists,
     * do nothing and return None; else commit and return the version.
     * Because the txn id rides inside the atomically-published manifest,

@@ -91,16 +91,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(rows == Set(1L), s"TIMESTAMP AS OF '$lit' must see only v1, got $rows")
   }
 
-  test("the catalog lists manifest directories and refuses DDL loudly") {
+  test("the catalog lists manifest directories and refuses RENAME loudly") {
     val ids = spark.sql("SHOW TABLES IN gtest.default").collect()
       .map(_.getString(1)).toSet
     assert(Set("tt", "mor", "zm").subsetOf(ids), s"listed: $ids")
+    // RENAME stays refused: readers pin tables by path
     val ex = intercept[Exception] {
-      spark.sql("CREATE TABLE gtest.default.brand_new (k BIGINT) USING parquet")
+      spark.sql("ALTER TABLE gtest.default.tt RENAME TO gtest.default.tt2")
     }
-    assert(ex.getMessage.toLowerCase.contains("ddl") ||
+    assert(ex.getMessage.contains("RENAME") ||
       ex.getMessage.toLowerCase.contains("does not support"),
-      s"unexpected DDL error: ${ex.getMessage}")
+      s"unexpected RENAME error: ${ex.getMessage}")
   }
 
   test("INSERT INTO appends a commit; INSERT OVERWRITE replaces the head; both time-travelable") {
@@ -387,5 +388,116 @@ class GraftCatalogSpec extends AnyFunSuite {
       .getOrElse(fail("no graft-catalog scan"))
     assert(m.group(2).toInt == 4 && m.group(1).toInt < 4,
       s"integral pruning regressed: files=${m.group(1)}/${m.group(2)}")
+  }
+
+  test("CREATE TABLE AS SELECT creates v1 (schema-only) + v2 (the data)") {
+    spark.sql(
+      "CREATE TABLE gtest.default.ctas AS " +
+        "SELECT id AS k, concat('v', id) AS v FROM range(1, 6)")
+    val got = spark.sql("SELECT k, v FROM gtest.default.ctas ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == (1L to 5L).map(k => (k, s"v$k")))
+    // the create half is an ordinary commit: v1 is the empty schema
+    // carrier, the CTAS write appended v2 — both time-travelable
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.default.ctas VERSION AS OF 1")
+      .collect()(0).getLong(0) == 0L)
+    val ops = spark.sql(
+      "SELECT version, operation FROM gtest.default.`ctas$history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(ops == Seq((1L, "create"), (2L, "append")), s"history: $ops")
+  }
+
+  test("CREATE TABLE then INSERT; DROP TABLE; recreate at the same path") {
+    spark.sql("CREATE TABLE gtest.default.ddl (k BIGINT, v STRING)")
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.default.ddl")
+      .collect()(0).getLong(0) == 0L, "a created table reads as empty")
+    spark.sql("INSERT INTO gtest.default.ddl VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT k FROM gtest.default.ddl ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    spark.sql("DROP TABLE gtest.default.ddl")
+    assert(spark.sql("SHOW TABLES IN gtest.default")
+      .collect().map(_.getString(1)).forall(_ != "ddl"), "dropped table still listed")
+    // recreate at the same path with different content: a stale resolved-
+    // entry cache would replay the dropped table's manifests
+    spark.sql("CREATE TABLE gtest.default.ddl (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtest.default.ddl VALUES (9, 'z')")
+    assert(spark.sql("SELECT k, v FROM gtest.default.ddl")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(9L -> "z"))
+  }
+
+  test("ALTER TABLE ADD COLUMN: old rows null-fill, old snapshots stay narrow") {
+    spark.sql("CREATE TABLE gtest.default.evo (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtest.default.evo VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gtest.default.evo ADD COLUMN score BIGINT")
+    // head schema widened; pre-evolution rows read NULL for the new column
+    val head = spark.sql("SELECT k, v, score FROM gtest.default.evo ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(head == Seq((1L, "a", None), (2L, "b", None)))
+    spark.sql("INSERT INTO gtest.default.evo VALUES (3, 'c', 70)")
+    val all = spark.sql("SELECT k, score FROM gtest.default.evo ORDER BY k")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(all == Seq((1L, None), (2L, None), (3L, Some(70L))))
+    // the pre-evolution snapshot keeps its narrower schema
+    val v2 = spark.sql("SELECT * FROM gtest.default.evo VERSION AS OF 2")
+    assert(v2.columns.toSeq == Seq("k", "v"),
+      s"old snapshot must not see the added column: ${v2.columns.toSeq}")
+    // refused loudly: non-nullable adds and every other change kind
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.default.evo RENAME COLUMN v TO w")
+    }
+    assert(ex.getMessage.contains("ADD COLUMN"), ex.getMessage)
+  }
+
+  test("two concurrent SQL INSERTs both survive as distinct versions") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    spark.sql("CREATE TABLE gtest.default.race (k BIGINT, v STRING)")
+    val fs = Seq("x", "y").map(tag => Future {
+      spark.sql(s"INSERT INTO gtest.default.race VALUES (${tag.hashCode}, '$tag')")
+    })
+    Await.result(Future.sequence(fs), 120.seconds)
+    val got = spark.sql("SELECT v FROM gtest.default.race")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("x", "y"),
+      s"a racing INSERT must never be silently dropped: $got")
+    val t = s"$root/default/race"
+    assert(VersionedTable.versions(t) == Seq(1L, 2L, 3L),
+      "each INSERT must land as its own commit after the create")
+  }
+
+  test("an UPDATE racing an INSERT wins cleanly or fails loudly — never drops rows") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    spark.sql("CREATE TABLE gtest.default.race2 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtest.default.race2 VALUES (1, 'old'), (2, 'old')")
+    val upd = Future(scala.util.Try(
+      spark.sql("UPDATE gtest.default.race2 SET v = 'new' WHERE v = 'old'")))
+    val ins = Future(
+      spark.sql("INSERT INTO gtest.default.race2 VALUES (3, 'inserted')"))
+    val updResult = Await.result(upd, 120.seconds)
+    Await.result(ins, 120.seconds)
+    val rows = spark.sql("SELECT k, v FROM gtest.default.race2")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the INSERT retries past any interleaving: its row must survive
+    assert(rows.contains(3L -> "inserted"), s"inserted row lost: $rows")
+    assert(rows.map(_._1) == Set(1L, 2L, 3L), s"base rows lost: $rows")
+    updResult match {
+      case scala.util.Success(_) =>
+        // the update scanned a basis that already held rows 1 and 2 —
+        // a clean win must have updated both
+        assert(rows.contains(1L -> "new") && rows.contains(2L -> "new"),
+          s"UPDATE reported success but left stale rows: $rows")
+      case scala.util.Failure(e) =>
+        // loud loss: the basis moved underneath the rewrite
+        assert(e.getMessage.contains("concurrent") ||
+          Option(e.getCause).exists(_.getMessage.contains("concurrent")),
+          s"UPDATE failed for an unexpected reason: $e")
+        assert(rows.contains(1L -> "old") && rows.contains(2L -> "old"),
+          s"failed UPDATE must leave the base rows untouched: $rows")
+    }
   }
 }
