@@ -327,14 +327,25 @@ class GraftRowLevelOperation(
         new Scan with Batch {
           override def readSchema(): StructType = required
           override def toBatch: Batch = this
+          private def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
+          // same per-scan vectorization rule as GraftTableScan: all-or-
+          // nothing, tombstone-free, no schema gap across commits
+          private lazy val columnarOk: Boolean =
+            required.nonEmpty && kept.forall(_._3.isEmpty) && {
+              val reqd = required.fieldNames.toSet
+              kept.groupBy(_._2).valuesIterator.forall { files =>
+                reqd.subsetOf(VersionedTable.commitSchemaOf(
+                  SparkSession.active, table, files.map(_._1).min)
+                  .fieldNames.toSet)
+              }
+            }
           override def description(): String =
-            s"graft-rowlevel-scan $table@v$basis files=${kept.size}/${layout.size}"
-          override def planInputPartitions(): Array[InputPartition] = {
-            def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
+            s"graft-rowlevel-scan $table@v$basis files=${kept.size}/${layout.size} " +
+              s"vectorized=$columnarOk"
+          override def planInputPartitions(): Array[InputPartition] =
             kept.map { case (file, _, tombs, _) =>
-              GraftCatalogPartition(abs(file), tombs.map(abs)): InputPartition
+              GraftCatalogPartition(abs(file), tombs.map(abs), columnarOk): InputPartition
             }.toArray
-          }
           override def createReaderFactory(): PartitionReaderFactory =
             new GraftCatalogReaderFactory(required)
         }
@@ -846,30 +857,80 @@ class GraftTableScan(
       stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
     }
   }
+  private def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
+
+  /** VECTORIZED scan eligibility — Spark forbids mixing row-based and
+    * columnar partitions in one scan, so the decision is per-SCAN: every
+    * kept file must be tombstone-free (the MOR anti-join is a row-wise
+    * filter; compaction restores vectorized reads) and every commit's
+    * files must physically contain ALL required columns (an ADD COLUMN
+    * evolution gap null-fills through the row decoder instead). Checked
+    * from ONE representative footer per commit directory — O(commits)
+    * driver reads, the [[VersionedTable.snapshotSchema]] discipline.
+    */
+  private lazy val columnarOk: Boolean =
+    required.nonEmpty && kept.forall(_._3.isEmpty) && {
+      val spark = SparkSession.active
+      val reqd = required.fieldNames.toSet
+      kept.groupBy(_._2).valuesIterator.forall { files =>
+        reqd.subsetOf(VersionedTable
+          .commitSchemaOf(spark, table, files.map(_._1).min).fieldNames.toSet)
+      }
+    }
 
   override def description(): String =
     s"graft-catalog $table${version.fold("")(v => s"@v$v")} " +
       s"files=${kept.size}/${layout.size} " +
+      s"vectorized=$columnarOk " +
       s"bounds=${bounds.map { case (c, (l, h)) => s"$c∈[$l,$h]" }.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
+  override def planInputPartitions(): Array[InputPartition] =
     kept.map { case (file, _, tombs, _) =>
-      GraftCatalogPartition(abs(file), tombs.map(abs)): InputPartition
+      GraftCatalogPartition(abs(file), tombs.map(abs), columnarOk): InputPartition
     }.toArray
-  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftCatalogReaderFactory(required)
 }
 
-case class GraftCatalogPartition(file: String, tombstones: Seq[String])
+case class GraftCatalogPartition(
+    file: String, tombstones: Seq[String], columnar: Boolean = false)
     extends InputPartition
 
 class GraftCatalogReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftCatalogReader(partition.asInstanceOf[GraftCatalogPartition], required)
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.asInstanceOf[GraftCatalogPartition].columnar
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftCatalogVectorReader(
+      partition.asInstanceOf[GraftCatalogPartition].file, required)
+}
+
+/** VECTORIZED partition reader: Spark's own columnar parquet decoder
+  * (`VectorizedParquetRecordReader`) serving ColumnarBatches straight
+  * into the scan — the constant-factor row-decode tax of the Group API
+  * disappears for the common case (tombstone-free snapshot, no schema
+  * gap; the planner falls back to [[GraftCatalogReader]] otherwise).
+  * Rebase modes are CORRECTED/UTC on both timestamp96 and datetime,
+  * matching the row decoder's plain-arithmetic INT96 conversion, so the
+  * two paths are value-identical.
+  */
+class GraftCatalogVectorReader(file: String, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  private val reader =
+    new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+  reader.initialize(file, java.util.Arrays.asList(required.fieldNames: _*))
+  reader.initBatch(new StructType(), InternalRow.empty)
+  reader.enableReturningBatches()
+
+  override def next(): Boolean = reader.nextBatch()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.resultBatch()
+  override def close(): Unit = reader.close()
 }
 
 /** Shared Group-API field decoding for the catalog and streaming readers:

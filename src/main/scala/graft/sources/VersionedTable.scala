@@ -558,6 +558,24 @@ object VersionedTable {
     throw new IllegalStateException("unreachable")
   }
 
+  // per-commit-directory footer schema memo: a commit directory's files
+  // are immutable once published and share one schema, so (table, dir)
+  // → schema never changes. Evicted with the directory (vacuum) or the
+  // table (dropTable); size is O(live commit dirs), i.e. versions-scale.
+  private val commitSchemas = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
+  /** The (cached) Spark schema of the commit directory holding manifest
+    * entry `relPath` — ONE footer read per directory per JVM, which is
+    * what keeps the SQL catalog's per-query planning free of repeated
+    * footer I/O.
+    */
+  private[sources] def commitSchemaOf(
+      spark: SparkSession, table: String, relPath: String)
+      : org.apache.spark.sql.types.StructType =
+    commitSchemas.computeIfAbsent((table, relPath.split('/')(1)),
+      _ => spark.read.parquet(Paths.get(table, relPath).toString).schema)
+
   /** Snapshot schema in O(commit directories) footer reads, not
     * O(files): every file of a commit directory is written from one
     * frame with one schema, so merging ONE representative footer per
@@ -576,7 +594,7 @@ object VersionedTable {
     val dataE = pinnedEntries(table, version).filterNot(isDeleteEntry).map(entryPath)
     require(dataE.nonEmpty, s"no data files in the snapshot of $table")
     val reps = dataE.groupBy(dataCommitOf).toSeq.sortBy(_._1).map(_._2.min)
-    reps.map(p => spark.read.parquet(Paths.get(table, p).toString).schema)
+    reps.map(p => commitSchemaOf(spark, table, p))
       .reduce { (a, b) =>
         val byName = a.fields.map(f => f.name -> f).toMap
         b.fields.foreach(f => byName.get(f.name).foreach(g =>
@@ -1252,6 +1270,7 @@ object VersionedTable {
   def dropTable(table: String): Unit = {
     deleteRecursively(Paths.get(table))
     resolvedEntries.keySet.removeIf(_._1 == table)
+    commitSchemas.keySet.removeIf(_._1 == table)
     ()
   }
 
@@ -1307,8 +1326,11 @@ object VersionedTable {
       Files.deleteIfExists(manifestDir(table).resolve(s"$v.manifest")))
     // expired versions can never be resolved again — release their cached
     // entry lists (each is O(snapshot files); a long-lived driver that
-    // vacuums on a schedule must not accumulate O(versions × files))
+    // vacuums on a schedule must not accumulate O(versions × files)),
+    // and the footer-schema memos of the directories just reclaimed
     expired.foreach(v => resolvedEntries.remove((table, v)))
+    val doomedDirs = doomed.map(_.split('/')(1))
+    commitSchemas.keySet.removeIf(k => k._1 == table && doomedDirs.contains(k._2))
     doomed.size
   }
 }

@@ -390,6 +390,44 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"integral pruning regressed: files=${m.group(1)}/${m.group(2)}")
   }
 
+  test("SQL scans vectorize when tombstone-free; fall back under MOR and evolution") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/vec"
+    VersionedTable.commit(
+      (1L to 500L).map(k => (k, s"v$k", k * 0.5)).toDF("k", "v", "x"), t, append = false)
+    val q1 = spark.sql("SELECT k, v, x FROM gtest.default.vec")
+    assert(q1.queryExecution.executedPlan.toString.contains("vectorized=true"),
+      "tombstone-free scan must take the columnar path")
+    assert(q1.collect().length == 500)
+    // the columnar and row decoders must agree value-for-value
+    val viaCatalog = spark.sql("SELECT k, v, x FROM gtest.default.vec")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val viaApi = VersionedTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(viaCatalog == viaApi)
+    // a MOR tombstone forces the row decoder (anti-join is row-wise)...
+    VersionedTable.deleteWhere(spark, t, col("k") <= 10L, "k")
+    val q2 = spark.sql("SELECT k FROM gtest.default.vec")
+    assert(q2.queryExecution.executedPlan.toString.contains("vectorized=false"),
+      "tombstoned snapshot must fall back to the row decoder")
+    assert(q2.collect().map(_.getLong(0)).toSet == (11L to 500L).toSet)
+    // ...and compaction restores the columnar path
+    VersionedTable.compact(spark, t)
+    val q3 = spark.sql("SELECT k FROM gtest.default.vec")
+    assert(q3.queryExecution.executedPlan.toString.contains("vectorized=true"),
+      "compaction must restore vectorized scans")
+    assert(q3.collect().map(_.getLong(0)).toSet == (11L to 500L).toSet)
+    // an ADD COLUMN evolution gap null-fills through the row decoder
+    spark.sql("ALTER TABLE gtest.default.vec ADD COLUMN extra BIGINT")
+    val q4 = spark.sql("SELECT k, extra FROM gtest.default.vec")
+    assert(q4.queryExecution.executedPlan.toString.contains("vectorized=false"),
+      "schema-gap scan must fall back to the null-filling row decoder")
+    assert(q4.collect().forall(_.isNullAt(1)))
+    // projections covered by every commit's files still vectorize
+    val q5 = spark.sql("SELECT k, v FROM gtest.default.vec")
+    assert(q5.collect().length == 490)
+  }
+
   test("CREATE TABLE AS SELECT creates v1 (schema-only) + v2 (the data)") {
     spark.sql(
       "CREATE TABLE gtest.default.ctas AS " +
