@@ -766,6 +766,7 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.assetsFromDocuments(t(s, d, "documents")))
         .toDF().orderBy("asset_id", "frame_idx")),
     "q_media_audio" -> ((s, d) => Multimodal.audioFeatures(t(s, d, "documents"))),
+    "q_media_video" -> ((s, d) => Multimodal.videoFeatures(t(s, d, "documents"))),
     // ---- reference reconciliation pipeline (golden-verified in tests AND
     //      driver-verified: the oracle replays the full validation /
     //      normalization cascade via DuckDB read_csv over the same CSVs) ----
@@ -4170,6 +4171,34 @@ object SparkEntry {
         |  CAST(coalesce(list_sum(list_transform(string_split(text, ''),
         |    c -> (ascii(c) - 128) * (ascii(c) - 128))), 0) AS BIGINT) AS energy
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Real YUV4MPEG2 decode (Multimodal.Y4mCodec): each document's bytes
+    // become 8×8 Cmono luma frames (floor(len/64) frames; a short doc
+    // zero-pads its single frame), and the decoder folds every Y plane
+    // into exact integer luma stats. Per-character arithmetic replays
+    // them because the corpus is pure ASCII: ascii(c) IS the luma byte.
+    // A padded short doc (used < 64) has zero bytes in frame ⇒ luma_min 0.
+    "q_media_video" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    CASE WHEN length(text) < 64 THEN 1
+        |         ELSE length(text) // 64 END AS n_frames,
+        |    CASE WHEN length(text) < 64 THEN length(text)
+        |         ELSE (length(text) // 64) * 64 END AS used
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_frames, used,
+        |    list_transform(string_split(substring(text, 1, used), ''),
+        |                   x -> ascii(x)) AS codes
+        |  FROM b)
+        |SELECT doc_id AS asset_id,
+        |  CAST(8 AS INTEGER) AS width,
+        |  CAST(8 AS INTEGER) AS height,
+        |  CAST(n_frames AS INTEGER) AS n_frames,
+        |  CAST(CASE WHEN used < 64 THEN 0
+        |            ELSE coalesce(list_min(codes), 0) END AS INTEGER) AS luma_min,
+        |  CAST(coalesce(list_max(codes), 0) AS INTEGER) AS luma_max,
+        |  CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS luma_sum
+        |FROM c ORDER BY doc_id""".stripMargin,
     // Full reconciliation pipeline replayed over the reference CSVs
     // (reference: etl_pipeline.py:62-342): DISTINCT* dedup is exact because
     // duplicate groups are full-row duplicates (verified 10,981 → 10,000

@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real and tested — schema, partition-parallel
   * batch processing via `mapPartitions` on a typed Dataset, deterministic
-  * output shape. The IMAGE codec is real: [[MediaDecoder.decode]] parses
-  * PNG/JPEG/BMP/GIF via the JDK's built-in ImageIO (true dimensions + a
-  * 64-bit average-hash). Audio/video codecs — and image bytes no ImageIO
-  * reader accepts — fall back to [[MediaDecoder.decodeStub]]'s
-  * deterministic pseudo-features (this container ships no media
-  * libraries beyond the JDK); swapping in a richer decoder changes one
-  * function, not the pipeline.
+  * output shape. All three modality codecs are REAL: images decode via
+  * the JDK's built-in ImageIO (PNG/JPEG/BMP/GIF — true dimensions + a
+  * 64-bit average-hash), audio via the zero-dependency [[WavCodec]]
+  * (RIFF/WAVE PCM header walk + exact sample fold), and video via the
+  * zero-dependency [[Y4mCodec]] (YUV4MPEG2 header walk + exact
+  * luma-plane fold). Only bytes NO codec accepts fall back to
+  * [[MediaDecoder.decodeStub]]'s deterministic pseudo-features —
+  * compressed A/V codecs (MP3, H.264, …) can't ship in this offline
+  * container; swapping in a richer decoder changes one function, not
+  * the pipeline.
   *
   * Scale: decode is a narrow map stage — no shuffle; partition count (i.e.
   * `spark.sql.files.maxPartitionBytes` on the media store) is the
@@ -240,6 +243,166 @@ object Multimodal {
       }
     }
   }
+
+  /** Decoded video features — what [[Y4mCodec.decode]] emits for a real
+    * YUV4MPEG2 payload: container geometry plus EXACT integer luma
+    * statistics over every frame (min/max/sum of the Y-plane bytes), so
+    * the DuckDB oracle replays them bit-for-bit. An unparseable payload
+    * decodes to the all-zero row — the same total-on-dirty-data contract
+    * as the image and audio paths.
+    */
+  final case class VideoFeatures(
+      asset_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      luma_min: Int,
+      luma_max: Int,
+      luma_sum: Long,
+  )
+
+  /** Real Y4M (YUV4MPEG2) video codec — zero dependencies, just the
+    * container format: an ASCII parameter header (`W<w> H<h> F<n>:<d>
+    * ... C<colorspace>`), then `FRAME`-delimited raw planar frames. This
+    * retires the LAST decode stub of the multimodal path (image: ImageIO,
+    * audio: [[WavCodec]], video: this) — compressed codecs (H.264 &c.)
+    * cannot ship in this offline container, but uncompressed Y4M is the
+    * standard interchange the ffmpeg toolchain emits, and its decode is
+    * a real header walk + plane fold, not a fake.
+    */
+  object Y4mCodec {
+    private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+    /** Encode 8-bit monochrome (`Cmono`) luma frames: header + `FRAME\n`
+      * + w·h Y bytes per frame. Deliberately the strict subset the asset
+      * generator uses; [[decode]] also accepts the 420/422/444 layouts.
+      */
+    def encodeMono(
+        frames: Seq[Array[Byte]], w: Int, h: Int,
+        fpsNum: Int = 25, fpsDen: Int = 1): Array[Byte] = {
+      require(frames.nonEmpty && frames.forall(_.length == w * h),
+        s"every Cmono frame must carry exactly $w*$h luma bytes")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 Cmono\n".getBytes(Ascii))
+      frames.foreach { f =>
+        out.write("FRAME\n".getBytes(Ascii))
+        out.write(f)
+      }
+      out.toByteArray
+    }
+
+    /** Luma-plane length per frame for a colorspace tag; None = a layout
+      * this decoder does not understand (fail loudly via the stub row).
+      */
+    private def frameLen(colorspace: String, w: Int, h: Int): Option[Int] =
+      colorspace match {
+        case "mono"                       => Some(w * h)
+        case c if c.startsWith("420")     => Some(w * h * 3 / 2)
+        case c if c.startsWith("422")     => Some(w * h * 2)
+        case c if c.startsWith("444")     => Some(w * h * 3)
+        case _                            => None
+      }
+
+    /** Parse a Y4M payload: stream header, then every FRAME's Y plane
+      * folded into (min, max, sum) without materializing frames. Returns
+      * None on anything not self-consistent YUV4MPEG2 (bad magic,
+      * unknown colorspace, truncated frame) — the caller maps that to
+      * the all-zero [[VideoFeatures]] row.
+      */
+    def decode(assetId: Long, bytes: Array[Byte]): Option[VideoFeatures] = {
+      val nl = bytes.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val header = new String(bytes, 0, nl, Ascii)
+      if (!header.startsWith("YUV4MPEG2")) return None
+      val params = header.split(' ').drop(1)
+      def p(tag: Char): Option[String] =
+        params.find(s => s.nonEmpty && s.head == tag).map(_.tail)
+      val w = p('W').flatMap(_.toIntOption).getOrElse(return None)
+      val h = p('H').flatMap(_.toIntOption).getOrElse(return None)
+      if (w <= 0 || h <= 0) return None
+      val fl = frameLen(p('C').getOrElse("420jpeg"), w, h).getOrElse(return None)
+      val luma = w * h
+      var off = nl + 1
+      var n = 0
+      var lMin = 255
+      var lMax = 0
+      var lSum = 0L
+      while (off < bytes.length) {
+        val end = bytes.indexOf('\n'.toByte, off)
+        if (end < 0) return None
+        val marker = new String(bytes, off, end - off, Ascii)
+        if (!marker.startsWith("FRAME")) return None
+        val dataOff = end + 1
+        if (dataOff + fl > bytes.length) return None // truncated frame
+        var i = dataOff
+        val stop = dataOff + luma // stats over the Y plane only
+        while (i < stop) {
+          val v = bytes(i) & 0xff
+          if (v < lMin) lMin = v
+          if (v > lMax) lMax = v
+          lSum += v
+          i += 1
+        }
+        off = dataOff + fl
+        n += 1
+      }
+      if (n == 0) return None
+      Some(VideoFeatures(assetId, w, h, n, lMin, lMax, lSum))
+    }
+  }
+
+  /** Manufacture Y4M video assets from `documents`: the text bytes ARE
+    * the 8×8 monochrome luma frames (64 bytes each; a document shorter
+    * than one frame zero-pads its single frame, a longer one truncates
+    * to whole frames), wrapped in a real YUV4MPEG2 container by
+    * [[Y4mCodec.encodeMono]]. The corpus is pure ASCII, so the DuckDB
+    * oracle replays the decoded luma statistics with per-character
+    * arithmetic — the decode is REAL (header walk + plane fold), and its
+    * output is still hash-checkable.
+    */
+  def y4mAssetsFromDocuments(documents: DataFrame): Dataset[MediaAsset] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id").as("asset_id"), lit("video").as("media_type"),
+        col("text").cast("binary").as("payload"), col("source"))
+      .as[MediaAsset]
+      .mapPartitions(_.map { a =>
+        val n = math.max(1, a.payload.length / 64)
+        val frames = (0 until n).map { f =>
+          val fr = new Array[Byte](64)
+          val from = f * 64
+          val len = math.max(0, math.min(64, a.payload.length - from))
+          if (len > 0) System.arraycopy(a.payload, from, fr, 0, len)
+          fr
+        }
+        a.copy(payload = Y4mCodec.encodeMono(frames, 8, 8))
+      })
+  }
+
+  /** Video decode stage: same per-partition batch-map shape as
+    * [[decodeAudio]], through the real [[Y4mCodec]]. Unparseable
+    * payloads yield the all-zero features row (total on dirty data).
+    */
+  def decodeVideo(assets: Dataset[MediaAsset]): Dataset[VideoFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      Y4mCodec.decode(a.asset_id, a.payload)
+        .getOrElse(VideoFeatures(a.asset_id, 0, 0, 0, 0, 0, 0L))
+    })
+  }
+
+  /** Registered q_media_video body: wrap each document's bytes as real
+    * 8×8 Cmono YUV4MPEG2 frames, decode through the container parser,
+    * and emit the exact integer luma statistics. Narrow map stages
+    * end-to-end — no shuffle until the presentation sort.
+    */
+  def videoFeatures(documents: DataFrame): DataFrame =
+    decodeVideo(y4mAssetsFromDocuments(documents))
+      .select("asset_id", "width", "height", "n_frames",
+        "luma_min", "luma_max", "luma_sum")
+      .orderBy("asset_id")
 
   /** Manufacture WAV audio assets from `documents`: the text bytes ARE the
     * unsigned-8-bit PCM samples (8 kHz mono), wrapped in a real RIFF/WAVE

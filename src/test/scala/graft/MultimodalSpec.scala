@@ -129,6 +129,56 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("Y4mCodec round-trips in-test generated video; junk and truncation are total") {
+    // 3 mono 4×2 frames with known luma bytes
+    val f0 = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    val f1 = Array[Byte](5, 5, 5, 5, 5, 5, 5, 5)
+    val f2 = Array.tabulate[Byte](8)(i => (200 + i).toByte) // unsigned 200..207
+    val y4m = Multimodal.Y4mCodec.encodeMono(Seq(f0, f1, f2), 4, 2)
+    assert(new String(y4m.take(9)) == "YUV4MPEG2")
+    val f = Multimodal.Y4mCodec.decode(1L, y4m).get
+    assert(f.width == 4 && f.height == 2 && f.n_frames == 3)
+    assert(f.luma_min == 5 && f.luma_max == 207)
+    assert(f.luma_sum ==
+      f0.map(_ & 0xff).sum.toLong + f1.map(_ & 0xff).sum + f2.map(_ & 0xff).sum)
+
+    // a 420-layout frame: luma stats cover the Y plane only
+    val header420 = "YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n".getBytes
+    val y = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val uv = Array[Byte](100, 100, 101, 101) // 2 U + 2 V chroma bytes
+    val v420 = header420 ++ "FRAME\n".getBytes ++ y ++ uv
+    val g = Multimodal.Y4mCodec.decode(2L, v420).get
+    assert(g.n_frames == 1 && g.luma_min == 1 && g.luma_max == 8 && g.luma_sum == 36L)
+
+    // total on dirty data: junk, truncated frame, unknown colorspace
+    assert(Multimodal.Y4mCodec.decode(3L, "not video".getBytes).isEmpty)
+    assert(Multimodal.Y4mCodec.decode(4L, y4m.dropRight(3)).isEmpty)
+    assert(Multimodal.Y4mCodec.decode(5L,
+      "YUV4MPEG2 W4 H2 Cweird\nFRAME\n12345678".getBytes).isEmpty)
+
+    val sparkS = spark
+    import sparkS.implicits._
+    val ds = Seq(
+      Multimodal.MediaAsset(1L, "video", y4m, "t"),
+      Multimodal.MediaAsset(2L, "video", "junk".getBytes, "t")).toDS()
+    val rows = Multimodal.decodeVideo(ds).collect().sortBy(_.asset_id)
+    assert(rows(0) == f)
+    assert(rows(1) == Multimodal.VideoFeatures(2L, 0, 0, 0, 0, 0, 0L))
+  }
+
+  test("videoFeatures wraps documents as real Y4M and decodes them back") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.videoFeatures(docs).collect()
+    assert(rows.length == docs.count())
+    val lens = docs.selectExpr("doc_id", "length(text) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.foreach { r =>
+      val len = lens(r.getLong(0))
+      assert(r.getInt(1) == 8 && r.getInt(2) == 8)
+      assert(r.getInt(3) == math.max(1L, len / 64L), s"n_frames of ${r.getLong(0)}")
+    }
+  }
+
   test("frame sampling yields every stride-th frame of video assets only") {
     val frames = Multimodal.sampleFrames(assets, stride = 2, frameBytes = 64).collect()
     assert(frames.nonEmpty)
