@@ -88,6 +88,7 @@ object SparkEntry {
     "q_sql_pruned" -> ((s, d) => Incremental.ordersSqlPruned(t(s, d, "orders"))),
     "q_sql_insert" -> ((s, d) => Incremental.ordersSqlInsert(t(s, d, "orders"))),
     "q_sql_ctas" -> ((s, d) => Incremental.ordersSqlCtas(t(s, d, "orders"))),
+    "q_maint_advisor" -> ((s, d) => Incremental.ordersMaintenanceAdvisor(t(s, d, "orders"))),
     "q_sql_delete" -> ((s, d) => Incremental.ordersSqlDelete(t(s, d, "orders"))),
     "q_sql_update" -> ((s, d) => Incremental.ordersSqlUpdate(t(s, d, "orders"))),
     "q_sql_merge" -> ((s, d) => Incremental.ordersSqlMerge(t(s, d, "orders"))),
@@ -1570,6 +1571,33 @@ object SparkEntry {
         |       CAST(1 AS BIGINT)
         |FROM orders WHERE o_orderkey % 4 = 2
         |ORDER BY o_orderkey""".stripMargin,
+    // Maintenance advisor over the $files metadata table: per-commit
+    // debt metrics + table-level recommendation. The oracle predicts
+    // the layout from the fixture's construction: commit 1 = 4 files
+    // (explicit repartition(4)) of the even-key half (never <1000 rows
+    // per file at sf0.01's ~1875/file), commits 2-3 = 1 small file each
+    // (~150 rows), and the merge-on-read delete's tombstone (bound 3)
+    // applies to every data file. Only file COUNTS and the <1000-row
+    // classification appear — never per-file row counts, which Spark's
+    // round-robin split does not pin exactly.
+    "q_maint_advisor" ->
+      """WITH per AS (
+        |  SELECT 1 AS commit_version, 4 AS n_files,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_rows,
+        |    0 AS n_small_files, 4 AS n_tombstoned_files
+        |  UNION ALL
+        |  SELECT 2, 1,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 100 = 1), 1, 1
+        |  UNION ALL
+        |  SELECT 3, 1,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 100 = 3), 1, 1)
+        |SELECT CAST(commit_version AS BIGINT) AS commit_version,
+        |  CAST(n_files AS BIGINT) AS n_files,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_small_files AS BIGINT) AS n_small_files,
+        |  CAST(n_tombstoned_files AS BIGINT) AS n_tombstoned_files,
+        |  'compact: tombstone debt' AS recommendation
+        |FROM per ORDER BY commit_version""".stripMargin,
     // SQL DELETE FROM through the catalog (copy-on-write replace
     // commit): the oracle keeps the complement of the deleted range, so
     // hash equality proves carried + rewritten files read back exactly.

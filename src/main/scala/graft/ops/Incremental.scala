@@ -794,6 +794,63 @@ object Incremental {
          |FROM gtab.default.$name ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Registered q_maint_advisor body: the `$files` metadata surface
+    * composed into the OPERATIONAL loop — a maintenance advisor that
+    * reads one snapshot's per-file layout (commit, footer rows,
+    * applicable tombstones; all manifest arithmetic, no data file
+    * opened) and emits per-commit debt metrics plus the table-level
+    * recommendation a scheduler would act on: tombstone debt ⇒ compact,
+    * small-file debt ⇒ optimize, else healthy. The fixture drifts the
+    * way real tables do — a healthy clustered base, two small-file
+    * appends, then a merge-on-read delete — and the oracle predicts the
+    * same debts from the fixture's construction (file counts are pinned
+    * by the explicit repartitioning; per-file SIZES never appear, only
+    * the <1000-row classification, which is margin-robust).
+    */
+  def ordersMaintenanceAdvisor(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"maint:$inputKey"), { _ =>
+      val n = s"orders_mnt_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      val t = s"$root/default/$n"
+      val base = orders
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          cents(col("o_totalprice")).as("price_c"))
+      graft.sources.VersionedTable.commit(
+        base.filter(col("o_orderkey") % 2L === 0L).repartition(4),
+        t, append = false)
+      graft.sources.VersionedTable.commit(
+        base.filter(col("o_orderkey") % 100L === 1L).repartition(1),
+        t, append = true)
+      graft.sources.VersionedTable.commit(
+        base.filter(col("o_orderkey") % 100L === 3L).repartition(1),
+        t, append = true)
+      graft.sources.VersionedTable.deleteWhere(
+        spark, t, col("o_orderkey") % 1000L === 2L, "o_orderkey")
+      n
+    })
+    spark.sql(
+      s"""WITH per AS (
+         |  SELECT commit_version, count(*) AS n_files, sum(n_rows) AS n_rows,
+         |    sum(CASE WHEN n_rows < 1000 THEN 1 ELSE 0 END) AS n_small_files,
+         |    sum(CASE WHEN n_applicable_tombstones > 0 THEN 1 ELSE 0 END)
+         |      AS n_tombstoned_files
+         |  FROM gtab.default.`$name$$files` GROUP BY commit_version),
+         |tot AS (
+         |  SELECT sum(n_small_files) AS ts, sum(n_tombstoned_files) AS td
+         |  FROM per)
+         |SELECT per.commit_version,
+         |  CAST(per.n_files AS BIGINT) AS n_files,
+         |  CAST(per.n_rows AS BIGINT) AS n_rows,
+         |  CAST(per.n_small_files AS BIGINT) AS n_small_files,
+         |  CAST(per.n_tombstoned_files AS BIGINT) AS n_tombstoned_files,
+         |  CASE WHEN tot.td > 0 THEN 'compact: tombstone debt'
+         |       WHEN tot.ts >= 2 THEN 'optimize: small-file debt'
+         |       ELSE 'healthy' END AS recommendation
+         |FROM per CROSS JOIN tot ORDER BY per.commit_version""".stripMargin)
+  }
+
   /** Registered q_sql_delete body: SQL `DELETE FROM` through the catalog —
     * executed as a file-granular copy-on-write replace commit: the pushed
     * range filter both prunes candidate files from the zone maps and,
