@@ -270,7 +270,7 @@ class VersionedMicroBatchStream(
           s"retained version $minV — versions ${s + 1}..${minV - 1} were vacuumed " +
           "and cannot be replayed. Restart the stream with a fresh checkpoint " +
           "(the initial batch then serves the oldest retained snapshot in full)")
-    vs.filter(v => v > s && v <= e).flatMap { v =>
+    val parts = vs.filter(v => v > s && v <= e).flatMap { v =>
       // range opens at the table's oldest retained version: serve its FULL
       // resolved snapshot (carried entries included), not just its fresh
       // files — after vacuum the expired commits' surviving rows ride the
@@ -286,13 +286,35 @@ class VersionedMicroBatchStream(
               "file-level initial load would resurrect deleted rows — run " +
               "compact()/CALL system.compact first, then restart the stream")
         layout.map { case (rel, _, _, _) =>
-          VersionedFilePartition(abs(rel), v, "insert"): InputPartition
+          (rel, VersionedFilePartition(abs(rel), v, "insert"))
         }
       } else planCommit(v, abs)
+    }
+    // VECTORIZED micro-batches, same all-or-nothing rule as the catalog
+    // scans (Spark forbids mixing row and columnar partitions): every
+    // partition must be an insert over a file physically containing all
+    // required data columns, and the metadata columns (stamped from the
+    // partition, served as constant "partition columns") must sit at the
+    // TAIL of the projection. CDF delete rows and evolution gaps fall
+    // back to the null-filling row decoder.
+    val dataFields = schema.fields.filterNot(f => VersionedStreamMeta.names(f.name))
+    val firstMeta = schema.fields.indexWhere(f => VersionedStreamMeta.names(f.name))
+    val metaSuffix = firstMeta < 0 ||
+      schema.fields.drop(firstMeta).forall(f => VersionedStreamMeta.names(f.name))
+    val columnar = dataFields.nonEmpty && metaSuffix &&
+      parts.forall(_._2.changeType == "insert") && {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val reqd = dataFields.map(_.name).toSet
+        parts.map(_._1).distinct.forall(rel => reqd.subsetOf(
+          VersionedTable.commitSchemaOf(spark, table, rel).fieldNames.toSet))
+      }
+    parts.map { case (_, p) =>
+      (if (columnar) p.copy(columnar = true) else p): InputPartition
     }.toArray
   }
 
-  private def planCommit(v: Long, abs: String => String): Seq[InputPartition] = {
+  private def planCommit(
+      v: Long, abs: String => String): Seq[(String, VersionedFilePartition)] = {
     val (freshData, freshDeletes, isOverwrite) =
       VersionedTable.commitClassFiles(table, v)
     if (isOverwrite)
@@ -306,13 +328,13 @@ class VersionedMicroBatchStream(
           "ignoreDeletes=true to skip tombstone commits, or " +
           "readChangeFeed=true to consume them as delete rows")
     val inserts = freshData.map(rel =>
-      VersionedFilePartition(abs(rel), v, "insert"): InputPartition)
+      (rel, VersionedFilePartition(abs(rel), v, "insert")))
     // change-feed mode: tombstone files become key-only DELETE rows —
     // the reader nulls every column a tombstone file doesn't carry
     val deletes =
       if (changeFeed)
         freshDeletes.map(rel =>
-          VersionedFilePartition(abs(rel), v, "delete"): InputPartition)
+          (rel, VersionedFilePartition(abs(rel), v, "delete")))
       else Seq.empty
     inserts ++ deletes
   }
@@ -324,14 +346,61 @@ class VersionedMicroBatchStream(
 }
 
 case class VersionedFilePartition(
-    file: String, commitVersion: Long, changeType: String = "insert")
+    file: String, commitVersion: Long, changeType: String = "insert",
+    columnar: Boolean = false)
     extends InputPartition
+
+/** The stream's metadata column names — stamped from the partition, not
+  * decoded from the file; the vectorized reader serves them as constant
+  * "partition columns" appended after the file columns.
+  */
+private[sources] object VersionedStreamMeta {
+  val names: Set[String] = Set("_commit_version", "_change_type")
+}
 
 class VersionedFileReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new VersionedFileReader(
       partition.asInstanceOf[VersionedFilePartition], schema)
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.asInstanceOf[VersionedFilePartition].columnar
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new VersionedFileVectorReader(
+      partition.asInstanceOf[VersionedFilePartition], schema)
+}
+
+/** VECTORIZED stream partition reader: Spark's columnar parquet decoder
+  * over one immutable data file, with the stream's metadata columns
+  * (`_commit_version`, `_change_type`) served as constant partition
+  * columns via `initBatch` — micro-batch decode at scan speed instead of
+  * row-at-a-time Group assembly. Planned only when every partition of
+  * the batch qualifies (see `planInputPartitions`); rebase modes match
+  * the row decoder's plain arithmetic, so the two paths are
+  * value-identical.
+  */
+class VersionedFileVectorReader(part: VersionedFilePartition, schema: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  private val dataFields =
+    schema.fields.filterNot(f => VersionedStreamMeta.names(f.name))
+  private val metaFields =
+    schema.fields.filter(f => VersionedStreamMeta.names(f.name))
+  private val reader =
+    new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+  reader.initialize(part.file, java.util.Arrays.asList(dataFields.map(_.name): _*))
+  reader.initBatch(StructType(metaFields),
+    new GenericInternalRow(metaFields.map(_.name match {
+      case "_commit_version" => part.commitVersion: Any
+      case _                 => UTF8String.fromString(part.changeType): Any
+    })))
+  reader.enableReturningBatches()
+
+  override def next(): Boolean = reader.nextBatch()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.resultBatch()
+  override def close(): Unit = reader.close()
 }
 
 /** Reads one immutable data file with parquet's Group API, projecting the

@@ -258,6 +258,32 @@ class VersionedStreamSpec extends AnyFunSuite {
       ex2.getCause.getMessage.contains("OVERWRITE"))
   }
 
+  test("micro-batches vectorize for insert-only ranges; CDF delete rows fall back") {
+    import graft.sources.{VersionedMicroBatchStream, VersionedFilePartition, VersionOffset}
+    val d = freshDir()
+    val t = s"$d/t"
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    VersionedTable.commit(df(3L -> "c"), t, append = true)
+    val schema = spark.readStream.format("graft-table").load(t).schema
+    val ms = new VersionedMicroBatchStream(t, schema, ignoreDeletes = false)
+    val parts = ms.planInputPartitions(VersionOffset(0L), VersionOffset(2L))
+      .map(_.asInstanceOf[VersionedFilePartition])
+    assert(parts.nonEmpty && parts.forall(_.columnar),
+      "insert-only micro-batch must plan columnar partitions")
+    // a delete commit in CDF mode mixes key-only tombstone files in —
+    // the whole batch falls back to the null-filling row decoder
+    VersionedTable.deleteWhere(spark, t, col("k") === 1L, "k")
+    val cdfSchema = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").load(t).schema
+    val cdf = new VersionedMicroBatchStream(t, cdfSchema, ignoreDeletes = false,
+      changeFeed = true)
+    val parts2 = cdf.planInputPartitions(VersionOffset(0L), VersionOffset(3L))
+      .map(_.asInstanceOf[VersionedFilePartition])
+    assert(parts2.exists(_.changeType == "delete"))
+    assert(parts2.forall(!_.columnar),
+      "a batch holding delete rows must be uniformly row-decoded")
+  }
+
   test("fresh stream on a vacuumed table serves the oldest retained snapshot in full") {
     val d = freshDir()
     val t = s"$d/t"

@@ -18,11 +18,15 @@ into /root/testdata):
   columns untouched, so group-size and value distributions per key are
   preserved and row count grows exactly 10x.
 
-Usage: python3 tools/scale_extend.py [out_dir]   (default target/sfx10)
+Usage: python3 tools/scale_extend.py [out_dir] [doc_copies] [li_copies]
+(defaults target/sfx10 10 10). Round-13's fourth-decade probe uses
+doc_copies=100 li_copies=1 (lineitem is only the bench warmup there).
 """
 import sys, zlib, duckdb
 
 out = sys.argv[1] if len(sys.argv) > 1 else "target/sfx10"
+doc_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+li_copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 sf = "/root/testdata/sf0.1"
 con = duckdb.connect()
 con.execute(f"CREATE TABLE docs AS SELECT * FROM '{sf}/documents.parquet'")
@@ -30,7 +34,7 @@ rows = con.execute("SELECT doc_id, text, lang, source, n_chars FROM docs ORDER B
 max_id = max(r[0] for r in rows) + 1
 
 ext = list(rows)
-for k in range(1, 10):
+for k in range(1, doc_copies):
     for (doc_id, text, lang, source, n_chars) in rows:
         toks = text.split(" ")
         toks = [t if zlib.crc32(f"{t}|{i}|{k}".encode()) % 100 >= 30 else f"{t}x{k}"
@@ -49,7 +53,7 @@ COPY (
   SELECT l_orderkey + k.k * (SELECT max(l_orderkey) + 1 FROM '{sf}/lineitem.parquet') AS l_orderkey,
          l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
          l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
-  FROM '{sf}/lineitem.parquet' CROSS JOIN (SELECT unnest(range(0, 10)) AS k) k
+  FROM '{sf}/lineitem.parquet' CROSS JOIN (SELECT unnest(range(0, {li_copies})) AS k) k
 ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
 """)
 n_d = con.execute(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
