@@ -38,10 +38,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * has already seen the rows; retraction is the CDF's job, not the
   * append stream's).
   *
-  * Usage: `spark.readStream.format("graft-table").load(tablePath)`.
-  * Reader scope: files are decoded with parquet's Group API via the
-  * shared [[ParquetGroups]] decoder — primitives plus timestamps
-  * (INT64 micros/millis and legacy INT96) and dates.
+  * Usage: `spark.readStream.format("graft-table").load(tablePath)`;
+  * `option("startingVersion", n)` consumes changes from version n
+  * inclusive (Delta parity — n must be a retained version; a vacuumed
+  * start fails loudly, and n = the oldest retained version serves that
+  * snapshot in full as the initial batch).
+  *
+  * Reader scope: insert-only micro-batches whose files carry every
+  * required column decode VECTORIZED (Spark's columnar parquet reader;
+  * the stream metadata columns ride as constant partition columns);
+  * CDF delete rows and schema-evolution gaps decode with parquet's
+  * Group API via the shared [[ParquetGroups]] decoder — primitives plus
+  * timestamps (INT64 micros/millis and legacy INT96) and dates.
   */
 class VersionedStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
@@ -74,14 +82,16 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
       opts.getBoolean("ignoreDeletes", false),
       Option(opts.get("maxVersionsPerTrigger")).map(_.toLong),
       opts.getBoolean("readChangeFeed", false),
-      Option(opts.get("maxRowsPerTrigger")).map(_.toLong))
+      Option(opts.get("maxRowsPerTrigger")).map(_.toLong),
+      Option(opts.get("startingVersion")).map(_.toLong))
   }
 }
 
 class VersionedStreamTable(
     table: String, schema0: StructType, ignoreDeletes: Boolean,
     maxVersionsPerTrigger: Option[Long], changeFeed: Boolean = false,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    startingVersion: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_table($table)"
@@ -127,7 +137,8 @@ class VersionedStreamTable(
         override def description(): String = s"graft-table stream over $table"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new VersionedMicroBatchStream(table, required, ignoreDeletes,
-            maxVersionsPerTrigger, changeFeed, maxRowsPerTrigger)
+            maxVersionsPerTrigger, changeFeed, maxRowsPerTrigger,
+            startingVersion)
       }
     }
   }
@@ -199,7 +210,8 @@ class VersionedStreamingWriterFactory(table: String, qTag: String, schema: Struc
 class VersionedMicroBatchStream(
     table: String, schema: StructType, ignoreDeletes: Boolean,
     maxVersionsPerTrigger: Option[Long] = None, changeFeed: Boolean = false,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    startingVersion: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // a fresh stream starts just below the OLDEST RETAINED version, not at
@@ -210,8 +222,15 @@ class VersionedMicroBatchStream(
   // a range opening at the minimum version, and fails loudly for a
   // checkpointed offset that points below it (replay determinism for
   // the vacuumed range is unrecoverable).
-  override def initialOffset(): Offset =
-    VersionOffset(VersionedTable.versions(table).headOption.fold(0L)(_ - 1L))
+  // `startingVersion` (Delta parity): consume changes from that version
+  // INCLUSIVE, skipping older history — offset v-1. Equal to the oldest
+  // retained version ⇒ the initial batch is that snapshot in full; below
+  // it ⇒ planInputPartitions fails loudly (the range was vacuumed).
+  override def initialOffset(): Offset = startingVersion match {
+    case Some(v) => VersionOffset(v - 1L)
+    case None =>
+      VersionOffset(VersionedTable.versions(table).headOption.fold(0L)(_ - 1L))
+  }
   override def latestOffset(): Offset =
     VersionOffset(VersionedTable.versions(table).lastOption.getOrElse(0L))
   // admission control: `maxVersionsPerTrigger` bounds each micro-batch to

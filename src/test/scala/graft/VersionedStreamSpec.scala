@@ -258,6 +258,22 @@ class VersionedStreamSpec extends AnyFunSuite {
       ex2.getCause.getMessage.contains("OVERWRITE"))
   }
 
+  test("startingVersion consumes changes from that version inclusive") {
+    val d = freshDir()
+    val t = s"$d/t"
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    VersionedTable.commit(df(2L -> "b"), t, append = true)
+    VersionedTable.commit(df(3L -> "c"), t, append = true)
+    val q = spark.readStream.format("graft-table")
+      .option("startingVersion", "2").load(t)
+      .writeStream.format("memory").queryName("vstream_sv")
+      .option("checkpointLocation", s"$d/cp")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(slurpSink("vstream_sv") == Set((2L, "b", 2L), (3L, "c", 3L)),
+      "startingVersion=2 must skip version 1 and serve 2 and 3")
+  }
+
   test("micro-batches vectorize for insert-only ranges; CDF delete rows fall back") {
     import graft.sources.{VersionedMicroBatchStream, VersionedFilePartition, VersionOffset}
     val d = freshDir()
