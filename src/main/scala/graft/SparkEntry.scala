@@ -89,6 +89,7 @@ object SparkEntry {
     "q_sql_insert" -> ((s, d) => Incremental.ordersSqlInsert(t(s, d, "orders"))),
     "q_sql_ctas" -> ((s, d) => Incremental.ordersSqlCtas(t(s, d, "orders"))),
     "q_maint_advisor" -> ((s, d) => Incremental.ordersMaintenanceAdvisor(t(s, d, "orders"))),
+    "q_sql_fastcount" -> ((s, d) => Incremental.ordersSqlFastcount(t(s, d, "orders"))),
     "q_sql_delete" -> ((s, d) => Incremental.ordersSqlDelete(t(s, d, "orders"))),
     "q_sql_update" -> ((s, d) => Incremental.ordersSqlUpdate(t(s, d, "orders"))),
     "q_sql_merge" -> ((s, d) => Incremental.ordersSqlMerge(t(s, d, "orders"))),
@@ -1557,6 +1558,16 @@ object SparkEntry {
         |       CAST(round(o_totalprice * 100) AS BIGINT)
         |FROM orders WHERE o_orderkey % 4 = 3
         |ORDER BY o_orderkey""".stripMargin,
+    // Ungrouped COUNT/MIN/MAX pushed to manifest arithmetic (footer
+    // counts + zone maps; tombstone-free snapshot) — the plan opens no
+    // data file; the oracle recomputes from raw orders.
+    "q_sql_fastcount" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |       CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_price_c,
+        |       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_price_c
+        |FROM orders""".stripMargin,
     // SQL DDL end-to-end: CREATE TABLE AS SELECT, ALTER TABLE ADD
     // COLUMN, then INSERT through the widened schema — pre-evolution
     // rows null-fill the added column, post-evolution rows carry it.

@@ -851,6 +851,37 @@ object Incremental {
          |FROM per CROSS JOIN tot ORDER BY per.commit_version""".stripMargin)
   }
 
+  /** Registered q_sql_fastcount body: ungrouped COUNT/MIN/MAX through
+    * the catalog answered from MANIFEST ARITHMETIC — the aggregate
+    * pushdown classifies the snapshot as tombstone-free with complete
+    * footer counts and zone maps, and the "scan" is one driver-computed
+    * row: a count over a 100 TB table opens zero data files. The oracle
+    * computes the same aggregates from raw orders, so hash equality
+    * proves the manifest-derived answers are exact (`GraftCatalogSpec`
+    * pins that the plan really is the pushed manifest-only scan and
+    * that tombstones/filters/fractional columns decline it).
+    */
+  def ordersSqlFastcount(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlfc:$inputKey"), { _ =>
+      val n = s"orders_fc_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      graft.sources.VersionedTable.commit(
+        orders.select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            cents(col("o_totalprice")).as("price_c"))
+          .repartitionByRange(8, col("o_orderkey")),
+        s"$root/default/$n", append = false,
+        statsCols = Seq("o_orderkey", "price_c"))
+      n
+    })
+    spark.sql(
+      s"""SELECT count(*) AS n_rows,
+         |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         |       min(price_c) AS min_price_c, max(price_c) AS max_price_c
+         |FROM gtab.default.$name""".stripMargin)
+  }
+
   /** Registered q_sql_delete body: SQL `DELETE FROM` through the catalog —
     * executed as a file-granular copy-on-write replace commit: the pushed
     * range filter both prunes candidate files from the zone maps and,

@@ -811,11 +811,16 @@ class GraftDataWriter(
 
 class GraftTableScanBuilder(table: String, version: Option[Long], full: StructType)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{
+    Aggregation, CountStar, Max => VMax, Min => VMin}
 
   private var required: StructType = full
   private var bounds: Map[String, (Long, Long)] = Map.empty
   private var used: Array[Filter] = Array.empty
+  private var aggPlan: Option[Seq[GraftAggSpec]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -841,7 +846,131 @@ class GraftTableScanBuilder(table: String, version: Option[Long], full: StructTy
   }
   override def pushedFilters(): Array[Filter] = used
 
-  override def build(): Scan = new GraftTableScan(table, version, required, bounds)
+  /** COMPLETE aggregate pushdown to MANIFEST ARITHMETIC: an ungrouped,
+    * unfiltered `COUNT(*)` / `MIN(col)` / `MAX(col)` over a
+    * tombstone-free snapshot is answerable from the commit-time footer
+    * counts and zone maps alone — a count over a 100 TB table opens
+    * ZERO data files. Eligibility, checked per aggregate:
+    *  - no GROUP BY, and no WHERE reached this scan (every catalog
+    *    filter is residual, so Spark only attempts aggregate pushdown
+    *    on filterless scans; `bounds`/`used` double-guard that);
+    *  - the snapshot carries no MOR tombstones (a tombstone could
+    *    remove the extreme row or shrink the count);
+    *  - COUNT(*): every data file records a footer count;
+    *  - MIN/MAX: the column is integral (zone-map stats are exact for
+    *    integral values, truncated for fractional — those decline) and
+    *    every data file holding rows records stats for it (an all-null
+    *    file records none and declines the pushdown; zero-row
+    *    schema-evolution files are exempt — they contribute nothing).
+    * Stats cover non-null values only, matching SQL MIN/MAX semantics;
+    * an empty snapshot answers count 0 with null extremes. Anything
+    * else declines, and Spark aggregates above the ordinary scan.
+    */
+  private def classify(agg: Aggregation): Option[Seq[GraftAggSpec]] = {
+    if (agg.groupByExpressions.nonEmpty || used.nonEmpty || bounds.nonEmpty)
+      return None
+    val layout = VersionedTable.snapshotLayout(table, version)
+    if (layout.exists(_._3.nonEmpty)) return None // tombstones
+    val rowsOf = VersionedTable.snapshotFiles(table, version)
+      .map { case (p, _, r, _, _) => p -> r }.toMap
+    if (rowsOf.valuesIterator.exists(_.isEmpty)) return None // pre-stats file
+    val integral: Map[String, DataType] = full.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType || f.dataType == ByteType => f.name -> f.dataType
+    }.toMap
+    def statsComplete(c: String): Boolean = layout.forall { case (p, _, _, st) =>
+      st.contains(c) || rowsOf(p).contains(0L)
+    }
+    def extremes(c: String): (Option[Long], Option[Long]) = {
+      val st = layout.flatMap(e => e._4.get(c))
+      (st.map(_._1).minOption, st.map(_._2).maxOption)
+    }
+    val specs = agg.aggregateExpressions.map {
+      case _: CountStar =>
+        GraftAggSpec("count", "", LongType,
+          Some(rowsOf.valuesIterator.flatten.sum))
+      case m: VMin => m.column match {
+        case f: NamedReference if f.fieldNames.length == 1 &&
+            integral.contains(f.fieldNames()(0)) &&
+            statsComplete(f.fieldNames()(0)) =>
+          val c = f.fieldNames()(0)
+          GraftAggSpec("min", c, integral(c), extremes(c)._1)
+        case _ => return None
+      }
+      case m: VMax => m.column match {
+        case f: NamedReference if f.fieldNames.length == 1 &&
+            integral.contains(f.fieldNames()(0)) &&
+            statsComplete(f.fieldNames()(0)) =>
+          val c = f.fieldNames()(0)
+          GraftAggSpec("max", c, integral(c), extremes(c)._2)
+        case _ => return None
+      }
+      case _ => return None
+    }
+    Some(specs.toSeq)
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    classify(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    classify(agg) match {
+      case Some(specs) => aggPlan = Some(specs); true
+      case None        => false
+    }
+
+  override def build(): Scan = aggPlan match {
+    case Some(specs) => new GraftAggScan(table, version, specs)
+    case None        => new GraftTableScan(table, version, required, bounds)
+  }
+}
+
+/** One completely-pushed aggregate: kind (count/min/max), source column,
+  * result type, and the manifest-computed value (None = SQL NULL).
+  */
+case class GraftAggSpec(
+    kind: String, col: String, dt: DataType, value: Option[Long])
+
+/** One-row, one-partition scan answering completely-pushed ungrouped
+  * aggregates from manifest arithmetic — no data file is opened.
+  */
+class GraftAggScan(table: String, version: Option[Long], specs: Seq[GraftAggSpec])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    specs.zipWithIndex.foldLeft(new StructType()) { case (s, (sp, i)) =>
+      s.add(s"agg_${i}_${sp.kind}", sp.dt, nullable = sp.kind != "count")
+    }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-catalog-agg $table${version.fold("")(v => s"@v$v")} " +
+      s"aggs=${specs.map(s => s"${s.kind}(${s.col})").mkString(",")} manifest-only"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftCatalogPartition("", Nil))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val payload = specs.toArray
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow = {
+            val row = new GenericInternalRow(payload.length)
+            payload.zipWithIndex.foreach { case (sp, i) =>
+              sp.value match {
+                case None => row.setNullAt(i)
+                case Some(v) => sp.dt match {
+                  case LongType    => row.setLong(i, v)
+                  case IntegerType => row.setInt(i, v.toInt)
+                  case ShortType   => row.setShort(i, v.toShort)
+                  case _           => row.setByte(i, v.toByte)
+                }
+              }
+            }
+            row
+          }
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 class GraftTableScan(

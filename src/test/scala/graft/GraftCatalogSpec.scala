@@ -428,6 +428,45 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(q5.collect().length == 490)
   }
 
+  test("COUNT/MIN/MAX push down to manifest arithmetic; guards decline correctly") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/agg"
+    VersionedTable.commit(
+      (1L to 900L).map(k => (k, s"v$k", k * 0.5)).toDF("k", "v", "x")
+        .repartitionByRange(3, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    VersionedTable.commit(
+      Seq((1000L, "z", 0.5)).toDF("k", "v", "x"), t, append = true,
+      statsCols = Seq("k"))
+    val q = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM gtest.default.agg")
+    assert(q.queryExecution.executedPlan.toString.contains("manifest-only"),
+      s"expected a pushed manifest-arithmetic aggregate:\n${q.queryExecution.executedPlan}")
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((901L, 1L, 1000L)))
+    // a WHERE keeps every filter residual, so the aggregate stays above
+    // an ordinary scan — and the result is still exact
+    val qf = spark.sql("SELECT count(*) AS n FROM gtest.default.agg WHERE k > 100")
+    assert(!qf.queryExecution.executedPlan.toString.contains("manifest-only"))
+    assert(qf.collect()(0).getLong(0) == 801L) // 101..900 plus the 1000 row
+    // MIN on a fractional column declines (truncated zone maps lie)
+    val qd = spark.sql("SELECT min(x) AS m FROM gtest.default.agg")
+    assert(!qd.queryExecution.executedPlan.toString.contains("manifest-only"))
+    assert(qd.collect()(0).getDouble(0) == 0.5)
+    // MOR tombstones decline the pushdown; the row-path answer is exact
+    VersionedTable.deleteWhere(spark, t, col("k") <= 100L, "k")
+    val qt = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mn FROM gtest.default.agg")
+    assert(!qt.queryExecution.executedPlan.toString.contains("manifest-only"))
+    val rt = qt.collect()(0)
+    assert((rt.getLong(0), rt.getLong(1)) == ((801L, 101L)))
+    // time travel still pushes against the pinned pre-delete snapshot
+    val qv = spark.sql(
+      "SELECT count(*) AS n FROM gtest.default.agg VERSION AS OF 2")
+    assert(qv.queryExecution.executedPlan.toString.contains("manifest-only"))
+    assert(qv.collect()(0).getLong(0) == 901L)
+  }
+
   test("CREATE TABLE AS SELECT creates v1 (schema-only) + v2 (the data)") {
     spark.sql(
       "CREATE TABLE gtest.default.ctas AS " +
