@@ -812,7 +812,8 @@ class GraftDataWriter(
 class GraftTableScanBuilder(table: String, version: Option[Long], full: StructType)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{
     Aggregation, CountStar, Max => VMax, Min => VMin}
@@ -821,6 +822,22 @@ class GraftTableScanBuilder(table: String, version: Option[Long], full: StructTy
   private var bounds: Map[String, (Long, Long)] = Map.empty
   private var used: Array[Filter] = Array.empty
   private var aggPlan: Option[Seq[GraftAggSpec]] = None
+  private var limitOpt: Option[Int] = None
+
+  /** LIMIT pushdown as FILE pruning: Spark only pushes a limit when no
+    * filter sits between it and the scan (catalog filters are always
+    * residual, which re-erects that Filter node), so a pushed limit
+    * sees the raw snapshot row set and the scan may plan just enough
+    * files — by footer counts — to cover it. Returns FALSE (partial):
+    * Spark still applies the exact row limit above; the pushdown only
+    * bounds how many files are opened (LIMIT 10 over a 100 TB table
+    * reads one file). Declined after an aggregate pushdown (the limit
+    * would then bound the 1-row aggregate output, not the data).
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (aggPlan.isEmpty) limitOpt = Some(limit)
+    false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -920,7 +937,7 @@ class GraftTableScanBuilder(table: String, version: Option[Long], full: StructTy
 
   override def build(): Scan = aggPlan match {
     case Some(specs) => new GraftAggScan(table, version, specs)
-    case None        => new GraftTableScan(table, version, required, bounds)
+    case None => new GraftTableScan(table, version, required, bounds, limitOpt)
   }
 }
 
@@ -975,16 +992,72 @@ class GraftAggScan(table: String, version: Option[Long], specs: Seq[GraftAggSpec
 
 class GraftTableScan(
     table: String, version: Option[Long], required: StructType,
-    bounds: Map[String, (Long, Long)]) extends Scan with Batch {
+    bounds: Map[String, (Long, Long)],
+    limit: Option[Int] = None) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Manifest-derived statistics for the PLANNER: without them a DSv2
+    * scan defaults to "unknown = huge", so a join against a catalog
+    * table would NEVER broadcast regardless of its true size. Row count
+    * is the footer-count sum of the files this scan actually plans
+    * (zone-map pruning already applied — a pruned range read reports its
+    * pruned size, improving downstream join planning); size is rows ×
+    * a per-type width estimate (strings/binaries at 20 bytes, the
+    * EstimationUtils convention). Tombstones make the row count an
+    * over-approximation, which is the safe direction for broadcast
+    * decisions.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val rowsOf = VersionedTable.snapshotFiles(table, version)
+      .map { case (p, _, r, _, _) => p -> r }.toMap
+    val counts = kept.map(e => rowsOf.get(e._1).flatten)
+    val rows: Option[Long] = if (counts.exists(_.isEmpty)) None
+      else Some(counts.flatten.sum)
+    val width = required.fields.map(_.dataType match {
+      case LongType | DoubleType | TimestampType | TimestampNTZType => 8L
+      case IntegerType | FloatType | DateType => 4L
+      case ShortType => 2L
+      case BooleanType | ByteType => 1L
+      case _ => 20L
+    }).sum.max(1L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(r =>
+          java.util.OptionalLong.of(r * width))
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
+
   private lazy val layout = VersionedTable.snapshotLayout(table, version)
-  private lazy val kept = layout.filter { case (_, _, _, stats) =>
+  private lazy val pruned = layout.filter { case (_, _, _, stats) =>
     bounds.forall { case (c, (lo, hi)) =>
       stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
     }
+  }
+  // a pushed (partial) LIMIT plans just enough files to cover it, by
+  // footer counts — safe only when every file is tombstone-free (the
+  // MOR anti-join shrinks a file's contribution below its footer count)
+  // and footer-counted; otherwise keep everything and let Spark's limit
+  // terminate the scan early
+  private lazy val kept = limit match {
+    case Some(n) if pruned.forall(_._3.isEmpty) =>
+      val rowsOf = VersionedTable.snapshotFiles(table, version)
+        .map { case (p, _, r, _, _) => p -> r }.toMap
+      if (pruned.exists(e => rowsOf.get(e._1).flatten.isEmpty)) pruned
+      else {
+        var acc = 0L
+        val taken = pruned.takeWhile { e =>
+          val take = acc < n
+          acc += rowsOf(e._1).get
+          take
+        }
+        taken
+      }
+    case _ => pruned
   }
   private def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
 

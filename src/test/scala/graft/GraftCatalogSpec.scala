@@ -467,6 +467,56 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(qv.collect()(0).getLong(0) == 901L)
   }
 
+  test("a pushed LIMIT plans just enough files by footer counts") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/lim"
+    VersionedTable.commit(
+      (1L to 800L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(8, col("k")),
+      t, append = false)
+    val q = spark.sql("SELECT k FROM gtest.default.lim LIMIT 10")
+    assert(q.collect().length == 10)
+    val m = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no graft-catalog scan"))
+    assert(m.group(2).toInt == 8 && m.group(1).toInt == 1,
+      s"LIMIT 10 over ~100-row files must plan one file, got " +
+        s"files=${m.group(1)}/${m.group(2)}")
+    // a LIMIT spanning several files keeps exactly enough
+    val q2 = spark.sql("SELECT k FROM gtest.default.lim LIMIT 250")
+    assert(q2.collect().length == 250)
+    val m2 = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q2.queryExecution.executedPlan.toString).get
+    assert(m2.group(1).toInt == 3, s"files=${m2.group(1)}/${m2.group(2)}")
+    // tombstones decline the file-count trick; results stay exact
+    VersionedTable.deleteWhere(spark, t, col("k") <= 150L, "k")
+    val q3 = spark.sql("SELECT k FROM gtest.default.lim LIMIT 200")
+    val m3 = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q3.queryExecution.executedPlan.toString).get
+    assert(m3.group(1).toInt == 8, s"files=${m3.group(1)}/${m3.group(2)}")
+    val got = q3.collect().map(_.getLong(0))
+    assert(got.length == 200 && got.forall(_ > 150L),
+      "limited read over tombstones must never resurrect deleted rows")
+  }
+
+  test("manifest-derived statistics let a small catalog table broadcast in joins") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/dim"
+    VersionedTable.commit(
+      (1L to 50L).map(k => (k, s"name$k")).toDF("k", "nm"), t, append = false)
+    val big = spark.range(1, 100000)
+      .selectExpr("id AS fk", "id % 50 + 1 AS k")
+    big.createOrReplaceTempView("g_stats_big")
+    val q = spark.sql(
+      "SELECT b.fk, d.nm FROM g_stats_big b JOIN gtest.default.dim d USING (k)")
+    // without SupportsReportStatistics the DSv2 side sizes as "unknown =
+    // huge" and this join would sort-merge; the 50-row footer count must
+    // make it broadcast
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"expected a broadcast join:\n${q.queryExecution.executedPlan}")
+    assert(q.count() == 99999L)
+  }
+
   test("CREATE TABLE AS SELECT creates v1 (schema-only) + v2 (the data)") {
     spark.sql(
       "CREATE TABLE gtest.default.ctas AS " +
