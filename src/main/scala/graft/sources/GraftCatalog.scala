@@ -162,6 +162,14 @@ class GraftCatalog extends TableCatalog
     loadTable(ident)
   }
 
+  // constraint DDL rides the DSv2 constraint SPIP (Spark 4.x): without
+  // this capability Spark refuses ALTER TABLE ... ADD CONSTRAINT at
+  // analysis before the catalog ever sees it
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   /** ALTER TABLE ADD COLUMN(S): append a schema-only commit whose empty
     * file carries the widened schema — [[VersionedTable.snapshotSchema]]
     * unions it in, existing files are untouched, old snapshots keep
@@ -175,7 +183,33 @@ class GraftCatalog extends TableCatalog
     val dir = dirOf(ident).toString
     val spark = SparkSession.active
     val cur = VersionedTable.snapshotSchema(spark, dir, None)
-    val adds = changes.map {
+    // constraint DDL first: ADD CONSTRAINT ... CHECK validates the
+    // standing head in one aggregate job (a constraint the table already
+    // violates is rejected — recorded constraints are invariants, never
+    // aspirations) and then gates every later commit, SQL or
+    // programmatic; DROP CONSTRAINT unrecords it. Only CHECK is
+    // enforceable here — PK/FK/UNIQUE are informational elsewhere and
+    // refusing them loudly beats silently not enforcing them.
+    val (constraintChanges, columnChanges) = changes.partition {
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
+      case _ => false
+    }
+    constraintChanges.foreach {
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          VersionedTable.addCheckConstraint(spark, dir, c.name(), c.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"catalog $catName enforces only CHECK constraints; got $other")
+      }
+      case d: TableChange.DropConstraint =>
+        require(VersionedTable.constraints(dir).exists(_._1 == d.name()),
+          s"constraint ${d.name()} does not exist on $ident")
+        VersionedTable.dropConstraint(dir, d.name())
+      case _ => ()
+    }
+    if (columnChanges.isEmpty && constraintChanges.nonEmpty)
+      return loadTable(ident)
+    val adds = columnChanges.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           s"nested ADD COLUMN ${a.fieldNames().mkString(".")} is not supported")
@@ -242,6 +276,20 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
   // ADD COLUMN evolution (old files null-fill) and stays metadata-cheap
   override def schema(): StructType =
     VersionedTable.snapshotSchema(SparkSession.active, table, version)
+  // standing CHECK constraints surfaced through the DSv2 constraint API
+  // (DESCRIBE shows them); each was head-validated at ADD time and gates
+  // every commit, so ENFORCED/VALID/rely is the honest status
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    VersionedTable.constraints(table).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(sql)
+        .enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.VALID)
+        .rely(true)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)

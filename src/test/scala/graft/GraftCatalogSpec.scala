@@ -517,7 +517,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(q.count() == 99999L)
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT wires SQL CHECK DDL to the commit gate") {
+    val _ = root // force gtest catalog registration (lazy)
+    spark.sql("CREATE TABLE gtest.default.con (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtest.default.con VALUES (1, 'a'), (2, 'b')")
+    spark.sql(
+      "ALTER TABLE gtest.default.con ADD CONSTRAINT pos_k CHECK (k > 0)")
+    // the constraint now gates every commit: a violating INSERT aborts
+    // atomically and publishes nothing
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO gtest.default.con VALUES (-5, 'bad')")
+    }
+    assert(ex.getMessage.contains("pos_k") ||
+      Option(ex.getCause).exists(_.getMessage.contains("pos_k")), ex.getMessage)
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.default.con")
+      .collect()(0).getLong(0) == 2L, "violating INSERT must publish nothing")
+    // a constraint the standing head violates is rejected at ADD time
+    val ex2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.default.con ADD CONSTRAINT big_k CHECK (k > 10)")
+    }
+    // Spark's AddCheckConstraintExec validates the standing data itself
+    // (NEW_CHECK_CONSTRAINT_VIOLATION) before the catalog's own gate
+    assert(ex2.getMessage.contains("CHECK_CONSTRAINT_VIOLATION") ||
+      ex2.getMessage.contains("violates"), ex2.getMessage)
+    // DROP CONSTRAINT unrecords it and the insert lands
+    spark.sql("ALTER TABLE gtest.default.con DROP CONSTRAINT pos_k")
+    spark.sql("INSERT INTO gtest.default.con VALUES (-5, 'now ok')")
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.default.con")
+      .collect()(0).getLong(0) == 3L)
+  }
+
   test("CREATE TABLE AS SELECT creates v1 (schema-only) + v2 (the data)") {
+    val _ = root // force gtest catalog registration (lazy)
     spark.sql(
       "CREATE TABLE gtest.default.ctas AS " +
         "SELECT id AS k, concat('v', id) AS v FROM range(1, 6)")
@@ -535,6 +566,7 @@ class GraftCatalogSpec extends AnyFunSuite {
   }
 
   test("CREATE TABLE then INSERT; DROP TABLE; recreate at the same path") {
+    val _ = root // force gtest catalog registration (lazy)
     spark.sql("CREATE TABLE gtest.default.ddl (k BIGINT, v STRING)")
     assert(spark.sql("SELECT count(*) AS n FROM gtest.default.ddl")
       .collect()(0).getLong(0) == 0L, "a created table reads as empty")
@@ -553,6 +585,7 @@ class GraftCatalogSpec extends AnyFunSuite {
   }
 
   test("ALTER TABLE ADD COLUMN: old rows null-fill, old snapshots stay narrow") {
+    val _ = root // force gtest catalog registration (lazy)
     spark.sql("CREATE TABLE gtest.default.evo (k BIGINT, v STRING)")
     spark.sql("INSERT INTO gtest.default.evo VALUES (1, 'a'), (2, 'b')")
     spark.sql("ALTER TABLE gtest.default.evo ADD COLUMN score BIGINT")
