@@ -162,6 +162,27 @@ class GraftCatalog extends TableCatalog
     loadTable(ident)
   }
 
+  /** CREATE TABLE with INLINE CONSTRAINTS (`CREATE TABLE t (k BIGINT,
+    * CONSTRAINT c CHECK (k > 0))`): the TableInfo form carries them;
+    * the default implementation would silently drop them, so record
+    * each CHECK right after the schema-only create — the new table is
+    * empty, so no validation scan is needed and every subsequent commit
+    * is gated from version 2 on.
+    */
+  override def createTable(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val t = createTable(ident, info.schema(), info.partitions(), info.properties())
+    info.constraints().foreach {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        VersionedTable.addCheckConstraint(
+          SparkSession.active, dirOf(ident).toString, c.name(), c.predicateSql())
+      case other => throw new UnsupportedOperationException(
+        s"catalog $catName enforces only CHECK constraints; got $other")
+    }
+    if (info.constraints().nonEmpty) loadTable(ident) else t
+  }
+
   // constraint DDL rides the DSv2 constraint SPIP (Spark 4.x): without
   // this capability Spark refuses ALTER TABLE ... ADD CONSTRAINT at
   // analysis before the catalog ever sees it

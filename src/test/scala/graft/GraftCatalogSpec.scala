@@ -545,6 +545,18 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO gtest.default.con VALUES (-5, 'now ok')")
     assert(spark.sql("SELECT count(*) AS n FROM gtest.default.con")
       .collect()(0).getLong(0) == 3L)
+    // inline constraint at CREATE TABLE time is recorded and gates too
+    spark.sql(
+      "CREATE TABLE gtest.default.con2 " +
+        "(k BIGINT, v STRING, CONSTRAINT pos2 CHECK (k > 0))")
+    val ex3 = intercept[Exception] {
+      spark.sql("INSERT INTO gtest.default.con2 VALUES (-1, 'bad')")
+    }
+    assert(ex3.getMessage.contains("pos2") ||
+      Option(ex3.getCause).exists(_.getMessage.contains("pos2")), ex3.getMessage)
+    spark.sql("INSERT INTO gtest.default.con2 VALUES (7, 'good')")
+    assert(spark.sql("SELECT k FROM gtest.default.con2")
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
 
   test("CREATE TABLE AS SELECT creates v1 (schema-only) + v2 (the data)") {
