@@ -734,6 +734,7 @@ object SparkEntry {
     "q_docs_accounting" -> ((s, d) => TextAnalysis.corpusAccounting(t(s, d, "documents"))),
     "q_docs_cms" -> ((s, d) => TextAnalysis.countMinSketch(t(s, d, "documents"))),
     "q_docs_unigram_lp" -> ((s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents"))),
+    "q_docs_temp_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(t(s, d, "documents"))),
     "q_docs_surprisal" -> ((s, d) => TextAnalysis.bigramSurprisal(t(s, d, "documents"))),
     "q_docs_split" -> ((s, d) => TextAnalysis.trainValTestSplit(t(s, d, "documents"))),
     "q_docs_pii" -> ((s, d) => TextAnalysis.redactPii(t(s, d, "documents"))),
@@ -4014,6 +4015,24 @@ object SparkEntry {
         |    ELSE 'test'
         |  END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // temperature mixture (α = 1/2): rates √(n_min/n_s) derived from the
+    // corpus; sqrt and division are IEEE-correctly-rounded in BOTH
+    // engines, so the floor(·2^30) thresholds are bit-identical and the
+    // hash comparison is integer-exact.
+    "q_docs_temp_mixture" ->
+      """WITH s AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_src) AS g_min FROM s),
+        |r AS (
+        |  SELECT source, n_src,
+        |    CAST(floor(sqrt(CAST(m.g_min AS DOUBLE) / CAST(n_src AS DOUBLE))
+        |      * 1073741824) AS BIGINT) AS g_thr
+        |  FROM s, m)
+        |SELECT d.doc_id, d.source, r.n_src,
+        |       round(CAST(r.g_thr AS DOUBLE) / 1073741824.0, 6) AS keep_rate
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 17, 8) AS BIGINT)
+        |      % 1073741824 < r.g_thr
+        |ORDER BY d.doc_id""".stripMargin,
     "q_docs_mixture" ->
       """WITH b AS (
         |  SELECT doc_id, source,

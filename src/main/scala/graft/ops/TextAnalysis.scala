@@ -482,6 +482,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual α-sampling
+    * recipe at α = 1/2): per-source keep rate √(n_min / n_s), so kept
+    * counts are ∝ √n_s — the smallest source keeps everything, large
+    * sources are thinned toward balance, the standard de-skewing between
+    * proportional (α=1) and uniform (α=0) mixing. Unlike
+    * [[mixtureSample]]'s hand-written rates, the rates here are DERIVED
+    * FROM THE CORPUS inside the plan: per-source counts and the global
+    * minimum ride as broadcast aggregate frames — fully lazy, no driver
+    * action.
+    *
+    * Bit-exact discipline: α = 1/2 on purpose — IEEE requires division
+    * and SQRT to be correctly rounded, so `sqrt(n_min/n_s)·2^30` is the
+    * identical double in the JVM and DuckDB (a general pow(x, α) is NOT
+    * correctly rounded and could flip a boundary hash); the comparison
+    * is then integer-exact. Membership is a pure doc_id-hash function:
+    * reproducible across engines, scales, partitionings, and reruns.
+    */
+  def temperatureMixture(documents: DataFrame): DataFrame = {
+    val two30 = 1073741824L // 2^30
+    val srcN = documents.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val minRow = srcN.agg(min("n_src").as("g_min"))
+    val rates = srcN.crossJoin(broadcast(minRow))
+      .select(col("source"), col("n_src"),
+        floor(sqrt(col("g_min").cast("double") / col("n_src").cast("double"))
+          * lit(two30)).cast("long").as("g_thr"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 17, 8), 16, 10)
+      .cast("long") % two30
+    documents
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(bucket < col("g_thr"))
+      .select(col("doc_id"), col("source"), col("n_src"),
+        round(col("g_thr").cast("double") / lit(two30.toDouble), 6).as("keep_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic hash sampling: keep ~1/`rate` of docs by a stable hash
     * of the id — reproducible downsampling with no RNG state, the same
     * subset on every engine and every run (unlike `sample()`, whose

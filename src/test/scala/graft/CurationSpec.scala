@@ -197,6 +197,28 @@ class CurationSpec extends AnyFunSuite {
     assert(r2 == r.map(_.getLong(0)).toSet)
   }
 
+  test("temperature mixture keeps all of the smallest source and thins the largest") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = (1L to 416L).map(i =>
+      (i, "text", "en", if (i <= 400) "big" else "small", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.temperatureMixture(docs).collect()
+    val bySrc = r.groupBy(_.getString(1)).map { case (s, rs) => s -> rs.length }
+    // rate_small = sqrt(16/16) = 1 → every small doc kept
+    assert(bySrc.getOrElse("small", 0) == 16, s"got $bySrc")
+    // rate_big = sqrt(16/400) = 0.2 → ~80 of 400 (hash-dependent margin)
+    val big = bySrc.getOrElse("big", 0)
+    assert(big > 40 && big < 140, s"expected ~80 of 400 kept, got $big")
+    // the reported keep_rate is the exact threshold ratio
+    assert(r.filter(_.getString(1) == "big")
+      .forall(row => math.abs(row.getDouble(3) - 0.2) < 1e-6))
+    // determinism under repartitioning (pure doc_id-hash membership)
+    val r2 = TextAnalysis.temperatureMixture(docs.repartition(7))
+      .collect().map(_.getLong(0)).toSet
+    assert(r2 == r.map(_.getLong(0)).toSet)
+  }
+
   test("repetition score catches degenerate loops") {
     val sparkS = spark
     import sparkS.implicits._
