@@ -495,7 +495,8 @@ private[sources] object GraftProcedures {
     BoundProcedure, ProcedureParameter, UnboundProcedure}
   import org.apache.spark.sql.connector.read.LocalScan
 
-  val names = Seq("vacuum", "vacuum_orphans", "compact", "optimize", "zorder")
+  val names =
+    Seq("vacuum", "vacuum_orphans", "compact", "optimize", "optimize_where", "zorder")
 
   def load(resolve: String => String, name: String): UnboundProcedure =
     name match {
@@ -524,6 +525,15 @@ private[sources] object GraftProcedures {
         in => Array[Any](VersionedTable.optimize(
           SparkSession.active, resolve(in.getUTF8String(0).toString),
           in.getUTF8String(1).toString, in.getLong(2)))
+      }
+      case "optimize_where" => proc(name,
+        Seq("table" -> StringType, "cluster_by" -> StringType,
+          "lo" -> LongType, "hi" -> LongType, "target_rows" -> LongType),
+        StructType(Seq(StructField("new_version", LongType, nullable = false)))) {
+        in => Array[Any](VersionedTable.optimizeWhere(
+          SparkSession.active, resolve(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString, in.getLong(2), in.getLong(3),
+          in.getLong(4)))
       }
       case "zorder" => proc(name,
         Seq("table" -> StringType, "cluster_by" -> StringType, // comma-separated

@@ -1002,6 +1002,59 @@ object VersionedTable {
       expectedLatest = Some(basis), statsCols = clusterBy).fold(identity, identity)
   }
 
+  /** PARTIAL OPTIMIZE (`OPTIMIZE ... WHERE` shape): rewrite ONLY the
+    * files whose `clusterBy` zone map intersects `[lo, hi]` (stat-less
+    * files are conservatively included — they might hold range rows),
+    * range-clustered with fresh zone maps, published as a REPLACE
+    * commit: `R:` lines drop exactly the rewritten files, everything
+    * else rides the carry pointer. At 100 TB this turns "compact the
+    * hot key range's small-file debt" into an O(touched) maintenance
+    * action instead of [[optimize]]'s table-sized rewrite. Tombstones
+    * applicable to the touched files are applied during the rewrite
+    * (the rows written are the POST-delete rows, so re-seating them on
+    * a fresh commit number cannot resurrect deletions); tombstones stay
+    * in the manifest for the carried files they still govern.
+    * Snapshot-derived: a concurrent commit fails this loudly. Returns
+    * the new version, or the basis unchanged when nothing intersects.
+    */
+  def optimizeWhere(
+      spark: SparkSession, table: String, clusterBy: String,
+      lo: Long, hi: Long, targetRowsPerFile: Long = 1L << 20): Long = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions at $table")
+    val basis = vs.last
+    val entries = manifestEntries(table, basis)
+    val delE = entries.filter(isDeleteEntry)
+    val touched = entries.filterNot(isDeleteEntry).filter { e =>
+      entryStats(e).get(clusterBy)
+        .forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    if (touched.isEmpty) return basis
+    val frame = snapshotFrame(spark, table, touched ++ delE, mergeSchema = false)
+    val n = {
+      val cs = touched.map(entryRows)
+      if (cs.exists(_.isEmpty) || delE.nonEmpty) frame.count()
+      else cs.flatten.sum
+    }
+    val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val next = basis + 1L
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"c${next}_$token"
+    val fileEntries = writeFiles(
+      frame.repartitionByRange(parts, col(clusterBy)).sortWithinPartitions(clusterBy),
+      table, dirName, Seq(clusterBy), constraints(table))
+    val removals = touched.map(e => s"R:${entryPath(e)}")
+    val fresh = fileEntries.map(nm => s"data/$dirName/$nm")
+    if (!tryPublish(table, next, removals ++ fresh, None, carry = Some(basis))) {
+      deleteRecursively(Paths.get(table, "data", dirName))
+      throw new java.util.ConcurrentModificationException(
+        s"optimizeWhere on $table rewrote from version $basis but version " +
+          s"$next was committed concurrently — re-run against the new head")
+    }
+    next
+  }
+
   /** Multi-column zone-map read: [[readWhere]] generalized to a
     * conjunction of range bounds — a file survives only if EVERY bounded
     * column's zone map intersects its range (stat-less columns never

@@ -344,10 +344,19 @@ class GraftCatalogSpec extends AnyFunSuite {
     val ex = intercept[Exception](spark.sql("CALL gtest.system.nope()"))
     assert(ex.getMessage.contains("nope") ||
       Option(ex.getCause).exists(_.getMessage.contains("nope")))
+    // partial optimize through CALL: only the hot range rewrites
+    val v2 = spark.sql(
+      "CALL gtest.system.optimize_where('default.mt', 'k', 1, 50, 100)")
+      .collect()(0).getLong(0)
+    assert(v2 > newV)
+    assert(VersionedTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == before,
+      "optimize_where through CALL must change layout, never content")
     // and the full set is SQL-discoverable
     assert(spark.sql("SHOW PROCEDURES IN gtest.system")
       .collect().map(_.getString(3)).toSet ==
-      Set("vacuum", "vacuum_orphans", "compact", "optimize", "zorder"))
+      Set("vacuum", "vacuum_orphans", "compact", "optimize",
+        "optimize_where", "zorder"))
   }
 
   test("TRUNCATE TABLE empties the head; history and time travel survive") {

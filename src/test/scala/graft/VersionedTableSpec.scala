@@ -682,6 +682,39 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(app.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("optimizeWhere compacts only the intersecting range; carried files untouched") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    // 8 range-clustered files, then small-file debt appended in one range
+    VersionedTable.commit(
+      (1L to 800L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(8, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    VersionedTable.commit(
+      Seq((150L, "x1")).toDF("k", "v"), t, append = true, statsCols = Seq("k"))
+    VersionedTable.commit(
+      Seq((160L, "x2")).toDF("k", "v"), t, append = true, statsCols = Seq("k"))
+    // a standing tombstone over the range: the rewrite must apply it
+    VersionedTable.deleteWhere(spark, t, col("k") === 120L, "k")
+    val before = VersionedTable.read(spark, t).inputFiles.toSet
+    val v = VersionedTable.optimizeWhere(spark, t, "k", 100L, 200L,
+      targetRowsPerFile = 1L << 20)
+    assert(v == 5L)
+    val after = VersionedTable.read(spark, t)
+    val rows = after.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == ((1L to 800L).filter(_ != 120L).map(k => k -> s"v$k").toSet
+      + (150L -> "x1") + (160L -> "x2")),
+      "partial optimize must keep every surviving row exactly once")
+    // files outside the range are carried byte-identically
+    val carried = after.inputFiles.toSet.intersect(before)
+    assert(carried.size >= 6, s"expected >=6 carried files, got ${carried.size}")
+    // the rewritten range escaped its tombstone: 120 must NOT resurrect
+    assert(!rows.exists(_._1 == 120L))
+    // and the range now prunes as one freshly-mapped region
+    val (kept, total) = VersionedTable.pruneCount(t, None, "k", 150L, 160L)
+    assert(kept < total, s"kept=$kept of $total")
+  }
+
   test("zorder on an empty table is a no-op; an all-null cluster column fails loudly") {
     val s = spark; import s.implicits._
     val t = freshTable()
