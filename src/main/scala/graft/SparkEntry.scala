@@ -635,6 +635,7 @@ object SparkEntry {
     "q_docs_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(t(s, d, "documents"))),
     "q_docs_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(t(s, d, "documents"))),
     "q_docs_neardup" -> ((s, d) => Dedup.ngramJaccardNearDup(t(s, d, "documents"))),
+    "q_docs_containment" -> ((s, d) => Dedup.containmentNearDup(t(s, d, "documents"))),
     "q_docs_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "q_docs_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(t(s, d, "documents"))),
     "q_docs_bigrams" -> ((s, d) => Dedup.wordBigrams(t(s, d, "documents"))),
@@ -3556,6 +3557,29 @@ object SparkEntry {
          |  JOIN ds b ON p.doc_b = b.doc_id)
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
          |WHERE round(jac, 6) >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+    // asymmetric containment over the same LSH candidates: the
+    // intersection is |A| + |B| − |A∪B| on the distinct shingle sets —
+    // identical list arithmetic in both engines.
+    "q_docs_containment" ->
+      s"""WITH $minhashCtes,
+         |ds AS (SELECT doc_id, list_distinct(s) AS shs FROM sh),
+         |j AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    len(a.shs) AS n_a, len(b.shs) AS n_b,
+         |    len(a.shs) + len(b.shs)
+         |      - len(list_distinct(list_concat(a.shs, b.shs))) AS n_inter
+         |  FROM pairs p
+         |  JOIN ds a ON p.doc_a = a.doc_id
+         |  JOIN ds b ON p.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(n_inter AS BIGINT) AS n_inter,
+         |  round(CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE), 6)
+         |    AS containment
+         |FROM j
+         |WHERE round(CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE), 6)
+         |      >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_docs_simhash" ->
       s"""WITH $simhashCtes
          |SELECT doc_id, simhash FROM sh16 ORDER BY doc_id""".stripMargin,

@@ -586,6 +586,48 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Asymmetric CONTAINMENT near-dup: |A∩B| / min(|A|, |B|) over the
+    * distinct shingle sets — catches what symmetric Jaccard misses, the
+    * SUB-DOCUMENT duplicate (a short doc wholly quoted inside a long one
+    * scores containment ≈ 1 while its Jaccard ≈ |A|/|B| can be tiny) —
+    * the boilerplate-wrapping / quote-inclusion case a pretraining dedup
+    * pass must see. Candidates come from the same banded-LSH buckets as
+    * [[ngramJaccardNearDup]] (capped, never all-pairs); the intersection
+    * size is computed as |A| + |B| − |A∪B| on the distinct sets, so the
+    * DuckDB oracle replays it with the identical list arithmetic.
+    *
+    * Recall caveat, stated honestly: minhash-LSH collision probability
+    * tracks JACCARD, so an extremely asymmetric pair (tiny doc inside a
+    * huge one — containment 1, Jaccard ≈ |A|/|B| → 0) may never share a
+    * bucket. This operator scores the asymmetry of pairs the Jaccard
+    * candidates surface; full asymmetric recall needs containment-aware
+    * candidates ([[substringDedup]]'s exact spans cover the verbatim-
+    * inclusion case at any size ratio).
+    */
+  def containmentNearDup(
+      documents: DataFrame, minContainment: Double = 0.5): DataFrame = {
+    val shRaw = shingleFrame(documents)
+    val docShingles =
+      if (shRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) shRaw.persist()
+      else shRaw
+    val pairs = bucketPairs(
+      lshBucketsFromShingles(docShingles, maxBucket = 1000))
+    val withSets = pairs
+      .join(docShingles.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
+      .join(docShingles.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))
+    val nA = size(array_distinct(col("sh_a"))).cast("long")
+    val nB = size(array_distinct(col("sh_b"))).cast("long")
+    val nU = size(array_union(col("sh_a"), col("sh_b"))).cast("long")
+    withSets
+      .select(col("doc_a"), col("doc_b"),
+        nA.as("n_a"), nB.as("n_b"), (nA + nB - nU).as("n_inter"))
+      .withColumn("containment",
+        round(col("n_inter").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double"), 6))
+      .filter(col("containment") >= minContainment)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Word bigrams per document via posexplode — the generator (UDTF-
     * family) leg of the text suite. Position is kept so downstream
     * consumers can reconstruct adjacency; one narrow generate stage, then

@@ -57,6 +57,30 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("containment near-dup scores sub-document inclusion that Jaccard understates") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val core = (1 to 30).map(i => s"token$i").mkString(" ")
+    val extra = (1 to 20).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),                 // the short doc
+      (2L, s"$core $extra"),      // contains doc 1 verbatim plus more
+      (3L, (1 to 50).map(i => s"unrelated$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Dedup.containmentNearDup(docs, minContainment = 0.5)
+      .collect().map(row => ((row.getLong(0), row.getLong(1)), row.getDouble(5))).toMap
+    assert(r.contains((1L, 2L)), s"contained pair missing: $r")
+    assert(r((1L, 2L)) == 1.0,
+      "every shingle of the short doc appears in the long one")
+    assert(!r.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "the unrelated doc must not pair")
+    // and symmetric Jaccard on the same pair is well below 1 — the
+    // signal containment adds
+    val jac = graft.ops.Dedup.ngramJaccardNearDup(docs, minJaccard = 0.0)
+      .collect().map(row => ((row.getLong(0), row.getLong(1)), row.getDouble(2))).toMap
+    assert(jac((1L, 2L)) < 0.8, s"jaccard should understate: ${jac((1L, 2L))}")
+  }
+
   test("bm25 contribution stays exact far past the old BIGINT overflow bound") {
     val sparkS = spark
     import sparkS.implicits._
