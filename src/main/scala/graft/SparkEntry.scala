@@ -90,6 +90,8 @@ object SparkEntry {
     "q_sql_ctas" -> ((s, d) => Incremental.ordersSqlCtas(t(s, d, "orders"))),
     "q_maint_advisor" -> ((s, d) => Incremental.ordersMaintenanceAdvisor(t(s, d, "orders"))),
     "q_sql_fastcount" -> ((s, d) => Incremental.ordersSqlFastcount(t(s, d, "orders"))),
+    "q_sql_spj" -> ((s, d) =>
+      Incremental.ordersSqlBucketedJoin(t(s, d, "orders"), t(s, d, "customer"))),
     "q_sql_delete" -> ((s, d) => Incremental.ordersSqlDelete(t(s, d, "orders"))),
     "q_sql_update" -> ((s, d) => Incremental.ordersSqlUpdate(t(s, d, "orders"))),
     "q_sql_merge" -> ((s, d) => Incremental.ordersSqlMerge(t(s, d, "orders"))),
@@ -1560,6 +1562,15 @@ object SparkEntry {
         |       CAST(round(o_totalprice * 100) AS BIGINT)
         |FROM orders WHERE o_orderkey % 4 = 3
         |ORDER BY o_orderkey""".stripMargin,
+    // Storage-partitioned join: co-bucketed versioned tables equi-join
+    // with no exchange; the oracle is the plain join — hash equality
+    // proves bucketing changed the plan, never the content.
+    "q_sql_spj" ->
+      """SELECT o.o_orderkey, o.o_custkey AS custkey,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c,
+        |       c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
     // Ungrouped COUNT/MIN/MAX pushed to manifest arithmetic (footer
     // counts + zone maps; tombstone-free snapshot) — the plan opens no
     // data file; the oracle recomputes from raw orders.

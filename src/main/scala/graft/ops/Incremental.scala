@@ -882,6 +882,42 @@ object Incremental {
          |FROM gtab.default.$name""".stripMargin)
   }
 
+  /** Registered q_sql_spj body: STORAGE-PARTITIONED JOIN end-to-end —
+    * orders and customer committed as co-bucketed versioned tables
+    * (`commitBucketed`, pmod(custkey, 16)), equi-joined through SQL with
+    * `spark.sql.sources.v2.bucketing.enabled`: both scans report
+    * `KeyGroupedPartitioning(bucket(16, custkey))` backed by the
+    * catalog's bucket function, so the join plans with NO exchange on
+    * either side (`GraftCatalogSpec` pins the exchange-free plan; at
+    * 100 TB this is the fact-dim join that never shuffles). The oracle
+    * replays the plain join from raw tables — hash equality proves the
+    * bucketed layout changed the plan, never the content.
+    */
+  def ordersSqlBucketedJoin(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val names = versionedTables.computeIfAbsent((spark, s"sqlspj:$inputKey"), { _ =>
+      val tag = java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())
+      val fn = s"orders_spj_$tag"
+      val dn = s"cust_spj_$tag"
+      graft.sources.VersionedTable.commitBucketed(
+        orders.select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_c")),
+        s"$root/default/$fn", "custkey", 16, append = false)
+      graft.sources.VersionedTable.commitBucketed(
+        customer.select(col("c_custkey").as("custkey"), col("c_name")),
+        s"$root/default/$dn", "custkey", 16, append = false)
+      s"$fn,$dn"
+    })
+    val Array(fn, dn) = names.split(',')
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql(
+      s"""SELECT o_orderkey, custkey, price_c, c_name
+         |FROM gtab.default.$fn f JOIN gtab.default.$dn d USING (custkey)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Registered q_sql_delete body: SQL `DELETE FROM` through the catalog —
     * executed as a file-granular copy-on-write replace commit: the pushed
     * range filter both prunes candidate files from the zone maps and,

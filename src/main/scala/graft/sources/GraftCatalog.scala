@@ -51,7 +51,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * refused (readers pin tables by path).
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catName: String = _
   private var root: String = _
 
@@ -86,6 +87,22 @@ class GraftCatalog extends TableCatalog
         root, tableId.split('.').toIndexedSeq: _*).toString,
       ident.name())
   }
+
+  /** The FunctionCatalog leg of storage-partitioned joins: Spark only
+    * honors a scan's `KeyGroupedPartitioning(bucket(n, col))` when the
+    * table's catalog can resolve the `bucket` transform to a bound V2
+    * function (the same requirement Iceberg satisfies) — without it the
+    * reported partitioning is silently ignored and the join shuffles.
+    * The bound function is the WRITE path's placement function
+    * (`pmod(col, n)`), so the co-location Spark assumes is the
+    * co-location the files actually have.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = java.nio.file.Paths.get(root, namespace: _*)
@@ -289,6 +306,9 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(version.isEmpty,
       s"cannot run ${info.command} on a time-traveled snapshot of $ident")
+    require(VersionedTable.bucketSpec(table).isEmpty,
+      s"$ident is bucketed: row-level rewrites would break co-location — " +
+        "use merge-on-read deletes and bucketed re-commits")
     () => new GraftRowLevelOperation(table, info.command)
   }
   override def name(): String =
@@ -314,11 +334,21 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
+  private lazy val bucket = VersionedTable.bucketSpec(table)
+  // a bucketed table reports its layout, and its scans report
+  // KeyGroupedPartitioning — the storage-partitioned-join surface
+  override def partitioning(): Array[Transform] =
+    bucket.map { case (c, n) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+    }.toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftTableScanBuilder(table, version, schema())
+    new GraftTableScanBuilder(table, version, schema(), bucket)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,
       s"cannot write to a time-traveled snapshot of $ident — write to the head")
+    require(bucket.isEmpty,
+      s"$ident is bucketed: write through VersionedTable.commitBucketed " +
+        "with the same spec (SQL INSERT would break co-location)")
     new GraftWriteBuilder(table, info.schema())
   }
 
@@ -333,7 +363,8 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
     * delete.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    version.isEmpty && filters.forall(f => GraftFilters.toColumn(f).isDefined)
+    version.isEmpty && bucket.isEmpty &&
+      filters.forall(f => GraftFilters.toColumn(f).isDefined)
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(version.isEmpty,
       s"cannot DELETE from a time-traveled snapshot of $ident")
@@ -478,6 +509,39 @@ class GraftReplaceBatchWrite(
     if (java.nio.file.Files.exists(p)) {
       java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+    }
+  }
+}
+
+/** The `bucket(n, col)` V2 function backing storage-partitioned joins:
+  * bind() accepts (int numBuckets, long column) and produces
+  * `pmod(column, numBuckets)` — EXACTLY the placement
+  * [[VersionedTable.commitBucketed]] writes, which is what makes the
+  * co-location contract sound. NULL keys map to bucket 0 (they never
+  * match an equi-join, so placement is irrelevant).
+  */
+private[sources] object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, col): pmod(col, numBuckets) — the graft bucketed-table placement"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      inputType.fields(1).dataType == LongType,
+      s"bucket(numBuckets, col) binds (int, bigint); got $inputType")
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        if (input.isNullAt(1)) 0
+        else (((input.getLong(1) % n) + n) % n).toInt
+      }
     }
   }
 }
@@ -888,7 +952,9 @@ class GraftDataWriter(
   override def close(): Unit = ()
 }
 
-class GraftTableScanBuilder(table: String, version: Option[Long], full: StructType)
+class GraftTableScanBuilder(
+    table: String, version: Option[Long], full: StructType,
+    bucket: Option[(String, Int)] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -1014,10 +1080,120 @@ class GraftTableScanBuilder(table: String, version: Option[Long], full: StructTy
       case None        => false
     }
 
-  override def build(): Scan = aggPlan match {
-    case Some(specs) => new GraftAggScan(table, version, specs)
-    case None => new GraftTableScan(table, version, required, bounds, limitOpt)
+  override def build(): Scan = (aggPlan, bucket) match {
+    case (Some(specs), _) => new GraftAggScan(table, version, specs)
+    case (None, Some((c, n))) =>
+      new GraftBucketedScan(table, version, required, bounds, c, n)
+    case (None, None) =>
+      new GraftTableScan(table, version, required, bounds, limitOpt)
   }
+}
+
+/** Scan over a BUCKETED table: one InputPartition per bucket (that
+  * bucket's files across every commit, with their tombstones), reported
+  * to Spark as `KeyGroupedPartitioning(bucket(n, col))` with each
+  * partition carrying its bucket id as the partition key — the
+  * storage-partitioned-join contract: two tables bucketed by the same
+  * (col, n) through [[VersionedTable.commitBucketed]] equi-join on that
+  * column with NO exchange on either side
+  * (`spark.sql.sources.v2.bucketing.enabled=true`). Zone-map bounds
+  * still prune files INSIDE buckets; every bucket id is always emitted
+  * (possibly with zero files) so the two sides' partition-value sets
+  * align 1:1. Statistics are manifest-derived like [[GraftTableScan]].
+  */
+class GraftBucketedScan(
+    table: String, version: Option[Long], required: StructType,
+    bounds: Map[String, (Long, Long)], bucketCol: String, nBuckets: Int)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private lazy val perBucket: Map[Int, Seq[(String, Seq[String])]] = {
+    val layout = VersionedTable.bucketLayout(table, version, nBuckets)
+    if (bounds.isEmpty) layout
+    else {
+      val statsOf = VersionedTable.snapshotLayout(table, version)
+        .map(e => e._1 -> e._4).toMap
+      layout.view.mapValues(_.filter { case (p, _) =>
+        bounds.forall { case (c, (lo, hi)) =>
+          statsOf.getOrElse(p, Map.empty).get(c)
+            .forall { case (mn, mx) => mx >= lo && mn <= hi }
+        }
+      }).toMap
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(nBuckets, bucketCol)),
+      nBuckets)
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val rowsOf = VersionedTable.snapshotFiles(table, version)
+      .map { case (p, _, r, _, _) => p -> r }.toMap
+    val counts = perBucket.valuesIterator.flatten.map(f => rowsOf.get(f._1).flatten).toSeq
+    val rows: Option[Long] =
+      if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(r =>
+          java.util.OptionalLong.of(r * math.max(1, required.fields.length) * 16L))
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
+
+  override def description(): String =
+    s"graft-catalog-bucketed $table${version.fold("")(v => s"@v$v")} " +
+      s"bucket($nBuckets, $bucketCol) " +
+      s"files=${perBucket.valuesIterator.map(_.size).sum}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
+    (0 until nBuckets).map { b =>
+      GraftBucketPartition(b,
+        perBucket.getOrElse(b, Nil).map { case (p, tombs) =>
+          (abs(p), tombs.map(abs))
+        }): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftBucketReaderFactory(required)
+}
+
+case class GraftBucketPartition(
+    bucketId: Int, files: Seq[(String, Seq[String])])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
+
+class GraftBucketReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val files = partition.asInstanceOf[GraftBucketPartition].files.iterator
+      private var current: PartitionReader[InternalRow] = _
+      override def next(): Boolean = {
+        while (current == null || !current.next()) {
+          if (current != null) current.close()
+          current = null
+          if (!files.hasNext) return false
+          val (f, tombs) = files.next()
+          current = new GraftCatalogReader(GraftCatalogPartition(f, tombs), required)
+        }
+        true
+      }
+      override def get(): InternalRow = current.get()
+      override def close(): Unit = if (current != null) current.close()
+    }
 }
 
 /** One completely-pushed aggregate: kind (count/min/max), source column,

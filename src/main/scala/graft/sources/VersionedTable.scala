@@ -297,9 +297,13 @@ object VersionedTable {
       statsCols: Seq[String], checks: Seq[(String, String)]): Seq[String] = {
     import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit, max, min, not, sum, when}
     val dataDir = Paths.get(table, "data", dirName)
-    val files = Files.list(dataDir).iterator.asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+    // recursive: bucketed commits nest files under __graft_bucket=<b>/;
+    // entries record the commit-relative path (flat layouts unchanged)
+    val files = Files.walk(dataDir).iterator.asScala
+      .filter(p => Files.isRegularFile(p))
+      .map(p => dataDir.relativize(p).toString)
+      .filter(n => n.endsWith(".parquet") &&
+        !n.split('/').last.startsWith("."))
       .toSeq.sorted
     val suffixes: Map[String, String] =
       if (files.isEmpty) Map.empty
@@ -341,7 +345,9 @@ object VersionedTable {
           r.getString(0).split('/').last -> suffix
         }.toMap
       }
-    files.map(n => n + suffixes.getOrElse(n, "#0")) // absent from the job = wrote 0 rows
+    // suffixes key on the FILE NAME (unique per commit — task uuids);
+    // entries carry the commit-relative path, which may nest bucket dirs
+    files.map(n => n + suffixes.getOrElse(n.split('/').last, "#0"))
   }
 
   // ---- Declarative CHECK constraints (Delta-style) ----
@@ -506,6 +512,15 @@ object VersionedTable {
       df: DataFrame, table: String, append: Boolean,
       txnId: Option[String], expectedLatest: Option[Long],
       statsCols: Seq[String] = Nil): Either[Long, Long] = {
+    // a flat commit onto a bucketed table would break the co-location
+    // invariant storage-partitioned joins rely on — refuse loudly (this
+    // also covers compact/optimize/mergeInto, which route through here)
+    bucketSpec(table).foreach { case (c, n) =>
+      throw new UnsupportedOperationException(
+        s"$table is bucketed by ($c, $n): write through commitBucketed " +
+          "with the same spec (merge-on-read deletes compose; flat " +
+          "rewrites would destroy the bucket layout)")
+    }
     txnId.flatMap(txnVersion(table, _)).foreach(v => return Left(v))
     val token = java.util.UUID.randomUUID().toString.take(8)
     val next = expectedLatest.getOrElse(versions(table).lastOption.getOrElse(0L)) + 1L
@@ -718,6 +733,11 @@ object VersionedTable {
       bounds: Seq[(String, Long, Long)] = Nil,
       statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
+    bucketSpec(table).foreach { case (c, n) =>
+      throw new UnsupportedOperationException(
+        s"$table is bucketed by ($c, $n): copy-on-write rewrites would " +
+          "destroy the bucket layout — use deleteWhere (merge-on-read)")
+    }
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed versions at $table")
     val basis = vs.last
@@ -1002,6 +1022,104 @@ object VersionedTable {
       expectedLatest = Some(basis), statsCols = clusterBy).fold(identity, identity)
   }
 
+  // ---- Bucketed tables (storage-partitioned joins) ----
+
+  private def bucketSpecFile(table: String): Path =
+    manifestDir(table).resolve("bucketspec.txt")
+
+  /** The table's bucket layout, if any: (column, numBuckets), recorded
+    * by the first [[commitBucketed]]. A bucketed table's data files live
+    * under `__graft_bucket=<b>/` inside each commit directory, with
+    * b = pmod(column, numBuckets) — the same function the SQL catalog
+    * exposes for storage-partitioned joins, so two tables bucketed the
+    * same way are provably co-located and their equi-join needs NO
+    * exchange.
+    */
+  def bucketSpec(table: String): Option[(String, Int)] = {
+    val f = bucketSpecFile(table)
+    if (!Files.exists(f)) None
+    else Files.readAllLines(f).asScala.headOption.flatMap {
+      _.split("\t", 2) match {
+        case Array(c, n) => Some((c, n.toInt))
+        case _           => None
+      }
+    }
+  }
+
+  /** Commit `df` BUCKETED on `bucketCol` into `nBuckets` modulo buckets
+    * (`pmod(col, n)`; NULL keys land in bucket 0 — they never match an
+    * equi-join anyway). Each commit writes one Hive-style
+    * `__graft_bucket=<b>/` subtree, so the per-bucket file sets are
+    * reconstructible from the manifest paths alone and EVERY commit
+    * preserves the invariant: appends must use this method with the
+    * SAME spec ([[commitCore]]-based writes refuse on bucketed tables),
+    * merge-on-read deletes compose (tombstones are key files, not
+    * bucketed data). This is the write half of the catalog's
+    * storage-partitioned join support.
+    */
+  def commitBucketed(
+      df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
+      append: Boolean): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, pmod}
+    require(nBuckets > 0, "nBuckets must be positive")
+    bucketSpec(table).foreach { case (c, n) =>
+      require(c == bucketCol && n == nBuckets,
+        s"$table is bucketed by ($c, $n); a commit bucketed by " +
+          s"($bucketCol, $nBuckets) would break co-location")
+    }
+    require(bucketSpec(table).isDefined || versions(table).isEmpty || !append,
+      s"cannot append a bucketed layout onto the unbucketed data of $table — " +
+        "overwrite, or bucket the table from its first commit")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val next = versions(table).lastOption.getOrElse(0L) + 1L
+    val dirName = s"c${next}_$token"
+    val dataDir = Paths.get(table, "data", dirName)
+    df.withColumn("__graft_bucket",
+        coalesce(pmod(col(bucketCol).cast("long"), lit(nBuckets.toLong)), lit(0L))
+          .cast("int"))
+      .repartition(nBuckets, col("__graft_bucket"))
+      .write.mode("errorifexists").partitionBy("__graft_bucket")
+      .parquet(dataDir.toString)
+    val entries = dirMetadata(df.sparkSession, table, dirName, Nil, constraints(table))
+    // record the spec atomically-if-absent BEFORE publishing: a racing
+    // first-commit with a DIFFERENT spec must lose loudly, not coexist
+    if (!Files.exists(bucketSpecFile(table))) {
+      Files.createDirectories(manifestDir(table))
+      val tmp = manifestDir(table).resolve(
+        s"bucketspec.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, java.util.List.of(s"$bucketCol\t$nBuckets"))
+      try Files.createLink(bucketSpecFile(table), tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally { Files.deleteIfExists(tmp); () }
+      bucketSpec(table).foreach { case (c, n) =>
+        if (c != bucketCol || n != nBuckets) {
+          deleteRecursively(dataDir)
+          throw new java.util.ConcurrentModificationException(
+            s"$table was concurrently bucketed by ($c, $n)")
+        }
+      }
+    }
+    publishStaged(table, token, next, dirName, entries, append,
+      txnId = None, expectedLatest = None).fold(identity, identity)
+  }
+
+  /** Per-bucket data files of a pinned snapshot of a bucketed table:
+    * bucket id → (relative path, applicable tombstone paths) — parsed
+    * from the manifest paths alone. Files missing the bucket component
+    * fail loudly (the write path makes them impossible).
+    */
+  private[sources] def bucketLayout(
+      table: String, version: Option[Long], nBuckets: Int)
+      : Map[Int, Seq[(String, Seq[String])]] =
+    snapshotLayout(table, version).map { case (path, _, tombs, _) =>
+      val b = path.split('/').collectFirst {
+        case seg if seg.startsWith("__graft_bucket=") =>
+          seg.stripPrefix("__graft_bucket=").toInt
+      }.getOrElse(throw new IllegalStateException(
+        s"bucketed table $table holds an unbucketed data file: $path"))
+      (b, (path, tombs))
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
   /** PARTIAL OPTIMIZE (`OPTIMIZE ... WHERE` shape): rewrite ONLY the
     * files whose `clusterBy` zone map intersects `[lo, hi]` (stat-less
     * files are conservatively included — they might hold range rows),
@@ -1021,6 +1139,11 @@ object VersionedTable {
       spark: SparkSession, table: String, clusterBy: String,
       lo: Long, hi: Long, targetRowsPerFile: Long = 1L << 20): Long = {
     import org.apache.spark.sql.functions.col
+    bucketSpec(table).foreach { case (c, n) =>
+      throw new UnsupportedOperationException(
+        s"$table is bucketed by ($c, $n): a flat range rewrite would " +
+          "destroy the bucket layout")
+    }
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed versions at $table")
     val basis = vs.last

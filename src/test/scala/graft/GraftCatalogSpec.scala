@@ -568,6 +568,67 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  test("co-bucketed tables equi-join with ZERO exchange (storage-partitioned join)") {
+    val s = spark; import s.implicits._
+    val tf = s"$root/default/fact_b"
+    val td = s"$root/default/dim_b"
+    VersionedTable.commitBucketed(
+      (1L to 5000L).map(i => (i % 97L, i, s"f$i")).toDF("k", "fid", "fv"),
+      tf, "k", 8, append = false)
+    // a bucketed APPEND keeps the layout
+    VersionedTable.commitBucketed(
+      Seq((5L, 99999L, "late")).toDF("k", "fid", "fv"),
+      tf, "k", 8, append = true)
+    VersionedTable.commitBucketed(
+      (0L to 96L).map(k => (k, s"name$k")).toDF("k", "nm"),
+      td, "k", 8, append = false)
+    val prevB = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql(
+        """SELECT f.k, f.fid, d.nm
+          |FROM gtest.default.fact_b f JOIN gtest.default.dim_b d USING (k)""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed equi-join must be exchange-free:\n$plan")
+      assert(q.count() == 5001L)
+      // spot-check content against the programmatic read join
+      val expect = VersionedTable.read(spark, tf)
+        .join(VersionedTable.read(spark, td), "k").count()
+      assert(q.count() == expect)
+      // merge-on-read delete composes: tombstones apply inside buckets
+      VersionedTable.deleteWhere(spark, tf, col("fid") === 99999L, "fid")
+      val q2 = spark.sql(
+        """SELECT f.k, f.fid, d.nm
+          |FROM gtest.default.fact_b f JOIN gtest.default.dim_b d USING (k)""".stripMargin)
+      assert(!q2.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(q2.count() == 5000L, "tombstoned row must vanish from the join")
+      // flat writes that would break co-location are refused loudly
+      val ex = intercept[Exception] {
+        spark.sql("INSERT INTO gtest.default.fact_b VALUES (1, 1, 'x')")
+      }
+      assert(ex.getMessage.contains("bucketed") ||
+        Option(ex.getCause).exists(_.getMessage.contains("bucketed")))
+      val ex2 = intercept[Exception] {
+        VersionedTable.commit(Seq((1L, 1L, "x")).toDF("k", "fid", "fv"),
+          tf, append = true)
+      }
+      assert(ex2.getMessage.contains("commitBucketed"), ex2.getMessage)
+      // and a mismatched bucket spec is refused
+      val ex3 = intercept[Exception] {
+        VersionedTable.commitBucketed(
+          Seq((1L, 1L, "x")).toDF("k", "fid", "fv"), tf, "k", 16, append = true)
+      }
+      assert(ex3.getMessage.contains("co-location"), ex3.getMessage)
+    } finally {
+      prevB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        v => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+    }
+  }
+
   test("CREATE TABLE AS SELECT creates v1 (schema-only) + v2 (the data)") {
     val _ = root // force gtest catalog registration (lazy)
     spark.sql(
