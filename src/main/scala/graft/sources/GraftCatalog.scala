@@ -1148,9 +1148,22 @@ class GraftBucketedScan(
     }
   }
 
+  // same per-scan vectorization rule as GraftTableScan: every file
+  // tombstone-free and physically holding all required columns
+  private lazy val columnarOk: Boolean =
+    required.nonEmpty && perBucket.valuesIterator.flatten.forall(_._2.isEmpty) && {
+      val spark = SparkSession.active
+      val reqd = required.fieldNames.toSet
+      perBucket.valuesIterator.flatten.map(_._1).toSeq
+        .groupBy(p => p.split('/')(1)).valuesIterator.forall { files =>
+          reqd.subsetOf(VersionedTable
+            .commitSchemaOf(spark, table, files.min).fieldNames.toSet)
+        }
+    }
+
   override def description(): String =
     s"graft-catalog-bucketed $table${version.fold("")(v => s"@v$v")} " +
-      s"bucket($nBuckets, $bucketCol) " +
+      s"bucket($nBuckets, $bucketCol) vectorized=$columnarOk " +
       s"files=${perBucket.valuesIterator.map(_.size).sum}"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -1159,7 +1172,7 @@ class GraftBucketedScan(
       GraftBucketPartition(b,
         perBucket.getOrElse(b, Nil).map { case (p, tombs) =>
           (abs(p), tombs.map(abs))
-        }): InputPartition
+        }, columnarOk): InputPartition
     }.toArray
   }
 
@@ -1168,7 +1181,8 @@ class GraftBucketedScan(
 }
 
 case class GraftBucketPartition(
-    bucketId: Int, files: Seq[(String, Seq[String])])
+    bucketId: Int, files: Seq[(String, Seq[String])],
+    columnar: Boolean = false)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -1192,6 +1206,29 @@ class GraftBucketReaderFactory(required: StructType)
         true
       }
       override def get(): InternalRow = current.get()
+      override def close(): Unit = if (current != null) current.close()
+    }
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.asInstanceOf[GraftBucketPartition].columnar
+  // chained vectorized decode across the bucket's files — one
+  // VectorizedParquetRecordReader at a time, batches served through
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private val files = partition.asInstanceOf[GraftBucketPartition]
+        .files.iterator.map(_._1)
+      private var current: GraftCatalogVectorReader = _
+      override def next(): Boolean = {
+        while (current == null || !current.next()) {
+          if (current != null) current.close()
+          current = null
+          if (!files.hasNext) return false
+          current = new GraftCatalogVectorReader(files.next(), required)
+        }
+        true
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+        current.get()
       override def close(): Unit = if (current != null) current.close()
     }
 }
