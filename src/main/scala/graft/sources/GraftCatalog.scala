@@ -170,11 +170,41 @@ class GraftCatalog extends TableCatalog
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      s"graft tables take no partition transforms — cluster data with " +
-        s"CALL $catName.system.optimize/zorder instead")
+    // the one partitioning we store is the bucket layout behind
+    // storage-partitioned joins: PARTITIONED BY (bucket(n, col))
+    val bucketSpec = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) if t.name == "bucket" =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value match {
+              case i: Integer => i.intValue
+              case i: java.lang.Long => i.intValue
+              case other => throw new UnsupportedOperationException(
+                s"bucket(n, col): n must be an integer literal, got $other")
+            }
+        }.getOrElse(throw new UnsupportedOperationException(
+          "bucket(n, col) needs an integer bucket count"))
+        val col = t.references.toSeq match {
+          case Seq(r) if r.fieldNames.length == 1 => r.fieldNames.head
+          case other => throw new UnsupportedOperationException(
+            s"bucket(n, col) takes one top-level column, got $other")
+        }
+        require(schema.fields.exists(f => f.name == col &&
+          (f.dataType == LongType || f.dataType == IntegerType)),
+          s"bucket column $col must be a BIGINT/INT column of the table")
+        Some((col, n))
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support only PARTITIONED BY (bucket(n, col)) — " +
+          s"got ${other.mkString(", ")}; cluster data with " +
+          s"CALL $catName.system.optimize/zorder instead")
+    }
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    // spec FIRST: the schema carrier must nest under a bucket subtree
+    bucketSpec.foreach { case (c, n) =>
+      VersionedTable.recordBucketSpec(dirOf(ident).toString, c, n)
+    }
     VersionedTable.commitSchemaOnly(dirOf(ident).toString, schema, append = false)
     loadTable(ident)
   }
@@ -346,10 +376,10 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,
       s"cannot write to a time-traveled snapshot of $ident — write to the head")
-    require(bucket.isEmpty,
-      s"$ident is bucketed: write through VersionedTable.commitBucketed " +
-        "with the same spec (SQL INSERT would break co-location)")
-    new GraftWriteBuilder(table, info.schema())
+    // bucketed tables take SQL writes too: the write declares a clustered
+    // distribution on the table's own bucket transform, and each task
+    // places rows in __graft_bucket=<b>/ exactly as commitBucketed does
+    new GraftWriteBuilder(table, info.schema(), bucket)
   }
 
   /** SQL `DELETE FROM`: executed as [[VersionedTable.deleteWhereCow]] —
@@ -808,16 +838,38 @@ class GraftFilesTable(table: String, version: Option[Long], ident: String)
   * retry loop, so SQL writers obey the same concurrency rules as
   * everyone else.
   */
-class GraftWriteBuilder(table: String, schema: StructType)
+class GraftWriteBuilder(
+    table: String, schema: StructType, bucket: Option[(String, Int)] = None)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftBatchWrite(table, schema, overwrite)
+  override def build(): Write = bucket match {
+    case None => new Write {
+      override def toBatch: BatchWrite = new GraftBatchWrite(table, schema, overwrite)
+    }
+    case Some((c, n)) =>
+      // a bucketed write REQUIRES a clustered distribution on the table's
+      // own bucket transform (resolved through the catalog's
+      // FunctionCatalog to the identical pmod placement), so Spark
+      // shuffles input rows into bucket-pure-ish tasks before they reach
+      // the writers; each writer still routes rows per-bucket, so
+      // correctness never depends on the distribution — only file counts
+      new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+        override def requiredDistribution(): Distribution =
+          Distributions.clustered(Array(Expressions.bucket(n, c)))
+        override def requiredNumPartitions(): Int = n
+        override def requiredOrdering(): Array[SortOrder] = Array.empty
+        override def toBatch: BatchWrite =
+          new GraftBatchWrite(table, schema, overwrite, bucket)
+      }
   }
 }
 
-class GraftBatchWrite(table: String, schema: StructType, overwrite: Boolean)
+class GraftBatchWrite(
+    table: String, schema: StructType, overwrite: Boolean,
+    bucket: Option[(String, Int)] = None)
     extends BatchWrite {
   private val token = java.util.UUID.randomUUID().toString.take(8)
   private val stagingName = s"_stg_$token"
@@ -826,7 +878,14 @@ class GraftBatchWrite(table: String, schema: StructType, overwrite: Boolean)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingAbs))
-    new GraftDataWriterFactory(stagingAbs, schema)
+    val bucketIdx = bucket.map { case (c, n) =>
+      val i = schema.fieldIndex(c)
+      require(schema.fields(i).dataType == LongType ||
+        schema.fields(i).dataType == IntegerType,
+        s"bucket column $c must be BIGINT/INT")
+      (i, n)
+    }
+    new GraftDataWriterFactory(stagingAbs, schema, bucketIdx = bucketIdx)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -860,11 +919,60 @@ class GraftBatchWrite(table: String, schema: StructType, overwrite: Boolean)
 case class GraftWriteDone(file: String) extends WriterCommitMessage
 
 class GraftDataWriterFactory(
-    stagingAbs: String, schema: StructType, rowLevel: Boolean = false)
+    stagingAbs: String, schema: StructType, rowLevel: Boolean = false,
+    bucketIdx: Option[(Int, Int)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(
-      s"$stagingAbs/part-$partitionId-$taskId.parquet", schema, rowLevel)
+    bucketIdx match {
+      case None =>
+        new GraftDataWriter(
+          s"$stagingAbs/part-$partitionId-$taskId.parquet", schema, rowLevel)
+      case Some((i, n)) =>
+        new GraftBucketedDataWriter(stagingAbs, schema, i, n, partitionId, taskId)
+    }
+}
+
+/** Bucket-routing executor writer: each row lands in the
+  * `__graft_bucket=<pmod(key, n)>/` file for its own key (nulls in
+  * bucket 0), one underlying [[GraftDataWriter]] per bucket VALUE seen by
+  * this task — normally one, because the write declares a clustered
+  * distribution on the bucket transform. Placement is therefore
+  * byte-identical to [[VersionedTable.commitBucketed]] whatever Spark
+  * does with the distribution hint.
+  */
+class GraftBucketedDataWriter(
+    stagingAbs: String, schema: StructType, bucketIdx: Int, nBuckets: Int,
+    partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val open = scala.collection.mutable.Map.empty[Int, GraftDataWriter]
+
+  private def bucketOf(row: InternalRow): Int = {
+    if (row.isNullAt(bucketIdx)) 0
+    else {
+      val v = schema.fields(bucketIdx).dataType match {
+        case LongType => row.getLong(bucketIdx)
+        case _        => row.getInt(bucketIdx).toLong
+      }
+      (((v % nBuckets) + nBuckets) % nBuckets).toInt
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val b = bucketOf(row)
+    open.getOrElseUpdate(b, {
+      val dir = java.nio.file.Paths.get(stagingAbs, s"__graft_bucket=$b")
+      java.nio.file.Files.createDirectories(dir)
+      new GraftDataWriter(
+        dir.resolve(s"part-$partitionId-$taskId.parquet").toString, schema)
+    }).write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_.commit())
+    GraftWriteDone(s"$stagingAbs#task-$partitionId-$taskId")
+  }
+  override def abort(): Unit = open.values.foreach(_.abort())
+  override def close(): Unit = ()
 }
 
 /** Executor-side parquet writer over the example Group API — the write

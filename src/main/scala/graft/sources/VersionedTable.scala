@@ -342,12 +342,17 @@ object VersionedTable {
           }.mkString(";")
           val suffix = s"#${r.getAs[Long]("g_n")}" +
             (if (stats.isEmpty) "" else s"#$stats")
-          r.getString(0).split('/').last -> suffix
+          // key on the COMMIT-RELATIVE path, never the basename: one
+          // task writing several bucket dirs reuses its basename, so
+          // basenames collide across __graft_bucket=<b>/ subtrees
+          val abs = r.getString(0)
+          val marker = s"/$dirName/"
+          val rel = abs.substring(abs.lastIndexOf(marker) + marker.length)
+          rel -> suffix
         }.toMap
       }
-    // suffixes key on the FILE NAME (unique per commit — task uuids);
     // entries carry the commit-relative path, which may nest bucket dirs
-    files.map(n => n + suffixes.getOrElse(n.split('/').last, "#0"))
+    files.map(n => n + suffixes.getOrElse(n, "#0"))
   }
 
   // ---- Declarative CHECK constraints (Delta-style) ----
@@ -634,9 +639,12 @@ object VersionedTable {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val next = versions(table).lastOption.getOrElse(0L) + 1L
     val dirName = s"c${next}_$token"
+    // on a bucketed table the carrier must live inside a bucket subtree —
+    // [[bucketLayout]] (rightly) refuses flat files on bucketed tables
+    val fileName = bucketSpec(table)
+      .fold("part-schema-0.parquet")(_ => "__graft_bucket=0/part-schema-0.parquet")
     val dir = Paths.get(table, "data", dirName)
-    Files.createDirectories(dir)
-    val fileName = "part-schema-0.parquet"
+    Files.createDirectories(dir.resolve(fileName).getParent)
     new GraftDataWriter(dir.resolve(fileName).toString, schema).commit()
     publishStaged(table, token, next, dirName, Seq(s"$fileName#0"),
       append, txnId = None, expectedLatest = None).fold(identity, identity)
@@ -1046,6 +1054,30 @@ object VersionedTable {
     }
   }
 
+  /** Record `table`'s bucket layout atomically-if-absent (link-as-CAS,
+    * same discipline as manifest publication). Idempotent when the spec
+    * already matches; throws [[java.util.ConcurrentModificationException]]
+    * when a different spec is (or concurrently gets) recorded — the two
+    * layouts cannot coexist, one writer must lose loudly.
+    */
+  private[sources] def recordBucketSpec(
+      table: String, bucketCol: String, nBuckets: Int): Unit = {
+    if (!Files.exists(bucketSpecFile(table))) {
+      Files.createDirectories(manifestDir(table))
+      val tmp = manifestDir(table).resolve(
+        s"bucketspec.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, java.util.List.of(s"$bucketCol\t$nBuckets"))
+      try Files.createLink(bucketSpecFile(table), tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally { Files.deleteIfExists(tmp); () }
+    }
+    bucketSpec(table).foreach { case (c, n) =>
+      if (c != bucketCol || n != nBuckets)
+        throw new java.util.ConcurrentModificationException(
+          s"$table is bucketed by ($c, $n); cannot record ($bucketCol, $nBuckets)")
+    }
+  }
+
   /** Commit `df` BUCKETED on `bucketCol` into `nBuckets` modulo buckets
     * (`pmod(col, n)`; NULL keys land in bucket 0 — they never match an
     * equi-join anyway). Each commit writes one Hive-style
@@ -1080,24 +1112,23 @@ object VersionedTable {
       .repartition(nBuckets, col("__graft_bucket"))
       .write.mode("errorifexists").partitionBy("__graft_bucket")
       .parquet(dataDir.toString)
+    // partitionBy writes NO part files for an empty frame (there are no
+    // partition values) — land a schema carrier so the snapshot stays
+    // readable; bucket 0 keeps [[bucketLayout]]'s nesting invariant
+    if (!Files.walk(dataDir).iterator.asScala.exists(p =>
+        Files.isRegularFile(p) && p.toString.endsWith(".parquet"))) {
+      val carrier = dataDir.resolve("__graft_bucket=0/part-schema-0.parquet")
+      Files.createDirectories(carrier.getParent)
+      new GraftDataWriter(carrier.toString, df.schema).commit()
+      ()
+    }
     val entries = dirMetadata(df.sparkSession, table, dirName, Nil, constraints(table))
     // record the spec atomically-if-absent BEFORE publishing: a racing
     // first-commit with a DIFFERENT spec must lose loudly, not coexist
-    if (!Files.exists(bucketSpecFile(table))) {
-      Files.createDirectories(manifestDir(table))
-      val tmp = manifestDir(table).resolve(
-        s"bucketspec.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-      Files.write(tmp, java.util.List.of(s"$bucketCol\t$nBuckets"))
-      try Files.createLink(bucketSpecFile(table), tmp)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      finally { Files.deleteIfExists(tmp); () }
-      bucketSpec(table).foreach { case (c, n) =>
-        if (c != bucketCol || n != nBuckets) {
-          deleteRecursively(dataDir)
-          throw new java.util.ConcurrentModificationException(
-            s"$table was concurrently bucketed by ($c, $n)")
-        }
-      }
+    try recordBucketSpec(table, bucketCol, nBuckets)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        deleteRecursively(dataDir); throw e
     }
     publishStaged(table, token, next, dirName, entries, append,
       txnId = None, expectedLatest = None).fold(identity, identity)

@@ -3,6 +3,7 @@ package graft
 import graft.sources.VersionedTable
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** The SQL catalog over versioned tables: identifier→directory mapping,
   * VERSION AS OF time travel through Spark's native syntax, merge-on-read
@@ -605,12 +606,29 @@ class GraftCatalogSpec extends AnyFunSuite {
           |FROM gtest.default.fact_b f JOIN gtest.default.dim_b d USING (k)""".stripMargin)
       assert(!q2.queryExecution.executedPlan.toString.contains("Exchange"))
       assert(q2.count() == 5000L, "tombstoned row must vanish from the join")
-      // flat writes that would break co-location are refused loudly
-      val ex = intercept[Exception] {
-        spark.sql("INSERT INTO gtest.default.fact_b VALUES (1, 1, 'x')")
-      }
-      assert(ex.getMessage.contains("bucketed") ||
-        Option(ex.getCause).exists(_.getMessage.contains("bucketed")))
+      // SQL INSERT routes through the bucketed writer: the new row lands
+      // in its own key's bucket subtree and the join stays exchange-free
+      spark.sql("INSERT INTO gtest.default.fact_b VALUES (13, 77777, 'sqlrow')")
+      val q3 = spark.sql(
+        """SELECT f.k, f.fid, d.nm
+          |FROM gtest.default.fact_b f JOIN gtest.default.dim_b d USING (k)""".stripMargin)
+      assert(!q3.queryExecution.executedPlan.toString.contains("Exchange"),
+        "SQL-inserted data must preserve the exchange-free join")
+      assert(q3.count() == 5001L)
+      assert(spark.sql(
+        "SELECT nm FROM gtest.default.fact_b f JOIN gtest.default.dim_b d USING (k) " +
+          "WHERE fid = 77777").collect().map(_.getString(0)).toSeq == Seq("name13"))
+      // and on disk the new commit nests under the key's bucket dir
+      val lastCommit = java.nio.file.Files.list(
+        java.nio.file.Paths.get(tf, "data")).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("c"))
+        .maxBy(p => p.getFileName.toString.drop(1).takeWhile(_.isDigit).toLong)
+      val nested = java.nio.file.Files.walk(lastCommit).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet")).toSeq
+      assert(nested.nonEmpty &&
+        nested.forall(_.toString.contains(s"__graft_bucket=${13 % 8}/")),
+        s"SQL insert wrote outside the key's bucket: $nested")
       val ex2 = intercept[Exception] {
         VersionedTable.commit(Seq((1L, 1L, "x")).toDF("k", "fid", "fv"),
           tf, append = true)
@@ -622,6 +640,70 @@ class GraftCatalogSpec extends AnyFunSuite {
           Seq((1L, 1L, "x")).toDF("k", "fid", "fv"), tf, "k", 16, append = true)
       }
       assert(ex3.getMessage.contains("co-location"), ex3.getMessage)
+    } finally {
+      prevB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        v => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+    }
+  }
+
+  test("CREATE TABLE PARTITIONED BY (bucket(n, col)): pure-SQL co-bucketed lifecycle") {
+    val _ = root // force gtest catalog registration (lazy)
+    val prevB = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("CREATE TABLE gtest.default.sfact (k BIGINT, m BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+      spark.sql("CREATE TABLE gtest.default.sdim (k BIGINT, nm STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      // the spec is recorded at CREATE time, before any data
+      assert(VersionedTable.bucketSpec(s"$root/default/sfact").contains(("k", 4)))
+      // a freshly created (empty) bucketed table reads fine
+      assert(spark.sql("SELECT * FROM gtest.default.sfact").count() == 0L)
+      spark.sql("INSERT INTO gtest.default.sfact " +
+        "SELECT id % 13 AS k, id AS m FROM range(0, 1000)")
+      spark.sql("INSERT INTO gtest.default.sfact VALUES (5, 100000)") // append keeps layout
+      spark.sql("INSERT INTO gtest.default.sdim " +
+        "SELECT id AS k, concat('n', id) AS nm FROM range(0, 13)")
+      val q = spark.sql(
+        """SELECT f.k, f.m, d.nm
+          |FROM gtest.default.sfact f JOIN gtest.default.sdim d USING (k)""".stripMargin)
+      assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"pure-SQL co-bucketed join must be exchange-free:\n${q.queryExecution.executedPlan}")
+      assert(q.count() == 1001L)
+      // parity with a plain (unbucketed) recomputation of the same join
+      val expect = spark.sql(
+        "SELECT count(*) FROM (SELECT id % 13 AS k FROM range(0, 1000) " +
+          "UNION ALL SELECT 5) f JOIN (SELECT id AS k FROM range(0, 13)) d USING (k)")
+        .collect()(0).getLong(0)
+      assert(q.count() == expect)
+      // an empty INSERT ... SELECT commits cleanly and stays readable
+      spark.sql("INSERT INTO gtest.default.sfact " +
+        "SELECT id, id FROM range(0, 1000) WHERE id < 0")
+      assert(spark.sql("SELECT * FROM gtest.default.sfact").count() == 1001L)
+      // INSERT OVERWRITE replaces data but keeps the bucket layout
+      spark.sql("INSERT OVERWRITE gtest.default.sfact VALUES (7, 1), (20, 2)")
+      assert(VersionedTable.bucketSpec(s"$root/default/sfact").contains(("k", 4)))
+      val q2 = spark.sql(
+        """SELECT f.k, d.nm FROM gtest.default.sfact f
+          |JOIN gtest.default.sdim d USING (k)""".stripMargin)
+      assert(!q2.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(q2.collect().map(_.getString(1)).sorted.toSeq == Seq("n7"))
+      // unsupported partitionings are refused loudly
+      val ex = intercept[Exception] {
+        spark.sql("CREATE TABLE gtest.default.badpart (k BIGINT, v STRING) " +
+          "PARTITIONED BY (v)")
+      }
+      assert(ex.getMessage.contains("bucket") ||
+        Option(ex.getCause).exists(_.getMessage.contains("bucket")), ex.getMessage)
+      val ex2 = intercept[Exception] {
+        spark.sql("CREATE TABLE gtest.default.badcol (k BIGINT, v STRING) " +
+          "PARTITIONED BY (bucket(4, v))")
+      }
+      assert(ex2.getMessage.contains("BIGINT") ||
+        Option(ex2.getCause).exists(_.getMessage.contains("BIGINT")), ex2.getMessage)
     } finally {
       prevB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
         v => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
