@@ -92,6 +92,8 @@ object SparkEntry {
     "q_sql_fastcount" -> ((s, d) => Incremental.ordersSqlFastcount(t(s, d, "orders"))),
     "q_sql_spj" -> ((s, d) =>
       Incremental.ordersSqlBucketedJoin(t(s, d, "orders"), t(s, d, "customer"))),
+    "q_sql_bucketed" -> ((s, d) =>
+      Incremental.ordersSqlBucketedDdl(t(s, d, "orders"), t(s, d, "customer"))),
     "q_sql_delete" -> ((s, d) => Incremental.ordersSqlDelete(t(s, d, "orders"))),
     "q_sql_update" -> ((s, d) => Incremental.ordersSqlUpdate(t(s, d, "orders"))),
     "q_sql_merge" -> ((s, d) => Incremental.ordersSqlMerge(t(s, d, "orders"))),
@@ -1566,6 +1568,17 @@ object SparkEntry {
     // with no exchange; the oracle is the plain join — hash equality
     // proves bucketing changed the plan, never the content.
     "q_sql_spj" ->
+      """SELECT o.o_orderkey, o.o_custkey AS custkey,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c,
+        |       c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    // The same storage-partitioned join declared and loaded ENTIRELY
+    // through SQL (CREATE TABLE PARTITIONED BY (bucket(16, custkey)) +
+    // INSERT INTO ... SELECT through the bucket-routing DSv2 writer) —
+    // the oracle is the plain join, so hash equality proves the SQL
+    // write path placed every row in its correct bucket subtree.
+    "q_sql_bucketed" ->
       """SELECT o.o_orderkey, o.o_custkey AS custkey,
         |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c,
         |       c.c_name

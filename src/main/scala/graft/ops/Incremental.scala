@@ -918,6 +918,51 @@ object Incremental {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Registered q_sql_bucketed body: the same storage-partitioned join as
+    * `q_sql_spj`, but with the bucket layout declared and loaded ENTIRELY
+    * through SQL — `CREATE TABLE ... PARTITIONED BY (bucket(16, custkey))`
+    * records the layout before any data lands (link-as-CAS; a racing
+    * first-commit with a different spec loses loudly), and `INSERT INTO
+    * ... SELECT` routes through the bucket-routing DSv2 writer: the write
+    * declares a clustered distribution on the table's own bucket
+    * transform and each task places rows in `__graft_bucket=<pmod(key,
+    * 16)>/` exactly as `commitBucketed` does, so the co-bucketed join
+    * still plans with NO exchange (`GraftCatalogSpec` pins the plan
+    * shape). The oracle replays the plain join from raw tables — hash
+    * equality proves the SQL write path placed every row correctly.
+    */
+  def ordersSqlBucketedDdl(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val names = versionedTables.computeIfAbsent((spark, s"sqlbddl:$inputKey"), { _ =>
+      val _ = catalogRoot(spark) // force gtab catalog registration
+      val tag = java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())
+      val fn = s"orders_bddl_$tag"
+      val dn = s"cust_bddl_$tag"
+      orders.createOrReplaceTempView(s"g_bddl_o_$tag")
+      customer.createOrReplaceTempView(s"g_bddl_c_$tag")
+      spark.sql(s"""CREATE TABLE gtab.default.$fn
+        |(custkey BIGINT, o_orderkey BIGINT, price_c BIGINT)
+        |PARTITIONED BY (bucket(16, custkey))""".stripMargin)
+      spark.sql(s"""CREATE TABLE gtab.default.$dn
+        |(custkey BIGINT, c_name STRING)
+        |PARTITIONED BY (bucket(16, custkey))""".stripMargin)
+      spark.sql(s"""INSERT INTO gtab.default.$fn
+        |SELECT o_custkey AS custkey, o_orderkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM g_bddl_o_$tag""".stripMargin)
+      spark.sql(s"""INSERT INTO gtab.default.$dn
+        |SELECT c_custkey AS custkey, c_name FROM g_bddl_c_$tag""".stripMargin)
+      s"$fn,$dn"
+    })
+    val Array(fn, dn) = names.split(',')
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql(
+      s"""SELECT o_orderkey, custkey, price_c, c_name
+         |FROM gtab.default.$fn f JOIN gtab.default.$dn d USING (custkey)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Registered q_sql_delete body: SQL `DELETE FROM` through the catalog —
     * executed as a file-granular copy-on-write replace commit: the pushed
     * range filter both prunes candidate files from the zone maps and,
