@@ -94,6 +94,8 @@ object SparkEntry {
       Incremental.ordersSqlBucketedJoin(t(s, d, "orders"), t(s, d, "customer"))),
     "q_sql_bucketed" -> ((s, d) =>
       Incremental.ordersSqlBucketedDdl(t(s, d, "orders"), t(s, d, "customer"))),
+    "q_sql_bucketed_dml" -> ((s, d) =>
+      Incremental.ordersSqlBucketedDml(t(s, d, "orders"), t(s, d, "customer"))),
     "q_sql_delete" -> ((s, d) => Incremental.ordersSqlDelete(t(s, d, "orders"))),
     "q_sql_update" -> ((s, d) => Incremental.ordersSqlUpdate(t(s, d, "orders"))),
     "q_sql_merge" -> ((s, d) => Incremental.ordersSqlMerge(t(s, d, "orders"))),
@@ -1584,6 +1586,31 @@ object SparkEntry {
         |       c.c_name
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_orderkey""".stripMargin,
+    // Row-level SQL DML (UPDATE → DELETE → MERGE INTO) on a bucketed
+    // table, each a bucket-preserving replace commit; the oracle
+    // replays the same pipeline as plain SQL, so hash equality proves
+    // rewritten, carried, and merge-inserted rows all read back exactly.
+    "q_sql_bucketed_dml" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS custkey, o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |upd AS (
+        |  SELECT custkey, o_orderkey,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN price_c + 1 ELSE price_c END AS price_c
+        |  FROM base),
+        |del AS (SELECT * FROM upd WHERE o_orderkey % 7 <> 3),
+        |mrg AS (
+        |  SELECT custkey, o_orderkey,
+        |         CASE WHEN o_orderkey % 10 = 1 THEN CAST(0 AS BIGINT) ELSE price_c END AS price_c
+        |  FROM del
+        |  UNION ALL
+        |  SELECT o_custkey AS custkey, o_orderkey + 10000000 AS o_orderkey,
+        |         CAST(1 AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 20 = 5)
+        |SELECT m.o_orderkey, m.custkey, m.price_c, c.c_name
+        |FROM mrg m JOIN customer c ON m.custkey = c.c_custkey
+        |ORDER BY m.o_orderkey""".stripMargin,
     // Ungrouped COUNT/MIN/MAX pushed to manifest arithmetic (footer
     // counts + zone maps; tombstone-free snapshot) — the plan opens no
     // data file; the oracle recomputes from raw orders.

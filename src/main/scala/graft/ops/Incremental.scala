@@ -963,6 +963,65 @@ object Incremental {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Registered q_sql_bucketed_dml body: row-level SQL DML on a BUCKETED
+    * table — UPDATE, DELETE, and MERGE INTO all execute as group-based
+    * replace commits whose writes route every surviving row back into
+    * its own key's `__graft_bucket` subtree (the bucket-routing replace
+    * writer), so the storage-partitioned join stays exchange-free
+    * through the whole DML history (`GraftCatalogSpec` pins the plan
+    * and the no-flat-files layout). The oracle replays the same
+    * update/delete/merge pipeline as plain SQL over raw orders — hash
+    * equality proves the rewritten, carried, AND merge-inserted rows
+    * all read back exactly from their bucket subtrees.
+    */
+  def ordersSqlBucketedDml(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val names = versionedTables.computeIfAbsent((spark, s"sqlbdml:$inputKey"), { _ =>
+      val _ = catalogRoot(spark) // force gtab catalog registration
+      val tag = java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())
+      val fn = s"orders_bdml_$tag"
+      val dn = s"cust_bdml_$tag"
+      orders.createOrReplaceTempView(s"g_bdml_o_$tag")
+      customer.createOrReplaceTempView(s"g_bdml_c_$tag")
+      spark.sql(s"""CREATE TABLE gtab.default.$fn
+        |(custkey BIGINT, o_orderkey BIGINT, price_c BIGINT)
+        |PARTITIONED BY (bucket(16, custkey))""".stripMargin)
+      spark.sql(s"""CREATE TABLE gtab.default.$dn
+        |(custkey BIGINT, c_name STRING)
+        |PARTITIONED BY (bucket(16, custkey))""".stripMargin)
+      spark.sql(s"""INSERT INTO gtab.default.$fn
+        |SELECT o_custkey AS custkey, o_orderkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM g_bdml_o_$tag""".stripMargin)
+      spark.sql(s"""INSERT INTO gtab.default.$dn
+        |SELECT c_custkey AS custkey, c_name FROM g_bdml_c_$tag""".stripMargin)
+      spark.sql(
+        s"UPDATE gtab.default.$fn SET price_c = price_c + 1 WHERE o_orderkey % 10 = 0")
+      spark.sql(s"DELETE FROM gtab.default.$fn WHERE o_orderkey % 7 = 3")
+      spark.sql(
+        s"""MERGE INTO gtab.default.$fn t
+           |USING (
+           |  SELECT o_custkey AS custkey, o_orderkey, CAST(0 AS BIGINT) AS price_c
+           |  FROM g_bdml_o_$tag WHERE o_orderkey % 10 = 1 AND o_orderkey % 7 <> 3
+           |  UNION ALL
+           |  SELECT o_custkey, o_orderkey + 10000000, CAST(1 AS BIGINT)
+           |  FROM g_bdml_o_$tag WHERE o_orderkey % 20 = 5
+           |) c
+           |ON t.o_orderkey = c.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET price_c = c.price_c
+           |WHEN NOT MATCHED THEN INSERT (custkey, o_orderkey, price_c)
+           |  VALUES (c.custkey, c.o_orderkey, c.price_c)""".stripMargin)
+      s"$fn,$dn"
+    })
+    val Array(fn, dn) = names.split(',')
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql(
+      s"""SELECT o_orderkey, custkey, price_c, c_name
+         |FROM gtab.default.$fn f JOIN gtab.default.$dn d USING (custkey)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Registered q_sql_delete body: SQL `DELETE FROM` through the catalog —
     * executed as a file-granular copy-on-write replace commit: the pushed
     * range filter both prunes candidate files from the zone maps and,

@@ -336,10 +336,10 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(version.isEmpty,
       s"cannot run ${info.command} on a time-traveled snapshot of $ident")
-    require(VersionedTable.bucketSpec(table).isEmpty,
-      s"$ident is bucketed: row-level rewrites would break co-location — " +
-        "use merge-on-read deletes and bucketed re-commits")
-    () => new GraftRowLevelOperation(table, info.command)
+    // bucketed tables take row-level ops too: the replacing write routes
+    // every rewritten (and MERGE-inserted) row into its own key's
+    // __graft_bucket subtree, so co-location survives the rewrite
+    () => new GraftRowLevelOperation(table, info.command, bucket)
   }
   override def name(): String =
     version.fold(ident)(v => s"$ident@v$v")
@@ -416,7 +416,8 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
   */
 class GraftRowLevelOperation(
     table: String,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    bucket: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   @volatile private[sources] var basis: Long = -1L
   @volatile private[sources] var planned: Seq[String] = Nil // entry paths
@@ -484,9 +485,27 @@ class GraftRowLevelOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new GraftReplaceBatchWrite(table, info.schema(), GraftRowLevelOperation.this)
+      override def build(): Write = bucket match {
+        case None => new Write {
+          override def toBatch: BatchWrite =
+            new GraftReplaceBatchWrite(table, info.schema(), GraftRowLevelOperation.this)
+        }
+        case Some((c, n)) =>
+          // same clustered-distribution declaration as the plain bucketed
+          // write: rewritten rows reach the writers grouped by bucket, so
+          // each task opens (normally) one file — correctness never
+          // depends on it, the writer routes per-row regardless
+          new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+            import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+            import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+            override def requiredDistribution(): Distribution =
+              Distributions.clustered(Array(Expressions.bucket(n, c)))
+            override def requiredNumPartitions(): Int = n
+            override def requiredOrdering(): Array[SortOrder] = Array.empty
+            override def toBatch: BatchWrite =
+              new GraftReplaceBatchWrite(
+                table, info.schema(), GraftRowLevelOperation.this, bucket)
+          }
       }
     }
 }
@@ -499,7 +518,8 @@ class GraftRowLevelOperation(
   * than basing the rewrite on a stale snapshot).
   */
 class GraftReplaceBatchWrite(
-    table: String, schema: StructType, op: GraftRowLevelOperation)
+    table: String, schema: StructType, op: GraftRowLevelOperation,
+    bucket: Option[(String, Int)] = None)
     extends BatchWrite {
   private val token = java.util.UUID.randomUUID().toString.take(8)
   private val stagingAbs =
@@ -507,7 +527,15 @@ class GraftReplaceBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingAbs))
-    new GraftDataWriterFactory(stagingAbs, schema, rowLevel = true)
+    val bucketIdx = bucket.map { case (c, n) =>
+      val i = schema.fieldIndex(c)
+      require(schema.fields(i).dataType == LongType ||
+        schema.fields(i).dataType == IntegerType,
+        s"bucket column $c must be BIGINT/INT")
+      (i, n)
+    }
+    new GraftDataWriterFactory(stagingAbs, schema, rowLevel = true,
+      bucketIdx = bucketIdx)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -928,7 +956,8 @@ class GraftDataWriterFactory(
         new GraftDataWriter(
           s"$stagingAbs/part-$partitionId-$taskId.parquet", schema, rowLevel)
       case Some((i, n)) =>
-        new GraftBucketedDataWriter(stagingAbs, schema, i, n, partitionId, taskId)
+        new GraftBucketedDataWriter(
+          stagingAbs, schema, i, n, partitionId, taskId, rowLevel)
     }
 }
 
@@ -942,28 +971,40 @@ class GraftDataWriterFactory(
   */
 class GraftBucketedDataWriter(
     stagingAbs: String, schema: StructType, bucketIdx: Int, nBuckets: Int,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long, rowLevel: Boolean = false)
     extends DataWriter[InternalRow] {
   private val open = scala.collection.mutable.Map.empty[Int, GraftDataWriter]
+  // row-level (ReplaceData) rows may carry a leading `__row_operation`
+  // column (see GraftDataWriter) — the key index shifts with it
+  private var fieldOffset = -1
 
   private def bucketOf(row: InternalRow): Int = {
-    if (row.isNullAt(bucketIdx)) 0
+    val j = bucketIdx + fieldOffset
+    if (row.isNullAt(j)) 0
     else {
       val v = schema.fields(bucketIdx).dataType match {
-        case LongType => row.getLong(bucketIdx)
-        case _        => row.getInt(bucketIdx).toLong
+        case LongType => row.getLong(j)
+        case _        => row.getInt(j).toLong
       }
       (((v % nBuckets) + nBuckets) % nBuckets).toInt
     }
   }
 
   override def write(row: InternalRow): Unit = {
+    if (fieldOffset < 0) {
+      fieldOffset =
+        if (rowLevel) row.numFields - schema.fields.length else 0
+      require(fieldOffset == 0 || fieldOffset == 1,
+        s"row arity ${row.numFields} does not match write schema " +
+          s"(${schema.fields.length} fields) for $stagingAbs")
+    }
     val b = bucketOf(row)
     open.getOrElseUpdate(b, {
       val dir = java.nio.file.Paths.get(stagingAbs, s"__graft_bucket=$b")
       java.nio.file.Files.createDirectories(dir)
       new GraftDataWriter(
-        dir.resolve(s"part-$partitionId-$taskId.parquet").toString, schema)
+        dir.resolve(s"part-$partitionId-$taskId.parquet").toString, schema,
+        rowLevel)
     }).write(row)
   }
 

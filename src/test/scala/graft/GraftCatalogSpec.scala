@@ -711,6 +711,76 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("row-level SQL ops on bucketed tables preserve co-location") {
+    val _ = root // force gtest catalog registration (lazy)
+    val prevB = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("CREATE TABLE gtest.default.dmlfact (k BIGINT, m BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+      spark.sql("CREATE TABLE gtest.default.dmldim (k BIGINT, nm STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      spark.sql("INSERT INTO gtest.default.dmlfact " +
+        "SELECT id % 13 AS k, id AS m FROM range(0, 1000)")
+      spark.sql("INSERT INTO gtest.default.dmldim " +
+        "SELECT id AS k, concat('n', id) AS nm FROM range(0, 22)")
+      // UPDATE rewrites candidate files but every row re-lands in its
+      // own key's bucket subtree
+      spark.sql("UPDATE gtest.default.dmlfact SET m = m + 1000000 WHERE k = 5")
+      // DELETE (row-level fallback COW on bucketed tables) drops k=7
+      spark.sql("DELETE FROM gtest.default.dmlfact WHERE k = 7")
+      // MERGE updates k=5 again and inserts a brand-new key 20
+      spark.sql(
+        """MERGE INTO gtest.default.dmlfact t
+          |USING (SELECT 5L AS k, 0L AS m UNION ALL SELECT 20L, 42L) c
+          |ON t.k = c.k
+          |WHEN MATCHED THEN UPDATE SET m = t.m + 1
+          |WHEN NOT MATCHED THEN INSERT (k, m) VALUES (c.k, c.m)""".stripMargin)
+      // content: 1000 - 77 (k=7 rows) + 1 (k=20 insert) rows survive
+      assert(spark.sql("SELECT count(*) FROM gtest.default.dmlfact")
+        .collect()(0).getLong(0) == 924L)
+      assert(spark.sql(
+        "SELECT count(*) FROM gtest.default.dmlfact WHERE k = 7")
+        .collect()(0).getLong(0) == 0L)
+      // k=5 rows saw UPDATE (+1e6) then MERGE (+1): m = orig + 1000001
+      val m5 = spark.sql(
+        "SELECT min(m), max(m) FROM gtest.default.dmlfact WHERE k = 5").collect()(0)
+      assert(m5.getLong(0) == 5L + 1000001L)
+      assert(m5.getLong(1) == 993L + 1000001L)
+      assert(spark.sql(
+        "SELECT m FROM gtest.default.dmlfact WHERE k = 20")
+        .collect().map(_.getLong(0)).toSeq == Seq(42L))
+      // the co-bucketed join stays exchange-free through all three ops
+      val q = spark.sql(
+        """SELECT f.k, f.m, d.nm
+          |FROM gtest.default.dmlfact f JOIN gtest.default.dmldim d USING (k)""".stripMargin)
+      assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"bucketed join must stay exchange-free after DML:\n${q.queryExecution.executedPlan}")
+      assert(q.count() == 924L)
+      // and on disk EVERY data file still nests under a bucket subtree
+      val tf = s"$root/default/dmlfact"
+      val stray = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(tf, "data")).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet") &&
+          !p.toString.contains("__graft_bucket=")).toSeq
+      assert(stray.isEmpty, s"row-level rewrite wrote flat files: $stray")
+      // updating the BUCKET KEY itself re-places the row correctly:
+      // k 20 → 21 moves the row from bucket 0 to bucket 1
+      spark.sql("UPDATE gtest.default.dmlfact SET k = 21 WHERE k = 20")
+      // m=42 matches the moved row (now k=21) AND the original id=42 row (k=3)
+      assert(spark.sql(
+        "SELECT nm FROM gtest.default.dmlfact f JOIN gtest.default.dmldim d USING (k) " +
+          "WHERE m = 42").collect().map(_.getString(0)).sorted.toSeq == Seq("n21", "n3"))
+    } finally {
+      prevB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        v => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+    }
+  }
+
   test("CREATE TABLE AS SELECT creates v1 (schema-only) + v2 (the data)") {
     val _ = root // force gtest catalog registration (lazy)
     spark.sql(
