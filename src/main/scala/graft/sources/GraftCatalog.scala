@@ -547,7 +547,8 @@ class GraftReplaceBatchWrite(
       java.nio.file.Paths.get(stagingAbs),
       java.nio.file.Paths.get(table, "data", dirName))
     val entries = VersionedTable.dirMetadata(
-      spark, table, dirName, Nil, VersionedTable.constraints(table))
+      spark, table, dirName, VersionedTable.integralStatsCols(schema),
+      VersionedTable.constraints(table))
     val removals = op.planned.map(p => s"R:$p")
     val fresh = entries.map(n => s"data/$dirName/$n")
     if (!VersionedTable.tryPublishStaged(
@@ -924,7 +925,8 @@ class GraftBatchWrite(
       java.nio.file.Paths.get(stagingAbs),
       java.nio.file.Paths.get(table, "data", dirName))
     val entries = VersionedTable.dirMetadata(
-      spark, table, dirName, Nil, VersionedTable.constraints(table))
+      spark, table, dirName, VersionedTable.integralStatsCols(schema),
+      VersionedTable.constraints(table))
     VersionedTable.publishStaged(table, token, next, dirName, entries,
       append = !overwrite, txnId = None, expectedLatest = None)
     ()

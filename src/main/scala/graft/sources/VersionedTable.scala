@@ -286,6 +286,20 @@ object VersionedTable {
     dirMetadata(df.sparkSession, table, dirName, statsCols, checks)
   }
 
+  /** The integral (BIGINT/INT) columns of `schema` — the default
+    * zone-map stats set for writes that don't declare one explicitly
+    * (the SQL INSERT / row-level replace paths): planning-time pruning
+    * and the DML candidate probe only consult integral bounds, so
+    * recording exactly those costs nothing extra (same metadata job)
+    * and makes every SQL-written file prunable by default.
+    */
+  private[sources] def integralStatsCols(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType => f.name
+    }.toSeq
+
   /** The single metadata job over an already-populated commit directory:
     * per-file footer counts, zone maps, and CHECK-constraint violations —
     * shared by [[writeFiles]] and the SQL catalog's INSERT path (whose
@@ -1122,7 +1136,8 @@ object VersionedTable {
       new GraftDataWriter(carrier.toString, df.schema).commit()
       ()
     }
-    val entries = dirMetadata(df.sparkSession, table, dirName, Nil, constraints(table))
+    val entries = dirMetadata(df.sparkSession, table, dirName,
+      integralStatsCols(df.schema), constraints(table))
     // record the spec atomically-if-absent BEFORE publishing: a racing
     // first-commit with a DIFFERENT spec must lose loudly, not coexist
     try recordBucketSpec(table, bucketCol, nBuckets)
