@@ -638,8 +638,15 @@ private[sources] object GraftProcedures {
       case "compact" => proc(name,
         Seq("table" -> StringType),
         StructType(Seq(StructField("new_version", LongType, nullable = false)))) {
-        in => Array[Any](VersionedTable.compact(
-          SparkSession.active, resolve(in.getUTF8String(0).toString)))
+        // bucketed tables compact through the bucketed writer (one file
+        // per bucket, layout preserved); flat tables through commitCore
+        in => {
+          val t = resolve(in.getUTF8String(0).toString)
+          Array[Any](
+            if (VersionedTable.bucketSpec(t).isDefined)
+              VersionedTable.compactBucketed(SparkSession.active, t)
+            else VersionedTable.compact(SparkSession.active, t))
+        }
       }
       case "optimize" => proc(name,
         Seq("table" -> StringType, "cluster_by" -> StringType,

@@ -1105,7 +1105,7 @@ object VersionedTable {
     */
   def commitBucketed(
       df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
-      append: Boolean): Long = {
+      append: Boolean, expectedLatest: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, pmod}
     require(nBuckets > 0, "nBuckets must be positive")
     bucketSpec(table).foreach { case (c, n) =>
@@ -1146,7 +1146,27 @@ object VersionedTable {
         deleteRecursively(dataDir); throw e
     }
     publishStaged(table, token, next, dirName, entries, append,
-      txnId = None, expectedLatest = None).fold(identity, identity)
+      txnId = None, expectedLatest = expectedLatest).fold(identity, identity)
+  }
+
+  /** Compaction for BUCKETED tables: rewrite the resolved head snapshot
+    * through the same bucketed writer (one file per bucket, tombstones
+    * applied during the read), published as an overwrite with the basis
+    * as the expected head — a concurrent commit fails loudly instead of
+    * being clobbered. Co-location is preserved by construction, so the
+    * storage-partitioned join stays exchange-free across maintenance.
+    * At 100 TB this is the nightly small-file sweep for the fact tables
+    * every bucketed append and row-level DML slowly fragments.
+    */
+  def compactBucketed(spark: SparkSession, table: String): Long = {
+    val (bucketCol, nBuckets) = bucketSpec(table).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$table is not bucketed — use compact"))
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions at $table")
+    val basis = vs.last
+    commitBucketed(read(spark, table, Some(basis)), table, bucketCol,
+      nBuckets, append = false, expectedLatest = Some(basis))
   }
 
   /** Per-bucket data files of a pinned snapshot of a bucketed table:

@@ -774,6 +774,24 @@ class GraftCatalogSpec extends AnyFunSuite {
       assert(spark.sql(
         "SELECT nm FROM gtest.default.dmlfact f JOIN gtest.default.dmldim d USING (k) " +
           "WHERE m = 42").collect().map(_.getString(0)).sorted.toSeq == Seq("n21", "n3"))
+      // CALL system.compact sweeps the DML history's small files into
+      // one file per bucket — layout preserved, content unchanged
+      val before = spark.sql("SELECT k, m FROM gtest.default.dmlfact")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.sql("CALL gtest.system.compact('default.dmlfact')")
+      assert(spark.sql("SELECT k, m FROM gtest.default.dmlfact")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+      val compacted = VersionedTable.read(spark, tf).inputFiles
+      assert(compacted.length <= 4,
+        s"compaction must leave at most one file per bucket: ${compacted.length}")
+      assert(compacted.forall(_.contains("__graft_bucket=")),
+        "compacted files must keep the bucket layout")
+      val q4 = spark.sql(
+        """SELECT f.k, f.m, d.nm
+          |FROM gtest.default.dmlfact f JOIN gtest.default.dmldim d USING (k)""".stripMargin)
+      assert(!q4.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed join must stay exchange-free after compaction")
+      assert(q4.count() == 924L)
     } finally {
       prevB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
         v => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
