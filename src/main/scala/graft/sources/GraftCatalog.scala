@@ -460,16 +460,18 @@ class GraftRowLevelOperation(
           override def toBatch: Batch = this
           private def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
           // same per-scan vectorization rule as GraftTableScan: all-or-
-          // nothing, tombstone-free, no schema gap across commits
+          // nothing, MOR-vectorizable tombstones, no schema gap
           private lazy val columnarOk: Boolean =
-            required.nonEmpty && kept.forall(_._3.isEmpty) && {
-              val reqd = required.fieldNames.toSet
-              kept.groupBy(_._2).valuesIterator.forall { files =>
-                reqd.subsetOf(VersionedTable.commitSchemaOf(
-                  SparkSession.active, table, files.map(_._1).min)
-                  .fieldNames.toSet)
+            required.nonEmpty &&
+              kept.forall(e =>
+                GraftVectorization.morOk(required, e._3.map(abs))) && {
+                val reqd = required.fieldNames.toSet
+                kept.groupBy(_._2).valuesIterator.forall { files =>
+                  reqd.subsetOf(VersionedTable.commitSchemaOf(
+                    SparkSession.active, table, files.map(_._1).min)
+                    .fieldNames.toSet)
+                }
               }
-            }
           override def description(): String =
             s"graft-rowlevel-scan $table@v$basis files=${kept.size}/${layout.size} " +
               s"vectorized=$columnarOk"
@@ -1307,9 +1309,13 @@ class GraftBucketedScan(
   }
 
   // same per-scan vectorization rule as GraftTableScan: every file
-  // tombstone-free and physically holding all required columns
+  // MOR-vectorizable and physically holding all required columns
   private lazy val columnarOk: Boolean =
-    required.nonEmpty && perBucket.valuesIterator.flatten.forall(_._2.isEmpty) && {
+    required.nonEmpty && {
+      def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
+      perBucket.valuesIterator.flatten.forall(e =>
+        GraftVectorization.morOk(required, e._2.map(abs)))
+    } && {
       val spark = SparkSession.active
       val reqd = required.fieldNames.toSet
       perBucket.valuesIterator.flatten.map(_._1).toSeq
@@ -1374,14 +1380,15 @@ class GraftBucketReaderFactory(required: StructType)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private val files = partition.asInstanceOf[GraftBucketPartition]
-        .files.iterator.map(_._1)
+        .files.iterator
       private var current: GraftCatalogVectorReader = _
       override def next(): Boolean = {
         while (current == null || !current.next()) {
           if (current != null) current.close()
           current = null
           if (!files.hasNext) return false
-          current = new GraftCatalogVectorReader(files.next(), required)
+          val (f, tombs) = files.next()
+          current = new GraftCatalogVectorReader(f, required, tombs)
         }
         true
       }
@@ -1521,14 +1528,15 @@ class GraftTableScan(
     * driver reads, the [[VersionedTable.snapshotSchema]] discipline.
     */
   private lazy val columnarOk: Boolean =
-    required.nonEmpty && kept.forall(_._3.isEmpty) && {
-      val spark = SparkSession.active
-      val reqd = required.fieldNames.toSet
-      kept.groupBy(_._2).valuesIterator.forall { files =>
-        reqd.subsetOf(VersionedTable
-          .commitSchemaOf(spark, table, files.map(_._1).min).fieldNames.toSet)
+    required.nonEmpty &&
+      kept.forall(e => GraftVectorization.morOk(required, e._3.map(abs))) && {
+        val spark = SparkSession.active
+        val reqd = required.fieldNames.toSet
+        kept.groupBy(_._2).valuesIterator.forall { files =>
+          reqd.subsetOf(VersionedTable
+            .commitSchemaOf(spark, table, files.map(_._1).min).fieldNames.toSet)
+        }
       }
-    }
 
   override def description(): String =
     s"graft-catalog $table${version.fold("")(v => s"@v$v")} " +
@@ -1556,32 +1564,225 @@ class GraftCatalogReaderFactory(required: StructType)
   override def supportColumnarReads(partition: InputPartition): Boolean =
     partition.asInstanceOf[GraftCatalogPartition].columnar
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new GraftCatalogVectorReader(
-      partition.asInstanceOf[GraftCatalogPartition].file, required)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftCatalogPartition]
+    new GraftCatalogVectorReader(p.file, required, p.tombstones)
+  }
+}
+
+/** Tombstone key handling shared by the row and vectorized readers: a
+  * tombstone parquet file holds ONE key column of doomed values (written
+  * by [[VersionedTable.deleteWhere]]); [[load]] decodes it into a hash
+  * set of boxed primitives — the representation both decoders compare
+  * against. [[vectorizable]] is the planning-time gate: the columnar
+  * path can apply a tombstone iff its key column is a primitive the
+  * extractors decode.
+  */
+private[sources] object TombstoneKeys {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  private[sources] def primitive(
+      g: Group, name: String, t: org.apache.parquet.schema.Type): Any = {
+    val p = t.asPrimitiveType().getPrimitiveTypeName
+    p match {
+      case INT64   => g.getLong(name, 0)
+      case INT32   => g.getInteger(name, 0)
+      case DOUBLE  => g.getDouble(name, 0)
+      case FLOAT   => g.getFloat(name, 0)
+      case BOOLEAN => g.getBoolean(name, 0)
+      case BINARY  => g.getString(name, 0)
+      case other   => throw new UnsupportedOperationException(
+        s"graft tombstone reader does not decode $other (column $name)")
+    }
+  }
+
+  /** (key column name, doomed key values) per tombstone file. */
+  def load(paths: Seq[String]): Seq[(String, java.util.HashSet[Any])] =
+    paths.map { tf =>
+      val r = ParquetReader
+        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(tf)).build()
+      val set = new java.util.HashSet[Any]()
+      var name: String = null
+      var g: Group = r.read()
+      while (g != null) {
+        if (name == null) name = g.getType.getFieldName(0)
+        if (g.getFieldRepetitionCount(0) > 0)
+          set.add(primitive(g, name, g.getType.getType(0)))
+        g = r.read()
+      }
+      r.close()
+      (name, set)
+    }.filter(_._1 != null)
+
+  /** The (immutable once published) parquet schema of `path`. */
+  private[sources] def fileFields(
+      path: String): Seq[org.apache.parquet.schema.Type] = {
+    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration()))
+    try {
+      import scala.jdk.CollectionConverters._
+      rd.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
+    } finally rd.close()
+  }
+
+  // one footer read per tombstone file per JVM — they're immutable
+  private val keyOkCache = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  def vectorizable(path: String): Boolean =
+    keyOkCache.computeIfAbsent(path, { _ =>
+      val fields = fileFields(path)
+      fields.size == 1 && fields.head.isPrimitive && {
+        fields.head.asPrimitiveType().getPrimitiveTypeName match {
+          case INT64 | INT32 | DOUBLE | FLOAT | BOOLEAN | BINARY => true
+          case _ => false
+        }
+      }
+    })
+}
+
+/** Planning-time vectorization gates shared by the catalog's scans. */
+private[sources] object GraftVectorization {
+  private val copyable: Set[DataType] = Set(
+    LongType, IntegerType, DoubleType, FloatType, BooleanType, StringType,
+    TimestampType, TimestampNTZType, DateType)
+
+  /** May a file with these tombstones be served columnar? Tombstone-free
+    * always (no copy, batches pass straight through); tombstoned files
+    * need key footers the extractors decode AND a projection the
+    * surviving-row copy supports.
+    */
+  def morOk(required: StructType, tombstonesAbs: Seq[String]): Boolean =
+    tombstonesAbs.isEmpty ||
+      (required.fields.forall(f => copyable(f.dataType)) &&
+        tombstonesAbs.forall(TombstoneKeys.vectorizable))
 }
 
 /** VECTORIZED partition reader: Spark's own columnar parquet decoder
   * (`VectorizedParquetRecordReader`) serving ColumnarBatches straight
   * into the scan — the constant-factor row-decode tax of the Group API
-  * disappears for the common case (tombstone-free snapshot, no schema
-  * gap; the planner falls back to [[GraftCatalogReader]] otherwise).
-  * Rebase modes are CORRECTED/UTC on both timestamp96 and datetime,
-  * matching the row decoder's plain-arithmetic INT96 conversion, so the
-  * two paths are value-identical.
+  * disappears. Tombstone-free files pass batches through untouched;
+  * under MOR tombstones the doomed-key sets load once per file (exactly
+  * like the row decoder) and each batch is compacted to its surviving
+  * rows — the key column rides the projection when the query didn't ask
+  * for it and is dropped from the output batch. Rebase modes are
+  * CORRECTED/UTC on both timestamp96 and datetime, matching the row
+  * decoder's plain-arithmetic INT96 conversion, so the paths are
+  * value-identical.
   */
-class GraftCatalogVectorReader(file: String, required: StructType)
+class GraftCatalogVectorReader(
+    file: String, required: StructType, tombstones: Seq[String] = Nil)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  // the data file's own columns — read only when tombstones force the
+  // projection/extractor decisions (one footer read, same as the row
+  // reader's open)
+  private val fileFields: Seq[org.apache.parquet.schema.Type] =
+    if (tombstones.isEmpty) Nil else TombstoneKeys.fileFields(file)
+
+  // tombstones whose key column this file actually holds — a set keyed
+  // on a column the file lacks can doom none of its rows
+  private val doomed: Seq[(String, java.util.HashSet[Any])] =
+    TombstoneKeys.load(tombstones)
+      .filter { case (name, _) => fileFields.exists(_.getName == name) }
+
+  // key columns the query didn't project — appended to the read, never
+  // copied to the output batch
+  private val extraKeyCols: Seq[String] =
+    doomed.map(_._1).distinct.filterNot(required.fieldNames.contains)
+
   private val reader =
     new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
-  reader.initialize(file, java.util.Arrays.asList(required.fieldNames: _*))
+  reader.initialize(
+    file, java.util.Arrays.asList((required.fieldNames.toSeq ++ extraKeyCols): _*))
   reader.initBatch(new StructType(), InternalRow.empty)
   reader.enableReturningBatches()
 
-  override def next(): Boolean = reader.nextBatch()
+  // per-tombstone (batch column index, extractor matching the boxed set
+  // representation, doomed set)
+  private val keyProbes: Seq[(Int, (ColumnVector, Int) => Any, java.util.HashSet[Any])] =
+    doomed.map { case (name, set) =>
+      val idx = required.fieldNames.indexOf(name) match {
+        case -1 => required.fields.length + extraKeyCols.indexOf(name)
+        case j  => j
+      }
+      val prim = fileFields.find(_.getName == name).get
+        .asPrimitiveType().getPrimitiveTypeName
+      val extract: (ColumnVector, Int) => Any = prim match {
+        case INT64   => (v, i) => v.getLong(i)
+        case INT32   => (v, i) => v.getInt(i)
+        case DOUBLE  => (v, i) => v.getDouble(i)
+        case FLOAT   => (v, i) => v.getFloat(i)
+        case BOOLEAN => (v, i) => v.getBoolean(i)
+        case BINARY  => (v, i) => v.getUTF8String(i).toString
+        case other   => throw new UnsupportedOperationException(
+          s"vectorized MOR key extractor: $other (column $name)")
+      }
+      (idx, extract, set)
+    }
+
+  // reused output vectors: reset per batch, capacity = the reader's own
+  // batch size, so surviving rows always fit
+  private lazy val out: Array[OnHeapColumnVector] =
+    required.fields.map(f => new OnHeapColumnVector(4096, f.dataType))
+  private lazy val outBatch: ColumnarBatch =
+    new ColumnarBatch(out.map(v => v: ColumnVector))
+
+  private def isDoomed(in: ColumnarBatch, r: Int): Boolean =
+    keyProbes.exists { case (idx, extract, set) =>
+      val v = in.column(idx)
+      !v.isNullAt(r) && set.contains(extract(v, r))
+    }
+
+  private def copyRow(in: ColumnarBatch, r: Int, o: Int): Unit = {
+    var c = 0
+    while (c < required.fields.length) {
+      val src = in.column(c)
+      val dst = out(c)
+      if (src.isNullAt(r)) { dst.putNull(o); () }
+      else required.fields(c).dataType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          dst.putLong(o, src.getLong(r))
+        case IntegerType | DateType => dst.putInt(o, src.getInt(r))
+        case DoubleType             => dst.putDouble(o, src.getDouble(r))
+        case FloatType              => dst.putFloat(o, src.getFloat(r))
+        case BooleanType            => dst.putBoolean(o, src.getBoolean(r))
+        case StringType =>
+          val b = src.getUTF8String(r).getBytes
+          dst.putByteArray(o, b, 0, b.length); ()
+        case dt => throw new UnsupportedOperationException(
+          s"vectorized MOR copy does not support $dt")
+      }
+      c += 1
+    }
+  }
+
+  override def next(): Boolean = {
+    if (keyProbes.isEmpty) return reader.nextBatch()
+    while (reader.nextBatch()) {
+      val in = reader.resultBatch()
+      val n = in.numRows()
+      out.foreach(_.reset())
+      var o = 0
+      var r = 0
+      while (r < n) {
+        if (!isDoomed(in, r)) { copyRow(in, r, o); o += 1 }
+        r += 1
+      }
+      if (o > 0) { outBatch.setNumRows(o); return true }
+    }
+    false
+  }
+
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-    reader.resultBatch()
+    if (keyProbes.isEmpty) reader.resultBatch() else outBatch
   override def close(): Unit = reader.close()
 }
 
@@ -1673,36 +1874,7 @@ class GraftCatalogReader(part: GraftCatalogPartition, required: StructType)
   // (key column name, doomed key values) per tombstone file — key type is
   // whatever deleteWhere keyed on; compare on the decoded primitive
   private val doomed: Seq[(String, java.util.HashSet[Any])] =
-    part.tombstones.map { tf =>
-      val r = open(tf)
-      val set = new java.util.HashSet[Any]()
-      var name: String = null
-      var g: Group = r.read()
-      while (g != null) {
-        if (name == null) name = g.getType.getFieldName(0)
-        if (g.getFieldRepetitionCount(0) > 0)
-          set.add(primitive(g, name, g.getType.getType(0)))
-        g = r.read()
-      }
-      r.close()
-      (name, set)
-    }.filter(_._1 != null)
-
-  private def primitive(
-      g: Group, name: String, t: org.apache.parquet.schema.Type): Any = {
-    val p = t.asPrimitiveType().getPrimitiveTypeName
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    p match {
-      case INT64   => g.getLong(name, 0)
-      case INT32   => g.getInteger(name, 0)
-      case DOUBLE  => g.getDouble(name, 0)
-      case FLOAT   => g.getFloat(name, 0)
-      case BOOLEAN => g.getBoolean(name, 0)
-      case BINARY  => g.getString(name, 0)
-      case other   => throw new UnsupportedOperationException(
-        s"graft-catalog reader does not decode $other (column $name)")
-    }
-  }
+    TombstoneKeys.load(part.tombstones)
 
   private val reader = open(part.file)
   private var current: Group = _
@@ -1717,7 +1889,7 @@ class GraftCatalogReader(part: GraftCatalogPartition, required: StructType)
     g.getType.containsField(name) && {
       val i = g.getType.getFieldIndex(name)
       g.getFieldRepetitionCount(i) > 0 &&
-        set.contains(primitive(g, name, g.getType.getType(i)))
+        set.contains(TombstoneKeys.primitive(g, name, g.getType.getType(i)))
     }
   }
 

@@ -415,17 +415,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     val viaApi = VersionedTable.read(spark, t)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(viaCatalog == viaApi)
-    // a MOR tombstone forces the row decoder (anti-join is row-wise)...
+    // MOR tombstones stay on the columnar path: the doomed-key filter
+    // compacts each batch to its surviving rows in the reader
     VersionedTable.deleteWhere(spark, t, col("k") <= 10L, "k")
     val q2 = spark.sql("SELECT k FROM gtest.default.vec")
-    assert(q2.queryExecution.executedPlan.toString.contains("vectorized=false"),
-      "tombstoned snapshot must fall back to the row decoder")
+    assert(q2.queryExecution.executedPlan.toString.contains("vectorized=true"),
+      "tombstoned snapshot must stay vectorized (batch-compacting filter)")
     assert(q2.collect().map(_.getLong(0)).toSet == (11L to 500L).toSet)
-    // ...and compaction restores the columnar path
+    // ...including when the projection does NOT hold the key column
+    // (it rides the read and is dropped from the output batch)
+    val q2b = spark.sql("SELECT v, x FROM gtest.default.vec")
+    assert(q2b.queryExecution.executedPlan.toString.contains("vectorized=true"))
+    assert(q2b.collect().map(_.getString(0)).toSet ==
+      (11L to 500L).map(k => s"v$k").toSet)
+    // the vectorized MOR decode and the programmatic anti-join agree
+    assert(spark.sql("SELECT k, v, x FROM gtest.default.vec")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      VersionedTable.read(spark, t)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet)
+    // compaction folds the tombstones in; still columnar
     VersionedTable.compact(spark, t)
     val q3 = spark.sql("SELECT k FROM gtest.default.vec")
     assert(q3.queryExecution.executedPlan.toString.contains("vectorized=true"),
-      "compaction must restore vectorized scans")
+      "compaction must keep vectorized scans")
     assert(q3.collect().map(_.getLong(0)).toSet == (11L to 500L).toSet)
     // an ADD COLUMN evolution gap null-fills through the row decoder
     spark.sql("ALTER TABLE gtest.default.vec ADD COLUMN extra BIGINT")
