@@ -164,9 +164,21 @@ class VersionedStreamingWrite(table: String, schema: StructType, queryId: String
   private def stagingAbs(epochId: Long) =
     java.nio.file.Paths.get(table, "data", stagingName(epochId)).toString
 
+  // a bucketed sink table routes every epoch's rows per-key, exactly as
+  // the batch writers do — the layout survives the stream
+  private val bucketIdx: Option[(Int, Int)] =
+    VersionedTable.bucketSpec(table).map { case (c, n) =>
+      val i = schema.fieldIndex(c)
+      require(schema.fields(i).dataType ==
+        org.apache.spark.sql.types.LongType ||
+        schema.fields(i).dataType == org.apache.spark.sql.types.IntegerType,
+        s"bucket column $c must be BIGINT/INT")
+      (i, n)
+    }
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new VersionedStreamingWriterFactory(table, queryId.take(8), schema)
+    new VersionedStreamingWriterFactory(table, queryId.take(8), schema, bucketIdx)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -181,7 +193,8 @@ class VersionedStreamingWrite(table: String, schema: StructType, queryId: String
     val dirName = s"c${next}_$token"
     java.nio.file.Files.move(staging, java.nio.file.Paths.get(table, "data", dirName))
     val entries = VersionedTable.dirMetadata(
-      spark, table, dirName, Nil, VersionedTable.constraints(table))
+      spark, table, dirName, VersionedTable.integralStatsCols(schema),
+      VersionedTable.constraints(table))
     VersionedTable.publishStaged(table, token, next, dirName, entries,
       append = true, txnId = Some(txn), expectedLatest = None)
     ()
@@ -197,13 +210,22 @@ class VersionedStreamingWrite(table: String, schema: StructType, queryId: String
   }
 }
 
-class VersionedStreamingWriterFactory(table: String, qTag: String, schema: StructType)
+class VersionedStreamingWriterFactory(
+    table: String, qTag: String, schema: StructType,
+    bucketIdx: Option[(Int, Int)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
     val dir = java.nio.file.Paths.get(table, "data", s"_stg_${qTag}_e$epochId")
     java.nio.file.Files.createDirectories(dir)
-    new GraftDataWriter(s"$dir/part-$partitionId-$taskId.parquet", schema)
+    bucketIdx match {
+      case None =>
+        new GraftDataWriter(s"$dir/part-$partitionId-$taskId.parquet", schema)
+      case Some((i, n)) =>
+        // a bucketed sink table keeps its co-location: every epoch's rows
+        // route into their own key's __graft_bucket subtree
+        new GraftBucketedDataWriter(dir.toString, schema, i, n, partitionId, taskId)
+    }
   }
 }
 

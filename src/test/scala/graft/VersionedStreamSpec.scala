@@ -195,6 +195,45 @@ class VersionedStreamSpec extends AnyFunSuite {
     assert(!dirs.exists(_.startsWith("_stg_")), s"staging residue: $dirs")
   }
 
+  test("streaming into a BUCKETED sink table preserves the bucket layout") {
+    val d = freshDir()
+    val bronze = s"$d/bronzeb"
+    val silver = s"$d/silverb"
+    // seat the silver bucket layout before the stream ever writes
+    VersionedTable.commitBucketed(
+      df(100L -> "seed"), silver, "k", 4, append = false)
+    VersionedTable.commit(
+      df(1L -> "a", 2L -> "b", 5L -> "c", 7L -> "d"), bronze, append = false)
+    val q = spark.readStream.format("graft-table").load(bronze)
+      .select("k", "v")
+      .writeStream.format("graft-table")
+      .option("path", silver)
+      .option("checkpointLocation", s"$d/cpb")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = VersionedTable.read(spark, silver).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq(1L -> "a", 2L -> "b", 5L -> "c", 7L -> "d", 100L -> "seed"))
+    // on disk the streamed commit nests every file under its key's bucket
+    import scala.jdk.CollectionConverters._
+    val stray = java.nio.file.Files.walk(java.nio.file.Paths.get(silver, "data"))
+      .iterator.asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.toString.endsWith(".parquet") &&
+        !p.toString.contains("__graft_bucket=")).toSeq
+    assert(stray.isEmpty, s"streamed commit wrote flat files: $stray")
+    // and each streamed row sits in pmod(k, 4) specifically
+    val misplaced = java.nio.file.Files.walk(java.nio.file.Paths.get(silver, "data"))
+      .iterator.asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.toString.endsWith(".parquet")).flatMap { p =>
+        val b = p.toString.split("__graft_bucket=")(1).split('/')(0).toInt
+        spark.read.parquet(p.toString).collect().map(_.getLong(0))
+          .filter(k => (k % 4).toInt != b).map(k => (k, b))
+      }.toSeq
+    assert(misplaced.isEmpty, s"rows outside their key's bucket: $misplaced")
+  }
+
   test("change-feed mode streams tombstone commits as delete rows — equals the batch CDF twin") {
     val d = freshDir()
     val t = s"$d/t"
