@@ -548,9 +548,23 @@ class GraftReplaceBatchWrite(
     java.nio.file.Files.move(
       java.nio.file.Paths.get(stagingAbs),
       java.nio.file.Paths.get(table, "data", dirName))
-    val entries = VersionedTable.dirMetadata(
+    val entries0 = VersionedTable.dirMetadata(
       spark, table, dirName, VersionedTable.integralStatsCols(schema),
       VersionedTable.constraints(table))
+    // a rewrite that empties the table entirely (bucket-routing writers
+    // open files lazily, so a 0-row rewrite stages nothing) must still
+    // leave a schema source — land the carrier CREATE TABLE uses
+    val entries = if (entries0.nonEmpty ||
+        VersionedTable.snapshotLayout(table, Some(op.basis))
+          .exists(e => !op.planned.contains(e._1))) entries0
+      else {
+        val fileName = VersionedTable.bucketSpec(table)
+          .fold("part-schema-0.parquet")(_ => "__graft_bucket=0/part-schema-0.parquet")
+        val p = java.nio.file.Paths.get(table, "data", dirName).resolve(fileName)
+        java.nio.file.Files.createDirectories(p.getParent)
+        new GraftDataWriter(p.toString, schema).commit()
+        Seq(s"$fileName#0")
+      }
     val removals = op.planned.map(p => s"R:$p")
     val fresh = entries.map(n => s"data/$dirName/$n")
     if (!VersionedTable.tryPublishStaged(
@@ -1266,6 +1280,7 @@ class GraftBucketedScan(
     bounds: Map[String, (Long, Long)], bucketCol: String, nBuckets: Int)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -1292,6 +1307,29 @@ class GraftBucketedScan(
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .bucket(nBuckets, bucketCol)),
       nBuckets)
+
+  /** Per-partition ordering on the bucket key — reported ONLY when every
+    * bucket holds at most ONE data file carrying the `sorted-` name
+    * marker that exclusively the sorting writers produce (a chain of two
+    * individually-sorted files is not sorted; an unsorted INSERT can't
+    * fake the marker). After [[VersionedTable.compactBucketed]] this
+    * holds table-wide, so the storage-partitioned join elides its sorts
+    * too: zero exchange, zero sort, on either side. The MOR tombstone
+    * filter drops rows in place and preserves order, so tombstones don't
+    * gate the report.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{
+      Expressions, NullOrdering, SortDirection}
+    val sortedSingletons = perBucket.valuesIterator.forall(files =>
+      files.size <= 1 &&
+        files.forall(_._1.split('/').last.startsWith("sorted-")))
+    if (sortedSingletons && required.fieldNames.contains(bucketCol))
+      Array(Expressions.sort(Expressions.column(bucketCol),
+        SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+    else Array.empty
+  }
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val rowsOf = VersionedTable.snapshotFiles(table, version)

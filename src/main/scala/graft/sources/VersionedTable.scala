@@ -1105,7 +1105,8 @@ object VersionedTable {
     */
   def commitBucketed(
       df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
-      append: Boolean, expectedLatest: Option[Long] = None): Long = {
+      append: Boolean, expectedLatest: Option[Long] = None,
+      sortWithin: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, pmod}
     require(nBuckets > 0, "nBuckets must be positive")
     bucketSpec(table).foreach { case (c, n) =>
@@ -1120,12 +1121,27 @@ object VersionedTable {
     val next = versions(table).lastOption.getOrElse(0L) + 1L
     val dirName = s"c${next}_$token"
     val dataDir = Paths.get(table, "data", dirName)
-    df.withColumn("__graft_bucket",
+    val placed = df.withColumn("__graft_bucket",
         coalesce(pmod(col(bucketCol).cast("long"), lit(nBuckets.toLong)), lit(0L))
           .cast("int"))
       .repartition(nBuckets, col("__graft_bucket"))
+    // sortWithin: each file's rows come out key-ascending (the write's
+    // own partition-column sort requirement is satisfied by the prefix,
+    // so no re-sort happens) — the layout SupportsReportOrdering serves
+    (if (sortWithin) placed.sortWithinPartitions(col("__graft_bucket"), col(bucketCol))
+     else placed)
       .write.mode("errorifexists").partitionBy("__graft_bucket")
       .parquet(dataDir.toString)
+    // key-sorted files carry a provenance marker in their NAME: only the
+    // sorting writers produce it, so the scan's ordering report can gate
+    // on something immutable (an unsorted INSERT can't fake it)
+    if (sortWithin) {
+      Files.walk(dataDir).iterator.asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .toSeq.foreach { p =>
+          Files.move(p, p.resolveSibling(s"sorted-${p.getFileName}"))
+        }
+    }
     // partitionBy writes NO part files for an empty frame (there are no
     // partition values) — land a schema carrier so the snapshot stays
     // readable; bucket 0 keeps [[bucketLayout]]'s nesting invariant
@@ -1150,13 +1166,16 @@ object VersionedTable {
   }
 
   /** Compaction for BUCKETED tables: rewrite the resolved head snapshot
-    * through the same bucketed writer (one file per bucket, tombstones
-    * applied during the read), published as an overwrite with the basis
-    * as the expected head — a concurrent commit fails loudly instead of
-    * being clobbered. Co-location is preserved by construction, so the
-    * storage-partitioned join stays exchange-free across maintenance.
-    * At 100 TB this is the nightly small-file sweep for the fact tables
-    * every bucketed append and row-level DML slowly fragments.
+    * through the same bucketed writer (one KEY-SORTED file per bucket,
+    * tombstones applied during the read), published as an overwrite with
+    * the basis as the expected head — a concurrent commit fails loudly
+    * instead of being clobbered. Co-location is preserved by
+    * construction, and because every bucket collapses to a single sorted
+    * file the scan reports per-partition ordering afterwards: the
+    * storage-partitioned join runs with NO exchange and NO sort on
+    * either side. At 100 TB this is the nightly small-file sweep for the
+    * fact tables every bucketed append and row-level DML slowly
+    * fragments — and it upgrades the join plan, not just the file count.
     */
   def compactBucketed(spark: SparkSession, table: String): Long = {
     val (bucketCol, nBuckets) = bucketSpec(table).getOrElse(
@@ -1166,7 +1185,8 @@ object VersionedTable {
     require(vs.nonEmpty, s"no committed versions at $table")
     val basis = vs.last
     commitBucketed(read(spark, table, Some(basis)), table, bucketCol,
-      nBuckets, append = false, expectedLatest = Some(basis))
+      nBuckets, append = false, expectedLatest = Some(basis),
+      sortWithin = true)
   }
 
   /** Per-bucket data files of a pinned snapshot of a bucketed table:

@@ -703,6 +703,24 @@ class GraftCatalogSpec extends AnyFunSuite {
           |JOIN gtest.default.sdim d USING (k)""".stripMargin)
       assert(!q2.queryExecution.executedPlan.toString.contains("Exchange"))
       assert(q2.collect().map(_.getString(1)).sorted.toSeq == Seq("n7"))
+      // schema evolution composes with the bucket layout: old snapshots
+      // stay narrow, the widened head still joins exchange-free
+      spark.sql("ALTER TABLE gtest.default.sfact ADD COLUMN tag STRING")
+      spark.sql("INSERT INTO gtest.default.sfact VALUES (9, 90, 'wide')")
+      val evo = spark.sql(
+        """SELECT f.k, f.m, f.tag, d.nm FROM gtest.default.sfact f
+          |JOIN gtest.default.sdim d USING (k)""".stripMargin)
+      assert(!evo.queryExecution.executedPlan.toString.contains("Exchange"),
+        "evolved bucketed join must stay exchange-free")
+      val evoRows = evo.collect().map(r =>
+        (r.getLong(0), r.getLong(1), Option(r.getString(2)), r.getString(3))).toSet
+      assert(evoRows == Set(
+        (7L, 1L, None, "n7"), (9L, 90L, Some("wide"), "n9")))
+      // VERSION AS OF replays the pre-evolution bucketed snapshot
+      assert(spark.sql(
+        "SELECT k, m FROM gtest.default.sfact VERSION AS OF 5")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((7L, 1L), (20L, 2L)))
       // unsupported partitionings are refused loudly
       val ex = intercept[Exception] {
         spark.sql("CREATE TABLE gtest.default.badpart (k BIGINT, v STRING) " +
@@ -804,6 +822,19 @@ class GraftCatalogSpec extends AnyFunSuite {
       assert(!q4.queryExecution.executedPlan.toString.contains("Exchange"),
         "bucketed join must stay exchange-free after compaction")
       assert(q4.count() == 924L)
+      // compaction writes one KEY-SORTED file per bucket and the scan
+      // reports the ordering — after compacting BOTH sides the join
+      // plans with no exchange AND no sort
+      spark.sql("CALL gtest.system.compact('default.dmldim')")
+      val q5 = spark.sql(
+        """SELECT f.k, f.m, d.nm
+          |FROM gtest.default.dmlfact f JOIN gtest.default.dmldim d USING (k)""".stripMargin)
+      val p5 = q5.queryExecution.executedPlan.toString
+      assert(!p5.contains("Exchange"), s"exchange after sorted compaction:\n$p5")
+      assert(!p5.contains("Sort "), s"sort despite reported ordering:\n$p5")
+      assert(q5.count() == 924L)
+      assert(q5.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        before)
     } finally {
       prevB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
         v => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
