@@ -969,10 +969,13 @@ object Incremental {
     * its own key's `__graft_bucket` subtree (the bucket-routing replace
     * writer), so the storage-partitioned join stays exchange-free
     * through the whole DML history (`GraftCatalogSpec` pins the plan
-    * and the no-flat-files layout). The oracle replays the same
-    * update/delete/merge pipeline as plain SQL over raw orders — hash
-    * equality proves the rewritten, carried, AND merge-inserted rows
-    * all read back exactly from their bucket subtrees.
+    * and the no-flat-files layout), finished with a SORTED compaction of
+    * both sides (`CALL system.compact` → one key-sorted file per bucket,
+    * scan reports per-partition ordering, join plans with no exchange
+    * and no sort). The oracle replays the same update/delete/merge
+    * pipeline as plain SQL over raw orders — hash equality proves the
+    * rewritten, carried, merge-inserted, AND compacted rows all read
+    * back exactly from their bucket subtrees.
     */
   def ordersSqlBucketedDml(orders: DataFrame, customer: DataFrame): DataFrame = {
     val spark = orders.sparkSession
@@ -1012,6 +1015,11 @@ object Incremental {
            |WHEN MATCHED THEN UPDATE SET price_c = c.price_c
            |WHEN NOT MATCHED THEN INSERT (custkey, o_orderkey, price_c)
            |  VALUES (c.custkey, c.o_orderkey, c.price_c)""".stripMargin)
+      // sorted compaction on both sides: the final read below then plans
+      // with no exchange AND no sort — and the oracle hash verifies the
+      // compacted state, closing the whole DDL→DML→maintenance lifecycle
+      spark.sql(s"CALL gtab.system.compact('default.$fn')")
+      spark.sql(s"CALL gtab.system.compact('default.$dn')")
       s"$fn,$dn"
     })
     val Array(fn, dn) = names.split(',')
