@@ -761,6 +761,27 @@ private[sources] object GraftFilters {
     case _                    => None
   }
 
+  /** Per-column ADMISSIBLE integral value sets from runtime (DPP-style)
+    * In/EqualTo filters — several filters on one column intersect. Used
+    * to drop files whose zone map contains none of a join's observed
+    * keys; non-integral or untranslatable filters contribute nothing
+    * (conservative: fewer filters, fewer prunes, never wrong).
+    */
+  def inSets(filters: Array[Filter]): Map[String, Set[Long]] = {
+    var sets = Map.empty[String, Set[Long]]
+    def add(c: String, vs: Set[Long]): Unit =
+      sets = sets.updated(c, sets.get(c).fold(vs)(_.intersect(vs)))
+    filters.foreach {
+      case In(c, vs) =>
+        val longs = vs.toSeq.map(integralLit)
+        if (longs.nonEmpty && longs.forall(_.isDefined))
+          add(c, longs.flatten.toSet)
+      case EqualTo(c, v) => integralLit(v).foreach(x => add(c, Set(x)))
+      case _ => ()
+    }
+    sets
+  }
+
   /** Per-column [lo, hi] bounds implied by the (implicitly ANDed)
     * top-level filters, plus the filters that contributed. Sound for
     * pruning AND for [[VersionedTable.deleteWhereCow]]'s candidate
@@ -1281,10 +1302,28 @@ class GraftBucketedScan(
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Runtime zone-map pruning INSIDE buckets (see [[GraftTableScan]]):
+    * every bucket id keeps its partition (the SPJ alignment contract —
+    * both sides' partition-value sets must match 1:1), only the file
+    * lists shrink.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  @volatile private var runtimeSets: Map[String, Set[Long]] = Map.empty
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeSets = GraftFilters.inSets(filters)
+  }
 
   private lazy val perBucket: Map[Int, Seq[(String, Seq[String])]] = {
     val layout = VersionedTable.bucketLayout(table, version, nBuckets)
@@ -1370,9 +1409,23 @@ class GraftBucketedScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
+    val rt = runtimeSets
+    val keptB: Map[Int, Seq[(String, Seq[String])]] =
+      if (rt.isEmpty) perBucket
+      else {
+        val statsOf = VersionedTable.snapshotLayout(table, version)
+          .map(e => e._1 -> e._4).toMap
+        perBucket.view.mapValues(_.filter { case (p, _) =>
+          rt.forall { case (c, vs) =>
+            statsOf.getOrElse(p, Map.empty).get(c).forall { case (mn, mx) =>
+              vs.exists(v => v >= mn && v <= mx)
+            }
+          }
+        }).toMap
+      }
     (0 until nBuckets).map { b =>
       GraftBucketPartition(b,
-        perBucket.getOrElse(b, Nil).map { case (p, tombs) =>
+        keptB.getOrElse(b, Nil).map { case (p, tombs) =>
           (abs(p), tombs.map(abs))
         }, columnarOk): InputPartition
     }.toArray
@@ -1489,10 +1542,46 @@ class GraftTableScan(
     table: String, version: Option[Long], required: StructType,
     bounds: Map[String, (Long, Long)],
     limit: Option[Int] = None) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** RUNTIME (DPP-style) file pruning: a join whose build side is
+    * selective pushes the observed key set here between planning and
+    * execution (`BatchScanExec` re-plans partitions after `filter`), and
+    * files whose zone maps exclude EVERY value drop out — the dynamic
+    * twin of the planning-time zone-map prune. At 100 TB this is the
+    * fact-scan-reads-only-the-dim's-keys join. Only integral columns
+    * participate (same restriction as static pruning: truncated
+    * fractional zone maps could wrongly prune), every filter stays
+    * conservative (stat-less files are kept), and Spark re-applies the
+    * join itself, so pruning can only skip work, never change results.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  @volatile private var runtimeSets: Map[String, Set[Long]] = Map.empty
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeSets = GraftFilters.inSets(filters)
+  }
+
+  private[sources] def runtimeKept = {
+    val rt = runtimeSets
+    if (rt.isEmpty) kept
+    else kept.filter { case (_, _, _, stats) =>
+      rt.forall { case (c, vs) =>
+        stats.get(c).forall { case (mn, mx) =>
+          vs.exists(v => v >= mn && v <= mx)
+        }
+      }
+    }
+  }
 
   /** Manifest-derived statistics for the PLANNER: without them a DSv2
     * scan defaults to "unknown = huge", so a join against a catalog
@@ -1583,7 +1672,7 @@ class GraftTableScan(
       s"bounds=${bounds.map { case (c, (l, h)) => s"$c∈[$l,$h]" }.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    kept.map { case (file, _, tombs, _) =>
+    runtimeKept.map { case (file, _, tombs, _) =>
       GraftCatalogPartition(abs(file), tombs.map(abs), columnarOk): InputPartition
     }.toArray
 

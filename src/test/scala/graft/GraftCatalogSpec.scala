@@ -842,6 +842,40 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime (DPP-style) In filters prune files through the zone maps") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/dpp"
+    // 8 range-clustered files over k=1..800 with zone maps on k
+    VersionedTable.commit(
+      (1L to 800L).map(k => (k, k * 10L)).toDF("k", "amt")
+        .repartitionByRange(8, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    // unit pin: the scan's runtime filter() drops files whose zone map
+    // holds none of the pushed values, before any execution
+    val scan = new graft.sources.GraftTableScan(
+      t, None, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("amt",
+          org.apache.spark.sql.types.LongType))), Map.empty)
+    val all = scan.planInputPartitions().length
+    assert(all == 8)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(5L, 7L, 650L))))
+    val prunedN = scan.planInputPartitions().length
+    assert(prunedN <= 2, s"3 keys in 2 files must plan <= 2 partitions, got $prunedN")
+    // and the pruned scan still reads exactly the matching rows' files
+    // (integration: a selective dim join triggers Spark's own runtime
+    // filtering against the scan; results stay exact)
+    val dim = Seq((5L, "a"), (650L, "b")).toDF("k", "tag")
+    dim.createOrReplaceTempView("dpp_dim")
+    val q = spark.sql(
+      """SELECT f.k, f.amt, d.tag
+        |FROM gtest.default.dpp f JOIN dpp_dim d ON f.k = d.k""".stripMargin)
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ==
+      Set((5L, 50L, "a"), (650L, 6500L, "b")))
+  }
+
   test("CREATE TABLE AS SELECT creates v1 (schema-only) + v2 (the data)") {
     val _ = root // force gtest catalog registration (lazy)
     spark.sql(
