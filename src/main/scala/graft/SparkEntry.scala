@@ -96,6 +96,8 @@ object SparkEntry {
       Incremental.ordersSqlBucketedDdl(t(s, d, "orders"), t(s, d, "customer"))),
     "q_sql_bucketed_dml" -> ((s, d) =>
       Incremental.ordersSqlBucketedDml(t(s, d, "orders"), t(s, d, "customer"))),
+    "q_sql_dpp" -> ((s, d) =>
+      Incremental.ordersSqlDppJoin(t(s, d, "orders"), t(s, d, "customer"))),
     "q_sql_delete" -> ((s, d) => Incremental.ordersSqlDelete(t(s, d, "orders"))),
     "q_sql_update" -> ((s, d) => Incremental.ordersSqlUpdate(t(s, d, "orders"))),
     "q_sql_merge" -> ((s, d) => Incremental.ordersSqlMerge(t(s, d, "orders"))),
@@ -1585,6 +1587,17 @@ object SparkEntry {
         |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c,
         |       c.c_name
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    // Runtime (DPP-style) file pruning: the fact scan re-plans at
+    // execution to only the files whose zone maps hold the selective
+    // dim's keys; the oracle replays the join + filter, so hash
+    // equality proves pruning skipped work without skipping rows.
+    "q_sql_dpp" ->
+      """SELECT o.o_orderkey, o.o_custkey AS custkey,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c,
+        |       c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_nationkey = 7 AND c.c_custkey % 50 = 1
         |ORDER BY o.o_orderkey""".stripMargin,
     // Row-level SQL DML (UPDATE → DELETE → MERGE INTO) on a bucketed
     // table, each a bucket-preserving replace commit; the oracle

@@ -1030,6 +1030,43 @@ object Incremental {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Registered q_sql_dpp body: RUNTIME (DPP-style) file pruning under
+    * the oracle — orders committed range-clustered on custkey with zone
+    * maps, joined against a SELECTIVE customer slice through the
+    * catalog: Spark injects a `dynamicpruningexpression(custkey IN ...)`
+    * runtime filter into the fact scan (`SupportsRuntimeFiltering`), and
+    * the scan re-plans to only the files whose zone maps hold the dim's
+    * observed keys. The oracle replays the join + filter directly, so
+    * hash equality proves runtime pruning skipped work without skipping
+    * rows.
+    */
+  def ordersSqlDppJoin(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val names = versionedTables.computeIfAbsent((spark, s"sqldpp:$inputKey"), { _ =>
+      val tag = java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())
+      val fn = s"orders_dpp_$tag"
+      val dn = s"cust_dpp_$tag"
+      graft.sources.VersionedTable.commit(
+        orders.select(col("o_custkey").as("custkey"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("price_c"))
+          .repartitionByRange(16, col("custkey")),
+        s"$root/default/$fn", append = false, statsCols = Seq("custkey"))
+      graft.sources.VersionedTable.commit(
+        customer.select(col("c_custkey").as("custkey"), col("c_name"),
+          col("c_nationkey")),
+        s"$root/default/$dn", append = false)
+      s"$fn,$dn"
+    })
+    val Array(fn, dn) = names.split(',')
+    spark.sql(
+      s"""SELECT f.o_orderkey, f.custkey, f.price_c, d.c_name
+         |FROM gtab.default.$fn f JOIN gtab.default.$dn d USING (custkey)
+         |WHERE d.c_nationkey = 7 AND d.custkey % 50 = 1
+         |ORDER BY f.o_orderkey""".stripMargin)
+  }
+
   /** Registered q_sql_delete body: SQL `DELETE FROM` through the catalog —
     * executed as a file-granular copy-on-write replace commit: the pushed
     * range filter both prunes candidate files from the zone maps and,
