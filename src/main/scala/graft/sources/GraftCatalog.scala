@@ -1153,6 +1153,7 @@ class GraftTableScanBuilder(
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{
@@ -1275,12 +1276,51 @@ class GraftTableScanBuilder(
       case None        => false
     }
 
+  /** PARTIAL TopN pushdown as FILE planning: `ORDER BY c LIMIT n` over a
+    * single integral sort key with NULLS LAST plans only the files that
+    * can hold the top n — a file is dropped iff at least n NON-NULL rows
+    * in other files are STRICTLY better than its zone-map extreme (and
+    * with NULLS LAST those n rows also beat the dropped file's nulls).
+    * "ORDER BY ts DESC LIMIT 100 over a 100 TB time-clustered table
+    * opens one file." Spark still sorts and limits above (partial), so
+    * results are exact whatever the layout; the scan declines under
+    * tombstones, NULLS FIRST, or missing stats/NN counts.
+    */
+  private var topN: Option[(String, Boolean, Int)] = None
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{
+      NullOrdering, SortDirection}
+    if (aggPlan.nonEmpty || limitOpt.nonEmpty || bucket.nonEmpty ||
+      limit <= 0) return false
+    orders.toSeq match {
+      case Seq(o) =>
+        val colName = o.expression() match {
+          case f: NamedReference if f.fieldNames.length == 1 =>
+            f.fieldNames()(0)
+          case _ => return false
+        }
+        val integral = full.fields.exists(f => f.name == colName &&
+          (f.dataType == LongType || f.dataType == IntegerType))
+        if (!integral || o.nullOrdering() != NullOrdering.NULLS_LAST)
+          false
+        else {
+          topN = Some((colName,
+            o.direction() == SortDirection.DESCENDING, limit))
+          true
+        }
+      case _ => false
+    }
+  }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan = (aggPlan, bucket) match {
     case (Some(specs), _) => new GraftAggScan(table, version, specs)
     case (None, Some((c, n))) =>
       new GraftBucketedScan(table, version, required, bounds, c, n)
     case (None, None) =>
-      new GraftTableScan(table, version, required, bounds, limitOpt)
+      new GraftTableScan(table, version, required, bounds, limitOpt, topN)
   }
 }
 
@@ -1541,7 +1581,8 @@ class GraftAggScan(table: String, version: Option[Long], specs: Seq[GraftAggSpec
 class GraftTableScan(
     table: String, version: Option[Long], required: StructType,
     bounds: Map[String, (Long, Long)],
-    limit: Option[Int] = None) extends Scan with Batch
+    limit: Option[Int] = None,
+    topN: Option[(String, Boolean, Int)] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -1627,21 +1668,53 @@ class GraftTableScan(
   // MOR anti-join shrinks a file's contribution below its footer count)
   // and footer-counted; otherwise keep everything and let Spark's limit
   // terminate the scan early
+  // a pushed (partial) TopN drops every file with at least n strictly
+  // better NON-NULL rows elsewhere (zone-map extreme vs extreme): under
+  // NULLS LAST those n rows also beat the dropped file's nulls, so no
+  // row of a dropped file can appear in any valid top n. Declines (keeps
+  // everything) under tombstones or incomplete stats/NN counts.
+  private lazy val topped = topN match {
+    case Some((c, desc, n)) if pruned.forall(_._3.isEmpty) =>
+      val nnOf = VersionedTable.snapshotNonNulls(table, version)
+      val info = pruned.map(e =>
+        (e, e._4.get(c), nnOf.getOrElse(e._1, Map.empty).get(c)))
+      if (info.exists(t => t._2.isEmpty || t._3.isEmpty)) pruned
+      else {
+        val fs = info.map { case (e, st, cnt) => (e, st.get, cnt.get) }
+        // prefix sums over files sorted best-edge-first: for DESC a
+        // file i guarantees cnt_i rows better than file j iff
+        // mn_i > mx_j; for ASC iff mx_i < mn_j
+        val edges = fs.map { case (_, (mn, mx), cnt) =>
+          (if (desc) mn else mx, cnt)
+        }.sortBy(_._1)(if (desc) Ordering.Long.reverse else Ordering.Long)
+        val csum = edges.scanLeft(0L)(_ + _._2).tail
+        def betterThan(worst: Long): Long = {
+          val i = edges.indexWhere { case (edge, _) =>
+            if (desc) edge <= worst else edge >= worst
+          }
+          if (i < 0) csum.last else if (i == 0) 0L else csum(i - 1)
+        }
+        fs.filter { case (_, (mn, mx), _) =>
+          betterThan(if (desc) mx else mn) < n.toLong
+        }.map(_._1)
+      }
+    case _ => pruned
+  }
   private lazy val kept = limit match {
-    case Some(n) if pruned.forall(_._3.isEmpty) =>
+    case Some(n) if topped.forall(_._3.isEmpty) =>
       val rowsOf = VersionedTable.snapshotFiles(table, version)
         .map { case (p, _, r, _, _) => p -> r }.toMap
-      if (pruned.exists(e => rowsOf.get(e._1).flatten.isEmpty)) pruned
+      if (topped.exists(e => rowsOf.get(e._1).flatten.isEmpty)) topped
       else {
         var acc = 0L
-        val taken = pruned.takeWhile { e =>
+        val taken = topped.takeWhile { e =>
           val take = acc < n
           acc += rowsOf(e._1).get
           take
         }
         taken
       }
-    case _ => pruned
+    case _ => topped
   }
   private def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
 

@@ -324,7 +324,8 @@ object VersionedTable {
       else {
         val aggs = (count(lit(1)).as("g_n") +: statsCols.flatMap(c => Seq(
           min(col(c)).cast("long").as(s"g_mn_$c"),
-          max(col(c)).cast("long").as(s"g_mx_$c")))) ++
+          max(col(c)).cast("long").as(s"g_mx_$c"),
+          count(col(c)).as(s"g_nn_$c")))) ++
           checks.zipWithIndex.map { case ((_, sql), i) =>
             // NULL check results count as violations: a CHECK must be TRUE
             sum(when(not(expr(sql)) || expr(sql).isNull, 1L).otherwise(0L))
@@ -347,15 +348,21 @@ object VersionedTable {
           }
         }
         rows.map { r =>
-          val stats = statsCols.flatMap { c =>
+          // per-col (zone-map text, non-null-count text) — only for
+          // long-castable columns; the NN counts ride a FOURTH entry
+          // segment so the zone-map rendering stays format-stable
+          val statPairs = statsCols.flatMap { c =>
             val (mn, mx) = (r.getAs[Any](s"g_mn_$c"), r.getAs[Any](s"g_mx_$c"))
             (mn, mx) match {
-              case (a: Long, b: Long) => Some(s"$c=$a..$b")
-              case _                  => None
+              case (a: Long, b: Long) =>
+                Some((s"$c=$a..$b", s"$c=${r.getAs[Long](s"g_nn_$c")}"))
+              case _ => None
             }
-          }.mkString(";")
+          }
+          val stats = statPairs.map(_._1).mkString(";")
+          val nn = statPairs.map(_._2).mkString(";")
           val suffix = s"#${r.getAs[Long]("g_n")}" +
-            (if (stats.isEmpty) "" else s"#$stats")
+            (if (stats.isEmpty) "" else s"#$stats#$nn")
           // key on the COMMIT-RELATIVE path, never the basename: one
           // task writing several bucket dirs reuses its basename, so
           // basenames collide across __graft_bucket=<b>/ subtrees
@@ -451,6 +458,28 @@ object VersionedTable {
     val parts = entryBody(e).split("#", -1)
     if (parts.length < 2) None else parts(1).toLongOption
   }
+
+  /** Per-file column NON-NULL counts (the zone map's companion fourth
+    * entry segment) — what makes TopN file planning sound under NULLS
+    * LAST: N guaranteed-better non-null rows beat every row of a
+    * dropped file, nulls included. Empty for pre-NN manifests (those
+    * files are then simply never dropped by TopN planning).
+    */
+  private def entryNonNulls(e: String): Map[String, Long] = {
+    val parts = entryBody(e).split("#", -1)
+    if (parts.length < 4 || parts(3).isEmpty) Map.empty
+    else parts(3).split(';').iterator.flatMap { kv =>
+      val eq = kv.indexOf('=')
+      if (eq <= 0) None
+      else kv.substring(eq + 1).toLongOption.map(kv.substring(0, eq) -> _)
+    }.toMap
+  }
+
+  /** path → (col → non-null count) over a pinned snapshot's data files. */
+  private[sources] def snapshotNonNulls(
+      table: String, version: Option[Long]): Map[String, Map[String, Long]] =
+    pinnedEntries(table, version).filterNot(isDeleteEntry)
+      .map(e => entryPath(e) -> entryNonNulls(e)).toMap
 
   /** Per-file column zone map recorded at commit: col → (min, max).
     * Empty for entries committed without `statsCols` — those files are

@@ -876,6 +876,50 @@ class GraftCatalogSpec extends AnyFunSuite {
       Set((5L, 50L, "a"), (650L, 6500L, "b")))
   }
 
+  test("TopN pushdown plans only the files that can hold the top n") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/topn"
+    // 8 range-clustered files over k=1..800, zone maps + NN counts on k
+    VersionedTable.commit(
+      (1L to 800L).map(k => (k, k * 10L)).toDF("k", "amt")
+        .repartitionByRange(8, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    val qd = spark.sql(
+      "SELECT k FROM gtest.default.topn ORDER BY k DESC LIMIT 5")
+    assert(qd.queryExecution.executedPlan.toString.contains("files=1/8"),
+      s"DESC top-5 must plan one file:\n${qd.queryExecution.executedPlan}")
+    assert(qd.collect().map(_.getLong(0)).toSeq ==
+      Seq(800L, 799L, 798L, 797L, 796L))
+    // ASC requires explicit NULLS LAST (default asc is nulls-first,
+    // which a dropped file's unknown null count could violate)
+    val qa = spark.sql(
+      "SELECT k FROM gtest.default.topn ORDER BY k ASC NULLS LAST LIMIT 3")
+    assert(qa.queryExecution.executedPlan.toString.contains("files=1/8"),
+      s"ASC NULLS LAST top-3 must plan one file:\n${qa.queryExecution.executedPlan}")
+    assert(qa.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // default ASC (nulls first) declines — all files planned, still exact
+    val qn = spark.sql(
+      "SELECT k FROM gtest.default.topn ORDER BY k LIMIT 3")
+    assert(qn.queryExecution.executedPlan.toString.contains("files=8/8"),
+      "nulls-first ordering must decline the pushdown")
+    assert(qn.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // a LIMIT spanning several files keeps exactly enough of them
+    val qw = spark.sql(
+      "SELECT k FROM gtest.default.topn ORDER BY k DESC LIMIT 150")
+    assert(qw.queryExecution.executedPlan.toString.contains("files=2/8"),
+      s"top-150 over 100-row files must plan two files:\n${qw.queryExecution.executedPlan}")
+    assert(qw.count() == 150L)
+    assert(qw.collect().map(_.getLong(0)).min == 651L)
+    // tombstones decline the pushdown (counts no longer exact), exactly
+    VersionedTable.deleteWhere(spark, t, col("k") === 800L, "k")
+    val qt = spark.sql(
+      "SELECT k FROM gtest.default.topn ORDER BY k DESC LIMIT 5")
+    assert(qt.queryExecution.executedPlan.toString.contains("files=8/8"),
+      "tombstoned snapshot must decline TopN planning")
+    assert(qt.collect().map(_.getLong(0)).toSeq ==
+      Seq(799L, 798L, 797L, 796L, 795L))
+  }
+
   test("CREATE TABLE AS SELECT creates v1 (schema-only) + v2 (the data)") {
     val _ = root // force gtest catalog registration (lazy)
     spark.sql(
