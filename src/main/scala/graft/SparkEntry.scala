@@ -98,6 +98,7 @@ object SparkEntry {
       Incremental.ordersSqlBucketedDml(t(s, d, "orders"), t(s, d, "customer"))),
     "q_sql_dpp" -> ((s, d) =>
       Incremental.ordersSqlDppJoin(t(s, d, "orders"), t(s, d, "customer"))),
+    "q_sql_topn" -> ((s, d) => Incremental.ordersSqlTopN(t(s, d, "orders"))),
     "q_sql_delete" -> ((s, d) => Incremental.ordersSqlDelete(t(s, d, "orders"))),
     "q_sql_update" -> ((s, d) => Incremental.ordersSqlUpdate(t(s, d, "orders"))),
     "q_sql_merge" -> ((s, d) => Incremental.ordersSqlMerge(t(s, d, "orders"))),
@@ -1599,6 +1600,13 @@ object SparkEntry {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_nationkey = 7 AND c.c_custkey % 50 = 1
         |ORDER BY o.o_orderkey""".stripMargin,
+    // Partial TopN pushdown: the scan plans only the files that can
+    // hold the top 100 of a DESC order over range-clustered data;
+    // the oracle replays the same TopN over raw orders.
+    "q_sql_topn" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders ORDER BY o_orderkey DESC LIMIT 100""".stripMargin,
     // Row-level SQL DML (UPDATE → DELETE → MERGE INTO) on a bucketed
     // table, each a bucket-preserving replace commit; the oracle
     // replays the same pipeline as plain SQL, so hash equality proves

@@ -1067,6 +1067,33 @@ object Incremental {
          |ORDER BY f.o_orderkey""".stripMargin)
   }
 
+  /** Registered q_sql_topn body: partial TopN pushdown under the oracle —
+    * orders committed range-clustered on o_orderkey with zone maps and
+    * non-null counts, then `ORDER BY o_orderkey DESC LIMIT 100` through
+    * the catalog: the scan plans only the files that can hold the top
+    * 100 (one, for clustered data; `GraftCatalogSpec` pins the file
+    * counts), Spark re-sorts and re-limits above. The oracle replays the
+    * same TopN over raw orders — hash equality proves file planning
+    * skipped everything except the answer.
+    */
+  def ordersSqlTopN(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqltopn:$inputKey"), { _ =>
+      val n = s"orders_topn_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      graft.sources.VersionedTable.commit(
+        orders.select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            cents(col("o_totalprice")).as("price_c"))
+          .repartitionByRange(8, col("o_orderkey")),
+        s"$root/default/$n", append = false, statsCols = Seq("o_orderkey"))
+      n
+    })
+    spark.sql(
+      s"""SELECT o_orderkey, status, price_c FROM gtab.default.$name
+         |ORDER BY o_orderkey DESC LIMIT 100""".stripMargin)
+  }
+
   /** Registered q_sql_delete body: SQL `DELETE FROM` through the catalog —
     * executed as a file-granular copy-on-write replace commit: the pushed
     * range filter both prunes candidate files from the zone maps and,
