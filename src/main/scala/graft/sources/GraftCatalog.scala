@@ -548,6 +548,8 @@ class GraftReplaceBatchWrite(
     java.nio.file.Files.move(
       java.nio.file.Paths.get(stagingAbs),
       java.nio.file.Paths.get(table, "data", dirName))
+    GraftStagedCommit.reconcile(
+      java.nio.file.Paths.get(table, "data", dirName), stagingAbs, messages)
     val entries0 = VersionedTable.dirMetadata(
       spark, table, dirName, VersionedTable.integralStatsCols(schema),
       VersionedTable.constraints(table))
@@ -968,6 +970,8 @@ class GraftBatchWrite(
     java.nio.file.Files.move(
       java.nio.file.Paths.get(stagingAbs),
       java.nio.file.Paths.get(table, "data", dirName))
+    GraftStagedCommit.reconcile(
+      java.nio.file.Paths.get(table, "data", dirName), stagingAbs, messages)
     val entries = VersionedTable.dirMetadata(
       spark, table, dirName, VersionedTable.integralStatsCols(schema),
       VersionedTable.constraints(table))
@@ -990,7 +994,33 @@ class GraftBatchWrite(
   }
 }
 
-case class GraftWriteDone(file: String) extends WriterCommitMessage
+case class GraftWriteDone(files: Seq[String]) extends WriterCommitMessage
+
+/** Staged-commit reconciliation shared by every message-based write:
+  * a killed speculative attempt never reaches `abort()`, so its staged
+  * parquet files survive into the moved commit directory — and
+  * `dirMetadata` would commit them as DUPLICATE rows. Spark's commit
+  * coordinator guarantees exactly one ACCEPTED attempt per task; its
+  * files are what the commit messages carry, so anything else in the
+  * directory is debris and is deleted before the metadata job runs.
+  */
+private[graft] object GraftStagedCommit {
+  def reconcile(
+      commitDir: java.nio.file.Path, stagingAbs: String,
+      messages: Array[WriterCommitMessage]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val staging = java.nio.file.Paths.get(stagingAbs)
+    val accepted: Set[String] = messages.iterator.collect {
+      case GraftWriteDone(fs) => fs
+    }.flatten.map(f => staging.relativize(java.nio.file.Paths.get(f)).toString)
+      .toSet
+    java.nio.file.Files.walk(commitDir).iterator.asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.toString.endsWith(".parquet") &&
+        !accepted.contains(commitDir.relativize(p).toString))
+      .toSeq.foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
+}
 
 class GraftDataWriterFactory(
     stagingAbs: String, schema: StructType, rowLevel: Boolean = false,
@@ -1036,6 +1066,8 @@ class GraftBucketedDataWriter(
     }
   }
 
+  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+
   override def write(row: InternalRow): Unit = {
     if (fieldOffset < 0) {
       fieldOffset =
@@ -1048,15 +1080,15 @@ class GraftBucketedDataWriter(
     open.getOrElseUpdate(b, {
       val dir = java.nio.file.Paths.get(stagingAbs, s"__graft_bucket=$b")
       java.nio.file.Files.createDirectories(dir)
-      new GraftDataWriter(
-        dir.resolve(s"part-$partitionId-$taskId.parquet").toString, schema,
-        rowLevel)
+      val f = dir.resolve(s"part-$partitionId-$taskId.parquet").toString
+      written += f
+      new GraftDataWriter(f, schema, rowLevel)
     }).write(row)
   }
 
   override def commit(): WriterCommitMessage = {
     open.values.foreach(_.commit())
-    GraftWriteDone(s"$stagingAbs#task-$partitionId-$taskId")
+    GraftWriteDone(written.toSeq)
   }
   override def abort(): Unit = open.values.foreach(_.abort())
   override def close(): Unit = ()
@@ -1138,7 +1170,7 @@ class GraftDataWriter(
     writer.write(g)
   }
 
-  override def commit(): WriterCommitMessage = { writer.close(); GraftWriteDone(file) }
+  override def commit(): WriterCommitMessage = { writer.close(); GraftWriteDone(Seq(file)) }
   override def abort(): Unit = {
     writer.close()
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(file))

@@ -192,6 +192,9 @@ class VersionedStreamingWrite(table: String, schema: StructType, queryId: String
     val next = VersionedTable.versions(table).lastOption.getOrElse(0L) + 1L
     val dirName = s"c${next}_$token"
     java.nio.file.Files.move(staging, java.nio.file.Paths.get(table, "data", dirName))
+    GraftStagedCommit.reconcile(
+      java.nio.file.Paths.get(table, "data", dirName),
+      stagingAbs(epochId), messages)
     val entries = VersionedTable.dirMetadata(
       spark, table, dirName, VersionedTable.integralStatsCols(schema),
       VersionedTable.constraints(table))

@@ -920,6 +920,35 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq(799L, 798L, 797L, 796L, 795L))
   }
 
+  test("staged-commit reconcile drops zombie speculative-attempt files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_reconcile")
+    val staging = dir.resolve("_stg_x")
+    def plant(rel: String): java.nio.file.Path = {
+      val p = dir.resolve("c1_tok").resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, Array[Byte](1, 2, 3))
+      p
+    }
+    // accepted file (named in a commit message, via its STAGING path),
+    // a flat zombie, and a nested (bucketed) zombie
+    val ok = plant("part-0-1.parquet")
+    val zombieFlat = plant("part-0-7.parquet")
+    val zombieNested = plant("__graft_bucket=3/part-1-9.parquet")
+    val okNested = plant("__graft_bucket=3/part-1-2.parquet")
+    graft.sources.GraftStagedCommit.reconcile(
+      dir.resolve("c1_tok"), staging.toString,
+      Array(
+        graft.sources.GraftWriteDone(Seq(s"$staging/part-0-1.parquet")),
+        graft.sources.GraftWriteDone(
+          Seq(s"$staging/__graft_bucket=3/part-1-2.parquet"))))
+    assert(java.nio.file.Files.exists(ok))
+    assert(java.nio.file.Files.exists(okNested))
+    assert(!java.nio.file.Files.exists(zombieFlat),
+      "unreported flat attempt file must be deleted")
+    assert(!java.nio.file.Files.exists(zombieNested),
+      "unreported nested attempt file must be deleted")
+  }
+
   test("CREATE TABLE AS SELECT creates v1 (schema-only) + v2 (the data)") {
     val _ = root // force gtest catalog registration (lazy)
     spark.sql(
