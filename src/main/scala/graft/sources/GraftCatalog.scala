@@ -763,6 +763,19 @@ private[sources] object GraftFilters {
     case _                    => None
   }
 
+  /** Does the SORTED array hold any value in [lo, hi]? One binary
+    * search — the per-(file, column) probe of runtime zone-map pruning.
+    */
+  def anyInRange(sorted: Array[Long], lo: Long, hi: Long): Boolean = {
+    var l = 0
+    var h = sorted.length
+    while (l < h) { // first index with value >= lo
+      val m = (l + h) >>> 1
+      if (sorted(m) < lo) l = m + 1 else h = m
+    }
+    l < sorted.length && sorted(l) <= hi
+  }
+
   /** Per-column ADMISSIBLE integral value sets from runtime (DPP-style)
     * In/EqualTo filters — several filters on one column intersect. Used
     * to drop files whose zone map contains none of a join's observed
@@ -1485,12 +1498,13 @@ class GraftBucketedScan(
     val keptB: Map[Int, Seq[(String, Seq[String])]] =
       if (rt.isEmpty) perBucket
       else {
+        val sorted = rt.view.mapValues(_.toArray.sorted).toMap
         val statsOf = VersionedTable.snapshotLayout(table, version)
           .map(e => e._1 -> e._4).toMap
         perBucket.view.mapValues(_.filter { case (p, _) =>
-          rt.forall { case (c, vs) =>
+          sorted.forall { case (c, vs) =>
             statsOf.getOrElse(p, Map.empty).get(c).forall { case (mn, mx) =>
-              vs.exists(v => v >= mn && v <= mx)
+              GraftFilters.anyInRange(vs, mn, mx)
             }
           }
         }).toMap
@@ -1647,10 +1661,15 @@ class GraftTableScan(
   private[sources] def runtimeKept = {
     val rt = runtimeSets
     if (rt.isEmpty) kept
-    else kept.filter { case (_, _, _, stats) =>
-      rt.forall { case (c, vs) =>
-        stats.get(c).forall { case (mn, mx) =>
-          vs.exists(v => v >= mn && v <= mx)
+    else {
+      // sorted once: "any value inside [mn, mx]?" is then one binary
+      // search per (file, column) instead of a scan of the key set
+      val sorted = rt.view.mapValues(_.toArray.sorted).toMap
+      kept.filter { case (_, _, _, stats) =>
+        sorted.forall { case (c, vs) =>
+          stats.get(c).forall { case (mn, mx) =>
+            GraftFilters.anyInRange(vs, mn, mx)
+          }
         }
       }
     }
@@ -1715,16 +1734,29 @@ class GraftTableScan(
         val fs = info.map { case (e, st, cnt) => (e, st.get, cnt.get) }
         // prefix sums over files sorted best-edge-first: for DESC a
         // file i guarantees cnt_i rows better than file j iff
-        // mn_i > mx_j; for ASC iff mx_i < mn_j
+        // mn_i > mx_j; for ASC iff mx_i < mn_j. Binary search per file
+        // keeps planning O(F log F) — a linear probe would be O(F²)
+        // over the 100 TB table's file count.
         val edges = fs.map { case (_, (mn, mx), cnt) =>
           (if (desc) mn else mx, cnt)
         }.sortBy(_._1)(if (desc) Ordering.Long.reverse else Ordering.Long)
+          .toIndexedSeq
         val csum = edges.scanLeft(0L)(_ + _._2).tail
-        def betterThan(worst: Long): Long = {
-          val i = edges.indexWhere { case (edge, _) =>
-            if (desc) edge <= worst else edge >= worst
+        // first index whose edge no longer STRICTLY beats `worst`
+        def firstNotBetter(worst: Long): Int = {
+          var lo = 0
+          var hi = edges.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            val beats =
+              if (desc) edges(mid)._1 > worst else edges(mid)._1 < worst
+            if (beats) lo = mid + 1 else hi = mid
           }
-          if (i < 0) csum.last else if (i == 0) 0L else csum(i - 1)
+          lo
+        }
+        def betterThan(worst: Long): Long = {
+          val i = firstNotBetter(worst)
+          if (i == 0) 0L else csum(i - 1)
         }
         fs.filter { case (_, (mn, mx), _) =>
           betterThan(if (desc) mx else mn) < n.toLong
