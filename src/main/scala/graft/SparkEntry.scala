@@ -88,6 +88,8 @@ object SparkEntry {
     "q_sql_pruned" -> ((s, d) => Incremental.ordersSqlPruned(t(s, d, "orders"))),
     "q_sql_insert" -> ((s, d) => Incremental.ordersSqlInsert(t(s, d, "orders"))),
     "q_sql_ctas" -> ((s, d) => Incremental.ordersSqlCtas(t(s, d, "orders"))),
+    "q_sql_restore" -> ((s, d) => Incremental.ordersSqlRestore(t(s, d, "orders"))),
+    "q_table_clone" -> ((s, d) => Incremental.ordersTableClone(t(s, d, "orders"))),
     "q_maint_advisor" -> ((s, d) => Incremental.ordersMaintenanceAdvisor(t(s, d, "orders"))),
     "q_sql_fastcount" -> ((s, d) => Incremental.ordersSqlFastcount(t(s, d, "orders"))),
     "q_sql_spj" -> ((s, d) =>
@@ -1656,6 +1658,46 @@ object SparkEntry {
         |       CAST(1 AS BIGINT)
         |FROM orders WHERE o_orderkey % 4 = 2
         |ORDER BY o_orderkey""".stripMargin,
+    // CALL system.restore: rollback of a bad DELETE as a metadata-only
+    // commit. Phase 0 replays the restored head (base ∪ inserted
+    // quarter — the DELETE undone); phase 1 replays the rolled-back
+    // incident state via time travel (the same set minus the deleted
+    // tenth), proving the rollback kept the incident auditable.
+    "q_sql_restore" ->
+      """WITH full_state AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 4 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'NEW',
+        |         CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 4 = 3)
+        |SELECT CAST(0 AS BIGINT) AS phase, o_orderkey, status, price_c
+        |FROM full_state
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), o_orderkey, status, price_c
+        |FROM full_state WHERE o_orderkey % 10 <> 1
+        |ORDER BY phase, o_orderkey""".stripMargin,
+    // Zero-decode clone: side 0 is the source after its post-fork
+    // overwrite; side 1 is the clone (forked at the pre-delete v2, so
+    // the source's delete never leaked in) plus its own FORK append.
+    // Hash equality proves isolation in both directions.
+    "q_table_clone" ->
+      """SELECT CAST(0 AS BIGINT) AS side, o_orderkey, 'OW' AS status,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), o_orderkey, s, p FROM (
+        |  SELECT o_orderkey, o_orderstatus AS s,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS p
+        |  FROM orders WHERE o_orderkey % 4 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'NEW', CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 4 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'FORK', CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 10 = 1)
+        |ORDER BY side, o_orderkey, status""".stripMargin,
     // Maintenance advisor over the $files metadata table: per-commit
     // debt metrics + table-level recommendation. The oracle predicts
     // the layout from the fixture's construction: commit 1 = 4 files

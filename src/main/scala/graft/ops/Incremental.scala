@@ -794,6 +794,95 @@ object Incremental {
          |FROM gtab.default.$name ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Registered q_sql_restore body: rollback as a first-class SQL
+    * operation. The lifecycle drifts a table the way an incident does —
+    * base (v1), INSERT (v2), a bad DELETE (v3) — then
+    * `CALL system.restore(2)` publishes v4, a METADATA-ONLY
+    * self-contained manifest re-listing v2's resolved entries: no data
+    * file is read or written at any scale. The query reads the restored
+    * head AND the rolled-back v3 via time travel in one frame; the
+    * oracle replays both states from the fixture arithmetic, so hash
+    * equality proves restore resurrected the exact pre-incident
+    * snapshot while keeping the incident itself auditable.
+    */
+  def ordersSqlRestore(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlrst:$inputKey"), { _ =>
+      val n = s"orders_rst_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      graft.sources.VersionedTable.commit(
+        ordersCdcBase(orders), s"$root/default/$n", append = false)
+      orders.createOrReplaceTempView(s"g_rst_src_$n")
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT o_orderkey, 'NEW' AS status,
+           |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+           |FROM g_rst_src_$n WHERE o_orderkey % 4 = 3""".stripMargin)
+      spark.sql(s"DELETE FROM gtab.default.$n WHERE o_orderkey % 10 = 1")
+      spark.sql(s"CALL gtab.system.restore('default.$n', 2)")
+      n
+    })
+    def leg(tag: Long, from: String) =
+      s"""SELECT CAST($tag AS BIGINT) AS phase, o_orderkey, status, price_c
+         |FROM $from""".stripMargin
+    spark.sql(
+      s"""${leg(0, s"gtab.default.$name")}
+         |UNION ALL
+         |${leg(1, s"gtab.default.$name VERSION AS OF 3")}
+         |ORDER BY phase, o_orderkey""".stripMargin)
+  }
+
+  /** Registered q_table_clone body: zero-decode table forking. The
+    * source drifts base (v1) → append (v2) → merge-on-read delete (v3);
+    * the clone forks at v2 — every file HARD-LINKED at its original
+    * relative path, entries (footer counts, zone maps, tombstone
+    * scoping) transferred verbatim, not one row decoded — then each
+    * side diverges: the clone takes a FORK append, the source an
+    * overwrite. The query reads both heads in one tagged frame; the
+    * oracle replays both from the fixture arithmetic, so hash equality
+    * proves isolation in BOTH directions (the source's pre-fork delete
+    * never leaked into the clone; the clone's append and the source's
+    * overwrite never crossed).
+    */
+  def ordersTableClone(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val table = versionedTables.computeIfAbsent((spark, s"clone:$inputKey"), { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_versioned")
+      deleteRecursivelyOnExit(d)
+      val t = s"$d/orders_src"
+      val c = s"$d/orders_clone"
+      graft.sources.VersionedTable.commit(ordersCdcBase(orders), t, append = false)
+      graft.sources.VersionedTable.commit(
+        orders.filter(col("o_orderkey") % 4 === 3)
+          .select(col("o_orderkey"), lit("NEW").as("status"),
+            cents(col("o_totalprice")).as("price_c")),
+        t, append = true)
+      graft.sources.VersionedTable.deleteWhere(
+        spark, t, col("o_orderkey") % 10 === 1, "o_orderkey")
+      graft.sources.VersionedTable.cloneTable(t, c, Some(2L))
+      graft.sources.VersionedTable.commit(
+        orders.filter(col("o_orderkey") % 10 === 1)
+          .select(col("o_orderkey"), lit("FORK").as("status"),
+            cents(col("o_totalprice")).as("price_c")),
+        c, append = true)
+      graft.sources.VersionedTable.commit(
+        orders.filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"), lit("OW").as("status"),
+            cents(col("o_totalprice")).as("price_c")),
+        t, append = false)
+      t
+    })
+    val clone = s"${table.stripSuffix("orders_src")}orders_clone"
+    graft.sources.VersionedTable.read(spark, table)
+      .withColumn("side", lit(0L))
+      .unionByName(graft.sources.VersionedTable.read(spark, clone)
+        .withColumn("side", lit(1L)))
+      .select(col("side"), col("o_orderkey"), col("status"), col("price_c"))
+      .orderBy("side", "o_orderkey", "status")
+  }
+
   /** Registered q_maint_advisor body: the `$files` metadata surface
     * composed into the OPERATIONAL loop — a maintenance advisor that
     * reads one snapshot's per-file layout (commit, footer rows,

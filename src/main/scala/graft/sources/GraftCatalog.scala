@@ -637,7 +637,8 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.connector.read.LocalScan
 
   val names =
-    Seq("vacuum", "vacuum_orphans", "compact", "optimize", "optimize_where", "zorder")
+    Seq("vacuum", "vacuum_orphans", "compact", "optimize", "optimize_where",
+      "zorder", "restore", "clone")
 
   def load(resolve: String => String, name: String): UnboundProcedure =
     name match {
@@ -682,6 +683,23 @@ private[sources] object GraftProcedures {
           SparkSession.active, resolve(in.getUTF8String(0).toString),
           in.getUTF8String(1).toString, in.getLong(2), in.getLong(3),
           in.getLong(4)))
+      }
+      case "restore" => proc(name,
+        Seq("table" -> StringType, "version" -> LongType),
+        StructType(Seq(StructField("new_version", LongType, nullable = false)))) {
+        in => Array[Any](VersionedTable.restore(
+          resolve(in.getUTF8String(0).toString), in.getLong(1)))
+      }
+      // version <= 0 clones the head (procedure params are positional
+      // and non-nullable here, so 0 is the "latest" sentinel)
+      case "clone" => proc(name,
+        Seq("source" -> StringType, "target" -> StringType,
+          "version" -> LongType),
+        StructType(Seq(StructField("new_version", LongType, nullable = false)))) {
+        in => Array[Any](VersionedTable.cloneTable(
+          resolve(in.getUTF8String(0).toString),
+          resolve(in.getUTF8String(1).toString),
+          Some(in.getLong(2)).filter(_ > 0L)))
       }
       case "zorder" => proc(name,
         Seq("table" -> StringType, "cluster_by" -> StringType, // comma-separated

@@ -1536,6 +1536,85 @@ object VersionedTable {
     * which reclaims EXPIRED-version files; this reclaims NEVER-committed
     * ones.
     */
+  /** RESTORE: publish a new head whose snapshot equals `toVersion`'s —
+    * the rollback primitive (the operation Delta spells
+    * `RESTORE TABLE t TO VERSION AS OF n`). Metadata-only: the new head
+    * is a SELF-CONTAINED manifest re-listing the target's resolved
+    * entries verbatim (data files, tombstones, footer counts, and zone
+    * maps all ride along unchanged), so no data file is read, written,
+    * or moved and the cost is O(snapshot files) manifest lines at any
+    * data scale. The restored commit resets the carry chain — it
+    * classifies as an overwrite in [[commitClass]] terms, so streams
+    * refuse to silently cross it, exactly as they refuse any overwrite
+    * — and because the old files become referenced by the NEW head,
+    * [[vacuum]] retains them for as long as the restore itself is
+    * retained. Publish is optimistic: on losing the version race the
+    * restore retries against the new head (restore is point-in-time,
+    * not head-derived, so there is no basis to invalidate — last
+    * restore wins, which is the Delta behavior too). Fails loudly when
+    * `toVersion` was vacuumed or never existed. Bucket layouts survive
+    * unchanged: entries transfer verbatim, so a bucketed snapshot
+    * restores to the identical co-located layout.
+    */
+  def restore(table: String, toVersion: Long): Long = {
+    require(versions(table).contains(toVersion),
+      s"cannot restore $table to version $toVersion: not a retained " +
+        s"version (retained: ${versions(table).mkString(", ")})")
+    val entries = manifestEntries(table, toVersion)
+    while (true) {
+      val next = versions(table).lastOption.getOrElse(0L) + 1L
+      if (tryPublish(table, next, entries, None, carry = None)) return next
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** CLONE: create `dst` as an INDEPENDENT table whose version-1
+    * snapshot equals `src`'s snapshot at `version` (default: head).
+    * Every data and tombstone file is HARD-LINKED at the SAME relative
+    * path (copied only where the filesystem refuses links), so manifest
+    * entries transfer verbatim — footer counts, zone maps, and the
+    * commit-number tombstone scoping embedded in the paths included —
+    * and not one row is decoded or rewritten: the cost is one metadata
+    * op per file, O(snapshot files), at any data scale. Unlike a pure
+    * manifest-referencing shallow clone (Delta's), the links keep the
+    * BYTES alive on their own: vacuuming — or dropping — the source can
+    * never break the clone, and vice versa, because each side's
+    * reclamation only unlinks its own names. (On an object store
+    * without links the same protocol degrades to server-side copy,
+    * still zero-decode.) CHECK constraints and the bucket-layout spec
+    * carry over — they describe the data being cloned; the clone's
+    * history starts fresh at version 1 (its manifest is
+    * self-contained). Fails loudly if `dst` already exists or `version`
+    * is not retained; concurrent clones onto one target race on the
+    * version-1 CAS — one wins, the rest fail loudly.
+    */
+  def cloneTable(src: String, dst: String, version: Option[Long] = None): Long = {
+    require(versions(src).nonEmpty, s"cannot clone nonexistent table $src")
+    require(versions(dst).isEmpty, s"clone target $dst already exists")
+    val entries = pinnedEntries(src, version)
+    entries.map(entryPath).foreach { rel =>
+      val from = Paths.get(src, rel)
+      val to = Paths.get(dst, rel)
+      Files.createDirectories(to.getParent)
+      try { Files.createLink(to, from); () }
+      catch {
+        // cross-device targets surface as FileSystemException; a
+        // concurrent clone's FileAlreadyExists then fails the copy loudly
+        case _: UnsupportedOperationException | _: SecurityException |
+             _: java.nio.file.FileSystemException =>
+          Files.copy(from, to); ()
+      }
+    }
+    Files.createDirectories(manifestDir(dst))
+    Seq(constraintsFile(src) -> constraintsFile(dst),
+        bucketSpecFile(src) -> bucketSpecFile(dst)).foreach { case (f, t) =>
+      if (Files.exists(f)) { Files.copy(f, t); () }
+    }
+    require(tryPublish(dst, 1L, entries, None, carry = None),
+      s"clone target $dst was created concurrently")
+    1L
+  }
+
   def vacuumOrphans(table: String, olderThanMillis: Long): Int = {
     val dataRoot = Paths.get(table, "data")
     if (!Files.isDirectory(dataRoot)) return 0

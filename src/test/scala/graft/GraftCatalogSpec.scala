@@ -360,6 +360,38 @@ class GraftCatalogSpec extends AnyFunSuite {
         "optimize_where", "zorder"))
   }
 
+  test("CALL system.restore rolls the head back; CALL system.clone forks a table") {
+    val t = s"$root/default/rst"
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    spark.sql("INSERT INTO gtest.default.rst VALUES (3, 'c')")
+    spark.sql("DELETE FROM gtest.default.rst WHERE k = 1")
+    // clone the post-delete state before rolling back (version 0 = head)
+    val cv = spark.sql(
+      "CALL gtest.system.clone('default.rst', 'default.rst_fork', 0)")
+      .collect()(0).getLong(0)
+    assert(cv == 1L)
+    val rv = spark.sql("CALL gtest.system.restore('default.rst', 2)")
+      .collect()(0).getLong(0)
+    assert(rv == 4L)
+    val head = spark.sql("SELECT k, v FROM gtest.default.rst ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(head == Seq(1L -> "a", 2L -> "b", 3L -> "c"),
+      "restore must serve the pre-delete snapshot as the new head")
+    // the fork holds the post-delete state and diverges independently
+    spark.sql("INSERT INTO gtest.default.rst_fork VALUES (7, 'x')")
+    val fork = spark.sql("SELECT k, v FROM gtest.default.rst_fork ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(fork == Seq(2L -> "b", 3L -> "c", 7L -> "x"))
+    val src = spark.sql("SELECT k, v FROM gtest.default.rst ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(src == head, "writes to the fork must not leak into the source")
+    // the rollback itself is in the history as an ordinary commit
+    val hist = spark.sql(
+      "SELECT version, operation FROM gtest.default.rst.`$history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.length == 4 && hist.last._1 == 4L)
+  }
+
   test("TRUNCATE TABLE empties the head; history and time travel survive") {
     val t = s"$root/default/tr"
     VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)

@@ -730,6 +730,79 @@ class VersionedTableSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("long-castable"), ex.getMessage)
   }
+
+  test("restore publishes an old snapshot as the new head, metadata-only") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    VersionedTable.commit(df(3L -> "c"), t, append = true)
+    VersionedTable.deleteWhere(spark, t, col("k") === 1L, "k")
+    VersionedTable.commit(df(9L -> "z"), t, append = false)
+    assert(slurp(t) == Set(9L -> "z"))
+    // no data file may be written, rewritten, or removed by restore
+    val before = Files.walk(Path.of(t, "data")).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => p -> Files.getLastModifiedTime(p)).toMap
+    val v = VersionedTable.restore(t, 2L)
+    assert(v == 5L)
+    val after = Files.walk(Path.of(t, "data")).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => p -> Files.getLastModifiedTime(p)).toMap
+    assert(after == before, "restore must be metadata-only")
+    assert(slurp(t) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // the rolled-back states stay time-travelable
+    assert(slurp(t, Some(3L)) == Set(2L -> "b", 3L -> "c"))
+    assert(slurp(t, Some(4L)) == Set(9L -> "z"))
+    // restoring to a tombstone-bearing snapshot keeps its delete applied
+    val v2 = VersionedTable.restore(t, 3L)
+    assert(slurp(t, Some(v2)) == Set(2L -> "b", 3L -> "c"))
+    // vacuum keeps everything the restored head references
+    VersionedTable.vacuum(t, retain = 1)
+    assert(slurp(t) == Set(2L -> "b", 3L -> "c"))
+  }
+
+  test("restore to a vacuumed or unknown version fails loudly") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    VersionedTable.commit(df(9L -> "z"), t, append = false)
+    VersionedTable.vacuum(t, retain = 1)
+    intercept[IllegalArgumentException](VersionedTable.restore(t, 1L))
+    intercept[IllegalArgumentException](VersionedTable.restore(t, 42L))
+  }
+
+  test("clone is zero-decode and fully independent of the source") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    VersionedTable.deleteWhere(spark, t, col("k") === 2L, "k")
+    VersionedTable.commit(df(3L -> "c"), t, append = true)
+    val c = s"${SparkTestBase.tempDir("graft_vt_clone")}/c"
+    // pinned clone of v2 (post-delete, pre-append)
+    assert(VersionedTable.cloneTable(t, c, Some(2L)) == 1L)
+    assert(slurp(c) == Set(1L -> "a"))
+    // no source data file was rewritten (links, not copies, where possible)
+    // and the clone is independent in both directions:
+    VersionedTable.commit(df(7L -> "x"), c, append = true)
+    assert(slurp(c) == Set(1L -> "a", 7L -> "x"))
+    assert(slurp(t) == Set(1L -> "a", 3L -> "c"),
+      "writing the clone must not affect the source")
+    // dropping the source must not break the clone (hard links own bytes)
+    VersionedTable.dropTable(t)
+    assert(slurp(c) == Set(1L -> "a", 7L -> "x"))
+    // clone onto an existing table fails loudly
+    intercept[IllegalArgumentException](VersionedTable.cloneTable(c, c))
+  }
+
+  test("clone carries constraints and head snapshot by default") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    VersionedTable.addCheckConstraint(spark, t, "k_pos", "k > 0")
+    VersionedTable.commit(df(2L -> "b"), t, append = true)
+    val c = s"${SparkTestBase.tempDir("graft_vt_clone2")}/c"
+    VersionedTable.cloneTable(t, c)
+    assert(slurp(c) == Set(1L -> "a", 2L -> "b"))
+    assert(VersionedTable.constraints(c) == Seq("k_pos" -> "k > 0"))
+    intercept[IllegalArgumentException](
+      VersionedTable.commit(df(-5L -> "bad"), c, append = true))
+  }
 }
 
 /** Static gate for the deleteWhere conflict test: lives outside the spec
