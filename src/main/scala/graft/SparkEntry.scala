@@ -89,6 +89,7 @@ object SparkEntry {
     "q_sql_insert" -> ((s, d) => Incremental.ordersSqlInsert(t(s, d, "orders"))),
     "q_sql_ctas" -> ((s, d) => Incremental.ordersSqlCtas(t(s, d, "orders"))),
     "q_sql_restore" -> ((s, d) => Incremental.ordersSqlRestore(t(s, d, "orders"))),
+    "q_sql_rename" -> ((s, d) => Incremental.ordersSqlRename(t(s, d, "orders"))),
     "q_table_clone" -> ((s, d) => Incremental.ordersTableClone(t(s, d, "orders"))),
     "q_maint_advisor" -> ((s, d) => Incremental.ordersMaintenanceAdvisor(t(s, d, "orders"))),
     "q_sql_fastcount" -> ((s, d) => Incremental.ordersSqlFastcount(t(s, d, "orders"))),
@@ -1678,6 +1679,20 @@ object SparkEntry {
         |SELECT CAST(1 AS BIGINT), o_orderkey, status, price_c
         |FROM full_state WHERE o_orderkey % 10 <> 1
         |ORDER BY phase, o_orderkey""".stripMargin,
+    // Metadata-only RENAME/DROP COLUMN: the oracle replays the same
+    // lifecycle with the rename as a projection — base minus the dropped
+    // column, plus the inserted quarter, minus the deleted tenth, read
+    // through the renamed key with a pushed range filter.
+    "q_sql_rename" ->
+      """SELECT o_orderkey AS order_id, status, price_c FROM (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 4 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'NEW', CAST(round(o_totalprice * 100) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 4 = 3)
+        |WHERE o_orderkey % 10 <> 1 AND o_orderkey > 100
+        |ORDER BY order_id""".stripMargin,
     // Zero-decode clone: side 0 is the source after its post-fork
     // overwrite; side 1 is the clone (forked at the pre-delete v2, so
     // the source's delete never leaked in) plus its own FORK append.

@@ -883,6 +883,46 @@ object Incremental {
       .orderBy("side", "o_orderkey", "status")
   }
 
+  /** Registered q_sql_rename body: metadata-only schema evolution under
+    * the oracle. The fixture commits a 4-column base, then
+    * `ALTER TABLE RENAME COLUMN o_orderkey TO order_id` and
+    * `ALTER TABLE DROP COLUMN ship_prio` — both pure column-map edits
+    * (no data file is touched at any scale; files keep their physical
+    * names forever, translation happens at the scan/write name
+    * boundary) — and then keeps OPERATING through the new names: an
+    * INSERT, a zone-map-pruned DELETE, and the final filtered read all
+    * speak `order_id`. The oracle replays the lifecycle with the rename
+    * applied as a projection, so hash equality proves the mapped reads,
+    * writes, tombstones, and pruning all bind to the same underlying
+    * column.
+    */
+  def ordersSqlRename(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlrnm:$inputKey"), { _ =>
+      val n = s"orders_rnm_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      graft.sources.VersionedTable.commit(
+        ordersCdcBase(orders)
+          .withColumn("ship_prio", col("o_orderkey") % 7L)
+          .repartitionByRange(8, col("o_orderkey")),
+        s"$root/default/$n", append = false, statsCols = Seq("o_orderkey"))
+      spark.sql(s"ALTER TABLE gtab.default.$n RENAME COLUMN o_orderkey TO order_id")
+      spark.sql(s"ALTER TABLE gtab.default.$n DROP COLUMN ship_prio")
+      orders.createOrReplaceTempView(s"g_rnm_src_$n")
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT o_orderkey AS order_id, 'NEW' AS status,
+           |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+           |FROM g_rnm_src_$n WHERE o_orderkey % 4 = 3""".stripMargin)
+      spark.sql(s"DELETE FROM gtab.default.$n WHERE order_id % 10 = 1")
+      n
+    })
+    spark.sql(
+      s"""SELECT order_id, status, price_c FROM gtab.default.$name
+         |WHERE order_id > 100 ORDER BY order_id""".stripMargin)
+  }
+
   /** Registered q_maint_advisor body: the `$files` metadata surface
     * composed into the OPERATIONAL loop — a maintenance advisor that
     * reads one snapshot's per-file layout (commit, footer rows,

@@ -277,7 +277,25 @@ class GraftCatalog extends TableCatalog
     }
     if (columnChanges.isEmpty && constraintChanges.nonEmpty)
       return loadTable(ident)
-    val adds = columnChanges.map {
+    // RENAME/DROP COLUMN are metadata-only edits of the column map —
+    // no commit, no data movement ([[VersionedTable.renameColumn]])
+    val (mapChanges, addChanges) = columnChanges.partition {
+      case _: TableChange.RenameColumn | _: TableChange.DeleteColumn => true
+      case _ => false
+    }
+    mapChanges.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          s"nested RENAME COLUMN ${r.fieldNames().mkString(".")} is not supported")
+        VersionedTable.renameColumn(spark, dir, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          s"nested DROP COLUMN ${d.fieldNames().mkString(".")} is not supported")
+        VersionedTable.dropColumn(spark, dir, d.fieldNames()(0))
+      case _ => ()
+    }
+    if (addChanges.isEmpty) return loadTable(ident)
+    val adds = addChanges.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           s"nested ADD COLUMN ${a.fieldNames().mkString(".")} is not supported")
@@ -286,10 +304,12 @@ class GraftCatalog extends TableCatalog
             "existing rows carry no value for them")
         StructField(a.fieldNames()(0), a.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
-        s"catalog $catName supports only ALTER TABLE ADD COLUMN(S); got $other")
+        s"catalog $catName supports only ALTER TABLE ADD/RENAME/DROP " +
+          s"COLUMN(S); got $other")
     }
-    adds.foreach(f => require(!cur.fieldNames.contains(f.name),
-      s"column ${f.name} already exists in $ident"))
+    // `cur` is the PHYSICAL footer union — a new column's name becomes
+    // its physical name, so it must be fresh in BOTH namespaces
+    adds.foreach(f => VersionedTable.requireFreshColumnName(dir, f.name, cur))
     VersionedTable.commitSchemaOnly(dir, StructType(cur.fields ++ adds), append = true)
     loadTable(ident)
   }
@@ -344,9 +364,13 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
   override def name(): String =
     version.fold(ident)(v => s"$ident@v$v")
   // the O(commits) footer union, not a full-scan inference: picks up
-  // ADD COLUMN evolution (old files null-fill) and stays metadata-cheap
+  // ADD COLUMN evolution (old files null-fill) and stays metadata-cheap.
+  // Served under LOGICAL names: renamed columns surface as renamed,
+  // dropped columns disappear ([[VersionedTable.renameColumn]]); scans
+  // and writes translate back to physical names at their boundaries.
   override def schema(): StructType =
-    VersionedTable.snapshotSchema(SparkSession.active, table, version)
+    VersionedTable.logicalizeSchema(table,
+      VersionedTable.snapshotSchema(SparkSession.active, table, version))
   // standing CHECK constraints surfaced through the DSv2 constraint API
   // (DESCRIBE shows them); each was head-validated at ADD time and gates
   // every commit, so ENFORCED/VALID/rely is the honest status
@@ -378,8 +402,11 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
       s"cannot write to a time-traveled snapshot of $ident — write to the head")
     // bucketed tables take SQL writes too: the write declares a clustered
     // distribution on the table's own bucket transform, and each task
-    // places rows in __graft_bucket=<b>/ exactly as commitBucketed does
-    new GraftWriteBuilder(table, info.schema(), bucket)
+    // places rows in __graft_bucket=<b>/ exactly as commitBucketed does.
+    // Rows are positional, so the rename-mapped write only swaps NAMES:
+    // files always carry physical column names
+    new GraftWriteBuilder(table,
+      VersionedTable.physicalizeSchema(table, info.schema()), bucket)
   }
 
   /** SQL `DELETE FROM`: executed as [[VersionedTable.deleteWhereCow]] —
@@ -429,14 +456,26 @@ class GraftRowLevelOperation(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
         with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
-      private val full = VersionedTable.snapshotSchema(SparkSession.active, table, None)
-      private var required: StructType = full
+      private val physFull =
+        VersionedTable.snapshotSchema(SparkSession.active, table, None)
+      // Spark resolves against LOGICAL names; files/stats are PHYSICAL
+      private val l2p = VersionedTable.logicalToPhysical(table)
+      private def p(c: String): String = l2p.getOrElse(c, c)
+      private def physSchema(s: StructType): StructType =
+        if (l2p.isEmpty) s
+        else StructType(s.fields.map(f => f.copy(name = p(f.name))))
+      private var reportAs: StructType =
+        VersionedTable.logicalizeSchema(table, physFull)
+      private var required: StructType = physSchema(reportAs)
       private var bounds: Seq[(String, Long, Long)] = Nil
       private var used: Array[Filter] = Array.empty
-      override def pruneColumns(requiredSchema: StructType): Unit =
-        required = requiredSchema
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        reportAs = requiredSchema
+        required = physSchema(requiredSchema)
+      }
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        val (b, consumed) = GraftFilters.integralBounds(filters, full)
+        val (b, consumed) = GraftFilters.integralBounds(
+          filters.map(GraftFilters.mapNames(_, p)), physFull)
         bounds = b
         used = consumed
         filters // residual: the rewrite plan re-applies the condition
@@ -456,7 +495,7 @@ class GraftRowLevelOperation(
         }
         planned = kept.map(_._1)
         new Scan with Batch {
-          override def readSchema(): StructType = required
+          override def readSchema(): StructType = reportAs
           override def toBatch: Batch = this
           private def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
           // same per-scan vectorization rule as GraftTableScan: all-or-
@@ -487,10 +526,13 @@ class GraftRowLevelOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
+      // rewritten rows arrive under logical names; files stay physical
+      private val physSchema =
+        VersionedTable.physicalizeSchema(table, info.schema())
       override def build(): Write = bucket match {
         case None => new Write {
           override def toBatch: BatchWrite =
-            new GraftReplaceBatchWrite(table, info.schema(), GraftRowLevelOperation.this)
+            new GraftReplaceBatchWrite(table, physSchema, GraftRowLevelOperation.this)
         }
         case Some((c, n)) =>
           // same clustered-distribution declaration as the plain bucketed
@@ -506,7 +548,7 @@ class GraftRowLevelOperation(
             override def requiredOrdering(): Array[SortOrder] = Array.empty
             override def toBatch: BatchWrite =
               new GraftReplaceBatchWrite(
-                table, info.schema(), GraftRowLevelOperation.this, bucket)
+                table, physSchema, GraftRowLevelOperation.this, bucket)
           }
       }
     }
@@ -771,6 +813,31 @@ private[sources] object GraftFilters {
     case _: AlwaysTrue            => Some(lit(true))
     case _: AlwaysFalse           => Some(lit(false))
     case _                        => None
+  }
+
+  /** Rename the column references of a pushed filter (logical → physical
+    * under a column mapping). Shapes outside [[toColumn]]'s vocabulary
+    * pass through untouched — they are never consumed for bounds or
+    * predicates, so an untranslated exotic filter can only decline
+    * pushdown, never corrupt it.
+    */
+  def mapNames(f: Filter, m: String => String): Filter = f match {
+    case EqualTo(c, v)            => EqualTo(m(c), v)
+    case EqualNullSafe(c, v)      => EqualNullSafe(m(c), v)
+    case GreaterThan(c, v)        => GreaterThan(m(c), v)
+    case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(m(c), v)
+    case LessThan(c, v)           => LessThan(m(c), v)
+    case LessThanOrEqual(c, v)    => LessThanOrEqual(m(c), v)
+    case IsNull(c)                => IsNull(m(c))
+    case IsNotNull(c)             => IsNotNull(m(c))
+    case In(c, vs)                => In(m(c), vs)
+    case StringStartsWith(c, v)   => StringStartsWith(m(c), v)
+    case StringEndsWith(c, v)     => StringEndsWith(m(c), v)
+    case StringContains(c, v)     => StringContains(m(c), v)
+    case Not(ch)                  => Not(mapNames(ch, m))
+    case And(l, r)                => And(mapNames(l, m), mapNames(r, m))
+    case Or(l, r)                 => Or(mapNames(l, m), mapNames(r, m))
+    case other                    => other
   }
 
   private def integralLit(v: Any): Option[Long] = v match {
@@ -1222,7 +1289,18 @@ class GraftTableScanBuilder(
   import org.apache.spark.sql.connector.expressions.aggregate.{
     Aggregation, CountStar, Max => VMax, Min => VMin}
 
-  private var required: StructType = full
+  // `full` arrives LOGICAL (the table's served schema); everything the
+  // manifests and file footers know is PHYSICAL. Scans therefore carry
+  // two name sets: `required` (physical — drives file reads, zone maps,
+  // vectorization checks) and `reportAs` (logical — what readSchema()
+  // declares back to Spark). Rows are positional, so only names differ.
+  private val l2p = VersionedTable.logicalToPhysical(table)
+  private def p(c: String): String = l2p.getOrElse(c, c)
+  private def physSchema(s: StructType): StructType =
+    if (l2p.isEmpty) s else StructType(s.fields.map(f => f.copy(name = p(f.name))))
+
+  private var reportAs: StructType = full
+  private var required: StructType = physSchema(full)
   private var bounds: Map[String, (Long, Long)] = Map.empty
   private var used: Array[Filter] = Array.empty
   private var aggPlan: Option[Seq[GraftAggSpec]] = None
@@ -1243,8 +1321,10 @@ class GraftTableScanBuilder(
     false
   }
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    reportAs = requiredSchema
+    required = physSchema(requiredSchema)
+  }
 
   /** Range/equality predicates on INTEGRAL columns tighten per-column
     * [lo, hi] bounds used against the manifest's zone maps at planning
@@ -1260,7 +1340,8 @@ class GraftTableScanBuilder(
     * [10,10]). Non-integral predicates are simply not pruned on.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (b, consumed) = GraftFilters.integralBounds(filters, full)
+    val (b, consumed) = GraftFilters.integralBounds(
+      filters.map(GraftFilters.mapNames(_, p)), physSchema(full))
     bounds = b.map { case (c, lo, hi) => c -> (lo, hi) }.toMap
     used = consumed
     filters // all residual: exactness never depends on the zone maps
@@ -1295,7 +1376,8 @@ class GraftTableScanBuilder(
     val rowsOf = VersionedTable.snapshotFiles(table, version)
       .map { case (p, _, r, _, _) => p -> r }.toMap
     if (rowsOf.valuesIterator.exists(_.isEmpty)) return None // pre-stats file
-    val integral: Map[String, DataType] = full.fields.collect {
+    // aggregate references arrive LOGICAL; stats are keyed PHYSICAL
+    val integral: Map[String, DataType] = physSchema(full).fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == ShortType || f.dataType == ByteType => f.name -> f.dataType
     }.toMap
@@ -1312,17 +1394,17 @@ class GraftTableScanBuilder(
           Some(rowsOf.valuesIterator.flatten.sum))
       case m: VMin => m.column match {
         case f: NamedReference if f.fieldNames.length == 1 &&
-            integral.contains(f.fieldNames()(0)) &&
-            statsComplete(f.fieldNames()(0)) =>
-          val c = f.fieldNames()(0)
+            integral.contains(p(f.fieldNames()(0))) &&
+            statsComplete(p(f.fieldNames()(0))) =>
+          val c = p(f.fieldNames()(0))
           GraftAggSpec("min", c, integral(c), extremes(c)._1)
         case _ => return None
       }
       case m: VMax => m.column match {
         case f: NamedReference if f.fieldNames.length == 1 &&
-            integral.contains(f.fieldNames()(0)) &&
-            statsComplete(f.fieldNames()(0)) =>
-          val c = f.fieldNames()(0)
+            integral.contains(p(f.fieldNames()(0))) &&
+            statsComplete(p(f.fieldNames()(0))) =>
+          val c = p(f.fieldNames()(0))
           GraftAggSpec("max", c, integral(c), extremes(c)._2)
         case _ => return None
       }
@@ -1361,10 +1443,10 @@ class GraftTableScanBuilder(
       case Seq(o) =>
         val colName = o.expression() match {
           case f: NamedReference if f.fieldNames.length == 1 =>
-            f.fieldNames()(0)
+            p(f.fieldNames()(0)) // zone maps key physical names
           case _ => return false
         }
-        val integral = full.fields.exists(f => f.name == colName &&
+        val integral = physSchema(full).fields.exists(f => f.name == colName &&
           (f.dataType == LongType || f.dataType == IntegerType))
         if (!integral || o.nullOrdering() != NullOrdering.NULLS_LAST)
           false
@@ -1381,9 +1463,10 @@ class GraftTableScanBuilder(
   override def build(): Scan = (aggPlan, bucket) match {
     case (Some(specs), _) => new GraftAggScan(table, version, specs)
     case (None, Some((c, n))) =>
-      new GraftBucketedScan(table, version, required, bounds, c, n)
+      new GraftBucketedScan(table, version, required, bounds, c, n, reportAs)
     case (None, None) =>
-      new GraftTableScan(table, version, required, bounds, limitOpt, topN)
+      new GraftTableScan(table, version, required, bounds, limitOpt, topN,
+        reportAs)
   }
 }
 
@@ -1401,14 +1484,21 @@ class GraftTableScanBuilder(
   */
 class GraftBucketedScan(
     table: String, version: Option[Long], required: StructType,
-    bounds: Map[String, (Long, Long)], bucketCol: String, nBuckets: Int)
+    bounds: Map[String, (Long, Long)], bucketCol: String, nBuckets: Int,
+    reportAs: StructType = null)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  // physical/logical name split as in [[GraftTableScan]]; the bucket
+  // column itself can never be renamed, so its name is in both sets
+  private val rep: StructType = Option(reportAs).getOrElse(required)
+  private val repToPhys: Map[String, String] =
+    rep.fieldNames.zip(required.fieldNames).toMap
+
+  override def readSchema(): StructType = rep
   override def toBatch: Batch = this
 
   /** Runtime zone-map pruning INSIDE buckets (see [[GraftTableScan]]):
@@ -1418,7 +1508,7 @@ class GraftBucketedScan(
     */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fields.collect {
+    rep.fields.collect { // reported in the names Spark resolves (logical)
       case f if f.dataType == LongType || f.dataType == IntegerType =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
@@ -1426,6 +1516,7 @@ class GraftBucketedScan(
   @volatile private var runtimeSets: Map[String, Set[Long]] = Map.empty
   override def filter(filters: Array[Filter]): Unit = {
     runtimeSets = GraftFilters.inSets(filters)
+      .map { case (c, s) => repToPhys.getOrElse(c, c) -> s }
   }
 
   private lazy val perBucket: Map[Int, Seq[(String, Seq[String])]] = {
@@ -1646,11 +1737,19 @@ class GraftTableScan(
     table: String, version: Option[Long], required: StructType,
     bounds: Map[String, (Long, Long)],
     limit: Option[Int] = None,
-    topN: Option[(String, Boolean, Int)] = None) extends Scan with Batch
+    topN: Option[(String, Boolean, Int)] = None,
+    reportAs: StructType = null) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
-  override def readSchema(): StructType = required
+  // `required` is PHYSICAL (drives file reads and zone maps); `reportAs`
+  // is the LOGICAL rendering Spark resolves against — same fields
+  // positionally, names differ only under a column mapping
+  private val rep: StructType = Option(reportAs).getOrElse(required)
+  private val repToPhys: Map[String, String] =
+    rep.fieldNames.zip(required.fieldNames).toMap
+
+  override def readSchema(): StructType = rep
   override def toBatch: Batch = this
 
   /** RUNTIME (DPP-style) file pruning: a join whose build side is
@@ -1666,7 +1765,7 @@ class GraftTableScan(
     */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fields.collect {
+    rep.fields.collect { // reported in the names Spark resolves (logical)
       case f if f.dataType == LongType || f.dataType == IntegerType =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
@@ -1674,6 +1773,7 @@ class GraftTableScan(
   @volatile private var runtimeSets: Map[String, Set[Long]] = Map.empty
   override def filter(filters: Array[Filter]): Unit = {
     runtimeSets = GraftFilters.inSets(filters)
+      .map { case (c, s) => repToPhys.getOrElse(c, c) -> s }
   }
 
   private[sources] def runtimeKept = {

@@ -118,7 +118,10 @@ class VersionedStreamTable(
         new org.apache.spark.sql.connector.write.Write {
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-            new VersionedStreamingWrite(table, info.schema(),
+            // rows are positional: under a column mapping the epoch's
+            // files land with PHYSICAL names, like every other write
+            new VersionedStreamingWrite(table,
+              VersionedTable.physicalizeSchema(table, info.schema()),
               info.queryId())
         }
     }
@@ -136,7 +139,11 @@ class VersionedStreamTable(
         override def readSchema(): StructType = required
         override def description(): String = s"graft-table stream over $table"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new VersionedMicroBatchStream(table, required, ignoreDeletes,
+          // the stream decodes files by name, so it gets the PHYSICAL
+          // rendering of the (logical) required schema — positional
+          // rows mean readSchema() above still reports logical names
+          new VersionedMicroBatchStream(table,
+            VersionedTable.physicalizeSchema(table, required), ignoreDeletes,
             maxVersionsPerTrigger, changeFeed, maxRowsPerTrigger,
             startingVersion)
       }

@@ -573,7 +573,10 @@ object VersionedTable {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val next = expectedLatest.getOrElse(versions(table).lastOption.getOrElse(0L)) + 1L
     val dirName = s"c${next}_$token"
-    val fileEntries = writeFiles(df, table, dirName, statsCols, constraints(table))
+    // files are always written under PHYSICAL names (no-op for unmapped
+    // tables and for frames that are already physical)
+    val fileEntries = writeFiles(physicalizeFrame(table, df), table, dirName,
+      statsCols.map(physName(table, _)), constraints(table))
     publishStaged(table, token, next, dirName, fileEntries, append, txnId, expectedLatest)
   }
 
@@ -736,8 +739,10 @@ object VersionedTable {
     require(prev.nonEmpty, s"no committed versions at $table")
     val lastV = prev.last
     val next = lastV + 1L
-    val doomed = read(spark, table, Some(lastV))
-      .filter(predicate).select(keyCol).distinct()
+    // predicate and keyCol are LOGICAL; the tombstone file must carry the
+    // PHYSICAL key name so the read-time anti-join matches the data files
+    val doomed = physicalizeFrame(table,
+      read(spark, table, Some(lastV)).filter(predicate).select(keyCol).distinct())
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dirName = s"c${next}_$token"
     val fileEntries = writeFiles(doomed, table, dirName)
@@ -794,9 +799,10 @@ object VersionedTable {
     val basis = vs.last
     val entries = manifestEntries(table, basis)
     val delE = entries.filter(isDeleteEntry)
+    val pb = bounds.map { case (c, lo, hi) => (physName(table, c), lo, hi) }
     val candidates = entries.filterNot(isDeleteEntry).filter { e =>
       val stats = entryStats(e)
-      bounds.forall { case (c, lo, hi) =>
+      pb.forall { case (c, lo, hi) =>
         stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
       }
     }
@@ -806,9 +812,11 @@ object VersionedTable {
     // the tombstone anti-join): input_file_name() evaluated above a
     // shuffled join returns "", which would silently empty the touched
     // set and turn the DELETE into a no-op whenever the doomed-key side
-    // is not broadcast
-    val touchedAbs = snapshotFrame(spark, table, candidates ++ delE,
-        mergeSchema = false, fileTag = Some("__graft_src_file"))
+    // is not broadcast. The frame is logicalized (file tag passes
+    // through) because `predicate` speaks logical column names.
+    val touchedAbs = logicalizeFrame(table,
+        snapshotFrame(spark, table, candidates ++ delE,
+          mergeSchema = false, fileTag = Some("__graft_src_file")))
       .filter(hit)
       .groupBy(col("__graft_src_file").as("g_f")).agg(count(lit(1)).as("g_n"))
       .collect().map(_.getString(0)).toSet
@@ -820,12 +828,15 @@ object VersionedTable {
     val touched = candidates.filter(e =>
       touchedAbs.exists(_.endsWith("/" + entryPath(e))))
     if (touched.isEmpty) return basis
-    val keep = snapshotFrame(spark, table, touched ++ delE, mergeSchema = false)
-      .filter(not(hit))
+    val keep = physicalizeFrame(table,
+      logicalizeFrame(table,
+        snapshotFrame(spark, table, touched ++ delE, mergeSchema = false))
+        .filter(not(hit)))
     val next = basis + 1L
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dirName = s"c${next}_$token"
-    val fileEntries = writeFiles(keep, table, dirName, statsCols, constraints(table))
+    val fileEntries = writeFiles(keep, table, dirName,
+      statsCols.map(physName(table, _)), constraints(table))
     val removals = touched.map(e => s"R:${entryPath(e)}")
     val fresh = fileEntries.map(n => s"data/$dirName/$n")
     if (!tryPublish(table, next, removals ++ fresh, None, carry = Some(basis))) {
@@ -1133,11 +1144,14 @@ object VersionedTable {
     * storage-partitioned join support.
     */
   def commitBucketed(
-      df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
+      df0: DataFrame, table: String, bucketCol: String, nBuckets: Int,
       append: Boolean, expectedLatest: Option[Long] = None,
       sortWithin: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, pmod}
     require(nBuckets > 0, "nBuckets must be positive")
+    // the bucket column can never be renamed, so its name is identical in
+    // both namespaces; other columns land under their physical names
+    val df = physicalizeFrame(table, df0)
     bucketSpec(table).foreach { case (c, n) =>
       require(c == bucketCol && n == nBuckets,
         s"$table is bucketed by ($c, $n); a commit bucketed by " +
@@ -1264,8 +1278,9 @@ object VersionedTable {
     val basis = vs.last
     val entries = manifestEntries(table, basis)
     val delE = entries.filter(isDeleteEntry)
+    val pc = physName(table, clusterBy) // stats and frame are physical
     val touched = entries.filterNot(isDeleteEntry).filter { e =>
-      entryStats(e).get(clusterBy)
+      entryStats(e).get(pc)
         .forall { case (mn, mx) => mx >= lo && mn <= hi }
     }
     if (touched.isEmpty) return basis
@@ -1280,8 +1295,8 @@ object VersionedTable {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dirName = s"c${next}_$token"
     val fileEntries = writeFiles(
-      frame.repartitionByRange(parts, col(clusterBy)).sortWithinPartitions(clusterBy),
-      table, dirName, Seq(clusterBy), constraints(table))
+      frame.repartitionByRange(parts, col(pc)).sortWithinPartitions(pc),
+      table, dirName, Seq(pc), constraints(table))
     val removals = touched.map(e => s"R:${entryPath(e)}")
     val fresh = fileEntries.map(nm => s"data/$dirName/$nm")
     if (!tryPublish(table, next, removals ++ fresh, None, carry = Some(basis))) {
@@ -1304,20 +1319,21 @@ object VersionedTable {
       bounds: Seq[(String, Long, Long)],
       mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
+    val pb = bounds.map { case (c, lo, hi) => (physName(table, c), lo, hi) }
     val entries = pinnedEntries(table, version)
     val pruned = entries.filter(e =>
       isDeleteEntry(e) || {
         val stats = entryStats(e)
-        bounds.forall { case (c, lo, hi) =>
+        pb.forall { case (c, lo, hi) =>
           stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
         }
       })
     val base =
       if (pruned.forall(isDeleteEntry)) snapshotFrame(spark, table, entries, mergeSchema)
       else snapshotFrame(spark, table, pruned, mergeSchema)
-    bounds.foldLeft(base) { case (df, (c, lo, hi)) =>
+    logicalizeFrame(table, pb.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.filter(col(c) >= lo && col(c) <= hi)
-    }
+    })
   }
 
   /** As [[pruneCount]] for a conjunction of bounds. */
@@ -1325,13 +1341,199 @@ object VersionedTable {
       table: String, version: Option[Long],
       bounds: Seq[(String, Long, Long)]): (Int, Int) = {
     val dataE = pinnedEntries(table, version).filterNot(isDeleteEntry)
+    val pb = bounds.map { case (c, lo, hi) => (physName(table, c), lo, hi) }
     val kept = dataE.count { e =>
       val stats = entryStats(e)
-      bounds.forall { case (c, lo, hi) =>
+      pb.forall { case (c, lo, hi) =>
         stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
       }
     }
     (kept, dataE.size)
+  }
+
+  // ---- Column mapping (metadata-only RENAME / DROP COLUMN) ----
+  //
+  // Files are immutable, so a rename can never rewrite them — instead a
+  // column keeps its PHYSICAL name (its name at first write) forever,
+  // and `_manifest/colmap.txt` records `physical<TAB>logical` for every
+  // column whose user-facing name diverged (an empty logical marks a
+  // DROP). Everything inside the engine — manifests, zone maps,
+  // tombstone keys, footer schemas — stays physical; the mapping is
+  // applied only at the API boundary (read output, commit input, the
+  // SQL catalog's schema/scan/write name translation), which is what
+  // makes RENAME and DROP O(1) metadata operations at any data scale,
+  // the same trade Delta's column-mapping mode makes. Invariant: the
+  // logical and physical namespaces are DISJOINT for mapped columns
+  // (a new logical name may never shadow any current or retired
+  // physical name), so applying a translation to an already-physical
+  // frame is a no-op — internal read-modify-write cycles can't
+  // double-translate. The mapping is table-wide, not versioned: time
+  // travel sees current names (Delta behaves the same way).
+
+  private def colMapFile(table: String): Path =
+    manifestDir(table).resolve("colmap.txt")
+
+  /** The table's column mapping, physical → logical; an empty logical
+    * name marks a dropped column. Empty for unmapped tables.
+    */
+  def columnMap(table: String): Map[String, String] = {
+    val f = colMapFile(table)
+    if (!Files.exists(f)) Map.empty
+    else Files.readAllLines(f).asScala.iterator.flatMap { l =>
+      l.split("\t", -1) match {
+        case Array(p, lg) if p.nonEmpty => Some(p -> lg)
+        case _                          => None
+      }
+    }.toMap
+  }
+
+  private def writeColMap(table: String, m: Map[String, String]): Unit = {
+    val f = colMapFile(table)
+    Files.createDirectories(f.getParent)
+    val tmp = f.resolveSibling(
+      s"colmap.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, m.toSeq.sortBy(_._1).map { case (p, lg) => s"$p\t$lg" }.asJava)
+    Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** logical → physical for live columns (identity pairs never appear). */
+  private[sources] def logicalToPhysical(table: String): Map[String, String] =
+    columnMap(table).collect { case (p, lg) if lg.nonEmpty => lg -> p }
+
+  /** The physical name behind a logical column (identity when unmapped). */
+  private[sources] def physName(table: String, logical: String): String =
+    logicalToPhysical(table).getOrElse(logical, logical)
+
+  /** A physically-named frame under its LOGICAL names: renamed columns
+    * aliased, dropped columns projected away, everything else (including
+    * non-snapshot columns like file tags) passed through. Identity —
+    * zero plan nodes added — when the table has no mapping.
+    */
+  private[sources] def logicalizeFrame(table: String, df: DataFrame): DataFrame = {
+    val m = columnMap(table)
+    if (m.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.flatMap { c =>
+      m.get(c) match {
+        case Some("") => None
+        case Some(lg) => Some(org.apache.spark.sql.functions.col(c).as(lg))
+        case None     => Some(org.apache.spark.sql.functions.col(c))
+      }
+    }: _*)
+  }
+
+  /** A physical schema under its logical names (dropped columns removed,
+    * field order and types preserved).
+    */
+  private[sources] def logicalizeSchema(
+      table: String, schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val m = columnMap(table)
+    if (m.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(schema.fields.flatMap { f =>
+      m.get(f.name) match {
+        case Some("") => None
+        case Some(lg) => Some(f.copy(name = lg))
+        case None     => Some(f)
+      }
+    })
+  }
+
+  /** A logically-named frame under its physical names — the write-side
+    * twin of [[logicalizeFrame]]. No-op on unmapped tables AND on
+    * already-physical frames (namespace disjointness, see above).
+    */
+  private[sources] def physicalizeFrame(table: String, df: DataFrame): DataFrame = {
+    val l2p = logicalToPhysical(table)
+    if (l2p.isEmpty) df
+    else df.withColumnsRenamed(l2p.filter { case (lg, _) => df.columns.contains(lg) })
+  }
+
+  /** Logical field names → physical, order and types preserved. */
+  private[sources] def physicalizeSchema(
+      table: String, schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val l2p = logicalToPhysical(table)
+    if (l2p.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      f.copy(name = l2p.getOrElse(f.name, f.name))))
+  }
+
+  private def requireRenamable(
+      spark: SparkSession, table: String, column: String, verb: String): Unit = {
+    require(versions(table).nonEmpty, s"no committed versions at $table")
+    bucketSpec(table).foreach { case (c, _) =>
+      require(physName(table, column) != c,
+        s"cannot $verb $column: $table is bucketed by it — the bucket " +
+          "layout and storage-partitioned joins key on that column")
+    }
+    constraints(table).foreach { case (n, e) =>
+      require(!s"\\b${java.util.regex.Pattern.quote(column)}\\b".r
+          .findFirstIn(e).isDefined,
+        s"cannot $verb $column: CHECK constraint $n references it " +
+          s"($e) — drop the constraint first")
+    }
+  }
+
+  /** ALTER TABLE RENAME COLUMN, metadata-only: records the new logical
+    * name in the column map — no data file is read, written, or moved at
+    * any scale, and every existing snapshot (time travel included) reads
+    * back under the new name. Refused for the bucket column (layout and
+    * SPJ key on it), for columns referenced by a CHECK constraint (the
+    * stored predicate text would dangle), and when the new name would
+    * collide with any live logical OR any current/retired physical name
+    * (the disjointness invariant that keeps translation idempotent —
+    * so a dropped column's name can never be reused either).
+    * DDL-vs-DDL racers on the single mapping file are last-writer-wins,
+    * like the constraints file; data commits are unaffected either way.
+    */
+  def renameColumn(
+      spark: SparkSession, table: String, from: String, to: String): Unit = {
+    requireRenamable(spark, table, from, "rename")
+    val phys = snapshotSchema(spark, table, None)
+    val m = columnMap(table)
+    val logical = logicalizeSchema(table, phys).fieldNames.toSet
+    require(logical.contains(from), s"column $from does not exist in $table")
+    require(!logical.contains(to), s"column $to already exists in $table")
+    val p = physName(table, from)
+    // a column may take back its OWN physical name (rename-back, which
+    // erases its map entry) — any other physical name, live or retired,
+    // is off-limits (the disjointness invariant)
+    require(p == to || (!phys.fieldNames.contains(to) && !m.contains(to)),
+      s"cannot rename $from to $to: $to is (or was) a physical column " +
+        s"name of $table — pick a name never used by this table")
+    writeColMap(table, if (p == to) m - p else m + (p -> to))
+  }
+
+  /** ALTER TABLE DROP COLUMN, metadata-only: marks the column dropped in
+    * the map — files keep the bytes (parquet column pruning means they
+    * are never decoded again), so the operation is O(1) at any scale and
+    * a later OPTIMIZE rewrite physically sheds them. Same refusals as
+    * [[renameColumn]], plus the last remaining column. The dropped
+    * name is retired permanently (never reusable — see disjointness).
+    */
+  def dropColumn(spark: SparkSession, table: String, column: String): Unit = {
+    requireRenamable(spark, table, column, "drop")
+    val phys = snapshotSchema(spark, table, None)
+    val logical = logicalizeSchema(table, phys).fieldNames.toSet
+    require(logical.contains(column), s"column $column does not exist in $table")
+    require(logical.size > 1, s"cannot drop the last column of $table")
+    writeColMap(table, columnMap(table) + (physName(table, column) -> ""))
+  }
+
+  /** Gate for ADD COLUMN under a mapping: a fresh column's name (which
+    * becomes its physical name) must not collide with any live logical,
+    * current physical, or retired physical name.
+    */
+  private[graft] def requireFreshColumnName(
+      table: String, name: String,
+      physSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val m = columnMap(table)
+    require(!physSchema.fieldNames.contains(name) && !m.contains(name) &&
+        !m.valuesIterator.contains(name),
+      s"cannot add column $name to $table: the name is in use (or was " +
+        "used by a renamed/dropped column and is permanently retired)")
   }
 
   /** Read a snapshot (latest when `version` is None). The returned plan
@@ -1339,7 +1541,8 @@ object VersionedTable {
     * applied as an anti-join of doomed keys against the data commits
     * they are bounded to (delete frames are key-only and typically
     * broadcast). Later commits are invisible (snapshot isolation),
-    * earlier versions stay readable (time travel).
+    * earlier versions stay readable (time travel). Renamed/dropped
+    * columns ([[renameColumn]]) surface under their LOGICAL names.
     */
   def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame =
     read(spark, table, version, mergeSchema = false)
@@ -1354,7 +1557,8 @@ object VersionedTable {
   def read(
       spark: SparkSession, table: String, version: Option[Long],
       mergeSchema: Boolean): DataFrame =
-    snapshotFrame(spark, table, pinnedEntries(table, version), mergeSchema)
+    logicalizeFrame(table,
+      snapshotFrame(spark, table, pinnedEntries(table, version), mergeSchema))
 
   private def pinnedEntries(table: String, version: Option[Long]): Seq[String] = {
     val vs = versions(table)
@@ -1408,7 +1612,8 @@ object VersionedTable {
       table: String, version: Option[Long], column: String,
       lo: Long, hi: Long): (Int, Int) = {
     val dataE = pinnedEntries(table, version).filterNot(isDeleteEntry)
-    val kept = dataE.count(e => entryStats(e).get(column)
+    val pc = physName(table, column)
+    val kept = dataE.count(e => entryStats(e).get(pc)
       .forall { case (mn, mx) => mx >= lo && mn <= hi })
     (kept, dataE.size)
   }
@@ -1433,9 +1638,10 @@ object VersionedTable {
       column: String, lo: Long, hi: Long,
       mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
+    val pc = physName(table, column) // zone maps key physical names
     val entries = pinnedEntries(table, version)
     val pruned = entries.filter(e =>
-      isDeleteEntry(e) || entryStats(e).get(column)
+      isDeleteEntry(e) || entryStats(e).get(pc)
         .forall { case (mn, mx) => mx >= lo && mn <= hi })
     // all data files excluded: scan the unpruned snapshot (the filter
     // still yields zero rows) rather than special-casing an empty scan's
@@ -1443,7 +1649,7 @@ object VersionedTable {
     val base =
       if (pruned.forall(isDeleteEntry)) snapshotFrame(spark, table, entries, mergeSchema)
       else snapshotFrame(spark, table, pruned, mergeSchema)
-    base.filter(col(column) >= lo && col(column) <= hi)
+    logicalizeFrame(table, base.filter(col(pc) >= lo && col(pc) <= hi))
   }
 
   /** Incremental consumption, additive side: the data rows added by the
@@ -1469,7 +1675,7 @@ object VersionedTable {
     }
     require(frames.nonEmpty,
       s"no appended rows in ($fromVersion, $toVersion] of $table")
-    frames.reduce(_ unionByName _)
+    logicalizeFrame(table, frames.reduce(_ unionByName _))
   }
 
   /** Incremental consumption, removal side: the tombstoned keys of the
@@ -1490,7 +1696,7 @@ object VersionedTable {
     }
     require(frames.nonEmpty,
       s"no deletes in ($fromVersion, $toVersion] of $table")
-    frames.reduce(_ unionByName _)
+    logicalizeFrame(table, frames.reduce(_ unionByName _))
   }
 
   /** The fresh entries of each commit in `(from, to]`, oldest first,
@@ -1607,7 +1813,8 @@ object VersionedTable {
     }
     Files.createDirectories(manifestDir(dst))
     Seq(constraintsFile(src) -> constraintsFile(dst),
-        bucketSpecFile(src) -> bucketSpecFile(dst)).foreach { case (f, t) =>
+        bucketSpecFile(src) -> bucketSpecFile(dst),
+        colMapFile(src) -> colMapFile(dst)).foreach { case (f, t) =>
       if (Files.exists(f)) { Files.copy(f, t); () }
     }
     require(tryPublish(dst, 1L, entries, None, carry = None),

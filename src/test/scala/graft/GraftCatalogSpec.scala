@@ -357,7 +357,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW PROCEDURES IN gtest.system")
       .collect().map(_.getString(3)).toSet ==
       Set("vacuum", "vacuum_orphans", "compact", "optimize",
-        "optimize_where", "zorder"))
+        "optimize_where", "zorder", "restore", "clone"))
   }
 
   test("CALL system.restore rolls the head back; CALL system.clone forks a table") {
@@ -390,6 +390,53 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT version, operation FROM gtest.default.rst.`$history` ORDER BY version")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(hist.length == 4 && hist.last._1 == 4L)
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN are metadata-only and survive the full SQL surface") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/rc"
+    VersionedTable.commit(
+      (1L to 400L).map(k => (k, s"v$k", k * 10L)).toDF("k", "v", "w")
+        .repartitionByRange(4, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    val mtimes = java.nio.file.Files.walk(java.nio.file.Path.of(t, "data"))
+      .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => p -> java.nio.file.Files.getLastModifiedTime(p)).toMap
+    spark.sql("ALTER TABLE gtest.default.rc RENAME COLUMN k TO key_id")
+    spark.sql("ALTER TABLE gtest.default.rc DROP COLUMN w")
+    assert(java.nio.file.Files.walk(java.nio.file.Path.of(t, "data"))
+      .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => p -> java.nio.file.Files.getLastModifiedTime(p)).toMap == mtimes,
+      "SQL RENAME/DROP COLUMN must not touch a data file")
+    // schema serves logical names; the dropped column is gone
+    assert(spark.table("gtest.default.rc").columns.toSeq == Seq("key_id", "v"))
+    // pushed range filter on the RENAMED integral column still file-prunes
+    val got = spark.sql(
+      "SELECT key_id, v FROM gtest.default.rc WHERE key_id BETWEEN 1 AND 50")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (1L to 50L))
+    // INSERT under the new name; DML conditions in the new name
+    spark.sql("INSERT INTO gtest.default.rc VALUES (401, 'x')")
+    spark.sql("UPDATE gtest.default.rc SET v = 'upd' WHERE key_id = 2")
+    spark.sql("DELETE FROM gtest.default.rc WHERE key_id >= 3 AND key_id <= 400")
+    val rows = spark.sql("SELECT key_id, v FROM gtest.default.rc ORDER BY key_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq(1L -> "v1", 2L -> "upd", 401L -> "x"), rows.toString)
+    // time travel serves the CURRENT names over the old files
+    val v1 = spark.sql(
+      "SELECT key_id, v FROM gtest.default.rc VERSION AS OF 1 WHERE key_id <= 3")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(v1 == Seq(1L -> "v1", 2L -> "v2", 3L -> "v3"))
+    // manifest-arithmetic aggregate pushdown keys the physical stats
+    val agg = spark.sql(
+      "SELECT count(*), min(key_id), max(key_id) FROM gtest.default.rc")
+      .collect()(0)
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) == ((3L, 1L, 401L)))
+    // retired names stay retired through SQL ADD COLUMN too
+    val ex = intercept[Exception](
+      spark.sql("ALTER TABLE gtest.default.rc ADD COLUMN w BIGINT"))
+    assert(ex.getMessage.contains("retired") || ex.getMessage.contains("in use"),
+      ex.getMessage)
   }
 
   test("TRUNCATE TABLE empties the head; history and time travel survive") {
@@ -1037,11 +1084,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     val v2 = spark.sql("SELECT * FROM gtest.default.evo VERSION AS OF 2")
     assert(v2.columns.toSeq == Seq("k", "v"),
       s"old snapshot must not see the added column: ${v2.columns.toSeq}")
-    // refused loudly: non-nullable adds and every other change kind
+    // RENAME COLUMN is now first-class (metadata-only column mapping):
+    // the rename lands and a retired name can never be re-added
+    spark.sql("ALTER TABLE gtest.default.evo RENAME COLUMN v TO w")
+    assert(spark.table("gtest.default.evo").columns.toSeq == Seq("k", "w", "score"))
     val ex = intercept[Exception] {
-      spark.sql("ALTER TABLE gtest.default.evo RENAME COLUMN v TO w")
+      spark.sql("ALTER TABLE gtest.default.evo ADD COLUMN v STRING")
     }
-    assert(ex.getMessage.contains("ADD COLUMN"), ex.getMessage)
+    assert(ex.getMessage.contains("retired") || ex.getMessage.contains("in use"),
+      ex.getMessage)
   }
 
   test("two concurrent SQL INSERTs both survive as distinct versions") {

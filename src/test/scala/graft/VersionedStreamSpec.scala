@@ -52,6 +52,36 @@ class VersionedStreamSpec extends AnyFunSuite {
     assert(streamed == twin)
   }
 
+  test("streams serve logical names over a renamed table, in and out") {
+    val d = freshDir()
+    val t = s"$d/t"
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    VersionedTable.renameColumn(spark, t, "k", "key_id")
+    // appends after the rename still land physically consistent
+    VersionedTable.commit(
+      { val s = spark; import s.implicits._
+        Seq((3L, "c")).toDF("key_id", "v") }, t, append = true)
+    drainTo(t, "vstream_renamed", s"$d/cp")
+    val out = spark.sql("SELECT * FROM vstream_renamed")
+    assert(out.columns.toSeq == Seq("key_id", "v", "_commit_version"),
+      s"stream must report logical names: ${out.columns.toSeq}")
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet == Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L)))
+    // the native SINK writes physical names: stream the logical frame
+    // into a clone-side table created under the same mapping
+    val t2 = s"$d/t2"
+    VersionedTable.cloneTable(t, t2, Some(1L))
+    val q = spark.readStream.format("graft-table").load(t)
+      .writeStream.format("graft-table").option("path", t2)
+      .option("checkpointLocation", s"$d/cp2")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = VersionedTable.read(spark, t2).select("key_id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(rows == Seq(1L -> "a", 1L -> "a", 2L -> "b", 2L -> "b", 3L -> "c"),
+      s"sink rows under mapping: $rows")
+  }
+
   test("checkpoint recovery resumes at the committed version: no replay, no loss") {
     val d = freshDir()
     val t = s"$d/t"

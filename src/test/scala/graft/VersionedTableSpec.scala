@@ -791,6 +791,91 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](VersionedTable.cloneTable(c, c))
   }
 
+  test("rename column is metadata-only; reads, writes, deletes, pruning follow") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    VersionedTable.commit(
+      (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(4, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    val mtimes = Files.walk(Path.of(t, "data")).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => p -> Files.getLastModifiedTime(p)).toMap
+    VersionedTable.renameColumn(spark, t, "k", "key_id")
+    assert(Files.walk(Path.of(t, "data")).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => p -> Files.getLastModifiedTime(p)).toMap == mtimes,
+      "rename must not touch a data file")
+    // reads (head AND time travel) serve the logical name
+    assert(VersionedTable.read(spark, t).columns.toSeq == Seq("key_id", "v"))
+    assert(VersionedTable.read(spark, t, Some(1L)).columns.toSeq == Seq("key_id", "v"))
+    // zone-map pruning keys on the logical name and still skips files
+    val (kept, total) = VersionedTable.pruneCount(t, None, "key_id", 1L, 50L)
+    assert(total == 4 && kept < total, s"pruning broke after rename: $kept/$total")
+    val ranged = VersionedTable.readWhere(spark, t, None, "key_id", 1L, 50L)
+    assert(ranged.columns.toSeq == Seq("key_id", "v"))
+    assert(ranged.count() == 50L)
+    // appends written under the LOGICAL name land physically consistent
+    VersionedTable.commit(Seq((401L, "x")).toDF("key_id", "v"), t, append = true)
+    // merge-on-read delete keyed by the logical name still anti-joins
+    VersionedTable.deleteWhere(spark, t, col("key_id") <= 399L, "key_id")
+    val rows = VersionedTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set(400L -> "v400", 401L -> "x"))
+    // rename-back erases the mapping entirely
+    VersionedTable.renameColumn(spark, t, "key_id", "k")
+    assert(VersionedTable.columnMap(t).isEmpty)
+    assert(VersionedTable.read(spark, t).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("drop column hides the data without rewriting it; name is retired") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    VersionedTable.commit(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "w"), t, append = false)
+    VersionedTable.dropColumn(spark, t, "w")
+    assert(VersionedTable.read(spark, t).columns.toSeq == Seq("k", "v"))
+    // time travel hides it too (the mapping is table-wide, Delta-style)
+    assert(VersionedTable.read(spark, t, Some(1L)).columns.toSeq == Seq("k", "v"))
+    // appends no longer carry it; reading stays consistent
+    VersionedTable.commit(Seq((3L, "c")).toDF("k", "v"), t, append = true)
+    assert(VersionedTable.read(spark, t).count() == 3L)
+    // the name is permanently retired — a fresh ADD may not reuse it
+    intercept[IllegalArgumentException](
+      VersionedTable.requireFreshColumnName(t, "w",
+        graft.sources.VersionedTable.read(spark, t).schema))
+    intercept[IllegalArgumentException](VersionedTable.dropColumn(spark, t, "w"))
+  }
+
+  test("rename/drop refusals: collisions, constraints, bucket column, last column") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), t, append = false)
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, t, "k", "v")) // exists
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, t, "nope", "x")) // absent
+    VersionedTable.renameColumn(spark, t, "k", "kk")
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, t, "v", "k")) // retired physical
+    VersionedTable.addCheckConstraint(spark, t, "v_set", "v IS NOT NULL")
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, t, "v", "w")) // constraint ref
+    intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, t, "v")) // constraint ref
+    VersionedTable.dropConstraint(t, "v_set")
+    VersionedTable.dropColumn(spark, t, "v")
+    intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, t, "kk")) // last column
+    val b = freshTable()
+    VersionedTable.commitBucketed(
+      Seq((1L, "a")).toDF("k", "v"), b, "k", 4, append = false)
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, b, "k", "kk")) // bucket col
+    VersionedTable.renameColumn(spark, b, "v", "val") // other cols: fine
+    assert(VersionedTable.read(spark, b).columns.toSeq.sorted == Seq("k", "val"))
+  }
+
   test("clone carries constraints and head snapshot by default") {
     val t = freshTable()
     VersionedTable.commit(df(1L -> "a"), t, append = false)
