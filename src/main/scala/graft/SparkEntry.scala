@@ -86,6 +86,7 @@ object SparkEntry {
     "q_table_constraints" -> ((s, d) => Incremental.ordersTableConstraints(t(s, d, "orders"))),
     "q_sql_timetravel" -> ((s, d) => Incremental.ordersSqlTimetravel(t(s, d, "orders"))),
     "q_sql_pruned" -> ((s, d) => Incremental.ordersSqlPruned(t(s, d, "orders"))),
+    "q_sql_pruned_str" -> ((s, d) => Incremental.ordersSqlPrunedStr(t(s, d, "orders"))),
     "q_sql_insert" -> ((s, d) => Incremental.ordersSqlInsert(t(s, d, "orders"))),
     "q_sql_ctas" -> ((s, d) => Incremental.ordersSqlCtas(t(s, d, "orders"))),
     "q_sql_restore" -> ((s, d) => Incremental.ordersSqlRestore(t(s, d, "orders"))),
@@ -1773,6 +1774,19 @@ object SparkEntry {
         |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
         |FROM orders WHERE o_orderkey BETWEEN 5000 AND 8000
         |ORDER BY o_orderkey""".stripMargin,
+    // SQL-catalog STRING-pruned read: byte-prefix string zone maps skip
+    // files for range + LIKE-prefix predicates; the oracle replays the
+    // same string predicates plain (DuckDB varchar comparison is the
+    // same bytewise order the zones were recorded in).
+    "q_sql_pruned_str" ->
+      """SELECT okey_s, status, price_c FROM (
+        |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS okey_s,
+        |         o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders)
+        |WHERE okey_s >= '0000005000' AND okey_s <= '0000008000'
+        |  AND okey_s LIKE '0000007%'
+        |ORDER BY okey_s""".stripMargin,
     // CHECK constraints: the poisoned append (negated prices on keys
     // ≡ 3 mod 8) was rejected atomically, the cleaned retry landed — the
     // final state is base plus only the clean half of the insert batch.

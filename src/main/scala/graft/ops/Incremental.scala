@@ -730,6 +730,39 @@ object Incremental {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Registered q_sql_pruned_str body: STRING-predicate file pruning
+    * through the SQL catalog — the table is range-clustered on a
+    * fixed-width string key, commit-time byte-prefix zone maps
+    * (truncated to 16 bytes, Iceberg-style) are recorded per file, and
+    * the pushed range + LIKE-prefix predicates prune files at planning
+    * time exactly as integral bounds do (`GraftCatalogSpec` pins the
+    * kept/total count and the truncation edge cases). The oracle replays
+    * the same string predicates plain — DuckDB's varchar comparison is
+    * the same bytewise order the zones were recorded in — so equality
+    * proves string skipping loses nothing.
+    */
+  def ordersSqlPrunedStr(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlprs:$inputKey"), { _ =>
+      val n = s"orders_prs_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      graft.sources.VersionedTable.commit(
+        orders.select(
+            lpad(col("o_orderkey").cast("string"), 10, "0").as("okey_s"),
+            col("o_orderstatus").as("status"),
+            cents(col("o_totalprice")).as("price_c"))
+          .repartitionByRange(8, col("okey_s")),
+        s"$root/default/$n", append = false, statsCols = Seq("okey_s"))
+      n
+    })
+    spark.sql(
+      s"""SELECT okey_s, status, price_c FROM gtab.default.$name
+         |WHERE okey_s >= '0000005000' AND okey_s <= '0000008000'
+         |  AND okey_s LIKE '0000007%'
+         |ORDER BY okey_s""".stripMargin)
+  }
+
   /** Registered q_sql_insert body: the SQL WRITE path end-to-end —
     * INSERT INTO ... SELECT through the catalog appends a commit whose
     * files are staged by executors and published through the same

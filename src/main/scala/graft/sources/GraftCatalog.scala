@@ -429,7 +429,9 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     val (bounds, _) = GraftFilters.integralBounds(filters, schema())
-    VersionedTable.deleteWhereCow(SparkSession.active, table, pred, bounds)
+    val (sb, _) = GraftFilters.stringBounds(filters, schema())
+    VersionedTable.deleteWhereCow(SparkSession.active, table, pred, bounds,
+      strBounds = sb.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
     ()
   }
 }
@@ -468,16 +470,21 @@ class GraftRowLevelOperation(
         VersionedTable.logicalizeSchema(table, physFull)
       private var required: StructType = physSchema(reportAs)
       private var bounds: Seq[(String, Long, Long)] = Nil
+      private var strBounds
+          : Map[String, (Option[Array[Byte]], Option[Array[Byte]])] =
+        Map.empty
       private var used: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit = {
         reportAs = requiredSchema
         required = physSchema(requiredSchema)
       }
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        val (b, consumed) = GraftFilters.integralBounds(
-          filters.map(GraftFilters.mapNames(_, p)), physFull)
+        val phys = filters.map(GraftFilters.mapNames(_, p))
+        val (b, consumed) = GraftFilters.integralBounds(phys, physFull)
         bounds = b
-        used = consumed
+        val (sb, sConsumed) = GraftFilters.stringBounds(phys, physFull)
+        strBounds = sb
+        used = (consumed ++ sConsumed).distinct
         filters // residual: the rewrite plan re-applies the condition
       }
       override def pushedFilters(): Array[Filter] = used
@@ -488,9 +495,16 @@ class GraftRowLevelOperation(
         require(vs.nonEmpty, s"no committed versions at $table")
         basis = vs.last
         val layout = VersionedTable.snapshotLayout(table, Some(basis))
-        val kept = layout.filter { case (_, _, _, stats) =>
+        val strStatsOf =
+          if (strBounds.isEmpty)
+            Map.empty[String, Map[String, (Array[Byte], Option[Array[Byte]])]]
+          else VersionedTable.snapshotStrStats(table, Some(basis))
+        val kept = layout.filter { case (path, _, _, stats) =>
           bounds.forall { case (c, lo, hi) =>
             stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+          } && strBounds.forall { case (c, b) =>
+            strStatsOf.getOrElse(path, Map.empty).get(c)
+              .forall(GraftFilters.strZoneIntersects(_, b))
           }
         }
         planned = kept.map(_._1)
@@ -593,7 +607,7 @@ class GraftReplaceBatchWrite(
     GraftStagedCommit.reconcile(
       java.nio.file.Paths.get(table, "data", dirName), stagingAbs, messages)
     val entries0 = VersionedTable.dirMetadata(
-      spark, table, dirName, VersionedTable.integralStatsCols(schema),
+      spark, table, dirName, VersionedTable.defaultStatsCols(schema),
       VersionedTable.constraints(table))
     // a rewrite that empties the table entirely (bucket-routing writers
     // open files lazily, so a 0-row rewrite stages nothing) must still
@@ -919,6 +933,86 @@ private[sources] object GraftFilters {
     }
     (bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }, consumed)
   }
+
+  private def strLit(v: Any): Option[Array[Byte]] = v match {
+    case s: String => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
+    case _ => None
+  }
+
+  /** Per-column inclusive [lo, hi] BYTE bounds implied by the filters on
+    * STRING columns — the string twin of [[integralBounds]], compared
+    * bytewise over UTF-8 (exactly Spark's binary-collation order, which
+    * is also how the string zone maps were recorded). Strict
+    * inequalities widen to inclusive (sound: a boundary file is kept,
+    * never wrongly dropped — strings have no discrete ±1); `LIKE 'p%'`
+    * (StringStartsWith) contributes [p, incremented-prefix]. Either side
+    * of a bound may be open (None).
+    */
+  def stringBounds(filters: Array[Filter], schema: StructType)
+      : (Map[String, (Option[Array[Byte]], Option[Array[Byte]])], Array[Filter]) = {
+    import VersionedTable.{byteCompare, incrementPrefix}
+    val strCols: Set[String] = schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }.toSet
+    var bounds =
+      Map.empty[String, (Option[Array[Byte]], Option[Array[Byte]])]
+    def pick(a: Option[Array[Byte]], b: Option[Array[Byte]], wantHi: Boolean) =
+      (a, b) match {
+        case (Some(x), Some(y)) =>
+          val c = byteCompare(x, y)
+          Some(if ((c <= 0) == wantHi) x else y) // hi: keep smaller; lo: keep larger
+        case _ => a.orElse(b)
+      }
+    def tighten(c: String,
+        lo: Option[Array[Byte]], hi: Option[Array[Byte]]): Boolean =
+      strCols.contains(c) && {
+        val (l0, h0) = bounds.getOrElse(c,
+          (None: Option[Array[Byte]], None: Option[Array[Byte]]))
+        bounds = bounds.updated(c,
+          (pick(l0, lo, wantHi = false), pick(h0, hi, wantHi = true)))
+        true
+      }
+    val consumed = filters.filter {
+      case EqualTo(c, v) =>
+        strLit(v).exists(b => tighten(c, Some(b), Some(b)))
+      case GreaterThan(c, v) =>
+        strLit(v).exists(b => tighten(c, Some(b), None))
+      case GreaterThanOrEqual(c, v) =>
+        strLit(v).exists(b => tighten(c, Some(b), None))
+      case LessThan(c, v) =>
+        strLit(v).exists(b => tighten(c, None, Some(b)))
+      case LessThanOrEqual(c, v) =>
+        strLit(v).exists(b => tighten(c, None, Some(b)))
+      case In(c, vs) if vs.nonEmpty =>
+        val bs = vs.toSeq.map(strLit)
+        bs.forall(_.isDefined) && {
+          val xs = bs.flatten
+          tighten(c,
+            Some(xs.reduce((a, b) => if (byteCompare(a, b) <= 0) a else b)),
+            Some(xs.reduce((a, b) => if (byteCompare(a, b) >= 0) a else b)))
+        }
+      case StringStartsWith(c, v) =>
+        val p = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        p.nonEmpty && tighten(c, Some(p), incrementPrefix(p))
+      case _ => false
+    }
+    (bounds, consumed)
+  }
+
+  /** Does a file's string zone [zlo, zhi?] possibly intersect the query
+    * bounds [lo?, hi?]? Missing zone sides / open query sides never
+    * prune — conservative in exactly the way soundness requires.
+    */
+  def strZoneIntersects(
+      zone: (Array[Byte], Option[Array[Byte]]),
+      b: (Option[Array[Byte]], Option[Array[Byte]])): Boolean = {
+    import VersionedTable.byteCompare
+    val (zlo, zhiOpt) = zone
+    val (lo, hi) = b
+    hi.forall(h => byteCompare(zlo, h) <= 0) &&
+      lo.forall(l => zhiOpt.forall(zh => byteCompare(zh, l) >= 0))
+  }
 }
 
 /** The `$history` metadata table: one row per committed version, built on
@@ -1071,7 +1165,7 @@ class GraftBatchWrite(
     GraftStagedCommit.reconcile(
       java.nio.file.Paths.get(table, "data", dirName), stagingAbs, messages)
     val entries = VersionedTable.dirMetadata(
-      spark, table, dirName, VersionedTable.integralStatsCols(schema),
+      spark, table, dirName, VersionedTable.defaultStatsCols(schema),
       VersionedTable.constraints(table))
     VersionedTable.publishStaged(table, token, next, dirName, entries,
       append = !overwrite, txnId = None, expectedLatest = None)
@@ -1302,6 +1396,8 @@ class GraftTableScanBuilder(
   private var reportAs: StructType = full
   private var required: StructType = physSchema(full)
   private var bounds: Map[String, (Long, Long)] = Map.empty
+  private var strBounds
+      : Map[String, (Option[Array[Byte]], Option[Array[Byte]])] = Map.empty
   private var used: Array[Filter] = Array.empty
   private var aggPlan: Option[Seq[GraftAggSpec]] = None
   private var limitOpt: Option[Int] = None
@@ -1340,10 +1436,13 @@ class GraftTableScanBuilder(
     * [10,10]). Non-integral predicates are simply not pruned on.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (b, consumed) = GraftFilters.integralBounds(
-      filters.map(GraftFilters.mapNames(_, p)), physSchema(full))
+    val phys = filters.map(GraftFilters.mapNames(_, p))
+    val (b, consumed) = GraftFilters.integralBounds(phys, physSchema(full))
     bounds = b.map { case (c, lo, hi) => c -> (lo, hi) }.toMap
-    used = consumed
+    // string predicates prune through the byte-prefix zones the same way
+    val (sb, sConsumed) = GraftFilters.stringBounds(phys, physSchema(full))
+    strBounds = sb
+    used = (consumed ++ sConsumed).distinct
     filters // all residual: exactness never depends on the zone maps
   }
   override def pushedFilters(): Array[Filter] = used
@@ -1369,7 +1468,8 @@ class GraftTableScanBuilder(
     * else declines, and Spark aggregates above the ordinary scan.
     */
   private def classify(agg: Aggregation): Option[Seq[GraftAggSpec]] = {
-    if (agg.groupByExpressions.nonEmpty || used.nonEmpty || bounds.nonEmpty)
+    if (agg.groupByExpressions.nonEmpty || used.nonEmpty ||
+      bounds.nonEmpty || strBounds.nonEmpty)
       return None
     val layout = VersionedTable.snapshotLayout(table, version)
     if (layout.exists(_._3.nonEmpty)) return None // tombstones
@@ -1463,10 +1563,11 @@ class GraftTableScanBuilder(
   override def build(): Scan = (aggPlan, bucket) match {
     case (Some(specs), _) => new GraftAggScan(table, version, specs)
     case (None, Some((c, n))) =>
-      new GraftBucketedScan(table, version, required, bounds, c, n, reportAs)
+      new GraftBucketedScan(table, version, required, bounds, strBounds,
+        c, n, reportAs)
     case (None, None) =>
-      new GraftTableScan(table, version, required, bounds, limitOpt, topN,
-        reportAs)
+      new GraftTableScan(table, version, required, bounds, strBounds,
+        limitOpt, topN, reportAs)
   }
 }
 
@@ -1484,7 +1585,9 @@ class GraftTableScanBuilder(
   */
 class GraftBucketedScan(
     table: String, version: Option[Long], required: StructType,
-    bounds: Map[String, (Long, Long)], bucketCol: String, nBuckets: Int,
+    bounds: Map[String, (Long, Long)],
+    strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])],
+    bucketCol: String, nBuckets: Int,
     reportAs: StructType = null)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1521,14 +1624,18 @@ class GraftBucketedScan(
 
   private lazy val perBucket: Map[Int, Seq[(String, Seq[String])]] = {
     val layout = VersionedTable.bucketLayout(table, version, nBuckets)
-    if (bounds.isEmpty) layout
+    if (bounds.isEmpty && strBounds.isEmpty) layout
     else {
       val statsOf = VersionedTable.snapshotLayout(table, version)
         .map(e => e._1 -> e._4).toMap
+      val strStatsOf = VersionedTable.snapshotStrStats(table, version)
       layout.view.mapValues(_.filter { case (p, _) =>
         bounds.forall { case (c, (lo, hi)) =>
           statsOf.getOrElse(p, Map.empty).get(c)
             .forall { case (mn, mx) => mx >= lo && mn <= hi }
+        } && strBounds.forall { case (c, b) =>
+          strStatsOf.getOrElse(p, Map.empty).get(c)
+            .forall(GraftFilters.strZoneIntersects(_, b))
         }
       }).toMap
     }
@@ -1627,7 +1734,8 @@ class GraftBucketedScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftBucketReaderFactory(required)
+    new GraftBucketReaderFactory(required,
+      GraftRowGroupFilter.build(required, bounds, strBounds))
 }
 
 case class GraftBucketPartition(
@@ -1639,7 +1747,9 @@ case class GraftBucketPartition(
     new GenericInternalRow(Array[Any](bucketId))
 }
 
-class GraftBucketReaderFactory(required: StructType)
+class GraftBucketReaderFactory(
+    required: StructType,
+    rowFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
@@ -1674,7 +1784,7 @@ class GraftBucketReaderFactory(required: StructType)
           current = null
           if (!files.hasNext) return false
           val (f, tombs) = files.next()
-          current = new GraftCatalogVectorReader(f, required, tombs)
+          current = new GraftCatalogVectorReader(f, required, tombs, rowFilter)
         }
         true
       }
@@ -1736,6 +1846,8 @@ class GraftAggScan(table: String, version: Option[Long], specs: Seq[GraftAggSpec
 class GraftTableScan(
     table: String, version: Option[Long], required: StructType,
     bounds: Map[String, (Long, Long)],
+    strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])] =
+      Map.empty,
     limit: Option[Int] = None,
     topN: Option[(String, Boolean, Int)] = None,
     reportAs: StructType = null) extends Scan with Batch
@@ -1827,9 +1939,16 @@ class GraftTableScan(
   }
 
   private lazy val layout = VersionedTable.snapshotLayout(table, version)
-  private lazy val pruned = layout.filter { case (_, _, _, stats) =>
+  private lazy val strStatsOf =
+    if (strBounds.isEmpty)
+      Map.empty[String, Map[String, (Array[Byte], Option[Array[Byte]])]]
+    else VersionedTable.snapshotStrStats(table, version)
+  private lazy val pruned = layout.filter { case (path, _, _, stats) =>
     bounds.forall { case (c, (lo, hi)) =>
       stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    } && strBounds.forall { case (c, b) =>
+      strStatsOf.getOrElse(path, Map.empty).get(c)
+        .forall(GraftFilters.strZoneIntersects(_, b))
     }
   }
   // a pushed (partial) LIMIT plans just enough files to cover it, by
@@ -1924,7 +2043,9 @@ class GraftTableScan(
     s"graft-catalog $table${version.fold("")(v => s"@v$v")} " +
       s"files=${kept.size}/${layout.size} " +
       s"vectorized=$columnarOk " +
-      s"bounds=${bounds.map { case (c, (l, h)) => s"$c∈[$l,$h]" }.mkString(",")}"
+      s"bounds=${bounds.map { case (c, (l, h)) => s"$c∈[$l,$h]" }.mkString(",")}" +
+      (if (strBounds.isEmpty) ""
+       else s" strBounds=${strBounds.keys.toSeq.sorted.mkString(",")}")
 
   override def planInputPartitions(): Array[InputPartition] =
     runtimeKept.map { case (file, _, tombs, _) =>
@@ -1932,14 +2053,17 @@ class GraftTableScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCatalogReaderFactory(required)
+    new GraftCatalogReaderFactory(required,
+      GraftRowGroupFilter.build(required, bounds, strBounds))
 }
 
 case class GraftCatalogPartition(
     file: String, tombstones: Seq[String], columnar: Boolean = false)
     extends InputPartition
 
-class GraftCatalogReaderFactory(required: StructType)
+class GraftCatalogReaderFactory(
+    required: StructType,
+    rowFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftCatalogReader(partition.asInstanceOf[GraftCatalogPartition], required)
@@ -1948,7 +2072,7 @@ class GraftCatalogReaderFactory(required: StructType)
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftCatalogPartition]
-    new GraftCatalogVectorReader(p.file, required, p.tombstones)
+    new GraftCatalogVectorReader(p.file, required, p.tombstones, rowFilter)
   }
 }
 
@@ -2026,6 +2150,59 @@ private[sources] object TombstoneKeys {
     })
 }
 
+/** ROW-GROUP skipping inside planned files: the same per-column bounds
+  * that prune whole files against the manifest zone maps are re-expressed
+  * as a parquet `FilterPredicate`, so the vectorized reader ALSO skips
+  * the row groups whose footer statistics exclude them — at 100 TB a
+  * planned 1 GB file with 8 sorted row groups decodes one, not eight.
+  * The predicate is implied by the query's own filters (bounds are
+  * derived from them, widened only outward), Spark re-applies every
+  * filter residually above the scan, and record-level + column-index
+  * filtering are explicitly disabled — so this is pure block skipping:
+  * it can only avoid decode work, never change results.
+  */
+private[sources] object GraftRowGroupFilter {
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+  import org.apache.parquet.io.api.Binary
+
+  def build(required: StructType,
+      bounds: Map[String, (Long, Long)],
+      strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])])
+      : Option[FilterPredicate] = {
+    def clampI(x: Long): Integer =
+      Integer.valueOf(
+        math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, x)).toInt)
+    val intPreds: Seq[FilterPredicate] =
+      bounds.toSeq.sortBy(_._1).flatMap { case (c, (lo, hi)) =>
+        required.fields.find(_.name == c).map(_.dataType) match {
+          case Some(LongType) =>
+            val col = FilterApi.longColumn(c)
+            Seq[FilterPredicate](
+              FilterApi.gtEq(col, java.lang.Long.valueOf(lo)),
+              FilterApi.ltEq(col, java.lang.Long.valueOf(hi)))
+          case Some(IntegerType) =>
+            val col = FilterApi.intColumn(c)
+            Seq[FilterPredicate](
+              FilterApi.gtEq(col, clampI(lo)), FilterApi.ltEq(col, clampI(hi)))
+          case _ => Nil
+        }
+      }
+    val strPreds: Seq[FilterPredicate] =
+      strBounds.toSeq.sortBy(_._1).flatMap { case (c, (lo, hi)) =>
+        if (!required.fields.exists(f => f.name == c && f.dataType == StringType))
+          Nil
+        else {
+          val col = FilterApi.binaryColumn(c)
+          lo.toSeq.map(b =>
+            FilterApi.gtEq(col, Binary.fromConstantByteArray(b)): FilterPredicate) ++
+            hi.toSeq.map(b =>
+              FilterApi.ltEq(col, Binary.fromConstantByteArray(b)): FilterPredicate)
+        }
+      }
+    (intPreds ++ strPreds).reduceOption(FilterApi.and)
+  }
+}
+
 /** Planning-time vectorization gates shared by the catalog's scans. */
 private[sources] object GraftVectorization {
   private val copyable: Set[DataType] = Set(
@@ -2056,7 +2233,8 @@ private[sources] object GraftVectorization {
   * value-identical.
   */
 class GraftCatalogVectorReader(
-    file: String, required: StructType, tombstones: Seq[String] = Nil)
+    file: String, required: StructType, tombstones: Seq[String] = Nil,
+    rowFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
@@ -2079,11 +2257,69 @@ class GraftCatalogVectorReader(
   private val extraKeyCols: Seq[String] =
     doomed.map(_._1).distinct.filterNot(required.fieldNames.contains)
 
+  // an extra (unprojected) tombstone-key column joins the filtered read
+  // only when its parquet type maps cleanly to a Spark type; otherwise
+  // the filter is dropped for this file — a pure de-optimization
+  private def extraField(name: String): Option[StructField] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    fileFields.find(_.getName == name).flatMap { t =>
+      val p = t.asPrimitiveType()
+      val dt = (p.getPrimitiveTypeName, Option(p.getLogicalTypeAnnotation)) match {
+        case (PrimitiveTypeName.INT64, None)   => Some(LongType)
+        case (PrimitiveTypeName.INT32, None)   => Some(IntegerType)
+        case (PrimitiveTypeName.DOUBLE, None)  => Some(DoubleType)
+        case (PrimitiveTypeName.FLOAT, None)   => Some(FloatType)
+        case (PrimitiveTypeName.BOOLEAN, None) => Some(BooleanType)
+        case (PrimitiveTypeName.BINARY, _)     => Some(StringType)
+        case _                                 => None
+      }
+      dt.map(d => StructField(name, d, nullable = true))
+    }
+  }
+
   private val reader =
     new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
-  reader.initialize(
-    file, java.util.Arrays.asList((required.fieldNames.toSeq ++ extraKeyCols): _*))
+  locally {
+    val extras = extraKeyCols.map(extraField)
+    rowFilter match {
+      case Some(pred) if extras.forall(_.isDefined) =>
+        // the split-based initialize honors a parquet FilterPredicate in
+        // the task conf: ParquetFileReader then drops the row groups
+        // whose stats/dictionary/bloom exclude it BEFORE any page is
+        // decoded. Record-level and column-index filtering stay OFF so
+        // the page stream matches getFilteredRecordCount exactly — this
+        // path skips whole row groups and nothing finer. The five decode
+        // flags mirror the simple initialize, keeping the two paths
+        // value-identical.
+        import org.apache.spark.sql.internal.SQLConf
+        val conf = new org.apache.hadoop.conf.Configuration()
+        conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+        conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, false)
+        conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+        conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+        conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+        val readStruct = StructType(required.fields ++ extras.flatten)
+        conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+          readStruct.json)
+        conf.set("parquet.read.support.class",
+          "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+        org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred)
+        conf.setBoolean("parquet.filter.record-level.enabled", false)
+        conf.setBoolean("parquet.filter.columnindex.enabled", false)
+        val p = new org.apache.hadoop.fs.Path(file)
+        val len = p.getFileSystem(conf).getFileStatus(p).getLen
+        val split =
+          new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
+        reader.initialize(split,
+          new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+            conf, new org.apache.hadoop.mapreduce.TaskAttemptID()))
+      case _ =>
+        reader.initialize(
+          file,
+          java.util.Arrays.asList((required.fieldNames.toSeq ++ extraKeyCols): _*))
+    }
+  }
   reader.initBatch(new StructType(), InternalRow.empty)
   reader.enableReturningBatches()
 

@@ -203,7 +203,7 @@ class VersionedStreamingWrite(table: String, schema: StructType, queryId: String
       java.nio.file.Paths.get(table, "data", dirName),
       stagingAbs(epochId), messages)
     val entries = VersionedTable.dirMetadata(
-      spark, table, dirName, VersionedTable.integralStatsCols(schema),
+      spark, table, dirName, VersionedTable.defaultStatsCols(schema),
       VersionedTable.constraints(table))
     VersionedTable.publishStaged(table, token, next, dirName, entries,
       append = true, txnId = Some(txn), expectedLatest = None)

@@ -280,9 +280,10 @@ object VersionedTable {
   private def writeFiles(
       df: DataFrame, table: String, dirName: String,
       statsCols: Seq[String] = Nil,
-      checks: Seq[(String, String)] = Nil): Seq[String] = {
+      checks: Seq[(String, String)] = Nil,
+      writeOptions: Map[String, String] = Map.empty): Seq[String] = {
     val dataDir = Paths.get(table, "data", dirName)
-    df.write.mode("errorifexists").parquet(dataDir.toString)
+    df.write.mode("errorifexists").options(writeOptions).parquet(dataDir.toString)
     dirMetadata(df.sparkSession, table, dirName, statsCols, checks)
   }
 
@@ -299,6 +300,76 @@ object VersionedTable {
       case f if f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType => f.name
     }.toSeq
+
+  /** Default zone-map stats set for writes that don't declare one:
+    * integral columns (long min/max) PLUS string columns (truncated
+    * byte-prefix min/max, Iceberg-style) — both recorded in the same
+    * single metadata job, so every SQL- or stream-written file is
+    * prunable by both range and string predicates by default.
+    */
+  private[sources] def defaultStatsCols(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    integralStatsCols(schema) ++ schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }
+
+  // ---- String zone maps (truncated byte-prefix bounds) ----
+  //
+  // Spark's default (binary-collation) string comparison is UNSIGNED
+  // BYTEWISE over the UTF-8 encoding, and UTF-8 bytewise order equals
+  // code-point order — so per-file byte-prefix bounds prune string
+  // predicates exactly like long bounds prune integral ones. Bounds are
+  // truncated to [[StrZoneLen]] bytes so manifests stay small at any
+  // row width: the min truncates to a prefix (a prefix is ≤ the full
+  // string, still a valid lower bound) and the max truncates to the
+  // prefix with its last non-0xFF byte incremented (strictly greater
+  // than every string sharing the prefix — Iceberg's truncate(16)
+  // upper-bound rule). A truncated bound is VALID but not exact, which
+  // is all pruning needs; aggregate MIN/MAX pushdown never consumes
+  // string zones for exactly that reason.
+
+  private[sources] val StrZoneLen = 16
+
+  /** Unsigned lexicographic byte comparison — the comparison Spark's
+    * UTF8String and DuckDB's varchar both use.
+    */
+  private[sources] def byteCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** A byte string strictly greater than EVERY string having prefix `p`:
+    * increment the last non-0xFF byte and cut there. None when `p` is
+    * all 0xFF (no finite bound exists at this length — the file is then
+    * simply never pruned from above).
+    */
+  private[sources] def incrementPrefix(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val q = java.util.Arrays.copyOf(p, i + 1)
+      q(i) = (q(i) + 1).toByte
+      Some(q)
+    }
+  }
+
+  /** Truncated LOWER bound: a byte prefix is ≤ the full string. */
+  private[sources] def truncMin(b: Array[Byte]): Array[Byte] =
+    if (b.length <= StrZoneLen) b else java.util.Arrays.copyOf(b, StrZoneLen)
+
+  /** Truncated UPPER bound: exact when the value fits, else the
+    * incremented prefix (see above); None when un-incrementable.
+    */
+  private[sources] def truncMax(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= StrZoneLen) Some(b)
+    else incrementPrefix(java.util.Arrays.copyOf(b, StrZoneLen))
 
   /** The single metadata job over an already-populated commit directory:
     * per-file footer counts, zone maps, and CHECK-constraint violations —
@@ -322,16 +393,27 @@ object VersionedTable {
     val suffixes: Map[String, String] =
       if (files.isEmpty) Map.empty
       else {
-        val aggs = (count(lit(1)).as("g_n") +: statsCols.flatMap(c => Seq(
+        val snap = spark.read.parquet(dataDir.toString)
+        // string columns get byte-prefix zones (fifth entry segment);
+        // everything else keeps the cast(long) min/max + NN count
+        val strSet = snap.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.StringType =>
+            f.name
+        }.toSet
+        val (strCols, numCols) = statsCols.partition(strSet.contains)
+        val aggs = (count(lit(1)).as("g_n") +: (numCols.flatMap(c => Seq(
           min(col(c)).cast("long").as(s"g_mn_$c"),
           max(col(c)).cast("long").as(s"g_mx_$c"),
-          count(col(c)).as(s"g_nn_$c")))) ++
+          count(col(c)).as(s"g_nn_$c"))) ++
+          strCols.flatMap(c => Seq(
+            min(col(c)).as(s"g_smn_$c"),
+            max(col(c)).as(s"g_smx_$c"))))) ++
           checks.zipWithIndex.map { case ((_, sql), i) =>
             // NULL check results count as violations: a CHECK must be TRUE
             sum(when(not(expr(sql)) || expr(sql).isNull, 1L).otherwise(0L))
               .as(s"g_ck_$i")
           }
-        val rows = spark.read.parquet(dataDir.toString)
+        val rows = snap
           .groupBy(input_file_name().as("g_f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
@@ -351,7 +433,7 @@ object VersionedTable {
           // per-col (zone-map text, non-null-count text) — only for
           // long-castable columns; the NN counts ride a FOURTH entry
           // segment so the zone-map rendering stays format-stable
-          val statPairs = statsCols.flatMap { c =>
+          val statPairs = numCols.flatMap { c =>
             val (mn, mx) = (r.getAs[Any](s"g_mn_$c"), r.getAs[Any](s"g_mx_$c"))
             (mn, mx) match {
               case (a: Long, b: Long) =>
@@ -359,10 +441,29 @@ object VersionedTable {
               case _ => None
             }
           }
+          // string zones ride a FIFTH segment as unpadded base64 (the
+          // alphabet is free of the '#'/';'/'..' separators); an empty
+          // hi means "no finite truncated upper bound" — all-null
+          // columns record nothing and are simply never pruned
+          val enc = java.util.Base64.getEncoder.withoutPadding
+          val strZones = strCols.flatMap { c =>
+            (r.getAs[Any](s"g_smn_$c"), r.getAs[Any](s"g_smx_$c")) match {
+              case (a: String, b: String) =>
+                val loB = enc.encodeToString(truncMin(
+                  a.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+                val hiB = truncMax(
+                  b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  .map(enc.encodeToString).getOrElse("")
+                Some(s"$c=$loB..$hiB")
+              case _ => None
+            }
+          }.mkString(";")
           val stats = statPairs.map(_._1).mkString(";")
           val nn = statPairs.map(_._2).mkString(";")
-          val suffix = s"#${r.getAs[Long]("g_n")}" +
-            (if (stats.isEmpty) "" else s"#$stats#$nn")
+          val suffix = s"#${r.getAs[Long]("g_n")}" + (
+            if (stats.isEmpty && strZones.isEmpty) ""
+            else s"#$stats#$nn" +
+              (if (strZones.isEmpty) "" else s"#$strZones"))
           // key on the COMMIT-RELATIVE path, never the basename: one
           // task writing several bucket dirs reuses its basename, so
           // basenames collide across __graft_bucket=<b>/ subtrees
@@ -499,6 +600,40 @@ object VersionedTable {
     }.toMap
   }
 
+  /** Per-file STRING zone map (the fifth entry segment): col →
+    * (truncated lower bound, optional truncated upper bound), both raw
+    * bytes. Empty for entries committed before string zones existed or
+    * without string stats — those files are never pruned.
+    */
+  private[sources] def entryStrStats(
+      e: String): Map[String, (Array[Byte], Option[Array[Byte]])] = {
+    val parts = entryBody(e).split("#", -1)
+    if (parts.length < 5 || parts(4).isEmpty) Map.empty
+    else {
+      val dec = java.util.Base64.getDecoder
+      parts(4).split(';').iterator.flatMap { kv =>
+        val eq = kv.indexOf('=')
+        val dots = kv.indexOf("..", eq + 1)
+        if (eq <= 0 || dots < 0) None
+        else try {
+          val lo = dec.decode(kv.substring(eq + 1, dots))
+          val hiS = kv.substring(dots + 2)
+          val hi = if (hiS.isEmpty) None else Some(dec.decode(hiS))
+          Some(kv.substring(0, eq) -> (lo, hi))
+        } catch { case _: IllegalArgumentException => None }
+      }.toMap
+    }
+  }
+
+  /** path → string zone map over a pinned snapshot's data files — the
+    * planning-time lookup behind string-predicate file pruning.
+    */
+  private[sources] def snapshotStrStats(
+      table: String, version: Option[Long])
+      : Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]] =
+    pinnedEntries(table, version).filterNot(isDeleteEntry)
+      .map(e => entryPath(e) -> entryStrStats(e)).toMap
+
   /** Metadata-only row count of a snapshot: pure manifest arithmetic
     * over the per-entry footer counts recorded at commit time — no file
     * is opened, which at 100 TB is the difference between answering
@@ -527,16 +662,20 @@ object VersionedTable {
     * on disk for time travel until vacuumed). Returns the new version.
     */
   def commit(df: DataFrame, table: String, append: Boolean,
-      statsCols: Seq[String] = Nil): Long =
-    commitTxn(df, table, append, txnId = None, statsCols = statsCols)
+      statsCols: Seq[String] = Nil,
+      writeOptions: Map[String, String] = Map.empty): Long =
+    commitTxn(df, table, append, txnId = None, statsCols = statsCols,
+      writeOptions = writeOptions)
 
   /** [[commit]] stamped with a transaction id inside the same atomic
     * manifest publish — the building block for [[commitIfAbsent]].
     */
   def commitTxn(
       df: DataFrame, table: String, append: Boolean, txnId: Option[String],
-      statsCols: Seq[String] = Nil): Long =
-    commitCore(df, table, append, txnId, expectedLatest = None, statsCols)
+      statsCols: Seq[String] = Nil,
+      writeOptions: Map[String, String] = Map.empty): Long =
+    commitCore(df, table, append, txnId, expectedLatest = None, statsCols,
+      writeOptions)
       .fold(identity, identity)
 
   /** The optimistic-concurrency commit loop. Data files are written
@@ -559,7 +698,8 @@ object VersionedTable {
   private def commitCore(
       df: DataFrame, table: String, append: Boolean,
       txnId: Option[String], expectedLatest: Option[Long],
-      statsCols: Seq[String] = Nil): Either[Long, Long] = {
+      statsCols: Seq[String] = Nil,
+      writeOptions: Map[String, String] = Map.empty): Either[Long, Long] = {
     // a flat commit onto a bucketed table would break the co-location
     // invariant storage-partitioned joins rely on — refuse loudly (this
     // also covers compact/optimize/mergeInto, which route through here)
@@ -576,7 +716,7 @@ object VersionedTable {
     // files are always written under PHYSICAL names (no-op for unmapped
     // tables and for frames that are already physical)
     val fileEntries = writeFiles(physicalizeFrame(table, df), table, dirName,
-      statsCols.map(physName(table, _)), constraints(table))
+      statsCols.map(physName(table, _)), constraints(table), writeOptions)
     publishStaged(table, token, next, dirName, fileEntries, append, txnId, expectedLatest)
   }
 
@@ -787,7 +927,9 @@ object VersionedTable {
   def deleteWhereCow(
       spark: SparkSession, table: String, predicate: Column,
       bounds: Seq[(String, Long, Long)] = Nil,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      strBounds: Seq[(String, Option[Array[Byte]], Option[Array[Byte]])] = Nil)
+      : Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
     bucketSpec(table).foreach { case (c, n) =>
       throw new UnsupportedOperationException(
@@ -800,10 +942,19 @@ object VersionedTable {
     val entries = manifestEntries(table, basis)
     val delE = entries.filter(isDeleteEntry)
     val pb = bounds.map { case (c, lo, hi) => (physName(table, c), lo, hi) }
+    val psb = strBounds.map { case (c, lo, hi) => (physName(table, c), lo, hi) }
     val candidates = entries.filterNot(isDeleteEntry).filter { e =>
       val stats = entryStats(e)
       pb.forall { case (c, lo, hi) =>
         stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } && {
+        lazy val sstats = entryStrStats(e)
+        psb.forall { case (c, lo, hi) =>
+          sstats.get(c).forall { case (zlo, zhiOpt) =>
+            hi.forall(h => byteCompare(zlo, h) <= 0) &&
+              lo.forall(l => zhiOpt.forall(zh => byteCompare(zh, l) >= 0))
+          }
+        }
       }
     }
     if (candidates.isEmpty) return basis
@@ -1196,7 +1347,7 @@ object VersionedTable {
       ()
     }
     val entries = dirMetadata(df.sparkSession, table, dirName,
-      integralStatsCols(df.schema), constraints(table))
+      defaultStatsCols(df.schema), constraints(table))
     // record the spec atomically-if-absent BEFORE publishing: a racing
     // first-commit with a DIFFERENT spec must lose loudly, not coexist
     try recordBucketSpec(table, bucketCol, nBuckets)

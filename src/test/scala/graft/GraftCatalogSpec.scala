@@ -71,6 +71,52 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"expected pruned scan, got files=${m.group(1)}/${m.group(2)}")
   }
 
+  test("pushed STRING predicates prune files through byte-prefix zone maps") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/zmstr"
+    // 30-byte keys: every zone bound is TRUNCATED (16-byte prefix for the
+    // min, incremented prefix for the max), so this pins exactly the
+    // truncation arithmetic, not the easy exact-bounds case
+    def key(k: Long) = f"k$k%09d" + "x" * 20
+    VersionedTable.commit(
+      (1L to 800L).map(k => (key(k), k)).toDF("sk", "n")
+        .repartitionByRange(8, col("sk")),
+      t, append = false, statsCols = Seq("sk"))
+    def prunePin(q: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val desc = q.queryExecution.executedPlan.toString
+      val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+        .getOrElse(fail(s"no graft-catalog scan in:\n$desc"))
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    // range predicate whose boundaries fall INSIDE the truncated region
+    val q = spark.sql(
+      "SELECT sk, n FROM gtest.default.zmstr " +
+        "WHERE sk >= 'k000000100' AND sk <= 'k000000150zzz'")
+    assert(q.collect().map(_.getLong(1)).toSet == (100L to 150L).toSet,
+      "string-pruned scan must equal the plain filter")
+    val (kept, total) = prunePin(q)
+    assert(total == 8 && kept < 8, s"expected pruning, got files=$kept/$total")
+    // LIKE prefix (StringStartsWith → [prefix, incremented-prefix])
+    val q2 = spark.sql(
+      "SELECT n FROM gtest.default.zmstr WHERE sk LIKE 'k0000003%'")
+    assert(q2.collect().map(_.getLong(0)).toSet == (300L to 399L).toSet)
+    assert(prunePin(q2)._1 < 8, "LIKE prefix must prune too")
+    // equality on a value that exists: exactly its file(s) survive
+    val q3 = spark.sql(
+      s"SELECT n FROM gtest.default.zmstr WHERE sk = '${key(555L)}'")
+    assert(q3.collect().map(_.getLong(0)).toSeq == Seq(555L))
+    assert(prunePin(q3)._1 <= 2)
+    // DELETE FROM with a string predicate: candidates pre-pruned by the
+    // string zones, result exact (complement survives)
+    // key(700) extends the literal ('k000000700xxx…' > 'k000000700'),
+    // so the delete takes 700 too — bytewise semantics, pinned here
+    spark.sql("DELETE FROM gtest.default.zmstr WHERE sk > 'k000000700'")
+    val left = spark.sql("SELECT n FROM gtest.default.zmstr")
+      .collect().map(_.getLong(0)).toSet
+    assert(left == (1L to 699L).toSet,
+      "string-bounded COW delete must drop exactly the matching keys")
+  }
+
   test("TIMESTAMP AS OF resolves through monotonized commit wall-times") {
     val t = s"$root/default/ts"
     VersionedTable.commit(df(1L -> "a"), t, append = false)

@@ -1,0 +1,108 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Pins for row-group skipping INSIDE planned files: the catalog's
+  * vectorized reader, handed the scan's zone-map bounds as a parquet
+  * FilterPredicate, must decode only the row groups whose footer stats
+  * intersect them — and the skip must be invisible to results (Spark
+  * re-applies every filter residually). The fixture forces several
+  * small row groups into ONE sorted file via the parquet block-size
+  * writer option, so the skip is observable as a row-count drop at the
+  * reader itself.
+  */
+class RowGroupFilterSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private lazy val root = SparkTestBase.tempDir("rg_root").toString
+
+  private def oneSortedFile(table: String, n: Long): String = {
+    val s = spark; import s.implicits._
+    VersionedTable.commit(
+      (1L to n).map(k => (k, f"s$k%08d", k * 2.0)).toDF("k", "sk", "d")
+        .coalesce(1).sortWithinPartitions("k"),
+      table, append = false, statsCols = Seq("k", "sk"),
+      // ~64 KB row groups: plenty of groups in one file
+      writeOptions = Map("parquet.block.size" -> "65536"))
+    val files = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(table, "data")).iterator.asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(_.toString).toSeq
+    assert(files.size == 1, s"expected one data file, got $files")
+    files.head
+  }
+
+  private def rowGroups(file: String): Int = {
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        new org.apache.hadoop.conf.Configuration()))
+    try rd.getFooter.getBlocks.size finally rd.close()
+  }
+
+  private def readAll(file: String,
+      schema: org.apache.spark.sql.types.StructType,
+      pred: Option[org.apache.parquet.filter2.predicate.FilterPredicate])
+      : Seq[Long] = {
+    val r = new GraftCatalogVectorReader(file, schema, Nil, pred)
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      while (r.next()) {
+        val b = r.get()
+        var i = 0
+        while (i < b.numRows()) { out += b.column(0).getLong(i); i += 1 }
+      }
+    } finally r.close()
+    out.toSeq
+  }
+
+  test("integral bounds skip row groups; every matching row survives") {
+    val t = s"$root/default/rgi"
+    val file = oneSortedFile(t, 60000L)
+    val groups = rowGroups(file)
+    assert(groups >= 4, s"fixture must span several row groups, got $groups")
+    val schema = VersionedTable.read(spark, t).schema
+    val all = readAll(file, schema, None)
+    assert(all.size == 60000)
+    val pred = GraftRowGroupFilter.build(
+      schema, Map("k" -> (59000L, 59500L)), Map.empty)
+    assert(pred.nonEmpty)
+    val got = readAll(file, schema, pred)
+    assert(got.size < all.size,
+      s"row groups must be skipped (got ${got.size} of ${all.size})")
+    val gotSet = got.toSet
+    assert((59000L to 59500L).forall(gotSet.contains),
+      "a skipped row group may never hold a matching row")
+  }
+
+  test("string bounds skip row groups the same way") {
+    val t = s"$root/default/rgs"
+    val file = oneSortedFile(t, 60000L)
+    val schema = VersionedTable.read(spark, t).schema
+    val lo = "s00059000".getBytes("UTF-8")
+    val hi = "s00059500".getBytes("UTF-8")
+    val pred = GraftRowGroupFilter.build(
+      schema, Map.empty, Map("sk" -> (Some(lo), Some(hi))))
+    assert(pred.nonEmpty)
+    val got = readAll(file, schema, pred)
+    assert(got.size < 60000, "string stats must skip row groups")
+    val gotSet = got.toSet
+    assert((59000L to 59500L).forall(gotSet.contains))
+  }
+
+  test("SQL results stay exact through the filtered reader on a multi-group file") {
+    val t = s"$root/default/rge"
+    oneSortedFile(t, 60000L)
+    spark.conf.set("spark.sql.catalog.grg", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grg.root", root)
+    val got = spark.sql(
+      "SELECT k FROM grg.default.rge WHERE k BETWEEN 59000 AND 59500 " +
+        "AND sk >= 's00059000'")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (59000L to 59500L).toSet,
+      "row-group skipping must be invisible to results")
+  }
+}
