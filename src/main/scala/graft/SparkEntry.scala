@@ -94,6 +94,7 @@ object SparkEntry {
     "q_table_clone" -> ((s, d) => Incremental.ordersTableClone(t(s, d, "orders"))),
     "q_maint_advisor" -> ((s, d) => Incremental.ordersMaintenanceAdvisor(t(s, d, "orders"))),
     "q_sql_fastcount" -> ((s, d) => Incremental.ordersSqlFastcount(t(s, d, "orders"))),
+    "q_sql_fastminmax_str" -> ((s, d) => Incremental.ordersSqlFastMinMaxStr(t(s, d, "orders"))),
     "q_sql_spj" -> ((s, d) =>
       Incremental.ordersSqlBucketedJoin(t(s, d, "orders"), t(s, d, "customer"))),
     "q_sql_bucketed" -> ((s, d) =>
@@ -1645,6 +1646,16 @@ object SparkEntry {
         |       CAST(max(o_orderkey) AS BIGINT) AS max_key,
         |       CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_price_c,
         |       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_price_c
+        |FROM orders""".stripMargin,
+    // STRING MIN/MAX from manifest arithmetic: exact (unstarred) string
+    // zone sides answer the ungrouped extremes; DuckDB's varchar min/max
+    // compares in the same bytewise order the zones record.
+    "q_sql_fastminmax_str" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(o_orderstatus) AS min_status,
+        |       max(o_orderstatus) AS max_status,
+        |       min(o_orderpriority) AS min_prio,
+        |       max(o_orderpriority) AS max_prio
         |FROM orders""".stripMargin,
     // SQL DDL end-to-end: CREATE TABLE AS SELECT, ALTER TABLE ADD
     // COLUMN, then INSERT through the widened schema — pre-evolution

@@ -1044,6 +1044,36 @@ object Incremental {
          |FROM gtab.default.$name""".stripMargin)
   }
 
+  /** Registered q_sql_fastminmax_str body: STRING MIN/MAX answered from
+    * manifest arithmetic — the short status/priority strings record
+    * EXACT (unstarred) zone sides at commit, so the ungrouped extremes
+    * come from the string zones without opening a data file, exactly as
+    * COUNT/integral MIN/MAX do. The oracle replays the aggregate raw;
+    * DuckDB's varchar min/max uses the same bytewise order the zones
+    * were recorded in.
+    */
+  def ordersSqlFastMinMaxStr(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlfms:$inputKey"), { _ =>
+      val n = s"orders_fms_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      graft.sources.VersionedTable.commit(
+        orders.select(col("o_orderkey"),
+            col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("prio"))
+          .repartitionByRange(8, col("o_orderkey")),
+        s"$root/default/$n", append = false,
+        statsCols = Seq("o_orderkey", "status", "prio"))
+      n
+    })
+    spark.sql(
+      s"""SELECT count(*) AS n_rows,
+         |       min(status) AS min_status, max(status) AS max_status,
+         |       min(prio) AS min_prio, max(prio) AS max_prio
+         |FROM gtab.default.$name""".stripMargin)
+  }
+
   /** Registered q_sql_spj body: STORAGE-PARTITIONED JOIN end-to-end —
     * orders and customer committed as co-bucketed versioned tables
     * (`commitBucketed`, pmod(custkey, 16)), equi-joined through SQL with

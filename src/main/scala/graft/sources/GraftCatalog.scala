@@ -896,6 +896,49 @@ private[sources] object GraftFilters {
     sets
   }
 
+  /** Per-column ADMISSIBLE STRING value sets from runtime In/EqualTo
+    * filters — the string twin of [[inSets]], for joins keyed on string
+    * ids (the common LLM-pipeline shape: document/chunk ids). Values
+    * stay Strings here (Set intersection by value); probes compare
+    * UTF-8 bytes against the byte-prefix zones.
+    */
+  def strInSets(filters: Array[Filter]): Map[String, Set[String]] = {
+    var sets = Map.empty[String, Set[String]]
+    def add(c: String, vs: Set[String]): Unit =
+      sets = sets.updated(c, sets.get(c).fold(vs)(_.intersect(vs)))
+    filters.foreach {
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        add(c, vs.iterator.map(_.asInstanceOf[String]).toSet)
+      case EqualTo(c, v: String) => add(c, Set(v))
+      case _ => ()
+    }
+    sets
+  }
+
+  /** Does the bytewise-SORTED value array hold anything inside the
+    * string zone [zlo, zhi?]? One binary search per (file, column) —
+    * truncated zone bounds only widen the window, never narrow it, so
+    * the probe over-keeps and stays sound.
+    */
+  def anyInStrZone(sorted: Array[Array[Byte]], zlo: Array[Byte],
+      zhi: Option[Array[Byte]]): Boolean = {
+    import VersionedTable.byteCompare
+    var l = 0
+    var h = sorted.length
+    while (l < h) { // first value >= zlo
+      val m = (l + h) >>> 1
+      if (byteCompare(sorted(m), zlo) < 0) l = m + 1 else h = m
+    }
+    l < sorted.length && zhi.forall(z => byteCompare(sorted(l), z) <= 0)
+  }
+
+  /** UTF-8 encode + bytewise sort a runtime string key set, ready for
+    * [[anyInStrZone]] probes.
+    */
+  def sortedUtf8(vs: Set[String]): Array[Array[Byte]] =
+    vs.toArray.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .sortWith(VersionedTable.byteCompare(_, _) < 0)
+
   /** Per-column [lo, hi] bounds implied by the (implicitly ANDed)
     * top-level filters, plus the filters that contributed. Sound for
     * pruning AND for [[VersionedTable.deleteWhereCow]]'s candidate
@@ -1481,12 +1524,37 @@ class GraftTableScanBuilder(
       case f if f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == ShortType || f.dataType == ByteType => f.name -> f.dataType
     }.toMap
+    val stringCols: Set[String] = physSchema(full).fields.collect {
+      case f if f.dataType == StringType => f.name
+    }.toSet
     def statsComplete(c: String): Boolean = layout.forall { case (p, _, _, st) =>
       st.contains(c) || rowsOf(p).contains(0L)
     }
     def extremes(c: String): (Option[Long], Option[Long]) = {
       val st = layout.flatMap(e => e._4.get(c))
       (st.map(_._1).minOption, st.map(_._2).maxOption)
+    }
+    // string MIN/MAX: answerable only from EXACT (unstarred) zone sides —
+    // a truncated bound is valid for pruning but is not the extreme value
+    lazy val strExact = VersionedTable.snapshotStrStatsExact(table, version)
+    def strSide(c: String, hiSide: Boolean): Option[Option[String]] = {
+      // None = decline (some file's side inexact/missing);
+      // Some(extreme) = answerable (Some(None) on an all-empty table)
+      val sides = layout.map { case (path, _, _, _) =>
+        if (rowsOf(path).contains(0L)) Some(None)
+        else strExact.getOrElse(path, Map.empty).get(c)
+          .map(z => if (hiSide) z._2 else z._1) match {
+          case Some(Some(v)) => Some(Some(v))
+          case _             => None
+        }
+      }
+      if (sides.exists(_.isEmpty)) None
+      else Some(sides.flatten.flatten.reduceOption { (a, b) =>
+        val cmp = VersionedTable.byteCompare(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (hiSide == (cmp >= 0)) a else b
+      })
     }
     val specs = agg.aggregateExpressions.map {
       case _: CountStar =>
@@ -1498,6 +1566,13 @@ class GraftTableScanBuilder(
             statsComplete(p(f.fieldNames()(0))) =>
           val c = p(f.fieldNames()(0))
           GraftAggSpec("min", c, integral(c), extremes(c)._1)
+        case f: NamedReference if f.fieldNames.length == 1 &&
+            stringCols.contains(p(f.fieldNames()(0))) =>
+          val c = p(f.fieldNames()(0))
+          strSide(c, hiSide = false) match {
+            case Some(v) => GraftAggSpec("min", c, StringType, None, v)
+            case None    => return None
+          }
         case _ => return None
       }
       case m: VMax => m.column match {
@@ -1506,6 +1581,13 @@ class GraftTableScanBuilder(
             statsComplete(p(f.fieldNames()(0))) =>
           val c = p(f.fieldNames()(0))
           GraftAggSpec("max", c, integral(c), extremes(c)._2)
+        case f: NamedReference if f.fieldNames.length == 1 &&
+            stringCols.contains(p(f.fieldNames()(0))) =>
+          val c = p(f.fieldNames()(0))
+          strSide(c, hiSide = true) match {
+            case Some(v) => GraftAggSpec("max", c, StringType, None, v)
+            case None    => return None
+          }
         case _ => return None
       }
       case _ => return None
@@ -1612,13 +1694,17 @@ class GraftBucketedScan(
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     rep.fields.collect { // reported in the names Spark resolves (logical)
-      case f if f.dataType == LongType || f.dataType == IntegerType =>
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == StringType =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
 
   @volatile private var runtimeSets: Map[String, Set[Long]] = Map.empty
+  @volatile private var strRuntimeSets: Map[String, Set[String]] = Map.empty
   override def filter(filters: Array[Filter]): Unit = {
     runtimeSets = GraftFilters.inSets(filters)
+      .map { case (c, s) => repToPhys.getOrElse(c, c) -> s }
+    strRuntimeSets = GraftFilters.strInSets(filters)
       .map { case (c, s) => repToPhys.getOrElse(c, c) -> s }
   }
 
@@ -1677,12 +1763,18 @@ class GraftBucketedScan(
     val counts = perBucket.valuesIterator.flatten.map(f => rowsOf.get(f._1).flatten).toSeq
     val rows: Option[Long] =
       if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    lazy val colStats = GraftColumnStats.forScan(
+      table, version, perBucket.valuesIterator.flatten.map(_._1).toSeq,
+      required, rep)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         rows.fold(java.util.OptionalLong.empty())(r =>
           java.util.OptionalLong.of(r * math.max(1, required.fields.length) * 16L))
       override def numRows(): java.util.OptionalLong =
         rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 
@@ -1711,16 +1803,26 @@ class GraftBucketedScan(
   override def planInputPartitions(): Array[InputPartition] = {
     def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
     val rt = runtimeSets
+    val srt = strRuntimeSets
     val keptB: Map[Int, Seq[(String, Seq[String])]] =
-      if (rt.isEmpty) perBucket
+      if (rt.isEmpty && srt.isEmpty) perBucket
       else {
         val sorted = rt.view.mapValues(_.toArray.sorted).toMap
+        val sSorted = srt.view.mapValues(GraftFilters.sortedUtf8).toMap
         val statsOf = VersionedTable.snapshotLayout(table, version)
           .map(e => e._1 -> e._4).toMap
+        val sstats =
+          if (srt.isEmpty)
+            Map.empty[String, Map[String, (Array[Byte], Option[Array[Byte]])]]
+          else VersionedTable.snapshotStrStats(table, version)
         perBucket.view.mapValues(_.filter { case (p, _) =>
           sorted.forall { case (c, vs) =>
             statsOf.getOrElse(p, Map.empty).get(c).forall { case (mn, mx) =>
               GraftFilters.anyInRange(vs, mn, mx)
+            }
+          } && sSorted.forall { case (c, vs) =>
+            sstats.getOrElse(p, Map.empty).get(c).forall { case (zlo, zhi) =>
+              GraftFilters.anyInStrZone(vs, zlo, zhi)
             }
           }
         }).toMap
@@ -1735,7 +1837,8 @@ class GraftBucketedScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftBucketReaderFactory(required,
-      GraftRowGroupFilter.build(required, bounds, strBounds))
+      GraftRowGroupFilter.build(required, bounds, strBounds,
+        runtimeSets, strRuntimeSets))
 }
 
 case class GraftBucketPartition(
@@ -1798,7 +1901,8 @@ class GraftBucketReaderFactory(
   * result type, and the manifest-computed value (None = SQL NULL).
   */
 case class GraftAggSpec(
-    kind: String, col: String, dt: DataType, value: Option[Long])
+    kind: String, col: String, dt: DataType, value: Option[Long],
+    sval: Option[String] = None)
 
 /** One-row, one-partition scan answering completely-pushed ungrouped
   * aggregates from manifest arithmetic — no data file is opened.
@@ -1825,13 +1929,19 @@ class GraftAggScan(table: String, version: Option[Long], specs: Seq[GraftAggSpec
           override def get(): InternalRow = {
             val row = new GenericInternalRow(payload.length)
             payload.zipWithIndex.foreach { case (sp, i) =>
-              sp.value match {
-                case None => row.setNullAt(i)
-                case Some(v) => sp.dt match {
-                  case LongType    => row.setLong(i, v)
-                  case IntegerType => row.setInt(i, v.toInt)
-                  case ShortType   => row.setShort(i, v.toShort)
-                  case _           => row.setByte(i, v.toByte)
+              sp.dt match {
+                case StringType => sp.sval match {
+                  case None    => row.setNullAt(i)
+                  case Some(s) => row.update(i, UTF8String.fromString(s))
+                }
+                case _ => sp.value match {
+                  case None => row.setNullAt(i)
+                  case Some(v) => sp.dt match {
+                    case LongType    => row.setLong(i, v)
+                    case IntegerType => row.setInt(i, v.toInt)
+                    case ShortType   => row.setShort(i, v.toShort)
+                    case _           => row.setByte(i, v.toByte)
+                  }
                 }
               }
             }
@@ -1878,27 +1988,41 @@ class GraftTableScan(
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     rep.fields.collect { // reported in the names Spark resolves (logical)
-      case f if f.dataType == LongType || f.dataType == IntegerType =>
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == StringType =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
 
   @volatile private var runtimeSets: Map[String, Set[Long]] = Map.empty
+  @volatile private var strRuntimeSets: Map[String, Set[String]] = Map.empty
   override def filter(filters: Array[Filter]): Unit = {
     runtimeSets = GraftFilters.inSets(filters)
+      .map { case (c, s) => repToPhys.getOrElse(c, c) -> s }
+    strRuntimeSets = GraftFilters.strInSets(filters)
       .map { case (c, s) => repToPhys.getOrElse(c, c) -> s }
   }
 
   private[sources] def runtimeKept = {
     val rt = runtimeSets
-    if (rt.isEmpty) kept
+    val srt = strRuntimeSets
+    if (rt.isEmpty && srt.isEmpty) kept
     else {
       // sorted once: "any value inside [mn, mx]?" is then one binary
       // search per (file, column) instead of a scan of the key set
       val sorted = rt.view.mapValues(_.toArray.sorted).toMap
-      kept.filter { case (_, _, _, stats) =>
+      val sSorted = srt.view.mapValues(GraftFilters.sortedUtf8).toMap
+      lazy val sstats =
+        if (srt.isEmpty)
+          Map.empty[String, Map[String, (Array[Byte], Option[Array[Byte]])]]
+        else VersionedTable.snapshotStrStats(table, version)
+      kept.filter { case (path, _, _, stats) =>
         sorted.forall { case (c, vs) =>
           stats.get(c).forall { case (mn, mx) =>
             GraftFilters.anyInRange(vs, mn, mx)
+          }
+        } && sSorted.forall { case (c, vs) =>
+          sstats.getOrElse(path, Map.empty).get(c).forall { case (zlo, zhi) =>
+            GraftFilters.anyInStrZone(vs, zlo, zhi)
           }
         }
       }
@@ -1929,12 +2053,17 @@ class GraftTableScan(
       case BooleanType | ByteType => 1L
       case _ => 20L
     }).sum.max(1L)
+    lazy val colStats = GraftColumnStats.forScan(
+      table, version, kept.map(_._1), required, rep)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         rows.fold(java.util.OptionalLong.empty())(r =>
           java.util.OptionalLong.of(r * width))
       override def numRows(): java.util.OptionalLong =
         rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 
@@ -2053,8 +2182,12 @@ class GraftTableScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // called AFTER filter(): runtime key sets ride into the row-group
+    // predicate too — a DPP-pruned fact scan skips row groups, not just
+    // files, on both integral and string join keys
     new GraftCatalogReaderFactory(required,
-      GraftRowGroupFilter.build(required, bounds, strBounds))
+      GraftRowGroupFilter.build(required, bounds, strBounds,
+        runtimeSets, strRuntimeSets))
 }
 
 case class GraftCatalogPartition(
@@ -2150,6 +2283,83 @@ private[sources] object TombstoneKeys {
     })
 }
 
+/** ANALYZE-free per-column PLANNER statistics, assembled at plan time
+  * from commit-side metadata alone: NDV from the per-commit HLL sketches
+  * ([[VersionedTable.commitNdvSketches]], unioned across the scan's
+  * commit dirs), null counts from the NN manifest segments, min/max from
+  * the integral zone maps. A statistic is reported only when EVERY
+  * planned commit/file carries its input — partial coverage declines
+  * rather than guessing. These are estimates for the CBO (join
+  * reordering, broadcast decisions): file-level pruning inside a commit
+  * and COW-removed files can only make NDV an over-count, and the CBO
+  * consumes them as estimates — never load-bearing for correctness.
+  */
+private[sources] object GraftColumnStats {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+  import java.util.{Optional, OptionalLong}
+
+  def forScan(table: String, version: Option[Long], keptPaths: Seq[String],
+      phys: StructType, rep: StructType)
+      : java.util.Map[NamedReference, ColumnStatistics] = {
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    if (keptPaths.isEmpty) return out
+    val dirs = keptPaths.map(_.split('/')(1)).distinct
+    val sketches = dirs.map(d => VersionedTable.commitNdvSketches(table, d))
+    val zonesOf = VersionedTable.snapshotLayout(table, version)
+      .map(e => e._1 -> e._4).toMap
+    val nnOf = VersionedTable.snapshotNonNulls(table, version)
+    val rowsOf = VersionedTable.snapshotFiles(table, version)
+      .map { case (p, _, r, _, _) => p -> r }.toMap
+    phys.fields.zip(rep.fields).foreach { case (pf, rf) =>
+      val c = pf.name
+      val ndv: Option[Long] =
+        if (sketches.forall(_.contains(c))) {
+          val u = new Union(12)
+          sketches.foreach(m => u.update(HllSketch.heapify(m(c))))
+          Some(math.round(u.getResult.getEstimate))
+        } else None
+      val nulls: Option[Long] = {
+        val per = keptPaths.map { p =>
+          for {
+            r <- rowsOf.get(p).flatten
+            nn <- nnOf.getOrElse(p, Map.empty).get(c)
+          } yield r - nn
+        }
+        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+      }
+      val zone: Option[(Long, Long)] = {
+        val per = keptPaths.map(p => zonesOf.getOrElse(p, Map.empty).get(c))
+        if (per.forall(_.isDefined))
+          Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
+        else None
+      }
+      val minMax: Option[(AnyRef, AnyRef)] = zone.flatMap { case (mn, mx) =>
+        pf.dataType match {
+          case LongType =>
+            Some((java.lang.Long.valueOf(mn), java.lang.Long.valueOf(mx)))
+          case IntegerType =>
+            Some((Integer.valueOf(mn.toInt), Integer.valueOf(mx.toInt)))
+          case _ => None
+        }
+      }
+      if (ndv.isDefined || nulls.isDefined || minMax.isDefined)
+        out.put(Expressions.column(rf.name), new ColumnStatistics {
+          override def distinctCount(): OptionalLong =
+            ndv.fold(OptionalLong.empty)(OptionalLong.of)
+          override def nullCount(): OptionalLong =
+            nulls.fold(OptionalLong.empty)(OptionalLong.of)
+          override def min(): Optional[Object] =
+            minMax.fold(Optional.empty[Object])(p => Optional.of(p._1))
+          override def max(): Optional[Object] =
+            minMax.fold(Optional.empty[Object])(p => Optional.of(p._2))
+        })
+    }
+    out
+  }
+}
+
 /** ROW-GROUP skipping inside planned files: the same per-column bounds
   * that prune whole files against the manifest zone maps are re-expressed
   * as a parquet `FilterPredicate`, so the vectorized reader ALSO skips
@@ -2167,7 +2377,9 @@ private[sources] object GraftRowGroupFilter {
 
   def build(required: StructType,
       bounds: Map[String, (Long, Long)],
-      strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])])
+      strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])],
+      inSets: Map[String, Set[Long]] = Map.empty,
+      strInSets: Map[String, Set[String]] = Map.empty)
       : Option[FilterPredicate] = {
     def clampI(x: Long): Integer =
       Integer.valueOf(
@@ -2199,7 +2411,59 @@ private[sources] object GraftRowGroupFilter {
               FilterApi.ltEq(col, Binary.fromConstantByteArray(b)): FilterPredicate)
         }
       }
-    (intPreds ++ strPreds).reduceOption(FilterApi.and)
+    // runtime (DPP) key sets. Parquet's statistics filter evaluates an
+    // IN against a block as a single [set-min, set-max] INTERVAL, so a
+    // scattered key set prunes nothing by stats (dictionary/bloom may
+    // still catch it). Small sets therefore become an OR of Eq leaves —
+    // each key checked against each block's range individually — and
+    // only large sets fall back to the interval-semantics IN.
+    val OrOfEqCap = 64
+    def orAll(ps: Seq[FilterPredicate]): FilterPredicate =
+      ps.reduce(FilterApi.or)
+    val inPreds: Seq[FilterPredicate] =
+      inSets.toSeq.sortBy(_._1).flatMap { case (c, vs) =>
+        required.fields.find(_.name == c).map(_.dataType) match {
+          case Some(LongType) =>
+            val col = FilterApi.longColumn(c)
+            if (vs.size <= OrOfEqCap)
+              Seq(orAll(vs.toSeq.sorted.map(v =>
+                FilterApi.eq(col, java.lang.Long.valueOf(v)): FilterPredicate)))
+            else {
+              val jl: java.util.Set[java.lang.Long] = new java.util.HashSet
+              vs.foreach(v => jl.add(java.lang.Long.valueOf(v)))
+              Seq(FilterApi.in(col, jl): FilterPredicate)
+            }
+          case Some(IntegerType) if vs.forall(v =>
+              v >= Int.MinValue.toLong && v <= Int.MaxValue.toLong) =>
+            val col = FilterApi.intColumn(c)
+            if (vs.size <= OrOfEqCap)
+              Seq(orAll(vs.toSeq.sorted.map(v =>
+                FilterApi.eq(col, Integer.valueOf(v.toInt)): FilterPredicate)))
+            else {
+              val ji: java.util.Set[Integer] = new java.util.HashSet
+              vs.foreach(v => ji.add(Integer.valueOf(v.toInt)))
+              Seq(FilterApi.in(col, ji): FilterPredicate)
+            }
+          case _ => Nil
+        }
+      }
+    val strInPreds: Seq[FilterPredicate] =
+      strInSets.toSeq.sortBy(_._1).flatMap { case (c, vs) =>
+        if (!required.fields.exists(f => f.name == c && f.dataType == StringType))
+          Nil
+        else {
+          val col = FilterApi.binaryColumn(c)
+          if (vs.size <= OrOfEqCap)
+            Seq(orAll(vs.toSeq.sorted.map(v =>
+              FilterApi.eq(col, Binary.fromString(v)): FilterPredicate)))
+          else {
+            val jb: java.util.Set[Binary] = new java.util.HashSet
+            vs.foreach(v => jb.add(Binary.fromString(v)))
+            Seq(FilterApi.in(col, jb): FilterPredicate)
+          }
+        }
+      }
+    (intPreds ++ strPreds ++ inPreds ++ strInPreds).reduceOption(FilterApi.and)
   }
 }
 

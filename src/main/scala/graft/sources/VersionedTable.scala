@@ -401,13 +401,26 @@ object VersionedTable {
             f.name
         }.toSet
         val (strCols, numCols) = statsCols.partition(strSet.contains)
+        // NDV sketches ride the same job: HLL per stats column per file,
+        // unioned into one per-commit sketch below (types hll_sketch_agg
+        // accepts: int/long/string/binary — exactly the stats families)
+        val hllOk = snap.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType ||
+            f.dataType == org.apache.spark.sql.types.StringType ||
+            f.dataType == org.apache.spark.sql.types.BinaryType => f.name
+        }.toSet
+        val ndvCols = statsCols.filter(hllOk.contains)
         val aggs = (count(lit(1)).as("g_n") +: (numCols.flatMap(c => Seq(
           min(col(c)).cast("long").as(s"g_mn_$c"),
           max(col(c)).cast("long").as(s"g_mx_$c"),
           count(col(c)).as(s"g_nn_$c"))) ++
           strCols.flatMap(c => Seq(
             min(col(c)).as(s"g_smn_$c"),
-            max(col(c)).as(s"g_smx_$c"))))) ++
+            max(col(c)).as(s"g_smx_$c"))) ++
+          ndvCols.map(c =>
+            org.apache.spark.sql.functions.hll_sketch_agg(col(c), NdvLgK)
+              .as(s"g_hll_$c")))) ++
           checks.zipWithIndex.map { case ((_, sql), i) =>
             // NULL check results count as violations: a CHECK must be TRUE
             sum(when(not(expr(sql)) || expr(sql).isNull, 1L).otherwise(0L))
@@ -429,6 +442,26 @@ object VersionedTable {
                 s"on $viol row(s) — nothing was committed")
           }
         }
+        // union the per-file sketches into one per-commit sketch per
+        // column and drop the .ndv.txt sidecar inside the data dir
+        if (ndvCols.nonEmpty && rows.nonEmpty) {
+          val enc = java.util.Base64.getEncoder.withoutPadding
+          val lines = ndvCols.flatMap { c =>
+            val u = new org.apache.datasketches.hll.Union(NdvLgK)
+            var any = false
+            rows.foreach { r =>
+              Option(r.getAs[Array[Byte]](s"g_hll_$c")).foreach { b =>
+                u.update(org.apache.datasketches.hll.HllSketch.heapify(b))
+                any = true
+              }
+            }
+            if (any)
+              Some(s"$c\t${enc.encodeToString(u.getResult.toCompactByteArray)}")
+            else None
+          }
+          if (lines.nonEmpty)
+            Files.write(dataDir.resolve(".ndv.txt"), lines.asJava)
+        }
         rows.map { r =>
           // per-col (zone-map text, non-null-count text) — only for
           // long-castable columns; the NN counts ride a FOURTH entry
@@ -449,11 +482,17 @@ object VersionedTable {
           val strZones = strCols.flatMap { c =>
             (r.getAs[Any](s"g_smn_$c"), r.getAs[Any](s"g_smx_$c")) match {
               case (a: String, b: String) =>
-                val loB = enc.encodeToString(truncMin(
-                  a.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-                val hiB = truncMax(
-                  b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                  .map(enc.encodeToString).getOrElse("")
+                // a trailing '*' marks a TRUNCATED (valid-but-inexact)
+                // bound: pruning uses every bound, MIN/MAX aggregate
+                // pushdown only unstarred ones
+                val aB = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                val bB = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                val loB = enc.encodeToString(truncMin(aB)) +
+                  (if (aB.length > StrZoneLen) "*" else "")
+                val hiB = truncMax(bB)
+                  .map(x => enc.encodeToString(x) +
+                    (if (bB.length > StrZoneLen) "*" else ""))
+                  .getOrElse("")
                 Some(s"$c=$loB..$hiB")
               case _ => None
             }
@@ -616,14 +655,49 @@ object VersionedTable {
         val dots = kv.indexOf("..", eq + 1)
         if (eq <= 0 || dots < 0) None
         else try {
-          val lo = dec.decode(kv.substring(eq + 1, dots))
-          val hiS = kv.substring(dots + 2)
+          // pruning consumes every bound — exactness stars stripped
+          val lo = dec.decode(kv.substring(eq + 1, dots).stripSuffix("*"))
+          val hiS = kv.substring(dots + 2).stripSuffix("*")
           val hi = if (hiS.isEmpty) None else Some(dec.decode(hiS))
           Some(kv.substring(0, eq) -> (lo, hi))
         } catch { case _: IllegalArgumentException => None }
       }.toMap
     }
   }
+
+  /** The EXACT sides of an entry's string zones: a bound decodes to a
+    * value here only when it carries no truncation star — what MIN/MAX
+    * aggregate pushdown needs (truncated bounds are valid for pruning
+    * but are not the extreme value itself).
+    */
+  private[sources] def entryStrStatsExact(
+      e: String): Map[String, (Option[String], Option[String])] = {
+    val parts = entryBody(e).split("#", -1)
+    if (parts.length < 5 || parts(4).isEmpty) Map.empty
+    else {
+      val dec = java.util.Base64.getDecoder
+      def exact(tok: String): Option[String] =
+        if (tok.isEmpty || tok.endsWith("*")) None
+        else try {
+          Some(new String(dec.decode(tok),
+            java.nio.charset.StandardCharsets.UTF_8))
+        } catch { case _: IllegalArgumentException => None }
+      parts(4).split(';').iterator.flatMap { kv =>
+        val eq = kv.indexOf('=')
+        val dots = kv.indexOf("..", eq + 1)
+        if (eq <= 0 || dots < 0) None
+        else Some(kv.substring(0, eq) ->
+          (exact(kv.substring(eq + 1, dots)), exact(kv.substring(dots + 2))))
+      }.toMap
+    }
+  }
+
+  /** path → exact string zone sides over a pinned snapshot. */
+  private[sources] def snapshotStrStatsExact(
+      table: String, version: Option[Long])
+      : Map[String, Map[String, (Option[String], Option[String])]] =
+    pinnedEntries(table, version).filterNot(isDeleteEntry)
+      .map(e => entryPath(e) -> entryStrStatsExact(e)).toMap
 
   /** path → string zone map over a pinned snapshot's data files — the
     * planning-time lookup behind string-predicate file pruning.
@@ -633,6 +707,46 @@ object VersionedTable {
       : Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]] =
     pinnedEntries(table, version).filterNot(isDeleteEntry)
       .map(e => entryPath(e) -> entryStrStats(e)).toMap
+
+  // ---- Per-commit NDV sketches (ANALYZE-free column statistics) ----
+  //
+  // The commit's single metadata job also aggregates one HLL sketch per
+  // stats column per file; the driver unions them into ONE sketch per
+  // column for the commit and drops `.ndv.txt` (col<TAB>base64) inside
+  // the commit's data directory — a dot-file, so entry listings and
+  // parquet readers never see it, it rides the dir through publish-race
+  // re-seats, and vacuum reclaims it with the dir. Sketches are
+  // per-commit (not per-file): metadata stays O(commits), and planning
+  // unions a few hundred 1-4 KB sketches, never 800k. Estimates only —
+  // never load-bearing for correctness.
+
+  private val NdvLgK = 12
+  private def ndvFile(table: String, dir: String): Path =
+    Paths.get(table, "data", dir, ".ndv.txt")
+
+  private val ndvCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, Array[Byte]]]()
+
+  /** The commit dir's column→HLL-sketch-bytes map (empty when the commit
+    * predates NDV recording). Cached — commit dirs are immutable.
+    */
+  private[sources] def commitNdvSketches(
+      table: String, dir: String): Map[String, Array[Byte]] =
+    ndvCache.computeIfAbsent((table, dir), { _ =>
+      val f = ndvFile(table, dir)
+      if (!Files.exists(f)) Map.empty
+      else {
+        val dec = java.util.Base64.getDecoder
+        Files.readAllLines(f).asScala.flatMap { l =>
+          l.split("\t", 2) match {
+            case Array(c, b64) if c.nonEmpty =>
+              try Some(c -> dec.decode(b64))
+              catch { case _: IllegalArgumentException => None }
+            case _ => None
+          }
+        }.toMap
+      }
+    })
 
   /** Metadata-only row count of a snapshot: pure manifest arithmetic
     * over the per-entry footer counts recorded at commit time — no file
@@ -1998,6 +2112,7 @@ object VersionedTable {
   def dropTable(table: String): Unit = {
     deleteRecursively(Paths.get(table))
     resolvedEntries.keySet.removeIf(_._1 == table)
+    ndvCache.keySet.removeIf(_._1 == table)
     commitSchemas.keySet.removeIf(_._1 == table)
     ()
   }

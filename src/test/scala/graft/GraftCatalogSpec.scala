@@ -614,6 +614,79 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(qv.collect()(0).getLong(0) == 901L)
   }
 
+  test("per-column NDV/null/min-max statistics reach the planner without ANALYZE") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/colstats"
+    // two commits, overlapping key populations: per-commit HLL sketches
+    // must UNION, not sum (600 distinct keys total, 900 rows)
+    VersionedTable.commit(
+      (1L to 600L).map(k => (k, s"g${k % 7}", if (k % 5 == 0) null else s"v$k"))
+        .toDF("k", "grp", "v"),
+      t, append = false, statsCols = Seq("k", "grp"))
+    VersionedTable.commit(
+      (301L to 600L).map(k => (k, s"g${k % 7}", s"v$k")).toDF("k", "grp", "v"),
+      t, append = true, statsCols = Seq("k", "grp"))
+    val schema = VersionedTable.read(spark, t).schema
+    val scan = new graft.sources.GraftTableScan(t, None, schema, Map.empty)
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong == 900L)
+    val cs = st.columnStats()
+    import scala.jdk.CollectionConverters._
+    val byName = cs.asScala.map { case (ref, v) => ref.describe() -> v }.toMap
+    val kStats = byName.getOrElse("k", fail(s"no column stats for k: ${byName.keys}"))
+    val ndv = kStats.distinctCount().getAsLong
+    assert(math.abs(ndv - 600L) <= 30L, // HLL lgK=12: ~1.6% rse
+      s"unioned NDV must approximate 600 distinct keys, got $ndv")
+    assert(kStats.min().get() == java.lang.Long.valueOf(1L))
+    assert(kStats.max().get() == java.lang.Long.valueOf(600L))
+    assert(kStats.nullCount().getAsLong == 0L)
+    val gStats = byName.getOrElse("grp", fail("no column stats for grp"))
+    val gNdv = gStats.distinctCount().getAsLong
+    assert(gNdv >= 6L && gNdv <= 8L, s"grp has 7 distinct values, got $gNdv")
+    // v was never a stats column: no sketch -> no distinct count claimed
+    byName.get("v").foreach(vs => assert(!vs.distinctCount().isPresent))
+  }
+
+  test("string MIN/MAX push down from exact zone sides; truncation declines") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/aggstr"
+    // short (exact) string ids across two commits + an all-short second col
+    VersionedTable.commit(
+      (1L to 900L).map(k => (k, f"id$k%06d")).toDF("k", "sid")
+        .repartitionByRange(3, col("k")),
+      t, append = false, statsCols = Seq("k", "sid"))
+    VersionedTable.commit(
+      Seq((1000L, "zz-last")).toDF("k", "sid"), t, append = true,
+      statsCols = Seq("k", "sid"))
+    val q = spark.sql(
+      "SELECT min(sid) AS mn, max(sid) AS mx, count(*) AS n FROM gtest.default.aggstr")
+    assert(q.queryExecution.executedPlan.toString.contains("manifest-only"),
+      s"expected pushed string min/max:\n${q.queryExecution.executedPlan}")
+    val r = q.collect()(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2)) ==
+      (("id000001", "zz-last", 901L)))
+    // values LONGER than the 16-byte truncation: bounds are starred,
+    // pushdown declines, the ordinary scan still answers exactly
+    val t2 = s"$root/default/aggstr2"
+    VersionedTable.commit(
+      (1L to 100L).map(k => (k, f"long-prefix-id$k%06d-suffix")).toDF("k", "sid"),
+      t2, append = false, statsCols = Seq("sid"))
+    val q2 = spark.sql(
+      "SELECT min(sid) AS mn, max(sid) AS mx FROM gtest.default.aggstr2")
+    assert(!q2.queryExecution.executedPlan.toString.contains("manifest-only"),
+      "truncated bounds must decline MIN/MAX pushdown")
+    val r2 = q2.collect()(0)
+    assert((r2.getString(0), r2.getString(1)) ==
+      (("long-prefix-id000001-suffix", "long-prefix-id000100-suffix")))
+    // a column with NO string zones recorded declines too
+    val t3 = s"$root/default/aggstr3"
+    VersionedTable.commit(
+      (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v"), t3, append = false)
+    val q3 = spark.sql("SELECT min(v) AS mn FROM gtest.default.aggstr3")
+    assert(!q3.queryExecution.executedPlan.toString.contains("manifest-only"))
+    assert(q3.collect()(0).getString(0) == "v1")
+  }
+
   test("a pushed LIMIT plans just enough files by footer counts") {
     val s = spark; import s.implicits._
     val t = s"$root/default/lim"
@@ -999,6 +1072,40 @@ class GraftCatalogSpec extends AnyFunSuite {
         |FROM gtest.default.dpp f JOIN dpp_dim d ON f.k = d.k""".stripMargin)
     assert(q.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ==
       Set((5L, 50L, "a"), (650L, 6500L, "b")))
+  }
+
+  test("runtime In filters on STRING keys prune files through the byte-prefix zones") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/dppstr"
+    // 30-byte string ids: every zone bound is truncated, so this pins
+    // the byte-prefix probe, not the easy exact-bounds case
+    def id(k: Long) = f"doc-$k%09d" + "y" * 18
+    VersionedTable.commit(
+      (1L to 800L).map(k => (id(k), k * 10L)).toDF("doc_id", "amt")
+        .repartitionByRange(8, col("doc_id")),
+      t, append = false, statsCols = Seq("doc_id"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("amt",
+        org.apache.spark.sql.types.LongType)))
+    val scan = new graft.sources.GraftTableScan(t, None, schema, Map.empty)
+    assert(scan.planInputPartitions().length == 8)
+    // the scan reports string columns as runtime-filterable
+    assert(scan.filterAttributes().map(_.describe()).contains("doc_id"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("doc_id",
+        Array[Any](id(5L), id(7L), id(650L)))))
+    val prunedN = scan.planInputPartitions().length
+    assert(prunedN <= 2, s"3 ids in 2 files must plan <= 2 partitions, got $prunedN")
+    // integration: a string-keyed dim join stays exact under the prune
+    val dim = Seq((id(5L), "a"), (id(650L), "b")).toDF("doc_id", "tag")
+    dim.createOrReplaceTempView("dppstr_dim")
+    val q = spark.sql(
+      """SELECT f.doc_id, f.amt, d.tag
+        |FROM gtest.default.dppstr f JOIN dppstr_dim d ON f.doc_id = d.doc_id""".stripMargin)
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet ==
+      Set((id(5L), 50L, "a"), (id(650L), 6500L, "b")))
   }
 
   test("TopN pushdown plans only the files that can hold the top n") {

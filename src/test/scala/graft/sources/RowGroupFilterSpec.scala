@@ -93,6 +93,25 @@ class RowGroupFilterSpec extends AnyFunSuite {
     assert((59000L to 59500L).forall(gotSet.contains))
   }
 
+  test("runtime In sets skip row groups on integral and string keys") {
+    val t = s"$root/default/rgin"
+    val file = oneSortedFile(t, 60000L)
+    val schema = VersionedTable.read(spark, t).schema
+    val intPred = GraftRowGroupFilter.build(
+      schema, Map.empty, Map.empty, inSets = Map("k" -> Set(59999L, 3L)))
+    assert(intPred.nonEmpty)
+    val gotI = readAll(file, schema, intPred)
+    assert(gotI.size < 60000, "integral In set must skip row groups")
+    assert(gotI.contains(59999L) && gotI.contains(3L))
+    val strPred = GraftRowGroupFilter.build(
+      schema, Map.empty, Map.empty,
+      strInSets = Map("sk" -> Set("s00059999", "s00000003")))
+    assert(strPred.nonEmpty)
+    val gotS = readAll(file, schema, strPred)
+    assert(gotS.size < 60000, "string In set must skip row groups")
+    assert(gotS.contains(59999L) && gotS.contains(3L))
+  }
+
   test("SQL results stay exact through the filtered reader on a multi-group file") {
     val t = s"$root/default/rge"
     oneSortedFile(t, 60000L)
