@@ -693,8 +693,8 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.connector.read.LocalScan
 
   val names =
-    Seq("vacuum", "vacuum_orphans", "compact", "optimize", "optimize_where",
-      "zorder", "restore", "clone")
+    Seq("vacuum", "vacuum_time", "vacuum_orphans", "compact", "optimize",
+      "optimize_where", "zorder", "restore", "clone")
 
   def load(resolve: String => String, name: String): UnboundProcedure =
     name match {
@@ -703,6 +703,15 @@ private[sources] object GraftProcedures {
         StructType(Seq(StructField("files_deleted", IntegerType, nullable = false)))) {
         in => Array[Any](VersionedTable.vacuum(
           resolve(in.getUTF8String(0).toString), in.getInt(1)))
+      }
+      case "vacuum_time" => proc(name,
+        // Delta's RETAIN n HOURS as milliseconds: expire every version
+        // older than now - retain_ms; the head always survives
+        Seq("table" -> StringType, "retain_ms" -> LongType),
+        StructType(Seq(StructField("files_deleted", IntegerType, nullable = false)))) {
+        in => Array[Any](VersionedTable.vacuumOlderThan(
+          resolve(in.getUTF8String(0).toString),
+          System.currentTimeMillis() - in.getLong(1)))
       }
       case "vacuum_orphans" => proc(name,
         Seq("table" -> StringType, "older_than_ms" -> LongType),
@@ -2317,9 +2326,22 @@ private[sources] object GraftColumnStats {
       val ndv: Option[Long] =
         if (sketches.forall(_.contains(c))) {
           val u = new Union(12)
-          sketches.foreach(m => u.update(HllSketch.heapify(m(c))))
+          sketches.foreach(m => u.update(HllSketch.heapify(m(c).sketch)))
           Some(math.round(u.getResult.getEstimate))
         } else None
+      // string length stats: avg = total length / total non-nulls across
+      // the planned commits; max = max — estimates (commit-level, the
+      // scan may keep only some of a commit's files)
+      val lens: Option[(Long, Long)] = {
+        val per = sketches.map(_.get(c).flatMap(_.lenStats))
+        if (per.isEmpty || per.exists(_.isEmpty)) None
+        else {
+          val xs = per.flatten
+          val nn = xs.map(_._1).sum
+          if (nn <= 0) None
+          else Some((xs.map(_._2).sum / nn, xs.map(_._3).max))
+        }
+      }
       val nulls: Option[Long] = {
         val per = keptPaths.map { p =>
           for {
@@ -2344,7 +2366,7 @@ private[sources] object GraftColumnStats {
           case _ => None
         }
       }
-      if (ndv.isDefined || nulls.isDefined || minMax.isDefined)
+      if (ndv.isDefined || nulls.isDefined || minMax.isDefined || lens.isDefined)
         out.put(Expressions.column(rf.name), new ColumnStatistics {
           override def distinctCount(): OptionalLong =
             ndv.fold(OptionalLong.empty)(OptionalLong.of)
@@ -2354,6 +2376,10 @@ private[sources] object GraftColumnStats {
             minMax.fold(Optional.empty[Object])(p => Optional.of(p._1))
           override def max(): Optional[Object] =
             minMax.fold(Optional.empty[Object])(p => Optional.of(p._2))
+          override def avgLen(): OptionalLong =
+            lens.fold(OptionalLong.empty)(p => OptionalLong.of(math.max(1L, p._1)))
+          override def maxLen(): OptionalLong =
+            lens.fold(OptionalLong.empty)(p => OptionalLong.of(p._2))
         })
     }
     out

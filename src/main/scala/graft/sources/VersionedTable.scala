@@ -417,7 +417,13 @@ object VersionedTable {
           count(col(c)).as(s"g_nn_$c"))) ++
           strCols.flatMap(c => Seq(
             min(col(c)).as(s"g_smn_$c"),
-            max(col(c)).as(s"g_smx_$c"))) ++
+            max(col(c)).as(s"g_smx_$c"),
+            // length stats feed the planner's row-width estimate
+            sum(org.apache.spark.sql.functions.length(col(c)).cast("long"))
+              .as(s"g_sl_$c"),
+            max(org.apache.spark.sql.functions.length(col(c)))
+              .cast("long").as(s"g_ml_$c"),
+            count(col(c)).as(s"g_sn_$c"))) ++
           ndvCols.map(c =>
             org.apache.spark.sql.functions.hll_sketch_agg(col(c), NdvLgK)
               .as(s"g_hll_$c")))) ++
@@ -455,9 +461,23 @@ object VersionedTable {
                 any = true
               }
             }
-            if (any)
-              Some(s"$c\t${enc.encodeToString(u.getResult.toCompactByteArray)}")
-            else None
+            if (!any) None
+            else {
+              val b64 = enc.encodeToString(u.getResult.toCompactByteArray)
+              // string columns append length stats: non-null count,
+              // summed length, max length (commit-level, for avgLen)
+              val lenStats =
+                if (!strCols.contains(c)) ""
+                else {
+                  def sumL(f: String) = rows.map(r =>
+                    Option(r.getAs[Any](s"${f}_$c")).fold(0L)(_.asInstanceOf[Long])).sum
+                  val ml = rows.flatMap(r =>
+                    Option(r.getAs[Any](s"g_ml_$c")).map(_.asInstanceOf[Long]))
+                  s"\t${sumL("g_sn")}\t${sumL("g_sl")}\t${
+                    if (ml.isEmpty) 0L else ml.max}"
+                }
+              Some(s"$c\t$b64$lenStats")
+            }
           }
           if (lines.nonEmpty)
             Files.write(dataDir.resolve(".ndv.txt"), lines.asJava)
@@ -725,23 +745,33 @@ object VersionedTable {
     Paths.get(table, "data", dir, ".ndv.txt")
 
   private val ndvCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, Array[Byte]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, CommitColStat]]()
 
-  /** The commit dir's column→HLL-sketch-bytes map (empty when the commit
+  /** The commit dir's per-column statistics (empty when the commit
     * predates NDV recording). Cached — commit dirs are immutable.
     */
   private[sources] def commitNdvSketches(
-      table: String, dir: String): Map[String, Array[Byte]] =
+      table: String, dir: String): Map[String, CommitColStat] =
     ndvCache.computeIfAbsent((table, dir), { _ =>
       val f = ndvFile(table, dir)
       if (!Files.exists(f)) Map.empty
       else {
         val dec = java.util.Base64.getDecoder
         Files.readAllLines(f).asScala.flatMap { l =>
-          l.split("\t", 2) match {
-            case Array(c, b64) if c.nonEmpty =>
-              try Some(c -> dec.decode(b64))
-              catch { case _: IllegalArgumentException => None }
+          l.split("\t", -1).toSeq match {
+            case c +: b64 +: rest if c.nonEmpty =>
+              try {
+                val sk = dec.decode(b64)
+                val len = rest match {
+                  case Seq(nn, sl, ml) =>
+                    for {
+                      n <- nn.toLongOption; s <- sl.toLongOption
+                      m <- ml.toLongOption
+                    } yield (n, s, m)
+                  case _ => None
+                }
+                Some(c -> CommitColStat(sk, len))
+              } catch { case _: IllegalArgumentException => None }
             case _ => None
           }
         }.toMap
@@ -2174,6 +2204,32 @@ object VersionedTable {
     expired.foreach(v => resolvedEntries.remove((table, v)))
     val doomedDirs = doomed.map(_.split('/')(1))
     commitSchemas.keySet.removeIf(k => k._1 == table && doomedDirs.contains(k._2))
+    ndvCache.keySet.removeIf(k => k._1 == table && doomedDirs.contains(k._2))
     doomed.size
   }
+
+  /** TIME-based retention (Delta's `RETAIN n HOURS`): expire every
+    * version whose commit wall-time predates `cutoffMillis`, via
+    * [[vacuum]]'s retain-newest-N semantics. The retained set is the
+    * longest TRAILING run of versions at-or-after the cutoff (clock-step
+    * safe: one regressed timestamp can only retain more, never expire a
+    * newer version), and the head always survives. Pre-timestamp
+    * manifests count as retained — unknown age never expires data.
+    */
+  def vacuumOlderThan(table: String, cutoffMillis: Long): Int = {
+    val vs = versions(table)
+    if (vs.isEmpty) return 0
+    val keep = vs.reverse
+      .takeWhile(v => commitTimestamp(table, v).forall(_ >= cutoffMillis))
+      .size
+    vacuum(table, math.max(1, keep))
+  }
 }
+
+/** One column's commit-level statistics from the `.ndv.txt` sidecar: the
+  * HLL sketch bytes plus, for string columns, (non-null count, summed
+  * byte length, max byte length) — the inputs of the planner's
+  * avgLen/maxLen estimates.
+  */
+private[sources] case class CommitColStat(
+    sketch: Array[Byte], lenStats: Option[(Long, Long, Long)] = None)

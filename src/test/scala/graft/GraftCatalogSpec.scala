@@ -402,7 +402,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     // and the full set is SQL-discoverable
     assert(spark.sql("SHOW PROCEDURES IN gtest.system")
       .collect().map(_.getString(3)).toSet ==
-      Set("vacuum", "vacuum_orphans", "compact", "optimize",
+      Set("vacuum", "vacuum_time", "vacuum_orphans", "compact", "optimize",
         "optimize_where", "zorder", "restore", "clone"))
   }
 
@@ -643,8 +643,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     val gStats = byName.getOrElse("grp", fail("no column stats for grp"))
     val gNdv = gStats.distinctCount().getAsLong
     assert(gNdv >= 6L && gNdv <= 8L, s"grp has 7 distinct values, got $gNdv")
+    // string length stats: every grp value is 'gN' (2 bytes)
+    assert(gStats.avgLen().getAsLong == 2L && gStats.maxLen().getAsLong == 2L)
     // v was never a stats column: no sketch -> no distinct count claimed
     byName.get("v").foreach(vs => assert(!vs.distinctCount().isPresent))
+  }
+
+  test("CALL system.vacuum_time expires versions by wall-clock retention") {
+    val t = s"$root/default/vact"
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    VersionedTable.commit(df(2L -> "b"), t, append = true)
+    VersionedTable.commit(df(3L -> "c"), t, append = true)
+    // a huge retention window expires nothing
+    val kept = spark.sql(
+      "CALL gtest.system.vacuum_time('default.vact', 86400000)").collect()(0).getInt(0)
+    assert(kept == 0 && VersionedTable.versions(t).size == 3)
+    // zero retention keeps only the head (never less)
+    spark.sql("CALL gtest.system.vacuum_time('default.vact', 0)").collect()
+    assert(VersionedTable.versions(t) == Seq(3L),
+      "zero retention must retain exactly the head")
+    val rows = spark.sql("SELECT k FROM gtest.default.vact ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L, 2L, 3L), "the head snapshot survives intact")
   }
 
   test("string MIN/MAX push down from exact zone sides; truncation declines") {
