@@ -95,6 +95,7 @@ object SparkEntry {
     "q_maint_advisor" -> ((s, d) => Incremental.ordersMaintenanceAdvisor(t(s, d, "orders"))),
     "q_sql_fastcount" -> ((s, d) => Incremental.ordersSqlFastcount(t(s, d, "orders"))),
     "q_sql_fastminmax_str" -> ((s, d) => Incremental.ordersSqlFastMinMaxStr(t(s, d, "orders"))),
+    "q_sql_stats" -> ((s, d) => Incremental.ordersSqlStatsTable(t(s, d, "orders"))),
     "q_sql_spj" -> ((s, d) =>
       Incremental.ordersSqlBucketedJoin(t(s, d, "orders"), t(s, d, "customer"))),
     "q_sql_bucketed" -> ((s, d) =>
@@ -1647,6 +1648,27 @@ object SparkEntry {
         |       CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_price_c,
         |       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_price_c
         |FROM orders""".stripMargin,
+    // $stats metadata table: the exactly-reconstructible fields (null
+    // count, integral min/max) replayed from raw orders; string rows
+    // carry NULLs there (their NDV/length stats are estimates, pinned
+    // by GraftCatalogSpec instead).
+    "q_sql_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name,
+        |         CAST(count(*) - count(o_orderkey) AS BIGINT) AS null_count,
+        |         CAST(min(o_orderkey) AS BIGINT) AS min_long,
+        |         CAST(max(o_orderkey) AS BIGINT) AS max_long
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'price_c',
+        |         CAST(count(*) - count(o_totalprice) AS BIGINT),
+        |         min(CAST(round(o_totalprice * 100) AS BIGINT)),
+        |         max(CAST(round(o_totalprice * 100) AS BIGINT))
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'status', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |         CAST(NULL AS BIGINT)
+        |) ORDER BY col_name""".stripMargin,
     // STRING MIN/MAX from manifest arithmetic: exact (unstarred) string
     // zone sides answer the ungrouped extremes; DuckDB's varchar min/max
     // compares in the same bytewise order the zones record.

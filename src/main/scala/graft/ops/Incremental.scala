@@ -1044,6 +1044,34 @@ object Incremental {
          |FROM gtab.default.$name""".stripMargin)
   }
 
+  /** Registered q_sql_stats body: the `$stats` metadata table — per-column
+    * planner statistics (NDV / null count / min / max / lengths) served
+    * as a driver LocalScan from the manifests and `.ndv.txt` sidecars
+    * alone. The oracle replays the EXACTLY-reconstructible fields (null
+    * count and integral min/max; string rows carry NULLs there — their
+    * NDV/length stats are estimates pinned by the spec instead), so hash
+    * equality proves the metadata-derived numbers equal the data.
+    */
+  def ordersSqlStatsTable(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlst:$inputKey"), { _ =>
+      val n = s"orders_st_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      graft.sources.VersionedTable.commit(
+        orders.select(col("o_orderkey"),
+            col("o_orderstatus").as("status"),
+            cents(col("o_totalprice")).as("price_c"))
+          .repartitionByRange(8, col("o_orderkey")),
+        s"$root/default/$n", append = false,
+        statsCols = Seq("o_orderkey", "status", "price_c"))
+      n
+    })
+    spark.sql(
+      s"""SELECT column AS col_name, null_count, min_long, max_long
+         |FROM gtab.default.`$name$$stats` ORDER BY col_name""".stripMargin)
+  }
+
   /** Registered q_sql_fastminmax_str body: STRING MIN/MAX answered from
     * manifest arithmetic — the short status/priority strings record
     * EXACT (unstarred) zone sides at commit, so the ungrouped extremes

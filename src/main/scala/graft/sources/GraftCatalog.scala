@@ -155,6 +155,14 @@ class GraftCatalog extends TableCatalog
       return new GraftFilesTable(dirOf(base).toString, version,
         s"$catName.${(ident.namespace() :+ ident.name()).mkString(".")}")
     }
+    // `t$stats`: one row per column with the planner-grade statistics
+    // (NDV, null count, min/max, avg/max length) from metadata alone
+    if (ident.name().endsWith("$stats")) {
+      val base = Identifier.of(ident.namespace(), ident.name().stripSuffix("$stats"))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new GraftStatsTable(dirOf(base).toString, version,
+        s"$catName.${(ident.namespace() :+ ident.name()).mkString(".")}")
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftCatalogTable(dirOf(ident).toString, version,
       s"$catName.${(ident.namespace() :+ ident.name()).mkString(".")}")
@@ -1143,6 +1151,70 @@ class GraftFilesTable(table: String, version: Option[Long], ident: String)
                   rows.map(Long.box).orNull, tombs,
                   UTF8String.fromString(zones))): InternalRow
             }.toArray
+        }
+    }
+}
+
+/** The `$stats` metadata table: one row per column of the pinned
+  * snapshot's (logical) schema with the planner-grade statistics the
+  * manifests and `.ndv.txt` sidecars already hold — NDV estimate (HLL
+  * union across commits), null count and exact min/max from the
+  * integral zone/NN segments, avg/max byte length for strings. A
+  * driver-LocalScan like `$files`: inspecting statistics never opens a
+  * data file nor schedules an executor task, and `VERSION AS OF` shows
+  * how they drift across snapshots.
+  */
+class GraftStatsTable(table: String, version: Option[Long], ident: String)
+    extends Table with SupportsRead {
+  private val statsSchema = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("ndv_estimate", LongType, nullable = true),
+    StructField("null_count", LongType, nullable = true),
+    StructField("min_long", LongType, nullable = true),
+    StructField("max_long", LongType, nullable = true),
+    StructField("avg_len", LongType, nullable = true),
+    StructField("max_len", LongType, nullable = true)))
+  override def name(): String = version.fold(ident)(v => s"$ident@v$v")
+  override def schema(): StructType = statsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = statsSchema
+          override def description(): String = s"graft-stats $table"
+          override def rows(): Array[InternalRow] = {
+            val spark = SparkSession.active
+            val phys = VersionedTable.snapshotSchema(spark, table, version)
+            val rep = VersionedTable.logicalizeSchema(table, phys)
+            val paths = VersionedTable.snapshotFiles(table, version).map(_._1)
+            val cs = GraftColumnStats.forScan(table, version, paths, phys, rep)
+            val byName = {
+              import scala.jdk.CollectionConverters._
+              cs.asScala.map { case (ref, v) => ref.describe() -> v }.toMap
+            }
+            rep.fields.map { f =>
+              val st = byName.get(f.name)
+              def opt(g: org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+                  => java.util.OptionalLong): Any =
+                st.map(g).filter(_.isPresent).map(o => Long.box(o.getAsLong)).orNull
+              def mm(hi: Boolean): Any =
+                st.flatMap { s =>
+                  val o = if (hi) s.max() else s.min()
+                  if (!o.isPresent) None else o.get() match {
+                    case l: java.lang.Long    => Some(Long.box(l))
+                    case i: java.lang.Integer => Some(Long.box(i.longValue()))
+                    case _                    => None
+                  }
+                }.orNull
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(f.name),
+                opt(_.distinctCount()), opt(_.nullCount()),
+                mm(hi = false), mm(hi = true),
+                opt(_.avgLen()), opt(_.maxLen()))): InternalRow
+            }
+          }
         }
     }
 }

@@ -649,6 +649,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     byName.get("v").foreach(vs => assert(!vs.distinctCount().isPresent))
   }
 
+  test("$stats metadata table serves per-column statistics as a driver-local scan") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/stt"
+    VersionedTable.commit(
+      (1L to 500L).map(k => (k, s"name-$k")).toDF("k", "nm"),
+      t, append = false, statsCols = Seq("k", "nm"))
+    VersionedTable.commit(
+      (501L to 600L).map(k => (k, s"name-$k")).toDF("k", "nm"),
+      t, append = true, statsCols = Seq("k", "nm"))
+    val rows = spark.sql(
+      "SELECT column, ndv_estimate, null_count, min_long, max_long, avg_len, max_len " +
+        "FROM gtest.default.`stt$stats` ORDER BY column").collect()
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    val k = byCol("k")
+    assert(math.abs(k.getLong(1) - 600L) <= 30L, s"k NDV ~600, got ${k.getLong(1)}")
+    assert(k.getLong(2) == 0L && k.getLong(3) == 1L && k.getLong(4) == 600L)
+    val nm = byCol("nm")
+    assert(math.abs(nm.getLong(1) - 600L) <= 30L)
+    assert(nm.isNullAt(3) && nm.isNullAt(4), "no integral zone for a string")
+    assert(nm.getLong(6) == "name-600".length.toLong, "max_len measured")
+    assert(nm.getLong(5) >= 6L && nm.getLong(5) <= 8L, "avg_len measured")
+    // the scan is driver-local: no executor task
+    val plan = spark.sql("SELECT * FROM gtest.default.`stt$stats`")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") || plan.contains("graft-stats"),
+      s"expected a driver-local scan:\n$plan")
+    // VERSION AS OF pins the older snapshot's statistics
+    val v1 = spark.sql(
+      "SELECT max_long FROM gtest.default.`stt$stats` VERSION AS OF 1 " +
+        "WHERE column = 'k'").collect()(0).getLong(0)
+    assert(v1 == 500L, "time-traveled stats must reflect the pinned snapshot")
+  }
+
   test("CALL system.vacuum_time expires versions by wall-clock retention") {
     val t = s"$root/default/vact"
     VersionedTable.commit(df(1L -> "a"), t, append = false)
