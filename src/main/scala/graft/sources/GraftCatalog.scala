@@ -371,6 +371,22 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
   }
   override def name(): String =
     version.fold(ident)(v => s"$ident@v$v")
+  // DESCRIBE TABLE EXTENDED surfaces the table's operational state from
+  // metadata alone: head version, commit count, bucket layout, whether a
+  // column mapping (RENAME/DROP COLUMN history) is active
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    val vs = VersionedTable.versions(table)
+    vs.lastOption.foreach(v => m.put("graft.head-version", v.toString))
+    m.put("graft.commits", vs.size.toString)
+    bucket.foreach { case (c, n) =>
+      m.put("graft.bucket-column", c)
+      m.put("graft.bucket-count", n.toString)
+    }
+    if (VersionedTable.logicalToPhysical(table).nonEmpty)
+      m.put("graft.column-mapping", "name")
+    m
+  }
   // the O(commits) footer union, not a full-scan inference: picks up
   // ADD COLUMN evolution (old files null-fill) and stays metadata-cheap.
   // Served under LOGICAL names: renamed columns surface as renamed,

@@ -649,6 +649,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     byName.get("v").foreach(vs => assert(!vs.distinctCount().isPresent))
   }
 
+  test("table properties expose the operational state to DESCRIBE") {
+    val t = s"$root/default/props"
+    VersionedTable.commit(df(1L -> "a"), t, append = false)
+    VersionedTable.commit(df(2L -> "b"), t, append = true)
+    val p = new graft.sources.GraftCatalogTable(t, None, "gtest.default.props")
+      .properties()
+    assert(p.get("graft.head-version") == "2" && p.get("graft.commits") == "2")
+    assert(!p.containsKey("graft.bucket-column"))
+    // and DESCRIBE EXTENDED renders them
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED gtest.default.props")
+      .collect().map(r => s"${r.getString(0)}|${r.getString(1)}").mkString("\n")
+    assert(desc.contains("graft.head-version=2"), s"missing property in:\n$desc")
+  }
+
   test("$stats metadata table serves per-column statistics as a driver-local scan") {
     val s = spark; import s.implicits._
     val t = s"$root/default/stt"
