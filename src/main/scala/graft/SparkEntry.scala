@@ -96,6 +96,7 @@ object SparkEntry {
     "q_sql_fastcount" -> ((s, d) => Incremental.ordersSqlFastcount(t(s, d, "orders"))),
     "q_sql_fastminmax_str" -> ((s, d) => Incremental.ordersSqlFastMinMaxStr(t(s, d, "orders"))),
     "q_sql_stats" -> ((s, d) => Incremental.ordersSqlStatsTable(t(s, d, "orders"))),
+    "q_sql_clustered" -> ((s, d) => Incremental.ordersSqlClustered(t(s, d, "orders"))),
     "q_sql_spj" -> ((s, d) =>
       Incremental.ordersSqlBucketedJoin(t(s, d, "orders"), t(s, d, "customer"))),
     "q_sql_bucketed" -> ((s, d) =>
@@ -1648,6 +1649,14 @@ object SparkEntry {
         |       CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_price_c,
         |       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_price_c
         |FROM orders""".stripMargin,
+    // Clustered-on-write (graft.cluster-by): the SQL INSERT range-
+    // partitions + sorts before writing; the pruned range read replays
+    // as the plain filter — layout changes, content never.
+    "q_sql_clustered" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders WHERE o_orderkey BETWEEN 5000 AND 8000
+        |ORDER BY o_orderkey""".stripMargin,
     // $stats metadata table: the exactly-reconstructible fields (null
     // count, integral min/max) replayed from raw orders; string rows
     // carry NULLs there (their NDV/length stats are estimates, pinned

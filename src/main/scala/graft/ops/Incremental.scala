@@ -1044,6 +1044,39 @@ object Incremental {
          |FROM gtab.default.$name""".stripMargin)
   }
 
+  /** Registered q_sql_clustered body: CLUSTERED-ON-WRITE tables — the
+    * `graft.cluster-by` table property makes the SQL INSERT declare an
+    * ordered distribution, so Spark range-partitions + sorts the rows
+    * before the writers and every staged file carries a tight, disjoint
+    * zone range from birth (no OPTIMIZE run anywhere in this fixture).
+    * The read is the same pruned range query as q_sql_pruned; the oracle
+    * is the plain filter — equality proves the write-side layout changed
+    * nothing but the file boundaries.
+    */
+  def ordersSqlClustered(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlcl:$inputKey"), { _ =>
+      val n = s"orders_cl_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n
+           |(o_orderkey BIGINT, status STRING, price_c BIGINT)
+           |TBLPROPERTIES('graft.cluster-by'='o_orderkey')""".stripMargin)
+      orders.createOrReplaceTempView(s"g_cl_src_$n")
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT o_orderkey, o_orderstatus,
+           |       CAST(round(o_totalprice * 100) AS BIGINT)
+           |FROM g_cl_src_$n""".stripMargin)
+      n
+    })
+    spark.sql(
+      s"""SELECT o_orderkey, status, price_c FROM gtab.default.$name
+         |WHERE o_orderkey BETWEEN 5000 AND 8000
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Registered q_sql_stats body: the `$stats` metadata table — per-column
     * planner statistics (NDV / null count / min / max / lengths) served
     * as a driver LocalScan from the manifests and `.ndv.txt` sidecars

@@ -207,12 +207,24 @@ class GraftCatalog extends TableCatalog
           s"got ${other.mkString(", ")}; cluster data with " +
           s"CALL $catName.system.optimize/zorder instead")
     }
+    // declarative clustering: TBLPROPERTIES('graft.cluster-by'='col')
+    // makes every SQL INSERT range-partition + sort on the column before
+    // writing, so files carry tight disjoint zone maps from birth
+    val clusterBy = Option(properties.get("graft.cluster-by")).map { c =>
+      require(schema.fields.exists(_.name == c),
+        s"graft.cluster-by column $c is not a column of the table")
+      require(bucketSpec.isEmpty,
+        "bucket placement and cluster-on-write ordering cannot coexist")
+      c
+    }
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     // spec FIRST: the schema carrier must nest under a bucket subtree
     bucketSpec.foreach { case (c, n) =>
       VersionedTable.recordBucketSpec(dirOf(ident).toString, c, n)
     }
+    clusterBy.foreach(c =>
+      VersionedTable.recordClusterSpec(dirOf(ident).toString, c))
     VersionedTable.commitSchemaOnly(dirOf(ident).toString, schema, append = false)
     loadTable(ident)
   }
@@ -383,6 +395,7 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
       m.put("graft.bucket-column", c)
       m.put("graft.bucket-count", n.toString)
     }
+    VersionedTable.clusterSpec(table).foreach(c => m.put("graft.cluster-by", c))
     if (VersionedTable.logicalToPhysical(table).nonEmpty)
       m.put("graft.column-mapping", "name")
     m
@@ -1251,8 +1264,30 @@ class GraftWriteBuilder(
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = bucket match {
-    case None => new Write {
-      override def toBatch: BatchWrite = new GraftBatchWrite(table, schema, overwrite)
+    case None => VersionedTable.clusterSpec(table) match {
+      case Some(c) if schema.fieldNames.contains(c) =>
+        // clustered-on-write: an ORDERED distribution (Spark range-
+        // partitions the incoming rows) plus an in-partition sort, so
+        // every staged file covers one tight, disjoint key range and the
+        // commit's zone maps prune from birth — no OPTIMIZE needed for
+        // the common selective read. Correctness never depends on it:
+        // the distribution shapes file layout only.
+        new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+          import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, SortDirection, NullOrdering}
+          private def order: Array[SortOrder] = Array(Expressions.sort(
+            Expressions.column(c), SortDirection.ASCENDING,
+            NullOrdering.NULLS_FIRST))
+          override def requiredDistribution(): Distribution =
+            Distributions.ordered(order)
+          override def requiredNumPartitions(): Int = 0 // planner's choice
+          override def requiredOrdering(): Array[SortOrder] = order
+          override def toBatch: BatchWrite =
+            new GraftBatchWrite(table, schema, overwrite)
+        }
+      case _ => new Write {
+        override def toBatch: BatchWrite = new GraftBatchWrite(table, schema, overwrite)
+      }
     }
     case Some((c, n)) =>
       // a bucketed write REQUIRES a clustered distribution on the table's
@@ -2536,7 +2571,11 @@ private[sources] object GraftRowGroupFilter {
       ps.reduce(FilterApi.or)
     val inPreds: Seq[FilterPredicate] =
       inSets.toSeq.sortBy(_._1).flatMap { case (c, vs) =>
-        required.fields.find(_.name == c).map(_.dataType) match {
+        // an EMPTY admissible set (contradictory runtime filters) matches
+        // nothing; file-level pruning already planned zero work — don't
+        // build an un-reducible empty OR here
+        if (vs.isEmpty) Nil
+        else required.fields.find(_.name == c).map(_.dataType) match {
           case Some(LongType) =>
             val col = FilterApi.longColumn(c)
             if (vs.size <= OrOfEqCap)
@@ -2563,7 +2602,8 @@ private[sources] object GraftRowGroupFilter {
       }
     val strInPreds: Seq[FilterPredicate] =
       strInSets.toSeq.sortBy(_._1).flatMap { case (c, vs) =>
-        if (!required.fields.exists(f => f.name == c && f.dataType == StringType))
+        if (vs.isEmpty ||
+          !required.fields.exists(f => f.name == c && f.dataType == StringType))
           Nil
         else {
           val col = FilterApi.binaryColumn(c)

@@ -1411,6 +1411,11 @@ object VersionedTable {
     */
   private[sources] def recordBucketSpec(
       table: String, bucketCol: String, nBuckets: Int): Unit = {
+    clusterSpec(table).foreach { c =>
+      throw new UnsupportedOperationException(
+        s"$table clusters on write by $c: bucket placement and " +
+          "cluster-on-write ordering cannot coexist")
+    }
     if (!Files.exists(bucketSpecFile(table))) {
       Files.createDirectories(manifestDir(table))
       val tmp = manifestDir(table).resolve(
@@ -1424,6 +1429,53 @@ object VersionedTable {
       if (c != bucketCol || n != nBuckets)
         throw new java.util.ConcurrentModificationException(
           s"$table is bucketed by ($c, $n); cannot record ($bucketCol, $nBuckets)")
+    }
+  }
+
+  // ---- Declarative clustering (clustered-on-WRITE tables) ----
+  //
+  // A recorded cluster column makes EVERY SQL INSERT declare an ordered
+  // distribution on it (Spark range-partitions and sorts the rows before
+  // they reach the writers), so the staged files carry tight, disjoint
+  // zone maps from birth — planning-time pruning, TopN file planning,
+  // and in-file row-group skipping are effective WITHOUT ever running
+  // OPTIMIZE. The Delta-liquid-ish "clustering as a table property, not
+  // a maintenance job" shape, at commit granularity: each commit's files
+  // are internally clustered; OPTIMIZE still consolidates across commits.
+
+  private def clusterSpecFile(table: String): Path =
+    manifestDir(table).resolve("clusterspec.txt")
+
+  /** The table's declared cluster-on-write column, if any. */
+  def clusterSpec(table: String): Option[String] = {
+    val f = clusterSpecFile(table)
+    if (!Files.exists(f)) None
+    else Files.readAllLines(f).asScala.headOption.filter(_.nonEmpty)
+  }
+
+  /** Record the cluster-on-write column atomically-if-absent (same
+    * link-as-CAS discipline as [[recordBucketSpec]]); refused on a
+    * bucketed table — the two layouts prescribe conflicting placements.
+    */
+  private[sources] def recordClusterSpec(table: String, col: String): Unit = {
+    bucketSpec(table).foreach { case (c, n) =>
+      throw new UnsupportedOperationException(
+        s"$table is bucketed by ($c, $n): bucket placement and " +
+          "cluster-on-write ordering cannot coexist")
+    }
+    if (!Files.exists(clusterSpecFile(table))) {
+      Files.createDirectories(manifestDir(table))
+      val tmp = manifestDir(table).resolve(
+        s"clusterspec.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, java.util.List.of(col))
+      try Files.createLink(clusterSpecFile(table), tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally { Files.deleteIfExists(tmp); () }
+    }
+    clusterSpec(table).foreach { c =>
+      if (c != col)
+        throw new java.util.ConcurrentModificationException(
+          s"$table clusters on $c; cannot record $col")
     }
   }
 
@@ -1762,6 +1814,11 @@ object VersionedTable {
       require(physName(table, column) != c,
         s"cannot $verb $column: $table is bucketed by it — the bucket " +
           "layout and storage-partitioned joins key on that column")
+    }
+    clusterSpec(table).foreach { c =>
+      require(physName(table, column) != c,
+        s"cannot $verb $column: $table clusters on write by it — the " +
+          "SQL INSERT distribution keys on that column")
     }
     constraints(table).foreach { case (n, e) =>
       require(!s"\\b${java.util.regex.Pattern.quote(column)}\\b".r

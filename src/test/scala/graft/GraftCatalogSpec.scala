@@ -649,6 +649,68 @@ class GraftCatalogSpec extends AnyFunSuite {
     byName.get("v").foreach(vs => assert(!vs.distinctCount().isPresent))
   }
 
+  test("column statistics reach the Catalyst optimizer under CBO") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/cbo"
+    VersionedTable.commit(
+      (1L to 400L).map(k => (k, s"c${k % 5}")).toDF("k", "cat"),
+      t, append = false, statsCols = Seq("k", "cat"))
+    val before = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val plan = spark.sql("SELECT k, cat FROM gtest.default.cbo")
+        .queryExecution.optimizedPlan
+      val st = plan.stats
+      assert(st.rowCount.contains(BigInt(400)),
+        s"manifest row count must reach the optimizer, got ${st.rowCount}")
+      val attrs = st.attributeStats.toSeq.map { case (a, cs) => a.name -> cs }.toMap
+      val kCs = attrs.getOrElse("k", fail(s"no attribute stats for k: ${attrs.keys}"))
+      assert(kCs.distinctCount.exists(d => (d - 400).abs <= 20),
+        s"NDV must reach the optimizer, got ${kCs.distinctCount}")
+      assert(kCs.min.contains(1L) && kCs.max.contains(400L))
+      val cCs = attrs.getOrElse("cat", fail("no attribute stats for cat"))
+      assert(cCs.distinctCount.exists(d => d >= 4 && d <= 6))
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None    => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
+  test("graft.cluster-by: SQL INSERTs range-cluster and sort on write") {
+    val s = spark; import s.implicits._
+    val r = root // force catalog registration before any SQL
+    spark.sql(
+      """CREATE TABLE gtest.default.clw (k BIGINT, v STRING)
+        |TBLPROPERTIES('graft.cluster-by'='k')""".stripMargin)
+    // scrambled source: hash order, nothing presorted
+    (1L to 800L).map(k => (k * 48271 % 800, s"v$k")).toDF("k", "v")
+      .createOrReplaceTempView("clw_src")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // keep 32 range parts
+    try spark.sql("INSERT INTO gtest.default.clw SELECT k, v FROM clw_src")
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    // the ordered write distribution left DISJOINT per-file key ranges:
+    // a selective range read prunes most files at planning time
+    val q = spark.sql(
+      "SELECT k FROM gtest.default.clw WHERE k BETWEEN 100 AND 140")
+    val desc = q.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+      .getOrElse(fail(s"no graft-catalog scan in:\n$desc"))
+    assert(m.group(2).toInt > 4, s"expected several files, got ${m.group(2)}")
+    assert(m.group(1).toInt * 2 <= m.group(2).toInt,
+      s"clustered-on-write must prune, got files=${m.group(1)}/${m.group(2)}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 800L).map(k => k * 48271 % 800).filter(k => k >= 100 && k <= 140).sorted)
+    // the property is DESCRIBE-visible and the cluster column is pinned
+    val p = new graft.sources.GraftCatalogTable(
+      s"$root/default/clw", None, "gtest.default.clw").properties()
+    assert(p.get("graft.cluster-by") == "k")
+    val ex = intercept[Exception](spark.sql(
+      "ALTER TABLE gtest.default.clw RENAME COLUMN k TO kk"))
+    assert(ex.getMessage.contains("clusters on write"),
+      s"renaming the cluster column must be refused: ${ex.getMessage}")
+  }
+
   test("table properties expose the operational state to DESCRIBE") {
     val t = s"$root/default/props"
     VersionedTable.commit(df(1L -> "a"), t, append = false)

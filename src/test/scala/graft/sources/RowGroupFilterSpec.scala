@@ -112,6 +112,18 @@ class RowGroupFilterSpec extends AnyFunSuite {
     assert(gotS.contains(59999L) && gotS.contains(3L))
   }
 
+  test("empty In sets (contradictory runtime filters) build no predicate, never crash") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sk",
+        org.apache.spark.sql.types.StringType)))
+    assert(GraftRowGroupFilter.build(schema, Map.empty, Map.empty,
+      inSets = Map("k" -> Set.empty[Long])).isEmpty)
+    assert(GraftRowGroupFilter.build(schema, Map.empty, Map.empty,
+      strInSets = Map("sk" -> Set.empty[String])).isEmpty)
+  }
+
   test("SQL results stay exact through the filtered reader on a multi-group file") {
     val t = s"$root/default/rge"
     oneSortedFile(t, 60000L)
