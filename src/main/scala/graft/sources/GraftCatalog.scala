@@ -2204,7 +2204,14 @@ class GraftTableScan(
     if (strBounds.isEmpty)
       Map.empty[String, Map[String, (Array[Byte], Option[Array[Byte]])]]
     else VersionedTable.snapshotStrStats(table, version)
+  // footer-counted ZERO-ROW files (schema carriers, emptied rewrites)
+  // hold nothing under any tombstone set — drop them from planning, so
+  // they never decline TopN/LIMIT planning nor open a reader
+  private lazy val zeroRows: Set[String] =
+    VersionedTable.snapshotFiles(table, version)
+      .collect { case (p, _, Some(0L), _, _) => p }.toSet
   private lazy val pruned = layout.filter { case (path, _, _, stats) =>
+    !zeroRows.contains(path) &&
     bounds.forall { case (c, (lo, hi)) =>
       stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
     } && strBounds.forall { case (c, b) =>

@@ -709,6 +709,19 @@ class GraftCatalogSpec extends AnyFunSuite {
       "ALTER TABLE gtest.default.clw RENAME COLUMN k TO kk"))
     assert(ex.getMessage.contains("clusters on write"),
       s"renaming the cluster column must be refused: ${ex.getMessage}")
+    // cross-feature: TopN pushdown composes — ORDER BY DESC LIMIT over
+    // the freshly-inserted (never optimized) table plans only the files
+    // that can hold the top n
+    val qt = spark.sql(
+      "SELECT k FROM gtest.default.clw ORDER BY k DESC LIMIT 5")
+    val mt = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(qt.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no scan"))
+    assert(mt.group(1).toInt <= 2,
+      s"TopN over clustered-on-write must open ~1 file, got files=${mt.group(1)}/${mt.group(2)}")
+    val top = qt.collect().map(_.getLong(0)).toSeq
+    val all = (1L to 800L).map(k => k * 48271 % 800).sorted.reverse.take(5)
+    assert(top == all, s"TopN result exact: $top vs $all")
   }
 
   test("table properties expose the operational state to DESCRIBE") {
