@@ -1841,7 +1841,15 @@ class GraftBucketedScan(
   }
 
   private lazy val perBucket: Map[Int, Seq[(String, Seq[String])]] = {
-    val layout = VersionedTable.bucketLayout(table, version, nBuckets)
+    val layout0 = VersionedTable.bucketLayout(table, version, nBuckets)
+    // drop footer-counted zero-row files (schema carriers) — same rule
+    // as the flat scan; bucket ids all stay (SPJ alignment), only their
+    // file lists shrink
+    val zeroRows: Set[String] = VersionedTable.snapshotFiles(table, version)
+      .collect { case (p, _, Some(0L), _, _) => p }.toSet
+    val layout =
+      if (zeroRows.isEmpty) layout0
+      else layout0.view.mapValues(_.filterNot(f => zeroRows.contains(f._1))).toMap
     if (bounds.isEmpty && strBounds.isEmpty) layout
     else {
       val statsOf = VersionedTable.snapshotLayout(table, version)
