@@ -746,7 +746,7 @@ object SparkEntry {
       """)
     }),
     "q_docs_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(t(s, d, "documents"))),
-    "q_docs_temp_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(t(s, d, "documents"))),
+    "q_docs_lang_mixture" -> ((s, d) => TextAnalysis.langTemperatureMixture(t(s, d, "documents"))),
     "q_docs_curation" -> ((s, d) => TextAnalysis.curationPipeline(t(s, d, "documents"))),
     "q_docs_accounting" -> ((s, d) => TextAnalysis.corpusAccounting(t(s, d, "documents"))),
     "q_docs_cms" -> ((s, d) => TextAnalysis.countMinSketch(t(s, d, "documents"))),
@@ -3388,7 +3388,7 @@ object SparkEntry {
     // √n is one correctly-rounded IEEE op (identical across engines); the
     // denominator Σ√n is quantized to a 1e-6 integer grid before summing so
     // the only float-order-sensitive step becomes exact integer math
-    "q_docs_temp_mixture" ->
+    "q_docs_lang_mixture" ->
       """WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
         |q AS (SELECT lang, n_docs,
         |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q

@@ -798,7 +798,7 @@ object TextAnalysis {
     * the rank window shuffles one (doc_id, lang, hash) row per doc — no
     * full-text movement; targets broadcast.
     */
-  def temperatureMixture(documents: DataFrame, budget: Int = 200): DataFrame = {
+  def langTemperatureMixture(documents: DataFrame, budget: Int = 200): DataFrame = {
     val counts = documents.groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .withColumn("q",
         floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0) + lit(0.5)).cast("long"))
