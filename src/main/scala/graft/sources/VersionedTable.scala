@@ -1156,8 +1156,13 @@ object VersionedTable {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed versions at $table")
     val basis = vs.last
-    commitCore(read(spark, table, Some(basis)), table, append = false,
-      txnId = None, expectedLatest = Some(basis))
+    val snap = read(spark, table, Some(basis))
+    // a compaction is the one rewrite every file passes through — record
+    // the FULL default stats set (integral + string zones, NDV sketches)
+    // so maintenance upgrades old pre-stats files instead of erasing them
+    commitCore(snap, table, append = false,
+      txnId = None, expectedLatest = Some(basis),
+      statsCols = defaultStatsCols(snap.schema))
       .fold(identity, identity)
   }
 
@@ -1323,7 +1328,8 @@ object VersionedTable {
     val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     commitCore(snap.repartitionByRange(parts, col(clusterBy)), table,
       append = false, txnId = None, expectedLatest = Some(basis),
-      statsCols = Seq(clusterBy)).fold(identity, identity)
+      statsCols = (defaultStatsCols(snap.schema) :+ clusterBy).distinct)
+      .fold(identity, identity)
   }
 
   /** OPTIMIZE ZORDER: rewrite the head clustered on the MORTON
@@ -1643,7 +1649,8 @@ object VersionedTable {
     val dirName = s"c${next}_$token"
     val fileEntries = writeFiles(
       frame.repartitionByRange(parts, col(pc)).sortWithinPartitions(pc),
-      table, dirName, Seq(pc), constraints(table))
+      table, dirName, (defaultStatsCols(frame.schema) :+ pc).distinct,
+      constraints(table))
     val removals = touched.map(e => s"R:${entryPath(e)}")
     val fresh = fileEntries.map(nm => s"data/$dirName/$nm")
     if (!tryPublish(table, next, removals ++ fresh, None, carry = Some(basis))) {
@@ -2163,10 +2170,25 @@ object VersionedTable {
           Files.copy(from, to); ()
       }
     }
+    // the referenced commit dirs' .ndv.txt sidecars ride along, so the
+    // clone keeps its planner column statistics (hard-linked like data)
+    entries.map(entryPath(_).split("/")(1)).distinct.foreach { dir =>
+      val f = ndvFile(src, dir)
+      if (Files.exists(f)) {
+        val t = ndvFile(dst, dir)
+        try { Files.createLink(t, f); () }
+        catch {
+          case _: UnsupportedOperationException | _: SecurityException |
+               _: java.nio.file.FileSystemException =>
+            if (!Files.exists(t)) { Files.copy(f, t); () }
+        }
+      }
+    }
     Files.createDirectories(manifestDir(dst))
     Seq(constraintsFile(src) -> constraintsFile(dst),
         bucketSpecFile(src) -> bucketSpecFile(dst),
-        colMapFile(src) -> colMapFile(dst)).foreach { case (f, t) =>
+        colMapFile(src) -> colMapFile(dst),
+        clusterSpecFile(src) -> clusterSpecFile(dst)).foreach { case (f, t) =>
       if (Files.exists(f)) { Files.copy(f, t); () }
     }
     require(tryPublish(dst, 1L, entries, None, carry = None),

@@ -110,7 +110,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // 97 docs: 81 'a' + 16 'b' ⇒ √-shares 9:4 ⇒ targets 27 and 12 of 39
     val docs = ((1 to 81).map(i => (i.toLong, "a")) ++ (1 to 16).map(i => (100L + i, "b")))
       .toDF("doc_id", "lang")
-    val out = TextAnalysis.temperatureMixture(docs, budget = 39)
+    val out = TextAnalysis.langTemperatureMixture(docs, budget = 39)
     val perLang = out.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(perLang == Map("a" -> 27L, "b" -> 12L))

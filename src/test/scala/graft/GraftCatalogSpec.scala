@@ -771,6 +771,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(v1 == 500L, "time-traveled stats must reflect the pinned snapshot")
   }
 
+  test("compaction upgrades stat-less files with zone maps and NDV sketches") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/upg"
+    // committed WITHOUT stats: no zones, no sketches, $stats knows nothing
+    VersionedTable.commit(
+      (1L to 400L).map(k => (k, s"u$k")).toDF("k", "u"), t, append = false)
+    def ndv(): Option[Long] = {
+      val r = spark.sql(
+        "SELECT ndv_estimate FROM gtest.default.`upg$stats` WHERE column = 'k'")
+        .collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    assert(ndv().isEmpty, "pre-stats files must claim no NDV")
+    VersionedTable.compact(spark, t)
+    val after = ndv().getOrElse(fail("compaction must record NDV sketches"))
+    assert(math.abs(after - 400L) <= 20L, s"NDV ~400 after compaction, got $after")
+    // content untouched
+    assert(spark.sql("SELECT count(*) FROM gtest.default.upg")
+      .collect()(0).getLong(0) == 400L)
+  }
+
   test("CALL system.vacuum_time expires versions by wall-clock retention") {
     val t = s"$root/default/vact"
     VersionedTable.commit(df(1L -> "a"), t, append = false)
