@@ -2356,13 +2356,84 @@ class GraftCatalogReaderFactory(
   }
 }
 
+/** Membership structure for a tombstone file's doomed keys. The dominant
+  * integral/floating/boolean case is PRIMITIVE-SPECIALIZED
+  * ([[LongDoomedKeys]]): every key normalizes to a long bit pattern and
+  * membership is a binary search over one sorted `long[]` — 8 flat bytes
+  * per key, no per-key object headers, no GC pressure, so even a
+  * maximum-size tombstone (see [[VersionedTable.MorMaxDeleteKeys]]) costs
+  * a reader task tens of megabytes, not gigabytes of boxed objects.
+  * String keys keep a hash set ([[StringDoomedKeys]]) — they are
+  * variable-width by nature and bounded by the same delete-size gate.
+  */
+private[sources] sealed trait DoomedKeys {
+  def size: Int
+  /** Boxed-probe membership — the row (Group API) reader's path. */
+  def contains(v: Any): Boolean
+}
+
+private[sources] object DoomedKeys {
+  // the normalization family a LongDoomedKeys was built from; probes of a
+  // different family never match (a double's bit pattern must not doom a
+  // long key — the old boxed HashSet had the same cross-type immunity)
+  final val KindLong = 0
+  final val KindInt = 1
+  final val KindDouble = 2
+  final val KindFloat = 3
+  final val KindBool = 4
+}
+
+/** Sorted-long-bits membership. Doubles/floats normalize through their
+  * IEEE bit patterns (`doubleToLongBits` canonicalizes NaN), matching the
+  * equality `java.lang.Double.equals` gave the old boxed representation
+  * exactly: NaN == NaN, -0.0 != 0.0.
+  */
+private[sources] final class LongDoomedKeys(
+    val kind: Int, sorted: Array[Long]) extends DoomedKeys {
+  import DoomedKeys._
+  override def size: Int = sorted.length
+  def containsBits(v: Long): Boolean =
+    java.util.Arrays.binarySearch(sorted, v) >= 0
+  override def contains(v: Any): Boolean = v match {
+    case l: java.lang.Long =>
+      kind == KindLong && containsBits(l.longValue)
+    case i: java.lang.Integer =>
+      kind == KindInt && containsBits(i.longValue)
+    case d: java.lang.Double =>
+      kind == KindDouble &&
+        containsBits(java.lang.Double.doubleToLongBits(d.doubleValue))
+    case f: java.lang.Float =>
+      kind == KindFloat &&
+        containsBits(java.lang.Float.floatToIntBits(f.floatValue).toLong)
+    case b: java.lang.Boolean =>
+      kind == KindBool && containsBits(if (b.booleanValue) 1L else 0L)
+    case _ => false
+  }
+}
+
+/** String-key membership: UTF8String hash set, so the vectorized probe
+  * (`getUTF8String`, a pointer into the batch buffer) needs no per-row
+  * conversion or allocation.
+  */
+private[sources] final class StringDoomedKeys(
+    set: java.util.HashSet[UTF8String]) extends DoomedKeys {
+  override def size: Int = set.size
+  def containsUtf8(u: UTF8String): Boolean = set.contains(u)
+  override def contains(v: Any): Boolean = v match {
+    case s: String => set.contains(UTF8String.fromString(s))
+    case u: UTF8String => set.contains(u)
+    case _ => false
+  }
+}
+
 /** Tombstone key handling shared by the row and vectorized readers: a
   * tombstone parquet file holds ONE key column of doomed values (written
-  * by [[VersionedTable.deleteWhere]]); [[load]] decodes it into a hash
-  * set of boxed primitives — the representation both decoders compare
-  * against. [[vectorizable]] is the planning-time gate: the columnar
-  * path can apply a tombstone iff its key column is a primitive the
-  * extractors decode.
+  * by [[VersionedTable.deleteWhere]]); [[load]] decodes it into a
+  * [[DoomedKeys]] membership structure — primitive-specialized for
+  * integral/floating/boolean keys, a hash set only for strings.
+  * [[vectorizable]] is the planning-time gate: the columnar path can
+  * apply a tombstone iff its key column is a primitive the extractors
+  * decode.
   */
 private[sources] object TombstoneKeys {
   import org.apache.parquet.example.data.Group
@@ -2386,22 +2457,56 @@ private[sources] object TombstoneKeys {
     }
   }
 
-  /** (key column name, doomed key values) per tombstone file. */
-  def load(paths: Seq[String]): Seq[(String, java.util.HashSet[Any])] =
+  /** (key column name, doomed key membership) per tombstone file. */
+  def load(paths: Seq[String]): Seq[(String, DoomedKeys)] =
     paths.map { tf =>
       val r = ParquetReader
         .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(tf)).build()
-      val set = new java.util.HashSet[Any]()
       var name: String = null
+      var prim: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName = null
+      val bits = new scala.collection.mutable.ArrayBuilder.ofLong
+      var strSet: java.util.HashSet[UTF8String] = null
       var g: Group = r.read()
       while (g != null) {
-        if (name == null) name = g.getType.getFieldName(0)
-        if (g.getFieldRepetitionCount(0) > 0)
-          set.add(primitive(g, name, g.getType.getType(0)))
+        if (name == null) {
+          name = g.getType.getFieldName(0)
+          prim = g.getType.getType(0).asPrimitiveType().getPrimitiveTypeName
+          if (prim == BINARY) strSet = new java.util.HashSet[UTF8String]()
+        }
+        if (g.getFieldRepetitionCount(0) > 0) prim match {
+          case INT64   => bits += g.getLong(name, 0)
+          case INT32   => bits += g.getInteger(name, 0).toLong
+          case DOUBLE  =>
+            bits += java.lang.Double.doubleToLongBits(g.getDouble(name, 0))
+          case FLOAT   =>
+            bits += java.lang.Float.floatToIntBits(g.getFloat(name, 0)).toLong
+          case BOOLEAN => bits += (if (g.getBoolean(name, 0)) 1L else 0L)
+          case BINARY  =>
+            strSet.add(UTF8String.fromString(g.getString(name, 0))); ()
+          case other   => throw new UnsupportedOperationException(
+            s"graft tombstone reader does not decode $other (column $name)")
+        }
         g = r.read()
       }
       r.close()
-      (name, set)
+      val keys: DoomedKeys =
+        if (name == null) null
+        else if (prim == BINARY) new StringDoomedKeys(strSet)
+        else {
+          val arr = bits.result()
+          java.util.Arrays.sort(arr)
+          import DoomedKeys._
+          val kind = prim match {
+            case INT64   => KindLong
+            case INT32   => KindInt
+            case DOUBLE  => KindDouble
+            case FLOAT   => KindFloat
+            case BOOLEAN => KindBool
+            case _       => KindLong // unreachable: BINARY handled above
+          }
+          new LongDoomedKeys(kind, arr)
+        }
+      (name, keys)
     }.filter(_._1 != null)
 
   /** The (immutable once published) parquet schema of `path`. */
@@ -2681,7 +2786,7 @@ class GraftCatalogVectorReader(
 
   // tombstones whose key column this file actually holds — a set keyed
   // on a column the file lacks can doom none of its rows
-  private val doomed: Seq[(String, java.util.HashSet[Any])] =
+  private val doomed: Seq[(String, DoomedKeys)] =
     TombstoneKeys.load(tombstones)
       .filter { case (name, _) => fileFields.exists(_.getName == name) }
 
@@ -2756,27 +2861,40 @@ class GraftCatalogVectorReader(
   reader.initBatch(new StructType(), InternalRow.empty)
   reader.enableReturningBatches()
 
-  // per-tombstone (batch column index, extractor matching the boxed set
-  // representation, doomed set)
-  private val keyProbes: Seq[(Int, (ColumnVector, Int) => Any, java.util.HashSet[Any])] =
-    doomed.map { case (name, set) =>
+  // per-tombstone (batch column index, primitive-specialized row probe):
+  // the probe reads the vector's native value and binary-searches the
+  // sorted long-bits array (or hashes the UTF8String view) — no boxing,
+  // no per-row allocation. A probe whose DATA type family differs from
+  // the tombstone's key family never matches, exactly like the old boxed
+  // equality (a boxed Integer never equalled a boxed Long).
+  private val keyProbes: Seq[(Int, (ColumnVector, Int) => Boolean)] =
+    doomed.map { case (name, keys) =>
       val idx = required.fieldNames.indexOf(name) match {
         case -1 => required.fields.length + extraKeyCols.indexOf(name)
         case j  => j
       }
       val prim = fileFields.find(_.getName == name).get
         .asPrimitiveType().getPrimitiveTypeName
-      val extract: (ColumnVector, Int) => Any = prim match {
-        case INT64   => (v, i) => v.getLong(i)
-        case INT32   => (v, i) => v.getInt(i)
-        case DOUBLE  => (v, i) => v.getDouble(i)
-        case FLOAT   => (v, i) => v.getFloat(i)
-        case BOOLEAN => (v, i) => v.getBoolean(i)
-        case BINARY  => (v, i) => v.getUTF8String(i).toString
-        case other   => throw new UnsupportedOperationException(
+      import DoomedKeys._
+      val probe: (ColumnVector, Int) => Boolean = (prim, keys) match {
+        case (INT64, k: LongDoomedKeys) if k.kind == KindLong =>
+          (v, i) => k.containsBits(v.getLong(i))
+        case (INT32, k: LongDoomedKeys) if k.kind == KindInt =>
+          (v, i) => k.containsBits(v.getInt(i).toLong)
+        case (DOUBLE, k: LongDoomedKeys) if k.kind == KindDouble =>
+          (v, i) => k.containsBits(java.lang.Double.doubleToLongBits(v.getDouble(i)))
+        case (FLOAT, k: LongDoomedKeys) if k.kind == KindFloat =>
+          (v, i) => k.containsBits(java.lang.Float.floatToIntBits(v.getFloat(i)).toLong)
+        case (BOOLEAN, k: LongDoomedKeys) if k.kind == KindBool =>
+          (v, i) => k.containsBits(if (v.getBoolean(i)) 1L else 0L)
+        case (BINARY, k: StringDoomedKeys) =>
+          (v, i) => k.containsUtf8(v.getUTF8String(i))
+        case (INT64 | INT32 | DOUBLE | FLOAT | BOOLEAN | BINARY, _) =>
+          (_, _) => false // family mismatch: dooms nothing
+        case (other, _) => throw new UnsupportedOperationException(
           s"vectorized MOR key extractor: $other (column $name)")
       }
-      (idx, extract, set)
+      (idx, probe)
     }
 
   // reused output vectors: reset per batch, capacity = the reader's own
@@ -2787,9 +2905,9 @@ class GraftCatalogVectorReader(
     new ColumnarBatch(out.map(v => v: ColumnVector))
 
   private def isDoomed(in: ColumnarBatch, r: Int): Boolean =
-    keyProbes.exists { case (idx, extract, set) =>
+    keyProbes.exists { case (idx, probe) =>
       val v = in.column(idx)
-      !v.isNullAt(r) && set.contains(extract(v, r))
+      !v.isNullAt(r) && probe(v, r)
     }
 
   private def copyRow(in: ColumnarBatch, r: Int, o: Int): Unit = {
@@ -2922,9 +3040,10 @@ class GraftCatalogReader(part: GraftCatalogPartition, required: StructType)
   private def open(f: String) = ParquetReader
     .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f)).build()
 
-  // (key column name, doomed key values) per tombstone file — key type is
-  // whatever deleteWhere keyed on; compare on the decoded primitive
-  private val doomed: Seq[(String, java.util.HashSet[Any])] =
+  // (key column name, doomed key membership) per tombstone file — key
+  // type is whatever deleteWhere keyed on; compare on the decoded
+  // primitive ([[DoomedKeys.contains]] normalizes the box)
+  private val doomed: Seq[(String, DoomedKeys)] =
     TombstoneKeys.load(part.tombstones)
 
   private val reader = open(part.file)
@@ -2936,11 +3055,11 @@ class GraftCatalogReader(part: GraftCatalogPartition, required: StructType)
     current != null
   }
 
-  private def isDoomed(g: Group): Boolean = doomed.exists { case (name, set) =>
+  private def isDoomed(g: Group): Boolean = doomed.exists { case (name, keys) =>
     g.getType.containsField(name) && {
       val i = g.getType.getFieldIndex(name)
       g.getFieldRepetitionCount(i) > 0 &&
-        set.contains(TombstoneKeys.primitive(g, name, g.getType.getType(i)))
+        keys.contains(TombstoneKeys.primitive(g, name, g.getType.getType(i)))
     }
   }
 

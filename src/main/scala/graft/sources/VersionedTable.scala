@@ -1010,15 +1010,37 @@ object VersionedTable {
       case Right(())    => Right(commitIfAbsent(df, table, append, txnId))
     }
 
+  /** Largest doomed-key count a merge-on-read delete may commit. Every
+    * reader of a tombstoned file materializes the applicable doomed keys
+    * (8 bytes/key primitive-specialized — see the catalog's
+    * `LongDoomedKeys`) per task until compaction; 10M keys ≈ 80 MB is
+    * the honest ceiling for "small by construction". Larger deletes
+    * route to copy-on-write, whose cost is bounded by the REWRITE (disk,
+    * streamed), never by reader memory.
+    */
+  val MorMaxDeleteKeys: Long = 10L * 1000 * 1000
+
   /** Merge-on-read delete: write the doomed KEYS as a tombstone file and
     * commit a manifest referencing it — no data file is rewritten. The
     * tombstone is bounded to the data commits existing NOW, so rows for
     * the same key appended by a LATER commit are visible again (delete
     * means "delete the rows present at delete time", not "ban the key").
     * Returns the new version.
+    *
+    * SIZE-GATED: a delete matching more than `maxKeys` distinct keys
+    * (default [[MorMaxDeleteKeys]]) is NOT committed as a tombstone —
+    * every reader task would carry the whole key set in memory until
+    * compaction. Such a delete routes to [[deleteWhereCow]] (same
+    * result, cost paid once at delete time as a file rewrite); on a
+    * BUCKETED table, where copy-on-write would destroy the layout, it
+    * fails loudly instead — delete in narrower batches and compact
+    * between them. The doomed count is read from the freshly-staged
+    * tombstone's own footer counts, so the gate costs no extra job.
     */
   def deleteWhere(
-      spark: SparkSession, table: String, predicate: Column, keyCol: String): Long = {
+      spark: SparkSession, table: String, predicate: Column, keyCol: String,
+      maxKeys: Long = MorMaxDeleteKeys): Long = {
+    require(maxKeys > 0, "maxKeys must be positive")
     val prev = versions(table)
     require(prev.nonEmpty, s"no committed versions at $table")
     val lastV = prev.last
@@ -1030,6 +1052,20 @@ object VersionedTable {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dirName = s"c${next}_$token"
     val fileEntries = writeFiles(doomed, table, dirName)
+    // entries are "<rel>#<rows>[#...]" — the staged footer counts
+    val doomedCount = fileEntries.map(_.split('#')(1).toLong).sum
+    if (doomedCount > maxKeys) {
+      deleteRecursively(Paths.get(table, "data", dirName))
+      if (bucketSpec(table).isDefined)
+        throw new IllegalStateException(
+          s"deleteWhere on $table matched $doomedCount distinct keys " +
+            s"(> $maxKeys): a merge-on-read tombstone this large would load " +
+            "into every reader task until compaction, and the table is " +
+            "bucketed, so copy-on-write cannot preserve its layout — " +
+            "delete in narrower key batches (compacting between them), or " +
+            "raise maxKeys explicitly if the reader-memory cost is intended")
+      return deleteWhereCow(spark, table, predicate)
+    }
     val bound = next - 1L
     val fresh = fileEntries.map(n => s"D:$bound:data/$dirName/$n")
     // the doomed-key set was computed FROM snapshot lastV — if another

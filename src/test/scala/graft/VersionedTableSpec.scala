@@ -111,6 +111,53 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(slurp(t) == Set(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("deleteWhere above the key bound routes to copy-on-write: same rows, no tombstone") {
+    val t = freshTable()
+    VersionedTable.commit(
+      df(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), t, append = false)
+    val v = VersionedTable.deleteWhere(
+      spark, t, col("k") <= 3L, "k", maxKeys = 2L)
+    assert(v == 2L)
+    assert(slurp(t) == Set(4L -> "d"))
+    assert(slurp(t, Some(1L)) == Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"),
+      "the routed delete must still be a versioned commit (time travel intact)")
+    // the commit is a REWRITE, not a tombstone: fastCount stays answerable
+    // (any merge-on-read tombstone would force it to decline)
+    assert(VersionedTable.fastCount(t) == Some(1L),
+      "a tombstone was committed — the over-bound delete did not route to COW")
+    // and incremental consumers see no deleted keys in any range
+    // (deletesBetween reads tombstone commits only)
+    intercept[IllegalArgumentException] {
+      // the COW rewrite is an overwrite-style commit: consuming across it
+      // fails loudly, exactly like any other rewrite — proving no D: line
+      VersionedTable.deletesBetween(spark, t, 1L, 2L).collect()
+    }
+  }
+
+  test("deleteWhere within the bound still commits merge-on-read") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    VersionedTable.deleteWhere(spark, t, col("k") === 1L, "k", maxKeys = 1L)
+    assert(slurp(t) == Set(2L -> "b"))
+    assert(VersionedTable.fastCount(t).isEmpty,
+      "an in-bound delete must stay merge-on-read (tombstone present)")
+  }
+
+  test("over-bound deleteWhere on a bucketed table fails loudly (COW would break the layout)") {
+    val t = freshTable()
+    VersionedTable.commitBucketed(
+      df(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), t, "k", 2,
+      append = false)
+    val e = intercept[IllegalStateException] {
+      VersionedTable.deleteWhere(spark, t, col("k") <= 3L, "k", maxKeys = 2L)
+    }
+    assert(e.getMessage.contains("bucketed"))
+    assert(slurp(t) == Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"),
+      "the refused delete must leave the table untouched")
+    assert(VersionedTable.versions(t) == Seq(1L),
+      "no version may be committed by the refused delete")
+  }
+
   test("commitIfAbsent is idempotent under a transaction id") {
     val t = freshTable()
     assert(VersionedTable.commitIfAbsent(df(1L -> "a"), t, append = false,
