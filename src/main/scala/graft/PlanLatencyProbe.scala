@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** PLANNING-latency decade probe: how long does the catalog take to PLAN
+  * (not execute) a selective query as the manifest grows 1k → 10k → 100k
+  * file entries? Round 13 made file planning richer (zone parse, TopN
+  * file selection, runtime pruning, row-group predicate build); this
+  * measures what that costs at manifest scale. Manifests are synthetic
+  * (self-contained version 1, one entry per fake file with footer count,
+  * zone map, and NN segments) — planning never opens a data file, so the
+  * files' absence is exactly the point: any fs access at plan time would
+  * fail loudly here.
+  *
+  * Reports per decade: cold (first plan: manifest parse + resolve) and
+  * warm (repeat plans: the per-query pruning walk) medians, in ms.
+  *
+  * Usage: `sbt "runMain graft.PlanLatencyProbe [iters]"`.
+  */
+object PlanLatencyProbe {
+  def main(args: Array[String]): Unit = {
+    val iters = args.headOption.map(_.toInt).getOrElse(7)
+    val root = java.nio.file.Files.createTempDirectory("graft_plan_probe").toString
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.gpl", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.gpl.root", root)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def mkTable(name: String, nFiles: Int): Unit = {
+      val dir = java.nio.file.Paths.get(root, "default", name)
+      java.nio.file.Files.createDirectories(dir.resolve("_manifest"))
+      java.nio.file.Files.createDirectories(dir.resolve("data"))
+      // one schema-carrier real file so snapshotSchema works
+      val carrier = dir.resolve("data").resolve("c1_probe")
+      java.nio.file.Files.createDirectories(carrier)
+      // named to sort FIRST in the commit: snapshotSchema reads one
+      // representative footer per commit — the min path — and only the
+      // carrier actually exists on disk
+      new graft.sources.GraftDataWriter(
+        carrier.resolve("a-schema.parquet").toString,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType)))).commit()
+      val entries = (0 until nFiles).map { i =>
+        val lo = i.toLong * 1000L
+        val hi = lo + 999L
+        s"data/c1_probe/part-$i.parquet#1000#k=$lo..$hi#k=1000"
+      } :+ "data/c1_probe/a-schema.parquet#0"
+      val header = Seq("version=1", s"ts=${System.currentTimeMillis()}")
+      java.nio.file.Files.write(
+        dir.resolve("_manifest").resolve("1.manifest"),
+        (header ++ entries).mkString("\n").getBytes)
+      ()
+    }
+
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+
+    val decades = Seq(1000, 10000, 100000)
+    val results = decades.map { n =>
+      val name = s"pl_$n"
+      mkTable(name, n)
+      val mid = n.toLong * 1000L / 2
+      def planOnce(): Double = {
+        val t0 = System.nanoTime()
+        val desc = spark.sql(
+          s"SELECT k FROM gpl.default.$name WHERE k BETWEEN $mid AND ${mid + 5000}")
+          .queryExecution.executedPlan.toString
+        require(desc.contains("files="), s"no catalog scan in:\n$desc")
+        (System.nanoTime() - t0) / 1e6
+      }
+      val cold = planOnce() // manifest parse + resolve + first prune
+      (1 to 3).foreach(_ => planOnce()) // JIT/codegen warmup
+      val warm = (1 to iters).map(_ => planOnce())
+      (n, cold, median(warm))
+    }
+    val json = results.map { case (n, cold, warm) =>
+      f"""{"files":$n,"cold_plan_ms":$cold%.1f,"warm_plan_ms":$warm%.1f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"probe":"plan_latency_decades","iters":$iters,"decades":$json}""")
+    spark.stop()
+  }
+}

@@ -93,10 +93,16 @@ object SparkEntry {
     "q_sql_rename" -> ((s, d) => Incremental.ordersSqlRename(t(s, d, "orders"))),
     "q_table_clone" -> ((s, d) => Incremental.ordersTableClone(t(s, d, "orders"))),
     "q_maint_advisor" -> ((s, d) => Incremental.ordersMaintenanceAdvisor(t(s, d, "orders"))),
+    "q_maint_auto" -> ((s, d) => Incremental.ordersAutoMaintain(t(s, d, "orders"))),
     "q_sql_fastcount" -> ((s, d) => Incremental.ordersSqlFastcount(t(s, d, "orders"))),
     "q_sql_fastminmax_str" -> ((s, d) => Incremental.ordersSqlFastMinMaxStr(t(s, d, "orders"))),
     "q_sql_stats" -> ((s, d) => Incremental.ordersSqlStatsTable(t(s, d, "orders"))),
     "q_sql_clustered" -> ((s, d) => Incremental.ordersSqlClustered(t(s, d, "orders"))),
+    "q_sql_partitioned" -> ((s, d) => Incremental.ordersSqlPartitioned(t(s, d, "orders"))),
+    "q_sql_partitioned_date" -> ((s, d) => Incremental.ordersSqlPartitionedDate(t(s, d, "orders"))),
+    "q_sql_bloom" -> ((s, d) => Incremental.ordersSqlBloom(t(s, d, "orders"))),
+    "q_layout_zorder_str" -> ((s, d) => Incremental.docsSqlZorderStr(t(s, d, "documents"))),
+    "q_sql_table_changes" -> ((s, d) => Incremental.ordersSqlTableChanges(t(s, d, "orders"))),
     "q_sql_spj" -> ((s, d) =>
       Incremental.ordersSqlBucketedJoin(t(s, d, "orders"), t(s, d, "customer"))),
     "q_sql_bucketed" -> ((s, d) =>
@@ -1513,6 +1519,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, 'delete', NULL, 2 FROM del
         |ORDER BY o_orderkey, version""".stripMargin,
+    // The SQL table_changes() TVF over the same MOR fixture: identical
+    // oracle to the programmatic q_table_changes — the SQL front door
+    // emits exactly the programmatic change feed.
+    "q_sql_table_changes" ->
+      """WITH del AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey % 4 <> 3 AND o_orderkey % 20 = 5),
+        |re AS (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) + 1000 AS price_c
+        |  FROM orders WHERE o_orderkey % 4 <> 3 AND o_orderkey % 40 = 5)
+        |SELECT o_orderkey, 'insert' AS change_type, price_c,
+        |       CAST(3 AS BIGINT) AS version
+        |FROM re
+        |UNION ALL
+        |SELECT o_orderkey, 'delete', NULL, 2 FROM del
+        |ORDER BY o_orderkey, version""".stripMargin,
     // Zone-map pruned range read: the versioned table commits orders
     // range-clustered with per-file key min/max in the manifest, and the
     // read prunes files by those stats before scanning. The oracle is
@@ -1657,6 +1680,38 @@ object SparkEntry {
         |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
         |FROM orders WHERE o_orderkey BETWEEN 5000 AND 8000
         |ORDER BY o_orderkey""".stripMargin,
+    // Identity partitioning (PARTITIONED BY (col)) delivered as
+    // clustered-on-write + zone maps: the partition-predicate read
+    // replays as the plain filter.
+    "q_sql_partitioned" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders WHERE o_orderkey BETWEEN 12000 AND 15000
+        |ORDER BY o_orderkey""".stripMargin,
+    // Date identity partitioning: epoch-day zone maps prune the month
+    // window; dates render as strings for representation-stable hashes.
+    "q_sql_partitioned_date" ->
+      """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate_s,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE'1995-03-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE'1995-04-01'
+        |GROUP BY 1 ORDER BY odate_s""".stripMargin,
+    // Write-side parquet bloom filters (graft.bloom-cols) + static IN
+    // key sets as Eq/In row-group leaves: the point lookups on the
+    // unclustered key replay as the plain IN filter.
+    "q_sql_bloom" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders WHERE o_orderkey IN (7, 1223, 28673, 54369)
+        |ORDER BY o_orderkey""".stripMargin,
+    // String Z-ORDER (7-byte-prefix u56 surrogate interleaved with the
+    // integral dimension): the 2-D predicate replays as the plain filter.
+    "q_layout_zorder_str" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'es' AND n_chars BETWEEN 400 AND 900
+        |ORDER BY doc_id""".stripMargin,
     // $stats metadata table: the exactly-reconstructible fields (null
     // count, integral min/max) replayed from raw orders; string rows
     // carry NULLs there (their NDV/length stats are estimates, pinned
@@ -1783,6 +1838,18 @@ object SparkEntry {
         |  CAST(n_tombstoned_files AS BIGINT) AS n_tombstoned_files,
         |  'compact: tombstone debt' AS recommendation
         |FROM per ORDER BY commit_version""".stripMargin,
+    // CALL system.auto_maintain over the advisor's degraded fixture:
+    // the compaction applies tombstones and consolidates; the oracle is
+    // the table's logical content — maintenance changed layout only.
+    "q_maint_auto" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders
+        |  WHERE o_orderkey % 2 = 0 OR o_orderkey % 100 IN (1, 3))
+        |SELECT o_orderkey, status, price_c FROM base
+        |WHERE o_orderkey % 1000 <> 2
+        |ORDER BY o_orderkey""".stripMargin,
     // SQL DELETE FROM through the catalog (copy-on-write replace
     // commit): the oracle keeps the complement of the deleted range, so
     // hash equality proves carried + rewritten files read back exactly.

@@ -66,6 +66,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, s"alnum_tokens expects 2 arguments, got ${args.length}")
         TextExpressions.TokensExpr(args(0), litInt(args(1), "minLen"))
       }))
+    // The CDF TABLE function (Delta's table_changes shape):
+    //   SELECT * FROM table_changes('<path or cat.ns.t>', v1, v2)
+    // resolves at analysis time to the versioned table's change frame —
+    // a fully distributed plan over the change commits' files, never a
+    // driver-materialized result. Catalog-relative names resolve through
+    // the session's own spark.sql.catalog.<cat>.root.
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      info("table_changes",
+        "table_changes(table, from_version, to_version) - rows added/deleted in (from, to], " +
+          "with _change_type and _commit_version"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"table_changes expects (table, from_version, to_version), got ${args.length} args")
+        val spec = litString(args(0), "table")
+        val path =
+          if (spec.contains('/')) spec
+          else {
+            val parts = spec.split('.')
+            require(parts.length >= 2,
+              s"qualify the table as <catalog>.<ns...>.<table> or pass its path: $spec")
+            val root = org.apache.spark.sql.SparkSession.active.conf
+              .get(s"spark.sql.catalog.${parts.head}.root")
+            java.nio.file.Paths.get(root, parts.tail.toIndexedSeq: _*).toString
+          }
+        graft.sources.VersionedTable.tableChanges(
+          org.apache.spark.sql.SparkSession.active, path,
+          litLong(args(1), "from_version"), litLong(args(2), "to_version"))
+          .queryExecution.logical
+      }))
+  }
+
+  private def litString(e: Expression, name: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other =>
+      throw new IllegalArgumentException(s"$name must be a string literal, got: $other")
+  }
+
+  private def litLong(e: Expression, name: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)  => v.toLong
+    case other =>
+      throw new IllegalArgumentException(s"$name must be an integer literal, got: $other")
   }
 
   /** SQL-side structural parameters arrive as literal expressions; these

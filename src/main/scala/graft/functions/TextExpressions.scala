@@ -124,6 +124,55 @@ object TextExpressions {
   def rollingFingerprint(text: Column, k: Int, p: Long, b: Long): Column =
     ColumnBridge.column(RollingFingerprintExpr(ColumnBridge.expression(text), k, p, b))
 
+  /** ORDER-PRESERVING string → u56 mapping: the first 7 UTF-8 bytes
+    * packed big-endian into a non-negative long (shorter strings
+    * zero-pad). For any two strings a ≤ b bytewise, u56(a) ≤ u56(b) —
+    * bytewise UTF-8 order IS Spark's binary-collation string order, so
+    * this is exactly the integral surrogate Z-ORDER range-bucketing
+    * needs for string clustering columns (ties beyond 7 bytes collapse
+    * into one bucket, which only loosens the layout, never corrupts it:
+    * zone maps record the real truncated byte bounds separately). Seven
+    * bytes, not eight, so the value stays non-negative and the bucket
+    * arithmetic `(v - lo) * 256 / span` cannot overflow signed math.
+    */
+  case class StrPrefixU64Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "str_prefix_u64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[UTF8String].getBytes
+      var v = 0L
+      var i = 0
+      while (i < 7) {
+        v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+        i += 1
+      }
+      v
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val b = ctx.freshName("bytes")
+        val v = ctx.freshName("v")
+        val i = ctx.freshName("i")
+        s"""
+           |byte[] $b = $s.getBytes();
+           |long $v = 0L;
+           |for (int $i = 0; $i < 7; $i++) {
+           |  $v = ($v << 8) | ($i < $b.length ? ($b[$i] & 0xffL) : 0L);
+           |}
+           |${ev.value} = $v;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): StrPrefixU64Expr =
+      copy(child = newChild)
+  }
+
+  /** Column-API entry point for the Z-ORDER string surrogate. */
+  def strPrefixU64(text: Column): Column =
+    ColumnBridge.column(StrPrefixU64Expr(ColumnBridge.expression(text)))
+
   /** Character shingles: `substring(text, i, width)` for i = 1, 1+step, …
     * ≤ max(len-width+1, 1) — the same values as the HOF formulation
     * `transform(sequence(1, npos, step), i -> substring(text, i, width))`

@@ -482,6 +482,25 @@ object Incremental {
     app.union(del).orderBy("o_orderkey", "version")
   }
 
+  /** Registered q_sql_table_changes body: the SQL front door to CDF —
+    * `SELECT ... FROM table_changes('<table>', 1, 3)` (the table
+    * function [[graft.functions.GraftExtensions]] injects), over the
+    * same merge-on-read fixture as the programmatic `q_table_changes`.
+    * The plan is fully distributed (the change commits' files scan as
+    * ordinary parquet relations); the oracle is identical to the
+    * programmatic twin's, so hash equality proves the SQL surface emits
+    * exactly the programmatic change feed.
+    */
+  def ordersSqlTableChanges(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val t = ordersMorTable(orders)
+    spark.sql(
+      s"""SELECT o_orderkey, _change_type AS change_type, price_c,
+         |       _commit_version AS version
+         |FROM table_changes('$t', 1, 3)
+         |ORDER BY o_orderkey, version""".stripMargin)
+  }
+
   /** Registered q_cdc_apply_bucketed body: the steady-state 100 TB CDC
     * form made concrete — the base snapshot lives BUCKETED (and sorted)
     * on the key, paid once at ingest, so the nightly CDC apply's
@@ -1013,6 +1032,44 @@ object Incremental {
          |FROM per CROSS JOIN tot ORDER BY per.commit_version""".stripMargin)
   }
 
+  /** Registered q_maint_auto body: `CALL system.auto_maintain` executes
+    * the advisor's recommendation in one call — the fixture degrades a
+    * table exactly like the advisor's (two small appends + a
+    * merge-on-read delete), auto-maintains it (metadata-only decision,
+    * snapshot-pinned compaction), and reads the result. The oracle is
+    * the degraded table's logical content: hash equality proves the
+    * maintenance rewrite changed layout only; `GraftCatalogSpec` pins
+    * the action strings and that a second call is a healthy no-op.
+    */
+  def ordersAutoMaintain(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"amnt:$inputKey"), { _ =>
+      val n = s"orders_amnt_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      val t = s"$root/default/$n"
+      val base = orders
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          cents(col("o_totalprice")).as("price_c"))
+      graft.sources.VersionedTable.commit(
+        base.filter(col("o_orderkey") % 2L === 0L).repartition(4),
+        t, append = false)
+      graft.sources.VersionedTable.commit(
+        base.filter(col("o_orderkey") % 100L === 1L).repartition(1),
+        t, append = true)
+      graft.sources.VersionedTable.commit(
+        base.filter(col("o_orderkey") % 100L === 3L).repartition(1),
+        t, append = true)
+      graft.sources.VersionedTable.deleteWhere(
+        spark, t, col("o_orderkey") % 1000L === 2L, "o_orderkey")
+      spark.sql(s"CALL gtab.system.auto_maintain('default.$n')").collect()
+      n
+    })
+    spark.sql(
+      s"""SELECT o_orderkey, status, price_c FROM gtab.default.$name
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Registered q_sql_fastcount body: ungrouped COUNT/MIN/MAX through
     * the catalog answered from MANIFEST ARITHMETIC — the aggregate
     * pushdown classifies the snapshot as tombstone-free with complete
@@ -1075,6 +1132,135 @@ object Incremental {
       s"""SELECT o_orderkey, status, price_c FROM gtab.default.$name
          |WHERE o_orderkey BETWEEN 5000 AND 8000
          |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Registered q_sql_partitioned body: IDENTITY partitioning — the
+    * `CREATE TABLE ... PARTITIONED BY (col)` every warehouse user types
+    * first. The engine maps it onto clustered-on-write + zone maps (no
+    * Hive directories: same pruning, no small-file explosion on
+    * high-cardinality keys), so the INSERT range-partitions + sorts and
+    * the partition-predicate read plans a strict file subset
+    * (`GraftCatalogSpec` pins the files=m/n prune; the date twin pins
+    * epoch-day pruning). The oracle is the plain filter — layout changes
+    * nothing but file boundaries.
+    */
+  def ordersSqlPartitioned(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlip:$inputKey"), { _ =>
+      val n = s"orders_ip_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n
+           |(o_orderkey BIGINT, status STRING, price_c BIGINT)
+           |PARTITIONED BY (o_orderkey)""".stripMargin)
+      orders.createOrReplaceTempView(s"g_ip_src_$n")
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT o_orderkey, o_orderstatus,
+           |       CAST(round(o_totalprice * 100) AS BIGINT)
+           |FROM g_ip_src_$n""".stripMargin)
+      n
+    })
+    spark.sql(
+      s"""SELECT o_orderkey, status, price_c FROM gtab.default.$name
+         |WHERE o_orderkey BETWEEN 12000 AND 15000
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Registered q_sql_partitioned_date body: identity partitioning on a
+    * DATE column — `PARTITIONED BY (order date)` is the canonical
+    * warehouse DDL. Date zone maps record epoch-day bounds (`unix_date`
+    * at commit; DATE does not cast to BIGINT) and pushed date predicates
+    * convert to the same unit, so a month window prunes files exactly
+    * like an integral range. Output dates render as strings so the
+    * DuckDB hash compare is representation-stable.
+    */
+  def ordersSqlPartitionedDate(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlipd:$inputKey"), { _ =>
+      val n = s"orders_ipd_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n (odate DATE, o_orderkey BIGINT)
+           |PARTITIONED BY (odate)""".stripMargin)
+      orders.createOrReplaceTempView(s"g_ipd_src_$n")
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT CAST(o_orderdate AS DATE), o_orderkey
+           |FROM g_ipd_src_$n""".stripMargin)
+      n
+    })
+    spark.sql(
+      s"""SELECT CAST(odate AS STRING) AS odate_s,
+         |       count(*) AS n, sum(o_orderkey) AS key_sum
+         |FROM gtab.default.$name
+         |WHERE odate >= DATE'1995-03-01' AND odate < DATE'1995-04-01'
+         |GROUP BY odate ORDER BY odate_s""".stripMargin)
+  }
+
+  /** Registered q_sql_bloom body: write-side parquet BLOOM FILTERS on a
+    * declared high-cardinality column (`graft.bloom-cols`). The table
+    * clusters on price, so the key column is UNCLUSTERED — zone maps
+    * cannot prune a point lookup on it — and the pushed `IN` becomes
+    * Eq/In row-group leaves parquet's dictionary/bloom evaluators
+    * consume ([[graft.sources.GraftRowGroupFilter]]; the static key-set
+    * path). The oracle replays the same lookup raw; the spec pins that
+    * the declared column actually carries bloom filters in its footers.
+    */
+  def ordersSqlBloom(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlbl:$inputKey"), { _ =>
+      val n = s"orders_bl_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n
+           |(o_orderkey BIGINT, status STRING, price_c BIGINT)
+           |TBLPROPERTIES('graft.bloom-cols'='o_orderkey',
+           |              'graft.cluster-by'='price_c')""".stripMargin)
+      orders.createOrReplaceTempView(s"g_bl_src_$n")
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT o_orderkey, o_orderstatus,
+           |       CAST(round(o_totalprice * 100) AS BIGINT)
+           |FROM g_bl_src_$n""".stripMargin)
+      n
+    })
+    spark.sql(
+      s"""SELECT o_orderkey, status, price_c FROM gtab.default.$name
+         |WHERE o_orderkey IN (7, 1223, 28673, 54369)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Registered q_layout_zorder_str body: STRING Z-ORDER — `CALL
+    * system.zorder('t', 'lang,n_chars')` range-buckets the string column
+    * through the order-preserving 7-byte-prefix u56 surrogate
+    * ([[graft.functions.TextExpressions.StrPrefixU64Expr]]) and
+    * interleaves it with the integral one, so the rewritten files carry
+    * tight byte-prefix zones on `lang` AND long zones on `n_chars` — a
+    * conjunctive (string equality, integral range) predicate prunes
+    * files in both dimensions. The oracle replays the plain filter;
+    * `GraftCatalogSpec` pins the files=m/n prune on the string leg.
+    */
+  def docsSqlZorderStr(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = documents.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlzs:$inputKey"), { _ =>
+      val n = s"docs_zs_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      graft.sources.VersionedTable.commit(
+        documents.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .repartition(8, col("doc_id")), // scrambled: hash placement
+        s"$root/default/$n", append = false)
+      spark.sql(s"CALL gtab.system.zorder('default.$n', 'lang,n_chars', 64)")
+      n
+    })
+    spark.sql(
+      s"""SELECT doc_id, lang, n_chars FROM gtab.default.$name
+         |WHERE lang = 'es' AND n_chars BETWEEN 400 AND 900
+         |ORDER BY doc_id""".stripMargin)
   }
 
   /** Registered q_sql_stats body: the `$stats` metadata table — per-column

@@ -178,8 +178,14 @@ class GraftCatalog extends TableCatalog
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    // the one partitioning we store is the bucket layout behind
-    // storage-partitioned joins: PARTITIONED BY (bucket(n, col))
+    // two partitionings are stored: the bucket layout behind
+    // storage-partitioned joins (PARTITIONED BY (bucket(n, col))), and
+    // IDENTITY partitioning (PARTITIONED BY (col)) — the first DDL a
+    // warehouse user types — which maps onto clustered-on-write + zone
+    // maps: every INSERT range-partitions and sorts on the column, each
+    // file covers a tight value range, and a partition predicate prunes
+    // files (and row groups) without any Hive-style directory layout.
+    var identityBy: Option[String] = None
     val bucketSpec = partitions.toSeq match {
       case Nil => None
       case Seq(t) if t.name == "bucket" =>
@@ -202,20 +208,50 @@ class GraftCatalog extends TableCatalog
           (f.dataType == LongType || f.dataType == IntegerType)),
           s"bucket column $col must be a BIGINT/INT column of the table")
         Some((col, n))
+      case Seq(t) if t.name == "identity" =>
+        val col = t.references.toSeq match {
+          case Seq(r) if r.fieldNames.length == 1 => r.fieldNames.head
+          case other => throw new UnsupportedOperationException(
+            s"PARTITIONED BY takes one top-level column, got $other")
+        }
+        val dt = schema.fields.find(_.name == col).map(_.dataType)
+          .getOrElse(throw new IllegalArgumentException(
+            s"partition column $col is not a column of the table"))
+        require(dt == LongType || dt == IntegerType || dt == StringType ||
+          dt == DateType,
+          s"PARTITIONED BY ($col) needs a BIGINT/INT/STRING/DATE column " +
+            s"(zone maps prune those); $col is $dt")
+        identityBy = Some(col)
+        None
       case other => throw new UnsupportedOperationException(
-        s"graft tables support only PARTITIONED BY (bucket(n, col)) — " +
+        s"graft tables support PARTITIONED BY (col) or (bucket(n, col)) — " +
           s"got ${other.mkString(", ")}; cluster data with " +
           s"CALL $catName.system.optimize/zorder instead")
     }
     // declarative clustering: TBLPROPERTIES('graft.cluster-by'='col')
     // makes every SQL INSERT range-partition + sort on the column before
-    // writing, so files carry tight disjoint zone maps from birth
+    // writing, so files carry tight disjoint zone maps from birth.
+    // Identity partitioning uses the same machinery — declaring both is
+    // fine when they agree, contradictory otherwise.
     val clusterBy = Option(properties.get("graft.cluster-by")).map { c =>
       require(schema.fields.exists(_.name == c),
         s"graft.cluster-by column $c is not a column of the table")
       require(bucketSpec.isEmpty,
         "bucket placement and cluster-on-write ordering cannot coexist")
+      require(identityBy.forall(_ == c),
+        s"PARTITIONED BY (${identityBy.get}) and graft.cluster-by=$c disagree")
       c
+    }.orElse(identityBy)
+    // durable write/stats knobs ride the props file (immutable at create)
+    val recordedProps = Seq("graft.bloom-cols", "graft.stats-max-cols")
+      .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap
+    recordedProps.get("graft.bloom-cols").foreach(_.split(',').map(_.trim)
+      .filter(_.nonEmpty).foreach { c =>
+        require(schema.fields.exists(_.name == c),
+          s"graft.bloom-cols column $c is not a column of the table")
+      })
+    recordedProps.get("graft.stats-max-cols").foreach { v =>
+      require(v.matches("\\d+"), s"graft.stats-max-cols must be a count, got $v")
     }
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
@@ -225,6 +261,9 @@ class GraftCatalog extends TableCatalog
     }
     clusterBy.foreach(c =>
       VersionedTable.recordClusterSpec(dirOf(ident).toString, c))
+    identityBy.foreach(c =>
+      VersionedTable.recordIdentityPartition(dirOf(ident).toString, c))
+    VersionedTable.recordTableProps(dirOf(ident).toString, recordedProps)
     VersionedTable.commitSchemaOnly(dirOf(ident).toString, schema, append = false)
     loadTable(ident)
   }
@@ -396,6 +435,9 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
       m.put("graft.bucket-count", n.toString)
     }
     VersionedTable.clusterSpec(table).foreach(c => m.put("graft.cluster-by", c))
+    VersionedTable.identityPartition(table).foreach(c =>
+      m.put("graft.partition-by", c))
+    VersionedTable.tableProps(table).foreach { case (k, v) => m.put(k, v) }
     if (VersionedTable.logicalToPhysical(table).nonEmpty)
       m.put("graft.column-mapping", "name")
     m
@@ -427,11 +469,16 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
       TableCapability.TRUNCATE)
   private lazy val bucket = VersionedTable.bucketSpec(table)
   // a bucketed table reports its layout, and its scans report
-  // KeyGroupedPartitioning — the storage-partitioned-join surface
+  // KeyGroupedPartitioning — the storage-partitioned-join surface; an
+  // identity-partitioned table reports the transform the user declared
+  // (delivered as clustered-on-write + zone-map pruning)
   override def partitioning(): Array[Transform] =
     bucket.map { case (c, n) =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
-    }.toArray
+        : Transform
+    }.toArray ++ VersionedTable.identityPartition(table).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+        : Transform)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTableScanBuilder(table, version, schema(), bucket)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -630,7 +677,8 @@ class GraftReplaceBatchWrite(
       (i, n)
     }
     new GraftDataWriterFactory(stagingAbs, schema, rowLevel = true,
-      bucketIdx = bucketIdx)
+      bucketIdx = bucketIdx,
+      bloomCols = VersionedTable.bloomCols(table, schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -644,7 +692,7 @@ class GraftReplaceBatchWrite(
     GraftStagedCommit.reconcile(
       java.nio.file.Paths.get(table, "data", dirName), stagingAbs, messages)
     val entries0 = VersionedTable.dirMetadata(
-      spark, table, dirName, VersionedTable.defaultStatsCols(schema),
+      spark, table, dirName, VersionedTable.defaultStatsCols(table, schema),
       VersionedTable.constraints(table))
     // a rewrite that empties the table entirely (bucket-routing writers
     // open files lazily, so a 0-row rewrite stages nothing) must still
@@ -731,7 +779,7 @@ private[sources] object GraftProcedures {
 
   val names =
     Seq("vacuum", "vacuum_time", "vacuum_orphans", "compact", "optimize",
-      "optimize_where", "zorder", "restore", "clone")
+      "optimize_where", "zorder", "restore", "clone", "auto_maintain")
 
   def load(resolve: String => String, name: String): UnboundProcedure =
     name match {
@@ -810,6 +858,20 @@ private[sources] object GraftProcedures {
         in => Array[Any](VersionedTable.optimizeZorder(
           SparkSession.active, resolve(in.getUTF8String(0).toString),
           in.getUTF8String(1).toString.split(',').toSeq.map(_.trim), in.getLong(2)))
+      }
+      // one-call auto-maintenance: metadata-only decision (the advisor's
+      // thresholds), executed via the snapshot-pinned rewrite paths —
+      // a degraded table returns to advisor-clean in a single CALL
+      case "auto_maintain" => proc(name,
+        Seq("table" -> StringType),
+        StructType(Seq(
+          StructField("action", StringType, nullable = false),
+          StructField("new_version", LongType, nullable = false)))) {
+        in => {
+          val (action, v) = VersionedTable.autoMaintain(
+            SparkSession.active, resolve(in.getUTF8String(0).toString))
+          Array[Any](UTF8String.fromString(action), v)
+        }
       }
     }
 
@@ -978,6 +1040,19 @@ private[sources] object GraftFilters {
     l < sorted.length && zhi.forall(z => byteCompare(sorted(l), z) <= 0)
   }
 
+  /** Merge two admissible-key maps: columns present in both INTERSECT
+    * (each map is a sound over-approximation of the admissible values,
+    * so their intersection is too); columns in one pass through.
+    */
+  def intersectSets[A](
+      a: Map[String, Set[A]], b: Map[String, Set[A]]): Map[String, Set[A]] =
+    (a.keySet ++ b.keySet).iterator.map { k =>
+      k -> ((a.get(k), b.get(k)) match {
+        case (Some(x), Some(y)) => x.intersect(y)
+        case (x, y)             => x.orElse(y).get
+      })
+    }.toMap
+
   /** UTF-8 encode + bytewise sort a runtime string key set, ready for
     * [[anyInStrZone]] probes.
     */
@@ -985,11 +1060,23 @@ private[sources] object GraftFilters {
     vs.toArray.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .sortWith(VersionedTable.byteCompare(_, _) < 0)
 
+  /** Date literal → epoch days, the unit the date zone maps record
+    * (`unix_date` at commit time). Pushed date filters carry
+    * `java.sql.Date` (default) or `java.time.LocalDate` (java8 API).
+    */
+  private def dateLit(v: Any): Option[Long] = v match {
+    case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _                      => None
+  }
+
   /** Per-column [lo, hi] bounds implied by the (implicitly ANDed)
     * top-level filters, plus the filters that contributed. Sound for
     * pruning AND for [[VersionedTable.deleteWhereCow]]'s candidate
     * pre-prune: every row matching the conjunction lies within the
     * bounds; filters that don't translate simply contribute nothing.
+    * Date columns participate in epoch-day units (discrete like
+    * integers, so the ±1 open-bound adjustments stay exact).
     */
   def integralBounds(filters: Array[Filter], schema: StructType)
       : (Seq[(String, Long, Long)], Array[Filter]) = {
@@ -997,26 +1084,32 @@ private[sources] object GraftFilters {
       case f if f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == ShortType || f.dataType == ByteType => f.name
     }.toSet
+    val dateCols: Set[String] = schema.fields.collect {
+      case f if f.dataType == DateType => f.name
+    }.toSet
+    def litOf(c: String, v: Any): Option[Long] =
+      if (integralCols.contains(c)) integralLit(v)
+      else if (dateCols.contains(c)) dateLit(v)
+      else None
     var bounds = Map.empty[String, (Long, Long)]
-    def tighten(c: String, lo: Long, hi: Long): Boolean =
-      integralCols.contains(c) && {
-        val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
-        bounds = bounds.updated(c, (math.max(l0, lo), math.min(h0, hi)))
-        true
-      }
+    def tighten(c: String, lo: Long, hi: Long): Boolean = {
+      val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      bounds = bounds.updated(c, (math.max(l0, lo), math.min(h0, hi)))
+      true
+    }
     val consumed = filters.filter {
       case EqualTo(c, v) =>
-        integralLit(v).exists(x => tighten(c, x, x))
+        litOf(c, v).exists(x => tighten(c, x, x))
       case GreaterThan(c, v) =>
-        integralLit(v).exists(x => x < Long.MaxValue && tighten(c, x + 1, Long.MaxValue))
+        litOf(c, v).exists(x => x < Long.MaxValue && tighten(c, x + 1, Long.MaxValue))
       case GreaterThanOrEqual(c, v) =>
-        integralLit(v).exists(x => tighten(c, x, Long.MaxValue))
+        litOf(c, v).exists(x => tighten(c, x, Long.MaxValue))
       case LessThan(c, v) =>
-        integralLit(v).exists(x => x > Long.MinValue && tighten(c, Long.MinValue, x - 1))
+        litOf(c, v).exists(x => x > Long.MinValue && tighten(c, Long.MinValue, x - 1))
       case LessThanOrEqual(c, v) =>
-        integralLit(v).exists(x => tighten(c, Long.MinValue, x))
+        litOf(c, v).exists(x => tighten(c, Long.MinValue, x))
       case In(c, vs) if vs.nonEmpty =>
-        val xs = vs.toSeq.map(integralLit)
+        val xs = vs.toSeq.map(litOf(c, _))
         xs.forall(_.isDefined) && tighten(c, xs.flatten.min, xs.flatten.max)
       case _ => false
     }
@@ -1327,7 +1420,8 @@ class GraftBatchWrite(
         s"bucket column $c must be BIGINT/INT")
       (i, n)
     }
-    new GraftDataWriterFactory(stagingAbs, schema, bucketIdx = bucketIdx)
+    new GraftDataWriterFactory(stagingAbs, schema, bucketIdx = bucketIdx,
+      bloomCols = VersionedTable.bloomCols(table, schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1340,7 +1434,7 @@ class GraftBatchWrite(
     GraftStagedCommit.reconcile(
       java.nio.file.Paths.get(table, "data", dirName), stagingAbs, messages)
     val entries = VersionedTable.dirMetadata(
-      spark, table, dirName, VersionedTable.defaultStatsCols(schema),
+      spark, table, dirName, VersionedTable.defaultStatsCols(table, schema),
       VersionedTable.constraints(table))
     VersionedTable.publishStaged(table, token, next, dirName, entries,
       append = !overwrite, txnId = None, expectedLatest = None)
@@ -1391,16 +1485,17 @@ private[graft] object GraftStagedCommit {
 
 class GraftDataWriterFactory(
     stagingAbs: String, schema: StructType, rowLevel: Boolean = false,
-    bucketIdx: Option[(Int, Int)] = None)
+    bucketIdx: Option[(Int, Int)] = None, bloomCols: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     bucketIdx match {
       case None =>
         new GraftDataWriter(
-          s"$stagingAbs/part-$partitionId-$taskId.parquet", schema, rowLevel)
+          s"$stagingAbs/part-$partitionId-$taskId.parquet", schema, rowLevel,
+          bloomCols)
       case Some((i, n)) =>
         new GraftBucketedDataWriter(
-          stagingAbs, schema, i, n, partitionId, taskId, rowLevel)
+          stagingAbs, schema, i, n, partitionId, taskId, rowLevel, bloomCols)
     }
 }
 
@@ -1414,7 +1509,8 @@ class GraftDataWriterFactory(
   */
 class GraftBucketedDataWriter(
     stagingAbs: String, schema: StructType, bucketIdx: Int, nBuckets: Int,
-    partitionId: Int, taskId: Long, rowLevel: Boolean = false)
+    partitionId: Int, taskId: Long, rowLevel: Boolean = false,
+    bloomCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
   private val open = scala.collection.mutable.Map.empty[Int, GraftDataWriter]
   // row-level (ReplaceData) rows may carry a leading `__row_operation`
@@ -1449,7 +1545,7 @@ class GraftBucketedDataWriter(
       java.nio.file.Files.createDirectories(dir)
       val f = dir.resolve(s"part-$partitionId-$taskId.parquet").toString
       written += f
-      new GraftDataWriter(f, schema, rowLevel)
+      new GraftDataWriter(f, schema, rowLevel, bloomCols)
     }).write(row)
   }
 
@@ -1466,7 +1562,8 @@ class GraftBucketedDataWriter(
   * speculative attempts never collide; abort deletes the attempt's file.
   */
 class GraftDataWriter(
-    file: String, schema: StructType, rowLevel: Boolean = false)
+    file: String, schema: StructType, rowLevel: Boolean = false,
+    bloomCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
   // Row-level (ReplaceData) writes: Spark 4 prepends a `__row_operation`
   // INT column to the replacement rows but only strips it (via the
@@ -1501,10 +1598,20 @@ class GraftDataWriter(
     b.named("spark_schema")
   }
   private val factory = new SimpleGroupFactory(msgType)
-  private val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
-    .builder(new org.apache.hadoop.fs.Path(file))
-    .withType(msgType)
-    .build()
+  // declared bloom columns (the `graft.bloom-cols` table property) get a
+  // write-side parquet bloom filter: point lookups on unclustered
+  // high-cardinality keys then skip row groups zone maps can't (zone
+  // maps only bound clustered values). NDV hint sizes the filter; the
+  // adaptive writer would be data-dependent, this stays deterministic.
+  private val writer = {
+    val b = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(file))
+      .withType(msgType)
+    bloomCols.filter(c => schema.fieldNames.contains(c))
+      .foldLeft(b)((bb, c) =>
+        bb.withBloomFilterEnabled(c, true).withBloomFilterNDV(c, 100000L))
+      .build()
+  }
 
   override def write(row: InternalRow): Unit = {
     if (fieldOffset < 0) {
@@ -1610,6 +1717,9 @@ class GraftTableScanBuilder(
     * would compute lo=11 and wrongly prune a file holding 10.9 (stats
     * [10,10]). Non-integral predicates are simply not pruned on.
     */
+  private var staticIn: Map[String, Set[Long]] = Map.empty
+  private var staticStrIn: Map[String, Set[String]] = Map.empty
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val phys = filters.map(GraftFilters.mapNames(_, p))
     val (b, consumed) = GraftFilters.integralBounds(phys, physSchema(full))
@@ -1617,6 +1727,13 @@ class GraftTableScanBuilder(
     // string predicates prune through the byte-prefix zones the same way
     val (sb, sConsumed) = GraftFilters.stringBounds(phys, physSchema(full))
     strBounds = sb
+    // STATIC In/EqualTo key sets ride to the scan like runtime (DPP)
+    // sets do: files whose zones hold none of the keys drop at planning
+    // time, and the row-group filter gets Eq/In leaves parquet's
+    // dictionary AND bloom evaluators consume — interval bounds alone
+    // would keep every block between min(keys) and max(keys)
+    staticIn = GraftFilters.inSets(phys)
+    staticStrIn = GraftFilters.strInSets(phys)
     used = (consumed ++ sConsumed).distinct
     filters // all residual: exactness never depends on the zone maps
   }
@@ -1778,10 +1895,10 @@ class GraftTableScanBuilder(
     case (Some(specs), _) => new GraftAggScan(table, version, specs)
     case (None, Some((c, n))) =>
       new GraftBucketedScan(table, version, required, bounds, strBounds,
-        c, n, reportAs)
+        c, n, reportAs, staticIn, staticStrIn)
     case (None, None) =>
       new GraftTableScan(table, version, required, bounds, strBounds,
-        limitOpt, topN, reportAs)
+        limitOpt, topN, reportAs, staticIn, staticStrIn)
   }
 }
 
@@ -1802,7 +1919,9 @@ class GraftBucketedScan(
     bounds: Map[String, (Long, Long)],
     strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])],
     bucketCol: String, nBuckets: Int,
-    reportAs: StructType = null)
+    reportAs: StructType = null,
+    staticIn: Map[String, Set[Long]] = Map.empty,
+    staticStrIn: Map[String, Set[String]] = Map.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -1831,13 +1950,15 @@ class GraftBucketedScan(
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
 
-  @volatile private var runtimeSets: Map[String, Set[Long]] = Map.empty
-  @volatile private var strRuntimeSets: Map[String, Set[String]] = Map.empty
+  @volatile private var runtimeSets: Map[String, Set[Long]] = staticIn
+  @volatile private var strRuntimeSets: Map[String, Set[String]] = staticStrIn
   override def filter(filters: Array[Filter]): Unit = {
-    runtimeSets = GraftFilters.inSets(filters)
-      .map { case (c, s) => repToPhys.getOrElse(c, c) -> s }
-    strRuntimeSets = GraftFilters.strInSets(filters)
-      .map { case (c, s) => repToPhys.getOrElse(c, c) -> s }
+    runtimeSets = GraftFilters.intersectSets(staticIn,
+      GraftFilters.inSets(filters)
+        .map { case (c, s) => repToPhys.getOrElse(c, c) -> s })
+    strRuntimeSets = GraftFilters.intersectSets(staticStrIn,
+      GraftFilters.strInSets(filters)
+        .map { case (c, s) => repToPhys.getOrElse(c, c) -> s })
   }
 
   private lazy val perBucket: Map[Int, Seq[(String, Seq[String])]] = {
@@ -2100,7 +2221,9 @@ class GraftTableScan(
       Map.empty,
     limit: Option[Int] = None,
     topN: Option[(String, Boolean, Int)] = None,
-    reportAs: StructType = null) extends Scan with Batch
+    reportAs: StructType = null,
+    staticIn: Map[String, Set[Long]] = Map.empty,
+    staticStrIn: Map[String, Set[String]] = Map.empty) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -2133,13 +2256,17 @@ class GraftTableScan(
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
 
-  @volatile private var runtimeSets: Map[String, Set[Long]] = Map.empty
-  @volatile private var strRuntimeSets: Map[String, Set[String]] = Map.empty
+  // static (pushed In/EqualTo) sets seed the admissible-key maps;
+  // runtime (DPP) sets intersect in when the join delivers them
+  @volatile private var runtimeSets: Map[String, Set[Long]] = staticIn
+  @volatile private var strRuntimeSets: Map[String, Set[String]] = staticStrIn
   override def filter(filters: Array[Filter]): Unit = {
-    runtimeSets = GraftFilters.inSets(filters)
-      .map { case (c, s) => repToPhys.getOrElse(c, c) -> s }
-    strRuntimeSets = GraftFilters.strInSets(filters)
-      .map { case (c, s) => repToPhys.getOrElse(c, c) -> s }
+    runtimeSets = GraftFilters.intersectSets(staticIn,
+      GraftFilters.inSets(filters)
+        .map { case (c, s) => repToPhys.getOrElse(c, c) -> s })
+    strRuntimeSets = GraftFilters.intersectSets(staticStrIn,
+      GraftFilters.strInSets(filters)
+        .map { case (c, s) => repToPhys.getOrElse(c, c) -> s })
   }
 
   private[sources] def runtimeKept = {
@@ -2585,9 +2712,15 @@ private[sources] object GraftColumnStats {
           else Some((xs.map(_._2).sum / nn, xs.map(_._3).max))
         }
       }
+      // zero-row files (schema-evolution/DDL carriers) carry no stats and
+      // contribute no rows: exempt them from completeness, exactly like
+      // the aggregate pushdown does — otherwise every CREATE-then-INSERT
+      // table would decline min/max forever because of its v1 carrier
+      def zeroRows(p: String): Boolean = rowsOf.get(p).flatten.contains(0L)
       val nulls: Option[Long] = {
         val per = keptPaths.map { p =>
-          for {
+          if (zeroRows(p)) Some(0L)
+          else for {
             r <- rowsOf.get(p).flatten
             nn <- nnOf.getOrElse(p, Map.empty).get(c)
           } yield r - nn
@@ -2595,8 +2728,9 @@ private[sources] object GraftColumnStats {
         if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
       }
       val zone: Option[(Long, Long)] = {
-        val per = keptPaths.map(p => zonesOf.getOrElse(p, Map.empty).get(c))
-        if (per.forall(_.isDefined))
+        val per = keptPaths.filterNot(zeroRows)
+          .map(p => zonesOf.getOrElse(p, Map.empty).get(c))
+        if (per.nonEmpty && per.forall(_.isDefined))
           Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
         else None
       }
@@ -2653,17 +2787,27 @@ private[sources] object GraftRowGroupFilter {
     def clampI(x: Long): Integer =
       Integer.valueOf(
         math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, x)).toInt)
+    // a degenerate range (lo == hi, a point predicate) is emitted as a
+    // single Eq leaf instead of gtEq+ltEq: stats-equivalent, and Eq is
+    // what parquet's dictionary AND bloom-filter row-group evaluators
+    // consume — a point lookup on an unclustered bloom'd column skips
+    // the row groups whose bloom excludes the key
     val intPreds: Seq[FilterPredicate] =
       bounds.toSeq.sortBy(_._1).flatMap { case (c, (lo, hi)) =>
         required.fields.find(_.name == c).map(_.dataType) match {
           case Some(LongType) =>
             val col = FilterApi.longColumn(c)
-            Seq[FilterPredicate](
+            if (lo == hi) Seq[FilterPredicate](
+              FilterApi.eq(col, java.lang.Long.valueOf(lo)))
+            else Seq[FilterPredicate](
               FilterApi.gtEq(col, java.lang.Long.valueOf(lo)),
               FilterApi.ltEq(col, java.lang.Long.valueOf(hi)))
-          case Some(IntegerType) =>
+          case Some(IntegerType) | Some(DateType) =>
+            // date bounds arrive in epoch days — the INT32 value parquet
+            // stores for annotated date columns
             val col = FilterApi.intColumn(c)
-            Seq[FilterPredicate](
+            if (lo == hi) Seq[FilterPredicate](FilterApi.eq(col, clampI(lo)))
+            else Seq[FilterPredicate](
               FilterApi.gtEq(col, clampI(lo)), FilterApi.ltEq(col, clampI(hi)))
           case _ => Nil
         }
@@ -2674,10 +2818,16 @@ private[sources] object GraftRowGroupFilter {
           Nil
         else {
           val col = FilterApi.binaryColumn(c)
-          lo.toSeq.map(b =>
-            FilterApi.gtEq(col, Binary.fromConstantByteArray(b)): FilterPredicate) ++
-            hi.toSeq.map(b =>
-              FilterApi.ltEq(col, Binary.fromConstantByteArray(b)): FilterPredicate)
+          (lo, hi) match {
+            case (Some(a), Some(b)) if java.util.Arrays.equals(a, b) =>
+              Seq(FilterApi.eq(col,
+                Binary.fromConstantByteArray(a)): FilterPredicate)
+            case _ =>
+              lo.toSeq.map(b =>
+                FilterApi.gtEq(col, Binary.fromConstantByteArray(b)): FilterPredicate) ++
+                hi.toSeq.map(b =>
+                  FilterApi.ltEq(col, Binary.fromConstantByteArray(b)): FilterPredicate)
+          }
         }
       }
     // runtime (DPP) key sets. Parquet's statistics filter evaluates an

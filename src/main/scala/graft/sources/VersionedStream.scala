@@ -185,7 +185,8 @@ class VersionedStreamingWrite(table: String, schema: StructType, queryId: String
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new VersionedStreamingWriterFactory(table, queryId.take(8), schema, bucketIdx)
+    new VersionedStreamingWriterFactory(table, queryId.take(8), schema, bucketIdx,
+      VersionedTable.bloomCols(table, schema))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -203,7 +204,7 @@ class VersionedStreamingWrite(table: String, schema: StructType, queryId: String
       java.nio.file.Paths.get(table, "data", dirName),
       stagingAbs(epochId), messages)
     val entries = VersionedTable.dirMetadata(
-      spark, table, dirName, VersionedTable.defaultStatsCols(schema),
+      spark, table, dirName, VersionedTable.defaultStatsCols(table, schema),
       VersionedTable.constraints(table))
     VersionedTable.publishStaged(table, token, next, dirName, entries,
       append = true, txnId = Some(txn), expectedLatest = None)
@@ -222,7 +223,11 @@ class VersionedStreamingWrite(table: String, schema: StructType, queryId: String
 
 class VersionedStreamingWriterFactory(
     table: String, qTag: String, schema: StructType,
-    bucketIdx: Option[(Int, Int)] = None)
+    bucketIdx: Option[(Int, Int)] = None,
+    // resolved DRIVER-side (the props file lives with the manifests):
+    // the sink honors the table's declared bloom columns too — streamed
+    // commits must stay point-lookup-skippable like batch ones
+    blooms: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
@@ -230,11 +235,13 @@ class VersionedStreamingWriterFactory(
     java.nio.file.Files.createDirectories(dir)
     bucketIdx match {
       case None =>
-        new GraftDataWriter(s"$dir/part-$partitionId-$taskId.parquet", schema)
+        new GraftDataWriter(s"$dir/part-$partitionId-$taskId.parquet", schema,
+          bloomCols = blooms)
       case Some((i, n)) =>
         // a bucketed sink table keeps its co-location: every epoch's rows
         // route into their own key's __graft_bucket subtree
-        new GraftBucketedDataWriter(dir.toString, schema, i, n, partitionId, taskId)
+        new GraftBucketedDataWriter(dir.toString, schema, i, n, partitionId,
+          taskId, bloomCols = blooms)
     }
   }
 }

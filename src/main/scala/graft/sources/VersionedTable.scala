@@ -181,7 +181,10 @@ object VersionedTable {
       .collect { case (t, v) if t == table => v }.toSeq
     if (cached.size > maxCachedVersionsPerTable)
       cached.sorted.dropRight(maxCachedVersionsPerTable)
-        .foreach(v => resolvedEntries.remove((table, v)))
+        .foreach { v =>
+          resolvedEntries.remove((table, v))
+          parsedSnapshots.keySet.removeIf(k => k._1 == table && k._2 == v)
+        }
   }
 
   private def txnOf(table: String, version: Long): Option[String] =
@@ -283,7 +286,13 @@ object VersionedTable {
       checks: Seq[(String, String)] = Nil,
       writeOptions: Map[String, String] = Map.empty): Seq[String] = {
     val dataDir = Paths.get(table, "data", dirName)
-    df.write.mode("errorifexists").options(writeOptions).parquet(dataDir.toString)
+    // declared bloom columns ride every programmatic commit as parquet
+    // write options (merged into the write's hadoop conf); explicit
+    // caller options win on conflict
+    val bloomOpts = bloomCols(table, df.schema)
+      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+    df.write.mode("errorifexists").options(bloomOpts ++ writeOptions)
+      .parquet(dataDir.toString)
     dirMetadata(df.sparkSession, table, dirName, statsCols, checks)
   }
 
@@ -301,17 +310,93 @@ object VersionedTable {
         f.dataType == org.apache.spark.sql.types.IntegerType => f.name
     }.toSeq
 
+  /** Default cap on how many columns the per-commit stats job aggregates
+    * (min/max + NDV + length stats each): a 2,000-column table must not
+    * pay a 4,000-aggregate job on every small INSERT. Overridable per
+    * table via the `graft.stats-max-cols` property; 64 covers every
+    * realistic pruning-key set while bounding the job at wide-table
+    * workloads.
+    */
+  private[sources] val DefaultStatsColsCap = 64
+
   /** Default zone-map stats set for writes that don't declare one:
-    * integral columns (long min/max) PLUS string columns (truncated
-    * byte-prefix min/max, Iceberg-style) — both recorded in the same
-    * single metadata job, so every SQL- or stream-written file is
-    * prunable by both range and string predicates by default.
+    * integral columns (long min/max) PLUS date columns (epoch-day
+    * min/max) PLUS string columns (truncated byte-prefix min/max,
+    * Iceberg-style) — all recorded in the same single metadata job, so
+    * every SQL- or stream-written file is prunable by range, date, and
+    * string predicates by default. Capped at the FIRST
+    * [[DefaultStatsColsCap]] eligible columns in schema order
+    * (`graft.stats-max-cols` overrides per table) — pruning keys lead
+    * real schemas, and an uncapped default would make every INSERT's
+    * metadata job O(columns) on wide tables.
     */
   private[sources] def defaultStatsCols(
+      table: String,
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
+    val cap = tableProps(table).get("graft.stats-max-cols")
+      .map(_.toInt).getOrElse(DefaultStatsColsCap)
+    schema.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == DateType || f.dataType == StringType => f.name
+    }.take(math.max(cap, 0)).toSeq
+  }
+
+  // ---- Table properties (small, immutable-at-create key/values) ----
+  //
+  // Recorded once by CREATE TABLE (link-as-CAS, same discipline as the
+  // bucket/cluster spec files) and consulted by the write paths:
+  // `graft.bloom-cols` declares the write-side parquet bloom-filter
+  // columns, `graft.stats-max-cols` bounds the commit stats job.
+
+  private def propsFile(table: String): Path =
+    manifestDir(table).resolve("props.txt")
+
+  /** The table's declared bloom-filter columns (`graft.bloom-cols`),
+    * restricted to columns `schema` actually carries. Names are
+    * PHYSICAL (recorded at create, before any rename could apply).
+    */
+  private[sources] def bloomCols(
+      table: String,
       schema: org.apache.spark.sql.types.StructType): Seq[String] =
-    integralStatsCols(schema) ++ schema.fields.collect {
-      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    tableProps(table).get("graft.bloom-cols").toSeq
+      .flatMap(_.split(',')).map(_.trim)
+      .filter(c => c.nonEmpty && schema.fieldNames.contains(c))
+
+  /** The table's recorded properties (empty when none were declared). */
+  def tableProps(table: String): Map[String, String] = {
+    val f = propsFile(table)
+    if (!Files.exists(f)) Map.empty
+    else Files.readAllLines(f).asScala.flatMap { l =>
+      l.split("\t", 2) match {
+        case Array(k, v) if k.nonEmpty => Some(k -> v)
+        case _                         => None
+      }
+    }.toMap
+  }
+
+  /** Record table properties atomically-if-absent. Idempotent when the
+    * recorded set already matches; a conflicting concurrent CREATE loses
+    * loudly.
+    */
+  private[sources] def recordTableProps(
+      table: String, props: Map[String, String]): Unit = {
+    if (props.isEmpty) return
+    if (!Files.exists(propsFile(table))) {
+      Files.createDirectories(manifestDir(table))
+      val tmp = manifestDir(table).resolve(
+        s"props.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp,
+        props.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }.asJava)
+      try Files.createLink(propsFile(table), tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally { Files.deleteIfExists(tmp); () }
     }
+    val have = tableProps(table)
+    if (have != props)
+      throw new java.util.ConcurrentModificationException(
+        s"$table already records properties $have; cannot record $props")
+  }
 
   // ---- String zone maps (truncated byte-prefix bounds) ----
   //
@@ -395,12 +480,20 @@ object VersionedTable {
       else {
         val snap = spark.read.parquet(dataDir.toString)
         // string columns get byte-prefix zones (fifth entry segment);
-        // everything else keeps the cast(long) min/max + NN count
+        // date columns record epoch-day long zones (DATE does not cast
+        // to BIGINT — unix_date is the explicit day count, and it is
+        // exactly what the pushed-filter bounds speak for date
+        // predicates); everything else keeps the cast(long) min/max
         val strSet = snap.schema.fields.collect {
           case f if f.dataType == org.apache.spark.sql.types.StringType =>
             f.name
         }.toSet
-        val (strCols, numCols) = statsCols.partition(strSet.contains)
+        val dateSet = snap.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.DateType =>
+            f.name
+        }.toSet
+        val (strCols, nonStr) = statsCols.partition(strSet.contains)
+        val (dateCols, numCols) = nonStr.partition(dateSet.contains)
         // NDV sketches ride the same job: HLL per stats column per file,
         // unioned into one per-commit sketch below (types hll_sketch_agg
         // accepts: int/long/string/binary — exactly the stats families)
@@ -415,6 +508,12 @@ object VersionedTable {
           min(col(c)).cast("long").as(s"g_mn_$c"),
           max(col(c)).cast("long").as(s"g_mx_$c"),
           count(col(c)).as(s"g_nn_$c"))) ++
+          dateCols.flatMap(c => Seq(
+            min(org.apache.spark.sql.functions.unix_date(col(c)))
+              .cast("long").as(s"g_mn_$c"),
+            max(org.apache.spark.sql.functions.unix_date(col(c)))
+              .cast("long").as(s"g_mx_$c"),
+            count(col(c)).as(s"g_nn_$c"))) ++
           strCols.flatMap(c => Seq(
             min(col(c)).as(s"g_smn_$c"),
             max(col(c)).as(s"g_smx_$c"),
@@ -486,7 +585,7 @@ object VersionedTable {
           // per-col (zone-map text, non-null-count text) — only for
           // long-castable columns; the NN counts ride a FOURTH entry
           // segment so the zone-map rendering stays format-stable
-          val statPairs = numCols.flatMap { c =>
+          val statPairs = (numCols ++ dateCols).flatMap { c =>
             val (mn, mx) = (r.getAs[Any](s"g_mn_$c"), r.getAs[Any](s"g_mx_$c"))
             (mn, mx) match {
               case (a: Long, b: Long) =>
@@ -635,11 +734,36 @@ object VersionedTable {
     }.toMap
   }
 
+  // ---- Parsed-snapshot memoization ----
+  //
+  // The planning walks (zone-map pruning, $files, statistics) used to
+  // re-parse every entry's stats string on EVERY query — ~4µs/file/plan,
+  // which is 0.4 s PER PLAN at a 100k-file snapshot (PlanLatencyProbe;
+  // SCALING.md round 14). Entry lists are immutable per (table, version)
+  // — the resolvedEntries invariant — so the PARSED forms memoize under
+  // the same key, bounded by the same newest-versions window
+  // ([[boundCache]]) and invalidated at the same sites (dropTable,
+  // vacuum expiry).
+
+  private val parsedSnapshots =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), AnyRef]()
+
+  private def memoParsed[T <: AnyRef](
+      table: String, version: Option[Long], kind: String)(compute: => T): T = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions at $table")
+    val v = version.getOrElse(vs.last)
+    parsedSnapshots.computeIfAbsent((table, v, kind), _ => compute)
+      .asInstanceOf[T]
+  }
+
   /** path → (col → non-null count) over a pinned snapshot's data files. */
   private[sources] def snapshotNonNulls(
       table: String, version: Option[Long]): Map[String, Map[String, Long]] =
-    pinnedEntries(table, version).filterNot(isDeleteEntry)
-      .map(e => entryPath(e) -> entryNonNulls(e)).toMap
+    memoParsed(table, version, "nonnulls") {
+      pinnedEntries(table, version).filterNot(isDeleteEntry)
+        .map(e => entryPath(e) -> entryNonNulls(e)).toMap
+    }
 
   /** Per-file column zone map recorded at commit: col → (min, max).
     * Empty for entries committed without `statsCols` — those files are
@@ -716,8 +840,10 @@ object VersionedTable {
   private[sources] def snapshotStrStatsExact(
       table: String, version: Option[Long])
       : Map[String, Map[String, (Option[String], Option[String])]] =
-    pinnedEntries(table, version).filterNot(isDeleteEntry)
-      .map(e => entryPath(e) -> entryStrStatsExact(e)).toMap
+    memoParsed(table, version, "strexact") {
+      pinnedEntries(table, version).filterNot(isDeleteEntry)
+        .map(e => entryPath(e) -> entryStrStatsExact(e)).toMap
+    }
 
   /** path → string zone map over a pinned snapshot's data files — the
     * planning-time lookup behind string-predicate file pruning.
@@ -725,8 +851,10 @@ object VersionedTable {
   private[sources] def snapshotStrStats(
       table: String, version: Option[Long])
       : Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]] =
-    pinnedEntries(table, version).filterNot(isDeleteEntry)
-      .map(e => entryPath(e) -> entryStrStats(e)).toMap
+    memoParsed(table, version, "strstats") {
+      pinnedEntries(table, version).filterNot(isDeleteEntry)
+        .map(e => entryPath(e) -> entryStrStats(e)).toMap
+    }
 
   // ---- Per-commit NDV sketches (ANALYZE-free column statistics) ----
   //
@@ -1188,18 +1316,73 @@ object VersionedTable {
     * rather than silently replacing the newer head with old data.
     * Returns the new version.
     */
-  def compact(spark: SparkSession, table: String): Long = {
+  def compact(
+      spark: SparkSession, table: String,
+      targetRowsPerFile: Option[Long] = None): Long = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed versions at $table")
     val basis = vs.last
-    val snap = read(spark, table, Some(basis))
+    val snap0 = read(spark, table, Some(basis))
+    // with a target, CONSOLIDATE while compacting: the rewrite otherwise
+    // inherits the input file count, so small-file debt would survive
+    // the tombstone cleanup. Row count from footer sums (an overcount
+    // under tombstones — the safe direction: never fewer files than
+    // the live rows need).
+    val snap = targetRowsPerFile.fold(snap0) { target =>
+      require(target > 0, "targetRowsPerFile must be positive")
+      val n = snapshotFiles(table, Some(basis)).flatMap(_._3).sum
+      snap0.coalesce(math.max(1L, (n + target - 1) / target).toInt)
+    }
     // a compaction is the one rewrite every file passes through — record
     // the FULL default stats set (integral + string zones, NDV sketches)
     // so maintenance upgrades old pre-stats files instead of erasing them
     commitCore(snap, table, append = false,
       txnId = None, expectedLatest = Some(basis),
-      statsCols = defaultStatsCols(snap.schema))
+      statsCols = defaultStatsCols(table, snap.schema))
       .fold(identity, identity)
+  }
+
+  /** One-call AUTO-MAINTENANCE: read the head snapshot's own metadata
+    * (footer counts, applicable tombstones — the same inputs the
+    * maintenance-advisor query composes from `$files`) and execute what
+    * it recommends, atomically via the ordinary snapshot-pinned rewrite
+    * paths:
+    *  - tombstone debt (any data file under a merge-on-read tombstone)
+    *    → [[compact]]/[[compactBucketed]]: anti-joins become pure scans;
+    *  - small-file debt (≥ `smallFilesThreshold` data files under
+    *    `smallFileRows` rows) → the same consolidation ([[optimize]] on
+    *    the recorded cluster column when one exists, so maintenance
+    *    RESTORES the declared layout rather than merely concatenating);
+    *  - otherwise no-op ("healthy", head version unchanged).
+    * Returns (action, resulting version). Exposed as
+    * `CALL <cat>.system.auto_maintain('ns.t')`. Thresholds default to
+    * the advisor's; the decision is metadata-only — no data file opens
+    * unless a rewrite actually runs.
+    */
+  def autoMaintain(
+      spark: SparkSession, table: String,
+      smallFileRows: Long = 1000L, smallFilesThreshold: Int = 2): (String, Long) = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions at $table")
+    val head = vs.last
+    val layout = snapshotLayout(table, Some(head))
+    val rowsOf = snapshotFiles(table, Some(head))
+      .map { case (p, _, r, _, _) => p -> r }.toMap
+    val tombstoned = layout.count(_._3.nonEmpty)
+    val small = layout.count { e =>
+      val r = rowsOf.get(e._1).flatten
+      r.exists(n => n > 0L && n < smallFileRows)
+    }
+    def consolidate(): Long =
+      if (bucketSpec(table).isDefined) compactBucketed(spark, table)
+      else clusterSpec(table) match {
+        case Some(c) => optimize(spark, table, c)
+        case None    => compact(spark, table, Some(1L << 20))
+      }
+    if (tombstoned > 0) ("compact: tombstone debt", consolidate())
+    else if (small >= smallFilesThreshold)
+      ("optimize: small-file debt", consolidate())
+    else ("healthy", head)
   }
 
   /** Commit classification for the streaming source: the paths of the
@@ -1255,15 +1438,16 @@ object VersionedTable {
     * applicable to it (bound ≥ its commit), and its zone map.
     */
   private[sources] def snapshotLayout(table: String, version: Option[Long])
-      : Seq[(String, Long, Seq[String], Map[String, (Long, Long)])] = {
-    val entries = pinnedEntries(table, version)
-    val delE = entries.filter(isDeleteEntry)
-      .map(e => (e.split(":", 3)(1).toLong, entryPath(e)))
-    entries.filterNot(isDeleteEntry).map { e =>
-      val c = dataCommitOf(e)
-      (entryPath(e), c, delE.collect { case (b, p) if b >= c => p }, entryStats(e))
+      : Seq[(String, Long, Seq[String], Map[String, (Long, Long)])] =
+    memoParsed(table, version, "layout") {
+      val entries = pinnedEntries(table, version)
+      val delE = entries.filter(isDeleteEntry)
+        .map(e => (e.split(":", 3)(1).toLong, entryPath(e)))
+      entries.filterNot(isDeleteEntry).map { e =>
+        val c = dataCommitOf(e)
+        (entryPath(e), c, delE.collect { case (b, p) if b >= c => p }, entryStats(e))
+      }
     }
-  }
 
   /** Per-file metadata of a pinned snapshot for the catalog's `$files`
     * table: (path, owning commit, footer row count if recorded,
@@ -1271,17 +1455,18 @@ object VersionedTable {
     * Pure manifest arithmetic — no data file is opened.
     */
   private[sources] def snapshotFiles(table: String, version: Option[Long])
-      : Seq[(String, Long, Option[Long], Int, String)] = {
-    val entries = pinnedEntries(table, version)
-    val delE = entries.filter(isDeleteEntry)
-      .map(e => (e.split(":", 3)(1).toLong, entryPath(e)))
-    entries.filterNot(isDeleteEntry).map { e =>
-      val c = dataCommitOf(e)
-      val zones = entryStats(e).toSeq.sortBy(_._1)
-        .map { case (col, (mn, mx)) => s"$col=$mn..$mx" }.mkString(";")
-      (entryPath(e), c, entryRows(e), delE.count(_._1 >= c), zones)
+      : Seq[(String, Long, Option[Long], Int, String)] =
+    memoParsed(table, version, "files") {
+      val entries = pinnedEntries(table, version)
+      val delE = entries.filter(isDeleteEntry)
+        .map(e => (e.split(":", 3)(1).toLong, entryPath(e)))
+      entries.filterNot(isDeleteEntry).map { e =>
+        val c = dataCommitOf(e)
+        val zones = entryStats(e).toSeq.sortBy(_._1)
+          .map { case (col, (mn, mx)) => s"$col=$mn..$mx" }.mkString(";")
+        (entryPath(e), c, entryRows(e), delE.count(_._1 >= c), zones)
+      }
     }
-  }
 
   /** MERGE INTO (row-level upsert): apply a keyed I/U/D change batch to
     * the table head with last-writer-wins semantics and commit the
@@ -1364,7 +1549,7 @@ object VersionedTable {
     val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     commitCore(snap.repartitionByRange(parts, col(clusterBy)), table,
       append = false, txnId = None, expectedLatest = Some(basis),
-      statsCols = (defaultStatsCols(snap.schema) :+ clusterBy).distinct)
+      statsCols = (defaultStatsCols(table, snap.schema) :+ clusterBy).distinct)
       .fold(identity, identity)
   }
 
@@ -1383,14 +1568,26 @@ object VersionedTable {
   def optimizeZorder(
       spark: SparkSession, table: String, clusterBy: Seq[String],
       targetRowsPerFile: Long = 1L << 20): Long = {
-    import org.apache.spark.sql.functions.{col, lit, max, min, shiftleft, shiftright}
+    import org.apache.spark.sql.functions.{col, lit, max, min, shiftleft, shiftright, unix_date}
+    import org.apache.spark.sql.types.{DateType, StringType}
     require(clusterBy.nonEmpty, "optimizeZorder needs at least one column")
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed versions at $table")
     val basis = vs.last
     val snap = read(spark, table, Some(basis))
+    // each clustering column range-buckets through an order-preserving
+    // LONG surrogate: integral columns cast; DATE maps to epoch days;
+    // STRING maps through the 7-byte big-endian prefix u56 — the same
+    // byte order the string zone maps record, so the interleave's
+    // locality is exactly what the byte-prefix pruning later consumes
+    def surrogate(c: String): org.apache.spark.sql.Column =
+      snap.schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(StringType) => graft.functions.TextExpressions.strPrefixU64(col(c))
+        case Some(DateType)   => unix_date(col(c)).cast("long")
+        case _                => col(c).cast("long")
+      }
     val aggs = clusterBy.flatMap(c =>
-      Seq(min(col(c)).cast("long").as(s"g_mn_$c"), max(col(c)).cast("long").as(s"g_mx_$c")))
+      Seq(min(surrogate(c)).as(s"g_mn_$c"), max(surrogate(c)).as(s"g_mx_$c")))
     val r = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
     // an empty table min/maxes to null in EVERY column: nothing to
     // cluster, return the basis unchanged (CALL system.zorder on a fresh
@@ -1404,7 +1601,13 @@ object VersionedTable {
         "long-castable values (all null?) — cannot range-bucket it"))
     def bucket(c: String): org.apache.spark.sql.Column = {
       val (lo, hi) = (r.getAs[Long](s"g_mn_$c"), r.getAs[Long](s"g_mx_$c"))
-      ((col(c) - lit(lo)) * 256L / lit(math.max(hi - lo + 1, 1L))).cast("int")
+      // divide-FIRST: string surrogates span up to 2^56, so the old
+      // multiply-then-divide form `(v - lo) * 256 / span` would overflow
+      // long math (a hard error under ANSI). Width = ceil(span/256)
+      // keeps buckets in [0, 255] for any span.
+      val span = math.max(hi - lo + 1L, 1L)
+      val width = math.max((span + 255L) / 256L, 1L)
+      ((surrogate(c) - lit(lo)) / lit(width)).cast("int")
     }
     val k = clusterBy.size
     // bit i of column j lands at position i*k + j — the k-ary Morton code
@@ -1521,6 +1724,47 @@ object VersionedTable {
     }
   }
 
+  // ---- Identity partitioning (PARTITIONED BY (col)) ----
+  //
+  // Stored as a marker alongside the cluster spec: the TABLE declares
+  // value partitioning; the ENGINE delivers it as clustered-on-write +
+  // zone-map pruning (each commit's files cover tight disjoint value
+  // ranges; a partition predicate plans a strict file subset) rather
+  // than Hive-style directories — same pruning, no small-file explosion
+  // on high-cardinality partition keys, and DESCRIBE still reports the
+  // identity transform the user declared.
+
+  private def identitySpecFile(table: String): Path =
+    manifestDir(table).resolve("identityspec.txt")
+
+  /** The table's declared identity partition column, if any. */
+  def identityPartition(table: String): Option[String] = {
+    val f = identitySpecFile(table)
+    if (!Files.exists(f)) None
+    else Files.readAllLines(f).asScala.headOption.filter(_.nonEmpty)
+  }
+
+  /** Record the identity partition column atomically-if-absent (same
+    * link-as-CAS discipline as [[recordClusterSpec]], which the caller
+    * records too — this marker only preserves the DECLARED transform).
+    */
+  private[sources] def recordIdentityPartition(table: String, col: String): Unit = {
+    if (!Files.exists(identitySpecFile(table))) {
+      Files.createDirectories(manifestDir(table))
+      val tmp = manifestDir(table).resolve(
+        s"identityspec.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, java.util.List.of(col))
+      try Files.createLink(identitySpecFile(table), tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally { Files.deleteIfExists(tmp); () }
+    }
+    identityPartition(table).foreach { c =>
+      if (c != col)
+        throw new java.util.ConcurrentModificationException(
+          s"$table is partitioned by $c; cannot record $col")
+    }
+  }
+
   /** Commit `df` BUCKETED on `bucketCol` into `nBuckets` modulo buckets
     * (`pmod(col, n)`; NULL keys land in bucket 0 — they never match an
     * equi-join anyway). Each commit writes one Hive-style
@@ -1585,7 +1829,7 @@ object VersionedTable {
       ()
     }
     val entries = dirMetadata(df.sparkSession, table, dirName,
-      defaultStatsCols(df.schema), constraints(table))
+      defaultStatsCols(table, df.schema), constraints(table))
     // record the spec atomically-if-absent BEFORE publishing: a racing
     // first-commit with a DIFFERENT spec must lose loudly, not coexist
     try recordBucketSpec(table, bucketCol, nBuckets)
@@ -1685,7 +1929,7 @@ object VersionedTable {
     val dirName = s"c${next}_$token"
     val fileEntries = writeFiles(
       frame.repartitionByRange(parts, col(pc)).sortWithinPartitions(pc),
-      table, dirName, (defaultStatsCols(frame.schema) :+ pc).distinct,
+      table, dirName, (defaultStatsCols(table, frame.schema) :+ pc).distinct,
       constraints(table))
     val removals = touched.map(e => s"R:${entryPath(e)}")
     val fresh = fileEntries.map(nm => s"data/$dirName/$nm")
@@ -2094,6 +2338,43 @@ object VersionedTable {
     logicalizeFrame(table, frames.reduce(_ unionByName _))
   }
 
+  /** Delta-style `table_changes`: ONE frame unifying the additive and
+    * removal sides of `(fromVersion, toVersion]` — every data column
+    * (null-filled on delete rows except the tombstone key), plus
+    * `_change_type` ('insert'/'delete') and `_commit_version`. This is
+    * the SQL-front-door CDF surface ([[graft.functions.GraftExtensions]]
+    * registers it as the table function
+    * `table_changes('path-or-cat.ns.t', v1, v2)`); the split
+    * [[appendsBetween]]/[[deletesBetween]] forms remain for programmatic
+    * consumers that want the sides separately. Fails loudly across any
+    * non-additive commit, exactly like them.
+    */
+  def tableChanges(
+      spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def abs(rel: String) = Paths.get(table, rel).toString
+    val commits = rangeCommits(table, fromVersion, toVersion)
+    def side(delete: Boolean): Seq[DataFrame] = commits.flatMap {
+      case (w, fresh) =>
+        val paths = fresh.filter(e => isDeleteEntry(e) == delete).map(entryPath)
+        if (paths.isEmpty) None
+        else Some(spark.read.parquet(paths.map(abs): _*)
+          .withColumn("_change_type", lit(if (delete) "delete" else "insert"))
+          .withColumn("_commit_version", lit(w)))
+    }
+    val frames = side(delete = false) ++ side(delete = true)
+    require(frames.nonEmpty,
+      s"no changes in ($fromVersion, $toVersion] of $table")
+    val all = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    // stable output order: data columns in snapshot-schema order, then
+    // the two metadata columns
+    val schema = snapshotSchema(spark, table, Some(toVersion))
+    val ordered = schema.fieldNames.filter(all.columns.contains).toSeq ++
+      Seq("_change_type", "_commit_version")
+    logicalizeFrame(table, all.select(ordered.map(col): _*))
+  }
+
   /** The fresh entries of each commit in `(from, to]`, oldest first,
     * failing on any non-additive (overwrite) commit in the range.
     */
@@ -2224,7 +2505,9 @@ object VersionedTable {
     Seq(constraintsFile(src) -> constraintsFile(dst),
         bucketSpecFile(src) -> bucketSpecFile(dst),
         colMapFile(src) -> colMapFile(dst),
-        clusterSpecFile(src) -> clusterSpecFile(dst)).foreach { case (f, t) =>
+        clusterSpecFile(src) -> clusterSpecFile(dst),
+        identitySpecFile(src) -> identitySpecFile(dst),
+        propsFile(src) -> propsFile(dst)).foreach { case (f, t) =>
       if (Files.exists(f)) { Files.copy(f, t); () }
     }
     require(tryPublish(dst, 1L, entries, None, carry = None),
@@ -2257,6 +2540,7 @@ object VersionedTable {
   def dropTable(table: String): Unit = {
     deleteRecursively(Paths.get(table))
     resolvedEntries.keySet.removeIf(_._1 == table)
+    parsedSnapshots.keySet.removeIf(_._1 == table)
     ndvCache.keySet.removeIf(_._1 == table)
     commitSchemas.keySet.removeIf(_._1 == table)
     ()
@@ -2316,7 +2600,10 @@ object VersionedTable {
     // entry lists (each is O(snapshot files); a long-lived driver that
     // vacuums on a schedule must not accumulate O(versions × files)),
     // and the footer-schema memos of the directories just reclaimed
-    expired.foreach(v => resolvedEntries.remove((table, v)))
+    expired.foreach { v =>
+      resolvedEntries.remove((table, v))
+      parsedSnapshots.keySet.removeIf(k => k._1 == table && k._2 == v)
+    }
     val doomedDirs = doomed.map(_.split('/')(1))
     commitSchemas.keySet.removeIf(k => k._1 == table && doomedDirs.contains(k._2))
     ndvCache.keySet.removeIf(k => k._1 == table && doomedDirs.contains(k._2))

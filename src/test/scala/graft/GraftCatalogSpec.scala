@@ -403,7 +403,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW PROCEDURES IN gtest.system")
       .collect().map(_.getString(3)).toSet ==
       Set("vacuum", "vacuum_time", "vacuum_orphans", "compact", "optimize",
-        "optimize_where", "zorder", "restore", "clone"))
+        "optimize_where", "zorder", "restore", "clone", "auto_maintain"))
   }
 
   test("CALL system.restore rolls the head back; CALL system.clone forks a table") {
@@ -722,6 +722,252 @@ class GraftCatalogSpec extends AnyFunSuite {
     val top = qt.collect().map(_.getLong(0)).toSeq
     val all = (1L to 800L).map(k => k * 48271 % 800).sorted.reverse.take(5)
     assert(top == all, s"TopN result exact: $top vs $all")
+  }
+
+  test("CREATE TABLE PARTITIONED BY (col): identity partitioning prunes via clustering") {
+    val s = spark; import s.implicits._
+    val r = root // force catalog registration before any SQL
+    spark.sql(
+      "CREATE TABLE gtest.default.idp (k BIGINT, v STRING) PARTITIONED BY (k)")
+    (1L to 800L).map(x => (x * 48271 % 800, s"v$x")).toDF("k", "v")
+      .createOrReplaceTempView("idp_src")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try spark.sql("INSERT INTO gtest.default.idp SELECT k, v FROM idp_src")
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    // the declared identity transform is visible to DESCRIBE/SHOW
+    val tbl = new graft.sources.GraftCatalogTable(
+      s"$root/default/idp", None, "gtest.default.idp")
+    assert(tbl.partitioning().map(_.toString).exists(_.contains("k")),
+      s"identity transform must be reported: ${tbl.partitioning().mkString(",")}")
+    assert(tbl.properties().get("graft.partition-by") == "k")
+    // a partition predicate plans a strict file subset (delivered as
+    // clustered-on-write + zone maps, no Hive directories)
+    val q = spark.sql(
+      "SELECT k FROM gtest.default.idp WHERE k BETWEEN 100 AND 140")
+    val m = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no graft-catalog scan"))
+    assert(m.group(2).toInt > 4, s"expected several files, got ${m.group(2)}")
+    assert(m.group(1).toInt * 2 <= m.group(2).toInt,
+      s"identity partitioning must prune, got files=${m.group(1)}/${m.group(2)}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 800L).map(x => x * 48271 % 800).filter(k => k >= 100 && k <= 140).sorted)
+    // a non-eligible transform is still refused loudly
+    val ex = intercept[Exception](spark.sql(
+      "CREATE TABLE gtest.default.idp_bad (k BIGINT) PARTITIONED BY (years(k))"))
+    assert(ex.getMessage.contains("PARTITIONED BY"), ex.getMessage)
+  }
+
+  test("PARTITIONED BY (date_col): date predicates prune through epoch-day zones") {
+    val r = root
+    spark.sql(
+      "CREATE TABLE gtest.default.idpd (d DATE, v BIGINT) PARTITIONED BY (d)")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try spark.sql(
+      """INSERT INTO gtest.default.idpd
+        |SELECT date_add(DATE'2024-01-01', CAST((id * 48271) % 40 AS INT)), id
+        |FROM range(0, 800)""".stripMargin)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val q = spark.sql(
+      "SELECT v FROM gtest.default.idpd WHERE d = DATE'2024-01-10'")
+    val m = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no graft-catalog scan"))
+    assert(m.group(2).toInt > 4, s"expected several files, got ${m.group(2)}")
+    assert(m.group(1).toInt * 2 <= m.group(2).toInt,
+      s"a date point predicate must prune, got files=${m.group(1)}/${m.group(2)}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 800L).filter(id => (id * 48271) % 40 == 9).sorted,
+      "date-pruned result must equal the unpruned filter")
+    // range predicates prune too (epoch-day bounds are discrete)
+    val q2 = spark.sql(
+      "SELECT count(*) FROM gtest.default.idpd " +
+        "WHERE d >= DATE'2024-02-05' AND d < DATE'2024-02-08'")
+    assert(q2.collect()(0).getLong(0) ==
+      (0L until 800L).count(id => { val m40 = (id * 48271) % 40; m40 >= 35 && m40 < 38 }))
+  }
+
+  test("graft.bloom-cols: declared columns get write-side parquet bloom filters") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val s = spark; import s.implicits._
+    val r = root
+    spark.sql(
+      """CREATE TABLE gtest.default.blm (id BIGINT, v STRING)
+        |TBLPROPERTIES('graft.bloom-cols'='id')""".stripMargin)
+    spark.sql(
+      "INSERT INTO gtest.default.blm SELECT id * 7919, concat('v', id) FROM range(0, 2000)")
+    def bloomOffsets(table: String): Seq[(String, Boolean)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(table, "data"))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+        .flatMap { p =>
+          val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toString),
+            new org.apache.hadoop.conf.Configuration()))
+          try rd.getRowGroups.asScala.flatMap(bg => bg.getColumns.asScala.map(c =>
+            c.getPath.toDotString -> (c.getBloomFilterOffset >= 0L))).toSeq
+          finally rd.close()
+        }.toSeq
+    }
+    val offs = bloomOffsets(s"$root/default/blm").filter(_._2)
+    assert(offs.nonEmpty && offs.forall(_._1 == "id"),
+      s"only the declared column may carry a bloom filter: $offs")
+    assert(offs.exists(_._1 == "id"),
+      "the SQL INSERT path must write a bloom filter for the declared column")
+    // the programmatic commit path honors the property too (Spark writer
+    // via parquet.bloom.filter.enabled#id write options)
+    spark.sql(
+      """CREATE TABLE gtest.default.blm2 (id BIGINT, v STRING)
+        |TBLPROPERTIES('graft.bloom-cols'='id')""".stripMargin)
+    val t2 = s"$root/default/blm2"
+    graft.sources.VersionedTable.commit(
+      (0L until 2000L).map(i => (i * 7919, s"v$i")).toDF("id", "v"),
+      t2, append = true)
+    val offs2 = bloomOffsets(t2)
+    assert(offs2.exists { case (c, has) => c == "id" && has },
+      s"programmatic commits must write the declared bloom filter: $offs2")
+    assert(offs2.filter(_._2).forall(_._1 == "id"), s"only id is declared: $offs2")
+    // point lookup stays exact
+    assert(spark.sql(
+      "SELECT v FROM gtest.default.blm WHERE id = 7919000").collect()
+      .map(_.getString(0)).toSeq == Seq("v1000"))
+    // absent property → no bloom anywhere (the documented fallback)
+    spark.sql("CREATE TABLE gtest.default.blm3 (id BIGINT)")
+    spark.sql("INSERT INTO gtest.default.blm3 SELECT id FROM range(0, 100)")
+    assert(!bloomOffsets(s"$root/default/blm3").exists(_._2),
+      "undeclared tables must not pay bloom bytes")
+  }
+
+  test("CALL system.zorder on a STRING column prunes string predicates after rewrite") {
+    val s = spark; import s.implicits._
+    val r = root
+    val t = s"$root/default/zstr"
+    // hash-scrambled 2-D data: 8 first-byte-distinct string keys × a
+    // dense integral dimension — nothing sorted anywhere. Enough rows
+    // that each rewritten file covers a FRACTION of a Morton cell:
+    // z-order locality (like any space-filling curve) only separates
+    // dimensions once files are finer than the top-bit cells
+    val langs = Seq("ar", "de", "en", "es", "fr", "it", "ja", "zh")
+    VersionedTable.commit(
+      (1L to 4000L).map(i => (langs(((i * 48271) % 8).toInt), i * 48271 % 997, i))
+        .toDF("lang", "m", "id").repartition(8, col("id")),
+      t, append = false)
+    spark.sql("CALL gtest.system.zorder('default.zstr', 'lang,m', 64)")
+    // string-leg prune: equality on lang keeps a strict file subset
+    val q = spark.sql(
+      "SELECT id FROM gtest.default.zstr WHERE lang = 'es'")
+    val m = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no graft-catalog scan"))
+    assert(m.group(2).toInt > 4, s"expected several files, got ${m.group(2)}")
+    assert(m.group(1).toInt * 2 <= m.group(2).toInt,
+      s"string zorder must prune the string leg, got files=${m.group(1)}/${m.group(2)}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 4000L).filter(i => (i * 48271) % 8 == langs.indexOf("es")).sorted,
+      "pruned result must equal the plain filter")
+    // 2-D: the conjunction prunes at least as hard as either leg
+    val q2 = spark.sql(
+      "SELECT id FROM gtest.default.zstr WHERE lang = 'es' AND m BETWEEN 100 AND 300")
+    val m2 = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q2.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no scan"))
+    assert(m2.group(1).toInt <= m.group(1).toInt,
+      s"2-D prune must not be weaker than 1-D: ${m2.group(1)} vs ${m.group(1)}")
+    assert(q2.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 4000L).filter(i => (i * 48271) % 8 == langs.indexOf("es") &&
+        { val mm = i * 48271 % 997; mm >= 100 && mm <= 300 }).sorted)
+  }
+
+  test("graft.stats-max-cols caps the commit stats job at wide tables") {
+    val r = root
+    spark.sql(
+      """CREATE TABLE gtest.default.wide (a BIGINT, b BIGINT, c STRING)
+        |TBLPROPERTIES('graft.stats-max-cols'='1')""".stripMargin)
+    spark.sql(
+      "INSERT INTO gtest.default.wide SELECT id, id * 2, concat('x', id) FROM range(1, 101)")
+    val rows = spark.sql(
+      "SELECT column, min_long, max_long FROM gtest.default.`wide$stats`")
+      .collect().map(r2 => r2.getString(0) -> (r2.isNullAt(1), r2.isNullAt(2))).toMap
+    assert(rows.get("a").contains((false, false)),
+      s"the first schema column must keep its zone stats: $rows")
+    // b and c fall outside the cap: no zones recorded
+    assert(rows.get("b").forall(_ == (true, true)),
+      s"capped-out column b must record no zones: $rows")
+    // the cap is per-table, not global: an uncapped table records all
+    spark.sql("CREATE TABLE gtest.default.wide2 (a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO gtest.default.wide2 SELECT id, id * 2 FROM range(1, 101)")
+    val rows2 = spark.sql(
+      "SELECT column, min_long FROM gtest.default.`wide2$stats`")
+      .collect().map(r2 => r2.getString(0) -> r2.isNullAt(1)).toMap
+    assert(rows2.get("a").contains(false) && rows2.get("b").contains(false),
+      s"uncapped tables keep full stats: $rows2")
+  }
+
+  test("table_changes() TVF resolves catalog names; fails loudly across overwrites") {
+    val r = root
+    val t = s"$root/default/tvf"
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false) // v1
+    VersionedTable.commit(df(3L -> "c"), t, append = true) // v2
+    VersionedTable.deleteWhere(spark, t, col("k") === 1L, "k") // v3
+    val rows = spark.sql(
+      "SELECT k, v, _change_type, _commit_version " +
+        "FROM table_changes('gtest.default.tvf', 1, 3) ORDER BY k")
+      .collect().map(x => (x.getLong(0), Option(x.getString(1)),
+        x.getString(2), x.getLong(3))).toSeq
+    assert(rows == Seq(
+      (1L, None, "delete", 3L),
+      (3L, Some("c"), "insert", 2L)),
+      s"got $rows")
+    // the plan is distributed (a parquet scan), not a driver LocalScan
+    val plan = spark.sql(
+      "SELECT * FROM table_changes('gtest.default.tvf', 1, 3)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+      s"TVF must plan file scans:\n$plan")
+    VersionedTable.commit(df(9L -> "z"), t, append = false) // v4 overwrite
+    val ex = intercept[Exception](spark.sql(
+      "SELECT * FROM table_changes('gtest.default.tvf', 1, 4)").collect())
+    assert(ex.getMessage.contains("non-additive"), ex.getMessage)
+  }
+
+  test("CALL system.auto_maintain restores a degraded table to advisor-clean in one call") {
+    val s = spark; import s.implicits._
+    val r = root
+    val t = s"$root/default/amt"
+    // degrade: one 4-file commit, two small appends, one MOR delete
+    val base = (1L to 4000L).map(k => (k, s"v$k")).toDF("k", "v")
+    VersionedTable.commit(
+      base.filter(col("k") % 2L === 0L).repartition(4), t, append = false)
+    VersionedTable.commit(
+      base.filter(col("k") % 100L === 1L).repartition(1), t, append = true)
+    VersionedTable.commit(
+      base.filter(col("k") % 100L === 3L).repartition(1), t, append = true)
+    VersionedTable.deleteWhere(spark, t, col("k") % 1000L === 2L, "k")
+    val r1 = spark.sql("CALL gtest.system.auto_maintain('default.amt')").collect()(0)
+    assert(r1.getString(0) == "compact: tombstone debt", r1.toString)
+    assert(r1.getLong(1) == 5L, "the compaction must commit a new version")
+    // post-state: zero tombstoned files, zero small files, exact content
+    val files = spark.sql(
+      "SELECT n_rows, n_applicable_tombstones FROM gtest.default.`amt$files`")
+      .collect().map(row => (
+        row.getAs[Number](0).longValue(), row.getAs[Number](1).longValue()))
+    assert(files.forall(_._2 == 0L), s"tombstone debt must be gone: ${files.toSeq}")
+    assert(files.count(f => f._1 > 0L && f._1 < 1000L) < 2,
+      s"small-file debt must be gone: ${files.toSeq}")
+    val expect = (1L to 4000L)
+      .filter(k => k % 2 == 0 || k % 100 == 1 || k % 100 == 3)
+      .filterNot(_ % 1000 == 2).sorted
+    assert(spark.sql("SELECT k FROM gtest.default.amt")
+      .collect().map(_.getLong(0)).sorted.toSeq == expect,
+      "maintenance must change layout only, never content")
+    // a second call is a healthy no-op: same head, no new version
+    val r2 = spark.sql("CALL gtest.system.auto_maintain('default.amt')").collect()(0)
+    assert(r2.getString(0) == "healthy" && r2.getLong(1) == 5L, r2.toString)
   }
 
   test("table properties expose the operational state to DESCRIBE") {
@@ -1082,13 +1328,16 @@ class GraftCatalogSpec extends AnyFunSuite {
         "SELECT k, m FROM gtest.default.sfact VERSION AS OF 5")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
         Set((7L, 1L), (20L, 2L)))
-      // unsupported partitionings are refused loudly
+      // unsupported partitionings are refused loudly (identity is now
+      // accepted for BIGINT/INT/STRING/DATE — a DOUBLE key is not, its
+      // zone maps can't prune exactly)
       val ex = intercept[Exception] {
-        spark.sql("CREATE TABLE gtest.default.badpart (k BIGINT, v STRING) " +
+        spark.sql("CREATE TABLE gtest.default.badpart (k BIGINT, v DOUBLE) " +
           "PARTITIONED BY (v)")
       }
-      assert(ex.getMessage.contains("bucket") ||
-        Option(ex.getCause).exists(_.getMessage.contains("bucket")), ex.getMessage)
+      assert(ex.getMessage.contains("BIGINT/INT/STRING/DATE") ||
+        Option(ex.getCause).exists(_.getMessage.contains("BIGINT/INT/STRING/DATE")),
+        ex.getMessage)
       val ex2 = intercept[Exception] {
         spark.sql("CREATE TABLE gtest.default.badcol (k BIGINT, v STRING) " +
           "PARTITIONED BY (bucket(4, v))")

@@ -155,6 +155,43 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("strPrefixU64 is order-preserving over bytewise string order") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // adversarial set: shared prefixes, length ties, multibyte, empty,
+    // high bytes — bytewise order must survive the u56 mapping
+    val vals = Seq("", "a", "ab", "az", "b", "abcdefg", "abcdefgh",
+      "abcdefgi", "Customer#1", "Customer#2", "zh", "z", "δoc", "δa",
+      "ÿÿ", "0", "~")
+    val rows = vals.toDF("s")
+      .select(col("s"), TextExpressions.strPrefixU64(col("s")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    def byteLt(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    assert(rows.forall(_._2 >= 0L), "u56 must stay non-negative")
+    for ((a, ua) <- rows; (b, ub) <- rows if byteLt(a, b))
+      assert(ua <= ub, s"order violated: '$a'($ua) vs '$b'($ub)")
+    // strings equal in their first 7 bytes collapse (documented tie)
+    val m = rows.toMap
+    assert(m("abcdefgh") == m("abcdefgi") && m("abcdefg") == m("abcdefgh"))
+    // and the interpreted path agrees with codegen
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+                "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = vals.toDF("s")
+        .select(TextExpressions.strPrefixU64(col("s"))).collect().map(_.getLong(0))
+      assert(interp.toSeq == rows.map(_._2).toSeq)
+    }
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
