@@ -101,6 +101,7 @@ object SparkEntry {
     "q_sql_partitioned" -> ((s, d) => Incremental.ordersSqlPartitioned(t(s, d, "orders"))),
     "q_sql_partitioned_date" -> ((s, d) => Incremental.ordersSqlPartitionedDate(t(s, d, "orders"))),
     "q_sql_bloom" -> ((s, d) => Incremental.ordersSqlBloom(t(s, d, "orders"))),
+    "q_sql_fastminmax_date" -> ((s, d) => Incremental.ordersSqlFastMinMaxDate(t(s, d, "orders"))),
     "q_layout_zorder_str" -> ((s, d) => Incremental.docsSqlZorderStr(t(s, d, "documents"))),
     "q_sql_table_changes" -> ((s, d) => Incremental.ordersSqlTableChanges(t(s, d, "orders"))),
     "q_sql_spj" -> ((s, d) =>
@@ -1706,6 +1707,13 @@ object SparkEntry {
         |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
         |FROM orders WHERE o_orderkey IN (7, 1223, 28673, 54369)
         |ORDER BY o_orderkey""".stripMargin,
+    // DATE MIN/MAX from manifest arithmetic (exact epoch-day zones): the
+    // oracle recomputes from raw orders.
+    "q_sql_fastminmax_date" ->
+      """SELECT CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_d,
+        |       CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_d,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders""".stripMargin,
     // String Z-ORDER (7-byte-prefix u56 surrogate interleaved with the
     // integral dimension): the 2-D predicate replays as the plain filter.
     "q_layout_zorder_str" ->

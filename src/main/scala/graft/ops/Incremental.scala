@@ -1200,6 +1200,28 @@ object Incremental {
          |GROUP BY odate ORDER BY odate_s""".stripMargin)
   }
 
+  /** Registered q_sql_fastminmax_date body: DATE MIN/MAX answered from
+    * MANIFEST ARITHMETIC — date zone maps record exact epoch days
+    * (`unix_date` at commit), and Spark's internal DATE value IS epoch
+    * days, so the ungrouped extremes come from the zones without opening
+    * a data file, exactly like integral and string MIN/MAX
+    * (`GraftCatalogSpec` pins the manifest-only plan). Dates render as
+    * strings for representation-stable hashes.
+    */
+  def ordersSqlFastMinMaxDate(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    // same fixture as q_sql_partitioned_date (shared cache key)
+    ordersSqlPartitionedDate(orders)
+    val name = versionedTables.get((spark, s"sqlipd:$inputKey"))
+    spark.sql(
+      s"""SELECT CAST(min(odate) AS STRING) AS min_d,
+         |       CAST(max(odate) AS STRING) AS max_d,
+         |       count(*) AS n
+         |FROM gtab.default.$name""".stripMargin)
+  }
+
   /** Registered q_sql_bloom body: write-side parquet BLOOM FILTERS on a
     * declared high-cardinality column (`graft.bloom-cols`). The table
     * clusters on price, so the key column is UNCLUSTERED — zone maps

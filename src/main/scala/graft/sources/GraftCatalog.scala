@@ -1768,10 +1768,13 @@ class GraftTableScanBuilder(
     val rowsOf = VersionedTable.snapshotFiles(table, version)
       .map { case (p, _, r, _, _) => p -> r }.toMap
     if (rowsOf.valuesIterator.exists(_.isEmpty)) return None // pre-stats file
-    // aggregate references arrive LOGICAL; stats are keyed PHYSICAL
+    // aggregate references arrive LOGICAL; stats are keyed PHYSICAL.
+    // DATE rides along: its zone stats are exact epoch days (unix_date
+    // at commit), and Spark's internal DATE value IS epoch days
     val integral: Map[String, DataType] = physSchema(full).fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == ShortType || f.dataType == ByteType => f.name -> f.dataType
+        f.dataType == ShortType || f.dataType == ByteType ||
+        f.dataType == DateType => f.name -> f.dataType
     }.toMap
     val stringCols: Set[String] = physSchema(full).fields.collect {
       case f if f.dataType == StringType => f.name
@@ -1878,7 +1881,8 @@ class GraftTableScanBuilder(
           case _ => return false
         }
         val integral = physSchema(full).fields.exists(f => f.name == colName &&
-          (f.dataType == LongType || f.dataType == IntegerType))
+          (f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == DateType)) // date zones are exact epoch days
         if (!integral || o.nullOrdering() != NullOrdering.NULLS_LAST)
           false
         else {
@@ -2198,10 +2202,10 @@ class GraftAggScan(table: String, version: Option[Long], specs: Seq[GraftAggSpec
                 case _ => sp.value match {
                   case None => row.setNullAt(i)
                   case Some(v) => sp.dt match {
-                    case LongType    => row.setLong(i, v)
-                    case IntegerType => row.setInt(i, v.toInt)
-                    case ShortType   => row.setShort(i, v.toShort)
-                    case _           => row.setByte(i, v.toByte)
+                    case LongType                => row.setLong(i, v)
+                    case IntegerType | DateType  => row.setInt(i, v.toInt)
+                    case ShortType               => row.setShort(i, v.toShort)
+                    case _                       => row.setByte(i, v.toByte)
                   }
                 }
               }

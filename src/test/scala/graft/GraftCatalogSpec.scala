@@ -787,6 +787,26 @@ class GraftCatalogSpec extends AnyFunSuite {
         "WHERE d >= DATE'2024-02-05' AND d < DATE'2024-02-08'")
     assert(q2.collect()(0).getLong(0) ==
       (0L until 800L).count(id => { val m40 = (id * 48271) % 40; m40 >= 35 && m40 < 38 }))
+    // DATE MIN/MAX answers from manifest arithmetic (epoch-day zones are
+    // exact): the plan must be the pushed one-row aggregate scan
+    val qa = spark.sql("SELECT min(d), max(d) FROM gtest.default.idpd")
+    assert(qa.queryExecution.executedPlan.toString.contains("manifest-only"),
+      s"date MIN/MAX must push to manifest arithmetic:\n${qa.queryExecution.executedPlan}")
+    val ar = qa.collect()(0)
+    assert(ar.getDate(0).toLocalDate == java.time.LocalDate.parse("2024-01-01"))
+    assert(ar.getDate(1).toLocalDate == java.time.LocalDate.parse("2024-02-09"),
+      s"max date: ${ar.getDate(1)}")
+    // DATE TopN pushdown plans only the files that can hold the top n
+    val qt = spark.sql(
+      "SELECT d FROM gtest.default.idpd ORDER BY d DESC LIMIT 5")
+    val mt = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(qt.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no scan"))
+    assert(mt.group(1).toInt * 2 <= mt.group(2).toInt,
+      s"date TopN must prune files, got files=${mt.group(1)}/${mt.group(2)}")
+    assert(qt.collect().map(_.getDate(0).toLocalDate.toString).toSeq ==
+      Seq.fill(5)("2024-02-09"),
+      "date TopN result exact (39 is the max residue and occurs 20 times)")
   }
 
   test("graft.bloom-cols: declared columns get write-side parquet bloom filters") {
