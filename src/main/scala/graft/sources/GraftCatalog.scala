@@ -185,7 +185,7 @@ class GraftCatalog extends TableCatalog
     // maps: every INSERT range-partitions and sorts on the column, each
     // file covers a tight value range, and a partition predicate prunes
     // files (and row groups) without any Hive-style directory layout.
-    var identityBy: Option[String] = None
+    var identityBy: Seq[String] = Nil
     val bucketSpec = partitions.toSeq match {
       case Nil => None
       case Seq(t) if t.name == "bucket" =>
@@ -208,23 +208,29 @@ class GraftCatalog extends TableCatalog
           (f.dataType == LongType || f.dataType == IntegerType)),
           s"bucket column $col must be a BIGINT/INT column of the table")
         Some((col, n))
-      case Seq(t) if t.name == "identity" =>
-        val col = t.references.toSeq match {
-          case Seq(r) if r.fieldNames.length == 1 => r.fieldNames.head
-          case other => throw new UnsupportedOperationException(
-            s"PARTITIONED BY takes one top-level column, got $other")
+      case ts if ts.nonEmpty && ts.forall(_.name == "identity") =>
+        // one or several identity columns; several order
+        // LEXICOGRAPHICALLY on write (the year/month/day idiom)
+        identityBy = ts.map { t =>
+          val col = t.references.toSeq match {
+            case Seq(r) if r.fieldNames.length == 1 => r.fieldNames.head
+            case other => throw new UnsupportedOperationException(
+              s"PARTITIONED BY takes top-level columns, got $other")
+          }
+          val dt = schema.fields.find(_.name == col).map(_.dataType)
+            .getOrElse(throw new IllegalArgumentException(
+              s"partition column $col is not a column of the table"))
+          require(dt == LongType || dt == IntegerType || dt == StringType ||
+            dt == DateType,
+            s"PARTITIONED BY ($col) needs a BIGINT/INT/STRING/DATE column " +
+              s"(zone maps prune those); $col is $dt")
+          col
         }
-        val dt = schema.fields.find(_.name == col).map(_.dataType)
-          .getOrElse(throw new IllegalArgumentException(
-            s"partition column $col is not a column of the table"))
-        require(dt == LongType || dt == IntegerType || dt == StringType ||
-          dt == DateType,
-          s"PARTITIONED BY ($col) needs a BIGINT/INT/STRING/DATE column " +
-            s"(zone maps prune those); $col is $dt")
-        identityBy = Some(col)
+        require(identityBy.distinct.size == identityBy.size,
+          s"duplicate partition columns: ${identityBy.mkString(", ")}")
         None
       case other => throw new UnsupportedOperationException(
-        s"graft tables support PARTITIONED BY (col) or (bucket(n, col)) — " +
+        s"graft tables support PARTITIONED BY (col, ...) or (bucket(n, col)) — " +
           s"got ${other.mkString(", ")}; cluster data with " +
           s"CALL $catName.system.optimize/zorder instead")
     }
@@ -234,14 +240,16 @@ class GraftCatalog extends TableCatalog
     // Identity partitioning uses the same machinery — declaring both is
     // fine when they agree, contradictory otherwise.
     val clusterBy = Option(properties.get("graft.cluster-by")).map { c =>
-      require(schema.fields.exists(_.name == c),
-        s"graft.cluster-by column $c is not a column of the table")
+      c.split(',').map(_.trim).filter(_.nonEmpty).foreach(cc =>
+        require(schema.fields.exists(_.name == cc),
+          s"graft.cluster-by column $cc is not a column of the table"))
       require(bucketSpec.isEmpty,
         "bucket placement and cluster-on-write ordering cannot coexist")
-      require(identityBy.forall(_ == c),
-        s"PARTITIONED BY (${identityBy.get}) and graft.cluster-by=$c disagree")
+      require(identityBy.isEmpty || identityBy.mkString(",") == c,
+        s"PARTITIONED BY (${identityBy.mkString(", ")}) and " +
+          s"graft.cluster-by=$c disagree")
       c
-    }.orElse(identityBy)
+    }.orElse(Some(identityBy.mkString(",")).filter(_.nonEmpty))
     // durable write/stats knobs ride the props file (immutable at create)
     val recordedProps = Seq("graft.bloom-cols", "graft.stats-max-cols")
       .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap
@@ -261,8 +269,9 @@ class GraftCatalog extends TableCatalog
     }
     clusterBy.foreach(c =>
       VersionedTable.recordClusterSpec(dirOf(ident).toString, c))
-    identityBy.foreach(c =>
-      VersionedTable.recordIdentityPartition(dirOf(ident).toString, c))
+    if (identityBy.nonEmpty)
+      VersionedTable.recordIdentityPartition(
+        dirOf(ident).toString, identityBy.mkString(","))
     VersionedTable.recordTableProps(dirOf(ident).toString, recordedProps)
     VersionedTable.commitSchemaOnly(dirOf(ident).toString, schema, append = false)
     loadTable(ident)
@@ -476,9 +485,10 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
     bucket.map { case (c, n) =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
         : Transform
-    }.toArray ++ VersionedTable.identityPartition(table).map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-        : Transform)
+    }.toArray ++ VersionedTable.identityPartition(table).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+          : Transform)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTableScanBuilder(table, version, schema(), bucket)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1357,20 +1367,23 @@ class GraftWriteBuilder(
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = bucket match {
-    case None => VersionedTable.clusterSpec(table) match {
-      case Some(c) if schema.fieldNames.contains(c) =>
+    case None => VersionedTable.clusterSpecCols(table) match {
+      case cols if cols.nonEmpty && cols.forall(schema.fieldNames.contains) =>
         // clustered-on-write: an ORDERED distribution (Spark range-
         // partitions the incoming rows) plus an in-partition sort, so
         // every staged file covers one tight, disjoint key range and the
         // commit's zone maps prune from birth — no OPTIMIZE needed for
-        // the common selective read. Correctness never depends on it:
-        // the distribution shapes file layout only.
+        // the common selective read. Multi-column specs (identity
+        // partitioning by several columns) order LEXICOGRAPHICALLY —
+        // the year/month/day idiom, where predicates filter on a
+        // prefix. Correctness never depends on it: the distribution
+        // shapes file layout only.
         new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
           import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
           import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, SortDirection, NullOrdering}
-          private def order: Array[SortOrder] = Array(Expressions.sort(
-            Expressions.column(c), SortDirection.ASCENDING,
-            NullOrdering.NULLS_FIRST))
+          private def order: Array[SortOrder] = cols.map(c =>
+            Expressions.sort(Expressions.column(c),
+              SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
           override def requiredDistribution(): Distribution =
             Distributions.ordered(order)
           override def requiredNumPartitions(): Int = 0 // planner's choice

@@ -336,10 +336,18 @@ object VersionedTable {
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
     val cap = tableProps(table).get("graft.stats-max-cols")
       .map(_.toInt).getOrElse(DefaultStatsColsCap)
-    schema.fields.collect {
+    val eligible = schema.fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == DateType || f.dataType == StringType => f.name
-    }.take(math.max(cap, 0)).toSeq
+    }.toSeq
+    // the declared layout keys must NEVER fall outside the cap: losing
+    // the cluster/partition/bucket column's zones would silently disable
+    // the pruning the layout exists for
+    val keys = (clusterSpecCols(table) ++
+      identityPartition(table).toSeq.flatMap(_.split(',')).map(_.trim) ++
+      bucketSpec(table).map(_._1).toSeq).distinct.filter(eligible.contains)
+    (keys ++ eligible.filterNot(keys.contains).take(
+      math.max(cap - keys.size, 0))).distinct
   }
 
   // ---- Table properties (small, immutable-at-create key/values) ----
@@ -1375,9 +1383,12 @@ object VersionedTable {
     }
     def consolidate(): Long =
       if (bucketSpec(table).isDefined) compactBucketed(spark, table)
-      else clusterSpec(table) match {
-        case Some(c) => optimize(spark, table, c)
-        case None    => compact(spark, table, Some(1L << 20))
+      else clusterSpecCols(table) match {
+        case Seq(c)             => optimize(spark, table, c)
+        // multi-column clustering consolidates via the interleave: every
+        // declared dimension keeps (regains) tight zones
+        case cs if cs.size > 1  => optimizeZorder(spark, table, cs)
+        case _                  => compact(spark, table, Some(1L << 20))
       }
     if (tombstoned > 0) ("compact: tombstone debt", consolidate())
     else if (small >= smallFilesThreshold)
@@ -1691,12 +1702,18 @@ object VersionedTable {
   private def clusterSpecFile(table: String): Path =
     manifestDir(table).resolve("clusterspec.txt")
 
-  /** The table's declared cluster-on-write column, if any. */
+  /** The table's declared cluster-on-write column spec, if any —
+    * comma-separated for multi-column (lexicographic) clustering.
+    */
   def clusterSpec(table: String): Option[String] = {
     val f = clusterSpecFile(table)
     if (!Files.exists(f)) None
     else Files.readAllLines(f).asScala.headOption.filter(_.nonEmpty)
   }
+
+  /** The cluster-on-write columns as a list (empty = unclustered). */
+  def clusterSpecCols(table: String): Seq[String] =
+    clusterSpec(table).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
   /** Record the cluster-on-write column atomically-if-absent (same
     * link-as-CAS discipline as [[recordBucketSpec]]); refused on a
@@ -2102,7 +2119,7 @@ object VersionedTable {
         s"cannot $verb $column: $table is bucketed by it — the bucket " +
           "layout and storage-partitioned joins key on that column")
     }
-    clusterSpec(table).foreach { c =>
+    clusterSpecCols(table).foreach { c =>
       require(physName(table, column) != c,
         s"cannot $verb $column: $table clusters on write by it — the " +
           "SQL INSERT distribution keys on that column")

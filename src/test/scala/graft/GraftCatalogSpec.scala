@@ -759,6 +759,43 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("PARTITIONED BY"), ex.getMessage)
   }
 
+  test("PARTITIONED BY (a, b): multi-column identity orders lexicographically, prunes the prefix") {
+    val s = spark; import s.implicits._
+    val r = root
+    spark.sql(
+      "CREATE TABLE gtest.default.idp2 (y BIGINT, m BIGINT, v BIGINT) " +
+        "PARTITIONED BY (y, m)")
+    // scrambled year/month grid — the write must do the ordering
+    (1L to 960L).map(i => (2000L + (i * 48271) % 8, 1L + (i * 25903) % 12, i))
+      .toDF("y", "m", "v").repartition(8, col("v"))
+      .createOrReplaceTempView("idp2_src")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try spark.sql("INSERT INTO gtest.default.idp2 SELECT y, m, v FROM idp2_src")
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val tbl = new graft.sources.GraftCatalogTable(
+      s"$root/default/idp2", None, "gtest.default.idp2")
+    assert(tbl.partitioning().length == 2,
+      s"both identity transforms must report: ${tbl.partitioning().mkString(",")}")
+    def files(sql: String): (Int, Int) = {
+      val m0 = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(
+        spark.sql(sql).queryExecution.executedPlan.toString)
+        .getOrElse(fail("no graft-catalog scan"))
+      (m0.group(1).toInt, m0.group(2).toInt)
+    }
+    val (k1, n1) = files("SELECT v FROM gtest.default.idp2 WHERE y = 2003")
+    assert(n1 > 4 && k1 * 2 <= n1,
+      s"the prefix (year) predicate must prune, got files=$k1/$n1")
+    val (k2, _) = files(
+      "SELECT v FROM gtest.default.idp2 WHERE y = 2003 AND m BETWEEN 2 AND 3")
+    assert(k2 <= k1, s"the 2-D predicate must not prune less: $k2 vs $k1")
+    assert(spark.sql(
+      "SELECT v FROM gtest.default.idp2 WHERE y = 2003 AND m BETWEEN 2 AND 3")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 960L).filter(i => 2000L + (i * 48271) % 8 == 2003L &&
+        { val mm = 1L + (i * 25903) % 12; mm >= 2 && mm <= 3 }).sorted)
+  }
+
   test("PARTITIONED BY (date_col): date predicates prune through epoch-day zones") {
     val r = root
     spark.sql(
@@ -861,6 +898,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO gtest.default.blm3 SELECT id FROM range(0, 100)")
     assert(!bloomOffsets(s"$root/default/blm3").exists(_._2),
       "undeclared tables must not pay bloom bytes")
+    // STRING bloom columns work end-to-end too: the writer blooms the
+    // BINARY column, and a string point predicate emits the binary Eq
+    // row-group leaf the bloom evaluator consumes
+    spark.sql(
+      """CREATE TABLE gtest.default.blm4 (sid STRING, v BIGINT)
+        |TBLPROPERTIES('graft.bloom-cols'='sid')""".stripMargin)
+    spark.sql(
+      "INSERT INTO gtest.default.blm4 SELECT concat('doc-', id * 7919), id FROM range(0, 2000)")
+    val offs4 = bloomOffsets(s"$root/default/blm4").filter(_._2)
+    assert(offs4.nonEmpty && offs4.forall(_._1 == "sid"),
+      s"the declared STRING column must carry the bloom filter: $offs4")
+    assert(spark.sql(
+      "SELECT v FROM gtest.default.blm4 WHERE sid = 'doc-7919000'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1000L))
   }
 
   test("CALL system.zorder on a STRING column prunes string predicates after rewrite") {
@@ -926,6 +977,22 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(r2 => r2.getString(0) -> r2.isNullAt(1)).toMap
     assert(rows2.get("a").contains(false) && rows2.get("b").contains(false),
       s"uncapped tables keep full stats: $rows2")
+    // the declared layout key never falls outside the cap: partitioning
+    // by the LAST column with cap 1 must still record that column's
+    // zones (losing them would silently disable the layout's pruning)
+    spark.sql(
+      """CREATE TABLE gtest.default.wide3 (a BIGINT, b BIGINT, pk BIGINT)
+        |PARTITIONED BY (pk)
+        |TBLPROPERTIES('graft.stats-max-cols'='1')""".stripMargin)
+    spark.sql(
+      "INSERT INTO gtest.default.wide3 SELECT id, id * 2, id * 3 FROM range(1, 101)")
+    val rows3 = spark.sql(
+      "SELECT column, min_long FROM gtest.default.`wide3$stats`")
+      .collect().map(r2 => r2.getString(0) -> r2.isNullAt(1)).toMap
+    assert(rows3.get("pk").contains(false),
+      s"the partition key must keep its zones under any cap: $rows3")
+    assert(rows3.get("a").forall(_ == true) && rows3.get("b").forall(_ == true),
+      s"cap 1 + key leaves no room for other columns: $rows3")
   }
 
   test("table_changes() TVF resolves catalog names; fails loudly across overwrites") {
