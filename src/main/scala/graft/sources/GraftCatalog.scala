@@ -2601,9 +2601,50 @@ private[sources] object TombstoneKeys {
     }
   }
 
+  // Per-JVM (= per-EXECUTOR) key-set cache: tombstone files are immutable
+  // once published, yet every reader task of every query re-decoded and
+  // re-sorted the same key file — at 32 tasks/executor that is 32
+  // redundant decode+sorts per query, and it multiplied the memory story
+  // by task count. One load per (executor, file), LRU-bounded by
+  // approximate retained bytes; entries for vacuumed files age out.
+  private val CacheMaxBytes = 256L * 1024 * 1024
+  private val cache =
+    new java.util.LinkedHashMap[String, (String, DoomedKeys, Long)](
+      32, 0.75f, true)
+  private var cacheBytes = 0L
+
+  private def cached(path: String)(
+      load: => (String, DoomedKeys)): (String, DoomedKeys) =
+    cache.synchronized {
+      val hit = cache.get(path)
+      if (hit != null) (hit._1, hit._2)
+      else {
+        val (n, k) = load
+        if (n != null) {
+          val bytes = k match {
+            case l: LongDoomedKeys   => 8L * l.size + 64L
+            case s: StringDoomedKeys => 64L * s.size + 64L
+          }
+          cache.put(path, (n, k, bytes))
+          cacheBytes += bytes
+          val it = cache.entrySet().iterator()
+          while (cacheBytes > CacheMaxBytes && it.hasNext) {
+            val e = it.next()
+            if (e.getKey != path) {
+              cacheBytes -= e.getValue._3
+              it.remove()
+            }
+          }
+        }
+        (n, k)
+      }
+    }
+
   /** (key column name, doomed key membership) per tombstone file. */
   def load(paths: Seq[String]): Seq[(String, DoomedKeys)] =
-    paths.map { tf =>
+    paths.map(tf => cached(tf)(loadOne(tf))).filter(_._1 != null)
+
+  private def loadOne(tf: String): (String, DoomedKeys) = {
       val r = ParquetReader
         .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(tf)).build()
       var name: String = null
@@ -2651,7 +2692,7 @@ private[sources] object TombstoneKeys {
           new LongDoomedKeys(kind, arr)
         }
       (name, keys)
-    }.filter(_._1 != null)
+  }
 
   /** The (immutable once published) parquet schema of `path`. */
   private[sources] def fileFields(
