@@ -1263,6 +1263,7 @@ class GraftFilesTable(table: String, version: Option[Long], ident: String)
     StructField("path", StringType, nullable = false),
     StructField("commit_version", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = true),
+    StructField("size_bytes", LongType, nullable = true),
     StructField("n_applicable_tombstones", IntegerType, nullable = false),
     StructField("zone_map", StringType, nullable = false)))
   override def name(): String = version.fold(ident)(v => s"$ident@v$v")
@@ -1275,14 +1276,18 @@ class GraftFilesTable(table: String, version: Option[Long], ident: String)
         new org.apache.spark.sql.connector.read.LocalScan {
           override def readSchema(): StructType = filesSchema
           override def description(): String = s"graft-files $table"
-          override def rows(): Array[InternalRow] =
+          override def rows(): Array[InternalRow] = {
+            val sizesOf = VersionedTable.snapshotSizes(table, version)
             VersionedTable.snapshotFiles(table, version).map {
               case (path, commit, rows, tombs, zones) =>
                 new GenericInternalRow(Array[Any](
                   UTF8String.fromString(path), commit,
-                  rows.map(Long.box).orNull, tombs,
+                  rows.map(Long.box).orNull,
+                  sizesOf.getOrElse(path, None).map(Long.box).orNull,
+                  tombs,
                   UTF8String.fromString(zones))): InternalRow
             }.toArray
+          }
         }
     }
 }
@@ -2041,13 +2046,21 @@ class GraftBucketedScan(
     val counts = perBucket.valuesIterator.flatten.map(f => rowsOf.get(f._1).flatten).toSeq
     val rows: Option[Long] =
       if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    // exact recorded bytes when complete (same rule as GraftTableScan)
+    val sizesOf = VersionedTable.snapshotSizes(table, version)
+    val exactBytes: Option[Long] = {
+      val per = perBucket.valuesIterator.flatten
+        .map(f => sizesOf.get(f._1).flatten).toSeq
+      if (per.isEmpty || per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    }
     lazy val colStats = GraftColumnStats.forScan(
       table, version, perBucket.valuesIterator.flatten.map(_._1).toSeq,
       required, rep)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        rows.fold(java.util.OptionalLong.empty())(r =>
-          java.util.OptionalLong.of(r * math.max(1, required.fields.length) * 16L))
+        exactBytes.orElse(
+          rows.map(_ * math.max(1, required.fields.length) * 16L))
+          .fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
       override def numRows(): java.util.OptionalLong =
         rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
       override def columnStats(): java.util.Map[
@@ -2330,6 +2343,13 @@ class GraftTableScan(
     val counts = kept.map(e => rowsOf.get(e._1).flatten)
     val rows: Option[Long] = if (counts.exists(_.isEmpty)) None
       else Some(counts.flatten.sum)
+    // EXACT bytes when every planned file recorded its size at commit
+    // (post-round-14 manifests); per-type width estimate otherwise
+    val sizesOf = VersionedTable.snapshotSizes(table, version)
+    val exactBytes: Option[Long] = {
+      val per = kept.map(e => sizesOf.get(e._1).flatten)
+      if (per.isEmpty || per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    }
     val width = required.fields.map(_.dataType match {
       case LongType | DoubleType | TimestampType | TimestampNTZType => 8L
       case IntegerType | FloatType | DateType => 4L
@@ -2341,8 +2361,8 @@ class GraftTableScan(
       table, version, kept.map(_._1), required, rep)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        rows.fold(java.util.OptionalLong.empty())(r =>
-          java.util.OptionalLong.of(r * width))
+        exactBytes.orElse(rows.map(_ * width))
+          .fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
       override def numRows(): java.util.OptionalLong =
         rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
       override def columnStats(): java.util.Map[

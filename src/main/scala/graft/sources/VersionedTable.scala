@@ -476,13 +476,16 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit, max, min, not, sum, when}
     val dataDir = Paths.get(table, "data", dirName)
     // recursive: bucketed commits nest files under __graft_bucket=<b>/;
-    // entries record the commit-relative path (flat layouts unchanged)
-    val files = Files.walk(dataDir).iterator.asScala
+    // entries record the commit-relative path (flat layouts unchanged).
+    // File BYTES ride the same walk for free — they become the exact
+    // planner sizeInBytes and the $files size column.
+    val sizesOf = Files.walk(dataDir).iterator.asScala
       .filter(p => Files.isRegularFile(p))
-      .map(p => dataDir.relativize(p).toString)
-      .filter(n => n.endsWith(".parquet") &&
-        !n.split('/').last.startsWith("."))
-      .toSeq.sorted
+      .map(p => dataDir.relativize(p).toString -> Files.size(p))
+      .filter { case (n, _) => n.endsWith(".parquet") &&
+        !n.split('/').last.startsWith(".") }
+      .toMap
+    val files = sizesOf.keys.toSeq.sorted
     val suffixes: Map[String, String] =
       if (files.isEmpty) Map.empty
       else {
@@ -626,21 +629,23 @@ object VersionedTable {
           }.mkString(";")
           val stats = statPairs.map(_._1).mkString(";")
           val nn = statPairs.map(_._2).mkString(";")
-          val suffix = s"#${r.getAs[Long]("g_n")}" + (
-            if (stats.isEmpty && strZones.isEmpty) ""
-            else s"#$stats#$nn" +
-              (if (strZones.isEmpty) "" else s"#$strZones"))
           // key on the COMMIT-RELATIVE path, never the basename: one
           // task writing several bucket dirs reuses its basename, so
           // basenames collide across __graft_bucket=<b>/ subtrees
           val abs = r.getString(0)
           val marker = s"/$dirName/"
           val rel = abs.substring(abs.lastIndexOf(marker) + marker.length)
+          // rows segment carries the file's BYTES after '@' (parsers
+          // accept both forms; pre-bytes manifests simply report no size)
+          val suffix = s"#${r.getAs[Long]("g_n")}@${sizesOf.getOrElse(rel, 0L)}" + (
+            if (stats.isEmpty && strZones.isEmpty) ""
+            else s"#$stats#$nn" +
+              (if (strZones.isEmpty) "" else s"#$strZones"))
           rel -> suffix
         }.toMap
       }
     // entries carry the commit-relative path, which may nest bucket dirs
-    files.map(n => n + suffixes.getOrElse(n, "#0"))
+    files.map(n => n + suffixes.getOrElse(n, s"#0@${sizesOf.getOrElse(n, 0L)}"))
   }
 
   // ---- Declarative CHECK constraints (Delta-style) ----
@@ -723,8 +728,30 @@ object VersionedTable {
 
   private def entryRows(e: String): Option[Long] = {
     val parts = entryBody(e).split("#", -1)
-    if (parts.length < 2) None else parts(1).toLongOption
+    if (parts.length < 2) None
+    else parts(1).takeWhile(_ != '@').toLongOption
   }
+
+  /** The file's byte size, recorded after '@' in the rows segment by
+    * post-round-14 commits — None for older manifests (consumers fall
+    * back to width estimates there).
+    */
+  private def entryBytes(e: String): Option[Long] = {
+    val parts = entryBody(e).split("#", -1)
+    if (parts.length < 2) None
+    else {
+      val at = parts(1).indexOf('@')
+      if (at < 0) None else parts(1).substring(at + 1).toLongOption
+    }
+  }
+
+  /** path → recorded file bytes over a pinned snapshot's data files. */
+  private[sources] def snapshotSizes(
+      table: String, version: Option[Long]): Map[String, Option[Long]] =
+    memoParsed(table, version, "sizes") {
+      pinnedEntries(table, version).filterNot(isDeleteEntry)
+        .map(e => entryPath(e) -> entryBytes(e)).toMap
+    }
 
   /** Per-file column NON-NULL counts (the zone map's companion fourth
     * entry segment) — what makes TopN file planning sound under NULLS
@@ -1188,8 +1215,9 @@ object VersionedTable {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dirName = s"c${next}_$token"
     val fileEntries = writeFiles(doomed, table, dirName)
-    // entries are "<rel>#<rows>[#...]" — the staged footer counts
-    val doomedCount = fileEntries.map(_.split('#')(1).toLong).sum
+    // entries are "<rel>#<rows>[@<bytes>][#...]" — the staged footer counts
+    val doomedCount = fileEntries
+      .map(_.split('#')(1).takeWhile(_ != '@').toLong).sum
     if (doomedCount > maxKeys) {
       deleteRecursively(Paths.get(table, "data", dirName))
       if (bucketSpec(table).isDefined)

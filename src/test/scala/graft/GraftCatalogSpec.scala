@@ -724,6 +724,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(top == all, s"TopN result exact: $top vs $all")
   }
 
+  test("commits record exact file bytes: $files size_bytes and planner sizeInBytes") {
+    val t = s"$root/default/szb"
+    VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)
+    VersionedTable.commit(df(3L -> "c"), t, append = true)
+    val rows = spark.sql(
+      "SELECT path, size_bytes FROM gtest.default.`szb$files`").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = java.nio.file.Paths.get(t, r.getString(0))
+      assert(!r.isNullAt(1) && r.getLong(1) == java.nio.file.Files.size(p),
+        s"recorded size must equal the file's bytes: ${r.getString(0)}")
+    }
+    // the planner consumes the EXACT recorded bytes, not a width estimate
+    val expected = rows.map(_.getLong(1)).sum
+    val st = spark.sql("SELECT k, v FROM gtest.default.szb")
+      .queryExecution.optimizedPlan.stats
+    assert(st.sizeInBytes == BigInt(expected),
+      s"planner sizeInBytes ${st.sizeInBytes} must equal recorded bytes $expected")
+  }
+
   test("CREATE TABLE PARTITIONED BY (col): identity partitioning prunes via clustering") {
     val s = spark; import s.implicits._
     val r = root // force catalog registration before any SQL
