@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // for a node it doesn't know.
     ext.injectPlannerStrategy(session => new graft.plans.AsOfJoinStrategy(session))
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    // streaming zone-map pruning: Spark never invokes pushFilters on a
+    // micro-batch scan builder, so the per-batch Filter's bounds reach
+    // the graft stream through this rule instead (conservative file
+    // skipping only — the Filter stays in the plan)
+    ext.injectOptimizerRule(_ => graft.plans.PushFiltersIntoVersionedStream)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float vectors in double precision"),

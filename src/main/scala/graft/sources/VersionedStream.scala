@@ -129,12 +129,37 @@ class VersionedStreamTable(
     require(schema0.nonEmpty,
       s"cannot stream-read $table: it has no committed versions yet — " +
         "commit (or stream-write) to it first so a schema exists")
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       private var required: StructType = schema0
+      private var bounds: Seq[(String, Long, Long)] = Nil
+      private var strBounds
+          : Map[String, (Option[Array[Byte]], Option[Array[Byte]])] = Map.empty
+      private var used: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       // column pruning reaches the file reader: unprojected fields are
       // never decoded from the parquet groups
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+      // a selective streaming consumer prunes each micro-batch's FILES
+      // through the same zone maps the batch scans use: a filtered
+      // stream over a clustered 100 TB ingest reads the fresh files
+      // that can match, not every fresh file. All filters stay residual
+      // (Spark reapplies them above), so pruning only skips work.
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        val l2p = VersionedTable.logicalToPhysical(table)
+        val phys = filters.map(GraftFilters.mapNames(_, c => l2p.getOrElse(c, c)))
+        val physSchema = VersionedTable.physicalizeSchema(table, schema0)
+        val (b, consumed) = GraftFilters.integralBounds(phys, physSchema)
+        bounds = b
+        val (sb, sConsumed) = GraftFilters.stringBounds(phys, physSchema)
+        strBounds = sb
+        used = (consumed ++ sConsumed).distinct
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        used
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
         override def description(): String = s"graft-table stream over $table"
@@ -145,7 +170,7 @@ class VersionedStreamTable(
           new VersionedMicroBatchStream(table,
             VersionedTable.physicalizeSchema(table, required), ignoreDeletes,
             maxVersionsPerTrigger, changeFeed, maxRowsPerTrigger,
-            startingVersion)
+            startingVersion, bounds, strBounds)
       }
     }
   }
@@ -250,8 +275,71 @@ class VersionedMicroBatchStream(
     table: String, schema: StructType, ignoreDeletes: Boolean,
     maxVersionsPerTrigger: Option[Long] = None, changeFeed: Boolean = false,
     maxRowsPerTrigger: Option[Long] = None,
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    bounds: Seq[(String, Long, Long)] = Nil,
+    strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])] =
+      Map.empty)
     extends MicroBatchStream with SupportsAdmissionControl {
+
+  // bounds from the per-batch optimizer hand-off
+  // ([[graft.plans.PushFiltersIntoVersionedStream]] — Spark never calls
+  // a micro-batch builder's pushFilters itself). Conservative side
+  // channel: bounds only SKIP files whose zones exclude them; the plan's
+  // own Filter still runs above. Constructor bounds (a future
+  // Spark-native pushdown) seed the same fields.
+  @volatile private var pushedBounds: Seq[(String, Long, Long)] = bounds
+  @volatile private var pushedStrBounds
+      : Map[String, (Option[Array[Byte]], Option[Array[Byte]])] = strBounds
+
+  /** Translate the optimizer's v1 filters (LOGICAL names) into physical
+    * zone bounds for this stream's batches. Replaces wholesale — a
+    * batch whose plan carries no translatable filter prunes nothing.
+    */
+  def updatePushedPredicates(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val l2p = VersionedTable.logicalToPhysical(table)
+    val phys = filters.map(GraftFilters.mapNames(_, c => l2p.getOrElse(c, c)))
+    // `schema` is already the PHYSICAL projection; filter columns are
+    // always projected (the Filter consumes them), so it carries their
+    // types
+    val (b, _) = GraftFilters.integralBounds(phys, schema)
+    val (sb, _) = GraftFilters.stringBounds(phys, schema)
+    pushedBounds = b
+    pushedStrBounds = sb
+  }
+
+  // per-stream cache of the zone lookup maps, keyed by version (a batch
+  // touches few versions; old entries cleared so a long-lived stream
+  // stays O(recent))
+  private val zonesByV = new java.util.concurrent.ConcurrentHashMap[
+    Long, Map[String, Map[String, (Long, Long)]]]()
+  private def zonesOf(v: Long): Map[String, Map[String, (Long, Long)]] = {
+    if (zonesByV.size > 8) zonesByV.clear()
+    zonesByV.computeIfAbsent(v, _ =>
+      VersionedTable.snapshotLayout(table, Some(v)).map(e => e._1 -> e._4).toMap)
+  }
+
+  /** Zone-map file pruning for INSERT partitions: a fresh file whose
+    * commit-time zones positively exclude the pushed bounds never joins
+    * the micro-batch (stat-less files are kept; delete/CDF partitions
+    * are never pruned — tombstone key files don't carry data zones).
+    */
+  private def keepInsert(v: Long, rel: String): Boolean = {
+    val b0 = pushedBounds
+    val sb0 = pushedStrBounds
+    (b0.isEmpty && sb0.isEmpty) || {
+      val stats = zonesOf(v).getOrElse(rel, Map.empty)
+      b0.forall { case (c, lo, hi) =>
+        stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } && {
+        lazy val sstats = VersionedTable.snapshotStrStats(table, Some(v))
+          .getOrElse(rel, Map.empty)
+        sb0.forall { case (c, b) =>
+          sstats.get(c).forall(GraftFilters.strZoneIntersects(_, b))
+        }
+      }
+    }
+  }
 
   // a fresh stream starts just below the OLDEST RETAINED version, not at
   // 0: on a vacuumed table the expired commits' rows survive only as
@@ -343,10 +431,12 @@ class VersionedMicroBatchStream(
               s"unapplied tombstones over ${tombstoned.size} data file(s); a " +
               "file-level initial load would resurrect deleted rows — run " +
               "compact()/CALL system.compact first, then restart the stream")
-        layout.map { case (rel, _, _, _) =>
+        layout.collect { case (rel, _, _, _) if keepInsert(v, rel) =>
           (rel, VersionedFilePartition(abs(rel), v, "insert"))
         }
-      } else planCommit(v, abs)
+      } else planCommit(v, abs).filter { case (rel, p) =>
+        p.changeType != "insert" || keepInsert(v, rel)
+      }
     }
     // VECTORIZED micro-batches, same all-or-nothing rule as the catalog
     // scans (Spark forbids mixing row and columnar partitions): every

@@ -82,6 +82,44 @@ class VersionedStreamSpec extends AnyFunSuite {
       s"sink rows under mapping: $rows")
   }
 
+  test("pushed filters prune each micro-batch's files through zone maps") {
+    val s = spark; import s.implicits._
+    val d = freshDir()
+    val t = s"$d/t"
+    // two range-clustered commits with zone maps: 8 files, disjoint key
+    // ranges — a selective filter can only need ~1 of them
+    VersionedTable.commit(
+      (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(4, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    VersionedTable.commit(
+      (401L to 800L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(4, col("k")),
+      t, append = true, statsCols = Seq("k"))
+    val q = spark.readStream.format("graft-table").load(t)
+      .filter(col("k") >= 100L && col("k") <= 120L)
+      .writeStream.format("memory").queryName("vs_prune")
+      .option("checkpointLocation", s"$d/cp")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(spark.sql("SELECT k FROM vs_prune").collect()
+      .map(_.getLong(0)).sorted.toSeq == (100L to 120L),
+      "pruning must never change results")
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows < 400L,
+      s"zone pruning must skip most files: read $inputRows of 800 rows")
+    // a fresh unfiltered stream still reads everything
+    val q2 = spark.readStream.format("graft-table").load(t)
+      .writeStream.format("memory").queryName("vs_noprune")
+      .option("checkpointLocation", s"$d/cp2")
+      .start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    assert(spark.sql("SELECT count(*) FROM vs_noprune")
+      .collect()(0).getLong(0) == 800L)
+  }
+
   test("checkpoint recovery resumes at the committed version: no replay, no loss") {
     val d = freshDir()
     val t = s"$d/t"
