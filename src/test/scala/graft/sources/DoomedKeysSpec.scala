@@ -102,5 +102,9 @@ class DoomedKeysSpec extends AnyFunSuite {
     assert(lk.kind == KindLong && lk.size == 3)
     assert(Seq(1L, 2L, 3L).forall(lk.containsBits))
     assert(!lk.containsBits(0L) && !lk.containsBits(4L))
+    // the per-executor cache serves the SAME instance on a re-load —
+    // tombstone files are immutable, so tasks share one decoded set
+    val Seq((_, again)) = TombstoneKeys.load(Seq(file))
+    assert(again eq keys, "second load must hit the executor cache")
   }
 }
