@@ -20,6 +20,8 @@ import org.apache.spark.sql.SparkSession
 object PlanLatencyProbe {
   def main(args: Array[String]): Unit = {
     val iters = args.headOption.map(_.toInt).getOrElse(7)
+    val decadesArg = args.lift(1).map(_.split(',').map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1000, 10000, 100000))
     val root = java.nio.file.Files.createTempDirectory("graft_plan_probe").toString
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -61,8 +63,7 @@ object PlanLatencyProbe {
 
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
 
-    val decades = Seq(1000, 10000, 100000)
-    val results = decades.map { n =>
+    val results = decadesArg.map { n =>
       val name = s"pl_$n"
       mkTable(name, n)
       val mid = n.toLong * 1000L / 2

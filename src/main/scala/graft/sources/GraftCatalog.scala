@@ -1783,8 +1783,7 @@ class GraftTableScanBuilder(
       return None
     val layout = VersionedTable.snapshotLayout(table, version)
     if (layout.exists(_._3.nonEmpty)) return None // tombstones
-    val rowsOf = VersionedTable.snapshotFiles(table, version)
-      .map { case (p, _, r, _, _) => p -> r }.toMap
+    val rowsOf = VersionedTable.snapshotRowCounts(table, version)
     if (rowsOf.valuesIterator.exists(_.isEmpty)) return None // pre-stats file
     // aggregate references arrive LOGICAL; stats are keyed PHYSICAL.
     // DATE rides along: its zone stats are exact epoch days (unix_date
@@ -2041,8 +2040,7 @@ class GraftBucketedScan(
   }
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val rowsOf = VersionedTable.snapshotFiles(table, version)
-      .map { case (p, _, r, _, _) => p -> r }.toMap
+    val rowsOf = VersionedTable.snapshotRowCounts(table, version)
     val counts = perBucket.valuesIterator.flatten.map(f => rowsOf.get(f._1).flatten).toSeq
     val rows: Option[Long] =
       if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
@@ -2338,8 +2336,7 @@ class GraftTableScan(
     * decisions.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val rowsOf = VersionedTable.snapshotFiles(table, version)
-      .map { case (p, _, r, _, _) => p -> r }.toMap
+    val rowsOf = VersionedTable.snapshotRowCounts(table, version)
     val counts = kept.map(e => rowsOf.get(e._1).flatten)
     val rows: Option[Long] = if (counts.exists(_.isEmpty)) None
       else Some(counts.flatten.sum)
@@ -2443,8 +2440,7 @@ class GraftTableScan(
   }
   private lazy val kept = limit match {
     case Some(n) if topped.forall(_._3.isEmpty) =>
-      val rowsOf = VersionedTable.snapshotFiles(table, version)
-        .map { case (p, _, r, _, _) => p -> r }.toMap
+      val rowsOf = VersionedTable.snapshotRowCounts(table, version)
       if (topped.exists(e => rowsOf.get(e._1).flatten.isEmpty)) topped
       else {
         var acc = 0L
@@ -2767,8 +2763,7 @@ private[sources] object GraftColumnStats {
     val zonesOf = VersionedTable.snapshotLayout(table, version)
       .map(e => e._1 -> e._4).toMap
     val nnOf = VersionedTable.snapshotNonNulls(table, version)
-    val rowsOf = VersionedTable.snapshotFiles(table, version)
-      .map { case (p, _, r, _, _) => p -> r }.toMap
+    val rowsOf = VersionedTable.snapshotRowCounts(table, version)
     phys.fields.zip(rep.fields).foreach { case (pf, rf) =>
       val c = pf.name
       val ndv: Option[Long] =

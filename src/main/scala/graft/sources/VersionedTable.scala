@@ -753,6 +753,18 @@ object VersionedTable {
         .map(e => entryPath(e) -> entryBytes(e)).toMap
     }
 
+  /** path → footer row count over a pinned snapshot's data files — the
+    * MAP form of [[snapshotFiles]]'s row column, memoized so the
+    * per-plan statistics path never rebuilds an O(files) HashMap
+    * (measured at ~1/3 of warm plan latency on a 1M-entry manifest).
+    */
+  private[sources] def snapshotRowCounts(
+      table: String, version: Option[Long]): Map[String, Option[Long]] =
+    memoParsed(table, version, "rowcounts") {
+      pinnedEntries(table, version).filterNot(isDeleteEntry)
+        .map(e => entryPath(e) -> entryRows(e)).toMap
+    }
+
   /** Per-file column NON-NULL counts (the zone map's companion fourth
     * entry segment) — what makes TopN file planning sound under NULLS
     * LAST: N guaranteed-better non-null rows beat every row of a
@@ -1402,8 +1414,7 @@ object VersionedTable {
     require(vs.nonEmpty, s"no committed versions at $table")
     val head = vs.last
     val layout = snapshotLayout(table, Some(head))
-    val rowsOf = snapshotFiles(table, Some(head))
-      .map { case (p, _, r, _, _) => p -> r }.toMap
+    val rowsOf = snapshotRowCounts(table, Some(head))
     val tombstoned = layout.count(_._3.nonEmpty)
     val small = layout.count { e =>
       val r = rowsOf.get(e._1).flatten
