@@ -1615,30 +1615,71 @@ object VersionedTable {
     * extent in all of them. Columns must cast to long (the zone-map
     * constraint). Snapshot-derived: fails loudly if the head moves.
     */
+  /** NDV ceiling for the EXACT-RANK string surrogate: below it the
+    * distinct values collect to the driver (≤ a few MB) and each string
+    * buckets by its dense rank — collision-free whatever the prefixes.
+    * Above it, the 7-byte-prefix u56 keeps the job fully distributed.
+    */
+  private[sources] val ZorderRankMaxNdv = 1 << 16
+
   def optimizeZorder(
       spark: SparkSession, table: String, clusterBy: Seq[String],
       targetRowsPerFile: Long = 1L << 20): Long = {
-    import org.apache.spark.sql.functions.{col, lit, max, min, shiftleft, shiftright, unix_date}
+    import org.apache.spark.sql.functions.{approx_count_distinct, broadcast, col, lit, max, min, shiftleft, shiftright, unix_date}
     import org.apache.spark.sql.types.{DateType, StringType}
     require(clusterBy.nonEmpty, "optimizeZorder needs at least one column")
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed versions at $table")
     val basis = vs.last
     val snap = read(spark, table, Some(basis))
-    // each clustering column range-buckets through an order-preserving
+    // Each clustering column range-buckets through an order-preserving
     // LONG surrogate: integral columns cast; DATE maps to epoch days;
-    // STRING maps through the 7-byte big-endian prefix u56 — the same
-    // byte order the string zone maps record, so the interleave's
-    // locality is exactly what the byte-prefix pruning later consumes
+    // STRING is NDV-ADAPTIVE — low-cardinality strings map to their
+    // exact dense rank (the 7-byte prefix collapses common-prefix
+    // corpora like "Customer#000..." into ONE bucket, making the
+    // interleave blind in that dimension), high-cardinality strings
+    // keep the distributed 7-byte-prefix u56 (same byte order the
+    // string zone maps record).
+    val strCols = clusterBy.filter(c =>
+      snap.schema.fields.exists(f => f.name == c && f.dataType == StringType))
+    val rankOf: Map[String, Map[String, Long]] =
+      if (strCols.isEmpty) Map.empty
+      else {
+        val ndvAggs = strCols.map(c =>
+          approx_count_distinct(col(c)).as(s"g_ndv_$c"))
+        val nr = snap.agg(ndvAggs.head, ndvAggs.tail: _*).collect()(0)
+        strCols.filter(c => nr.getAs[Long](s"g_ndv_$c") <= ZorderRankMaxNdv)
+          .flatMap { c =>
+            // take one past the double-checked cap: an HLL under-estimate
+            // must degrade to the prefix surrogate, never a huge collect
+            val vals = snap.select(col(c)).where(col(c).isNotNull)
+              .distinct().orderBy(col(c))
+              .limit(2 * ZorderRankMaxNdv + 1).collect().map(_.getString(0))
+            if (vals.length > 2 * ZorderRankMaxNdv) None
+            else Some(c -> vals.zipWithIndex
+              .map { case (v, i) => v -> i.toLong }.toMap)
+          }.toMap
+      }
+    // ranked columns join their (value, rank) frame in broadcast
+    // (bounded by the NDV cap); surrogates then read the rank column
+    var aug = snap
+    rankOf.foreach { case (c, m) =>
+      val s2 = spark
+      import s2.implicits._
+      val rankDf = m.toSeq.toDF(s"g_rv_$c", s"g_rk_$c")
+      aug = aug.join(broadcast(rankDf), aug(c) === rankDf(s"g_rv_$c"), "left")
+        .drop(s"g_rv_$c")
+    }
     def surrogate(c: String): org.apache.spark.sql.Column =
-      snap.schema.fields.find(_.name == c).map(_.dataType) match {
+      if (rankOf.contains(c)) col(s"g_rk_$c")
+      else snap.schema.fields.find(_.name == c).map(_.dataType) match {
         case Some(StringType) => graft.functions.TextExpressions.strPrefixU64(col(c))
         case Some(DateType)   => unix_date(col(c)).cast("long")
         case _                => col(c).cast("long")
       }
     val aggs = clusterBy.flatMap(c =>
       Seq(min(surrogate(c)).as(s"g_mn_$c"), max(surrogate(c)).as(s"g_mx_$c")))
-    val r = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val r = aug.agg(aggs.head, aggs.tail: _*).collect()(0)
     // an empty table min/maxes to null in EVERY column: nothing to
     // cluster, return the basis unchanged (CALL system.zorder on a fresh
     // table is a no-op, not an NPE). A NON-empty table with an all-null
@@ -1651,13 +1692,20 @@ object VersionedTable {
         "long-castable values (all null?) — cannot range-bucket it"))
     def bucket(c: String): org.apache.spark.sql.Column = {
       val (lo, hi) = (r.getAs[Long](s"g_mn_$c"), r.getAs[Long](s"g_mx_$c"))
-      // divide-FIRST: string surrogates span up to 2^56, so the old
-      // multiply-then-divide form `(v - lo) * 256 / span` would overflow
-      // long math (a hard error under ANSI). Width = ceil(span/256)
-      // keeps buckets in [0, 255] for any span.
+      // buckets must FILL [0, 255], or the Morton code's high bits for
+      // this dimension are constant and the interleave goes blind in it
+      // (a rank surrogate over 8 values would otherwise use 3 bits).
+      // Multiply-then-divide spreads any span across the full range and
+      // is overflow-safe up to 2^55 ((v-lo) < span, ×256 < 2^63); only
+      // the u56 prefix surrogate's giant spans need divide-first, and
+      // those already spread.
       val span = math.max(hi - lo + 1L, 1L)
-      val width = math.max((span + 255L) / 256L, 1L)
-      ((surrogate(c) - lit(lo)) / lit(width)).cast("int")
+      if (span <= (1L << 55))
+        ((surrogate(c) - lit(lo)) * 256L / lit(span)).cast("int")
+      else {
+        val width = math.max((span + 255L) / 256L, 1L)
+        ((surrogate(c) - lit(lo)) / lit(width)).cast("int")
+      }
     }
     val k = clusterBy.size
     // bit i of column j lands at position i*k + j — the k-ary Morton code
@@ -1666,10 +1714,11 @@ object VersionedTable {
       .reduce(_ bitwiseOR _)
     val n = fastCount(table, Some(basis)).getOrElse(snap.count())
     val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val clustered = snap.withColumn("g_z", morton)
+    val clustered = aug.withColumn("g_z", morton)
       .repartitionByRange(parts, col("g_z"))
       .sortWithinPartitions("g_z")
       .drop("g_z")
+      .drop(rankOf.keys.map(c => s"g_rk_$c").toSeq: _*)
     commitCore(clustered, table, append = false, txnId = None,
       expectedLatest = Some(basis), statsCols = clusterBy).fold(identity, identity)
   }

@@ -974,6 +974,36 @@ class GraftCatalogSpec extends AnyFunSuite {
         { val mm = i * 48271 % 997; mm >= 100 && mm <= 300 }).sorted)
   }
 
+  test("string zorder: common-prefix low-NDV keys bucket by exact rank") {
+    val s = spark; import s.implicits._
+    val r = root
+    val t = s"$root/default/zstr2"
+    // ALL keys share their first 9 bytes — the 7-byte prefix surrogate
+    // would collapse them into ONE bucket and the interleave would be
+    // blind in this dimension; the NDV-adaptive exact rank is not.
+    // (Keys stay under the 16-byte zone-map truncation: the ZONES must
+    // be able to distinguish them, or no layout could ever prune.)
+    val segs = (0 until 8).map(i => s"Customer#$i")
+    VersionedTable.commit(
+      (1L to 4000L).map(i =>
+        (segs(((i * 48271) % 8).toInt), i * 48271 % 997, i))
+        .toDF("seg", "m", "id").repartition(8, col("id")),
+      t, append = false)
+    spark.sql("CALL gtest.system.zorder('default.zstr2', 'seg,m', 64)")
+    val q = spark.sql(
+      s"SELECT id FROM gtest.default.zstr2 WHERE seg = '${segs(4)}'")
+    val m = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no graft-catalog scan"))
+    assert(m.group(2).toInt > 4, s"expected several files, got ${m.group(2)}")
+    assert(m.group(1).toInt * 2 <= m.group(2).toInt,
+      s"rank-surrogate zorder must prune common-prefix keys, " +
+        s"got files=${m.group(1)}/${m.group(2)}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 4000L).filter(i => (i * 48271) % 8 == 4).sorted,
+      "pruned result must equal the plain filter")
+  }
+
   test("graft.stats-max-cols caps the commit stats job at wide tables") {
     val r = root
     spark.sql(
