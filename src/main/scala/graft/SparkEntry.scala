@@ -102,6 +102,7 @@ object SparkEntry {
     "q_sql_partitioned_date" -> ((s, d) => Incremental.ordersSqlPartitionedDate(t(s, d, "orders"))),
     "q_sql_bloom" -> ((s, d) => Incremental.ordersSqlBloom(t(s, d, "orders"))),
     "q_sql_fastminmax_date" -> ((s, d) => Incremental.ordersSqlFastMinMaxDate(t(s, d, "orders"))),
+    "q_sql_widen" -> ((s, d) => Incremental.ordersSqlWiden(t(s, d, "orders"))),
     "q_layout_zorder_str" -> ((s, d) => Incremental.docsSqlZorderStr(t(s, d, "documents"))),
     "q_sql_table_changes" -> ((s, d) => Incremental.ordersSqlTableChanges(t(s, d, "orders"))),
     "q_sql_spj" -> ((s, d) =>
@@ -1706,6 +1707,17 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus AS status,
         |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
         |FROM orders WHERE o_orderkey IN (7, 1223, 28673, 54369)
+        |ORDER BY o_orderkey""".stripMargin,
+    // TYPE-WIDENING evolution: INT32 files + post-widen INT64 files read
+    // as one BIGINT column; the oracle reconstructs the union raw.
+    "q_sql_widen" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000000, o_orderstatus,
+        |       CAST(round(o_totalprice * 100) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 = 1
         |ORDER BY o_orderkey""".stripMargin,
     // DATE MIN/MAX from manifest arithmetic (exact epoch-day zones): the
     // oracle recomputes from raw orders.

@@ -1285,6 +1285,44 @@ object Incremental {
          |ORDER BY doc_id""".stripMargin)
   }
 
+  /** Registered q_sql_widen body: TYPE-WIDENING schema evolution through
+    * SQL — CREATE with an INT key, INSERT (INT32 files), `ALTER TABLE
+    * ... ALTER COLUMN ... TYPE BIGINT` (a schema-only carrier commit, no
+    * rewrite), INSERT keys beyond the INT range (INT64 files), then read
+    * the union: both physical generations decode losslessly under the
+    * widened schema (the row decoder upcasts; the vectorized path
+    * declines per narrow commit — pinned in `GraftCatalogSpec` along
+    * with zone pruning and manifest MIN/MAX across generations). The
+    * oracle reconstructs the same union from raw orders.
+    */
+  def ordersSqlWiden(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlwd:$inputKey"), { _ =>
+      val n = s"orders_wd_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n
+           |(o_orderkey INT, status STRING, price_c BIGINT)""".stripMargin)
+      orders.createOrReplaceTempView(s"g_wd_src_$n")
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT CAST(o_orderkey AS INT), o_orderstatus,
+           |       CAST(round(o_totalprice * 100) AS BIGINT)
+           |FROM g_wd_src_$n WHERE o_orderkey % 3 = 0""".stripMargin)
+      spark.sql(s"ALTER TABLE gtab.default.$n ALTER COLUMN o_orderkey TYPE BIGINT")
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT o_orderkey + 10000000000, o_orderstatus,
+           |       CAST(round(o_totalprice * 100) AS BIGINT)
+           |FROM g_wd_src_$n WHERE o_orderkey % 3 = 1""".stripMargin)
+      n
+    })
+    spark.sql(
+      s"""SELECT o_orderkey, status, price_c FROM gtab.default.$name
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Registered q_sql_stats body: the `$stats` metadata table — per-column
     * planner statistics (NDV / null count / min / max / lengths) served
     * as a driver LocalScan from the manifests and `.ndv.txt` sidecars

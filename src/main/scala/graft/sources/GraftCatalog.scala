@@ -362,8 +362,21 @@ class GraftCatalog extends TableCatalog
         VersionedTable.dropColumn(spark, dir, d.fieldNames()(0))
       case _ => ()
     }
-    if (addChanges.isEmpty) return loadTable(ident)
-    val adds = addChanges.map {
+    // ALTER COLUMN ... TYPE: lossless widening only (INT->BIGINT,
+    // FLOAT->DOUBLE) — a schema-only carrier commit; no data rewrite
+    val (typeChanges, addOnly) = addChanges.partition {
+      case _: TableChange.UpdateColumnType => true
+      case _ => false
+    }
+    typeChanges.foreach {
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          s"nested ALTER COLUMN ${u.fieldNames().mkString(".")} is not supported")
+        VersionedTable.widenColumn(spark, dir, u.fieldNames()(0), u.newDataType())
+      case _ => ()
+    }
+    if (addOnly.isEmpty) return loadTable(ident)
+    val adds = addOnly.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           s"nested ADD COLUMN ${a.fieldNames().mkString(".")} is not supported")
@@ -373,12 +386,15 @@ class GraftCatalog extends TableCatalog
         StructField(a.fieldNames()(0), a.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
         s"catalog $catName supports only ALTER TABLE ADD/RENAME/DROP " +
-          s"COLUMN(S); got $other")
+          s"COLUMN(S) and ALTER COLUMN TYPE widening; got $other")
     }
     // `cur` is the PHYSICAL footer union — a new column's name becomes
-    // its physical name, so it must be fresh in BOTH namespaces
-    adds.foreach(f => VersionedTable.requireFreshColumnName(dir, f.name, cur))
-    VersionedTable.commitSchemaOnly(dir, StructType(cur.fields ++ adds), append = true)
+    // its physical name, so it must be fresh in BOTH namespaces. A type
+    // change in the same ALTER means the pre-read union is stale.
+    val base = if (typeChanges.isEmpty) cur
+      else VersionedTable.snapshotSchema(spark, dir, None)
+    adds.foreach(f => VersionedTable.requireFreshColumnName(dir, f.name, base))
+    VersionedTable.commitSchemaOnly(dir, StructType(base.fields ++ adds), append = true)
     loadTable(ident)
   }
 
@@ -612,11 +628,10 @@ class GraftRowLevelOperation(
             required.nonEmpty &&
               kept.forall(e =>
                 GraftVectorization.morOk(required, e._3.map(abs))) && {
-                val reqd = required.fieldNames.toSet
                 kept.groupBy(_._2).valuesIterator.forall { files =>
-                  reqd.subsetOf(VersionedTable.commitSchemaOf(
-                    SparkSession.active, table, files.map(_._1).min)
-                    .fieldNames.toSet)
+                  GraftVectorization.schemaExact(required,
+                    VersionedTable.commitSchemaOf(
+                      SparkSession.active, table, files.map(_._1).min))
                 }
               }
           override def description(): String =
@@ -2076,11 +2091,10 @@ class GraftBucketedScan(
         GraftVectorization.morOk(required, e._2.map(abs)))
     } && {
       val spark = SparkSession.active
-      val reqd = required.fieldNames.toSet
       perBucket.valuesIterator.flatten.map(_._1).toSeq
         .groupBy(p => p.split('/')(1)).valuesIterator.forall { files =>
-          reqd.subsetOf(VersionedTable
-            .commitSchemaOf(spark, table, files.min).fieldNames.toSet)
+          GraftVectorization.schemaExact(required,
+            VersionedTable.commitSchemaOf(spark, table, files.min))
         }
     }
 
@@ -2126,8 +2140,25 @@ class GraftBucketedScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftBucketReaderFactory(required,
-      GraftRowGroupFilter.build(required, bounds, strBounds,
+      // same type-widening guard as the flat scan (see there)
+      if (!rowFilterTypesExact(
+        bounds.keySet ++ strBounds.keySet ++
+          runtimeSets.keySet ++ strRuntimeSets.keySet,
+        perBucket.valuesIterator.flatten.map(_._1).toSeq
+          .groupBy(p => p.split('/')(1)).valuesIterator.map(_.min).toSeq))
+        None
+      else GraftRowGroupFilter.build(required, bounds, strBounds,
         runtimeSets, strRuntimeSets))
+
+  private def rowFilterTypesExact(
+      filterCols: Set[String], repFiles: Seq[String]): Boolean =
+    filterCols.isEmpty || {
+      val spark = SparkSession.active
+      val filtered = StructType(
+        required.fields.filter(f => filterCols.contains(f.name)))
+      repFiles.forall(p => GraftVectorization.schemaExact(filtered,
+        VersionedTable.commitSchemaOf(spark, table, p)))
+    }
 }
 
 case class GraftBucketPartition(
@@ -2468,10 +2499,9 @@ class GraftTableScan(
     required.nonEmpty &&
       kept.forall(e => GraftVectorization.morOk(required, e._3.map(abs))) && {
         val spark = SparkSession.active
-        val reqd = required.fieldNames.toSet
         kept.groupBy(_._2).valuesIterator.forall { files =>
-          reqd.subsetOf(VersionedTable
-            .commitSchemaOf(spark, table, files.map(_._1).min).fieldNames.toSet)
+          GraftVectorization.schemaExact(required, VersionedTable
+            .commitSchemaOf(spark, table, files.map(_._1).min))
         }
       }
 
@@ -2491,10 +2521,27 @@ class GraftTableScan(
   override def createReaderFactory(): PartitionReaderFactory =
     // called AFTER filter(): runtime key sets ride into the row-group
     // predicate too — a DPP-pruned fact scan skips row groups, not just
-    // files, on both integral and string join keys
+    // files, on both integral and string join keys. Declined wholesale
+    // when any filtered column was TYPE-WIDENED over a narrow file
+    // (parquet's filter validator throws on a LONG predicate against an
+    // INT32 chunk); file- and zone-level pruning still apply.
     new GraftCatalogReaderFactory(required,
-      GraftRowGroupFilter.build(required, bounds, strBounds,
+      if (!rowFilterTypesExact(
+        bounds.keySet ++ strBounds.keySet ++
+          runtimeSets.keySet ++ strRuntimeSets.keySet,
+        kept.groupBy(_._2).valuesIterator.map(_.map(_._1).min).toSeq)) None
+      else GraftRowGroupFilter.build(required, bounds, strBounds,
         runtimeSets, strRuntimeSets))
+
+  private def rowFilterTypesExact(
+      filterCols: Set[String], repFiles: Seq[String]): Boolean =
+    filterCols.isEmpty || {
+      val spark = SparkSession.active
+      val filtered = StructType(
+        required.fields.filter(f => filterCols.contains(f.name)))
+      repFiles.forall(p => GraftVectorization.schemaExact(filtered,
+        VersionedTable.commitSchemaOf(spark, table, p)))
+    }
 }
 
 case class GraftCatalogPartition(
@@ -2535,9 +2582,10 @@ private[sources] sealed trait DoomedKeys {
 private[sources] object DoomedKeys {
   // the normalization family a LongDoomedKeys was built from; probes of a
   // different family never match (a double's bit pattern must not doom a
-  // long key — the old boxed HashSet had the same cross-type immunity)
-  final val KindLong = 0
-  final val KindInt = 1
+  // long key). INT32 and INT64 share ONE family: they are value-equal
+  // integers, and a TYPE-WIDENED column legitimately mixes INT32 data
+  // files with an INT64 tombstone — the delete must doom both.
+  final val KindIntegral = 0
   final val KindDouble = 2
   final val KindFloat = 3
   final val KindBool = 4
@@ -2556,9 +2604,9 @@ private[sources] final class LongDoomedKeys(
     java.util.Arrays.binarySearch(sorted, v) >= 0
   override def contains(v: Any): Boolean = v match {
     case l: java.lang.Long =>
-      kind == KindLong && containsBits(l.longValue)
+      kind == KindIntegral && containsBits(l.longValue)
     case i: java.lang.Integer =>
-      kind == KindInt && containsBits(i.longValue)
+      kind == KindIntegral && containsBits(i.longValue)
     case d: java.lang.Double =>
       kind == KindDouble &&
         containsBits(java.lang.Double.doubleToLongBits(d.doubleValue))
@@ -2698,12 +2746,11 @@ private[sources] object TombstoneKeys {
           java.util.Arrays.sort(arr)
           import DoomedKeys._
           val kind = prim match {
-            case INT64   => KindLong
-            case INT32   => KindInt
-            case DOUBLE  => KindDouble
-            case FLOAT   => KindFloat
-            case BOOLEAN => KindBool
-            case _       => KindLong // unreachable: BINARY handled above
+            case INT64 | INT32 => KindIntegral // widened columns mix both
+            case DOUBLE        => KindDouble
+            case FLOAT         => KindFloat
+            case BOOLEAN       => KindBool
+            case _             => KindIntegral // unreachable: BINARY above
           }
           new LongDoomedKeys(kind, arr)
         }
@@ -2979,6 +3026,18 @@ private[sources] object GraftVectorization {
     tombstonesAbs.isEmpty ||
       (required.fields.forall(f => copyable(f.dataType)) &&
         tombstonesAbs.forall(TombstoneKeys.vectorizable))
+
+  /** Does the commit's footer carry every required column at EXACTLY the
+    * required type? A WIDENED column (INT32 file under a BIGINT snapshot
+    * schema) declines the simple vectorized initialize — its batch
+    * vectors would come out narrow — and falls back to the row decoder,
+    * which upcasts losslessly. Compaction re-vectorizes the table.
+    */
+  def schemaExact(
+      required: StructType,
+      commitSchema: StructType): Boolean =
+    required.fields.forall(f =>
+      commitSchema.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
 }
 
 /** VECTORIZED partition reader: Spark's own columnar parquet decoder
@@ -3100,9 +3159,9 @@ class GraftCatalogVectorReader(
         .asPrimitiveType().getPrimitiveTypeName
       import DoomedKeys._
       val probe: (ColumnVector, Int) => Boolean = (prim, keys) match {
-        case (INT64, k: LongDoomedKeys) if k.kind == KindLong =>
+        case (INT64, k: LongDoomedKeys) if k.kind == KindIntegral =>
           (v, i) => k.containsBits(v.getLong(i))
-        case (INT32, k: LongDoomedKeys) if k.kind == KindInt =>
+        case (INT32, k: LongDoomedKeys) if k.kind == KindIntegral =>
           (v, i) => k.containsBits(v.getInt(i).toLong)
         case (DOUBLE, k: LongDoomedKeys) if k.kind == KindDouble =>
           (v, i) => k.containsBits(java.lang.Double.doubleToLongBits(v.getDouble(i)))
@@ -3216,16 +3275,29 @@ private[sources] object ParquetGroups {
   }
 
   /** Decode field `f` of `g` to Spark's internal representation; null
-    * when absent. Throws (loudly, with the column name) on types outside
+    * when absent. Widened columns decode losslessly from their NARROW
+    * physical form (INT32 file under a BIGINT column, FLOAT under
+    * DOUBLE — the type-widening evolution contract: old files are never
+    * rewritten). Throws (loudly, with the column name) on types outside
     * the supported set.
     */
   def valueOf(g: Group, f: StructField): Any = {
     if (!g.getType.containsField(f.name) ||
       g.getFieldRepetitionCount(f.name) == 0) null
     else f.dataType match {
-      case LongType         => g.getLong(f.name, 0)
+      case LongType =>
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        g.getType.getType(f.name).asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT32 => g.getInteger(f.name, 0).toLong
+          case _                       => g.getLong(f.name, 0)
+        }
       case IntegerType      => g.getInteger(f.name, 0)
-      case DoubleType       => g.getDouble(f.name, 0)
+      case DoubleType =>
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        g.getType.getType(f.name).asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveTypeName.FLOAT => g.getFloat(f.name, 0).toDouble
+          case _                       => g.getDouble(f.name, 0)
+        }
       case FloatType        => g.getFloat(f.name, 0)
       case BooleanType      => g.getBoolean(f.name, 0)
       case StringType       => UTF8String.fromString(g.getString(f.name, 0))

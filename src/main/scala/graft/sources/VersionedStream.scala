@@ -452,9 +452,10 @@ class VersionedMicroBatchStream(
     val columnar = dataFields.nonEmpty && metaSuffix &&
       parts.forall(_._2.changeType == "insert") && {
         val spark = org.apache.spark.sql.SparkSession.active
-        val reqd = dataFields.map(_.name).toSet
-        parts.map(_._1).distinct.forall(rel => reqd.subsetOf(
-          VersionedTable.commitSchemaOf(spark, table, rel).fieldNames.toSet))
+        parts.map(_._1).distinct.forall(rel =>
+          GraftVectorization.schemaExact(
+            org.apache.spark.sql.types.StructType(dataFields),
+            VersionedTable.commitSchemaOf(spark, table, rel)))
       }
     parts.map { case (_, p) =>
       (if (columnar) p.copy(columnar = true) else p): InputPartition

@@ -1112,22 +1112,56 @@ object VersionedTable {
     * schema-carrying file ([[commitSchemaOnly]]), which this union picks
     * up while old snapshots keep their narrower schema.
     */
+  /** Lossless TYPE WIDENING across commits: the only cross-commit type
+    * drift the schema union accepts. INT widens to BIGINT and FLOAT to
+    * DOUBLE — both value-preserving, both supported natively by Spark
+    * 4's parquet readers (an INT32 file decodes into a BIGINT column),
+    * so old files are never rewritten. Anything else conflicts loudly.
+    */
+  private def widenType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    (a, b) match {
+      case (x, y) if x == y                                   => Some(x)
+      case (IntegerType, LongType) | (LongType, IntegerType)  => Some(LongType)
+      case (FloatType, DoubleType) | (DoubleType, FloatType)  => Some(DoubleType)
+      case _                                                  => None
+    }
+  }
+
+  /** Union two commit footer schemas: later columns append, shared
+    * columns must match or widen ([[widenType]]).
+    */
+  private def unionSchemas(
+      table: String,
+      a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val merged = a.fields.map { f =>
+      bByName.get(f.name).fold(f) { g =>
+        f.copy(dataType = widenType(f.dataType, g.dataType).getOrElse(
+          throw new IllegalArgumentException(
+            s"schema evolution conflict in $table: column ${f.name} is " +
+              s"${f.dataType} in one commit and ${g.dataType} in another " +
+              "(only INT->BIGINT and FLOAT->DOUBLE widen)")))
+      }
+    }
+    val aNames = a.fieldNames.toSet
+    StructType(merged ++ b.fields.filterNot(f => aNames.contains(f.name)))
+  }
+
   private[sources] def snapshotSchema(
       spark: SparkSession, table: String, version: Option[Long])
       : org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types.StructType
     val dataE = pinnedEntries(table, version).filterNot(isDeleteEntry).map(entryPath)
     require(dataE.nonEmpty, s"no data files in the snapshot of $table")
     val reps = dataE.groupBy(dataCommitOf).toSeq.sortBy(_._1).map(_._2.min)
     reps.map(p => commitSchemaOf(spark, table, p))
-      .reduce { (a, b) =>
-        val byName = a.fields.map(f => f.name -> f).toMap
-        b.fields.foreach(f => byName.get(f.name).foreach(g =>
-          require(g.dataType == f.dataType,
-            s"schema evolution conflict in $table: column ${f.name} is " +
-              s"${g.dataType} in one commit and ${f.dataType} in another")))
-        StructType(a.fields ++ b.fields.filterNot(f => byName.contains(f.name)))
-      }
+      .reduce(unionSchemas(table, _, _))
   }
 
   /** Publish a commit whose single data file is an EMPTY parquet carrying
@@ -1138,6 +1172,36 @@ object VersionedTable {
     * existing file (and pinned snapshot) stays untouched. Zero rows, one
     * footer, O(1) metadata — schema changes never rewrite data.
     */
+  /** TYPE-WIDENING schema evolution: widen `column` to `to` (INT →
+    * BIGINT or FLOAT → DOUBLE — the lossless pairs [[widenType]]
+    * accepts) by appending a schema-only carrier commit whose footer
+    * carries the wide type. NO data file is rewritten: the snapshot
+    * schema union resolves to the wide type, old INT32/FLOAT files
+    * decode losslessly through every read path (Spark's parquet readers
+    * support the promotion natively; the catalog's Group decoder
+    * upcasts; the vectorized simple path declines per commit and falls
+    * back — compaction re-vectorizes), and pinned pre-widening
+    * snapshots keep their narrow schema. SQL surface:
+    * `ALTER TABLE t ALTER COLUMN c TYPE BIGINT`.
+    */
+  def widenColumn(
+      spark: SparkSession, table: String, column: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types.StructType
+    val pc = physName(table, column)
+    val cur = snapshotSchema(spark, table, None)
+    val f = cur.fields.find(_.name == pc).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot widen $column: not a column of $table"))
+    require(f.dataType != to && widenType(f.dataType, to).contains(to),
+      s"cannot widen $column from ${f.dataType} to $to — only INT->BIGINT " +
+        "and FLOAT->DOUBLE are lossless (narrowing/rewriting is refused)")
+    commitSchemaOnly(table,
+      StructType(cur.fields.map(g =>
+        if (g.name == pc) g.copy(dataType = to) else g)),
+      append = true)
+  }
+
   private[sources] def commitSchemaOnly(
       table: String, schema: org.apache.spark.sql.types.StructType,
       append: Boolean): Long = {
@@ -2326,7 +2390,24 @@ object VersionedTable {
     import org.apache.spark.sql.functions.input_file_name
     def abs(rel: String) = Paths.get(table, rel).toString
     def readData(files: Seq[String]) = {
-      val df = spark.read.option("mergeSchema", mergeSchema).parquet(files.map(abs): _*)
+      // a WIDENED column (INT->BIGINT across commits) needs the read to
+      // declare the wide type explicitly — footer inference would take
+      // one file's narrow type and misread the others. The union schema
+      // costs one memoized footer per commit; it is computed only when
+      // the file set spans several commits or evolution is requested
+      // (single-commit reads keep pure inference: zero footer work)
+      val commits = files.map(dataCommitOf).distinct
+      val reader =
+        if (!mergeSchema && commits.size <= 1)
+          spark.read.option("mergeSchema", false)
+        else {
+          val sch = files.groupBy(dataCommitOf)
+            .toSeq.sortBy(_._1).map(_._2.min)
+            .map(p => commitSchemaOf(spark, table, p))
+            .reduce(unionSchemas(table, _, _))
+          spark.read.schema(sch)
+        }
+      val df = reader.parquet(files.map(abs): _*)
       fileTag.fold(df)(t => df.withColumn(t, input_file_name()))
     }
     val dataE = entries.filterNot(isDeleteEntry).map(entryPath)

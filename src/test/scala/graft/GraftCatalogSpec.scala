@@ -724,6 +724,46 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(top == all, s"TopN result exact: $top vs $all")
   }
 
+  test("ALTER COLUMN TYPE widens INT->BIGINT through SQL; readers span generations") {
+    val r = root
+    spark.sql("CREATE TABLE gtest.default.wide_t (k INT, v STRING)")
+    spark.sql(
+      "INSERT INTO gtest.default.wide_t SELECT CAST(id AS INT), concat('v', id) FROM range(1, 6)")
+    spark.sql("ALTER TABLE gtest.default.wide_t ALTER COLUMN k TYPE BIGINT")
+    spark.sql(
+      "INSERT INTO gtest.default.wide_t VALUES (5000000000, 'big')")
+    val rows = spark.sql(
+      "SELECT k, v FROM gtest.default.wide_t ORDER BY k").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(rows == (1L to 5L).map(i => (i, s"v$i")) :+ (5000000000L, "big"),
+      "both physical generations must decode under the widened schema")
+    // widened columns decline the simple vectorized path per narrow
+    // commit; the scan falls back to the row decoder rather than
+    // serving a narrow batch under a wide schema
+    val plan = spark.sql("SELECT k FROM gtest.default.wide_t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("vectorized=false"),
+      s"widened scans must fall back to the row decoder:\n$plan")
+    // zone-map pruning still works across generations (stats were
+    // recorded as longs on both sides)
+    val q = spark.sql(
+      "SELECT k FROM gtest.default.wide_t WHERE k >= 5000000000")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(5000000000L))
+    // aggregate pushdown answers from manifest arithmetic across both
+    val qa = spark.sql("SELECT min(k), max(k) FROM gtest.default.wide_t")
+    assert(qa.queryExecution.executedPlan.toString.contains("manifest-only"))
+    assert(qa.collect()(0).getLong(0) == 1L &&
+      qa.collect()(0).getLong(1) == 5000000000L)
+    // narrowing is refused loudly — Spark's analyzer rejects it before
+    // the catalog even sees the change (NOT_SUPPORTED_CHANGE_COLUMN);
+    // a non-widening change that DOES reach the catalog is refused by
+    // widenColumn (pinned in VersionedTableSpec)
+    val ex = intercept[Exception](spark.sql(
+      "ALTER TABLE gtest.default.wide_t ALTER COLUMN k TYPE INT"))
+    assert(ex.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      ex.getMessage.contains("widen"), ex.getMessage)
+  }
+
   test("commits record exact file bytes: $files size_bytes and planner sizeInBytes") {
     val t = s"$root/default/szb"
     VersionedTable.commit(df(1L -> "a", 2L -> "b"), t, append = false)

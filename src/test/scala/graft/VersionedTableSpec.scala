@@ -227,6 +227,43 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(slurp(t, Some(1L)) == Set(1L -> "a"))
   }
 
+  test("type widening: INT -> BIGINT without rewriting a file; MOR deletes span both generations") {
+    val s = spark; import s.implicits._
+    val t = freshTable()
+    // generation 1: INT key column (physically INT32 files)
+    VersionedTable.commit(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), t, append = false)
+    val mtimes = java.nio.file.Files.walk(Path.of(t, "data")).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(p => p -> Files.getLastModifiedTime(p)).toMap
+    VersionedTable.widenColumn(
+      spark, t, "k", org.apache.spark.sql.types.LongType) // v2: carrier only
+    mtimes.foreach { case (p, t0) =>
+      assert(Files.getLastModifiedTime(p) == t0, s"widening rewrote $p")
+    }
+    // generation 2: BIGINT values beyond Int range land in INT64 files
+    VersionedTable.commit(
+      Seq((5_000_000_000L, "big"), (4L, "d")).toDF("k", "v"), t, append = true)
+    val rd = VersionedTable.read(spark, t)
+    assert(rd.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(rd.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5000000000L -> "big"),
+      "INT32 files must decode losslessly under the widened schema")
+    // the pinned pre-widening snapshot keeps its narrow schema
+    assert(VersionedTable.read(spark, t, Some(1L)).schema("k").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // a MOR delete keyed on the widened column dooms rows in BOTH
+    // physical generations (INT32 data + INT64 data + INT64 tombstone)
+    VersionedTable.deleteWhere(spark, t, col("k") === 2L || col("k") === 4L, "k")
+    assert(VersionedTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set(1L -> "a", 3L -> "c", 5000000000L -> "big"))
+    // narrowing (or any non-widening change) is refused loudly
+    intercept[IllegalArgumentException](VersionedTable.widenColumn(
+      spark, t, "k", org.apache.spark.sql.types.IntegerType))
+    intercept[IllegalArgumentException](VersionedTable.widenColumn(
+      spark, t, "v", org.apache.spark.sql.types.LongType))
+  }
+
   test("no partially-visible manifest: only fully-written .manifest files are listed") {
     val t = freshTable()
     VersionedTable.commit(df(1L -> "a"), t, append = false)

@@ -18,8 +18,8 @@ class DoomedKeysSpec extends AnyFunSuite {
     new LongDoomedKeys(kind, a)
   }
 
-  test("long keys: binary-search membership, boxed-probe parity") {
-    val k = longs(KindLong, 5L, -3L, Long.MaxValue, 0L)
+  test("integral keys: binary-search membership; INT32 and INT64 probes value-match") {
+    val k = longs(KindIntegral, 5L, -3L, Long.MaxValue, 0L)
     assert(k.size == 4)
     for (v <- Seq(5L, -3L, Long.MaxValue, 0L)) {
       assert(k.containsBits(v))
@@ -27,17 +27,11 @@ class DoomedKeysSpec extends AnyFunSuite {
     }
     assert(!k.containsBits(4L))
     assert(!k.contains(java.lang.Long.valueOf(Long.MinValue)))
-    // an Integer probe must not match a LONG-kind set (boxed parity:
-    // Integer(5).equals(Long(5)) was false)
-    assert(!k.contains(Integer.valueOf(5)))
-  }
-
-  test("int keys normalize to long; long probes of the same value decline") {
-    val k = longs(KindInt, 7L, -1L)
-    assert(k.contains(Integer.valueOf(7)))
-    assert(k.contains(Integer.valueOf(-1)))
-    assert(!k.contains(Integer.valueOf(8)))
-    assert(!k.contains(java.lang.Long.valueOf(7L)))
+    // INT32 and INT64 are ONE family: a type-widened column mixes INT32
+    // data files with an INT64 tombstone, and value equality is what a
+    // delete means — an Integer probe of the same value matches
+    assert(k.contains(Integer.valueOf(5)))
+    assert(!k.contains(Integer.valueOf(4)))
   }
 
   test("double keys: bit-pattern equality — NaN dooms NaN, -0.0 does not doom 0.0") {
@@ -99,7 +93,7 @@ class DoomedKeysSpec extends AnyFunSuite {
     val Seq((name, keys)) = TombstoneKeys.load(Seq(file))
     assert(name == "k")
     val lk = keys.asInstanceOf[LongDoomedKeys]
-    assert(lk.kind == KindLong && lk.size == 3)
+    assert(lk.kind == KindIntegral && lk.size == 3)
     assert(Seq(1L, 2L, 3L).forall(lk.containsBits))
     assert(!lk.containsBits(0L) && !lk.containsBits(4L))
     // the per-executor cache serves the SAME instance on a re-load —
