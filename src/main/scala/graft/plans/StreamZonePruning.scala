@@ -63,16 +63,39 @@ object PushFiltersIntoVersionedStream extends Rule[LogicalPlan] with PredicateHe
     case _ => None
   }
 
+  private def streamOf(p: LogicalPlan)
+      : Option[graft.sources.VersionedMicroBatchStream] = p match {
+    case r: StreamingDataSourceV2ScanRelation => r.stream match {
+      case s: graft.sources.VersionedMicroBatchStream => Some(s)
+      case _                                          => None
+    }
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // A stream may be CONSUMED MORE THAN ONCE in one micro-batch plan
+    // (self-union, branch-per-filter): pushing one branch's bounds would
+    // zone-prune insert files for EVERY consumer and silently drop the
+    // other branches' rows. Enumerate every occurrence with its direct
+    // parent; push bounds only for a stream whose single occurrence sits
+    // under a Filter, and push the EMPTY set otherwise — which also
+    // clears bounds a prior micro-batch's plan may have handed over.
+    val occ = scala.collection.mutable.LinkedHashMap
+      .empty[graft.sources.VersionedMicroBatchStream, List[Option[Expression]]]
+    def record(s: graft.sources.VersionedMicroBatchStream,
+               c: Option[Expression]): Unit =
+      occ.update(s, occ.getOrElse(s, Nil) :+ c)
+    streamOf(plan).foreach(record(_, None)) // bare relation at the root
     plan.foreach {
-      case Filter(cond, r: StreamingDataSourceV2ScanRelation) =>
-        r.stream match {
-          case s: graft.sources.VersionedMicroBatchStream =>
-            s.updatePushedPredicates(
-              splitConjunctivePredicates(cond).flatMap(toV1).toArray)
-          case _ => ()
-        }
-      case _ => ()
+      case Filter(cond, child) => streamOf(child).foreach(record(_, Some(cond)))
+      case other =>
+        other.children.foreach(ch => streamOf(ch).foreach(record(_, None)))
+    }
+    occ.foreach {
+      case (s, List(Some(cond))) =>
+        s.updatePushedPredicates(
+          splitConjunctivePredicates(cond).flatMap(toV1).toArray)
+      case (s, _) => s.updatePushedPredicates(Array.empty)
     }
     plan
   }

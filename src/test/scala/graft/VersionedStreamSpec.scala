@@ -120,6 +120,33 @@ class VersionedStreamSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 800L)
   }
 
+  test("a stream consumed by several filtered branches never loses rows to pruning") {
+    // regression: one micro-batch plan, one VersionedMicroBatchStream,
+    // TWO Filter parents (union of disjoint key ranges). Last-writer-wins
+    // pushdown would zone-prune the batch's files with only one branch's
+    // bounds and silently drop the other branch's rows. The rule must
+    // push bounds only for a single-consumer stream.
+    val s = spark; import s.implicits._
+    val d = freshDir()
+    val t = s"$d/t"
+    VersionedTable.commit(
+      (1L to 800L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(8, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    val src = spark.readStream.format("graft-table").load(t)
+    val lo = src.filter(col("k") >= 10L && col("k") <= 20L)
+    val hi = src.filter(col("k") >= 700L && col("k") <= 710L)
+    val q = lo.union(hi)
+      .writeStream.format("memory").queryName("vs_shared")
+      .option("checkpointLocation", s"$d/cp")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT k FROM vs_shared").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == ((10L to 20L) ++ (700L to 710L)),
+      s"shared-stream union must keep BOTH branches' rows: got ${got.size} rows")
+  }
+
   test("checkpoint recovery resumes at the committed version: no replay, no loss") {
     val d = freshDir()
     val t = s"$d/t"
