@@ -77,10 +77,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a fully distributed plan over the change commits' files, never a
     // driver-materialized result. Catalog-relative names resolve through
     // the session's own spark.sql.catalog.<cat>.root.
+    // VERSION RANGE CONTRACT: both bounds INCLUSIVE ([from, to]), exactly
+    // Delta Lake's table_changes — this function deliberately borrows
+    // Delta's name and argument shape, so it must not silently drop the
+    // startVersion commit a ported Delta query expects. The programmatic
+    // cursor APIs (appendsBetween/deletesBetween/tableChanges) keep their
+    // own documented exclusive-start (from, to] contract; the TVF maps
+    // from_version to fromVersion-1 internally.
     ext.injectTableFunction((
       FunctionIdentifier("table_changes"),
       info("table_changes",
-        "table_changes(table, from_version, to_version) - rows added/deleted in (from, to], " +
+        "table_changes(table, from_version, to_version) - rows added/deleted in " +
+          "[from_version, to_version], both bounds INCLUSIVE (Delta parity), " +
           "with _change_type and _commit_version"),
       (args: Seq[Expression]) => {
         require(args.length == 3,
@@ -98,7 +106,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
         graft.sources.VersionedTable.tableChanges(
           org.apache.spark.sql.SparkSession.active, path,
-          litLong(args(1), "from_version"), litLong(args(2), "to_version"))
+          litLong(args(1), "from_version") - 1L, litLong(args(2), "to_version"))
           .queryExecution.logical
       }))
   }

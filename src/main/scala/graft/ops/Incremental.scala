@@ -483,13 +483,15 @@ object Incremental {
   }
 
   /** Registered q_sql_table_changes body: the SQL front door to CDF —
-    * `SELECT ... FROM table_changes('<table>', 1, 3)` (the table
+    * `SELECT ... FROM table_changes('<table>', 2, 3)` (the table
     * function [[graft.functions.GraftExtensions]] injects), over the
     * same merge-on-read fixture as the programmatic `q_table_changes`.
-    * The plan is fully distributed (the change commits' files scan as
-    * ordinary parquet relations); the oracle is identical to the
-    * programmatic twin's, so hash equality proves the SQL surface emits
-    * exactly the programmatic change feed.
+    * The TVF's bounds are both INCLUSIVE (Delta parity), so [2, 3] here
+    * equals the programmatic twin's exclusive-start (1, 3]. The plan is
+    * fully distributed (the change commits' files scan as ordinary
+    * parquet relations); the oracle is identical to the programmatic
+    * twin's, so hash equality proves the SQL surface emits exactly the
+    * programmatic change feed.
     */
   def ordersSqlTableChanges(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
@@ -497,7 +499,7 @@ object Incremental {
     spark.sql(
       s"""SELECT o_orderkey, _change_type AS change_type, price_c,
          |       _commit_version AS version
-         |FROM table_changes('$t', 1, 3)
+         |FROM table_changes('$t', 2, 3)
          |ORDER BY o_orderkey, version""".stripMargin)
   }
 

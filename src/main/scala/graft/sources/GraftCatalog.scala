@@ -259,7 +259,9 @@ class GraftCatalog extends TableCatalog
           s"graft.bloom-cols column $c is not a column of the table")
       })
     recordedProps.get("graft.stats-max-cols").foreach { v =>
-      require(v.matches("\\d+"), s"graft.stats-max-cols must be a count, got $v")
+      // range-checked at CREATE so no later commit can hit a parse error
+      require(v.toIntOption.exists(n => n >= 0 && n <= 100000),
+        s"graft.stats-max-cols must be a count in [0, 100000], got $v")
     }
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
@@ -2672,37 +2674,56 @@ private[sources] object TombstoneKeys {
   // by task count. One load per (executor, file), LRU-bounded by
   // approximate retained bytes; entries for vacuumed files age out.
   private val CacheMaxBytes = 256L * 1024 * 1024
-  private val cache =
-    new java.util.LinkedHashMap[String, (String, DoomedKeys, Long)](
-      32, 0.75f, true)
+
+  /** One in-flight-or-done load per path. The multi-megabyte parquet
+    * decode+sort runs under the HOLDER's own lazy-val lock, never the
+    * shared cache lock — N distinct first loads proceed in parallel
+    * across tasks, and a cache hit never waits behind an unrelated load.
+    */
+  private final class Holder(load: () => (String, DoomedKeys)) {
+    var accounted = false // guarded by `cache`'s lock
+    private var bytes0 = 0L
+    lazy val value: (String, DoomedKeys) = {
+      val (n, k) = load()
+      if (n != null) bytes0 = k match {
+        case l: LongDoomedKeys   => 8L * l.size + 64L
+        case s: StringDoomedKeys => 64L * s.size + 64L
+      }
+      (n, k)
+    }
+    def bytes: Long = { value; bytes0 } // force-then-read: safe publication
+  }
+
+  private val cache = new java.util.LinkedHashMap[String, Holder](32, 0.75f, true)
   private var cacheBytes = 0L
 
   private def cached(path: String)(
-      load: => (String, DoomedKeys)): (String, DoomedKeys) =
+      load: => (String, DoomedKeys)): (String, DoomedKeys) = {
+    // short critical section: look up / install the holder only
+    val h = cache.synchronized {
+      var hit = cache.get(path) // access-ordered get refreshes LRU position
+      if (hit == null) { hit = new Holder(() => load); cache.put(path, hit) }
+      hit
+    }
+    val (n, k) = h.value // I/O outside the shared lock
     cache.synchronized {
-      val hit = cache.get(path)
-      if (hit != null) (hit._1, hit._2)
-      else {
-        val (n, k) = load
-        if (n != null) {
-          val bytes = k match {
-            case l: LongDoomedKeys   => 8L * l.size + 64L
-            case s: StringDoomedKeys => 64L * s.size + 64L
-          }
-          cache.put(path, (n, k, bytes))
-          cacheBytes += bytes
-          val it = cache.entrySet().iterator()
-          while (cacheBytes > CacheMaxBytes && it.hasNext) {
-            val e = it.next()
-            if (e.getKey != path) {
-              cacheBytes -= e.getValue._3
-              it.remove()
-            }
+      if (n == null) cache.remove(path) // empty tombstone: nothing to keep
+      else if (!h.accounted && (cache.get(path) eq h)) {
+        h.accounted = true
+        cacheBytes += h.bytes
+        val it = cache.entrySet().iterator()
+        while (cacheBytes > CacheMaxBytes && it.hasNext) {
+          val e = it.next()
+          // never evict this call's entry or an in-flight (unaccounted) load
+          if (e.getKey != path && e.getValue.accounted) {
+            cacheBytes -= e.getValue.bytes
+            it.remove()
           }
         }
-        (n, k)
       }
     }
+    (n, k)
+  }
 
   /** (key column name, doomed key membership) per tombstone file. */
   def load(paths: Seq[String]): Seq[(String, DoomedKeys)] =

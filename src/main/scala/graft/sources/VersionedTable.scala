@@ -334,8 +334,12 @@ object VersionedTable {
       table: String,
       schema: org.apache.spark.sql.types.StructType): Seq[String] = {
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
+    // toIntOption + clamp: CREATE validates \d+ but a value past Int.Max
+    // (e.g. '99999999999') must not turn every later commit into a
+    // NumberFormatException — any overflow means "no effective cap"
     val cap = tableProps(table).get("graft.stats-max-cols")
-      .map(_.toInt).getOrElse(DefaultStatsColsCap)
+      .map(v => v.toIntOption.getOrElse(Int.MaxValue))
+      .getOrElse(DefaultStatsColsCap)
     val eligible = schema.fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == DateType || f.dataType == StringType => f.name

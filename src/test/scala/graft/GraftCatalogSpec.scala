@@ -1093,13 +1093,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     VersionedTable.deleteWhere(spark, t, col("k") === 1L, "k") // v3
     val rows = spark.sql(
       "SELECT k, v, _change_type, _commit_version " +
-        "FROM table_changes('gtest.default.tvf', 1, 3) ORDER BY k")
+        "FROM table_changes('gtest.default.tvf', 2, 3) ORDER BY k")
       .collect().map(x => (x.getLong(0), Option(x.getString(1)),
         x.getString(2), x.getLong(3))).toSeq
     assert(rows == Seq(
       (1L, None, "delete", 3L),
       (3L, Some("c"), "insert", 2L)),
       s"got $rows")
+    // Delta-parity pin: startVersion is INCLUSIVE — from=1 returns v1's
+    // own inserts, which a ported Delta query expects
+    val inclusive = spark.sql(
+      "SELECT k, _change_type, _commit_version " +
+        "FROM table_changes('gtest.default.tvf', 1, 3) ORDER BY _commit_version, k")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq
+    assert(inclusive == Seq(
+      (1L, "insert", 1L), (2L, "insert", 1L),
+      (3L, "insert", 2L), (1L, "delete", 3L)),
+      s"startVersion must be inclusive (Delta parity): $inclusive")
     // the plan is distributed (a parquet scan), not a driver LocalScan
     val plan = spark.sql(
       "SELECT * FROM table_changes('gtest.default.tvf', 1, 3)")
