@@ -3,16 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Gate-scale probe for the MERGE-ON-READ read tax under the new
-  * primitive tombstone key sets: a ~10M-row catalog table takes a
-  * ~1.2M-distinct-key MOR delete (well inside the 10M gate), and the
-  * SQL full-scan aggregate is timed before and after — the doomed keys
-  * load ONCE PER EXECUTOR (the immutable-file key-set cache) as one
-  * sorted `long[]` (~9.6 MB at this key count; the old representation
-  * was a boxed HashSet re-built per TASK) and every row probes by
-  * binary search. Checksums verify the delete did exactly its job.
-  * Prints one JSON line with the before/after medians and the
-  * per-executor key-set footprint.
+/** Gate-scale probe for the MERGE-ON-READ read tax, BOTH tombstone
+  * kinds on identical data and identical deletes:
+  *  - EQUALITY keys: a ~10M-row catalog table takes a ~1.2M-distinct-key
+  *    MOR delete; doomed keys load once per executor as one sorted
+  *    `long[]` and every row probes by binary search.
+  *  - POSITIONAL vector: the same delete committed as (file, position)
+  *    pairs; readers probe a per-file BITMAP by the running row ordinal —
+  *    one shift+mask, no key column read, no search.
+  * The SQL full-scan aggregate is timed before and after each delete;
+  * checksums pin that both kinds delete exactly the same rows. Prints
+  * one JSON line with all medians, the per-executor footprints of both
+  * representations, and the two read-tax ratios.
   *
   * Usage: `sbt "runMain graft.MorGateProbe [sfDir] [iters]"`.
   */
@@ -76,15 +78,46 @@ object MorGateProbe {
     require(after.head._2 == expect,
       s"MOR scan checksum mismatch: got ${after.head._2}, want $expect")
 
+    // POSITIONAL twin: identical base table, identical predicate, the
+    // delete committed as a deletion vector instead of keys
+    val t2 = s"$root/default/morp"
+    graft.sources.VersionedTable.commit(
+      big.repartitionByRange(32, col("l_orderkey")), t2, append = false)
+    def agg2(): Long = spark.sql(
+      """SELECT count(*) + CAST(sum(l_quantity) AS BIGINT) +
+        |CAST(sum(l_extendedprice * 0.01) AS BIGINT) AS c
+        |FROM gmg.default.morp""".stripMargin).collect()(0).getLong(0)
+    agg2() // warm
+    val beforeP = (1 to iters).map(_ => timeIt(agg2()))
+    val tp0 = System.nanoTime()
+    graft.sources.VersionedTable.deleteWherePositional(
+      spark, t2, col("l_orderkey") % 2L === 1L)
+    val deletePosSec = (System.nanoTime() - tp0) / 1e9
+    val doomedRows = spark.sql(
+      "SELECT count(*) FROM gmg.default.morp VERSION AS OF 1 " +
+        "WHERE l_orderkey % 2 = 1").collect()(0).getLong(0)
+    agg2() // warm the post-delete plan (first bitmap load)
+    val afterP = (1 to iters).map(_ => timeIt(agg2()))
+    require(afterP.head._2 == expect,
+      s"positional MOR scan checksum mismatch: got ${afterP.head._2}, want $expect")
+    // bitmap footprint: rows/8 bytes per referenced file ⇒ rows/8 total
+    val rows = 16L * li0.count()
+    val bitmapMb = rows / 8.0 / 1048576.0
+
     val b = median(before.map(_._1))
     val a = median(after.map(_._1))
+    val bp = median(beforeP.map(_._1))
+    val ap = median(afterP.map(_._1))
     println(
       f"""{"probe":"mor_gate_read_tax","sf_dir":"$sfDir","iters":$iters,""" +
-        f""""rows":${16L * li0.count()},"doomed_keys":$doomedKeys,""" +
+        f""""rows":$rows,"doomed_keys":$doomedKeys,"doomed_rows":$doomedRows,""" +
         f""""keyset_mb_per_executor":${doomedKeys * 8 / 1048576.0}%.1f,""" +
-        f""""delete_sec":$deleteSec%.3f,""" +
+        f""""bitmap_mb_per_executor":$bitmapMb%.1f,""" +
+        f""""delete_sec":$deleteSec%.3f,"delete_pos_sec":$deletePosSec%.3f,""" +
         f""""scan_before_sec":$b%.3f,"scan_after_sec":$a%.3f,""" +
-        f""""after_over_before":${a / b}%.3f}""")
+        f""""after_over_before":${a / b}%.3f,""" +
+        f""""scan_before_pos_sec":$bp%.3f,"scan_after_pos_sec":$ap%.3f,""" +
+        f""""after_over_before_pos":${ap / bp}%.3f}""")
     spark.stop()
   }
 }

@@ -77,6 +77,8 @@ object SparkEntry {
     "q_table_timetravel" -> ((s, d) => Incremental.ordersTimeTravel(t(s, d, "orders"))),
     "q_table_mor" -> ((s, d) => Incremental.ordersMergeOnRead(t(s, d, "orders"))),
     "q_table_changes" -> ((s, d) => Incremental.ordersTableChanges(t(s, d, "orders"))),
+    "q_table_posdel" -> ((s, d) => Incremental.ordersPositionalDelete(t(s, d, "orders"))),
+    "q_posdel_changes" -> ((s, d) => Incremental.ordersPosDelChanges(t(s, d, "orders"))),
     "q_asof_versioned" -> ((s, d) => Incremental.eventsAsofVersioned(t(s, d, "events"))),
     "q_table_pruned" -> ((s, d) => Incremental.ordersPrunedRead(t(s, d, "orders"))),
     "q_table_merge" -> ((s, d) => Incremental.ordersTableMerge(t(s, d, "orders"))),
@@ -2061,6 +2063,42 @@ object SparkEntry {
         |UNION ALL
         |SELECT 4, count(*), CAST(sum(price_c) AS BIGINT) FROM v3
         |ORDER BY version""".stripMargin,
+    // positional deletion-vector lifecycle: v2 deletes by an arbitrary
+    // non-key predicate (the vector names positions, not keys), v3
+    // appends the held-out quarter, v4 compacts — v3 ≡ v4 by value
+    "q_table_posdel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |v2 AS (SELECT * FROM base WHERE NOT (price_c % 7 < 2)),
+        |ins AS (
+        |  SELECT o_orderkey, 'NEW' AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 4 = 3),
+        |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM ins)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS total_c FROM base
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(price_c) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 3, count(*), CAST(sum(price_c) AS BIGINT) FROM v3
+        |UNION ALL
+        |SELECT 4, count(*), CAST(sum(price_c) AS BIGINT) FROM v3
+        |ORDER BY version""".stripMargin,
+    // CDF of the positional delete: the deleted ROWS reconstructed by
+    // position (full rows, not just keys), aggregated per status
+    "q_posdel_changes" ->
+      """WITH del AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders
+        |  WHERE o_orderkey % 4 <> 3
+        |    AND CAST(round(o_totalprice * 100) AS BIGINT) % 7 < 2)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_del,
+        |  CAST(sum(price_c) AS BIGINT) AS del_c
+        |FROM del GROUP BY status ORDER BY status""".stripMargin,
     // Deequ-style expectation report: completeness / uniqueness /
     // bounds / referential checks as exact integers, one row each.
     "q_quality_report" ->

@@ -461,6 +461,80 @@ object Incremental {
     })
   }
 
+  /** Registered q_table_posdel body: the POSITIONAL deletion-vector
+    * lifecycle on one table (pay-once build) — v1 = base snapshot, v2 =
+    * `deleteWherePositional(price_c % 7 < 2)` (an arbitrary NON-KEY
+    * predicate: a deletion vector names row positions, so no key column
+    * is needed and no reader ever materializes a key set), v3 = APPEND
+    * of the held-out keys (a later commit's files are untouched by the
+    * vector by construction), v4 = `compact` (the vector applied once,
+    * dropped from the manifest). v3 and v4 must aggregate identically;
+    * v1 must still show the pre-delete rows.
+    */
+  def ordersPositionalDelete(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val t = ordersPosDelTable(orders)
+    // a NO-MATCH positional delete burns no version (it is a no-op, like
+    // deleteWhereCow), so on EMPTY input the fixture has 3 versions, not
+    // 4 — clamp each requested version to the actual head; the padded
+    // rows aggregate the same (empty) snapshot
+    val head = graft.sources.VersionedTable.versions(t).last
+    (1L to 4L).map { v =>
+      graft.sources.VersionedTable.read(spark, t, Some(math.min(v, head)))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("price_c").cast("long").as("total_c"))
+        .select(lit(v).as("version"), col("n_rows"), col("total_c"))
+    }.reduce(_ union _).orderBy("version")
+  }
+
+  /** Pay-once builder of the positional-delete demo table — shared by
+    * `q_table_posdel` and `q_posdel_changes`.
+    */
+  private def ordersPosDelTable(orders: DataFrame): String = {
+    val spark = orders.sparkSession
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    versionedTables.computeIfAbsent((spark, s"pdv:$inputKey"), { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_versioned")
+      deleteRecursivelyOnExit(d)
+      val t = s"$d/orders_pdv"
+      graft.sources.VersionedTable.commit(ordersCdcBase(orders), t, append = false)
+      graft.sources.VersionedTable.deleteWherePositional(
+        spark, t, col("price_c") % 7L < 2L)
+      val inserts = orders.filter(col("o_orderkey") % 4 === 3)
+        .select(col("o_orderkey"), lit("NEW").as("status"),
+          cents(col("o_totalprice")).as("price_c"))
+      graft.sources.VersionedTable.commit(inserts, t, append = true)
+      graft.sources.VersionedTable.compact(spark, t)
+      t
+    })
+  }
+
+  /** Registered q_posdel_changes body: CDF over a positional delete —
+    * the deleted ROWS are reconstructed BY POSITION (the vector holds
+    * (file, row) pairs, not keys; [[graft.sources.VersionedTable
+    * .deletesBetween]] semi-joins them back onto exactly the referenced
+    * files), stamped with the delete commit's version and aggregated per
+    * status. This is the CDF shape equality tombstones cannot give:
+    * full deleted rows, not just keys.
+    */
+  def ordersPosDelChanges(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val t = ordersPosDelTable(orders)
+    val head = graft.sources.VersionedTable.versions(t).last
+    // on EMPTY input the no-match delete burned no version (head = 3 and
+    // no delete commit exists): the CDF report is legitimately empty
+    val del =
+      if (head < 4L) {
+        import spark.implicits._
+        Seq.empty[(Long, String, Long, Long)]
+          .toDF("o_orderkey", "status", "price_c", "_commit_version")
+      } else graft.sources.VersionedTable.deletesBetween(spark, t, 1L, 3L)
+    del.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_del"),
+        sum("price_c").cast("long").as("del_c"))
+      .orderBy("status")
+  }
+
   /** Registered q_table_changes body: incremental consumption of the
     * merge-on-read table over the additive range (1, 3] — the appended
     * rows (the v3 re-inserts; the v2 delete commit adds none) and the

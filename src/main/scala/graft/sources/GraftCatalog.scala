@@ -2804,6 +2804,105 @@ private[sources] object TombstoneKeys {
     })
 }
 
+/** POSITIONAL deletion-vector handling shared by the row and vectorized
+  * readers: a `posdel-*.parquet` tombstone holds (_file, _pos) pairs
+  * ([[VersionedTable.deleteWherePositional]]); [[forFile]] serves the
+  * BITMAP of doomed row ordinals for one data file. Vectors are
+  * per-executor cached exactly like equality key sets, but the memory
+  * story is stronger: a bitmap costs ~rows/8 bytes per referenced file
+  * REGARDLESS of how many rows were deleted, and the probe is one shift
+  * and mask per row — no binary search, no hashing, no key column read.
+  */
+private[sources] object PositionKeys {
+
+  final class Bitmap private[PositionKeys] (words: Array[Long]) {
+    def get(pos: Long): Boolean = {
+      val w = (pos >>> 6).toInt
+      w < words.length && ((words(w) >>> (pos & 63)) & 1L) != 0L
+    }
+    private[PositionKeys] def byteSize: Long = 8L * words.length + 32L
+  }
+
+  private final class Builder {
+    private var words = new Array[Long](16)
+    def add(pos: Long): Unit = {
+      val w = (pos >>> 6).toInt
+      if (w >= words.length)
+        words = java.util.Arrays.copyOf(
+          words, math.max(w + 1, words.length * 2))
+      words(w) |= 1L << (pos & 63)
+    }
+    def result(): Bitmap = new Bitmap(words)
+  }
+
+  // same per-path parallel-load + shared-LRU discipline as TombstoneKeys
+  private val CacheMaxBytes = 256L * 1024 * 1024
+  private final class Holder(load: () => Map[String, Bitmap]) {
+    var accounted = false // guarded by `cache`'s lock
+    private var bytes0 = 0L
+    lazy val value: Map[String, Bitmap] = {
+      val m = load()
+      bytes0 = m.valuesIterator.map(_.byteSize).sum + 64L
+      m
+    }
+    def bytes: Long = { value; bytes0 }
+  }
+  private val cache = new java.util.LinkedHashMap[String, Holder](16, 0.75f, true)
+  private var cacheBytes = 0L
+
+  private def cached(path: String): Map[String, Bitmap] = {
+    val h = cache.synchronized {
+      var hit = cache.get(path)
+      if (hit == null) { hit = new Holder(() => loadOne(path)); cache.put(path, hit) }
+      hit
+    }
+    val v = h.value // I/O outside the shared lock
+    cache.synchronized {
+      if (!h.accounted && (cache.get(path) eq h)) {
+        h.accounted = true
+        cacheBytes += h.bytes
+        val it = cache.entrySet().iterator()
+        while (cacheBytes > CacheMaxBytes && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != path && e.getValue.accounted) {
+            cacheBytes -= e.getValue.bytes
+            it.remove()
+          }
+        }
+      }
+    }
+    v
+  }
+
+  /** Bitmaps of doomed positions for `fileKey` across `dvPaths` (absent
+    * entries mean the vector never touched that file — a free pass).
+    */
+  def forFile(dvPaths: Seq[String], fileKey: String): Seq[Bitmap] =
+    dvPaths.flatMap(p => cached(p).get(fileKey))
+
+  private def loadOne(path: String): Map[String, Bitmap] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val r = ParquetReader.builder(new GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(path)).build()
+    val builders = new java.util.HashMap[String, Builder]()
+    var g = r.read()
+    while (g != null) {
+      if (g.getFieldRepetitionCount("_file") > 0 &&
+        g.getFieldRepetitionCount("_pos") > 0) {
+        val f = g.getString("_file", 0)
+        var b = builders.get(f)
+        if (b == null) { b = new Builder; builders.put(f, b) }
+        b.add(g.getLong("_pos", 0))
+      }
+      g = r.read()
+    }
+    r.close()
+    import scala.jdk.CollectionConverters._
+    builders.asScala.iterator.map { case (k, b) => k -> b.result() }.toMap
+  }
+}
+
 /** ANALYZE-free per-column PLANNER statistics, assembled at plan time
   * from commit-side metadata alone: NDV from the per-commit HLL sketches
   * ([[VersionedTable.commitNdvSketches]], unioned across the scan's
@@ -3040,13 +3139,16 @@ private[sources] object GraftVectorization {
 
   /** May a file with these tombstones be served columnar? Tombstone-free
     * always (no copy, batches pass straight through); tombstoned files
-    * need key footers the extractors decode AND a projection the
-    * surviving-row copy supports.
+    * need a projection the surviving-row copy supports, and EQUALITY
+    * tombstones additionally need key footers the extractors decode.
+    * POSITIONAL vectors are always columnar-applicable — they probe a
+    * bitmap by row ordinal, never a key column.
     */
   def morOk(required: StructType, tombstonesAbs: Seq[String]): Boolean =
     tombstonesAbs.isEmpty ||
       (required.fields.forall(f => copyable(f.dataType)) &&
-        tombstonesAbs.forall(TombstoneKeys.vectorizable))
+        tombstonesAbs.filterNot(VersionedTable.isPosDeleteFile)
+          .forall(TombstoneKeys.vectorizable))
 
   /** Does the commit's footer carry every required column at EXACTLY the
     * required type? A WIDENED column (INT32 file under a BIGINT snapshot
@@ -3081,16 +3183,24 @@ class GraftCatalogVectorReader(
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
-  // the data file's own columns — read only when tombstones force the
-  // projection/extractor decisions (one footer read, same as the row
-  // reader's open)
+  private val (posDelFiles, eqDelFiles) =
+    tombstones.partition(VersionedTable.isPosDeleteFile)
+
+  // doomed row-position bitmaps for THIS file (positional vectors that
+  // never touched it contribute nothing — a free pass)
+  private val posBitmaps: Seq[PositionKeys.Bitmap] =
+    PositionKeys.forFile(posDelFiles, VersionedTable.dvKeyOf(file))
+
+  // the data file's own columns — read only when EQUALITY tombstones
+  // force the projection/extractor decisions (one footer read, same as
+  // the row reader's open)
   private val fileFields: Seq[org.apache.parquet.schema.Type] =
-    if (tombstones.isEmpty) Nil else TombstoneKeys.fileFields(file)
+    if (eqDelFiles.isEmpty) Nil else TombstoneKeys.fileFields(file)
 
   // tombstones whose key column this file actually holds — a set keyed
   // on a column the file lacks can doom none of its rows
   private val doomed: Seq[(String, DoomedKeys)] =
-    TombstoneKeys.load(tombstones)
+    TombstoneKeys.load(eqDelFiles)
       .filter { case (name, _) => fileFields.exists(_.getName == name) }
 
   // key columns the query didn't project — appended to the read, never
@@ -3123,7 +3233,12 @@ class GraftCatalogVectorReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
   locally {
     val extras = extraKeyCols.map(extraField)
-    rowFilter match {
+    // a row-group filter SKIPS row groups, which would desynchronize the
+    // running row ordinal from true file positions — under a positional
+    // vector the whole file must stream through (the bitmap skip is
+    // near-free; correctness over pruning)
+    val effFilter = if (posBitmaps.isEmpty) rowFilter else None
+    effFilter match {
       case Some(pred) if extras.forall(_.isDefined) =>
         // the split-based initialize honors a parquet FilterPredicate in
         // the task conf: ParquetFileReader then drops the row groups
@@ -3213,6 +3328,18 @@ class GraftCatalogVectorReader(
       !v.isNullAt(r) && probe(v, r)
     }
 
+  // running ordinal of the first row of the CURRENT batch within the file
+  // (exact: positional vectors disable row-group skipping above)
+  private var basePos = 0L
+  private def posDoomed(p: Long): Boolean = {
+    var i = 0
+    while (i < posBitmaps.length) {
+      if (posBitmaps(i).get(p)) return true
+      i += 1
+    }
+    false
+  }
+
   private def copyRow(in: ColumnarBatch, r: Int, o: Int): Unit = {
     var c = 0
     while (c < required.fields.length) {
@@ -3237,7 +3364,7 @@ class GraftCatalogVectorReader(
   }
 
   override def next(): Boolean = {
-    if (keyProbes.isEmpty) return reader.nextBatch()
+    if (keyProbes.isEmpty && posBitmaps.isEmpty) return reader.nextBatch()
     while (reader.nextBatch()) {
       val in = reader.resultBatch()
       val n = in.numRows()
@@ -3245,16 +3372,20 @@ class GraftCatalogVectorReader(
       var o = 0
       var r = 0
       while (r < n) {
-        if (!isDoomed(in, r)) { copyRow(in, r, o); o += 1 }
+        if (!posDoomed(basePos + r) && !isDoomed(in, r)) {
+          copyRow(in, r, o); o += 1
+        }
         r += 1
       }
+      basePos += n
       if (o > 0) { outBatch.setNumRows(o); return true }
     }
     false
   }
 
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-    if (keyProbes.isEmpty) reader.resultBatch() else outBatch
+    if (keyProbes.isEmpty && posBitmaps.isEmpty) reader.resultBatch()
+    else outBatch
   override def close(): Unit = reader.close()
 }
 
@@ -3356,18 +3487,31 @@ class GraftCatalogReader(part: GraftCatalogPartition, required: StructType)
   private def open(f: String) = ParquetReader
     .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f)).build()
 
+  private val (posDelFiles, eqDelFiles) =
+    part.tombstones.partition(VersionedTable.isPosDeleteFile)
+
   // (key column name, doomed key membership) per tombstone file — key
   // type is whatever deleteWhere keyed on; compare on the decoded
   // primitive ([[DoomedKeys.contains]] normalizes the box)
   private val doomed: Seq[(String, DoomedKeys)] =
-    TombstoneKeys.load(part.tombstones)
+    TombstoneKeys.load(eqDelFiles)
+
+  // doomed row-position bitmaps for THIS file (positional vectors); the
+  // Group reader streams the whole file in order, so the running counter
+  // IS the file position
+  private val posBitmaps: Seq[PositionKeys.Bitmap] =
+    PositionKeys.forFile(posDelFiles, VersionedTable.dvKeyOf(part.file))
 
   private val reader = open(part.file)
   private var current: Group = _
+  private var rowPos = -1L
 
   override def next(): Boolean = {
-    current = reader.read()
-    while (current != null && isDoomed(current)) current = reader.read()
+    current = reader.read(); rowPos += 1
+    while (current != null &&
+      (posBitmaps.exists(_.get(rowPos)) || isDoomed(current))) {
+      current = reader.read(); rowPos += 1
+    }
     current != null
   }
 

@@ -476,6 +476,16 @@ class VersionedMicroBatchStream(
         s"streaming read of $table hit DELETE commit $v; set " +
           "ignoreDeletes=true to skip tombstone commits, or " +
           "readChangeFeed=true to consume them as delete rows")
+    // a POSITIONAL deletion vector names row positions, not keys: its
+    // deleted rows must be reconstructed by a position join (the batch
+    // table_changes()/deletesBetween path does exactly that) — a per-file
+    // change-feed stream cannot, so fail loudly instead of emitting
+    // (_file, _pos) pairs null-filled into the table's columns
+    if (changeFeed && freshDeletes.exists(VersionedTable.isPosDeleteFile))
+      throw new IllegalStateException(
+        s"streaming change feed of $table hit POSITIONAL delete commit $v — " +
+          "consume this range with batch table_changes() (it reconstructs " +
+          "the deleted rows by position), or compact and restart the stream")
     val inserts = freshData.map(rel =>
       (rel, VersionedFilePartition(abs(rel), v, "insert")))
     // change-feed mode: tombstone files become key-only DELETE rows —

@@ -68,6 +68,21 @@ object VersionedTable {
   private def manifestDir(table: String): Path = Paths.get(table, "_manifest")
 
   private def isDeleteEntry(e: String): Boolean = e.startsWith("D:")
+  // POSITIONAL deletion vectors ride ordinary bounded `D:` entries; the
+  // FILE NAME marks the kind: `posdel-*.parquet` files hold (_file, _pos)
+  // row positions (Iceberg's position-delete shape, re-expressed for this
+  // manifest format) instead of doomed keys. Classification, bounding,
+  // pairing, carry and vacuum all work unchanged; only the APPLICATION
+  // differs (skip positions instead of probing keys).
+  private[sources] def isPosDeleteFile(path: String): Boolean =
+    path.split('/').last.startsWith("posdel-")
+  // file identity inside a deletion vector: the path below the table's
+  // data/ dir — unique per table (commit dirs carry a random token) and
+  // stable under table moves (no absolute paths in the format)
+  private[sources] def dvKeyOf(path: String): String = {
+    val i = path.lastIndexOf("/data/")
+    if (i >= 0) path.substring(i + 6) else path.stripPrefix("data/")
+  }
   // a replace commit's removal line: `R:<path>` drops the carried entry
   // with that path during chain resolution — the manifest form of
   // file-granular copy-on-write (DELETE rewrites only touched files).
@@ -1271,14 +1286,16 @@ object VersionedTable {
     * Returns the new version.
     *
     * SIZE-GATED: a delete matching more than `maxKeys` distinct keys
-    * (default [[MorMaxDeleteKeys]]) is NOT committed as a tombstone —
+    * (default [[MorMaxDeleteKeys]]) is NOT committed as a KEY tombstone —
     * every reader task would carry the whole key set in memory until
-    * compaction. Such a delete routes to [[deleteWhereCow]] (same
-    * result, cost paid once at delete time as a file rewrite); on a
-    * BUCKETED table, where copy-on-write would destroy the layout, it
-    * fails loudly instead — delete in narrower batches and compact
-    * between them. The doomed count is read from the freshly-staged
-    * tombstone's own footer counts, so the gate costs no extra job.
+    * compaction. Such a delete routes to [[deleteWherePositional]]:
+    * still additive (incremental/streaming consumers see an ordinary
+    * delete commit), reader memory bounded by a per-file position BITMAP
+    * (~rows/8 bytes) regardless of how many rows died, and the bucket/
+    * cluster layout untouched — strictly better than a copy-on-write
+    * reroute (non-additive, layout-destroying) or a refusal. The doomed
+    * count is read from the freshly-staged tombstone's own footer
+    * counts, so the gate costs no extra job.
     */
   def deleteWhere(
       spark: SparkSession, table: String, predicate: Column, keyCol: String,
@@ -1300,15 +1317,7 @@ object VersionedTable {
       .map(_.split('#')(1).takeWhile(_ != '@').toLong).sum
     if (doomedCount > maxKeys) {
       deleteRecursively(Paths.get(table, "data", dirName))
-      if (bucketSpec(table).isDefined)
-        throw new IllegalStateException(
-          s"deleteWhere on $table matched $doomedCount distinct keys " +
-            s"(> $maxKeys): a merge-on-read tombstone this large would load " +
-            "into every reader task until compaction, and the table is " +
-            "bucketed, so copy-on-write cannot preserve its layout — " +
-            "delete in narrower key batches (compacting between them), or " +
-            "raise maxKeys explicitly if the reader-memory cost is intended")
-      return deleteWhereCow(spark, table, predicate)
+      return deleteWherePositional(spark, table, predicate)
     }
     val bound = next - 1L
     val fresh = fileEntries.map(n => s"D:$bound:data/$dirName/$n")
@@ -1321,6 +1330,81 @@ object VersionedTable {
       throw new java.util.ConcurrentModificationException(
         s"deleteWhere on $table computed its tombstones from version $lastV " +
           s"but version $next was committed concurrently — re-run against the new head")
+    }
+    next
+  }
+
+  /** POSITIONAL merge-on-read delete: instead of doomed KEYS, commit a
+    * DELETION VECTOR — the exact (file, row-position) pairs `predicate`
+    * matches in the current snapshot, stored as a parquet file of
+    * `_file`/`_pos` pairs under an ordinary bounded tombstone entry whose
+    * file name (`posdel-*`) marks the kind. Readers skip positions during
+    * the batch copy instead of probing every row's key against a set, so:
+    *  - reader memory is bounded by FILE SIZE (a bitmap of row ordinals,
+    *    ~rows/8 bytes per referenced file), not by how many rows were
+    *    deleted — there is no key-count gate;
+    *  - any predicate works (no key column needed, any key type);
+    *  - BUCKETED / clustered tables keep their layout (nothing is
+    *    rewritten), which copy-on-write cannot offer.
+    * Snapshot-derived like [[deleteWhere]]: positions are computed from
+    * the head (fully distributed — the scan tags each row with the
+    * parquet source's own `_metadata.file_path`/`row_index`), a
+    * concurrent commit fails the publish loudly, and a later append is
+    * unaffected (its files are not referenced by the vector). Returns
+    * the new version — the basis version unchanged when nothing matches.
+    */
+  def deleteWherePositional(
+      spark: SparkSession, table: String, predicate: Column): Long = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val prev = versions(table)
+    require(prev.nonEmpty, s"no committed versions at $table")
+    val lastV = prev.last
+    val next = lastV + 1L
+    val entries = manifestEntries(table, lastV)
+    val dataE = entries.filterNot(isDeleteEntry).map(entryPath)
+    if (dataE.isEmpty) return lastV
+    def abs(rel: String) = Paths.get(table, rel).toString
+    // ONE scan over the snapshot's data files with the union schema
+    // (widened columns read wide, added columns null-fill), tagged with
+    // each row's (file, position); the predicate pushes into the scan.
+    // Rows already doomed by an EARLIER tombstone may re-match here —
+    // re-dooming a dead position is harmless and avoids paying the
+    // standing anti-joins inside the delete itself.
+    val sch = dataE.groupBy(dataCommitOf).toSeq.sortBy(_._1).map(_._2.min)
+      .map(p => commitSchemaOf(spark, table, p))
+      .reduce(unionSchemas(table, _, _))
+    val tagged = spark.read.schema(sch).parquet(dataE.map(abs): _*)
+      .withColumn("_graft_dv_file",
+        regexp_extract(col("_metadata.file_path"), ".*/data/(.*)$", 1))
+      .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+    val dv = logicalizeFrame(table, tagged).filter(predicate)
+      .select(col("_graft_dv_file").as("_file"),
+        col("_graft_dv_pos").as("_pos"))
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"c${next}_$token"
+    val dataDir = Paths.get(table, "data", dirName)
+    // sorted runs per file: the reader's bitmap build walks positions in
+    // order and parquet RLE-encodes them tightly
+    dv.sortWithinPartitions("_file", "_pos")
+      .write.mode("errorifexists").parquet(dataDir.toString)
+    // the file name is the KIND MARKER — rename before metadata records it
+    Files.list(dataDir).iterator.asScala.toSeq.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("part-") && n.endsWith(".parquet")) {
+        Files.move(p, p.resolveSibling(s"posdel-$n")); ()
+      }
+    }
+    val fileEntries = dirMetadata(spark, table, dirName, Nil, Nil)
+    val doomedRows = fileEntries
+      .map(_.split('#')(1).takeWhile(_ != '@').toLong).sum
+    if (doomedRows == 0L) { deleteRecursively(dataDir); return lastV }
+    val fresh = fileEntries.map(n => s"D:$lastV:data/$dirName/$n")
+    if (!tryPublish(table, next, fresh, None, carry = Some(lastV))) {
+      deleteRecursively(dataDir)
+      throw new java.util.ConcurrentModificationException(
+        s"deleteWherePositional on $table computed its deletion vector " +
+          s"from version $lastV but version $next was committed " +
+          "concurrently — re-run against the new head")
     }
     next
   }
@@ -2422,12 +2506,34 @@ object VersionedTable {
     else
       dataE.groupBy(dataCommitOf).toSeq.sortBy(_._1).map { case (c, files) =>
         val applicable = delE.collect { case (b, p) if b >= c => p }
-        val df = readData(files)
-        if (applicable.isEmpty) df
+        val (posDel, eqDel) = applicable.partition(isPosDeleteFile)
+        val df0 = readData(files)
+        // positional tags come straight off the scan (a parquet source's
+        // metadata columns do not survive joins)
+        val df =
+          if (posDel.isEmpty) df0
+          else {
+            import org.apache.spark.sql.functions.{col, regexp_extract}
+            df0.withColumn("_graft_dv_file",
+                regexp_extract(col("_metadata.file_path"), ".*/data/(.*)$", 1))
+              .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+          }
+        val afterEq =
+          if (eqDel.isEmpty) df
+          else {
+            val del = spark.read.parquet(eqDel.map(abs): _*)
+            df.join(del.select(del.columns.head).distinct(),
+              Seq(del.columns.head), "left_anti")
+          }
+        if (posDel.isEmpty) afterEq
         else {
-          val del = spark.read.parquet(applicable.map(abs): _*)
-          df.join(del.select(del.columns.head).distinct(),
-            Seq(del.columns.head), "left_anti")
+          import org.apache.spark.sql.functions.col
+          val dvf = spark.read.parquet(posDel.map(abs): _*)
+          afterEq.join(
+            dvf.select(col("_file").as("_graft_dv_file"),
+              col("_pos").as("_graft_dv_pos")),
+            Seq("_graft_dv_file", "_graft_dv_pos"), "left_anti")
+            .drop("_graft_dv_file", "_graft_dv_pos")
         }
       }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
@@ -2517,15 +2623,58 @@ object VersionedTable {
     def abs(rel: String) = Paths.get(table, rel).toString
     val frames = rangeCommits(table, fromVersion, toVersion).flatMap {
       case (w, fresh) =>
-        val del = fresh.filter(isDeleteEntry).map(entryPath)
-        if (del.isEmpty) None
-        else Some(spark.read.parquet(del.map(abs): _*)
-          .withColumn("_commit_version",
-            org.apache.spark.sql.functions.lit(w)))
+        val del = fresh.filter(isDeleteEntry)
+        val (pos, eq) = del.partition(e => isPosDeleteFile(entryPath(e)))
+        val eqF =
+          if (eq.isEmpty) None
+          else Some(spark.read.parquet(eq.map(entryPath).map(abs): _*))
+        // a POSITIONAL delete names positions, not keys — reconstruct the
+        // full deleted ROWS (a superset of any key column; richer than
+        // the key-only equality rendering)
+        val posF =
+          if (pos.isEmpty) None
+          else Some(posDeletedRows(spark, table, pos.map(entryPath),
+            pos.head.split(":", 3)(1).toLong))
+        (eqF.toSeq ++ posF.toSeq).map(_.withColumn("_commit_version",
+          org.apache.spark.sql.functions.lit(w)))
     }
     require(frames.nonEmpty,
       s"no deletes in ($fromVersion, $toVersion] of $table")
-    logicalizeFrame(table, frames.reduce(_ unionByName _))
+    logicalizeFrame(table,
+      frames.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** The full data rows a positional delete commit removed: the deletion
+    * vector's (file, position) pairs semi-joined back onto exactly the
+    * data files it references in its basis snapshot — the change-feed
+    * rendering of a positional delete. Distributed end to end: only the
+    * referenced files are scanned; the driver touches file NAMES only
+    * (file-cardinality, not row-cardinality).
+    */
+  private def posDeletedRows(
+      spark: SparkSession, table: String, dvRel: Seq[String],
+      bound: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    def abs(rel: String) = Paths.get(table, rel).toString
+    val dv = spark.read.parquet(dvRel.map(abs): _*)
+    val refKeys = dv.select("_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val files = manifestEntries(table, bound)
+      .filterNot(isDeleteEntry).map(entryPath)
+      .filter(p => refKeys.contains(dvKeyOf(p)))
+    require(files.nonEmpty,
+      s"deletion vector of $table references no file of snapshot $bound")
+    val sch = files.groupBy(dataCommitOf).toSeq.sortBy(_._1).map(_._2.min)
+      .map(p => commitSchemaOf(spark, table, p))
+      .reduce(unionSchemas(table, _, _))
+    spark.read.schema(sch).parquet(files.map(abs): _*)
+      .withColumn("_graft_dv_file",
+        regexp_extract(col("_metadata.file_path"), ".*/data/(.*)$", 1))
+      .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+      .join(dv.select(col("_file").as("_graft_dv_file"),
+        col("_pos").as("_graft_dv_pos")),
+        Seq("_graft_dv_file", "_graft_dv_pos"), "left_semi")
+      .drop("_graft_dv_file", "_graft_dv_pos")
   }
 
   /** Delta-style `table_changes`: ONE frame unifying the additive and
@@ -2547,10 +2696,29 @@ object VersionedTable {
     val commits = rangeCommits(table, fromVersion, toVersion)
     def side(delete: Boolean): Seq[DataFrame] = commits.flatMap {
       case (w, fresh) =>
-        val paths = fresh.filter(e => isDeleteEntry(e) == delete).map(entryPath)
-        if (paths.isEmpty) None
-        else Some(spark.read.parquet(paths.map(abs): _*)
-          .withColumn("_change_type", lit(if (delete) "delete" else "insert"))
+        val own = fresh.filter(e => isDeleteEntry(e) == delete)
+        val base: Option[DataFrame] =
+          if (!delete) {
+            val paths = own.map(entryPath)
+            if (paths.isEmpty) None
+            else Some(spark.read.parquet(paths.map(abs): _*))
+          } else {
+            // positional deletes reconstruct the full deleted ROWS by
+            // position (see [[posDeletedRows]]); equality tombstones
+            // keep their key-only rendering
+            val (pos, eq) = own.partition(e => isPosDeleteFile(entryPath(e)))
+            val eqF =
+              if (eq.isEmpty) None
+              else Some(spark.read.parquet(eq.map(entryPath).map(abs): _*))
+            val posF =
+              if (pos.isEmpty) None
+              else Some(posDeletedRows(spark, table, pos.map(entryPath),
+                pos.head.split(":", 3)(1).toLong))
+            (eqF.toSeq ++ posF.toSeq)
+              .reduceOption(_.unionByName(_, allowMissingColumns = true))
+          }
+        base.map(_.withColumn("_change_type",
+            lit(if (delete) "delete" else "insert"))
           .withColumn("_commit_version", lit(w)))
     }
     val frames = side(delete = false) ++ side(delete = true)

@@ -53,6 +53,46 @@ class GraftCatalogSpec extends AnyFunSuite {
       !got.exists(p => p._1 % 2 == 0 && p._2.startsWith("v")))
   }
 
+  test("positional deletion vectors stay VECTORIZED and exact; bucketed big deletes have a path") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/pdv"
+    VersionedTable.commit(
+      (1L to 4000L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(4, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    VersionedTable.deleteWherePositional(spark, t, col("k") % 3L === 0L)
+    val q = spark.sql(
+      "SELECT count(*) AS n, sum(k) AS sk FROM gtest.default.pdv")
+    val r = q.collect()(0)
+    val survivors = (1L to 4000L).filter(_ % 3L != 0L)
+    assert(r.getLong(0) == survivors.size && r.getLong(1) == survivors.sum,
+      s"positional skip must drop exactly the doomed rows: $r")
+    // THE point of position vectors: the scan stays columnar (an equality
+    // tombstone on a string-typed key would too, but a position vector
+    // never even reads a key column)
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("vectorized=true"),
+      s"positional vectors must keep the scan vectorized:\n$desc")
+    // selective point lookups stay exact with the row-group filter
+    // disabled under the vector (correctness over pruning)
+    val one = spark.sql("SELECT v FROM gtest.default.pdv WHERE k = 7")
+      .collect().map(_.getString(0)).toSeq
+    assert(one == Seq("v7"))
+    assert(spark.sql("SELECT v FROM gtest.default.pdv WHERE k = 9")
+      .collect().isEmpty, "a doomed row must not answer a point lookup")
+    // bucketed table: an over-gate delete commits positionally and reads
+    // correctly through the bucket-preserving scan
+    val tb = s"$root/default/pdvb"
+    VersionedTable.commitBucketed(
+      (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v"), tb, "k", 4,
+      append = false)
+    VersionedTable.deleteWhere(spark, tb, col("k") > 100L, "k", maxKeys = 10L)
+    val rb = spark.sql(
+      "SELECT count(*) AS n, sum(k) AS sk FROM gtest.default.pdvb").collect()(0)
+    assert(rb.getLong(0) == 100L && rb.getLong(1) == 5050L,
+      s"bucketed positional delete must read correctly: $rb")
+  }
+
   test("pushed range filters prune files from the zone maps; results stay exact") {
     val s = spark; import s.implicits._
     val t = s"$root/default/zm"

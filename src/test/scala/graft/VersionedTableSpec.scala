@@ -111,7 +111,7 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(slurp(t) == Set(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
-  test("deleteWhere above the key bound routes to copy-on-write: same rows, no tombstone") {
+  test("deleteWhere above the key bound routes to a POSITIONAL vector: additive, layout-safe") {
     val t = freshTable()
     VersionedTable.commit(
       df(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), t, append = false)
@@ -121,17 +121,19 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(slurp(t) == Set(4L -> "d"))
     assert(slurp(t, Some(1L)) == Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"),
       "the routed delete must still be a versioned commit (time travel intact)")
-    // the commit is a REWRITE, not a tombstone: fastCount stays answerable
-    // (any merge-on-read tombstone would force it to decline)
-    assert(VersionedTable.fastCount(t) == Some(1L),
-      "a tombstone was committed — the over-bound delete did not route to COW")
-    // and incremental consumers see no deleted keys in any range
-    // (deletesBetween reads tombstone commits only)
-    intercept[IllegalArgumentException] {
-      // the COW rewrite is an overwrite-style commit: consuming across it
-      // fails loudly, exactly like any other rewrite — proving no D: line
-      VersionedTable.deletesBetween(spark, t, 1L, 2L).collect()
-    }
+    // the commit is a TOMBSTONE (deletion vector), never a rewrite:
+    // fastCount declines (merge-on-read debt) and incremental consumers
+    // survive the commit — the old COW reroute broke both
+    assert(VersionedTable.fastCount(t).isEmpty,
+      "the over-bound delete must stay additive (a positional tombstone)")
+    val deleted = VersionedTable.deletesBetween(spark, t, 1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(deleted == Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      s"a positional delete surfaces the FULL deleted rows in CDF: $deleted")
+    // compaction applies the vector once and restores pure scans
+    VersionedTable.compact(spark, t)
+    assert(slurp(t) == Set(4L -> "d"))
+    assert(VersionedTable.fastCount(t).contains(1L))
   }
 
   test("deleteWhere within the bound still commits merge-on-read") {
@@ -143,19 +145,47 @@ class VersionedTableSpec extends AnyFunSuite {
       "an in-bound delete must stay merge-on-read (tombstone present)")
   }
 
-  test("over-bound deleteWhere on a bucketed table fails loudly (COW would break the layout)") {
+  test("over-bound deleteWhere on a bucketed table commits positionally, layout intact") {
     val t = freshTable()
     VersionedTable.commitBucketed(
       df(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), t, "k", 2,
       append = false)
-    val e = intercept[IllegalStateException] {
-      VersionedTable.deleteWhere(spark, t, col("k") <= 3L, "k", maxKeys = 2L)
-    }
-    assert(e.getMessage.contains("bucketed"))
-    assert(slurp(t) == Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"),
-      "the refused delete must leave the table untouched")
-    assert(VersionedTable.versions(t) == Seq(1L),
-      "no version may be committed by the refused delete")
+    val v = VersionedTable.deleteWhere(spark, t, col("k") <= 3L, "k", maxKeys = 2L)
+    assert(v == 2L, "the big bucketed delete must now have a real path")
+    assert(slurp(t) == Set(4L -> "d"))
+    assert(VersionedTable.bucketSpec(t).contains(("k", 2)),
+      "the positional delete must not disturb the bucket spec")
+    // nothing was rewritten: every v1 data file is still live in v2
+    val v1Files = VersionedTable.read(spark, t, Some(1L)).inputFiles.toSet
+    val v2Files = VersionedTable.read(spark, t, Some(2L)).inputFiles.toSet
+    assert(v1Files.subsetOf(v2Files),
+      s"positional delete must rewrite nothing: $v1Files vs $v2Files")
+  }
+
+  test("deleteWherePositional: arbitrary predicate, appends unaffected, compaction clears") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L -> "aa", 2L -> "b", 3L -> "ca"), t, append = false)
+    VersionedTable.commit(df(4L -> "da", 5L -> "e"), t, append = true)
+    // no key column: a predicate on the VALUE column (equality tombstones
+    // would need a key; positions don't)
+    val v = VersionedTable.deleteWherePositional(
+      spark, t, col("v").endsWith("a"))
+    assert(v == 3L)
+    assert(slurp(t) == Set(2L -> "b", 5L -> "e"))
+    // a later append re-adding a doomed-looking row is untouched (the
+    // vector references files, not values)
+    VersionedTable.commit(df(6L -> "fa"), t, append = true)
+    assert(slurp(t) == Set(2L -> "b", 5L -> "e", 6L -> "fa"))
+    // no-match delete is a no-op, no version burned
+    assert(VersionedTable.deleteWherePositional(
+      spark, t, col("v") === "zz") == 4L)
+    assert(VersionedTable.versions(t) == Seq(1L, 2L, 3L, 4L))
+    // time travel sees the pre-delete snapshot; compaction applies once
+    assert(slurp(t, Some(2L)) ==
+      Set(1L -> "aa", 2L -> "b", 3L -> "ca", 4L -> "da", 5L -> "e"))
+    VersionedTable.compact(spark, t)
+    assert(slurp(t) == Set(2L -> "b", 5L -> "e", 6L -> "fa"))
+    assert(VersionedTable.fastCount(t).contains(3L))
   }
 
   test("commitIfAbsent is idempotent under a transaction id") {
