@@ -102,6 +102,8 @@ object SparkEntry {
     "q_sql_clustered" -> ((s, d) => Incremental.ordersSqlClustered(t(s, d, "orders"))),
     "q_sql_partitioned" -> ((s, d) => Incremental.ordersSqlPartitioned(t(s, d, "orders"))),
     "q_sql_partitioned_date" -> ((s, d) => Incremental.ordersSqlPartitionedDate(t(s, d, "orders"))),
+    "q_sql_partitioned_ts" -> ((s, d) => Incremental.ordersSqlPartitionedTs(t(s, d, "orders"))),
+    "q_sql_partitioned_trunc" -> ((s, d) => Incremental.ordersSqlPartitionedTrunc(t(s, d, "orders"))),
     "q_sql_bloom" -> ((s, d) => Incremental.ordersSqlBloom(t(s, d, "orders"))),
     "q_sql_fastminmax_date" -> ((s, d) => Incremental.ordersSqlFastMinMaxDate(t(s, d, "orders"))),
     "q_sql_widen" -> ((s, d) => Incremental.ordersSqlWiden(t(s, d, "orders"))),
@@ -1702,6 +1704,26 @@ object SparkEntry {
         |WHERE CAST(o_orderdate AS DATE) >= DATE'1995-03-01'
         |  AND CAST(o_orderdate AS DATE) < DATE'1995-04-01'
         |GROUP BY 1 ORDER BY odate_s""".stripMargin,
+    // Temporal partition transform days(ts): epoch-micros zones prune
+    // the month window; output compares in integral epoch seconds.
+    // Timestamps derive from o_orderdate + key-spread seconds in BOTH
+    // engines, so the hash is engine-neutral.
+    "q_sql_partitioned_ts" ->
+      """WITH t AS (
+        |  SELECT CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 AS es,
+        |         o_orderkey
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       min(es) AS min_s, max(es) AS max_s
+        |FROM t WHERE es >= 794016000 AND es < 796694400""".stripMargin,
+    // truncate(1, string) partition transform: prefix pruning via the
+    // byte-prefix zones; oracle replays the plain LIKE.
+    "q_sql_partitioned_trunc" ->
+      """SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderpriority LIKE '3%'
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
     // Write-side parquet bloom filters (graft.bloom-cols) + static IN
     // key sets as Eq/In row-group leaves: the point lookups on the
     // unclustered key replay as the plain IN filter.

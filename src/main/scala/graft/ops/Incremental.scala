@@ -1276,6 +1276,72 @@ object Incremental {
          |GROUP BY odate ORDER BY odate_s""".stripMargin)
   }
 
+  /** Registered q_sql_partitioned_ts body: TEMPORAL partition transform —
+    * `PARTITIONED BY (days(ts))`, the single most common warehouse DDL
+    * for a 100 TB event table. days() is MONOTONE in its source, so the
+    * engine clusters on write by the raw timestamp and records epoch-
+    * MICROS zone maps (`unix_micros` at commit); a pushed timestamp
+    * range converts to the same unit and prunes files exactly like an
+    * integral range (`GraftCatalogSpec` pins the files=m/n prune). The
+    * oracle is the plain filter over the same derived timestamps,
+    * compared in integral epoch seconds so the hash is engine-neutral.
+    */
+  def ordersSqlPartitionedTs(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlipt:$inputKey"), { _ =>
+      val n = s"orders_ipt_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n (ts TIMESTAMP, o_orderkey BIGINT)
+           |PARTITIONED BY (days(ts))""".stripMargin)
+      orders.createOrReplaceTempView(s"g_ipt_src_$n")
+      // intra-day spread from the key, so days(ts) is a real bucketing
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT timestamp_seconds(
+           |         unix_seconds(CAST(o_orderdate AS TIMESTAMP))
+           |         + o_orderkey % 86400), o_orderkey
+           |FROM g_ipt_src_$n""".stripMargin)
+      n
+    })
+    spark.sql(
+      s"""SELECT count(*) AS n, sum(o_orderkey) AS key_sum,
+         |       min(unix_seconds(ts)) AS min_s, max(unix_seconds(ts)) AS max_s
+         |FROM gtab.default.$name
+         |WHERE ts >= TIMESTAMP'1995-03-01 00:00:00'
+         |  AND ts < TIMESTAMP'1995-04-01 00:00:00'""".stripMargin)
+  }
+
+  /** Registered q_sql_partitioned_trunc body: `PARTITIONED BY
+    * (truncate(1, col))` over a STRING — Iceberg's truncate transform,
+    * the low-cardinality-prefix bucketing idiom. truncate is monotone in
+    * byte order, so clustering on the raw string + byte-prefix zone maps
+    * delivers the prefix pruning the transform promises
+    * (`GraftCatalogSpec` pins a LIKE 'p%' file prune).
+    */
+  def ordersSqlPartitionedTrunc(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqliptr:$inputKey"), { _ =>
+      val n = s"orders_iptr_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n (prio STRING, o_orderkey BIGINT)
+           |PARTITIONED BY (truncate(1, prio))""".stripMargin)
+      orders.createOrReplaceTempView(s"g_iptr_src_$n")
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT o_orderpriority, o_orderkey FROM g_iptr_src_$n""".stripMargin)
+      n
+    })
+    spark.sql(
+      s"""SELECT prio, count(*) AS n, sum(o_orderkey) AS key_sum
+         |FROM gtab.default.$name
+         |WHERE prio LIKE '3%'
+         |GROUP BY prio ORDER BY prio""".stripMargin)
+  }
+
   /** Registered q_sql_fastminmax_date body: DATE MIN/MAX answered from
     * MANIFEST ARITHMETIC — date zone maps record exact epoch days
     * (`unix_date` at commit), and Spark's internal DATE value IS epoch

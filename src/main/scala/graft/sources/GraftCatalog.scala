@@ -175,6 +175,9 @@ class GraftCatalog extends TableCatalog
     * appends version 2 through the ordinary INSERT path; on write
     * failure Spark rolls back via [[dropTable]].
     */
+  private val TransformNames =
+    Set("identity", "days", "months", "hours", "years", "truncate")
+
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -208,48 +211,87 @@ class GraftCatalog extends TableCatalog
           (f.dataType == LongType || f.dataType == IntegerType)),
           s"bucket column $col must be a BIGINT/INT column of the table")
         Some((col, n))
-      case ts if ts.nonEmpty && ts.forall(_.name == "identity") =>
-        // one or several identity columns; several order
-        // LEXICOGRAPHICALLY on write (the year/month/day idiom)
+      case ts if ts.nonEmpty && ts.forall(t => TransformNames.contains(t.name)) =>
+        // one or several declarations — identity columns and/or MONOTONE
+        // transforms (days/months/hours/years over a timestamp or date,
+        // truncate(n, col) over a string or integer). Monotonicity is the
+        // key fact: a transform-partitioned layout IS a source-clustered
+        // layout, so every declaration clusters on write by its SOURCE
+        // column and prunes through the source column's zone maps — the
+        // transform names the user's intent (and its granularity), the
+        // machinery stays Hive-directory-free. Several declarations order
+        // LEXICOGRAPHICALLY on write (the year/month/day idiom).
         identityBy = ts.map { t =>
           val col = t.references.toSeq match {
             case Seq(r) if r.fieldNames.length == 1 => r.fieldNames.head
             case other => throw new UnsupportedOperationException(
-              s"PARTITIONED BY takes top-level columns, got $other")
+              s"PARTITIONED BY (${t.name}) takes one top-level column, got $other")
           }
           val dt = schema.fields.find(_.name == col).map(_.dataType)
             .getOrElse(throw new IllegalArgumentException(
               s"partition column $col is not a column of the table"))
-          require(dt == LongType || dt == IntegerType || dt == StringType ||
-            dt == DateType,
-            s"PARTITIONED BY ($col) needs a BIGINT/INT/STRING/DATE column " +
-              s"(zone maps prune those); $col is $dt")
-          col
+          t.name match {
+            case "identity" =>
+              require(dt == LongType || dt == IntegerType || dt == StringType ||
+                dt == DateType || dt == TimestampType,
+                s"PARTITIONED BY ($col) needs a BIGINT/INT/STRING/DATE/" +
+                  s"TIMESTAMP column (zone maps prune those); $col is $dt")
+              col
+            case "hours" =>
+              require(dt == TimestampType,
+                s"PARTITIONED BY (hours($col)) needs a TIMESTAMP column; $col is $dt")
+              s"hours($col)"
+            case tn @ ("days" | "months" | "years") =>
+              require(dt == TimestampType || dt == DateType,
+                s"PARTITIONED BY ($tn($col)) needs a TIMESTAMP/DATE column; $col is $dt")
+              s"$tn($col)"
+            case "truncate" =>
+              val w = t.arguments.collectFirst {
+                case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                  l.value match {
+                    case i: Integer => i.intValue
+                    case i: java.lang.Long => i.intValue
+                    case other => throw new UnsupportedOperationException(
+                      s"truncate(n, col): n must be an integer literal, got $other")
+                  }
+              }.getOrElse(throw new UnsupportedOperationException(
+                "truncate(n, col) needs an integer width"))
+              require(w > 0, s"truncate width must be positive, got $w")
+              require(dt == StringType || dt == LongType || dt == IntegerType,
+                s"PARTITIONED BY (truncate($w, $col)) needs a STRING/BIGINT/INT " +
+                  s"column; $col is $dt")
+              s"truncate($w,$col)"
+          }
         }
-        require(identityBy.distinct.size == identityBy.size,
-          s"duplicate partition columns: ${identityBy.mkString(", ")}")
+        val srcs = identityBy.map(VersionedTable.declSource)
+        require(srcs.distinct.size == srcs.size,
+          s"duplicate partition columns: ${srcs.mkString(", ")}")
         None
       case other => throw new UnsupportedOperationException(
-        s"graft tables support PARTITIONED BY (col, ...) or (bucket(n, col)) — " +
-          s"got ${other.mkString(", ")}; cluster data with " +
-          s"CALL $catName.system.optimize/zorder instead")
+        s"graft tables support PARTITIONED BY (col | days(col) | months(col) " +
+          s"| hours(col) | years(col) | truncate(n, col), ...) or " +
+          s"(bucket(n, col)) — got ${other.mkString(", ")}; cluster data " +
+          s"with CALL $catName.system.optimize/zorder instead")
     }
     // declarative clustering: TBLPROPERTIES('graft.cluster-by'='col')
     // makes every SQL INSERT range-partition + sort on the column before
     // writing, so files carry tight disjoint zone maps from birth.
     // Identity partitioning uses the same machinery — declaring both is
     // fine when they agree, contradictory otherwise.
+    // clustering keys are the RAW SOURCE columns of the declarations
+    // (monotone transforms cluster identically through their source)
+    val identitySrcs = identityBy.map(VersionedTable.declSource)
     val clusterBy = Option(properties.get("graft.cluster-by")).map { c =>
       c.split(',').map(_.trim).filter(_.nonEmpty).foreach(cc =>
         require(schema.fields.exists(_.name == cc),
           s"graft.cluster-by column $cc is not a column of the table"))
       require(bucketSpec.isEmpty,
         "bucket placement and cluster-on-write ordering cannot coexist")
-      require(identityBy.isEmpty || identityBy.mkString(",") == c,
+      require(identityBy.isEmpty || identitySrcs.mkString(",") == c,
         s"PARTITIONED BY (${identityBy.mkString(", ")}) and " +
           s"graft.cluster-by=$c disagree")
       c
-    }.orElse(Some(identityBy.mkString(",")).filter(_.nonEmpty))
+    }.orElse(Some(identitySrcs.mkString(",")).filter(_.nonEmpty))
     // durable write/stats knobs ride the props file (immutable at create)
     val recordedProps = Seq("graft.bloom-cols", "graft.stats-max-cols")
       .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap
@@ -499,14 +541,24 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
   // KeyGroupedPartitioning — the storage-partitioned-join surface; an
   // identity-partitioned table reports the transform the user declared
   // (delivered as clustered-on-write + zone-map pruning)
-  override def partitioning(): Array[Transform] =
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
     bucket.map { case (c, n) =>
-      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
-        : Transform
-    }.toArray ++ VersionedTable.identityPartition(table).toSeq
-      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).map(c =>
-        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-          : Transform)
+      Expressions.bucket(n, c): Transform
+    }.toArray ++ VersionedTable.identityDecls(table).map { d =>
+      val i = d.indexOf('(')
+      if (i < 0) Expressions.identity(d): Transform
+      else {
+        val name = d.substring(0, i)
+        val args = d.substring(i + 1, d.lastIndexOf(')')).split(',').map(_.trim)
+        if (name == "truncate")
+          Expressions.apply("truncate",
+            Expressions.literal(args(0).toInt),
+            Expressions.column(args(1))): Transform
+        else Expressions.apply(name, Expressions.column(args(0))): Transform
+      }
+    }
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTableScanBuilder(table, version, schema(), bucket)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1097,6 +1149,20 @@ private[sources] object GraftFilters {
     case _                      => None
   }
 
+  /** Timestamp literal → epoch micros, the unit the timestamp zone maps
+    * record (`unix_micros` at commit time). Pushed timestamp filters
+    * carry `java.sql.Timestamp` (default) or `java.time.Instant` (java8
+    * API); the streaming side channel hands Catalyst's raw micros Long.
+    */
+  private def tsLit(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case l: java.lang.Long => Some(l.longValue) // Catalyst-internal micros
+    case _ => None
+  }
+
   /** Per-column [lo, hi] bounds implied by the (implicitly ANDed)
     * top-level filters, plus the filters that contributed. Sound for
     * pruning AND for [[VersionedTable.deleteWhereCow]]'s candidate
@@ -1114,9 +1180,13 @@ private[sources] object GraftFilters {
     val dateCols: Set[String] = schema.fields.collect {
       case f if f.dataType == DateType => f.name
     }.toSet
+    val tsCols: Set[String] = schema.fields.collect {
+      case f if f.dataType == TimestampType => f.name
+    }.toSet
     def litOf(c: String, v: Any): Option[Long] =
       if (integralCols.contains(c)) integralLit(v)
       else if (dateCols.contains(c)) dateLit(v)
+      else if (tsCols.contains(c)) tsLit(v)
       else None
     var bounds = Map.empty[String, (Long, Long)]
     def tighten(c: String, lo: Long, hi: Long): Boolean = {

@@ -357,13 +357,14 @@ object VersionedTable {
       .getOrElse(DefaultStatsColsCap)
     val eligible = schema.fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == DateType || f.dataType == StringType => f.name
+        f.dataType == DateType || f.dataType == StringType ||
+        f.dataType == org.apache.spark.sql.types.TimestampType => f.name
     }.toSeq
     // the declared layout keys must NEVER fall outside the cap: losing
     // the cluster/partition/bucket column's zones would silently disable
     // the pruning the layout exists for
     val keys = (clusterSpecCols(table) ++
-      identityPartition(table).toSeq.flatMap(_.split(',')).map(_.trim) ++
+      identitySourceCols(table) ++
       bucketSpec(table).map(_._1).toSeq).distinct.filter(eligible.contains)
     (keys ++ eligible.filterNot(keys.contains).take(
       math.max(cap - keys.size, 0))).distinct
@@ -522,8 +523,16 @@ object VersionedTable {
           case f if f.dataType == org.apache.spark.sql.types.DateType =>
             f.name
         }.toSet
+        // TIMESTAMP zones record epoch MICROS (`unix_micros` — cast(long)
+        // would truncate to seconds, desynchronizing from the pushed
+        // timestamp bounds, which speak micros)
+        val tsSet = snap.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.TimestampType =>
+            f.name
+        }.toSet
         val (strCols, nonStr) = statsCols.partition(strSet.contains)
-        val (dateCols, numCols) = nonStr.partition(dateSet.contains)
+        val (dateCols, nonDate) = nonStr.partition(dateSet.contains)
+        val (tsCols, numCols) = nonDate.partition(tsSet.contains)
         // NDV sketches ride the same job: HLL per stats column per file,
         // unioned into one per-commit sketch below (types hll_sketch_agg
         // accepts: int/long/string/binary — exactly the stats families)
@@ -542,6 +551,12 @@ object VersionedTable {
             min(org.apache.spark.sql.functions.unix_date(col(c)))
               .cast("long").as(s"g_mn_$c"),
             max(org.apache.spark.sql.functions.unix_date(col(c)))
+              .cast("long").as(s"g_mx_$c"),
+            count(col(c)).as(s"g_nn_$c"))) ++
+          tsCols.flatMap(c => Seq(
+            min(org.apache.spark.sql.functions.unix_micros(col(c)))
+              .cast("long").as(s"g_mn_$c"),
+            max(org.apache.spark.sql.functions.unix_micros(col(c)))
               .cast("long").as(s"g_mx_$c"),
             count(col(c)).as(s"g_nn_$c"))) ++
           strCols.flatMap(c => Seq(
@@ -615,7 +630,7 @@ object VersionedTable {
           // per-col (zone-map text, non-null-count text) — only for
           // long-castable columns; the NN counts ride a FOURTH entry
           // segment so the zone-map rendering stays format-stable
-          val statPairs = (numCols ++ dateCols).flatMap { c =>
+          val statPairs = (numCols ++ dateCols ++ tsCols).flatMap { c =>
             val (mn, mx) = (r.getAs[Any](s"g_mn_$c"), r.getAs[Any](s"g_mx_$c"))
             (mn, mx) match {
               case (a: Long, b: Long) =>
@@ -2000,6 +2015,52 @@ object VersionedTable {
     if (!Files.exists(f)) None
     else Files.readAllLines(f).asScala.headOption.filter(_.nonEmpty)
   }
+
+  /** Split a recorded partition spec on TOP-LEVEL commas only —
+    * `"a,days(ts),truncate(4,name)"` → its three declarations (the
+    * truncate's inner comma stays put).
+    */
+  private[sources] def splitDecls(spec: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    spec.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.result().trim
+    out.filter(_.nonEmpty).toSeq
+  }
+
+  /** The declared partition transforms, one string each — `col`,
+    * `days(col)`, `months(col)`, `hours(col)`, `years(col)`, or
+    * `truncate(n, col)`.
+    */
+  private[sources] def identityDecls(table: String): Seq[String] =
+    identityPartition(table).toSeq.flatMap(splitDecls)
+
+  /** The SOURCE column of one declaration (`days(ts)` → `ts`). All the
+    * engine's temporal/truncate transforms are MONOTONE in their source,
+    * so clustering-on-write and zone maps operate on the raw column —
+    * the transform only names the user's intent (and its granularity).
+    */
+  private[sources] def declSource(decl: String): String = {
+    val i = decl.indexOf('(')
+    if (i < 0) decl
+    else {
+      val args = decl.substring(i + 1, decl.lastIndexOf(')'))
+        .split(',').map(_.trim)
+      // truncate(n, col) carries a width literal; temporal transforms
+      // carry the column alone
+      args.find(a => a.nonEmpty && !a.forall(_.isDigit)).getOrElse(args.last)
+    }
+  }
+
+  /** Raw source columns of the table's partition declarations. */
+  private[sources] def identitySourceCols(table: String): Seq[String] =
+    identityDecls(table).map(declSource)
 
   /** Record the identity partition column atomically-if-absent (same
     * link-as-CAS discipline as [[recordClusterSpec]], which the caller

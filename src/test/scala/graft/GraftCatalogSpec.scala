@@ -896,6 +896,75 @@ class GraftCatalogSpec extends AnyFunSuite {
         { val mm = 1L + (i * 25903) % 12; mm >= 2 && mm <= 3 }).sorted)
   }
 
+  test("PARTITIONED BY (days(ts)) / truncate(n, col): temporal transforms prune via source zones") {
+    val r = root
+    // days(ts): the single most common warehouse DDL — cluster on the
+    // raw timestamp (days is monotone), record epoch-micros zones, prune
+    // timestamp predicates at the file level
+    spark.sql(
+      "CREATE TABLE gtest.default.idpt (ts TIMESTAMP, v BIGINT) " +
+        "PARTITIONED BY (days(ts))")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try spark.sql(
+      """INSERT INTO gtest.default.idpt
+        |SELECT timestamp_seconds(1704067200 + ((id * 48271) % 40) * 86400
+        |  + id % 3600), id
+        |FROM range(0, 800)""".stripMargin)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    // DESCRIBE-level fidelity: the declared transform is reported back
+    val parts = spark.sql("DESCRIBE TABLE EXTENDED gtest.default.idpt")
+      .collect().map(_.toString).mkString("\n")
+    assert(parts.contains("days(ts)"),
+      s"the declared transform must survive to DESCRIBE:\n$parts")
+    val q = spark.sql(
+      "SELECT v FROM gtest.default.idpt " +
+        "WHERE ts >= TIMESTAMP'2024-01-10 00:00:00' " +
+        "AND ts < TIMESTAMP'2024-01-13 00:00:00'")
+    val m = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no graft-catalog scan"))
+    assert(m.group(2).toInt > 4, s"expected several files, got ${m.group(2)}")
+    assert(m.group(1).toInt * 2 <= m.group(2).toInt,
+      s"a timestamp range over days(ts) must prune at least half, " +
+        s"got files=${m.group(1)}/${m.group(2)}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 800L).filter(id => {
+        val day = (id * 48271) % 40; day >= 9 && day < 12
+      }).sorted,
+      "timestamp-pruned result must equal the unpruned filter")
+    // truncate(n, string): prefix clustering through byte-prefix zones
+    spark.sql(
+      "CREATE TABLE gtest.default.idptr (name STRING, v BIGINT) " +
+        "PARTITIONED BY (truncate(4, name))")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try spark.sql(
+      """INSERT INTO gtest.default.idptr
+        |SELECT concat('grp', lpad(CAST((id * 48271) % 32 AS STRING), 2, '0'),
+        |  '_item', CAST(id AS STRING)), id
+        |FROM range(0, 800)""".stripMargin)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val q2 = spark.sql(
+      "SELECT v FROM gtest.default.idptr WHERE name LIKE 'grp07%'")
+    val m2 = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q2.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no graft-catalog scan"))
+    assert(m2.group(1).toInt * 2 <= m2.group(2).toInt,
+      s"a prefix predicate over truncate(4, name) must prune, " +
+        s"got files=${m2.group(1)}/${m2.group(2)}")
+    assert(q2.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 800L).filter(id => (id * 48271) % 32 == 7).sorted)
+    // TIMESTAMP identity partitioning is accepted too (was refused)
+    spark.sql(
+      "CREATE TABLE gtest.default.idpti (ts TIMESTAMP, v BIGINT) " +
+        "PARTITIONED BY (ts)")
+    // lossy / unknown transforms still refuse loudly
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE gtest.default.idptb (s STRING, v BIGINT) " +
+        "PARTITIONED BY (days(s))"))
+    assert(e.getMessage.contains("TIMESTAMP"), e.getMessage)
+  }
+
   test("PARTITIONED BY (date_col): date predicates prune through epoch-day zones") {
     val r = root
     spark.sql(
