@@ -107,6 +107,7 @@ object SparkEntry {
     "q_sql_bloom" -> ((s, d) => Incremental.ordersSqlBloom(t(s, d, "orders"))),
     "q_sql_fastminmax_date" -> ((s, d) => Incremental.ordersSqlFastMinMaxDate(t(s, d, "orders"))),
     "q_sql_widen" -> ((s, d) => Incremental.ordersSqlWiden(t(s, d, "orders"))),
+    "q_sql_widen_dec" -> ((s, d) => Incremental.ordersSqlWidenDec(t(s, d, "orders"))),
     "q_layout_zorder_str" -> ((s, d) => Incremental.docsSqlZorderStr(t(s, d, "documents"))),
     "q_sql_table_changes" -> ((s, d) => Incremental.ordersSqlTableChanges(t(s, d, "orders"))),
     "q_sql_spj" -> ((s, d) =>
@@ -1741,6 +1742,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey + 10000000000, o_orderstatus,
         |       CAST(round(o_totalprice * 100) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+    // DECIMAL widening: DECIMAL(9,2) INT32-backed files + post-widen
+    // DECIMAL(18,2) INT64-backed files read as one wide column.
+    "q_sql_widen_dec" ->
+      """SELECT o_orderkey, CAST(o_orderkey + 0.25 AS DECIMAL(18, 2)) AS amount
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, CAST(o_orderkey + 10000000000.25 AS DECIMAL(18, 2))
         |FROM orders WHERE o_orderkey % 3 = 1
         |ORDER BY o_orderkey""".stripMargin,
     // DATE MIN/MAX from manifest arithmetic (exact epoch-day zones): the

@@ -1465,6 +1465,44 @@ object Incremental {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Registered q_sql_widen_dec body: DECIMAL type-widening through the
+    * SQL catalog — `DECIMAL(9, 2)` (INT32-backed parquet) widened to
+    * `DECIMAL(18, 2)` (INT64-backed) by a schema-only carrier commit,
+    * then appended with amounts past the narrow precision. Both physical
+    * generations read under the wide type; the oracle reconstructs the
+    * union raw. Scale is preserved across the widen (scale changes
+    * rewrite values, so they refuse — pinned in the spec).
+    */
+  def ordersSqlWidenDec(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlwdd:$inputKey"), { _ =>
+      val n = s"orders_wdd_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n
+           |(o_orderkey BIGINT, amount DECIMAL(9, 2))""".stripMargin)
+      orders.createOrReplaceTempView(s"g_wdd_src_$n")
+      // amounts derive EXACTLY from the key (integer + .25): no double
+      // rounding anywhere, so the DuckDB oracle reproduces bit-equal
+      // decimals
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT o_orderkey, CAST(o_orderkey + 0.25 AS DECIMAL(9, 2))
+           |FROM g_wdd_src_$n WHERE o_orderkey % 3 = 0""".stripMargin)
+      spark.sql(s"ALTER TABLE gtab.default.$n ALTER COLUMN amount TYPE DECIMAL(18, 2)")
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT o_orderkey,
+           |       CAST(o_orderkey + 10000000000.25 AS DECIMAL(18, 2))
+           |FROM g_wdd_src_$n WHERE o_orderkey % 3 = 1""".stripMargin)
+      n
+    })
+    spark.sql(
+      s"""SELECT o_orderkey, amount FROM gtab.default.$name
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Registered q_sql_stats body: the `$stats` metadata table — per-column
     * planner statistics (NDV / null count / min / max / lengths) served
     * as a driver LocalScan from the manifests and `.ndv.txt` sidecars

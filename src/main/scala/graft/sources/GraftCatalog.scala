@@ -683,7 +683,7 @@ class GraftRowLevelOperation(
               kept.forall(e =>
                 GraftVectorization.morOk(required, e._3.map(abs))) && {
                 kept.groupBy(_._2).valuesIterator.forall { files =>
-                  GraftVectorization.schemaExact(required,
+                  GraftVectorization.schemaCompatible(required,
                     VersionedTable.commitSchemaOf(
                       SparkSession.active, table, files.map(_._1).min))
                 }
@@ -1695,6 +1695,19 @@ class GraftDataWriter(
         case TimestampNTZType => Types.optional(INT64).as(
           LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.MICROS))
         case DateType => Types.optional(INT32).as(LogicalTypeAnnotation.dateType())
+        // Spark's parquet convention: unscaled INT32 to precision 9,
+        // INT64 to 18, 16-byte fixed binary beyond — so decimal files
+        // round-trip with every Spark reader and support the same-scale
+        // precision WIDENING the vectorized reader promotes natively
+        case dt: DecimalType if dt.precision <= 9 =>
+          Types.optional(INT32)
+            .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision))
+        case dt: DecimalType if dt.precision <= 18 =>
+          Types.optional(INT64)
+            .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision))
+        case dt: DecimalType =>
+          Types.optional(FIXED_LEN_BYTE_ARRAY).length(16)
+            .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision))
         case dt => throw new UnsupportedOperationException(
           s"graft-catalog writer does not encode $dt (column ${f.name})")
       }
@@ -1741,6 +1754,23 @@ class GraftDataWriter(
           case StringType  => g.add(f.name, row.getUTF8String(j).toString)
           case TimestampType | TimestampNTZType => g.add(f.name, row.getLong(j))
           case DateType    => g.add(f.name, row.getInt(j))
+          case dt: DecimalType if dt.precision <= 9 =>
+            g.add(f.name,
+              row.getDecimal(j, dt.precision, dt.scale).toUnscaledLong.toInt)
+          case dt: DecimalType if dt.precision <= 18 =>
+            g.add(f.name,
+              row.getDecimal(j, dt.precision, dt.scale).toUnscaledLong)
+          case dt: DecimalType =>
+            val unscaled = row.getDecimal(j, dt.precision, dt.scale)
+              .toJavaBigDecimal.unscaledValue().toByteArray
+            val fixed = new Array[Byte](16)
+            // sign-extend into the 16-byte big-endian fixed slot
+            val sign: Byte = if (unscaled.length > 0 && unscaled(0) < 0) -1 else 0
+            java.util.Arrays.fill(fixed, sign)
+            System.arraycopy(unscaled, 0, fixed,
+              16 - unscaled.length, unscaled.length)
+            g.add(f.name,
+              org.apache.parquet.io.api.Binary.fromConstantByteArray(fixed))
           case _           => ()
         }
       }
@@ -2165,7 +2195,7 @@ class GraftBucketedScan(
       val spark = SparkSession.active
       perBucket.valuesIterator.flatten.map(_._1).toSeq
         .groupBy(p => p.split('/')(1)).valuesIterator.forall { files =>
-          GraftVectorization.schemaExact(required,
+          GraftVectorization.schemaCompatible(required,
             VersionedTable.commitSchemaOf(spark, table, files.min))
         }
     }
@@ -2212,25 +2242,12 @@ class GraftBucketedScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftBucketReaderFactory(required,
-      // same type-widening guard as the flat scan (see there)
-      if (!rowFilterTypesExact(
+      // per-commit generation-appropriate predicates, as in the flat scan
+      GraftRowGroupFilter.perCommit(table,
+        perBucket.valuesIterator.flatten.map(_._1).toSeq,
         bounds.keySet ++ strBounds.keySet ++
           runtimeSets.keySet ++ strRuntimeSets.keySet,
-        perBucket.valuesIterator.flatten.map(_._1).toSeq
-          .groupBy(p => p.split('/')(1)).valuesIterator.map(_.min).toSeq))
-        None
-      else GraftRowGroupFilter.build(required, bounds, strBounds,
-        runtimeSets, strRuntimeSets))
-
-  private def rowFilterTypesExact(
-      filterCols: Set[String], repFiles: Seq[String]): Boolean =
-    filterCols.isEmpty || {
-      val spark = SparkSession.active
-      val filtered = StructType(
-        required.fields.filter(f => filterCols.contains(f.name)))
-      repFiles.forall(p => GraftVectorization.schemaExact(filtered,
-        VersionedTable.commitSchemaOf(spark, table, p)))
-    }
+        bounds, strBounds, runtimeSets, strRuntimeSets))
 }
 
 case class GraftBucketPartition(
@@ -2244,7 +2261,8 @@ case class GraftBucketPartition(
 
 class GraftBucketReaderFactory(
     required: StructType,
-    rowFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+    rowFilters: Map[String,
+      Option[org.apache.parquet.filter2.predicate.FilterPredicate]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
@@ -2279,7 +2297,8 @@ class GraftBucketReaderFactory(
           current = null
           if (!files.hasNext) return false
           val (f, tombs) = files.next()
-          current = new GraftCatalogVectorReader(f, required, tombs, rowFilter)
+          current = new GraftCatalogVectorReader(f, required, tombs,
+            GraftCatalogReaderFactory.filterFor(rowFilters, f))
         }
         true
       }
@@ -2572,7 +2591,7 @@ class GraftTableScan(
       kept.forall(e => GraftVectorization.morOk(required, e._3.map(abs))) && {
         val spark = SparkSession.active
         kept.groupBy(_._2).valuesIterator.forall { files =>
-          GraftVectorization.schemaExact(required, VersionedTable
+          GraftVectorization.schemaCompatible(required, VersionedTable
             .commitSchemaOf(spark, table, files.map(_._1).min))
         }
       }
@@ -2593,27 +2612,16 @@ class GraftTableScan(
   override def createReaderFactory(): PartitionReaderFactory =
     // called AFTER filter(): runtime key sets ride into the row-group
     // predicate too — a DPP-pruned fact scan skips row groups, not just
-    // files, on both integral and string join keys. Declined wholesale
-    // when any filtered column was TYPE-WIDENED over a narrow file
-    // (parquet's filter validator throws on a LONG predicate against an
-    // INT32 chunk); file- and zone-level pruning still apply.
+    // files, on both integral and string join keys. Predicates are built
+    // PER COMMIT with that generation's physical types, so a widened
+    // column prunes row groups with INT32 leaves against its narrow
+    // files and INT64 against the wide ones — no wholesale decline.
     new GraftCatalogReaderFactory(required,
-      if (!rowFilterTypesExact(
+      GraftRowGroupFilter.perCommit(table,
+        kept.map(_._1),
         bounds.keySet ++ strBounds.keySet ++
           runtimeSets.keySet ++ strRuntimeSets.keySet,
-        kept.groupBy(_._2).valuesIterator.map(_.map(_._1).min).toSeq)) None
-      else GraftRowGroupFilter.build(required, bounds, strBounds,
-        runtimeSets, strRuntimeSets))
-
-  private def rowFilterTypesExact(
-      filterCols: Set[String], repFiles: Seq[String]): Boolean =
-    filterCols.isEmpty || {
-      val spark = SparkSession.active
-      val filtered = StructType(
-        required.fields.filter(f => filterCols.contains(f.name)))
-      repFiles.forall(p => GraftVectorization.schemaExact(filtered,
-        VersionedTable.commitSchemaOf(spark, table, p)))
-    }
+        bounds, strBounds, runtimeSets, strRuntimeSets))
 }
 
 case class GraftCatalogPartition(
@@ -2622,7 +2630,11 @@ case class GraftCatalogPartition(
 
 class GraftCatalogReaderFactory(
     required: StructType,
-    rowFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+    // PER-COMMIT (generation-appropriate) row-group predicates, keyed by
+    // commit directory: a widened column carries INT32 leaves against its
+    // narrow generations and INT64 against the wide ones
+    rowFilters: Map[String,
+      Option[org.apache.parquet.filter2.predicate.FilterPredicate]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftCatalogReader(partition.asInstanceOf[GraftCatalogPartition], required)
@@ -2631,8 +2643,19 @@ class GraftCatalogReaderFactory(
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftCatalogPartition]
-    new GraftCatalogVectorReader(p.file, required, p.tombstones, rowFilter)
+    new GraftCatalogVectorReader(p.file, required, p.tombstones,
+      GraftCatalogReaderFactory.filterFor(rowFilters, p.file))
   }
+}
+
+object GraftCatalogReaderFactory {
+  private[sources] def filterFor(
+      rowFilters: Map[String,
+        Option[org.apache.parquet.filter2.predicate.FilterPredicate]],
+      file: String)
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] =
+    rowFilters.getOrElse(
+      VersionedTable.dvKeyOf(file).split('/').head, None)
 }
 
 /** Membership structure for a tombstone file's doomed keys. The dominant
@@ -3088,7 +3111,17 @@ private[sources] object GraftRowGroupFilter {
   import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
   import org.apache.parquet.io.api.Binary
 
-  def build(required: StructType,
+  /** Build the row-group predicate for ONE GENERATION of files: `typed`
+    * maps each filtered column to the type that generation physically
+    * stores — a widened column gets INT32 leaves against its narrow
+    * files and INT64 leaves against the wide ones (per commit), so the
+    * parquet validator never sees a LONG predicate over an INT32 chunk
+    * and widened tables keep row-group pruning instead of declining it
+    * wholesale. Leaves on clamped/out-of-range values stay conservative:
+    * a weaker leaf keeps extra row groups, and rows a narrow file cannot
+    * hold prune soundly.
+    */
+  def build(typed: Map[String, DataType],
       bounds: Map[String, (Long, Long)],
       strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])],
       inSets: Map[String, Set[Long]] = Map.empty,
@@ -3104,7 +3137,7 @@ private[sources] object GraftRowGroupFilter {
     // the row groups whose bloom excludes the key
     val intPreds: Seq[FilterPredicate] =
       bounds.toSeq.sortBy(_._1).flatMap { case (c, (lo, hi)) =>
-        required.fields.find(_.name == c).map(_.dataType) match {
+        typed.get(c) match {
           case Some(LongType) =>
             val col = FilterApi.longColumn(c)
             if (lo == hi) Seq[FilterPredicate](
@@ -3124,7 +3157,7 @@ private[sources] object GraftRowGroupFilter {
       }
     val strPreds: Seq[FilterPredicate] =
       strBounds.toSeq.sortBy(_._1).flatMap { case (c, (lo, hi)) =>
-        if (!required.fields.exists(f => f.name == c && f.dataType == StringType))
+        if (!typed.get(c).contains(StringType))
           Nil
         else {
           val col = FilterApi.binaryColumn(c)
@@ -3155,7 +3188,7 @@ private[sources] object GraftRowGroupFilter {
         // nothing; file-level pruning already planned zero work — don't
         // build an un-reducible empty OR here
         if (vs.isEmpty) Nil
-        else required.fields.find(_.name == c).map(_.dataType) match {
+        else typed.get(c) match {
           case Some(LongType) =>
             val col = FilterApi.longColumn(c)
             if (vs.size <= OrOfEqCap)
@@ -3166,24 +3199,31 @@ private[sources] object GraftRowGroupFilter {
               vs.foreach(v => jl.add(java.lang.Long.valueOf(v)))
               Seq(FilterApi.in(col, jl): FilterPredicate)
             }
-          case Some(IntegerType) if vs.forall(v =>
-              v >= Int.MinValue.toLong && v <= Int.MaxValue.toLong) =>
-            val col = FilterApi.intColumn(c)
-            if (vs.size <= OrOfEqCap)
-              Seq(orAll(vs.toSeq.sorted.map(v =>
-                FilterApi.eq(col, Integer.valueOf(v.toInt)): FilterPredicate)))
+          case Some(IntegerType) =>
+            // a widened column's runtime keys may exceed INT32: a narrow
+            // file cannot hold such a row, so dropping the key from the
+            // OR is sound; an all-out-of-range set declines (file-level
+            // pruning already planned the work away)
+            val inRange = vs.filter(v =>
+              v >= Int.MinValue.toLong && v <= Int.MaxValue.toLong)
+            if (inRange.isEmpty) Nil
             else {
-              val ji: java.util.Set[Integer] = new java.util.HashSet
-              vs.foreach(v => ji.add(Integer.valueOf(v.toInt)))
-              Seq(FilterApi.in(col, ji): FilterPredicate)
+              val col = FilterApi.intColumn(c)
+              if (inRange.size <= OrOfEqCap)
+                Seq(orAll(inRange.toSeq.sorted.map(v =>
+                  FilterApi.eq(col, Integer.valueOf(v.toInt)): FilterPredicate)))
+              else {
+                val ji: java.util.Set[Integer] = new java.util.HashSet
+                inRange.foreach(v => ji.add(Integer.valueOf(v.toInt)))
+                Seq(FilterApi.in(col, ji): FilterPredicate)
+              }
             }
           case _ => Nil
         }
       }
     val strInPreds: Seq[FilterPredicate] =
       strInSets.toSeq.sortBy(_._1).flatMap { case (c, vs) =>
-        if (vs.isEmpty ||
-          !required.fields.exists(f => f.name == c && f.dataType == StringType))
+        if (vs.isEmpty || !typed.get(c).contains(StringType))
           Nil
         else {
           val col = FilterApi.binaryColumn(c)
@@ -3199,6 +3239,29 @@ private[sources] object GraftRowGroupFilter {
       }
     (intPreds ++ strPreds ++ inPreds ++ strInPreds).reduceOption(FilterApi.and)
   }
+
+  /** Per-commit predicates for a scan's kept files: one [[build]] per
+    * commit directory with THAT commit's physical types for the filtered
+    * columns (one memoized footer read per commit — the
+    * `commitSchemaOf` discipline).
+    */
+  def perCommit(table: String, keptPaths: Seq[String],
+      filterCols: Set[String],
+      bounds: Map[String, (Long, Long)],
+      strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])],
+      inSets: Map[String, Set[Long]],
+      strInSets: Map[String, Set[String]])
+      : Map[String, Option[FilterPredicate]] =
+    if (filterCols.isEmpty || keptPaths.isEmpty) Map.empty
+    else {
+      val spark = SparkSession.active
+      keptPaths.groupBy(_.split('/')(1)).map { case (dir, files) =>
+        val sch = VersionedTable.commitSchemaOf(spark, table, files.min)
+        val typed = filterCols.iterator.flatMap(c =>
+          sch.fields.find(_.name == c).map(f => c -> f.dataType)).toMap
+        dir -> build(typed, bounds, strBounds, inSets, strInSets)
+      }
+    }
 }
 
 /** Planning-time vectorization gates shared by the catalog's scans. */
@@ -3221,16 +3284,38 @@ private[sources] object GraftVectorization {
           .forall(TombstoneKeys.vectorizable))
 
   /** Does the commit's footer carry every required column at EXACTLY the
-    * required type? A WIDENED column (INT32 file under a BIGINT snapshot
-    * schema) declines the simple vectorized initialize — its batch
-    * vectors would come out narrow — and falls back to the row decoder,
-    * which upcasts losslessly. Compaction re-vectorizes the table.
+    * required type? (The strictest gate — used where a reader would
+    * infer its schema from the footer.)
     */
   def schemaExact(
       required: StructType,
       commitSchema: StructType): Boolean =
     required.fields.forall(f =>
       commitSchema.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+
+  /** [[schemaExact]] relaxed by the LOSSLESS widening promotions Spark
+    * 4's vectorized parquet reader performs natively inside the batch
+    * load (INT32 under a BIGINT snapshot column, FLOAT under DOUBLE):
+    * a widened table stays columnar — the explicit-schema initialize
+    * declares the wide type and the reader's updaters promote during
+    * decode, so no row-decoder fallback and no compaction tax.
+    */
+  def schemaCompatible(
+      required: StructType,
+      commitSchema: StructType): Boolean =
+    required.fields.forall(f =>
+      commitSchema.fields.exists(g => g.name == f.name &&
+        (g.dataType == f.dataType ||
+          (g.dataType == IntegerType && f.dataType == LongType) ||
+          (g.dataType == FloatType && f.dataType == DoubleType) ||
+          ((g.dataType, f.dataType) match {
+            // same-scale decimal precision increase (the widening the
+            // vectorized reader promotes natively)
+            case (a: org.apache.spark.sql.types.DecimalType,
+              b: org.apache.spark.sql.types.DecimalType) =>
+              a.scale == b.scale && a.precision <= b.precision
+            case _ => false
+          }))))
 }
 
 /** VECTORIZED partition reader: Spark's own columnar parquet decoder
@@ -3278,16 +3363,25 @@ class GraftCatalogVectorReader(
   private val extraKeyCols: Seq[String] =
     doomed.map(_._1).distinct.filterNot(required.fieldNames.contains)
 
-  // an extra (unprojected) tombstone-key column joins the filtered read
-  // only when its parquet type maps cleanly to a Spark type; otherwise
-  // the filter is dropped for this file — a pure de-optimization
+  // an extra (unprojected) tombstone-key column joins the read in its
+  // SPARK rendering of the file's physical type (annotated temporals
+  // included); a column outside this map drops the row-group filter for
+  // this file — a pure de-optimization
   private def extraField(name: String): Option[StructField] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     fileFields.find(_.getName == name).flatMap { t =>
       val p = t.asPrimitiveType()
       val dt = (p.getPrimitiveTypeName, Option(p.getLogicalTypeAnnotation)) match {
         case (PrimitiveTypeName.INT64, None)   => Some(LongType)
         case (PrimitiveTypeName.INT32, None)   => Some(IntegerType)
+        case (PrimitiveTypeName.INT32,
+          Some(_: LogicalTypeAnnotation.DateLogicalTypeAnnotation)) =>
+          Some(DateType)
+        case (PrimitiveTypeName.INT64,
+          Some(ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation))
+          if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+          Some(if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType)
         case (PrimitiveTypeName.DOUBLE, None)  => Some(DoubleType)
         case (PrimitiveTypeName.FLOAT, None)   => Some(FloatType)
         case (PrimitiveTypeName.BOOLEAN, None) => Some(BooleanType)
@@ -3298,52 +3392,74 @@ class GraftCatalogVectorReader(
     }
   }
 
+  private val extras: Seq[Option[StructField]] = extraKeyCols.map(extraField)
+  // the schema the batch vectors are DECLARED in: required fields keep
+  // their (possibly WIDENED) snapshot types — Spark 4's vectorized
+  // parquet reader promotes INT32→LONG and FLOAT→DOUBLE natively inside
+  // the batch load, so a widened table stays columnar — plus any
+  // unprojected tombstone-key columns in their file rendering
+  private val readStruct = StructType(required.fields ++ extras.flatten)
+
   private val reader =
     new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
   locally {
-    val extras = extraKeyCols.map(extraField)
     // a row-group filter SKIPS row groups, which would desynchronize the
     // running row ordinal from true file positions — under a positional
     // vector the whole file must stream through (the bitmap skip is
     // near-free; correctness over pruning)
     val effFilter = if (posBitmaps.isEmpty) rowFilter else None
-    effFilter match {
-      case Some(pred) if extras.forall(_.isDefined) =>
-        // the split-based initialize honors a parquet FilterPredicate in
-        // the task conf: ParquetFileReader then drops the row groups
-        // whose stats/dictionary/bloom exclude it BEFORE any page is
-        // decoded. Record-level and column-index filtering stay OFF so
-        // the page stream matches getFilteredRecordCount exactly — this
-        // path skips whole row groups and nothing finer. The five decode
-        // flags mirror the simple initialize, keeping the two paths
-        // value-identical.
-        import org.apache.spark.sql.internal.SQLConf
-        val conf = new org.apache.hadoop.conf.Configuration()
-        conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
-        conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, false)
-        conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
-        conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
-        conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
-        val readStruct = StructType(required.fields ++ extras.flatten)
-        conf.set("org.apache.spark.sql.parquet.row.requested_schema",
-          readStruct.json)
-        conf.set("parquet.read.support.class",
-          "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    if (extras.forall(_.isDefined)) {
+      // the split-based initialize declares the REQUESTED schema
+      // explicitly (the name-list overload would infer narrow types from
+      // the footer, breaking widened reads) and honors an optional
+      // parquet FilterPredicate in the task conf: ParquetFileReader then
+      // drops the row groups whose stats/dictionary/bloom exclude it
+      // BEFORE any page is decoded. Record-level and column-index
+      // filtering stay OFF so the page stream matches
+      // getFilteredRecordCount exactly — this path skips whole row
+      // groups and nothing finer.
+      import org.apache.spark.sql.internal.SQLConf
+      val conf = new org.apache.hadoop.conf.Configuration()
+      conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+      conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, false)
+      conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+      conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+      conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+      conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+        readStruct.json)
+      conf.set("parquet.read.support.class",
+        "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+      effFilter.foreach { pred =>
         org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred)
         conf.setBoolean("parquet.filter.record-level.enabled", false)
         conf.setBoolean("parquet.filter.columnindex.enabled", false)
-        val p = new org.apache.hadoop.fs.Path(file)
-        val len = p.getFileSystem(conf).getFileStatus(p).getLen
-        val split =
-          new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
-        reader.initialize(split,
-          new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-            conf, new org.apache.hadoop.mapreduce.TaskAttemptID()))
-      case _ =>
-        reader.initialize(
-          file,
-          java.util.Arrays.asList((required.fieldNames.toSeq ++ extraKeyCols): _*))
+      }
+      val p = new org.apache.hadoop.fs.Path(file)
+      val len = p.getFileSystem(conf).getFileStatus(p).getLen
+      val split =
+        new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
+      reader.initialize(split,
+        new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+          conf, new org.apache.hadoop.mapreduce.TaskAttemptID()))
+    } else {
+      // an exotic extra-key type: request by name (footer types). This
+      // path cannot serve WIDENED columns (the vectors would come out
+      // narrow) — assert the combination away rather than misread.
+      val widened = required.fields.exists { f =>
+        fileFields.find(_.getName == f.name).exists { ff =>
+          val p = ff.asPrimitiveType().getPrimitiveTypeName
+          (f.dataType == LongType && p == INT32) ||
+            (f.dataType == DoubleType && p == FLOAT)
+        }
+      }
+      require(!widened,
+        s"columnar read of $file: a widened column needs the explicit-" +
+          s"schema read, but tombstone key column(s) $extraKeyCols have " +
+          "no Spark rendering — compact the table")
+      reader.initialize(
+        file,
+        java.util.Arrays.asList((required.fieldNames.toSeq ++ extraKeyCols): _*))
     }
   }
   reader.initBatch(new StructType(), InternalRow.empty)
@@ -3352,9 +3468,13 @@ class GraftCatalogVectorReader(
   // per-tombstone (batch column index, primitive-specialized row probe):
   // the probe reads the vector's native value and binary-searches the
   // sorted long-bits array (or hashes the UTF8String view) — no boxing,
-  // no per-row allocation. A probe whose DATA type family differs from
-  // the tombstone's key family never matches, exactly like the old boxed
-  // equality (a boxed Integer never equalled a boxed Long).
+  // no per-row allocation. SELECTION is on (file primitive, BATCH vector
+  // type): a widened column's vector is wide (LongType over an INT32
+  // file, DoubleType over FLOAT) while tombstone-family semantics follow
+  // the FILE primitive, exactly matching the row decoder's
+  // `TombstoneKeys.primitive` dispatch. A probe whose DATA type family
+  // differs from the tombstone's key family never matches, exactly like
+  // the old boxed equality (a boxed Integer never equalled a boxed Long).
   private val keyProbes: Seq[(Int, (ColumnVector, Int) => Boolean)] =
     doomed.map { case (name, keys) =>
       val idx = required.fieldNames.indexOf(name) match {
@@ -3363,23 +3483,34 @@ class GraftCatalogVectorReader(
       }
       val prim = fileFields.find(_.getName == name).get
         .asPrimitiveType().getPrimitiveTypeName
+      val vecType: DataType = readStruct.fields
+        .find(_.name == name).map(_.dataType).getOrElse(IntegerType)
       import DoomedKeys._
-      val probe: (ColumnVector, Int) => Boolean = (prim, keys) match {
-        case (INT64, k: LongDoomedKeys) if k.kind == KindIntegral =>
+      val probe: (ColumnVector, Int) => Boolean = (prim, vecType, keys) match {
+        case (INT64, LongType | TimestampType | TimestampNTZType,
+          k: LongDoomedKeys) if k.kind == KindIntegral =>
           (v, i) => k.containsBits(v.getLong(i))
-        case (INT32, k: LongDoomedKeys) if k.kind == KindIntegral =>
+        case (INT32, LongType, k: LongDoomedKeys) if k.kind == KindIntegral =>
+          (v, i) => k.containsBits(v.getLong(i)) // widened: wide vector, same values
+        case (INT32, IntegerType | DateType, k: LongDoomedKeys)
+          if k.kind == KindIntegral =>
           (v, i) => k.containsBits(v.getInt(i).toLong)
-        case (DOUBLE, k: LongDoomedKeys) if k.kind == KindDouble =>
+        case (DOUBLE, DoubleType, k: LongDoomedKeys) if k.kind == KindDouble =>
           (v, i) => k.containsBits(java.lang.Double.doubleToLongBits(v.getDouble(i)))
-        case (FLOAT, k: LongDoomedKeys) if k.kind == KindFloat =>
+        case (FLOAT, DoubleType, k: LongDoomedKeys) if k.kind == KindFloat =>
+          // widened FLOAT file: the double is the exact float widened, so
+          // the float-bits normalization is lossless — row-path parity
+          (v, i) => k.containsBits(
+            java.lang.Float.floatToIntBits(v.getDouble(i).toFloat).toLong)
+        case (FLOAT, FloatType, k: LongDoomedKeys) if k.kind == KindFloat =>
           (v, i) => k.containsBits(java.lang.Float.floatToIntBits(v.getFloat(i)).toLong)
-        case (BOOLEAN, k: LongDoomedKeys) if k.kind == KindBool =>
+        case (BOOLEAN, BooleanType, k: LongDoomedKeys) if k.kind == KindBool =>
           (v, i) => k.containsBits(if (v.getBoolean(i)) 1L else 0L)
-        case (BINARY, k: StringDoomedKeys) =>
+        case (BINARY, StringType, k: StringDoomedKeys) =>
           (v, i) => k.containsUtf8(v.getUTF8String(i))
-        case (INT64 | INT32 | DOUBLE | FLOAT | BOOLEAN | BINARY, _) =>
+        case (INT64 | INT32 | DOUBLE | FLOAT | BOOLEAN | BINARY, _, _) =>
           (_, _) => false // family mismatch: dooms nothing
-        case (other, _) => throw new UnsupportedOperationException(
+        case (other, _, _) => throw new UnsupportedOperationException(
           s"vectorized MOR key extractor: $other (column $name)")
       }
       (idx, probe)
@@ -3526,6 +3657,29 @@ private[sources] object ParquetGroups {
       case TimestampType    => timestampMicros(g, f.name)
       case TimestampNTZType => timestampMicros(g, f.name)
       case DateType         => g.getInteger(f.name, 0)
+      case dt: org.apache.spark.sql.types.DecimalType =>
+        // decode by the FILE's physical form (a widened DECIMAL column
+        // reads INT32/INT64 files under a wider declared precision; the
+        // scale never changes across a widen)
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        val prim = g.getType.getType(f.name).asPrimitiveType()
+        prim.getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT32 =>
+            org.apache.spark.sql.types.Decimal(
+              g.getInteger(f.name, 0).toLong, dt.precision, dt.scale)
+          case PrimitiveTypeName.INT64 =>
+            org.apache.spark.sql.types.Decimal(
+              g.getLong(f.name, 0), dt.precision, dt.scale)
+          case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY |
+            PrimitiveTypeName.BINARY =>
+            val bytes = g.getBinary(f.name, 0).getBytes
+            org.apache.spark.sql.types.Decimal(
+              new java.math.BigDecimal(
+                new java.math.BigInteger(bytes), dt.scale),
+              dt.precision, dt.scale)
+          case other => throw new UnsupportedOperationException(
+            s"decimal column ${f.name} stored as $other")
+        }
       case dt => throw new UnsupportedOperationException(
         s"graft Group reader does not decode $dt (column ${f.name})")
     }

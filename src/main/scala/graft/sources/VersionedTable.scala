@@ -1156,11 +1156,16 @@ object VersionedTable {
       a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType)
       : Option[org.apache.spark.sql.types.DataType] = {
-    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    import org.apache.spark.sql.types.{
+      DecimalType, DoubleType, FloatType, IntegerType, LongType}
     (a, b) match {
       case (x, y) if x == y                                   => Some(x)
       case (IntegerType, LongType) | (LongType, IntegerType)  => Some(LongType)
       case (FloatType, DoubleType) | (DoubleType, FloatType)  => Some(DoubleType)
+      // DECIMAL(p, s) → DECIMAL(p+k, s): lossless — same scale, more
+      // headroom. Scale changes would rewrite values, so they refuse.
+      case (x: DecimalType, y: DecimalType) if x.scale == y.scale =>
+        Some(DecimalType(math.max(x.precision, y.precision), x.scale))
       case _                                                  => None
     }
   }
@@ -1228,8 +1233,9 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"cannot widen $column: not a column of $table"))
     require(f.dataType != to && widenType(f.dataType, to).contains(to),
-      s"cannot widen $column from ${f.dataType} to $to — only INT->BIGINT " +
-        "and FLOAT->DOUBLE are lossless (narrowing/rewriting is refused)")
+      s"cannot widen $column from ${f.dataType} to $to — only INT->BIGINT, " +
+        "FLOAT->DOUBLE, and same-scale DECIMAL precision increases are " +
+        "lossless (narrowing/rewriting is refused)")
     commitSchemaOnly(table,
       StructType(cur.fields.map(g =>
         if (g.name == pc) g.copy(dataType = to) else g)),
@@ -1568,6 +1574,10 @@ object VersionedTable {
     *    `smallFileRows` rows) → the same consolidation ([[optimize]] on
     *    the recorded cluster column when one exists, so maintenance
     *    RESTORES the declared layout rather than merely concatenating);
+    *  - clustering decay (a declared cluster column whose per-file zone
+    *    maps overlap on more than half their sorted adjacencies — the
+    *    layout no longer prunes) → the same consolidation, which for a
+    *    multi-column declaration re-executes the Z-ORDER interleave;
     *  - otherwise no-op ("healthy", head version unchanged).
     * Returns (action, resulting version). Exposed as
     * `CALL <cat>.system.auto_maintain('ns.t')`. Thresholds default to
@@ -1587,18 +1597,66 @@ object VersionedTable {
       val r = rowsOf.get(e._1).flatten
       r.exists(n => n > 0L && n < smallFileRows)
     }
-    def consolidate(): Long =
+    // CLUSTERING DECAY: a declared layout whose zone maps no longer
+    // prune. The measure is what pruning actually depends on — the
+    // expected fraction of files a point predicate keeps: per declared
+    // column, the mean zone width over the global span (a file with no
+    // zone keeps everything, ratio 1), multiplied ACROSS the declared
+    // columns (a rectangle prunes when ANY dimension excludes). Fresh
+    // random appends score ~1; a 1-D optimize ~1/N on its column; a
+    // Z-ORDER ~N^(-1/k) per dimension — so the re-clustered layout
+    // itself stays comfortably under the 0.5 trigger and the advisor
+    // never thrashes. Pure manifest arithmetic, like every other input.
+    // schema-evolution carrier entries hold zero rows and no zones:
+    // they are metadata vehicles, not layout — both the decay metric
+    // and the granularity estimate look only at files that carry rows
+    val dataLayout = layout.filterNot(e => rowsOf.get(e._1).flatten.contains(0L))
+    val decayed = {
+      val cs = clusterSpecCols(table)
+      cs.nonEmpty && dataLayout.size >= 4 && {
+        val score = cs.map { c =>
+          val zones = dataLayout.map(_._4.get(c))
+          val known = zones.flatten
+          if (known.isEmpty) 1.0
+          else {
+            val span = (known.map(_._2).max - known.map(_._1).min).toDouble
+            if (span <= 0.0) 0.0
+            else zones.map {
+              case Some((lo, hi)) => math.min(1.0, (hi - lo).toDouble / span)
+              case None           => 1.0
+            }.sum / dataLayout.size
+          }
+        }.product
+        score > 0.5
+      }
+    }
+    def consolidate(target: Long): Long =
       if (bucketSpec(table).isDefined) compactBucketed(spark, table)
       else clusterSpecCols(table) match {
-        case Seq(c)             => optimize(spark, table, c)
+        case Seq(c)             => optimize(spark, table, c, target)
         // multi-column clustering consolidates via the interleave: every
         // declared dimension keeps (regains) tight zones
-        case cs if cs.size > 1  => optimizeZorder(spark, table, cs)
-        case _                  => compact(spark, table, Some(1L << 20))
+        case cs if cs.size > 1  => optimizeZorder(spark, table, cs, target)
+        case _                  => compact(spark, table, Some(target))
       }
-    if (tombstoned > 0) ("compact: tombstone debt", consolidate())
+    // decay restores ORDER, not file count: files were presumably
+    // right-sized already, so the rewrite keeps the table's current
+    // granularity (capped at the standard 1M-row target) instead of
+    // merging everything the way small-file consolidation should.
+    // Floored at twice the small-file line — the advisor must never
+    // write files it would itself flag on the next call
+    val keepGranularity = {
+      val known = dataLayout.flatMap(e => rowsOf.get(e._1).flatten)
+      if (known.size == dataLayout.size && dataLayout.nonEmpty)
+        math.min(1L << 20,
+          math.max(smallFileRows * 2, known.sum / dataLayout.size))
+      else 1L << 20
+    }
+    if (tombstoned > 0) ("compact: tombstone debt", consolidate(1L << 20))
     else if (small >= smallFilesThreshold)
-      ("optimize: small-file debt", consolidate())
+      ("optimize: small-file debt", consolidate(1L << 20))
+    else if (decayed)
+      ("optimize: clustering decay", consolidate(keepGranularity))
     else ("healthy", head)
   }
 

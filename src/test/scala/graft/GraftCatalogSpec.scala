@@ -764,6 +764,81 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(top == all, s"TopN result exact: $top vs $all")
   }
 
+  test("widened columns stay columnar under MOR tombstones; FLOAT->DOUBLE too") {
+    val r = root
+    // FLOAT -> DOUBLE widening, then a MOR delete keyed on the WIDENED
+    // column committed pre-widen (float tombstone over float files) and
+    // another post-widen (applies to pre-widen files through the
+    // integral twin below) — the probe matrix must follow the FILE
+    // primitive while reading the WIDE vector
+    spark.sql("CREATE TABLE gtest.default.wide_f (k BIGINT, x FLOAT)")
+    spark.sql(
+      "INSERT INTO gtest.default.wide_f SELECT id, CAST(id AS FLOAT) / 2 FROM range(1, 101)")
+    val t = s"$root/default/wide_f"
+    // pre-widen float-keyed tombstone: dooms x = 5.0f (k = 10)
+    VersionedTable.deleteWhere(spark, t, col("x") === 5.0f, "x")
+    spark.sql("ALTER TABLE gtest.default.wide_f ALTER COLUMN x TYPE DOUBLE")
+    spark.sql("INSERT INTO gtest.default.wide_f VALUES (200, 1e200)")
+    val q = spark.sql("SELECT k, x FROM gtest.default.wide_f")
+    assert(q.queryExecution.executedPlan.toString.contains("vectorized=true"),
+      s"widened + tombstoned must stay columnar:\n${q.queryExecution.executedPlan}")
+    val got = q.collect().map(x => (x.getLong(0), x.getDouble(1))).toSet
+    val want = (1L to 100L).filter(_ != 10L)
+      .map(i => (i, i.toFloat / 2.0f.toFloat * 1.0)).map {
+        case (i, _) => (i, (i.toFloat / 2).toDouble)
+      }.toSet + ((200L, 1e200))
+    assert(got == want, s"columnar widened MOR decode mismatch")
+    // the columnar result equals the programmatic (anti-join) read
+    val viaApi = VersionedTable.read(spark, t)
+      .collect().map(x => (x.getAs[Long]("k"), x.getAs[Double]("x"))).toSet
+    assert(got == viaApi)
+    // INT->BIGINT widening with a tombstone on the widened column:
+    // integral kinds unify across generations
+    spark.sql("CREATE TABLE gtest.default.wide_i (k INT, v STRING)")
+    spark.sql(
+      "INSERT INTO gtest.default.wide_i SELECT CAST(id AS INT), concat('v', id) FROM range(1, 51)")
+    val ti = s"$root/default/wide_i"
+    spark.sql("ALTER TABLE gtest.default.wide_i ALTER COLUMN k TYPE BIGINT")
+    spark.sql("INSERT INTO gtest.default.wide_i VALUES (6000000000, 'big')")
+    // post-widen delete: BIGINT-keyed tombstone must doom rows in the
+    // NARROW files too (KindIntegral spans INT32/INT64)
+    VersionedTable.deleteWhere(spark, ti, col("k") % 10L === 3L, "k")
+    val qi = spark.sql("SELECT k FROM gtest.default.wide_i")
+    assert(qi.queryExecution.executedPlan.toString.contains("vectorized=true"))
+    assert(qi.collect().map(_.getLong(0)).toSet ==
+      ((1L to 50L).filter(_ % 10L != 3L).toSet + 6000000000L))
+  }
+
+  test("DECIMAL lifecycle: SQL round-trip, same-scale precision widening, scale refusal") {
+    val r = root
+    spark.sql(
+      "CREATE TABLE gtest.default.decs (k BIGINT, amt DECIMAL(9, 2))")
+    spark.sql(
+      "INSERT INTO gtest.default.decs " +
+        "SELECT id, CAST(id + 0.25 AS DECIMAL(9, 2)) FROM range(1, 101)")
+    // exact round-trip through the catalog writer/decoder pair
+    val s0 = spark.sql("SELECT sum(amt) FROM gtest.default.decs")
+      .collect()(0).getDecimal(0)
+    assert(s0.compareTo(new java.math.BigDecimal("5075.00")) == 0, s"sum: $s0")
+    // widen DECIMAL(9,2) -> DECIMAL(18,2): schema-only, zero rewrite
+    spark.sql("ALTER TABLE gtest.default.decs ALTER COLUMN amt TYPE DECIMAL(18, 2)")
+    spark.sql(
+      "INSERT INTO gtest.default.decs VALUES (200, 12345678901234.56)")
+    val rows = spark.sql(
+      "SELECT k, CAST(amt AS STRING) FROM gtest.default.decs " +
+        "WHERE k IN (7, 200) ORDER BY k").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(rows == Seq((7L, "7.25"), (200L, "12345678901234.56")),
+      s"both generations must decode under DECIMAL(18,2): $rows")
+    assert(spark.sql("SELECT count(*) FROM gtest.default.decs")
+      .collect()(0).getLong(0) == 101L)
+    // a SCALE change is not lossless: refused loudly
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE gtest.default.decs ALTER COLUMN amt TYPE DECIMAL(18, 4)"))
+    assert(e.getMessage.contains("lossless") ||
+      e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e.getMessage)
+  }
+
   test("ALTER COLUMN TYPE widens INT->BIGINT through SQL; readers span generations") {
     val r = root
     spark.sql("CREATE TABLE gtest.default.wide_t (k INT, v STRING)")
@@ -777,13 +852,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getString(1))).toSeq
     assert(rows == (1L to 5L).map(i => (i, s"v$i")) :+ (5000000000L, "big"),
       "both physical generations must decode under the widened schema")
-    // widened columns decline the simple vectorized path per narrow
-    // commit; the scan falls back to the row decoder rather than
-    // serving a narrow batch under a wide schema
+    // widened columns STAY COLUMNAR: the explicit-schema read declares
+    // the wide type and Spark 4's vectorized reader promotes INT32→LONG
+    // natively inside the batch load — no row-decoder fallback, no
+    // compaction tax (the round-14 carve-out, erased)
     val plan = spark.sql("SELECT k FROM gtest.default.wide_t")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("vectorized=false"),
-      s"widened scans must fall back to the row decoder:\n$plan")
+    assert(plan.contains("vectorized=true"),
+      s"widened scans must stay vectorized (native INT32->LONG promotion):\n$plan")
     // zone-map pruning still works across generations (stats were
     // recorded as longs on both sides)
     val q = spark.sql(
@@ -1264,6 +1340,48 @@ class GraftCatalogSpec extends AnyFunSuite {
     // a second call is a healthy no-op: same head, no new version
     val r2 = spark.sql("CALL gtest.system.auto_maintain('default.amt')").collect()(0)
     assert(r2.getString(0) == "healthy" && r2.getLong(1) == 5L, r2.toString)
+  }
+
+  test("auto_maintain detects CLUSTERING DECAY and re-executes the Z-ORDER in one call") {
+    val s = spark; import s.implicits._
+    val r = root
+    // multi-column declared clustering; several fat RANDOM appends decay
+    // it — every file's zones then span the whole key space and a
+    // rectangle predicate prunes nothing
+    spark.sql(
+      """CREATE TABLE gtest.default.amz (a BIGINT, b BIGINT, v STRING)
+        |TBLPROPERTIES('graft.cluster-by'='a,b')""".stripMargin)
+    val t = s"$root/default/amz"
+    // a and b must be DECORRELATED (quadratic mix in b): correlated
+    // keys lie on a lattice and give the interleave degenerate,
+    // run-to-run-unstable per-dimension widths
+    (0 until 4).foreach { i =>
+      VersionedTable.commit(
+        (1L to 16000L).map { k =>
+          val key = (k * 48271 + i * 7919) % 4000
+          (key, (k * k * 31 + k * 69621 + i) % 4000, s"v$k")
+        }.toDF("a", "b", "v").repartition(4),
+        t, append = true, statsCols = Seq("a", "b"))
+    }
+    val before = VersionedTable.pruneCount(t, None, "a", 100L, 300L)
+    assert(before._1 == before._2,
+      s"fixture must be decayed (nothing prunes): $before")
+    val r1 = spark.sql("CALL gtest.system.auto_maintain('default.amz')").collect()(0)
+    assert(r1.getString(0).contains("clustering decay"), r1.toString)
+    val after = VersionedTable.pruneCount(t, None, "a", 100L, 300L)
+    assert(after._1 * 2 <= after._2,
+      s"one call must restore pruning to <= half the files: $after")
+    // rectangle reads prune in BOTH declared dimensions and stay exact
+    val q = spark.sql(
+      "SELECT count(*) FROM gtest.default.amz WHERE a BETWEEN 100 AND 300 " +
+        "AND b BETWEEN 100 AND 300")
+    val expect = (0 until 4).flatMap(i => (1L to 16000L).map { k =>
+      ((k * 48271 + i * 7919) % 4000, (k * k * 31 + k * 69621 + i) % 4000)
+    }).count { case (a, b) => a >= 100 && a <= 300 && b >= 100 && b <= 300 }
+    assert(q.collect()(0).getLong(0) == expect)
+    // and the advisor is satisfied afterwards
+    val r2 = spark.sql("CALL gtest.system.auto_maintain('default.amz')").collect()(0)
+    assert(r2.getString(0) == "healthy", r2.toString)
   }
 
   test("table properties expose the operational state to DESCRIBE") {

@@ -18,6 +18,11 @@ class RowGroupFilterSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private lazy val root = SparkTestBase.tempDir("rg_root").toString
 
+  // build() now takes per-column effective types (the per-generation
+  // form); a single-generation fixture's map is just its schema's
+  private def typedOf(schema: org.apache.spark.sql.types.StructType) =
+    schema.fields.map(f => f.name -> f.dataType).toMap
+
   private def oneSortedFile(table: String, n: Long): String = {
     val s = spark; import s.implicits._
     VersionedTable.commit(
@@ -68,7 +73,7 @@ class RowGroupFilterSpec extends AnyFunSuite {
     val all = readAll(file, schema, None)
     assert(all.size == 60000)
     val pred = GraftRowGroupFilter.build(
-      schema, Map("k" -> (59000L, 59500L)), Map.empty)
+      typedOf(schema), Map("k" -> (59000L, 59500L)), Map.empty)
     assert(pred.nonEmpty)
     val got = readAll(file, schema, pred)
     assert(got.size < all.size,
@@ -85,7 +90,7 @@ class RowGroupFilterSpec extends AnyFunSuite {
     val lo = "s00059000".getBytes("UTF-8")
     val hi = "s00059500".getBytes("UTF-8")
     val pred = GraftRowGroupFilter.build(
-      schema, Map.empty, Map("sk" -> (Some(lo), Some(hi))))
+      typedOf(schema), Map.empty, Map("sk" -> (Some(lo), Some(hi))))
     assert(pred.nonEmpty)
     val got = readAll(file, schema, pred)
     assert(got.size < 60000, "string stats must skip row groups")
@@ -98,13 +103,13 @@ class RowGroupFilterSpec extends AnyFunSuite {
     val file = oneSortedFile(t, 60000L)
     val schema = VersionedTable.read(spark, t).schema
     val intPred = GraftRowGroupFilter.build(
-      schema, Map.empty, Map.empty, inSets = Map("k" -> Set(59999L, 3L)))
+      typedOf(schema), Map.empty, Map.empty, inSets = Map("k" -> Set(59999L, 3L)))
     assert(intPred.nonEmpty)
     val gotI = readAll(file, schema, intPred)
     assert(gotI.size < 60000, "integral In set must skip row groups")
     assert(gotI.contains(59999L) && gotI.contains(3L))
     val strPred = GraftRowGroupFilter.build(
-      schema, Map.empty, Map.empty,
+      typedOf(schema), Map.empty, Map.empty,
       strInSets = Map("sk" -> Set("s00059999", "s00000003")))
     assert(strPred.nonEmpty)
     val gotS = readAll(file, schema, strPred)
@@ -118,9 +123,9 @@ class RowGroupFilterSpec extends AnyFunSuite {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("sk",
         org.apache.spark.sql.types.StringType)))
-    assert(GraftRowGroupFilter.build(schema, Map.empty, Map.empty,
+    assert(GraftRowGroupFilter.build(typedOf(schema), Map.empty, Map.empty,
       inSets = Map("k" -> Set.empty[Long])).isEmpty)
-    assert(GraftRowGroupFilter.build(schema, Map.empty, Map.empty,
+    assert(GraftRowGroupFilter.build(typedOf(schema), Map.empty, Map.empty,
       strInSets = Map("sk" -> Set.empty[String])).isEmpty)
   }
 
@@ -135,5 +140,61 @@ class RowGroupFilterSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got == (59000L to 59500L).toSet,
       "row-group skipping must be invisible to results")
+  }
+
+  test("widened columns skip row groups on BOTH generations (per-commit leaves)") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/rgw"
+    // narrow generation: one sorted INT file with many row groups
+    VersionedTable.commit(
+      (1L to 60000L).map(k => (k.toInt, k * 2.0)).toDF("k", "d")
+        .coalesce(1).sortWithinPartitions("k"),
+      t, append = false, statsCols = Seq("k"),
+      writeOptions = Map("parquet.block.size" -> "65536"))
+    VersionedTable.widenColumn(spark, t,
+      "k", org.apache.spark.sql.types.LongType)
+    // wide generation: BIGINT keys past INT32, same row-group shape
+    VersionedTable.commit(
+      (1L to 60000L).map(k => (k + 5000000000L, k * 2.0)).toDF("k", "d")
+        .coalesce(1).sortWithinPartitions("k"),
+      t, append = true, statsCols = Seq("k"),
+      writeOptions = Map("parquet.block.size" -> "65536"))
+    val files = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(t, "data")).iterator.asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith(".") &&
+        !p.getFileName.toString.contains("schema"))
+      .map(_.toString).toSeq.sorted
+    assert(files.size == 2, s"two generations expected: $files")
+    val wide = VersionedTable.read(spark, t).schema // k is BIGINT now
+    val byCommit = GraftRowGroupFilter.perCommit(t,
+      files.map(f => "data/" + VersionedTable.dvKeyOf(f)), Set("k"),
+      Map("k" -> (59000L, 59500L)), Map.empty, Map.empty, Map.empty)
+    assert(byCommit.size == 2, s"one predicate per generation: $byCommit")
+    // NARROW file: its predicate must carry INT32 leaves (the parquet
+    // validator rejects LONG-vs-INT32 — this very filter used to be
+    // declined wholesale) and must skip row groups
+    val narrowPred = GraftCatalogReaderFactory.filterFor(byCommit, files.head)
+    assert(narrowPred.nonEmpty)
+    val gotNarrow = readAll(files.head, wide, narrowPred)
+    assert(gotNarrow.size < 60000 && (59000L to 59500L).forall(gotNarrow.contains),
+      s"narrow generation must skip row groups exactly: ${gotNarrow.size}")
+    // WIDE file with a range only it can hold
+    val byCommit2 = GraftRowGroupFilter.perCommit(t,
+      files.map(f => "data/" + VersionedTable.dvKeyOf(f)), Set("k"),
+      Map("k" -> (5000059000L, 5000059500L)), Map.empty, Map.empty, Map.empty)
+    val widePred = GraftCatalogReaderFactory.filterFor(byCommit2, files.last)
+    assert(widePred.nonEmpty)
+    val gotWide = readAll(files.last, wide, widePred)
+    assert(gotWide.size < 60000 &&
+      (5000059000L to 5000059500L).forall(gotWide.contains),
+      s"wide generation must skip row groups exactly: ${gotWide.size}")
+    // and the SQL front door stays exact across the widened point read
+    spark.conf.set("spark.sql.catalog.grg", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grg.root", root)
+    assert(spark.sql("SELECT k FROM grg.default.rgw WHERE k = 59250")
+      .collect().map(_.getLong(0)).toSeq == Seq(59250L))
+    assert(spark.sql("SELECT k FROM grg.default.rgw WHERE k = 5000059250")
+      .collect().map(_.getLong(0)).toSeq == Seq(5000059250L))
   }
 }
