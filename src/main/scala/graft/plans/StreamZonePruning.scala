@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.StreamingDataSourceV2ScanRelation
 import org.apache.spark.sql.types.DateType
@@ -92,11 +93,104 @@ object PushFiltersIntoVersionedStream extends Rule[LogicalPlan] with PredicateHe
         other.children.foreach(ch => streamOf(ch).foreach(record(_, None)))
     }
     occ.foreach {
-      case (s, List(Some(cond))) =>
-        s.updatePushedPredicates(
-          splitConjunctivePredicates(cond).flatMap(toV1).toArray)
+      case (s, List(one)) =>
+        val conjuncts = one.toSeq
+          .flatMap(splitConjunctivePredicates).flatMap(toV1)
+        s.updatePushedPredicates((conjuncts ++ joinKeyFilters(plan, s)).toArray)
       case (s, _) => s.updatePushedPredicates(Array.empty)
     }
     plan
   }
+
+  /** Runtime (DPP-style) key sets from stream–dimension joins: when the
+    * single-occurrence stream sits under an equi-join whose OTHER side
+    * is a small, fully-batch subplan, execute that side's key projection
+    * (distinct, capped) on the driver and hand the observed keys to the
+    * stream as an `In` — `planInputPartitions` then skips fresh files
+    * whose zone maps hold none of the join's keys, per micro-batch, the
+    * exact streaming twin of the batch scan's `SupportsRuntimeV2Filtering`
+    * path. Sound because the stream occurs ONCE (every output row flows
+    * through every ancestor join) and only join types that REQUIRE a
+    * stream-side match participate: Inner/Cross either side, LeftSemi
+    * stream-left, LeftOuter stream-right, RightOuter stream-left
+    * (anti/full joins keep non-matching stream rows, so they push
+    * nothing). Cost is bounded twice: the dimension's planner estimate
+    * must fit the broadcast threshold, and more than [[MaxJoinKeys]]
+    * distinct keys abandons the hand-off.
+    */
+  private[plans] val MaxJoinKeys = 10000
+
+  private def joinKeyFilters(
+      plan: LogicalPlan,
+      s: graft.sources.VersionedMicroBatchStream): Seq[v1.Filter] = {
+    def holds(p: LogicalPlan): Boolean =
+      p.exists(n => streamOf(n).contains(s))
+    def anyStream(p: LogicalPlan): Boolean =
+      p.exists(_.isInstanceOf[StreamingDataSourceV2ScanRelation])
+    // the relation's own output: join keys must reach it UNRENAMED
+    // (exprId intact through Projects) so the pushed name is the
+    // stream's logical column
+    val relOut: Map[ExprId, String] = plan.collectFirst {
+      case r: StreamingDataSourceV2ScanRelation if streamOf(r).contains(s) =>
+        r.output.map(a => a.exprId -> a.name).toMap
+    }.getOrElse(Map.empty)
+    if (relOut.isEmpty) return Nil
+    val spark = org.apache.spark.sql.SparkSession.active
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold <= 0) return Nil
+    plan.collect {
+      case j @ Join(l, r, jt, Some(cond), _)
+          if holds(l) ^ holds(r) => (j, l, r, jt, cond)
+    }.flatMap { case (_, l, r, jt, cond) =>
+      val streamLeft = holds(l)
+      val eligible = jt match {
+        case Inner | Cross => true
+        case LeftSemi | RightOuter => streamLeft
+        case LeftOuter => !streamLeft
+        case _ => false
+      }
+      val dim = if (streamLeft) r else l
+      if (!eligible || anyStream(dim) ||
+          dim.stats.sizeInBytes > threshold) Nil
+      else splitConjunctivePredicates(cond).flatMap {
+        case EqualTo(a: Attribute, b: Attribute) =>
+          val (sk, dk) =
+            if (relOut.contains(a.exprId) && dim.outputSet.exists(_.exprId == b.exprId))
+              (Some(a), Some(b))
+            else if (relOut.contains(b.exprId) && dim.outputSet.exists(_.exprId == a.exprId))
+              (Some(b), Some(a))
+            else (None, None)
+          for {
+            streamKey <- sk
+            dimKey <- dk
+            keys <- collectDimKeys(spark, dim, dimKey)
+          } yield v1.In(relOut(streamKey.exprId), keys)
+        case _ => None
+      }
+    }
+  }
+
+  /** Distinct non-null key values of one dimension column, or None past
+    * the cap (or for key types the zone probes don't speak). Runs a
+    * driver-side job per micro-batch — bounded by the broadcast-threshold
+    * gate above, the same cost DPP pays for its build-side subquery.
+    */
+  private def collectDimKeys(
+      spark: org.apache.spark.sql.SparkSession,
+      dim: LogicalPlan, key: Attribute): Option[Array[Any]] = try {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val get: org.apache.spark.sql.catalyst.InternalRow => Any =
+      key.dataType match {
+        case LongType    => r => if (r.isNullAt(0)) null else Long.box(r.getLong(0))
+        case IntegerType => r => if (r.isNullAt(0)) null else Int.box(r.getInt(0))
+        case StringType  => r => if (r.isNullAt(0)) null else r.getUTF8String(0).toString
+        case _           => return None
+      }
+    val rows = spark.sessionState
+      .executePlan(org.apache.spark.sql.catalyst.plans.logical.Distinct(
+        Project(Seq(key), dim)))
+      .executedPlan.executeTake(MaxJoinKeys + 1)
+    if (rows.length > MaxJoinKeys) None
+    else Some(rows.iterator.map(get).filter(_ != null).toArray)
+  } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -290,10 +290,18 @@ class VersionedMicroBatchStream(
   @volatile private var pushedBounds: Seq[(String, Long, Long)] = bounds
   @volatile private var pushedStrBounds
       : Map[String, (Option[Array[Byte]], Option[Array[Byte]])] = strBounds
+  // admissible-KEY sets (static In/EqualTo conjuncts, plus the
+  // DPP-style sets the rule derives from a stream–dimension join):
+  // sorted once per hand-off, probed with one binary search per
+  // (file, column) exactly like the batch scan's runtimeKept
+  @volatile private var pushedInSets: Map[String, Array[Long]] = Map.empty
+  @volatile private var pushedStrInSets
+      : Map[String, Array[Array[Byte]]] = Map.empty
 
   /** Translate the optimizer's v1 filters (LOGICAL names) into physical
-    * zone bounds for this stream's batches. Replaces wholesale — a
-    * batch whose plan carries no translatable filter prunes nothing.
+    * zone bounds and admissible-key sets for this stream's batches.
+    * Replaces wholesale — a batch whose plan carries no translatable
+    * filter prunes nothing.
     */
   def updatePushedPredicates(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
@@ -306,6 +314,10 @@ class VersionedMicroBatchStream(
     val (sb, _) = GraftFilters.stringBounds(phys, schema)
     pushedBounds = b
     pushedStrBounds = sb
+    pushedInSets = GraftFilters.inSets(phys).view
+      .mapValues(_.toArray.sorted).toMap
+    pushedStrInSets = GraftFilters.strInSets(phys).view
+      .mapValues(GraftFilters.sortedUtf8).toMap
   }
 
   // per-stream cache of the zone lookup maps, keyed by version (a batch
@@ -327,15 +339,23 @@ class VersionedMicroBatchStream(
   private def keepInsert(v: Long, rel: String): Boolean = {
     val b0 = pushedBounds
     val sb0 = pushedStrBounds
-    (b0.isEmpty && sb0.isEmpty) || {
+    val in0 = pushedInSets
+    val sin0 = pushedStrInSets
+    (b0.isEmpty && sb0.isEmpty && in0.isEmpty && sin0.isEmpty) || {
       val stats = zonesOf(v).getOrElse(rel, Map.empty)
+      lazy val sstats = VersionedTable.snapshotStrStats(table, Some(v))
+        .getOrElse(rel, Map.empty)
       b0.forall { case (c, lo, hi) =>
         stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
-      } && {
-        lazy val sstats = VersionedTable.snapshotStrStats(table, Some(v))
-          .getOrElse(rel, Map.empty)
-        sb0.forall { case (c, b) =>
-          sstats.get(c).forall(GraftFilters.strZoneIntersects(_, b))
+      } && in0.forall { case (c, vs) =>
+        stats.get(c).forall { case (mn, mx) =>
+          GraftFilters.anyInRange(vs, mn, mx)
+        }
+      } && sb0.forall { case (c, b) =>
+        sstats.get(c).forall(GraftFilters.strZoneIntersects(_, b))
+      } && sin0.forall { case (c, vs) =>
+        sstats.get(c).forall { case (zlo, zhi) =>
+          GraftFilters.anyInStrZone(vs, zlo, zhi)
         }
       }
     }

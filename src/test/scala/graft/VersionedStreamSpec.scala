@@ -147,6 +147,46 @@ class VersionedStreamSpec extends AnyFunSuite {
       s"shared-stream union must keep BOTH branches' rows: got ${got.size} rows")
   }
 
+  test("a stream joined to a small dimension prunes fresh files by the join keys") {
+    // the streaming twin of the batch scan's runtime (DPP-style) In
+    // filters: the rule executes the small dimension's key projection
+    // per micro-batch and hands the observed keys to the stream, so
+    // planInputPartitions skips fresh files whose zones hold none
+    val s = spark; import s.implicits._
+    val d = freshDir()
+    val t = s"$d/t"
+    VersionedTable.commit(
+      (1L to 800L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(8, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    val dim = Seq((105L, "a"), (110L, "b")).toDF("dk", "tag")
+    val src = spark.readStream.format("graft-table").load(t)
+    val q = src.join(dim, src("k") === dim("dk"))
+      .writeStream.format("memory").queryName("vs_dimjoin")
+      .option("checkpointLocation", s"$d/cp")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.sql("SELECT k, tag FROM vs_dimjoin ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((105L, "a"), (110L, "b")),
+      "join pruning must never change results")
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows < 400L,
+      s"join-key pruning must skip most files: read $inputRows of 800 rows")
+    // an ANTI join keeps exactly the NON-matching stream rows — the rule
+    // must push nothing (pruning by dim keys would be unsound), and the
+    // result proves it: all 798 non-matching rows survive
+    val q2 = src.join(dim, src("k") === dim("dk"), "left_anti")
+      .writeStream.format("memory").queryName("vs_dimanti")
+      .option("checkpointLocation", s"$d/cp2")
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.sql("SELECT count(*) FROM vs_dimanti")
+      .collect()(0).getLong(0) == 798L,
+      "anti join must read everything — no join-key pruning")
+    assert(q2.recentProgress.map(_.numInputRows).sum == 800L)
+  }
+
   test("checkpoint recovery resumes at the committed version: no replay, no loss") {
     val d = freshDir()
     val t = s"$d/t"
