@@ -3264,8 +3264,11 @@ private[sources] object GraftRowGroupFilter {
     }
 }
 
-/** Planning-time vectorization gates shared by the catalog's scans. */
-private[sources] object GraftVectorization {
+/** Planning-time vectorization gates shared by the catalog's scans.
+  * `private[graft]` (not `[sources]`) only for the probe's measurement
+  * hook below.
+  */
+private[graft] object GraftVectorization {
   private val copyable: Set[DataType] = Set(
     LongType, IntegerType, DoubleType, FloatType, BooleanType, StringType,
     TimestampType, TimestampNTZType, DateType)
@@ -3300,10 +3303,18 @@ private[sources] object GraftVectorization {
     * declares the wide type and the reader's updaters promote during
     * decode, so no row-decoder fallback and no compaction tax.
     */
+  /** Measurement hook for the widened-scan A/B probe ONLY: false makes
+    * [[schemaCompatible]] degrade to [[schemaExact]], recreating the
+    * round-14 row-decoder fallback so the promotion's win is
+    * quantifiable on one binary. Planning-time read, no hot-path cost.
+    */
+  @volatile private[graft] var widenPromotionEnabled = true
+
   def schemaCompatible(
       required: StructType,
       commitSchema: StructType): Boolean =
-    required.fields.forall(f =>
+    if (!widenPromotionEnabled) schemaExact(required, commitSchema)
+    else required.fields.forall(f =>
       commitSchema.fields.exists(g => g.name == f.name &&
         (g.dataType == f.dataType ||
           (g.dataType == IntegerType && f.dataType == LongType) ||
