@@ -496,27 +496,43 @@ class VersionedMicroBatchStream(
         s"streaming read of $table hit DELETE commit $v; set " +
           "ignoreDeletes=true to skip tombstone commits, or " +
           "readChangeFeed=true to consume them as delete rows")
-    // a POSITIONAL deletion vector names row positions, not keys: its
-    // deleted rows must be reconstructed by a position join (the batch
-    // table_changes()/deletesBetween path does exactly that) — a per-file
-    // change-feed stream cannot, so fail loudly instead of emitting
-    // (_file, _pos) pairs null-filled into the table's columns
-    if (changeFeed && freshDeletes.exists(VersionedTable.isPosDeleteFile))
-      throw new IllegalStateException(
-        s"streaming change feed of $table hit POSITIONAL delete commit $v — " +
-          "consume this range with batch table_changes() (it reconstructs " +
-          "the deleted rows by position), or compact and restart the stream")
     val inserts = freshData.map(rel =>
       (rel, VersionedFilePartition(abs(rel), v, "insert")))
-    // change-feed mode: tombstone files become key-only DELETE rows —
-    // the reader nulls every column a tombstone file doesn't carry
+    // change-feed mode: EQUALITY tombstone files become key-only DELETE
+    // rows (the reader nulls every column a tombstone file doesn't
+    // carry); a POSITIONAL deletion vector names row positions, not
+    // keys, so its deleted rows are RECONSTRUCTED IN FULL — one
+    // partition per referenced data file, the reader emitting exactly
+    // the doomed ordinals (same per-executor bitmap the batch MOR scan
+    // probes). The driver touches file NAMES only (one distinct-_file
+    // job per vector, memoized for the stream's lifetime).
     val deletes =
       if (changeFeed)
-        freshDeletes.map(rel =>
-          (rel, VersionedFilePartition(abs(rel), v, "delete")))
+        freshDeletes.flatMap { rel =>
+          if (VersionedTable.isPosDeleteFile(rel))
+            posReferencedFiles(v, rel).map(dataRel =>
+              (dataRel, VersionedFilePartition(abs(dataRel), v, "delete",
+                posFile = Some(abs(rel)))))
+          else
+            Seq((rel, VersionedFilePartition(abs(rel), v, "delete")))
+        }
       else Seq.empty
     inserts ++ deletes
   }
+
+  // posdel rel path -> the data files (rel) its vector references, at
+  // the vector's own commit version; memoized — vectors are immutable
+  private val posRefsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private def posReferencedFiles(v: Long, posRel: String): Seq[String] =
+    posRefsCache.computeIfAbsent(posRel, { _ =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      val refKeys = spark.read
+        .parquet(java.nio.file.Paths.get(table, posRel).toString)
+        .select("_file").distinct().collect().map(_.getString(0)).toSet
+      VersionedTable.snapshotLayout(table, Some(v)).map(_._1)
+        .filter(rel => refKeys.contains(VersionedTable.dvKeyOf(rel)))
+    })
 
   override def createReaderFactory(): PartitionReaderFactory =
     new VersionedFileReaderFactory(schema)
@@ -526,7 +542,11 @@ class VersionedMicroBatchStream(
 
 case class VersionedFilePartition(
     file: String, commitVersion: Long, changeType: String = "insert",
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    // change-feed reconstruction over a POSITIONAL vector: `file` is the
+    // referenced DATA file and this is the vector — the reader emits
+    // exactly the doomed ordinals as full delete rows
+    posFile: Option[String] = None)
     extends InputPartition
 
 /** The stream's metadata column names — stamped from the partition, not
@@ -597,7 +617,22 @@ class VersionedFileReader(part: VersionedFilePartition, schema: StructType)
     .build()
   private var current: Group = _
 
-  override def next(): Boolean = { current = reader.read(); current != null }
+  // positional change-feed reconstruction: keep ONLY the doomed ordinals
+  private val posBitmaps: Seq[PositionKeys.Bitmap] = part.posFile.toSeq
+    .flatMap(p => PositionKeys.forFile(Seq(p),
+      VersionedTable.dvKeyOf(part.file)))
+  private var ordinal = -1L
+
+  override def next(): Boolean =
+    if (part.posFile.isEmpty) { current = reader.read(); current != null }
+    else if (posBitmaps.isEmpty) false // vector never touched this file
+    else {
+      current = reader.read(); ordinal += 1
+      while (current != null && !posBitmaps.exists(_.get(ordinal))) {
+        current = reader.read(); ordinal += 1
+      }
+      current != null
+    }
 
   override def get(): InternalRow = {
     val vals = new Array[Any](fields.length)

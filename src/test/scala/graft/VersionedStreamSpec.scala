@@ -396,6 +396,42 @@ class VersionedStreamSpec extends AnyFunSuite {
     assert(streamed == twin, "CDF stream must equal the batch table_changes twin")
   }
 
+  test("change-feed streams POSITIONAL delete commits as full reconstructed rows") {
+    // a positional vector names (file, pos), not keys — the stream now
+    // reconstructs the doomed rows per referenced data file instead of
+    // failing loudly (the round-14 carve-out), and must equal the batch
+    // deletesBetween twin value-for-value INCLUDING non-key columns
+    val d = freshDir()
+    val t = s"$d/t"
+    VersionedTable.commit(
+      df(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e"),
+      t, append = false)
+    VersionedTable.deleteWherePositional(spark, t, col("k") % 2L === 0L)
+    VersionedTable.commit(df(6L -> "f"), t, append = true)
+    val q = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").load(t)
+      .writeStream.format("memory").queryName("vstream_cdf_pos")
+      .option("checkpointLocation", s"$d/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql(
+      "SELECT k, v, _commit_version, _change_type FROM vstream_cdf_pos")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(streamed == Set(
+      (1L, "a", 1L, "insert"), (2L, "b", 1L, "insert"),
+      (3L, "c", 1L, "insert"), (4L, "d", 1L, "insert"),
+      (5L, "e", 1L, "insert"),
+      (2L, "b", 2L, "delete"), (4L, "d", 2L, "delete"),
+      (6L, "f", 3L, "insert")), streamed.toString)
+    val del = VersionedTable.deletesBetween(spark, t, 1L, 2L)
+      .selectExpr("k", "v", "_commit_version", "'delete' AS ct").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(streamed.filter(_._4 == "delete") == del,
+      "positional CDF stream must equal the batch deletesBetween twin")
+  }
+
   test("overwrite fails the stream; delete fails unless ignoreDeletes") {
     val d = freshDir()
     val t = s"$d/t"
