@@ -108,6 +108,7 @@ object SparkEntry {
     "q_sql_fastminmax_date" -> ((s, d) => Incremental.ordersSqlFastMinMaxDate(t(s, d, "orders"))),
     "q_sql_widen" -> ((s, d) => Incremental.ordersSqlWiden(t(s, d, "orders"))),
     "q_sql_widen_dec" -> ((s, d) => Incremental.ordersSqlWidenDec(t(s, d, "orders"))),
+    "q_sql_dec_prune" -> ((s, d) => Incremental.ordersSqlDecPrune(t(s, d, "orders"))),
     "q_layout_zorder_str" -> ((s, d) => Incremental.docsSqlZorderStr(t(s, d, "documents"))),
     "q_sql_table_changes" -> ((s, d) => Incremental.ordersSqlTableChanges(t(s, d, "orders"))),
     "q_sql_spj" -> ((s, d) =>
@@ -1752,6 +1753,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, CAST(o_orderkey + 10000000000.25 AS DECIMAL(18, 2))
         |FROM orders WHERE o_orderkey % 3 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+    // DECIMAL zone pruning: amounts derive exactly from the key, the
+    // engine prunes files by unscaled zones, the oracle replays plain.
+    "q_sql_dec_prune" ->
+      """SELECT o_orderkey, CAST(o_orderkey + 0.25 AS DECIMAL(9, 2)) AS amount
+        |FROM orders
+        |WHERE o_orderkey + 0.25 BETWEEN 12000.25 AND 15000.25
         |ORDER BY o_orderkey""".stripMargin,
     // DATE MIN/MAX from manifest arithmetic (exact epoch-day zones): the
     // oracle recomputes from raw orders.

@@ -1244,6 +1244,37 @@ object Incremental {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Registered q_sql_dec_prune body: DECIMAL zone-map pruning — a
+    * money-typed column declared the identity partition key clusters on
+    * write and records UNSCALED zone bounds (amount × 10² exact at
+    * scale 2); pushed decimal range literals convert to the same unit,
+    * so an amount window plans a strict file subset. Values derive
+    * exactly from the key (integer + .25) so the DuckDB oracle replays
+    * the filter bit-equal.
+    */
+  def ordersSqlDecPrune(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqldp:$inputKey"), { _ =>
+      val n = s"orders_dp_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n
+           |(o_orderkey BIGINT, amount DECIMAL(9, 2))
+           |PARTITIONED BY (amount)""".stripMargin)
+      orders.createOrReplaceTempView(s"g_dp_src_$n")
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT o_orderkey, CAST(o_orderkey + 0.25 AS DECIMAL(9, 2))
+           |FROM g_dp_src_$n""".stripMargin)
+      n
+    })
+    spark.sql(
+      s"""SELECT o_orderkey, amount FROM gtab.default.$name
+         |WHERE amount BETWEEN 12000.25 AND 15000.25
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Registered q_sql_partitioned_date body: identity partitioning on a
     * DATE column — `PARTITIONED BY (order date)` is the canonical
     * warehouse DDL. Date zone maps record epoch-day bounds (`unix_date`

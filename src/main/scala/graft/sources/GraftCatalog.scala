@@ -233,9 +233,15 @@ class GraftCatalog extends TableCatalog
           t.name match {
             case "identity" =>
               require(dt == LongType || dt == IntegerType || dt == StringType ||
-                dt == DateType || dt == TimestampType,
+                dt == DateType || dt == TimestampType ||
+                (dt match {
+                  case d: org.apache.spark.sql.types.DecimalType =>
+                    d.precision <= 18 // unscaled zone maps are exact
+                  case _ => false
+                }),
                 s"PARTITIONED BY ($col) needs a BIGINT/INT/STRING/DATE/" +
-                  s"TIMESTAMP column (zone maps prune those); $col is $dt")
+                  s"TIMESTAMP/DECIMAL(<=18) column (zone maps prune those); " +
+                  s"$col is $dt")
               col
             case "hours" =>
               require(dt == TimestampType,
@@ -1183,11 +1189,34 @@ private[sources] object GraftFilters {
     val tsCols: Set[String] = schema.fields.collect {
       case f if f.dataType == TimestampType => f.name
     }.toSet
+    // DECIMAL bounds speak the zone maps' UNSCALED unit: only literals
+    // exactly representable at the column's scale convert (the dominant
+    // case — Spark casts comparison literals to the column's type); an
+    // inexact literal contributes no bound, which is merely conservative
+    val decScale: Map[String, Int] = schema.fields.collect {
+      case f => f.dataType match {
+        case d: org.apache.spark.sql.types.DecimalType
+          if d.precision <= 18 => Some(f.name -> d.scale)
+        case _ => None
+      }
+    }.flatten.toMap
+    def decLit(v: Any, scale: Int): Option[Long] = {
+      val bd = v match {
+        case d: java.math.BigDecimal  => Some(d)
+        case d: scala.math.BigDecimal => Some(d.bigDecimal)
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+        case _                        => None
+      }
+      bd.flatMap { d =>
+        try Some(d.movePointRight(scale).longValueExact())
+        catch { case _: ArithmeticException => None }
+      }
+    }
     def litOf(c: String, v: Any): Option[Long] =
       if (integralCols.contains(c)) integralLit(v)
       else if (dateCols.contains(c)) dateLit(v)
       else if (tsCols.contains(c)) tsLit(v)
-      else None
+      else decScale.get(c).flatMap(s => decLit(v, s))
     var bounds = Map.empty[String, (Long, Long)]
     def tighten(c: String, lo: Long, hi: Long): Boolean = {
       val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))

@@ -472,8 +472,10 @@ class VersionedMicroBatchStream(
     val columnar = dataFields.nonEmpty && metaSuffix &&
       parts.forall(_._2.changeType == "insert") && {
         val spark = org.apache.spark.sql.SparkSession.active
+        // COMPATIBLE (not exact): widened tables stream columnar too —
+        // the explicit-schema reader promotes narrow generations natively
         parts.map(_._1).distinct.forall(rel =>
-          GraftVectorization.schemaExact(
+          GraftVectorization.schemaCompatible(
             org.apache.spark.sql.types.StructType(dataFields),
             VersionedTable.commitSchemaOf(spark, table, rel)))
       }
@@ -588,7 +590,31 @@ class VersionedFileVectorReader(part: VersionedFilePartition, schema: StructType
   private val reader =
     new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
-  reader.initialize(part.file, java.util.Arrays.asList(dataFields.map(_.name): _*))
+  locally {
+    // explicit-schema initialize, exactly like the batch catalog reader:
+    // the name-list overload would infer narrow types from the footer,
+    // so a stream over a TYPE-WIDENED table would serve narrow vectors
+    // under the wide schema — here the reader's updaters promote
+    // INT32→LONG / FLOAT→DOUBLE natively instead
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, false)
+    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+      StructType(dataFields).json)
+    conf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    val p = new org.apache.hadoop.fs.Path(part.file)
+    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    val split =
+      new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
+    reader.initialize(split,
+      new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        conf, new org.apache.hadoop.mapreduce.TaskAttemptID()))
+  }
   reader.initBatch(StructType(metaFields),
     new GenericInternalRow(metaFields.map(_.name match {
       case "_commit_version" => part.commitVersion: Any

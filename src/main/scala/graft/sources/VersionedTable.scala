@@ -355,11 +355,18 @@ object VersionedTable {
     val cap = tableProps(table).get("graft.stats-max-cols")
       .map(v => v.toIntOption.getOrElse(Int.MaxValue))
       .getOrElse(DefaultStatsColsCap)
-    val eligible = schema.fields.collect {
-      case f if f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == DateType || f.dataType == StringType ||
-        f.dataType == org.apache.spark.sql.types.TimestampType => f.name
-    }.toSeq
+    // DECIMAL to precision 18 qualifies too: zones record the UNSCALED
+    // value (exact in a long; the scale is fixed per column and stable
+    // across the same-scale precision widening this engine accepts)
+    val eligible = schema.fields.filter { f =>
+      f.dataType == LongType || f.dataType == IntegerType ||
+      f.dataType == DateType || f.dataType == StringType ||
+      f.dataType == org.apache.spark.sql.types.TimestampType ||
+      (f.dataType match {
+        case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+        case _ => false
+      })
+    }.map(_.name).toSeq
     // the declared layout keys must NEVER fall outside the cap: losing
     // the cluster/partition/bucket column's zones would silently disable
     // the pruning the layout exists for
@@ -530,9 +537,22 @@ object VersionedTable {
           case f if f.dataType == org.apache.spark.sql.types.TimestampType =>
             f.name
         }.toSet
+        // DECIMAL zones record the UNSCALED value (col × 10^scale is
+        // exact decimal arithmetic, integral by construction, and fits
+        // a long at precision ≤ 18) — the unit pushed decimal predicates
+        // convert to, and one that is STABLE across the same-scale
+        // precision widening this engine accepts
+        val decScale: Map[String, Int] = snap.schema.fields.collect {
+          case f => f.dataType match {
+            case d: org.apache.spark.sql.types.DecimalType
+              if d.precision <= 18 => Some(f.name -> d.scale)
+            case _ => None
+          }
+        }.flatten.toMap
         val (strCols, nonStr) = statsCols.partition(strSet.contains)
         val (dateCols, nonDate) = nonStr.partition(dateSet.contains)
-        val (tsCols, numCols) = nonDate.partition(tsSet.contains)
+        val (tsCols, nonTs) = nonDate.partition(tsSet.contains)
+        val (decCols, numCols) = nonTs.partition(decScale.contains)
         // NDV sketches ride the same job: HLL per stats column per file,
         // unioned into one per-commit sketch below (types hll_sketch_agg
         // accepts: int/long/string/binary — exactly the stats families)
@@ -559,6 +579,13 @@ object VersionedTable {
             max(org.apache.spark.sql.functions.unix_micros(col(c)))
               .cast("long").as(s"g_mx_$c"),
             count(col(c)).as(s"g_nn_$c"))) ++
+          decCols.flatMap { c =>
+            val unscale = lit(java.math.BigDecimal.TEN.pow(decScale(c)))
+            Seq(
+              min(col(c) * unscale).cast("long").as(s"g_mn_$c"),
+              max(col(c) * unscale).cast("long").as(s"g_mx_$c"),
+              count(col(c)).as(s"g_nn_$c"))
+          } ++
           strCols.flatMap(c => Seq(
             min(col(c)).as(s"g_smn_$c"),
             max(col(c)).as(s"g_smx_$c"),

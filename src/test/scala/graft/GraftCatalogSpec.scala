@@ -111,6 +111,35 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"expected pruned scan, got files=${m.group(1)}/${m.group(2)}")
   }
 
+  test("pushed DECIMAL predicates prune files through unscaled zone maps") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/zmdec"
+    // money-typed column clustered on write: zones record the UNSCALED
+    // value (k + 0.25 at scale 2 → 100k + 25), and pushed decimal
+    // literals convert to the same unit
+    spark.sql(
+      "CREATE TABLE gtest.default.zmdec (k BIGINT, amt DECIMAL(9, 2))")
+    spark.sql(
+      """INSERT INTO gtest.default.zmdec
+        |SELECT id, CAST(id + 0.25 AS DECIMAL(9, 2))
+        |FROM range(1, 801) DISTRIBUTE BY CAST(id / 100 AS INT)""".stripMargin)
+    val q = spark.sql(
+      "SELECT k, amt FROM gtest.default.zmdec " +
+        "WHERE amt >= 100.25 AND amt <= 150.25")
+    assert(q.collect().map(_.getLong(0)).toSet == (100L to 150L).toSet,
+      "decimal-pruned scan must equal the plain filter")
+    val desc = q.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+      .getOrElse(fail(s"no graft-catalog scan in:\n$desc"))
+    assert(m.group(2).toInt > 1 && m.group(1).toInt * 2 <= m.group(2).toInt,
+      s"expected decimal pruning, got files=${m.group(1)}/${m.group(2)}")
+    // an INEXACT literal (more fractional digits than the scale) pushes
+    // no bound — conservative, never wrong
+    val q2 = spark.sql(
+      "SELECT count(*) FROM gtest.default.zmdec WHERE amt > 100.255")
+    assert(q2.collect()(0).getLong(0) == 700L)
+  }
+
   test("pushed STRING predicates prune files through byte-prefix zone maps") {
     val s = spark; import s.implicits._
     val t = s"$root/default/zmstr"

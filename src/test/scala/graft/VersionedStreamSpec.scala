@@ -510,6 +510,38 @@ class VersionedStreamSpec extends AnyFunSuite {
       "a batch holding delete rows must be uniformly row-decoded")
   }
 
+  test("streams over TYPE-WIDENED tables stay columnar across generations") {
+    import graft.sources.{VersionedMicroBatchStream, VersionedFilePartition, VersionOffset}
+    val d = freshDir()
+    val t = s"$d/t"
+    VersionedTable.commit(
+      spark.range(1, 6).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id / 2 AS FLOAT) AS x"),
+      t, append = false)
+    VersionedTable.widenColumn(spark, t, "k",
+      org.apache.spark.sql.types.LongType)
+    VersionedTable.widenColumn(spark, t, "x",
+      org.apache.spark.sql.types.DoubleType)
+    VersionedTable.commit(
+      spark.range(0, 1).selectExpr("CAST(6000000000 AS BIGINT) AS k", "CAST(1e200 AS DOUBLE) AS x"),
+      t, append = true)
+    val schema = spark.readStream.format("graft-table").load(t).schema
+    val ms = new VersionedMicroBatchStream(t, schema, ignoreDeletes = false)
+    val parts = ms.planInputPartitions(VersionOffset(0L), VersionOffset(3L))
+      .map(_.asInstanceOf[VersionedFilePartition])
+    assert(parts.nonEmpty && parts.forall(_.columnar),
+      "widened generations must still plan columnar micro-batches")
+    // end-to-end: the narrow generation's values promote exactly
+    val q = spark.readStream.format("graft-table").load(t)
+      .writeStream.format("memory").queryName("vs_widecol")
+      .option("checkpointLocation", s"$d/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT k, x FROM vs_widecol").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == (1L to 5L).map(i => (i, (i.toFloat / 2).toDouble)).toSet +
+      ((6000000000L, 1e200)), got.toString)
+  }
+
   test("fresh stream on a vacuumed table serves the oldest retained snapshot in full") {
     val d = freshDir()
     val t = s"$d/t"
