@@ -109,6 +109,8 @@ object SparkEntry {
     "q_sql_widen" -> ((s, d) => Incremental.ordersSqlWiden(t(s, d, "orders"))),
     "q_sql_widen_dec" -> ((s, d) => Incremental.ordersSqlWidenDec(t(s, d, "orders"))),
     "q_sql_dec_prune" -> ((s, d) => Incremental.ordersSqlDecPrune(t(s, d, "orders"))),
+    "q_sql_fastminmax_ts" -> ((s, d) => Incremental.ordersSqlFastMinMaxTs(t(s, d, "orders"))),
+    "q_sql_fastminmax_dec" -> ((s, d) => Incremental.ordersSqlFastMinMaxDec(t(s, d, "orders"))),
     "q_layout_zorder_str" -> ((s, d) => Incremental.docsSqlZorderStr(t(s, d, "documents"))),
     "q_sql_table_changes" -> ((s, d) => Incremental.ordersSqlTableChanges(t(s, d, "orders"))),
     "q_sql_spj" -> ((s, d) =>
@@ -1761,6 +1763,22 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey + 0.25 BETWEEN 12000.25 AND 15000.25
         |ORDER BY o_orderkey""".stripMargin,
+    // TIMESTAMP MIN/MAX from manifest arithmetic (exact epoch-micro
+    // zones = Spark's internal value): the oracle recomputes from raw
+    // orders in engine-neutral epoch seconds.
+    "q_sql_fastminmax_ts" ->
+      """WITH t AS (
+        |  SELECT CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 AS es
+        |  FROM orders)
+        |SELECT min(es) AS min_s, max(es) AS max_s,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM t""".stripMargin,
+    // DECIMAL MIN/MAX from the unscaled zone maps, scale reconstructed.
+    "q_sql_fastminmax_dec" ->
+      """SELECT CAST(min(CAST(o_orderkey + 0.25 AS DECIMAL(9, 2))) AS VARCHAR) AS min_a,
+        |       CAST(max(CAST(o_orderkey + 0.25 AS DECIMAL(9, 2))) AS VARCHAR) AS max_a,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders""".stripMargin,
     // DATE MIN/MAX from manifest arithmetic (exact epoch-day zones): the
     // oracle recomputes from raw orders.
     "q_sql_fastminmax_date" ->

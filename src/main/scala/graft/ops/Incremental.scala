@@ -1275,6 +1275,40 @@ object Incremental {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Registered q_sql_fastminmax_ts body: ungrouped TIMESTAMP MIN/MAX
+    * answered from manifest arithmetic — zones record exact epoch
+    * micros, which IS Spark's internal timestamp value, so the pushed
+    * aggregate opens zero data files. Compared in integral epoch
+    * seconds so the hash is engine-neutral.
+    */
+  def ordersSqlFastMinMaxTs(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    ordersSqlPartitionedTs(orders) // same fixture (shared cache key)
+    val name = versionedTables.get((spark, s"sqlipt:$inputKey"))
+    spark.sql(
+      s"""SELECT unix_seconds(min(ts)) AS min_s,
+         |       unix_seconds(max(ts)) AS max_s,
+         |       count(*) AS n
+         |FROM gtab.default.$name""".stripMargin)
+  }
+
+  /** Registered q_sql_fastminmax_dec body: ungrouped DECIMAL MIN/MAX
+    * from the unscaled zone maps — the spec's DataType carries the
+    * scale back, so the one-row answer is an exact DECIMAL(9,2).
+    */
+  def ordersSqlFastMinMaxDec(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    ordersSqlDecPrune(orders) // same fixture (shared cache key)
+    val name = versionedTables.get((spark, s"sqldp:$inputKey"))
+    spark.sql(
+      s"""SELECT CAST(min(amount) AS STRING) AS min_a,
+         |       CAST(max(amount) AS STRING) AS max_a,
+         |       count(*) AS n
+         |FROM gtab.default.$name""".stripMargin)
+  }
+
   /** Registered q_sql_partitioned_date body: identity partitioning on a
     * DATE column — `PARTITIONED BY (order date)` is the canonical
     * warehouse DDL. Date zone maps record epoch-day bounds (`unix_date`

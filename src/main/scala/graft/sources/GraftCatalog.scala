@@ -1933,11 +1933,19 @@ class GraftTableScanBuilder(
     if (rowsOf.valuesIterator.exists(_.isEmpty)) return None // pre-stats file
     // aggregate references arrive LOGICAL; stats are keyed PHYSICAL.
     // DATE rides along: its zone stats are exact epoch days (unix_date
-    // at commit), and Spark's internal DATE value IS epoch days
+    // at commit), and Spark's internal DATE value IS epoch days.
+    // TIMESTAMP likewise (exact epoch micros = the internal value), and
+    // DECIMAL ≤ 18 (exact unscaled zones; the spec's DataType carries
+    // the scale back)
     val integral: Map[String, DataType] = physSchema(full).fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == ShortType || f.dataType == ByteType ||
-        f.dataType == DateType => f.name -> f.dataType
+        f.dataType == DateType || f.dataType == TimestampType =>
+        f.name -> f.dataType
+      case f if (f.dataType match {
+        case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+        case _ => false
+      }) => f.name -> f.dataType
     }.toMap
     val stringCols: Set[String] = physSchema(full).fields.collect {
       case f if f.dataType == StringType => f.name
@@ -2377,10 +2385,16 @@ class GraftAggScan(table: String, version: Option[Long], specs: Seq[GraftAggSpec
                 case _ => sp.value match {
                   case None => row.setNullAt(i)
                   case Some(v) => sp.dt match {
-                    case LongType                => row.setLong(i, v)
-                    case IntegerType | DateType  => row.setInt(i, v.toInt)
-                    case ShortType               => row.setShort(i, v.toShort)
-                    case _                       => row.setByte(i, v.toByte)
+                    // TIMESTAMP's internal value IS the micros the zones
+                    // record; DECIMAL reconstructs from the unscaled zone
+                    case LongType | TimestampType => row.setLong(i, v)
+                    case IntegerType | DateType   => row.setInt(i, v.toInt)
+                    case ShortType                => row.setShort(i, v.toShort)
+                    case d: org.apache.spark.sql.types.DecimalType =>
+                      row.update(i,
+                        org.apache.spark.sql.types.Decimal(
+                          BigDecimal(v, d.scale), d.precision, d.scale))
+                    case _                        => row.setByte(i, v.toByte)
                   }
                 }
               }

@@ -657,7 +657,7 @@ object VersionedTable {
           // per-col (zone-map text, non-null-count text) — only for
           // long-castable columns; the NN counts ride a FOURTH entry
           // segment so the zone-map rendering stays format-stable
-          val statPairs = (numCols ++ dateCols ++ tsCols).flatMap { c =>
+          val statPairs = (numCols ++ dateCols ++ tsCols ++ decCols).flatMap { c =>
             val (mn, mx) = (r.getAs[Any](s"g_mn_$c"), r.getAs[Any](s"g_mx_$c"))
             (mn, mx) match {
               case (a: Long, b: Long) =>

@@ -681,6 +681,25 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT count(*) AS n FROM gtest.default.agg VERSION AS OF 2")
     assert(qv.queryExecution.executedPlan.toString.contains("manifest-only"))
     assert(qv.collect()(0).getLong(0) == 901L)
+    // TIMESTAMP and DECIMAL extremes answer from manifest arithmetic
+    // too: micros zones ARE the internal timestamp value; decimal zones
+    // reconstruct through the column's scale
+    spark.sql(
+      "CREATE TABLE gtest.default.aggtd (ts TIMESTAMP, amt DECIMAL(9, 2))")
+    spark.sql(
+      """INSERT INTO gtest.default.aggtd
+        |SELECT timestamp_seconds(800000000 + id * 3600),
+        |       CAST(id + 0.25 AS DECIMAL(9, 2))
+        |FROM range(1, 101)""".stripMargin)
+    val qtd = spark.sql(
+      """SELECT unix_seconds(min(ts)) AS mn_s, unix_seconds(max(ts)) AS mx_s,
+        |       CAST(min(amt) AS STRING) AS mn_a, CAST(max(amt) AS STRING) AS mx_a
+        |FROM gtest.default.aggtd""".stripMargin)
+    assert(qtd.queryExecution.executedPlan.toString.contains("manifest-only"),
+      s"ts/decimal extremes must push:\n${qtd.queryExecution.executedPlan}")
+    val rtd = qtd.collect()(0)
+    assert((rtd.getLong(0), rtd.getLong(1), rtd.getString(2), rtd.getString(3)) ==
+      ((800003600L, 800360000L, "1.25", "100.25")), rtd.toString)
   }
 
   test("per-column NDV/null/min-max statistics reach the planner without ANALYZE") {
