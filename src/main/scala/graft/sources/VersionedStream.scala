@@ -83,7 +83,8 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
       Option(opts.get("maxVersionsPerTrigger")).map(_.toLong),
       opts.getBoolean("readChangeFeed", false),
       Option(opts.get("maxRowsPerTrigger")).map(_.toLong),
-      Option(opts.get("startingVersion")).map(_.toLong))
+      Option(opts.get("startingVersion")).map(_.toLong),
+      Option(opts.get("maxBytesPerTrigger")).map(_.toLong))
   }
 }
 
@@ -91,7 +92,8 @@ class VersionedStreamTable(
     table: String, schema0: StructType, ignoreDeletes: Boolean,
     maxVersionsPerTrigger: Option[Long], changeFeed: Boolean = false,
     maxRowsPerTrigger: Option[Long] = None,
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_table($table)"
@@ -170,7 +172,7 @@ class VersionedStreamTable(
           new VersionedMicroBatchStream(table,
             VersionedTable.physicalizeSchema(table, required), ignoreDeletes,
             maxVersionsPerTrigger, changeFeed, maxRowsPerTrigger,
-            startingVersion, bounds, strBounds)
+            startingVersion, bounds, strBounds, maxBytesPerTrigger)
       }
     }
   }
@@ -278,7 +280,8 @@ class VersionedMicroBatchStream(
     startingVersion: Option[Long] = None,
     bounds: Seq[(String, Long, Long)] = Nil,
     strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])] =
-      Map.empty)
+      Map.empty,
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // bounds from the per-batch optimizer hand-off
@@ -394,23 +397,35 @@ class VersionedMicroBatchStream(
     val s = start.asInstanceOf[VersionOffset].v
     val head = VersionedTable.versions(table).lastOption.getOrElse(0L)
     val vCap = maxVersionsPerTrigger.fold(head)(k => math.min(head, s + k))
-    val end = maxRowsPerTrigger match {
-      case None => vCap
-      case Some(maxRows) =>
+    val end =
+      if (maxRowsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) vCap
+      else {
+        // rows AND bytes budgets compose: a commit is admitted while it
+        // fits every declared budget (bytes from the exact rows@bytes
+        // manifest entries — Delta's maxBytesPerTrigger shape, pure
+        // manifest arithmetic); the first commit of a batch is always
+        // admitted whole (versions are the atomic offset unit), and an
+        // unknown-size commit (pre-stats or pre-bytes manifests) is
+        // treated as oversized — admitted alone
         val vs = VersionedTable.versions(table).filter(v => v > s && v <= vCap)
-        var acc = 0L
+        var accR = 0L
+        var accB = 0L
         var e = s
         var stop = false
         vs.foreach { v =>
           if (!stop) {
             val rows = VersionedTable.freshRows(table, v)
-              .getOrElse(Long.MaxValue / 4) // unknown size: admit alone
-            if (e > s && acc + rows > maxRows) stop = true
-            else { acc += rows; e = v }
+              .getOrElse(Long.MaxValue / 4)
+            val bytes = VersionedTable.freshBytes(table, v)
+              .getOrElse(Long.MaxValue / 4)
+            val over = maxRowsPerTrigger.exists(m => accR + rows > m) ||
+              maxBytesPerTrigger.exists(m => accB + bytes > m)
+            if (e > s && over) stop = true
+            else { accR += rows; accB += bytes; e = v }
           }
         }
         e
-    }
+      }
     VersionOffset(end)
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

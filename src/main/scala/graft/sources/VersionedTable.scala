@@ -1730,6 +1730,18 @@ object VersionedTable {
     if (cs.exists(_.isEmpty)) None else Some(cs.flatten.sum)
   }
 
+  /** Exact fresh BYTES of version `v`'s own data files, from the
+    * rows@bytes manifest entries — None when any entry predates the
+    * byte-recording format (admission then treats the commit as
+    * unknown-size, admitted alone).
+    */
+  private[sources] def freshBytes(table: String, v: Long): Option[Long] = {
+    val fresh = manifestEntries(table, v)
+      .filter(e => !isDeleteEntry(e) && dataCommitOf(e) == v)
+    val cs = fresh.map(entryBytes)
+    if (cs.exists(_.isEmpty)) None else Some(cs.flatten.sum)
+  }
+
   /** The `R:`-removed entry paths recorded by version `v` itself. */
   private def ownRemovals(table: String, v: Long): Seq[String] =
     ownEntries(manifestLines(table, v), v)

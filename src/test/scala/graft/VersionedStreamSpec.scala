@@ -261,6 +261,40 @@ class VersionedStreamSpec extends AnyFunSuite {
       s"expected row-bounded batches 6,3,10,3 — got ${batches.mkString(",")}")
   }
 
+  test("maxBytesPerTrigger bounds batches by exact manifest bytes") {
+    val d = freshDir()
+    val t = s"$d/t"
+    // five same-shaped commits of 100 rows each; a byte budget of ~2.5
+    // files must admit exactly two commits per batch (a commit is never
+    // split), from manifest arithmetic alone
+    (0 until 5).foreach { i =>
+      val s = spark; import s.implicits._
+      VersionedTable.commit(
+        (1L to 100L).map(k => (k + i * 100L, s"v$k")).toDF("k", "v"),
+        t, append = i > 0)
+    }
+    val oneCommit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(t, "data")).iterator
+        .asScala.filter(p => p.toString.endsWith(".parquet"))
+        .map(p => (p.toString.split("/data/")(1).split('/')(0),
+          java.nio.file.Files.size(p)))
+        .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum).values.max
+    }
+    val q = spark.readStream.format("graft-table")
+      .option("maxBytesPerTrigger", (oneCommit * 5 / 2).toString).load(t)
+      .writeStream.format("memory").queryName("vstream_bytes")
+      .option("checkpointLocation", s"$d/cp")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.sql("SELECT count(*) FROM vstream_bytes")
+      .collect()(0).getLong(0) == 500L, "no loss, no replay")
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+      .map(_.numInputRows).toSeq
+    assert(batches == Seq(200L, 200L, 100L),
+      s"expected byte-bounded batches 200,200,100 — got ${batches.mkString(",")}")
+  }
+
   test("bronze→silver: streaming table-to-table pipeline is exactly-once end to end") {
     val d = freshDir()
     val bronze = s"$d/bronze"
