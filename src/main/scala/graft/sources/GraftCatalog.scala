@@ -3315,6 +3315,8 @@ private[graft] object GraftVectorization {
   private val copyable: Set[DataType] = Set(
     LongType, IntegerType, DoubleType, FloatType, BooleanType, StringType,
     TimestampType, TimestampNTZType, DateType)
+  private def copyOk(dt: DataType): Boolean = copyable(dt) ||
+    dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
 
   /** May a file with these tombstones be served columnar? Tombstone-free
     * always (no copy, batches pass straight through); tombstoned files
@@ -3325,7 +3327,7 @@ private[graft] object GraftVectorization {
     */
   def morOk(required: StructType, tombstonesAbs: Seq[String]): Boolean =
     tombstonesAbs.isEmpty ||
-      (required.fields.forall(f => copyable(f.dataType)) &&
+      (required.fields.forall(f => copyOk(f.dataType)) &&
         tombstonesAbs.filterNot(VersionedTable.isPosDeleteFile)
           .forall(TombstoneKeys.vectorizable))
 
@@ -3611,6 +3613,9 @@ class GraftCatalogVectorReader(
         case StringType =>
           val b = src.getUTF8String(r).getBytes
           dst.putByteArray(o, b, 0, b.length); ()
+        case d: org.apache.spark.sql.types.DecimalType =>
+          dst.putDecimal(o, src.getDecimal(r, d.precision, d.scale),
+            d.precision); ()
         case dt => throw new UnsupportedOperationException(
           s"vectorized MOR copy does not support $dt")
       }

@@ -857,6 +857,25 @@ class GraftCatalogSpec extends AnyFunSuite {
       ((1L to 50L).filter(_ % 10L != 3L).toSet + 6000000000L))
   }
 
+  test("MOR deletes on DECIMAL-carrying tables stay columnar; values exact") {
+    val r = root
+    spark.sql(
+      "CREATE TABLE gtest.default.decmor (k BIGINT, amt DECIMAL(9, 2))")
+    spark.sql(
+      "INSERT INTO gtest.default.decmor " +
+        "SELECT id, CAST(id + 0.25 AS DECIMAL(9, 2)) FROM range(1, 101)")
+    val t = s"$root/default/decmor"
+    VersionedTable.deleteWhere(spark, t, col("k") % 10L === 0L, "k")
+    val q = spark.sql("SELECT k, amt FROM gtest.default.decmor")
+    assert(q.queryExecution.executedPlan.toString.contains("vectorized=true"),
+      s"decimal projection under MOR tombstones must stay columnar:\n${
+        q.queryExecution.executedPlan}")
+    val got = q.collect()
+      .map(x => (x.getLong(0), x.getDecimal(1).toString)).toSet
+    assert(got == (1L to 100L).filter(_ % 10L != 0L)
+      .map(i => (i, s"$i.25")).toSet, got.toString)
+  }
+
   test("DECIMAL lifecycle: SQL round-trip, same-scale precision widening, scale refusal") {
     val r = root
     spark.sql(
