@@ -83,7 +83,62 @@ object PlanLatencyProbe {
     val json = results.map { case (n, cold, warm) =>
       f"""{"files":$n,"cold_plan_ms":$cold%.1f,"warm_plan_ms":$warm%.1f}"""
     }.mkString("[", ",", "]")
-    println(s"""{"probe":"plan_latency_decades","iters":$iters,"decades":$json}""")
+
+    // THE INGEST SHAPE: the same file count split across many commits
+    // with disjoint key ranges — real tables grow by appends, not one
+    // giant commit. The commit-level zone rollup (two-level interval
+    // index) should collapse the selective warm walk to ~O(commits) +
+    // the matching commit's files; the single-commit fixture above is
+    // the control (its one rollup interval spans everything).
+    def mkMulti(name: String, nFiles: Int, perCommit: Int): Unit = {
+      val dir = java.nio.file.Paths.get(root, "default", name)
+      java.nio.file.Files.createDirectories(dir.resolve("_manifest"))
+      java.nio.file.Files.createDirectories(dir.resolve("data"))
+      val nCommits = nFiles / perCommit
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType)))
+      val entries = (1 to nCommits).flatMap { j =>
+        val cdir = dir.resolve("data").resolve(s"c${j}_probe")
+        java.nio.file.Files.createDirectories(cdir)
+        new graft.sources.GraftDataWriter(
+          cdir.resolve("a-schema.parquet").toString, sch).commit()
+        (0 until perCommit).map { i =>
+          val g = (j - 1).toLong * perCommit + i
+          val lo = g * 1000L
+          s"data/c${j}_probe/part-$i.parquet#1000#k=$lo..${lo + 999}#k=1000"
+        } :+ s"data/c${j}_probe/a-schema.parquet#0"
+      }
+      val header = Seq("version=1", s"ts=${System.currentTimeMillis()}")
+      java.nio.file.Files.write(
+        dir.resolve("_manifest").resolve("1.manifest"),
+        (header ++ entries).mkString("\n").getBytes)
+      ()
+    }
+    val multi = decadesArg.filter(_ >= 10000).map { n =>
+      val perCommit = 100
+      val name = s"plm_$n"
+      mkMulti(name, n, perCommit)
+      val mid = n.toLong * 1000L / 2
+      def planOnce(): Double = {
+        val t0 = System.nanoTime()
+        val desc = spark.sql(
+          s"SELECT k FROM gpl.default.$name WHERE k BETWEEN $mid AND ${mid + 5000}")
+          .queryExecution.executedPlan.toString
+        require(desc.contains("files="), s"no catalog scan in:\n$desc")
+        (System.nanoTime() - t0) / 1e6
+      }
+      val cold = planOnce()
+      (1 to 3).foreach(_ => planOnce())
+      val warm = (1 to iters).map(_ => planOnce())
+      (n, n / perCommit, cold, median(warm))
+    }
+    val multiJson = multi.map { case (n, c, cold, warm) =>
+      f"""{"files":$n,"commits":$c,"cold_plan_ms":$cold%.1f,"warm_plan_ms":$warm%.1f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"probe":"plan_latency_decades","iters":$iters,"decades":$json,"multi_commit":$multiJson}""")
     spark.stop()
   }
 }

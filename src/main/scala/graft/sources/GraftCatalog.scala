@@ -2141,8 +2141,7 @@ class GraftBucketedScan(
     // drop footer-counted zero-row files (schema carriers) — same rule
     // as the flat scan; bucket ids all stay (SPJ alignment), only their
     // file lists shrink
-    val zeroRows: Set[String] = VersionedTable.snapshotFiles(table, version)
-      .collect { case (p, _, Some(0L), _, _) => p }.toSet
+    val zeroRows: Set[String] = VersionedTable.snapshotZeroRows(table, version)
     val layout =
       if (zeroRows.isEmpty) layout0
       else layout0.view.mapValues(_.filterNot(f => zeroRows.contains(f._1))).toMap
@@ -2542,17 +2541,41 @@ class GraftTableScan(
   // hold nothing under any tombstone set — drop them from planning, so
   // they never decline TopN/LIMIT planning nor open a reader
   private lazy val zeroRows: Set[String] =
-    VersionedTable.snapshotFiles(table, version)
-      .collect { case (p, _, Some(0L), _, _) => p }.toSet
-  private lazy val pruned = layout.filter { case (path, _, _, stats) =>
-    !zeroRows.contains(path) &&
-    bounds.forall { case (c, (lo, hi)) =>
-      stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
-    } && strBounds.forall { case (c, b) =>
-      strStatsOf.getOrElse(path, Map.empty).get(c)
+    VersionedTable.snapshotZeroRows(table, version)
+  // COMMIT-LEVEL pre-filter (two-level interval index, the Iceberg
+  // manifest-list shape): iterate BY COMMIT and drop a whole dead commit
+  // with one rollup range-check — its files are never visited — so a
+  // selective predicate over a long-ingest table pays O(commits) probes
+  // plus only the surviving commits' per-file checks, not O(files).
+  // Iteration order is commit-grouped first-appearance order, memoized,
+  // so plans stay deterministic run to run.
+  private lazy val pruned =
+    if (bounds.isEmpty)
+      layout.filter { case (path, _, _, _) => !zeroRows.contains(path) }
+        .filter(strKeep)
+    else {
+      val rollup = VersionedTable.snapshotCommitZones(table, version)
+      VersionedTable.snapshotLayoutByCommit(table, version)
+        .iterator.flatMap { case (cv, es) =>
+          val roll = rollup.getOrElse(cv, Map.empty)
+          val dead = bounds.exists { case (c, (lo, hi)) =>
+            roll.get(c).exists { case (mn, mx) => mx < lo || mn > hi }
+          }
+          if (dead) Nil
+          else es.filter { case (path, _, _, stats) =>
+            !zeroRows.contains(path) &&
+            bounds.forall { case (c, (lo, hi)) =>
+              stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+            } && strKeep((path, cv, Nil, stats))
+          }
+        }.toSeq
+    }
+  private def strKeep(
+      e: (String, Long, Seq[String], Map[String, (Long, Long)])): Boolean =
+    strBounds.forall { case (c, b) =>
+      strStatsOf.getOrElse(e._1, Map.empty).get(c)
         .forall(GraftFilters.strZoneIntersects(_, b))
     }
-  }
   // a pushed (partial) LIMIT plans just enough files to cover it, by
   // footer counts — safe only when every file is tombstone-free (the
   // MOR anti-join shrinks a file's contribution below its footer count)

@@ -111,6 +111,31 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"expected pruned scan, got files=${m.group(1)}/${m.group(2)}")
   }
 
+  test("commit-level rollup prunes whole commits; per-file zones refine inside") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/zmmc"
+    // the ingest shape: four append commits with disjoint key ranges,
+    // four files each — a range predicate inside one commit must keep
+    // at most that commit's files (the rollup excludes the other three
+    // commits wholesale; per-file zones then refine within)
+    (0 until 4).foreach { j =>
+      VersionedTable.commit(
+        (1L to 400L).map(k => (j * 400L + k, s"v$k")).toDF("k", "v")
+          .repartitionByRange(4, col("k")),
+        t, append = j > 0, statsCols = Seq("k"))
+    }
+    val q = spark.sql(
+      "SELECT k FROM gtest.default.zmmc WHERE k BETWEEN 450 AND 520")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (450L to 520L),
+      "rollup pruning must never change results")
+    val desc = q.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+      .getOrElse(fail(s"no graft-catalog scan in:\n$desc"))
+    assert(m.group(2).toInt == 16 && m.group(1).toInt <= 2,
+      s"one-commit predicate must plan within one commit: files=${
+        m.group(1)}/${m.group(2)}")
+  }
+
   test("pushed DECIMAL predicates prune files through unscaled zone maps") {
     val s = spark; import s.implicits._
     val t = s"$root/default/zmdec"
