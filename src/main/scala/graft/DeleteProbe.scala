@@ -72,7 +72,10 @@ object DeleteProbe {
     readCount(tables("mor")) // warmup: scan path + scheduler
 
     val (_, tDelMor) = timed(
-      VersionedTable.deleteWhere(spark, tables("mor"), pred, "l_orderkey"))
+      // this probe MEASURES the equality-tombstone leg: force it past
+      // the cost-crossover default up to the memory ceiling
+      VersionedTable.deleteWhere(spark, tables("mor"), pred, "l_orderkey",
+        maxKeys = VersionedTable.MorMaxDeleteKeys))
     val (nMor, tReadMor) = readCount(tables("mor"))
 
     val (_, tDelCow) = timed(VersionedTable.deleteWhereCow(

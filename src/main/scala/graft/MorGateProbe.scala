@@ -22,6 +22,10 @@ object MorGateProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val iters = args.lift(1).map(_.toInt).getOrElse(5)
+    // key modulus: doomed keys are `l_orderkey % keyMod == 1` — mod 2 is
+    // the original ~1.2M-key gate-scale delete; mod 20 / mod 200 measure
+    // the ~120k / ~12k points of the equality-vs-positional crossover
+    val keyMod = args.lift(2).map(_.toLong).getOrElse(2L)
     val root = java.nio.file.Files.createTempDirectory("graft_morgate").toString
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -62,19 +66,22 @@ object MorGateProbe {
     // tombstone commit, no data file rewritten
     val t0 = System.nanoTime()
     graft.sources.VersionedTable.deleteWhere(
-      spark, t, col("l_orderkey") % 2L === 1L, "l_orderkey")
+      spark, t, col("l_orderkey") % keyMod === 1L, "l_orderkey",
+      // the probe MEASURES the equality leg at every scale — force it
+      // past the cost-crossover default up to the memory ceiling
+      maxKeys = graft.sources.VersionedTable.MorMaxDeleteKeys)
     val deleteSec = (System.nanoTime() - t0) / 1e9
     val doomedKeys = spark.sql(
       "SELECT count(DISTINCT l_orderkey) FROM gmg.default.mor VERSION AS OF 1 " +
-        "WHERE l_orderkey % 2 = 1").collect()(0).getLong(0)
+        s"WHERE l_orderkey % $keyMod = 1").collect()(0).getLong(0)
     agg() // warm the post-delete plan (includes the first key-set load)
     val after = (1 to iters).map(_ => timeIt(agg()))
     // checksum: the post-delete scan equals the even-key filter pre-delete
     val expect = spark.sql(
-      """SELECT count(*) + CAST(sum(l_quantity) AS BIGINT) +
+      s"""SELECT count(*) + CAST(sum(l_quantity) AS BIGINT) +
         |CAST(sum(l_extendedprice * 0.01) AS BIGINT) AS c
         |FROM gmg.default.mor VERSION AS OF 1
-        |WHERE l_orderkey % 2 = 0""".stripMargin).collect()(0).getLong(0)
+        |WHERE l_orderkey % $keyMod <> 1""".stripMargin).collect()(0).getLong(0)
     require(after.head._2 == expect,
       s"MOR scan checksum mismatch: got ${after.head._2}, want $expect")
 
@@ -91,11 +98,11 @@ object MorGateProbe {
     val beforeP = (1 to iters).map(_ => timeIt(agg2()))
     val tp0 = System.nanoTime()
     graft.sources.VersionedTable.deleteWherePositional(
-      spark, t2, col("l_orderkey") % 2L === 1L)
+      spark, t2, col("l_orderkey") % keyMod === 1L)
     val deletePosSec = (System.nanoTime() - tp0) / 1e9
     val doomedRows = spark.sql(
       "SELECT count(*) FROM gmg.default.morp VERSION AS OF 1 " +
-        "WHERE l_orderkey % 2 = 1").collect()(0).getLong(0)
+        s"WHERE l_orderkey % $keyMod = 1").collect()(0).getLong(0)
     agg2() // warm the post-delete plan (first bitmap load)
     val afterP = (1 to iters).map(_ => timeIt(agg2()))
     require(afterP.head._2 == expect,
@@ -109,7 +116,7 @@ object MorGateProbe {
     val bp = median(beforeP.map(_._1))
     val ap = median(afterP.map(_._1))
     println(
-      f"""{"probe":"mor_gate_read_tax","sf_dir":"$sfDir","iters":$iters,""" +
+      f"""{"probe":"mor_gate_read_tax","sf_dir":"$sfDir","iters":$iters,"key_mod":$keyMod,""" +
         f""""rows":$rows,"doomed_keys":$doomedKeys,"doomed_rows":$doomedRows,""" +
         f""""keyset_mb_per_executor":${doomedKeys * 8 / 1048576.0}%.1f,""" +
         f""""bitmap_mb_per_executor":$bitmapMb%.1f,""" +

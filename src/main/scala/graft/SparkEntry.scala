@@ -78,6 +78,8 @@ object SparkEntry {
     "q_table_mor" -> ((s, d) => Incremental.ordersMergeOnRead(t(s, d, "orders"))),
     "q_table_changes" -> ((s, d) => Incremental.ordersTableChanges(t(s, d, "orders"))),
     "q_table_posdel" -> ((s, d) => Incremental.ordersPositionalDelete(t(s, d, "orders"))),
+    "q_table_binary" -> ((s, d) => Incremental.docsSqlBinary(t(s, d, "documents"))),
+    "q_table_nested" -> ((s, d) => Incremental.docsSqlNested(t(s, d, "documents"))),
     "q_posdel_changes" -> ((s, d) => Incremental.ordersPosDelChanges(t(s, d, "orders"))),
     "q_asof_versioned" -> ((s, d) => Incremental.eventsAsofVersioned(t(s, d, "events"))),
     "q_table_pruned" -> ((s, d) => Incremental.ordersPrunedRead(t(s, d, "orders"))),
@@ -103,6 +105,7 @@ object SparkEntry {
     "q_sql_partitioned" -> ((s, d) => Incremental.ordersSqlPartitioned(t(s, d, "orders"))),
     "q_sql_partitioned_date" -> ((s, d) => Incremental.ordersSqlPartitionedDate(t(s, d, "orders"))),
     "q_sql_partitioned_ts" -> ((s, d) => Incremental.ordersSqlPartitionedTs(t(s, d, "orders"))),
+    "q_sql_part_evolve" -> ((s, d) => Incremental.ordersSqlPartEvolve(t(s, d, "orders"))),
     "q_sql_partitioned_trunc" -> ((s, d) => Incremental.ordersSqlPartitionedTrunc(t(s, d, "orders"))),
     "q_sql_bloom" -> ((s, d) => Incremental.ordersSqlBloom(t(s, d, "orders"))),
     "q_sql_fastminmax_date" -> ((s, d) => Incremental.ordersSqlFastMinMaxDate(t(s, d, "orders"))),
@@ -1721,6 +1724,20 @@ object SparkEntry {
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |       min(es) AS min_s, max(es) AS max_s
         |FROM t WHERE es >= 794016000 AND es < 796694400""".stripMargin,
+    // PARTITION-TRANSFORM EVOLUTION: generation 1 days(ts)-clustered,
+    // generation 2 (post CALL set_partitioning) hours(ts)-clustered,
+    // nothing rewritten; one window reads both generations, split by
+    // the parity that routed each generation's rows.
+    "q_sql_part_evolve" ->
+      """WITH t AS (
+        |  SELECT CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey % 86400 AS es,
+        |         o_orderkey
+        |  FROM orders)
+        |SELECT o_orderkey % 2 AS gen, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       min(es) AS min_s, max(es) AS max_s
+        |FROM t WHERE es >= 794016000 AND es < 796694400
+        |GROUP BY o_orderkey % 2 ORDER BY gen""".stripMargin,
     // truncate(1, string) partition transform: prefix pruning via the
     // byte-prefix zones; oracle replays the plain LIKE.
     "q_sql_partitioned_trunc" ->
@@ -2145,6 +2162,30 @@ object SparkEntry {
         |UNION ALL
         |SELECT 4, count(*), CAST(sum(price_c) AS BIGINT) FROM v3
         |ORDER BY version""".stripMargin,
+    // BINARY column lifecycle in the graft format: create/insert through
+    // the SQL catalog, MOR delete of keys ≡ 0 (mod 7), byte-exact read
+    // back (octet length + md5 digest). DuckDB's md5 takes VARCHAR; its
+    // UTF-8 bytes are the bytes Spark's md5(BINARY) hashes.
+    "q_table_binary" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest, lang
+        |FROM documents WHERE doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
+    // ARRAY + STRUCT lifecycle: token-length arrays and a struct built at
+    // INSERT, keys ≡ 0 (mod 9) deleted copy-on-write (nested files
+    // rewritten), sibling-primitive filter on read; the oracle rebuilds
+    // the arrays with DuckDB list lambdas
+    "q_table_nested" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(string_split(text, ' '),
+        |      w -> length(w) > 0), w -> CAST(length(w) AS BIGINT)) AS toks,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 9 <> 0 AND doc_id % 3 <> 1)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |  CAST(coalesce(list_sum(toks), 0) AS BIGINT) AS tok_sum,
+        |  lang, source AS src, n_chars
+        |FROM tk ORDER BY doc_id""".stripMargin,
     // CDF of the positional delete: the deleted ROWS reconstructed by
     // position (full rows, not just keys), aggregated per status
     "q_posdel_changes" ->

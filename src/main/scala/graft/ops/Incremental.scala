@@ -886,6 +886,84 @@ object Incremental {
       s"SELECT o_orderkey, status, price_c FROM gtab.default.$name ORDER BY o_orderkey")
   }
 
+  /** Registered q_table_binary body: BINARY as a first-class versioned-
+    * table column end-to-end — CREATE TABLE (payload BINARY) through the
+    * SQL catalog, INSERT INTO from the documents corpus (the catalog's
+    * own Group-API writer encodes the raw bytes), a merge-on-read
+    * `deleteWhere` (binary columns ride the VECTORIZED tombstone copy —
+    * the doomed-key probe reads the key vector, the surviving-row copy
+    * moves the byte arrays), and a SELECT of derived scalars (byte
+    * length, md5 hex). The oracle replays octet_length+md5 over the raw
+    * parquet minus the deleted keys — hash equality proves the bytes
+    * stored in the graft format are exactly the source bytes. (DuckDB's
+    * md5 takes VARCHAR; its UTF-8 bytes are the same bytes Spark's
+    * md5(BINARY) hashes, so the digests agree on any corpus.)
+    */
+  def docsSqlBinary(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = documents.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlbin:$inputKey"), { _ =>
+      val n = s"docs_bin_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      documents.createOrReplaceTempView(s"g_bin_src_$n")
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n (
+           |  doc_id BIGINT, payload BINARY, lang STRING)""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT doc_id, CAST(text AS BINARY) AS payload, lang
+           |FROM g_bin_src_$n""".stripMargin)
+      graft.sources.VersionedTable.deleteWhere(
+        spark, s"$root/default/$n", col("doc_id") % 7L === 0L, "doc_id")
+      n
+    })
+    spark.sql(
+      s"""SELECT doc_id, CAST(length(payload) AS BIGINT) AS n_bytes,
+         |  md5(payload) AS digest, lang
+         |FROM gtab.default.$name ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Registered q_table_nested body: ARRAY + STRUCT columns as
+    * first-class versioned-table citizens — CREATE TABLE (toks
+    * ARRAY<BIGINT>, meta STRUCT<lang, src>) through the SQL catalog,
+    * INSERT INTO computing a token-length array per document (the
+    * catalog writer emits standard 3-level lists and plain groups), a
+    * SQL DELETE (copy-on-write rewrite of nested files through the same
+    * writer), and a SELECT that filters on a SIBLING primitive and
+    * unnests derived scalars (element count, element sum, struct
+    * fields). The oracle rebuilds the same arrays with DuckDB list
+    * lambdas from the raw parquet — hash equality proves the nested
+    * round-trip is lossless through create, insert, rewrite, and read.
+    */
+  def docsSqlNested(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    catalogRoot(spark)
+    val inputKey = documents.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlnest:$inputKey"), { _ =>
+      val n = s"docs_nest_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      documents.createOrReplaceTempView(s"g_nest_src_$n")
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n (
+           |  doc_id BIGINT, toks ARRAY<BIGINT>,
+           |  meta STRUCT<lang: STRING, src: STRING>, n_chars BIGINT)""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT doc_id,
+           |  transform(filter(split(text, ' '), w -> length(w) > 0),
+           |    w -> CAST(length(w) AS BIGINT)) AS toks,
+           |  named_struct('lang', lang, 'src', source) AS meta, n_chars
+           |FROM g_nest_src_$n""".stripMargin)
+      spark.sql(s"DELETE FROM gtab.default.$n WHERE doc_id % 9 = 0")
+      n
+    })
+    spark.sql(
+      s"""SELECT doc_id, CAST(size(toks) AS BIGINT) AS n_tok,
+         |  aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + x) AS tok_sum,
+         |  meta.lang AS lang, meta.src AS src, n_chars
+         |FROM gtab.default.$name
+         |WHERE doc_id % 3 <> 1 ORDER BY doc_id""".stripMargin)
+  }
+
   /** Registered q_sql_ctas body: the SQL DDL surface end-to-end —
     * CREATE TABLE AS SELECT (a schema-only v1 plus the data as v2,
     * both ordinary commits), ALTER TABLE ADD COLUMN (a schema-only
@@ -1376,6 +1454,48 @@ object Incremental {
          |FROM gtab.default.$name
          |WHERE ts >= TIMESTAMP'1995-03-01 00:00:00'
          |  AND ts < TIMESTAMP'1995-04-01 00:00:00'""".stripMargin)
+  }
+
+  /** Registered q_sql_part_evolve body: PARTITION-TRANSFORM EVOLUTION —
+    * the table is created `PARTITIONED BY (days(ts))`, takes its first
+    * generation of commits, then `CALL set_partitioning('hours(ts)')`
+    * re-declares the transform (Iceberg's REPLACE PARTITION FIELD) and a
+    * second generation lands hours-clustered. NOTHING is rewritten: the
+    * first generation's files keep their day-clustered zone maps, the
+    * second's are hour-clustered, and ONE timestamp-range predicate
+    * prunes both generations per file (the spec pins the kept/total
+    * counts). The oracle replays the same window over the union — hash
+    * equality proves evolution loses no rows and changes no values.
+    */
+  def ordersSqlPartEvolve(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlpevo:$inputKey"), { _ =>
+      val n = s"orders_pevo_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n (ts TIMESTAMP, o_orderkey BIGINT)
+           |PARTITIONED BY (days(ts))""".stripMargin)
+      orders.createOrReplaceTempView(s"g_pevo_src_$n")
+      def insert(parity: Int): Unit = spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT timestamp_seconds(
+           |         unix_seconds(CAST(o_orderdate AS TIMESTAMP))
+           |         + o_orderkey % 86400), o_orderkey
+           |FROM g_pevo_src_$n WHERE o_orderkey % 2 = $parity""".stripMargin)
+      insert(0) // generation 1: days(ts)-clustered
+      spark.sql(s"CALL gtab.system.set_partitioning('default.$n', 'hours(ts)')")
+      insert(1) // generation 2: hours(ts)-clustered
+      n
+    })
+    spark.sql(
+      s"""SELECT o_orderkey % 2 AS gen, count(*) AS n,
+         |       sum(o_orderkey) AS key_sum,
+         |       min(unix_seconds(ts)) AS min_s, max(unix_seconds(ts)) AS max_s
+         |FROM gtab.default.$name
+         |WHERE ts >= TIMESTAMP'1995-03-01 00:00:00'
+         |  AND ts < TIMESTAMP'1995-04-01 00:00:00'
+         |GROUP BY o_orderkey % 2 ORDER BY gen""".stripMargin)
   }
 
   /** Registered q_sql_partitioned_trunc body: `PARTITIONED BY

@@ -174,16 +174,32 @@ object PushFiltersIntoVersionedStream extends Rule[LogicalPlan] with PredicateHe
     * the cap (or for key types the zone probes don't speak). Runs a
     * driver-side job per micro-batch — bounded by the broadcast-threshold
     * gate above, the same cost DPP pays for its build-side subquery.
+    *
+    * Temporal and decimal keys convert HERE into the exact unit their
+    * zone maps record — DATE to epoch-day ints (Catalyst's own internal
+    * value), TIMESTAMP to epoch-micros longs, DECIMAL(≤18) to unscaled
+    * longs — so the stream's `GraftFilters.inSets` consumes them through
+    * the unchanged integral path and the per-file zone probe compares
+    * like against like. DECIMAL past precision 18 records no zones and
+    * declines.
     */
   private def collectDimKeys(
       spark: org.apache.spark.sql.SparkSession,
       dim: LogicalPlan, key: Attribute): Option[Array[Any]] = try {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.sql.types.{
+      DecimalType, IntegerType, LongType, StringType, TimestampType}
     val get: org.apache.spark.sql.catalyst.InternalRow => Any =
       key.dataType match {
         case LongType    => r => if (r.isNullAt(0)) null else Long.box(r.getLong(0))
         case IntegerType => r => if (r.isNullAt(0)) null else Int.box(r.getInt(0))
         case StringType  => r => if (r.isNullAt(0)) null else r.getUTF8String(0).toString
+        case DateType    => // internal DATE value IS the epoch day
+          r => if (r.isNullAt(0)) null else Int.box(r.getInt(0))
+        case TimestampType => // internal value IS epoch micros (the zone unit)
+          r => if (r.isNullAt(0)) null else Long.box(r.getLong(0))
+        case d: DecimalType if d.precision <= 18 =>
+          r => if (r.isNullAt(0)) null
+            else Long.box(r.getDecimal(0, d.precision, d.scale).toUnscaledLong)
         case _           => return None
       }
     val rows = spark.sessionState

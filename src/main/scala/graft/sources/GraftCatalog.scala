@@ -864,7 +864,8 @@ private[sources] object GraftProcedures {
 
   val names =
     Seq("vacuum", "vacuum_time", "vacuum_orphans", "compact", "optimize",
-      "optimize_where", "zorder", "restore", "clone", "auto_maintain")
+      "optimize_where", "zorder", "restore", "clone", "auto_maintain",
+      "set_partitioning")
 
   def load(resolve: String => String, name: String): UnboundProcedure =
     name match {
@@ -943,6 +944,21 @@ private[sources] object GraftProcedures {
         in => Array[Any](VersionedTable.optimizeZorder(
           SparkSession.active, resolve(in.getUTF8String(0).toString),
           in.getUTF8String(1).toString.split(',').toSeq.map(_.trim), in.getLong(2)))
+      }
+      // partition-transform EVOLUTION (Iceberg's REPLACE PARTITION
+      // FIELD): old commits keep their clustering and keep pruning
+      // through their per-file zones; commits from now on cluster by the
+      // new declaration — no data rewritten
+      case "set_partitioning" => proc(name,
+        Seq("table" -> StringType, "spec" -> StringType),
+        StructType(Seq(StructField("partitioning", StringType, nullable = false)))) {
+        in => {
+          val t = resolve(in.getUTF8String(0).toString)
+          VersionedTable.setPartitioning(
+            SparkSession.active, t, in.getUTF8String(1).toString)
+          Array[Any](UTF8String.fromString(
+            VersionedTable.identityPartition(t).getOrElse("")))
+        }
       }
       // one-call auto-maintenance: metadata-only decision (the advisor's
       // thresholds), executed via the snapshot-pinned rewrite paths —
@@ -1709,39 +1725,72 @@ class GraftDataWriter(
   import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
+  /** Spark type → parquet schema node, recursively. Scalars follow
+    * Spark's own parquet conventions (annotated strings/temporals,
+    * unscaled INT32/INT64/FIXED(16) decimals); BINARY is the plain
+    * unannotated primitive; nested types take the STANDARD (3-level)
+    * shapes Spark reads and writes — `LIST { repeated group list
+    * { element } }` and `MAP { repeated group key_value { key, value }
+    * }` — so files from this writer and from Spark's own writer
+    * ([[VersionedTable.writeFiles]]) are indistinguishable to every
+    * reader. Only map KEYS are `required` (Spark map keys are
+    * non-null); everything else is `optional`.
+    */
+  private def parquetTypeOf(
+      name: String, dataType: DataType, required: Boolean = false)
+      : org.apache.parquet.schema.Type = {
+    val rep =
+      if (required) org.apache.parquet.schema.Type.Repetition.REQUIRED
+      else org.apache.parquet.schema.Type.Repetition.OPTIONAL
+    dataType match {
+      case LongType    => Types.primitive(INT64, rep).named(name)
+      case IntegerType => Types.primitive(INT32, rep).named(name)
+      case DoubleType  => Types.primitive(DOUBLE, rep).named(name)
+      case FloatType   => Types.primitive(FLOAT, rep).named(name)
+      case BooleanType => Types.primitive(BOOLEAN, rep).named(name)
+      case StringType  => Types.primitive(BINARY, rep)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+      case BinaryType  => Types.primitive(BINARY, rep).named(name)
+      case TimestampType => Types.primitive(INT64, rep).as(
+        LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
+        .named(name)
+      case TimestampNTZType => Types.primitive(INT64, rep).as(
+        LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.MICROS))
+        .named(name)
+      case DateType => Types.primitive(INT32, rep)
+        .as(LogicalTypeAnnotation.dateType()).named(name)
+      // Spark's parquet convention: unscaled INT32 to precision 9,
+      // INT64 to 18, 16-byte fixed binary beyond — so decimal files
+      // round-trip with every Spark reader and support the same-scale
+      // precision WIDENING the vectorized reader promotes natively
+      case dt: DecimalType if dt.precision <= 9 =>
+        Types.primitive(INT32, rep)
+          .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision)).named(name)
+      case dt: DecimalType if dt.precision <= 18 =>
+        Types.primitive(INT64, rep)
+          .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision)).named(name)
+      case dt: DecimalType =>
+        Types.primitive(FIXED_LEN_BYTE_ARRAY, rep).length(16)
+          .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision)).named(name)
+      case ArrayType(et, _) =>
+        (if (required) Types.requiredList() else Types.optionalList())
+          .element(parquetTypeOf("element", et)).named(name)
+      case st: StructType =>
+        val gb = if (required) Types.requiredGroup() else Types.optionalGroup()
+        st.fields.foldLeft(gb)((b, f) =>
+          b.addField(parquetTypeOf(f.name, f.dataType))).named(name)
+      case MapType(kt, vt, _) =>
+        (if (required) Types.requiredMap() else Types.optionalMap())
+          .key(parquetTypeOf("key", kt, required = true))
+          .value(parquetTypeOf("value", vt)).named(name)
+      case dt => throw new UnsupportedOperationException(
+        s"graft-catalog writer does not encode $dt (column $name)")
+    }
+  }
+
   private val msgType = {
     val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      val prim = f.dataType match {
-        case LongType    => Types.optional(INT64)
-        case IntegerType => Types.optional(INT32)
-        case DoubleType  => Types.optional(DOUBLE)
-        case FloatType   => Types.optional(FLOAT)
-        case BooleanType => Types.optional(BOOLEAN)
-        case StringType  => Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
-        case TimestampType => Types.optional(INT64).as(
-          LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
-        case TimestampNTZType => Types.optional(INT64).as(
-          LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.MICROS))
-        case DateType => Types.optional(INT32).as(LogicalTypeAnnotation.dateType())
-        // Spark's parquet convention: unscaled INT32 to precision 9,
-        // INT64 to 18, 16-byte fixed binary beyond — so decimal files
-        // round-trip with every Spark reader and support the same-scale
-        // precision WIDENING the vectorized reader promotes natively
-        case dt: DecimalType if dt.precision <= 9 =>
-          Types.optional(INT32)
-            .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision))
-        case dt: DecimalType if dt.precision <= 18 =>
-          Types.optional(INT64)
-            .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision))
-        case dt: DecimalType =>
-          Types.optional(FIXED_LEN_BYTE_ARRAY).length(16)
-            .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision))
-        case dt => throw new UnsupportedOperationException(
-          s"graft-catalog writer does not encode $dt (column ${f.name})")
-      }
-      b.addField(prim.named(f.name))
-    }
+    schema.fields.foreach(f => b.addField(parquetTypeOf(f.name, f.dataType)))
     b.named("spark_schema")
   }
   private val factory = new SimpleGroupFactory(msgType)
@@ -1760,6 +1809,79 @@ class GraftDataWriter(
       .build()
   }
 
+  /** Encode one NON-NULL value (field `j` of `src`) into `g` under
+    * `name`, recursively through nested types. `src` abstracts the row
+    * (InternalRow) and nested containers (ArrayData / MapData key and
+    * value arrays) behind the same positional getters, so one encoder
+    * serves every nesting level.
+    */
+  private def addValue(
+      g: org.apache.parquet.example.data.Group, name: String, dt: DataType,
+      src: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      j: Int): Unit = dt match {
+    case LongType    => g.add(name, src.getLong(j))
+    case IntegerType => g.add(name, src.getInt(j))
+    case DoubleType  => g.add(name, src.getDouble(j))
+    case FloatType   => g.add(name, src.getFloat(j))
+    case BooleanType => g.add(name, src.getBoolean(j))
+    case StringType  => g.add(name, src.getUTF8String(j).toString)
+    case BinaryType  => g.add(name,
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(src.getBinary(j)))
+    case TimestampType | TimestampNTZType => g.add(name, src.getLong(j))
+    case DateType    => g.add(name, src.getInt(j))
+    case dt: DecimalType if dt.precision <= 9 =>
+      g.add(name, src.getDecimal(j, dt.precision, dt.scale).toUnscaledLong.toInt)
+    case dt: DecimalType if dt.precision <= 18 =>
+      g.add(name, src.getDecimal(j, dt.precision, dt.scale).toUnscaledLong)
+    case dt: DecimalType =>
+      val unscaled = src.getDecimal(j, dt.precision, dt.scale)
+        .toJavaBigDecimal.unscaledValue().toByteArray
+      val fixed = new Array[Byte](16)
+      // sign-extend into the 16-byte big-endian fixed slot
+      val sign: Byte = if (unscaled.length > 0 && unscaled(0) < 0) -1 else 0
+      java.util.Arrays.fill(fixed, sign)
+      System.arraycopy(unscaled, 0, fixed,
+        16 - unscaled.length, unscaled.length)
+      g.add(name,
+        org.apache.parquet.io.api.Binary.fromConstantByteArray(fixed))
+    case ArrayType(et, _) =>
+      // standard 3-level list: the LIST group holds one repeated "list"
+      // group per element; a null element is a "list" group with no
+      // "element" field set. An EMPTY (but non-null) array is the LIST
+      // group with zero repetitions — distinguishable from null, which
+      // never reaches here (the caller checks isNullAt first).
+      val arr = src.getArray(j)
+      val lg = g.addGroup(name)
+      var k = 0
+      while (k < arr.numElements()) {
+        val el = lg.addGroup(0)
+        if (!arr.isNullAt(k)) addValue(el, "element", et, arr, k)
+        k += 1
+      }
+    case st: StructType =>
+      val row = src.getStruct(j, st.fields.length)
+      val sg = g.addGroup(name)
+      var k = 0
+      while (k < st.fields.length) {
+        if (!row.isNullAt(k))
+          addValue(sg, st.fields(k).name, st.fields(k).dataType, row, k)
+        k += 1
+      }
+    case MapType(kt, vt, _) =>
+      val m = src.getMap(j)
+      val ks = m.keyArray()
+      val vs = m.valueArray()
+      val mg = g.addGroup(name)
+      var k = 0
+      while (k < m.numElements()) {
+        val kv = mg.addGroup(0)
+        addValue(kv, "key", kt, ks, k) // Spark map keys are non-null
+        if (!vs.isNullAt(k)) addValue(kv, "value", vt, vs, k)
+        k += 1
+      }
+    case _ => ()
+  }
+
   override def write(row: InternalRow): Unit = {
     if (fieldOffset < 0) {
       fieldOffset =
@@ -1774,34 +1896,7 @@ class GraftDataWriter(
       val j = i + fieldOffset
       if (!row.isNullAt(j)) {
         val f = schema.fields(i)
-        f.dataType match {
-          case LongType    => g.add(f.name, row.getLong(j))
-          case IntegerType => g.add(f.name, row.getInt(j))
-          case DoubleType  => g.add(f.name, row.getDouble(j))
-          case FloatType   => g.add(f.name, row.getFloat(j))
-          case BooleanType => g.add(f.name, row.getBoolean(j))
-          case StringType  => g.add(f.name, row.getUTF8String(j).toString)
-          case TimestampType | TimestampNTZType => g.add(f.name, row.getLong(j))
-          case DateType    => g.add(f.name, row.getInt(j))
-          case dt: DecimalType if dt.precision <= 9 =>
-            g.add(f.name,
-              row.getDecimal(j, dt.precision, dt.scale).toUnscaledLong.toInt)
-          case dt: DecimalType if dt.precision <= 18 =>
-            g.add(f.name,
-              row.getDecimal(j, dt.precision, dt.scale).toUnscaledLong)
-          case dt: DecimalType =>
-            val unscaled = row.getDecimal(j, dt.precision, dt.scale)
-              .toJavaBigDecimal.unscaledValue().toByteArray
-            val fixed = new Array[Byte](16)
-            // sign-extend into the 16-byte big-endian fixed slot
-            val sign: Byte = if (unscaled.length > 0 && unscaled(0) < 0) -1 else 0
-            java.util.Arrays.fill(fixed, sign)
-            System.arraycopy(unscaled, 0, fixed,
-              16 - unscaled.length, unscaled.length)
-            g.add(f.name,
-              org.apache.parquet.io.api.Binary.fromConstantByteArray(fixed))
-          case _           => ()
-        }
+        addValue(g, f.name, f.dataType, row, j)
       }
       i += 1
     }
@@ -3204,7 +3299,16 @@ private[sources] object GraftRowGroupFilter {
     val intPreds: Seq[FilterPredicate] =
       bounds.toSeq.sortBy(_._1).flatMap { case (c, (lo, hi)) =>
         typed.get(c) match {
-          case Some(LongType) =>
+          // TIMESTAMP appears here only when [[perCommit]] verified this
+          // commit's footer stores the column as INT64 timestamp-MICROS —
+          // then the pushed epoch-micros bounds compare against the
+          // block stats with plain signed-long order, exactly like a
+          // BIGINT. INT96 / millis generations decline per commit
+          // (they map to NullType below and build no leaf). DECIMAL
+          // reaches this dispatch pre-translated the same way: perCommit
+          // maps it to IntegerType/LongType by the footer's unscaled
+          // physical primitive, and the pushed bounds are unscaled.
+          case Some(LongType) | Some(TimestampType) | Some(TimestampNTZType) =>
             val col = FilterApi.longColumn(c)
             if (lo == hi) Seq[FilterPredicate](
               FilterApi.eq(col, java.lang.Long.valueOf(lo)))
@@ -3255,7 +3359,7 @@ private[sources] object GraftRowGroupFilter {
         // build an un-reducible empty OR here
         if (vs.isEmpty) Nil
         else typed.get(c) match {
-          case Some(LongType) =>
+          case Some(LongType) | Some(TimestampType) | Some(TimestampNTZType) =>
             val col = FilterApi.longColumn(c)
             if (vs.size <= OrOfEqCap)
               Seq(orAll(vs.toSeq.sorted.map(v =>
@@ -3306,10 +3410,40 @@ private[sources] object GraftRowGroupFilter {
     (intPreds ++ strPreds ++ inPreds ++ strInPreds).reduceOption(FilterApi.and)
   }
 
+  // one representative PARQUET footer per commit directory, memoized per
+  // JVM (commit directories are immutable): the physical primitive —
+  // and, for timestamps, whether the annotation is MICROS — behind
+  // columns whose SPARK type hides the storage form. This is what lets
+  // TIMESTAMP and DECIMAL columns carry row-group leaves soundly: the
+  // leaf type must match the chunk's primitive or parquet's
+  // schema-compatibility validator throws, and timestamp stats compare
+  // correctly only in the unit the file actually stores.
+  private val physCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, (org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName, Boolean)]]()
+  private def physOf(table: String, rep: String)
+      : Map[String, (org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName, Boolean)] =
+    physCache.computeIfAbsent(s"$table#${rep.split('/')(1)}", { _ =>
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      TombstoneKeys.fileFields(java.nio.file.Paths.get(table, rep).toString)
+        .iterator.filter(_.isPrimitive).map { t =>
+          val p = t.asPrimitiveType()
+          val micros = p.getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+            case _ => false
+          }
+          t.getName -> (p.getPrimitiveTypeName, micros)
+        }.toMap
+    })
+
   /** Per-commit predicates for a scan's kept files: one [[build]] per
     * commit directory with THAT commit's physical types for the filtered
     * columns (one memoized footer read per commit — the
-    * `commitSchemaOf` discipline).
+    * `commitSchemaOf` discipline). TIMESTAMP columns qualify only when
+    * the commit's footer stores INT64 timestamp-MICROS (INT96 and millis
+    * generations decline per commit, never wholesale); DECIMAL columns
+    * translate to the footer's unscaled INT32/INT64 primitive, matching
+    * the unscaled units the pushed bounds speak.
     */
   def perCommit(table: String, keptPaths: Seq[String],
       filterCols: Set[String],
@@ -3320,11 +3454,29 @@ private[sources] object GraftRowGroupFilter {
       : Map[String, Option[FilterPredicate]] =
     if (filterCols.isEmpty || keptPaths.isEmpty) Map.empty
     else {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
       val spark = SparkSession.active
       keptPaths.groupBy(_.split('/')(1)).map { case (dir, files) =>
         val sch = VersionedTable.commitSchemaOf(spark, table, files.min)
-        val typed = filterCols.iterator.flatMap(c =>
-          sch.fields.find(_.name == c).map(f => c -> f.dataType)).toMap
+        lazy val phys = physOf(table, files.min)
+        val typed = filterCols.iterator.flatMap { c =>
+          sch.fields.find(_.name == c).map { f =>
+            c -> (f.dataType match {
+              case TimestampType | TimestampNTZType =>
+                phys.get(c) match {
+                  case Some((PrimitiveTypeName.INT64, true)) => f.dataType
+                  case _ => NullType // INT96/millis: no sound leaf here
+                }
+              case _: org.apache.spark.sql.types.DecimalType =>
+                phys.get(c) match {
+                  case Some((PrimitiveTypeName.INT32, _)) => IntegerType
+                  case Some((PrimitiveTypeName.INT64, _)) => LongType
+                  case _ => NullType // FIXED(16) or absent: decline
+                }
+              case other => other
+            })
+          }
+        }.toMap
         dir -> build(typed, bounds, strBounds, inSets, strInSets)
       }
     }
@@ -3337,7 +3489,7 @@ private[sources] object GraftRowGroupFilter {
 private[graft] object GraftVectorization {
   private val copyable: Set[DataType] = Set(
     LongType, IntegerType, DoubleType, FloatType, BooleanType, StringType,
-    TimestampType, TimestampNTZType, DateType)
+    BinaryType, TimestampType, TimestampNTZType, DateType)
   private def copyOk(dt: DataType): Boolean = copyable(dt) ||
     dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
 
@@ -3636,6 +3788,9 @@ class GraftCatalogVectorReader(
         case StringType =>
           val b = src.getUTF8String(r).getBytes
           dst.putByteArray(o, b, 0, b.length); ()
+        case BinaryType =>
+          val b = src.getBinary(r)
+          dst.putByteArray(o, b, 0, b.length); ()
         case d: org.apache.spark.sql.types.DecimalType =>
           dst.putDecimal(o, src.getDecimal(r, d.precision, d.scale),
             d.precision); ()
@@ -3719,52 +3874,108 @@ private[sources] object ParquetGroups {
   def valueOf(g: Group, f: StructField): Any = {
     if (!g.getType.containsField(f.name) ||
       g.getFieldRepetitionCount(f.name) == 0) null
-    else f.dataType match {
-      case LongType =>
-        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-        g.getType.getType(f.name).asPrimitiveType().getPrimitiveTypeName match {
-          case PrimitiveTypeName.INT32 => g.getInteger(f.name, 0).toLong
-          case _                       => g.getLong(f.name, 0)
-        }
-      case IntegerType      => g.getInteger(f.name, 0)
-      case DoubleType =>
-        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-        g.getType.getType(f.name).asPrimitiveType().getPrimitiveTypeName match {
-          case PrimitiveTypeName.FLOAT => g.getFloat(f.name, 0).toDouble
-          case _                       => g.getDouble(f.name, 0)
-        }
-      case FloatType        => g.getFloat(f.name, 0)
-      case BooleanType      => g.getBoolean(f.name, 0)
-      case StringType       => UTF8String.fromString(g.getString(f.name, 0))
-      case TimestampType    => timestampMicros(g, f.name)
-      case TimestampNTZType => timestampMicros(g, f.name)
-      case DateType         => g.getInteger(f.name, 0)
-      case dt: org.apache.spark.sql.types.DecimalType =>
-        // decode by the FILE's physical form (a widened DECIMAL column
-        // reads INT32/INT64 files under a wider declared precision; the
-        // scale never changes across a widen)
-        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-        val prim = g.getType.getType(f.name).asPrimitiveType()
-        prim.getPrimitiveTypeName match {
-          case PrimitiveTypeName.INT32 =>
-            org.apache.spark.sql.types.Decimal(
-              g.getInteger(f.name, 0).toLong, dt.precision, dt.scale)
-          case PrimitiveTypeName.INT64 =>
-            org.apache.spark.sql.types.Decimal(
-              g.getLong(f.name, 0), dt.precision, dt.scale)
-          case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY |
-            PrimitiveTypeName.BINARY =>
-            val bytes = g.getBinary(f.name, 0).getBytes
-            org.apache.spark.sql.types.Decimal(
-              new java.math.BigDecimal(
-                new java.math.BigInteger(bytes), dt.scale),
-              dt.precision, dt.scale)
-          case other => throw new UnsupportedOperationException(
-            s"decimal column ${f.name} stored as $other")
-        }
-      case dt => throw new UnsupportedOperationException(
-        s"graft Group reader does not decode $dt (column ${f.name})")
-    }
+    else nonNull(g, f.name, f.dataType)
+  }
+
+  /** Decode the PRESENT field `name` of `g` as `dt` — the recursive core
+    * of [[valueOf]]. Nested types decode the STANDARD parquet shapes
+    * (3-level lists, key_value maps, plain groups) into Spark's internal
+    * containers ([[org.apache.spark.sql.catalyst.util.GenericArrayData]],
+    * [[org.apache.spark.sql.catalyst.util.ArrayBasedMapData]],
+    * [[GenericInternalRow]]); legacy 2-level lists fail loudly — neither
+    * this engine's writers nor Spark 4's default emit them.
+    */
+  private def nonNull(g: Group, name: String, dt: DataType): Any = dt match {
+    case LongType =>
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      g.getType.getType(name).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 => g.getInteger(name, 0).toLong
+        case _                       => g.getLong(name, 0)
+      }
+    case IntegerType      => g.getInteger(name, 0)
+    case DoubleType =>
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      g.getType.getType(name).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveTypeName.FLOAT => g.getFloat(name, 0).toDouble
+        case _                       => g.getDouble(name, 0)
+      }
+    case FloatType        => g.getFloat(name, 0)
+    case BooleanType      => g.getBoolean(name, 0)
+    case StringType       => UTF8String.fromString(g.getString(name, 0))
+    case BinaryType       => g.getBinary(name, 0).getBytes
+    case TimestampType    => timestampMicros(g, name)
+    case TimestampNTZType => timestampMicros(g, name)
+    case DateType         => g.getInteger(name, 0)
+    case dt: org.apache.spark.sql.types.DecimalType =>
+      // decode by the FILE's physical form (a widened DECIMAL column
+      // reads INT32/INT64 files under a wider declared precision; the
+      // scale never changes across a widen)
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      val prim = g.getType.getType(name).asPrimitiveType()
+      prim.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 =>
+          org.apache.spark.sql.types.Decimal(
+            g.getInteger(name, 0).toLong, dt.precision, dt.scale)
+        case PrimitiveTypeName.INT64 =>
+          org.apache.spark.sql.types.Decimal(
+            g.getLong(name, 0), dt.precision, dt.scale)
+        case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY |
+          PrimitiveTypeName.BINARY =>
+          val bytes = g.getBinary(name, 0).getBytes
+          org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(
+              new java.math.BigInteger(bytes), dt.scale),
+            dt.precision, dt.scale)
+        case other => throw new UnsupportedOperationException(
+          s"decimal column $name stored as $other")
+      }
+    case at: org.apache.spark.sql.types.ArrayType =>
+      val lg = g.getGroup(name, 0) // the LIST group
+      val inner = lg.getType
+      require(inner.getFieldCount == 1 && !inner.getType(0).isPrimitive,
+        s"list column $name is not a standard 3-level parquet list")
+      val n = lg.getFieldRepetitionCount(0)
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val el = lg.getGroup(0, i) // one repeated "list" group per element
+        val elName = el.getType.getFieldName(0)
+        out(i) =
+          if (el.getFieldRepetitionCount(0) == 0) null
+          else nonNull(el, elName, at.elementType)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    case st: StructType =>
+      val sg = g.getGroup(name, 0)
+      val vals = new Array[Any](st.fields.length)
+      var i = 0
+      while (i < st.fields.length) {
+        vals(i) = valueOf(sg, st.fields(i)) // absent/evolved fields null-fill
+        i += 1
+      }
+      new GenericInternalRow(vals)
+    case mt: org.apache.spark.sql.types.MapType =>
+      val mg = g.getGroup(name, 0) // the MAP group: repeated key_value
+      val n = mg.getFieldRepetitionCount(0)
+      val keys = new Array[Any](n)
+      val vals = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val kv = mg.getGroup(0, i)
+        val kName = kv.getType.getFieldName(0)
+        val vName = kv.getType.getFieldName(1)
+        keys(i) = nonNull(kv, kName, mt.keyType) // map keys are required
+        vals(i) =
+          if (kv.getFieldRepetitionCount(1) == 0) null
+          else nonNull(kv, vName, mt.valueType)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+    case dt => throw new UnsupportedOperationException(
+      s"graft Group reader does not decode $dt (column $name)")
   }
 }
 

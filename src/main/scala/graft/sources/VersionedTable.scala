@@ -67,7 +67,7 @@ object VersionedTable {
 
   private def manifestDir(table: String): Path = Paths.get(table, "_manifest")
 
-  private def isDeleteEntry(e: String): Boolean = e.startsWith("D:")
+  private[sources] def isDeleteEntry(e: String): Boolean = e.startsWith("D:")
   // POSITIONAL deletion vectors ride ordinary bounded `D:` entries; the
   // FILE NAME marks the kind: `posdel-*.parquet` files hold (_file, _pos)
   // row positions (Iceberg's position-delete shape, re-expressed for this
@@ -150,7 +150,7 @@ object VersionedTable {
     * resolved, prefix intact. Iterative walk + per-version memoization:
     * a k-append chain costs k manifest reads once, then O(1).
     */
-  private def manifestEntries(table: String, version: Long): Seq[String] = {
+  private[sources] def manifestEntries(table: String, version: Long): Seq[String] = {
     val cached = resolvedEntries.get((table, version))
     if (cached != null) return cached
     // walk down to the first cached or self-contained manifest
@@ -306,8 +306,26 @@ object VersionedTable {
     // caller options win on conflict
     val bloomOpts = bloomCols(table, df.schema)
       .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
-    df.write.mode("errorifexists").options(bloomOpts ++ writeOptions)
-      .parquet(dataDir.toString)
+    // TIMESTAMP columns: Spark's parquet default is legacy INT96, whose
+    // stats carry no usable ordering — write annotated INT64 MICROS
+    // instead (Spark's own modern encoding, what the SQL catalog's
+    // writer already emits), so manifest MIN/MAX and the footer-
+    // qualified per-commit row-group leaves see a sortable physical
+    // form. Session-conf set/restore: there is no per-write option for
+    // this knob (ParquetFileFormat.prepareWrite copies it from the
+    // session conf). A concurrent same-session writer racing the
+    // restore would merely flip between two CORRECT encodings — the
+    // row-group leaves decline INT96 commits per footer, never misread.
+    val spark = df.sparkSession
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val hasTs = df.schema.fields.exists(
+      _.dataType == org.apache.spark.sql.types.TimestampType)
+    val prevTs = if (hasTs) Some(spark.conf.get(tsKey)) else None
+    if (hasTs) spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try
+      df.write.mode("errorifexists").options(bloomOpts ++ writeOptions)
+        .parquet(dataDir.toString)
+    finally prevTs.foreach(spark.conf.set(tsKey, _))
     dirMetadata(df.sparkSession, table, dirName, statsCols, checks)
   }
 
@@ -1333,6 +1351,30 @@ object VersionedTable {
     */
   val MorMaxDeleteKeys: Long = 10L * 1000 * 1000
 
+  /** Default [[deleteWhere]] routing threshold — a COST crossover, not a
+    * memory bound. MorGateProbe (sf0.1, 9.6M rows, 5-iter medians)
+    * measured the STANDING per-scan read tax of equality tombstones vs
+    * positional vectors on identical data and identical deletes:
+    *
+    *   doomed keys   equality tax   positional tax   extra commit cost
+    *       11,760        1.26×           0.94×            +0.26 s
+    *      117,632        1.14×           0.97×            +1.09 s
+    *    1,177,248        3.10×           0.96×            +0.32 s
+    *
+    * The positional vector reads at parity at EVERY scale (a bitmap
+    * probe is one shift+mask per row) while the equality tax is paid on
+    * every scan until compaction and grows with the key count — so any
+    * delete expected to be read more than a handful of times amortizes
+    * the slightly slower positional commit almost immediately. Equality
+    * keeps two advantages below the threshold: the cheaper commit (no
+    * full-scan position job) and row-group pruning on referenced files
+    * (a positional vector forces full-file streaming so the running
+    * ordinal stays exact). 100k keys is where the standing tax stops
+    * being noise-level; callers needing equality semantics at larger
+    * scales pass `maxKeys` explicitly (ceiling [[MorMaxDeleteKeys]]).
+    */
+  val MorEqualityMaxKeys: Long = 100L * 1000
+
   /** Merge-on-read delete: write the doomed KEYS as a tombstone file and
     * commit a manifest referencing it — no data file is rewritten. The
     * tombstone is bounded to the data commits existing NOW, so rows for
@@ -1341,9 +1383,14 @@ object VersionedTable {
     * Returns the new version.
     *
     * SIZE-GATED: a delete matching more than `maxKeys` distinct keys
-    * (default [[MorMaxDeleteKeys]]) is NOT committed as a KEY tombstone —
-    * every reader task would carry the whole key set in memory until
-    * compaction. Such a delete routes to [[deleteWherePositional]]:
+    * (default [[MorEqualityMaxKeys]], the measured COST crossover; the
+    * absolute reader-memory ceiling for explicit callers is
+    * [[MorMaxDeleteKeys]]) is NOT committed as a KEY tombstone —
+    * above the crossover every scan until compaction pays a growing
+    * per-row key-probe tax (1.14× at ~118k keys, 3.1× at ~1.2M —
+    * MorGateProbe), and above the ceiling every reader task would carry
+    * the whole key set in memory. Such a delete routes to
+    * [[deleteWherePositional]]:
     * still additive (incremental/streaming consumers see an ordinary
     * delete commit), reader memory bounded by a per-file position BITMAP
     * (~rows/8 bytes) regardless of how many rows died, and the bucket/
@@ -1354,7 +1401,7 @@ object VersionedTable {
     */
   def deleteWhere(
       spark: SparkSession, table: String, predicate: Column, keyCol: String,
-      maxKeys: Long = MorMaxDeleteKeys): Long = {
+      maxKeys: Long = MorEqualityMaxKeys): Long = {
     require(maxKeys > 0, "maxKeys must be positive")
     val prev = versions(table)
     require(prev.nonEmpty, s"no committed versions at $table")
@@ -2254,6 +2301,88 @@ object VersionedTable {
         throw new java.util.ConcurrentModificationException(
           s"$table is partitioned by $c; cannot record $col")
     }
+  }
+
+  /** Partition-transform EVOLUTION (Iceberg's `ALTER TABLE ... ADD/
+    * REPLACE PARTITION FIELD`, surfaced here as `CALL <cat>.system
+    * .set_partitioning(table, spec)`): replace the table's identity/
+    * transform declaration with `spec` (same syntax the recorded decl
+    * uses — `col`, `days(col)`, `months(col)`, `hours(col)`,
+    * `years(col)`, `truncate(n,col)`, comma-separated). Old commits keep
+    * their clustering — files are immutable and their per-file zone maps
+    * keep pruning them exactly as before (a transform-partitioned layout
+    * IS a source-clustered layout, and pruning consults zones per FILE,
+    * never a table-wide layout) — while every commit from now on
+    * clusters on the NEW declaration's source columns and records their
+    * zones. No data is rewritten; `CALL optimize` re-clusters history
+    * into the new layout when wanted. Refused on bucketed tables (bucket
+    * placement is load-bearing for storage-partitioned joins — evolving
+    * it would silently break co-location).
+    */
+  def setPartitioning(
+      spark: SparkSession, table: String, spec: String): Unit = {
+    require(bucketSpec(table).isEmpty,
+      s"$table is bucketed: bucket placement cannot be evolved in place " +
+        "(CLONE to a new layout instead)")
+    val decls = splitDecls(spec)
+    require(decls.nonEmpty, "set_partitioning needs at least one declaration")
+    val schema = snapshotSchema(spark, table, None)
+    import org.apache.spark.sql.types.{
+      DateType, IntegerType, LongType, StringType, TimestampType}
+    decls.foreach { d =>
+      val src = physName(table, declSource(d))
+      val dt = schema.fields.find(_.name == src).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column ${declSource(d)} is not a column of $table"))
+      val fn = d.takeWhile(_ != '(').trim
+      d.indexOf('(') match {
+        case -1 => // identity: same acceptance rules as CREATE
+          require(dt == LongType || dt == IntegerType || dt == StringType ||
+            dt == DateType || dt == TimestampType ||
+            (dt match {
+              case x: org.apache.spark.sql.types.DecimalType => x.precision <= 18
+              case _ => false
+            }),
+            s"PARTITIONED BY ($d) needs a BIGINT/INT/STRING/DATE/TIMESTAMP/" +
+              s"DECIMAL(<=18) column; $src is $dt")
+        case _ => fn match {
+          case "hours" => require(dt == TimestampType,
+            s"$d needs a TIMESTAMP column; $src is $dt")
+          case "days" | "months" | "years" =>
+            require(dt == TimestampType || dt == DateType,
+              s"$d needs a TIMESTAMP/DATE column; $src is $dt")
+          case "truncate" =>
+            val w = d.substring(d.indexOf('(') + 1, d.lastIndexOf(')'))
+              .split(',').map(_.trim).find(_.forall(_.isDigit))
+              .flatMap(_.toIntOption).getOrElse(
+                throw new IllegalArgumentException(
+                  s"$d: truncate needs an integer width"))
+            require(w > 0, s"truncate width must be positive, got $w")
+            require(dt == StringType || dt == LongType || dt == IntegerType,
+              s"$d needs a STRING/BIGINT/INT column; $src is $dt")
+          case other => throw new UnsupportedOperationException(
+            s"unknown partition transform $other in $d")
+        }
+      }
+    }
+    val srcs = decls.map(declSource)
+    require(srcs.distinct.size == srcs.size,
+      s"duplicate partition columns: ${srcs.mkString(", ")}")
+    // atomic replace (tmp + ATOMIC_MOVE) of both the declared transform
+    // and the cluster-on-write keys it implies — a concurrent INSERT
+    // reads either the old or the new spec, both of which are valid
+    // layouts pruning resolves per file
+    def replace(f: Path, content: String): Unit = {
+      Files.createDirectories(manifestDir(table))
+      val tmp = manifestDir(table).resolve(
+        s"${f.getFileName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, java.util.List.of(content))
+      Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    replace(identitySpecFile(table), decls.mkString(","))
+    replace(clusterSpecFile(table), srcs.mkString(","))
   }
 
   /** Commit `df` BUCKETED on `bucketCol` into `nBuckets` modulo buckets

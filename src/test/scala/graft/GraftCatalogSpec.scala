@@ -1064,6 +1064,55 @@ class GraftCatalogSpec extends AnyFunSuite {
         { val mm = 1L + (i * 25903) % 12; mm >= 2 && mm <= 3 }).sorted)
   }
 
+  test("partition-transform EVOLUTION: set_partitioning re-declares; both generations prune") {
+    val r = root
+    spark.sql(
+      "CREATE TABLE gtest.default.pevo (ts TIMESTAMP, v BIGINT) " +
+        "PARTITIONED BY (days(ts))")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def insert(from: Long, to: Long): Unit = spark.sql(
+      s"""INSERT INTO gtest.default.pevo
+         |SELECT timestamp_seconds(1704067200 + ((id * 48271) % 40) * 86400
+         |  + id % 3600), id
+         |FROM range($from, $to)""".stripMargin)
+    try {
+      insert(0, 800) // generation 1: days(ts)-clustered
+      // evolve to hourly granularity — Iceberg's REPLACE PARTITION FIELD
+      spark.sql("CALL gtest.system.set_partitioning('default.pevo', 'hours(ts)')")
+      insert(800, 1600) // generation 2: hours(ts)-clustered
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    // the NEW transform is what DESCRIBE reports after evolution
+    val parts = spark.sql("DESCRIBE TABLE EXTENDED gtest.default.pevo")
+      .collect().map(_.toString).mkString("\n")
+    assert(parts.contains("hours(ts)") && !parts.contains("days(ts)"),
+      s"evolution must re-declare the reported transform:\n$parts")
+    // ONE window predicate prunes BOTH generations per file — old files
+    // keep their day-clustered zones, new files their hour-clustered ones
+    val q = spark.sql(
+      "SELECT v FROM gtest.default.pevo " +
+        "WHERE ts >= TIMESTAMP'2024-01-10 00:00:00' " +
+        "AND ts < TIMESTAMP'2024-01-13 00:00:00'")
+    val m = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no graft-catalog scan"))
+    assert(m.group(2).toInt > 8, s"expected files from both generations, got ${m.group(2)}")
+    assert(m.group(1).toInt * 2 <= m.group(2).toInt,
+      s"the window must prune at least half across BOTH generations, " +
+        s"got files=${m.group(1)}/${m.group(2)}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 1600L).filter(id => {
+        val day = (id * 48271) % 40; day >= 9 && day < 12
+      }).sorted,
+      "evolution must lose no rows and change no values")
+    // an ill-typed evolution refuses loudly, leaving the spec untouched
+    val e = intercept[Exception](spark.sql(
+      "CALL gtest.system.set_partitioning('default.pevo', 'hours(v)')"))
+    assert(e.getMessage.contains("TIMESTAMP"), e.getMessage)
+    assert(VersionedTable.identityPartition(s"$r/default/pevo")
+      .contains("hours(ts)"), "a refused evolution must not half-apply")
+  }
+
   test("PARTITIONED BY (days(ts)) / truncate(n, col): temporal transforms prune via source zones") {
     val r = root
     // days(ts): the single most common warehouse DDL — cluster on the

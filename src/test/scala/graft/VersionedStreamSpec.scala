@@ -187,6 +187,65 @@ class VersionedStreamSpec extends AnyFunSuite {
     assert(q2.recentProgress.map(_.numInputRows).sum == 800L)
   }
 
+  test("a stream joined to a DATE dimension prunes fresh files (epoch-day key sets)") {
+    // runtime join-key pruning for temporal dimension keys: the rule
+    // converts the dimension's DATE keys to epoch days at collection —
+    // the exact unit the date zone maps record — so a stream clustered
+    // on a date column skips fresh files per micro-batch
+    val s = spark; import s.implicits._
+    val d = freshDir()
+    val t = s"$d/t"
+    VersionedTable.commit(
+      (1L to 800L).map(k => (k, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2020, 1, 1).plusDays(k)))).toDF("k", "dt")
+        .repartitionByRange(8, col("dt")),
+      t, append = false, statsCols = Seq("dt"))
+    val dim = Seq(
+      (java.sql.Date.valueOf("2020-04-15"), "a"),  // day 105
+      (java.sql.Date.valueOf("2020-04-20"), "b"))  // day 110
+      .toDF("ddt", "tag")
+    val src = spark.readStream.format("graft-table").load(t)
+    val q = src.join(dim, src("dt") === dim("ddt"))
+      .writeStream.format("memory").queryName("vs_datejoin")
+      .option("checkpointLocation", s"$d/cp")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.sql("SELECT k, tag FROM vs_datejoin ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((105L, "a"), (110L, "b")),
+      "date join pruning must never change results")
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows < 400L,
+      s"date join-key pruning must skip most files: read $inputRows of 800 rows")
+  }
+
+  test("a stream joined to a DECIMAL dimension prunes fresh files (unscaled key sets)") {
+    val s = spark; import s.implicits._
+    val d = freshDir()
+    val t = s"$d/t"
+    VersionedTable.commit(
+      (1L to 800L).map(k => (k, k)).toDF("k", "price")
+        .withColumn("price", col("price").cast("decimal(9,2)"))
+        .repartitionByRange(8, col("price")),
+      t, append = false, statsCols = Seq("price"))
+    val dim = Seq((BigDecimal("105.00"), "a"), (BigDecimal("110.00"), "b"))
+      .toDF("dp", "tag")
+      .withColumn("dp", col("dp").cast("decimal(9,2)"))
+    val src = spark.readStream.format("graft-table").load(t)
+    val q = src.join(dim, src("price") === dim("dp"))
+      .writeStream.format("memory").queryName("vs_decjoin")
+      .option("checkpointLocation", s"$d/cp")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.sql("SELECT k, tag FROM vs_decjoin ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((105L, "a"), (110L, "b")),
+      "decimal join pruning must never change results")
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows < 400L,
+      s"decimal join-key pruning must skip most files: read $inputRows of 800 rows")
+  }
+
   test("checkpoint recovery resumes at the committed version: no replay, no loss") {
     val d = freshDir()
     val t = s"$d/t"

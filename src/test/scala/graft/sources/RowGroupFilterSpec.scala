@@ -142,6 +142,89 @@ class RowGroupFilterSpec extends AnyFunSuite {
       "row-group skipping must be invisible to results")
   }
 
+  test("TIMESTAMP bounds skip row groups (footer-qualified micros-INT64 leaves)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val t = s"$root/default/rgts"
+    val base = 1700000000L
+    VersionedTable.commit(
+      (1L to 60000L).map(k => (k, base + k)).toDF("k", "secs")
+        .withColumn("ts", timestamp_seconds(col("secs"))).drop("secs")
+        .coalesce(1).sortWithinPartitions("ts"),
+      t, append = false, statsCols = Seq("ts"),
+      writeOptions = Map("parquet.block.size" -> "65536"))
+    val file = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(t, "data")).iterator.asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(_.toString).toSeq.head
+    // the writeFiles override must have produced INT64 micros, not the
+    // session default INT96 — that is what QUALIFIES the leaves
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        new org.apache.hadoop.conf.Configuration()))
+    val prim = try {
+      val sch = rd.getFooter.getFileMetaData.getSchema
+      sch.getType(sch.getFieldIndex("ts")).asPrimitiveType().getPrimitiveTypeName
+    } finally rd.close()
+    assert(prim == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64,
+      s"programmatic commits must store timestamps as INT64 micros, got $prim")
+    val schema = VersionedTable.read(spark, t).schema
+    val byCommit = GraftRowGroupFilter.perCommit(t,
+      Seq("data/" + VersionedTable.dvKeyOf(file)), Set("ts"),
+      Map("ts" -> ((base + 59000L) * 1000000L, (base + 59500L) * 1000000L)),
+      Map.empty, Map.empty, Map.empty)
+    val pred = GraftCatalogReaderFactory.filterFor(byCommit, file)
+    assert(pred.nonEmpty, "micros-INT64 timestamp commits must build leaves")
+    val got = readAll(file, schema, pred)
+    assert(got.size < 60000,
+      s"timestamp stats must skip row groups (got ${got.size} of 60000)")
+    val gotSet = got.toSet
+    assert((59000L to 59500L).forall(gotSet.contains),
+      "a skipped row group may never hold a matching row")
+    // SQL front door exactness through a timestamp range over the same table
+    spark.conf.set("spark.sql.catalog.grg", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grg.root", root)
+    val sqlGot = spark.sql(
+      s"""SELECT k FROM grg.default.rgts
+         |WHERE ts BETWEEN timestamp_seconds(${base + 59000L})
+         |  AND timestamp_seconds(${base + 59500L})""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(sqlGot == (59000L to 59500L).toSet)
+  }
+
+  test("DECIMAL bounds skip row groups (unscaled leaves match the footer primitive)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = s"$root/default/rgdec"
+    VersionedTable.commit(
+      (1L to 60000L).map(k => (k, k)).toDF("k", "price")
+        .withColumn("price", col("price").cast("decimal(9,2)"))
+        .coalesce(1).sortWithinPartitions("price"),
+      t, append = false, statsCols = Seq("price"),
+      writeOptions = Map("parquet.block.size" -> "65536"))
+    val file = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(t, "data")).iterator.asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(_.toString).toSeq.head
+    val schema = VersionedTable.read(spark, t).schema
+    // DECIMAL(9,2) stores unscaled INT32: bounds 59000.00..59500.00 are
+    // unscaled 5900000..5950000, and perCommit must emit INT leaves
+    val byCommit = GraftRowGroupFilter.perCommit(t,
+      Seq("data/" + VersionedTable.dvKeyOf(file)), Set("price"),
+      Map("price" -> (5900000L, 5950000L)),
+      Map.empty, Map.empty, Map.empty)
+    val pred = GraftCatalogReaderFactory.filterFor(byCommit, file)
+    assert(pred.nonEmpty, "INT32-unscaled decimal commits must build leaves")
+    val got = readAll(file, schema, pred)
+    assert(got.size < 60000,
+      s"decimal stats must skip row groups (got ${got.size} of 60000)")
+    val gotSet = got.toSet
+    assert((59000L to 59500L).forall(gotSet.contains))
+  }
+
   test("widened columns skip row groups on BOTH generations (per-commit leaves)") {
     val s = spark; import s.implicits._
     val t = s"$root/default/rgw"
