@@ -32,29 +32,35 @@ object PlanLatencyProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the (nullable, like every served schema) probe-table schema — its
+    // json rides the persisted schema= header like real manifests carry
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+
     def mkTable(name: String, nFiles: Int): Unit = {
       val dir = java.nio.file.Paths.get(root, "default", name)
       java.nio.file.Files.createDirectories(dir.resolve("_manifest"))
       java.nio.file.Files.createDirectories(dir.resolve("data"))
-      // one schema-carrier real file so snapshotSchema works
+      // one schema-carrier real file so footer fallbacks keep working
       val carrier = dir.resolve("data").resolve("c1_probe")
       java.nio.file.Files.createDirectories(carrier)
       // named to sort FIRST in the commit: snapshotSchema reads one
       // representative footer per commit — the min path — and only the
       // carrier actually exists on disk
       new graft.sources.GraftDataWriter(
-        carrier.resolve("a-schema.parquet").toString,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("v",
-            org.apache.spark.sql.types.StringType)))).commit()
+        carrier.resolve("a-schema.parquet").toString, probeSchema).commit()
       val entries = (0 until nFiles).map { i =>
         val lo = i.toLong * 1000L
         val hi = lo + 999L
         s"data/c1_probe/part-$i.parquet#1000#k=$lo..$hi#k=1000"
       } :+ "data/c1_probe/a-schema.parquet#0"
-      val header = Seq("version=1", s"ts=${System.currentTimeMillis()}")
+      // post-upgrade manifests persist per-commit rollup + schema hints
+      val header = Seq("version=1", s"ts=${System.currentTimeMillis()}",
+        s"rollup=c1_probe k=0..${nFiles.toLong * 1000L - 1L}",
+        s"schema=c1_probe ${probeSchema.json}")
       java.nio.file.Files.write(
         dir.resolve("_manifest").resolve("1.manifest"),
         (header ++ entries).mkString("\n").getBytes)
@@ -95,23 +101,25 @@ object PlanLatencyProbe {
       java.nio.file.Files.createDirectories(dir.resolve("_manifest"))
       java.nio.file.Files.createDirectories(dir.resolve("data"))
       val nCommits = nFiles / perCommit
-      val sch = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("k",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("v",
-          org.apache.spark.sql.types.StringType)))
       val entries = (1 to nCommits).flatMap { j =>
         val cdir = dir.resolve("data").resolve(s"c${j}_probe")
         java.nio.file.Files.createDirectories(cdir)
         new graft.sources.GraftDataWriter(
-          cdir.resolve("a-schema.parquet").toString, sch).commit()
+          cdir.resolve("a-schema.parquet").toString, probeSchema).commit()
         (0 until perCommit).map { i =>
           val g = (j - 1).toLong * perCommit + i
           val lo = g * 1000L
           s"data/c${j}_probe/part-$i.parquet#1000#k=$lo..${lo + 999}#k=1000"
         } :+ s"data/c${j}_probe/a-schema.parquet#0"
       }
-      val header = Seq("version=1", s"ts=${System.currentTimeMillis()}")
+      // one persisted rollup + schema hint per commit, like tryPublish
+      val hints = (1 to nCommits).flatMap { j =>
+        val lo = (j - 1).toLong * perCommit * 1000L
+        val hi = j.toLong * perCommit * 1000L - 1L
+        Seq(s"rollup=c${j}_probe k=$lo..$hi",
+          s"schema=c${j}_probe ${probeSchema.json}")
+      }
+      val header = Seq("version=1", s"ts=${System.currentTimeMillis()}") ++ hints
       java.nio.file.Files.write(
         dir.resolve("_manifest").resolve("1.manifest"),
         (header ++ entries).mkString("\n").getBytes)

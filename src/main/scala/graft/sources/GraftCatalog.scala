@@ -690,8 +690,9 @@ class GraftRowLevelOperation(
                 GraftVectorization.morOk(required, e._3.map(abs))) && {
                 kept.groupBy(_._2).valuesIterator.forall { files =>
                   GraftVectorization.schemaCompatible(required,
-                    VersionedTable.commitSchemaOf(
-                      SparkSession.active, table, files.map(_._1).min))
+                    VersionedTable.commitSchemaHinted(
+                      SparkSession.active, table, Some(basis),
+                      files.map(_._1).min))
                 }
               }
           override def description(): String =
@@ -2327,7 +2328,7 @@ class GraftBucketedScan(
       perBucket.valuesIterator.flatten.map(_._1).toSeq
         .groupBy(p => p.split('/')(1)).valuesIterator.forall { files =>
           GraftVectorization.schemaCompatible(required,
-            VersionedTable.commitSchemaOf(spark, table, files.min))
+            VersionedTable.commitSchemaHinted(spark, table, version, files.min))
         }
     }
 
@@ -2378,7 +2379,7 @@ class GraftBucketedScan(
         perBucket.valuesIterator.flatten.map(_._1).toSeq,
         bounds.keySet ++ strBounds.keySet ++
           runtimeSets.keySet ++ strRuntimeSets.keySet,
-        bounds, strBounds, runtimeSets, strRuntimeSets))
+        bounds, strBounds, runtimeSets, strRuntimeSets, version))
 }
 
 case class GraftBucketPartition(
@@ -2642,29 +2643,26 @@ class GraftTableScan(
   // with one rollup range-check — its files are never visited — so a
   // selective predicate over a long-ingest table pays O(commits) probes
   // plus only the surviving commits' per-file checks, not O(files).
-  // Iteration order is commit-grouped first-appearance order, memoized,
-  // so plans stay deterministic run to run.
+  // The rollups are the PERSISTED `rollup=` manifest header lines, so
+  // the pre-filter works on the FIRST plan after process start too: a
+  // cold selective plan parses per-file stats only for surviving
+  // commits ([[VersionedTable.selectiveLayoutByCommit]]). Iteration
+  // order is commit-grouped first-appearance order, memoized, so plans
+  // stay deterministic run to run.
   private lazy val pruned =
     if (bounds.isEmpty)
       layout.filter { case (path, _, _, _) => !zeroRows.contains(path) }
         .filter(strKeep)
-    else {
-      val rollup = VersionedTable.snapshotCommitZones(table, version)
-      VersionedTable.snapshotLayoutByCommit(table, version)
+    else
+      VersionedTable.selectiveLayoutByCommit(table, version, bounds)
         .iterator.flatMap { case (cv, es) =>
-          val roll = rollup.getOrElse(cv, Map.empty)
-          val dead = bounds.exists { case (c, (lo, hi)) =>
-            roll.get(c).exists { case (mn, mx) => mx < lo || mn > hi }
-          }
-          if (dead) Nil
-          else es.filter { case (path, _, _, stats) =>
+          es.filter { case (path, _, _, stats) =>
             !zeroRows.contains(path) &&
             bounds.forall { case (c, (lo, hi)) =>
               stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
             } && strKeep((path, cv, Nil, stats))
           }
         }.toSeq
-    }
   private def strKeep(
       e: (String, Long, Seq[String], Map[String, (Long, Long)])): Boolean =
     strBounds.forall { case (c, b) =>
@@ -2753,13 +2751,16 @@ class GraftTableScan(
         val spark = SparkSession.active
         kept.groupBy(_._2).valuesIterator.forall { files =>
           GraftVectorization.schemaCompatible(required, VersionedTable
-            .commitSchemaOf(spark, table, files.map(_._1).min))
+            .commitSchemaHinted(spark, table, version, files.map(_._1).min))
         }
       }
 
   override def description(): String =
     s"graft-catalog $table${version.fold("")(v => s"@v$v")} " +
-      s"files=${kept.size}/${layout.size} " +
+      // denominator from the row-count memo (one cheap split per entry),
+      // NOT the full layout — a selective cold plan must never force the
+      // all-files stats parse just to print its description
+      s"files=${kept.size}/${VersionedTable.snapshotRowCounts(table, version).size} " +
       s"vectorized=$columnarOk " +
       s"bounds=${bounds.map { case (c, (l, h)) => s"$c∈[$l,$h]" }.mkString(",")}" +
       (if (strBounds.isEmpty) ""
@@ -2782,7 +2783,7 @@ class GraftTableScan(
         kept.map(_._1),
         bounds.keySet ++ strBounds.keySet ++
           runtimeSets.keySet ++ strRuntimeSets.keySet,
-        bounds, strBounds, runtimeSets, strRuntimeSets))
+        bounds, strBounds, runtimeSets, strRuntimeSets, version))
 }
 
 case class GraftCatalogPartition(
@@ -3450,14 +3451,15 @@ private[sources] object GraftRowGroupFilter {
       bounds: Map[String, (Long, Long)],
       strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])],
       inSets: Map[String, Set[Long]],
-      strInSets: Map[String, Set[String]])
+      strInSets: Map[String, Set[String]],
+      version: Option[Long] = None)
       : Map[String, Option[FilterPredicate]] =
     if (filterCols.isEmpty || keptPaths.isEmpty) Map.empty
     else {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
       val spark = SparkSession.active
       keptPaths.groupBy(_.split('/')(1)).map { case (dir, files) =>
-        val sch = VersionedTable.commitSchemaOf(spark, table, files.min)
+        val sch = VersionedTable.commitSchemaHinted(spark, table, version, files.min)
         lazy val phys = physOf(table, files.min)
         val typed = filterCols.iterator.flatMap { c =>
           sch.fields.find(_.name == c).map { f =>

@@ -122,7 +122,8 @@ object VersionedTable {
       .asScala.toSeq
 
   private def isHeader(l: String): Boolean =
-    l.startsWith("txn=") || l.startsWith("ts=") || l.startsWith("carry=")
+    l.startsWith("txn=") || l.startsWith("ts=") || l.startsWith("carry=") ||
+      l.startsWith("rollup=") || l.startsWith("schema=")
 
   /** The version this manifest carries its predecessor's entries from —
     * append/delete commits record `carry=<prev>` instead of rewriting
@@ -250,6 +251,56 @@ object VersionedTable {
     * link-as-CAS is the only primitive here. Content atomicity is kept
     * by the staging step: the target name never exists half-written.
     */
+  /** PERSISTED commit-level zone rollup: one `rollup=<dir> <col>=lo..hi
+    * [;…]` header line per commit directory present in `entries`, the
+    * on-disk twin of [[snapshotCommitZones]]. A column joins a rollup
+    * only when EVERY row-carrying entry of that directory records its
+    * zone (the same omission-means-cannot-exclude soundness rule). A
+    * later replace commit may remove some of a directory's files, making
+    * an old persisted rollup WIDER than the live truth — sound: pruning
+    * only drops commits the rollup positively excludes. The payoff is
+    * the COLD selective plan: [[selectiveLayoutByCommit]] reads these
+    * lines first and parses per-file stats only for surviving commits.
+    */
+  private def rollupLines(entries: Seq[String]): Seq[String] = {
+    val data = entries.filterNot(e => isDeleteEntry(e) || isRemoveEntry(e))
+    data.groupBy(e => entryPath(e).split('/')(1)).toSeq.sortBy(_._1).flatMap {
+      case (dir, es) =>
+        val carrying = es.filterNot(e => entryRows(e).contains(0L))
+        if (carrying.isEmpty) None
+        else {
+          val statsList = carrying.map(entryStats)
+          val cols = statsList.map(_.keySet).reduce(_ intersect _)
+          val cells = cols.toSeq.sorted.map { c =>
+            val zs = statsList.map(_(c))
+            s"$c=${zs.map(_._1).min}..${zs.map(_._2).max}"
+          }
+          if (cells.isEmpty) None
+          else Some(s"rollup=$dir ${cells.mkString(";")}")
+        }
+    }
+  }
+
+  /** PERSISTED commit schemas: one `schema=<dir> <json>` header line per
+    * commit directory present in `entries`, read from ONE representative
+    * footer at PUBLISH time (the files are already staged; ~2 ms once
+    * per commit). Snapshot schema resolution then unions manifest
+    * headers instead of opening one footer per commit per process —
+    * the other half of the cold-plan cost on long-ingest tables. A
+    * best-effort HINT: any failure here skips the line (readers fall
+    * back to the footer) rather than blocking a commit.
+    */
+  private def schemaLines(table: String, entries: Seq[String]): Seq[String] = {
+    val data = entries.filterNot(e => isDeleteEntry(e) || isRemoveEntry(e))
+    data.groupBy(e => entryPath(e).split('/')(1)).toSeq.sortBy(_._1).flatMap {
+      case (dir, es) =>
+        try {
+          val st = footerSchema(Paths.get(table, es.map(entryPath).min))
+          Some(s"schema=$dir ${st.json}")
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   private def tryPublish(
       table: String, next: Long, entries: Seq[String], txnId: Option[String],
       carry: Option[Long] = None): Boolean = {
@@ -258,7 +309,8 @@ object VersionedTable {
     val tmp = mdir.resolve(
       s"$next.manifest.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     val header = (s"version=$next" +: txnId.map(t => s"txn=$t").toSeq) ++
-      Seq(s"ts=${System.currentTimeMillis()}") ++ carry.map(c => s"carry=$c")
+      Seq(s"ts=${System.currentTimeMillis()}") ++ carry.map(c => s"carry=$c") ++
+      rollupLines(entries) ++ schemaLines(table, entries)
     Files.write(tmp, (header ++ entries).asJava)
     try {
       Files.createLink(mdir.resolve(s"$next.manifest"), tmp)
@@ -1169,6 +1221,48 @@ object VersionedTable {
   private val commitSchemas = new java.util.concurrent.ConcurrentHashMap[
     (String, String), org.apache.spark.sql.types.StructType]()
 
+  /** Force every level nullable, the way Spark's own parquet reads do
+    * ("all columns are automatically converted to be nullable for
+    * compatibility") — both the write-time persisted schema hints and
+    * the read-time footer fallback normalize through here, so schema
+    * comparisons never depend on which path produced the schema.
+    */
+  private def forceNullable(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = forceNullable(f.dataType), nullable = true)))
+      case at: ArrayType =>
+        at.copy(elementType = forceNullable(at.elementType), containsNull = true)
+      case mt: MapType => mt.copy(
+        keyType = forceNullable(mt.keyType),
+        valueType = forceNullable(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** One representative footer → Spark schema, through Spark's own
+    * parquet converter: byte-identical to `spark.read.parquet(file)
+    * .schema` (same SQLConf flags, same force-nullable convention) at
+    * ~2 ms instead of the ~45 ms a DataFrame resolution costs — the
+    * difference between a 482 s and a seconds-scale COLD plan on a
+    * 10k-commit ingest table (PlanLatencyProbe), because snapshot schema
+    * resolution reads one footer per commit directory.
+    */
+  private def footerSchema(file: Path): org.apache.spark.sql.types.StructType = {
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString),
+        new org.apache.hadoop.conf.Configuration()))
+    val msg = try rd.getFooter.getFileMetaData.getSchema finally rd.close()
+    val st = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(org.apache.spark.sql.internal.SQLConf.get)
+      .convert(msg)
+    forceNullable(st).asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
   /** The (cached) Spark schema of the commit directory holding manifest
     * entry `relPath` — ONE footer read per directory per JVM, which is
     * what keeps the SQL catalog's per-query planning free of repeated
@@ -1178,7 +1272,19 @@ object VersionedTable {
       spark: SparkSession, table: String, relPath: String)
       : org.apache.spark.sql.types.StructType =
     commitSchemas.computeIfAbsent((table, relPath.split('/')(1)),
-      _ => spark.read.parquet(Paths.get(table, relPath).toString).schema)
+      _ => footerSchema(Paths.get(table, relPath)))
+
+  /** [[commitSchemaOf]] preferring the snapshot's persisted `schema=`
+    * manifest hint — zero footer I/O for post-upgrade commits; one
+    * cached footer read for the rest. Every per-commit planning check
+    * (vectorization gates, row-group filter typing) goes through here so
+    * a cold selective plan opens no files at all on hinted tables.
+    */
+  private[sources] def commitSchemaHinted(
+      spark: SparkSession, table: String, version: Option[Long],
+      relPath: String): org.apache.spark.sql.types.StructType =
+    persistedSchemas(table, version).getOrElse(relPath.split('/')(1),
+      commitSchemaOf(spark, table, relPath))
 
   /** Snapshot schema in O(commit directories) footer reads, not
     * O(files): every file of a commit directory is written from one
@@ -1246,12 +1352,21 @@ object VersionedTable {
     // pays an O(files) group-by plus one schema union per commit — at
     // 1M files / 10k commits that alone was ~0.8 s per plan (footer
     // READS were already once-per-commit via commitSchemas)
-    memoParsed(table, version, "schema") {
-      val dataE = pinnedEntries(table, version).filterNot(isDeleteEntry).map(entryPath)
-      require(dataE.nonEmpty, s"no data files in the snapshot of $table")
-      val reps = dataE.groupBy(dataCommitOf).toSeq.sortBy(_._1).map(_._2.min)
-      reps.map(p => commitSchemaOf(spark, table, p))
-        .reduce(unionSchemas(table, _, _))
+    {
+      // persisted `schema=` hints first (O(commits) header lines, zero
+      // footer I/O — the cold-plan path); footer read only for commits
+      // without one (pre-upgrade manifests). Forced OUTSIDE the memo
+      // below — a nested computeIfAbsent on the shared parsedSnapshots
+      // map throws "Recursive update" (the snapshotCommitZones lesson)
+      val hints = persistedSchemas(table, version)
+      memoParsed(table, version, "schema") {
+        val dataE = pinnedEntries(table, version).filterNot(isDeleteEntry).map(entryPath)
+        require(dataE.nonEmpty, s"no data files in the snapshot of $table")
+        val reps = dataE.groupBy(dataCommitOf).toSeq.sortBy(_._1).map(_._2.min)
+        reps.map(p => hints.getOrElse(p.split('/')(1),
+            commitSchemaOf(spark, table, p)))
+          .reduce(unionSchemas(table, _, _))
+      }
     }
   }
 
@@ -1649,8 +1764,13 @@ object VersionedTable {
     * maintenance-advisor query composes from `$files`) and execute what
     * it recommends, atomically via the ordinary snapshot-pinned rewrite
     * paths:
-    *  - tombstone debt (any data file under a merge-on-read tombstone)
+    *  - EQUALITY tombstone debt (any data file under a key tombstone —
+    *    a standing per-row probe tax on every scan)
     *    → [[compact]]/[[compactBucketed]]: anti-joins become pure scans;
+    *  - POSITIONAL deletion-vector debt (doomed positions ≥ 30% of the
+    *    snapshot's live rows, from manifest counts alone — vectors read
+    *    at parity, so small ones are cheaper to keep than to rewrite)
+    *    → the same compaction, which drops the vectors;
     *  - small-file debt (≥ `smallFilesThreshold` data files under
     *    `smallFileRows` rows) → the same consolidation ([[optimize]] on
     *    the recorded cluster column when one exists, so maintenance
@@ -1673,7 +1793,23 @@ object VersionedTable {
     val head = vs.last
     val layout = snapshotLayout(table, Some(head))
     val rowsOf = snapshotRowCounts(table, Some(head))
-    val tombstoned = layout.count(_._3.nonEmpty)
+    // EQUALITY tombstones trigger on sight: every scan until compaction
+    // pays a per-row key-probe tax that grows with the key count
+    // (MorGateProbe: 1.14× at ~118k keys, 3.1× at ~1.2M)
+    val eqTombstoned = layout.count(_._3.exists(p => !isPosDeleteFile(p)))
+    // POSITIONAL deletion-vector debt is WEIGHED, not binary: vectors
+    // read at parity (~1.0× at every measured scale), so a small vector
+    // is not worth a full rewrite. What accumulates is doomed-row mass —
+    // dead positions every scan decodes and drops, per-file bitmaps in
+    // the executor cache, and row-group pruning disabled on referenced
+    // files. Pure manifest arithmetic: a tombstone entry's own footer
+    // row count IS its doomed-position count.
+    val entriesAll = manifestEntries(table, head)
+    val doomedPos = entriesAll
+      .filter(e => isDeleteEntry(e) && isPosDeleteFile(entryPath(e)))
+      .flatMap(entryRows).sum
+    val liveRows = layout.flatMap(e => rowsOf.get(e._1).flatten).sum
+    val posDebt = liveRows > 0 && doomedPos.toDouble / liveRows >= 0.3
     val small = layout.count { e =>
       val r = rowsOf.get(e._1).flatten
       r.exists(n => n > 0L && n < smallFileRows)
@@ -1733,7 +1869,9 @@ object VersionedTable {
           math.max(smallFileRows * 2, known.sum / dataLayout.size))
       else 1L << 20
     }
-    if (tombstoned > 0) ("compact: tombstone debt", consolidate(1L << 20))
+    if (eqTombstoned > 0) ("compact: tombstone debt", consolidate(1L << 20))
+    else if (posDebt)
+      ("compact: deletion-vector debt", consolidate(1L << 20))
     else if (small >= smallFilesThreshold)
       ("optimize: small-file debt", consolidate(1L << 20))
     else if (decayed)
@@ -1883,6 +2021,147 @@ object VersionedTable {
         order.getOrElseUpdate(e._2,
           scala.collection.mutable.ArrayBuffer.empty) += e)
       order.iterator.map { case (v, b) => (v, b.toSeq) }.toSeq
+    }
+  }
+
+  /** PERSISTED rollups of a pinned snapshot: commit directory →
+    * col → [min, max], read from the `rollup=` header lines along the
+    * manifest carry chain (newest declaration of a directory wins — a
+    * vacuum materialization recomputes them from the surviving entries).
+    * One chain walk per (table, version), memoized; header-only parsing,
+    * O(commits) lines, never O(files).
+    */
+  private[sources] def persistedRollups(
+      table: String, version: Option[Long])
+      : Map[String, Map[String, (Long, Long)]] =
+    persistedHeaders(table, version)._1
+
+  /** Persisted per-commit SCHEMAS (the `schema=` header lines): commit
+    * directory → Spark schema. Same chain walk and memoization as the
+    * rollups — snapshot schema resolution consults this first and opens
+    * a footer only for directories without a hint.
+    */
+  private[sources] def persistedSchemas(
+      table: String, version: Option[Long])
+      : Map[String, org.apache.spark.sql.types.StructType] =
+    persistedHeaders(table, version)._2
+
+  /** ONE manifest-chain header walk per (table, version): collects both
+    * the `rollup=` zone rollups and the `schema=` schema hints, newest
+    * declaration of a directory winning (a vacuum materialization
+    * recomputes both from the surviving entries). O(commits) header
+    * lines, never O(files); an unparseable line is skipped (readers
+    * fall back to per-file parses / footer reads).
+    */
+  private def persistedHeaders(
+      table: String, version: Option[Long])
+      : (Map[String, Map[String, (Long, Long)]],
+         Map[String, org.apache.spark.sql.types.StructType]) =
+    memoParsed(table, version, "pheaders") {
+      val rolls = scala.collection.mutable.Map
+        .empty[String, Map[String, (Long, Long)]]
+      val schemas = scala.collection.mutable.Map
+        .empty[String, org.apache.spark.sql.types.StructType]
+      var v: Option[Long] = Some(version.getOrElse(versions(table).last))
+      while (v.isDefined) {
+        val lines = manifestLines(table, v.get)
+        lines.tail.takeWhile(isHeader).foreach { l =>
+          if (l.startsWith("rollup=")) {
+            val body = l.stripPrefix("rollup=")
+            val sp = body.indexOf(' ')
+            if (sp > 0) {
+              val dir = body.substring(0, sp)
+              if (!rolls.contains(dir)) { // head-down walk: newest wins
+                val cells = body.substring(sp + 1).split(';').iterator.flatMap {
+                  kv =>
+                    val eq = kv.indexOf('=')
+                    val dots = kv.indexOf("..", eq + 1)
+                    if (eq <= 0 || dots <= eq) None
+                    else for {
+                      mn <- kv.substring(eq + 1, dots).toLongOption
+                      mx <- kv.substring(dots + 2).toLongOption
+                    } yield kv.substring(0, eq) -> (mn, mx)
+                }.toMap
+                if (cells.nonEmpty) rolls.update(dir, cells)
+              }
+            }
+          } else if (l.startsWith("schema=")) {
+            val body = l.stripPrefix("schema=")
+            val sp = body.indexOf(' ')
+            if (sp > 0) {
+              val dir = body.substring(0, sp)
+              if (!schemas.contains(dir)) {
+                try {
+                  org.apache.spark.sql.types.DataType
+                    .fromJson(body.substring(sp + 1)) match {
+                      case st: org.apache.spark.sql.types.StructType =>
+                        schemas.update(dir, st)
+                      case _ => ()
+                    }
+                } catch { case scala.util.control.NonFatal(_) => () }
+              }
+            }
+          }
+        }
+        v = carryOf(table, v.get)
+      }
+      (rolls.toMap, schemas.toMap)
+    }
+
+  /** SELECTIVE snapshot layout: the per-file planning tuples of ONLY the
+    * commits whose PERSISTED rollup intersects `bounds` — what makes the
+    * COLD selective plan cheap. The full-layout path parses every
+    * entry's stats string once per (table, version); here a commit whose
+    * `rollup=` header positively excludes the bounds is dropped before
+    * any of its entries' stats are parsed, so the first plan after
+    * process start pays O(commits) rollup probes plus only the surviving
+    * commits' per-file parses. Per-commit parses memoize individually
+    * (`clayout:<dir>`), so later plans with different bounds reuse every
+    * commit parsed so far, and a full-layout memo that already exists is
+    * served directly. Commits without a persisted rollup (pre-upgrade
+    * manifests, stat-less commits) parse as before — strictly never
+    * worse than the full walk.
+    */
+  private[sources] def selectiveLayoutByCommit(
+      table: String, version: Option[Long],
+      bounds: Map[String, (Long, Long)])
+      : Seq[(Long, Seq[(String, Long, Seq[String], Map[String, (Long, Long)])])] = {
+    // a fully-parsed layout memo already paid the walk — reuse it
+    val v = version.getOrElse(versions(table).last)
+    if (parsedSnapshots.containsKey((table, v, "layoutbycommit")) ||
+      parsedSnapshots.containsKey((table, v, "layout")))
+      return snapshotLayoutByCommit(table, version)
+    val entries = pinnedEntries(table, version)
+    val delRefs = entries.filter(isDeleteEntry)
+      .map(e => (e.split(":", 3)(1).toLong, entryPath(e)))
+    // raw entry strings grouped by commit directory — first-appearance
+    // order (deterministic plans), no stats parsing
+    val rawByDir: Seq[(String, Long, Seq[String])] =
+      memoParsed(table, version, "rawbydir") {
+        val order = scala.collection.mutable.LinkedHashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+        entries.filterNot(isDeleteEntry).foreach { e =>
+          order.getOrElseUpdate(entryPath(e).split('/')(1),
+            scala.collection.mutable.ArrayBuffer.empty) += e
+        }
+        order.iterator.map { case (dir, es) =>
+          (dir, dir.stripPrefix("c").takeWhile(_.isDigit).toLong, es.toSeq)
+        }.toSeq
+      }
+    val rolls = persistedRollups(table, version)
+    rawByDir.flatMap { case (dir, cv, es) =>
+      val dead = rolls.get(dir).exists(roll => bounds.exists {
+        case (c, (lo, hi)) =>
+          roll.get(c).exists { case (mn, mx) => mx < lo || mn > hi }
+      })
+      if (dead) None
+      else {
+        val tombs = delRefs.collect { case (b, p) if b >= cv => p }
+        val parsed = memoParsed(table, version, s"clayout:$dir") {
+          es.map(e => (entryPath(e), entryStats(e)))
+        }
+        Some(cv -> parsed.map { case (p, st) => (p, cv, tombs, st) })
+      }
     }
   }
 
@@ -3301,11 +3580,29 @@ object VersionedTable {
       if (chainCrosses(v)) {
         val resolved = manifestEntries(table, v)
         val headers = manifestLines(table, v).tail.takeWhile(isHeader)
-          .filterNot(_.startsWith("carry="))
+          .filterNot(l => l.startsWith("carry=") ||
+            l.startsWith("rollup=") || l.startsWith("schema="))
+        // the CHAIN's accumulated rollup/schema hints must survive the
+        // materialization (the predecessors that declared them are about
+        // to be deleted) — re-emit them for the directories the resolved
+        // list still references, so cold selective planning keeps its
+        // O(commits) path after every vacuum
+        val liveDirs = resolved.filterNot(isRemoveEntry)
+          .map(e => entryPath(e).split('/')(1)).toSet
+        val (rolls, schemas) = persistedHeaders(table, Some(v))
+        val hints =
+          rolls.filter(kv => liveDirs.contains(kv._1)).toSeq.sortBy(_._1)
+            .map { case (dir, m) =>
+              s"rollup=$dir ${m.toSeq.sortBy(_._1)
+                .map { case (c, (mn, mx)) => s"$c=$mn..$mx" }.mkString(";")}"
+            } ++
+          schemas.filter(kv => liveDirs.contains(kv._1)).toSeq.sortBy(_._1)
+            .map { case (dir, st) => s"schema=$dir ${st.json}" }
         val mdir = manifestDir(table)
         val tmp = mdir.resolve(
           s"$v.manifest.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-        Files.write(tmp, ((s"version=$v" +: headers) ++ resolved).asJava)
+        Files.write(tmp,
+          ((s"version=$v" +: headers) ++ hints ++ resolved).asJava)
         Files.move(tmp, mdir.resolve(s"$v.manifest"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -497,7 +497,8 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW PROCEDURES IN gtest.system")
       .collect().map(_.getString(3)).toSet ==
       Set("vacuum", "vacuum_time", "vacuum_orphans", "compact", "optimize",
-        "optimize_where", "zorder", "restore", "clone", "auto_maintain"))
+        "optimize_where", "zorder", "restore", "clone", "auto_maintain",
+        "set_partitioning"))
   }
 
   test("CALL system.restore rolls the head back; CALL system.clone forks a table") {
@@ -1481,6 +1482,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     // a second call is a healthy no-op: same head, no new version
     val r2 = spark.sql("CALL gtest.system.auto_maintain('default.amt')").collect()(0)
     assert(r2.getString(0) == "healthy" && r2.getLong(1) == 5L, r2.toString)
+  }
+
+  test("auto_maintain weighs POSITIONAL deletion-vector debt: light keeps, heavy compacts") {
+    val s = spark; import s.implicits._
+    val r = root
+    // LIGHT: a small vector dooms ~1% of rows — vectors read at parity
+    // (MorGateProbe), so keeping it beats a full rewrite
+    val tl = s"$root/default/pdl"
+    VersionedTable.commit(
+      (1L to 10000L).map(k => (k, s"v$k")).toDF("k", "v").repartition(2),
+      tl, append = false)
+    VersionedTable.deleteWherePositional(spark, tl, col("k") % 100L === 7L)
+    val r1 = spark.sql("CALL gtest.system.auto_maintain('default.pdl')").collect()(0)
+    assert(r1.getString(0) == "healthy",
+      s"a 1%-doomed vector must not trigger a rewrite: ${r1.toString}")
+    // HEAVY: vectors doom ~50% of live rows — doomed-position mass past
+    // the 30% manifest-arithmetic threshold compacts in one call
+    val th = s"$root/default/pdh"
+    VersionedTable.commit(
+      (1L to 10000L).map(k => (k, s"v$k")).toDF("k", "v").repartition(2),
+      th, append = false)
+    VersionedTable.deleteWherePositional(spark, th, col("k") % 2L === 0L)
+    val r2 = spark.sql("CALL gtest.system.auto_maintain('default.pdh')").collect()(0)
+    assert(r2.getString(0) == "compact: deletion-vector debt", r2.toString)
+    val files = spark.sql(
+      "SELECT n_applicable_tombstones FROM gtest.default.`pdh$files`")
+      .collect().map(_.getAs[Number](0).longValue())
+    assert(files.forall(_ == 0L), "the compaction must drop the vectors")
+    assert(spark.sql("SELECT count(*) FROM gtest.default.pdh")
+      .collect()(0).getLong(0) == 5000L,
+      "maintenance must change layout only, never content")
+    val r3 = spark.sql("CALL gtest.system.auto_maintain('default.pdh')").collect()(0)
+    assert(r3.getString(0) == "healthy", s"no thrash after the rewrite: ${r3.toString}")
   }
 
   test("auto_maintain detects CLUSTERING DECAY and re-executes the Z-ORDER in one call") {

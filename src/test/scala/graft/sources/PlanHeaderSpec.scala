@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Pins for the PERSISTED planning headers (`rollup=` / `schema=`
+  * manifest lines): every commit writes them, cold selective planning
+  * consumes them ([[VersionedTable.selectiveLayoutByCommit]] parses only
+  * surviving commits' entries; [[VersionedTable.snapshotSchema]] unions
+  * header hints with zero footer I/O), and vacuum's materialization
+  * carries the CHAIN's hints forward before deleting the manifests that
+  * declared them.
+  */
+class PlanHeaderSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private lazy val root = SparkTestBase.tempDir("plan_header").toString
+
+  private def manifestText(table: String, v: Long): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(table, "_manifest", s"$v.manifest")), "UTF-8")
+
+  test("every commit persists rollup + schema header lines") {
+    val s = spark; import s.implicits._
+    val t = s"$root/hdr"
+    VersionedTable.commit(
+      (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(2, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    VersionedTable.commit(
+      (1001L to 2000L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(2, col("k")),
+      t, append = true, statsCols = Seq("k"))
+    val m1 = manifestText(t, 1L)
+    val m2 = manifestText(t, 2L)
+    assert(m1.contains("rollup=c1_") && m1.contains("schema=c1_"),
+      s"commit 1 must persist its hints:\n${m1.take(400)}")
+    assert(m2.contains("rollup=c2_") && m2.contains("schema=c2_"),
+      s"commit 2 must persist its hints:\n${m2.take(400)}")
+    // the rollup carries the commit's true key span
+    assert("rollup=c1_\\S+ k=1\\.\\.1000".r.findFirstIn(m1).isDefined,
+      s"commit 1 rollup must span k=1..1000:\n${m1.take(400)}")
+    // selective planning drops the dead commit without parsing it: the
+    // surviving layout holds only commit 2's files
+    val sel = VersionedTable.selectiveLayoutByCommit(
+      t, None, Map("k" -> (1500L, 1600L)))
+    assert(sel.map(_._1) == Seq(2L),
+      s"commit 1 must be dropped by its persisted rollup: ${sel.map(_._1)}")
+    // schema hints serve snapshot resolution (values must match a read)
+    assert(VersionedTable.read(spark, t).count() == 2000L)
+  }
+
+  test("vacuum materialization carries the chain's hints forward") {
+    val s = spark; import s.implicits._
+    val t = s"$root/vac"
+    VersionedTable.commit(
+      (1L to 500L).map(k => (k, k * 2)).toDF("k", "x"), t,
+      append = false, statsCols = Seq("k"))
+    VersionedTable.commit(
+      (501L to 1000L).map(k => (k, k * 2)).toDF("k", "x"), t,
+      append = true, statsCols = Seq("k"))
+    VersionedTable.commit(
+      (1001L to 1500L).map(k => (k, k * 2)).toDF("k", "x"), t,
+      append = true, statsCols = Seq("k"))
+    VersionedTable.vacuum(t, retain = 1)
+    val m3 = manifestText(t, 3L)
+    // the materialized head must re-declare ALL THREE commits' hints —
+    // the manifests that declared c1/c2 are gone
+    Seq("c1_", "c2_", "c3_").foreach { dir =>
+      assert(m3.contains(s"rollup=$dir") && m3.contains(s"schema=$dir"),
+        s"materialized manifest must carry $dir hints:\n${m3.take(600)}")
+    }
+    assert(!m3.contains("carry="), "materialized manifests are self-contained")
+    // and planning still drops dead commits cold (fresh memo key: the
+    // rewritten manifest resolves identically)
+    val sel = VersionedTable.selectiveLayoutByCommit(
+      t, None, Map("k" -> (600L, 700L)))
+    assert(sel.map(_._1) == Seq(2L), s"got ${sel.map(_._1)}")
+    assert(VersionedTable.read(spark, t).count() == 1500L)
+  }
+}
