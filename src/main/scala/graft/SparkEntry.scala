@@ -80,6 +80,7 @@ object SparkEntry {
     "q_table_posdel" -> ((s, d) => Incremental.ordersPositionalDelete(t(s, d, "orders"))),
     "q_table_binary" -> ((s, d) => Incremental.docsSqlBinary(t(s, d, "documents"))),
     "q_table_nested" -> ((s, d) => Incremental.docsSqlNested(t(s, d, "documents"))),
+    "q_table_emb" -> ((s, d) => Incremental.embSqlTopK(t(s, d, "embeddings"))),
     "q_posdel_changes" -> ((s, d) => Incremental.ordersPosDelChanges(t(s, d, "orders"))),
     "q_asof_versioned" -> ((s, d) => Incremental.eventsAsofVersioned(t(s, d, "events"))),
     "q_table_pruned" -> ((s, d) => Incremental.ordersPrunedRead(t(s, d, "orders"))),
@@ -106,6 +107,7 @@ object SparkEntry {
     "q_sql_partitioned_date" -> ((s, d) => Incremental.ordersSqlPartitionedDate(t(s, d, "orders"))),
     "q_sql_partitioned_ts" -> ((s, d) => Incremental.ordersSqlPartitionedTs(t(s, d, "orders"))),
     "q_sql_part_evolve" -> ((s, d) => Incremental.ordersSqlPartEvolve(t(s, d, "orders"))),
+    "q_sql_dbl_prune" -> ((s, d) => Incremental.ordersSqlDblPruned(t(s, d, "orders"))),
     "q_sql_partitioned_trunc" -> ((s, d) => Incremental.ordersSqlPartitionedTrunc(t(s, d, "orders"))),
     "q_sql_bloom" -> ((s, d) => Incremental.ordersSqlBloom(t(s, d, "orders"))),
     "q_sql_fastminmax_date" -> ((s, d) => Incremental.ordersSqlFastMinMaxDate(t(s, d, "orders"))),
@@ -1772,6 +1774,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, CAST(o_orderkey + 10000000000.25 AS DECIMAL(18, 2))
         |FROM orders WHERE o_orderkey % 3 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+    // DOUBLE zone pruning via IEEE sortable-bits zones: amounts derive
+    // exactly from the key (k + 0.25 is representable), the engine
+    // prunes files by bits-space bounds (strict bound = exact nextUp),
+    // the oracle replays the plain filter.
+    "q_sql_dbl_prune" ->
+      """SELECT o_orderkey, o_orderkey + 0.25 AS amount
+        |FROM orders
+        |WHERE o_orderkey + 0.25 > 12000.0 AND o_orderkey + 0.25 <= 15000.25
         |ORDER BY o_orderkey""".stripMargin,
     // DECIMAL zone pruning: amounts derive exactly from the key, the
     // engine prunes files by unscaled zones, the oracle replays plain.
@@ -4075,6 +4086,24 @@ object SparkEntry {
     "q_emb_topk_agg" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
          |c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+         |s AS (
+         |  SELECT query_id, cand_id, ${cosSql("q_emb", "c_emb")} AS cos
+         |  FROM q, c WHERE query_id <> cand_id),
+         |r AS (SELECT query_id, cand_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |      FROM s)
+         |SELECT query_id, rnk, cand_id, round(cos, 6) AS cos_sim
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // embeddings stored IN the graft table format (ARRAY<FLOAT> through
+    // SQL CREATE/INSERT, a positional delete of vec_id ≡ 13 mod 97),
+    // then brute-force cosine top-k over the table read — float
+    // round-trips are bit-exact, so the oracle is q_emb_topk's
+    // arithmetic over the surviving vectors
+    "q_table_emb" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 20 AND vec_id % 97 <> 13),
+         |c AS (SELECT vec_id AS cand_id, embedding AS c_emb
+         |      FROM embeddings WHERE vec_id % 97 <> 13),
          |s AS (
          |  SELECT query_id, cand_id, ${cosSql("q_emb", "c_emb")} AS cos
          |  FROM q, c WHERE query_id <> cand_id),

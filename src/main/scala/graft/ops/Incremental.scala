@@ -825,6 +825,35 @@ object Incremental {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Registered q_sql_dbl_prune body: DOUBLE-predicate file pruning —
+    * the round-15 "what's missing #5". Double zones record IEEE
+    * SORTABLE BITS (a monotone bijection onto signed longs, so the
+    * engine's entire long-zone machinery prunes doubles EXACTLY — the
+    * ±1 open-bound adjustments mean nextUp/nextDown, not truncation);
+    * the table is range-clustered on the double, and a half-open range
+    * with a strict lower bound prunes files at planning time. The
+    * oracle replays the plain filter — amounts derive exactly from the
+    * key (k + 0.25 is representable), so the hash is engine-neutral.
+    */
+  def ordersSqlDblPruned(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqldbl:$inputKey"), { _ =>
+      val n = s"orders_dbl_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      graft.sources.VersionedTable.commit(
+        orders.select(col("o_orderkey"),
+            (col("o_orderkey") + lit(0.25)).as("amount"))
+          .repartitionByRange(8, col("amount")),
+        s"$root/default/$n", append = false, statsCols = Seq("amount"))
+      n
+    })
+    spark.sql(
+      s"""SELECT o_orderkey, amount FROM gtab.default.$name
+         |WHERE amount > 12000.0 AND amount <= 15000.25
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Registered q_sql_pruned_str body: STRING-predicate file pruning
     * through the SQL catalog — the table is range-clustered on a
     * fixed-width string key, commit-time byte-prefix zone maps
@@ -962,6 +991,36 @@ object Incremental {
          |  meta.lang AS lang, meta.src AS src, n_chars
          |FROM gtab.default.$name
          |WHERE doc_id % 3 <> 1 ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Registered q_table_emb body: EMBEDDINGS as versioned-table citizens
+    * — the ARRAY<FLOAT> column goes through SQL CREATE/INSERT (the
+    * catalog writer's standard 3-level lists), a positional deletion
+    * vector drops a slice of the corpus (vec_id ≡ 13 mod 97 — including
+    * query vector 13, so the read path's correctness is visible in the
+    * result set), and brute-force cosine top-k runs OVER THE TABLE READ.
+    * Floats round-trip bit-exactly (FLOAT primitive in, FLOAT out), so
+    * the scores equal `q_emb_topk`'s oracle arithmetic on the surviving
+    * vectors — ANN over table-format storage loses nothing.
+    */
+  def embSqlTopK(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    val root = catalogRoot(spark)
+    val inputKey = embeddings.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlemb:$inputKey"), { _ =>
+      val n = s"emb_tab_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      embeddings.createOrReplaceTempView(s"g_emb_src_$n")
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n (
+           |  vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT vec_id, embedding, label FROM g_emb_src_$n""".stripMargin)
+      graft.sources.VersionedTable.deleteWherePositional(
+        spark, s"$root/default/$n", col("vec_id") % 97L === 13L)
+      n
+    })
+    graft.ops.Similarity.bruteForceTopK(spark.table(s"gtab.default.$name"))
   }
 
   /** Registered q_sql_ctas body: the SQL DDL surface end-to-end —

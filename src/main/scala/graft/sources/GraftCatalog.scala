@@ -1005,13 +1005,14 @@ private[sources] object GraftProcedures {
 }
 
 /** Shared translation of Spark's V1 `Filter` pushdown forms: to a
-  * `Column` predicate (for DELETE), and to per-column integral [lo, hi]
-  * bounds usable against commit-time zone maps (for planning-time file
-  * pruning). Bounds are derived ONLY from integral columns with integral
-  * literals — zone-map stats are `cast(long)`-truncated and the ±1
-  * open-bound adjustments assume integer arithmetic, so fractional
-  * predicates never participate (they'd wrongly prune; see the scan
-  * builder's Scaladoc for the concrete failure).
+  * `Column` predicate (for DELETE), and to per-column [lo, hi] bounds in
+  * LONG space usable against commit-time zone maps (for planning-time
+  * file pruning). Each type family converts its literals into the unit
+  * its zones were recorded in: integral raw, DATE epoch days, TIMESTAMP
+  * epoch micros, DECIMAL≤18 unscaled, DOUBLE IEEE sortable bits under a
+  * `~col` key (where the ±1 open-bound adjustments mean
+  * nextUp/nextDown — exact, unlike the integer truncation that kept
+  * doubles out of pruning before round 16).
   */
 private[sources] object GraftFilters {
   import org.apache.spark.sql.Column
@@ -1229,15 +1230,31 @@ private[sources] object GraftFilters {
         catch { case _: ArithmeticException => None }
       }
     }
+    // DOUBLE predicates convert to SORTABLE BITS under a tilde-prefixed
+    // bound key (`~col`): the bijection makes ±1 mean nextUp/nextDown —
+    // exact open-bound handling, unlike integer truncation — and the
+    // tilde matches the zone key double stats are recorded under, so old
+    // manifests' truncated long zones (raw name) can never be misread
+    val dblCols: Set[String] = schema.fields.collect {
+      case f if f.dataType == DoubleType => f.name
+    }.toSet
+    def dblLit(v: Any): Option[Long] = v match {
+      case d: java.lang.Double => Some(VersionedTable.sortableBits(d))
+      case f: java.lang.Float  => Some(VersionedTable.sortableBits(f.toDouble))
+      case _                   => None
+    }
     def litOf(c: String, v: Any): Option[Long] =
       if (integralCols.contains(c)) integralLit(v)
       else if (dateCols.contains(c)) dateLit(v)
       else if (tsCols.contains(c)) tsLit(v)
+      else if (dblCols.contains(c)) dblLit(v)
       else decScale.get(c).flatMap(s => decLit(v, s))
+    def keyOf(c: String): String = if (dblCols.contains(c)) s"~$c" else c
     var bounds = Map.empty[String, (Long, Long)]
     def tighten(c: String, lo: Long, hi: Long): Boolean = {
-      val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
-      bounds = bounds.updated(c, (math.max(l0, lo), math.min(h0, hi)))
+      val k = keyOf(c)
+      val (l0, h0) = bounds.getOrElse(k, (Long.MinValue, Long.MaxValue))
+      bounds = bounds.updated(k, (math.max(l0, lo), math.min(h0, hi)))
       true
     }
     val consumed = filters.filter {
@@ -1970,12 +1987,12 @@ class GraftTableScanBuilder(
     * them above the scan, so file skipping can only remove files that
     * cannot match, never change results.
     *
-    * Only integral columns (and integral literals) participate: zone-map
-    * stats are recorded via `cast(long)`, which TRUNCATES fractional
-    * values toward zero, and the `±1` open-bound adjustments below assume
-    * integer arithmetic — consuming `price > 10.5` on a DOUBLE column
-    * would compute lo=11 and wrongly prune a file holding 10.9 (stats
-    * [10,10]). Non-integral predicates are simply not pruned on.
+    * Integral, DATE (epoch days), TIMESTAMP (epoch micros), DECIMAL≤18
+    * (unscaled), and DOUBLE (IEEE sortable bits under a `~col` key — the
+    * bijection makes the `±1` open-bound adjustments mean
+    * nextUp/nextDown, exactly) all participate; each family converts its
+    * literals into the unit its zones were recorded in. Anything else is
+    * simply not pruned on.
     */
   private var staticIn: Map[String, Set[Long]] = Map.empty
   private var staticStrIn: Map[String, Set[String]] = Map.empty
@@ -3323,6 +3340,22 @@ private[sources] object GraftRowGroupFilter {
             if (lo == hi) Seq[FilterPredicate](FilterApi.eq(col, clampI(lo)))
             else Seq[FilterPredicate](
               FilterApi.gtEq(col, clampI(lo)), FilterApi.ltEq(col, clampI(hi)))
+          case Some(DoubleType) if c.startsWith("~") =>
+            // double bounds arrive as SORTABLE BITS under the tilde key;
+            // the bijection converts back to the EXACT double endpoints
+            // for the file's own DOUBLE stats. A NaN endpoint (data held
+            // NaN) has no sound comparison — decline the leaf.
+            val dlo = VersionedTable.bitsToDouble(lo)
+            val dhi = VersionedTable.bitsToDouble(hi)
+            if (dlo.isNaN || dhi.isNaN) Nil
+            else {
+              val col = FilterApi.doubleColumn(c.stripPrefix("~"))
+              if (lo == hi) Seq[FilterPredicate](
+                FilterApi.eq(col, java.lang.Double.valueOf(dlo)))
+              else Seq[FilterPredicate](
+                FilterApi.gtEq(col, java.lang.Double.valueOf(dlo)),
+                FilterApi.ltEq(col, java.lang.Double.valueOf(dhi)))
+            }
           case _ => Nil
         }
       }
@@ -3461,9 +3494,17 @@ private[sources] object GraftRowGroupFilter {
       keptPaths.groupBy(_.split('/')(1)).map { case (dir, files) =>
         val sch = VersionedTable.commitSchemaHinted(spark, table, version, files.min)
         lazy val phys = physOf(table, files.min)
-        val typed = filterCols.iterator.flatMap { c =>
+        val typed = filterCols.iterator.flatMap { c0 =>
+          // a tilde key is a DOUBLE bound over the stripped column name
+          val c = c0.stripPrefix("~")
           sch.fields.find(_.name == c).map { f =>
-            c -> (f.dataType match {
+            c0 -> (f.dataType match {
+              case DoubleType if c0.startsWith("~") =>
+                phys.get(c) match {
+                  case Some((PrimitiveTypeName.DOUBLE, _)) => DoubleType
+                  case _ => NullType // FLOAT (pre-widen) or absent: decline
+                }
+              case _ if c0.startsWith("~") => NullType
               case TimestampType | TimestampNTZType =>
                 phys.get(c) match {
                   case Some((PrimitiveTypeName.INT64, true)) => f.dataType

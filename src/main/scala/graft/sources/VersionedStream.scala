@@ -489,10 +489,13 @@ class VersionedMicroBatchStream(
         val spark = org.apache.spark.sql.SparkSession.active
         // COMPATIBLE (not exact): widened tables stream columnar too —
         // the explicit-schema reader promotes narrow generations natively
+        // hinted: the persisted schema= header serves post-upgrade
+        // commits with zero footer I/O; a commit outside the head chain
+        // (streamed historical version) falls back to the cached footer
         parts.map(_._1).distinct.forall(rel =>
           GraftVectorization.schemaCompatible(
             org.apache.spark.sql.types.StructType(dataFields),
-            VersionedTable.commitSchemaOf(spark, table, rel)))
+            VersionedTable.commitSchemaHinted(spark, table, None, rel)))
       }
     parts.map { case (_, p) =>
       (if (columnar) p.copy(columnar = true) else p): InputPartition

@@ -395,6 +395,29 @@ object VersionedTable {
         f.dataType == org.apache.spark.sql.types.IntegerType => f.name
     }.toSeq
 
+  /** DOUBLE values as SORTABLE BITS: the standard IEEE-754 total-order
+    * map (positives keep their bit pattern, negatives flip all bits but
+    * the sign) — a monotone BIJECTION from double order onto signed-long
+    * order in which adjacent longs are adjacent representable doubles.
+    * Double zone maps record these bits under a TILDE-prefixed stats key
+    * (`~col=lo..hi`), so (a) every piece of long-zone machinery — file
+    * zones, commit rollups, persisted headers, streaming probes — works
+    * on doubles unchanged and EXACTLY (the ±1 open-bound adjustments
+    * mean nextUp/nextDown, not integer truncation, which is why raw
+    * `cast(long)` zones could never prune doubles soundly), and (b) old
+    * manifests' truncated long zones under the raw name can never be
+    * misread against bits-space bounds.
+    */
+  private[sources] def sortableBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    if (b < 0) b ^ 0x7FFFFFFFFFFFFFFFL else b
+  }
+
+  /** Inverse of [[sortableBits]] — exact, because the map is a bijection. */
+  private[sources] def bitsToDouble(s: Long): Double =
+    java.lang.Double.longBitsToDouble(
+      if (s < 0) s ^ 0x7FFFFFFFFFFFFFFFL else s)
+
   /** Default cap on how many columns the per-commit stats job aggregates
     * (min/max + NDV + length stats each): a 2,000-column table must not
     * pay a 4,000-aggregate job on every small INSERT. Overridable per
@@ -432,6 +455,9 @@ object VersionedTable {
       f.dataType == LongType || f.dataType == IntegerType ||
       f.dataType == DateType || f.dataType == StringType ||
       f.dataType == org.apache.spark.sql.types.TimestampType ||
+      // DOUBLE zones are exact sortable-bits ([[sortableBits]]), so
+      // doubles are a default stats family like everything else
+      f.dataType == org.apache.spark.sql.types.DoubleType ||
       (f.dataType match {
         case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
         case _ => false
@@ -619,10 +645,18 @@ object VersionedTable {
             case _ => None
           }
         }.flatten.toMap
+        val dblSet = snap.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.DoubleType =>
+            f.name
+        }.toSet
         val (strCols, nonStr) = statsCols.partition(strSet.contains)
         val (dateCols, nonDate) = nonStr.partition(dateSet.contains)
         val (tsCols, nonTs) = nonDate.partition(tsSet.contains)
-        val (decCols, numCols) = nonTs.partition(decScale.contains)
+        val (decCols, nonDec) = nonTs.partition(decScale.contains)
+        // DOUBLE zones aggregate as true doubles and convert to sortable
+        // bits on the driver (no SQL bit-twiddling needed); the tilde key
+        // firewalls them from any legacy truncated-long zone
+        val (dblCols, numCols) = nonDec.partition(dblSet.contains)
         // NDV sketches ride the same job: HLL per stats column per file,
         // unioned into one per-commit sketch below (types hll_sketch_agg
         // accepts: int/long/string/binary — exactly the stats families)
@@ -656,6 +690,10 @@ object VersionedTable {
               max(col(c) * unscale).cast("long").as(s"g_mx_$c"),
               count(col(c)).as(s"g_nn_$c"))
           } ++
+          dblCols.flatMap(c => Seq(
+            min(col(c)).as(s"g_fmn_$c"),
+            max(col(c)).as(s"g_fmx_$c"),
+            count(col(c)).as(s"g_fnn_$c"))) ++
           strCols.flatMap(c => Seq(
             min(col(c)).as(s"g_smn_$c"),
             max(col(c)).as(s"g_smx_$c"),
@@ -732,6 +770,14 @@ object VersionedTable {
             (mn, mx) match {
               case (a: Long, b: Long) =>
                 Some((s"$c=$a..$b", s"$c=${r.getAs[Long](s"g_nn_$c")}"))
+              case _ => None
+            }
+          } ++ dblCols.flatMap { c =>
+            // double zones under the TILDE key, values = sortable bits
+            (r.getAs[Any](s"g_fmn_$c"), r.getAs[Any](s"g_fmx_$c")) match {
+              case (a: java.lang.Double, b: java.lang.Double) =>
+                Some((s"~$c=${sortableBits(a)}..${sortableBits(b)}",
+                  s"~$c=${r.getAs[Long](s"g_fnn_$c")}"))
               case _ => None
             }
           }

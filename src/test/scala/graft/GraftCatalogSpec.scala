@@ -1065,6 +1065,35 @@ class GraftCatalogSpec extends AnyFunSuite {
         { val mm = 1L + (i * 25903) % 12; mm >= 2 && mm <= 3 }).sorted)
   }
 
+  test("DOUBLE predicates prune files through sortable-bits zones, exactly") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/dblp"
+    VersionedTable.commit(
+      (1L to 8000L).map(k => (k, k + 0.25)).toDF("k", "amount")
+        .repartitionByRange(8, col("amount")),
+      t, append = false, statsCols = Seq("amount"))
+    val q = spark.sql(
+      "SELECT k FROM gtest.default.dblp " +
+        "WHERE amount > 5000.25 AND amount <= 5500.25")
+    val m = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no graft-catalog scan"))
+    assert(m.group(2).toInt >= 8, s"expected 8 files, got ${m.group(2)}")
+    assert(m.group(1).toInt * 2 <= m.group(2).toInt,
+      s"a double range must prune files, got files=${m.group(1)}/${m.group(2)}")
+    // the STRICT lower bound is the exactness edge: 5000.25 itself is a
+    // stored value and must be excluded by the query but never make the
+    // pruning drop the file holding 5000.26.. (nextUp semantics)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (5001L to 5500L),
+      "bits-space pruning must be invisible to results")
+    // equality on a stored double plans a strict subset too
+    val q2 = spark.sql("SELECT k FROM gtest.default.dblp WHERE amount = 7777.25")
+    val m2 = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q2.queryExecution.executedPlan.toString).get
+    assert(m2.group(1).toInt * 2 <= m2.group(2).toInt)
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(7777L))
+  }
+
   test("partition-transform EVOLUTION: set_partitioning re-declares; both generations prune") {
     val r = root
     spark.sql(

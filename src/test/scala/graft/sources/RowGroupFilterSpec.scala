@@ -225,6 +225,38 @@ class RowGroupFilterSpec extends AnyFunSuite {
     assert((59000L to 59500L).forall(gotSet.contains))
   }
 
+  test("DOUBLE bounds skip row groups (sortable-bits bounds → exact double leaves)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = s"$root/default/rgdbl"
+    VersionedTable.commit(
+      (1L to 60000L).map(k => (k, k + 0.25)).toDF("k", "amount")
+        .coalesce(1).sortWithinPartitions("amount"),
+      t, append = false, statsCols = Seq("amount"),
+      writeOptions = Map("parquet.block.size" -> "65536"))
+    val file = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(t, "data")).iterator.asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(_.toString).toSeq.head
+    val schema = VersionedTable.read(spark, t).schema
+    // bounds in SORTABLE-BITS space under the tilde key, exactly as the
+    // pushed-filter conversion produces them
+    val byCommit = GraftRowGroupFilter.perCommit(t,
+      Seq("data/" + VersionedTable.dvKeyOf(file)), Set("~amount"),
+      Map("~amount" -> (VersionedTable.sortableBits(59000.25),
+        VersionedTable.sortableBits(59500.25))),
+      Map.empty, Map.empty, Map.empty)
+    val pred = GraftCatalogReaderFactory.filterFor(byCommit, file)
+    assert(pred.nonEmpty, "double commits must build bits→double leaves")
+    val got = readAll(file, schema, pred)
+    assert(got.size < 60000,
+      s"double stats must skip row groups (got ${got.size} of 60000)")
+    val gotSet = got.toSet
+    assert((59000L to 59500L).forall(gotSet.contains),
+      "a skipped row group may never hold a matching row")
+  }
+
   test("widened columns skip row groups on BOTH generations (per-commit leaves)") {
     val s = spark; import s.implicits._
     val t = s"$root/default/rgw"
