@@ -108,6 +108,7 @@ object SparkEntry {
     "q_sql_partitioned_ts" -> ((s, d) => Incremental.ordersSqlPartitionedTs(t(s, d, "orders"))),
     "q_sql_part_evolve" -> ((s, d) => Incremental.ordersSqlPartEvolve(t(s, d, "orders"))),
     "q_sql_dbl_prune" -> ((s, d) => Incremental.ordersSqlDblPruned(t(s, d, "orders"))),
+    "q_sql_fastminmax_dbl" -> ((s, d) => Incremental.ordersSqlFastMinMaxDbl(t(s, d, "orders"))),
     "q_sql_partitioned_trunc" -> ((s, d) => Incremental.ordersSqlPartitionedTrunc(t(s, d, "orders"))),
     "q_sql_bloom" -> ((s, d) => Incremental.ordersSqlBloom(t(s, d, "orders"))),
     "q_sql_fastminmax_date" -> ((s, d) => Incremental.ordersSqlFastMinMaxDate(t(s, d, "orders"))),
@@ -1801,6 +1802,12 @@ object SparkEntry {
         |SELECT min(es) AS min_s, max(es) AS max_s,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM t""".stripMargin,
+    // DOUBLE MIN/MAX from the sortable-bits zone edges (exact bijection).
+    "q_sql_fastminmax_dbl" ->
+      """SELECT min(o_orderkey + 0.25) AS min_a,
+        |       max(o_orderkey + 0.25) AS max_a,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders""".stripMargin,
     // DECIMAL MIN/MAX from the unscaled zone maps, scale reconstructed.
     "q_sql_fastminmax_dec" ->
       """SELECT CAST(min(CAST(o_orderkey + 0.25 AS DECIMAL(9, 2))) AS VARCHAR) AS min_a,

@@ -854,6 +854,23 @@ object Incremental {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Registered q_sql_fastminmax_dbl body: DOUBLE MIN/MAX from manifest
+    * arithmetic — the sortable-bits zone edges convert back (bijection)
+    * to the exact extremes, so an ungrouped min/max/count over the
+    * double-clustered table opens ZERO data files
+    * (`GraftCatalogSpec` pins the graft-catalog-agg plan shape).
+    */
+  def ordersSqlFastMinMaxDbl(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    ordersSqlDblPruned(orders) // pay-once fixture build (same table)
+    val inputKey = orders.inputFiles.sorted.mkString(",")
+    val name = versionedTables.get((spark, s"sqldbl:$inputKey"))
+    spark.sql(
+      s"""SELECT min(amount) AS min_a, max(amount) AS max_a,
+         |       count(*) AS n
+         |FROM gtab.default.$name""".stripMargin)
+  }
+
   /** Registered q_sql_pruned_str body: STRING-predicate file pruning
     * through the SQL catalog — the table is range-clustered on a
     * fixed-width string key, commit-time byte-prefix zone maps

@@ -2063,6 +2063,13 @@ class GraftTableScanBuilder(
     val stringCols: Set[String] = physSchema(full).fields.collect {
       case f if f.dataType == StringType => f.name
     }.toSet
+    // DOUBLE extremes answer from the sortable-bits zones (`~col` keys):
+    // the bijection converts the zone edge back to the EXACT double —
+    // including Spark's NaN-is-largest max semantics (a NaN in the data
+    // rode the zone's high edge and converts back to NaN)
+    val dblCols: Set[String] = physSchema(full).fields.collect {
+      case f if f.dataType == DoubleType => f.name
+    }.toSet
     def statsComplete(c: String): Boolean = layout.forall { case (p, _, _, st) =>
       st.contains(c) || rowsOf(p).contains(0L)
     }
@@ -2103,6 +2110,11 @@ class GraftTableScanBuilder(
           val c = p(f.fieldNames()(0))
           GraftAggSpec("min", c, integral(c), extremes(c)._1)
         case f: NamedReference if f.fieldNames.length == 1 &&
+            dblCols.contains(p(f.fieldNames()(0))) &&
+            statsComplete(s"~${p(f.fieldNames()(0))}") =>
+          val c = p(f.fieldNames()(0))
+          GraftAggSpec("min", c, DoubleType, extremes(s"~$c")._1)
+        case f: NamedReference if f.fieldNames.length == 1 &&
             stringCols.contains(p(f.fieldNames()(0))) =>
           val c = p(f.fieldNames()(0))
           strSide(c, hiSide = false) match {
@@ -2117,6 +2129,11 @@ class GraftTableScanBuilder(
             statsComplete(p(f.fieldNames()(0))) =>
           val c = p(f.fieldNames()(0))
           GraftAggSpec("max", c, integral(c), extremes(c)._2)
+        case f: NamedReference if f.fieldNames.length == 1 &&
+            dblCols.contains(p(f.fieldNames()(0))) &&
+            statsComplete(s"~${p(f.fieldNames()(0))}") =>
+          val c = p(f.fieldNames()(0))
+          GraftAggSpec("max", c, DoubleType, extremes(s"~$c")._2)
         case f: NamedReference if f.fieldNames.length == 1 &&
             stringCols.contains(p(f.fieldNames()(0))) =>
           val c = p(f.fieldNames()(0))
@@ -2498,10 +2515,14 @@ class GraftAggScan(table: String, version: Option[Long], specs: Seq[GraftAggSpec
                   case None => row.setNullAt(i)
                   case Some(v) => sp.dt match {
                     // TIMESTAMP's internal value IS the micros the zones
-                    // record; DECIMAL reconstructs from the unscaled zone
+                    // record; DECIMAL reconstructs from the unscaled
+                    // zone; DOUBLE from its sortable bits (bijection —
+                    // the zone edge is the exact extreme)
                     case LongType | TimestampType => row.setLong(i, v)
                     case IntegerType | DateType   => row.setInt(i, v.toInt)
                     case ShortType                => row.setShort(i, v.toShort)
+                    case DoubleType =>
+                      row.setDouble(i, VersionedTable.bitsToDouble(v))
                     case d: org.apache.spark.sql.types.DecimalType =>
                       row.update(i,
                         org.apache.spark.sql.types.Decimal(

@@ -1092,6 +1092,15 @@ class GraftCatalogSpec extends AnyFunSuite {
       .findFirstMatchIn(q2.queryExecution.executedPlan.toString).get
     assert(m2.group(1).toInt * 2 <= m2.group(2).toInt)
     assert(q2.collect().map(_.getLong(0)).toSeq == Seq(7777L))
+    // DOUBLE MIN/MAX answers from manifest arithmetic — bits zone edges
+    // convert back to the EXACT extremes, zero data files opened
+    val qa = spark.sql(
+      "SELECT min(amount), max(amount), count(*) FROM gtest.default.dblp")
+    assert(qa.queryExecution.executedPlan.toString.contains("graft-catalog-agg"),
+      "double extremes must push down to manifest arithmetic")
+    val ra = qa.collect()(0)
+    assert(ra.getDouble(0) == 1.25 && ra.getDouble(1) == 8000.25 &&
+      ra.getLong(2) == 8000L, ra.toString)
   }
 
   test("partition-transform EVOLUTION: set_partitioning re-declares; both generations prune") {

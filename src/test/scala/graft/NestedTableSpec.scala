@@ -76,6 +76,26 @@ class NestedTableSpec extends AnyFunSuite {
     assert(q2.collect().map(_.getString(0)).toSeq == Seq("en"))
   }
 
+  test("nested projections prune to the requested leaf at the scan") {
+    root
+    // Spark's nested schema pruning hands pruneColumns a struct holding
+    // only the requested subfield; the scan must declare exactly that
+    // back (and the vectorized reader's explicit requested schema then
+    // decodes only the leaf — a giant sibling BINARY is never read)
+    val q = spark.sql("SELECT meta.lang AS l FROM gnest.default.rt WHERE id = 1")
+    val scanExec = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    val rs = scanExec.scan.readSchema()
+    assert(rs.fieldNames.toSeq.sorted == Seq("id", "meta"),
+      s"projection must drop payload/toks/tags: ${rs.treeString}")
+    val metaT = rs("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaT.fieldNames.toSeq == Seq("lang"),
+      s"the struct must prune to the requested leaf: ${metaT.treeString}")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("en"))
+  }
+
   test("MOR tombstones over a nested table fall back to the row decoder, exactly") {
     val s = spark; import s.implicits._
     val t = s"$root/default/morn"
