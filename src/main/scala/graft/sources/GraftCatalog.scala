@@ -1236,7 +1236,7 @@ private[sources] object GraftFilters {
     // tilde matches the zone key double stats are recorded under, so old
     // manifests' truncated long zones (raw name) can never be misread
     val dblCols: Set[String] = schema.fields.collect {
-      case f if f.dataType == DoubleType => f.name
+      case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
     }.toSet
     def dblLit(v: Any): Option[Long] = v match {
       case d: java.lang.Double => Some(VersionedTable.sortableBits(d))
@@ -2068,7 +2068,7 @@ class GraftTableScanBuilder(
     // including Spark's NaN-is-largest max semantics (a NaN in the data
     // rode the zone's high edge and converts back to NaN)
     val dblCols: Set[String] = physSchema(full).fields.collect {
-      case f if f.dataType == DoubleType => f.name
+      case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
     }.toSet
     def statsComplete(c: String): Boolean = layout.forall { case (p, _, _, st) =>
       st.contains(c) || rowsOf(p).contains(0L)
@@ -2113,7 +2113,8 @@ class GraftTableScanBuilder(
             dblCols.contains(p(f.fieldNames()(0))) &&
             statsComplete(s"~${p(f.fieldNames()(0))}") =>
           val c = p(f.fieldNames()(0))
-          GraftAggSpec("min", c, DoubleType, extremes(s"~$c")._1)
+          val dt = physSchema(full).fields.find(_.name == c).get.dataType
+          GraftAggSpec("min", c, dt, extremes(s"~$c")._1)
         case f: NamedReference if f.fieldNames.length == 1 &&
             stringCols.contains(p(f.fieldNames()(0))) =>
           val c = p(f.fieldNames()(0))
@@ -2133,7 +2134,8 @@ class GraftTableScanBuilder(
             dblCols.contains(p(f.fieldNames()(0))) &&
             statsComplete(s"~${p(f.fieldNames()(0))}") =>
           val c = p(f.fieldNames()(0))
-          GraftAggSpec("max", c, DoubleType, extremes(s"~$c")._2)
+          val dt = physSchema(full).fields.find(_.name == c).get.dataType
+          GraftAggSpec("max", c, dt, extremes(s"~$c")._2)
         case f: NamedReference if f.fieldNames.length == 1 &&
             stringCols.contains(p(f.fieldNames()(0))) =>
           val c = p(f.fieldNames()(0))
@@ -2523,6 +2525,10 @@ class GraftAggScan(table: String, version: Option[Long], specs: Seq[GraftAggSpec
                     case ShortType                => row.setShort(i, v.toShort)
                     case DoubleType =>
                       row.setDouble(i, VersionedTable.bitsToDouble(v))
+                    case FloatType =>
+                      // the zone edge IS a float value widened to double
+                      // at commit — narrowing back is exact
+                      row.setFloat(i, VersionedTable.bitsToDouble(v).toFloat)
                     case d: org.apache.spark.sql.types.DecimalType =>
                       row.update(i,
                         org.apache.spark.sql.types.Decimal(
@@ -3361,6 +3367,23 @@ private[sources] object GraftRowGroupFilter {
             if (lo == hi) Seq[FilterPredicate](FilterApi.eq(col, clampI(lo)))
             else Seq[FilterPredicate](
               FilterApi.gtEq(col, clampI(lo)), FilterApi.ltEq(col, clampI(hi)))
+          case Some(FloatType) if c.startsWith("~") =>
+            // bits → double endpoints → FLOAT leaves, rounded OUTWARD
+            // (lo down, hi up) when the double is not a float — a wider
+            // leaf keeps extra row groups, never drops a matching one
+            val dlo = VersionedTable.bitsToDouble(lo)
+            val dhi = VersionedTable.bitsToDouble(hi)
+            if (dlo.isNaN || dhi.isNaN) Nil
+            else {
+              var fLo = dlo.toFloat
+              if (fLo.toDouble > dlo) fLo = Math.nextDown(fLo)
+              var fHi = dhi.toFloat
+              if (fHi.toDouble < dhi) fHi = Math.nextUp(fHi)
+              val col = FilterApi.floatColumn(c.stripPrefix("~"))
+              Seq[FilterPredicate](
+                FilterApi.gtEq(col, java.lang.Float.valueOf(fLo)),
+                FilterApi.ltEq(col, java.lang.Float.valueOf(fHi)))
+            }
           case Some(DoubleType) if c.startsWith("~") =>
             // double bounds arrive as SORTABLE BITS under the tilde key;
             // the bijection converts back to the EXACT double endpoints
@@ -3523,7 +3546,17 @@ private[sources] object GraftRowGroupFilter {
               case DoubleType if c0.startsWith("~") =>
                 phys.get(c) match {
                   case Some((PrimitiveTypeName.DOUBLE, _)) => DoubleType
-                  case _ => NullType // FLOAT (pre-widen) or absent: decline
+                  // a pre-widen generation stores FLOAT under a DOUBLE
+                  // snapshot column: float leaves with conservatively
+                  // rounded endpoints stay sound
+                  case Some((PrimitiveTypeName.FLOAT, _)) => FloatType
+                  case _ => NullType
+                }
+              case FloatType if c0.startsWith("~") =>
+                phys.get(c) match {
+                  case Some((PrimitiveTypeName.FLOAT, _))  => FloatType
+                  case Some((PrimitiveTypeName.DOUBLE, _)) => DoubleType
+                  case _ => NullType
                 }
               case _ if c0.startsWith("~") => NullType
               case TimestampType | TimestampNTZType =>

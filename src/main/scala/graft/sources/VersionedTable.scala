@@ -455,9 +455,11 @@ object VersionedTable {
       f.dataType == LongType || f.dataType == IntegerType ||
       f.dataType == DateType || f.dataType == StringType ||
       f.dataType == org.apache.spark.sql.types.TimestampType ||
-      // DOUBLE zones are exact sortable-bits ([[sortableBits]]), so
-      // doubles are a default stats family like everything else
+      // DOUBLE/FLOAT zones are exact sortable-bits ([[sortableBits]] —
+      // every float is exactly representable as a double), so the
+      // floating family joins the default stats set like everything else
       f.dataType == org.apache.spark.sql.types.DoubleType ||
+      f.dataType == org.apache.spark.sql.types.FloatType ||
       (f.dataType match {
         case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
         case _ => false
@@ -646,7 +648,8 @@ object VersionedTable {
           }
         }.flatten.toMap
         val dblSet = snap.schema.fields.collect {
-          case f if f.dataType == org.apache.spark.sql.types.DoubleType =>
+          case f if f.dataType == org.apache.spark.sql.types.DoubleType ||
+            f.dataType == org.apache.spark.sql.types.FloatType =>
             f.name
         }.toSet
         val (strCols, nonStr) = statsCols.partition(strSet.contains)
@@ -691,8 +694,10 @@ object VersionedTable {
               count(col(c)).as(s"g_nn_$c"))
           } ++
           dblCols.flatMap(c => Seq(
-            min(col(c)).as(s"g_fmn_$c"),
-            max(col(c)).as(s"g_fmx_$c"),
+            // floats cast to double first — exact, and the driver-side
+            // bits conversion then sees one type
+            min(col(c).cast("double")).as(s"g_fmn_$c"),
+            max(col(c).cast("double")).as(s"g_fmx_$c"),
             count(col(c)).as(s"g_fnn_$c"))) ++
           strCols.flatMap(c => Seq(
             min(col(c)).as(s"g_smn_$c"),

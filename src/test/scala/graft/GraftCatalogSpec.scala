@@ -1103,6 +1103,32 @@ class GraftCatalogSpec extends AnyFunSuite {
       ra.getLong(2) == 8000L, ra.toString)
   }
 
+  test("FLOAT columns prune and answer extremes through the same bits zones") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/fltp"
+    VersionedTable.commit(
+      (1L to 8000L).map(k => (k, (k + 0.25).toFloat)).toDF("k", "amount")
+        .repartitionByRange(8, col("amount")),
+      t, append = false, statsCols = Seq("amount"))
+    val q = spark.sql(
+      "SELECT k FROM gtest.default.fltp " +
+        "WHERE amount > CAST(5000.25 AS FLOAT) AND amount <= CAST(5500.25 AS FLOAT)")
+    val m = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no graft-catalog scan"))
+    assert(m.group(1).toInt * 2 <= m.group(2).toInt,
+      s"a float range must prune files, got files=${m.group(1)}/${m.group(2)}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (5001L to 5500L),
+      "float pruning must be invisible to results")
+    val qa = spark.sql(
+      "SELECT min(amount), max(amount), count(*) FROM gtest.default.fltp")
+    assert(qa.queryExecution.executedPlan.toString.contains("graft-catalog-agg"),
+      "float extremes must push down to manifest arithmetic")
+    val ra = qa.collect()(0)
+    assert(ra.getFloat(0) == 1.25f && ra.getFloat(1) == 8000.25f &&
+      ra.getLong(2) == 8000L, ra.toString)
+  }
+
   test("partition-transform EVOLUTION: set_partitioning re-declares; both generations prune") {
     val r = root
     spark.sql(
