@@ -40,7 +40,26 @@ object PlanLatencyProbe {
       org.apache.spark.sql.types.StructField("v",
         org.apache.spark.sql.types.StringType)))
 
-    def mkTable(name: String, nFiles: Int): Unit = {
+    // the `index=` segment current manifests carry: per-dir byte runs
+    // (entries arrive pre-grouped here), offsets relative to the first
+    // entry byte — exactly what indexedEntryLayout writes at publish
+    def indexLinesFor(entries: Seq[String]): Seq[String] = {
+      var off = 0L
+      var curDir = ""
+      var curStart = 0L
+      val idx = Seq.newBuilder[String]
+      def flush(): Unit =
+        if (curDir.nonEmpty) idx += s"index=$curDir $curStart ${off - curStart}"
+      entries.foreach { e =>
+        val dir = e.stripPrefix("data/").takeWhile(_ != '/')
+        if (dir != curDir) { flush(); curDir = dir; curStart = off }
+        off += e.getBytes("UTF-8").length + 1L
+      }
+      flush()
+      idx.result()
+    }
+
+    def mkTable(name: String, nFiles: Int, indexed: Boolean): Unit = {
       val dir = java.nio.file.Paths.get(root, "default", name)
       java.nio.file.Files.createDirectories(dir.resolve("_manifest"))
       java.nio.file.Files.createDirectories(dir.resolve("data"))
@@ -60,34 +79,46 @@ object PlanLatencyProbe {
       // post-upgrade manifests persist per-commit rollup + schema hints
       val header = Seq("version=1", s"ts=${System.currentTimeMillis()}",
         s"rollup=c1_probe k=0..${nFiles.toLong * 1000L - 1L}",
-        s"schema=c1_probe ${probeSchema.json}")
+        s"schema=c1_probe ${probeSchema.json}") ++
+        (if (indexed) s"total=${entries.size}" +: indexLinesFor(entries)
+         else Nil)
       java.nio.file.Files.write(
         dir.resolve("_manifest").resolve("1.manifest"),
-        (header ++ entries).mkString("\n").getBytes)
+        ((header ++ entries).mkString("\n") + "\n").getBytes)
       ()
     }
 
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
 
-    val results = decadesArg.map { n =>
-      val name = s"pl_$n"
-      mkTable(name, n)
-      val mid = n.toLong * 1000L / 2
-      def planOnce(): Double = {
-        val t0 = System.nanoTime()
-        val desc = spark.sql(
-          s"SELECT k FROM gpl.default.$name WHERE k BETWEEN $mid AND ${mid + 5000}")
-          .queryExecution.executedPlan.toString
-        require(desc.contains("files="), s"no catalog scan in:\n$desc")
-        (System.nanoTime() - t0) / 1e6
-      }
-      val cold = planOnce() // manifest parse + resolve + first prune
-      (1 to 3).foreach(_ => planOnce()) // JIT/codegen warmup
-      val warm = (1 to iters).map(_ => planOnce())
-      (n, cold, median(warm))
+    // JVM/class-load warmup on a throwaway table so the first measured
+    // cold is manifest work, not interpreter work
+    mkTable("warmup", 200, indexed = true)
+    (1 to 5).foreach { _ =>
+      spark.sql("SELECT k FROM gpl.default.warmup WHERE k BETWEEN 1 AND 5")
+        .queryExecution.executedPlan.toString
     }
-    val json = results.map { case (n, cold, warm) =>
-      f"""{"files":$n,"cold_plan_ms":$cold%.1f,"warm_plan_ms":$warm%.1f}"""
+
+    val results = decadesArg.flatMap { n =>
+      Seq(false, true).map { indexed =>
+        val name = if (indexed) s"pli_$n" else s"pl_$n"
+        mkTable(name, n, indexed)
+        val mid = n.toLong * 1000L / 2
+        def planOnce(): Double = {
+          val t0 = System.nanoTime()
+          val desc = spark.sql(
+            s"SELECT k FROM gpl.default.$name WHERE k BETWEEN $mid AND ${mid + 5000}")
+            .queryExecution.executedPlan.toString
+          require(desc.contains("files="), s"no catalog scan in:\n$desc")
+          (System.nanoTime() - t0) / 1e6
+        }
+        val cold = planOnce() // manifest parse + resolve + first prune
+        (1 to 3).foreach(_ => planOnce()) // JIT/codegen warmup
+        val warm = (1 to iters).map(_ => planOnce())
+        (n, indexed, cold, median(warm))
+      }
+    }
+    val json = results.map { case (n, indexed, cold, warm) =>
+      f"""{"files":$n,"indexed":$indexed,"cold_plan_ms":$cold%.1f,"warm_plan_ms":$warm%.1f}"""
     }.mkString("[", ",", "]")
 
     // THE INGEST SHAPE: the same file count split across many commits
@@ -96,7 +127,8 @@ object PlanLatencyProbe {
     // index) should collapse the selective warm walk to ~O(commits) +
     // the matching commit's files; the single-commit fixture above is
     // the control (its one rollup interval spans everything).
-    def mkMulti(name: String, nFiles: Int, perCommit: Int): Unit = {
+    def mkMulti(name: String, nFiles: Int, perCommit: Int,
+        indexed: Boolean): Unit = {
       val dir = java.nio.file.Paths.get(root, "default", name)
       java.nio.file.Files.createDirectories(dir.resolve("_manifest"))
       java.nio.file.Files.createDirectories(dir.resolve("data"))
@@ -119,32 +151,40 @@ object PlanLatencyProbe {
         Seq(s"rollup=c${j}_probe k=$lo..$hi",
           s"schema=c${j}_probe ${probeSchema.json}")
       }
-      val header = Seq("version=1", s"ts=${System.currentTimeMillis()}") ++ hints
+      val header = Seq("version=1", s"ts=${System.currentTimeMillis()}") ++
+        hints ++
+        (if (indexed) s"total=${entries.size}" +: indexLinesFor(entries)
+         else Nil)
       java.nio.file.Files.write(
         dir.resolve("_manifest").resolve("1.manifest"),
-        (header ++ entries).mkString("\n").getBytes)
+        ((header ++ entries).mkString("\n") + "\n").getBytes)
       ()
     }
-    val multi = decadesArg.filter(_ >= 10000).map { n =>
-      val perCommit = 100
-      val name = s"plm_$n"
-      mkMulti(name, n, perCommit)
-      val mid = n.toLong * 1000L / 2
-      def planOnce(): Double = {
-        val t0 = System.nanoTime()
-        val desc = spark.sql(
-          s"SELECT k FROM gpl.default.$name WHERE k BETWEEN $mid AND ${mid + 5000}")
-          .queryExecution.executedPlan.toString
-        require(desc.contains("files="), s"no catalog scan in:\n$desc")
-        (System.nanoTime() - t0) / 1e6
+    val multi = decadesArg.filter(_ >= 10000).flatMap { n =>
+      Seq(false, true).map { indexed =>
+        val perCommit = 100
+        val name = if (indexed) s"plmi_$n" else s"plm_$n"
+        mkMulti(name, n, perCommit, indexed)
+        val mid = n.toLong * 1000L / 2
+        def planOnce(): Double = {
+          val t0 = System.nanoTime()
+          val desc = spark.sql(
+            s"SELECT k FROM gpl.default.$name WHERE k BETWEEN $mid AND ${mid + 5000}")
+            .queryExecution.executedPlan.toString
+          require(desc.contains("files="), s"no catalog scan in:\n$desc")
+          (System.nanoTime() - t0) / 1e6
+        }
+        val hits0 = graft.sources.VersionedTable.selectiveSeekHits.get()
+        val cold = planOnce()
+        val seek = graft.sources.VersionedTable.selectiveSeekHits.get() > hits0
+        (1 to 3).foreach(_ => planOnce())
+        val warm = (1 to iters).map(_ => planOnce())
+        (n, n / perCommit, indexed, seek, cold, median(warm))
       }
-      val cold = planOnce()
-      (1 to 3).foreach(_ => planOnce())
-      val warm = (1 to iters).map(_ => planOnce())
-      (n, n / perCommit, cold, median(warm))
     }
-    val multiJson = multi.map { case (n, c, cold, warm) =>
-      f"""{"files":$n,"commits":$c,"cold_plan_ms":$cold%.1f,"warm_plan_ms":$warm%.1f}"""
+    val multiJson = multi.map { case (n, c, indexed, seek, cold, warm) =>
+      f"""{"files":$n,"commits":$c,"indexed":$indexed,"seek_path":$seek,""" +
+        f""""cold_plan_ms":$cold%.1f,"warm_plan_ms":$warm%.1f}"""
     }.mkString("[", ",", "]")
     println(s"""{"probe":"plan_latency_decades","iters":$iters,"decades":$json,"multi_commit":$multiJson}""")
     spark.stop()

@@ -81,6 +81,9 @@ object SparkEntry {
     "q_table_binary" -> ((s, d) => Incremental.docsSqlBinary(t(s, d, "documents"))),
     "q_table_nested" -> ((s, d) => Incremental.docsSqlNested(t(s, d, "documents"))),
     "q_table_emb" -> ((s, d) => Incremental.embSqlTopK(t(s, d, "embeddings"))),
+    "q_table_map" -> ((s, d) => Incremental.docsSqlMap(t(s, d, "documents"))),
+    "q_sql_nested_add" -> ((s, d) => Incremental.docsSqlNestedAdd(t(s, d, "documents"))),
+    "q_sql_nested_prune" -> ((s, d) => Incremental.docsSqlNestedPrune(t(s, d, "documents"))),
     "q_posdel_changes" -> ((s, d) => Incremental.ordersPosDelChanges(t(s, d, "orders"))),
     "q_asof_versioned" -> ((s, d) => Incremental.eventsAsofVersioned(t(s, d, "events"))),
     "q_table_pruned" -> ((s, d) => Incremental.ordersPrunedRead(t(s, d, "orders"))),
@@ -2204,6 +2207,37 @@ object SparkEntry {
         |  CAST(coalesce(list_sum(toks), 0) AS BIGINT) AS tok_sum,
         |  lang, source AS src, n_chars
         |FROM tk ORDER BY doc_id""".stripMargin,
+    // MAP lifecycle: maps built at INSERT (incl. NULL values), keys ≡ 3
+    // (mod 11) deleted copy-on-write, flat scalars derived by key access
+    // + sorted map_keys on read; the oracle rebuilds the same scalars
+    // from the source columns directly
+    "q_table_map" ->
+      """SELECT doc_id, n_chars AS chars,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    w -> length(w) > 0)) AS BIGINT) AS words,
+        |  CASE WHEN doc_id % 4 = 0 THEN NULL
+        |       ELSE doc_id % 5 END AS m,
+        |  CAST(3 AS BIGINT) AS n_keys, 'chars,mod,words' AS ks, lang
+        |FROM documents
+        |WHERE doc_id % 11 <> 3 AND doc_id % 3 <> 2
+        |ORDER BY doc_id""".stripMargin,
+    // NESTED schema evolution: meta STRUCT<lang> gains src via ALTER
+    // ADD COLUMNS (schema-only carrier) — pre-evolution rows read NULL,
+    // post-evolution rows carry the source; the oracle replays the
+    // generation split with a CASE on the insert parity
+    "q_sql_nested_add" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS src,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // zone maps on STRUCT leaves: lang-clustered inserts, nested-leaf
+    // predicates prune files at plan time; the oracle replays the same
+    // filter flat — hash equality proves pruning never drops a match
+    "q_sql_nested_prune" ->
+      """SELECT doc_id, lang, CAST(n_chars % 997 AS INT) AS n, n_chars
+        |FROM documents
+        |WHERE lang = 'en' AND n_chars % 997 < 500
+        |ORDER BY doc_id""".stripMargin,
     // CDF of the positional delete: the deleted ROWS reconstructed by
     // position (full rows, not just keys), aggregated per status
     "q_posdel_changes" ->

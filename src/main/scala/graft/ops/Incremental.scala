@@ -1040,6 +1040,116 @@ object Incremental {
     graft.ops.Similarity.bruteForceTopK(spark.table(s"gtab.default.$name"))
   }
 
+  /** Registered q_table_map body: MAP columns through the full versioned
+    * lifecycle — CREATE with MAP<STRING,BIGINT>, INSERT building maps
+    * (including NULL values: the 'mod' entry nulls out for doc_id ≡ 0
+    * mod 4), a copy-on-write DELETE rewriting map-carrying files, and a
+    * read deriving flat scalars by key access + map_keys, which DuckDB
+    * replays from the source columns directly.
+    */
+  def docsSqlMap(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    catalogRoot(spark)
+    val inputKey = documents.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlmap:$inputKey"), { _ =>
+      val n = s"docs_map_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      documents.createOrReplaceTempView(s"g_map_src_$n")
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n (
+           |  doc_id BIGINT, tags MAP<STRING, BIGINT>, lang STRING)""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT doc_id,
+           |  map('chars', n_chars,
+           |      'words', CAST(size(filter(split(text, ' '),
+           |        w -> length(w) > 0)) AS BIGINT),
+           |      'mod', CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS BIGINT)
+           |             ELSE doc_id % 5 END) AS tags,
+           |  lang
+           |FROM g_map_src_$n""".stripMargin)
+      spark.sql(s"DELETE FROM gtab.default.$n WHERE doc_id % 11 = 3")
+      n
+    })
+    spark.sql(
+      s"""SELECT doc_id, tags['chars'] AS chars, tags['words'] AS words,
+         |  tags['mod'] AS m, CAST(size(tags) AS BIGINT) AS n_keys,
+         |  array_join(array_sort(map_keys(tags)), ',') AS ks, lang
+         |FROM gtab.default.$name
+         |WHERE doc_id % 3 <> 2 ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Registered q_sql_nested_add body: NESTED schema evolution on the
+    * flagship documents shape — half the corpus inserted under
+    * `meta STRUCT<lang>`, then `ALTER TABLE ADD COLUMNS (meta.src
+    * STRING)` (a schema-only carrier; no file rewritten), then the rest
+    * inserted carrying the evolved struct. Pre-evolution rows read
+    * `meta.src` as NULL, post-evolution rows carry it — the oracle
+    * replays the generation split with a CASE on the insert parity.
+    */
+  def docsSqlNestedAdd(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    catalogRoot(spark)
+    val inputKey = documents.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlnadd:$inputKey"), { _ =>
+      val n = s"docs_nadd_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      documents.createOrReplaceTempView(s"g_nadd_src_$n")
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n (
+           |  doc_id BIGINT, meta STRUCT<lang: STRING>, n_chars BIGINT)""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT doc_id, named_struct('lang', lang) AS meta, n_chars
+           |FROM g_nadd_src_$n WHERE doc_id % 2 = 0""".stripMargin)
+      spark.sql(s"ALTER TABLE gtab.default.$n ADD COLUMNS (meta.src STRING)")
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT doc_id, named_struct('lang', lang, 'src', source) AS meta,
+           |  n_chars
+           |FROM g_nadd_src_$n WHERE doc_id % 2 = 1""".stripMargin)
+      n
+    })
+    spark.sql(
+      s"""SELECT doc_id, meta.lang AS lang, meta.src AS src, n_chars
+         |FROM gtab.default.$name ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Registered q_sql_nested_prune body: ZONE MAPS ON STRUCT LEAVES —
+    * the corpus lands lang-clustered (one INSERT per language, so each
+    * file's dotted `meta.lang` zone is a single value) and the read
+    * filters on the nested leaf. At plan time every non-matching file
+    * drops on its `meta.lang=…` zone; the oracle replays the same
+    * filter over the flat source, so hash equality proves the pruning
+    * is invisible to results. The 100 TB shape: `WHERE meta.lang = 'en'`
+    * over a trillion-row documents table stops being a full scan.
+    */
+  def docsSqlNestedPrune(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    catalogRoot(spark)
+    val inputKey = documents.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlnprune:$inputKey"), { _ =>
+      val n = s"docs_nprune_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      documents.createOrReplaceTempView(s"g_nprune_src_$n")
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n (
+           |  doc_id BIGINT, meta STRUCT<lang: STRING, n: INT>,
+           |  n_chars BIGINT)""".stripMargin)
+      Seq("de", "en", "es", "fr", "zh").foreach { lang =>
+        spark.sql(
+          s"""INSERT INTO gtab.default.$n
+             |SELECT doc_id,
+             |  named_struct('lang', lang, 'n', CAST(n_chars % 997 AS INT)),
+             |  n_chars
+             |FROM g_nprune_src_$n WHERE lang = '$lang'""".stripMargin)
+      }
+      n
+    })
+    spark.sql(
+      s"""SELECT doc_id, meta.lang AS lang, meta.n AS n, n_chars
+         |FROM gtab.default.$name
+         |WHERE meta.lang = 'en' AND meta.n < 500
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   /** Registered q_sql_ctas body: the SQL DDL surface end-to-end —
     * CREATE TABLE AS SELECT (a schema-only v1 plus the data as v2,
     * both ordinary commits), ALTER TABLE ADD COLUMN (a schema-only

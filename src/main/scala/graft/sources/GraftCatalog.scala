@@ -426,10 +426,27 @@ class GraftCatalog extends TableCatalog
       case _ => ()
     }
     if (addOnly.isEmpty) return loadTable(ident)
-    val adds = addOnly.map {
+    // NESTED adds (parent.child) evolve the parent struct through a
+    // schema-only carrier ([[VersionedTable.addNestedColumn]]); old
+    // files read the new field as NULL. RENAME/DROP stay top-level-only
+    // (column-mapping ids do not extend to nested paths yet).
+    val (nestedAdds, flatAdds) = addOnly.partition {
+      case a: TableChange.AddColumn => a.fieldNames().length > 1
+      case _                        => false
+    }
+    nestedAdds.foreach {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          s"nested ADD COLUMN ${a.fieldNames().mkString(".")} is not supported")
+        require(a.isNullable,
+          s"ADD COLUMN ${a.fieldNames().mkString(".")}: new nested fields " +
+            "must be nullable — existing rows carry no value for them")
+        VersionedTable.addNestedColumn(spark, dir,
+          a.fieldNames().init.toSeq,
+          StructField(a.fieldNames().last, a.dataType(), nullable = true))
+      case _ => ()
+    }
+    if (flatAdds.isEmpty) return loadTable(ident)
+    val adds = flatAdds.map {
+      case a: TableChange.AddColumn =>
         require(a.isNullable,
           s"ADD COLUMN ${a.fieldNames()(0)}: new columns must be nullable — " +
             "existing rows carry no value for them")
@@ -632,7 +649,7 @@ class GraftRowLevelOperation(
         VersionedTable.snapshotSchema(SparkSession.active, table, None)
       // Spark resolves against LOGICAL names; files/stats are PHYSICAL
       private val l2p = VersionedTable.logicalToPhysical(table)
-      private def p(c: String): String = l2p.getOrElse(c, c)
+      private def p(c: String): String = GraftFilters.physLeaf(l2p, c)
       private def physSchema(s: StructType): StructType =
         if (l2p.isEmpty) s
         else StructType(s.fields.map(f => f.copy(name = p(f.name))))
@@ -1195,29 +1212,55 @@ private[sources] object GraftFilters {
     * Date columns participate in epoch-day units (discrete like
     * integers, so the ±1 open-bound adjustments stay exact).
     */
+  /** Dotted leaf fields of `schema`: every top-level column plus every
+    * primitive leaf reachable through STRUCT spines under "a.b" names —
+    * the key space zone maps record (nested predicates arrive from
+    * Spark's V2 pushdown with exactly these dotted attribute names).
+    */
+  private def leafFields(schema: StructType): Seq[(String, DataType)] = {
+    def walk(prefix: String, dt: DataType): Seq[(String, DataType)] =
+      dt match {
+        case st: StructType =>
+          st.fields.flatMap(g => walk(s"$prefix.${g.name}", g.dataType)).toSeq
+        case t => Seq(prefix -> t)
+      }
+    schema.fields.flatMap(f => walk(f.name, f.dataType)).toSeq
+  }
+
+  /** Physical rendering of a possibly-DOTTED leaf name: column-mapping
+    * renames apply to the TOP-LEVEL segment only (nested field names are
+    * not mapped), so "meta.lang" under a mapping {meta→c42} becomes
+    * "c42.lang".
+    */
+  def physLeaf(l2p: Map[String, String], c: String): String =
+    l2p.getOrElse(c, {
+      val i = c.indexOf('.')
+      if (i < 0) c
+      else l2p.get(c.substring(0, i))
+        .fold(c)(phys => phys + c.substring(i))
+    })
+
   def integralBounds(filters: Array[Filter], schema: StructType)
       : (Seq[(String, Long, Long)], Array[Filter]) = {
-    val integralCols: Set[String] = schema.fields.collect {
-      case f if f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == ShortType || f.dataType == ByteType => f.name
+    val leaves = leafFields(schema)
+    val integralCols: Set[String] = leaves.collect {
+      case (n, t) if t == LongType || t == IntegerType ||
+        t == ShortType || t == ByteType => n
     }.toSet
-    val dateCols: Set[String] = schema.fields.collect {
-      case f if f.dataType == DateType => f.name
+    val dateCols: Set[String] = leaves.collect {
+      case (n, DateType) => n
     }.toSet
-    val tsCols: Set[String] = schema.fields.collect {
-      case f if f.dataType == TimestampType => f.name
+    val tsCols: Set[String] = leaves.collect {
+      case (n, TimestampType) => n
     }.toSet
     // DECIMAL bounds speak the zone maps' UNSCALED unit: only literals
     // exactly representable at the column's scale convert (the dominant
     // case — Spark casts comparison literals to the column's type); an
     // inexact literal contributes no bound, which is merely conservative
-    val decScale: Map[String, Int] = schema.fields.collect {
-      case f => f.dataType match {
-        case d: org.apache.spark.sql.types.DecimalType
-          if d.precision <= 18 => Some(f.name -> d.scale)
-        case _ => None
-      }
-    }.flatten.toMap
+    val decScale: Map[String, Int] = leaves.collect {
+      case (n, d: org.apache.spark.sql.types.DecimalType)
+        if d.precision <= 18 => n -> d.scale
+    }.toMap
     def decLit(v: Any, scale: Int): Option[Long] = {
       val bd = v match {
         case d: java.math.BigDecimal  => Some(d)
@@ -1235,20 +1278,36 @@ private[sources] object GraftFilters {
     // exact open-bound handling, unlike integer truncation — and the
     // tilde matches the zone key double stats are recorded under, so old
     // manifests' truncated long zones (raw name) can never be misread
-    val dblCols: Set[String] = schema.fields.collect {
-      case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+    val dblCols: Set[String] = leaves.collect {
+      case (n, t) if t == DoubleType || t == FloatType => n
     }.toSet
-    def dblLit(v: Any): Option[Long] = v match {
-      case d: java.lang.Double => Some(VersionedTable.sortableBits(d))
-      case f: java.lang.Float  => Some(VersionedTable.sortableBits(f.toDouble))
-      case _                   => None
+    // a ZERO double literal converts to a (lo, hi) PAIR of sortable
+    // bits — Spark SQL compares -0.0 == 0.0, but the bits bijection
+    // separates them (bits(-0.0) = -1, bits(+0.0) = 0), so a zero bound
+    // must span both representations: the lo side of any range uses the
+    // -0.0 bits and the hi side the +0.0 bits, else a file whose zeros
+    // are all one sign is wrongly pruned for a predicate naming the
+    // other. Non-zero (and non-double) literals keep lo == hi.
+    def dblLit(v: Any): Option[(Long, Long)] = {
+      val d: Option[Double] = v match {
+        case d: java.lang.Double => Some(d.doubleValue)
+        case f: java.lang.Float  => Some(f.toDouble)
+        case _                   => None
+      }
+      d.map { x =>
+        if (x == 0.0d)
+          (VersionedTable.sortableBits(-0.0d), VersionedTable.sortableBits(0.0d))
+        else { val b = VersionedTable.sortableBits(x); (b, b) }
+      }
     }
-    def litOf(c: String, v: Any): Option[Long] =
-      if (integralCols.contains(c)) integralLit(v)
-      else if (dateCols.contains(c)) dateLit(v)
-      else if (tsCols.contains(c)) tsLit(v)
-      else if (dblCols.contains(c)) dblLit(v)
-      else decScale.get(c).flatMap(s => decLit(v, s))
+    def litOf(c: String, v: Any): Option[(Long, Long)] = {
+      val single =
+        if (integralCols.contains(c)) integralLit(v)
+        else if (dateCols.contains(c)) dateLit(v)
+        else if (tsCols.contains(c)) tsLit(v)
+        else decScale.get(c).flatMap(s => decLit(v, s))
+      if (dblCols.contains(c)) dblLit(v) else single.map(x => (x, x))
+    }
     def keyOf(c: String): String = if (dblCols.contains(c)) s"~$c" else c
     var bounds = Map.empty[String, (Long, Long)]
     def tighten(c: String, lo: Long, hi: Long): Boolean = {
@@ -1257,20 +1316,26 @@ private[sources] object GraftFilters {
       bounds = bounds.updated(k, (math.max(l0, lo), math.min(h0, hi)))
       true
     }
+    // strict bounds use the FAR zero representation (+0.0 bits for `>`,
+    // -0.0 bits for `<`) so the ±1 step lands just past BOTH zeros —
+    // neither sign of zero matches a strict comparison against zero
     val consumed = filters.filter {
       case EqualTo(c, v) =>
-        litOf(c, v).exists(x => tighten(c, x, x))
+        litOf(c, v).exists { case (lo, hi) => tighten(c, lo, hi) }
       case GreaterThan(c, v) =>
-        litOf(c, v).exists(x => x < Long.MaxValue && tighten(c, x + 1, Long.MaxValue))
+        litOf(c, v).exists { case (_, hi) =>
+          hi < Long.MaxValue && tighten(c, hi + 1, Long.MaxValue) }
       case GreaterThanOrEqual(c, v) =>
-        litOf(c, v).exists(x => tighten(c, x, Long.MaxValue))
+        litOf(c, v).exists { case (lo, _) => tighten(c, lo, Long.MaxValue) }
       case LessThan(c, v) =>
-        litOf(c, v).exists(x => x > Long.MinValue && tighten(c, Long.MinValue, x - 1))
+        litOf(c, v).exists { case (lo, _) =>
+          lo > Long.MinValue && tighten(c, Long.MinValue, lo - 1) }
       case LessThanOrEqual(c, v) =>
-        litOf(c, v).exists(x => tighten(c, Long.MinValue, x))
+        litOf(c, v).exists { case (_, hi) => tighten(c, Long.MinValue, hi) }
       case In(c, vs) if vs.nonEmpty =>
         val xs = vs.toSeq.map(litOf(c, _))
-        xs.forall(_.isDefined) && tighten(c, xs.flatten.min, xs.flatten.max)
+        xs.forall(_.isDefined) &&
+          tighten(c, xs.flatten.map(_._1).min, xs.flatten.map(_._2).max)
       case _ => false
     }
     (bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }, consumed)
@@ -1294,8 +1359,8 @@ private[sources] object GraftFilters {
   def stringBounds(filters: Array[Filter], schema: StructType)
       : (Map[String, (Option[Array[Byte]], Option[Array[Byte]])], Array[Filter]) = {
     import VersionedTable.{byteCompare, incrementPrefix}
-    val strCols: Set[String] = schema.fields.collect {
-      case f if f.dataType == StringType => f.name
+    val strCols: Set[String] = leafFields(schema).collect {
+      case (n, StringType) => n
     }.toSet
     var bounds =
       Map.empty[String, (Option[Array[Byte]], Option[Array[Byte]])]
@@ -1948,7 +2013,7 @@ class GraftTableScanBuilder(
   // vectorization checks) and `reportAs` (logical — what readSchema()
   // declares back to Spark). Rows are positional, so only names differ.
   private val l2p = VersionedTable.logicalToPhysical(table)
-  private def p(c: String): String = l2p.getOrElse(c, c)
+  private def p(c: String): String = GraftFilters.physLeaf(l2p, c)
   private def physSchema(s: StructType): StructType =
     if (l2p.isEmpty) s else StructType(s.fields.map(f => f.copy(name = p(f.name))))
 
@@ -2640,15 +2705,27 @@ class GraftTableScan(
     * decisions.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val rowsOf = VersionedTable.snapshotRowCounts(table, version)
-    val counts = kept.map(e => rowsOf.get(e._1).flatten)
+    // the seek-path map covers every kept file on selective plans;
+    // global O(files) memos only resolve when it is absent
+    val rowOf: String => Option[Long] = selRB match {
+      case Some(f) => p => f(p).flatMap(_._1)
+      case None =>
+        val g = VersionedTable.snapshotRowCounts(table, version)
+        p => g.get(p).flatten
+    }
+    val counts = kept.map(e => rowOf(e._1))
     val rows: Option[Long] = if (counts.exists(_.isEmpty)) None
       else Some(counts.flatten.sum)
     // EXACT bytes when every planned file recorded its size at commit
     // (post-round-14 manifests); per-type width estimate otherwise
-    val sizesOf = VersionedTable.snapshotSizes(table, version)
+    val sizeOf: String => Option[Long] = selRB match {
+      case Some(f) => p => f(p).flatMap(_._2)
+      case None =>
+        val g = VersionedTable.snapshotSizes(table, version)
+        p => g.get(p).flatten
+    }
     val exactBytes: Option[Long] = {
-      val per = kept.map(e => sizesOf.get(e._1).flatten)
+      val per = kept.map(e => sizeOf(e._1))
       if (per.isEmpty || per.exists(_.isEmpty)) None else Some(per.flatten.sum)
     }
     val width = required.fields.map(_.dataType match {
@@ -2693,6 +2770,17 @@ class GraftTableScan(
   // commits ([[VersionedTable.selectiveLayoutByCommit]]). Iteration
   // order is commit-grouped first-appearance order, memoized, so plans
   // stay deterministic run to run.
+  // seek-path rows/bytes for the selective selection: lets zero-row
+  // filtering AND the statistics estimate below skip the global
+  // O(files) memos on a cold selective plan
+  private lazy val selRB
+      : Option[String => Option[(Option[Long], Option[Long])]] =
+    if (bounds.isEmpty) None
+    else VersionedTable.selectiveRowsBytes(table, version, bounds)
+  private def isZeroRow(path: String): Boolean = selRB match {
+    case Some(f) => f(path).flatMap(_._1).contains(0L)
+    case None    => zeroRows.contains(path)
+  }
   private lazy val pruned =
     if (bounds.isEmpty)
       layout.filter { case (path, _, _, _) => !zeroRows.contains(path) }
@@ -2701,7 +2789,7 @@ class GraftTableScan(
       VersionedTable.selectiveLayoutByCommit(table, version, bounds)
         .iterator.flatMap { case (cv, es) =>
           es.filter { case (path, _, _, stats) =>
-            !zeroRows.contains(path) &&
+            !isZeroRow(path) &&
             bounds.forall { case (c, (lo, hi)) =>
               stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
             } && strKeep((path, cv, Nil, stats))
@@ -2801,10 +2889,12 @@ class GraftTableScan(
 
   override def description(): String =
     s"graft-catalog $table${version.fold("")(v => s"@v$v")} " +
-      // denominator from the row-count memo (one cheap split per entry),
-      // NOT the full layout — a selective cold plan must never force the
-      // all-files stats parse just to print its description
-      s"files=${kept.size}/${VersionedTable.snapshotRowCounts(table, version).size} " +
+      // denominator from header count lines when present (exact, zero
+      // entry reads), else the row-count memo — a selective cold plan
+      // must never stream O(files) lines just to print its description
+      s"files=${kept.size}/${
+        VersionedTable.snapshotFileCountFast(table, version).getOrElse(
+          VersionedTable.snapshotRowCounts(table, version).size.toLong)} " +
       s"vectorized=$columnarOk " +
       s"bounds=${bounds.map { case (c, (l, h)) => s"$c∈[$l,$h]" }.mkString(",")}" +
       (if (strBounds.isEmpty) ""
@@ -3370,36 +3460,50 @@ private[sources] object GraftRowGroupFilter {
           case Some(FloatType) if c.startsWith("~") =>
             // bits → double endpoints → FLOAT leaves, rounded OUTWARD
             // (lo down, hi up) when the double is not a float — a wider
-            // leaf keeps extra row groups, never drops a matching one
+            // leaf keeps extra row groups, never drops a matching one.
+            // An OPEN lo side (Long.MinValue sentinel, from `<`/`<=`
+            // alone) is NaN under the bijection but safe to drop: emit
+            // the ltEq leaf alone — NaN rows never match <=/<. An open
+            // HI side must decline entirely: NaN rows DO match >=/>,
+            // yet parquet writers exclude NaN from stats, so a
+            // gtEq-only leaf could drop a block whose only matches are
+            // NaN.
             val dlo = VersionedTable.bitsToDouble(lo)
             val dhi = VersionedTable.bitsToDouble(hi)
-            if (dlo.isNaN || dhi.isNaN) Nil
-            else {
-              var fLo = dlo.toFloat
-              if (fLo.toDouble > dlo) fLo = Math.nextDown(fLo)
-              var fHi = dhi.toFloat
-              if (fHi.toDouble < dhi) fHi = Math.nextUp(fHi)
-              val col = FilterApi.floatColumn(c.stripPrefix("~"))
-              Seq[FilterPredicate](
-                FilterApi.gtEq(col, java.lang.Float.valueOf(fLo)),
-                FilterApi.ltEq(col, java.lang.Float.valueOf(fHi)))
+            val colF = FilterApi.floatColumn(c.stripPrefix("~"))
+            def fLoOf(d: Double): Float = {
+              var f = d.toFloat; if (f.toDouble > d) f = Math.nextDown(f); f
             }
+            def fHiOf(d: Double): Float = {
+              var f = d.toFloat; if (f.toDouble < d) f = Math.nextUp(f); f
+            }
+            if (lo == Long.MinValue && !dhi.isNaN)
+              Seq[FilterPredicate](
+                FilterApi.ltEq(colF, java.lang.Float.valueOf(fHiOf(dhi))))
+            else if (dlo.isNaN || dhi.isNaN) Nil
+            else Seq[FilterPredicate](
+              FilterApi.gtEq(colF, java.lang.Float.valueOf(fLoOf(dlo))),
+              FilterApi.ltEq(colF, java.lang.Float.valueOf(fHiOf(dhi))))
           case Some(DoubleType) if c.startsWith("~") =>
             // double bounds arrive as SORTABLE BITS under the tilde key;
             // the bijection converts back to the EXACT double endpoints
-            // for the file's own DOUBLE stats. A NaN endpoint (data held
-            // NaN) has no sound comparison — decline the leaf.
+            // for the file's own DOUBLE stats. A NaN endpoint from DATA
+            // (a NaN literal) has no sound comparison — decline; an
+            // open-lo sentinel emits the ltEq side alone (NaN-safe, see
+            // the FLOAT branch note); an open-hi sentinel declines (NaN
+            // rows match but are invisible to parquet stats).
             val dlo = VersionedTable.bitsToDouble(lo)
             val dhi = VersionedTable.bitsToDouble(hi)
-            if (dlo.isNaN || dhi.isNaN) Nil
-            else {
-              val col = FilterApi.doubleColumn(c.stripPrefix("~"))
-              if (lo == hi) Seq[FilterPredicate](
-                FilterApi.eq(col, java.lang.Double.valueOf(dlo)))
-              else Seq[FilterPredicate](
-                FilterApi.gtEq(col, java.lang.Double.valueOf(dlo)),
-                FilterApi.ltEq(col, java.lang.Double.valueOf(dhi)))
-            }
+            val colD = FilterApi.doubleColumn(c.stripPrefix("~"))
+            if (lo == Long.MinValue && !dhi.isNaN)
+              Seq[FilterPredicate](
+                FilterApi.ltEq(colD, java.lang.Double.valueOf(dhi)))
+            else if (dlo.isNaN || dhi.isNaN) Nil
+            else if (lo == hi) Seq[FilterPredicate](
+              FilterApi.eq(colD, java.lang.Double.valueOf(dlo)))
+            else Seq[FilterPredicate](
+              FilterApi.gtEq(colD, java.lang.Double.valueOf(dlo)),
+              FilterApi.ltEq(colD, java.lang.Double.valueOf(dhi)))
           case _ => Nil
         }
       }
@@ -3586,9 +3690,30 @@ private[sources] object GraftRowGroupFilter {
 private[graft] object GraftVectorization {
   private val copyable: Set[DataType] = Set(
     LongType, IntegerType, DoubleType, FloatType, BooleanType, StringType,
-    BinaryType, TimestampType, TimestampNTZType, DateType)
+    BinaryType, TimestampType, TimestampNTZType, DateType,
+    org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+
+  /** Measurement hook for the nested-MOR A/B probe ONLY: false reverts
+    * [[copyOk]] to the flat-only gate, recreating the round-16
+    * row-decoder fallback for nested columns under tombstones so the
+    * columnar copy's win is quantifiable on one binary. Planning-time
+    * read, no hot-path cost.
+    */
+  @volatile private[graft] var nestedMorCopyEnabled = true
+
+  /** ARRAY/STRUCT/MAP join the surviving-row copy recursively: the copy
+    * appends through the WritableColumnVector child-vector API, so any
+    * nesting of supported leaf types rides the columnar MOR path.
+    */
   private def copyOk(dt: DataType): Boolean = copyable(dt) ||
-    dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+    dt.isInstanceOf[org.apache.spark.sql.types.DecimalType] ||
+    (nestedMorCopyEnabled && (dt match {
+      case org.apache.spark.sql.types.ArrayType(et, _) => copyOk(et)
+      case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+        copyOk(kt) && copyOk(vt)
+      case st: StructType => st.fields.forall(f => copyOk(f.dataType))
+      case _ => false
+    }))
 
   /** May a file with these tombstones be served columnar? Tombstone-free
     * always (no copy, batches pass straight through); tombstoned files
@@ -3627,13 +3752,36 @@ private[graft] object GraftVectorization {
     */
   @volatile private[graft] var widenPromotionEnabled = true
 
+  /** Does the commit's type SERVE the required type? Equal, or — for
+    * nested types — recursive CONTAINMENT: a required struct pruned to
+    * a subset of the commit's fields is served natively (the reader
+    * declares the clipped schema and parquet's schema clipping reads
+    * exactly those leaves — the same mechanism Spark's own
+    * nested-schema-pruned scans use). Leaf types inside nested stay
+    * exact: widening promotions are top-level-only.
+    */
+  private def servesNested(g: DataType, f: DataType): Boolean =
+    (g == f) || ((g, f) match {
+      case (ga: org.apache.spark.sql.types.ArrayType,
+            fa: org.apache.spark.sql.types.ArrayType) =>
+        servesNested(ga.elementType, fa.elementType)
+      case (gm: org.apache.spark.sql.types.MapType,
+            fm: org.apache.spark.sql.types.MapType) =>
+        servesNested(gm.keyType, fm.keyType) &&
+          servesNested(gm.valueType, fm.valueType)
+      case (gs: StructType, fs: StructType) =>
+        fs.fields.forall(ff => gs.fields.exists(gf =>
+          gf.name == ff.name && servesNested(gf.dataType, ff.dataType)))
+      case _ => false
+    })
+
   def schemaCompatible(
       required: StructType,
       commitSchema: StructType): Boolean =
     if (!widenPromotionEnabled) schemaExact(required, commitSchema)
     else required.fields.forall(f =>
       commitSchema.fields.exists(g => g.name == f.name &&
-        (g.dataType == f.dataType ||
+        (servesNested(g.dataType, f.dataType) ||
           (g.dataType == IntegerType && f.dataType == LongType) ||
           (g.dataType == FloatType && f.dataType == DoubleType) ||
           ((g.dataType, f.dataType) match {
@@ -3731,12 +3879,25 @@ class GraftCatalogVectorReader(
   private val reader =
     new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+  // under a POSITIONAL vector with a row-group filter, the running row
+  // ordinal must stay exact across SKIPPED groups: each kept row group's
+  // file-ordinal start comes from footer rowCount prefix sums, computed
+  // against the SAME stats-only kept set the reader itself uses (null
+  // when no tracking is needed — no posdel, or no filter)
+  private var rgStarts: Array[Long] = null
+  private var rgRows: Array[Long] = null
+  private var rgIdx = 0
+  private var rowsInRg = 0L
+
   locally {
-    // a row-group filter SKIPS row groups, which would desynchronize the
-    // running row ordinal from true file positions — under a positional
-    // vector the whole file must stream through (the bitmap skip is
-    // near-free; correctness over pruning)
-    val effFilter = if (posBitmaps.isEmpty) rowFilter else None
+    // a row-group filter under a positional vector: the filter SKIPS
+    // groups, which would desynchronize the running row ordinal — so
+    // the reader is pinned to STATS-ONLY group filtering (dictionary/
+    // bloom evaluators off) and the identical stats-only decision is
+    // replayed on the footer here to pre-compute each kept group's
+    // starting ordinal. Same parquet-mr evaluator both sides → the kept
+    // sets cannot diverge, and `basePos` stays exact while groups skip.
+    val effFilter = rowFilter
     if (extras.forall(_.isDefined)) {
       // the split-based initialize declares the REQUESTED schema
       // explicitly (the name-list overload would infer narrow types from
@@ -3762,9 +3923,38 @@ class GraftCatalogVectorReader(
         org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred)
         conf.setBoolean("parquet.filter.record-level.enabled", false)
         conf.setBoolean("parquet.filter.columnindex.enabled", false)
+        if (posBitmaps.nonEmpty) {
+          // pin the reader's group filtering to the STATISTICS level so
+          // the external ordinal replay below sees the identical kept set
+          conf.setBoolean("parquet.filter.dictionary.enabled", false)
+          conf.setBoolean("parquet.filter.bloom.enabled", false)
+        }
       }
       val p = new org.apache.hadoop.fs.Path(file)
       val len = p.getFileSystem(conf).getFileStatus(p).getLen
+      if (posBitmaps.nonEmpty) effFilter.foreach { pred =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try {
+          val blocks = rd.getFooter.getBlocks
+          val kept = org.apache.parquet.filter2.compat.RowGroupFilter
+            .filterRowGroups(
+              org.apache.parquet.filter2.compat.FilterCompat.get(pred),
+              blocks, rd.getFooter.getFileMetaData.getSchema)
+          val keptPos = new java.util.HashSet[java.lang.Long]()
+          kept.forEach(b => { keptPos.add(b.getStartingPos); () })
+          val starts = Array.newBuilder[Long]
+          val rows = Array.newBuilder[Long]
+          var ordinal = 0L
+          blocks.forEach { b =>
+            if (keptPos.contains(b.getStartingPos)) {
+              starts += ordinal; rows += b.getRowCount
+            }
+            ordinal += b.getRowCount
+          }
+          rgStarts = starts.result(); rgRows = rows.result()
+        } finally rd.close()
+      }
       val split =
         new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
       reader.initialize(split,
@@ -3857,8 +4047,11 @@ class GraftCatalogVectorReader(
       !v.isNullAt(r) && probe(v, r)
     }
 
-  // running ordinal of the first row of the CURRENT batch within the file
-  // (exact: positional vectors disable row-group skipping above)
+  // running ordinal of the first row of the CURRENT batch within the
+  // file — advanced sequentially when no groups skip, or from the kept
+  // groups' precomputed starting ordinals when they do (a batch never
+  // spans row groups: the vectorized reader caps each batch at the
+  // loaded group's remaining rows)
   private var basePos = 0L
   private def posDoomed(p: Long): Boolean = {
     var i = 0
@@ -3874,7 +4067,15 @@ class GraftCatalogVectorReader(
     while (c < required.fields.length) {
       val src = in.column(c)
       val dst = out(c)
-      if (src.isNullAt(r)) { dst.putNull(o); () }
+      if (src.isNullAt(r)) {
+        required.fields(c).dataType match {
+          case _: StructType => dst.appendStruct(true); ()
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType =>
+            dst.appendNull(); ()
+          case _ => dst.putNull(o); ()
+        }
+      }
       else required.fields(c).dataType match {
         case LongType | TimestampType | TimestampNTZType =>
           dst.putLong(o, src.getLong(r))
@@ -3882,6 +4083,10 @@ class GraftCatalogVectorReader(
         case DoubleType             => dst.putDouble(o, src.getDouble(r))
         case FloatType              => dst.putFloat(o, src.getFloat(r))
         case BooleanType            => dst.putBoolean(o, src.getBoolean(r))
+        case org.apache.spark.sql.types.ShortType =>
+          dst.putShort(o, src.getShort(r))
+        case org.apache.spark.sql.types.ByteType =>
+          dst.putByte(o, src.getByte(r))
         case StringType =>
           val b = src.getUTF8String(r).getBytes
           dst.putByteArray(o, b, 0, b.length); ()
@@ -3891,10 +4096,119 @@ class GraftCatalogVectorReader(
         case d: org.apache.spark.sql.types.DecimalType =>
           dst.putDecimal(o, src.getDecimal(r, d.precision, d.scale),
             d.precision); ()
+        // NESTED columns copy through the child-vector APPEND API (the
+        // only WritableColumnVector surface that manages child offsets).
+        // put- and append-addressing coexist because surviving rows are
+        // written strictly in order: a nested vector's own
+        // elementsAppended counter always equals `o` here, while flat
+        // siblings use explicit put offsets and never consult it.
+        case at: org.apache.spark.sql.types.ArrayType =>
+          appendNested(dst, at, src.getArray(r))
+        case st: StructType =>
+          dst.appendStruct(false)
+          appendStructFields(dst, st, src.getStruct(r))
+        case mt: org.apache.spark.sql.types.MapType =>
+          appendMap(dst, mt, src.getMap(r))
         case dt => throw new UnsupportedOperationException(
           s"vectorized MOR copy does not support $dt")
       }
       c += 1
+    }
+  }
+
+  /** Recursive append of one value read through SpecializedGetters
+    * (ColumnarArray / ColumnarRow elements) into a child vector.
+    */
+  private def appendFrom(dst: OnHeapColumnVector, dt: DataType,
+      g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int): Unit = {
+    import org.apache.spark.sql.types._
+    if (g.isNullAt(i)) {
+      dt match {
+        case _: StructType => dst.appendStruct(true); ()
+        case _             => dst.appendNull(); ()
+      }
+    } else dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        dst.appendLong(g.getLong(i)); ()
+      case IntegerType | DateType => dst.appendInt(g.getInt(i)); ()
+      case DoubleType             => dst.appendDouble(g.getDouble(i)); ()
+      case FloatType              => dst.appendFloat(g.getFloat(i)); ()
+      case BooleanType            => dst.appendBoolean(g.getBoolean(i)); ()
+      case ShortType              => dst.appendShort(g.getShort(i)); ()
+      case ByteType               => dst.appendByte(g.getByte(i)); ()
+      case StringType =>
+        val b = g.getUTF8String(i).getBytes
+        dst.appendByteArray(b, 0, b.length); ()
+      case BinaryType =>
+        val b = g.getBinary(i)
+        dst.appendByteArray(b, 0, b.length); ()
+      case d: DecimalType =>
+        // OnHeapColumnVector decimal storage by precision: ≤9 digits in
+        // an int, ≤18 in a long, else unscaled big-endian bytes —
+        // exactly putDecimal's dispatch, expressed through appends
+        val dec = g.getDecimal(i, d.precision, d.scale)
+        if (d.precision <= 9) dst.appendInt(dec.toUnscaledLong.toInt)
+        else if (d.precision <= 18) dst.appendLong(dec.toUnscaledLong)
+        else {
+          val b = dec.toJavaBigDecimal.unscaledValue.toByteArray
+          dst.appendByteArray(b, 0, b.length)
+        }
+        ()
+      case at: ArrayType  => appendNested(dst, at, g.getArray(i))
+      case st: StructType =>
+        dst.appendStruct(false)
+        appendStructFields(dst, st, g.getStruct(i, st.fields.length))
+      case mt: MapType    => appendMap(dst, mt, g.getMap(i))
+      case other => throw new UnsupportedOperationException(
+        s"vectorized MOR copy does not support nested $other")
+    }
+  }
+
+  private def appendNested(dst: OnHeapColumnVector,
+      at: org.apache.spark.sql.types.ArrayType,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData): Unit = {
+    val n = arr.numElements()
+    val idx = dst.getElementsAppended
+    dst.reserve(idx + 1)
+    dst.putNotNull(idx)
+    dst.putArray(idx, dst.arrayData().getElementsAppended, n)
+    dst.addElementsAppended(1)
+    val child = dst.arrayData().asInstanceOf[OnHeapColumnVector]
+    var j = 0
+    while (j < n) { appendFrom(child, at.elementType, arr, j); j += 1 }
+  }
+
+  private def appendStructFields(dst: OnHeapColumnVector, st: StructType,
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters)
+      : Unit = {
+    var j = 0
+    while (j < st.fields.length) {
+      appendFrom(dst.getChild(j).asInstanceOf[OnHeapColumnVector],
+        st.fields(j).dataType, row, j)
+      j += 1
+    }
+  }
+
+  private def appendMap(dst: OnHeapColumnVector,
+      mt: org.apache.spark.sql.types.MapType,
+      m: org.apache.spark.sql.catalyst.util.MapData): Unit = {
+    // maps share the array offset/length storage; keys and values
+    // advance in lockstep so one putArray covers both children
+    val n = m.numElements()
+    val idx = dst.getElementsAppended
+    val keys = dst.getChild(0).asInstanceOf[OnHeapColumnVector]
+    val vals = dst.getChild(1).asInstanceOf[OnHeapColumnVector]
+    dst.reserve(idx + 1)
+    dst.putNotNull(idx)
+    dst.putArray(idx, keys.getElementsAppended, n)
+    dst.addElementsAppended(1)
+    val ka = m.keyArray(); val va = m.valueArray()
+    var j = 0
+    while (j < n) {
+      appendFrom(keys, mt.keyType, ka, j)
+      appendFrom(vals, mt.valueType, va, j)
+      j += 1
     }
   }
 
@@ -3903,6 +4217,11 @@ class GraftCatalogVectorReader(
     while (reader.nextBatch()) {
       val in = reader.resultBatch()
       val n = in.numRows()
+      if (rgStarts != null) {
+        while (rowsInRg >= rgRows(rgIdx)) { rgIdx += 1; rowsInRg = 0L }
+        basePos = rgStarts(rgIdx) + rowsInRg
+        rowsInRg += n
+      }
       out.foreach(_.reset())
       var o = 0
       var r = 0
@@ -3912,7 +4231,7 @@ class GraftCatalogVectorReader(
         }
         r += 1
       }
-      basePos += n
+      if (rgStarts == null) basePos += n
       if (o > 0) { outBatch.setNumRows(o); return true }
     }
     false

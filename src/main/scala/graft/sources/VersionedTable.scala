@@ -123,7 +123,9 @@ object VersionedTable {
 
   private def isHeader(l: String): Boolean =
     l.startsWith("txn=") || l.startsWith("ts=") || l.startsWith("carry=") ||
-      l.startsWith("rollup=") || l.startsWith("schema=")
+      l.startsWith("rollup=") || l.startsWith("schema=") ||
+      l.startsWith("index=") || l.startsWith("total=") ||
+      l.startsWith("delta=")
 
   /** The version this manifest carries its predecessor's entries from —
     * append/delete commits record `carry=<prev>` instead of rewriting
@@ -132,7 +134,7 @@ object VersionedTable {
     * materialization) write self-contained manifests, resetting chains.
     */
   private def carryOf(table: String, version: Long): Option[Long] =
-    manifestLines(table, version).tail.takeWhile(isHeader)
+    manifestHeaderBytes(table, version)._1
       .find(_.startsWith("carry=")).map(_.stripPrefix("carry=").toLong)
 
   private def ownEntries(lines: Seq[String], version: Long): Seq[String] = {
@@ -200,18 +202,266 @@ object VersionedTable {
         .foreach { v =>
           resolvedEntries.remove((table, v))
           parsedSnapshots.keySet.removeIf(k => k._1 == table && k._2 == v)
+          headerCache.remove((table, v))
         }
   }
 
+  /** Header lines of version `v`'s manifest plus the byte offset of its
+    * first entry line and the file's (size, mtime) at read — WITHOUT
+    * streaming the entry section, which is O(files) on self-contained
+    * manifests. The (size, mtime) pair guards the seek-based block
+    * reads below against a concurrent vacuum materialization rewriting
+    * the same version file (in-process rewrites also invalidate this
+    * memo directly).
+    */
+  // DEDICATED header cache, deliberately NOT parsedSnapshots:
+  // manifestHeaderBytes is called from inside other memos' compute
+  // closures (persistedHeaders, carry walks, pinned-entry resolution),
+  // and ANY same-map modification inside ConcurrentHashMap's
+  // computeIfAbsent — even to a different key, if it lands in the same
+  // bin — throws "Recursive update". A separate map is structurally
+  // immune.
+  private val headerCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Seq[String], Long, Long, Long)]()
+
+  private def manifestHeaderBytes(table: String, v: Long)
+      : (Seq[String], Long, Long, Long) = {
+    val key = (table, v)
+    val hit = headerCache.get(key)
+    if (hit != null) return hit
+    val computed = {
+      val p = manifestDir(table).resolve(s"$v.manifest")
+      val size = Files.size(p)
+      val mtime = Files.getLastModifiedTime(p).toMillis
+      val in = new java.io.BufferedInputStream(Files.newInputStream(p), 1 << 16)
+      try {
+        val headers = Seq.newBuilder[String]
+        val buf = new java.io.ByteArrayOutputStream(256)
+        var pos = 0L
+        var lineStart = 0L
+        var entryStart = -1L
+        var first = true
+        var done = false
+        while (!done) {
+          val b = in.read()
+          if (b < 0) {
+            // file of headers only (empty table) — entries start at EOF.
+            // A final unterminated line is still classified.
+            if (buf.size() > 0) {
+              val line = new String(buf.toByteArray,
+                java.nio.charset.StandardCharsets.UTF_8)
+              if (first || isHeader(line)) { headers += line; entryStart = pos }
+              else entryStart = lineStart
+            } else entryStart = pos
+            done = true
+          } else {
+            pos += 1
+            if (b == '\n') {
+              val raw = new String(buf.toByteArray,
+                java.nio.charset.StandardCharsets.UTF_8)
+              val line = if (raw.endsWith("\r")) raw.dropRight(1) else raw
+              buf.reset()
+              if (first) {
+                require(line == s"version=$v",
+                  s"corrupt manifest for version $v")
+                headers += line
+                first = false
+                lineStart = pos
+              } else if (isHeader(line)) {
+                headers += line
+                lineStart = pos
+              } else { entryStart = lineStart; done = true }
+            } else buf.write(b)
+          }
+        }
+        (headers.result(), entryStart, size, mtime)
+      } finally in.close()
+    }
+    headerCache.putIfAbsent(key, computed)
+    computed
+  }
+
+  /** Seek-read one indexed entry block (`off`/`len` relative to the
+    * entry section) of version `v`'s manifest. Returns None — caller
+    * falls back to the full streaming read — when the file changed
+    * since the header memo (concurrent materialization) or the block
+    * fails its shape validation.
+    */
+  private def readEntryBlock(
+      table: String, v: Long, entryStart: Long, off: Long, len: Long,
+      expectSize: Long, expectMtime: Long,
+      validate: String => Boolean): Option[Seq[String]] = {
+    val p = manifestDir(table).resolve(s"$v.manifest")
+    if (len > Int.MaxValue - 8) return None
+    if (Files.size(p) != expectSize ||
+      Files.getLastModifiedTime(p).toMillis != expectMtime) {
+      headerCache.remove((table, v))
+      return None
+    }
+    val ch = java.nio.channels.FileChannel.open(p)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(len.toInt)
+      ch.position(entryStart + off)
+      while (buf.hasRemaining && ch.read(buf) >= 0) ()
+      if (buf.hasRemaining) return None // truncated: not the file we indexed
+      val sep = System.lineSeparator()
+      val lines = new String(buf.array(), 0, len.toInt,
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split(sep, -1).toSeq.filter(_.nonEmpty)
+      if (lines.nonEmpty && lines.forall(validate)) Some(lines) else None
+    } finally ch.close()
+  }
+
+  /** SELECTIVE raw entries through the `index=` segment: resolve the
+    * carry chain reading only HEADERS plus each version's own (O(fresh))
+    * entries, then SEEK into the self-contained base manifest for
+    * exactly the commit directories `keepDir` admits — never streaming
+    * the base's O(files) entry section. Delete entries (the `!del`
+    * block) are always read: tombstones must never be dropped by
+    * pruning. Returns None when the base carries no index (legacy
+    * manifest) or any block read fails its guard — callers fall back to
+    * the full path. Removals along the chain apply ascending, exactly
+    * like [[manifestEntries]].
+    */
+  /** Probe/spec introspection: plans served by the seek-based fast path. */
+  private[graft] val selectiveSeekHits =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Data-file count of a snapshot from HEADERS alone: the base
+    * manifest's `total=` plus each carry manifest's `delta=` adds−removes
+    * — exact (see the count-line invariant at publish), never O(files).
+    * None when any manifest in the chain predates count lines — callers
+    * fall back to the O(files) memo.
+    */
+  private[sources] def snapshotFileCountFast(
+      table: String, version: Option[Long]): Option[Long] = {
+    val vs = versions(table)
+    if (vs.isEmpty) return None
+    var v = version.getOrElse(vs.last)
+    var acc = 0L
+    while (true) {
+      val hdr = manifestHeaderBytes(table, v)._1
+      hdr.find(_.startsWith("carry=")) match {
+        case Some(c) =>
+          hdr.find(_.startsWith("delta=")) match {
+            case Some(d) => d.stripPrefix("delta=").split(' ') match {
+              case Array(a, r) =>
+                (a.toLongOption, r.toLongOption) match {
+                  case (Some(x), Some(y)) => acc += x - y
+                  case _                  => return None
+                }
+              case _ => return None
+            }
+            case None => return None
+          }
+          v = c.stripPrefix("carry=").toLong
+        case None =>
+          return hdr.find(_.startsWith("total="))
+            .flatMap(_.stripPrefix("total=").toLongOption).map(_ + acc)
+      }
+    }
+    None // unreachable
+  }
+
+  private[sources] def selectiveRawEntries(
+      table: String, version: Option[Long], keepDir: String => Boolean)
+      : Option[(Seq[(String, Long, Seq[String])], Seq[String])] = {
+    val head = version.getOrElse {
+      val vs = versions(table)
+      if (vs.isEmpty) return None
+      vs.last
+    }
+    // walk head-down to the self-contained base, collecting own entries
+    var chain = List.empty[Seq[String]] // ascending after the prepends
+    var v = head
+    var base = -1L
+    while (base < 0) {
+      val (hdr, _, _, _) = manifestHeaderBytes(table, v)
+      hdr.find(_.startsWith("carry=")).map(_.stripPrefix("carry=").toLong) match {
+        case Some(prev) =>
+          chain = ownEntries(manifestLines(table, v), v) :: chain
+          v = prev
+        case None => base = v
+      }
+    }
+    val (bHdr, entryStart, size, mtime) = manifestHeaderBytes(table, base)
+    val idx = bHdr.filter(_.startsWith("index=")).flatMap { l =>
+      l.stripPrefix("index=").split(' ') match {
+        case Array(dir, o, n) =>
+          for (off <- o.toLongOption; len <- n.toLongOption)
+            yield (dir, off, len)
+        case _ => None
+      }
+    }
+    if (idx.isEmpty) return None
+    // base blocks: kept data dirs + the delete block. Per-dir blocks are
+    // memoized immutable Seqs SHARED into the result (no per-plan copy —
+    // a chainless warm plan re-assembles in O(selected dirs), not
+    // O(selected entries)); chain edits below copy only the dirs they
+    // actually touch.
+    val buckets = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[String]]
+    var dels = Seq.empty[String]
+    idx.foreach { case (dir, off, len) =>
+      if (dir == "!del") {
+        val block = readEntryBlock(table, base, entryStart, off, len,
+          size, mtime, isDeleteEntry)
+        if (block.isEmpty) return None
+        dels = dels ++ block.get
+      } else if (keepDir(dir)) {
+        // memoize SUCCESSFUL block reads only — a guard-tripped read
+        // must retry next plan, not pin the fallback forever
+        val key = (table, base, s"rawdir:$dir")
+        val cached = parsedSnapshots.get(key)
+        val block =
+          if (cached != null) Some(cached.asInstanceOf[Seq[String]])
+          else {
+            val r = readEntryBlock(table, base, entryStart, off, len,
+              size, mtime,
+              e => !isDeleteEntry(e) && !isRemoveEntry(e) &&
+                entryPath(e).startsWith(s"data/$dir/"))
+            r.foreach(lines => parsedSnapshots.put(key, lines))
+            r
+          }
+        if (block.isEmpty) return None
+        buckets.update(dir,
+          buckets.get(dir).fold(block.get)(_ ++ block.get))
+      }
+    }
+    // chain application, ascending: removes drop from the selection,
+    // adds append (fresh dirs join subject to keepDir; deletes always)
+    chain.foreach { own =>
+      val (removes, adds) = own.partition(isRemoveEntry)
+      if (removes.nonEmpty) {
+        val gone = removes.map(_.stripPrefix("R:")).toSet
+        buckets.mapValuesInPlace((_, es) =>
+          es.filterNot(e => gone.contains(entryPath(e))))
+        dels = dels.filterNot(e => gone.contains(entryPath(e)))
+        ()
+      }
+      adds.foreach { e =>
+        if (isDeleteEntry(e)) dels = dels :+ e
+        else {
+          val dir = entryPath(e).split('/')(1)
+          if (keepDir(dir))
+            buckets.update(dir, buckets.getOrElse(dir, Seq.empty) :+ e)
+        }
+      }
+    }
+    Some((buckets.iterator.filter(_._2.nonEmpty).map { case (dir, es) =>
+      (dir, dir.stripPrefix("c").takeWhile(_.isDigit).toLong, es)
+    }.toSeq, dels))
+  }
+
   private def txnOf(table: String, version: Long): Option[String] =
-    manifestLines(table, version).tail.takeWhile(isHeader)
+    manifestHeaderBytes(table, version)._1
       .find(_.startsWith("txn=")).map(_.stripPrefix("txn="))
 
   /** Commit wall-clock (epoch millis), recorded in the manifest header —
     * None for manifests written before timestamps existed.
     */
   def commitTimestamp(table: String, version: Long): Option[Long] =
-    manifestLines(table, version).tail.takeWhile(isHeader)
+    manifestHeaderBytes(table, version)._1
       .find(_.startsWith("ts=")).map(_.stripPrefix("ts=").toLong)
 
   /** TIMESTAMP AS OF resolution: the newest version committed at or
@@ -301,17 +551,81 @@ object VersionedTable {
     }
   }
 
+  /** INDEXED ENTRY SEGMENT for a self-contained manifest: entries
+    * reordered so each commit directory's data entries form ONE
+    * contiguous run (first-appearance order preserved — the property
+    * deterministic plans key on), delete entries in a final block, and
+    * one `index=<dir> <offset> <bytes>` header line per block (offsets
+    * relative to the first entry byte; `!del` names the delete block).
+    * Cold SELECTIVE plans then SEEK to surviving commits' blocks instead
+    * of streaming O(files) lines. Entry reordering is semantics-free:
+    * snapshot resolution treats the list as a set, and grouping keeps
+    * the dirs' relative first-appearance order.
+    */
+  private def indexedEntryLayout(entries: Seq[String])
+      : (Seq[String], Seq[String]) = {
+    val (delE, dataE) = entries.partition(isDeleteEntry)
+    val order = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    dataE.foreach { e =>
+      order.getOrElseUpdate(entryPath(e).split('/')(1),
+        scala.collection.mutable.ArrayBuffer.empty) += e
+    }
+    val sepLen = System.lineSeparator().getBytes(
+      java.nio.charset.StandardCharsets.UTF_8).length
+    def blockBytes(es: Seq[String]): Long = es.iterator.map(l =>
+      l.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong +
+        sepLen).sum
+    var off = 0L
+    val idx = Seq.newBuilder[String]
+    val ordered = Seq.newBuilder[String]
+    order.foreach { case (dir, es) =>
+      val b = blockBytes(es.toSeq)
+      idx += s"index=$dir $off $b"
+      ordered ++= es
+      off += b
+    }
+    if (delE.nonEmpty) {
+      idx += s"index=!del $off ${blockBytes(delE)}"
+      ordered ++= delE
+    }
+    (ordered.result(), idx.result())
+  }
+
   private def tryPublish(
       table: String, next: Long, entries: Seq[String], txnId: Option[String],
-      carry: Option[Long] = None): Boolean = {
+      carry: Option[Long] = None,
+      statHeader: Option[Seq[String]] = None): Boolean = {
     val mdir = manifestDir(table)
     Files.createDirectories(mdir)
     val tmp = mdir.resolve(
       s"$next.manifest.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    // rollup/schema lines depend only on `entries`, not on the version
+    // number — retrying callers (restore's CAS loop, publishStaged)
+    // precompute them ONCE and pass them in, so a version collision
+    // doesn't repeat the O(files) stats parse + O(commits) footer I/O
+    // on every attempt
+    val (body, idxLines) =
+      if (carry.isEmpty) indexedEntryLayout(entries)
+      else (entries, Nil) // carry manifests are O(fresh) — nothing to seek
+    // exact data-file COUNT lines, so the snapshot's file total resolves
+    // from headers alone: `total=` on self-contained manifests, `delta=
+    // <adds> <removes>` on carry manifests. R: entries only ever remove
+    // DATA entries (every replace path rewrites data files; tombstones
+    // retire through self-contained compactions), which is what makes
+    // the delta arithmetic exact.
+    val countLine =
+      if (carry.isEmpty) s"total=${entries.count(e => !isDeleteEntry(e))}"
+      else {
+        val adds = entries.count(e => !isDeleteEntry(e) && !isRemoveEntry(e))
+        s"delta=$adds ${entries.count(isRemoveEntry)}"
+      }
     val header = (s"version=$next" +: txnId.map(t => s"txn=$t").toSeq) ++
       Seq(s"ts=${System.currentTimeMillis()}") ++ carry.map(c => s"carry=$c") ++
-      rollupLines(entries) ++ schemaLines(table, entries)
-    Files.write(tmp, (header ++ entries).asJava)
+      Seq(countLine) ++
+      statHeader.getOrElse(rollupLines(entries) ++ schemaLines(table, entries)) ++
+      idxLines
+    Files.write(tmp, (header ++ body).asJava)
     try {
       Files.createLink(mdir.resolve(s"$next.manifest"), tmp)
       true
@@ -363,22 +677,60 @@ object VersionedTable {
     // instead (Spark's own modern encoding, what the SQL catalog's
     // writer already emits), so manifest MIN/MAX and the footer-
     // qualified per-commit row-group leaves see a sortable physical
-    // form. Session-conf set/restore: there is no per-write option for
-    // this knob (ParquetFileFormat.prepareWrite copies it from the
-    // session conf). A concurrent same-session writer racing the
-    // restore would merely flip between two CORRECT encodings — the
-    // row-group leaves decline INT96 commits per footer, never misread.
-    val spark = df.sparkSession
-    val tsKey = "spark.sql.parquet.outputTimestampType"
+    // form. There is no per-write option for this knob
+    // (ParquetFileFormat.prepareWrite copies it from the session conf
+    // unconditionally), so the override goes through [[withMicrosTs]] —
+    // a depth-counted per-session guard: concurrent GRAFT writers run
+    // in parallel but only the outermost set/restore touches the conf,
+    // so a racer can never clobber the restore and leave the user's
+    // session permanently flipped. A concurrent NON-graft writer on the
+    // same session may still observe TIMESTAMP_MICROS — both encodings
+    // are correct, and the row-group leaves decline INT96 commits per
+    // footer, never misread.
     val hasTs = df.schema.fields.exists(
       _.dataType == org.apache.spark.sql.types.TimestampType)
-    val prevTs = if (hasTs) Some(spark.conf.get(tsKey)) else None
-    if (hasTs) spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try
+    def doWrite(): Unit =
       df.write.mode("errorifexists").options(bloomOpts ++ writeOptions)
         .parquet(dataDir.toString)
-    finally prevTs.foreach(spark.conf.set(tsKey, _))
+    if (hasTs) withMicrosTs(df.sparkSession)(doWrite()) else doWrite()
     dirMetadata(df.sparkSession, table, dirName, statsCols, checks)
+  }
+
+  /** Per-session depth counter guarding the `outputTimestampType`
+    * session-conf override: the first graft writer in saves the user's
+    * value and sets MICROS, the last one out restores it. Writers stay
+    * concurrent — only the conf mutation is serialized. Weak keys let
+    * closed sessions age out of the map.
+    */
+  private val tsGuards: java.util.Map[org.apache.spark.sql.SparkSession, Array[Object]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Array[Object]])
+
+  private def withMicrosTs[A](
+      spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    // slot 0 = depth (java.lang.Integer), slot 1 = saved value (String)
+    val g = tsGuards.synchronized {
+      tsGuards.computeIfAbsent(spark,
+        _ => Array[Object](Integer.valueOf(0), null))
+    }
+    g.synchronized {
+      val depth = g(0).asInstanceOf[Integer].intValue
+      if (depth == 0) {
+        g(1) = spark.conf.get(tsKey)
+        spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      }
+      g(0) = Integer.valueOf(depth + 1)
+    }
+    try f
+    finally g.synchronized {
+      val depth = g(0).asInstanceOf[Integer].intValue - 1
+      g(0) = Integer.valueOf(depth)
+      if (depth == 0) {
+        spark.conf.set(tsKey, g(1).asInstanceOf[String])
+        g(1) = null
+      }
+    }
   }
 
   /** The integral (BIGINT/INT) columns of `schema` — the default
@@ -451,20 +803,35 @@ object VersionedTable {
     // DECIMAL to precision 18 qualifies too: zones record the UNSCALED
     // value (exact in a long; the scale is fixed per column and stable
     // across the same-scale precision widening this engine accepts)
-    val eligible = schema.fields.filter { f =>
-      f.dataType == LongType || f.dataType == IntegerType ||
-      f.dataType == DateType || f.dataType == StringType ||
-      f.dataType == org.apache.spark.sql.types.TimestampType ||
-      // DOUBLE/FLOAT zones are exact sortable-bits ([[sortableBits]] —
-      // every float is exactly representable as a double), so the
-      // floating family joins the default stats set like everything else
-      f.dataType == org.apache.spark.sql.types.DoubleType ||
-      f.dataType == org.apache.spark.sql.types.FloatType ||
-      (f.dataType match {
-        case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
-        case _ => false
-      })
-    }.map(_.name).toSeq
+    def zoneEligible(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt == LongType || dt == IntegerType ||
+        dt == DateType || dt == StringType ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        // DOUBLE/FLOAT zones are exact sortable-bits ([[sortableBits]] —
+        // every float is exactly representable as a double), so the
+        // floating family joins the default stats set like everything
+        // else
+        dt == org.apache.spark.sql.types.DoubleType ||
+        dt == org.apache.spark.sql.types.FloatType ||
+        (dt match {
+          case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+          case _ => false
+        })
+    // STRUCT leaves join under DOTTED names ("meta.lang"): a predicate
+    // on a nested metadata field prunes files exactly like a top-level
+    // one. Top-level columns lead the eligibility order (they dominate
+    // real pruning-key sets); leaves nest through STRUCTS only — array
+    // elements and map values have no scalar-bound semantics.
+    def structLeaves(prefix: String,
+        dt: org.apache.spark.sql.types.DataType): Seq[String] = dt match {
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fields.flatMap(f => structLeaves(s"$prefix.${f.name}", f.dataType)).toSeq
+      case t if zoneEligible(t) && prefix.contains('.') => Seq(prefix)
+      case _ => Nil
+    }
+    val eligible = schema.fields.filter(f => zoneEligible(f.dataType))
+      .map(_.name).toSeq ++
+      schema.fields.flatMap(f => structLeaves(f.name, f.dataType))
     // the declared layout keys must NEVER fall outside the cap: losing
     // the cluster/partition/bucket column's zones would silently disable
     // the pruning the layout exists for
@@ -615,61 +982,68 @@ object VersionedTable {
       if (files.isEmpty) Map.empty
       else {
         val snap = spark.read.parquet(dataDir.toString)
+        // stats columns may be NESTED struct leaves under dotted names
+        // ("meta.lang") — `col(c)` resolves the field access natively,
+        // and every downstream consumer (zone keys, rollup headers,
+        // pushed-bound translation) treats the dotted name as an opaque
+        // key. Type classification walks the struct spine the same way.
+        def leafType(c: String)
+            : Option[org.apache.spark.sql.types.DataType] = {
+          def walk(dt: org.apache.spark.sql.types.DataType,
+              parts: List[String])
+              : Option[org.apache.spark.sql.types.DataType] =
+            (dt, parts) match {
+              case (t, Nil) => Some(t)
+              case (st: org.apache.spark.sql.types.StructType, h :: rest) =>
+                st.fields.find(_.name == h).flatMap(f => walk(f.dataType, rest))
+              case _ => None
+            }
+          walk(snap.schema, c.split('.').toList)
+        }
         // string columns get byte-prefix zones (fifth entry segment);
         // date columns record epoch-day long zones (DATE does not cast
         // to BIGINT — unix_date is the explicit day count, and it is
         // exactly what the pushed-filter bounds speak for date
         // predicates); everything else keeps the cast(long) min/max
-        val strSet = snap.schema.fields.collect {
-          case f if f.dataType == org.apache.spark.sql.types.StringType =>
-            f.name
-        }.toSet
-        val dateSet = snap.schema.fields.collect {
-          case f if f.dataType == org.apache.spark.sql.types.DateType =>
-            f.name
-        }.toSet
+        def isType(c: String,
+            t: org.apache.spark.sql.types.DataType): Boolean =
+          leafType(c).contains(t)
         // TIMESTAMP zones record epoch MICROS (`unix_micros` — cast(long)
         // would truncate to seconds, desynchronizing from the pushed
         // timestamp bounds, which speak micros)
-        val tsSet = snap.schema.fields.collect {
-          case f if f.dataType == org.apache.spark.sql.types.TimestampType =>
-            f.name
-        }.toSet
         // DECIMAL zones record the UNSCALED value (col × 10^scale is
         // exact decimal arithmetic, integral by construction, and fits
         // a long at precision ≤ 18) — the unit pushed decimal predicates
         // convert to, and one that is STABLE across the same-scale
         // precision widening this engine accepts
-        val decScale: Map[String, Int] = snap.schema.fields.collect {
-          case f => f.dataType match {
-            case d: org.apache.spark.sql.types.DecimalType
-              if d.precision <= 18 => Some(f.name -> d.scale)
+        val decScale: Map[String, Int] = statsCols.flatMap { c =>
+          leafType(c) match {
+            case Some(d: org.apache.spark.sql.types.DecimalType)
+              if d.precision <= 18 => Some(c -> d.scale)
             case _ => None
           }
-        }.flatten.toMap
-        val dblSet = snap.schema.fields.collect {
-          case f if f.dataType == org.apache.spark.sql.types.DoubleType ||
-            f.dataType == org.apache.spark.sql.types.FloatType =>
-            f.name
-        }.toSet
-        val (strCols, nonStr) = statsCols.partition(strSet.contains)
-        val (dateCols, nonDate) = nonStr.partition(dateSet.contains)
-        val (tsCols, nonTs) = nonDate.partition(tsSet.contains)
+        }.toMap
+        val (strCols, nonStr) = statsCols.partition(
+          isType(_, org.apache.spark.sql.types.StringType))
+        val (dateCols, nonDate) = nonStr.partition(
+          isType(_, org.apache.spark.sql.types.DateType))
+        val (tsCols, nonTs) = nonDate.partition(
+          isType(_, org.apache.spark.sql.types.TimestampType))
         val (decCols, nonDec) = nonTs.partition(decScale.contains)
         // DOUBLE zones aggregate as true doubles and convert to sortable
         // bits on the driver (no SQL bit-twiddling needed); the tilde key
         // firewalls them from any legacy truncated-long zone
-        val (dblCols, numCols) = nonDec.partition(dblSet.contains)
+        val (dblCols, numCols) = nonDec.partition(c =>
+          isType(c, org.apache.spark.sql.types.DoubleType) ||
+            isType(c, org.apache.spark.sql.types.FloatType))
         // NDV sketches ride the same job: HLL per stats column per file,
         // unioned into one per-commit sketch below (types hll_sketch_agg
         // accepts: int/long/string/binary — exactly the stats families)
-        val hllOk = snap.schema.fields.collect {
-          case f if f.dataType == org.apache.spark.sql.types.LongType ||
-            f.dataType == org.apache.spark.sql.types.IntegerType ||
-            f.dataType == org.apache.spark.sql.types.StringType ||
-            f.dataType == org.apache.spark.sql.types.BinaryType => f.name
-        }.toSet
-        val ndvCols = statsCols.filter(hllOk.contains)
+        val ndvCols = statsCols.filter(c =>
+          isType(c, org.apache.spark.sql.types.LongType) ||
+            isType(c, org.apache.spark.sql.types.IntegerType) ||
+            isType(c, org.apache.spark.sql.types.StringType) ||
+            isType(c, org.apache.spark.sql.types.BinaryType))
         val aggs = (count(lit(1)).as("g_n") +: (numCols.flatMap(c => Seq(
           min(col(c)).cast("long").as(s"g_mn_$c"),
           max(col(c)).cast("long").as(s"g_mx_$c"),
@@ -1232,6 +1606,7 @@ object VersionedTable {
       txnId: Option[String], expectedLatest: Option[Long]): Either[Long, Long] = {
     var next = next0
     var dirName = dirName0
+    var cachedStats: Option[(String, Seq[String])] = None
     def abandon(): Unit = deleteRecursively(Paths.get(table, "data", dirName))
     while (true) {
       val latest = expectedLatest.orElse(versions(table).lastOption)
@@ -1254,7 +1629,27 @@ object VersionedTable {
       // of its (table-sized) entry list: append metadata is O(fresh)
       val carry = if (append) latest else None
       val fresh = fileEntries.map(n => s"data/$dirName/$n")
-      if (tryPublish(table, next, fresh, txnId, carry)) return Right(next)
+      // stats header: compute once, then RETAG the directory name on
+      // retries (a lost race renames the commit dir, but the per-file
+      // stats and the footer schema are unchanged) — no repeated
+      // O(entries) parse or footer open per CAS attempt
+      val statHeader = cachedStats match {
+        case Some((d, lines)) if d == dirName => lines
+        case Some((d, lines)) =>
+          val retagged = lines.map { l =>
+            if (l.startsWith(s"rollup=$d "))
+              s"rollup=$dirName " + l.stripPrefix(s"rollup=$d ")
+            else if (l.startsWith(s"schema=$d "))
+              s"schema=$dirName " + l.stripPrefix(s"schema=$d ")
+            else l
+          }
+          cachedStats = Some((dirName, retagged)); retagged
+        case None =>
+          val lines = rollupLines(fresh) ++ schemaLines(table, fresh)
+          cachedStats = Some((dirName, lines)); lines
+      }
+      if (tryPublish(table, next, fresh, txnId, carry,
+          statHeader = Some(statHeader))) return Right(next)
       if (expectedLatest.isDefined) {
         abandon()
         throw new java.util.ConcurrentModificationException(
@@ -1368,7 +1763,57 @@ object VersionedTable {
       // headroom. Scale changes would rewrite values, so they refuse.
       case (x: DecimalType, y: DecimalType) if x.scale == y.scale =>
         Some(DecimalType(math.max(x.precision, y.precision), x.scale))
+      // NESTED evolution: struct field-set union at any depth (the
+      // nested ADD COLUMN carrier) — leaf types inside nested must
+      // match exactly, field ADDITION is the only accepted drift
+      case (x: org.apache.spark.sql.types.StructType,
+            y: org.apache.spark.sql.types.StructType) => mergeNestedType(x, y)
+      case (x: org.apache.spark.sql.types.ArrayType,
+            y: org.apache.spark.sql.types.ArrayType) => mergeNestedType(x, y)
+      case (x: org.apache.spark.sql.types.MapType,
+            y: org.apache.spark.sql.types.MapType)   => mergeNestedType(x, y)
       case _                                                  => None
+    }
+  }
+
+  /** Nested type union: equal, or — for structs at any depth — the
+    * FIELD-SET union (shared fields recurse, either side's new fields
+    * append, a-side order first). Unlike top-level [[widenType]], leaf
+    * types inside nested containers must match EXACTLY: the decoders
+    * null-fill absent struct fields but do not up-cast nested leaves,
+    * so numeric widening below the top level is refused loudly.
+    */
+  private def mergeNestedType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    (a, b) match {
+      case (x, y) if x == y => Some(x)
+      case (x: StructType, y: StructType) =>
+        val byName = y.fields.map(f => f.name -> f).toMap
+        val merged = x.fields.map { f =>
+          byName.get(f.name) match {
+            case None => Some(f)
+            case Some(g) => mergeNestedType(f.dataType, g.dataType).map(t =>
+              f.copy(dataType = t, nullable = f.nullable || g.nullable))
+          }
+        }
+        if (merged.exists(_.isEmpty)) None
+        else {
+          val xNames = x.fieldNames.toSet
+          Some(StructType(merged.flatten ++
+            y.fields.filterNot(f => xNames.contains(f.name))))
+        }
+      case (x: ArrayType, y: ArrayType) =>
+        mergeNestedType(x.elementType, y.elementType)
+          .map(ArrayType(_, x.containsNull || y.containsNull))
+      case (x: MapType, y: MapType) =>
+        for {
+          k <- mergeNestedType(x.keyType, y.keyType)
+          v <- mergeNestedType(x.valueType, y.valueType)
+        } yield MapType(k, v, x.valueContainsNull || y.valueContainsNull)
+      case _ => None
     }
   }
 
@@ -1458,6 +1903,58 @@ object VersionedTable {
       StructType(cur.fields.map(g =>
         if (g.name == pc) g.copy(dataType = to) else g)),
       append = true)
+  }
+
+  /** NESTED additive evolution: append a nullable `field` to the struct
+    * at `path` (a top-level struct column, or a struct any levels deeper
+    * through structs / array elements / map values) by a schema-only
+    * carrier commit — the nested twin of ADD COLUMN. No data file is
+    * rewritten: the snapshot-schema union merges struct field sets
+    * ([[mergeNestedType]]), old files read the new field as NULL (the
+    * decoders null-fill absent struct fields), and pinned pre-evolution
+    * snapshots keep the narrower struct. SQL surface:
+    * `ALTER TABLE t ADD COLUMN parent.child TYPE`.
+    */
+  def addNestedColumn(
+      spark: SparkSession, table: String, path: Seq[String],
+      field: org.apache.spark.sql.types.StructField): Long = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    require(path.nonEmpty, "nested ADD COLUMN needs a parent path")
+    require(field.nullable,
+      s"ADD COLUMN ${(path :+ field.name).mkString(".")}: new nested " +
+        "fields must be nullable — existing rows carry no value for them")
+    // descend to the parent struct and rebuild the spine with the field
+    // appended; arrays-of-struct and map values evolve through their
+    // element/value types
+    def addAt(dt: org.apache.spark.sql.types.DataType, rest: Seq[String])
+        : org.apache.spark.sql.types.DataType = dt match {
+      case st: StructType if rest.isEmpty =>
+        require(!st.fieldNames.contains(field.name),
+          s"field ${field.name} already exists in struct " +
+            s"${path.mkString(".")} of $table")
+        StructType(st.fields :+ field.copy(nullable = true))
+      case st: StructType =>
+        val i = st.fieldNames.indexOf(rest.head)
+        require(i >= 0,
+          s"no field ${rest.head} under ${path.mkString(".")} in $table")
+        StructType(st.fields.updated(i,
+          st.fields(i).copy(dataType = addAt(st.fields(i).dataType, rest.tail))))
+      case at: ArrayType =>
+        at.copy(elementType = addAt(at.elementType, rest))
+      case mt: MapType =>
+        mt.copy(valueType = addAt(mt.valueType, rest))
+      case other => throw new IllegalArgumentException(
+        s"cannot evolve ${path.mkString(".")} in $table: $other is not a " +
+          "struct (nested ADD COLUMN descends structs, array elements, " +
+          "and map values only)")
+    }
+    val pc = physName(table, path.head)
+    val cur = snapshotSchema(spark, table, None)
+    val i = cur.fieldNames.indexOf(pc)
+    require(i >= 0, s"cannot evolve ${path.head}: not a column of $table")
+    val evolved = StructType(cur.fields.updated(i,
+      cur.fields(i).copy(dataType = addAt(cur.fields(i).dataType, path.tail))))
+    commitSchemaOnly(table, evolved, append = true)
   }
 
   private[sources] def commitSchemaOnly(
@@ -2115,8 +2612,9 @@ object VersionedTable {
         .empty[String, org.apache.spark.sql.types.StructType]
       var v: Option[Long] = Some(version.getOrElse(versions(table).last))
       while (v.isDefined) {
-        val lines = manifestLines(table, v.get)
-        lines.tail.takeWhile(isHeader).foreach { l =>
+        // header-only byte read — never streams the O(files) entry
+        // section of self-contained manifests just to take headers
+        manifestHeaderBytes(table, v.get)._1.tail.foreach { l =>
           if (l.startsWith("rollup=")) {
             val body = l.stripPrefix("rollup=")
             val sp = body.indexOf(' ')
@@ -2182,37 +2680,93 @@ object VersionedTable {
     if (parsedSnapshots.containsKey((table, v, "layoutbycommit")) ||
       parsedSnapshots.containsKey((table, v, "layout")))
       return snapshotLayoutByCommit(table, version)
-    val entries = pinnedEntries(table, version)
-    val delRefs = entries.filter(isDeleteEntry)
-      .map(e => (e.split(":", 3)(1).toLong, entryPath(e)))
-    // raw entry strings grouped by commit directory — first-appearance
-    // order (deterministic plans), no stats parsing
-    val rawByDir: Seq[(String, Long, Seq[String])] =
-      memoParsed(table, version, "rawbydir") {
-        val order = scala.collection.mutable.LinkedHashMap
-          .empty[String, scala.collection.mutable.ArrayBuffer[String]]
-        entries.filterNot(isDeleteEntry).foreach { e =>
-          order.getOrElseUpdate(entryPath(e).split('/')(1),
-            scala.collection.mutable.ArrayBuffer.empty) += e
-        }
-        order.iterator.map { case (dir, es) =>
-          (dir, dir.stripPrefix("c").takeWhile(_.isDigit).toLong, es.toSeq)
-        }.toSeq
-      }
     val rolls = persistedRollups(table, version)
-    rawByDir.flatMap { case (dir, cv, es) =>
-      val dead = rolls.get(dir).exists(roll => bounds.exists {
+    def isDead(dir: String): Boolean =
+      rolls.get(dir).exists(roll => bounds.exists {
         case (c, (lo, hi)) =>
           roll.get(c).exists { case (mn, mx) => mx < lo || mn > hi }
       })
-      if (dead) None
-      else {
-        val tombs = delRefs.collect { case (b, p) if b >= cv => p }
-        val parsed = memoParsed(table, version, s"clayout:$dir") {
-          es.map(e => (entryPath(e), entryStats(e)))
-        }
-        Some(cv -> parsed.map { case (p, st) => (p, cv, tombs, st) })
+    // INDEXED fast path: seek to surviving commits' entry blocks — never
+    // streams the base manifest's O(files) entry section. Engaged only
+    // when the rollups actually KILL a commit: with nothing dead the
+    // seek reads the same bytes as the stream while the legacy path
+    // additionally memoizes a reusable full layout — strictly better for
+    // the repeat plans that follow. Falls back for index-less manifests.
+    val anyDead = rolls.keysIterator.exists(isDead)
+    val (rawSurviving, delRefs): (Seq[(String, Long, Seq[String])],
+        Seq[(Long, String)]) =
+      (if (anyDead) selectiveRawEntries(table, version, dir => !isDead(dir))
+       else None) match {
+        case Some((raw, dels)) =>
+          selectiveSeekHits.incrementAndGet()
+          (raw, dels.map(e => (e.split(":", 3)(1).toLong, entryPath(e))))
+        case None =>
+          val entries = pinnedEntries(table, version)
+          // raw entry strings grouped by commit directory —
+          // first-appearance order (deterministic plans), no stats parse
+          val rawByDir: Seq[(String, Long, Seq[String])] =
+            memoParsed(table, version, "rawbydir") {
+              val order = scala.collection.mutable.LinkedHashMap
+                .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+              entries.filterNot(isDeleteEntry).foreach { e =>
+                order.getOrElseUpdate(entryPath(e).split('/')(1),
+                  scala.collection.mutable.ArrayBuffer.empty) += e
+              }
+              order.iterator.map { case (dir, es) =>
+                (dir, dir.stripPrefix("c").takeWhile(_.isDigit).toLong,
+                  es.toSeq)
+              }.toSeq
+            }
+          (rawByDir.filterNot(r => isDead(r._1)),
+            entries.filter(isDeleteEntry)
+              .map(e => (e.split(":", 3)(1).toLong, entryPath(e))))
       }
+    rawSurviving.map { case (dir, cv, es) =>
+      // the PLANNING tuples memoize whole (tombs included — stable per
+      // pinned version), so a warm selective plan assembles in
+      // O(surviving dirs), never re-allocating per entry
+      val parsed = memoParsed(table, version, s"cplanned:$dir") {
+        val tombs = delRefs.collect { case (b, p) if b >= cv => p }
+        es.map(e => (entryPath(e), cv, tombs, entryStats(e)))
+      }
+      cv -> parsed
+    }
+  }
+
+  /** Rows + bytes of exactly the files a selective plan admits, through
+    * the seek-based fast path — what lets the scan's statistics
+    * estimate skip the global O(files) row-count/size memos on a cold
+    * selective plan. None when the fast path doesn't serve this
+    * snapshot (legacy manifest) — callers fall back to the global maps.
+    */
+  private[sources] def selectiveRowsBytes(
+      table: String, version: Option[Long],
+      bounds: Map[String, (Long, Long)])
+      : Option[String => Option[(Option[Long], Option[Long])]] = {
+    val rolls = persistedRollups(table, version)
+    def isDead(dir: String): Boolean =
+      rolls.get(dir).exists(roll => bounds.exists {
+        case (c, (lo, hi)) =>
+          roll.get(c).exists { case (mn, mx) => mx < lo || mn > hi }
+      })
+    // same engagement rule as the layout fast path: with nothing dead,
+    // the global memos the legacy path builds serve repeat plans better
+    if (!rolls.keysIterator.exists(isDead)) return None
+    selectiveRawEntries(table, version, dir => !isDead(dir)).map {
+      case (raw, _) =>
+        // per-dir MAPS memoized once; lookups route through the path's
+        // own dir — no O(selected entries) flatten per plan
+        val byDir: Map[String, Map[String, (Option[Long], Option[Long])]] =
+          raw.map { case (dir, _, es) =>
+            dir -> memoParsed(table, version, s"crb:$dir") {
+              es.map(e => (entryPath(e), (entryRows(e), entryBytes(e)))).toMap
+            }
+          }.toMap
+        (p: String) => {
+          val parts = p.split('/')
+          if (parts.length < 2) None
+          else byDir.get(parts(1)).flatMap(_.get(p))
+        }
     }
   }
 
@@ -3178,15 +3732,25 @@ object VersionedTable {
       // the file set spans several commits or evolution is requested
       // (single-commit reads keep pure inference: zero footer work)
       val commits = files.map(dataCommitOf).distinct
+      // parquet's DICTIONARY row-group evaluator compares doubles by
+      // TOTAL order: a pushed eq(+0.0) against an all--0.0 dictionary
+      // drops the whole group, silently losing rows Spark's own
+      // comparison (-0.0 == 0.0) would match (reproduced on vanilla
+      // Spark 4.1). Stats filtering is zero-widened at write and stays
+      // ON — the dictionary evaluator is the one unsound layer, so this
+      // path turns exactly it off. The catalog scan is unaffected: it
+      // builds its own zero-widened FilterPredicate (never an Eq leaf
+      // on ±0.0), which every evaluator handles soundly.
+      val dictOff = Map("parquet.filter.dictionary.enabled" -> "false")
       val reader =
         if (!mergeSchema && commits.size <= 1)
-          spark.read.option("mergeSchema", false)
+          spark.read.option("mergeSchema", false).options(dictOff)
         else {
           val sch = files.groupBy(dataCommitOf)
             .toSeq.sortBy(_._1).map(_._2.min)
             .map(p => commitSchemaOf(spark, table, p))
             .reduce(unionSchemas(table, _, _))
-          spark.read.schema(sch)
+          spark.read.schema(sch).options(dictOff)
         }
       val df = reader.parquet(files.map(abs): _*)
       fileTag.fold(df)(t => df.withColumn(t, input_file_name()))
@@ -3494,9 +4058,13 @@ object VersionedTable {
       s"cannot restore $table to version $toVersion: not a retained " +
         s"version (retained: ${versions(table).mkString(", ")})")
     val entries = manifestEntries(table, toVersion)
+    // header lines are version-independent — compute once, not per
+    // CAS attempt (a restore manifest is self-contained: O(all files))
+    val statHeader = rollupLines(entries) ++ schemaLines(table, entries)
     while (true) {
       val next = versions(table).lastOption.getOrElse(0L) + 1L
-      if (tryPublish(table, next, entries, None, carry = None)) return next
+      if (tryPublish(table, next, entries, None, carry = None,
+          statHeader = Some(statHeader))) return next
     }
     throw new IllegalStateException("unreachable")
   }
@@ -3592,6 +4160,7 @@ object VersionedTable {
     deleteRecursively(Paths.get(table))
     resolvedEntries.keySet.removeIf(_._1 == table)
     parsedSnapshots.keySet.removeIf(_._1 == table)
+    headerCache.keySet.removeIf(_._1 == table)
     ndvCache.keySet.removeIf(_._1 == table)
     commitSchemas.keySet.removeIf(_._1 == table)
     ()
@@ -3630,9 +4199,14 @@ object VersionedTable {
       }
       if (chainCrosses(v)) {
         val resolved = manifestEntries(table, v)
+        // carry/rollup/schema/index headers are all re-derived below —
+        // index offsets in particular would be STALE against the
+        // rewritten entry layout
         val headers = manifestLines(table, v).tail.takeWhile(isHeader)
           .filterNot(l => l.startsWith("carry=") ||
-            l.startsWith("rollup=") || l.startsWith("schema="))
+            l.startsWith("rollup=") || l.startsWith("schema=") ||
+            l.startsWith("index=") || l.startsWith("total=") ||
+            l.startsWith("delta="))
         // the CHAIN's accumulated rollup/schema hints must survive the
         // materialization (the predecessors that declared them are about
         // to be deleted) — re-emit them for the directories the resolved
@@ -3652,11 +4226,22 @@ object VersionedTable {
         val mdir = manifestDir(table)
         val tmp = mdir.resolve(
           s"$v.manifest.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+        // the materialized manifest is self-contained — give it a fresh
+        // indexed entry segment so cold selective plans keep seeking
+        val (body, idxLines) = indexedEntryLayout(resolved)
+        val totalLine = s"total=${resolved.count(e => !isDeleteEntry(e))}"
         Files.write(tmp,
-          ((s"version=$v" +: headers) ++ hints ++ resolved).asJava)
+          ((s"version=$v" +: headers) ++ (totalLine +: hints) ++
+            idxLines ++ body).asJava)
         Files.move(tmp, mdir.resolve(s"$v.manifest"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // byte-offset memos (header positions, seek blocks) are STALE
+        // against the rewritten file — drop them for this version; the
+        // entry-SET memos stay valid (the rewrite is entry-identical)
+        headerCache.remove((table, v))
+        parsedSnapshots.keySet.removeIf(k => k._1 == table && k._2 == v &&
+          k._3.startsWith("rawdir:"))
       }
     }
     val keep = kept.flatMap(manifestEntries(table, _)).map(entryPath).toSet
@@ -3672,6 +4257,7 @@ object VersionedTable {
     expired.foreach { v =>
       resolvedEntries.remove((table, v))
       parsedSnapshots.keySet.removeIf(k => k._1 == table && k._2 == v)
+      headerCache.remove((table, v))
     }
     val doomedDirs = doomed.map(_.split('/')(1))
     commitSchemas.keySet.removeIf(k => k._1 == table && doomedDirs.contains(k._2))

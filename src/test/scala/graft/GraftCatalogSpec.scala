@@ -1103,6 +1103,47 @@ class GraftCatalogSpec extends AnyFunSuite {
       ra.getLong(2) == 8000L, ra.toString)
   }
 
+  test("signed zero: ±0.0 predicates never prune the other sign's files") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/szero"
+    // four single-file commits: all -0.0, all +0.0, positives, negatives
+    // — the bits bijection separates the zeros (-1 vs 0), but Spark SQL
+    // compares them EQUAL, so a zero predicate must keep both files
+    def one(ks: Range, amt: Long => Double, append: Boolean): Unit =
+      VersionedTable.commit(
+        ks.map(k => (k.toLong, amt(k.toLong))).toDF("k", "amount").coalesce(1),
+        t, append = append, statsCols = Seq("amount"))
+    one(1 to 100, _ => -0.0d, append = false)
+    one(101 to 200, _ => 0.0d, append = true)
+    one(201 to 300, k => 5.5 + k, append = true)
+    one(301 to 400, k => -5.5 - k, append = true)
+    def ks(c: org.apache.spark.sql.Column): Set[Long] =
+      VersionedTable.read(spark, t).filter(c)
+        .collect().map(_.getAs[Long]("k")).toSet
+    val zeros = (1L to 200L).toSet
+    assert(ks(col("amount") === org.apache.spark.sql.functions.lit(0.0d)) == zeros,
+      "= 0.0 must see the all--0.0 file")
+    assert(ks(col("amount") === org.apache.spark.sql.functions.lit(-0.0d)) == zeros,
+      "= -0.0 must see the all-+0.0 file")
+    assert(ks(col("amount") >= org.apache.spark.sql.functions.lit(0.0d)) == zeros ++ (201L to 300L),
+      ">= 0.0 must see the all--0.0 file")
+    assert(ks(col("amount") <= org.apache.spark.sql.functions.lit(-0.0d)) == zeros ++ (301L to 400L),
+      "<= -0.0 must see the all-+0.0 file")
+    // strict comparisons exclude BOTH zeros and still prune
+    assert(ks(col("amount") > org.apache.spark.sql.functions.lit(0.0d)) == (201L to 300L).toSet)
+    assert(ks(col("amount") < org.apache.spark.sql.functions.lit(-0.0d)) == (301L to 400L).toSet)
+    // the zero-widened equality must still prune the nonzero files
+    val q = spark.sql(
+      "SELECT k FROM gtest.default.szero WHERE amount = CAST(0.0 AS DOUBLE)")
+    val m = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no graft-catalog scan"))
+    assert(m.group(2).toInt == 4 && m.group(1).toInt == 2,
+      s"zero equality must keep exactly the two zero files, got " +
+        s"files=${m.group(1)}/${m.group(2)}")
+    assert(q.collect().map(_.getLong(0)).toSet == zeros)
+  }
+
   test("FLOAT columns prune and answer extremes through the same bits zones") {
     val s = spark; import s.implicits._
     val t = s"$root/default/fltp"

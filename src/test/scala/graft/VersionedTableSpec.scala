@@ -512,9 +512,10 @@ class VersionedTableSpec extends AnyFunSuite {
     def manifestLineCount(v: Long): Int =
       java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get(t, "_manifest", s"$v.manifest")).size
-    // v1 lists its 8 files; v2/v3 are header + carry + ONE fresh entry
+    // v1 lists its 8 files; v2/v3 are header (version/ts/carry/delta +
+    // rollup/schema hints) + ONE fresh entry
     assert(manifestLineCount(1L) >= 9)
-    assert(manifestLineCount(2L) <= 5 && manifestLineCount(3L) <= 5,
+    assert(manifestLineCount(2L) <= 7 && manifestLineCount(3L) <= 7,
       s"append manifests must be O(fresh): v2=${manifestLineCount(2L)} " +
         s"v3=${manifestLineCount(3L)} lines")
     // the resolved snapshot is still the whole table

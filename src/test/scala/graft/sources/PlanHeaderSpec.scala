@@ -52,6 +52,49 @@ class PlanHeaderSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).count() == 2000L)
   }
 
+  test("indexed entry segment: self-contained manifests seek, chains resolve, values exact") {
+    val s = spark; import s.implicits._
+    val t = s"$root/idx"
+    // self-contained overwrite: index= lines must appear, one per dir
+    VersionedTable.commit(
+      (1L to 600L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(3, org.apache.spark.sql.functions.col("k")),
+      t, append = false, statsCols = Seq("k"))
+    val m1 = manifestText(t, 1L)
+    assert(m1.contains("index=c1_"),
+      s"self-contained manifests must carry an index segment:\n${m1.take(400)}")
+    // appends chain on top; a replace commit removes some base entries
+    VersionedTable.commit(
+      (601L to 900L).map(k => (k, s"v$k")).toDF("k", "v"), t,
+      append = true, statsCols = Seq("k"))
+    VersionedTable.deleteWhere(spark, t, col("k") % 100L === 7L, "k")
+    // the selective fast path must agree with the resolved full read
+    val sel = VersionedTable.selectiveLayoutByCommit(
+      t, None, Map("k" -> (1L, 1000000L)))
+    val full = VersionedTable.read(spark, t)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == (1L to 900L).filterNot(_ % 100 == 7).toSet)
+    val selFiles = sel.flatMap(_._2.map(_._1)).toSet
+    assert(selFiles.nonEmpty && selFiles.forall(_.startsWith("data/")))
+    // a selective plan over a bounded range still drops dead commits
+    val sel2 = VersionedTable.selectiveLayoutByCommit(
+      t, None, Map("k" -> (700L, 750L)))
+    assert(sel2.map(_._1).forall(_ >= 2L),
+      s"commit 1 must drop on its rollup through the seek path: ${sel2.map(_._1)}")
+    // the fast path's selected entries equal the full-resolution set for
+    // unbounded bounds (nothing dead): union of blocks + chain = resolved
+    val resolvedData = VersionedTable.selectiveRawEntries(
+      t, None, _ => true)
+    assert(resolvedData.nonEmpty, "indexed base must serve the fast path")
+    val (raw, dels) = resolvedData.get
+    val fastPaths = raw.flatMap(_._3).map(e => e.takeWhile(_ != '#')).toSet
+    val sel3 = VersionedTable.selectiveLayoutByCommit(
+      t, None, Map.empty)
+    assert(sel3.flatMap(_._2.map(_._1)).toSet == fastPaths,
+      "seek-path and layout paths must agree")
+    assert(dels.nonEmpty, "the replace commit's tombstones must be visible")
+  }
+
   test("vacuum materialization carries the chain's hints forward") {
     val s = spark; import s.implicits._
     val t = s"$root/vac"

@@ -257,6 +257,85 @@ class RowGroupFilterSpec extends AnyFunSuite {
       "a skipped row group may never hold a matching row")
   }
 
+  test("one-sided DOUBLE bounds: open-lo emits a lone ltEq leaf; open-hi declines") {
+    val s = spark; import s.implicits._
+    val t = s"$root/default/rgdbl1"
+    VersionedTable.commit(
+      (1L to 60000L).map(k => (k, k + 0.25)).toDF("k", "amount")
+        .coalesce(1).sortWithinPartitions("amount"),
+      t, append = false, statsCols = Seq("amount"),
+      writeOptions = Map("parquet.block.size" -> "65536"))
+    val file = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(t, "data")).iterator.asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(_.toString).toSeq.head
+    val schema = VersionedTable.read(spark, t).schema
+    // `amount <= 1000.25` alone: the open lo side is the Long.MinValue
+    // sentinel (NaN under the bijection) — NaN rows never match <=, so
+    // the single ltEq leaf is sound and must skip the upper groups
+    val loOpen = GraftRowGroupFilter.perCommit(t,
+      Seq("data/" + VersionedTable.dvKeyOf(file)), Set("~amount"),
+      Map("~amount" -> (Long.MinValue, VersionedTable.sortableBits(1000.25))),
+      Map.empty, Map.empty, Map.empty)
+    val pred = GraftCatalogReaderFactory.filterFor(loOpen, file)
+    assert(pred.nonEmpty, "an upper-bounded double range must build its ltEq leaf")
+    val got = readAll(file, schema, pred)
+    assert(got.size < 60000,
+      s"one-sided double stats must skip row groups (got ${got.size})")
+    val gotSet = got.toSet
+    assert((1L to 1000L).forall(gotSet.contains),
+      "a skipped row group may never hold a matching row")
+    // `amount >= x` alone must DECLINE: NaN rows match >= but parquet
+    // writers exclude NaN from stats, so a gtEq-only leaf could drop a
+    // block whose only matches are NaN
+    val hiOpen = GraftRowGroupFilter.perCommit(t,
+      Seq("data/" + VersionedTable.dvKeyOf(file)), Set("~amount"),
+      Map("~amount" -> (VersionedTable.sortableBits(59000.25), Long.MaxValue)),
+      Map.empty, Map.empty, Map.empty)
+    assert(GraftCatalogReaderFactory.filterFor(hiOpen, file).isEmpty,
+      "a lower-bounded-only double range must decline (NaN-match hazard)")
+  }
+
+  test("POSITIONAL vectors no longer disable row-group skipping; ordinals stay exact") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = s"$root/default/rgpd"
+    val file = oneSortedFile(t, 60000L)
+    assert(rowGroups(file) >= 4)
+    // positional delete of every k % 10 == 0 row: the file is sorted by
+    // k, so doomed FILE ordinals are k-1 — any basePos desync under
+    // group skipping would doom the wrong rows, which the value check
+    // below catches
+    VersionedTable.deleteWherePositional(spark, t, col("k") % 10L === 0L)
+    val posFiles = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(t, "data")).iterator.asScala
+      .filter(p => VersionedTable.isPosDeleteFile(p.toString) &&
+        p.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq
+    assert(posFiles.nonEmpty, "the positional delete must write a vector file")
+    val schema = VersionedTable.read(spark, t).schema
+    val pred = GraftRowGroupFilter.build(
+      typedOf(schema), Map("k" -> (59000L, 59500L)), Map.empty)
+    assert(pred.nonEmpty)
+    val r = new GraftCatalogVectorReader(file, schema, posFiles, pred)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      while (r.next()) {
+        val b = r.get()
+        var i = 0
+        while (i < b.numRows()) { got += b.column(0).getLong(i); i += 1 }
+      }
+    } finally r.close()
+    assert(got.size < 54000,
+      s"row groups must be skipped under a positional vector (got ${got.size})")
+    val gotSet = got.toSet
+    assert((59000L to 59500L).filter(_ % 10 != 0).forall(gotSet.contains),
+      "a skipped row group may never hold a matching surviving row")
+    assert(gotSet.forall(_ % 10 != 0),
+      "doomed positions must stay doomed while groups skip (exact basePos)")
+  }
+
   test("widened columns skip row groups on BOTH generations (per-commit leaves)") {
     val s = spark; import s.implicits._
     val t = s"$root/default/rgw"
