@@ -36,12 +36,12 @@ object NestedMorProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // 16x-replicated documents, reshaped to the nested flagship columns:
+    // 64x-replicated documents, reshaped to the nested flagship columns:
     // token-hash array, metadata struct, binary payload
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val big = spark.range(16).withColumnRenamed("id", "rep").crossJoin(docs)
+    val big = spark.range(64).withColumnRenamed("id", "rep").crossJoin(docs)
       .select(
-        (col("doc_id") * 16 + col("rep")).as("id"),
+        (col("doc_id") * 64 + col("rep")).as("id"),
         expr("transform(split(text, ' '), w -> xxhash64(w))").as("toks"),
         struct(col("lang"), col("n_chars").cast("int").as("n")).as("meta"),
         col("text").cast("binary").as("payload"))
@@ -54,13 +54,13 @@ object NestedMorProbe {
     VersionedTable.deleteWherePositional(spark, t, col("id") % 7L === 0L)
 
     def agg(): Long = spark.sql(
-      """SELECT count(*) + sum(aggregate(toks, 0L, (a, x) -> a + x)) % 1000000007
+      """SELECT count(*) + sum(aggregate(toks, 0L, (a, x) -> pmod(a + pmod(x, 1000000007), 1000000007)))
         |  + sum(length(payload)) + sum(meta.n) AS c
         |FROM gnm.default.ndoc""".stripMargin).collect()(0).getLong(0)
     def aggSel(): Long = spark.sql(
-      """SELECT count(*) + sum(aggregate(toks, 0L, (a, x) -> a + x)) % 1000000007
+      """SELECT count(*) + sum(aggregate(toks, 0L, (a, x) -> pmod(a + pmod(x, 1000000007), 1000000007)))
         |  + sum(length(payload)) + sum(meta.n) AS c
-        |FROM gnm.default.ndoc WHERE id BETWEEN 100000 AND 110000""".stripMargin)
+        |FROM gnm.default.ndoc WHERE id BETWEEN 80000 AND 96000""".stripMargin)
       .collect()(0).getLong(0)
     def planOf(): String =
       spark.sql("SELECT id, toks, meta, payload FROM gnm.default.ndoc")
@@ -86,6 +86,32 @@ object NestedMorProbe {
     val bSel = (1 to iters).map(_ => timeIt(aggSel()))
     graft.sources.GraftVectorization.nestedMorCopyEnabled = true
 
+    // ROW-GROUP SKIPPING under posdel, isolated: ONE sorted multi-group
+    // file (64 KB groups), a positional delete, and a range hitting a
+    // handful of groups — the columnar path seeks to the matching
+    // groups with exact ordinals; the row path streams the whole file.
+    val t2 = s"$root/default/ndoc1"
+    VersionedTable.commit(
+      big.coalesce(1).sortWithinPartitions("id"), t2, append = false,
+      statsCols = Seq("id"),
+      writeOptions = Map("parquet.block.size" -> "65536"))
+    VersionedTable.deleteWherePositional(spark, t2, col("id") % 7L === 0L)
+    def aggRg(): Long = spark.sql(
+      """SELECT count(*) + sum(aggregate(toks, 0L, (a, x) -> pmod(a + pmod(x, 1000000007), 1000000007)))
+        |  + sum(length(payload)) + sum(meta.n) AS c
+        |FROM gnm.default.ndoc1 WHERE id BETWEEN 80000 AND 84000""".stripMargin)
+      .collect()(0).getLong(0)
+    graft.sources.GraftVectorization.nestedMorCopyEnabled = true
+    aggRg()
+    val aRg = (1 to iters).map(_ => timeIt(aggRg()))
+    graft.sources.GraftVectorization.nestedMorCopyEnabled = false
+    aggRg()
+    val bRg = (1 to iters).map(_ => timeIt(aggRg()))
+    graft.sources.GraftVectorization.nestedMorCopyEnabled = true
+    require(aRg.map(_._2).distinct.size == 1 &&
+      bRg.map(_._2).distinct.size == 1 && aRg.head._2 == bRg.head._2,
+      s"rg checksum mismatch: ${aRg.head._2} vs ${bRg.head._2}")
+
     require(a.map(_._2).distinct.size == 1 && b.map(_._2).distinct.size == 1 &&
       a.head._2 == b.head._2,
       s"checksum mismatch: columnar=${a.head._2} row=${b.head._2}")
@@ -94,12 +120,16 @@ object NestedMorProbe {
       s"selective checksum mismatch: ${aSel.head._2} vs ${bSel.head._2}")
     val (mA, mB) = (median(a.map(_._1)), median(b.map(_._1)))
     val (mAs, mBs) = (median(aSel.map(_._1)), median(bSel.map(_._1)))
+    val (mArg, mBrg) = (median(aRg.map(_._1)), median(bRg.map(_._1)))
     println(s"""{"metric":"nested_mor_ab","columnar_sec":${f"$mA%.3f"},""" +
       s""""row_fallback_sec":${f"$mB%.3f"},""" +
       s""""speedup":${f"${mB / mA}%.2f"},""" +
       s""""selective_columnar_sec":${f"$mAs%.3f"},""" +
       s""""selective_row_sec":${f"$mBs%.3f"},""" +
       s""""selective_speedup":${f"${mBs / mAs}%.2f"},""" +
+      s""""rgskip_columnar_sec":${f"$mArg%.3f"},""" +
+      s""""rgskip_row_sec":${f"$mBrg%.3f"},""" +
+      s""""rgskip_speedup":${f"${mBrg / mArg}%.2f"},""" +
       s""""columnar_vectorized":$vecPlan,"fallback_row":$rowPlan,""" +
       s""""checksum":${a.head._2},"iters":$iters}""")
     spark.stop()

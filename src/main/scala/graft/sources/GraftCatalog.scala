@@ -4174,9 +4174,89 @@ class GraftCatalogVectorReader(
     dst.putNotNull(idx)
     dst.putArray(idx, dst.arrayData().getElementsAppended, n)
     dst.addElementsAppended(1)
-    val child = dst.arrayData().asInstanceOf[OnHeapColumnVector]
-    var j = 0
-    while (j < n) { appendFrom(child, at.elementType, arr, j); j += 1 }
+    appendElements(dst.arrayData().asInstanceOf[OnHeapColumnVector],
+      at.elementType, arr, n)
+  }
+
+  /** Bulk element copy into a child vector: ONE capacity reserve and a
+    * primitive-specialized put-loop per array (token/embedding arrays
+    * run to hundreds of elements — a per-element append with its
+    * capacity check and DataType dispatch is measurably slower than the
+    * row decoder; this loop is what keeps the columnar path ahead).
+    * Non-primitive elements fall back to the recursive append.
+    */
+  private def appendElements(child: OnHeapColumnVector, et: DataType,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): Unit = {
+    import org.apache.spark.sql.types._
+    val off = child.getElementsAppended
+    et match {
+      case LongType | TimestampType | TimestampNTZType =>
+        child.reserve(off + n)
+        var j = 0
+        while (j < n) {
+          if (arr.isNullAt(j)) child.putNull(off + j)
+          else child.putLong(off + j, arr.getLong(j))
+          j += 1
+        }
+        child.addElementsAppended(n)
+      case IntegerType | DateType =>
+        child.reserve(off + n)
+        var j = 0
+        while (j < n) {
+          if (arr.isNullAt(j)) child.putNull(off + j)
+          else child.putInt(off + j, arr.getInt(j))
+          j += 1
+        }
+        child.addElementsAppended(n)
+      case DoubleType =>
+        child.reserve(off + n)
+        var j = 0
+        while (j < n) {
+          if (arr.isNullAt(j)) child.putNull(off + j)
+          else child.putDouble(off + j, arr.getDouble(j))
+          j += 1
+        }
+        child.addElementsAppended(n)
+      case FloatType =>
+        child.reserve(off + n)
+        var j = 0
+        while (j < n) {
+          if (arr.isNullAt(j)) child.putNull(off + j)
+          else child.putFloat(off + j, arr.getFloat(j))
+          j += 1
+        }
+        child.addElementsAppended(n)
+      case BooleanType =>
+        child.reserve(off + n)
+        var j = 0
+        while (j < n) {
+          if (arr.isNullAt(j)) child.putNull(off + j)
+          else child.putBoolean(off + j, arr.getBoolean(j))
+          j += 1
+        }
+        child.addElementsAppended(n)
+      case ShortType =>
+        child.reserve(off + n)
+        var j = 0
+        while (j < n) {
+          if (arr.isNullAt(j)) child.putNull(off + j)
+          else child.putShort(off + j, arr.getShort(j))
+          j += 1
+        }
+        child.addElementsAppended(n)
+      case ByteType =>
+        child.reserve(off + n)
+        var j = 0
+        while (j < n) {
+          if (arr.isNullAt(j)) child.putNull(off + j)
+          else child.putByte(off + j, arr.getByte(j))
+          j += 1
+        }
+        child.addElementsAppended(n)
+      case _ =>
+        var j = 0
+        while (j < n) { appendFrom(child, et, arr, j); j += 1 }
+    }
   }
 
   private def appendStructFields(dst: OnHeapColumnVector, st: StructType,
@@ -4203,13 +4283,8 @@ class GraftCatalogVectorReader(
     dst.putNotNull(idx)
     dst.putArray(idx, keys.getElementsAppended, n)
     dst.addElementsAppended(1)
-    val ka = m.keyArray(); val va = m.valueArray()
-    var j = 0
-    while (j < n) {
-      appendFrom(keys, mt.keyType, ka, j)
-      appendFrom(vals, mt.valueType, va, j)
-      j += 1
-    }
+    appendElements(keys, mt.keyType, m.keyArray(), n)
+    appendElements(vals, mt.valueType, m.valueArray(), n)
   }
 
   override def next(): Boolean = {
