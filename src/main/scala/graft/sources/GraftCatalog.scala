@@ -3606,16 +3606,32 @@ private[sources] object GraftRowGroupFilter {
       : Map[String, (org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName, Boolean)] =
     physCache.computeIfAbsent(s"$table#${rep.split('/')(1)}", { _ =>
       import org.apache.parquet.schema.LogicalTypeAnnotation
-      TombstoneKeys.fileFields(java.nio.file.Paths.get(table, rep).toString)
-        .iterator.filter(_.isPrimitive).map { t =>
+      // STRUCT leaves join under dotted names: plain (unannotated)
+      // groups walk recursively — LIST/MAP groups stop (their leaves
+      // are repeated; no scalar-bound semantics), matching the zone
+      // maps' struct-spine-only key space. parquet's FilterApi
+      // addresses these leaves by the same dot path.
+      def walk(prefix: String, t: org.apache.parquet.schema.Type)
+          : Iterator[(String, (org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName, Boolean))] =
+        if (t.isPrimitive) {
           val p = t.asPrimitiveType()
           val micros = p.getLogicalTypeAnnotation match {
             case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
               ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
             case _ => false
           }
-          t.getName -> (p.getPrimitiveTypeName, micros)
-        }.toMap
+          Iterator(prefix -> (p.getPrimitiveTypeName, micros))
+        } else {
+          val g = t.asGroupType()
+          if (g.getLogicalTypeAnnotation != null) Iterator.empty
+          else {
+            import scala.jdk.CollectionConverters._
+            g.getFields.asScala.iterator
+              .flatMap(f => walk(s"$prefix.${f.getName}", f))
+          }
+        }
+      TombstoneKeys.fileFields(java.nio.file.Paths.get(table, rep).toString)
+        .iterator.flatMap(t => walk(t.getName, t)).toMap
     })
 
   /** Per-commit predicates for a scan's kept files: one [[build]] per
@@ -3642,10 +3658,27 @@ private[sources] object GraftRowGroupFilter {
       keptPaths.groupBy(_.split('/')(1)).map { case (dir, files) =>
         val sch = VersionedTable.commitSchemaHinted(spark, table, version, files.min)
         lazy val phys = physOf(table, files.min)
+        // leaf resolution speaks DOTTED names: nested struct leaves
+        // qualify exactly like top-level columns (their physical type
+        // comes from the same footer walk), so a meta.lang bound builds
+        // a row-group leaf addressed by parquet's dot path
+        def leafOf(name: String): Option[StructField] = {
+          def walkT(dt: DataType, parts: List[String]): Option[DataType] =
+            (dt, parts) match {
+              case (t, Nil) => Some(t)
+              case (st: StructType, h :: rest) =>
+                st.fields.find(_.name == h).flatMap(f => walkT(f.dataType, rest))
+              case _ => None
+            }
+          if (!name.contains('.'))
+            sch.fields.find(_.name == name)
+          else walkT(StructType(sch.fields), name.split('.').toList)
+            .map(t => StructField(name, t))
+        }
         val typed = filterCols.iterator.flatMap { c0 =>
           // a tilde key is a DOUBLE bound over the stripped column name
           val c = c0.stripPrefix("~")
-          sch.fields.find(_.name == c).map { f =>
+          leafOf(c).map { f =>
             c0 -> (f.dataType match {
               case DoubleType if c0.startsWith("~") =>
                 phys.get(c) match {
@@ -3753,12 +3786,15 @@ private[graft] object GraftVectorization {
   @volatile private[graft] var widenPromotionEnabled = true
 
   /** Does the commit's type SERVE the required type? Equal, or — for
-    * nested types — recursive CONTAINMENT: a required struct pruned to
-    * a subset of the commit's fields is served natively (the reader
-    * declares the clipped schema and parquet's schema clipping reads
-    * exactly those leaves — the same mechanism Spark's own
-    * nested-schema-pruned scans use). Leaf types inside nested stay
-    * exact: widening promotions are top-level-only.
+    * nested types — recursive COMPATIBILITY, BOTH directions of schema
+    * drift: a required struct PRUNED to a subset of the commit's fields
+    * is served by parquet's schema clipping (the mechanism Spark's own
+    * nested-schema-pruned scans use), and a required struct field
+    * ABSENT from the commit (nested ADD COLUMN evolution) is served by
+    * the reader's missing-column null-fill — the same machinery that
+    * serves a wholly absent top-level column as a constant null vector.
+    * Leaf types inside nested stay exact: widening promotions are
+    * top-level-only.
     */
   private def servesNested(g: DataType, f: DataType): Boolean =
     (g == f) || ((g, f) match {
@@ -3770,8 +3806,8 @@ private[graft] object GraftVectorization {
         servesNested(gm.keyType, fm.keyType) &&
           servesNested(gm.valueType, fm.valueType)
       case (gs: StructType, fs: StructType) =>
-        fs.fields.forall(ff => gs.fields.exists(gf =>
-          gf.name == ff.name && servesNested(gf.dataType, ff.dataType)))
+        fs.fields.forall(ff => gs.fields.find(_.name == ff.name)
+          .forall(gf => servesNested(gf.dataType, ff.dataType)))
       case _ => false
     })
 
@@ -3780,18 +3816,24 @@ private[graft] object GraftVectorization {
       commitSchema: StructType): Boolean =
     if (!widenPromotionEnabled) schemaExact(required, commitSchema)
     else required.fields.forall(f =>
-      commitSchema.fields.exists(g => g.name == f.name &&
-        (servesNested(g.dataType, f.dataType) ||
-          (g.dataType == IntegerType && f.dataType == LongType) ||
-          (g.dataType == FloatType && f.dataType == DoubleType) ||
-          ((g.dataType, f.dataType) match {
-            // same-scale decimal precision increase (the widening the
-            // vectorized reader promotes natively)
-            case (a: org.apache.spark.sql.types.DecimalType,
-              b: org.apache.spark.sql.types.DecimalType) =>
-              a.scale == b.scale && a.precision <= b.precision
-            case _ => false
-          }))))
+      commitSchema.fields.find(_.name == f.name) match {
+        // an ADD COLUMN evolution gap: the vectorized reader serves the
+        // absent column as a constant null vector (and the row decoder
+        // null-fills identically) — no reason to lose the columnar path
+        case None => true
+        case Some(g) =>
+          servesNested(g.dataType, f.dataType) ||
+            (g.dataType == IntegerType && f.dataType == LongType) ||
+            (g.dataType == FloatType && f.dataType == DoubleType) ||
+            ((g.dataType, f.dataType) match {
+              // same-scale decimal precision increase (the widening the
+              // vectorized reader promotes natively)
+              case (a: org.apache.spark.sql.types.DecimalType,
+                b: org.apache.spark.sql.types.DecimalType) =>
+                a.scale == b.scale && a.precision <= b.precision
+              case _ => false
+            })
+      })
 }
 
 /** VECTORIZED partition reader: Spark's own columnar parquet decoder

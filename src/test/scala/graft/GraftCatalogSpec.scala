@@ -620,7 +620,7 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"integral pruning regressed: files=${m.group(1)}/${m.group(2)}")
   }
 
-  test("SQL scans vectorize when tombstone-free; fall back under MOR and evolution") {
+  test("SQL scans vectorize: tombstone-free, under MOR, and across evolution gaps") {
     val s = spark; import s.implicits._
     val t = s"$root/default/vec"
     VersionedTable.commit(
@@ -659,11 +659,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(q3.queryExecution.executedPlan.toString.contains("vectorized=true"),
       "compaction must keep vectorized scans")
     assert(q3.collect().map(_.getLong(0)).toSet == (11L to 500L).toSet)
-    // an ADD COLUMN evolution gap null-fills through the row decoder
+    // an ADD COLUMN evolution gap null-fills COLUMNAR: the vectorized
+    // reader serves the absent column as a constant null vector
     spark.sql("ALTER TABLE gtest.default.vec ADD COLUMN extra BIGINT")
     val q4 = spark.sql("SELECT k, extra FROM gtest.default.vec")
-    assert(q4.queryExecution.executedPlan.toString.contains("vectorized=false"),
-      "schema-gap scan must fall back to the null-filling row decoder")
+    assert(q4.queryExecution.executedPlan.toString.contains("vectorized=true"),
+      "schema-gap scans stay columnar (missing-column null vectors)")
     assert(q4.collect().forall(_.isNullAt(1)))
     // projections covered by every commit's files still vectorize
     val q5 = spark.sql("SELECT k, v FROM gtest.default.vec")

@@ -302,6 +302,54 @@ class NestedTableSpec extends AnyFunSuite {
     assert(q3.collect()(0).getLong(0) == 500L)
   }
 
+  test("ADD COLUMN evolution gaps stay COLUMNAR: absent columns null-fill in the batch") {
+    val s = spark; import s.implicits._
+    root
+    // top-level gap: rows inserted before the ADD COLUMN lack `w`
+    spark.sql("CREATE TABLE gnest.default.vevo (id BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO gnest.default.vevo SELECT id, concat('v', id) FROM range(0, 500)")
+    spark.sql("ALTER TABLE gnest.default.vevo ADD COLUMNS (w BIGINT)")
+    spark.sql(
+      "INSERT INTO gnest.default.vevo SELECT id, concat('v', id), id * 7 FROM range(500, 800)")
+    val q = spark.sql("SELECT id, v, w FROM gnest.default.vevo ORDER BY id")
+    assert(q.queryExecution.executedPlan.toString.contains("vectorized=true"),
+      "an evolution gap must not drop the whole scan to the row decoder")
+    val got = q.collect()
+    assert(got.length == 800)
+    assert(got.forall { r =>
+      r.getString(1) == s"v${r.getLong(0)}" &&
+        (if (r.getLong(0) < 500) r.isNullAt(2) else r.getLong(2) == r.getLong(0) * 7)
+    }, "pre-evolution rows must read the new column as NULL, columnar")
+    // nested gap: the struct field added by ALTER is absent in old files
+    spark.sql(
+      "CREATE TABLE gnest.default.vevn (id BIGINT, meta STRUCT<lang: STRING>)")
+    spark.sql(
+      "INSERT INTO gnest.default.vevn SELECT id, named_struct('lang', 'en') FROM range(0, 300)")
+    spark.sql("ALTER TABLE gnest.default.vevn ADD COLUMNS (meta.src STRING)")
+    spark.sql(
+      """INSERT INTO gnest.default.vevn
+        |SELECT id, named_struct('lang', 'de', 'src', 'web') FROM range(300, 400)""".stripMargin)
+    val q2 = spark.sql(
+      "SELECT id, meta.lang AS lang, meta.src AS src FROM gnest.default.vevn ORDER BY id")
+    assert(q2.queryExecution.executedPlan.toString.contains("vectorized=true"),
+      "a nested evolution gap must stay columnar (null-filled struct field)")
+    val g2 = q2.collect()
+    assert(g2.length == 400)
+    assert(g2.forall { r =>
+      if (r.getLong(0) < 300) r.getString(1) == "en" && r.isNullAt(2)
+      else r.getString(1) == "de" && r.getString(2) == "web"
+    })
+    // under MOR on top of the gap: still columnar, still exact
+    VersionedTable.deleteWherePositional(spark, s"$root/default/vevn",
+      col("id") % 5L === 1L)
+    val q3 = spark.sql(
+      "SELECT id, meta.lang AS lang, meta.src AS src FROM gnest.default.vevn ORDER BY id")
+    assert(q3.queryExecution.executedPlan.toString.contains("vectorized=true"))
+    val g3 = q3.collect()
+    assert(g3.length == 320 && g3.forall(_.getLong(0) % 5 != 1))
+  }
+
   test("a graft-table-stored WAV decodes identically to its dataset twin") {
     val s = spark; import s.implicits._
     val docs = Seq(

@@ -336,6 +336,46 @@ class RowGroupFilterSpec extends AnyFunSuite {
       "doomed positions must stay doomed while groups skip (exact basePos)")
   }
 
+  test("NESTED struct-leaf bounds skip row groups (dotted parquet paths)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{col, struct}
+    val t = s"$root/default/rgn"
+    VersionedTable.commit(
+      (1L to 60000L).map(k => (k, (s"l${k % 5}", k)))
+        .toDF("id", "meta")
+        .withColumn("meta",
+          struct(col("meta._1").as("lang"), col("meta._2").as("n")))
+        .coalesce(1).sortWithinPartitions("meta.n"),
+      t, append = false, statsCols = Seq("id", "meta.n"),
+      writeOptions = Map("parquet.block.size" -> "65536"))
+    val file = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(t, "data")).iterator.asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(_.toString).toSeq.head
+    assert(rowGroups(file) >= 4)
+    val schema = VersionedTable.read(spark, t).schema
+    val byCommit = GraftRowGroupFilter.perCommit(t,
+      Seq("data/" + VersionedTable.dvKeyOf(file)), Set("meta.n"),
+      Map("meta.n" -> (59000L, 59500L)), Map.empty, Map.empty, Map.empty)
+    val pred = GraftCatalogReaderFactory.filterFor(byCommit, file)
+    assert(pred.nonEmpty,
+      "a nested struct-leaf bound must build its dotted row-group leaf")
+    val got = readAll(file, schema, pred)
+    assert(got.size < 60000,
+      s"nested-leaf stats must skip row groups (got ${got.size} of 60000)")
+    val gotSet = got.toSet
+    assert((59000L to 59500L).forall(gotSet.contains),
+      "a skipped row group may never hold a matching row")
+    // end-to-end: the SQL scan over the dotted predicate plans exactly
+    spark.conf.set("spark.sql.catalog.grgn", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grgn.root", root)
+    val viaSql = spark.sql(
+      "SELECT id FROM grgn.default.rgn WHERE meta.n BETWEEN 59000 AND 59500")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaSql == (59000L to 59500L).toSet)
+  }
+
   test("widened columns skip row groups on BOTH generations (per-commit leaves)") {
     val s = spark; import s.implicits._
     val t = s"$root/default/rgw"
