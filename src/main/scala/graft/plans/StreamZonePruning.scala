@@ -200,6 +200,13 @@ object PushFiltersIntoVersionedStream extends Rule[LogicalPlan] with PredicateHe
         case d: DecimalType if d.precision <= 18 =>
           r => if (r.isNullAt(0)) null
             else Long.box(r.getDecimal(0, d.precision, d.scale).toUnscaledLong)
+        // DOUBLE/FLOAT keys ride as boxed values: the stream's pushed
+        // In-filter converts them to sortable bits under the tilde zone
+        // key (zero literals widen to both signed representations there)
+        case org.apache.spark.sql.types.DoubleType =>
+          r => if (r.isNullAt(0)) null else Double.box(r.getDouble(0))
+        case org.apache.spark.sql.types.FloatType =>
+          r => if (r.isNullAt(0)) null else Float.box(r.getFloat(0))
         case _           => return None
       }
     val rows = spark.sessionState

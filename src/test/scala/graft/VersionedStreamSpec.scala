@@ -259,6 +259,34 @@ class VersionedStreamSpec extends AnyFunSuite {
       s"date join-key pruning must skip most files: read $inputRows of 800 rows")
   }
 
+  test("a stream joined to a DOUBLE dimension prunes fresh files (sortable-bits bounds)") {
+    // runtime join-key pruning for floating keys: dimension doubles ride
+    // as boxed values and the pushed In converts them to SORTABLE BITS
+    // under the tilde zone key — a stream clustered on a double column
+    // skips the fresh files outside the keys' range
+    val s = spark; import s.implicits._
+    val d = freshDir()
+    val t = s"$d/t"
+    VersionedTable.commit(
+      (1L to 800L).map(k => (k, k + 0.25)).toDF("k", "price")
+        .repartitionByRange(8, col("price")),
+      t, append = false, statsCols = Seq("price"))
+    val dim = Seq((105.25d, "a"), (110.25d, "b")).toDF("dprice", "tag")
+    val src = spark.readStream.format("graft-table").load(t)
+    val q = src.join(dim, src("price") === dim("dprice"))
+      .writeStream.format("memory").queryName("vs_dbljoin")
+      .option("checkpointLocation", s"$d/cp")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.sql("SELECT k, tag FROM vs_dbljoin ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((105L, "a"), (110L, "b")),
+      "double join pruning must never change results")
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows < 400L,
+      s"double join-key pruning must skip most files: read $inputRows of 800 rows")
+  }
+
   test("a stream joined to a DECIMAL dimension prunes fresh files (unscaled key sets)") {
     val s = spark; import s.implicits._
     val d = freshDir()
