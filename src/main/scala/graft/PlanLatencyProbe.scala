@@ -40,24 +40,11 @@ object PlanLatencyProbe {
       org.apache.spark.sql.types.StructField("v",
         org.apache.spark.sql.types.StringType)))
 
-    // the `index=` segment current manifests carry: per-dir byte runs
-    // (entries arrive pre-grouped here), offsets relative to the first
-    // entry byte — exactly what indexedEntryLayout writes at publish
-    def indexLinesFor(entries: Seq[String]): Seq[String] = {
-      var off = 0L
-      var curDir = ""
-      var curStart = 0L
-      val idx = Seq.newBuilder[String]
-      def flush(): Unit =
-        if (curDir.nonEmpty) idx += s"index=$curDir $curStart ${off - curStart}"
-      entries.foreach { e =>
-        val dir = e.stripPrefix("data/").takeWhile(_ != '/')
-        if (dir != curDir) { flush(); curDir = dir; curStart = off }
-        off += e.getBytes("UTF-8").length + 1L
-      }
-      flush()
-      idx.result()
-    }
+    // the REAL publish-time index segment (per-dir runs, per-CHUNK
+    // lines with rollup cells past the chunk threshold) — the fixtures
+    // carry exactly what production manifests carry
+    def indexedLayout(entries: Seq[String]): (Seq[String], Seq[String]) =
+      graft.sources.VersionedTable.indexedEntryLayout(entries)
 
     def mkTable(name: String, nFiles: Int, indexed: Boolean): Unit = {
       val dir = java.nio.file.Paths.get(root, "default", name)
@@ -77,14 +64,15 @@ object PlanLatencyProbe {
         s"data/c1_probe/part-$i.parquet#1000#k=$lo..$hi#k=1000"
       } :+ "data/c1_probe/a-schema.parquet#0"
       // post-upgrade manifests persist per-commit rollup + schema hints
+      val (body, idxLines) =
+        if (indexed) indexedLayout(entries) else (entries, Nil)
       val header = Seq("version=1", s"ts=${System.currentTimeMillis()}",
         s"rollup=c1_probe k=0..${nFiles.toLong * 1000L - 1L}",
         s"schema=c1_probe ${probeSchema.json}") ++
-        (if (indexed) s"total=${entries.size}" +: indexLinesFor(entries)
-         else Nil)
+        (if (indexed) s"total=${entries.size}" +: idxLines else Nil)
       java.nio.file.Files.write(
         dir.resolve("_manifest").resolve("1.manifest"),
-        ((header ++ entries).mkString("\n") + "\n").getBytes)
+        ((header ++ body).mkString("\n") + "\n").getBytes)
       ()
     }
 
@@ -151,13 +139,14 @@ object PlanLatencyProbe {
         Seq(s"rollup=c${j}_probe k=$lo..$hi",
           s"schema=c${j}_probe ${probeSchema.json}")
       }
+      val (body, idxLines) =
+        if (indexed) indexedLayout(entries) else (entries, Nil)
       val header = Seq("version=1", s"ts=${System.currentTimeMillis()}") ++
         hints ++
-        (if (indexed) s"total=${entries.size}" +: indexLinesFor(entries)
-         else Nil)
+        (if (indexed) s"total=${entries.size}" +: idxLines else Nil)
       java.nio.file.Files.write(
         dir.resolve("_manifest").resolve("1.manifest"),
-        ((header ++ entries).mkString("\n") + "\n").getBytes)
+        ((header ++ body).mkString("\n") + "\n").getBytes)
       ()
     }
     val multi = decadesArg.filter(_ >= 10000).flatMap { n =>

@@ -364,13 +364,20 @@ object VersionedTable {
   }
 
   private[sources] def selectiveRawEntries(
-      table: String, version: Option[Long], keepDir: String => Boolean)
+      table: String, version: Option[Long],
+      bounds: Map[String, (Long, Long)], forceSeek: Boolean = false)
       : Option[(Seq[(String, Long, Seq[String])], Seq[String])] = {
     val head = version.getOrElse {
       val vs = versions(table)
       if (vs.isEmpty) return None
       vs.last
     }
+    val rolls = persistedRollups(table, version)
+    def deadZones(cells: Map[String, (Long, Long)]): Boolean =
+      cells.nonEmpty && bounds.exists { case (c, (lo, hi)) =>
+        cells.get(c).exists { case (mn, mx) => mx < lo || mn > hi }
+      }
+    def keepDir(dir: String): Boolean = !rolls.get(dir).exists(deadZones)
     // walk head-down to the self-contained base, collecting own entries
     var chain = List.empty[Seq[String]] // ascending after the prepends
     var v = head
@@ -385,15 +392,33 @@ object VersionedTable {
       }
     }
     val (bHdr, entryStart, size, mtime) = manifestHeaderBytes(table, base)
+    // (dirspec, off, len, chunk cells): a dirspec may carry a %<j>
+    // CHUNK suffix whose rollup cells prune exactly like commit rollups
+    // — a selective plan skips inside one giant commit, not just
+    // across commits
     val idx = bHdr.filter(_.startsWith("index=")).flatMap { l =>
       l.stripPrefix("index=").split(' ') match {
         case Array(dir, o, n) =>
           for (off <- o.toLongOption; len <- n.toLongOption)
-            yield (dir, off, len)
+            yield (dir, off, len, Map.empty[String, (Long, Long)])
+        case Array(dir, o, n, cells) =>
+          for (off <- o.toLongOption; len <- n.toLongOption) yield {
+            val parsed = cells.split(';').iterator.flatMap { kv =>
+              val eq = kv.indexOf('=')
+              val dots = kv.indexOf("..", eq + 1)
+              if (eq <= 0 || dots <= eq) None
+              else for {
+                mn <- kv.substring(eq + 1, dots).toLongOption
+                mx <- kv.substring(dots + 2).toLongOption
+              } yield kv.substring(0, eq) -> (mn, mx)
+            }.toMap
+            (dir, off, len, parsed)
+          }
         case _ => None
       }
     }
     if (idx.isEmpty) return None
+    var skippedAny = false
     // base blocks: kept data dirs + the delete block. Per-dir blocks are
     // memoized immutable Seqs SHARED into the result (no per-plan copy —
     // a chainless warm plan re-assembles in O(selected dirs), not
@@ -402,16 +427,18 @@ object VersionedTable {
     val buckets = scala.collection.mutable.LinkedHashMap
       .empty[String, Seq[String]]
     var dels = Seq.empty[String]
-    idx.foreach { case (dir, off, len) =>
-      if (dir == "!del") {
+    idx.foreach { case (dirspec, off, len, cells) =>
+      val dir = dirspec.takeWhile(_ != '%')
+      if (dirspec == "!del") {
         val block = readEntryBlock(table, base, entryStart, off, len,
           size, mtime, isDeleteEntry)
         if (block.isEmpty) return None
         dels = dels ++ block.get
-      } else if (keepDir(dir)) {
+      } else if (!keepDir(dir) || deadZones(cells)) skippedAny = true
+      else {
         // memoize SUCCESSFUL block reads only — a guard-tripped read
         // must retry next plan, not pin the fallback forever
-        val key = (table, base, s"rawdir:$dir")
+        val key = (table, base, s"rawdir:$dirspec")
         val cached = parsedSnapshots.get(key)
         val block =
           if (cached != null) Some(cached.asInstanceOf[Seq[String]])
@@ -424,10 +451,17 @@ object VersionedTable {
             r
           }
         if (block.isEmpty) return None
-        buckets.update(dir,
-          buckets.get(dir).fold(block.get)(_ ++ block.get))
+        // buckets stay at CHUNK granularity (keyed by dirspec): the
+        // downstream per-block memos must never cache a bounds-dependent
+        // SUBSET under a whole-dir key — a later plan with different
+        // bounds would silently plan without the missing chunks
+        buckets.update(dirspec,
+          buckets.get(dirspec).fold(block.get)(_ ++ block.get))
       }
     }
+    // engagement: with every block surviving, streaming once and
+    // memoizing the reusable full layout serves repeat plans better
+    if (!skippedAny && !forceSeek) return None
     // chain application, ascending: removes drop from the selection,
     // adds append (fresh dirs join subject to keepDir; deletes always)
     chain.foreach { own =>
@@ -448,8 +482,8 @@ object VersionedTable {
         }
       }
     }
-    Some((buckets.iterator.filter(_._2.nonEmpty).map { case (dir, es) =>
-      (dir, dir.stripPrefix("c").takeWhile(_.isDigit).toLong, es)
+    Some((buckets.iterator.filter(_._2.nonEmpty).map { case (dirspec, es) =>
+      (dirspec, dirspec.stripPrefix("c").takeWhile(_.isDigit).toLong, es)
     }.toSeq, dels))
   }
 
@@ -551,18 +585,33 @@ object VersionedTable {
     }
   }
 
+  /** Entries per index CHUNK: a commit directory larger than this
+    * splits into consecutive sub-blocks, each carrying its OWN zone
+    * rollup in the index line — so a selective cold plan skips inside
+    * a single giant commit (the compacted-table shape at 100 TB), not
+    * just across commits. 4096 keeps a 1M-file commit at ~250 header
+    * lines.
+    */
+  // var, not val: specs lower it to exercise chunking at test scale
+  @volatile private[graft] var IndexChunkEntries = 4096
+
   /** INDEXED ENTRY SEGMENT for a self-contained manifest: entries
     * reordered so each commit directory's data entries form ONE
     * contiguous run (first-appearance order preserved — the property
     * deterministic plans key on), delete entries in a final block, and
     * one `index=<dir> <offset> <bytes>` header line per block (offsets
     * relative to the first entry byte; `!del` names the delete block).
-    * Cold SELECTIVE plans then SEEK to surviving commits' blocks instead
-    * of streaming O(files) lines. Entry reordering is semantics-free:
-    * snapshot resolution treats the list as a set, and grouping keeps
-    * the dirs' relative first-appearance order.
+    * Directories past [[IndexChunkEntries]] emit per-CHUNK lines
+    * `index=<dir>%<j> <offset> <bytes> [col=lo..hi;…]` whose rollup
+    * cells (long-zone families only; a column joins only when every
+    * row-carrying entry of the chunk records it) let selective plans
+    * skip chunks the same way commit rollups skip commits. Cold
+    * SELECTIVE plans then SEEK to surviving blocks instead of streaming
+    * O(files) lines. Entry reordering is semantics-free: snapshot
+    * resolution treats the list as a set, and grouping keeps the dirs'
+    * relative first-appearance order.
     */
-  private def indexedEntryLayout(entries: Seq[String])
+  private[graft] def indexedEntryLayout(entries: Seq[String])
       : (Seq[String], Seq[String]) = {
     val (delE, dataE) = entries.partition(isDeleteEntry)
     val order = scala.collection.mutable.LinkedHashMap
@@ -576,14 +625,36 @@ object VersionedTable {
     def blockBytes(es: Seq[String]): Long = es.iterator.map(l =>
       l.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong +
         sepLen).sum
+    def chunkCells(es: Seq[String]): String = {
+      val carrying = es.filterNot(e => entryRows(e).contains(0L))
+      if (carrying.isEmpty) ""
+      else {
+        val statsList = carrying.map(entryStats)
+        val cols = statsList.map(_.keySet).reduce(_ intersect _)
+        cols.toSeq.sorted.map { c =>
+          val zs = statsList.map(_(c))
+          s"$c=${zs.map(_._1).min}..${zs.map(_._2).max}"
+        }.mkString(";")
+      }
+    }
     var off = 0L
     val idx = Seq.newBuilder[String]
     val ordered = Seq.newBuilder[String]
     order.foreach { case (dir, es) =>
-      val b = blockBytes(es.toSeq)
-      idx += s"index=$dir $off $b"
-      ordered ++= es
-      off += b
+      if (es.length <= IndexChunkEntries) {
+        val b = blockBytes(es.toSeq)
+        idx += s"index=$dir $off $b"
+        ordered ++= es
+        off += b
+      } else es.grouped(IndexChunkEntries).zipWithIndex.foreach {
+        case (chunk, j) =>
+          val b = blockBytes(chunk.toSeq)
+          val cells = chunkCells(chunk.toSeq)
+          idx += s"index=$dir%$j $off $b" +
+            (if (cells.isEmpty) "" else s" $cells")
+          ordered ++= chunk
+          off += b
+      }
     }
     if (delE.nonEmpty) {
       idx += s"index=!del $off ${blockBytes(delE)}"
@@ -2686,17 +2757,15 @@ object VersionedTable {
         case (c, (lo, hi)) =>
           roll.get(c).exists { case (mn, mx) => mx < lo || mn > hi }
       })
-    // INDEXED fast path: seek to surviving commits' entry blocks — never
-    // streams the base manifest's O(files) entry section. Engaged only
-    // when the rollups actually KILL a commit: with nothing dead the
-    // seek reads the same bytes as the stream while the legacy path
-    // additionally memoizes a reusable full layout — strictly better for
-    // the repeat plans that follow. Falls back for index-less manifests.
-    val anyDead = rolls.keysIterator.exists(isDead)
+    // INDEXED fast path: seek to surviving entry blocks — never streams
+    // the base manifest's O(files) entry section. Commit dirs drop on
+    // their persisted rollups, CHUNKS of a large dir on their index-line
+    // cells; the function itself declines (None) when nothing actually
+    // skips — the legacy path's reusable full-layout memo is strictly
+    // better for repeat plans then — and for index-less manifests.
     val (rawSurviving, delRefs): (Seq[(String, Long, Seq[String])],
         Seq[(Long, String)]) =
-      (if (anyDead) selectiveRawEntries(table, version, dir => !isDead(dir))
-       else None) match {
+      selectiveRawEntries(table, version, bounds) match {
         case Some((raw, dels)) =>
           selectiveSeekHits.incrementAndGet()
           (raw, dels.map(e => (e.split(":", 3)(1).toLong, entryPath(e))))
@@ -2721,11 +2790,11 @@ object VersionedTable {
             entries.filter(isDeleteEntry)
               .map(e => (e.split(":", 3)(1).toLong, entryPath(e))))
       }
-    rawSurviving.map { case (dir, cv, es) =>
-      // the PLANNING tuples memoize whole (tombs included — stable per
-      // pinned version), so a warm selective plan assembles in
-      // O(surviving dirs), never re-allocating per entry
-      val parsed = memoParsed(table, version, s"cplanned:$dir") {
+    rawSurviving.map { case (dirspec, cv, es) =>
+      // the PLANNING tuples memoize whole per CHUNK (tombs included —
+      // stable per pinned version), so a warm selective plan assembles
+      // in O(surviving blocks), never re-allocating per entry
+      val parsed = memoParsed(table, version, s"cplanned:$dirspec") {
         val tombs = delRefs.collect { case (b, p) if b >= cv => p }
         es.map(e => (entryPath(e), cv, tombs, entryStats(e)))
       }
@@ -2743,29 +2812,23 @@ object VersionedTable {
       table: String, version: Option[Long],
       bounds: Map[String, (Long, Long)])
       : Option[String => Option[(Option[Long], Option[Long])]] = {
-    val rolls = persistedRollups(table, version)
-    def isDead(dir: String): Boolean =
-      rolls.get(dir).exists(roll => bounds.exists {
-        case (c, (lo, hi)) =>
-          roll.get(c).exists { case (mn, mx) => mx < lo || mn > hi }
-      })
-    // same engagement rule as the layout fast path: with nothing dead,
-    // the global memos the legacy path builds serve repeat plans better
-    if (!rolls.keysIterator.exists(isDead)) return None
-    selectiveRawEntries(table, version, dir => !isDead(dir)).map {
+    selectiveRawEntries(table, version, bounds).map {
       case (raw, _) =>
-        // per-dir MAPS memoized once; lookups route through the path's
-        // own dir — no O(selected entries) flatten per plan
-        val byDir: Map[String, Map[String, (Option[Long], Option[Long])]] =
-          raw.map { case (dir, _, es) =>
-            dir -> memoParsed(table, version, s"crb:$dir") {
-              es.map(e => (entryPath(e), (entryRows(e), entryBytes(e)))).toMap
+        // per-CHUNK maps memoized once (dirspec-keyed, bounds-safe);
+        // lookups route through the path's dir and probe its few chunks
+        val byDir: Map[String, Seq[Map[String, (Option[Long], Option[Long])]]] =
+          raw.groupBy(_._1.takeWhile(_ != '%')).map { case (dir, specs) =>
+            dir -> specs.map { case (dirspec, _, es) =>
+              memoParsed(table, version, s"crb:$dirspec") {
+                es.map(e => (entryPath(e), (entryRows(e), entryBytes(e)))).toMap
+              }
             }
-          }.toMap
+          }
         (p: String) => {
           val parts = p.split('/')
           if (parts.length < 2) None
-          else byDir.get(parts(1)).flatMap(_.get(p))
+          else byDir.getOrElse(parts(1), Nil).iterator
+            .flatMap(_.get(p)).nextOption()
         }
     }
   }

@@ -84,7 +84,7 @@ class PlanHeaderSpec extends AnyFunSuite {
     // the fast path's selected entries equal the full-resolution set for
     // unbounded bounds (nothing dead): union of blocks + chain = resolved
     val resolvedData = VersionedTable.selectiveRawEntries(
-      t, None, _ => true)
+      t, None, Map.empty, forceSeek = true)
     assert(resolvedData.nonEmpty, "indexed base must serve the fast path")
     val (raw, dels) = resolvedData.get
     val fastPaths = raw.flatMap(_._3).map(e => e.takeWhile(_ != '#')).toSet
@@ -93,6 +93,47 @@ class PlanHeaderSpec extends AnyFunSuite {
     assert(sel3.flatMap(_._2.map(_._1)).toSet == fastPaths,
       "seek-path and layout paths must agree")
     assert(dels.nonEmpty, "the replace commit's tombstones must be visible")
+  }
+
+  test("CHUNKED index: selective plans skip inside one giant commit") {
+    val s = spark; import s.implicits._
+    val t = s"$root/chunk"
+    val prev = VersionedTable.IndexChunkEntries
+    VersionedTable.IndexChunkEntries = 50
+    try {
+      // ONE sorted commit of 8 files × ... actually 8 range files, but
+      // chunking is per ENTRY, so 8 entries stay one block — use many
+      // files: 300 single-row-group files via repartitionByRange(300)
+      VersionedTable.commit(
+        (1L to 3000L).map(k => (k, s"v$k")).toDF("k", "v")
+          .repartitionByRange(300, col("k")),
+        t, append = false, statsCols = Seq("k"))
+      val m1 = manifestText(t, 1L)
+      assert(m1.contains("%0 ") && m1.contains("%1 "),
+        s"a 300-entry dir must chunk at 50:\n${m1.take(600)}")
+      assert("index=c1_\\S+%0 \\d+ \\d+ k=".r.findFirstIn(m1).isDefined,
+        s"chunk lines must carry rollup cells:\n${m1.take(600)}")
+      // a selective plan must read ONLY the matching chunks' entries
+      val sel = VersionedTable.selectiveLayoutByCommit(
+        t, None, Map("k" -> (1500L, 1520L)))
+      val selPaths = sel.flatMap(_._2.map(_._1))
+      assert(selPaths.nonEmpty && selPaths.size <= 120,
+        s"chunk rollups must bound the parsed entries, got ${selPaths.size}")
+      // results stay exact through the catalog
+      spark.conf.set("spark.sql.catalog.gchk", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gchk.root",
+        java.nio.file.Paths.get(root).getParent.toString)
+      val got = spark.sql(
+        s"SELECT k FROM gchk.${java.nio.file.Paths.get(root).getFileName}" +
+          ".chunk WHERE k BETWEEN 1500 AND 1520")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == (1500L to 1520L).toSet,
+        "chunk skipping must be invisible to results")
+      // unbounded plans still see every file (chunks merge back whole)
+      val all = VersionedTable.selectiveLayoutByCommit(t, None, Map.empty)
+      assert(all.flatMap(_._2.map(_._1)).toSet.size >= 300,
+        "an unbounded plan must keep every entry")
+    } finally VersionedTable.IndexChunkEntries = prev
   }
 
   test("vacuum materialization carries the chain's hints forward") {
