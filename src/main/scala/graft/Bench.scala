@@ -86,13 +86,22 @@ object Bench {
     // alphabetically-first ~37 timings entirely).
     val ok = results.collect { case (n, Right(v)) => n -> v }
     val failed = results.collect { case (n, Left(_)) => n }
+    // Fixture-shape block: the driver regenerates /root/testdata each
+    // round, and twice now a bench drift was adjudicated blind because
+    // nothing recorded what the fixtures looked like. Rows / bytes /
+    // row-group counts come from the parquet footers (row groups are the
+    // scan-parallelism unit — a 1-group lineitem is a materially
+    // different benchmark input than a 16-group one); key NDV is an HLL
+    // estimate on the leading column. Any failure degrades to an "err"
+    // entry rather than failing the bench.
+    val fixtures = BenchFormat.fixtureShapes(spark, sfDir)
     val fullJson =
       s"""{"metric":"total","value":${BenchFormat.f3(ok.map(_._2).sum)},"unit":"sec","queries":${
         ok.map { case (k, v) => s"${Json.quote(k)}:${BenchFormat.f3(v)}" }
           .mkString("{", ",", "}")
       },"n_failed":${failed.size},"failed":${
         failed.map(Json.quote).mkString("[", ",", "]")
-      },"cc_rounds":$ccRounds,"sf":${Json.quote(sfDir)}}"""
+      },"cc_rounds":$ccRounds,"fixtures":$fixtures,"sf":${Json.quote(sfDir)}}"""
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath,
@@ -107,6 +116,66 @@ object Bench {
   * is unit-testable without a session.
   */
 object BenchFormat {
+
+  /** One compact JSON object per fixture table: row count and row-group
+    * count from the parquet footers (no data read), on-disk bytes from
+    * the filesystem, and an approx NDV of the leading (key) column. This
+    * pins the INPUT shape next to the timings so a cross-round drift is
+    * attributable from the artifact alone — e.g. a 3-group documents
+    * table regenerating as 1 group changes scan parallelism for every
+    * narrow stage, which is invisible in the timings themselves.
+    */
+  def fixtureShapes(spark: SparkSession, sfDir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val entries =
+      try {
+        val dir = new Path(sfDir)
+        val fs = dir.getFileSystem(conf)
+        fs.listStatus(dir).toSeq
+          .filter(s => s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+          .map { st =>
+            val name = st.getPath.getName.stripSuffix(".parquet")
+            val cell =
+              try {
+                val parts =
+                  if (st.isDirectory)
+                    fs.listStatus(st.getPath).toSeq
+                      .filter(p => p.getPath.getName.endsWith(".parquet"))
+                  else Seq(st)
+                val bytes = parts.map(_.getLen).sum
+                var rows = 0L
+                var groups = 0
+                parts.foreach { p =>
+                  val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                    .fromPath(p.getPath, conf)
+                  val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                  try {
+                    val blocks = r.getFooter.getBlocks
+                    groups += blocks.size
+                    rows += r.getRecordCount
+                  } finally r.close()
+                }
+                val df = spark.read.parquet(st.getPath.toString)
+                val keyCol = df.columns.head
+                val ndv = df
+                  .agg(org.apache.spark.sql.functions
+                    .approx_count_distinct(keyCol).as("ndv"))
+                  .head().getLong(0)
+                s"""{"rows":$rows,"bytes":$bytes,"row_groups":$groups,"key":${Json.quote(keyCol)},"key_ndv":$ndv}"""
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  s"""{"err":${Json.quote(String.valueOf(e.getMessage).take(80))}}"""
+              }
+            s"${Json.quote(name)}:$cell"
+          }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Seq(s""""err":${Json.quote(String.valueOf(e.getMessage).take(80))}""")
+      }
+    entries.mkString("{", ",", "}")
+  }
   // Locale.ROOT: a comma-decimal default locale would render "1,234"
   // and corrupt the JSON line
   def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

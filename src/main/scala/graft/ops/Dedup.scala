@@ -168,7 +168,7 @@ object Dedup {
     * verify stage) can compute it once and share the frame.
     */
   private def shingleFrame(documents: DataFrame): DataFrame =
-    documents.select(
+    Parallelism.floor(documents).select(
       col("doc_id"),
       shingles(col("text"), ShingleWidth, ShingleStep).as("sh"))
 
@@ -1034,7 +1034,7 @@ object Dedup {
     * docs differ in few bits (compare via Hamming distance).
     */
   def simhash(documents: DataFrame): DataFrame = {
-    val toks = documents.select(
+    val toks = Parallelism.floor(documents).select(
       col("doc_id"),
       explode(graft.functions.TextExpressions.alnumTokens(col("text"))).as("tok"))
     // token hash: first SimhashHexChars hex chars of md5 → SimhashBits-bit long
@@ -1203,7 +1203,7 @@ object Dedup {
       documents: DataFrame,
       t: Double = 0.6,
       shingleK: Int = 3): DataFrame = {
-    val shingledRaw = documents
+    val shingledRaw = Parallelism.floor(documents)
       .select(col("doc_id"),
         graft.functions.TextExpressions.alnumTokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= shingleK)
@@ -1267,7 +1267,7 @@ object Dedup {
     */
   private def tokensAndDupPositions(
       documents: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    val toksRaw = documents.select(col("doc_id"),
+    val toksRaw = Parallelism.floor(documents).select(col("doc_id"),
       graft.functions.TextExpressions.alnumTokens(col("text")).as("ws"))
     val toks =
       if (toksRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)

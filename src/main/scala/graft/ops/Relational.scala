@@ -422,7 +422,7 @@ object Relational {
     * here for oracle-exact results.
     */
   def percentiles(lineitem: DataFrame): DataFrame =
-    lineitem
+    Parallelism.floor(lineitem)
       .groupBy("l_returnflag")
       .agg(
         round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
