@@ -83,6 +83,7 @@ object SparkEntry {
     "q_table_emb" -> ((s, d) => Incremental.embSqlTopK(t(s, d, "embeddings"))),
     "q_table_map" -> ((s, d) => Incremental.docsSqlMap(t(s, d, "documents"))),
     "q_sql_nested_add" -> ((s, d) => Incremental.docsSqlNestedAdd(t(s, d, "documents"))),
+    "q_sql_nested_rename" -> ((s, d) => Incremental.docsSqlNestedRename(t(s, d, "documents"))),
     "q_sql_nested_prune" -> ((s, d) => Incremental.docsSqlNestedPrune(t(s, d, "documents"))),
     "q_posdel_changes" -> ((s, d) => Incremental.ordersPosDelChanges(t(s, d, "orders"))),
     "q_asof_versioned" -> ((s, d) => Incremental.eventsAsofVersioned(t(s, d, "events"))),
@@ -2230,6 +2231,15 @@ object SparkEntry {
         |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS src,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // nested RENAME + DROP via dotted column mapping: files keep
+    // physical names across both generations; the filter on the renamed
+    // leaf translates logical->physical before the zone maps; the
+    // oracle replays the rows flat under the new name
+    "q_sql_nested_rename" ->
+      """SELECT doc_id, lang AS lang_code, n_chars
+        |FROM documents
+        |WHERE lang <> 'zz'
+        |ORDER BY doc_id""".stripMargin,
     // zone maps on STRUCT leaves: lang-clustered inserts, nested-leaf
     // predicates prune files at plan time; the oracle replays the same
     // filter flat — hash equality proves pruning never drops a match

@@ -1113,6 +1113,48 @@ object Incremental {
          |FROM gtab.default.$name ORDER BY doc_id""".stripMargin)
   }
 
+  /** Registered q_sql_nested_rename body: NESTED column-mapping
+    * evolution on the flagship documents shape — half the corpus
+    * inserted under `meta STRUCT<lang, src>`, then `RENAME COLUMN
+    * meta.lang TO lang_code` and `DROP COLUMN meta.src` (both O(1)
+    * column-map edits; no file read or rewritten at any scale), then
+    * the rest inserted through the NEW logical shape (the write
+    * translates back, so files keep physical names and the snapshot
+    * schema union never forks). The read filters on the renamed leaf —
+    * pushed predicates translate logical→physical before the zone maps
+    * — and the oracle replays the same rows flat, so hash equality
+    * proves the whole mapping layer is invisible to results.
+    */
+  def docsSqlNestedRename(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    catalogRoot(spark)
+    val inputKey = documents.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlnren:$inputKey"), { _ =>
+      val n = s"docs_nren_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      documents.createOrReplaceTempView(s"g_nren_src_$n")
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n (
+           |  doc_id BIGINT, meta STRUCT<lang: STRING, src: STRING>,
+           |  n_chars BIGINT)""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT doc_id, named_struct('lang', lang, 'src', source), n_chars
+           |FROM g_nren_src_$n WHERE doc_id % 2 = 0""".stripMargin)
+      spark.sql(s"ALTER TABLE gtab.default.$n RENAME COLUMN meta.lang TO lang_code")
+      spark.sql(s"ALTER TABLE gtab.default.$n DROP COLUMN meta.src")
+      spark.sql(
+        s"""INSERT INTO gtab.default.$n
+           |SELECT doc_id, named_struct('lang_code', lang), n_chars
+           |FROM g_nren_src_$n WHERE doc_id % 2 = 1""".stripMargin)
+      n
+    })
+    spark.sql(
+      s"""SELECT doc_id, meta.lang_code AS lang_code, n_chars
+         |FROM gtab.default.$name
+         |WHERE meta.lang_code <> 'zz'
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   /** Registered q_sql_nested_prune body: ZONE MAPS ON STRUCT LEAVES —
     * the corpus lands lang-clustered (one INSERT per language, so each
     * file's dotted `meta.lang` zone is a single value) and the read

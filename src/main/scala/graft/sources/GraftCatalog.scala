@@ -181,6 +181,7 @@ class GraftCatalog extends TableCatalog
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    VersionedTable.requireDotFreeNames(schema, s"CREATE TABLE $ident")
     // two partitionings are stored: the bucket layout behind
     // storage-partitioned joins (PARTITIONED BY (bucket(n, col))), and
     // IDENTITY partitioning (PARTITIONED BY (col)) — the first DDL a
@@ -395,21 +396,44 @@ class GraftCatalog extends TableCatalog
     }
     if (columnChanges.isEmpty && constraintChanges.nonEmpty)
       return loadTable(ident)
+    // UPFRONT validation of every column change, before ANY is applied:
+    // a multi-change ALTER must be all-or-nothing at the cheap-check
+    // level — without this, a refused later change (unsupported kind,
+    // non-nullable add) would leave earlier carriers already committed
+    // with no rollback. Deep per-change validation (name collisions,
+    // spine existence) still happens at apply time; this pass rejects
+    // the statically-refusable shapes.
+    columnChanges.foreach {
+      case _: TableChange.RenameColumn | _: TableChange.DeleteColumn => ()
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          s"nested ALTER COLUMN ${u.fieldNames().mkString(".")} is not supported")
+      case a: TableChange.AddColumn =>
+        require(a.isNullable,
+          s"ADD COLUMN ${a.fieldNames().mkString(".")}: new columns must " +
+            "be nullable — existing rows carry no value for them")
+        require(!a.fieldNames().exists(_.contains(".")),
+          s"invalid column name ${a.fieldNames().mkString(".")}: dots " +
+            "inside a field name are reserved for nested paths")
+        VersionedTable.requireDotFreeNames(a.dataType(),
+          s"ADD COLUMN ${a.fieldNames().mkString(".")}")
+      case other => throw new UnsupportedOperationException(
+        s"catalog $catName supports only ALTER TABLE ADD/RENAME/DROP " +
+          s"COLUMN(S) and ALTER COLUMN TYPE widening; got $other")
+    }
     // RENAME/DROP COLUMN are metadata-only edits of the column map —
-    // no commit, no data movement ([[VersionedTable.renameColumn]])
+    // no commit, no data movement ([[VersionedTable.renameColumn]]).
+    // Nested paths (meta.lang) route through the dotted column map.
     val (mapChanges, addChanges) = columnChanges.partition {
       case _: TableChange.RenameColumn | _: TableChange.DeleteColumn => true
       case _ => false
     }
     mapChanges.foreach {
       case r: TableChange.RenameColumn =>
-        require(r.fieldNames().length == 1,
-          s"nested RENAME COLUMN ${r.fieldNames().mkString(".")} is not supported")
-        VersionedTable.renameColumn(spark, dir, r.fieldNames()(0), r.newName())
+        VersionedTable.renameColumnPath(
+          spark, dir, r.fieldNames().toSeq, r.newName())
       case d: TableChange.DeleteColumn =>
-        require(d.fieldNames().length == 1,
-          s"nested DROP COLUMN ${d.fieldNames().mkString(".")} is not supported")
-        VersionedTable.dropColumn(spark, dir, d.fieldNames()(0))
+        VersionedTable.dropColumnPath(spark, dir, d.fieldNames().toSeq)
       case _ => ()
     }
     // ALTER COLUMN ... TYPE: lossless widening only (INT->BIGINT,
@@ -648,11 +672,10 @@ class GraftRowLevelOperation(
       private val physFull =
         VersionedTable.snapshotSchema(SparkSession.active, table, None)
       // Spark resolves against LOGICAL names; files/stats are PHYSICAL
-      private val l2p = VersionedTable.logicalToPhysical(table)
-      private def p(c: String): String = GraftFilters.physLeaf(l2p, c)
+      private val seg = VersionedTable.segmentL2P(table)
+      private def p(c: String): String = VersionedTable.physDotted(seg, c)
       private def physSchema(s: StructType): StructType =
-        if (l2p.isEmpty) s
-        else StructType(s.fields.map(f => f.copy(name = p(f.name))))
+        if (seg.isEmpty) s else VersionedTable.physicalizeSchema(table, s)
       private var reportAs: StructType =
         VersionedTable.logicalizeSchema(table, physFull)
       private var required: StructType = physSchema(reportAs)
@@ -2012,10 +2035,10 @@ class GraftTableScanBuilder(
   // two name sets: `required` (physical — drives file reads, zone maps,
   // vectorization checks) and `reportAs` (logical — what readSchema()
   // declares back to Spark). Rows are positional, so only names differ.
-  private val l2p = VersionedTable.logicalToPhysical(table)
-  private def p(c: String): String = GraftFilters.physLeaf(l2p, c)
+  private val seg = VersionedTable.segmentL2P(table)
+  private def p(c: String): String = VersionedTable.physDotted(seg, c)
   private def physSchema(s: StructType): StructType =
-    if (l2p.isEmpty) s else StructType(s.fields.map(f => f.copy(name = p(f.name))))
+    if (seg.isEmpty) s else VersionedTable.physicalizeSchema(table, s)
 
   private var reportAs: StructType = full
   private var required: StructType = physSchema(full)

@@ -3599,66 +3599,242 @@ object VersionedTable {
     ()
   }
 
-  /** logical → physical for live columns (identity pairs never appear). */
+  /** Refuse field names containing '.', at any nesting depth. Spark
+    * permits them via backticks, but the engine's zone-map keys,
+    * row-group leaves, and column-map entries all live in a DOTTED
+    * namespace — a literal dot in a name would alias a nested path and
+    * could classify stats or renames against the wrong field.
+    */
+  private[sources] def requireDotFreeNames(
+      dt: org.apache.spark.sql.types.DataType, where: String): Unit = dt match {
+    case st: org.apache.spark.sql.types.StructType =>
+      st.fields.foreach { f =>
+        require(!f.name.contains('.'),
+          s"invalid column name `${f.name}` in $where: dots inside a " +
+            "field name are reserved for nested paths")
+        requireDotFreeNames(f.dataType, where)
+      }
+    case at: org.apache.spark.sql.types.ArrayType =>
+      requireDotFreeNames(at.elementType, where)
+    case mt: org.apache.spark.sql.types.MapType =>
+      requireDotFreeNames(mt.keyType, where); requireDotFreeNames(mt.valueType, where)
+    case _ => ()
+  }
+
+  /** logical → physical for live TOP-LEVEL columns (identity pairs never
+    * appear; nested entries — dotted keys — are excluded).
+    */
   private[sources] def logicalToPhysical(table: String): Map[String, String] =
-    columnMap(table).collect { case (p, lg) if lg.nonEmpty => lg -> p }
+    columnMap(table).collect {
+      case (p, lg) if lg.nonEmpty && !p.contains('.') => lg -> p
+    }
+
+  /** Per-SEGMENT logical→physical rename map: (physical parent path,
+    * logical leaf) → physical leaf, covering top-level entries (parent
+    * "") and nested dotted entries alike. This is the translation unit
+    * for DOTTED paths: a logical path resolves segment by segment, each
+    * lookup keyed by the physical path resolved so far — which is what
+    * lets a renamed leaf live under a renamed spine. Dropped entries
+    * (empty logical) contribute nothing: a dropped field has no logical
+    * name to translate FROM.
+    */
+  private[sources] def segmentL2P(table: String): Map[(String, String), String] =
+    columnMap(table).collect {
+      case (p, lg) if lg.nonEmpty =>
+        val i = p.lastIndexOf('.')
+        if (i < 0) ("", lg) -> p
+        else (p.substring(0, i), lg) -> p.substring(i + 1)
+    }
 
   /** The physical name behind a logical column (identity when unmapped). */
   private[sources] def physName(table: String, logical: String): String =
     logicalToPhysical(table).getOrElse(logical, logical)
 
+  /** The physical DOTTED path behind a logical dotted path, resolved
+    * segment by segment against [[segmentL2P]]. Identity on unmapped
+    * segments, so unmapped tables and already-physical paths pass
+    * through (the disjointness invariant: a logical name never equals
+    * any current or retired physical name in the same scope).
+    */
+  private[sources] def physDotted(
+      seg: Map[(String, String), String], logical: String): String = {
+    if (seg.isEmpty) return logical
+    val parts = logical.split('.')
+    val out = new java.lang.StringBuilder(logical.length)
+    var parent = ""
+    var i = 0
+    while (i < parts.length) {
+      val phys = seg.getOrElse((parent, parts(i)), parts(i))
+      if (i > 0) out.append('.')
+      out.append(phys)
+      parent = out.toString
+      i += 1
+    }
+    out.toString
+  }
+
   /** A physically-named frame under its LOGICAL names: renamed columns
-    * aliased, dropped columns projected away, everything else (including
-    * non-snapshot columns like file tags) passed through. Identity —
-    * zero plan nodes added — when the table has no mapping.
+    * aliased, dropped columns projected away — at top level AND inside
+    * struct spines (nested renames/drops rebuild the struct expression;
+    * null parents stay null). Identity — zero plan nodes added — when
+    * the table has no mapping.
     */
   private[sources] def logicalizeFrame(table: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val m = columnMap(table)
     if (m.isEmpty) df
-    else df.select(df.columns.toIndexedSeq.flatMap { c =>
-      m.get(c) match {
+    else df.select(df.schema.fields.toIndexedSeq.flatMap { f =>
+      m.get(f.name) match {
         case Some("") => None
-        case Some(lg) => Some(org.apache.spark.sql.functions.col(c).as(lg))
-        case None     => Some(org.apache.spark.sql.functions.col(c))
+        case top =>
+          val lg = top.getOrElse(f.name)
+          val c = f.dataType match {
+            case st: org.apache.spark.sql.types.StructType
+                if m.keysIterator.exists(_.startsWith(f.name + ".")) =>
+              logicalizeStructCol(m, col(f.name), f.name, st, f.nullable)
+            case _ => col(f.name)
+          }
+          Some(c.as(lg))
       }
     }: _*)
   }
 
+  /** Rebuild a struct column under its logical field names: mapped
+    * fields aliased, dropped fields omitted, deeper struct spines
+    * recursed. A nullable parent keeps null rows null (the bare
+    * struct() of a null parent's children would otherwise materialize a
+    * struct of nulls).
+    */
+  private def logicalizeStructCol(
+      m: Map[String, String], c: org.apache.spark.sql.Column,
+      physPath: String, st: org.apache.spark.sql.types.StructType,
+      nullable: Boolean): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{struct, when}
+    val kids = st.fields.toIndexedSeq.flatMap { f =>
+      val p = s"$physPath.${f.name}"
+      m.get(p) match {
+        case Some("") => None
+        case e =>
+          val lg = e.getOrElse(f.name)
+          val child = c.getField(f.name)
+          val cc = f.dataType match {
+            case s: org.apache.spark.sql.types.StructType
+                if m.keysIterator.exists(_.startsWith(p + ".")) =>
+              logicalizeStructCol(m, child, p, s, f.nullable)
+            case _ => child
+          }
+          Some(cc.as(lg))
+      }
+    }
+    val rebuilt = struct(kids: _*)
+    if (nullable) when(c.isNotNull, rebuilt) else rebuilt
+  }
+
   /** A physical schema under its logical names (dropped columns removed,
-    * field order and types preserved).
+    * field order and types preserved), through struct spines.
     */
   private[sources] def logicalizeSchema(
       table: String, schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
     val m = columnMap(table)
-    if (m.isEmpty) schema
-    else org.apache.spark.sql.types.StructType(schema.fields.flatMap { f =>
-      m.get(f.name) match {
-        case Some("") => None
-        case Some(lg) => Some(f.copy(name = lg))
-        case None     => Some(f)
-      }
-    })
+    if (m.isEmpty) return schema
+    def walk(prefix: String, st: StructType): StructType =
+      StructType(st.fields.flatMap { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        m.get(p) match {
+          case Some("") => None
+          case e =>
+            val dt = f.dataType match {
+              case s: StructType => walk(p, s)
+              case x             => x
+            }
+            Some(f.copy(name = e.getOrElse(f.name), dataType = dt))
+        }
+      })
+    walk("", schema)
   }
 
   /** A logically-named frame under its physical names — the write-side
-    * twin of [[logicalizeFrame]]. No-op on unmapped tables AND on
-    * already-physical frames (namespace disjointness, see above).
+    * twin of [[logicalizeFrame]], through struct spines. No-op on
+    * unmapped tables AND on already-physical frames (namespace
+    * disjointness, see above): a physical name is never a segment-map
+    * key, so every lookup misses and nothing is rebuilt.
     */
   private[sources] def physicalizeFrame(table: String, df: DataFrame): DataFrame = {
-    val l2p = logicalToPhysical(table)
-    if (l2p.isEmpty) df
-    else df.withColumnsRenamed(l2p.filter { case (lg, _) => df.columns.contains(lg) })
+    import org.apache.spark.sql.functions.col
+    val seg = segmentL2P(table)
+    if (seg.isEmpty) return df
+    val rebuilt = df.schema.fields.toIndexedSeq.map { f =>
+      val phys = seg.getOrElse(("", f.name), f.name)
+      f.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          physicalizeStructCol(seg, col(f.name), phys, st, f.nullable)
+            .map(c => Some(c.as(phys))).getOrElse {
+              if (phys == f.name) None else Some(col(f.name).as(phys))
+            }
+        case _ => if (phys == f.name) None else Some(col(f.name).as(phys))
+      }
+    }
+    if (rebuilt.forall(_.isEmpty)) df
+    else df.select(df.columns.indices.map { i =>
+      rebuilt(i).getOrElse(col(df.columns(i)))
+    }: _*)
   }
 
-  /** Logical field names → physical, order and types preserved. */
+  /** Rebuild a struct column under its physical field names, resolving
+    * each LOGICAL field name by name (never by position — a caller's
+    * struct field order is its own). Returns None when no segment under
+    * this spine renames, so untouched columns add zero plan nodes.
+    */
+  private def physicalizeStructCol(
+      seg: Map[(String, String), String], c: org.apache.spark.sql.Column,
+      physPath: String, st: org.apache.spark.sql.types.StructType,
+      nullable: Boolean): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{struct, when}
+    var changed = false
+    val kids = st.fields.toIndexedSeq.map { f =>
+      val phys = seg.getOrElse((physPath, f.name), f.name)
+      if (phys != f.name) changed = true
+      val p = s"$physPath.$phys"
+      val child = c.getField(f.name)
+      val cc = f.dataType match {
+        case s: org.apache.spark.sql.types.StructType =>
+          physicalizeStructCol(seg, child, p, s, f.nullable) match {
+            case Some(r) => changed = true; r
+            case None    => child
+          }
+        case _ => child
+      }
+      cc.as(phys)
+    }
+    if (!changed) None
+    else {
+      val rebuilt = struct(kids: _*)
+      Some(if (nullable) when(c.isNotNull, rebuilt) else rebuilt)
+    }
+  }
+
+  /** Logical field names → physical, order and types preserved, through
+    * struct spines.
+    */
   private[sources] def physicalizeSchema(
       table: String, schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
-    val l2p = logicalToPhysical(table)
-    if (l2p.isEmpty) schema
-    else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
-      f.copy(name = l2p.getOrElse(f.name, f.name))))
+    import org.apache.spark.sql.types.StructType
+    val seg = segmentL2P(table)
+    if (seg.isEmpty) return schema
+    def walk(physPrefix: String, st: StructType): StructType =
+      StructType(st.fields.map { f =>
+        val phys = seg.getOrElse((physPrefix, f.name), f.name)
+        val p = if (physPrefix.isEmpty) phys else s"$physPrefix.$phys"
+        val dt = f.dataType match {
+          case s: StructType => walk(p, s)
+          case x             => x
+        }
+        f.copy(name = phys, dataType = dt)
+      })
+    walk("", schema)
   }
 
   private def requireRenamable(
@@ -3726,6 +3902,128 @@ object VersionedTable {
     require(logical.contains(column), s"column $column does not exist in $table")
     require(logical.size > 1, s"cannot drop the last column of $table")
     writeColMap(table, columnMap(table) + (physName(table, column) -> ""))
+  }
+
+  /** Resolve a LOGICAL nested path against the head schema: returns the
+    * physical dotted path, the physical parent struct, and the LOGICAL
+    * sibling names at the leaf's level. The spine must be STRUCTs all
+    * the way down — renames/drops inside array elements or map values
+    * are refused (the frame translation rebuilds struct expressions
+    * only), unlike nested ADD, which is append-only and can ride the
+    * schema union through any spine.
+    */
+  private def resolveNestedPath(
+      spark: SparkSession, table: String, path: Seq[String])
+      : (String, org.apache.spark.sql.types.StructType, Set[String]) = {
+    import org.apache.spark.sql.types.StructType
+    val seg = segmentL2P(table)
+    val m = columnMap(table)
+    val physTop = snapshotSchema(spark, table, None)
+    var parentPhys = ""
+    var cursor: StructType = physTop
+    // descend to the PARENT struct, translating each logical segment
+    path.init.foreach { s =>
+      val phys = seg.getOrElse((parentPhys, s), s)
+      val p = if (parentPhys.isEmpty) phys else s"$parentPhys.$phys"
+      require(!m.get(p).contains(""),
+        s"cannot resolve ${path.mkString(".")} in $table: $s is dropped")
+      val f = cursor.fields.find(_.name == phys).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column ${path.mkString(".")} in $table: $s not found"))
+      cursor = f.dataType match {
+        case st: StructType => st
+        case other => throw new IllegalArgumentException(
+          s"cannot rename/drop inside ${path.mkString(".")}: $s is $other, " +
+            "not a struct (struct spines only)")
+      }
+      parentPhys = p
+    }
+    val leafPhys = seg.getOrElse((parentPhys, path.last), path.last)
+    val physPath = if (parentPhys.isEmpty) leafPhys else s"$parentPhys.$leafPhys"
+    // logical siblings: the parent struct's fields under their logical
+    // names (drops removed)
+    val pp = parentPhys
+    val logicalSiblings = cursor.fields.flatMap { f =>
+      val p = if (pp.isEmpty) f.name else s"$pp.${f.name}"
+      m.get(p) match {
+        case Some("") => None
+        case e        => Some(e.getOrElse(f.name))
+      }
+    }.toSet
+    (physPath, cursor, logicalSiblings)
+  }
+
+  /** Nested ALTER TABLE RENAME COLUMN (`meta.lang` → `meta.lang_code`),
+    * metadata-only like the top-level form: one column-map entry keyed
+    * by the physical DOTTED path. No data file is touched at any scale;
+    * every snapshot (time travel included) reads back under the new
+    * name; zone maps, row-group leaves, and bloom filters keep working
+    * because they key physical names, which never change. The same
+    * disjointness invariant applies PER SCOPE: the new name may not
+    * collide with any live logical or any current/retired physical
+    * field name of the same parent struct.
+    */
+  def renameColumnPath(
+      spark: SparkSession, table: String, path: Seq[String], to: String): Unit = {
+    require(path.nonEmpty, "rename needs a column path")
+    if (path.length == 1) { renameColumn(spark, table, path.head, to); return }
+    require(versions(table).nonEmpty, s"no committed versions at $table")
+    require(!to.contains('.'),
+      s"invalid field name $to: dots are reserved for nested paths")
+    val dotted = path.mkString(".")
+    constraints(table).foreach { case (n, e) =>
+      require(s"\\b${java.util.regex.Pattern.quote(dotted)}\\b".r
+          .findFirstIn(e).isEmpty,
+        s"cannot rename $dotted: CHECK constraint $n references it ($e) — " +
+          "drop the constraint first")
+    }
+    val (physPath, parentStruct, logicalSiblings) =
+      resolveNestedPath(spark, table, path)
+    val m = columnMap(table)
+    require(logicalSiblings.contains(path.last),
+      s"field $dotted does not exist in $table")
+    require(!logicalSiblings.contains(to),
+      s"field ${path.init.mkString(".")}.$to already exists in $table")
+    val leafPhys = physPath.substring(physPath.lastIndexOf('.') + 1)
+    val parentPhys = physPath.substring(0, physPath.lastIndexOf('.'))
+    val mappedLeaves = m.keysIterator
+      .filter(k => k.startsWith(parentPhys + ".") &&
+        k.indexOf('.', parentPhys.length + 1) < 0)
+      .map(_.substring(parentPhys.length + 1)).toSet
+    require(leafPhys == to ||
+        (!parentStruct.fieldNames.contains(to) && !mappedLeaves.contains(to)),
+      s"cannot rename $dotted to $to: $to is (or was) a physical field " +
+        s"name of that struct — pick a name never used at this level")
+    writeColMap(table, if (leafPhys == to) m - physPath else m + (physPath -> to))
+  }
+
+  /** Nested ALTER TABLE DROP COLUMN, metadata-only: marks the struct
+    * field dropped in the map. Files keep the bytes (nested schema
+    * pruning means they are never decoded again); new files are written
+    * WITHOUT the field, and the r17 evolution-gap machinery serves the
+    * mixed generations columnar. The dropped path is retired permanently
+    * (per-scope disjointness). Refused for the struct's last live field
+    * — drop the whole column instead.
+    */
+  def dropColumnPath(
+      spark: SparkSession, table: String, path: Seq[String]): Unit = {
+    require(path.nonEmpty, "drop needs a column path")
+    if (path.length == 1) { dropColumn(spark, table, path.head); return }
+    require(versions(table).nonEmpty, s"no committed versions at $table")
+    val dotted = path.mkString(".")
+    constraints(table).foreach { case (n, e) =>
+      require(s"\\b${java.util.regex.Pattern.quote(dotted)}\\b".r
+          .findFirstIn(e).isEmpty,
+        s"cannot drop $dotted: CHECK constraint $n references it ($e) — " +
+          "drop the constraint first")
+    }
+    val (physPath, _, logicalSiblings) = resolveNestedPath(spark, table, path)
+    require(logicalSiblings.contains(path.last),
+      s"field $dotted does not exist in $table")
+    require(logicalSiblings.size > 1,
+      s"cannot drop the last field of struct ${path.init.mkString(".")} — " +
+        "drop the whole column instead")
+    writeColMap(table, columnMap(table) + (physPath -> ""))
   }
 
   /** Gate for ADD COLUMN under a mapping: a fresh column's name (which

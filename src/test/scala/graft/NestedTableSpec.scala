@@ -350,6 +350,167 @@ class NestedTableSpec extends AnyFunSuite {
     assert(g3.length == 320 && g3.forall(_.getLong(0) % 5 != 1))
   }
 
+  test("nested RENAME COLUMN: metadata-only, both generations read, writes land physical") {
+    root
+    spark.sql(
+      "CREATE TABLE gnest.default.nrn (id BIGINT, meta STRUCT<lang: STRING, n: INT>)")
+    spark.sql(
+      """INSERT INTO gnest.default.nrn VALUES
+        |  (1, named_struct('lang', 'en', 'n', 1)),
+        |  (2, named_struct('lang', 'fr', 'n', 2))""".stripMargin)
+    spark.sql("ALTER TABLE gnest.default.nrn RENAME COLUMN meta.lang TO lang_code")
+    // served schema carries the logical name, field order preserved
+    val st = spark.table("gnest.default.nrn").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st.fieldNames.toSeq == Seq("lang_code", "n"))
+    // an INSERT through the logical name lands under the PHYSICAL name
+    spark.sql(
+      """INSERT INTO gnest.default.nrn VALUES
+        |  (3, named_struct('lang_code', 'de', 'n', 3))""".stripMargin)
+    // the freshest data file's FOOTER must still carry the physical name
+    val newest = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$root/default/nrn/data"))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .max(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
+      .orElseThrow()
+    val footer = spark.read.parquet(newest.toString).schema
+    assert(footer("meta").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq == Seq("lang", "n"),
+      "files must keep physical field names across the rename")
+    assert(VersionedTable.columnMap(s"$root/default/nrn") ==
+      Map("meta.lang" -> "lang_code"))
+    // both generations read under the new name — SQL scan path
+    val got = spark.sql(
+      "SELECT id, meta.lang_code AS lc, meta.n AS n FROM gnest.default.nrn ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, "en", 1), (2L, "fr", 2), (3L, "de", 3)))
+    // programmatic read path (logicalizeFrame) agrees
+    val prog = VersionedTable.read(spark, s"$root/default/nrn")
+      .selectExpr("id", "meta.lang_code", "meta.n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq.sortBy(_._1)
+    assert(prog == got)
+    // whole-struct read: null structs stay null, names logical
+    spark.sql("INSERT INTO gnest.default.nrn VALUES (4, NULL)")
+    val full = spark.sql("SELECT meta FROM gnest.default.nrn ORDER BY id").collect()
+    assert(full.map(_.getAs[Row]("meta")).toSeq ==
+      Seq(Row("en", 1), Row("fr", 2), Row("de", 3), null))
+    // time travel sees CURRENT names (mapping is table-wide, like Delta)
+    val old = spark.sql("SELECT meta.lang_code AS lc FROM gnest.default.nrn VERSION AS OF 2")
+    assert(old.collect().map(_.getString(0)).sorted.toSeq == Seq("en", "fr"))
+    // refusals: collision with a live sibling; reuse of the retired name
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gnest.default.nrn RENAME COLUMN meta.n TO lang_code")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gnest.default.nrn ADD COLUMNS (meta.lang STRING)")
+    }
+    // rename-back erases the mapping
+    spark.sql("ALTER TABLE gnest.default.nrn RENAME COLUMN meta.lang_code TO lang")
+    assert(VersionedTable.columnMap(s"$root/default/nrn").isEmpty)
+  }
+
+  test("nested RENAME keeps zone pruning and vectorized MOR on the renamed leaf") {
+    val s = spark; import s.implicits._
+    root
+    spark.sql(
+      "CREATE TABLE gnest.default.nrz (id BIGINT, meta STRUCT<lang: STRING, n: INT>)")
+    Seq("de", "en", "fr").foreach { lang =>
+      spark.sql(
+        s"""INSERT INTO gnest.default.nrz
+           |SELECT id, named_struct('lang', '$lang', 'n', CAST(id % 97 AS INT))
+           |FROM range(0, 200) AS t(id)""".stripMargin)
+    }
+    spark.sql("ALTER TABLE gnest.default.nrz RENAME COLUMN meta.lang TO lc")
+    // zone maps key the PHYSICAL dotted leaf; the pushed filter arrives
+    // logical and must translate — exactly 1 of 3 files survives planning
+    val q = spark.sql(
+      "SELECT id, meta.lc AS lc FROM gnest.default.nrz WHERE meta.lc = 'en'")
+    assert(q.count() == 200L)
+    val m = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no graft-catalog scan"))
+    // each lang's INSERT may split into several files; pruning must keep
+    // only the en generation's share (≤ 1/3 of the snapshot)
+    assert(m.group(1).toInt * 3 <= m.group(2).toInt,
+      s"meta.lc = 'en' must prune to the en-clustered files only, got " +
+        s"files=${m.group(1)}/${m.group(2)}")
+    // MOR positional vectors + rename: still columnar, values exact
+    VersionedTable.deleteWherePositional(spark, s"$root/default/nrz",
+      col("id") % 4L === 1L)
+    val q2 = spark.sql(
+      "SELECT id, meta.lc AS lc FROM gnest.default.nrz WHERE meta.lc = 'en' ORDER BY id")
+    assert(q2.queryExecution.executedPlan.toString.contains("vectorized=true"),
+      "renamed nested leaf under posdel must stay columnar")
+    val g2 = q2.collect()
+    assert(g2.length == 150 && g2.forall(r => r.getLong(0) % 4 != 1 && r.getString(1) == "en"))
+  }
+
+  test("nested DROP COLUMN: field disappears, new files written without it, mixed generations read") {
+    root
+    spark.sql(
+      "CREATE TABLE gnest.default.ndr (id BIGINT, meta STRUCT<lang: STRING, n: INT, src: STRING>)")
+    spark.sql(
+      """INSERT INTO gnest.default.ndr VALUES
+        |  (1, named_struct('lang', 'en', 'n', 1, 'src', 'a')),
+        |  (2, named_struct('lang', 'fr', 'n', 2, 'src', 'b'))""".stripMargin)
+    spark.sql("ALTER TABLE gnest.default.ndr DROP COLUMN meta.src")
+    val st = spark.table("gnest.default.ndr").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st.fieldNames.toSeq == Seq("lang", "n"))
+    // an INSERT after the drop writes files WITHOUT the field
+    spark.sql("INSERT INTO gnest.default.ndr VALUES (3, named_struct('lang', 'de', 'n', 3))")
+    // mixed generations: old files carry the dropped bytes (pruned away),
+    // new files lack them — both read under the narrowed struct
+    val got = spark.sql("SELECT id, meta FROM gnest.default.ndr ORDER BY id").collect()
+    assert(got.map(_.getAs[Row]("meta")).toSeq ==
+      Seq(Row("en", 1), Row("fr", 2), Row("de", 3)))
+    // programmatic read path agrees
+    val prog = VersionedTable.read(spark, s"$root/default/ndr")
+      .selectExpr("id", "meta.lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(prog == Seq((1L, "en"), (2L, "fr"), (3L, "de")))
+    // the dropped name is retired: re-adding it is refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gnest.default.ndr ADD COLUMNS (meta.src STRING)")
+    }
+    // last-field refusal
+    spark.sql("ALTER TABLE gnest.default.ndr DROP COLUMN meta.n")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gnest.default.ndr DROP COLUMN meta.lang")
+    }
+  }
+
+  test("multi-change ALTER validates before applying: no half-applied statement") {
+    root
+    spark.sql(
+      "CREATE TABLE gnest.default.atom (id BIGINT, meta STRUCT<lang: STRING>)")
+    spark.sql("INSERT INTO gnest.default.atom VALUES (1, named_struct('lang', 'en'))")
+    val before = VersionedTable.versions(s"$root/default/atom").size
+    // a nested add FOLLOWED by an unsupported change: the statement must
+    // refuse up-front, committing NO carrier for the first change
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE gnest.default.atom ADD COLUMNS (meta.src STRING, `a.b` STRING)")
+    }
+    assert(VersionedTable.versions(s"$root/default/atom").size == before,
+      "a refused multi-change ALTER must not leave earlier carriers committed")
+    val st = spark.table("gnest.default.atom").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st.fieldNames.toSeq == Seq("lang"), "no half-applied nested add")
+  }
+
+  test("dots in column names are refused at CREATE TABLE") {
+    root
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gnest.default.dotty (`a.b` BIGINT, x STRING)")
+    }
+    intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE gnest.default.dotty2 (id BIGINT, m STRUCT<`a.b`: STRING>)")
+    }
+  }
+
   test("a graft-table-stored WAV decodes identically to its dataset twin") {
     val s = spark; import s.implicits._
     val docs = Seq(
