@@ -84,6 +84,8 @@ object SparkEntry {
     "q_table_map" -> ((s, d) => Incremental.docsSqlMap(t(s, d, "documents"))),
     "q_sql_nested_add" -> ((s, d) => Incremental.docsSqlNestedAdd(t(s, d, "documents"))),
     "q_sql_nested_rename" -> ((s, d) => Incremental.docsSqlNestedRename(t(s, d, "documents"))),
+    "q_sql_array_prune" -> ((s, d) => Incremental.docsSqlArrayPrune(t(s, d, "documents"))),
+    "q_sql_map_prune" -> ((s, d) => Incremental.docsSqlMapPrune(t(s, d, "documents"))),
     "q_sql_nested_prune" -> ((s, d) => Incremental.docsSqlNestedPrune(t(s, d, "documents"))),
     "q_posdel_changes" -> ((s, d) => Incremental.ordersPosDelChanges(t(s, d, "orders"))),
     "q_asof_versioned" -> ((s, d) => Incremental.eventsAsofVersioned(t(s, d, "events"))),
@@ -2231,6 +2233,21 @@ object SparkEntry {
         |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS src,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // array-membership file pruning: lang-clustered tag vocabularies,
+    // per-file element blooms, array_contains conjunct probes them at
+    // plan time; the oracle replays the matching rows flat
+    "q_sql_array_prune" ->
+      """SELECT doc_id, n_chars
+        |FROM documents
+        |WHERE lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
+    // map-KEY membership pruning through the same blooms (key set via
+    // map_keys at commit); the projected value equals n_chars exactly
+    "q_sql_map_prune" ->
+      """SELECT doc_id, n_chars AS v
+        |FROM documents
+        |WHERE lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
     // nested RENAME + DROP via dotted column mapping: files keep
     // physical names across both generations; the filter on the renamed
     // leaf translates logical->physical before the zone maps; the

@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the graft stream through this rule instead (conservative file
     // skipping only — the Filter stays in the plan)
     ext.injectOptimizerRule(_ => graft.plans.PushFiltersIntoVersionedStream)
+    // array/map membership file pruning: Spark's V2 filter translation
+    // has no array_contains rendering, so membership conjuncts reach
+    // the graft scan as an OPTION the rule attaches to the relation
+    // (file skipping against commit-time element blooms only — the
+    // Filter stays in the plan)
+    ext.injectOptimizerRule(_ => graft.plans.PushMembershipProbes)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float vectors in double precision"),

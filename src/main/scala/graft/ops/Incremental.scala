@@ -1113,6 +1113,81 @@ object Incremental {
          |FROM gtab.default.$name ORDER BY doc_id""".stripMargin)
   }
 
+  /** Registered q_sql_array_prune body: ARRAY-MEMBERSHIP file pruning —
+    * the daily LLM-curation filter `WHERE array_contains(tags, …)` over
+    * a tags-clustered corpus. The table declares `graft.member-cols`,
+    * so every commit records a per-file element bloom; one INSERT per
+    * language keeps each file's tag vocabulary disjoint; the read's
+    * membership conjunct reaches the scan through the
+    * PushMembershipProbes side channel and drops every non-matching
+    * file at PLANNING time (zone maps can't speak set membership —
+    * LIST leaves have no scalar bounds). The oracle replays the same
+    * rows flat, so hash equality proves pruning is invisible. At
+    * 100 TB: `array_contains(tags,'lang:en')` over a trillion-row
+    * documents table stops being a full scan.
+    */
+  def docsSqlArrayPrune(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    catalogRoot(spark)
+    val inputKey = documents.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlaprune:$inputKey"), { _ =>
+      val n = s"docs_aprune_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      documents.createOrReplaceTempView(s"g_aprune_src_$n")
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n (
+           |  doc_id BIGINT, tags ARRAY<STRING>, n_chars BIGINT)
+           |TBLPROPERTIES ('graft.member-cols' = 'tags')""".stripMargin)
+      Seq("de", "en", "es", "fr", "zh").foreach { lang =>
+        spark.sql(
+          s"""INSERT INTO gtab.default.$n
+             |SELECT doc_id,
+             |  array(concat('lang:', lang), concat('src:', source)),
+             |  n_chars
+             |FROM g_aprune_src_$n WHERE lang = '$lang'""".stripMargin)
+      }
+      n
+    })
+    spark.sql(
+      s"""SELECT doc_id, n_chars
+         |FROM gtab.default.$name
+         |WHERE array_contains(tags, 'lang:en')
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Registered q_sql_map_prune body: MAP-KEY membership pruning — the
+    * same bloom sidecar, keyed on the map's KEY set (`map_keys` rides
+    * the commit aggregate), probed by `attrs['k'] IS NOT NULL` /
+    * `attrs['k'] = v` conjuncts. A key-per-language layout prunes to
+    * the one language's files; the read also projects the value
+    * through the same key, proving the probe never drops a match.
+    */
+  def docsSqlMapPrune(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    catalogRoot(spark)
+    val inputKey = documents.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlmprune:$inputKey"), { _ =>
+      val n = s"docs_mprune_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      documents.createOrReplaceTempView(s"g_mprune_src_$n")
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n (
+           |  doc_id BIGINT, attrs MAP<STRING, BIGINT>)
+           |TBLPROPERTIES ('graft.member-cols' = 'attrs')""".stripMargin)
+      Seq("de", "en", "es", "fr", "zh").foreach { lang =>
+        spark.sql(
+          s"""INSERT INTO gtab.default.$n
+             |SELECT doc_id,
+             |  map(concat('lang:', lang), n_chars, 'doc', doc_id)
+             |FROM g_mprune_src_$n WHERE lang = '$lang'""".stripMargin)
+      }
+      n
+    })
+    spark.sql(
+      s"""SELECT doc_id, attrs['lang:en'] AS v
+         |FROM gtab.default.$name
+         |WHERE attrs['lang:en'] IS NOT NULL
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   /** Registered q_sql_nested_rename body: NESTED column-mapping
     * evolution on the flagship documents shape — half the corpus
     * inserted under `meta STRUCT<lang, src>`, then `RENAME COLUMN

@@ -300,13 +300,36 @@ class GraftCatalog extends TableCatalog
       c
     }.orElse(Some(identitySrcs.mkString(",")).filter(_.nonEmpty))
     // durable write/stats knobs ride the props file (immutable at create)
-    val recordedProps = Seq("graft.bloom-cols", "graft.stats-max-cols")
+    val recordedProps = Seq("graft.bloom-cols", "graft.stats-max-cols",
+      "graft.member-cols", "graft.member-bloom-bits")
       .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap
     recordedProps.get("graft.bloom-cols").foreach(_.split(',').map(_.trim)
       .filter(_.nonEmpty).foreach { c =>
         require(schema.fields.exists(_.name == c),
           s"graft.bloom-cols column $c is not a column of the table")
       })
+    // membership-bloom columns: top-level ARRAY (element membership) or
+    // MAP (key membership) with string/integral elements — validated at
+    // CREATE so no commit can later hit an unhashable element type
+    recordedProps.get("graft.member-cols").foreach(_.split(',').map(_.trim)
+      .filter(_.nonEmpty).foreach { c =>
+        val dt = schema.fields.find(_.name == c).map(_.dataType)
+        def hashable(t: DataType): Boolean = t match {
+          case StringType | LongType | IntegerType | ShortType | ByteType => true
+          case _ => false
+        }
+        require(dt.exists {
+          case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+          case m: org.apache.spark.sql.types.MapType   => hashable(m.keyType)
+          case _ => false
+        }, s"graft.member-cols column $c must be a top-level ARRAY (of " +
+          "string/integral elements) or MAP (with string/integral keys) " +
+          "column of the table")
+      })
+    recordedProps.get("graft.member-bloom-bits").foreach { v =>
+      require(v.toIntOption.exists(n => n >= 64 && n % 64 == 0 && n <= (1 << 22)),
+        s"graft.member-bloom-bits must be a multiple of 64 in [64, 4194304], got $v")
+    }
     recordedProps.get("graft.stats-max-cols").foreach { v =>
       // range-checked at CREATE so no later commit can hit a parse error
       require(v.toIntOption.exists(n => n >= 0 && n <= 100000),
@@ -607,7 +630,8 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
     }
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftTableScanBuilder(table, version, schema(), bucket)
+    new GraftTableScanBuilder(table, version, schema(), bucket,
+      MemberProbes.parse(options.get("graft.member-probes")))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,
       s"cannot write to a time-traveled snapshot of $ident — write to the head")
@@ -1054,6 +1078,38 @@ private[sources] object GraftProcedures {
   * nextUp/nextDown — exact, unlike the integer truncation that kept
   * doubles out of pruning before round 16).
   */
+/** Wire format of the `graft.member-probes` scan option — the side
+  * channel [[graft.plans.PushMembershipProbes]] uses to hand membership
+  * conjuncts to the scan (Spark never pushes array_contains as a source
+  * filter): `b64(logicalCol):hashHex` pairs joined by ';'. Only the
+  * ELEMENT HASH crosses the boundary — the hash function is pinned in
+  * [[graft.functions.MemberBloom]], and the probe is purely
+  * planning-time file pruning, so a stale or garbled option can only
+  * keep extra files, never drop a match.
+  */
+object MemberProbes {
+  def encode(probes: Seq[(String, Long)]): String = {
+    val enc = java.util.Base64.getEncoder.withoutPadding
+    probes.map { case (c, h) =>
+      s"${enc.encodeToString(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))}:${
+        java.lang.Long.toHexString(h)}"
+    }.mkString(";")
+  }
+
+  def parse(opt: String): Seq[(String, Long)] =
+    if (opt == null || opt.isEmpty) Nil
+    else opt.split(';').toSeq.flatMap { kv =>
+      kv.split(':') match {
+        case Array(c, h) =>
+          try Some((new String(java.util.Base64.getDecoder.decode(c),
+            java.nio.charset.StandardCharsets.UTF_8),
+            java.lang.Long.parseUnsignedLong(h, 16)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
+      }
+    }
+}
+
 private[sources] object GraftFilters {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit, not => fnot}
@@ -2020,7 +2076,8 @@ class GraftDataWriter(
 
 class GraftTableScanBuilder(
     table: String, version: Option[Long], full: StructType,
-    bucket: Option[(String, Int)] = None)
+    bucket: Option[(String, Int)] = None,
+    memberProbes: Seq[(String, Long)] = Nil)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -2293,7 +2350,8 @@ class GraftTableScanBuilder(
         c, n, reportAs, staticIn, staticStrIn)
     case (None, None) =>
       new GraftTableScan(table, version, required, bounds, strBounds,
-        limitOpt, topN, reportAs, staticIn, staticStrIn)
+        limitOpt, topN, reportAs, staticIn, staticStrIn,
+        memberProbes.map { case (c, h) => p(c) -> h })
   }
 }
 
@@ -2643,7 +2701,8 @@ class GraftTableScan(
     topN: Option[(String, Boolean, Int)] = None,
     reportAs: StructType = null,
     staticIn: Map[String, Set[Long]] = Map.empty,
-    staticStrIn: Map[String, Set[String]] = Map.empty) extends Scan with Batch
+    staticStrIn: Map[String, Set[String]] = Map.empty,
+    memberProbes: Seq[(String, Long)] = Nil) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -2804,10 +2863,24 @@ class GraftTableScan(
     case Some(f) => f(path).flatMap(_._1).contains(0L)
     case None    => zeroRows.contains(path)
   }
+  // MEMBERSHIP pruning: a file whose commit-time element bloom
+  // positively excludes a probed key cannot hold a row satisfying the
+  // array_contains / map-key conjunct — drop it at planning time.
+  // Omission (no bloom recorded) means cannot-exclude, like every zone.
+  private lazy val memberBloomsOf =
+    if (memberProbes.isEmpty)
+      Map.empty[String, Map[String, Array[Byte]]]
+    else VersionedTable.snapshotMemberBlooms(table, version)
+  private def memberKeep(path: String): Boolean =
+    memberProbes.forall { case (c, h) =>
+      memberBloomsOf.getOrElse(path, Map.empty).get(c)
+        .forall(b => graft.functions.MemberBloom.mightContain(b, h))
+    }
   private lazy val pruned =
     if (bounds.isEmpty)
-      layout.filter { case (path, _, _, _) => !zeroRows.contains(path) }
-        .filter(strKeep)
+      layout.filter { case (path, _, _, _) =>
+        !zeroRows.contains(path) && memberKeep(path)
+      }.filter(strKeep)
     else
       VersionedTable.selectiveLayoutByCommit(table, version, bounds)
         .iterator.flatMap { case (cv, es) =>
@@ -2815,7 +2888,7 @@ class GraftTableScan(
             !isZeroRow(path) &&
             bounds.forall { case (c, (lo, hi)) =>
               stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
-            } && strKeep((path, cv, Nil, stats))
+            } && strKeep((path, cv, Nil, stats)) && memberKeep(path)
           }
         }.toSeq
   private def strKeep(
@@ -2921,7 +2994,9 @@ class GraftTableScan(
       s"vectorized=$columnarOk " +
       s"bounds=${bounds.map { case (c, (l, h)) => s"$c∈[$l,$h]" }.mkString(",")}" +
       (if (strBounds.isEmpty) ""
-       else s" strBounds=${strBounds.keys.toSeq.sorted.mkString(",")}")
+       else s" strBounds=${strBounds.keys.toSeq.sorted.mkString(",")}") +
+      (if (memberProbes.isEmpty) ""
+       else s" member=${memberProbes.map(_._1).distinct.sorted.mkString(",")}")
 
   override def planInputPartitions(): Array[InputPartition] =
     runtimeKept.map { case (file, _, tombs, _) =>

@@ -934,6 +934,30 @@ object VersionedTable {
       .flatMap(_.split(',')).map(_.trim)
       .filter(c => c.nonEmpty && schema.fieldNames.contains(c))
 
+  /** The table's declared MEMBERSHIP-bloom columns
+    * (`graft.member-cols`): top-level ARRAY columns (element
+    * membership) or MAP columns (key membership), restricted to columns
+    * `schema` actually carries. Each gets a per-file element bloom in
+    * the manifest's sixth entry segment, the planning-time answer to
+    * `array_contains(col, k)` / `col['k'] IS NOT NULL` — set membership
+    * is what users filter repeated columns by, and min/max zones can't
+    * speak it. Names are PHYSICAL (recorded at create).
+    */
+  private[sources] def memberCols(
+      table: String,
+      schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    tableProps(table).get("graft.member-cols").toSeq
+      .flatMap(_.split(',')).map(_.trim)
+      .filter(c => c.nonEmpty && schema.fieldNames.contains(c))
+
+  /** Declared bloom size in bits (`graft.member-bloom-bits`, validated
+    * at CREATE; default [[graft.functions.MemberBloom.DefaultBits]]).
+    */
+  private[sources] def memberBloomBits(table: String): Int =
+    tableProps(table).get("graft.member-bloom-bits")
+      .flatMap(_.toIntOption)
+      .getOrElse(graft.functions.MemberBloom.DefaultBits)
+
   /** The table's recorded properties (empty when none were declared). */
   def tableProps(table: String): Map[String, String] = {
     val f = propsFile(table)
@@ -1115,6 +1139,19 @@ object VersionedTable {
             isType(c, org.apache.spark.sql.types.IntegerType) ||
             isType(c, org.apache.spark.sql.types.StringType) ||
             isType(c, org.apache.spark.sql.types.BinaryType))
+        // declared membership-bloom columns ride the SAME per-file job:
+        // ARRAY columns bloom their elements, MAP columns their keys
+        val mbBits = memberBloomBits(table)
+        val mbCols: Seq[(String, org.apache.spark.sql.Column)] =
+          memberCols(table, snap.schema).flatMap { c =>
+            snap.schema.fields.find(_.name == c).map(_.dataType) match {
+              case Some(_: org.apache.spark.sql.types.ArrayType) =>
+                Some(c -> col(c))
+              case Some(_: org.apache.spark.sql.types.MapType) =>
+                Some(c -> org.apache.spark.sql.functions.map_keys(col(c)))
+              case _ => None
+            }
+          }
         val aggs = (count(lit(1)).as("g_n") +: (numCols.flatMap(c => Seq(
           min(col(c)).cast("long").as(s"g_mn_$c"),
           max(col(c)).cast("long").as(s"g_mx_$c"),
@@ -1155,7 +1192,11 @@ object VersionedTable {
             count(col(c)).as(s"g_sn_$c"))) ++
           ndvCols.map(c =>
             org.apache.spark.sql.functions.hll_sketch_agg(col(c), NdvLgK)
-              .as(s"g_hll_$c")))) ++
+              .as(s"g_hll_$c")) ++
+          mbCols.map { case (c, arr) =>
+            graft.functions.MemberBloom.memberBloomAgg(arr, mbBits)
+              .as(s"g_mb_$c")
+          })) ++
           checks.zipWithIndex.map { case ((_, sql), i) =>
             // NULL check results count as violations: a CHECK must be TRUE
             sum(when(not(expr(sql)) || expr(sql).isNull, 1L).otherwise(0L))
@@ -1256,6 +1297,12 @@ object VersionedTable {
           }.mkString(";")
           val stats = statPairs.map(_._1).mkString(";")
           val nn = statPairs.map(_._2).mkString(";")
+          // membership blooms ride a SIXTH segment as base64 (alphabet
+          // free of the '#'/';'/'=' separators after the first '=')
+          val mblooms = mbCols.flatMap { case (c, _) =>
+            Option(r.getAs[Array[Byte]](s"g_mb_$c"))
+              .map(b => s"$c=${enc.encodeToString(b)}")
+          }.mkString(";")
           // key on the COMMIT-RELATIVE path, never the basename: one
           // task writing several bucket dirs reuses its basename, so
           // basenames collide across __graft_bucket=<b>/ subtrees
@@ -1265,9 +1312,10 @@ object VersionedTable {
           // rows segment carries the file's BYTES after '@' (parsers
           // accept both forms; pre-bytes manifests simply report no size)
           val suffix = s"#${r.getAs[Long]("g_n")}@${sizesOf.getOrElse(rel, 0L)}" + (
-            if (stats.isEmpty && strZones.isEmpty) ""
+            if (stats.isEmpty && strZones.isEmpty && mblooms.isEmpty) ""
             else s"#$stats#$nn" +
-              (if (strZones.isEmpty) "" else s"#$strZones"))
+              (if (strZones.isEmpty && mblooms.isEmpty) "" else s"#$strZones") +
+              (if (mblooms.isEmpty) "" else s"#$mblooms"))
           rel -> suffix
         }.toMap
       }
@@ -1509,6 +1557,34 @@ object VersionedTable {
       }.toMap
     }
   }
+
+  /** Per-file MEMBERSHIP blooms (the sixth entry segment): col → bloom
+    * bytes over the file's distinct array elements (or map keys).
+    * Empty for entries committed without declared member columns —
+    * those files are never membership-pruned.
+    */
+  private[sources] def entryMemberBlooms(e: String): Map[String, Array[Byte]] = {
+    val parts = entryBody(e).split("#", -1)
+    if (parts.length < 6 || parts(5).isEmpty) Map.empty
+    else {
+      val dec = java.util.Base64.getDecoder
+      parts(5).split(';').iterator.flatMap { kv =>
+        val eq = kv.indexOf('=')
+        if (eq <= 0) None
+        else try Some(kv.substring(0, eq) -> dec.decode(kv.substring(eq + 1)))
+        catch { case _: IllegalArgumentException => None }
+      }.toMap
+    }
+  }
+
+  /** path → membership blooms over a pinned snapshot's data files. */
+  private[sources] def snapshotMemberBlooms(
+      table: String, version: Option[Long])
+      : Map[String, Map[String, Array[Byte]]] =
+    memoParsed(table, version, "memberblooms") {
+      pinnedEntries(table, version).filterNot(isDeleteEntry)
+        .map(e => entryPath(e) -> entryMemberBlooms(e)).toMap
+    }
 
   /** path → exact string zone sides over a pinned snapshot. */
   private[sources] def snapshotStrStatsExact(
