@@ -152,20 +152,57 @@ object PushFiltersIntoVersionedStream extends Rule[LogicalPlan] with PredicateHe
       val dim = if (streamLeft) r else l
       if (!eligible || anyStream(dim) ||
           dim.stats.sizeInBytes > threshold) Nil
-      else splitConjunctivePredicates(cond).flatMap {
-        case EqualTo(a: Attribute, b: Attribute) =>
-          val (sk, dk) =
-            if (relOut.contains(a.exprId) && dim.outputSet.exists(_.exprId == b.exprId))
-              (Some(a), Some(b))
-            else if (relOut.contains(b.exprId) && dim.outputSet.exists(_.exprId == a.exprId))
-              (Some(b), Some(a))
-            else (None, None)
-          for {
-            streamKey <- sk
-            dimKey <- dk
-            keys <- collectDimKeys(spark, dim, dimKey)
-          } yield v1.In(relOut(streamKey.exprId), keys)
-        case _ => None
+      else {
+        // a join key may be a TOP-LEVEL attribute or a STRUCT-LEAF
+        // access chain (stream.meta.lang = dim.lang): the stream side
+        // renders as the dotted leaf name its zone maps record; the dim
+        // side wraps in an alias so the key projection stays executable.
+        // NestedColumnAliasing extracts leaf accesses into Project
+        // aliases below the join, so an attribute that is NOT relation
+        // output resolves through the plan's alias map first — sound
+        // because only pure GetStructField chains over relation output
+        // ever render a name.
+        lazy val aliases: Map[ExprId, Expression] = plan.collect {
+          case p: Project => p.projectList.collect {
+            case al: Alias => al.exprId -> al.child
+          }
+        }.flatten.toMap
+        def streamLeaf(e: Expression): Option[String] = e match {
+          case a: Attribute =>
+            relOut.get(a.exprId)
+              .orElse(aliases.get(a.exprId).flatMap(streamLeaf))
+          case g: GetStructField =>
+            streamLeaf(g.child).map(p => s"$p.${g.extractFieldName}")
+          case _ => None
+        }
+        def dimSide(e: Expression): Option[NamedExpression] = {
+          def rooted(x: Expression): Boolean = x match {
+            case a: Attribute       => dim.outputSet.exists(_.exprId == a.exprId)
+            case g: GetStructField  => rooted(g.child)
+            case _                  => false
+          }
+          e match {
+            case a: Attribute if rooted(a)      => Some(a)
+            case g: GetStructField if rooted(g) => Some(Alias(g, "__graft_dk")())
+            case _                              => None
+          }
+        }
+        splitConjunctivePredicates(cond).flatMap {
+          case EqualTo(x, y) =>
+            val (sk, dk) = (streamLeaf(x), dimSide(y)) match {
+              case (Some(s), Some(d)) => (Some(s), Some(d))
+              case _ => (streamLeaf(y), dimSide(x)) match {
+                case (Some(s), Some(d)) => (Some(s), Some(d))
+                case _                  => (None, None)
+              }
+            }
+            for {
+              streamKey <- sk
+              dimKey <- dk
+              keys <- collectDimKeys(spark, dim, dimKey)
+            } yield v1.In(streamKey, keys)
+          case _ => None
+        }
       }
     }
   }
@@ -185,7 +222,7 @@ object PushFiltersIntoVersionedStream extends Rule[LogicalPlan] with PredicateHe
     */
   private def collectDimKeys(
       spark: org.apache.spark.sql.SparkSession,
-      dim: LogicalPlan, key: Attribute): Option[Array[Any]] = try {
+      dim: LogicalPlan, key: NamedExpression): Option[Array[Any]] = try {
     import org.apache.spark.sql.types.{
       DecimalType, IntegerType, LongType, StringType, TimestampType}
     val get: org.apache.spark.sql.catalyst.InternalRow => Any =

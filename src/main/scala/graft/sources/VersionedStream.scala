@@ -150,8 +150,9 @@ class VersionedStreamTable(
       override def pushFilters(
           filters: Array[org.apache.spark.sql.sources.Filter])
           : Array[org.apache.spark.sql.sources.Filter] = {
-        val l2p = VersionedTable.logicalToPhysical(table)
-        val phys = filters.map(GraftFilters.mapNames(_, c => l2p.getOrElse(c, c)))
+        val seg = VersionedTable.segmentL2P(table)
+        val phys = filters.map(
+          GraftFilters.mapNames(_, c => VersionedTable.physDotted(seg, c)))
         val physSchema = VersionedTable.physicalizeSchema(table, schema0)
         val (b, consumed) = GraftFilters.integralBounds(phys, physSchema)
         bounds = b
@@ -308,8 +309,9 @@ class VersionedMicroBatchStream(
     */
   def updatePushedPredicates(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    val l2p = VersionedTable.logicalToPhysical(table)
-    val phys = filters.map(GraftFilters.mapNames(_, c => l2p.getOrElse(c, c)))
+    val seg = VersionedTable.segmentL2P(table)
+    val phys = filters.map(
+      GraftFilters.mapNames(_, c => VersionedTable.physDotted(seg, c)))
     // `schema` is already the PHYSICAL projection; filter columns are
     // always projected (the Filter consumes them), so it carries their
     // types

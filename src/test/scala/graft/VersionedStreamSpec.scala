@@ -227,6 +227,42 @@ class VersionedStreamSpec extends AnyFunSuite {
     assert(q2.recentProgress.map(_.numInputRows).sum == 800L)
   }
 
+  test("a stream joined on a NESTED struct leaf prunes fresh files (dotted key sets)") {
+    // runtime join-key pruning when the stream-side key is a struct
+    // LEAF (meta.lang): the rule renders the GetStructField chain as
+    // the dotted name the zone maps record, and the per-batch file
+    // probe consumes it through the same string In-set path — batch
+    // got dotted zone keys in round 17, the stream now matches
+    val s = spark; import s.implicits._
+    val d = freshDir()
+    val t = s"$d/t"
+    val langs = Array("ar", "de", "en", "es", "fr", "ja", "pt", "zh")
+    VersionedTable.commit(
+      (1L to 800L).map(k => (k, langs(((k - 1) / 100L).toInt), k % 50L))
+        .toDF("k", "lang", "n")
+        .select(col("k"),
+          org.apache.spark.sql.functions.struct(
+            col("lang"), col("n")).as("meta"))
+        .repartitionByRange(8, col("meta.lang")),
+      t, append = false, statsCols = Seq("meta.lang"))
+    val dim = Seq(("en", "english"), ("fr", "french")).toDF("dlang", "tag")
+    val src = spark.readStream.format("graft-table").load(t)
+    val q = src.join(dim, src("meta.lang") === dim("dlang"))
+      .select(col("k"), col("tag"))
+      .writeStream.format("memory").queryName("vs_nestjoin")
+      .option("checkpointLocation", s"$d/cp")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql(
+      "SELECT tag, count(*) AS c FROM vs_nestjoin GROUP BY tag ORDER BY tag")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("english", 100L), ("french", 100L)),
+      "nested-key join pruning must never change results")
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows < 400L,
+      s"nested join-key pruning must skip most files: read $inputRows of 800 rows")
+  }
+
   test("a stream joined to a DATE dimension prunes fresh files (epoch-day key sets)") {
     // runtime join-key pruning for temporal dimension keys: the rule
     // converts the dimension's DATE keys to epoch days at collection —
