@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *  - A: the shipping path — columnar batches with the recursive
   *    surviving-row copy (`vectorized=true` even under tombstones);
   *  - B: the round-16 fallback, recreated via the measurement hook
-  *    (`GraftVectorization.nestedMorCopyEnabled = false`) — any
+  *    (session conf `spark.graft.nestedMorCopy=false`) — any
   *    tombstoned file with a nested projection drops to the Group-API
   *    row decoder.
   * Checksums pin identical results on one binary. A second timing pair
@@ -73,18 +73,18 @@ object NestedMorProbe {
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
 
     // A: columnar surviving-row copy (the shipping path)
-    graft.sources.GraftVectorization.nestedMorCopyEnabled = true
+    spark.conf.set("spark.graft.nestedMorCopy", "true")
     val vecPlan = planOf().contains("vectorized=true")
     agg(); aggSel() // warm
     val a = (1 to iters).map(_ => timeIt(agg()))
     val aSel = (1 to iters).map(_ => timeIt(aggSel()))
     // B: round-16 fallback — Group-API row decoder under any tombstone
-    graft.sources.GraftVectorization.nestedMorCopyEnabled = false
+    spark.conf.set("spark.graft.nestedMorCopy", "false")
     val rowPlan = planOf().contains("vectorized=false")
     agg(); aggSel() // warm
     val b = (1 to iters).map(_ => timeIt(agg()))
     val bSel = (1 to iters).map(_ => timeIt(aggSel()))
-    graft.sources.GraftVectorization.nestedMorCopyEnabled = true
+    spark.conf.set("spark.graft.nestedMorCopy", "true")
 
     // ROW-GROUP SKIPPING under posdel, isolated: ONE sorted multi-group
     // file (64 KB groups), a positional delete, and a range hitting a
@@ -101,13 +101,13 @@ object NestedMorProbe {
         |  + sum(length(payload)) + sum(meta.n) AS c
         |FROM gnm.default.ndoc1 WHERE id BETWEEN 80000 AND 84000""".stripMargin)
       .collect()(0).getLong(0)
-    graft.sources.GraftVectorization.nestedMorCopyEnabled = true
+    spark.conf.set("spark.graft.nestedMorCopy", "true")
     aggRg()
     val aRg = (1 to iters).map(_ => timeIt(aggRg()))
-    graft.sources.GraftVectorization.nestedMorCopyEnabled = false
+    spark.conf.set("spark.graft.nestedMorCopy", "false")
     aggRg()
     val bRg = (1 to iters).map(_ => timeIt(aggRg()))
-    graft.sources.GraftVectorization.nestedMorCopyEnabled = true
+    spark.conf.set("spark.graft.nestedMorCopy", "true")
     require(aRg.map(_._2).distinct.size == 1 &&
       bRg.map(_._2).distinct.size == 1 && aRg.head._2 == bRg.head._2,
       s"rg checksum mismatch: ${aRg.head._2} vs ${bRg.head._2}")

@@ -175,7 +175,74 @@ object PlanLatencyProbe {
       f"""{"files":$n,"commits":$c,"indexed":$indexed,"seek_path":$seek,""" +
         f""""cold_plan_ms":$cold%.1f,"warm_plan_ms":$warm%.1f}"""
     }.mkString("[", ",", "]")
-    println(s"""{"probe":"plan_latency_decades","iters":$iters,"decades":$json,"multi_commit":$multiJson}""")
+
+    // STRING-bounded selective plans over ONE giant commit: the `s~`
+    // chunk/rollup cells are the only thing standing between a
+    // `sk BETWEEN 'a' AND 'b'` cold plan and streaming the O(files)
+    // entry section — integral keys got this in round 17, this row
+    // proves the string twin carries the same shape
+    val strSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sk",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    def mkStrTable(name: String, nFiles: Int, indexed: Boolean): Unit = {
+      val dir = java.nio.file.Paths.get(root, "default", name)
+      java.nio.file.Files.createDirectories(dir.resolve("_manifest"))
+      java.nio.file.Files.createDirectories(dir.resolve("data"))
+      val carrier = dir.resolve("data").resolve("c1_probe")
+      java.nio.file.Files.createDirectories(carrier)
+      new graft.sources.GraftDataWriter(
+        carrier.resolve("a-schema.parquet").toString, strSchema).commit()
+      val enc = java.util.Base64.getEncoder.withoutPadding
+      def skOf(g: Long): String = f"s$g%010d"
+      val entries = (0 until nFiles).map { i =>
+        val lo = enc.encodeToString(skOf(i.toLong * 1000L).getBytes("UTF-8"))
+        val hi = enc.encodeToString(
+          skOf(i.toLong * 1000L + 999L).getBytes("UTF-8"))
+        s"data/c1_probe/part-$i.parquet#1000@0###sk=$lo..$hi"
+      } :+ "data/c1_probe/a-schema.parquet#0"
+      val (body, idxLines) =
+        if (indexed) indexedLayout(entries) else (entries, Nil)
+      val rollLo = enc.encodeToString(skOf(0L).getBytes("UTF-8"))
+      val rollHi = enc.encodeToString(
+        skOf(nFiles.toLong * 1000L - 1L).getBytes("UTF-8"))
+      val header = Seq("version=1", s"ts=${System.currentTimeMillis()}",
+        s"rollup=c1_probe s~sk=$rollLo..$rollHi",
+        s"schema=c1_probe ${strSchema.json}") ++
+        (if (indexed) s"total=${entries.size}" +: idxLines else Nil)
+      java.nio.file.Files.write(
+        dir.resolve("_manifest").resolve("1.manifest"),
+        ((header ++ body).mkString("\n") + "\n").getBytes)
+      ()
+    }
+    val strSel = decadesArg.flatMap { n =>
+      Seq(false, true).map { indexed =>
+        val name = if (indexed) s"plsi_$n" else s"pls_$n"
+        mkStrTable(name, n, indexed)
+        val mid = n.toLong * 1000L / 2
+        def planOnce(): Double = {
+          val t0 = System.nanoTime()
+          val desc = spark.sql(
+            s"SELECT sk FROM gpl.default.$name WHERE sk BETWEEN " +
+              f"'s$mid%010d' AND 's${mid + 5000}%010d'")
+            .queryExecution.executedPlan.toString
+          require(desc.contains("files="), s"no catalog scan in:\n$desc")
+          (System.nanoTime() - t0) / 1e6
+        }
+        val hits0 = graft.sources.VersionedTable.selectiveSeekHits.get()
+        val cold = planOnce()
+        val seek = graft.sources.VersionedTable.selectiveSeekHits.get() > hits0
+        (1 to 3).foreach(_ => planOnce())
+        val warm = (1 to iters).map(_ => planOnce())
+        (n, indexed, seek, cold, median(warm))
+      }
+    }
+    val strJson = strSel.map { case (n, indexed, seek, cold, warm) =>
+      f"""{"files":$n,"indexed":$indexed,"seek_path":$seek,""" +
+        f""""cold_plan_ms":$cold%.1f,"warm_plan_ms":$warm%.1f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"probe":"plan_latency_decades","iters":$iters,"decades":$json,"multi_commit":$multiJson,"str_selective":$strJson}""")
     spark.stop()
   }
 }

@@ -2832,10 +2832,17 @@ class GraftTableScan(
   }
 
   private lazy val layout = VersionedTable.snapshotLayout(table, version)
-  private lazy val strStatsOf =
-    if (strBounds.isEmpty)
-      Map.empty[String, Map[String, (Array[Byte], Option[Array[Byte]])]]
-    else VersionedTable.snapshotStrStats(table, version)
+  // per-file string zones: through the seek path's chunk-granular maps
+  // when the selective plan engages (never materializing the global
+  // O(files) memo on a cold plan), the global memo otherwise
+  private lazy val strStatsOf
+      : String => Map[String, (Array[Byte], Option[Array[Byte]])] =
+    if (strBounds.isEmpty) _ => Map.empty
+    else VersionedTable.selectiveStrStats(table, version, bounds, strBounds)
+      .getOrElse {
+        val g = VersionedTable.snapshotStrStats(table, version)
+        p => g.getOrElse(p, Map.empty)
+      }
   // footer-counted ZERO-ROW files (schema carriers, emptied rewrites)
   // hold nothing under any tombstone set — drop them from planning, so
   // they never decline TopN/LIMIT planning nor open a reader
@@ -2857,8 +2864,9 @@ class GraftTableScan(
   // O(files) memos on a cold selective plan
   private lazy val selRB
       : Option[String => Option[(Option[Long], Option[Long])]] =
-    if (bounds.isEmpty) None
-    else VersionedTable.selectiveRowsBytes(table, version, bounds)
+    if (bounds.isEmpty && strBounds.isEmpty) None
+    else VersionedTable.selectiveRowsBytes(table, version, bounds,
+      strBounds = strBounds)
   private def isZeroRow(path: String): Boolean = selRB match {
     case Some(f) => f(path).flatMap(_._1).contains(0L)
     case None    => zeroRows.contains(path)
@@ -2877,25 +2885,30 @@ class GraftTableScan(
         .forall(b => graft.functions.MemberBloom.mightContain(b, h))
     }
   private lazy val pruned =
-    if (bounds.isEmpty)
+    if (bounds.isEmpty && strBounds.isEmpty)
       layout.filter { case (path, _, _, _) =>
         !zeroRows.contains(path) && memberKeep(path)
-      }.filter(strKeep)
+      }
     else
-      VersionedTable.selectiveLayoutByCommit(table, version, bounds)
+      // STRING bounds ride the same commit/chunk pre-filter as integral
+      // ones now (`s~` rollup cells), so a `lang = 'en'` cold plan over
+      // a giant table seeks surviving blocks instead of streaming the
+      // O(files) entry section
+      VersionedTable.selectiveLayoutByCommit(table, version, bounds, strBounds)
         .iterator.flatMap { case (cv, es) =>
           es.filter { case (path, _, _, stats) =>
             !isZeroRow(path) &&
             bounds.forall { case (c, (lo, hi)) =>
               stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
-            } && strKeep((path, cv, Nil, stats)) && memberKeep(path)
+            } && strKeep(path) && memberKeep(path)
           }
         }.toSeq
-  private def strKeep(
-      e: (String, Long, Seq[String], Map[String, (Long, Long)])): Boolean =
-    strBounds.forall { case (c, b) =>
-      strStatsOf.getOrElse(e._1, Map.empty).get(c)
-        .forall(GraftFilters.strZoneIntersects(_, b))
+  private def strKeep(path: String): Boolean =
+    strBounds.isEmpty || {
+      val zs = strStatsOf(path)
+      strBounds.forall { case (c, b) =>
+        zs.get(c).forall(GraftFilters.strZoneIntersects(_, b))
+      }
     }
   // a pushed (partial) LIMIT plans just enough files to cover it, by
   // footer counts — safe only when every file is tombstone-free (the
@@ -3827,10 +3840,18 @@ private[graft] object GraftVectorization {
   /** Measurement hook for the nested-MOR A/B probe ONLY: false reverts
     * [[copyOk]] to the flat-only gate, recreating the round-16
     * row-decoder fallback for nested columns under tombstones so the
-    * columnar copy's win is quantifiable on one binary. Planning-time
-    * read, no hot-path cost.
+    * columnar copy's win is quantifiable on one binary. Read from the
+    * ACTIVE SESSION's conf at each planning-time call — a JVM-global
+    * here could flip between a plan's vectorized= report and its
+    * execution, across every session in the process; a session conf is
+    * scoped to the probe's own session and consistent per plan
+    * compilation. No hot-path cost (planning only; executors see no
+    * active session and take the default).
     */
-  @volatile private[graft] var nestedMorCopyEnabled = true
+  private def nestedMorCopyEnabled: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .forall(!_.conf.get("spark.graft.nestedMorCopy", "true")
+        .equalsIgnoreCase("false"))
 
   /** ARRAY/STRUCT/MAP join the surviving-row copy recursively: the copy
     * appends through the WritableColumnVector child-vector API, so any

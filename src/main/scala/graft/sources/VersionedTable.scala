@@ -304,10 +304,19 @@ object VersionedTable {
       ch.position(entryStart + off)
       while (buf.hasRemaining && ch.read(buf) >= 0) ()
       if (buf.hasRemaining) return None // truncated: not the file we indexed
-      val sep = System.lineSeparator()
+      // split on '\n' and strip a trailing '\r' — NEVER the reader's
+      // platform separator: a manifest written with '\n' but read where
+      // lineSeparator() is "\r\n" (shared filesystem, Windows JVM)
+      // would otherwise collapse the whole block into one line that
+      // can still pass validate, silently vanishing N-1 entries from a
+      // selective plan. Byte accounting stays pinned to the WRITER's
+      // separator (indexedEntryLayout computes offsets on the platform
+      // that writes), so both encodings parse exactly here.
       val lines = new String(buf.array(), 0, len.toInt,
         java.nio.charset.StandardCharsets.UTF_8)
-        .split(sep, -1).toSeq.filter(_.nonEmpty)
+        .split('\n').toSeq
+        .map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
+        .filter(_.nonEmpty)
       if (lines.nonEmpty && lines.forall(validate)) Some(lines) else None
     } finally ch.close()
   }
@@ -365,7 +374,9 @@ object VersionedTable {
 
   private[sources] def selectiveRawEntries(
       table: String, version: Option[Long],
-      bounds: Map[String, (Long, Long)], forceSeek: Boolean = false)
+      bounds: Map[String, (Long, Long)], forceSeek: Boolean = false,
+      strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])] =
+        Map.empty)
       : Option[(Seq[(String, Long, Seq[String])], Seq[String])] = {
     val head = version.getOrElse {
       val vs = versions(table)
@@ -373,11 +384,21 @@ object VersionedTable {
       vs.last
     }
     val rolls = persistedRollups(table, version)
+    val strRolls = if (strBounds.isEmpty) Map.empty[String,
+      Map[String, (Array[Byte], Option[Array[Byte]])]]
+      else persistedStrRollups(table, version)
     def deadZones(cells: Map[String, (Long, Long)]): Boolean =
       cells.nonEmpty && bounds.exists { case (c, (lo, hi)) =>
         cells.get(c).exists { case (mn, mx) => mx < lo || mn > hi }
       }
-    def keepDir(dir: String): Boolean = !rolls.get(dir).exists(deadZones)
+    def deadStrZones(
+        cells: Map[String, (Array[Byte], Option[Array[Byte]])]): Boolean =
+      cells.nonEmpty && strBounds.exists { case (c, b) =>
+        cells.get(c).exists(z => !GraftFilters.strZoneIntersects(z, b))
+      }
+    def keepDir(dir: String): Boolean =
+      !rolls.get(dir).exists(deadZones) &&
+        !strRolls.get(dir).exists(deadStrZones)
     // walk head-down to the self-contained base, collecting own entries
     var chain = List.empty[Seq[String]] // ascending after the prepends
     var v = head
@@ -396,14 +417,18 @@ object VersionedTable {
     // CHUNK suffix whose rollup cells prune exactly like commit rollups
     // — a selective plan skips inside one giant commit, not just
     // across commits
+    val noStrCells =
+      Map.empty[String, (Array[Byte], Option[Array[Byte]])]
     val idx = bHdr.filter(_.startsWith("index=")).flatMap { l =>
       l.stripPrefix("index=").split(' ') match {
         case Array(dir, o, n) =>
           for (off <- o.toLongOption; len <- n.toLongOption)
-            yield (dir, off, len, Map.empty[String, (Long, Long)])
+            yield (dir, off, len, Map.empty[String, (Long, Long)],
+              noStrCells)
         case Array(dir, o, n, cells) =>
           for (off <- o.toLongOption; len <- n.toLongOption) yield {
-            val parsed = cells.split(';').iterator.flatMap { kv =>
+            val parsed = cells.split(';').iterator
+              .filterNot(_.startsWith("s~")).flatMap { kv =>
               val eq = kv.indexOf('=')
               val dots = kv.indexOf("..", eq + 1)
               if (eq <= 0 || dots <= eq) None
@@ -412,7 +437,9 @@ object VersionedTable {
                 mx <- kv.substring(dots + 2).toLongOption
               } yield kv.substring(0, eq) -> (mn, mx)
             }.toMap
-            (dir, off, len, parsed)
+            val strParsed =
+              if (strBounds.isEmpty) noStrCells else parseStrCells(cells)
+            (dir, off, len, parsed, strParsed)
           }
         case _ => None
       }
@@ -427,14 +454,15 @@ object VersionedTable {
     val buckets = scala.collection.mutable.LinkedHashMap
       .empty[String, Seq[String]]
     var dels = Seq.empty[String]
-    idx.foreach { case (dirspec, off, len, cells) =>
+    idx.foreach { case (dirspec, off, len, cells, strCells) =>
       val dir = dirspec.takeWhile(_ != '%')
       if (dirspec == "!del") {
         val block = readEntryBlock(table, base, entryStart, off, len,
           size, mtime, isDeleteEntry)
         if (block.isEmpty) return None
         dels = dels ++ block.get
-      } else if (!keepDir(dir) || deadZones(cells)) skippedAny = true
+      } else if (!keepDir(dir) || deadZones(cells) ||
+          deadStrZones(strCells)) skippedAny = true
       else {
         // memoize SUCCESSFUL block reads only — a guard-tripped read
         // must retry next plan, not pin the fallback forever
@@ -558,11 +586,64 @@ object VersionedTable {
           val cells = cols.toSeq.sorted.map { c =>
             val zs = statsList.map(_(c))
             s"$c=${zs.map(_._1).min}..${zs.map(_._2).max}"
-          }
+          } ++ strRollupCells(carrying)
           if (cells.isEmpty) None
           else Some(s"rollup=$dir ${cells.mkString(";")}")
         }
     }
+  }
+
+  private val byteOrd: Ordering[Array[Byte]] =
+    Ordering.fromLessThan((a, b) => byteCompare(a, b) < 0)
+
+  /** STRING rollup cells (`s~col=<b64lo>..<b64hi|empty>`): the union of
+    * the entries' truncated byte-prefix string zones, the string twin
+    * of the long `col=lo..hi` cells — what lets a `lang = 'en'` plan
+    * skip commits and chunks from headers alone. A column joins only
+    * when EVERY carrying entry records its string zone (the
+    * omission-means-cannot-exclude rule), and the upper bound is empty
+    * unless every entry bounds above (a bound-less file leaves the
+    * union unbounded). The `s~` key prefix keeps the cells invisible to
+    * the long parser: its toLongOption fails on base64, so old readers
+    * skip them instead of misparsing (and a digits-only base64 bound
+    * could otherwise masquerade as a long zone).
+    */
+  private def strRollupCells(carrying: Seq[String]): Seq[String] = {
+    if (carrying.isEmpty) return Nil
+    val statsList = carrying.map(entryStrStats)
+    val cols = statsList.map(_.keySet).reduceOption(_ intersect _)
+      .getOrElse(Set.empty[String])
+    val enc = java.util.Base64.getEncoder.withoutPadding
+    cols.toSeq.sorted.map { c =>
+      val zs = statsList.map(_(c))
+      val lo = zs.map(_._1).min(byteOrd)
+      val hiOpts = zs.map(_._2)
+      val hi =
+        if (hiOpts.exists(_.isEmpty)) ""
+        else enc.encodeToString(hiOpts.flatten.max(byteOrd))
+      s"s~$c=${enc.encodeToString(lo)}..$hi"
+    }
+  }
+
+  /** Parse `s~` string cells out of a rollup/index cell list: col →
+    * (lo bytes, optional hi bytes). Non-`s~` cells are ignored here,
+    * exactly as the long parser ignores `s~` cells.
+    */
+  private def parseStrCells(cells: String)
+      : Map[String, (Array[Byte], Option[Array[Byte]])] = {
+    val dec = java.util.Base64.getDecoder
+    cells.split(';').iterator.filter(_.startsWith("s~")).flatMap { kv0 =>
+      val kv = kv0.substring(2)
+      val eq = kv.indexOf('=')
+      val dots = kv.indexOf("..", eq + 1)
+      if (eq <= 0 || dots < 0) None
+      else try {
+        val lo = dec.decode(kv.substring(eq + 1, dots))
+        val hiS = kv.substring(dots + 2)
+        val hi = if (hiS.isEmpty) None else Some(dec.decode(hiS))
+        Some(kv.substring(0, eq) -> (lo, hi))
+      } catch { case _: IllegalArgumentException => None }
+    }.toMap
   }
 
   /** PERSISTED commit schemas: one `schema=<dir> <json>` header line per
@@ -631,10 +712,10 @@ object VersionedTable {
       else {
         val statsList = carrying.map(entryStats)
         val cols = statsList.map(_.keySet).reduce(_ intersect _)
-        cols.toSeq.sorted.map { c =>
+        (cols.toSeq.sorted.map { c =>
           val zs = statsList.map(_(c))
           s"$c=${zs.map(_._1).min}..${zs.map(_._2).max}"
-        }.mkString(";")
+        } ++ strRollupCells(carrying)).mkString(";")
       }
     }
     var off = 0L
@@ -2731,6 +2812,15 @@ object VersionedTable {
       : Map[String, Map[String, (Long, Long)]] =
     persistedHeaders(table, version)._1
 
+  /** Persisted STRING rollups (`s~` cells of the `rollup=` lines):
+    * commit directory → col → (lo bytes, optional hi bytes). Same chain
+    * walk and memoization; empty for pre-string-rollup manifests.
+    */
+  private[sources] def persistedStrRollups(
+      table: String, version: Option[Long])
+      : Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]] =
+    persistedHeaders(table, version)._3
+
   /** Persisted per-commit SCHEMAS (the `schema=` header lines): commit
     * directory → Spark schema. Same chain walk and memoization as the
     * rollups — snapshot schema resolution consults this first and opens
@@ -2751,10 +2841,13 @@ object VersionedTable {
   private def persistedHeaders(
       table: String, version: Option[Long])
       : (Map[String, Map[String, (Long, Long)]],
-         Map[String, org.apache.spark.sql.types.StructType]) =
+         Map[String, org.apache.spark.sql.types.StructType],
+         Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]]) =
     memoParsed(table, version, "pheaders") {
       val rolls = scala.collection.mutable.Map
         .empty[String, Map[String, (Long, Long)]]
+      val strRolls = scala.collection.mutable.Map
+        .empty[String, Map[String, (Array[Byte], Option[Array[Byte]])]]
       val schemas = scala.collection.mutable.Map
         .empty[String, org.apache.spark.sql.types.StructType]
       var v: Option[Long] = Some(version.getOrElse(versions(table).last))
@@ -2767,9 +2860,11 @@ object VersionedTable {
             val sp = body.indexOf(' ')
             if (sp > 0) {
               val dir = body.substring(0, sp)
-              if (!rolls.contains(dir)) { // head-down walk: newest wins
-                val cells = body.substring(sp + 1).split(';').iterator.flatMap {
-                  kv =>
+              if (!rolls.contains(dir) && !strRolls.contains(dir)) {
+                // head-down walk: newest declaration wins
+                val cellStr = body.substring(sp + 1)
+                val cells = cellStr.split(';').iterator
+                  .filterNot(_.startsWith("s~")).flatMap { kv =>
                     val eq = kv.indexOf('=')
                     val dots = kv.indexOf("..", eq + 1)
                     if (eq <= 0 || dots <= eq) None
@@ -2779,6 +2874,8 @@ object VersionedTable {
                     } yield kv.substring(0, eq) -> (mn, mx)
                 }.toMap
                 if (cells.nonEmpty) rolls.update(dir, cells)
+                val strCells = parseStrCells(cellStr)
+                if (strCells.nonEmpty) strRolls.update(dir, strCells)
               }
             }
           } else if (l.startsWith("schema=")) {
@@ -2801,7 +2898,7 @@ object VersionedTable {
         }
         v = carryOf(table, v.get)
       }
-      (rolls.toMap, schemas.toMap)
+      (rolls.toMap, schemas.toMap, strRolls.toMap)
     }
 
   /** SELECTIVE snapshot layout: the per-file planning tuples of ONLY the
@@ -2820,7 +2917,9 @@ object VersionedTable {
     */
   private[sources] def selectiveLayoutByCommit(
       table: String, version: Option[Long],
-      bounds: Map[String, (Long, Long)])
+      bounds: Map[String, (Long, Long)],
+      strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])] =
+        Map.empty)
       : Seq[(Long, Seq[(String, Long, Seq[String], Map[String, (Long, Long)])])] = {
     // a fully-parsed layout memo already paid the walk — reuse it
     val v = version.getOrElse(versions(table).last)
@@ -2828,10 +2927,16 @@ object VersionedTable {
       parsedSnapshots.containsKey((table, v, "layout")))
       return snapshotLayoutByCommit(table, version)
     val rolls = persistedRollups(table, version)
+    val strRolls = if (strBounds.isEmpty) Map.empty[String,
+      Map[String, (Array[Byte], Option[Array[Byte]])]]
+      else persistedStrRollups(table, version)
     def isDead(dir: String): Boolean =
       rolls.get(dir).exists(roll => bounds.exists {
         case (c, (lo, hi)) =>
           roll.get(c).exists { case (mn, mx) => mx < lo || mn > hi }
+      }) || strRolls.get(dir).exists(roll => strBounds.exists {
+        case (c, b) =>
+          roll.get(c).exists(z => !GraftFilters.strZoneIntersects(z, b))
       })
     // INDEXED fast path: seek to surviving entry blocks — never streams
     // the base manifest's O(files) entry section. Commit dirs drop on
@@ -2841,7 +2946,7 @@ object VersionedTable {
     // better for repeat plans then — and for index-less manifests.
     val (rawSurviving, delRefs): (Seq[(String, Long, Seq[String])],
         Seq[(Long, String)]) =
-      selectiveRawEntries(table, version, bounds) match {
+      selectiveRawEntries(table, version, bounds, strBounds = strBounds) match {
         case Some((raw, dels)) =>
           selectiveSeekHits.incrementAndGet()
           (raw, dels.map(e => (e.split(":", 3)(1).toLong, entryPath(e))))
@@ -2886,9 +2991,11 @@ object VersionedTable {
     */
   private[sources] def selectiveRowsBytes(
       table: String, version: Option[Long],
-      bounds: Map[String, (Long, Long)])
+      bounds: Map[String, (Long, Long)],
+      strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])] =
+        Map.empty)
       : Option[String => Option[(Option[Long], Option[Long])]] = {
-    selectiveRawEntries(table, version, bounds).map {
+    selectiveRawEntries(table, version, bounds, strBounds = strBounds).map {
       case (raw, _) =>
         // per-CHUNK maps memoized once (dirspec-keyed, bounds-safe);
         // lookups route through the path's dir and probe its few chunks
@@ -2905,6 +3012,39 @@ object VersionedTable {
           if (parts.length < 2) None
           else byDir.getOrElse(parts(1), Nil).iterator
             .flatMap(_.get(p)).nextOption()
+        }
+    }
+  }
+
+  /** Per-file STRING zones of exactly the files a selective plan
+    * admits, through the seek-based fast path — the string twin of
+    * [[selectiveRowsBytes]]: a string-bounded cold plan probes only the
+    * surviving chunks' entries instead of materializing the global
+    * O(files) string-stats memo. None when the fast path doesn't serve
+    * this snapshot — callers fall back to [[snapshotStrStats]].
+    */
+  private[sources] def selectiveStrStats(
+      table: String, version: Option[Long],
+      bounds: Map[String, (Long, Long)],
+      strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])])
+      : Option[String => Map[String, (Array[Byte], Option[Array[Byte]])]] = {
+    selectiveRawEntries(table, version, bounds, strBounds = strBounds).map {
+      case (raw, _) =>
+        val byDir: Map[String,
+            Seq[Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]]]] =
+          raw.groupBy(_._1.takeWhile(_ != '%')).map { case (dir, specs) =>
+            dir -> specs.map { case (dirspec, _, es) =>
+              memoParsed(table, version, s"cstr:$dirspec") {
+                es.map(e => entryPath(e) -> entryStrStats(e)).toMap
+              }
+            }
+          }
+        (p: String) => {
+          val parts = p.split('/')
+          if (parts.length < 2) Map.empty
+          else byDir.getOrElse(parts(1), Nil).iterator
+            .flatMap(_.get(p)).nextOption()
+            .getOrElse(Map.empty)
         }
     }
   }
@@ -4651,7 +4791,7 @@ object VersionedTable {
         // O(commits) path after every vacuum
         val liveDirs = resolved.filterNot(isRemoveEntry)
           .map(e => entryPath(e).split('/')(1)).toSet
-        val (rolls, schemas) = persistedHeaders(table, Some(v))
+        val (rolls, schemas, _) = persistedHeaders(table, Some(v))
         val hints =
           rolls.filter(kv => liveDirs.contains(kv._1)).toSeq.sortBy(_._1)
             .map { case (dir, m) =>

@@ -118,12 +118,12 @@ class NestedTableSpec extends AnyFunSuite {
     }
     check(q.collect())
     // A/B: the row decoder (probe hook off) must agree value-for-value
-    graft.sources.GraftVectorization.nestedMorCopyEnabled = false
+    spark.conf.set("spark.graft.nestedMorCopy", "false")
     try {
       val qRow = spark.sql(sql)
       assert(qRow.queryExecution.executedPlan.toString.contains("vectorized=false"))
       check(qRow.collect())
-    } finally graft.sources.GraftVectorization.nestedMorCopyEnabled = true
+    } finally spark.conf.set("spark.graft.nestedMorCopy", "true")
     // full-row projection (map + binary + struct + array) under the same
     // tombstones: columnar, with nested values intact
     val full = spark.sql(

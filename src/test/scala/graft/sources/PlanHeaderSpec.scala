@@ -136,6 +136,50 @@ class PlanHeaderSpec extends AnyFunSuite {
     } finally VersionedTable.IndexChunkEntries = prev
   }
 
+  test("STRING chunk rollups: a string-bounded plan skips inside one giant commit") {
+    val s = spark; import s.implicits._
+    val t = s"$root/strchunk"
+    val prev = VersionedTable.IndexChunkEntries
+    VersionedTable.IndexChunkEntries = 50
+    try {
+      // one commit, 300 files sorted by a STRING key (k00001..k03000):
+      // each chunk's `s~` cell bounds a tight lexicographic range
+      VersionedTable.commit(
+        (1L to 3000L).map(k => (f"k$k%05d", k)).toDF("sk", "n")
+          .repartitionByRange(300, col("sk")),
+        t, append = false, statsCols = Seq("sk"))
+      val m1 = manifestText(t, 1L)
+      assert("index=c1_\\S+%0 \\d+ \\d+ \\S*s~sk=".r.findFirstIn(m1).isDefined,
+        s"chunk lines must carry STRING rollup cells:\n${m1.take(600)}")
+      assert(m1.contains("rollup=c1_") && m1.contains("s~sk="),
+        "the commit rollup must carry the string cell too")
+      // a string-bounded selective plan parses only the matching chunks
+      val b = "k01500".getBytes("UTF-8")
+      val hi = "k01520".getBytes("UTF-8")
+      val sel = VersionedTable.selectiveLayoutByCommit(
+        t, None, Map.empty,
+        strBounds = Map("sk" -> (Some(b), Some(hi))))
+      val selPaths = sel.flatMap(_._2.map(_._1))
+      assert(selPaths.nonEmpty && selPaths.size <= 120,
+        s"string chunk rollups must bound the parsed entries, got ${selPaths.size}")
+      // catalog read: a string range plans a small file share, exact rows
+      spark.conf.set("spark.sql.catalog.gsck", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gsck.root",
+        java.nio.file.Paths.get(root).getParent.toString)
+      val q = spark.sql(
+        s"SELECT sk FROM gsck.${java.nio.file.Paths.get(root).getFileName}" +
+          ".strchunk WHERE sk BETWEEN 'k01500' AND 'k01520'")
+      val got = q.collect().map(_.getString(0)).toSet
+      assert(got == (1500L to 1520L).map(k => f"k$k%05d").toSet,
+        "string chunk skipping must be invisible to results")
+      val m = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+        .getOrElse(fail("no graft-catalog scan"))
+      assert(m.group(1).toInt <= 10 && m.group(2).toInt >= 300,
+        s"string bounds must prune files at planning: files=${m.group(1)}/${m.group(2)}")
+    } finally VersionedTable.IndexChunkEntries = prev
+  }
+
   test("vacuum materialization carries the chain's hints forward") {
     val s = spark; import s.implicits._
     val t = s"$root/vac"
