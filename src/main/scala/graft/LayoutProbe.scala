@@ -59,6 +59,32 @@ object LayoutProbe {
     }
     val speedups = rows.map { case (_, on, off) => off / on }
     println(f"[layout] median speedup ${median(speedups)}%5.2fx over ${rows.size} ops (iters=$iters, sf=$sfDir)")
+
+    // RENDITION A/B for the exact percentile: the same lineitem data
+    // written as ONE file (one scan partition — the compacted-upstream
+    // shape) versus 32 files (full scan parallelism). With the floor in
+    // place the two renditions should time within ~1.2x — the op's cost
+    // must depend on the data, not on how a compactor happened to lay
+    // out the input.
+    spark.conf.set("spark.graft.parallelismFloor", "true")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout_rend").toString
+    li.coalesce(1).write.mode("overwrite").parquet(s"$tmp/one")
+    li.repartition(32).write.mode("overwrite").parquet(s"$tmp/many")
+    def timePct(path: String): Double = {
+      val v = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ops.Relational.percentiles(spark.read.parquet(path))
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      median(v)
+    }
+    timePct(s"$tmp/many") // warm the reader on the fresh files
+    val tOne = timePct(s"$tmp/one")
+    val tMany = timePct(s"$tmp/many")
+    println(f"[layout] q_agg_percentile rendition A/B: 1-file $tOne%6.3f s  " +
+      f"32-file $tMany%6.3f s  ratio ${tOne / tMany}%5.2fx (bar: ~1.2x)")
     spark.stop()
   }
 }

@@ -252,7 +252,7 @@ object TextAnalysis {
     */
   def repetitionScore(documents: DataFrame): DataFrame = {
     // same materialize-first discipline as ngramContamination
-    val withWords = documents.select(
+    val withWords = Parallelism.floor(documents).select(
       col("doc_id"),
       graft.functions.TextExpressions.alnumTokens(col("text")).as("words"))
     val grams = transform(
@@ -656,7 +656,7 @@ object TextAnalysis {
     * though the pair vocabulary itself is only Heaps-law-sized.
     */
   def bpeMerges(documents: DataFrame, iters: Int = 3, topk: Int = 5): DataFrame = {
-    val vocabRaw = documents
+    val vocabRaw = Parallelism.floor(documents)
       .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -717,7 +717,7 @@ object TextAnalysis {
     val mergeAggs = (1 to iters).map(i =>
       max(when(col("iter") === i, col("pair"))).as(s"mp$i"))
     val mergeRow = m.groupBy().agg(mergeAggs.head, mergeAggs.tail: _*)
-    val words = documents
+    val words = Parallelism.floor(documents)
       .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
       .filter(length(col("w")) > 0)
       .select(col("doc_id"), length(col("w")).cast("long").as("wc"),
@@ -1456,7 +1456,7 @@ object TextAnalysis {
   def bm25TopK(documents: DataFrame, k: Int = 10): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val toks = documents.select(col("doc_id"),
+    val toks = Parallelism.floor(documents).select(col("doc_id"),
       explode(graft.functions.TextExpressions.alnumTokens(col("text"))).as("term"))
     // tf is the single tokenize pass; dl, df, and the corpus-total scalar
     // all derive FROM it (persisted — 4 readers), so the corpus text is

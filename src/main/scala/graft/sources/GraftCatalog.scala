@@ -109,10 +109,10 @@ class GraftCatalog extends TableCatalog
     if (!java.nio.file.Files.isDirectory(ns)) Array.empty
     else {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(ns).iterator.asScala
+      VersionedTable.usingPaths(java.nio.file.Files.list(ns))(_
         .filter(p => java.nio.file.Files.isDirectory(p.resolve("_manifest")))
         .map(p => Identifier.of(namespace, p.getFileName.toString))
-        .toArray
+        .toArray)
     }
   }
 
@@ -863,9 +863,10 @@ class GraftReplaceBatchWrite(
     if (!VersionedTable.tryPublishStaged(
         table, next, removals ++ fresh, carry = Some(op.basis))) {
       abort(messages)
-      java.nio.file.Files.walk(java.nio.file.Paths.get(table, "data", dirName))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      VersionedTable.usingPaths(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(table, "data", dirName)))(
+        _.toSeq.sortBy(_.toString)(Ordering[String].reverse)
+          .foreach(p => { java.nio.file.Files.deleteIfExists(p); () }))
       throw new java.util.ConcurrentModificationException(
         s"row-level ${op.command} on $table scanned version ${op.basis} but " +
           s"version $next was committed concurrently — re-run the statement")
@@ -875,8 +876,9 @@ class GraftReplaceBatchWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = java.nio.file.Paths.get(stagingAbs)
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+      VersionedTable.usingPaths(java.nio.file.Files.walk(p))(
+        _.toSeq.sortBy(_.toString)(Ordering[String].reverse)
+          .foreach(q => { java.nio.file.Files.deleteIfExists(q); () }))
     }
   }
 }
@@ -1758,7 +1760,8 @@ class GraftBatchWrite(
       if (java.nio.file.Files.exists(p)) {
         if (java.nio.file.Files.isDirectory(p)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(p).iterator.asScala.toSeq.foreach(del)
+          VersionedTable.usingPaths(java.nio.file.Files.list(p))(_.toSeq)
+            .foreach(del)
         }
         java.nio.file.Files.deleteIfExists(p)
         ()
@@ -1787,11 +1790,11 @@ private[graft] object GraftStagedCommit {
       case GraftWriteDone(fs) => fs
     }.flatten.map(f => staging.relativize(java.nio.file.Paths.get(f)).toString)
       .toSet
-    java.nio.file.Files.walk(commitDir).iterator.asScala
+    VersionedTable.usingPaths(java.nio.file.Files.walk(commitDir))(_
       .filter(p => java.nio.file.Files.isRegularFile(p) &&
         p.toString.endsWith(".parquet") &&
         !accepted.contains(commitDir.relativize(p).toString))
-      .toSeq.foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      .toSeq).foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
   }
 }
 

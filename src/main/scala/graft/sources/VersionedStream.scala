@@ -243,8 +243,9 @@ class VersionedStreamingWrite(table: String, schema: StructType, queryId: String
     val p = java.nio.file.Paths.get(stagingAbs(epochId))
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      VersionedTable.usingPaths(java.nio.file.Files.walk(p))(
+        _.toSeq.sortBy(_.toString)(Ordering[String].reverse)
+          .foreach(q => { java.nio.file.Files.deleteIfExists(q); () }))
     }
   }
 }

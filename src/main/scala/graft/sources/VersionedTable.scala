@@ -107,14 +107,25 @@ object VersionedTable {
   private def dataCommitOf(e: String): Long =
     entryPath(e).split("/")(1).stripPrefix("c").takeWhile(_.isDigit).toLong
 
+  /** Drain a directory stream THROUGH a closing bracket: Files.list /
+    * Files.walk hold an open directory fd until closed, and draining
+    * via .iterator never closes — each call would leak one fd until GC,
+    * which on a driver planning over many tables (or a long test
+    * suite) exhausts the process limit. Every list/walk in this file
+    * routes through here.
+    */
+  private[sources] def usingPaths[A](
+      s: java.util.stream.Stream[Path])(f: Iterator[Path] => A): A =
+    try f(s.iterator.asScala) finally s.close()
+
   /** Committed versions, ascending (empty for a nonexistent table). */
   def versions(table: String): Seq[Long] = {
     val dir = manifestDir(table)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator.asScala
+    else usingPaths(Files.list(dir))(_
       .map(_.getFileName.toString)
       .collect { case s if s.endsWith(".manifest") => s.stripSuffix(".manifest").toLong }
-      .toSeq.sorted
+      .toSeq.sorted)
   }
 
   private def manifestLines(table: String, version: Long): Seq[String] =
@@ -798,7 +809,7 @@ object VersionedTable {
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       if (Files.isDirectory(p))
-        Files.list(p).iterator.asScala.toSeq.foreach(deleteRecursively)
+        usingPaths(Files.list(p))(_.toSeq).foreach(deleteRecursively)
       Files.deleteIfExists(p)
       ()
     }
@@ -1147,12 +1158,12 @@ object VersionedTable {
     // entries record the commit-relative path (flat layouts unchanged).
     // File BYTES ride the same walk for free — they become the exact
     // planner sizeInBytes and the $files size column.
-    val sizesOf = Files.walk(dataDir).iterator.asScala
+    val sizesOf = usingPaths(Files.walk(dataDir))(_
       .filter(p => Files.isRegularFile(p))
       .map(p => dataDir.relativize(p).toString -> Files.size(p))
       .filter { case (n, _) => n.endsWith(".parquet") &&
         !n.split('/').last.startsWith(".") }
-      .toMap
+      .toMap)
     val files = sizesOf.keys.toSeq.sorted
     val suffixes: Map[String, String] =
       if (files.isEmpty) Map.empty
@@ -2381,7 +2392,7 @@ object VersionedTable {
     dv.sortWithinPartitions("_file", "_pos")
       .write.mode("errorifexists").parquet(dataDir.toString)
     // the file name is the KIND MARKER — rename before metadata records it
-    Files.list(dataDir).iterator.asScala.toSeq.foreach { p =>
+    usingPaths(Files.list(dataDir))(_.toSeq).foreach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("part-") && n.endsWith(".parquet")) {
         Files.move(p, p.resolveSibling(s"posdel-$n")); ()
@@ -3595,17 +3606,17 @@ object VersionedTable {
     // sorting writers produce it, so the scan's ordering report can gate
     // on something immutable (an unsorted INSERT can't fake it)
     if (sortWithin) {
-      Files.walk(dataDir).iterator.asScala
+      usingPaths(Files.walk(dataDir))(_
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .toSeq.foreach { p =>
-          Files.move(p, p.resolveSibling(s"sorted-${p.getFileName}"))
+        .toSeq).foreach { p =>
+          Files.move(p, p.resolveSibling(s"sorted-${p.getFileName}")); ()
         }
     }
     // partitionBy writes NO part files for an empty frame (there are no
     // partition values) — land a schema carrier so the snapshot stays
     // readable; bucket 0 keeps [[bucketLayout]]'s nesting invariant
-    if (!Files.walk(dataDir).iterator.asScala.exists(p =>
-        Files.isRegularFile(p) && p.toString.endsWith(".parquet"))) {
+    if (!usingPaths(Files.walk(dataDir))(_.exists(p =>
+        Files.isRegularFile(p) && p.toString.endsWith(".parquet")))) {
       val carrier = dataDir.resolve("__graft_bucket=0/part-schema-0.parquet")
       Files.createDirectories(carrier.getParent)
       new GraftDataWriter(carrier.toString, df.schema).commit()
@@ -4717,10 +4728,10 @@ object VersionedTable {
     val referenced: Set[String] = versions(table)
       .flatMap(manifestEntries(table, _)).map(entryPath(_).split("/")(1)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
-    val doomed = Files.list(dataRoot).iterator.asScala.filter { p =>
+    val doomed = usingPaths(Files.list(dataRoot))(_.filter { p =>
       !referenced.contains(p.getFileName.toString) &&
         Files.getLastModifiedTime(p).toMillis < cutoff
-    }.toSeq
+    }.toSeq)
     doomed.foreach(deleteRecursively)
     doomed.size
   }

@@ -368,11 +368,14 @@ class NestedTableSpec extends AnyFunSuite {
       """INSERT INTO gnest.default.nrn VALUES
         |  (3, named_struct('lang_code', 'de', 'n', 3))""".stripMargin)
     // the freshest data file's FOOTER must still carry the physical name
-    val newest = java.nio.file.Files.walk(
+    val newest = {
+      val w = java.nio.file.Files.walk(
         java.nio.file.Paths.get(s"$root/default/nrn/data"))
-      .filter(p => p.toString.endsWith(".parquet"))
-      .max(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
-      .orElseThrow()
+      try w.filter(p => p.toString.endsWith(".parquet"))
+        .max(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
+        .orElseThrow()
+      finally w.close()
+    }
     val footer = spark.read.parquet(newest.toString).schema
     assert(footer("meta").dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType]
