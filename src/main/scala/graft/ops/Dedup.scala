@@ -511,14 +511,22 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"))
     val pr = pageRankFromPairs(bucketPairs(buckets), documents)
       .select(col("doc_id"), col("rank_fp"))
-    val rankW = Window.partitionBy("cluster_id").orderBy(col("rank_fp").desc, col("doc_id"))
-    val sizeW = Window.partitionBy("cluster_id")
+    // top-1-per-cluster as ONE hash aggregate (max of an orderable
+    // struct), not a rank window plus a size window: the window pair
+    // cost a per-cluster SORT and carried every member row through two
+    // WindowExecs just to keep one. (rank_fp DESC, doc_id ASC) is
+    // encoded as max(struct(rank_fp, -doc_id, doc_id)) — struct
+    // ordering is lexicographic, and negating the tiebreaker turns
+    // "smallest doc_id wins" into a max. Results are bit-identical to
+    // the window form (the oracle pins it).
     labels.join(pr, Seq("doc_id"))
-      .withColumn("rn", row_number().over(rankW))
-      .withColumn("n_members", count(lit(1)).over(sizeW))
-      .filter(col("rn") === 1)
-      .select(col("cluster_id"), col("n_members"), col("doc_id").as("kept_id"),
-        col("rank_fp"))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("rank_fp"), (-col("doc_id")).as("neg_id"),
+          col("doc_id"))).as("top"))
+      .select(col("cluster_id"), col("n_members"),
+        col("top.doc_id").as("kept_id"), col("top.rank_fp").as("rank_fp"))
       .orderBy("cluster_id")
   }
 
