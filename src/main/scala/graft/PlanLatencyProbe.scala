@@ -25,6 +25,9 @@ object PlanLatencyProbe {
     val root = java.nio.file.Files.createTempDirectory("graft_plan_probe").toString
     val spark = SparkSession.builder()
       .master("local[8]")
+      // the membership rows need PushMembershipProbes injected — the
+      // same extension production sessions run with
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.catalog.gpl", "graft.sources.GraftCatalog")
@@ -83,6 +86,11 @@ object PlanLatencyProbe {
     mkTable("warmup", 200, indexed = true)
     (1 to 5).foreach { _ =>
       spark.sql("SELECT k FROM gpl.default.warmup WHERE k BETWEEN 1 AND 5")
+        .queryExecution.executedPlan.toString
+      // membership-rule path warms too (probe option encode + scan):
+      // bloomless table, so it exercises classes, not pruning
+      spark.sql("SELECT k FROM gpl.default.warmup " +
+        "WHERE array_contains(array(v), 'x')")
         .queryExecution.executedPlan.toString
     }
 
@@ -242,7 +250,96 @@ object PlanLatencyProbe {
       f"""{"files":$n,"indexed":$indexed,"seek_path":$seek,""" +
         f""""cold_plan_ms":$cold%.1f,"warm_plan_ms":$warm%.1f}"""
     }.mkString("[", ",", "]")
-    println(s"""{"probe":"plan_latency_decades","iters":$iters,"decades":$json,"multi_commit":$multiJson,"str_selective":$strJson}""")
+
+    // MEMBER-PROBE-only selective plans over ONE giant commit: the `b~`
+    // chunk/rollup OR-union bloom cells are what stands between a cold
+    // `array_contains(tags, 'g500')` plan and (a) streaming the O(files)
+    // entry section AND (b) materializing the global O(files)×1 KiB
+    // bloom map on the driver — the round-18 carve-out. Non-indexed
+    // rows are the legacy-path control. Tag layout: one tag per run of
+    // 100 files, so the probe survives exactly one chunk.
+    val memSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tags",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+    def tagBloom(tag: String): Array[Byte] = {
+      val b = new Array[Byte](graft.functions.MemberBloom.DefaultBits / 8)
+      graft.functions.MemberBloom.set(b,
+        graft.functions.MemberBloom.hashUtf8(
+          org.apache.spark.unsafe.types.UTF8String.fromString(tag)))
+      b
+    }
+    def mkMemberTable(name: String, nFiles: Int, indexed: Boolean): Unit = {
+      val dir = java.nio.file.Paths.get(root, "default", name)
+      java.nio.file.Files.createDirectories(dir.resolve("_manifest"))
+      java.nio.file.Files.createDirectories(dir.resolve("data"))
+      val carrier = dir.resolve("data").resolve("c1_probe")
+      java.nio.file.Files.createDirectories(carrier)
+      new graft.sources.GraftDataWriter(
+        carrier.resolve("a-schema.parquet").toString, memSchema).commit()
+      val enc = java.util.Base64.getEncoder.withoutPadding
+      // one bloom per 100-file tag group, base64 memoized once
+      val groupB64 = (0 until (nFiles + 99) / 100)
+        .map(g => enc.encodeToString(tagBloom(s"g$g")))
+      val entries = (0 until nFiles).map { i =>
+        s"data/c1_probe/part-$i.parquet#1000@0####tags=${groupB64(i / 100)}"
+      } :+ "data/c1_probe/a-schema.parquet#0"
+      val (body, idxLines) =
+        if (indexed) indexedLayout(entries) else (entries, Nil)
+      // commit-level b~ cell: OR of every group bloom (realistic — a
+      // giant commit's union excludes nothing; CHUNK cells do the work)
+      val all = new Array[Byte](graft.functions.MemberBloom.DefaultBits / 8)
+      (0 until (nFiles + 99) / 100).foreach { g =>
+        val b = tagBloom(s"g$g")
+        var i = 0
+        while (i < all.length) { all(i) = (all(i) | b(i)).toByte; i += 1 }
+      }
+      val header = Seq("version=1", s"ts=${System.currentTimeMillis()}",
+        s"rollup=c1_probe b~tags=${enc.encodeToString(all)}",
+        s"schema=c1_probe ${memSchema.json}") ++
+        (if (indexed) s"total=${entries.size}" +: idxLines else Nil)
+      java.nio.file.Files.write(
+        dir.resolve("_manifest").resolve("1.manifest"),
+        ((header ++ body).mkString("\n") + "\n").getBytes)
+      ()
+    }
+    // first-touch warmup for the membership path (bloom parse, probe
+    // encode, base64 JIT) so the measured colds are manifest work
+    mkMemberTable("mwarm", 500, indexed = true)
+    (1 to 3).foreach { _ =>
+      spark.sql(
+        "SELECT id FROM gpl.default.mwarm WHERE array_contains(tags, 'g1')")
+        .queryExecution.executedPlan.toString
+    }
+    val memSel = decadesArg.flatMap { n =>
+      Seq(false, true).map { indexed =>
+        val name = if (indexed) s"plbi_$n" else s"plb_$n"
+        mkMemberTable(name, n, indexed)
+        val tag = s"g${n / 200}" // the mid group
+        def planOnce(): Double = {
+          val t0 = System.nanoTime()
+          val desc = spark.sql(
+            s"SELECT id FROM gpl.default.$name " +
+              s"WHERE array_contains(tags, '$tag')")
+            .queryExecution.executedPlan.toString
+          require(desc.contains("files="), s"no catalog scan in:\n$desc")
+          (System.nanoTime() - t0) / 1e6
+        }
+        val hits0 = graft.sources.VersionedTable.selectiveSeekHits.get()
+        val cold = planOnce()
+        val seek = graft.sources.VersionedTable.selectiveSeekHits.get() > hits0
+        (1 to 3).foreach(_ => planOnce())
+        val warm = (1 to iters).map(_ => planOnce())
+        (n, indexed, seek, cold, median(warm))
+      }
+    }
+    val memJson = memSel.map { case (n, indexed, seek, cold, warm) =>
+      f"""{"files":$n,"indexed":$indexed,"seek_path":$seek,""" +
+        f""""cold_plan_ms":$cold%.1f,"warm_plan_ms":$warm%.1f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"probe":"plan_latency_decades","iters":$iters,"decades":$json,"multi_commit":$multiJson,"str_selective":$strJson,"member_selective":$memJson}""")
     spark.stop()
   }
 }

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_sql_nested_rename" -> ((s, d) => Incremental.docsSqlNestedRename(t(s, d, "documents"))),
     "q_sql_array_prune" -> ((s, d) => Incremental.docsSqlArrayPrune(t(s, d, "documents"))),
     "q_sql_map_prune" -> ((s, d) => Incremental.docsSqlMapPrune(t(s, d, "documents"))),
+    "q_sql_nested_member" -> ((s, d) => Incremental.docsSqlNestedMember(t(s, d, "documents"))),
     "q_sql_nested_prune" -> ((s, d) => Incremental.docsSqlNestedPrune(t(s, d, "documents"))),
     "q_posdel_changes" -> ((s, d) => Incremental.ordersPosDelChanges(t(s, d, "orders"))),
     "q_asof_versioned" -> ((s, d) => Incremental.eventsAsofVersioned(t(s, d, "events"))),
@@ -2245,6 +2246,14 @@ object SparkEntry {
     // map_keys at commit); the projected value equals n_chars exactly
     "q_sql_map_prune" ->
       """SELECT doc_id, n_chars AS v
+        |FROM documents
+        |WHERE lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
+    // DOTTED membership pruning: the member bloom on a struct-leaf
+    // array (meta.tags), probed through a GetStructField chain and a
+    // spine rename; the oracle replays the matching rows flat
+    "q_sql_nested_member" ->
+      """SELECT doc_id, lang, n_chars
         |FROM documents
         |WHERE lang = 'en'
         |ORDER BY doc_id""".stripMargin,

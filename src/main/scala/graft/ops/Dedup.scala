@@ -338,9 +338,14 @@ object Dedup {
     */
   private[graft] def labelPropagationOnPairs(
       pairs: DataFrame, verts: DataFrame, rounds: Int): DataFrame = {
+    // persist PARTITIONED on the join key: every round's edge↔label join
+    // shuffles the label side only — the cached edge partitioning is
+    // visible to the planner, so the (edge-sized, 2×|pairs|) frame is
+    // exchanged once here instead of once per round
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
+      .repartition(col("dst"))
       .persist()
     try {
       var labels = verts.select(col("doc_id").as("v"), col("doc_id").as("lab"))
@@ -349,11 +354,17 @@ object Dedup {
           .join(labels, edges("dst") === labels("v"))
           .groupBy(col("src"), col("lab"))
           .agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("src").orderBy(col("c").desc, col("lab"))
+        // the (count DESC, label ASC) vote winner as ONE hash aggregate
+        // (max of an orderable struct; bitwise NOT turns "smallest label
+        // wins" into a max without negation overflow) instead of a
+        // row_number window — drops a per-src SORT and a WindowExec per
+        // round while keeping the exact total order, so the labeling is
+        // bit-identical to the window form (the oracle pins it)
         val best = counts
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("src"), col("lab").as("blab"))
+          .groupBy(col("src"))
+          .agg(max(struct(col("c"), bitwise_not(col("lab")).as("nl"),
+            col("lab"))).as("top"))
+          .select(col("src"), col("top.lab").as("blab"))
         labels = labels
           .join(best, labels("v") === best("src"), "left")
           .select(col("v"), coalesce(col("blab"), col("lab")).as("lab"))
@@ -515,15 +526,19 @@ object Dedup {
     // struct), not a rank window plus a size window: the window pair
     // cost a per-cluster SORT and carried every member row through two
     // WindowExecs just to keep one. (rank_fp DESC, doc_id ASC) is
-    // encoded as max(struct(rank_fp, -doc_id, doc_id)) — struct
-    // ordering is lexicographic, and negating the tiebreaker turns
-    // "smallest doc_id wins" into a max. Results are bit-identical to
-    // the window form (the oracle pins it).
+    // encoded as max(struct(rank_fp, ~doc_id, doc_id)) — struct
+    // ordering is lexicographic, and bitwise NOT is a strictly
+    // DECREASING bijection on longs (~x = -x-1, same order as -x but
+    // with no overflow at Long.MinValue, where arithmetic negation
+    // would invert the tiebreak), so "smallest doc_id wins" becomes a
+    // max. Results are bit-identical to the window form (the oracle
+    // pins it).
     labels.join(pr, Seq("doc_id"))
       .groupBy("cluster_id")
       .agg(
         count(lit(1)).as("n_members"),
-        max(struct(col("rank_fp"), (-col("doc_id")).as("neg_id"),
+        max(struct(col("rank_fp"),
+          bitwise_not(col("doc_id")).as("neg_id"),
           col("doc_id"))).as("top"))
       .select(col("cluster_id"), col("n_members"),
         col("top.doc_id").as("kept_id"), col("top.rank_fp").as("rank_fp"))

@@ -1188,6 +1188,52 @@ object Incremental {
          |ORDER BY doc_id""".stripMargin)
   }
 
+  /** Registered q_sql_nested_member body: DOTTED membership pruning —
+    * the member bloom declared on a STRUCT-LEAF array (`meta.tags`),
+    * the documents-table shape a real corpus carries. Every other
+    * metadata family (zones, row-group leaves, rename/drop, streaming
+    * keys) went dotted in earlier rounds; this closes membership. The
+    * commit job blooms the leaf through the spine (`col("meta.tags")`),
+    * the probe rule renders the GetStructField chain as the dotted
+    * name, and a mid-test SPINE RENAME (`meta` → `info`) proves the
+    * probe translates segment-by-segment back to the recorded physical
+    * bloom key. The oracle replays the matching rows flat, so hash
+    * equality proves the whole path is invisible to results.
+    */
+  def docsSqlNestedMember(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    catalogRoot(spark)
+    val inputKey = documents.inputFiles.sorted.mkString(",")
+    val name = versionedTables.computeIfAbsent((spark, s"sqlnmem:$inputKey"), { _ =>
+      val n = s"docs_nmem_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
+      documents.createOrReplaceTempView(s"g_nmem_src_$n")
+      spark.sql(
+        s"""CREATE TABLE gtab.default.$n (
+           |  doc_id BIGINT,
+           |  meta STRUCT<lang: STRING, tags: ARRAY<STRING>>,
+           |  n_chars BIGINT)
+           |TBLPROPERTIES ('graft.member-cols' = 'meta.tags')""".stripMargin)
+      Seq("de", "en", "es", "fr", "zh").foreach { lang =>
+        spark.sql(
+          s"""INSERT INTO gtab.default.$n
+             |SELECT doc_id,
+             |  named_struct('lang', lang,
+             |    'tags', array(concat('lang:', lang), concat('src:', source))),
+             |  n_chars
+             |FROM g_nmem_src_$n WHERE lang = '$lang'""".stripMargin)
+      }
+      // spine rename AFTER the inserts: the probe on info.tags must
+      // translate back to the physical meta.tags bloom key
+      spark.sql(s"ALTER TABLE gtab.default.$n RENAME COLUMN meta TO info")
+      n
+    })
+    spark.sql(
+      s"""SELECT doc_id, info.lang AS lang, n_chars
+         |FROM gtab.default.$name
+         |WHERE array_contains(info.tags, 'lang:en')
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   /** Registered q_sql_nested_rename body: NESTED column-mapping
     * evolution on the flagship documents shape — half the corpus
     * inserted under `meta STRUCT<lang, src>`, then `RENAME COLUMN

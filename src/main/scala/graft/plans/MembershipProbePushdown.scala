@@ -65,8 +65,17 @@ object PushMembershipProbes extends Rule[LogicalPlan] with PredicateHelper {
 
   private def probeOf(
       top: Map[ExprId, String], e: Expression): Option[(String, Long)] = {
+    // a membership column may be a TOP-LEVEL attribute or a STRUCT-LEAF
+    // access chain (array_contains(meta.tags, 'en')): GetStructField
+    // chains over relation output render as the dotted leaf name the
+    // commit-side blooms record (the Filter sits directly on the
+    // relation here, so its attributes ARE relation output — no alias
+    // map needed, unlike the streaming rule's post-NestedColumnAliasing
+    // position)
     def col(a: Expression): Option[String] = a match {
       case ar: AttributeReference => top.get(ar.exprId)
+      case g: GetStructField =>
+        col(g.child).map(p => s"$p.${g.extractFieldName}")
       case _                      => None
     }
     def keyProbe(m: Expression, k: Literal): Option[(String, Long)] =

@@ -308,12 +308,13 @@ class GraftCatalog extends TableCatalog
         require(schema.fields.exists(_.name == c),
           s"graft.bloom-cols column $c is not a column of the table")
       })
-    // membership-bloom columns: top-level ARRAY (element membership) or
-    // MAP (key membership) with string/integral elements — validated at
-    // CREATE so no commit can later hit an unhashable element type
+    // membership-bloom columns: ARRAY (element membership) or MAP (key
+    // membership) with string/integral elements — top-level or dotted
+    // struct leaves ("meta.tags"), validated at CREATE so no commit can
+    // later hit an unhashable element type or an unresolvable path
     recordedProps.get("graft.member-cols").foreach(_.split(',').map(_.trim)
       .filter(_.nonEmpty).foreach { c =>
-        val dt = schema.fields.find(_.name == c).map(_.dataType)
+        val dt = VersionedTable.memberLeafType(schema, c)
         def hashable(t: DataType): Boolean = t match {
           case StringType | LongType | IntegerType | ShortType | ByteType => true
           case _ => false
@@ -322,9 +323,9 @@ class GraftCatalog extends TableCatalog
           case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
           case m: org.apache.spark.sql.types.MapType   => hashable(m.keyType)
           case _ => false
-        }, s"graft.member-cols column $c must be a top-level ARRAY (of " +
+        }, s"graft.member-cols column $c must be an ARRAY (of " +
           "string/integral elements) or MAP (with string/integral keys) " +
-          "column of the table")
+          "column or dotted struct leaf of the table")
       })
     recordedProps.get("graft.member-bloom-bits").foreach { v =>
       require(v.toIntOption.exists(n => n >= 64 && n % 64 == 0 && n <= (1 << 22)),
@@ -2350,7 +2351,8 @@ class GraftTableScanBuilder(
     case (Some(specs), _) => new GraftAggScan(table, version, specs)
     case (None, Some((c, n))) =>
       new GraftBucketedScan(table, version, required, bounds, strBounds,
-        c, n, reportAs, staticIn, staticStrIn)
+        c, n, reportAs, staticIn, staticStrIn,
+        memberProbes.map { case (mc, h) => p(mc) -> h })
     case (None, None) =>
       new GraftTableScan(table, version, required, bounds, strBounds,
         limitOpt, topN, reportAs, staticIn, staticStrIn,
@@ -2377,7 +2379,8 @@ class GraftBucketedScan(
     bucketCol: String, nBuckets: Int,
     reportAs: StructType = null,
     staticIn: Map[String, Set[Long]] = Map.empty,
-    staticStrIn: Map[String, Set[String]] = Map.empty)
+    staticStrIn: Map[String, Set[String]] = Map.empty,
+    memberProbes: Seq[(String, Long)] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -2426,11 +2429,17 @@ class GraftBucketedScan(
     val layout =
       if (zeroRows.isEmpty) layout0
       else layout0.view.mapValues(_.filterNot(f => zeroRows.contains(f._1))).toMap
-    if (bounds.isEmpty && strBounds.isEmpty) layout
+    if (bounds.isEmpty && strBounds.isEmpty && memberProbes.isEmpty) layout
     else {
       val statsOf = VersionedTable.snapshotLayout(table, version)
         .map(e => e._1 -> e._4).toMap
       val strStatsOf = VersionedTable.snapshotStrStats(table, version)
+      // membership pruning inside buckets rides the global bloom map
+      // (bucket layouts are join-layout tables, planned whole by
+      // bucketLayout — not served by the chunked seek path)
+      val memberBloomsOf =
+        if (memberProbes.isEmpty) Map.empty[String, Map[String, Array[Byte]]]
+        else VersionedTable.snapshotMemberBlooms(table, version)
       layout.view.mapValues(_.filter { case (p, _) =>
         bounds.forall { case (c, (lo, hi)) =>
           statsOf.getOrElse(p, Map.empty).get(c)
@@ -2438,6 +2447,9 @@ class GraftBucketedScan(
         } && strBounds.forall { case (c, b) =>
           strStatsOf.getOrElse(p, Map.empty).get(c)
             .forall(GraftFilters.strZoneIntersects(_, b))
+        } && memberProbes.forall { case (c, h) =>
+          memberBloomsOf.getOrElse(p, Map.empty).get(c)
+            .forall(b => graft.functions.MemberBloom.mightContain(b, h))
         }
       }).toMap
     }
@@ -2841,7 +2853,8 @@ class GraftTableScan(
   private lazy val strStatsOf
       : String => Map[String, (Array[Byte], Option[Array[Byte]])] =
     if (strBounds.isEmpty) _ => Map.empty
-    else VersionedTable.selectiveStrStats(table, version, bounds, strBounds)
+    else VersionedTable.selectiveStrStats(table, version, bounds, strBounds,
+        memberProbes)
       .getOrElse {
         val g = VersionedTable.snapshotStrStats(table, version)
         p => g.getOrElse(p, Map.empty)
@@ -2867,9 +2880,9 @@ class GraftTableScan(
   // O(files) memos on a cold selective plan
   private lazy val selRB
       : Option[String => Option[(Option[Long], Option[Long])]] =
-    if (bounds.isEmpty && strBounds.isEmpty) None
+    if (bounds.isEmpty && strBounds.isEmpty && memberProbes.isEmpty) None
     else VersionedTable.selectiveRowsBytes(table, version, bounds,
-      strBounds = strBounds)
+      strBounds = strBounds, memberProbes = memberProbes)
   private def isZeroRow(path: String): Boolean = selRB match {
     case Some(f) => f(path).flatMap(_._1).contains(0L)
     case None    => zeroRows.contains(path)
@@ -2878,26 +2891,38 @@ class GraftTableScan(
   // positively excludes a probed key cannot hold a row satisfying the
   // array_contains / map-key conjunct — drop it at planning time.
   // Omission (no bloom recorded) means cannot-exclude, like every zone.
-  private lazy val memberBloomsOf =
-    if (memberProbes.isEmpty)
-      Map.empty[String, Map[String, Array[Byte]]]
-    else VersionedTable.snapshotMemberBlooms(table, version)
+  // Blooms serve through the seek path's chunk-granular maps when the
+  // selective plan engages (`b~` OR-rollup cells skip whole commits and
+  // chunks first; only surviving chunks' per-file blooms are parsed or
+  // held) — the global O(files)×~1 KiB driver map only materializes on
+  // index-less legacy manifests.
+  private lazy val memberBloomsOf: String => Map[String, Array[Byte]] =
+    if (memberProbes.isEmpty) _ => Map.empty
+    else VersionedTable.selectiveMemberBlooms(table, version, bounds,
+        strBounds, memberProbes)
+      .getOrElse {
+        val g = VersionedTable.snapshotMemberBlooms(table, version)
+        p => g.getOrElse(p, Map.empty)
+      }
   private def memberKeep(path: String): Boolean =
-    memberProbes.forall { case (c, h) =>
-      memberBloomsOf.getOrElse(path, Map.empty).get(c)
-        .forall(b => graft.functions.MemberBloom.mightContain(b, h))
+    memberProbes.isEmpty || {
+      val blooms = memberBloomsOf(path)
+      memberProbes.forall { case (c, h) =>
+        blooms.get(c)
+          .forall(b => graft.functions.MemberBloom.mightContain(b, h))
+      }
     }
   private lazy val pruned =
-    if (bounds.isEmpty && strBounds.isEmpty)
-      layout.filter { case (path, _, _, _) =>
-        !zeroRows.contains(path) && memberKeep(path)
-      }
+    if (bounds.isEmpty && strBounds.isEmpty && memberProbes.isEmpty)
+      layout.filter { case (path, _, _, _) => !zeroRows.contains(path) }
     else
-      // STRING bounds ride the same commit/chunk pre-filter as integral
-      // ones now (`s~` rollup cells), so a `lang = 'en'` cold plan over
-      // a giant table seeks surviving blocks instead of streaming the
+      // STRING bounds and MEMBERSHIP probes ride the same commit/chunk
+      // pre-filter as integral ones (`s~` / `b~` rollup cells), so a
+      // `lang = 'en'` or `array_contains(tags, 'en')` cold plan over a
+      // giant table seeks surviving blocks instead of streaming the
       // O(files) entry section
-      VersionedTable.selectiveLayoutByCommit(table, version, bounds, strBounds)
+      VersionedTable.selectiveLayoutByCommit(table, version, bounds,
+          strBounds, memberProbes)
         .iterator.flatMap { case (cv, es) =>
           es.filter { case (path, _, _, stats) =>
             !isZeroRow(path) &&

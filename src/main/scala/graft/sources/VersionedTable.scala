@@ -387,7 +387,8 @@ object VersionedTable {
       table: String, version: Option[Long],
       bounds: Map[String, (Long, Long)], forceSeek: Boolean = false,
       strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])] =
-        Map.empty)
+        Map.empty,
+      memberProbes: Seq[(String, Long)] = Nil)
       : Option[(Seq[(String, Long, Seq[String])], Seq[String])] = {
     val head = version.getOrElse {
       val vs = versions(table)
@@ -398,6 +399,9 @@ object VersionedTable {
     val strRolls = if (strBounds.isEmpty) Map.empty[String,
       Map[String, (Array[Byte], Option[Array[Byte]])]]
       else persistedStrRollups(table, version)
+    val memberRolls = if (memberProbes.isEmpty) Map.empty[String,
+      Map[String, Array[Byte]]]
+      else persistedMemberRollups(table, version)
     def deadZones(cells: Map[String, (Long, Long)]): Boolean =
       cells.nonEmpty && bounds.exists { case (c, (lo, hi)) =>
         cells.get(c).exists { case (mn, mx) => mx < lo || mn > hi }
@@ -407,9 +411,17 @@ object VersionedTable {
       cells.nonEmpty && strBounds.exists { case (c, b) =>
         cells.get(c).exists(z => !GraftFilters.strZoneIntersects(z, b))
       }
+    // an OR-union bloom that positively excludes a probed key kills the
+    // whole commit/chunk: no member file's bloom can then contain it
+    def deadMemberZones(cells: Map[String, Array[Byte]]): Boolean =
+      cells.nonEmpty && memberProbes.exists { case (c, h) =>
+        cells.get(c).exists(b =>
+          !graft.functions.MemberBloom.mightContain(b, h))
+      }
     def keepDir(dir: String): Boolean =
       !rolls.get(dir).exists(deadZones) &&
-        !strRolls.get(dir).exists(deadStrZones)
+        !strRolls.get(dir).exists(deadStrZones) &&
+        !memberRolls.get(dir).exists(deadMemberZones)
     // walk head-down to the self-contained base, collecting own entries
     var chain = List.empty[Seq[String]] // ascending after the prepends
     var v = head
@@ -430,12 +442,13 @@ object VersionedTable {
     // across commits
     val noStrCells =
       Map.empty[String, (Array[Byte], Option[Array[Byte]])]
+    val noMemberCells = Map.empty[String, Array[Byte]]
     val idx = bHdr.filter(_.startsWith("index=")).flatMap { l =>
       l.stripPrefix("index=").split(' ') match {
         case Array(dir, o, n) =>
           for (off <- o.toLongOption; len <- n.toLongOption)
             yield (dir, off, len, Map.empty[String, (Long, Long)],
-              noStrCells)
+              noStrCells, noMemberCells)
         case Array(dir, o, n, cells) =>
           for (off <- o.toLongOption; len <- n.toLongOption) yield {
             val parsed = cells.split(';').iterator
@@ -450,7 +463,10 @@ object VersionedTable {
             }.toMap
             val strParsed =
               if (strBounds.isEmpty) noStrCells else parseStrCells(cells)
-            (dir, off, len, parsed, strParsed)
+            val memberParsed =
+              if (memberProbes.isEmpty) noMemberCells
+              else parseMemberCells(cells)
+            (dir, off, len, parsed, strParsed, memberParsed)
           }
         case _ => None
       }
@@ -465,7 +481,7 @@ object VersionedTable {
     val buckets = scala.collection.mutable.LinkedHashMap
       .empty[String, Seq[String]]
     var dels = Seq.empty[String]
-    idx.foreach { case (dirspec, off, len, cells, strCells) =>
+    idx.foreach { case (dirspec, off, len, cells, strCells, memberCells) =>
       val dir = dirspec.takeWhile(_ != '%')
       if (dirspec == "!del") {
         val block = readEntryBlock(table, base, entryStart, off, len,
@@ -473,7 +489,8 @@ object VersionedTable {
         if (block.isEmpty) return None
         dels = dels ++ block.get
       } else if (!keepDir(dir) || deadZones(cells) ||
-          deadStrZones(strCells)) skippedAny = true
+          deadStrZones(strCells) || deadMemberZones(memberCells))
+        skippedAny = true
       else {
         // memoize SUCCESSFUL block reads only — a guard-tripped read
         // must retry next plan, not pin the fallback forever
@@ -597,7 +614,7 @@ object VersionedTable {
           val cells = cols.toSeq.sorted.map { c =>
             val zs = statsList.map(_(c))
             s"$c=${zs.map(_._1).min}..${zs.map(_._2).max}"
-          } ++ strRollupCells(carrying)
+          } ++ strRollupCells(carrying) ++ memberRollupCells(carrying)
           if (cells.isEmpty) None
           else Some(s"rollup=$dir ${cells.mkString(";")}")
         }
@@ -634,6 +651,54 @@ object VersionedTable {
         else enc.encodeToString(hiOpts.flatten.max(byteOrd))
       s"s~$c=${enc.encodeToString(lo)}..$hi"
     }
+  }
+
+  /** MEMBERSHIP rollup cells (`b~col=<b64bloom>`): the bitwise OR of the
+    * entries' per-file element blooms — the commit/chunk-level rollup
+    * that lets a membership-probe plan skip whole commits and chunks
+    * from HEADERS alone, exactly as `s~` cells do for string bounds. A
+    * column joins only when EVERY carrying entry records its bloom AND
+    * all blooms share one size (a table-property change mid-commit
+    * declines the union rather than OR-ing misaligned bit positions —
+    * omission is merely no-pruning). Saturation (a chunk holding every
+    * tag) degrades to cannot-exclude, never to a wrong answer. The `b~`
+    * prefix keeps the cells invisible to both the long parser (no `..`)
+    * and the `s~` string parser.
+    */
+  private def memberRollupCells(carrying: Seq[String]): Seq[String] = {
+    if (carrying.isEmpty) return Nil
+    val list = carrying.map(entryMemberBlooms)
+    val cols = list.map(_.keySet).reduceOption(_ intersect _)
+      .getOrElse(Set.empty[String])
+    val enc = java.util.Base64.getEncoder.withoutPadding
+    cols.toSeq.sorted.flatMap { c =>
+      val bs = list.map(_(c))
+      val len = bs.head.length
+      if (len == 0 || bs.exists(_.length != len)) None
+      else {
+        val u = new Array[Byte](len)
+        bs.foreach { b =>
+          var i = 0
+          while (i < len) { u(i) = (u(i) | b(i)).toByte; i += 1 }
+        }
+        Some(s"b~$c=${enc.encodeToString(u)}")
+      }
+    }
+  }
+
+  /** Parse `b~` membership cells out of a rollup/index cell list: col →
+    * OR-union bloom bytes. Other cell families are ignored here, exactly
+    * as the long and `s~` parsers ignore `b~` cells.
+    */
+  private def parseMemberCells(cells: String): Map[String, Array[Byte]] = {
+    val dec = java.util.Base64.getDecoder
+    cells.split(';').iterator.filter(_.startsWith("b~")).flatMap { kv0 =>
+      val kv = kv0.substring(2)
+      val eq = kv.indexOf('=')
+      if (eq <= 0) None
+      else try Some(kv.substring(0, eq) -> dec.decode(kv.substring(eq + 1)))
+      catch { case _: IllegalArgumentException => None }
+    }.toMap
   }
 
   /** Parse `s~` string cells out of a rollup/index cell list: col →
@@ -726,7 +791,8 @@ object VersionedTable {
         (cols.toSeq.sorted.map { c =>
           val zs = statsList.map(_(c))
           s"$c=${zs.map(_._1).min}..${zs.map(_._2).max}"
-        } ++ strRollupCells(carrying)).mkString(";")
+        } ++ strRollupCells(carrying) ++ memberRollupCells(carrying))
+          .mkString(";")
       }
     }
     var off = 0L
@@ -1026,21 +1092,44 @@ object VersionedTable {
       .flatMap(_.split(',')).map(_.trim)
       .filter(c => c.nonEmpty && schema.fieldNames.contains(c))
 
+  /** The ARRAY/MAP leaf type a (possibly DOTTED) member-column name
+    * resolves to through `schema`'s struct spine — `meta.tags` walks
+    * `meta`'s struct to its `tags` field, exactly like dotted zone
+    * keys. None when the path doesn't resolve or the leaf is neither
+    * ARRAY nor MAP. Array elements and map values never nest further
+    * (repeated shapes have no stable dotted addressing).
+    */
+  private[sources] def memberLeafType(
+      schema: org.apache.spark.sql.types.StructType,
+      c: String): Option[org.apache.spark.sql.types.DataType] = {
+    def walk(dt: org.apache.spark.sql.types.DataType,
+        parts: List[String]): Option[org.apache.spark.sql.types.DataType] =
+      (dt, parts) match {
+        case (a: org.apache.spark.sql.types.ArrayType, Nil) => Some(a)
+        case (m: org.apache.spark.sql.types.MapType, Nil)   => Some(m)
+        case (st: org.apache.spark.sql.types.StructType, h :: rest) =>
+          st.fields.find(_.name == h).flatMap(f => walk(f.dataType, rest))
+        case _ => None
+      }
+    walk(schema, c.split('.').toList)
+  }
+
   /** The table's declared MEMBERSHIP-bloom columns
-    * (`graft.member-cols`): top-level ARRAY columns (element
-    * membership) or MAP columns (key membership), restricted to columns
-    * `schema` actually carries. Each gets a per-file element bloom in
-    * the manifest's sixth entry segment, the planning-time answer to
-    * `array_contains(col, k)` / `col['k'] IS NOT NULL` — set membership
-    * is what users filter repeated columns by, and min/max zones can't
-    * speak it. Names are PHYSICAL (recorded at create).
+    * (`graft.member-cols`): ARRAY columns (element membership) or MAP
+    * columns (key membership), top-level or DOTTED struct leaves
+    * (`meta.tags`), restricted to paths `schema` actually resolves.
+    * Each gets a per-file element bloom in the manifest's sixth entry
+    * segment, the planning-time answer to `array_contains(col, k)` /
+    * `col['k'] IS NOT NULL` — set membership is what users filter
+    * repeated columns by, and min/max zones can't speak it. Names are
+    * PHYSICAL (recorded at create).
     */
   private[sources] def memberCols(
       table: String,
       schema: org.apache.spark.sql.types.StructType): Seq[String] =
     tableProps(table).get("graft.member-cols").toSeq
       .flatMap(_.split(',')).map(_.trim)
-      .filter(c => c.nonEmpty && schema.fieldNames.contains(c))
+      .filter(c => c.nonEmpty && memberLeafType(schema, c).isDefined)
 
   /** Declared bloom size in bits (`graft.member-bloom-bits`, validated
     * at CREATE; default [[graft.functions.MemberBloom.DefaultBits]]).
@@ -1232,11 +1321,15 @@ object VersionedTable {
             isType(c, org.apache.spark.sql.types.StringType) ||
             isType(c, org.apache.spark.sql.types.BinaryType))
         // declared membership-bloom columns ride the SAME per-file job:
-        // ARRAY columns bloom their elements, MAP columns their keys
+        // ARRAY columns bloom their elements, MAP columns their keys.
+        // Dotted struct-leaf declarations ("meta.tags") resolve through
+        // the spine — col(c) handles the nested access natively, and a
+        // null PARENT makes the leaf null, which contributes nothing
+        // (exactly right: no membership predicate matches those rows)
         val mbBits = memberBloomBits(table)
         val mbCols: Seq[(String, org.apache.spark.sql.Column)] =
           memberCols(table, snap.schema).flatMap { c =>
-            snap.schema.fields.find(_.name == c).map(_.dataType) match {
+            memberLeafType(snap.schema, c) match {
               case Some(_: org.apache.spark.sql.types.ArrayType) =>
                 Some(c -> col(c))
               case Some(_: org.apache.spark.sql.types.MapType) =>
@@ -2832,6 +2925,15 @@ object VersionedTable {
       : Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]] =
     persistedHeaders(table, version)._3
 
+  /** Persisted MEMBERSHIP rollups (`b~` cells of the `rollup=` lines):
+    * commit directory → col → OR-union element bloom. Same chain walk
+    * and memoization; empty for pre-member-rollup manifests.
+    */
+  private[sources] def persistedMemberRollups(
+      table: String, version: Option[Long])
+      : Map[String, Map[String, Array[Byte]]] =
+    persistedHeaders(table, version)._4
+
   /** Persisted per-commit SCHEMAS (the `schema=` header lines): commit
     * directory → Spark schema. Same chain walk and memoization as the
     * rollups — snapshot schema resolution consults this first and opens
@@ -2853,12 +2955,15 @@ object VersionedTable {
       table: String, version: Option[Long])
       : (Map[String, Map[String, (Long, Long)]],
          Map[String, org.apache.spark.sql.types.StructType],
-         Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]]) =
+         Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]],
+         Map[String, Map[String, Array[Byte]]]) =
     memoParsed(table, version, "pheaders") {
       val rolls = scala.collection.mutable.Map
         .empty[String, Map[String, (Long, Long)]]
       val strRolls = scala.collection.mutable.Map
         .empty[String, Map[String, (Array[Byte], Option[Array[Byte]])]]
+      val memberRolls = scala.collection.mutable.Map
+        .empty[String, Map[String, Array[Byte]]]
       val schemas = scala.collection.mutable.Map
         .empty[String, org.apache.spark.sql.types.StructType]
       var v: Option[Long] = Some(version.getOrElse(versions(table).last))
@@ -2871,7 +2976,8 @@ object VersionedTable {
             val sp = body.indexOf(' ')
             if (sp > 0) {
               val dir = body.substring(0, sp)
-              if (!rolls.contains(dir) && !strRolls.contains(dir)) {
+              if (!rolls.contains(dir) && !strRolls.contains(dir) &&
+                  !memberRolls.contains(dir)) {
                 // head-down walk: newest declaration wins
                 val cellStr = body.substring(sp + 1)
                 val cells = cellStr.split(';').iterator
@@ -2887,6 +2993,8 @@ object VersionedTable {
                 if (cells.nonEmpty) rolls.update(dir, cells)
                 val strCells = parseStrCells(cellStr)
                 if (strCells.nonEmpty) strRolls.update(dir, strCells)
+                val memberCells = parseMemberCells(cellStr)
+                if (memberCells.nonEmpty) memberRolls.update(dir, memberCells)
               }
             }
           } else if (l.startsWith("schema=")) {
@@ -2909,7 +3017,7 @@ object VersionedTable {
         }
         v = carryOf(table, v.get)
       }
-      (rolls.toMap, schemas.toMap, strRolls.toMap)
+      (rolls.toMap, schemas.toMap, strRolls.toMap, memberRolls.toMap)
     }
 
   /** SELECTIVE snapshot layout: the per-file planning tuples of ONLY the
@@ -2930,7 +3038,8 @@ object VersionedTable {
       table: String, version: Option[Long],
       bounds: Map[String, (Long, Long)],
       strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])] =
-        Map.empty)
+        Map.empty,
+      memberProbes: Seq[(String, Long)] = Nil)
       : Seq[(Long, Seq[(String, Long, Seq[String], Map[String, (Long, Long)])])] = {
     // a fully-parsed layout memo already paid the walk — reuse it
     val v = version.getOrElse(versions(table).last)
@@ -2941,6 +3050,9 @@ object VersionedTable {
     val strRolls = if (strBounds.isEmpty) Map.empty[String,
       Map[String, (Array[Byte], Option[Array[Byte]])]]
       else persistedStrRollups(table, version)
+    val memberRolls = if (memberProbes.isEmpty) Map.empty[String,
+      Map[String, Array[Byte]]]
+      else persistedMemberRollups(table, version)
     def isDead(dir: String): Boolean =
       rolls.get(dir).exists(roll => bounds.exists {
         case (c, (lo, hi)) =>
@@ -2948,6 +3060,10 @@ object VersionedTable {
       }) || strRolls.get(dir).exists(roll => strBounds.exists {
         case (c, b) =>
           roll.get(c).exists(z => !GraftFilters.strZoneIntersects(z, b))
+      }) || memberRolls.get(dir).exists(roll => memberProbes.exists {
+        case (c, h) =>
+          roll.get(c).exists(b =>
+            !graft.functions.MemberBloom.mightContain(b, h))
       })
     // INDEXED fast path: seek to surviving entry blocks — never streams
     // the base manifest's O(files) entry section. Commit dirs drop on
@@ -2957,7 +3073,8 @@ object VersionedTable {
     // better for repeat plans then — and for index-less manifests.
     val (rawSurviving, delRefs): (Seq[(String, Long, Seq[String])],
         Seq[(Long, String)]) =
-      selectiveRawEntries(table, version, bounds, strBounds = strBounds) match {
+      selectiveRawEntries(table, version, bounds, strBounds = strBounds,
+        memberProbes = memberProbes) match {
         case Some((raw, dels)) =>
           selectiveSeekHits.incrementAndGet()
           (raw, dels.map(e => (e.split(":", 3)(1).toLong, entryPath(e))))
@@ -3004,9 +3121,11 @@ object VersionedTable {
       table: String, version: Option[Long],
       bounds: Map[String, (Long, Long)],
       strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])] =
-        Map.empty)
+        Map.empty,
+      memberProbes: Seq[(String, Long)] = Nil)
       : Option[String => Option[(Option[Long], Option[Long])]] = {
-    selectiveRawEntries(table, version, bounds, strBounds = strBounds).map {
+    selectiveRawEntries(table, version, bounds, strBounds = strBounds,
+      memberProbes = memberProbes).map {
       case (raw, _) =>
         // per-CHUNK maps memoized once (dirspec-keyed, bounds-safe);
         // lookups route through the path's dir and probe its few chunks
@@ -3037,9 +3156,11 @@ object VersionedTable {
   private[sources] def selectiveStrStats(
       table: String, version: Option[Long],
       bounds: Map[String, (Long, Long)],
-      strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])])
+      strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])],
+      memberProbes: Seq[(String, Long)] = Nil)
       : Option[String => Map[String, (Array[Byte], Option[Array[Byte]])]] = {
-    selectiveRawEntries(table, version, bounds, strBounds = strBounds).map {
+    selectiveRawEntries(table, version, bounds, strBounds = strBounds,
+      memberProbes = memberProbes).map {
       case (raw, _) =>
         val byDir: Map[String,
             Seq[Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]]]] =
@@ -3047,6 +3168,42 @@ object VersionedTable {
             dir -> specs.map { case (dirspec, _, es) =>
               memoParsed(table, version, s"cstr:$dirspec") {
                 es.map(e => entryPath(e) -> entryStrStats(e)).toMap
+              }
+            }
+          }
+        (p: String) => {
+          val parts = p.split('/')
+          if (parts.length < 2) Map.empty
+          else byDir.getOrElse(parts(1), Nil).iterator
+            .flatMap(_.get(p)).nextOption()
+            .getOrElse(Map.empty)
+        }
+    }
+  }
+
+  /** Per-file MEMBERSHIP blooms of exactly the files a selective plan
+    * admits, through the seek-based fast path — the membership twin of
+    * [[selectiveStrStats]]: a member-probe plan over an indexed manifest
+    * parses (and holds) only the SURVIVING chunks' blooms instead of
+    * materializing the global O(files)×~1 KiB driver map
+    * ([[snapshotMemberBlooms]]) and streaming the whole entry section.
+    * None when the fast path doesn't serve this snapshot — callers fall
+    * back to the global memo.
+    */
+  private[sources] def selectiveMemberBlooms(
+      table: String, version: Option[Long],
+      bounds: Map[String, (Long, Long)],
+      strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])],
+      memberProbes: Seq[(String, Long)])
+      : Option[String => Map[String, Array[Byte]]] = {
+    selectiveRawEntries(table, version, bounds, strBounds = strBounds,
+      memberProbes = memberProbes).map {
+      case (raw, _) =>
+        val byDir: Map[String, Seq[Map[String, Map[String, Array[Byte]]]]] =
+          raw.groupBy(_._1.takeWhile(_ != '%')).map { case (dir, specs) =>
+            dir -> specs.map { case (dirspec, _, es) =>
+              memoParsed(table, version, s"cmem:$dirspec") {
+                es.map(e => entryPath(e) -> entryMemberBlooms(e)).toMap
               }
             }
           }
@@ -4100,6 +4257,11 @@ object VersionedTable {
   def renameColumn(
       spark: SparkSession, table: String, from: String, to: String): Unit = {
     requireRenamable(spark, table, from, "rename")
+    // same guard as renameColumnPath/CREATE/ADD: a dotted LOGICAL name
+    // would alias the nested-path namespace and silently fall out of
+    // the dotted translation (physDotted splits on '.')
+    require(!to.contains('.'),
+      s"invalid column name $to: dots are reserved for nested paths")
     val phys = snapshotSchema(spark, table, None)
     val m = columnMap(table)
     val logical = logicalizeSchema(table, phys).fieldNames.toSet
@@ -4802,7 +4964,7 @@ object VersionedTable {
         // O(commits) path after every vacuum
         val liveDirs = resolved.filterNot(isRemoveEntry)
           .map(e => entryPath(e).split('/')(1)).toSet
-        val (rolls, schemas, _) = persistedHeaders(table, Some(v))
+        val (rolls, schemas, _, _) = persistedHeaders(table, Some(v))
         val hints =
           rolls.filter(kv => liveDirs.contains(kv._1)).toSeq.sortBy(_._1)
             .map { case (dir, m) =>

@@ -137,6 +137,117 @@ class MemberBloomSpec extends AnyFunSuite {
     assert(un.count() === 0L)
   }
 
+  test("member blooms ride the SEEK path: b~ rollup cells skip chunks " +
+      "inside one giant commit, never materializing the O(files) map") {
+    root
+    val prev = graft.sources.VersionedTable.IndexChunkEntries
+    graft.sources.VersionedTable.IndexChunkEntries = 50
+    try {
+      spark.sql(
+        """CREATE TABLE gmb.default.seek (
+          |  id BIGINT, tags ARRAY<STRING>)
+          |TBLPROPERTIES ('graft.member-cols' = 'tags')""".stripMargin)
+      // ONE self-contained commit of 300 files (INSERT OVERWRITE →
+      // indexed manifest), tags clustered with the id layout: tag g<k>
+      // lives in exactly the 10 files covering ids [k*100, k*100+100)
+      spark.sql(
+        """INSERT OVERWRITE gmb.default.seek
+          |SELECT id, array(concat('g', CAST(CAST(id / 100 AS INT) AS STRING)))
+          |FROM range(0, 3000, 1, 300) AS t(id)""".stripMargin)
+      val t = s"$root/default/seek"
+      val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Files.list(java.nio.file.Paths.get(t, "_manifest"))
+          .filter(_.toString.endsWith(".manifest"))
+          .sorted(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
+          .reduce((_, b) => b).get()),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert("rollup=\\S+ \\S*b~tags=".r.findFirstIn(manifest).isDefined,
+        s"the commit rollup line must carry a b~ member cell:\n${manifest.take(400)}")
+      assert("index=\\S+%\\d+ \\d+ \\d+ \\S*b~tags=".r.findFirstIn(manifest).isDefined,
+        s"chunk index lines must carry b~ member cells:\n${manifest.take(600)}")
+      // a member-probe-ONLY plan (no scalar bounds at all) engages the
+      // seek path: chunks whose OR-bloom excludes 'g5' are never read
+      val hits0 = graft.sources.VersionedTable.selectiveSeekHits.get()
+      val q = spark.sql(
+        "SELECT id FROM gmb.default.seek WHERE array_contains(tags, 'g5')")
+      val (kept, total) = plannedFiles(q)
+      assert(graft.sources.VersionedTable.selectiveSeekHits.get() > hits0,
+        "the member-probe plan must be served by the seek-based fast path")
+      assert(total >= 300 && kept <= 15,
+        s"the g5 probe must keep ~10 of 300 files: $kept/$total")
+      assert(q.collect().map(_.getLong(0)).sorted.toSeq == (500L until 600L),
+        "chunk-level bloom skipping must be invisible to results")
+    } finally graft.sources.VersionedTable.IndexChunkEntries = prev
+  }
+
+  test("member blooms survive OPTIMIZE: rewritten files get fresh blooms " +
+      "from the same commit stats job") {
+    root
+    spark.sql(
+      """CREATE TABLE gmb.default.opt (
+        |  id BIGINT, tags ARRAY<STRING>)
+        |TBLPROPERTIES ('graft.member-cols' = 'tags')""".stripMargin)
+    Seq("en", "de", "fr").zipWithIndex.foreach { case (t, i) =>
+      spark.sql(
+        s"""INSERT INTO gmb.default.opt
+           |SELECT id + ${i * 1000}, array('$t')
+           |FROM range(0, 1000, 1, 1) AS t(id)""".stripMargin)
+    }
+    graft.sources.VersionedTable.optimize(spark, s"$root/default/opt", "id",
+      targetRowsPerFile = 1000L)
+    val q = spark.sql(
+      "SELECT id FROM gmb.default.opt WHERE array_contains(tags, 'de')")
+    val (kept, total) = plannedFiles(q)
+    assert(kept < total && kept <= 2,
+      s"pruning must survive the compaction rewrite: $kept/$total")
+    assert(q.count() === 1000L)
+    assert(q.collect().forall(r => r.getLong(0) >= 1000 && r.getLong(0) < 2000))
+  }
+
+  test("DOTTED member cols: meta.tags prunes through struct-leaf probes " +
+      "and composes with nested rename") {
+    root
+    spark.sql(
+      """CREATE TABLE gmb.default.nested (
+        |  id BIGINT, meta STRUCT<lang: STRING, tags: ARRAY<STRING>>)
+        |TBLPROPERTIES ('graft.member-cols' = 'meta.tags')""".stripMargin)
+    Seq("alpha", "beta", "gamma").zipWithIndex.foreach { case (t, i) =>
+      spark.sql(
+        s"""INSERT INTO gmb.default.nested
+           |SELECT id + ${i * 100},
+           |  named_struct('lang', 'xx', 'tags', array('$t', concat('c', CAST(id % 5 AS STRING))))
+           |FROM range(0, 100, 1, 1) AS t(id)""".stripMargin)
+    }
+    val q = spark.sql(
+      "SELECT id FROM gmb.default.nested WHERE array_contains(meta.tags, 'beta')")
+    val (kept, total) = plannedFiles(q)
+    assert(kept == 1 && total == 4,
+      s"the nested 'beta' probe must prune: $kept/$total")
+    assert(q.count() === 100L)
+    assert(q.collect().forall(r => r.getLong(0) >= 100 && r.getLong(0) < 200))
+    // a tag present in every file prunes nothing; results exact
+    val all = spark.sql(
+      "SELECT id FROM gmb.default.nested WHERE array_contains(meta.tags, 'c3')")
+    assert(all.count() === 60L)
+    // rename the SPINE: probes keep pruning under the new logical name
+    // (physDotted translates segment-by-segment back to the recorded
+    // physical bloom key)
+    spark.sql("ALTER TABLE gmb.default.nested RENAME COLUMN meta TO info")
+    val q2 = spark.sql(
+      "SELECT id FROM gmb.default.nested WHERE array_contains(info.tags, 'gamma')")
+    assert(plannedFiles(q2)._1 === 1,
+      "the probe must translate through the renamed spine")
+    assert(q2.count() === 100L)
+    // rename the LEAF too: info.tags → labels
+    spark.sql("ALTER TABLE gmb.default.nested RENAME COLUMN info.tags TO labels")
+    val q3 = spark.sql(
+      "SELECT id FROM gmb.default.nested WHERE array_contains(info.labels, 'alpha')")
+    assert(plannedFiles(q3)._1 === 1,
+      "the probe must translate through the renamed leaf")
+    assert(q3.count() === 100L)
+    assert(q3.collect().forall(_.getLong(0) < 100))
+  }
+
   test("probes survive MOR tombstones and time travel") {
     root
     spark.sql(

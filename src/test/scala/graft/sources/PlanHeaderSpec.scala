@@ -180,6 +180,50 @@ class PlanHeaderSpec extends AnyFunSuite {
     } finally VersionedTable.IndexChunkEntries = prev
   }
 
+  test("DOUBLE chunk rollups: a double-bounded plan skips inside one giant commit") {
+    val s = spark; import s.implicits._
+    val t = s"$root/dblchunk"
+    val prev = VersionedTable.IndexChunkEntries
+    VersionedTable.IndexChunkEntries = 50
+    try {
+      // one commit, 300 files sorted by a DOUBLE key: the `~d` sortable-
+      // bits cells must ride the chunk index lines exactly like commit
+      // rollups (they share entryStats, but nothing pinned it)
+      VersionedTable.commit(
+        (1L to 3000L).map(k => (k.toDouble / 2.0, k)).toDF("d", "n")
+          .repartitionByRange(300, col("d")),
+        t, append = false, statsCols = Seq("d"))
+      val m1 = manifestText(t, 1L)
+      assert("index=c1_\\S+%0 \\d+ \\d+ \\S*~d=".r.findFirstIn(m1).isDefined,
+        s"chunk lines must carry the double's ~ rollup cells:\n${m1.take(600)}")
+      assert("rollup=c1_\\S+ \\S*~d=".r.findFirstIn(m1).isDefined,
+        "the commit rollup must carry the ~ cell too")
+      // a double-bounded selective plan parses only the matching chunks
+      val lo = VersionedTable.sortableBits(750.0)
+      val hi = VersionedTable.sortableBits(760.0)
+      val sel = VersionedTable.selectiveLayoutByCommit(
+        t, None, Map("~d" -> (lo, hi)))
+      val selPaths = sel.flatMap(_._2.map(_._1))
+      assert(selPaths.nonEmpty && selPaths.size <= 120,
+        s"double chunk rollups must bound the parsed entries, got ${selPaths.size}")
+      // catalog read: a double range plans a small file share, exact rows
+      spark.conf.set("spark.sql.catalog.gdck", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gdck.root",
+        java.nio.file.Paths.get(root).getParent.toString)
+      val q = spark.sql(
+        s"SELECT n FROM gdck.${java.nio.file.Paths.get(root).getFileName}" +
+          ".dblchunk WHERE d BETWEEN 750.0 AND 760.0")
+      val got = q.collect().map(_.getLong(0)).toSet
+      assert(got == (1500L to 1520L).toSet,
+        "double chunk skipping must be invisible to results")
+      val m = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+        .getOrElse(fail("no graft-catalog scan"))
+      assert(m.group(1).toInt <= 10 && m.group(2).toInt >= 300,
+        s"double bounds must prune files at planning: files=${m.group(1)}/${m.group(2)}")
+    } finally VersionedTable.IndexChunkEntries = prev
+  }
+
   test("vacuum materialization carries the chain's hints forward") {
     val s = spark; import s.implicits._
     val t = s"$root/vac"
