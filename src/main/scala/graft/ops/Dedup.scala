@@ -338,14 +338,20 @@ object Dedup {
     */
   private[graft] def labelPropagationOnPairs(
       pairs: DataFrame, verts: DataFrame, rounds: Int): DataFrame = {
+    // A/B hook (session conf, never a JVM global — the LayoutProbe
+    // protocol): spark.graft.lpLegacy=true reverts to the r18 shape
+    // (unpartitioned edge persist + row_number window vote) so the
+    // rewrite below stays measurable in ONE JVM against identical state
+    val legacy = pairs.sparkSession.conf
+      .getOption("spark.graft.lpLegacy").contains("true")
     // persist PARTITIONED on the join key: every round's edge↔label join
     // shuffles the label side only — the cached edge partitioning is
     // visible to the planner, so the (edge-sized, 2×|pairs|) frame is
     // exchanged once here instead of once per round
-    val edges = pairs
+    val edges0 = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
-      .repartition(col("dst"))
+    val edges = (if (legacy) edges0 else edges0.repartition(col("dst")))
       .persist()
     try {
       var labels = verts.select(col("doc_id").as("v"), col("doc_id").as("lab"))
@@ -360,11 +366,18 @@ object Dedup {
         // row_number window — drops a per-src SORT and a WindowExec per
         // round while keeping the exact total order, so the labeling is
         // bit-identical to the window form (the oracle pins it)
-        val best = counts
-          .groupBy(col("src"))
-          .agg(max(struct(col("c"), bitwise_not(col("lab")).as("nl"),
-            col("lab"))).as("top"))
-          .select(col("src"), col("top.lab").as("blab"))
+        val best =
+          if (legacy) {
+            val w = Window.partitionBy("src").orderBy(col("c").desc, col("lab"))
+            counts
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1)
+              .select(col("src"), col("lab").as("blab"))
+          } else counts
+            .groupBy(col("src"))
+            .agg(max(struct(col("c"), bitwise_not(col("lab")).as("nl"),
+              col("lab"))).as("top"))
+            .select(col("src"), col("top.lab").as("blab"))
         labels = labels
           .join(best, labels("v") === best("src"), "left")
           .select(col("v"), coalesce(col("blab"), col("lab")).as("lab"))

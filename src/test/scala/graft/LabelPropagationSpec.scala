@@ -55,4 +55,27 @@ class LabelPropagationSpec extends AnyFunSuite {
     val out = run(Seq((1L, 5L), (9L, 5L)), Seq(1L, 5L, 9L), rounds = 1)
     assert(out(5L) == 1L, s"tie must break low: $out")
   }
+
+  test("the max-struct vote equals the legacy window vote, label for label") {
+    // a messy planted graph with ties, bridges, hubs, and isolates —
+    // the aggregate rewrite (max(struct(c, ~lab, lab))) must reproduce
+    // the row_number((c DESC, lab ASC)) winner EXACTLY on every vertex
+    // and round count, including the ~lab tiebreak inversion
+    val rnd = new scala.util.Random(7)
+    val verts = (1L to 120L).toSeq
+    val pairs = (Seq.tabulate(200)(i =>
+      (rnd.nextInt(100).toLong + 1L, rnd.nextInt(120).toLong + 1L)) ++
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (50L, 51L))) // planted clique + edge
+      .filter { case (a, b) => a != b }.distinct
+    for (rounds <- Seq(1, 3)) {
+      spark.conf.set("spark.graft.lpLegacy", "true")
+      val legacy = run(pairs, verts, rounds)
+      spark.conf.set("spark.graft.lpLegacy", "false")
+      val next = run(pairs, verts, rounds)
+      spark.conf.unset("spark.graft.lpLegacy")
+      assert(legacy == next,
+        s"vote rewrite must be bit-identical at rounds=$rounds: " +
+          s"${legacy.toSeq.diff(next.toSeq).take(5)}")
+    }
+  }
 }
