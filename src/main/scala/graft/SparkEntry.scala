@@ -87,6 +87,7 @@ object SparkEntry {
     "q_sql_array_prune" -> ((s, d) => Incremental.docsSqlArrayPrune(t(s, d, "documents"))),
     "q_sql_map_prune" -> ((s, d) => Incremental.docsSqlMapPrune(t(s, d, "documents"))),
     "q_sql_nested_member" -> ((s, d) => Incremental.docsSqlNestedMember(t(s, d, "documents"))),
+    "q_sql_overlap_prune" -> ((s, d) => Incremental.docsSqlOverlapPrune(t(s, d, "documents"))),
     "q_sql_nested_prune" -> ((s, d) => Incremental.docsSqlNestedPrune(t(s, d, "documents"))),
     "q_posdel_changes" -> ((s, d) => Incremental.ordersPosDelChanges(t(s, d, "orders"))),
     "q_asof_versioned" -> ((s, d) => Incremental.eventsAsofVersioned(t(s, d, "events"))),
@@ -2248,6 +2249,14 @@ object SparkEntry {
       """SELECT doc_id, n_chars AS v
         |FROM documents
         |WHERE lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
+    // disjunctive membership pruning (arrays_overlap = the IN-list):
+    // the two-key group keeps two language generations; oracle replays
+    // flat with IN
+    "q_sql_overlap_prune" ->
+      """SELECT doc_id, n_chars
+        |FROM documents
+        |WHERE lang IN ('en', 'de')
         |ORDER BY doc_id""".stripMargin,
     // DOTTED membership pruning: the member bloom on a struct-leaf
     // array (meta.tags), probed through a GetStructField chain and a

@@ -1126,11 +1126,15 @@ object Incremental {
     * 100 TB: `array_contains(tags,'lang:en')` over a trillion-row
     * documents table stops being a full scan.
     */
-  def docsSqlArrayPrune(documents: DataFrame): DataFrame = {
+  /** The lang-clustered member-bloom table behind q_sql_array_prune AND
+    * q_sql_overlap_prune — built once per input, whichever query runs
+    * first.
+    */
+  private def arrayPruneTable(documents: DataFrame): String = {
     val spark = documents.sparkSession
     catalogRoot(spark)
     val inputKey = documents.inputFiles.sorted.mkString(",")
-    val name = versionedTables.computeIfAbsent((spark, s"sqlaprune:$inputKey"), { _ =>
+    versionedTables.computeIfAbsent((spark, s"sqlaprune:$inputKey"), { _ =>
       val n = s"docs_aprune_${java.lang.Long.toHexString(bucketedBaseSeq.incrementAndGet())}"
       documents.createOrReplaceTempView(s"g_aprune_src_$n")
       spark.sql(
@@ -1147,10 +1151,33 @@ object Incremental {
       }
       n
     })
+  }
+
+  def docsSqlArrayPrune(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val name = arrayPruneTable(documents)
     spark.sql(
       s"""SELECT doc_id, n_chars
          |FROM gtab.default.$name
          |WHERE array_contains(tags, 'lang:en')
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Registered q_sql_overlap_prune body: the IN-LIST of membership —
+    * `arrays_overlap(tags, array('lang:en', 'lang:de'))` over the same
+    * lang-clustered member-bloom table. The probe group is DISJUNCTIVE
+    * (a file drops only when its bloom excludes every listed key), so
+    * the plan keeps exactly the two languages' generations; the oracle
+    * replays the rows flat with `lang IN ('en','de')`, hash equality
+    * proving the group semantics never drop a match.
+    */
+  def docsSqlOverlapPrune(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val name = arrayPruneTable(documents)
+    spark.sql(
+      s"""SELECT doc_id, n_chars
+         |FROM gtab.default.$name
+         |WHERE arrays_overlap(tags, array('lang:en', 'lang:de'))
          |ORDER BY doc_id""".stripMargin)
   }
 

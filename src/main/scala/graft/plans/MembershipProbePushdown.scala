@@ -30,8 +30,15 @@ import graft.sources.{GraftCatalogTable, MemberProbes}
   *  - `col[lit] IS NOT NULL` and `col[lit] = x` / `x = col[lit]` over a
   *    MAP column (GetMapValue of an absent key is NULL, so a TRUE
   *    comparison requires the key present)
+  *  - `arrays_overlap(col, array(k1, k2, …))` (either argument order) —
+  *    the IN-list of membership: TRUE requires a COMMON NON-NULL
+  *    element, so at least one literal key must be present and the
+  *    probe is the DISJUNCTIVE group of their hashes (a file drops only
+  *    when its bloom excludes every one)
   * Literals hash by their COERCED type (string / integral — matching
-  * the commit-side bloom's element hashing); anything else declines.
+  * the commit-side bloom's element hashing); anything else declines —
+  * including any group containing an unhashable or null element (a
+  * partial group would over-prune).
   */
 object PushMembershipProbes extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -64,7 +71,7 @@ object PushMembershipProbes extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   private def probeOf(
-      top: Map[ExprId, String], e: Expression): Option[(String, Long)] = {
+      top: Map[ExprId, String], e: Expression): Option[(String, Seq[Long])] = {
     // a membership column may be a TOP-LEVEL attribute or a STRUCT-LEAF
     // access chain (array_contains(meta.tags, 'en')): GetStructField
     // chains over relation output render as the dotted leaf name the
@@ -78,17 +85,35 @@ object PushMembershipProbes extends Rule[LogicalPlan] with PredicateHelper {
         col(g.child).map(p => s"$p.${g.extractFieldName}")
       case _                      => None
     }
-    def keyProbe(m: Expression, k: Literal): Option[(String, Long)] =
-      for { c <- col(m); h <- hashLit(k.value, k.dataType) } yield c -> h
+    def keyProbe(m: Expression, k: Literal): Option[(String, Seq[Long])] =
+      for { c <- col(m); h <- hashLit(k.value, k.dataType) } yield c -> Seq(h)
+    // a LITERAL array's non-null element hashes — None unless every
+    // non-null element hashes (a partially-hashed group would
+    // over-prune) and at least one element is non-null (arrays_overlap
+    // cannot be TRUE against an all-null/empty literal side)
+    def groupOf(l: Literal): Option[Seq[Long]] = (l.value, l.dataType) match {
+      case (arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(et, _)) =>
+        val vs = (0 until arr.numElements())
+          .filterNot(arr.isNullAt).map(i => arr.get(i, et))
+        val hs = vs.map(hashLit(_, et))
+        if (hs.isEmpty || hs.exists(_.isEmpty)) None else Some(hs.flatten)
+      case _ => None
+    }
     e match {
       case ArrayContains(a, l: Literal) => col(a) match {
-        case Some(c) => hashLit(l.value, l.dataType).map(c -> _)
+        case Some(c) => hashLit(l.value, l.dataType).map(h => c -> Seq(h))
         case None => a match { // array_contains(map_keys(m), k)
           case MapKeys(mc) =>
-            for { c <- col(mc); h <- hashLit(l.value, l.dataType) } yield c -> h
+            for { c <- col(mc); h <- hashLit(l.value, l.dataType) }
+              yield c -> Seq(h)
           case _ => None
         }
       }
+      case ArraysOverlap(a, l: Literal) =>
+        for { c <- col(a); hs <- groupOf(l) } yield c -> hs
+      case ArraysOverlap(l: Literal, a) =>
+        for { c <- col(a); hs <- groupOf(l) } yield c -> hs
       case IsNotNull(GetMapValue(m, k: Literal)) => keyProbe(m, k)
       case EqualTo(GetMapValue(m, k: Literal), _: Literal) => keyProbe(m, k)
       case EqualTo(_: Literal, GetMapValue(m, k: Literal)) => keyProbe(m, k)

@@ -1084,30 +1084,37 @@ private[sources] object GraftProcedures {
 /** Wire format of the `graft.member-probes` scan option — the side
   * channel [[graft.plans.PushMembershipProbes]] uses to hand membership
   * conjuncts to the scan (Spark never pushes array_contains as a source
-  * filter): `b64(logicalCol):hashHex` pairs joined by ';'. Only the
-  * ELEMENT HASH crosses the boundary — the hash function is pinned in
-  * [[graft.functions.MemberBloom]], and the probe is purely
-  * planning-time file pruning, so a stale or garbled option can only
-  * keep extra files, never drop a match.
+  * filter): `b64(logicalCol):hashHex[|hashHex…]` groups joined by ';'.
+  * Each group is a CONJUNCT whose hashes are a DISJUNCTION — a TRUE
+  * `array_contains(col, k)` needs k present (singleton group); a TRUE
+  * `arrays_overlap(col, array(k1, k2))` needs AT LEAST ONE of k1/k2
+  * present, so a file is droppable only when the bloom excludes EVERY
+  * hash of the group. Only ELEMENT HASHES cross the boundary — the
+  * hash function is pinned in [[graft.functions.MemberBloom]], and the
+  * probe is purely planning-time file pruning, so a stale or garbled
+  * option can only keep extra files, never drop a match.
   */
 object MemberProbes {
-  def encode(probes: Seq[(String, Long)]): String = {
+  def encode(probes: Seq[(String, Seq[Long])]): String = {
     val enc = java.util.Base64.getEncoder.withoutPadding
-    probes.map { case (c, h) =>
+    probes.map { case (c, hs) =>
       s"${enc.encodeToString(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))}:${
-        java.lang.Long.toHexString(h)}"
+        hs.map(java.lang.Long.toHexString).mkString("|")}"
     }.mkString(";")
   }
 
-  def parse(opt: String): Seq[(String, Long)] =
+  def parse(opt: String): Seq[(String, Seq[Long])] =
     if (opt == null || opt.isEmpty) Nil
     else opt.split(';').toSeq.flatMap { kv =>
       kv.split(':') match {
-        case Array(c, h) =>
-          try Some((new String(java.util.Base64.getDecoder.decode(c),
-            java.nio.charset.StandardCharsets.UTF_8),
-            java.lang.Long.parseUnsignedLong(h, 16)))
-          catch { case scala.util.control.NonFatal(_) => None }
+        case Array(c, hs) =>
+          try {
+            val col = new String(java.util.Base64.getDecoder.decode(c),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val hashes = hs.split('|').toSeq
+              .map(java.lang.Long.parseUnsignedLong(_, 16))
+            if (hashes.isEmpty) None else Some(col -> hashes)
+          } catch { case scala.util.control.NonFatal(_) => None }
         case _ => None
       }
     }
@@ -2081,7 +2088,7 @@ class GraftDataWriter(
 class GraftTableScanBuilder(
     table: String, version: Option[Long], full: StructType,
     bucket: Option[(String, Int)] = None,
-    memberProbes: Seq[(String, Long)] = Nil)
+    memberProbes: Seq[(String, Seq[Long])] = Nil)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -2380,7 +2387,7 @@ class GraftBucketedScan(
     reportAs: StructType = null,
     staticIn: Map[String, Set[Long]] = Map.empty,
     staticStrIn: Map[String, Set[String]] = Map.empty,
-    memberProbes: Seq[(String, Long)] = Nil)
+    memberProbes: Seq[(String, Seq[Long])] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -2447,9 +2454,10 @@ class GraftBucketedScan(
         } && strBounds.forall { case (c, b) =>
           strStatsOf.getOrElse(p, Map.empty).get(c)
             .forall(GraftFilters.strZoneIntersects(_, b))
-        } && memberProbes.forall { case (c, h) =>
+        } && memberProbes.forall { case (c, hs) =>
           memberBloomsOf.getOrElse(p, Map.empty).get(c)
-            .forall(b => graft.functions.MemberBloom.mightContain(b, h))
+            .forall(b => hs.exists(h =>
+              graft.functions.MemberBloom.mightContain(b, h)))
         }
       }).toMap
     }
@@ -2717,7 +2725,7 @@ class GraftTableScan(
     reportAs: StructType = null,
     staticIn: Map[String, Set[Long]] = Map.empty,
     staticStrIn: Map[String, Set[String]] = Map.empty,
-    memberProbes: Seq[(String, Long)] = Nil) extends Scan with Batch
+    memberProbes: Seq[(String, Seq[Long])] = Nil) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -2907,9 +2915,11 @@ class GraftTableScan(
   private def memberKeep(path: String): Boolean =
     memberProbes.isEmpty || {
       val blooms = memberBloomsOf(path)
-      memberProbes.forall { case (c, h) =>
-        blooms.get(c)
-          .forall(b => graft.functions.MemberBloom.mightContain(b, h))
+      // each probe group is a disjunction: the file survives the group
+      // when ANY of its hashes might be contained
+      memberProbes.forall { case (c, hs) =>
+        blooms.get(c).forall(b => hs.exists(h =>
+          graft.functions.MemberBloom.mightContain(b, h)))
       }
     }
   private lazy val pruned =

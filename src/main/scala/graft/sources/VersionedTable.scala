@@ -388,7 +388,7 @@ object VersionedTable {
       bounds: Map[String, (Long, Long)], forceSeek: Boolean = false,
       strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])] =
         Map.empty,
-      memberProbes: Seq[(String, Long)] = Nil)
+      memberProbes: Seq[(String, Seq[Long])] = Nil)
       : Option[(Seq[(String, Long, Seq[String])], Seq[String])] = {
     val head = version.getOrElse {
       val vs = versions(table)
@@ -411,12 +411,14 @@ object VersionedTable {
       cells.nonEmpty && strBounds.exists { case (c, b) =>
         cells.get(c).exists(z => !GraftFilters.strZoneIntersects(z, b))
       }
-    // an OR-union bloom that positively excludes a probed key kills the
-    // whole commit/chunk: no member file's bloom can then contain it
+    // an OR-union bloom that positively excludes EVERY hash of a probe
+    // group kills the whole commit/chunk: no member file's bloom can
+    // then contain any of the group's keys (one surviving hash keeps it
+    // — the group is a disjunction, the arrays_overlap shape)
     def deadMemberZones(cells: Map[String, Array[Byte]]): Boolean =
-      cells.nonEmpty && memberProbes.exists { case (c, h) =>
-        cells.get(c).exists(b =>
-          !graft.functions.MemberBloom.mightContain(b, h))
+      cells.nonEmpty && memberProbes.exists { case (c, hs) =>
+        cells.get(c).exists(b => hs.forall(h =>
+          !graft.functions.MemberBloom.mightContain(b, h)))
       }
     def keepDir(dir: String): Boolean =
       !rolls.get(dir).exists(deadZones) &&
@@ -3039,7 +3041,7 @@ object VersionedTable {
       bounds: Map[String, (Long, Long)],
       strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])] =
         Map.empty,
-      memberProbes: Seq[(String, Long)] = Nil)
+      memberProbes: Seq[(String, Seq[Long])] = Nil)
       : Seq[(Long, Seq[(String, Long, Seq[String], Map[String, (Long, Long)])])] = {
     // a fully-parsed layout memo already paid the walk — reuse it
     val v = version.getOrElse(versions(table).last)
@@ -3061,9 +3063,9 @@ object VersionedTable {
         case (c, b) =>
           roll.get(c).exists(z => !GraftFilters.strZoneIntersects(z, b))
       }) || memberRolls.get(dir).exists(roll => memberProbes.exists {
-        case (c, h) =>
-          roll.get(c).exists(b =>
-            !graft.functions.MemberBloom.mightContain(b, h))
+        case (c, hs) =>
+          roll.get(c).exists(b => hs.forall(h =>
+            !graft.functions.MemberBloom.mightContain(b, h)))
       })
     // INDEXED fast path: seek to surviving entry blocks — never streams
     // the base manifest's O(files) entry section. Commit dirs drop on
@@ -3122,7 +3124,7 @@ object VersionedTable {
       bounds: Map[String, (Long, Long)],
       strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])] =
         Map.empty,
-      memberProbes: Seq[(String, Long)] = Nil)
+      memberProbes: Seq[(String, Seq[Long])] = Nil)
       : Option[String => Option[(Option[Long], Option[Long])]] = {
     selectiveRawEntries(table, version, bounds, strBounds = strBounds,
       memberProbes = memberProbes).map {
@@ -3157,7 +3159,7 @@ object VersionedTable {
       table: String, version: Option[Long],
       bounds: Map[String, (Long, Long)],
       strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])],
-      memberProbes: Seq[(String, Long)] = Nil)
+      memberProbes: Seq[(String, Seq[Long])] = Nil)
       : Option[String => Map[String, (Array[Byte], Option[Array[Byte]])]] = {
     selectiveRawEntries(table, version, bounds, strBounds = strBounds,
       memberProbes = memberProbes).map {
@@ -3194,7 +3196,7 @@ object VersionedTable {
       table: String, version: Option[Long],
       bounds: Map[String, (Long, Long)],
       strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])],
-      memberProbes: Seq[(String, Long)])
+      memberProbes: Seq[(String, Seq[Long])])
       : Option[String => Map[String, Array[Byte]]] = {
     selectiveRawEntries(table, version, bounds, strBounds = strBounds,
       memberProbes = memberProbes).map {

@@ -137,6 +137,48 @@ class MemberBloomSpec extends AnyFunSuite {
     assert(un.count() === 0L)
   }
 
+  test("arrays_overlap probes prune disjunctively: keep any-match files, " +
+      "drop only all-excluded ones") {
+    root
+    spark.sql(
+      """CREATE TABLE gmb.default.ovl (
+        |  id BIGINT, tags ARRAY<STRING>)
+        |TBLPROPERTIES ('graft.member-cols' = 'tags')""".stripMargin)
+    Seq("en", "de", "fr", "zh").zipWithIndex.foreach { case (t, i) =>
+      spark.sql(
+        s"""INSERT INTO gmb.default.ovl
+           |SELECT id + ${i * 100}, array('$t')
+           |FROM range(0, 100, 1, 1) AS t(id)""".stripMargin)
+    }
+    // a two-key IN-list keeps exactly the two matching generations
+    val q = spark.sql(
+      "SELECT id FROM gmb.default.ovl " +
+        "WHERE arrays_overlap(tags, array('de', 'zh'))")
+    val (kept, total) = plannedFiles(q)
+    assert(kept == 2 && total == 5,
+      s"the de|zh group must keep exactly two generations: $kept/$total")
+    assert(q.count() === 200L)
+    assert(q.collect().forall { r =>
+      val v = r.getLong(0); (v >= 100 && v < 200) || v >= 300
+    })
+    // literal-first argument order recognizes too
+    val q2 = spark.sql(
+      "SELECT id FROM gmb.default.ovl " +
+        "WHERE arrays_overlap(array('fr'), tags)")
+    assert(plannedFiles(q2)._1 === 1 && q2.count() === 100L)
+    // a group with NO present key plans zero files; a group containing
+    // a null literal still prunes on the non-null keys (null elements
+    // can never witness an overlap)
+    val none = spark.sql(
+      "SELECT id FROM gmb.default.ovl " +
+        "WHERE arrays_overlap(tags, array('xx', 'yy'))")
+    assert(plannedFiles(none)._1 === 0 && none.count() === 0L)
+    val withNull = spark.sql(
+      "SELECT id FROM gmb.default.ovl " +
+        "WHERE arrays_overlap(tags, array('en', CAST(NULL AS STRING)))")
+    assert(plannedFiles(withNull)._1 === 1 && withNull.count() === 100L)
+  }
+
   test("member blooms ride the SEEK path: b~ rollup cells skip chunks " +
       "inside one giant commit, never materializing the O(files) map") {
     root
