@@ -70,7 +70,9 @@ object PushMembershipProbes extends Rule[LogicalPlan] with PredicateHelper {
       case _           => None
     }
 
-  private def probeOf(
+  // shared with [[PushFiltersIntoVersionedStream]] — the streaming twin
+  // extracts the same membership conjuncts from its per-batch Filter
+  private[plans] def probeOf(
       top: Map[ExprId, String], e: Expression): Option[(String, Seq[Long])] = {
     // a membership column may be a TOP-LEVEL attribute or a STRUCT-LEAF
     // access chain (array_contains(meta.tags, 'en')): GetStructField

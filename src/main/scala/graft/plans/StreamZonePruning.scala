@@ -83,21 +83,40 @@ object PushFiltersIntoVersionedStream extends Rule[LogicalPlan] with PredicateHe
     // clears bounds a prior micro-batch's plan may have handed over.
     val occ = scala.collection.mutable.LinkedHashMap
       .empty[graft.sources.VersionedMicroBatchStream, List[Option[Expression]]]
+    val outs = scala.collection.mutable.Map
+      .empty[graft.sources.VersionedMicroBatchStream, Map[ExprId, String]]
     def record(s: graft.sources.VersionedMicroBatchStream,
                c: Option[Expression]): Unit =
       occ.update(s, occ.getOrElse(s, Nil) :+ c)
+    def recordOut(rel: LogicalPlan): Unit = streamOf(rel).foreach { s =>
+      outs.getOrElseUpdate(s,
+        rel.output.map(a => a.exprId -> a.name).toMap)
+      ()
+    }
     streamOf(plan).foreach(record(_, None)) // bare relation at the root
+    recordOut(plan)
     plan.foreach {
-      case Filter(cond, child) => streamOf(child).foreach(record(_, Some(cond)))
+      case Filter(cond, child) =>
+        streamOf(child).foreach(record(_, Some(cond))); recordOut(child)
       case other =>
-        other.children.foreach(ch => streamOf(ch).foreach(record(_, None)))
+        other.children.foreach { ch =>
+          streamOf(ch).foreach(record(_, None)); recordOut(ch)
+        }
     }
     occ.foreach {
       case (s, List(one)) =>
-        val conjuncts = one.toSeq
-          .flatMap(splitConjunctivePredicates).flatMap(toV1)
+        val split = one.toSeq.flatMap(splitConjunctivePredicates)
+        val conjuncts = split.flatMap(toV1)
         s.updatePushedPredicates((conjuncts ++ joinKeyFilters(plan, s)).toArray)
-      case (s, _) => s.updatePushedPredicates(Array.empty)
+        // MEMBERSHIP conjuncts ride their own channel (the v1 Filter
+        // surface can't speak array_contains) — same extraction as the
+        // batch rule, logical names rendered from the relation output
+        val top = outs.getOrElse(s, Map.empty)
+        s.updateMemberProbes(
+          split.flatMap(PushMembershipProbes.probeOf(top, _)).distinct)
+      case (s, _) =>
+        s.updatePushedPredicates(Array.empty)
+        s.updateMemberProbes(Nil)
     }
     plan
   }

@@ -302,6 +302,21 @@ class VersionedMicroBatchStream(
   @volatile private var pushedInSets: Map[String, Array[Long]] = Map.empty
   @volatile private var pushedStrInSets
       : Map[String, Array[Array[Byte]]] = Map.empty
+  // MEMBERSHIP probe groups (array_contains / map-key / arrays_overlap
+  // conjuncts — the v1 Filter surface can't speak them, so they ride
+  // their own hand-off): each group is a disjunction of element hashes;
+  // a fresh file drops only when its commit-time bloom excludes EVERY
+  // hash of some group
+  @volatile private var pushedMemberProbes: Seq[(String, Seq[Long])] = Nil
+
+  /** Membership-probe hand-off (logical names — translated through the
+    * column map here, like the scalar bounds). Replaces wholesale.
+    */
+  def updateMemberProbes(probes: Seq[(String, Seq[Long])]): Unit = {
+    val seg = VersionedTable.segmentL2P(table)
+    pushedMemberProbes =
+      probes.map { case (c, hs) => VersionedTable.physDotted(seg, c) -> hs }
+  }
 
   /** Translate the optimizer's v1 filters (LOGICAL names) into physical
     * zone bounds and admissible-key sets for this stream's batches.
@@ -347,9 +362,13 @@ class VersionedMicroBatchStream(
     val sb0 = pushedStrBounds
     val in0 = pushedInSets
     val sin0 = pushedStrInSets
-    (b0.isEmpty && sb0.isEmpty && in0.isEmpty && sin0.isEmpty) || {
+    val mp0 = pushedMemberProbes
+    (b0.isEmpty && sb0.isEmpty && in0.isEmpty && sin0.isEmpty &&
+      mp0.isEmpty) || {
       val stats = zonesOf(v).getOrElse(rel, Map.empty)
       lazy val sstats = VersionedTable.snapshotStrStats(table, Some(v))
+        .getOrElse(rel, Map.empty)
+      lazy val mblooms = VersionedTable.snapshotMemberBlooms(table, Some(v))
         .getOrElse(rel, Map.empty)
       b0.forall { case (c, lo, hi) =>
         stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
@@ -363,6 +382,9 @@ class VersionedMicroBatchStream(
         sstats.get(c).forall { case (zlo, zhi) =>
           GraftFilters.anyInStrZone(vs, zlo, zhi)
         }
+      } && mp0.forall { case (c, hs) =>
+        mblooms.get(c).forall(b => hs.exists(h =>
+          graft.functions.MemberBloom.mightContain(b, h)))
       }
     }
   }

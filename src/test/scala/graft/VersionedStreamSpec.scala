@@ -160,6 +160,57 @@ class VersionedStreamSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 800L)
   }
 
+  test("membership probes prune each micro-batch's files through member blooms") {
+    val s = spark; import s.implicits._
+    val d = freshDir()
+    // member blooms come from table props — create through the catalog,
+    // stream from the table's path (the same files either way)
+    spark.conf.set("spark.sql.catalog.gvsm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gvsm.root", d)
+    spark.sql(
+      """CREATE TABLE gvsm.default.mt (
+        |  id BIGINT, tags ARRAY<STRING>)
+        |TBLPROPERTIES ('graft.member-cols' = 'tags')""".stripMargin)
+    Seq("en", "de", "fr", "zh").zipWithIndex.foreach { case (tag, i) =>
+      spark.sql(
+        s"""INSERT INTO gvsm.default.mt
+           |SELECT id + ${i * 100}, array('$tag')
+           |FROM range(0, 100, 1, 1) AS t(id)""".stripMargin)
+    }
+    val t = s"$d/default/mt"
+    val q = spark.readStream.format("graft-table").load(t)
+      .filter(org.apache.spark.sql.functions.array_contains(col("tags"), "de"))
+      .writeStream.format("memory").queryName("vs_member")
+      .option("checkpointLocation", s"$d/cp_m")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(spark.sql("SELECT id FROM vs_member").collect()
+      .map(_.getLong(0)).sorted.toSeq == (100L until 200L),
+      "membership pruning must never change results")
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows <= 100L,
+      s"member blooms must skip the other languages' files: read $inputRows of 400 rows")
+    // disjunctive group: two tags admit exactly two files' rows
+    val q2 = spark.readStream.format("graft-table").load(t)
+      .filter(org.apache.spark.sql.functions.arrays_overlap(col("tags"),
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit("en"),
+          org.apache.spark.sql.functions.lit("zh"))))
+      .writeStream.format("memory").queryName("vs_member_ovl")
+      .option("checkpointLocation", s"$d/cp_m2")
+      .start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val got = spark.sql("SELECT id FROM vs_member_ovl").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L until 100L) ++ (300L until 400L)),
+      s"overlap group must keep both matching generations: ${got.size} rows")
+    val inputRows2 = q2.recentProgress.map(_.numInputRows).sum
+    assert(inputRows2 <= 200L,
+      s"the two-key group must admit two files: read $inputRows2 of 400 rows")
+  }
+
   test("a stream consumed by several filtered branches never loses rows to pruning") {
     // regression: one micro-batch plan, one VersionedMicroBatchStream,
     // TWO Filter parents (union of disjoint key ranges). Last-writer-wins
