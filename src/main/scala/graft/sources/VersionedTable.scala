@@ -4966,13 +4966,31 @@ object VersionedTable {
         // O(commits) path after every vacuum
         val liveDirs = resolved.filterNot(isRemoveEntry)
           .map(e => entryPath(e).split('/')(1)).toSet
-        val (rolls, schemas, _, _) = persistedHeaders(table, Some(v))
+        val (rolls, schemas, strRolls, memberRolls) =
+          persistedHeaders(table, Some(v))
+        // ALL cell families survive the materialization — dropping the
+        // s~/b~ cells here would silently degrade string/membership
+        // commit-level pruning after every vacuum (small dirs' index
+        // lines carry no cells, so the rollup line is their only
+        // pre-filter)
+        val enc = java.util.Base64.getEncoder.withoutPadding
+        val rollDirs = (rolls.keySet ++ strRolls.keySet ++
+          memberRolls.keySet).filter(liveDirs.contains).toSeq.sorted
         val hints =
-          rolls.filter(kv => liveDirs.contains(kv._1)).toSeq.sortBy(_._1)
-            .map { case (dir, m) =>
-              s"rollup=$dir ${m.toSeq.sortBy(_._1)
-                .map { case (c, (mn, mx)) => s"$c=$mn..$mx" }.mkString(";")}"
-            } ++
+          rollDirs.flatMap { dir =>
+            val cells =
+              rolls.getOrElse(dir, Map.empty).toSeq.sortBy(_._1)
+                .map { case (c, (mn, mx)) => s"$c=$mn..$mx" } ++
+              strRolls.getOrElse(dir, Map.empty).toSeq.sortBy(_._1)
+                .map { case (c, (lo, hi)) =>
+                  s"s~$c=${enc.encodeToString(lo)}.." +
+                    hi.map(enc.encodeToString).getOrElse("")
+                } ++
+              memberRolls.getOrElse(dir, Map.empty).toSeq.sortBy(_._1)
+                .map { case (c, b) => s"b~$c=${enc.encodeToString(b)}" }
+            if (cells.isEmpty) None
+            else Some(s"rollup=$dir ${cells.mkString(";")}")
+          } ++
           schemas.filter(kv => liveDirs.contains(kv._1)).toSeq.sortBy(_._1)
             .map { case (dir, st) => s"schema=$dir ${st.json}" }
         val mdir = manifestDir(table)

@@ -252,4 +252,45 @@ class PlanHeaderSpec extends AnyFunSuite {
     assert(sel.map(_._1) == Seq(2L), s"got ${sel.map(_._1)}")
     assert(VersionedTable.read(spark, t).count() == 1500L)
   }
+
+  test("vacuum materialization keeps STRING and MEMBER rollup cells") {
+    val s = spark
+    // member blooms need table props — build through the catalog; the
+    // string key gets s~ cells from the default stats set
+    spark.conf.set("spark.sql.catalog.gvhm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gvhm.root",
+      java.nio.file.Paths.get(root).getParent.toString)
+    val ns = java.nio.file.Paths.get(root).getFileName
+    spark.sql(
+      s"""CREATE TABLE gvhm.$ns.vacsm (
+         |  sk STRING, tags ARRAY<STRING>)
+         |TBLPROPERTIES ('graft.member-cols' = 'tags')""".stripMargin)
+    Seq("aa" -> "en", "mm" -> "de", "zz" -> "fr").foreach { case (k, tag) =>
+      spark.sql(
+        s"""INSERT INTO gvhm.$ns.vacsm
+           |SELECT concat('$k', CAST(id AS STRING)), array('$tag')
+           |FROM range(0, 50, 1, 1) AS t(id)""".stripMargin)
+    }
+    val t = s"$root/vacsm"
+    val before = manifestText(t, VersionedTable.versions(t).last)
+    assert(before.contains("s~sk=") && before.contains("b~tags="),
+      s"precondition: live chain carries s~ and b~ cells:\n${before.take(400)}")
+    VersionedTable.vacuum(t, retain = 1)
+    val after = manifestText(t, VersionedTable.versions(t).last)
+    assert(!after.contains("carry="), "materialized head is self-contained")
+    assert(after.contains("s~sk="),
+      s"s~ cells must survive materialization:\n${after.take(600)}")
+    assert(after.contains("b~tags="),
+      s"b~ cells must survive materialization:\n${after.take(600)}")
+    // and the surviving cells still prune: the 'de' probe keeps one
+    // commit's file, the string bound drops the zz commit
+    val q = spark.sql(
+      s"SELECT sk FROM gvhm.$ns.vacsm WHERE array_contains(tags, 'de')")
+    assert(q.count() === 50L)
+    val m = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no graft-catalog scan"))
+    assert(m.group(1).toInt === 1,
+      s"member pruning must survive vacuum: files=${m.group(1)}/${m.group(2)}")
+  }
 }
