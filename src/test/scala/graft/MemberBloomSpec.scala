@@ -290,6 +290,36 @@ class MemberBloomSpec extends AnyFunSuite {
     assert(q3.collect().forall(_.getLong(0) < 100))
   }
 
+  test("DOTTED map member cols: meta.attrs key probes prune through the spine") {
+    root
+    spark.sql(
+      """CREATE TABLE gmb.default.nmap (
+        |  id BIGINT, meta STRUCT<src: STRING, attrs: MAP<STRING, BIGINT>>)
+        |TBLPROPERTIES ('graft.member-cols' = 'meta.attrs')""".stripMargin)
+    Seq("alpha", "beta", "gamma").zipWithIndex.foreach { case (k, i) =>
+      spark.sql(
+        s"""INSERT INTO gmb.default.nmap
+           |SELECT id + ${i * 100},
+           |  named_struct('src', 'web', 'attrs', map('$k', id, 'common', id))
+           |FROM range(0, 100, 1, 1) AS t(id)""".stripMargin)
+    }
+    val q = spark.sql(
+      "SELECT id FROM gmb.default.nmap WHERE meta.attrs['beta'] IS NOT NULL")
+    val (kept, total) = plannedFiles(q)
+    assert(kept == 1 && total == 4,
+      s"the nested map-key probe must prune: $kept/$total")
+    assert(q.count() === 100L)
+    assert(q.collect().forall(r => r.getLong(0) >= 100 && r.getLong(0) < 200))
+    // equality form + the common key's no-pruning baseline
+    val eq = spark.sql(
+      "SELECT id FROM gmb.default.nmap WHERE meta.attrs['gamma'] = 42")
+    assert(plannedFiles(eq)._1 === 1)
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(242L))
+    val all = spark.sql(
+      "SELECT id FROM gmb.default.nmap WHERE meta.attrs['common'] IS NOT NULL")
+    assert(all.count() === 300L)
+  }
+
   test("probes survive MOR tombstones and time travel") {
     root
     spark.sql(
