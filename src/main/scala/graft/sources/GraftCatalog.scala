@@ -2857,15 +2857,19 @@ class GraftTableScan(
   private lazy val layout = VersionedTable.snapshotLayout(table, version)
   // per-file string zones: through the seek path's chunk-granular maps
   // when the selective plan engages (never materializing the global
-  // O(files) memo on a cold plan), the global memo otherwise
+  // O(files) memo on a cold plan), the global memo otherwise. Per-file
+  // None = NOT in the seek path's surviving selection — positively
+  // excluded at commit/chunk granularity, so the per-file check DROPS
+  // it (a warm plan assembling from the reusable full-layout memo must
+  // prune exactly what a cold seek plan never reads)
   private lazy val strStatsOf
-      : String => Map[String, (Array[Byte], Option[Array[Byte]])] =
-    if (strBounds.isEmpty) _ => Map.empty
+      : String => Option[Map[String, (Array[Byte], Option[Array[Byte]])]] =
+    if (strBounds.isEmpty) _ => Some(Map.empty)
     else VersionedTable.selectiveStrStats(table, version, bounds, strBounds,
         memberProbes)
       .getOrElse {
         val g = VersionedTable.snapshotStrStats(table, version)
-        p => g.getOrElse(p, Map.empty)
+        p => Some(g.getOrElse(p, Map.empty))
       }
   // footer-counted ZERO-ROW files (schema carriers, emptied rewrites)
   // hold nothing under any tombstone set — drop them from planning, so
@@ -2904,24 +2908,25 @@ class GraftTableScan(
   // chunks first; only surviving chunks' per-file blooms are parsed or
   // held) — the global O(files)×~1 KiB driver map only materializes on
   // index-less legacy manifests.
-  private lazy val memberBloomsOf: String => Map[String, Array[Byte]] =
-    if (memberProbes.isEmpty) _ => Map.empty
+  private lazy val memberBloomsOf: String => Option[Map[String, Array[Byte]]] =
+    if (memberProbes.isEmpty) _ => Some(Map.empty)
     else VersionedTable.selectiveMemberBlooms(table, version, bounds,
         strBounds, memberProbes)
       .getOrElse {
         val g = VersionedTable.snapshotMemberBlooms(table, version)
-        p => g.getOrElse(p, Map.empty)
+        p => Some(g.getOrElse(p, Map.empty))
       }
   private def memberKeep(path: String): Boolean =
-    memberProbes.isEmpty || {
-      val blooms = memberBloomsOf(path)
-      // each probe group is a disjunction: the file survives the group
-      // when ANY of its hashes might be contained
-      memberProbes.forall { case (c, hs) =>
-        blooms.get(c).forall(b => hs.exists(h =>
-          graft.functions.MemberBloom.mightContain(b, h)))
-      }
-    }
+    memberProbes.isEmpty || (memberBloomsOf(path) match {
+      case None => false // not in the surviving selection: chunk-dead
+      case Some(blooms) =>
+        // each probe group is a disjunction: the file survives the
+        // group when ANY of its hashes might be contained
+        memberProbes.forall { case (c, hs) =>
+          blooms.get(c).forall(b => hs.exists(h =>
+            graft.functions.MemberBloom.mightContain(b, h)))
+        }
+    })
   private lazy val pruned =
     if (bounds.isEmpty && strBounds.isEmpty && memberProbes.isEmpty)
       layout.filter { case (path, _, _, _) => !zeroRows.contains(path) }
@@ -2942,12 +2947,13 @@ class GraftTableScan(
           }
         }.toSeq
   private def strKeep(path: String): Boolean =
-    strBounds.isEmpty || {
-      val zs = strStatsOf(path)
-      strBounds.forall { case (c, b) =>
-        zs.get(c).forall(GraftFilters.strZoneIntersects(_, b))
-      }
-    }
+    strBounds.isEmpty || (strStatsOf(path) match {
+      case None => false // not in the surviving selection: chunk-dead
+      case Some(zs) =>
+        strBounds.forall { case (c, b) =>
+          zs.get(c).forall(GraftFilters.strZoneIntersects(_, b))
+        }
+    })
   // a pushed (partial) LIMIT plans just enough files to cover it, by
   // footer counts — safe only when every file is tombstone-free (the
   // MOR anti-join shrinks a file's contribution below its footer count)

@@ -3152,15 +3152,22 @@ object VersionedTable {
     * admits, through the seek-based fast path — the string twin of
     * [[selectiveRowsBytes]]: a string-bounded cold plan probes only the
     * surviving chunks' entries instead of materializing the global
-    * O(files) string-stats memo. None when the fast path doesn't serve
-    * this snapshot — callers fall back to [[snapshotStrStats]].
+    * O(files) string-stats memo. The OUTER None means the fast path
+    * doesn't serve this snapshot — callers fall back to
+    * [[snapshotStrStats]]. The INNER Option is per FILE: None means the
+    * path is NOT in the surviving selection — its commit/chunk cells
+    * positively excluded the plan's predicates, so a caller that plans
+    * from a reusable full-layout memo must DROP it (returning an empty
+    * map there would silently keep every dead-chunk file on warm
+    * plans); Some(empty) means served but stat-less (keep — omission is
+    * cannot-exclude).
     */
   private[sources] def selectiveStrStats(
       table: String, version: Option[Long],
       bounds: Map[String, (Long, Long)],
       strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])],
       memberProbes: Seq[(String, Seq[Long])] = Nil)
-      : Option[String => Map[String, (Array[Byte], Option[Array[Byte]])]] = {
+      : Option[String => Option[Map[String, (Array[Byte], Option[Array[Byte]])]]] = {
     selectiveRawEntries(table, version, bounds, strBounds = strBounds,
       memberProbes = memberProbes).map {
       case (raw, _) =>
@@ -3175,10 +3182,9 @@ object VersionedTable {
           }
         (p: String) => {
           val parts = p.split('/')
-          if (parts.length < 2) Map.empty
+          if (parts.length < 2) None
           else byDir.getOrElse(parts(1), Nil).iterator
             .flatMap(_.get(p)).nextOption()
-            .getOrElse(Map.empty)
         }
     }
   }
@@ -3189,15 +3195,18 @@ object VersionedTable {
     * parses (and holds) only the SURVIVING chunks' blooms instead of
     * materializing the global O(files)×~1 KiB driver map
     * ([[snapshotMemberBlooms]]) and streaming the whole entry section.
-    * None when the fast path doesn't serve this snapshot — callers fall
-    * back to the global memo.
+    * Outer None = fast path doesn't serve this snapshot (fall back to
+    * the global memo); inner per-file None = the path is NOT in the
+    * surviving selection (positively excluded at commit/chunk
+    * granularity — callers planning from a full-layout memo must DROP
+    * it, see [[selectiveStrStats]]).
     */
   private[sources] def selectiveMemberBlooms(
       table: String, version: Option[Long],
       bounds: Map[String, (Long, Long)],
       strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])],
       memberProbes: Seq[(String, Seq[Long])])
-      : Option[String => Map[String, Array[Byte]]] = {
+      : Option[String => Option[Map[String, Array[Byte]]]] = {
     selectiveRawEntries(table, version, bounds, strBounds = strBounds,
       memberProbes = memberProbes).map {
       case (raw, _) =>
@@ -3211,10 +3220,9 @@ object VersionedTable {
           }
         (p: String) => {
           val parts = p.split('/')
-          if (parts.length < 2) Map.empty
+          if (parts.length < 2) None
           else byDir.getOrElse(parts(1), Nil).iterator
             .flatMap(_.get(p)).nextOption()
-            .getOrElse(Map.empty)
         }
     }
   }

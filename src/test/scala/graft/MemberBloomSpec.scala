@@ -219,6 +219,20 @@ class MemberBloomSpec extends AnyFunSuite {
         s"the g5 probe must keep ~10 of 300 files: $kept/$total")
       assert(q.collect().map(_.getLong(0)).sorted.toSeq == (500L until 600L),
         "chunk-level bloom skipping must be invisible to results")
+      // WARM-path parity: an unfiltered scan materializes the reusable
+      // full-layout memo; a later probe plan assembles from THAT memo
+      // and must still prune dead-chunk files via the per-file serving
+      // functions' not-in-selection signal (regression: Map.empty for
+      // unserved paths silently kept all 300). sum() is NOT
+      // manifest-answerable, so this scan really plans the full layout.
+      assert(spark.sql("SELECT sum(id) FROM gmb.default.seek")
+        .collect()(0).getLong(0) === (0L until 3000L).sum)
+      val warm = spark.sql(
+        "SELECT id FROM gmb.default.seek WHERE array_contains(tags, 'g5')")
+      val (wKept, _) = plannedFiles(warm)
+      assert(wKept == kept,
+        s"warm (layout-memo) plan must prune like the cold seek plan: $wKept vs $kept")
+      assert(warm.collect().map(_.getLong(0)).sorted.toSeq == (500L until 600L))
     } finally graft.sources.VersionedTable.IndexChunkEntries = prev
   }
 

@@ -177,6 +177,24 @@ class PlanHeaderSpec extends AnyFunSuite {
         .getOrElse(fail("no graft-catalog scan"))
       assert(m.group(1).toInt <= 10 && m.group(2).toInt >= 300,
         s"string bounds must prune files at planning: files=${m.group(1)}/${m.group(2)}")
+      // WARM-path parity: with the full-layout memo materialized by an
+      // unfiltered scan, the same string range must still prune to the
+      // cold seek plan's file count (dead-chunk files drop via the
+      // per-file serving functions' not-in-selection signal). sum() is
+      // NOT manifest-answerable, so this scan really plans the layout.
+      assert(spark.sql(
+        s"SELECT sum(n) FROM gsck.${java.nio.file.Paths.get(root).getFileName}" +
+          ".strchunk").collect()(0).getLong(0) === (1L to 3000L).sum)
+      val warm = spark.sql(
+        s"SELECT sk FROM gsck.${java.nio.file.Paths.get(root).getFileName}" +
+          ".strchunk WHERE sk BETWEEN 'k01500' AND 'k01520'")
+      val wm = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(warm.queryExecution.executedPlan.toString)
+        .getOrElse(fail("no graft-catalog scan"))
+      assert(wm.group(1).toInt === m.group(1).toInt,
+        s"warm plan must prune like cold: files=${wm.group(1)} vs ${m.group(1)}")
+      assert(warm.collect().map(_.getString(0)).toSet ==
+        (1500L to 1520L).map(k => f"k$k%05d").toSet)
     } finally VersionedTable.IndexChunkEntries = prev
   }
 
