@@ -119,6 +119,17 @@ object PushMembershipProbes extends Rule[LogicalPlan] with PredicateHelper {
       case IsNotNull(GetMapValue(m, k: Literal)) => keyProbe(m, k)
       case EqualTo(GetMapValue(m, k: Literal), _: Literal) => keyProbe(m, k)
       case EqualTo(_: Literal, GetMapValue(m, k: Literal)) => keyProbe(m, k)
+      // element_at / try_element_at on a MAP (Spark 4 returns NULL on a
+      // missing key in every mode — verified on 4.1.2 — so a TRUE
+      // comparison still requires the key present). map_contains_key
+      // needs no case: RuntimeReplaceable into array_contains(map_keys)
+      // before this rule runs.
+      case IsNotNull(ElementAt(m, k: Literal, _, _))
+          if m.dataType.isInstanceOf[MapType] => keyProbe(m, k)
+      case EqualTo(ElementAt(m, k: Literal, _, _), _: Literal)
+          if m.dataType.isInstanceOf[MapType] => keyProbe(m, k)
+      case EqualTo(_: Literal, ElementAt(m, k: Literal, _, _))
+          if m.dataType.isInstanceOf[MapType] => keyProbe(m, k)
       case _ => None
     }
   }

@@ -103,6 +103,19 @@ class MemberBloomSpec extends AnyFunSuite {
     val eq = spark.sql("SELECT id FROM gmb.default.kv WHERE attrs['gamma'] = 42")
     assert(plannedFiles(eq) == ((1, 4)))
     assert(eq.collect().map(_.getLong(0)).toSeq == Seq(242L))
+    // the function-call spellings probe identically: map_contains_key
+    // rewrites to array_contains(map_keys) before the rule runs, and
+    // try_element_at matches the ElementAt case directly
+    val mck = spark.sql(
+      "SELECT id FROM gmb.default.kv WHERE map_contains_key(attrs, 'alpha')")
+    assert(plannedFiles(mck)._1 === 1 && mck.count() === 100L)
+    val tea = spark.sql(
+      "SELECT id FROM gmb.default.kv WHERE try_element_at(attrs, 'beta') IS NOT NULL")
+    assert(plannedFiles(tea)._1 === 1 && tea.count() === 100L)
+    val teq = spark.sql(
+      "SELECT id FROM gmb.default.kv WHERE element_at(attrs, 'gamma') = 42")
+    assert(plannedFiles(teq)._1 === 1)
+    assert(teq.collect().map(_.getLong(0)).toSeq == Seq(242L))
     // the common key keeps everything the probe-less scan keeps
     val baseline = plannedFiles(spark.sql("SELECT id FROM gmb.default.kv"))._1
     val all = spark.sql(
