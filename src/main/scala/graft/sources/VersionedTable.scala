@@ -2174,6 +2174,47 @@ object VersionedTable {
     StructType(merged ++ b.fields.filterNot(f => aNames.contains(f.name)))
   }
 
+  /** Data-commit DIRECTORIES along the carry chain, from headers plus
+    * the O(fresh) carry bodies — never the base's O(files) entry
+    * section: the base's dirs come from its `index=` lines, each carry
+    * manifest contributes its own fresh data dirs. The result is a
+    * SUPERSET of the live dirs (chain removals are ignored), which is
+    * exactly what schema union needs — every removal path (COW
+    * delete/update rewrites) publishes its replacement files with the
+    * FULL snapshot schema in the same manifest, so a removed dir's
+    * schema is always ⊆ the union of the dirs kept here; and schema
+    * CARRIERS (zero-row files) are never COW-removed (no row matches),
+    * so added columns can't vanish from the superset either. None for
+    * index-less legacy bases — callers walk the entries.
+    */
+  private[sources] def chainDataDirs(
+      table: String, version: Option[Long]): Option[Seq[String]] = {
+    val vs = versions(table)
+    if (vs.isEmpty) return None
+    var v = version.getOrElse(vs.last)
+    val dirs = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (true) {
+      val hdr = manifestHeaderBytes(table, v)._1
+      hdr.find(_.startsWith("carry=")).map(_.stripPrefix("carry=").toLong) match {
+        case Some(prev) =>
+          ownEntries(manifestLines(table, v), v)
+            .filterNot(e => isDeleteEntry(e) || isRemoveEntry(e))
+            .foreach(e => dirs += entryPath(e).split('/')(1))
+          v = prev
+        case None =>
+          val idx = hdr.filter(_.startsWith("index="))
+          if (idx.isEmpty) return None
+          idx.foreach { l =>
+            val dir = l.stripPrefix("index=").takeWhile(_ != ' ')
+              .takeWhile(_ != '%')
+            if (dir != "!del") dirs += dir
+          }
+          return Some(dirs.toSeq)
+      }
+    }
+    None // unreachable
+  }
+
   private[sources] def snapshotSchema(
       spark: SparkSession, table: String, version: Option[Long])
       : org.apache.spark.sql.types.StructType = {
@@ -2190,12 +2231,31 @@ object VersionedTable {
       // map throws "Recursive update" (the snapshotCommitZones lesson)
       val hints = persistedSchemas(table, version)
       memoParsed(table, version, "schema") {
-        val dataE = pinnedEntries(table, version).filterNot(isDeleteEntry).map(entryPath)
-        require(dataE.nonEmpty, s"no data files in the snapshot of $table")
-        val reps = dataE.groupBy(dataCommitOf).toSeq.sortBy(_._1).map(_._2.min)
-        reps.map(p => hints.getOrElse(p.split('/')(1),
-            commitSchemaOf(spark, table, p)))
-          .reduce(unionSchemas(table, _, _))
+        // HEADER fast path: when every chain data dir carries a schema
+        // hint, the union resolves with ZERO entry-section bytes — the
+        // first plan of a 1M-file table must not stream the manifest's
+        // O(files) entries just to enumerate its commits (profiled at
+        // ~2.9 s of a 4.8 s cold plan on a 1M-file member table).
+        // Commit order matches the entry walk's sortBy(dataCommitOf),
+        // so the unioned field ORDER is identical.
+        val fast = chainDataDirs(table, version) match {
+          case Some(dirs) if dirs.nonEmpty && dirs.forall(hints.contains) &&
+              snapshotFileCountFast(table, version).exists(_ > 0) =>
+            val byCommit = dirs.map(d =>
+              d.stripPrefix("c").takeWhile(_.isDigit).toLongOption -> d)
+            if (byCommit.exists(_._1.isEmpty)) None
+            else Some(byCommit.sortBy(_._1.get).map(t => hints(t._2))
+              .reduce(unionSchemas(table, _, _)))
+          case _ => None
+        }
+        fast.getOrElse {
+          val dataE = pinnedEntries(table, version).filterNot(isDeleteEntry).map(entryPath)
+          require(dataE.nonEmpty, s"no data files in the snapshot of $table")
+          val reps = dataE.groupBy(dataCommitOf).toSeq.sortBy(_._1).map(_._2.min)
+          reps.map(p => hints.getOrElse(p.split('/')(1),
+              commitSchemaOf(spark, table, p)))
+            .reduce(unionSchemas(table, _, _))
+        }
       }
     }
   }

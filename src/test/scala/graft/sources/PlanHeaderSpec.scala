@@ -242,6 +242,33 @@ class PlanHeaderSpec extends AnyFunSuite {
     } finally VersionedTable.IndexChunkEntries = prev
   }
 
+  test("schema resolves from HEADERS alone: chainDataDirs covers the live " +
+      "dirs, excludes tombstone dirs, and the fast union matches the entry walk") {
+    val s = spark; import s.implicits._
+    val t = s"$root/schdr"
+    VersionedTable.commit(
+      (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(2, col("k")),
+      t, append = false, statsCols = Seq("k"))
+    VersionedTable.commit(
+      (201L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(2, col("k")),
+      t, append = true, statsCols = Seq("k"))
+    // a MOR delete adds a TOMBSTONE dir — data-dir enumeration must skip it
+    VersionedTable.deleteWherePositional(spark, t, col("k") % 50L === 0L)
+    val dirs = VersionedTable.chainDataDirs(t, None)
+      .getOrElse(fail("indexed base must serve chainDataDirs"))
+    assert(dirs.exists(_.startsWith("c1_")) && dirs.exists(_.startsWith("c2_")),
+      s"both data commits must appear: $dirs")
+    assert(!dirs.exists(_.startsWith("c3_")),
+      s"the tombstone commit's dir must not join the schema union: $dirs")
+    // the fast union IS the served schema (memoized), and it matches a
+    // real read's columns and values
+    val schema = VersionedTable.read(spark, t).schema
+    assert(schema.fieldNames.toSeq == Seq("k", "v"), schema.treeString)
+    assert(VersionedTable.read(spark, t).count() === 392L)
+  }
+
   test("vacuum materialization carries the chain's hints forward") {
     val s = spark; import s.implicits._
     val t = s"$root/vac"
