@@ -587,9 +587,18 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
   // Served under LOGICAL names: renamed columns surface as renamed,
   // dropped columns disappear ([[VersionedTable.renameColumn]]); scans
   // and writes translate back to physical names at their boundaries.
-  override def schema(): StructType =
+  // resolved ONCE per Table object: Spark calls loadTable per query, so
+  // this pins the analysis-time schema for that query (the snapshot
+  // convention every versioned format follows) and stops each analysis
+  // pass from re-listing the manifest directory to resolve the head
+  override def schema(): StructType = resolvedSchema
+  private lazy val resolvedSchema: StructType = {
+    // one head listing for the whole resolution: every walk inside
+    // (schema hints, chain dirs, file counts) then runs version-pinned
+    val pinned = version.orElse(VersionedTable.versions(table).lastOption)
     VersionedTable.logicalizeSchema(table,
-      VersionedTable.snapshotSchema(SparkSession.active, table, version))
+      VersionedTable.snapshotSchema(SparkSession.active, table, pinned))
+  }
   // standing CHECK constraints surfaced through the DSv2 constraint API
   // (DESCRIBE shows them); each was head-validated at ADD time and gates
   // every commit, so ENFORCED/VALID/rely is the honest status
@@ -630,9 +639,23 @@ class GraftCatalogTable(table: String, version: Option[Long], ident: String)
       }
     }
   }
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftTableScanBuilder(table, version, schema(), bucket,
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // pin the snapshot ONCE per scan build: every downstream planning
+    // call (layout, zones, selective seeks, statistics) then resolves
+    // against this one version. Head resolution is an O(commits)
+    // manifest-directory listing — unpinned, every per-version memo
+    // re-listed it (61 listings / 534 ms of a 592 ms re-plan at a
+    // 10k-commit chain, IngestProbe) — and two listings straddling a
+    // concurrent commit could mix two heads inside one plan. A
+    // re-executed DataFrame still sees new commits: Spark calls
+    // newScanBuilder per query execution.
+    val pinned = version.orElse(VersionedTable.versions(table).lastOption)
+    new GraftTableScanBuilder(table, pinned,
+      VersionedTable.logicalizeSchema(table,
+        VersionedTable.snapshotSchema(SparkSession.active, table, pinned)),
+      bucket,
       MemberProbes.parse(options.get("graft.member-probes")))
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,
       s"cannot write to a time-traveled snapshot of $ident — write to the head")

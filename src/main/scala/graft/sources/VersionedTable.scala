@@ -118,14 +118,27 @@ object VersionedTable {
       s: java.util.stream.Stream[Path])(f: Iterator[Path] => A): A =
     try f(s.iterator.asScala) finally s.close()
 
+  /** Probe counters for the head-resolution listing: calls and total
+    * wall time. A manifest-directory listing is O(committed versions) —
+    * these make its per-plan cost visible to IngestProbe without a
+    * profiler.
+    */
+  val versionsCalls = new java.util.concurrent.atomic.AtomicLong()
+  val versionsNanos = new java.util.concurrent.atomic.AtomicLong()
+
   /** Committed versions, ascending (empty for a nonexistent table). */
   def versions(table: String): Seq[Long] = {
+    val t0 = System.nanoTime()
     val dir = manifestDir(table)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else usingPaths(Files.list(dir))(_
-      .map(_.getFileName.toString)
-      .collect { case s if s.endsWith(".manifest") => s.stripSuffix(".manifest").toLong }
-      .toSeq.sorted)
+    val r =
+      if (!Files.isDirectory(dir)) Seq.empty[Long]
+      else usingPaths(Files.list(dir))(_
+        .map(_.getFileName.toString)
+        .collect { case s if s.endsWith(".manifest") => s.stripSuffix(".manifest").toLong }
+        .toSeq.sorted)
+    versionsCalls.incrementAndGet()
+    versionsNanos.addAndGet(System.nanoTime() - t0)
+    r
   }
 
   private def manifestLines(table: String, version: Long): Seq[String] =
@@ -159,6 +172,46 @@ object VersionedTable {
   // content), so a resolved list never changes for a (table, version)
   private val resolvedEntries =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
+
+  // OWN-entry cache: a version's own (fresh) entry lines, O(fresh) per
+  // version and immutable once published. Every head-down chain walk
+  // (selective planning, schema-dir enumeration, removal scans) needs
+  // these for each carry version — without the memo, a plan over a
+  // k-append chain re-reads k manifest FILES on every call (measured
+  // 816 ms per re-plan at a 10k-commit chain, IngestProbe). Total
+  // retained size across a chain is O(entries ever appended) — the same
+  // order as ONE resolved snapshot — and, unlike [[resolvedEntries]],
+  // each value is O(fresh), so it is NOT subject to [[boundCache]]'s
+  // newest-versions window; it is invalidated with the version
+  // (vacuum expiry, materialization rewrite, dropTable).
+  private val ownEntriesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
+
+  // incremental chain-fold memos (persistedHeaders / chainDataDirs /
+  // snapshotFileCountFast): value(v) = value(carry(v)) ⊕ own(v), one
+  // entry per version with STRUCTURAL SHARING between adjacent versions
+  // — total retained memory is O(declarations ever made), not
+  // O(versions × dirs). A DEDICATED map, deliberately NOT
+  // parsedSnapshots: these folds run inside other memos' computeIfAbsent
+  // closures (snapshotSchema's), and any same-map write from inside a
+  // ConcurrentHashMap compute throws "Recursive update" (the
+  // manifestHeaderBytes lesson). Invalidated alongside headerCache
+  // (vacuum expiry/materialization, dropTable); survives boundCache's
+  // newest-versions window like headerCache does, and for the same
+  // reason — chain walks need every version, not the newest 64.
+  private val chainFoldCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), AnyRef]()
+
+  private def ownEntriesOf(table: String, v: Long): Seq[String] = {
+    val key = (table, v)
+    val hit = ownEntriesCache.get(key)
+    if (hit != null) hit
+    else {
+      val computed = ownEntries(manifestLines(table, v), v)
+      ownEntriesCache.put(key, computed)
+      computed
+    }
+  }
 
   /** Entries (data + delete) of a version's SNAPSHOT, carry chain
     * resolved, prefix intact. Iterative walk + per-version memoization:
@@ -213,7 +266,13 @@ object VersionedTable {
         .foreach { v =>
           resolvedEntries.remove((table, v))
           parsedSnapshots.keySet.removeIf(k => k._1 == table && k._2 == v)
-          headerCache.remove((table, v))
+          // headerCache (~300 B/version) and ownEntriesCache (O(fresh)/
+          // version) deliberately SURVIVE this window: every head-down
+          // chain walk touches them for ALL chain versions, so evicting
+          // them here turned each plan over a long append chain into
+          // O(chain) file re-reads (IngestProbe, 10k-commit chain:
+          // 816 ms re-plans). Both are invalidated with the version
+          // itself (vacuum expiry/materialization, dropTable).
         }
   }
 
@@ -307,6 +366,8 @@ object VersionedTable {
     if (Files.size(p) != expectSize ||
       Files.getLastModifiedTime(p).toMillis != expectMtime) {
       headerCache.remove((table, v))
+      ownEntriesCache.remove((table, v))
+      chainFoldCache.keySet.removeIf(k => k._1 == table && k._2 == v)
       return None
     }
     val ch = java.nio.channels.FileChannel.open(p)
@@ -355,32 +416,53 @@ object VersionedTable {
     */
   private[sources] def snapshotFileCountFast(
       table: String, version: Option[Long]): Option[Long] = {
-    val vs = versions(table)
-    if (vs.isEmpty) return None
-    var v = version.getOrElse(vs.last)
+    val head = version.getOrElse {
+      val vs = versions(table)
+      if (vs.isEmpty) return None
+      vs.last
+    }
+    // incremental chain fold, like persistedHeaders: count(v) is
+    // count(carry) + delta, memoized per version, so the walk runs only
+    // over versions not yet counted (O(fresh) per append). A chain with
+    // any pre-count-line manifest yields None, unmemoized — those
+    // legacy walks stay rare and cheap (header-cache hits).
+    var stack = List.empty[Long] // ascending after the prepends
+    var v: Option[Long] = Some(head)
     var acc = 0L
-    while (true) {
-      val hdr = manifestHeaderBytes(table, v)._1
-      hdr.find(_.startsWith("carry=")) match {
-        case Some(c) =>
-          hdr.find(_.startsWith("delta=")) match {
-            case Some(d) => d.stripPrefix("delta=").split(' ') match {
-              case Array(a, r) =>
-                (a.toLongOption, r.toLongOption) match {
-                  case (Some(x), Some(y)) => acc += x - y
-                  case _                  => return None
-                }
-              case _ => return None
-            }
-            case None => return None
-          }
-          v = c.stripPrefix("carry=").toLong
-        case None =>
-          return hdr.find(_.startsWith("total="))
-            .flatMap(_.stripPrefix("total=").toLongOption).map(_ + acc)
+    var seeded = false
+    while (v.isDefined && !seeded) {
+      val hit = chainFoldCache.get((table, v.get, "fcount"))
+      if (hit != null) {
+        acc = hit.asInstanceOf[java.lang.Long].longValue()
+        seeded = true
+      } else {
+        val hdr = manifestHeaderBytes(table, v.get)._1
+        if (hdr.exists(_.startsWith("carry="))) {
+          stack = v.get :: stack
+          v = carryOf(table, v.get)
+        } else {
+          acc = hdr.find(_.startsWith("total="))
+            .flatMap(_.stripPrefix("total=").toLongOption).getOrElse(return None)
+          chainFoldCache.put((table, v.get, "fcount"), java.lang.Long.valueOf(acc))
+          seeded = true
+        }
       }
     }
-    None // unreachable
+    if (!seeded) return None // chain ended without a total= base
+    stack.foreach { w =>
+      val d = manifestHeaderBytes(table, w)._1.find(_.startsWith("delta="))
+        .getOrElse(return None)
+      d.stripPrefix("delta=").split(' ') match {
+        case Array(a, r) =>
+          (a.toLongOption, r.toLongOption) match {
+            case (Some(x), Some(y)) => acc += x - y
+            case _                  => return None
+          }
+        case _ => return None
+      }
+      chainFoldCache.put((table, w, "fcount"), java.lang.Long.valueOf(acc))
+    }
+    Some(acc)
   }
 
   private[sources] def selectiveRawEntries(
@@ -424,19 +506,37 @@ object VersionedTable {
       !rolls.get(dir).exists(deadZones) &&
         !strRolls.get(dir).exists(deadStrZones) &&
         !memberRolls.get(dir).exists(deadMemberZones)
-    // walk head-down to the self-contained base, collecting own entries
-    var chain = List.empty[Seq[String]] // ascending after the prepends
-    var v = head
-    var base = -1L
-    while (base < 0) {
-      val (hdr, _, _, _) = manifestHeaderBytes(table, v)
-      hdr.find(_.startsWith("carry=")).map(_.stripPrefix("carry=").toLong) match {
-        case Some(prev) =>
-          chain = ownEntries(manifestLines(table, v), v) :: chain
-          v = prev
-        case None => base = v
+    // the chain's own-entry lists (ascending) plus its base version,
+    // memoized per version with cons-cell sharing: chainOwn(v) is
+    // (own(v) :: chainOwn(carry)), so a plan's walk is one memo hit and
+    // the first walk after an append pays O(fresh) — the head-down
+    // re-walk used to cost O(chain) map probes per planning call
+    type ChainOwn = (List[Seq[String]], Long) // descending lists, base
+    def chainOwnOf(h: Long): ChainOwn = {
+      var stack = List.empty[Long]
+      var v = h
+      var acc: ChainOwn = null
+      while (acc == null) {
+        val hit = chainFoldCache.get((table, v, "chainown"))
+        if (hit != null) acc = hit.asInstanceOf[ChainOwn]
+        else manifestHeaderBytes(table, v)._1
+          .find(_.startsWith("carry=")).map(_.stripPrefix("carry=").toLong) match {
+          case Some(prev) => stack = v :: stack; v = prev
+          case None =>
+            acc = (Nil, v)
+            chainFoldCache.put((table, v, "chainown"), acc)
+        }
       }
+      // stack is ascending (deepest first) after the prepends; rebuild
+      // upward so each memoized level shares its predecessor's tail
+      stack.foreach { w =>
+        acc = (ownEntriesOf(table, w) :: acc._1, acc._2)
+        chainFoldCache.put((table, w, "chainown"), acc)
+      }
+      acc
     }
+    val (chainDesc, base) = chainOwnOf(head)
+    val chain = chainDesc.reverse // ascending for the fold below
     val (bHdr, entryStart, size, mtime) = manifestHeaderBytes(table, base)
     // (dirspec, off, len, chunk cells): a dirspec may carry a %<j>
     // CHUNK suffix whose rollup cells prune exactly like commit rollups
@@ -1659,9 +1759,14 @@ object VersionedTable {
 
   private def memoParsed[T <: AnyRef](
       table: String, version: Option[Long], kind: String)(compute: => T): T = {
-    val vs = versions(table)
-    require(vs.nonEmpty, s"no committed versions at $table")
-    val v = version.getOrElse(vs.last)
+    // list the manifest directory ONLY when the caller didn't pin a
+    // version — the listing is O(commits), and pinned callers (scans
+    // resolve their snapshot once at build) must not pay it per memo
+    val v = version.getOrElse {
+      val vs = versions(table)
+      require(vs.nonEmpty, s"no committed versions at $table")
+      vs.last
+    }
     parsedSnapshots.computeIfAbsent((table, v, kind), _ => compute)
       .asInstanceOf[T]
   }
@@ -2189,30 +2294,59 @@ object VersionedTable {
     */
   private[sources] def chainDataDirs(
       table: String, version: Option[Long]): Option[Seq[String]] = {
-    val vs = versions(table)
-    if (vs.isEmpty) return None
-    var v = version.getOrElse(vs.last)
-    val dirs = scala.collection.mutable.LinkedHashSet.empty[String]
-    while (true) {
-      val hdr = manifestHeaderBytes(table, v)._1
-      hdr.find(_.startsWith("carry=")).map(_.stripPrefix("carry=").toLong) match {
-        case Some(prev) =>
-          ownEntries(manifestLines(table, v), v)
-            .filterNot(e => isDeleteEntry(e) || isRemoveEntry(e))
-            .foreach(e => dirs += entryPath(e).split('/')(1))
-          v = prev
-        case None =>
+    val head = version.getOrElse {
+      val vs = versions(table)
+      if (vs.isEmpty) return None
+      vs.last
+    }
+    // incremental chain fold (see persistedHeaders): dirs(v) is
+    // dirs(carry) plus v's own fresh dirs, memoized per version as an
+    // ordered (Vector, membership Set) pair with structural sharing —
+    // the schema fast path then costs O(fresh) per append instead of
+    // re-walking the chain. The only consumer sorts by commit number,
+    // so base-up order is as good as the old head-down order.
+    type Dirs = (Vector[String], Set[String])
+    var stack = List.empty[Long] // ascending after the prepends
+    var v: Option[Long] = Some(head)
+    var acc: Dirs = null
+    while (v.isDefined && acc == null) {
+      val hit = chainFoldCache.get((table, v.get, "chaindirs"))
+      if (hit != null) acc = hit.asInstanceOf[Dirs]
+      else {
+        val hdr = manifestHeaderBytes(table, v.get)._1
+        if (hdr.exists(_.startsWith("carry="))) {
+          stack = v.get :: stack
+          v = carryOf(table, v.get)
+        } else {
           val idx = hdr.filter(_.startsWith("index="))
-          if (idx.isEmpty) return None
+          if (idx.isEmpty) return None // index-less legacy base
+          var ds = Vector.empty[String]
+          var seen = Set.empty[String]
           idx.foreach { l =>
             val dir = l.stripPrefix("index=").takeWhile(_ != ' ')
               .takeWhile(_ != '%')
-            if (dir != "!del") dirs += dir
+            if (dir != "!del" && !seen.contains(dir)) {
+              ds :+= dir; seen += dir
+            }
           }
-          return Some(dirs.toSeq)
+          acc = (ds, seen)
+          chainFoldCache.put((table, v.get, "chaindirs"), acc)
+        }
       }
     }
-    None // unreachable
+    if (acc == null) return None
+    stack.foreach { w =>
+      var (ds, seen) = acc
+      ownEntriesOf(table, w)
+        .filterNot(e => isDeleteEntry(e) || isRemoveEntry(e))
+        .foreach { e =>
+          val dir = entryPath(e).split('/')(1)
+          if (!seen.contains(dir)) { ds :+= dir; seen += dir }
+        }
+      acc = (ds, seen)
+      chainFoldCache.put((table, w, "chaindirs"), acc)
+    }
+    Some(acc._1)
   }
 
   private[sources] def snapshotSchema(
@@ -2878,7 +3012,7 @@ object VersionedTable {
 
   /** The `R:`-removed entry paths recorded by version `v` itself. */
   private def ownRemovals(table: String, v: Long): Seq[String] =
-    ownEntries(manifestLines(table, v), v)
+    ownEntriesOf(table, v)
       .filter(isRemoveEntry).map(_.stripPrefix("R:"))
 
   /** Physical layout of a pinned snapshot, for external readers (the SQL
@@ -3013,74 +3147,127 @@ object VersionedTable {
     * lines, never O(files); an unparseable line is skipped (readers
     * fall back to per-file parses / footer reads).
     */
+  /** One version's OWN header declarations, parsed once: the three
+    * joint rollup families (first line per dir wins, matching the
+    * head-down walk's within-manifest order; a dir is CLAIMED only when
+    * at least one family parses nonEmpty — an all-unparseable line
+    * claims nothing, so older declarations still serve it), plus the
+    * version's schema hints (first line per dir wins, independently).
+    */
+  private def ownHeaderDecls(table: String, v: Long)
+      : (Map[String, Map[String, (Long, Long)]],
+         Map[String, org.apache.spark.sql.types.StructType],
+         Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]],
+         Map[String, Map[String, Array[Byte]]],
+         Set[String]) = {
+    val rolls = scala.collection.mutable.Map
+      .empty[String, Map[String, (Long, Long)]]
+    val strRolls = scala.collection.mutable.Map
+      .empty[String, Map[String, (Array[Byte], Option[Array[Byte]])]]
+    val memberRolls = scala.collection.mutable.Map
+      .empty[String, Map[String, Array[Byte]]]
+    val schemas = scala.collection.mutable.Map
+      .empty[String, org.apache.spark.sql.types.StructType]
+    val claimed = scala.collection.mutable.Set.empty[String]
+    // header-only byte read — never streams the O(files) entry
+    // section of self-contained manifests just to take headers
+    manifestHeaderBytes(table, v)._1.tail.foreach { l =>
+      if (l.startsWith("rollup=")) {
+        val body = l.stripPrefix("rollup=")
+        val sp = body.indexOf(' ')
+        if (sp > 0) {
+          val dir = body.substring(0, sp)
+          if (!claimed.contains(dir)) {
+            val cellStr = body.substring(sp + 1)
+            val cells = cellStr.split(';').iterator
+              .filterNot(_.startsWith("s~")).flatMap { kv =>
+                val eq = kv.indexOf('=')
+                val dots = kv.indexOf("..", eq + 1)
+                if (eq <= 0 || dots <= eq) None
+                else for {
+                  mn <- kv.substring(eq + 1, dots).toLongOption
+                  mx <- kv.substring(dots + 2).toLongOption
+                } yield kv.substring(0, eq) -> (mn, mx)
+            }.toMap
+            if (cells.nonEmpty) rolls.update(dir, cells)
+            val strCells = parseStrCells(cellStr)
+            if (strCells.nonEmpty) strRolls.update(dir, strCells)
+            val memberCells = parseMemberCells(cellStr)
+            if (memberCells.nonEmpty) memberRolls.update(dir, memberCells)
+            if (cells.nonEmpty || strCells.nonEmpty || memberCells.nonEmpty)
+              claimed += dir
+          }
+        }
+      } else if (l.startsWith("schema=")) {
+        val body = l.stripPrefix("schema=")
+        val sp = body.indexOf(' ')
+        if (sp > 0) {
+          val dir = body.substring(0, sp)
+          if (!schemas.contains(dir)) {
+            try {
+              org.apache.spark.sql.types.DataType
+                .fromJson(body.substring(sp + 1)) match {
+                  case st: org.apache.spark.sql.types.StructType =>
+                    schemas.update(dir, st)
+                  case _ => ()
+                }
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+      }
+    }
+    (rolls.toMap, schemas.toMap, strRolls.toMap, memberRolls.toMap,
+      claimed.toSet)
+  }
+
   private def persistedHeaders(
       table: String, version: Option[Long])
       : (Map[String, Map[String, (Long, Long)]],
          Map[String, org.apache.spark.sql.types.StructType],
          Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]],
-         Map[String, Map[String, Array[Byte]]]) =
-    memoParsed(table, version, "pheaders") {
-      val rolls = scala.collection.mutable.Map
-        .empty[String, Map[String, (Long, Long)]]
-      val strRolls = scala.collection.mutable.Map
-        .empty[String, Map[String, (Array[Byte], Option[Array[Byte]])]]
-      val memberRolls = scala.collection.mutable.Map
-        .empty[String, Map[String, Array[Byte]]]
-      val schemas = scala.collection.mutable.Map
-        .empty[String, org.apache.spark.sql.types.StructType]
-      var v: Option[Long] = Some(version.getOrElse(versions(table).last))
-      while (v.isDefined) {
-        // header-only byte read — never streams the O(files) entry
-        // section of self-contained manifests just to take headers
-        manifestHeaderBytes(table, v.get)._1.tail.foreach { l =>
-          if (l.startsWith("rollup=")) {
-            val body = l.stripPrefix("rollup=")
-            val sp = body.indexOf(' ')
-            if (sp > 0) {
-              val dir = body.substring(0, sp)
-              if (!rolls.contains(dir) && !strRolls.contains(dir) &&
-                  !memberRolls.contains(dir)) {
-                // head-down walk: newest declaration wins
-                val cellStr = body.substring(sp + 1)
-                val cells = cellStr.split(';').iterator
-                  .filterNot(_.startsWith("s~")).flatMap { kv =>
-                    val eq = kv.indexOf('=')
-                    val dots = kv.indexOf("..", eq + 1)
-                    if (eq <= 0 || dots <= eq) None
-                    else for {
-                      mn <- kv.substring(eq + 1, dots).toLongOption
-                      mx <- kv.substring(dots + 2).toLongOption
-                    } yield kv.substring(0, eq) -> (mn, mx)
-                }.toMap
-                if (cells.nonEmpty) rolls.update(dir, cells)
-                val strCells = parseStrCells(cellStr)
-                if (strCells.nonEmpty) strRolls.update(dir, strCells)
-                val memberCells = parseMemberCells(cellStr)
-                if (memberCells.nonEmpty) memberRolls.update(dir, memberCells)
-              }
-            }
-          } else if (l.startsWith("schema=")) {
-            val body = l.stripPrefix("schema=")
-            val sp = body.indexOf(' ')
-            if (sp > 0) {
-              val dir = body.substring(0, sp)
-              if (!schemas.contains(dir)) {
-                try {
-                  org.apache.spark.sql.types.DataType
-                    .fromJson(body.substring(sp + 1)) match {
-                      case st: org.apache.spark.sql.types.StructType =>
-                        schemas.update(dir, st)
-                      case _ => ()
-                    }
-                } catch { case scala.util.control.NonFatal(_) => () }
-              }
-            }
-          }
-        }
+         Map[String, Map[String, Array[Byte]]]) = {
+    type Headers = (Map[String, Map[String, (Long, Long)]],
+      Map[String, org.apache.spark.sql.types.StructType],
+      Map[String, Map[String, (Array[Byte], Option[Array[Byte]])]],
+      Map[String, Map[String, Array[Byte]]])
+    val head = version.getOrElse {
+      val vs = versions(table)
+      require(vs.nonEmpty, s"no committed versions at $table")
+      vs.last
+    }
+    // INCREMENTAL chain fold: walk down only to the nearest memoized
+    // version, then merge each newer version's own declarations over the
+    // inherited immutable maps (structural sharing — each level costs
+    // O(own header lines)). Head-down first-wins is equivalently
+    // bottom-up newest-overrides: a version that claims a dir evicts all
+    // three older families for it before adding its own, and schema
+    // hints override independently. The first plan after an append
+    // therefore parses ONE manifest's headers, not the whole chain's
+    // (IngestProbe: the 10k-commit chain paid the full walk per append).
+    var stack = List.empty[Long] // ascending after the prepends
+    var v: Option[Long] = Some(head)
+    var acc: Headers = (Map.empty, Map.empty, Map.empty, Map.empty)
+    var found = false
+    while (v.isDefined && !found) {
+      val hit = chainFoldCache.get((table, v.get, "pheaders"))
+      if (hit != null) { acc = hit.asInstanceOf[Headers]; found = true }
+      else {
+        stack = v.get :: stack
         v = carryOf(table, v.get)
       }
-      (rolls.toMap, schemas.toMap, strRolls.toMap, memberRolls.toMap)
     }
+    stack.foreach { w =>
+      val (oRolls, oSchemas, oStr, oMember, oClaimed) = ownHeaderDecls(table, w)
+      var (rolls, schemas, strRolls, memberRolls) = acc
+      oClaimed.foreach { d =>
+        rolls -= d; strRolls -= d; memberRolls -= d
+      }
+      acc = (rolls ++ oRolls, schemas ++ oSchemas,
+        strRolls ++ oStr, memberRolls ++ oMember)
+      chainFoldCache.put((table, w, "pheaders"), acc)
+    }
+    acc
+  }
 
   /** SELECTIVE snapshot layout: the per-file planning tuples of ONLY the
     * commits whose PERSISTED rollup intersects `bounds` — what makes the
@@ -4981,6 +5168,8 @@ object VersionedTable {
     resolvedEntries.keySet.removeIf(_._1 == table)
     parsedSnapshots.keySet.removeIf(_._1 == table)
     headerCache.keySet.removeIf(_._1 == table)
+    ownEntriesCache.keySet.removeIf(_._1 == table)
+    chainFoldCache.keySet.removeIf(_._1 == table)
     ndvCache.keySet.removeIf(_._1 == table)
     commitSchemas.keySet.removeIf(_._1 == table)
     ()
@@ -5076,8 +5265,19 @@ object VersionedTable {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         // byte-offset memos (header positions, seek blocks) are STALE
         // against the rewritten file — drop them for this version; the
-        // entry-SET memos stay valid (the rewrite is entry-identical)
+        // entry-SET memos stay valid (the rewrite is entry-identical).
+        // ownEntriesCache drops too: materialization turns v
+        // self-contained, so its OWN entries are now the full resolved
+        // list, not the fresh slice the carry-era cache holds (walks
+        // never read own entries of a base, but stale content must not
+        // outlive the shape change)
         headerCache.remove((table, v))
+        ownEntriesCache.remove((table, v))
+        // COARSE: materialization reshapes the chain at v — newer
+        // versions' fold memos (chainown's base pointer in particular)
+        // were computed through the old shape, and the old base is about
+        // to be expired. Vacuum is rare; one re-walk re-seeds them.
+        chainFoldCache.keySet.removeIf(_._1 == table)
         parsedSnapshots.keySet.removeIf(k => k._1 == table && k._2 == v &&
           k._3.startsWith("rawdir:"))
       }
@@ -5096,7 +5296,9 @@ object VersionedTable {
       resolvedEntries.remove((table, v))
       parsedSnapshots.keySet.removeIf(k => k._1 == table && k._2 == v)
       headerCache.remove((table, v))
+      ownEntriesCache.remove((table, v))
     }
+    if (expired.nonEmpty) chainFoldCache.keySet.removeIf(_._1 == table)
     val doomedDirs = doomed.map(_.split('/')(1))
     commitSchemas.keySet.removeIf(k => k._1 == table && doomedDirs.contains(k._2))
     ndvCache.keySet.removeIf(k => k._1 == table && doomedDirs.contains(k._2))

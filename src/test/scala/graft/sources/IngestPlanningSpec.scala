@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the INCREMENTAL planning memos behind the ingest steady
+  * state (SCALING.md round 19, second wave): `persistedHeaders`,
+  * `chainDataDirs`, `snapshotFileCountFast`, and the chain's own-entry
+  * lists all fold value(v) = value(carry) ⊕ own(v) per version, and the
+  * scan pins its snapshot once per build. The regression class this
+  * guards: a fold that merges its own declarations wrongly (joint-claim
+  * rule, schema overrides), a memo that survives a chain RESHAPE
+  * (vacuum materialization), or a pinned scan that stops seeing new
+  * commits. Everything is asserted through RESULTS — exact rows after
+  * every append, across re-plans, vacuum, and post-vacuum appends.
+  */
+class IngestPlanningSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private lazy val root = SparkTestBase.tempDir("ingest_planning").toString
+
+  test("ingest loop: every append is visible to the next plan, selective " +
+      "plans stay commit-pruned, and counts/schema resolve incrementally") {
+    val s = spark; import s.implicits._
+    val t = s"$root/loop"
+    VersionedTable.commit(
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"),
+      t, append = false, statsCols = Seq("k"))
+    (1 to 8).foreach { i =>
+      val lo = i.toLong * 1000L
+      VersionedTable.commit(
+        (lo until lo + 10L).map(k => (k, s"v$k")).toDF("k", "v"),
+        t, append = true, statsCols = Seq("k"))
+      // the NEW head plans correctly right away (the fold added exactly
+      // one version's declarations)
+      assert(VersionedTable.read(spark, t).count() == 100L + 10L * i,
+        s"append $i invisible to the next plan")
+      // the fast header count agrees at every step
+      assert(VersionedTable.snapshotFileCountFast(t, None)
+        .exists(_ >= 1L), s"fast count lost at append $i")
+      // selective planning keeps pruning to exactly the matching commit
+      val sel = VersionedTable.selectiveLayoutByCommit(
+        t, None, Map("k" -> (lo, lo + 5L)))
+      assert(sel.map(_._1) == Seq(i.toLong + 1L),
+        s"append $i: selective plan kept commits ${sel.map(_._1)}")
+      // and a re-plan of the same head is identical
+      assert(VersionedTable.read(spark, t)
+        .filter(col("k").between(lo, lo + 5L)).count() == 6L)
+    }
+  }
+
+  test("vacuum materialization mid-ingest: fold memos reseed from the " +
+      "reshaped chain and later appends keep planning exactly") {
+    val s = spark; import s.implicits._
+    val t = s"$root/vacloop"
+    VersionedTable.commit(
+      (1L to 200L).map(k => (k, k * 2)).toDF("k", "x"),
+      t, append = false, statsCols = Seq("k"))
+    (1 to 3).foreach { i =>
+      val lo = i.toLong * 1000L
+      VersionedTable.commit(
+        (lo until lo + 50L).map(k => (k, k * 2)).toDF("k", "x"),
+        t, append = true, statsCols = Seq("k"))
+    }
+    // plan BEFORE the vacuum so every fold memo is warm, then reshape
+    assert(VersionedTable.read(spark, t).count() == 350L)
+    VersionedTable.vacuum(t, retain = 1)
+    // the materialized head serves schema, counts, and selective plans
+    // from the REBUILT chain (stale base pointers would throw here)
+    assert(VersionedTable.read(spark, t).count() == 350L)
+    assert(VersionedTable.snapshotFileCountFast(t, None).isDefined)
+    val sel = VersionedTable.selectiveLayoutByCommit(
+      t, None, Map("k" -> (2000L, 2010L)))
+    assert(sel.nonEmpty && sel.flatMap(_._2).nonEmpty,
+      "selective plan lost the vacuumed table's files")
+    // and the loop continues: post-vacuum appends fold onto the new base
+    VersionedTable.commit(
+      (9000L until 9050L).map(k => (k, k * 2)).toDF("k", "x"),
+      t, append = true, statsCols = Seq("k"))
+    assert(VersionedTable.read(spark, t).count() == 400L)
+    assert(VersionedTable.read(spark, t)
+      .filter(col("k").between(9000L, 9049L)).count() == 50L)
+  }
+
+  test("rollup re-declaration: the newest claim of a commit dir evicts " +
+      "older families (joint-claim rule survives the incremental fold)") {
+    val s = spark; import s.implicits._
+    val t = s"$root/claims"
+    VersionedTable.commit(
+      (1L to 100L).map(k => (k, s"s$k")).toDF("k", "v"),
+      t, append = false, statsCols = Seq("k", "v"))
+    VersionedTable.commit(
+      (1000L to 1100L).map(k => (k, s"s$k")).toDF("k", "v"),
+      t, append = true, statsCols = Seq("k", "v"))
+    // both commits' rollups serve pruning (long + string families)
+    val sel1 = VersionedTable.selectiveLayoutByCommit(
+      t, None, Map("k" -> (1L, 50L)))
+    assert(sel1.map(_._1) == Seq(1L), s"got ${sel1.map(_._1)}")
+    val sel2 = VersionedTable.selectiveLayoutByCommit(
+      t, None, Map("k" -> (1050L, 1100L)))
+    assert(sel2.map(_._1) == Seq(2L), s"got ${sel2.map(_._1)}")
+    // results stay exact through the same path
+    assert(VersionedTable.read(spark, t).count() == 201L)
+  }
+}
