@@ -748,23 +748,22 @@ class GraftRowLevelOperation(
       override def pushedFilters(): Array[Filter] = used
       override def build(): Scan = {
         // pin the basis and the candidate (= replaced) files EAGERLY:
-        // the write's publish must replace exactly what this scan reads
+        // the write's publish must replace exactly what this scan reads.
+        // Candidates come from the SELECTIVE seek path (commit/chunk
+        // rollups first, surviving entries parsed per file) — a narrow
+        // DELETE/UPDATE/MERGE on a million-file table must not
+        // materialize the global O(files) layout + string-stats memos
+        // just to pick its few touched files. Intersecting every pushed
+        // range is equivalent to one (max lo, min hi) test per column,
+        // which is exactly the map the selective planner takes.
         val vs = VersionedTable.versions(table)
         require(vs.nonEmpty, s"no committed versions at $table")
         basis = vs.last
-        val layout = VersionedTable.snapshotLayout(table, Some(basis))
-        val strStatsOf =
-          if (strBounds.isEmpty)
-            Map.empty[String, Map[String, (Array[Byte], Option[Array[Byte]])]]
-          else VersionedTable.snapshotStrStats(table, Some(basis))
-        val kept = layout.filter { case (path, _, _, stats) =>
-          bounds.forall { case (c, lo, hi) =>
-            stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
-          } && strBounds.forall { case (c, b) =>
-            strStatsOf.getOrElse(path, Map.empty).get(c)
-              .forall(GraftFilters.strZoneIntersects(_, b))
-          }
+        val boundsMap = bounds.groupBy(_._1).map { case (c, bs) =>
+          c -> (bs.map(_._2).max, bs.map(_._3).min)
         }
+        val kept = VersionedTable.selectiveCandidates(
+          table, Some(basis), boundsMap, strBounds)
         planned = kept.map(_._1)
         new Scan with Batch {
           override def readSchema(): StructType = reportAs
@@ -783,8 +782,13 @@ class GraftRowLevelOperation(
                       files.map(_._1).min))
                 }
               }
+          // header-resolved total (exact on count-line manifests) — the
+          // description must not re-introduce the O(files) layout memo
+          private lazy val totalFiles: String =
+            VersionedTable.snapshotFileCountFast(table, Some(basis))
+              .map(_.toString).getOrElse("?")
           override def description(): String =
-            s"graft-rowlevel-scan $table@v$basis files=${kept.size}/${layout.size} " +
+            s"graft-rowlevel-scan $table@v$basis files=${kept.size}/$totalFiles " +
               s"vectorized=$columnarOk"
           override def planInputPartitions(): Array[InputPartition] =
             kept.map { case (file, _, tombs, _) =>

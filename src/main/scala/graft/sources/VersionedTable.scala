@@ -3269,6 +3269,41 @@ object VersionedTable {
     acc
   }
 
+  /** Candidate files of a SELECTIVE row-level rewrite (DELETE / UPDATE
+    * / MERGE with zone-prunable conditions): the commit/chunk-pruned
+    * selection a selective scan plans, with the per-file integral and
+    * string zone checks applied — same tuples as [[snapshotLayout]]
+    * rows, WITHOUT materializing the global O(files) layout and
+    * string-stats memos the old candidate filter paid on every DML
+    * statement. Per-file semantics match the scan path: a file the
+    * seek path positively excluded at commit/chunk granularity is
+    * dropped; a stat-less file is kept (omission is cannot-exclude).
+    */
+  private[sources] def selectiveCandidates(
+      table: String, version: Option[Long],
+      bounds: Map[String, (Long, Long)],
+      strBounds: Map[String, (Option[Array[Byte]], Option[Array[Byte]])])
+      : Seq[(String, Long, Seq[String], Map[String, (Long, Long)])] = {
+    val byCommit = selectiveLayoutByCommit(table, version, bounds, strBounds)
+    val strOf: String => Option[Map[String, (Array[Byte], Option[Array[Byte]])]] =
+      if (strBounds.isEmpty) _ => Some(Map.empty)
+      else selectiveStrStats(table, version, bounds, strBounds)
+        .getOrElse {
+          val g = snapshotStrStats(table, version)
+          p => Some(g.getOrElse(p, Map.empty))
+        }
+    byCommit.iterator.flatMap(_._2).filter { case (path, _, _, stats) =>
+      bounds.forall { case (c, (lo, hi)) =>
+        stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } && (strBounds.isEmpty || (strOf(path) match {
+        case None => false // chunk-dead in the surviving selection
+        case Some(zs) => strBounds.forall { case (c, b) =>
+          zs.get(c).forall(GraftFilters.strZoneIntersects(_, b))
+        }
+      }))
+    }.toSeq
+  }
+
   /** SELECTIVE snapshot layout: the per-file planning tuples of ONLY the
     * commits whose PERSISTED rollup intersects `bounds` — what makes the
     * COLD selective plan cheap. The full-layout path parses every
