@@ -147,15 +147,24 @@ object IngestProbe {
         (graft.sources.VersionedTable.versionsCalls.get() - c0) / iters
       val listMs =
         (graft.sources.VersionedTable.versionsNanos.get() - n0) / 1e6 / iters
+      // CHECKPOINT: the metadata-only chain reset — time it, then show
+      // what the ingest loop pays after it (the fold caches were
+      // cleared by the materialization, so this re-plan re-seeds from
+      // the now-chainless manifest)
+      val tck0 = System.nanoTime()
+      graft.sources.VersionedTable.checkpoint(s"$root/default/$name")
+      val ckMs = (System.nanoTime() - tck0) / 1e6
+      val postCk = (1 to iters).map { _ => appendOnce(); planOnce() }
       (c, cold, median(pairs.map(_._1)), median(pairs.map(_._2)),
-        median(warm), listCalls, listMs)
+        median(warm), listCalls, listMs, ckMs, median(postCk))
     }
     val json = results.map {
-      case (c, cold, commitMs, planMs, warmMs, listCalls, listMs) =>
+      case (c, cold, commitMs, planMs, warmMs, listCalls, listMs, ckMs, pckMs) =>
         f"""{"chain_commits":$c,"base_files":$baseFiles,""" +
           f""""cold_first_plan_ms":$cold%.1f,"append_commit_ms":$commitMs%.1f,""" +
           f""""plan_after_append_ms":$planMs%.1f,"replan_same_head_ms":$warmMs%.1f,""" +
-          f""""version_listings_per_plan":$listCalls,"listing_ms_per_plan":$listMs%.1f}"""
+          f""""version_listings_per_plan":$listCalls,"listing_ms_per_plan":$listMs%.1f,""" +
+          f""""checkpoint_ms":$ckMs%.1f,"plan_after_append_post_checkpoint_ms":$pckMs%.1f}"""
     }.mkString("[", ",", "]")
     println(s"""{"probe":"ingest_steady_state","iters":$iters,"rows":$json}""")
     spark.stop()

@@ -960,10 +960,20 @@ private[sources] object GraftProcedures {
   val names =
     Seq("vacuum", "vacuum_time", "vacuum_orphans", "compact", "optimize",
       "optimize_where", "zorder", "restore", "clone", "auto_maintain",
-      "set_partitioning")
+      "set_partitioning", "checkpoint")
 
   def load(resolve: String => String, name: String): UnboundProcedure =
     name match {
+      // metadata-only chain reset: materialize the head manifest in
+      // place (self-contained + indexed, all hints carried) WITHOUT
+      // expiring versions — the Delta-checkpoint analog for tables that
+      // accrete thousands of append commits between vacuums
+      case "checkpoint" => proc(name,
+        Seq("table" -> StringType),
+        StructType(Seq(StructField("version", LongType, nullable = false)))) {
+        in => Array[Any](VersionedTable.checkpoint(
+          resolve(in.getUTF8String(0).toString)))
+      }
       case "vacuum" => proc(name,
         Seq("table" -> StringType, "retain" -> IntegerType),
         StructType(Seq(StructField("files_deleted", IntegerType, nullable = false)))) {

@@ -214,8 +214,16 @@ object VersionedTable {
   }
 
   /** Entries (data + delete) of a version's SNAPSHOT, carry chain
-    * resolved, prefix intact. Iterative walk + per-version memoization:
-    * a k-append chain costs k manifest reads once, then O(1).
+    * resolved, prefix intact. Iterative walk with ONE mutable buffer
+    * and memoization of ONLY the queried version: the old fold
+    * materialized (and memoized) a fresh O(files) immutable list for
+    * EVERY chain version it crossed — O(chain × files) transient
+    * memory, which at a 10k-commit chain over a 100k-file base is a
+    * guaranteed driver OOM (surfaced by checkpoint's resolution at
+    * exactly that shape; boundCache would have dropped the extra memos
+    * AFTER the peak). Re-resolving another version re-walks from the
+    * nearest cached-or-base level — CPU-only, own entries and headers
+    * are cached per version ([[ownEntriesCache]]).
     */
   private[sources] def manifestEntries(table: String, version: Long): Seq[String] = {
     val cached = resolvedEntries.get((table, version))
@@ -229,24 +237,24 @@ object VersionedTable {
       val hit = resolvedEntries.get((table, v))
       if (hit != null) { base = hit; resolving = false }
       else {
-        val lines = manifestLines(table, v)
-        chain = (v, ownEntries(lines, v)) :: chain
+        chain = (v, ownEntriesOf(table, v)) :: chain
         carryOf(table, v) match {
           case Some(prev) => v = prev
           case None       => resolving = false
         }
       }
     }
-    var acc = base
-    chain.foreach { case (w, own) =>
+    val buf = scala.collection.mutable.ArrayBuffer.from(base)
+    chain.foreach { case (_, own) =>
       val (removes, adds) = own.partition(isRemoveEntry)
       if (removes.nonEmpty) {
         val gone = removes.map(_.stripPrefix("R:")).toSet
-        acc = acc.filterNot(e => gone.contains(entryPath(e)))
+        buf.filterInPlace(e => !gone.contains(entryPath(e)))
       }
-      acc = acc ++ adds
-      resolvedEntries.put((table, w), acc)
+      buf ++= adds
     }
+    val acc: Seq[String] = buf.toSeq
+    resolvedEntries.put((table, version), acc)
     boundCache(table)
     acc
   }
@@ -2863,7 +2871,8 @@ object VersionedTable {
     */
   def autoMaintain(
       spark: SparkSession, table: String,
-      smallFileRows: Long = 1000L, smallFilesThreshold: Int = 2): (String, Long) = {
+      smallFileRows: Long = 1000L, smallFilesThreshold: Int = 2,
+      chainThreshold: Int = chainDebtThreshold): (String, Long) = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed versions at $table")
     val head = vs.last
@@ -2945,6 +2954,16 @@ object VersionedTable {
           math.max(smallFileRows * 2, known.sum / dataLayout.size))
       else 1L << 20
     }
+    // MANIFEST-CHAIN debt: a long un-checkpointed append chain makes
+    // every COLD plan walk O(chain) manifest files before the
+    // per-version memos warm (IngestProbe: ~0.1 ms/version of one-time
+    // cost — ~1 s at a 10k-commit chain). Checked LAST: every
+    // consolidation above already writes a self-contained manifest, so
+    // fixing a data debt resets the chain for free; this branch fires
+    // only when the data layout is healthy and ONLY metadata accreted.
+    // The fix is metadata-only (checkpoint — no data I/O, no versions
+    // expired, time travel intact).
+    val chainDebt = chainLength(table, head) >= chainThreshold
     if (eqTombstoned > 0) ("compact: tombstone debt", consolidate(1L << 20))
     else if (posDebt)
       ("compact: deletion-vector debt", consolidate(1L << 20))
@@ -2952,8 +2971,16 @@ object VersionedTable {
       ("optimize: small-file debt", consolidate(1L << 20))
     else if (decayed)
       ("optimize: clustering decay", consolidate(keepGranularity))
+    else if (chainDebt)
+      ("checkpoint: manifest-chain debt", checkpoint(table))
     else ("healthy", head)
   }
+
+  /** Carry-chain length at which [[autoMaintain]] advises a
+    * [[checkpoint]]. 64 keeps worst-case cold planning under ~10 ms of
+    * chain walk while leaving routine short chains alone.
+    */
+  val chainDebtThreshold = 64
 
   /** Commit classification for the streaming source: the paths of the
     * data files made fresh by version `v`, whether the commit carries
@@ -5224,6 +5251,113 @@ object VersionedTable {
     * paths). Re-planning the expired version fails immediately at
     * manifest lookup. Pinned after-vacuum behavior is spec-tested.
     */
+  /** MATERIALIZE one version's manifest in place: self-contained (no
+    * carry pointer), freshly indexed, with the CHAIN's accumulated
+    * rollup/schema hints re-emitted for every directory the resolved
+    * list still references — ALL cell families (long / `s~` string /
+    * `b~` membership), so commit-level pruning never degrades across
+    * the rewrite. The rewrite is entry-identical (same resolved list,
+    * non-derived headers preserved) and atomically replaced, so pinned
+    * readers and the resolved-entry cache stay valid. Shared by
+    * [[vacuum]] (a retained manifest whose chain reaches an expired
+    * predecessor must stop depending on it) and [[checkpoint]] (chain
+    * reset without expiring anything).
+    */
+  private def materializeManifest(table: String, v: Long): Unit = {
+    val resolved = manifestEntries(table, v)
+    // carry/rollup/schema/index headers are all re-derived below —
+    // index offsets in particular would be STALE against the
+    // rewritten entry layout
+    val headers = manifestLines(table, v).tail.takeWhile(isHeader)
+      .filterNot(l => l.startsWith("carry=") ||
+        l.startsWith("rollup=") || l.startsWith("schema=") ||
+        l.startsWith("index=") || l.startsWith("total=") ||
+        l.startsWith("delta="))
+    val liveDirs = resolved.filterNot(isRemoveEntry)
+      .map(e => entryPath(e).split('/')(1)).toSet
+    val (rolls, schemas, strRolls, memberRolls) =
+      persistedHeaders(table, Some(v))
+    val enc = java.util.Base64.getEncoder.withoutPadding
+    val rollDirs = (rolls.keySet ++ strRolls.keySet ++
+      memberRolls.keySet).filter(liveDirs.contains).toSeq.sorted
+    val hints =
+      rollDirs.flatMap { dir =>
+        val cells =
+          rolls.getOrElse(dir, Map.empty).toSeq.sortBy(_._1)
+            .map { case (c, (mn, mx)) => s"$c=$mn..$mx" } ++
+          strRolls.getOrElse(dir, Map.empty).toSeq.sortBy(_._1)
+            .map { case (c, (lo, hi)) =>
+              s"s~$c=${enc.encodeToString(lo)}.." +
+                hi.map(enc.encodeToString).getOrElse("")
+            } ++
+          memberRolls.getOrElse(dir, Map.empty).toSeq.sortBy(_._1)
+            .map { case (c, b) => s"b~$c=${enc.encodeToString(b)}" }
+        if (cells.isEmpty) None
+        else Some(s"rollup=$dir ${cells.mkString(";")}")
+      } ++
+      schemas.filter(kv => liveDirs.contains(kv._1)).toSeq.sortBy(_._1)
+        .map { case (dir, st) => s"schema=$dir ${st.json}" }
+    val mdir = manifestDir(table)
+    val tmp = mdir.resolve(
+      s"$v.manifest.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    // the materialized manifest is self-contained — give it a fresh
+    // indexed entry segment so cold selective plans keep seeking
+    val (body, idxLines) = indexedEntryLayout(resolved)
+    val totalLine = s"total=${resolved.count(e => !isDeleteEntry(e))}"
+    Files.write(tmp,
+      ((s"version=$v" +: headers) ++ (totalLine +: hints) ++
+        idxLines ++ body).asJava)
+    Files.move(tmp, mdir.resolve(s"$v.manifest"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // byte-offset memos (header positions, seek blocks) are STALE
+    // against the rewritten file — drop them for this version; the
+    // entry-SET memos stay valid (the rewrite is entry-identical).
+    // ownEntriesCache drops too: materialization turns v
+    // self-contained, so its OWN entries are now the full resolved
+    // list, not the fresh slice the carry-era cache holds (walks
+    // never read own entries of a base, but stale content must not
+    // outlive the shape change)
+    headerCache.remove((table, v))
+    ownEntriesCache.remove((table, v))
+    // COARSE: materialization reshapes the chain at v — newer
+    // versions' fold memos (chainown's base pointer in particular)
+    // were computed through the old shape. Materialization is rare;
+    // one re-walk re-seeds them.
+    chainFoldCache.keySet.removeIf(_._1 == table)
+    parsedSnapshots.keySet.removeIf(k => k._1 == table && k._2 == v &&
+      k._3.startsWith("rawdir:"))
+  }
+
+  /** CHECKPOINT: materialize the HEAD manifest in place — WITHOUT
+    * expiring any version. The non-destructive chain reset (what Delta's
+    * log checkpoint does): cold planning of the head, and of every
+    * future append built on it, stops walking the accumulated carry
+    * chain (IngestProbe: ~0.1 ms per chain version of one-time cold
+    * cost), while every older version stays exactly time-travelable —
+    * unlike [[vacuum]], whose materialization is tied to expiry.
+    * Returns the checkpointed head version. No-op (returning the head)
+    * when it is already self-contained.
+    */
+  def checkpoint(table: String): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions at $table")
+    val head = vs.last
+    if (carryOf(table, head).isDefined) materializeManifest(table, head)
+    head
+  }
+
+  /** Carry-chain length of version `v`'s manifest: how many carry hops
+    * stand between it and its self-contained base (0 = self-contained).
+    * Header-cache walk, O(chain) map probes.
+    */
+  private[sources] def chainLength(table: String, v: Long): Int = {
+    var n = 0
+    var cur = carryOf(table, v)
+    while (cur.isDefined) { n += 1; cur = carryOf(table, cur.get) }
+    n
+  }
+
   def vacuum(table: String, retain: Int): Int = {
     require(retain >= 1, "must retain at least one version")
     val vs = versions(table)
@@ -5241,81 +5375,7 @@ object VersionedTable {
         case Some(prev) => expiredSet.contains(prev) || chainCrosses(prev)
         case None       => false
       }
-      if (chainCrosses(v)) {
-        val resolved = manifestEntries(table, v)
-        // carry/rollup/schema/index headers are all re-derived below —
-        // index offsets in particular would be STALE against the
-        // rewritten entry layout
-        val headers = manifestLines(table, v).tail.takeWhile(isHeader)
-          .filterNot(l => l.startsWith("carry=") ||
-            l.startsWith("rollup=") || l.startsWith("schema=") ||
-            l.startsWith("index=") || l.startsWith("total=") ||
-            l.startsWith("delta="))
-        // the CHAIN's accumulated rollup/schema hints must survive the
-        // materialization (the predecessors that declared them are about
-        // to be deleted) — re-emit them for the directories the resolved
-        // list still references, so cold selective planning keeps its
-        // O(commits) path after every vacuum
-        val liveDirs = resolved.filterNot(isRemoveEntry)
-          .map(e => entryPath(e).split('/')(1)).toSet
-        val (rolls, schemas, strRolls, memberRolls) =
-          persistedHeaders(table, Some(v))
-        // ALL cell families survive the materialization — dropping the
-        // s~/b~ cells here would silently degrade string/membership
-        // commit-level pruning after every vacuum (small dirs' index
-        // lines carry no cells, so the rollup line is their only
-        // pre-filter)
-        val enc = java.util.Base64.getEncoder.withoutPadding
-        val rollDirs = (rolls.keySet ++ strRolls.keySet ++
-          memberRolls.keySet).filter(liveDirs.contains).toSeq.sorted
-        val hints =
-          rollDirs.flatMap { dir =>
-            val cells =
-              rolls.getOrElse(dir, Map.empty).toSeq.sortBy(_._1)
-                .map { case (c, (mn, mx)) => s"$c=$mn..$mx" } ++
-              strRolls.getOrElse(dir, Map.empty).toSeq.sortBy(_._1)
-                .map { case (c, (lo, hi)) =>
-                  s"s~$c=${enc.encodeToString(lo)}.." +
-                    hi.map(enc.encodeToString).getOrElse("")
-                } ++
-              memberRolls.getOrElse(dir, Map.empty).toSeq.sortBy(_._1)
-                .map { case (c, b) => s"b~$c=${enc.encodeToString(b)}" }
-            if (cells.isEmpty) None
-            else Some(s"rollup=$dir ${cells.mkString(";")}")
-          } ++
-          schemas.filter(kv => liveDirs.contains(kv._1)).toSeq.sortBy(_._1)
-            .map { case (dir, st) => s"schema=$dir ${st.json}" }
-        val mdir = manifestDir(table)
-        val tmp = mdir.resolve(
-          s"$v.manifest.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-        // the materialized manifest is self-contained — give it a fresh
-        // indexed entry segment so cold selective plans keep seeking
-        val (body, idxLines) = indexedEntryLayout(resolved)
-        val totalLine = s"total=${resolved.count(e => !isDeleteEntry(e))}"
-        Files.write(tmp,
-          ((s"version=$v" +: headers) ++ (totalLine +: hints) ++
-            idxLines ++ body).asJava)
-        Files.move(tmp, mdir.resolve(s"$v.manifest"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // byte-offset memos (header positions, seek blocks) are STALE
-        // against the rewritten file — drop them for this version; the
-        // entry-SET memos stay valid (the rewrite is entry-identical).
-        // ownEntriesCache drops too: materialization turns v
-        // self-contained, so its OWN entries are now the full resolved
-        // list, not the fresh slice the carry-era cache holds (walks
-        // never read own entries of a base, but stale content must not
-        // outlive the shape change)
-        headerCache.remove((table, v))
-        ownEntriesCache.remove((table, v))
-        // COARSE: materialization reshapes the chain at v — newer
-        // versions' fold memos (chainown's base pointer in particular)
-        // were computed through the old shape, and the old base is about
-        // to be expired. Vacuum is rare; one re-walk re-seeds them.
-        chainFoldCache.keySet.removeIf(_._1 == table)
-        parsedSnapshots.keySet.removeIf(k => k._1 == table && k._2 == v &&
-          k._3.startsWith("rawdir:"))
-      }
+      if (chainCrosses(v)) materializeManifest(table, v)
     }
     val keep = kept.flatMap(manifestEntries(table, _)).map(entryPath).toSet
     val doomed =

@@ -493,12 +493,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet == before,
       "optimize_where through CALL must change layout, never content")
+    // metadata-only chain reset through SQL: checkpoint keeps the head
+    // version, drops the carry pointer, changes no content
+    spark.sql("INSERT INTO gtest.default.mt VALUES (999, 'z')")
+    val ckv = spark.sql("CALL gtest.system.checkpoint('default.mt')")
+      .collect()(0).getLong(0)
+    assert(ckv == VersionedTable.versions(t).last,
+      "checkpoint must keep the head version")
+    assert(VersionedTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      (before + (999L -> "z")),
+      "checkpoint through CALL must change layout, never content")
     // and the full set is SQL-discoverable
     assert(spark.sql("SHOW PROCEDURES IN gtest.system")
       .collect().map(_.getString(3)).toSet ==
       Set("vacuum", "vacuum_time", "vacuum_orphans", "compact", "optimize",
         "optimize_where", "zorder", "restore", "clone", "auto_maintain",
-        "set_partitioning"))
+        "set_partitioning", "checkpoint"))
   }
 
   test("CALL system.restore rolls the head back; CALL system.clone forks a table") {

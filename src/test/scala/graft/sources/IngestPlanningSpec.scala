@@ -103,4 +103,76 @@ class IngestPlanningSpec extends AnyFunSuite {
     // results stay exact through the same path
     assert(VersionedTable.read(spark, t).count() == 201L)
   }
+
+  test("checkpoint: head materializes self-contained, results and time " +
+      "travel exact, later appends carry from the checkpoint") {
+    val s = spark; import s.implicits._
+    val t = s"$root/ckpt"
+    VersionedTable.commit(
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"),
+      t, append = false, statsCols = Seq("k"))
+    (1 to 5).foreach { i =>
+      VersionedTable.commit(
+        ((i * 1000L) until (i * 1000L + 10L)).map(k => (k, s"v$k")).toDF("k", "v"),
+        t, append = true, statsCols = Seq("k"))
+    }
+    val before = VersionedTable.read(spark, t).orderBy("k")
+      .collect().map(_.toSeq).toSeq
+    val head = VersionedTable.checkpoint(t)
+    assert(head == 6L, s"head version changed: $head")
+    // the head manifest is now self-contained and indexed
+    val m = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_manifest", "6.manifest")), "UTF-8")
+    assert(!m.contains("carry="), "checkpointed manifest must drop the carry")
+    assert(m.contains("index=") && m.contains("total="),
+      "checkpointed manifest must be indexed")
+    assert(m.contains("rollup=") && m.contains("schema="),
+      "chain hints must survive the checkpoint")
+    // results identical; a second checkpoint is a no-op
+    val after = VersionedTable.read(spark, t).orderBy("k")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "checkpoint changed results")
+    assert(VersionedTable.checkpoint(t) == 6L)
+    // NOTHING expired: every pre-checkpoint version still reads
+    assert(VersionedTable.read(spark, t, Some(1L)).count() == 100L)
+    assert(VersionedTable.read(spark, t, Some(3L)).count() == 120L)
+    // the loop continues on top of the checkpoint — and the new head's
+    // chain is one hop, not six
+    VersionedTable.commit(
+      (9000L until 9010L).map(k => (k, s"v$k")).toDF("k", "v"),
+      t, append = true, statsCols = Seq("k"))
+    assert(VersionedTable.read(spark, t).count() == 160L)
+    assert(VersionedTable.chainLength(t, 7L) == 1,
+      "an append after checkpoint must carry from the checkpointed base")
+    // selective planning keeps pruning through the rebuilt index
+    val sel = VersionedTable.selectiveLayoutByCommit(
+      t, None, Map("k" -> (3000L, 3005L)))
+    assert(sel.map(_._1) == Seq(4L), s"got ${sel.map(_._1)}")
+  }
+
+  test("auto_maintain flags manifest-chain debt on a healthy layout and " +
+      "the checkpoint clears it") {
+    val s = spark; import s.implicits._
+    val t = s"$root/chaindebt"
+    // healthy files (big enough to dodge the small-file rule), chain of 4
+    VersionedTable.commit(
+      (1L to 2000L).map(k => (k, s"v$k")).toDF("k", "v").repartition(1),
+      t, append = false, statsCols = Seq("k"))
+    (1 to 4).foreach { i =>
+      VersionedTable.commit(
+        ((i * 100000L) until (i * 100000L + 2000L)).map(k => (k, s"v$k"))
+          .toDF("k", "v").repartition(1),
+        t, append = true, statsCols = Seq("k"))
+    }
+    val (action, v) = VersionedTable.autoMaintain(
+      spark, t, chainThreshold = 3)
+    assert(action == "checkpoint: manifest-chain debt", action)
+    assert(v == 5L, s"checkpoint must keep the head version, got $v")
+    assert(VersionedTable.chainLength(t, 5L) == 0, "chain must be reset")
+    // second call: healthy (chain debt cleared without touching data)
+    val (action2, _) = VersionedTable.autoMaintain(
+      spark, t, chainThreshold = 3)
+    assert(action2 == "healthy", action2)
+    assert(VersionedTable.read(spark, t).count() == 10000L)
+  }
 }
