@@ -2478,12 +2478,22 @@ class GraftBucketedScan(
       val statsOf = VersionedTable.snapshotLayout(table, version)
         .map(e => e._1 -> e._4).toMap
       val strStatsOf = VersionedTable.snapshotStrStats(table, version)
-      // membership pruning inside buckets rides the global bloom map
-      // (bucket layouts are join-layout tables, planned whole by
-      // bucketLayout — not served by the chunked seek path)
-      val memberBloomsOf =
-        if (memberProbes.isEmpty) Map.empty[String, Map[String, Array[Byte]]]
-        else VersionedTable.snapshotMemberBlooms(table, version)
+      // membership pruning inside buckets serves through the seek
+      // path's chunk-granular bloom maps when the selective plan
+      // engages — the bucket LAYOUT enumeration stays O(files)
+      // (bucketLayout needs every bucket id for SPJ alignment), but the
+      // O(files)×~1 KiB global bloom map need not materialize for it;
+      // per-file None = chunk-dead in the surviving selection → drop,
+      // exactly like the flat scan. Index-less legacy manifests fall
+      // back to the global memo unchanged.
+      val memberBloomsOf: String => Option[Map[String, Array[Byte]]] =
+        if (memberProbes.isEmpty) _ => Some(Map.empty)
+        else VersionedTable.selectiveMemberBlooms(table, version, bounds,
+            strBounds, memberProbes)
+          .getOrElse {
+            val g = VersionedTable.snapshotMemberBlooms(table, version)
+            p => Some(g.getOrElse(p, Map.empty))
+          }
       layout.view.mapValues(_.filter { case (p, _) =>
         bounds.forall { case (c, (lo, hi)) =>
           statsOf.getOrElse(p, Map.empty).get(c)
@@ -2491,11 +2501,13 @@ class GraftBucketedScan(
         } && strBounds.forall { case (c, b) =>
           strStatsOf.getOrElse(p, Map.empty).get(c)
             .forall(GraftFilters.strZoneIntersects(_, b))
-        } && memberProbes.forall { case (c, hs) =>
-          memberBloomsOf.getOrElse(p, Map.empty).get(c)
-            .forall(b => hs.exists(h =>
+        } && (memberProbes.isEmpty || (memberBloomsOf(p) match {
+          case None => false // chunk-dead in the surviving selection
+          case Some(blooms) => memberProbes.forall { case (c, hs) =>
+            blooms.get(c).forall(b => hs.exists(h =>
               graft.functions.MemberBloom.mightContain(b, h)))
-        }
+          }
+        }))
       }).toMap
     }
   }

@@ -366,4 +366,52 @@ class MemberBloomSpec extends AnyFunSuite {
     assert(q.count() === 90L)
     assert(q.collect().forall(r => r.getLong(0) >= 100 && r.getLong(0) % 10 != 0))
   }
+
+  test("BUCKETED scans prune membership through the seek path's " +
+      "chunk-granular blooms — never the global O(files) map") {
+    root
+    spark.sql(
+      """CREATE TABLE gmb.default.btags (
+        |  id BIGINT, tags ARRAY<STRING>, n BIGINT)
+        |PARTITIONED BY (bucket(4, id))
+        |TBLPROPERTIES ('graft.member-cols' = 'tags')""".stripMargin)
+    // two tag-disjoint generations, each spread across all 4 buckets
+    Seq("en", "de").zipWithIndex.foreach { case (tag, i) =>
+      spark.sql(
+        s"""INSERT INTO gmb.default.btags
+           |SELECT id + ${i * 1000}, array('$tag',
+           |  concat('x', CAST(id % 5 AS STRING))), id
+           |FROM range(0, 1000, 1, 1) AS t(id)""".stripMargin)
+    }
+    val q = spark.sql(
+      "SELECT id, n FROM gmb.default.btags WHERE array_contains(tags, 'de')")
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("graft-catalog-bucketed"),
+      s"expected the bucketed scan:\n${desc.take(400)}")
+    // pruning is per-bucket-list: only the 'de' generation's files plan
+    // (the bucketed description carries a single planned-file count)
+    def bucketedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      "files=(\\d+)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .getOrElse(fail("no bucketed file count")).group(1).toInt
+    val baseline = bucketedFiles(
+      spark.sql("SELECT id, n FROM gmb.default.btags"))
+    val probed = bucketedFiles(q)
+    assert(probed < baseline && probed > 0,
+      s"the 'de' probe must drop the 'en' generation: $probed vs $baseline")
+    // results exact — membership pruning can only skip, never change
+    assert(q.count() === 1000L)
+    assert(q.collect().forall(r => r.getLong(0) >= 1000L))
+    // an absent key plans zero files and returns nothing
+    val none = spark.sql(
+      "SELECT id FROM gmb.default.btags WHERE array_contains(tags, 'zz')")
+    assert(none.count() === 0L)
+    // co-located self-join on the bucket key stays exchange-free BELOW
+    // the join while the membership probe prunes one side
+    val j = spark.sql(
+      """SELECT a.id FROM gmb.default.btags a
+        |JOIN gmb.default.btags b ON a.id = b.id
+        |WHERE array_contains(a.tags, 'de')""".stripMargin)
+    assert(j.count() === 1000L)
+  }
 }
