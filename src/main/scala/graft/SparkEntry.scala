@@ -291,14 +291,25 @@ object SparkEntry {
     // The testdata has no partsupp table, so the supply relation derives
     // from lineitem (per-(part, supplier) max quantity × 10 as available
     // stock) — the decorrelation stressors are identical to stock Q20.
+    // r19 optimization (guide §3.2): both lineitem consumers — the derived
+    // supply relation AND the correlated half-of-shipped-quantity scalar —
+    // are pre-filtered to 'red%' partkeys, the predicate the IN chain
+    // applies to ps_partkey (and the scalar correlates on that same
+    // partkey). Whole (partkey, suppkey) groups drop on both sides
+    // together, so every comparison the query evaluates is unchanged —
+    // bit-identical output (the oracle replays the unfiltered form).
     "q_sql_part_supply" -> ((s, d) => {
       Seq("supplier", "nation", "part", "lineitem")
         .foreach(n => t(s, d, n).createOrReplaceTempView(s"v_$n"))
       s.sql("""
-        WITH ps AS (
+        WITH li AS (
+          SELECT * FROM v_lineitem
+          WHERE l_partkey IN (
+            SELECT p_partkey FROM v_part WHERE p_name LIKE 'red%')),
+        ps AS (
           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
                  max(l_quantity) * 10 AS ps_availqty
-          FROM v_lineitem GROUP BY l_partkey, l_suppkey)
+          FROM li GROUP BY l_partkey, l_suppkey)
         SELECT s_name, round(s_acctbal, 2) AS acctbal
         FROM v_supplier JOIN v_nation ON s_nationkey = n_nationkey
         WHERE n_nationkey < 13
@@ -307,7 +318,7 @@ object SparkEntry {
             WHERE ps_partkey IN (
                 SELECT p_partkey FROM v_part WHERE p_name LIKE 'red%')
               AND ps_availqty > (
-                SELECT 0.5 * sum(l_quantity) FROM v_lineitem
+                SELECT 0.5 * sum(l_quantity) FROM li
                 WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
                   AND l_shipdate >= DATE '1996-01-01'
                   AND l_shipdate < DATE '1997-01-01'))
@@ -319,6 +330,15 @@ object SparkEntry {
     // relation (computed once, broadcast — never per group). Value sums
     // run in exact integer cents so Spark and DuckDB agree bit-for-bit
     // regardless of float summation order.
+    // r19 optimization (guide §3.2): the supply-value aggregate is
+    // pre-filtered by the qualifying-supplier semi-join (n_nationkey < 13
+    // — the predicate BOTH consumers of ps apply through the supplier
+    // join). Filtering at suppkey granularity keeps or drops whole
+    // (partkey, suppkey) groups, so every surviving group value is
+    // unchanged and both the main aggregate and the HAVING scalar see
+    // exactly the rows they saw before — bit-identical output (the
+    // oracle replays the unfiltered form), ~half the rows into the
+    // (partkey, suppkey) shuffle.
     "q_sql_important_stock" -> ((s, d) => {
       Seq("supplier", "nation", "lineitem")
         .foreach(n => t(s, d, n).createOrReplaceTempView(s"v_$n"))
@@ -326,7 +346,12 @@ object SparkEntry {
         WITH ps AS (
           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_value_c
-          FROM v_lineitem GROUP BY l_partkey, l_suppkey)
+          FROM v_lineitem
+          WHERE l_suppkey IN (
+            SELECT s_suppkey FROM v_supplier
+            JOIN v_nation ON s_nationkey = n_nationkey
+            WHERE n_nationkey < 13)
+          GROUP BY l_partkey, l_suppkey)
         SELECT ps_partkey, sum(ps_value_c) AS stock_value_c
         FROM ps JOIN v_supplier ON ps_suppkey = s_suppkey
         JOIN v_nation ON s_nationkey = n_nationkey
@@ -347,6 +372,14 @@ object SparkEntry {
     // back on p_partkey; the dim chain broadcasts. Supply cost derives
     // from lineitem (min line total in exact cents — no partsupp table
     // in this testdata, same derivation precedent as the Q20 shape).
+    // r19 optimization (guide §3.2): the derived supply relation is
+    // pre-filtered to the partkeys the query can ever surface — the outer
+    // block joins ps to parts WHERE p_size = 15 on partkey, and the
+    // correlated min subquery correlates on that same p_partkey, so
+    // restricting ps to p_size = 15 partkeys (2% of part) drops whole
+    // groups that neither consumer could keep. Bit-identical output (the
+    // oracle replays the unfiltered form); the (partkey, suppkey) shuffle
+    // shrinks ~50×.
     "q_sql_min_cost_supp" -> ((s, d) => {
       Seq("supplier", "nation", "region", "part", "lineitem")
         .foreach(n => t(s, d, n).createOrReplaceTempView(s"v_$n"))
@@ -354,7 +387,10 @@ object SparkEntry {
         WITH ps AS (
           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
                  min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost_c
-          FROM v_lineitem GROUP BY l_partkey, l_suppkey)
+          FROM v_lineitem
+          WHERE l_partkey IN (
+            SELECT p_partkey FROM v_part WHERE p_size = 15)
+          GROUP BY l_partkey, l_suppkey)
         SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,
                p_partkey, p_type, ps_cost_c
         FROM v_part
@@ -379,19 +415,34 @@ object SparkEntry {
     // integer cents (revenue cents rounded per-row on the 2-decimal grid,
     // cost = cents × integral quantity) so the big sum is associative and
     // engine-order-independent — no float tolerance needed at any scale.
+    //
+    // r19 optimization (guide §3.2 — reduce the big side before the
+    // shuffle): the supply-cost aggregate and the fact scan are both
+    // pre-filtered by the selective part predicate (a broadcast semi-join
+    // on the ~12% of partkeys matching '%bolt%'). Equivalence: the final
+    // plan joins every ps group and every fact row to the FILTERED part
+    // table on partkey, so groups/rows of non-matching partkeys can never
+    // reach the output, and the semi-join filters at exactly partkey
+    // granularity (whole ps groups). Result is bit-identical (oracle
+    // replays the unfiltered form); the (partkey, suppkey) shuffle into
+    // `ps` and the fact⋈ps join now carry ~8× fewer rows.
     "q_sql_profit" -> ((s, d) => {
       Seq("supplier", "nation", "part", "orders", "lineitem")
         .foreach(n => t(s, d, n).createOrReplaceTempView(s"v_$n"))
       s.sql("""
-        WITH ps AS (
+        WITH li AS (
+          SELECT * FROM v_lineitem
+          WHERE l_partkey IN (
+            SELECT p_partkey FROM v_part WHERE p_name LIKE '%bolt%')),
+        ps AS (
           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
                  min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_cost_c
-          FROM v_lineitem GROUP BY l_partkey, l_suppkey)
+          FROM li GROUP BY l_partkey, l_suppkey)
         SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
                sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
                    - ps_cost_c * CAST(l_quantity AS BIGINT)) AS profit_c,
                count(*) AS n_lines
-        FROM v_lineitem
+        FROM li
         JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
         JOIN v_part ON p_partkey = l_partkey
         JOIN v_supplier ON s_suppkey = l_suppkey

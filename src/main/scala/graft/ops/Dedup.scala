@@ -835,11 +835,34 @@ object Dedup {
       // eagerly checkpointed: consumed by BOTH the relabel job and the
       // edge-contraction job — without the checkpoint the union+aggregate
       // shuffle would execute twice per round
-      val nbrMin = freshCheckpoint(edges.select(col("u").as("l"), col("v").as("n"))
+      val nbrMin0 = freshCheckpoint(edges.select(col("u").as("l"), col("v").as("n"))
         .union(edges.select(col("v").as("l"), col("u").as("n")))
         .groupBy("l")
         .agg(min("n").as("nmin"))
         .select(col("l"), least(col("l"), col("nmin")).as("m")))
+      // r19 optimization — ONE pointer-jumping compose per round
+      // (m := m∘m): on long quotient chains plain contraction moves every
+      // label ONE hop per round (the O(diameter) regime the escalation
+      // guard exists for); composing the mapping with itself each round
+      // makes the effective hop length double, so chains collapse in
+      // O(log d) rounds. Soundness: m maps every label to a label inside
+      // its own component and never above it, so any number of composes
+      // stays within-component and ≥ the component min — the fixpoint
+      // (changed == 0) is still exactly "every label is its component
+      // min", and the contraction/relabel consumers are mapping-agnostic.
+      // The compose is one self-join of the label-cardinality mins frame
+      // (reads the checkpointed RDD twice, no recompute); left join keeps
+      // labels whose image has no quotient edges of its own.
+      // spark.graft.ccJumpLegacy=true is the A/B hook back to one-hop.
+      val nbrMin =
+        if (pairs.sparkSession.conf
+              .getOption("spark.graft.ccJumpLegacy").contains("true")) nbrMin0
+        else freshCheckpoint(
+          nbrMin0
+            .join(
+              nbrMin0.select(col("l").as("jl"), col("m").as("jm")),
+              col("m") === col("jl"), "left")
+            .select(col("l"), coalesce(col("jm"), col("m")).as("m")))
       // relabel every vertex through m (left join: labels whose
       // supervertex has no quotient neighbors keep their label)
       val updated = freshCheckpoint(labels
@@ -953,23 +976,43 @@ object Dedup {
 
   /** One large-star rewiring pass over canonical (hi, lo) edges: for every
     * vertex u with m = min(Γ(u) ∪ {u}), connect each strictly LARGER
-    * neighbor directly to m. One groupBy(min) + one equi-join on the
-    * bidirectional edge list. Connectivity-preserving on any graph
+    * neighbor directly to m. Connectivity-preserving on any graph
     * (Kiveris et al. SoCC '14, Lemma 1) and never grows the edge set
     * (each input edge maps to exactly one output edge before `distinct`).
+    *
+    * Execution shape (r19 optimization, guide §2.4 "remove shuffles
+    * outright"): the per-vertex min rides an UNORDERED window over the
+    * bidirectional edge list instead of the r18 groupBy(min) + equi-join
+    * pair. The join formulation computed and exchanged `bidir` twice —
+    * the aggregate leg and the join's probe leg are different subtrees
+    * (the probe side is filtered), so ReuseExchange cannot fire — plus a
+    * third exchange for the aggregated mins. The window computes the same
+    * `least(src, min(nbr))` with ONE exchange of `bidir` and a local sort,
+    * and drops the hash-join build entirely. Row-for-row identical output
+    * (same min, same filter, same projection); `spark.graft.ccStarsLegacy`
+    * is the per-plan A/B hook back to the join form.
     */
   private def largeStarPass(e: DataFrame): DataFrame = {
     // bidirectional view: Γ(u) from both orientations
     val bidir = e.select(col("hi").as("src"), col("lo").as("nbr"))
       .union(e.select(col("lo").as("src"), col("hi").as("nbr")))
-    val mins = bidir.groupBy("src")
-      .agg(least(col("src"), min(col("nbr"))).as("m"))
+    val legacy = e.sparkSession.conf
+      .getOption("spark.graft.ccStarsLegacy").contains("true")
     // (nbr, m(src)) for every strictly larger neighbor; nbr > src ≥ m
     // guarantees hi > lo, no self-loops
-    bidir.filter(col("nbr") > col("src"))
-      .join(mins, Seq("src"))
-      .select(col("nbr").as("hi"), col("m").as("lo"))
-      .distinct()
+    val rewired =
+      if (legacy) {
+        val mins = bidir.groupBy("src")
+          .agg(least(col("src"), min(col("nbr"))).as("m"))
+        bidir.filter(col("nbr") > col("src"))
+          .join(mins, Seq("src"))
+          .select(col("nbr").as("hi"), col("m").as("lo"))
+      } else bidir
+        .withColumn("m",
+          least(col("src"), min(col("nbr")).over(Window.partitionBy("src"))))
+        .filter(col("nbr") > col("src"))
+        .select(col("nbr").as("hi"), col("m").as("lo"))
+    rewired.distinct()
   }
 
   /** Star-reduce a pairwise edge list before clustering: one
@@ -997,11 +1040,22 @@ object Dedup {
       roundsKey: String = "cc_stars"): DataFrame = {
     var edges = freshCheckpoint(canonicalEdges(pairs))
 
+    // Same window-over-join rewrite as largeStarPass (guide §2.4): the
+    // per-hi min rides an unordered window — one exchange of `e` on hi and
+    // a local sort — instead of groupBy(min) + join-back (two consumers of
+    // `e`, two exchanges, one hash build). Row-identical output; the
+    // spark.graft.ccStarsLegacy hook reverts both passes together.
     def smallStar(e: DataFrame): DataFrame = {
-      val mins = e.groupBy("hi").agg(min(col("lo")).as("m"))
+      val legacy = e.sparkSession.conf
+        .getOption("spark.graft.ccStarsLegacy").contains("true")
+      val withM =
+        if (legacy) {
+          val mins = e.groupBy("hi").agg(min(col("lo")).as("m"))
+          e.join(mins, Seq("hi"))
+        } else e.withColumn("m", min(col("lo")).over(Window.partitionBy("hi")))
       // each (hi, lo) row emits (lo, m) — except the row carrying the min
       // itself, which emits (hi, m) exactly once per hi
-      e.join(mins, Seq("hi"))
+      withM
         .select(
           when(col("lo") === col("m"), col("hi")).otherwise(col("lo")).as("hi"),
           col("m").as("lo"))

@@ -133,9 +133,26 @@ object Similarity {
       iters: Int = 2): DataFrame = {
     var cents = centroids(embeddings, seedStride)
     for (_ <- 0 until iters) {
-      val assign = argminCell(embeddings, cents)
-        .join(embeddings, Seq("vec_id"))
-        .select(col("cell"), col("embedding"))
+      // r19 optimization (guide §2.4): carry the member embedding THROUGH
+      // the argmin aggregate instead of joining it back by vec_id — the
+      // join-back re-shuffled the whole embeddings table plus the argmin
+      // output once per Lloyd iteration for data the aggregate already
+      // held. The embedding rides inside the max-struct: (cos, neg_id) is
+      // already a total order per group (centroid ids are distinct), so
+      // the appended field never decides the max and the selected row is
+      // exactly the old argmin's. Identical output on any input with
+      // unique vec_id (the table's key; the oracle replays this).
+      val assign = embeddings
+        .join(broadcast(cents))
+        .select(
+          struct(
+            cosine(col("embedding"), col("cent_emb")).as("cos"),
+            (-col("centroid_id")).as("neg_id"),
+            col("embedding").as("emb")).as("sc"),
+          col("vec_id"))
+        .groupBy("vec_id")
+        .agg(max(col("sc")).as("best"))
+        .select((-col("best.neg_id")).as("cell"), col("best.emb").as("embedding"))
       val sums = (1 to EmbDim).map(i =>
         sum(floor(element_at(col("embedding"), i).cast("double") * lit(1000.0) + lit(0.5))
           .cast("long")).as(s"s$i"))
@@ -603,7 +620,11 @@ object Similarity {
       centroidStride: Int = 50,
       precomputedAssign: Option[DataFrame] = None,
       maxCell: Int = 1000): DataFrame = {
-    val assign = precomputedAssign.getOrElse(ivfAssign(embeddings, centroidStride))
+    // r19 optimization: internal consumers take the UNSORTED argmin frame —
+    // ivfAssign's public contract appends a global orderBy (a range
+    // exchange) plus a round() that the cell join destroys/ignores anyway
+    val assign = precomputedAssign
+      .getOrElse(argminCell(embeddings, centroids(embeddings, centroidStride)))
     val withCell = embeddings.join(assign.select("vec_id", "cell"), Seq("vec_id"))
     val cells = withCell
       .groupBy("cell")

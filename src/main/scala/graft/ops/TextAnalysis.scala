@@ -671,9 +671,20 @@ object TextAnalysis {
         transform(sequence(lit(1), size(toks) - 1),
           i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
         .otherwise(array().cast("array<string>"))
-      val pairCounts = cur
+      // r19 optimization: persist each round's pair counts — the frame has
+      // TWO consumers (the 1-row winning-merge broadcast and the top-k
+      // report) and additionally re-derives inside every LATER round's
+      // lineage through the broadcast(top1) chain, so without the cache
+      // the round-i aggregate recomputes O(iters − i) times inside one
+      // executed plan. Same persist-if-unpersisted idiom as the shingle
+      // frames; resetSessionState releases it between queries.
+      val pcRaw = cur
         .select(col("n"), explode(pairExpr).as("pair"))
         .groupBy("pair").agg(sum("n").as("cnt"))
+      val pairCounts =
+        if (pcRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          pcRaw.persist()
+        else pcRaw
       val top1 = pairCounts
         .orderBy(col("cnt").desc, col("pair")).limit(1)
         .select(col("pair").as("mp"))
