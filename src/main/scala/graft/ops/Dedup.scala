@@ -525,6 +525,29 @@ object Dedup {
       if (bRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) bRaw.persist()
       else bRaw
     val verts = documents.select(col("doc_id"))
+    // r19 wave 2 (guide §2.6 — overlap independent jobs): the two legs are
+    // INDEPENDENT — the CC fixpoint is a chain of small blocking jobs that
+    // leave most of local[32] idle, and the PageRank leg is a second chain
+    // of small jobs with no data dependency on the labels. Materialize the
+    // PageRank leg on a driver-side thread while the fixpoint runs on this
+    // one; Spark's scheduler (FIFO) back-fills the idle executors with the
+    // other leg's tasks. Results are unchanged — both legs are
+    // deterministic frames joined at the end exactly as before; the only
+    // thing that moves is WHEN the PR jobs are submitted. The shared
+    // bucket frame is materialized FIRST (one cheap count on the persisted
+    // frame) so the two threads cannot race duplicate computation of the
+    // signature preamble. spark.graft.ckOverlap=false is the A/B hook
+    // back to the sequential legs.
+    val overlap = !documents.sparkSession.conf
+      .getOption("spark.graft.ckOverlap").contains("false")
+    def prLeg(): DataFrame = pageRankFromPairs(bucketPairs(buckets), documents)
+      .select(col("doc_id"), col("rank_fp"))
+    val prFut =
+      if (overlap) {
+        buckets.count()
+        Some(scala.concurrent.Future(freshCheckpoint(prLeg()))(
+          scala.concurrent.ExecutionContext.global))
+      } else None
     // stars CC: identical labels (one oracle pins both variants), ~25%
     // faster here than label contraction at 11 rounds; own rounds key so
     // a bench run's "cc_stars" entry always belongs to the direct LSH
@@ -533,8 +556,8 @@ object Dedup {
     val labels = connectedComponentsStars(
         starEdges(buckets), verts, roundsKey = "cc_stars_central_keep")
       .select(col("doc_id"), col("cluster_id"))
-    val pr = pageRankFromPairs(bucketPairs(buckets), documents)
-      .select(col("doc_id"), col("rank_fp"))
+    val pr = prFut.fold(prLeg())(f =>
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     // top-1-per-cluster as ONE hash aggregate (max of an orderable
     // struct), not a rank window plus a size window: the window pair
     // cost a per-cluster SORT and carried every member row through two
@@ -854,6 +877,12 @@ object Dedup {
       // (reads the checkpointed RDD twice, no recompute); left join keeps
       // labels whose image has no quotient edges of its own.
       // spark.graft.ccJumpLegacy=true is the A/B hook back to one-hop.
+      // The compose checkpoint stays EAGER deliberately: a lazy variant
+      // (fused into the relabel count job, wave-2 candidate) measured
+      // 0.90x on the interleaved CcProbe A/B — the compose feeds BOTH the
+      // relabel and the two-leg edge-contraction join, and deferring its
+      // materialization into the relabel job serializes work the eager
+      // form overlaps. Kept the measured-faster shape.
       val nbrMin =
         if (pairs.sparkSession.conf
               .getOption("spark.graft.ccJumpLegacy").contains("true")) nbrMin0
@@ -1012,8 +1041,36 @@ object Dedup {
           least(col("src"), min(col("nbr")).over(Window.partitionBy("src"))))
         .filter(col("nbr") > col("src"))
         .select(col("nbr").as("hi"), col("m").as("lo"))
-    rewired.distinct()
+    // r19 wave 2 (guide §2.4 "two operations keyed the same way share one
+    // exchange"): route the dedup through an explicit hash exchange on the
+    // SINGLE key `hi` — HashPartitioning(hi) satisfies the distinct
+    // aggregate's ClusteredDistribution([hi, lo]) (subset rule), so the
+    // aggregate adds NO exchange of its own, and the downstream smallStar
+    // window (partitionBy hi) rides the SAME exchange. Net: the old
+    // distinct's (hi, lo) exchange AND the window's hi exchange collapse
+    // into one (verified: plans/r19/pass_large_star_after.txt shows
+    // REPARTITION_BY_COL hash(hi) feeding the two-key HashAggregate with
+    // no second exchange). Output rows identical (distinct is distinct
+    // under any partitioning). spark.graft.ccSingleKeyDedup=false is the
+    // interleaved-A/B hook back to the plain (hi, lo) distinct.
+    if (legacy || !singleKeyDedup(e)) rewired.distinct()
+    else rewired.repartition(col("hi")).distinct()
   }
+
+  /** Session-conf gate (default ON) for the single-key dedup exchange in
+    * the star passes — the per-plan A/B hook the CcProbe harness flips.
+    */
+  private def singleKeyDedup(df: DataFrame): Boolean =
+    !df.sparkSession.conf
+      .getOption("spark.graft.ccSingleKeyDedup").contains("false")
+
+  /** Session-conf gate (default ON) for fusing fixpoint bookkeeping
+    * (convergence fingerprint / changed-count) into the round's checkpoint
+    * materialization via a LAZY checkpoint.
+    */
+  private def fusedProbe(df: DataFrame): Boolean =
+    !df.sparkSession.conf
+      .getOption("spark.graft.ccFusedProbe").contains("false")
 
   /** Star-reduce a pairwise edge list before clustering: one
     * [[largeStarPass]], so components are IDENTICAL to the input graph's
@@ -1055,12 +1112,15 @@ object Dedup {
         } else e.withColumn("m", min(col("lo")).over(Window.partitionBy("hi")))
       // each (hi, lo) row emits (lo, m) — except the row carrying the min
       // itself, which emits (hi, m) exactly once per hi
-      withM
+      val out = withM
         .select(
           when(col("lo") === col("m"), col("hi")).otherwise(col("lo")).as("hi"),
           col("m").as("lo"))
         .filter(col("hi") =!= col("lo"))
-        .distinct()
+      // same single-key exchange trick as largeStarPass: dedup rides a
+      // hash(hi) exchange whose partitioning the NEXT consumer can reuse
+      if (legacy || !singleKeyDedup(e)) out.distinct()
+      else out.repartition(col("hi")).distinct()
     }
 
     // (count, bit_xor of per-edge xxhash64): order-independent over the
@@ -1082,7 +1142,20 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = freshCheckpoint(smallStar(largeStarPass(edges)))
+      // LAZY checkpoint + fused convergence probe (guide §1.2 — don't
+      // compute things twice): with an eager checkpoint each round paid
+      // TWO jobs — one to materialize the rewired edge set, one to
+      // fingerprint it. The lazy checkpoint lets the fingerprint
+      // aggregate (which reads every row and both columns, so nothing is
+      // pruned) be the materializing action: one job does both, and every
+      // later consumer (the next round's union, the converged read-off)
+      // reads the persisted blocks. Costs the recovered output layout
+      // (eager-only, see localCheckpointStatsFree) — worthless here, the
+      // next round's union destroys partitioning anyway.
+      // spark.graft.ccFusedProbe=false is the A/B hook back to eager +
+      // separate probe job.
+      val next = freshCheckpoint(
+        smallStar(largeStarPass(edges)), eager = !fusedProbe(edges))
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp

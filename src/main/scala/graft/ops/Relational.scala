@@ -416,19 +416,115 @@ object Relational {
       .orderBy("rf", "ls")
 
   /** Exact interpolated percentiles (Spark `percentile` == SQL
-    * percentile_cont semantics) per group. Exact percentile buffers every
-    * group value — correct but inherently non-scalable; the 100 TB path
-    * is `approx_percentile` (t-digest sketch, fixed-size state), traded
-    * here for oracle-exact results.
+    * percentile_cont semantics) per group.
+    *
+    * r19 optimization (guide §1.2 step 1 — fix the algorithm): the
+    * `percentile(...)` aggregate is a TypedImperativeAggregate that
+    * BUFFERS every raw value per group per expression — here the price
+    * column was buffered TWICE (p95 and p99 each own a buffer), every
+    * partial buffer is serialized through the exchange, and the final
+    * per-group merge+sort is single-threaded over ~|group| entries. That
+    * is also the documented round-18 scale residual (the buffer cannot
+    * spill). The rewrite computes the SAME interpolated value from
+    * value-frequency counts: one hash aggregate to (group, value, cnt) —
+    * partial map-side combine, narrow rows, nothing buffered — then a
+    * per-group cumulative-count window over DISTINCT values (sort-based,
+    * spillable), and the standard interpolation picked at ranks
+    * floor/ceil(p·(n−1)). Both price percentiles read ONE counts+cumsum
+    * pipeline. Results are bit-identical to Spark's `percentile` (the
+    * interpolation `(⌈pos⌉−pos)·lower + (pos−⌊pos⌋)·higher` with the
+    * equal-endpoint shortcut, pinned by `RelationalSpec`'s exact-equality
+    * case and the DuckDB oracle); `spark.graft.percentileLegacy=true` is
+    * the A/B hook back to the buffered aggregate.
     */
-  def percentiles(lineitem: DataFrame): DataFrame =
-    Parallelism.floor(lineitem)
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
-      .orderBy("l_returnflag")
+  def percentiles(lineitem: DataFrame): DataFrame = {
+    val legacy = lineitem.sparkSession.conf
+      .getOption("spark.graft.percentileLegacy").contains("true")
+    if (legacy)
+      Parallelism.floor(lineitem)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+        .orderBy("l_returnflag")
+    else
+      exactPercentiles(lineitem, "l_returnflag", Seq(
+        "l_quantity" -> Seq("p50_qty" -> 0.5),
+        "l_extendedprice" -> Seq("p95_price" -> 0.95, "p99_price" -> 0.99)))
+        .select(col("l_returnflag"),
+          round(col("p50_qty"), 4).as("p50_qty"),
+          round(col("p95_price"), 4).as("p95_price"),
+          round(col("p99_price"), 4).as("p99_price"))
+        .orderBy("l_returnflag")
+  }
+
+  /** Exact interpolated percentiles per `g` from value-frequency counts —
+    * the sort-based, spillable equivalent of Spark's buffering
+    * `percentile` aggregate (identical doubles; see [[percentiles]]).
+    * `specs` maps each VALUE column to its requested (output name,
+    * percentage) list; all value columns ride ONE unpivoted pipeline —
+    * one scan, one counts aggregate, one window stage — instead of a
+    * pipeline per column. One row per group, one double column per
+    * requested percentile, spec order.
+    */
+  private[graft] def exactPercentiles(
+      df: DataFrame,
+      g: String,
+      specs: Seq[(String, Seq[(String, Double)])]): DataFrame = {
+    // No Parallelism.floor here, deliberately: the floor existed for the
+    // BUFFERED percentile, whose single final merge made scan parallelism
+    // the bottleneck. This form partial-aggregates on the scan task like
+    // every other aggregate in the suite, and the interleaved A/B measured
+    // the floor's extra raw-row shuffle as a pure loss for it (0.78×).
+    //
+    // Unpivot: (g, kind, value) with kind = the spec index — the null
+    // filter (percentile skips nulls, so n must too) applies per kind.
+    val kv = df.select(col(g), explode(array(specs.zipWithIndex.map {
+      case ((v, _), i) =>
+        struct(lit(i).as("kind"), col(v).cast("double").as("pv"))
+    }: _*)).as("e"))
+      .select(col(g), col("e.kind").as("kind"), col("e.pv").as("pv"))
+      .filter(col("pv").isNotNull)
+    val counts = kv.groupBy(col(g), col("kind"), col("pv"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(g, "kind").orderBy("pv")
+    val wAll = Window.partitionBy(g, "kind")
+    // cum = rank of the value's LAST occurrence (1-based); the value covers
+    // 0-indexed ranks [cum - cnt, cum - 1]; n rides an unordered twin
+    // window over the same exchange
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+    val aggs = specs.zipWithIndex.flatMap { case ((_, ps), i) =>
+      ps.flatMap { case (name, p) =>
+        val inKind = col("kind") === i
+        val pos = lit(p) * (col("n") - lit(1L)).cast("double")
+        val lo = floor(pos)
+        val hi = ceil(pos)
+        Seq(
+          max(when(inKind && col("cum") - col("cnt") <= lo && lo < col("cum"),
+            col("pv"))).as(s"${name}_lo"),
+          max(when(inKind && col("cum") - col("cnt") <= hi && hi < col("cum"),
+            col("pv"))).as(s"${name}_hi"),
+          // pos is constant per (group, kind); max-over-kind carries it
+          max(when(inKind, pos)).as(s"${name}_pos"))
+      }
+    }
+    cum.groupBy(g).agg(aggs.head, aggs.tail: _*)
+      .select(col(g) +: specs.flatMap(_._2).map { case (name, _) =>
+        val pos = col(s"${name}_pos")
+        val l = col(s"${name}_lo")
+        val h = col(s"${name}_hi")
+        // Spark Percentile.getPercentile: equal rank endpoints (integral
+        // position) or equal KEYS return the lower key directly — the
+        // interpolation product pair is not an fp identity at a·x + b·x
+        // with a + b = 1
+        when(ceil(pos) === floor(pos) || l === h, l)
+          .otherwise((ceil(pos) - pos) * l + (pos - floor(pos)) * h)
+          .as(name)
+      }: _*)
+  }
 
   /** Sketch aggregates: HyperLogLog++ distinct-count estimate next to the
     * exact count. At 100 TB this is THE distinct-count — fixed-size sketch

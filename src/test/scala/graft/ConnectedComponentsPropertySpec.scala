@@ -87,6 +87,59 @@ class ConnectedComponentsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("r19 execution gates do not change stars labels (single-key dedup, fused probe)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val nVerts = 40
+    val edgeGen = for {
+      density <- Gen.chooseNum(1, 60)
+      edges <- Gen.listOfN(density, for {
+        a <- Gen.chooseNum(0, nVerts - 1)
+        b <- Gen.chooseNum(0, nVerts - 1)
+        if a != b
+      } yield (a.toLong, b.toLong))
+    } yield edges
+    try {
+      for (edges <- samples(edgeGen, 4)) {
+        val expected = unionFindLabels(nVerts, edges)
+        val pairsDf = edges.toDF("doc_a", "doc_b")
+        val vertsDf = (0L until nVerts.toLong).toDF("doc_id")
+        sparkS.conf.set("spark.graft.ccSingleKeyDedup", "false")
+        sparkS.conf.set("spark.graft.ccFusedProbe", "false")
+        val off = Dedup.connectedComponentsStars(pairsDf, vertsDf)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        sparkS.conf.set("spark.graft.ccSingleKeyDedup", "true")
+        sparkS.conf.set("spark.graft.ccFusedProbe", "true")
+        val on = Dedup.connectedComponentsStars(pairsDf, vertsDf)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(on == expected && off == expected,
+          s"gate variants diverge for edges=$edges\n expected=$expected\n on=$on\n off=$off")
+      }
+    } finally {
+      sparkS.conf.unset("spark.graft.ccSingleKeyDedup")
+      sparkS.conf.unset("spark.graft.ccFusedProbe")
+    }
+  }
+
+  test("centralKeep overlap gate returns identical rows either way") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup),
+      (4L, "completely unrelated text about spark execution engines"),
+      (5L, "another very different document discussing tokenizer training"))
+      .toDF("doc_id", "text")
+    try {
+      sparkS.conf.set("spark.graft.ckOverlap", "false")
+      val seq = Dedup.centralKeep(docs).collect().map(_.toSeq).toSeq
+      SparkEntry.resetSessionState(sparkS)
+      sparkS.conf.set("spark.graft.ckOverlap", "true")
+      val par = Dedup.centralKeep(docs).collect().map(_.toSeq).toSeq
+      assert(par == seq, s"overlapped centralKeep diverges:\n seq=$seq\n par=$par")
+    } finally sparkS.conf.unset("spark.graft.ckOverlap")
+  }
+
   test("both strategies agree on an adversarial long chain (stars' home turf)") {
     val sparkS = spark
     import sparkS.implicits._

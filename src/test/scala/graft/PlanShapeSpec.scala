@@ -161,7 +161,18 @@ class PlanShapeSpec extends AnyFunSuite {
     // `text` in its ReadSchema means a leg re-derived signatures, a full
     // extra corpus pass at 100 TB), and at least two InMemoryTableScan
     // readers consume the shared bucket frame.
-    val df = Dedup.centralKeep(t("documents"))
+    //
+    // Pinned on the SEQUENTIAL gate (ckOverlap=false): under the r19
+    // overlapped default the PageRank leg materializes on a driver thread
+    // into a checkpoint, so its cache read happens in that leg's own jobs
+    // and the final plan shows a LogicalRDD leaf instead — the shared-
+    // pipeline property is unchanged (the overlap path materializes the
+    // bucket frame ONCE via count() before forking, and the gate-equality
+    // test in ConnectedComponentsPropertySpec pins identical rows).
+    spark.conf.set("spark.graft.ckOverlap", "false")
+    val df =
+      try Dedup.centralKeep(t("documents"))
+      finally spark.conf.unset("spark.graft.ckOverlap")
     df.queryExecution.toRdd.foreach(_ => ())
     // collect REAL file scans only — a string match would also hit the
     // cached plan that InMemoryRelation nodes print inside themselves

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Relational
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the two relational behaviors the DuckDB oracle cannot grade:
@@ -11,6 +12,55 @@ import org.scalatest.funsuite.AnyFunSuite
 class RelationalSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestBase.spark
+
+  test("exactPercentiles matches Spark's buffering percentile BIT-exactly (unrounded)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // adversarial shapes: heavy duplicates (equal interpolation endpoints),
+    // odd/even group sizes (integral and fractional positions), negatives,
+    // singleton groups, values whose products are inexact in binary
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 4000).map { i =>
+      val g = s"g${i % 5}"
+      val v = (i % 5) match {
+        case 0 => rnd.nextInt(7).toDouble        // tiny domain: lots of ties
+        case 1 => rnd.nextDouble() * 1000.0 - 500.0
+        case 2 => 0.1 * rnd.nextInt(1000)        // inexact decimals
+        case 3 => rnd.nextInt(3).toDouble - 1.0
+        case _ => rnd.nextDouble()
+      }
+      val w = rnd.nextInt(20).toDouble * 0.7     // second unpivoted column
+      (g, v, w)
+    } :+ (("solo", 3.7, 11.3))                   // n = 1 group
+    val df = rows.toDF("g", "v", "w")
+    val psV = Seq("p00" -> 0.0, "p13" -> 0.13, "p50" -> 0.5, "p95" -> 0.95,
+      "p999" -> 0.999, "p100" -> 1.0)
+    val psW = Seq("w25" -> 0.25, "w77" -> 0.77)
+    val all = psV ++ psW
+    val mine = Relational.exactPercentiles(df, "g",
+      Seq("v" -> psV, "w" -> psW))
+      .collect().map(r => r.getString(0) ->
+        all.indices.map(i => r.getDouble(i + 1)).toVector).toMap
+    val ref = df.groupBy("g")
+      .agg(expr("percentile(v, 0.0)"), expr("percentile(v, 0.13)"),
+        expr("percentile(v, 0.5)"), expr("percentile(v, 0.95)"),
+        expr("percentile(v, 0.999)"), expr("percentile(v, 1.0)"),
+        expr("percentile(w, 0.25)"), expr("percentile(w, 0.77)"))
+      .collect().map(r => r.getString(0) ->
+        all.indices.map(i => r.getDouble(i + 1)).toVector).toMap
+    assert(mine.keySet == ref.keySet)
+    for (g <- ref.keySet; i <- all.indices)
+      assert(java.lang.Double.doubleToLongBits(mine(g)(i)) ==
+        java.lang.Double.doubleToLongBits(ref(g)(i)),
+        s"group $g ${all(i)._1}: mine=${mine(g)(i)} ref=${ref(g)(i)}")
+    // and the public query path agrees with its legacy form end to end
+    val li = sparkS.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sparkS.conf.set("spark.graft.percentileLegacy", "true")
+    val legacy = try Relational.percentiles(li).collect().map(_.toSeq).toSeq
+    finally sparkS.conf.unset("spark.graft.percentileLegacy")
+    val cur = Relational.percentiles(li).collect().map(_.toSeq).toSeq
+    assert(cur == legacy, s"legacy/new percentile paths diverge:\n $legacy\n $cur")
+  }
 
   test("approx_count_distinct stays within the default 5% rsd contract (3-sigma)") {
     val sparkS = spark
