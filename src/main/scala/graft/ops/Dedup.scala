@@ -47,7 +47,17 @@ object Dedup {
     val docShingles =
       if (shRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) shRaw.persist()
       else shRaw
-    val sigs = minhashFromShingles(docShingles)
+    // r19 optimization (guide §5): `sigs` has THREE consumers (the bucket
+    // generator and both signature legs of the pair join) and exchange
+    // reuse does not bridge them — without the cache the explode +
+    // NumHashes-min aggregate ran three times (same class of duplicated
+    // subtree PlanAudit exposed in setSimilarityJoin). Same
+    // persist-if-unpersisted idiom; resetSessionState releases it.
+    val sigsRaw = minhashFromShingles(docShingles)
+    val sigs =
+      if (sigsRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        sigsRaw.persist()
+      else sigsRaw
     val pairs = bucketPairs(lshBucketsFromSigs(sigs, maxBucket = 1000))
     val sa = sigs.select(
       col("doc_id").as("doc_a") +: (0 until NumHashes).map(k => col(s"h$k").as(s"a$k")): _*)
@@ -671,11 +681,21 @@ object Dedup {
       else shRaw
     val pairs = bucketPairs(
       lshBucketsFromShingles(docShingles, maxBucket = 1000))
+    // r19 optimization (guide §2.3 — shuffle fewer bytes): distinct each
+    // document's shingle array ONCE before the pair joins instead of
+    // array_distinct per PAIR — a document in k pairs paid the dedup k
+    // times and shipped its duplicate elements through both join builds.
+    // Set arithmetic downstream is unchanged: array_union is
+    // set-semantics, so union(distinct a, distinct b) has the same SIZE
+    // as union(a, b), and |∩| = |a|+|b|−|∪| reads the pre-distincted
+    // sizes. Identical output (the oracle replays the raw form).
+    val distinctSets = docShingles
+      .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
     val withSets = pairs
-      .join(docShingles.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
-      .join(docShingles.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))
-    val nA = size(array_distinct(col("sh_a"))).cast("long")
-    val nB = size(array_distinct(col("sh_b"))).cast("long")
+      .join(distinctSets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
+      .join(distinctSets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))
+    val nA = size(col("sh_a")).cast("long")
+    val nB = size(col("sh_b")).cast("long")
     val nU = size(array_union(col("sh_a"), col("sh_b"))).cast("long")
     withSets
       .select(col("doc_a"), col("doc_b"),
@@ -1382,7 +1402,7 @@ object Dedup {
     val tokens = shingled.select(col("doc_id"), explode(col("ts")).as("tok"))
     // set semantics upstream ⇒ count(*) is document frequency
     val dfCnt = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
-    val prefixes = tokens
+    val prefixesRaw = tokens
       .join(dfCnt, Seq("tok"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("sorted"))
@@ -1390,6 +1410,17 @@ object Dedup {
         posexplode(expr(
           s"transform(slice(sorted, 1, CAST(size(sorted) - ceil($t * size(sorted)) + 1 AS INT)), x -> x.tok)")))
       .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"), col("col").as("tok"))
+    // r19 optimization (guide §5 — reuse beats recompute, measured by
+    // PlanAudit): the candidate self-join consumes `prefixes` on BOTH
+    // legs, and runtime exchange reuse does NOT fire across the a/b
+    // aliases here — the audit showed the whole prefix pipeline (tokens ⋈
+    // df counts → per-doc sort → posexplode) executed twice, two
+    // pairwise-identical 13 MB + 9 MB exchanges. Persist it once (same
+    // idiom as the shingle frame; resetSessionState releases it).
+    val prefixes =
+      if (prefixesRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        prefixesRaw.persist()
+      else prefixesRaw
     // AllPairs length filter: J(A,B) ≥ t forces t·|B| ≤ |A| (and
     // symmetrically), so size-mismatched pairs can NEVER pass the verify
     // threshold. PPJoin positional filter (Xiao et al. 2008) on top: a

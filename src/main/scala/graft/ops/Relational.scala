@@ -73,14 +73,36 @@ object Relational {
     */
   def dedupByKeyDeterministic(lineitem: DataFrame): DataFrame = {
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic data — the
-    // ordering must be a total order or "keep first" is nondeterministic
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
-    lineitem
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
-      .orderBy("l_orderkey")
+    // ordering must be a total order or "keep first" is nondeterministic.
+    //
+    // r19 optimization (guide §2.4; same proven trick as centralKeep's
+    // r18 window→aggregate rewrite): "first row per key under a total
+    // order" is min(struct(order columns)) — ONE hash aggregate with
+    // map-side partial combine, no per-partition SORT, no WindowExec.
+    // Rows tied on all four ordering columns are identical in every
+    // OUTPUT column (the projection is a subset of the ordering), so the
+    // kept row is exactly the rank-window's. The window form (kept under
+    // spark.graft.dedupKeyLegacy=true) already benefited from
+    // WindowGroupLimit's partial top-1, but still sorted every map
+    // partition and the post-shuffle groups; the aggregate hashes instead.
+    val legacy = lineitem.sparkSession.conf
+      .getOption("spark.graft.dedupKeyLegacy").contains("true")
+    if (legacy) {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+      lineitem
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey")
+    } else
+      lineitem
+        .groupBy("l_orderkey")
+        .agg(min(struct(col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))).as("f"))
+        .select(col("l_orderkey"), col("f.l_linenumber"),
+          col("f.l_partkey"), col("f.l_quantity"))
+        .orderBy("l_orderkey")
   }
 
   /** R4: left equi-join with explicit condition. The customer dimension is
