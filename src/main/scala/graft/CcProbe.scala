@@ -64,7 +64,12 @@ object CcProbe {
       val on = Vector.newBuilder[Double]
       val off = Vector.newBuilder[Double]
       for (_ <- 1 to iters) {
+        // r20 protocol fix: reset session state between the OFF and ON
+        // runs, not only after the pair — ops that persist internal frames
+        // (shingles, buckets, pairs) otherwise hand the SECOND variant a
+        // warm cache the first paid for, a systematic bias toward ON.
         setAll("false"); off += run(fn)
+        SparkEntry.resetSessionState(spark)
         setAll("true"); on += run(fn)
         SparkEntry.resetSessionState(spark)
       }

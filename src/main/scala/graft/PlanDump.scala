@@ -49,10 +49,14 @@ object PlanDump {
         }
         val txt = df.queryExecution.explainString(FormattedMode)
         Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), txt)
-        spark.conf.unset("spark.graft.ccStarsLegacy")
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+      } finally {
+        // in a finally: if explain/write throws for a pass_large_star*
+        // target, a legacy flag left set would silently compile every
+        // later query in this dump run with legacy star passes
+        spark.conf.unset("spark.graft.ccStarsLegacy")
       }
       SparkEntry.resetSessionState(spark)
     }

@@ -357,17 +357,49 @@ object Dedup {
     // persist PARTITIONED on the join key: every round's edge↔label join
     // shuffles the label side only — the cached edge partitioning is
     // visible to the planner, so the (edge-sized, 2×|pairs|) frame is
-    // exchanged once here instead of once per round
-    val edges0 = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
+    // exchanged once here instead of once per round. r20: bidirect via
+    // explode, not union(pairs, pairs.swapped) — the union legs are
+    // different projections of the UNMATERIALIZED LSH candidate pipeline,
+    // so the whole tokenize→shingle→minhash→bucket preamble executed twice
+    // inside this frame's one materialization. Same rows.
+    // spark.graft.bidirUnion=true reverts for the interleaved A/B.
+    val edges0 =
+      if (bidirUnion(pairs))
+        pairs
+          .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .toDF("src", "dst")
+      else pairs
+        .select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val edges = (if (legacy) edges0 else edges0.repartition(col("dst")))
       .persist()
     try {
+      // NOTE (r20, measured and rejected): iterating over the ACTIVE
+      // vertex set only (distinct edge endpoints, one final left join to
+      // recover inactive self-labels — the shape kept for contraction CC)
+      // measured 1.41× SLOWER here on the interleaved A/B: LP's per-round
+      // relabel join already rides aligned hash partitioning at zero
+      // exchanges, and the active-set form's extra distinct + final join
+      // stages cost more than the smaller label frame saves at any scale
+      // where the frame fits a partition. Full-vertex iteration kept.
       var labels = verts.select(col("doc_id").as("v"), col("doc_id").as("lab"))
+      // r20 optimization (guide §2.4 — two operations keyed the same way
+      // share one exchange): route the vote through ONE hash(src) exchange.
+      // HashPartitioning(src) satisfies the (src, lab) count's
+      // ClusteredDistribution (subset rule), the (src) winner aggregate,
+      // AND the relabel join's best side — so each round pays one exchange
+      // where the plain groupBy chain paid two. Bytes are not worse at
+      // scale: pre-convergence neighbor labels are mostly distinct, so the
+      // (src, lab) partial aggregate barely compressed the edge-sized
+      // stream it exchanged. spark.graft.lpVoteRepartition=false is the
+      // A/B hook back to the two-exchange chain.
+      val singleEx = !legacy && !pairs.sparkSession.conf
+        .getOption("spark.graft.lpVoteRepartition").contains("false")
       for (_ <- 1 to rounds) {
-        val counts = edges
-          .join(labels, edges("dst") === labels("v"))
+        val joined = edges.join(labels, edges("dst") === labels("v"))
+        val counts = (if (singleEx) joined.repartition(col("src")) else joined)
           .groupBy(col("src"), col("lab"))
           .agg(count(lit(1)).as("c"))
         // the (count DESC, label ASC) vote winner as ONE hash aggregate
@@ -437,8 +469,24 @@ object Dedup {
       pairs: DataFrame,
       documents: DataFrame,
       iters: Int = 3): DataFrame = {
-    val edgesRaw = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // r20 (guide §1.2): persist the PAIR frame — the bidirectional edge
+    // view below is read by both the degree aggregate and the join probe,
+    // so without this cache the candidate-generation preamble executed
+    // twice inside the edge frame's one materialization (and the
+    // union-of-projections form it replaced executed it up to 4×). The
+    // explode builds both orientations in one pass over the cached pairs.
+    val pairsC =
+      if (pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE) pairs.persist()
+      else pairs
+    val edgesRaw =
+      if (bidirUnion(pairs))
+        pairsC.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairsC.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      else pairsC
+        .select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val deg = edgesRaw.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val edgesD = edgesRaw.join(deg, Seq("src"))
     val edges =
@@ -562,10 +610,23 @@ object Dedup {
     // faster here than label contraction at 11 rounds; own rounds key so
     // a bench run's "cc_stars" entry always belongs to the direct LSH
     // consumer (q_docs_clusters_stars), never last-writer-wins with this
-    // composed one
-    val labels = connectedComponentsStars(
-        starEdges(buckets), verts, roundsKey = "cc_stars_central_keep")
-      .select(col("doc_id"), col("cluster_id"))
+    // composed one.
+    // If the CC leg throws (strict non-convergence, job failure), the
+    // PageRank future must be drained BEFORE propagating: an abandoned leg
+    // keeps submitting jobs whose localCheckpoint blocks race a caller's
+    // subsequent resetSessionState (blocking unpersist of all RDDs).
+    val labels =
+      try connectedComponentsStars(
+          starEdges(buckets), verts, roundsKey = "cc_stars_central_keep")
+        .select(col("doc_id"), col("cluster_id"))
+      catch {
+        case e: Throwable =>
+          prFut.foreach { f =>
+            try scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf)
+            catch { case _: Throwable => () }
+          }
+          throw e
+      }
     val pr = prFut.fold(prLeg())(f =>
       scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     // top-1-per-cluster as ONE hash aggregate (max of an orderable
@@ -868,8 +929,24 @@ object Dedup {
     // Checkpointed RDDs are reaped by the ContextCleaner once unreferenced.
     var edges = freshCheckpoint(pairs
       .select(col(pa).as("u"), col(pb).as("v")))
-    var labels = freshCheckpoint(vertices.select(col(vertices.columns.head).as("id"))
-      .withColumn("label", col("id")))
+    // r20 optimization (guide §2.3): iterate labels over the ACTIVE vertex
+    // set only — distinct endpoints of the edge list. A vertex with no
+    // edges never appears as a supervertex-min key in any round (nbrMin
+    // keys are quotient endpoints ⊆ active labels), so its label stays its
+    // own id and carrying it through `rounds` label-sized joins and the
+    // per-round changed-count scan was dead weight; the full labeling is
+    // recovered by ONE final left join (inactive ⇒ own id/self-keep).
+    // `changed` is identical (inactive rows never counted), so round
+    // counts and the escalation decision are unchanged.
+    // spark.graft.activeSetLegacy=true reverts for the interleaved A/B.
+    val activeSet = !pairs.sparkSession.conf
+      .getOption("spark.graft.activeSetLegacy").contains("true")
+    var labels = freshCheckpoint(
+      if (activeSet)
+        edges.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+          .withColumn("label", col("id"))
+      else vertices.select(col(vertices.columns.head).as("id"))
+        .withColumn("label", col("id")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < math.min(EscalateAfter, maxIter)) {
@@ -966,7 +1043,18 @@ object Dedup {
           Seq("label"), "left")
         .select(col("id"), coalesce(col("cluster_id"), col("label")).as("label"))
     }
-    labels
+    if (activeSet)
+      // recover the full labeling: inactive vertices are their own
+      // singleton clusters (identical to what the full-vertex loop
+      // carried through every round)
+      vertices.select(col(vertices.columns.head).as("id"))
+        .join(labels, Seq("id"), "left")
+        .select(
+          col("id").as("doc_id"),
+          coalesce(col("label"), col("id")).as("cluster_id"),
+          (coalesce(col("label"), col("id")) === col("id")).as("keep"))
+        .orderBy("doc_id")
+    else labels
       .select(
         col("id").as("doc_id"),
         col("label").as("cluster_id"),
@@ -1042,9 +1130,24 @@ object Dedup {
     * is the per-plan A/B hook back to the join form.
     */
   private def largeStarPass(e: DataFrame): DataFrame = {
-    // bidirectional view: Γ(u) from both orientations
-    val bidir = e.select(col("hi").as("src"), col("lo").as("nbr"))
-      .union(e.select(col("lo").as("src"), col("hi").as("nbr")))
+    // bidirectional view: Γ(u) from both orientations. r20 (guide §1.2 —
+    // don't compute things twice): explode each edge into its two
+    // orientations in ONE pass instead of union(e, e.swapped) — the union
+    // legs are different projections, so when `e` is an unmaterialized
+    // pipeline (starReduceEdges over simhash/cosine verified pairs) the
+    // whole candidate generator executed twice. Same rows, same multiset.
+    // spark.graft.bidirUnion=true is the interleaved-A/B hook back to the
+    // union form (fixpoint rounds read a checkpointed `e`, so there the
+    // two forms differ only in operator shape, not recompute).
+    val bidir =
+      if (bidirUnion(e))
+        e.select(col("hi").as("src"), col("lo").as("nbr"))
+          .union(e.select(col("lo").as("src"), col("hi").as("nbr")))
+      else e
+        .select(explode(array(
+          struct(col("hi").as("src"), col("lo").as("nbr")),
+          struct(col("lo").as("src"), col("hi").as("nbr")))).as("e"))
+        .select(col("e.src").as("src"), col("e.nbr").as("nbr"))
     val legacy = e.sparkSession.conf
       .getOption("spark.graft.ccStarsLegacy").contains("true")
     // (nbr, m(src)) for every strictly larger neighbor; nbr > src ≥ m
@@ -1083,6 +1186,14 @@ object Dedup {
   private def singleKeyDedup(df: DataFrame): Boolean =
     !df.sparkSession.conf
       .getOption("spark.graft.ccSingleKeyDedup").contains("false")
+
+  /** Session-conf gate (default OFF) reverting the r20 explode-bidirection
+    * rewrite to the legacy union-of-projections form — the interleaved-A/B
+    * hook shared by the star passes, label propagation and PageRank.
+    */
+  private def bidirUnion(df: DataFrame): Boolean =
+    df.sparkSession.conf
+      .getOption("spark.graft.bidirUnion").contains("true")
 
   /** Session-conf gate (default ON) for fusing fixpoint bookkeeping
     * (convergence fingerprint / changed-count) into the round's checkpoint

@@ -489,6 +489,14 @@ object Relational {
     * one scan, one counts aggregate, one window stage — instead of a
     * pipeline per column. One row per group, one double column per
     * requested percentile, spec order.
+    *
+    * ±0.0 / NaN caveat: grouping on the double value normalizes −0.0 to
+    * 0.0 (and collapses NaN bit patterns) in the group key, whereas the
+    * legacy buffered aggregate's hash map distinguishes them and sorts
+    * −0.0 below 0.0 — so on data containing negative zeros the result can
+    * differ from the legacy path in the SIGN of a zero (never in
+    * magnitude). The suite's inputs (prices, quantities) contain no −0.0;
+    * the legacy-equality test compares post-normalization.
     */
   private[graft] def exactPercentiles(
       df: DataFrame,

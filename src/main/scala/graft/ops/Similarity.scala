@@ -157,14 +157,25 @@ object Similarity {
         sum(floor(element_at(col("embedding"), i).cast("double") * lit(1000.0) + lit(0.5))
           .cast("long")).as(s"s$i"))
       val aggs = count(lit(1)).as("n") +: sums
-      cents = assign
-        .groupBy("cell")
-        .agg(aggs.head, aggs.tail: _*)
-        .select(
-          col("cell").as("centroid_id"),
-          array((1 to EmbDim).map(i =>
-            (col(s"s$i").cast("double") / col("n") / lit(1000.0)).cast("float")): _*)
-            .as("cent_emb"))
+      // r20 optimization (guide §1.2 — don't recompute): checkpoint the
+      // k-row centroid frame each iteration. Without it, iteration i's
+      // broadcast build re-executes the ENTIRE earlier Lloyd chain (each
+      // broadcast(cents) subtree nests the previous iteration's corpus
+      // scan + aggregate), so the corpus was scanned O(iters²)/2 times
+      // inside one executed plan; the checkpoint makes each iteration's
+      // scan+aggregate run exactly once and the final assignment plan
+      // start from a k-row LogicalRDD leaf. Values unchanged (the exact
+      // integer-grid aggregate is order-independent by construction).
+      cents = org.apache.spark.sql.GraftSqlInternals.localCheckpointStatsFree(
+        assign
+          .groupBy("cell")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(
+            col("cell").as("centroid_id"),
+            array((1 to EmbDim).map(i =>
+              (col(s"s$i").cast("double") / col("n") / lit(1000.0)).cast("float")): _*)
+              .as("cent_emb")),
+        eager = true)
     }
     cents
   }

@@ -677,7 +677,15 @@ object TextAnalysis {
       // lineage through the broadcast(top1) chain, so without the cache
       // the round-i aggregate recomputes O(iters − i) times inside one
       // executed plan. Same persist-if-unpersisted idiom as the shingle
-      // frames; resetSessionState releases it between queries.
+      // frames. CALLER CONTRACT (deliberate, r20-adjudicated): the op
+      // leaves `iters + 1` cached frames (vocab + one pair-count frame per
+      // round) for the returned plan to read; a long-lived session must
+      // release them between invocations (the bench/verify harnesses call
+      // SparkEntry.resetSessionState). An eager per-round
+      // checkpoint-and-unpersist variant was measured ~2× slower warm at
+      // sf0.1 (the checkpoint jobs cost more than the recompute they
+      // save at iters = 3, and the caches serve repeated calls), so the
+      // leak-free form was rejected on measurement.
       val pcRaw = cur
         .select(col("n"), explode(pairExpr).as("pair"))
         .groupBy("pair").agg(sum("n").as("cnt"))
