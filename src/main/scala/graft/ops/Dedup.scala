@@ -120,7 +120,10 @@ object Dedup {
       .join(base.select(md5(col("text")).as("h")).distinct(),
         md5(col("text")) === col("h"), "left_semi")
       .select(col("doc_id")).withColumn("f_exact", lit(1))
-    val nearIds = lshCandidatePairs(documents)
+    // unsorted pair generator (r20): the distinct-consumer below destroys
+    // order, so lshCandidatePairs' contract orderBy (range exchange +
+    // sampling pass) was pure overhead here
+    val nearIds = bucketPairs(lshBuckets(documents, maxBucket = 1000))
       .select(explode(array(
         struct(col("doc_a").as("d"), col("doc_b").as("o")),
         struct(col("doc_b").as("d"), col("doc_a").as("o")))).as("e"))
@@ -339,8 +342,14 @@ object Dedup {
     * fixpoint loop, cost = rounds × edge scan.
     */
   def labelPropagation(documents: DataFrame, rounds: Int = 3): DataFrame =
+    // r20: feed the UNSORTED pair generator — lshCandidatePairs appends the
+    // output-contract orderBy (a range exchange with its own sampling pass
+    // over the pair pipeline), which the propagation core's explode +
+    // repartition(dst) immediately destroys; join/aggregate consumers take
+    // the raw bucket pairs (same rows, same communities — edge order never
+    // reaches a vote).
     labelPropagationOnPairs(
-      lshCandidatePairs(documents).select(col("doc_a"), col("doc_b")),
+      bucketPairs(lshBuckets(documents, maxBucket = 1000)),
       documents.select(col("doc_id")), rounds)
 
   /** The propagation core over an explicit undirected pair list —
@@ -1272,6 +1281,14 @@ object Dedup {
     var fp = fingerprint(edges)
     var converged = false
     var it = 0
+    // r20 experiment, measured and REJECTED: running two large/small pass
+    // pairs per checkpoint+fingerprint job (halving job barriers; sound —
+    // any pass that changes the edge set strictly decreases the Kiveris
+    // potential, so pair-boundary fingerprint equality implies the true
+    // fixpoint) measured 0.88× median on the interleaved A/B across the
+    // four stars consumers: the extra post-fixpoint passes and the deeper
+    // per-job plans cost more than the saved barriers. One pass per job
+    // kept.
     while (!converged && it < maxIter) {
       // LAZY checkpoint + fused convergence probe (guide §1.2 — don't
       // compute things twice): with an eager checkpoint each round paid

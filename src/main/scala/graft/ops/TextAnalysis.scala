@@ -59,39 +59,66 @@ object TextAnalysis {
     * mean word length — combined into a [0,1] heuristic quality score of
     * the kind used to filter web scrape for LLM pretraining.
     */
-  def qualityScore(documents: DataFrame): DataFrame = {
-    val t = col("text")
-    // measure once per row in a materialized projection — the score
-    // formula references words/stop several times, and inlined they
-    // would re-run the regexp/replace scans once per reference
-    val measured = documents.select(
-      col("doc_id"),
-      length(t).as("chars"),
-      regexp_count(t, lit("\\S+")).as("words"),
-      regexp_count(t, lit("[\\.,;:!\\?]")).as("punct"),
-      (litCount(concat(lit(" "), lower(t), lit(" ")), " the ") +
-        litCount(concat(lit(" "), lower(t), lit(" ")), " a ") +
-        litCount(concat(lit(" "), lower(t), lit(" ")), " and ")).as("stop"))
-    val (chars, words, punct, stop) =
-      (col("chars"), col("words"), col("punct"), col("stop"))
-    val meanWordLen = when(words > 0, chars.cast("double") / words).otherwise(lit(0.0))
-    val score =
-      when(chars < 50, 0.0).otherwise(
-        least(lit(1.0),
-          lit(0.4) * least(lit(1.0), words.cast("double") / 50.0) +
-          lit(0.3) * least(lit(1.0), stop.cast("double") * 10.0 / greatest(words, lit(1)).cast("double")) +
-          lit(0.3) * when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)))
-    measured
+  def qualityScore(documents: DataFrame): DataFrame =
+    qualityMeasured(documents)
       .select(
         col("doc_id"),
-        chars.cast("long").as("n_chars"),
-        words.cast("long").as("n_words"),
-        punct.cast("long").as("n_punct"),
-        stop.cast("long").as("n_stop"),
-        round(meanWordLen, 4).as("mean_word_len"),
-        round(score, 4).as("quality"))
+        col("chars").cast("long").as("n_chars"),
+        col("words").cast("long").as("n_words"),
+        col("punct").cast("long").as("n_punct"),
+        col("stop").cast("long").as("n_stop"),
+        round(qualityMeanWordLen, 4).as("mean_word_len"),
+        round(qualityExpr, 4).as("quality"))
       .orderBy("doc_id")
+
+  /** The per-row measurement projection behind [[qualityScore]]: counts
+    * are measured ONCE in their own projection (the score formula
+    * references words/stop several times, and inlined they would re-run
+    * the regexp/replace scans once per reference). `extras` are computed
+    * in the SAME projection — the hook [[dedupKeepBest]] /
+    * [[topQualityPerSource]] use to carry md5/source through one scan
+    * instead of re-scanning the text and joining back on doc_id (r20,
+    * guide §1.2: quality is pure per-row work, so a join to recover
+    * same-row columns was a full second corpus scan plus an exchange).
+    */
+  private def qualityMeasured(documents: DataFrame, extras: Column*): DataFrame = {
+    val t = col("text")
+    documents.select(
+      Seq(
+        col("doc_id"),
+        length(t).as("chars"),
+        regexp_count(t, lit("\\S+")).as("words"),
+        regexp_count(t, lit("[\\.,;:!\\?]")).as("punct"),
+        (litCount(concat(lit(" "), lower(t), lit(" ")), " the ") +
+          litCount(concat(lit(" "), lower(t), lit(" ")), " a ") +
+          litCount(concat(lit(" "), lower(t), lit(" ")), " and ")).as("stop"))
+        ++ extras: _*)
   }
+
+  private def qualityMeanWordLen: Column = {
+    val (chars, words) = (col("chars"), col("words"))
+    when(words > 0, chars.cast("double") / words).otherwise(lit(0.0))
+  }
+
+  /** The [0,1] heuristic score over [[qualityMeasured]]'s columns —
+    * shared verbatim by every consumer so the rounded value is
+    * bit-identical however it is reached. */
+  private def qualityExpr: Column = {
+    val (chars, words, stop) = (col("chars"), col("words"), col("stop"))
+    when(chars < 50, 0.0).otherwise(
+      least(lit(1.0),
+        lit(0.4) * least(lit(1.0), words.cast("double") / 50.0) +
+        lit(0.3) * least(lit(1.0), stop.cast("double") * 10.0 / greatest(words, lit(1)).cast("double")) +
+        lit(0.3) * when(qualityMeanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)))
+  }
+
+  /** (doc_id, quality, extras) in ONE text scan — the join-free quality
+    * projection for consumers that need the score next to other same-row
+    * columns. */
+  private def qualityWith(documents: DataFrame, extras: (String, Column)*): DataFrame =
+    qualityMeasured(documents, extras.map { case (n, c) => c.as(n) }: _*)
+      .select(col("doc_id") +: round(qualityExpr, 4).as("quality") +:
+        extras.map { case (n, _) => col(n) }: _*)
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single non-space symbols), plus the
@@ -162,13 +189,21 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         explode(graft.functions.TextExpressions.hashedNgrams(col("words"), n))
           .as("gram"))
-    val leaky = exploded
-      .groupBy("gram")
-      .agg(countDistinct("source").as("n_sources"))
-      .filter(col("n_sources") > 1)
-      .select("gram")
+    // "gram occurs in > 1 distinct sources" ⟺ min(source) ≠ max(source)
+    // over the gram's partition — ONE unordered window shuffle on the gram
+    // hash with constant per-group state (r20; the same rewrite
+    // substringDedup adopted in r19). The previous groupBy(countDistinct)
+    // + join-back shipped the exploded gram stream through a gram-keyed
+    // exchange TWICE (column pruning gives the aggregate and join legs
+    // different subtrees, so exchange reuse never fires) and re-ran the
+    // tokenize + hash pass for the second leg. Identical rows: the same
+    // (doc, gram) instances survive, and countDistinct collapses
+    // duplicates exactly as before (the oracle replays the join form).
+    val byGram = Window.partitionBy("gram")
     exploded
-      .join(leaky, Seq("gram"))
+      .withColumn("leaky",
+        min(col("source")).over(byGram) =!= max(col("source")).over(byGram))
+      .filter(col("leaky"))
       .groupBy("doc_id")
       .agg(countDistinct("gram").as("leaked_grams"))
       .orderBy("doc_id")
@@ -290,9 +325,16 @@ object TextAnalysis {
       col("doc_id"),
       explode(graft.functions.TextExpressions.alnumTokens(col("text"), minLen = 3))
         .as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // r20 (guide §1.2, the bm25TopK pattern): df derives FROM the persisted
+    // tf frame — tf is already distinct on (doc_id, term), so the old
+    // `toks.distinct().groupBy(term)` leg re-ran the tokenize + explode
+    // pass AND paid a redundant distinct aggregate for counts tf's keys
+    // already are. One corpus scan, one (doc, term) shuffle, identical df.
+    val tfRaw = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf =
+      if (tfRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) tfRaw.persist()
+      else tfRaw
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, Seq("term"))
       .crossJoin(broadcast(nRow))
       .withColumn("score",
@@ -312,8 +354,10 @@ object TextAnalysis {
     * its local top-n before the shuffle.
     */
   def topQualityPerSource(documents: DataFrame, n: Int = 10): DataFrame = {
-    val scored = qualityScore(documents)
-      .join(documents.select("doc_id", "source"), Seq("doc_id"))
+    // one scan: source rides the quality projection (r20) — the join-back
+    // to documents was a second text scan plus an exchange for a same-row
+    // column
+    val scored = qualityWith(documents, "source" -> col("source"))
     val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -328,10 +372,11 @@ object TextAnalysis {
     * is one row per group.
     */
   def dedupKeepBest(documents: DataFrame): DataFrame = {
-    val scored = qualityScore(documents)
-      .join(documents.select(col("doc_id"), col("text")), Seq("doc_id"))
+    // one scan: the content hash rides the quality projection (r20) — the
+    // join-back to documents re-scanned the text column it hashed
+    val scored = qualityWith(documents, "content_hash" -> md5(col("text")))
     scored
-      .groupBy(md5(col("text")).as("content_hash"))
+      .groupBy(col("content_hash"))
       .agg(
         // max_by tie-breaks arbitrarily; (quality, -doc_id) makes the
         // choice total and engine-replayable
@@ -775,7 +820,11 @@ object TextAnalysis {
       maxWords: Int = 100000,
       stopMin: Int = 1,
       maxTopBps: Int = 2000): DataFrame = {
-    val base = documents
+    // persisted: the stats leg and the top-word leg prune DIFFERENT
+    // columns of this frame, so without the cache each re-ran the text
+    // scan + tokenize (r20; same persist-if-unpersisted idiom as the
+    // shingle frames, released by resetSessionState)
+    val baseRaw = documents
       .select(col("doc_id"),
         graft.functions.TextExpressions.alnumTokens(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"),
@@ -783,6 +832,9 @@ object TextAnalysis {
         expr("aggregate(ws, 0L, (a, x) -> a + length(x))").as("n_chars"),
         size(expr("filter(ws, x -> x IN ('the', 'a', 'and', 'of', 'to'))"))
           .cast("long").as("n_stop"))
+    val base =
+      if (baseRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE) baseRaw.persist()
+      else baseRaw
     val top = base
       .select(col("doc_id"), explode(col("ws")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
