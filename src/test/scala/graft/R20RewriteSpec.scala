@@ -1,0 +1,155 @@
+package graft
+
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Focused equivalence pins for the round-20 execution rewrites: each case
+  * runs the rewritten operator against its legacy formulation (via the
+  * session-conf A/B gate where one exists, or the legacy plan rebuilt
+  * inline where the rewrite replaced the formulation outright) and asserts
+  * row-identical results. These complement the DuckDB oracle: the oracle
+  * proves the registered query's values; these pin the INTERNAL gate
+  * wiring so a future default flip cannot silently change semantics.
+  */
+class R20RewriteSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def withConf[T](kv: (String, String)*)(body: => T): T = {
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally kv.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  private def docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "src0"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "src1"),
+      (3L, "alpha beta gamma delta iota kappa lambda mu", "src1"),
+      (4L, "completely different words here nothing shared at all", "src2"),
+      (5L, "the quick brown fox and a lazy dog with the usual filler text", "src2"),
+      (6L, "the quick brown fox and a lazy dog with the usual filler text", "src0"),
+      (7L, "short", "src1")
+    ).toDF("doc_id", "text", "source")
+  }
+
+  private def collectSorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("bidirectional-edge explode ≡ legacy union form (LP, PageRank, stars)") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (1L, 3L), (4L, 9L))
+      .toDF("doc_a", "doc_b")
+    val verts = (1L to 9L).map(Tuple1(_)).toDF("doc_id")
+    def all() = Seq(
+      collectSorted(Dedup.labelPropagationOnPairs(pairs, verts, 3)),
+      collectSorted(Dedup.pageRankFromPairs(pairs, verts.toDF("doc_id"))),
+      collectSorted(Dedup.connectedComponentsStars(
+        Dedup.starReduceEdges(pairs), verts)))
+    val now = all()
+    SparkEntry.resetSessionState(spark)
+    val legacy = withConf("spark.graft.bidirUnion" -> "true")(all())
+    SparkEntry.resetSessionState(spark)
+    assert(now == legacy, "explode and union bidirection must be row-identical")
+  }
+
+  test("LP single-exchange vote ≡ two-exchange chain") {
+    val s = spark; import s.implicits._
+    // vote-sensitive shape: ties and majority flips must break identically
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val verts = (1L to 8L).map(Tuple1(_)).toDF("doc_id")
+    val now = collectSorted(Dedup.labelPropagationOnPairs(pairs, verts, 3))
+    SparkEntry.resetSessionState(spark)
+    val legacy = withConf("spark.graft.lpVoteRepartition" -> "false")(
+      collectSorted(Dedup.labelPropagationOnPairs(pairs, verts, 3)))
+    SparkEntry.resetSessionState(spark)
+    assert(now == legacy, "repartitioned vote must be row-identical")
+  }
+
+  test("contraction CC active-set labels ≡ full-vertex iteration (singletons kept)") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val verts = (Seq(1L, 2L, 3L, 10L, 11L) ++ Seq(20L, 21L)).map(Tuple1(_)).toDF("doc_id")
+    val now = collectSorted(Dedup.connectedComponents(pairs, verts, maxIter = 20))
+    SparkEntry.resetSessionState(spark)
+    val legacy = withConf("spark.graft.activeSetLegacy" -> "true")(
+      collectSorted(Dedup.connectedComponents(pairs, verts, maxIter = 20)))
+    SparkEntry.resetSessionState(spark)
+    assert(now == legacy, "active-set labels must be row-identical, singletons self-kept")
+    assert(now.exists(_.contains("[20,20,true]")), s"singleton 20 must self-keep: $now")
+  }
+
+  test("ngramContamination gram-window form ≡ legacy aggregate + join-back") {
+    val n = 3
+    val out = collectSorted(TextAnalysis.ngramContamination(docs, n))
+    // legacy formulation rebuilt verbatim (r19 shape)
+    val withWords = docs.select(
+      col("doc_id"), col("source"),
+      graft.functions.TextExpressions.alnumTokens(col("text")).as("words"))
+    val exploded = withWords
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.TextExpressions.hashedNgrams(col("words"), n)).as("gram"))
+    val leaky = exploded
+      .groupBy("gram").agg(countDistinct("source").as("n_sources"))
+      .filter(col("n_sources") > 1).select("gram")
+    val legacy = collectSorted(
+      exploded.join(leaky, Seq("gram"))
+        .groupBy("doc_id").agg(countDistinct("gram").as("leaked_grams"))
+        .orderBy("doc_id"))
+    assert(out == legacy, "window and join contamination counts must match")
+    assert(out.nonEmpty, "fixture must actually leak grams across sources")
+  }
+
+  test("one-scan quality projections ≡ legacy join-back (dedupKeepBest, topQualityPerSource)") {
+    val out1 = collectSorted(TextAnalysis.dedupKeepBest(docs))
+    val out2 = collectSorted(TextAnalysis.topQualityPerSource(docs, n = 2))
+    // legacy formulation: score separately, join back on doc_id
+    val q = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
+    val legacy1 = collectSorted(
+      q.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(
+          max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("best_id"),
+          max("quality").as("best_quality"),
+          count(lit(1)).as("copies"))
+        .orderBy("best_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    val legacy2 = collectSorted(
+      q.join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 2)
+        .select(col("source"), col("rnk"), col("doc_id"), col("quality"))
+        .orderBy("source", "rnk"))
+    assert(out1 == legacy1, "one-scan dedupKeepBest must equal join-back form")
+    assert(out2 == legacy2, "one-scan topQualityPerSource must equal join-back form")
+  }
+
+  test("tfidf df-from-tf ≡ distinct-based document frequency") {
+    val out = collectSorted(TextAnalysis.tfidfTopTerms(docs, k = 2))
+    SparkEntry.resetSessionState(spark)
+    val nRow = docs.agg(count(lit(1)).as("g_n"))
+    val toks = docs.select(
+      col("doc_id"),
+      explode(graft.functions.TextExpressions.alnumTokens(col("text"), minLen = 3))
+        .as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    val legacy = collectSorted(
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(nRow))
+        .withColumn("score",
+          col("tf") * log((col("g_n") + lit(1.0)) / (col("df") + lit(1.0))))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 2)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+          round(col("score"), 6).as("tfidf"))
+        .orderBy("doc_id", "rnk"))
+    assert(out == legacy, "tf-derived df must equal distinct-based df")
+  }
+}
