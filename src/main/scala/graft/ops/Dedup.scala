@@ -936,8 +936,12 @@ object Dedup {
     // the recompute walks the fully unrolled lineage. Per-round broadcast
     // hints also lose — driver collect + broadcast build each round.)
     // Checkpointed RDDs are reaped by the ContextCleaner once unreferenced.
+    // r20: lazy — round 1's compose job materializes the input edges (one
+    // fewer round-0 barrier); same gate as the nbrMin fuse.
     var edges = freshCheckpoint(pairs
-      .select(col(pa).as("u"), col(pb).as("v")))
+      .select(col(pa).as("u"), col(pb).as("v")),
+      eager = pairs.sparkSession.conf
+        .getOption("spark.graft.ccNbrMinLazy").contains("false"))
     // r20 optimization (guide §2.3): iterate labels over the ACTIVE vertex
     // set only — distinct endpoints of the edge list. A vertex with no
     // edges never appears as a supervertex-min key in any round (nbrMin
@@ -955,20 +959,35 @@ object Dedup {
         edges.select(explode(array(col("u"), col("v"))).as("id")).distinct()
           .withColumn("label", col("id"))
       else vertices.select(col(vertices.columns.head).as("id"))
-        .withColumn("label", col("id")))
+        .withColumn("label", col("id")),
+      // r20: lazy — round 1's relabel-count job materializes it (one
+      // fewer round-0 barrier); gated with the nbrMin fuse below
+      eager = pairs.sparkSession.conf
+        .getOption("spark.graft.ccNbrMinLazy").contains("false"))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < math.min(EscalateAfter, maxIter)) {
       // supervertex min over the (already contracted) edge set, counting
-      // both directions: m(L) = min(L, all quotient neighbors of L)
-      // eagerly checkpointed: consumed by BOTH the relabel job and the
-      // edge-contraction job — without the checkpoint the union+aggregate
-      // shuffle would execute twice per round
+      // both directions: m(L) = min(L, all quotient neighbors of L).
+      // r20: LAZY checkpoint — its ONLY consumer is the compose join below
+      // (both legs read the same persisted RDD), so the compose's eager
+      // materialization is the job that computes it: one job for
+      // nbrMin0+compose instead of two. (Distinct from the r19 rejected
+      // candidate, which deferred the COMPOSE — that frame feeds both the
+      // relabel and contraction jobs, where laziness serialized work.)
+      // Under ccJumpLegacy the compose is skipped and nbrMin0 IS nbrMin
+      // (two downstream consumers) — kept eager there.
+      // spark.graft.ccNbrMinLazy=false reverts for the interleaved A/B.
+      val jumpLegacy = pairs.sparkSession.conf
+        .getOption("spark.graft.ccJumpLegacy").contains("true")
+      val nbrMinLazy = !jumpLegacy && !pairs.sparkSession.conf
+        .getOption("spark.graft.ccNbrMinLazy").contains("false")
       val nbrMin0 = freshCheckpoint(edges.select(col("u").as("l"), col("v").as("n"))
         .union(edges.select(col("v").as("l"), col("u").as("n")))
         .groupBy("l")
         .agg(min("n").as("nmin"))
-        .select(col("l"), least(col("l"), col("nmin")).as("m")))
+        .select(col("l"), least(col("l"), col("nmin")).as("m")),
+        eager = !nbrMinLazy)
       // r19 optimization — ONE pointer-jumping compose per round
       // (m := m∘m): on long quotient chains plain contraction moves every
       // label ONE hop per round (the O(diameter) regime the escalation
@@ -990,8 +1009,7 @@ object Dedup {
       // materialization into the relabel job serializes work the eager
       // form overlaps. Kept the measured-faster shape.
       val nbrMin =
-        if (pairs.sparkSession.conf
-              .getOption("spark.graft.ccJumpLegacy").contains("true")) nbrMin0
+        if (jumpLegacy) nbrMin0
         else freshCheckpoint(
           nbrMin0
             .join(
@@ -1007,15 +1025,20 @@ object Dedup {
           col("label"),
           coalesce(col("m"), col("label")).as("new_label")),
         eager = false) // lazy: the count below materializes it
-      changed = updated.filter(col("new_label") < col("label")).count()
-      // plain projection over the checkpointed `updated` — lineage is
-      // already truncated at its LogicalRDD leaf
-      labels = updated.select(col("id"), col("new_label").as("label"))
-      if (changed > 0) {
+      // r20 (guide §2.6 — overlap independent jobs, the centralKeep
+      // pattern): the edge-contraction job depends only on the CHECKPOINTED
+      // nbrMin and edges, not on the relabel count — submit it on a driver
+      // thread so its tasks back-fill executors while the count job's tail
+      // drains. The contraction of the FINAL round (changed == 0) is
+      // discarded — one wasted cheap job against one saved barrier per
+      // earlier round. spark.graft.ccContractOverlap=false reverts.
+      val overlap = !pairs.sparkSession.conf
+        .getOption("spark.graft.ccContractOverlap").contains("false")
+      def contract(): DataFrame = {
         // contract the edge set through the new supervertex mapping;
         // self-loops vanish, merged components stop costing anything
         val mapped = nbrMin.select(col("l"), col("m"))
-        edges = freshCheckpoint(edges
+        freshCheckpoint(edges
           .join(mapped.select(col("l").as("u"), col("m").as("mu")), Seq("u"), "left")
           .join(mapped.select(col("l").as("v"), col("m").as("mv")), Seq("v"), "left")
           .select(
@@ -1024,6 +1047,32 @@ object Dedup {
           .filter(col("u") =!= col("v"))
           .distinct())
       }
+      val contractFut =
+        if (overlap)
+          Some(scala.concurrent.Future(contract())(
+            scala.concurrent.ExecutionContext.global))
+        else None
+      changed =
+        try updated.filter(col("new_label") < col("label")).count()
+        catch {
+          case e: Throwable =>
+            // drain the overlapped leg before propagating (the centralKeep
+            // failure contract): an abandoned contraction racing a caller's
+            // resetSessionState surfaces confusing checkpoint-block errors
+            contractFut.foreach { f =>
+              try scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf)
+              catch { case _: Throwable => () }
+            }
+            throw e
+        }
+      // plain projection over the checkpointed `updated` — lineage is
+      // already truncated at its LogicalRDD leaf
+      labels = updated.select(col("id"), col("new_label").as("label"))
+      val contracted = contractFut.fold(Option.empty[DataFrame]) { f =>
+        Some(scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      }
+      if (changed > 0)
+        edges = contracted.getOrElse(contract())
       it += 1
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
         System.err.println(s"[cc] iter $it changed=$changed")
@@ -1235,7 +1284,11 @@ object Dedup {
       maxIter: Int = 50,
       strict: Boolean = true,
       roundsKey: String = "cc_stars"): DataFrame = {
-    var edges = freshCheckpoint(canonicalEdges(pairs))
+    // r20: LAZY input checkpoint under the same fused-probe gate — the
+    // initial fingerprint aggregate below is the materializing action, so
+    // the round-0 "materialize the canonical edges" job fuses into it
+    // (one job instead of two before the first pass)
+    var edges = freshCheckpoint(canonicalEdges(pairs), eager = !fusedProbe(pairs))
 
     // Same window-over-join rewrite as largeStarPass (guide §2.4): the
     // per-hi min rides an unordered window — one exchange of `e` on hi and

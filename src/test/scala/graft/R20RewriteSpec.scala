@@ -81,6 +81,23 @@ class R20RewriteSpec extends AnyFunSuite {
     assert(now.exists(_.contains("[20,20,true]")), s"singleton 20 must self-keep: $now")
   }
 
+  test("contraction lazy-nbrMin fuse + overlapped contraction ≡ sequential eager loop") {
+    val s = spark; import s.implicits._
+    // a chain long enough to exercise several rounds plus a separate clique
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val clique = Seq((100L, 101L), (100L, 102L), (101L, 102L))
+    val pairs = (chain ++ clique).toDF("doc_a", "doc_b")
+    val verts = ((1L to 40L) ++ Seq(100L, 101L, 102L, 500L)).map(Tuple1(_)).toDF("doc_id")
+    val now = collectSorted(Dedup.connectedComponents(pairs, verts, maxIter = 30))
+    SparkEntry.resetSessionState(spark)
+    val legacy = withConf(
+      "spark.graft.ccNbrMinLazy" -> "false",
+      "spark.graft.ccContractOverlap" -> "false")(
+      collectSorted(Dedup.connectedComponents(pairs, verts, maxIter = 30)))
+    SparkEntry.resetSessionState(spark)
+    assert(now == legacy, "fused/overlapped contraction must be row-identical")
+  }
+
   test("ngramContamination gram-window form ≡ legacy aggregate + join-back") {
     val n = 3
     val out = collectSorted(TextAnalysis.ngramContamination(docs, n))
