@@ -232,6 +232,110 @@ object TextExpressions {
   def shingles(text: Column, width: Int, step: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), width, step))
 
+  /** MinHash minima over a shingle array in one generated loop: for each
+    * element, hv = the first 4 bytes of its md5 digest as an unsigned
+    * 32-bit value (exactly `conv(substring(md5(s), 1, 8), 16, 10)` — the
+    * hex prefix IS the leading digest bytes), then per hash k the running
+    * min of `(a_k·hv + b_k) mod p`. Replaces the
+    * `array_min(transform(transform(sh, md5…), affine…))` HOF chain of the
+    * banded-signature path, which evaluated interpreted — one boxed lambda
+    * call per (shingle, hash) plus a materialized hash array per row
+    * (r20, guide §1.2 step 2: per-task work). The affine operands are all
+    * non-negative (a_k < 2^20, hv < 2^32 — products < 2^52), so `%` equals
+    * `pmod` and nothing overflows. Empty arrays yield all-null minima,
+    * matching `array_min` over an empty transform; the digest instance is
+    * allocated once per task, not per row.
+    */
+  case class MinhashMinsExpr(
+      child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
+      extends UnaryExpression {
+    require(as.length == bs.length && as.nonEmpty, "one (a, b) pair per hash")
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+
+    override def prettyName: String = "minhash_mins"
+
+    @transient private lazy val md =
+      java.security.MessageDigest.getInstance("MD5")
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      val k = as.length
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        val hv = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var j = 0
+        while (j < k) {
+          val m = (as(j) * hv + bs(j)) % p
+          if (m < mins(j)) mins(j) = m
+          j += 1
+        }
+        i += 1
+      }
+      val out = new Array[Any](k)
+      var j = 0
+      while (j < k) {
+        out(j) = if (n == 0) null else mins(j)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val k = as.length
+        val aInit = as.map(x => s"${x}L").mkString(", ")
+        val bInit = bs.map(x => s"${x}L").mkString(", ")
+        val aF = ctx.addMutableState("long[]", "mmA",
+          v => s"$v = new long[] { $aInit };")
+        val bF = ctx.addMutableState("long[]", "mmB",
+          v => s"$v = new long[] { $bInit };")
+        val mdF = ctx.addMutableState("java.security.MessageDigest", "mmMd",
+          v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+                  |catch (java.security.NoSuchAlgorithmException e) {
+                  |  throw new RuntimeException(e); }""".stripMargin)
+        val n = ctx.freshName("n")
+        val mins = ctx.freshName("mins")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val d = ctx.freshName("d")
+        val hv = ctx.freshName("hv")
+        val m = ctx.freshName("m")
+        val out = ctx.freshName("out")
+        s"""
+           |int $n = $s.numElements();
+           |long[] $mins = new long[$k];
+           |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+           |for (int $i = 0; $i < $n; $i++) {
+           |  byte[] $d = $mdF.digest($s.getUTF8String($i).getBytes());
+           |  long $hv = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16)
+           |    | (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    long $m = ($aF[$j] * $hv + $bF[$j]) % ${p}L;
+           |    if ($m < $mins[$j]) $mins[$j] = $m;
+           |  }
+           |}
+           |Object[] $out = new Object[$k];
+           |for (int $j = 0; $j < $k; $j++) {
+           |  $out[$j] = $n == 0 ? null : (Object) java.lang.Long.valueOf($mins[$j]);
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): MinhashMinsExpr =
+      copy(child = newChild)
+  }
+
+  def minhashMins(sh: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    ColumnBridge.column(MinhashMinsExpr(ColumnBridge.expression(sh), as, bs, p))
+
   /** Lowercase alphanumeric tokens of at least `minLen` chars — the same
     * values as `filter(split(lower(text), "[^a-z0-9]+"), t => length(t) >=
     * minLen)` (and the DuckDB `list_filter(string_split_regex(lower(...)))`

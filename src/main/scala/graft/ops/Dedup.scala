@@ -272,15 +272,36 @@ object Dedup {
     * so both formulations produce identical signatures.
     */
   private[graft] def bandedSignaturesFromShingles(shFrame: DataFrame): DataFrame = {
-    val withH = shFrame
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        transform(col("sh"),
-          s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("hvs"))
-    val mins = (0 until NumHashes).map(k =>
-      array_min(transform(col("hvs"),
-        h => pmod(lit(hashA(k)) * h + lit(hashB(k)), lit(HashPrime)))).as(s"h$k"))
-    val sigs = withH.select(col("doc_id") +: mins: _*)
+    // r20 (guide §1.2 step 2 — per-task work): the per-doc minima ride ONE
+    // native codegen'd loop (md5 once per shingle, all NumHashes affine
+    // mins in place) instead of the HOF chain
+    // `array_min(transform(transform(sh, md5…), affine…))`, which
+    // evaluated interpreted — one boxed lambda call per (shingle, hash)
+    // and a materialized hash array per row. Identical values (the hex
+    // prefix of md5 IS the leading digest bytes; operands non-negative so
+    // pmod == %); still fully narrow and stream-legal.
+    // spark.graft.minhashHof=true reverts for the interleaved A/B.
+    val hof = shFrame.sparkSession.conf
+      .getOption("spark.graft.minhashHof").contains("true")
+    val sigs =
+      if (hof) {
+        val withH = shFrame
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id"),
+            transform(col("sh"),
+              s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("hvs"))
+        val mins = (0 until NumHashes).map(k =>
+          array_min(transform(col("hvs"),
+            h => pmod(lit(hashA(k)) * h + lit(hashB(k)), lit(HashPrime)))).as(s"h$k"))
+        withH.select(col("doc_id") +: mins: _*)
+      } else shFrame
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.minhashMins(col("sh"),
+            (0 until NumHashes).map(hashA), (0 until NumHashes).map(hashB),
+            HashPrime).as("mins"))
+        .select(col("doc_id") +: (0 until NumHashes).map(k =>
+          element_at(col("mins"), k + 1).as(s"h$k")): _*)
     val perBand = NumHashes / NumBands
     val bandCols = (0 until NumBands).map { b =>
       val slice = (0 until perBand).map(j => col(s"h${b * perBand + j}"))

@@ -144,6 +144,25 @@ class R20RewriteSpec extends AnyFunSuite {
     assert(out2 == legacy2, "one-scan topQualityPerSource must equal join-back form")
   }
 
+  test("native minhash mins ≡ HOF md5/affine chain (banded signatures)") {
+    val s = spark; import s.implicits._
+    // include unicode, short, and empty-ish texts so the md5 byte handling
+    // and the size>0 filter are both exercised
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "übermäßig sträußchen çörek 文字 text"),
+      (3L, "xy"),
+      (4L, "the quick brown fox jumps over the lazy dog repeatedly")
+    ).toDF("doc_id", "text")
+    val now = collectSorted(Dedup.bandedSignatures(d))
+    SparkEntry.resetSessionState(spark)
+    val hof = withConf("spark.graft.minhashHof" -> "true")(
+      collectSorted(Dedup.bandedSignatures(d)))
+    SparkEntry.resetSessionState(spark)
+    assert(now == hof, "native and HOF banded signatures must be row-identical")
+    assert(now.nonEmpty)
+  }
+
   test("tfidf df-from-tf ≡ distinct-based document frequency") {
     val out = collectSorted(TextAnalysis.tfidfTopTerms(docs, k = 2))
     SparkEntry.resetSessionState(spark)
