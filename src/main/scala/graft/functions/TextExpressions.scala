@@ -336,6 +336,104 @@ object TextExpressions {
   def minhashMins(sh: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
     ColumnBridge.column(MinhashMinsExpr(ColumnBridge.expression(sh), as, bs, p))
 
+  /** Lowercase hex rendering of the first `hexChars`/2 md5 digest bytes —
+    * exactly `substring(md5(s), 1, hexChars)`. Shared by interpreted and
+    * generated code paths of [[HexNgramsExpr]]. */
+  def md5HexPrefix(md: java.security.MessageDigest, s: String, hexChars: Int): UTF8String = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Byte](hexChars)
+    val digits = "0123456789abcdef"
+    var i = 0
+    while (i < hexChars) {
+      val b = d(i / 2) & 0xff
+      out(i) = digits.charAt(if (i % 2 == 0) b >>> 4 else b & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Word n-grams hashed to `hexChars`-char md5 hex prefixes in one
+    * generated loop — exactly
+    * `transform(sequence(1, size(ws) − n + 1), i →
+    *    substring(md5(concat_ws(" ", slice(ws, i, n))), 1, hexChars))`
+    * for inputs with ≥ n tokens (callers filter; shorter inputs yield the
+    * single truncated-window gram, matching `max(len − n + 1, 1)`). The
+    * HOF formulation evaluated interpreted: a boxed lambda, a slice
+    * allocation, and a concat per window position (r20, guide §1.2
+    * step 2). Used by the AllPairs set-similarity shingler and the
+    * ExactSubstr gram positions.
+    */
+  case class HexNgramsExpr(child: Expression, n: Int, hexChars: Int)
+      extends UnaryExpression {
+    require(hexChars > 0 && hexChars <= 32, "md5 yields 32 hex chars")
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)
+
+    override def prettyName: String = "hex_ngrams"
+
+    @transient private lazy val md =
+      java.security.MessageDigest.getInstance("MD5")
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val len = arr.numElements()
+      val out = new Array[Any](math.max(len - n + 1, 1))
+      var i = 0
+      while (i < out.length) {
+        val sb = new java.lang.StringBuilder()
+        var j = i
+        val end = math.min(i + n, len)
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(arr.getUTF8String(j).toString)
+          j += 1
+        }
+        out(i) = TextExpressions.md5HexPrefix(md, sb.toString, hexChars)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val len = ctx.freshName("len")
+        val out = ctx.freshName("out")
+        val sb = ctx.freshName("sb")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val end = ctx.freshName("end")
+        val md = ctx.addMutableState("java.security.MessageDigest", "hexNgramMd5",
+          v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+                  |catch (java.security.NoSuchAlgorithmException e) {
+                  |  throw new RuntimeException(e);
+                  |}""".stripMargin)
+        s"""
+           |int $len = $a.numElements();
+           |Object[] $out = new Object[Math.max($len - ${n - 1}, 1)];
+           |for (int $i = 0; $i < $out.length; $i++) {
+           |  StringBuilder $sb = new StringBuilder();
+           |  int $end = Math.min($i + $n, $len);
+           |  for (int $j = $i; $j < $end; $j++) {
+           |    if ($j > $i) $sb.append(' ');
+           |    $sb.append($a.getUTF8String($j).toString());
+           |  }
+           |  $out[$i] = graft.functions.TextExpressions.md5HexPrefix(
+           |    $md, $sb.toString(), $hexChars);
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): HexNgramsExpr =
+      copy(child = newChild)
+  }
+
+  def hexNgrams(words: Column, n: Int, hexChars: Int): Column =
+    ColumnBridge.column(HexNgramsExpr(ColumnBridge.expression(words), n, hexChars))
+
   /** Lowercase alphanumeric tokens of at least `minLen` chars — the same
     * values as `filter(split(lower(text), "[^a-z0-9]+"), t => length(t) >=
     * minLen)` (and the DuckDB `list_filter(string_split_regex(lower(...)))`

@@ -1588,15 +1588,25 @@ object Dedup {
       documents: DataFrame,
       t: Double = 0.6,
       shingleK: Int = 3): DataFrame = {
+    // r20 (guide §1.2 step 2): gram hashing rides the native codegen'd
+    // HexNgramsExpr — one generated loop per row — instead of the
+    // interpreted `transform(sequence…, slice+concat+md5)` chain (a boxed
+    // lambda, a slice allocation and a concat per window position).
+    // Identical values (same joined-by-space gram, same 16-hex md5
+    // prefix); spark.graft.gramHof=true reverts for the interleaved A/B.
+    val gramHof = documents.sparkSession.conf
+      .getOption("spark.graft.gramHof").contains("true")
+    def grams = // built per branch: both forms read `ws`
+      if (gramHof)
+        transform(
+          sequence(lit(1), size(col("ws")) - lit(shingleK - 1)),
+          i => substring(md5(concat_ws(" ", slice(col("ws"), i, lit(shingleK)))), 1, 16))
+      else graft.functions.TextExpressions.hexNgrams(col("ws"), shingleK, 16)
     val shingledRaw = Parallelism.floor(documents)
       .select(col("doc_id"),
         graft.functions.TextExpressions.alnumTokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= shingleK)
-      .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), size(col("ws")) - lit(shingleK - 1)),
-          i => substring(md5(concat_ws(" ", slice(col("ws"), i, lit(shingleK)))), 1, 16)))
-          .as("ts"))
+      .select(col("doc_id"), array_distinct(grams).as("ts"))
     val shingled =
       if (shingledRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         shingledRaw.persist()
@@ -1669,12 +1679,20 @@ object Dedup {
       if (toksRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         toksRaw.persist()
       else toksRaw
+    // native gram hashing (r20, same rewrite/gate as setSimilarityJoin's
+    // shingler): one generated md5 loop per row instead of the interpreted
+    // transform(sequence…) chain; identical 16-hex gram values
+    val gramHof = documents.sparkSession.conf
+      .getOption("spark.graft.gramHof").contains("true")
+    val grams =
+      if (gramHof)
+        transform(
+          sequence(lit(1), size(col("ws")) - lit(k - 1)),
+          i => substring(md5(concat_ws(" ", slice(col("ws"), i, lit(k)))), 1, 16))
+      else graft.functions.TextExpressions.hexNgrams(col("ws"), k, 16)
     val posRaw = toks
       .filter(size(col("ws")) >= k)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), size(col("ws")) - lit(k - 1)),
-          i => substring(md5(concat_ws(" ", slice(col("ws"), i, lit(k)))), 1, 16))))
+      .select(col("doc_id"), posexplode(grams))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gh"))
     // "gram occurs in >= 2 distinct docs" ⟺ min(doc_id) != max(doc_id)
     // over the gram's partition — ONE unordered window shuffle on the

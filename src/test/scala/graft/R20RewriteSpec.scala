@@ -163,6 +163,27 @@ class R20RewriteSpec extends AnyFunSuite {
     assert(now.nonEmpty)
   }
 
+  test("native hex n-grams ≡ HOF slice/concat/md5 chain (setsim + substring dedup)") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta alpha beta gamma"),
+      (2L, "alpha beta gamma delta different tail entirely here now okay"),
+      (3L, "übermäßig sträußchen çörek tokens with unicode content mixed in"),
+      (4L, "tiny doc"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta alpha beta gamma")
+    ).toDF("doc_id", "text")
+    def all() = Seq(
+      collectSorted(Dedup.setSimilarityJoin(d, t = 0.3)),
+      collectSorted(Dedup.substringDedup(d, k = 4)),
+      collectSorted(Dedup.substringDedupApply(d, k = 4)))
+    val now = all()
+    SparkEntry.resetSessionState(spark)
+    val hof = withConf("spark.graft.gramHof" -> "true")(all())
+    SparkEntry.resetSessionState(spark)
+    assert(now == hof, "native and HOF gram hashing must be row-identical")
+    assert(now.head.nonEmpty && now(1).nonEmpty)
+  }
+
   test("tfidf df-from-tf ≡ distinct-based document frequency") {
     val out = collectSorted(TextAnalysis.tfidfTopTerms(docs, k = 2))
     SparkEntry.resetSessionState(spark)
