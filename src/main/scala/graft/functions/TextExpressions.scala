@@ -434,6 +434,110 @@ object TextExpressions {
   def hexNgrams(words: Column, n: Int, hexChars: Int): Column =
     ColumnBridge.column(HexNgramsExpr(ColumnBridge.expression(words), n, hexChars))
 
+  /** Position-masked n-gram variant hashes for fuzzy decontamination —
+    * exactly the nested-HOF form
+    * `flatten(transform(sequence(1, len−n+1), i →
+    *    transform(sequence(-1, n−1), d → struct(i, d, hash(masked gram)))))`
+    * where mask d = −1 is the unmasked gram and d ∈ [0, n) replaces the
+    * d-th gram token with "#", hashed to a `hexChars`-char md5 prefix —
+    * in ONE generated loop per row. The HOF form paid two nested boxed
+    * lambdas, two slice allocations and a concat per (window, mask);
+    * callers filter len ≥ n (the HOF's `sequence(1, len−n+1)` would run
+    * DESCENDING below that, so the native form's empty output only has to
+    * match on the filtered domain).
+    */
+  case class FuzzyVariantsExpr(child: Expression, n: Int, hexChars: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        StructType(Seq(
+          StructField("pos", org.apache.spark.sql.types.IntegerType, nullable = false),
+          StructField("d", org.apache.spark.sql.types.IntegerType, nullable = false),
+          StructField("vh", org.apache.spark.sql.types.StringType, nullable = true))),
+        containsNull = false)
+
+    override def prettyName: String = "fuzzy_variants"
+
+    @transient private lazy val md =
+      java.security.MessageDigest.getInstance("MD5")
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val len = arr.numElements()
+      val w = math.max(len - n + 1, 0)
+      val out = new Array[Any](w * (n + 1))
+      var idx = 0
+      var i = 0
+      while (i < w) {
+        var d = -1
+        while (d < n) {
+          val sb = new java.lang.StringBuilder()
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            if (j == d) sb.append('#')
+            else sb.append(arr.getUTF8String(i + j).toString)
+            j += 1
+          }
+          out(idx) = new GenericInternalRow(Array[Any](
+            i + 1, d, TextExpressions.md5HexPrefix(md, sb.toString, hexChars)))
+          idx += 1
+          d += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val len = ctx.freshName("len")
+        val w = ctx.freshName("w")
+        val out = ctx.freshName("out")
+        val idx = ctx.freshName("idx")
+        val i = ctx.freshName("i")
+        val d = ctx.freshName("d")
+        val j = ctx.freshName("j")
+        val sb = ctx.freshName("sb")
+        val md = ctx.addMutableState("java.security.MessageDigest", "fuzzyMd5",
+          v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+                  |catch (java.security.NoSuchAlgorithmException e) {
+                  |  throw new RuntimeException(e);
+                  |}""".stripMargin)
+        s"""
+           |int $len = $a.numElements();
+           |int $w = Math.max($len - ${n - 1}, 0);
+           |Object[] $out = new Object[$w * ${n + 1}];
+           |int $idx = 0;
+           |for (int $i = 0; $i < $w; $i++) {
+           |  for (int $d = -1; $d < $n; $d++) {
+           |    StringBuilder $sb = new StringBuilder();
+           |    for (int $j = 0; $j < $n; $j++) {
+           |      if ($j > 0) $sb.append(' ');
+           |      if ($j == $d) $sb.append('#');
+           |      else $sb.append($a.getUTF8String($i + $j).toString());
+           |    }
+           |    $out[$idx++] =
+           |      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+           |        new Object[] { java.lang.Integer.valueOf($i + 1),
+           |          java.lang.Integer.valueOf($d),
+           |          graft.functions.TextExpressions.md5HexPrefix(
+           |            $md, $sb.toString(), $hexChars) });
+           |  }
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): FuzzyVariantsExpr =
+      copy(child = newChild)
+  }
+
+  def fuzzyVariants(words: Column, n: Int, hexChars: Int): Column =
+    ColumnBridge.column(FuzzyVariantsExpr(ColumnBridge.expression(words), n, hexChars))
+
   /** Lowercase alphanumeric tokens of at least `minLen` chars — the same
     * values as `filter(split(lower(text), "[^a-z0-9]+"), t => length(t) >=
     * minLen)` (and the DuckDB `list_filter(string_split_regex(lower(...)))`

@@ -184,6 +184,24 @@ class R20RewriteSpec extends AnyFunSuite {
     assert(now.head.nonEmpty && now(1).nonEmpty)
   }
 
+  test("native fuzzy variant hashes ≡ nested-HOF masked-gram chain") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "question what is the answer to this benchmark item", "src0"),
+      (2L, "question what is the answer to that benchmark item", "src1"),
+      (3L, "über tokens with unicode content here too now", "src1"),
+      (4L, "short one", "src2"),
+      (5L, "question what is the answer to this benchmark item", "src2")
+    ).toDF("doc_id", "text", "source")
+    val now = collectSorted(graft.ops.TextAnalysis.fuzzyContamination(d, "src0", n = 4))
+    SparkEntry.resetSessionState(spark)
+    val hof = withConf("spark.graft.gramHof" -> "true")(
+      collectSorted(graft.ops.TextAnalysis.fuzzyContamination(d, "src0", n = 4)))
+    SparkEntry.resetSessionState(spark)
+    assert(now == hof, "native and HOF fuzzy variants must be row-identical")
+    assert(now.nonEmpty, "fixture must produce fuzzy hits")
+  }
+
   test("tfidf df-from-tf ≡ distinct-based document frequency") {
     val out = collectSorted(TextAnalysis.tfidfTopTerms(docs, k = 2))
     SparkEntry.resetSessionState(spark)
